@@ -1,0 +1,33 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the graded parquet tables.
+  *
+  * Scale note (100 TB design): loaders are plain `spark.read.parquet`, so
+  * Catalyst keeps predicate pushdown / column pruning / partition pruning
+  * through the scan. At cluster scale the same call reads a partitioned
+  * directory tree; nothing here assumes single-file inputs.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4.1 refuses to read
+    * by default (PARQUET_TYPE_ILLEGAL). We read it as epoch-nano longs and
+    * floor to microseconds with INTEGER division — `/` would route a ~1.7e18
+    * long through a 53-bit double mantissa and corrupt the low digits.
+    * DuckDB reads the same column as a µs TIMESTAMP (truncating), so after
+    * this conversion both engines see identical values (SURVEY §5.4 P3).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}
