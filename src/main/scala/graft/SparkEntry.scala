@@ -9,6 +9,10 @@ object SparkEntry {
   /** All registered query packs; add a pack per SURVEY §2 category. */
   private val packs: Seq[QueryPack] = Seq(
     qp.AggCore,
+    qp.Relational,
+    qp.Joins,
+    qp.SetOps,
+    qp.SortLimit,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

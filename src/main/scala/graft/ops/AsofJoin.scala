@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: attach to each left row the single right row with the
+  * greatest `rightTs <= leftTs` within the same key (left-outer semantics).
+  * Ties on `rightTs` resolve to the greatest `tiebreak` — fully
+  * deterministic.
+  *
+  * Spark has no built-in AS OF join, and a naive range join explodes to
+  * O(|L|·|R|) pairs per key. This implementation instead union-tags both
+  * sides, sorts once within each key, and carries the latest right payload
+  * forward with `last(..., ignoreNulls)` over an unbounded-preceding row
+  * frame — ONE shuffle on the join key, linear work, and no pair blowup.
+  * At 100 TB that's the difference between a sort-within-partition and a
+  * quadratic join.
+  */
+object AsofJoin {
+  /** @param leftKey/rightKey equi-join key columns
+    * @param leftTs/rightTs   event-time columns (same comparable type)
+    * @param payload          right-side columns to attach (null when no match)
+    * @param tiebreak         right-side unique column ordering equal-ts rows
+    */
+  def apply(left: DataFrame, right: DataFrame,
+            leftKey: String, rightKey: String,
+            leftTs: String, rightTs: String,
+            payload: Seq[String], tiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // pack the right payload into one struct ordered by (ts, tiebreak) so
+    // `last` over the sort order picks the at-or-before, max-ts, max-tiebreak row
+    val r = right.select(
+      col(rightKey).as("__key"),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      struct((Seq(rightTs, tiebreak) ++ payload.filterNot(Set(rightTs, tiebreak)))
+        .map(col): _*).as("__payload"))
+    val l = left.select(
+      (leftCols.map(col) :+
+        col(leftKey).as("__key") :+
+        col(leftTs).as("__ts") :+
+        lit(1).as("__side") :+
+        lit(null).cast(r.schema("__payload").dataType).as("__payload")): _*)
+    val unioned = l.unionByName(r.select(
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__key"), col("__ts"), col("__side"), col("__payload"))): _*))
+    // right rows (__side=0) sort before left rows at equal ts → "at or before"
+    val w = Window.partitionBy("__key")
+      .orderBy(col("__ts").asc, col("__side").asc, col("__payload").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__match", last("__payload", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    payload.foldLeft(matched) { (df, c) =>
+      df.withColumn(c, col("__match").getField(c))
+    }.select((leftCols ++ payload).map(col): _*)
+  }
+}

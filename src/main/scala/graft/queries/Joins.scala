@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.engine.{Det, QueryPack, Tables}
+import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** Join operators (SURVEY §2.3).
+  *
+  * Scale notes: dimension sides (region/nation/customer/part) stay far
+  * below `spark.sql.autoBroadcastJoinThreshold`, so Catalyst plans
+  * broadcast-hash joins with no shuffle of the fact side; `join_broadcast`
+  * pins the hint explicitly. The as-of join is a library operator with one
+  * shuffle and linear work (see [[graft.ops.AsofJoin]]).
+  */
+object Joins extends QueryPack {
+  import Det._
+
+  q("join_inner_equi",
+    """SELECT o.o_orderkey, c.c_name
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o.o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders").as("o")
+      .join(Tables(s, dir, "customer").as("c"),
+        col("o.o_custkey") === col("c.c_custkey"), "inner")
+      .select(col("o.o_orderkey"), col("c.c_name"))
+      .orderBy("o_orderkey")
+  }
+
+  q("join_left_outer",
+    """SELECT c.c_custkey, o.o_orderkey
+      |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |ORDER BY c.c_custkey ASC NULLS FIRST, o.o_orderkey ASC NULLS FIRST""") { (s, dir) =>
+    Tables(s, dir, "customer").as("c")
+      .join(Tables(s, dir, "orders").as("o"),
+        col("o.o_custkey") === col("c.c_custkey"), "left")
+      .select(col("c.c_custkey"), col("o.o_orderkey"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  q("join_right_outer",
+    """SELECT o.o_orderkey, c.c_custkey
+      |FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY c.c_custkey ASC NULLS FIRST, o.o_orderkey ASC NULLS FIRST""") { (s, dir) =>
+    Tables(s, dir, "orders").as("o")
+      .join(Tables(s, dir, "customer").as("c"),
+        col("o.o_custkey") === col("c.c_custkey"), "right")
+      .select(col("o.o_orderkey"), col("c.c_custkey"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  q("join_full_outer",
+    """SELECT n.n_nationkey, s.s_suppkey
+      |FROM nation n FULL JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      |ORDER BY n.n_nationkey ASC NULLS FIRST, s.s_suppkey ASC NULLS FIRST""") { (s, dir) =>
+    Tables(s, dir, "nation").as("n")
+      .join(Tables(s, dir, "supplier").as("s"),
+        col("s.s_nationkey") === col("n.n_nationkey"), "full")
+      .select(col("n.n_nationkey"), col("s.s_suppkey"))
+      .orderBy(col("n_nationkey").asc_nulls_first, col("s_suppkey").asc_nulls_first)
+  }
+
+  q("join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |ORDER BY c_custkey""") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders").filter(col("o_totalprice") > 150000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  q("join_anti",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  q("join_broadcast",
+    s"""SELECT p.p_brand,
+      |  ${oMoney("l.l_extendedprice * (1 - l.l_discount)")} AS promo_revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_type LIKE 'PROMO%'
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""") { (s, dir) =>
+    Tables(s, dir, "lineitem").as("l")
+      .join(broadcast(Tables(s, dir, "part").filter(col("p_type").like("PROMO%"))).as("p"),
+        col("l.l_partkey") === col("p.p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        money(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("promo_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  q("join_theta_range",
+    """SELECT a.user_id, COUNT(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.ts < b.ts
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+    e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.ts") < col("b.ts"))
+      .groupBy(col("a.user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  q("join_cross",
+    """SELECT r.r_name, n.n_name
+      |FROM region r CROSS JOIN nation n
+      |ORDER BY r.r_name, n.n_name""") { (s, dir) =>
+    Tables(s, dir, "region").as("r")
+      .crossJoin(Tables(s, dir, "nation").as("n"))
+      .select(col("r.r_name"), col("n.n_name"))
+      .orderBy("r_name", "n_name")
+  }
+
+  q("join_asof",
+    """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC NULLS LAST,
+      |                                     o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |) WHERE rn = 1
+      |ORDER BY event_id""") { (s, dir) =>
+    val events = Tables(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    AsofJoin(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"), tiebreak = "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  q("join_interval",
+    """SELECT a.event_id, COUNT(b.event_id) AS n_within_hour
+      |FROM events a LEFT JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      |GROUP BY a.event_id
+      |ORDER BY a.event_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+    e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("b.ts") > col("a.ts")
+          && col("b.ts") <= col("a.ts") + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("a.event_id"))
+      .agg(count(col("b.event_id")).as("n_within_hour"))
+      .orderBy("event_id")
+  }
+
+  q("join_multiway",
+    s"""SELECT r.r_name, n.n_name,
+      |  ${oMoney("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY r.r_name, n.n_name""") { (s, dir) =>
+    Tables(s, dir, "lineitem").as("l")
+      .join(Tables(s, dir, "orders").as("o"), col("l.l_orderkey") === col("o.o_orderkey"))
+      .join(Tables(s, dir, "customer").as("c"), col("o.o_custkey") === col("c.c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation").as("n")), col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region").as("r")), col("n.n_regionkey") === col("r.r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        money(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.engine.{Det, QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / predicate operators (SURVEY §2.2).
+  *
+  * All narrow transformations — no shuffle; Catalyst pushes every predicate
+  * and projection into the parquet scan (verified via explain: PushedFilters
+  * + pruned ReadSchema), which is exactly what survives a 100 TB scan.
+  */
+object Relational extends QueryPack {
+  import Det._
+
+  q("proj_select",
+    s"""SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(${oCents("l_extendedprice * (1 - l_discount)")} AS DOUBLE) / 100 AS DECIMAL(18,2)) AS net
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    val net = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (net.cast("double") / 100).cast(D2).as("net"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("proj_drop_dedup_cols",
+    """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+      |FROM customer
+      |ORDER BY c_custkey""") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .drop("c_acctbal")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  q("filter_simple",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("filter_compound",
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND l_returnflag IN ('A', 'R')
+      |  AND NOT (l_linestatus = 'O')
+      |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+        && col("l_returnflag").isin("A", "R")
+        && !(col("l_linestatus") === "O"))
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // graded tables are NULL-free, so derive NULLs via nullif (SURVEY §2.2)
+  q("filter_null",
+    """SELECT l_orderkey, l_linenumber,
+      |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag
+      |FROM lineitem
+      |WHERE nullif(l_returnflag, 'N') IS NULL
+      |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(expr("nullif(l_returnflag, 'N')").isNull)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(expr("nullif(l_returnflag, 'N')"), lit("none")).as("flag"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  q("filter_like_regex",
+    """SELECT p_partkey, p_name, p_type
+      |FROM part
+      |WHERE p_type LIKE 'PROMO%' AND regexp_matches(p_name, '^[a-m]')
+      |ORDER BY p_partkey""") { (s, dir) =>
+    Tables(s, dir, "part")
+      .filter(col("p_type").like("PROMO%") && col("p_name").rlike("^[a-m]"))
+      .select("p_partkey", "p_name", "p_type")
+      .orderBy("p_partkey")
+  }
+
+  q("proj_case_when",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderpriority = '1-URGENT' THEN 2
+      |       WHEN o_orderpriority = '2-HIGH' THEN 1
+      |       ELSE 0 END AS urgency
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", 2)
+          .when(col("o_orderpriority") === "2-HIGH", 1)
+          .otherwise(0).as("urgency"))
+      .orderBy("o_orderkey")
+  }
+
+  q("proj_cast",
+    s"""SELECT l_orderkey, l_linenumber,
+      |  CAST(l_linenumber AS BIGINT) AS line_big,
+      |  CAST(l_orderkey AS VARCHAR) AS okey_str,
+      |  CAST(CAST(${oCents("l_quantity")} AS DOUBLE) / 100 AS DECIMAL(18,2)) AS qty_dec
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast("long").as("line_big"),
+        col("l_orderkey").cast("string").as("okey_str"),
+        (cents(col("l_quantity")).cast("double") / 100).cast(D2).as("qty_dec"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+}
