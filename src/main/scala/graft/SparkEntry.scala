@@ -13,6 +13,8 @@ object SparkEntry {
     qp.Joins,
     qp.SetOps,
     qp.SortLimit,
+    qp.Aggregates,
+    qp.Windows,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.engine.{Det, QueryPack, Tables}
+import graft.functions.WAvgFix
+import org.apache.spark.sql.{Encoders, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators beyond the flagship (SURVEY §2.4).
+  *
+  * Scale notes: everything here is a two-phase hash aggregate (partial map-
+  * side combine → shuffle one row per group per partition → final).
+  * `collect_*` forms fall back to ObjectHashAggregate — acceptable because
+  * group counts are dimension-sized; never collect over a fact-sized group.
+  */
+object Aggregates extends QueryPack {
+  import Det._
+
+  q("agg_global",
+    s"""SELECT COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  ${oMoney("l_extendedprice")} AS total_price
+      |FROM lineitem""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        money(sum(cents(col("l_extendedprice")))).as("total_price"))
+  }
+
+  q("agg_count_distinct",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  // HLL sketches are not bitwise-comparable across engines → declared, no oracle
+  qNo("agg_approx_distinct") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+      .orderBy("o_orderstatus")
+  }
+
+  q("agg_grouping_sets",
+    """SELECT GROUPING(r_name) AS gr, GROUPING(n_name) AS gn,
+      |  r_name, n_name, COUNT(*) AS n_custs
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+      |ORDER BY gr, gn, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""") { (s, dir) =>
+    Tables(s, dir, "customer").as("c")
+      .join(broadcast(Tables(s, dir, "nation").as("n")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region").as("r")), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(grouping(col("r_name")).as("gr"), grouping(col("n_name")).as("gn"),
+        count(lit(1)).as("n_custs"))
+      .select("gr", "gn", "r_name", "n_name", "n_custs")
+      .orderBy(col("gr"), col("gn"),
+        col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  q("agg_rollup",
+    s"""SELECT GROUPING(r_name) AS gr, GROUPING(n_name) AS gn,
+      |  r_name, n_name,
+      |  ${oMoney("s_acctbal")} AS total_bal
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY gr, gn, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""") { (s, dir) =>
+    Tables(s, dir, "supplier").as("s")
+      .join(broadcast(Tables(s, dir, "nation").as("n")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region").as("r")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping(col("r_name")).as("gr"), grouping(col("n_name")).as("gn"),
+        money(sum(cents(col("s_acctbal")))).as("total_bal"))
+      .select("gr", "gn", "r_name", "n_name", "total_bal")
+      .orderBy(col("gr"), col("gn"),
+        col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  q("agg_cube",
+    """SELECT GROUPING(l_returnflag) AS gf, GROUPING(l_linestatus) AS gs,
+      |  l_returnflag, l_linestatus, COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gf, gs, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).as("gf"), grouping(col("l_linestatus")).as("gs"),
+        count(lit(1)).as("n_lines"))
+      .select("gf", "gs", "l_returnflag", "l_linestatus", "n_lines")
+      .orderBy(col("gf"), col("gs"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  q("agg_having",
+    """SELECT l_suppkey, COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING COUNT(*) > 550
+      |ORDER BY l_suppkey""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") > 550)
+      .orderBy("l_suppkey")
+  }
+
+  q("agg_collect_sorted",
+    """SELECT n_regionkey AS r_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY r_regionkey""") { (s, dir) =>
+    Tables(s, dir, "nation")
+      .groupBy(col("n_regionkey").as("r_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_regionkey")
+  }
+
+  q("agg_string_agg",
+    """SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"))
+      .orderBy("c_nationkey")
+  }
+
+  q("agg_stats",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 3) AS sd_qty,
+      |  round(var_samp(l_quantity), 3) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 3).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  q("agg_median_percentile",
+    """SELECT l_returnflag,
+      |  round(median(l_quantity), 4) AS med_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(median(col("l_quantity")), 4).as("med_qty"),
+        round(F.percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  q("agg_pivot",
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""") { (s, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)  // explicit value list — deterministic columns (P10)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  q("agg_unpivot",
+    """SELECT p_partkey, key, val FROM (
+      |  SELECT p_partkey, 'p_retailprice' AS key, p_retailprice AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'p_size' AS key, CAST(p_size AS DOUBLE) AS val FROM part
+      |)
+      |ORDER BY p_partkey, key""") { (s, dir) =>
+    Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("double").as("p_size"))
+      .unpivot(Array(col("p_partkey")), Array(col("p_retailprice"), col("p_size")), "key", "val")
+      .orderBy("p_partkey", "key")
+  }
+
+  q("agg_udaf_wavg",
+    s"""SELECT l_returnflag,
+      |  round(CAST(SUM(${oCents("l_extendedprice")} * ${oCents("l_quantity")}) AS DOUBLE)
+      |        / SUM(${oCents("l_quantity")}) / 100, 4) AS wavg_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (s, dir) =>
+    val wavg = F.udaf(new WAvgFix(), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(wavg(cents(col("l_extendedprice")), cents(col("l_quantity"))) / 100, 4)
+        .as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+}

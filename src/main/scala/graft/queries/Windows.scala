@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.engine.{Det, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY §2.5).
+  *
+  * Every window ORDER BY carries a unique tiebreaker (P10): row_number /
+  * ntile / lag / first / running frames are only deterministic under a
+  * total order. rank/dense_rank/percent_rank/cume_dist are value-based and
+  * tie-stable by definition.
+  *
+  * Scale note: one shuffle per distinct partitioning; queries reuse a
+  * single partitioning so Spark plans exactly one exchange + sort.
+  */
+object Windows extends QueryPack {
+  import Det._
+
+  private def byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  q("win_row_number",
+    """SELECT event_id, user_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |FROM events
+      |ORDER BY user_id, rn""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), row_number().over(byUser).as("rn"))
+      .orderBy("user_id", "rn")
+  }
+
+  q("win_rank_dense",
+    """SELECT p_brand, p_partkey, p_size,
+      |  rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS rk,
+      |  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS drk
+      |FROM part
+      |ORDER BY p_brand, p_size, p_partkey""") { (s, dir) =>
+    val w = Window.partitionBy("p_brand").orderBy("p_size")
+    Tables(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        rank().over(w).as("rk"), dense_rank().over(w).as("drk"))
+      .orderBy("p_brand", "p_size", "p_partkey")
+  }
+
+  q("win_ntile",
+    """SELECT event_id, user_id,
+      |  ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+      |FROM events
+      |ORDER BY user_id, event_id""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), ntile(4).over(byUser).as("quartile"))
+      .orderBy("user_id", "event_id")
+  }
+
+  q("win_lag_lead",
+    """SELECT event_id, user_id, value,
+      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |  lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+      |FROM events
+      |ORDER BY user_id, event_id""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(byUser).as("prev_value"),
+        lead(col("value"), 1).over(byUser).as("next_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  q("win_first_last",
+    """SELECT c_custkey, c_nationkey,
+      |  first_value(c_custkey) OVER w AS first_cust,
+      |  last_value(c_custkey)  OVER w AS last_cust
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY c_nationkey, c_custkey""") { (s, dir) =>
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc_nulls_last, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        first(col("c_custkey")).over(w).as("first_cust"),
+        last(col("c_custkey")).over(w).as("last_cust"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  q("win_running_sum",
+    s"""SELECT event_id, user_id,
+      |  CAST(CAST(SUM(${oFix("value", 2)}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+      |       AS DECIMAL(18,2)) AS running_value
+      |FROM events
+      |ORDER BY user_id, event_id""") { (s, dir) =>
+    val w = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (sum(fix(col("value"), 2)).over(w).cast("double") / 100).cast(D2).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  q("win_sliding_avg",
+    s"""SELECT event_id, user_id,
+      |  round(CAST(SUM(${oFix("value", 2)}) OVER w AS DOUBLE) / 100
+      |        / COUNT(*) OVER w, 4) AS avg_7
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""") { (s, dir) =>
+    val w = byUser.rowsBetween(-6, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum(fix(col("value"), 2)).over(w).cast("double") / 100
+          / count(lit(1)).over(w), 4).as("avg_7"))
+      .orderBy("user_id", "event_id")
+  }
+
+  q("win_range_frame",
+    """SELECT o_orderkey, o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_last_30d
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-2592000L, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        count(lit(1)).over(w).as("n_last_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  q("win_percent_cume",
+    """SELECT p_brand, p_partkey, p_size,
+      |  round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_size), 6) AS pr,
+      |  round(cume_dist()    OVER (PARTITION BY p_brand ORDER BY p_size), 6) AS cd
+      |FROM part
+      |ORDER BY p_brand, p_size, p_partkey""") { (s, dir) =>
+    val w = Window.partitionBy("p_brand").orderBy("p_size")
+    Tables(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("p_brand", "p_size", "p_partkey")
+  }
+}
