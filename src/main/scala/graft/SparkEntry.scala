@@ -15,6 +15,8 @@ object SparkEntry {
     qp.SortLimit,
     qp.Aggregates,
     qp.Windows,
+    qp.Sources,
+    qp.Scalars,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

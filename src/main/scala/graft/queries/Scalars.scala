@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.engine.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY §2.8) — one graded query per family,
+  * each exercising several functions. All built-in, codegen'd; no UDFs in
+  * the hot path. Cross-engine notes per P5–P9 inline.
+  */
+object Scalars extends QueryPack {
+
+  q("fn_string_basic",
+    """SELECT c_custkey,
+      |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
+      |  trim(c_name) AS tr, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+      |  substring(c_name, 1, 5) AS sub, CAST(length(c_name) AS INT) AS len,
+      |  concat_ws('|', c_name, c_mktsegment) AS cw,
+      |  replace(c_name, '#', '-') AS rep, reverse(c_mktsegment) AS rev
+      |FROM customer
+      |ORDER BY c_custkey""") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up"), lower(col("c_mktsegment")).as("lo"),
+        trim(col("c_name")).as("tr"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+        substring(col("c_name"), 1, 5).as("sub"), length(col("c_name")).as("len"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("cw"),
+        regexp_replace(col("c_name"), "#", "-").as("rep"),
+        reverse(col("c_mktsegment")).as("rev"))
+      .orderBy("c_custkey")
+  }
+
+  q("fn_string_split_extract",
+    """SELECT p_partkey,
+      |  string_split(p_type, ' ')[1] AS first_tok,
+      |  regexp_extract(o_orderpriority, '^(\d+)', 1) AS prio_num,
+      |  regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+      |  CAST(strpos(p_type, 'PROMO') AS INT) AS promo_pos,
+      |  left(p_name, 4) AS l4, right(p_name, 4) AS r4
+      |FROM part p JOIN orders o ON p.p_partkey = o.o_orderkey
+      |ORDER BY p_partkey""") { (s, dir) =>
+    Tables(s, dir, "part").as("p")
+      .join(Tables(s, dir, "orders").as("o"), col("p_partkey") === col("o_orderkey"))
+      .select(col("p_partkey"),
+        element_at(split(col("p_type"), " "), 1).as("first_tok"),
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).as("prio_num"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        instr(col("p_type"), "PROMO").as("promo_pos"),
+        expr("left(p_name, 4)").as("l4"), expr("right(p_name, 4)").as("r4"))
+      .orderBy("p_partkey")
+  }
+
+  // P6: DuckDB dow is 0=Sunday, Spark dayofweek is 1=Sunday → oracle adds 1
+  q("fn_date_parts",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("q"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .orderBy("o_orderkey")
+  }
+
+  q("fn_date_arith",
+    """SELECT o_orderkey,
+      |  strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS plus30,
+      |  strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+      |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2001-12-31') AS INT) AS days_to_end,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        datediff(lit("2001-12-31").cast("timestamp"), col("o_orderdate")).as("days_to_end"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+  }
+
+  q("fn_math",
+    """SELECT p_partkey, p_size,
+      |  round(sqrt(p_size), 6) AS sqrt_sz,
+      |  CAST(floor(sqrt(p_size)) AS BIGINT) AS floor_sqrt,
+      |  CAST(ceil(sqrt(p_size)) AS BIGINT) AS ceil_sqrt,
+      |  abs(p_size - 25) AS abs_ctr,
+      |  pow(p_size, 2) AS sz2,
+      |  round(ln(p_size), 6) AS ln_sz, round(log10(p_size), 6) AS log10_sz,
+      |  round(exp(p_size % 5), 6) AS exp_mod,
+      |  CAST(sign(p_size - 25) AS INT) AS sgn,
+      |  p_size % 7 AS mod7,
+      |  greatest(p_size, 25) AS gst, least(p_size, 25) AS lst
+      |FROM part
+      |ORDER BY p_partkey""") { (s, dir) =>
+    Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"),
+        round(sqrt(col("p_size")), 6).as("sqrt_sz"),
+        floor(sqrt(col("p_size"))).as("floor_sqrt"),
+        ceil(sqrt(col("p_size"))).as("ceil_sqrt"),
+        abs(col("p_size") - 25).as("abs_ctr"),
+        pow(col("p_size"), 2).as("sz2"),
+        round(log(col("p_size")), 6).as("ln_sz"),
+        round(log10(col("p_size")), 6).as("log10_sz"),
+        round(exp(col("p_size") % 5), 6).as("exp_mod"),
+        signum(col("p_size") - 25).cast("int").as("sgn"),
+        (col("p_size") % 7).as("mod7"),
+        greatest(col("p_size"), lit(25)).as("gst"),
+        least(col("p_size"), lit(25)).as("lst"))
+      .orderBy("p_partkey")
+  }
+
+  q("fn_array",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  list_contains(string_split(text, ' '), 'join') AS has_join,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_tok_len
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    val toks = split(col("text"), " ")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        array_contains(toks, "join").as("has_join"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 3), ",").as("first3"),
+        aggregate(transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x).as("sum_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  q("fn_map_struct",
+    """SELECT n_nationkey,
+      |  struct_pack(key := n_name, region := n_regionkey).key AS s_name,
+      |  map_extract(MAP(['a','b'], [1, 2]), 'b')[1] AS map_b
+      |FROM nation
+      |ORDER BY n_nationkey""") { (s, dir) =>
+    Tables(s, dir, "nation")
+      .select(col("n_nationkey"),
+        struct(col("n_name").as("key"), col("n_regionkey").as("region"))
+          .getField("key").as("s_name"),
+        element_at(map(lit("a"), lit(1), lit("b"), lit(2)), "b").as("map_b"))
+      .orderBy("n_nationkey")
+  }
+
+  q("fn_json",
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str
+      |FROM events
+      |ORDER BY event_id""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        get_json_object(col("props"), "$.k").as("k_str"))
+      .orderBy("event_id")
+  }
+
+  q("fn_hash",
+    """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(col("text")).as("h_md5"), sha2(col("text"), 256).as("h_sha256"))
+      .orderBy("doc_id")
+  }
+
+  // xxhash64/crc32 have no cross-engine twins — declared separately, no oracle
+  qNo("fn_hash_native") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("h_xx64"), crc32(col("text")).as("h_crc32"))
+      .orderBy("doc_id")
+  }
+
+  q("fn_null_coalesce",
+    """SELECT o_orderkey,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+      |  ifnull(nullif(o_orderpriority, '5-LOW'), 'LOW') AS prio_or_low,
+      |  nullif(o_orderstatus, 'F') IS NULL AS is_f
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        coalesce(expr("nullif(o_orderstatus, 'O')"), lit("open")).as("status_or_open"),
+        expr("ifnull(nullif(o_orderpriority, '5-LOW'), 'LOW')").as("prio_or_low"),
+        expr("nullif(o_orderstatus, 'F')").isNull.as("is_f"))
+      .orderBy("o_orderkey")
+  }
+}

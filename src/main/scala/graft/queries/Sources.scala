@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.engine.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scans / sources / sinks (SURVEY §2.1).
+  *
+  * CSV/JSON round-trip through a temp dir (the graded tables are parquet-
+  * only) — declared rows-only; the partitioned sink reads its own output
+  * back so partition pruning is exercised end-to-end.
+  */
+object Sources extends QueryPack {
+
+  q("scan_parquet",
+    """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""") { (s, dir) =>
+    Tables(s, dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+  }
+
+  qNo("scan_csv") { (s, dir) =>
+    val out = "/tmp/graft_io/csv_customer"
+    Tables(s, dir, "customer").write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  qNo("scan_json") { (s, dir) =>
+    val out = "/tmp/graft_io/json_nation"
+    Tables(s, dir, "nation").write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).json(out)
+      .orderBy("n_nationkey")
+  }
+
+  qNo("sink_partitioned") { (s, dir) =>
+    val out = "/tmp/graft_io/part_lineitem"
+    Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    // read back ONE partition — the scan must prune to a single directory
+    s.read.parquet(out)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+}
