@@ -17,6 +17,7 @@ object SparkEntry {
     qp.Windows,
     qp.Sources,
     qp.Scalars,
+    qp.LlmOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

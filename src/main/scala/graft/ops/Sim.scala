@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY §2.9).
+  *
+  * Scale design (100 TB): brute force is O(|probes|·|corpus|) — correct
+  * baseline, used when probes are few. The LSH path buckets the corpus by
+  * random-hyperplane sign bits so each probe only meets its bucket
+  * (expected corpus/2^bits candidates), which is the standard
+  * shuffle-friendly ANN layout: bucket id is the join key, no pair blowup.
+  * Both paths share the same scoring expression, so swapping them is a
+  * plan change, not a semantics change.
+  */
+object Sim {
+
+  /** Sequential-fold dot product in double — matches the oracle's
+    * list_reduce association exactly (0.0 + x == x in IEEE). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** cosine = dot / (sqrt(|a|²) * sqrt(|b|²)), association fixed. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force top-k neighbors for each probe (rounded-sim ranking with
+    * id tiebreak — deterministic). */
+  def cosineTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pe"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+    val scored = p.crossJoin(c)
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("pe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** All pairs with sim ≥ tau inside each label block. */
+  def pairwiseThreshold(corpus: DataFrame, tau: Double): DataFrame = {
+    val v = corpus.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.e"), col("b.e")), 4).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded) — the LSH scale path. */
+  private def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits packed into a long). */
+  def lshBucket(emb: Column, nBits: Int, dim: Int): Column = {
+    val hps = hyperplanes(nBits, dim)
+    hps.zipWithIndex.map { case (hp, j) =>
+      val hpCol = array(hp.map(lit): _*)
+      when(dot(emb, hpCol) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH buckets: each probe only scores its own bucket.
+    * Recall < 1 by construction (bucket boundaries) — the brute-force path
+    * is the correctness oracle; this is the 100 TB throughput path. */
+  def annTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+              nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"),
+      asDouble(col("embedding")).as("pe"))
+      .withColumn("bucket", lshBucket(col("pe"), nBits, dim))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+      .withColumn("bucket", lshBucket(col("ce"), nBits, dim))
+    val scored = p.join(c, Seq("bucket"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("pe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

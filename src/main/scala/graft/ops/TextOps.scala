@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for training-data pipelines.
+  *
+  * Everything here is built from codegen'd built-in functions (split,
+  * transform, aggregate, regexp) — no UDFs in the hot path, so whole-stage
+  * codegen spans the scan→project pipeline and the ops scale linearly with
+  * input bytes at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single other
+    * glyphs — the standard pre-tokenizer shape (RE2- and Java-regex safe). */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** k-token shingles (requires size >= k; callers filter shorter docs). */
+  def shingles(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*))
+
+  /** Polynomial rolling hash over token codes, mod 2^31-1 — pure integer
+    * fold, bit-identical in any engine (the oracle-able document
+    * fingerprint; xxhash64 is the no-oracle fast path). Token code =
+    * first-char codepoint × 256 + token length. */
+  def polyFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => (ascii(t) * 256 + length(t)).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 131 + x) % 2147483647L)
+
+  /** Language-ID by stopword voting: score per language = #distinct tokens
+    * intersecting that language's stopword list; argmax with a fixed
+    * language priority for ties. A real pipeline swaps in fastText-style
+    * n-gram models; the operator shape (per-row pure function) is the same. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "for", "with", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "auf", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans", "pour", "que"),
+    "zh" -> Seq())
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    Seq("de", "en", "es", "fr").map { lang =>
+      lang -> size(array_intersect(toks,
+        array(stopwords(lang).map(lit): _*)))
+    }
+
+  /** Predicted language: CJK chars → zh, else max stopword score with
+    * alphabetical tiebreak (deterministic). */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    // argmax as an explicit CASE chain — alphabetical priority on ties
+    val Seq(de, en, es, fr) = langScores(toks).map(_._2)
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Quality score in [0,1]: length saturation, non-punctuation share,
+    * stopword share — per-row IEEE arithmetic, association fixed.
+    * Punctuation is counted by stripping [A-Za-z0-9 ] (portable to any
+    * regexp dialect, no char-splitting needed). */
+  def qualityScore(text: Column, nTokens: Column): Column = {
+    val punct = length(regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    val stop = size(array_intersect(tokens(lower(text)),
+      array(stopwords.values.flatten.toSeq.distinct.sorted.map(lit): _*)))
+    round(
+      least(length(text).cast("double") / 200, lit(1.0)) * 0.3
+        + (lit(1.0) - punct.cast("double") / length(text)) * 0.3
+        + (stop.cast("double") / nTokens) * 0.4, 4)
+  }
+}

@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.engine.{QueryPack, Tables}
+import graft.ops.{Dedup, Multimodal, Sim, TextOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY §2.9 + task extension):
+  * dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+  * search (brute force + LSH), text analysis (stats, top tokens, lang-id,
+  * quality, fingerprints, TF-IDF), multimodal columns.
+  */
+object LlmOps extends QueryPack {
+
+  q("llm_dedup_exact",
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents
+      |) WHERE rn = 1
+      |ORDER BY doc_id""") { (s, dir) =>
+    Dedup.exact(Tables(s, dir, "documents"), "text", "doc_id")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  q("llm_dedup_near",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |  FROM i JOIN n na ON i.id_a = na.doc_id JOIN n nb ON i.id_b = nb.doc_id
+      |) WHERE jaccard >= 0.3
+      |ORDER BY id_a, id_b""") { (s, dir) =>
+    Dedup.jaccardPairs(Tables(s, dir, "documents"), "text", "doc_id", k = 3, tau = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // xxhash64 seeds are engine-specific → declared, rows-only check
+  qNo("llm_dedup_minhash") { (s, dir) =>
+    Dedup.minhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
+        k = 3, numHashes = 32, bands = 8, tau = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  qNo("llm_dedup_simhash") { (s, dir) =>
+    Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  q("sim_cosine_topk",
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      |  FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+      |), s AS (
+      |  SELECT probe_id, vec_id,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pe, ce),
+      |        z -> z[1] * z[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pe, x -> x*x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x*x)), (a, b) -> a + b))),
+      |    4) AS sim
+      |  FROM p CROSS JOIN c WHERE probe_id <> vec_id
+      |)
+      |SELECT probe_id, vec_id, sim, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                               ORDER BY sim DESC, vec_id) AS rn FROM s)
+      |WHERE rn <= 5
+      |ORDER BY probe_id, rn""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Sim.cosineTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  q("sim_pairwise_threshold",
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |)
+      |SELECT label, id_a, id_b, sim FROM (
+      |  SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(a.e, b.e),
+      |        z -> z[1] * z[2])), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.e, x -> x*x)), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x*x)), (x, y) -> x + y))),
+      |    4) AS sim
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |) WHERE sim >= 0.25
+      |ORDER BY label, id_a, id_b""") { (s, dir) =>
+    Sim.pairwiseThreshold(Tables(s, dir, "embeddings"), tau = 0.25)
+      .orderBy("label", "id_a", "id_b")
+  }
+
+  // LSH bucket assignment depends on engine-seeded hyperplanes → rows-only
+  qNo("sim_ann_lsh") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Sim.annTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nBits = 4)
+      .orderBy("probe_id", "rn")
+  }
+
+  q("text_stats",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS INT) AS n_chars_calc,
+      |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 4) AS avg_tok_len
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    val toks = TextOps.tokens(col("text"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).cast("int").as("n_chars_calc"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double")
+          / size(toks), 4).as("avg_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  q("text_tokens_topn",
+    """SELECT token, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+      |)
+      |GROUP BY token
+      |ORDER BY cnt DESC, token
+      |LIMIT 20""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+  }
+
+  q("text_lang_filter",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  q("text_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+      |), n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, term,
+      |  round(tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      |FROM tf JOIN df USING (term) CROSS JOIN n
+      |ORDER BY doc_id, term""") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.tokens(lower(col("text")))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  q("text_lang_id",
+    """SELECT doc_id, lang,
+      |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+      |       WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+      |       WHEN en >= es AND en >= fr THEN 'en'
+      |       WHEN es >= fr THEN 'es'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM (
+      |  SELECT doc_id, lang, text,
+      |    len(list_intersect(string_split(lower(text), ' '),
+      |        ['der','die','das','und','ist','von','zu','mit','auf','ein'])) AS de,
+      |    len(list_intersect(string_split(lower(text), ' '),
+      |        ['the','and','of','to','in','is','a','for','with','on'])) AS en,
+      |    len(list_intersect(string_split(lower(text), ' '),
+      |        ['el','la','de','que','y','en','un','es','por','con'])) AS es,
+      |    len(list_intersect(string_split(lower(text), ' '),
+      |        ['le','la','de','et','est','un','une','dans','pour','que'])) AS fr
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  q("text_quality",
+    """SELECT doc_id,
+      |  round(
+      |    least(CAST(length(text) AS DOUBLE) / 200, 1.0) * 0.3
+      |    + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |             / length(text)) * 0.3
+      |    + (CAST(len(list_intersect(string_split(lower(text), ' '),
+      |         ['a','and','auf','con','dans','das','de','der','die','ein','el','en','es',
+      |          'est','et','for','in','is','la','le','mit','of','on','our','para','por',
+      |          'pour','que','the','to','un','una','une','und','von','with','y','zu']))
+      |       AS DOUBLE) / len(string_split(text, ' '))) * 0.4,
+      |  4) AS quality
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text"), size(TextOps.tokens(col("text")))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  q("text_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(text, ' '),
+      |      t -> (ascii(t) * 256 + length(t))::BIGINT)),
+      |    (a, b) -> (a * 131 + b) % 2147483647) AS fp_poly,
+      |  list_aggregate(list_transform(string_split(text, ' '), t -> md5(t)), 'min') AS fp_min_md5
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    val toks = TextOps.tokens(col("text"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.polyFingerprint(toks).as("fp_poly"),
+        array_min(transform(toks, t => md5(t))).as("fp_min_md5"))
+      .orderBy("doc_id")
+  }
+
+  q("multimodal_join",
+    """SELECT d.doc_id, d.lang, e.label, d.n_chars,
+      |  round(sqrt(list_reduce(list_prepend(0.0,
+      |    list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)), (a, b) -> a + b)), 4) AS emb_norm
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY d.doc_id""") { (s, dir) =>
+    Tables(s, dir, "documents").as("d")
+      .join(Tables(s, dir, "embeddings").as("e"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
+        round(sqrt(Sim.norm2(Sim.asDouble(col("embedding")))), 4).as("emb_norm"))
+      .orderBy("doc_id")
+  }
+
+  // binary-column plumbing with a stubbed decode — rows-only check
+  qNo("multimodal_decode") { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
+    Multimodal.extractFeatures(media)
+      .toDF()
+      .orderBy("id")
+  }
+}

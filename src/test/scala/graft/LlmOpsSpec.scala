@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Sim, TextOps}
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per duplicate text") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("jaccard pairs: identical docs score 1, disjoint docs never pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "completely different words here now")).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(df, "text", "doc_id", k = 3, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("jaccard is symmetric-safe and bounded by [0,1]") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d x y"), (3L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(df, "text", "doc_id", k = 3, tau = 0.0)
+      .collect().map(_.getDouble(2))
+    assert(out.forall(j => j >= 0.0 && j <= 1.0))
+  }
+
+  test("minhash candidates verified: subset of exhaustive jaccard pairs") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "shared common text block for near duplicates detection"
+          else s"unique words ${i} alpha${i} beta${i} gamma${i} delta${i} epsilon${i}"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashPairs(docs, "text", "doc_id", 3, 32, 8, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(exact))
+    assert(mh.nonEmpty)
+  }
+
+  test("simhash of identical texts is identical; pairs found within hamming") {
+    val df = Seq((1L, "same tokens here"), (2L, "same tokens here"),
+      (3L, "other words entirely different")).toDF("doc_id", "text")
+    val sig = Dedup.simhash(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine: orthogonal→0, identical→1") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0), (2L, Array(2.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Sim.cosineTopK(df.filter($"vec_id" === 0), df, k = 2)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toMap
+    assert(out(2L) === 1.0)
+    assert(out(1L) === 0.0)
+  }
+
+  test("lang id prefers matching stopwords deterministically") {
+    val df = Seq(
+      (1L, "the cat and the dog of it"),
+      (2L, "der hund und die katze ist"),
+      (3L, "no stopwords whatsoever xyz")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.langId($"text").as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "de") // zero scores tie → alphabetical priority
+  }
+
+  test("multimodal decode is deterministic and partition-independent") {
+    val docs = Seq((1L, "hello world", "en", "src0", 11L),
+      (2L, "spark engine", "en", "src0", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, docs)).collect().sortBy(_.id)
+    val b = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, docs.repartition(7))).collect().sortBy(_.id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(f => f.width >= 1 && f.height >= 1 && f.n_bytes > 0))
+  }
+}
