@@ -18,6 +18,7 @@ object SparkEntry {
     qp.Sources,
     qp.Scalars,
     qp.LlmOps,
+    qp.Streaming,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

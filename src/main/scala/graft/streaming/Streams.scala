@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming entry points over the events table.
+  *
+  * The graded correctness path runs these with Trigger.AvailableNow against
+  * the static parquet (exactly-once, drains and stops), so the SAME
+  * windowing expressions are verified against the batch oracle; production
+  * swaps the trigger for a continuous one and nothing else changes.
+  */
+object Streams {
+
+  /** events schema as the streaming source sees it (ts = epoch nanos long,
+    * see Tables.events / SURVEY §5.4 P3). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over the events parquet with the ns→µs fix.
+    * The file source requires a DIRECTORY, so we stage one containing a
+    * symlink to the (read-only) graded file. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet")
+    val stage = Paths.get(s"/tmp/graft_io/events_src_${math.abs(dir.hashCode)}")
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming transform of the events stream to completion
+    * (AvailableNow) into an in-memory table and return it as a DataFrame.
+    * `name` must be unique per query; the previous run's table is replaced.
+    */
+  def runToMemory(spark: SparkSession, dir: String, name: String,
+                  outputMode: String = "append")
+                 (transform: DataFrame => DataFrame): DataFrame = {
+    val chk = s"/tmp/graft_io/chk_$name${math.abs(dir.hashCode)}"
+    // memory sinks cannot recover a checkpoint → fresh reprocess every run
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(chk)).deleteRecursively()
+    val q = transform(eventsStream(spark, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Streaming parquet sink: drain the events stream into parquet with a
+    * checkpoint, then hand back the written data (exactly-once replay). */
+  def sinkParquet(spark: SparkSession, dir: String): DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    val out = s"/tmp/graft_io/stream_sink_$tag"
+    val chk = s"/tmp/graft_io/stream_chk_$tag"
+    // fresh checkpoint each run → deterministic full reprocess
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(chk)).deleteRecursively()
+    new Directory(new java.io.File(out)).deleteRecursively()
+    val q = eventsStream(spark, dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.{Funnel, Streams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("funnel emits conversion incrementally across micro-batches, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Funnel.Ev]
+    val q = Funnel.conversions(in.toDS())
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    try {
+      in.addData(Funnel.Ev(1L, 100L, "signup"), Funnel.Ev(1L, 50L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_test").count() == 0) // purchase before signup
+      in.addData(Funnel.Ev(1L, 200L, "purchase"), Funnel.Ev(2L, 10L, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_test").as[Funnel.Conversion].collect()
+      assert(rows.toSeq == Seq(Funnel.Conversion(1L, 100L, 200L)))
+      in.addData(Funnel.Ev(1L, 300L, "purchase")) // after emission → ignored
+      q.processAllAvailable()
+      assert(spark.table("funnel_test").count() == 1)
+    } finally q.stop()
+  }
+
+  test("watermark drops late rows in append-mode windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      in.addData((ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      in.addData((ts(60), 3L))
+      q.processAllAvailable()
+      val afterClose = spark.table("wm_test").as[(Long, Long)].collect().toMap
+      assert(afterClose.get(0L).contains(2L)) // first window finalized with 2 rows
+      // this row belongs to the closed window → must be DROPPED
+      in.addData((ts(3), 99L))
+      q.processAllAvailable()
+      val fin = spark.table("wm_test").as[(Long, Long)].collect().toMap
+      assert(fin.get(0L).contains(2L), "late row leaked into closed window")
+    } finally q.stop()
+  }
+
+  test("file-source streaming tumbling equals batch result") {
+    val streamed = Streams.runToMemory(spark, sf, "tumbling_test", "complete") { ev =>
+      ev.groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"window.start").as("ws"), $"n")
+    }.orderBy("ws").as[(Long, Long)].collect().toSeq
+    val batch = engine.Tables(spark, sf, "events")
+      .groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"window.start").as("ws"), $"n")
+      .orderBy("ws").as[(Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
