@@ -19,6 +19,7 @@ object SparkEntry {
     qp.Scalars,
     qp.LlmOps,
     qp.Streaming,
+    qp.Extensibility,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

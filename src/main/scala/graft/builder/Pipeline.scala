@@ -1,0 +1,73 @@
+package graft.builder
+
+import graft.engine.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ETL-builder surface: a declarative Source → Transform* → Sink step
+  * list, interpretable from config (steps are plain data with SQL-expression
+  * strings). Running a pipeline just folds the steps into one DataFrame
+  * lineage — the DAG *is* the Catalyst logical plan, so every builder
+  * pipeline gets predicate pushdown, column pruning, join selection and AQE
+  * for free, and scales exactly like hand-written DataFrame code.
+  */
+object Pipeline {
+
+  sealed trait Step
+  final case class Filter(condition: String) extends Step
+  final case class SelectExpr(exprs: Seq[String]) extends Step
+  final case class WithColumn(name: String, expr: String) extends Step
+  final case class Drop(cols: Seq[String]) extends Step
+  final case class Join(other: Pipeline, condition: String, how: String) extends Step
+  final case class Agg(groupBy: Seq[String], aggs: Seq[String]) extends Step
+  final case class Sort(keys: Seq[String]) extends Step
+  final case class Limit(n: Int) extends Step
+  final case class Distinct() extends Step
+  final case class UnionAll(other: Pipeline) extends Step
+
+  final case class Sink(path: String, format: String = "parquet",
+                        partitionBy: Seq[String] = Nil)
+
+  final case class Pipeline(table: String, steps: Vector[Step] = Vector.empty) {
+    def filter(cond: String): Pipeline = add(Filter(cond))
+    def selectExpr(exprs: String*): Pipeline = add(SelectExpr(exprs))
+    def withColumn(name: String, expr: String): Pipeline = add(WithColumn(name, expr))
+    def drop(cols: String*): Pipeline = add(Drop(cols))
+    def join(other: Pipeline, condition: String, how: String = "inner"): Pipeline =
+      add(Join(other, condition, how))
+    def agg(groupBy: Seq[String], aggs: String*): Pipeline = add(Agg(groupBy, aggs))
+    def sort(keys: String*): Pipeline = add(Sort(keys))
+    def limit(n: Int): Pipeline = add(Limit(n))
+    def distinct: Pipeline = add(Distinct())
+    def unionAll(other: Pipeline): Pipeline = add(UnionAll(other))
+    private def add(s: Step): Pipeline = copy(steps = steps :+ s)
+
+    /** Interpret the step list into a DataFrame lineage. */
+    def run(spark: SparkSession, dir: String): DataFrame =
+      steps.foldLeft(Tables(spark, dir, table).as(table)) {
+        case (df, Filter(c))        => df.filter(c)
+        case (df, SelectExpr(es))   => df.selectExpr(es: _*)
+        case (df, WithColumn(n, e)) => df.withColumn(n, org.apache.spark.sql.functions.expr(e))
+        case (df, Drop(cs))         => df.drop(cs: _*)
+        case (df, Join(o, c, h))    =>
+          df.join(o.run(spark, dir), org.apache.spark.sql.functions.expr(c), h)
+        case (df, Agg(g, as)) =>
+          val aggCols = as.map(org.apache.spark.sql.functions.expr)
+          if (g.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+          else df.groupBy(g.map(org.apache.spark.sql.functions.col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        case (df, Sort(ks))         => df.orderBy(ks.map(org.apache.spark.sql.functions.expr): _*)
+        case (df, Limit(n))         => df.limit(n)
+        case (df, Distinct())       => df.distinct()
+        case (df, UnionAll(o))      => df.unionByName(o.run(spark, dir))
+      }
+
+    /** Terminal write. */
+    def sinkTo(spark: SparkSession, dir: String, sink: Sink): Unit = {
+      val w = run(spark, dir).write.mode("overwrite")
+      val p = if (sink.partitionBy.nonEmpty) w.partitionBy(sink.partitionBy: _*) else w
+      p.format(sink.format).save(sink.path)
+    }
+  }
+
+  def source(table: String): Pipeline = Pipeline(table)
+}

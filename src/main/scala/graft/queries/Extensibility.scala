@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.builder.Pipeline
+import graft.engine.{Det, QueryPack, Tables}
+import graft.functions.DotProduct
+import org.apache.spark.sql.functions._
+
+/** UDF / UDTF / custom-Expression / builder surface (SURVEY §2.11). */
+object Extensibility extends QueryPack {
+  import Det._
+
+  q("udf_scalar",
+    """SELECT p_partkey,
+      |  regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g') AS slug
+      |FROM part
+      |ORDER BY p_partkey""") { (s, dir) =>
+    val slug = udf((name: String) =>
+      if (name == null) null else name.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+    s.udf.register("graft_slug", slug)
+    Tables(s, dir, "part")
+      .select(col("p_partkey"), call_udf("graft_slug", col("p_name")).as("slug"))
+      .orderBy("p_partkey")
+  }
+
+  q("udtf_generator",
+    """SELECT o_orderkey, key, val FROM (
+      |  SELECT o_orderkey, 'priority' AS key, o_orderpriority AS val FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'status' AS key, o_orderstatus AS val FROM orders
+      |)
+      |ORDER BY o_orderkey, key""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .selectExpr("o_orderkey",
+        "stack(2, 'priority', o_orderpriority, 'status', o_orderstatus) AS (key, val)")
+      .orderBy("o_orderkey", "key")
+  }
+
+  q("udtf_posexplode",
+    """SELECT p_partkey, k - 1 AS pos, string_split(p_type, ' ')[k] AS tok
+      |FROM part CROSS JOIN (SELECT unnest(range(1, 10)) AS k) ks
+      |WHERE k <= len(string_split(p_type, ' '))
+      |ORDER BY p_partkey, pos""") { (s, dir) =>
+    Tables(s, dir, "part")
+      .select(col("p_partkey"), posexplode(split(col("p_type"), " ")))
+      .withColumnRenamed("col", "tok")
+      .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("tok"))
+      .orderBy("p_partkey", "pos")
+  }
+
+  // native codegen Expression — called through SQL once registered
+  q("expr_custom_dot",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(a.e, b.e),
+      |        z -> z[1] * z[2])), (x, y) -> x + y), 4) AS dot
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |ORDER BY id_a, id_b""") { (s, dir) =>
+    DotProduct.register(s)
+    val v = Tables(s, dir, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(expr("graft_dot(a.e, b.e)"), 4).as("dot"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // the ETL-builder surface end-to-end: config-style steps → Catalyst plan
+  q("pipeline_e2e",
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  ${oMoney("o_totalprice")} AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""") { (s, dir) =>
+    Pipeline.source("orders")
+      .filter("o_orderstatus = 'F'")
+      .join(Pipeline.source("customer"), "o_custkey = c_custkey")
+      .agg(Seq("c_mktsegment"),
+        "COUNT(*) AS n_orders",
+        s"CAST(CAST(SUM(${oCents("o_totalprice")}) AS DOUBLE) / 100 AS DECIMAL(18,2)) AS total")
+      .sort("c_mktsegment")
+      .run(s, dir)
+  }
+}
