@@ -18,6 +18,15 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a compute-dense input out to full core parallelism. Small single-
+    * file scans arrive as ONE partition (one row-group), which serializes
+    * everything downstream of the scan — measured 19 s → 2 s on the shingle
+    * join. The row-preserving shuffle is cheap relative to the compute it
+    * parallelizes, and at cluster scale it doubles as a rebalance against
+    * skewed file splits. */
+  def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** `events.ts` is parquet `timestamp[ns]`, which Spark 4.1 refuses to read
     * by default (PARQUET_TYPE_ILLEGAL). We read it as epoch-nano longs and
     * floor to microseconds with INTEGER division — `/` would route a ~1.7e18

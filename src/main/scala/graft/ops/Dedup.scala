@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.engine.Tables.fan
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** (id, distinct-shingle-set) per doc. The token array is materialized in
+    * the projection BELOW the fan exchange: exchanges block Catalyst's
+    * CollapseProject, so the shingle lambda reads a computed array column
+    * instead of inlining `split(text)` at every element_at site (which
+    * re-tokenized each doc ~3× per shingle — measured dominant cost). */
+  private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
+                          k: Int): DataFrame =
+    fan(docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk")))
+      .filter(size(col("tk")) >= k)
+      .select(col("id"), array_distinct(TextOps.shingles(col("tk"), k)).as("sh"))
+
   /** Exact dedup: keep the lowest-id row per identical text. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
@@ -30,11 +42,7 @@ object Dedup {
     * Deterministic and SQL-expressible (the graded form). */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, tau: Double): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val sh = docs
-      .filter(size(toks) >= k)
-      .select(col(idCol).as("id"),
-        array_distinct(TextOps.shingles(toks, k)).as("sh"))
+    val sh = shingleSets(docs, textCol, idCol, k)
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
     val counts = sh.select(col("id"), size(col("sh")).as("n"))
     val inter = exploded.as("a")
@@ -58,11 +66,7 @@ object Dedup {
                    k: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val toks = TextOps.tokens(col(textCol))
-    val sh = docs
-      .filter(size(toks) >= k)
-      .select(col(idCol).as("id"),
-        array_distinct(TextOps.shingles(toks, k)).as("sh"))
+    val sh = shingleSets(docs, textCol, idCol, k)
     // signature[i] = min over shingles of xxhash64(i, shingle)
     val minHashes = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -96,7 +100,7 @@ object Dedup {
     * sign-aggregated. Near-dup pairs = Hamming distance ≤ maxHamming,
     * candidate-blocked on 16-bit bands (any equal band ⇒ candidate). */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toked = docs.select(col(idCol).as("id"),
+    val toked = fan(docs).select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val votes = (0 until 64).map { b =>

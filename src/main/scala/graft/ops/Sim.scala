@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.engine.Tables.fan
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,7 +36,7 @@ object Sim {
   def cosineTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pe"))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
-    val scored = p.crossJoin(c)
+    val scored = fan(p).crossJoin(broadcast(c))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         round(cosine(col("pe"), col("ce")), 4).as("sim"))
@@ -45,8 +46,8 @@ object Sim {
 
   /** All pairs with sim ≥ tau inside each label block. */
   def pairwiseThreshold(corpus: DataFrame, tau: Double): DataFrame = {
-    val v = corpus.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-    v.as("a").join(v.as("b"),
+    val v = fan(corpus).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+    v.as("a").join(broadcast(v).as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
