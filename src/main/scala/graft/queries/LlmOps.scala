@@ -106,6 +106,25 @@ object LlmOps extends QueryPack {
       .orderBy("label", "id_a", "id_b")
   }
 
+  q("llm_dedup_embed",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |)
+      |SELECT id_a, id_b, sim FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(a.e, b.e),
+      |        z -> z[1] * z[2])), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.e, x -> x*x)), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x*x)), (x, y) -> x + y))),
+      |    4) AS sim
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |) WHERE sim >= 0.4
+      |ORDER BY id_a, id_b""") { (s, dir) =>
+    Sim.nearDupPairs(Tables(s, dir, "embeddings"), tau = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   // LSH bucket assignment depends on engine-seeded hyperplanes → rows-only
   qNo("sim_ann_lsh") { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic invariants over the graded operators (SURVEY §5.2.3).
+  * (scalatestplus bridge isn't on the classpath — Gen is sampled directly.) */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val customer = engine.Tables(spark, sf, "customer").cache()
+  private lazy val orders = engine.Tables(spark, sf, "orders").cache()
+
+  test("union all count additivity") {
+    val a = customer.filter($"c_nationkey" < 10)
+    val b = customer.filter($"c_nationkey" >= 10)
+    assert(a.unionByName(b).count() == customer.count())
+  }
+
+  test("semi ∪ anti partitions the left table exactly") {
+    val semi = customer.join(orders, $"o_custkey" === $"c_custkey", "left_semi")
+    val anti = customer.join(orders, $"o_custkey" === $"c_custkey", "left_anti")
+    assert(semi.count() + anti.count() == customer.count())
+    assert(semi.select("c_custkey").intersect(anti.select("c_custkey")).count() == 0)
+  }
+
+  test("topk per group emits at most k per group, and rn is 1..k") {
+    val out = SparkEntry.queries("topk_per_group")(spark, sf)
+    val byGroup = out.groupBy("c_nationkey").agg(count(lit(1)).as("n"),
+      min($"rn").as("lo"), max($"rn").as("hi"))
+    assert(byGroup.filter($"n" > 3 || $"lo" =!= 1 || $"hi" =!= $"n").count() == 0)
+  }
+
+  test("row_number is a permutation of 1..n within every partition") {
+    val out = SparkEntry.queries("win_row_number")(spark, sf)
+    val bad = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min($"rn").as("lo"), max($"rn").as("hi"),
+        countDistinct($"rn").as("d"))
+      .filter($"lo" =!= 1 || $"hi" =!= $"n" || $"d" =!= $"n")
+    assert(bad.count() == 0)
+  }
+
+  test("asof join: every match has right ts <= left ts") {
+    val out = SparkEntry.queries("join_asof")(spark, sf)
+    // events are 2024+, orders end 2001 → all matched o_orderkey non-null
+    // for users that are customers with orders; spot property: row count
+    // equals events row count (left-outer preserved)
+    assert(out.count() == engine.Tables(spark, sf, "events").count())
+  }
+
+  test("jaccard similarity is within [0,1] on random corpora") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val genDoc = Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val genCorpus = Gen.listOfN(12, genDoc)
+    (0 until 3).foreach { i =>
+      val texts = genCorpus(Gen.Parameters.default, Seed(42L + i)).get
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val sims = ops.Dedup.jaccardPairs(df, "text", "doc_id", 2, 0.0)
+        .select("jaccard").as[Double].collect()
+      assert(sims.forall(s => s >= 0.0 && s <= 1.0))
+    }
+  }
+
+  test("cosine self-similarity is 1 for every corpus vector") {
+    val emb = engine.Tables(spark, sf, "embeddings")
+    val selfSim = emb.select(
+      round(ops.Sim.cosine(ops.Sim.asDouble($"embedding"), ops.Sim.asDouble($"embedding")), 6)
+        .as("s"))
+    assert(selfSim.filter($"s" =!= 1.0).count() == 0)
+  }
+}
