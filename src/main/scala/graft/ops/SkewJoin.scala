@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (SURVEY §4 / 100 TB toolkit).
+  *
+  * A hot key floods one reducer in a plain shuffle join. Salting splits
+  * each left key into `buckets` sub-keys deterministically (hash of a
+  * unique column mod buckets) and replicates the right side once per
+  * bucket, so the hot key's rows spread over `buckets` reducers. Results
+  * are bit-identical to the unsalted join — only the partitioning changes.
+  * AQE's skew-join handles moderate skew automatically; explicit salting
+  * is the deterministic fallback for pathological keys and for engines/
+  * modes where AQE splitting doesn't apply (e.g. streaming joins).
+  */
+object SkewJoin {
+  /** @param saltSource a unique left column; salt = pmod(xxhash64(col), buckets) */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     saltSource: String, buckets: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(col(saltSource)), lit(buckets.toLong)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+}

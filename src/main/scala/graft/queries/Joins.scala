@@ -162,6 +162,24 @@ object Joins extends QueryPack {
       .orderBy("event_id")
   }
 
+  // salted implementation must be bit-identical to the plain join —
+  // the oracle IS the unsalted SQL
+  q("join_skew_salted",
+    s"""SELECT o.o_orderstatus,
+      |  COUNT(*) AS n_lines,
+      |  ${oMoney("l.l_extendedprice")} AS total
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderstatus
+      |ORDER BY o.o_orderstatus""") { (s, dir) =>
+    graft.ops.SkewJoin.saltedEquiJoin(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "orders"),
+        "l_orderkey", "o_orderkey", saltSource = "l_linenumber", buckets = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        money(sum(cents(col("l_extendedprice")))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   q("join_multiway",
     s"""SELECT r.r_name, n.n_name,
       |  ${oMoney("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,

@@ -35,6 +35,19 @@ class ExtensibilitySpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("partitioned sink readback prunes to one partition directory") {
+    val out = "/tmp/graft_io/prune_check"
+    engine.Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val df = spark.read.parquet(out).filter($"l_returnflag" === "R")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition filter in: $scan")
+    assert(df.count() > 0)
+  }
+
   test("pipeline builder: step list equals hand-written DataFrame result") {
     val viaBuilder = Pipeline.source("nation")
       .filter("n_regionkey = 0")
