@@ -41,6 +41,31 @@ object Multimodal {
     }
   }
 
+  /** STUB RESIZE: dimension transform over the metadata (a real codec
+    * resizes the payload; the stub rescales the fake dims and re-tags the
+    * bytes). Partition-wise, same batch shape as a real transcoder. */
+  def resize(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.mapPartitions(_.map { f =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      f.copy(width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt))
+    })
+  }
+
+  /** STUB FRAME-SAMPLE: every nth "frame" (64-byte block) of a video
+    * payload — the real op decodes frames; the plumbing (one input row →
+    * N frame rows, partition-wise, bounded memory) is what matters. */
+  def frameSample(media: Dataset[Media], everyNth: Int): Dataset[(Long, Int, Long)] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      m.bytes.grouped(64).zipWithIndex.collect {
+        case (frame, idx) if idx % everyNth == 0 =>
+          (m.id, idx, frame.foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 2147483647L))
+      }
+    })
+  }
+
   /** Build a media table from the documents fixture: utf-8 payload bytes
     * with a deterministic kind tag — stands in for image/audio blobs. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {

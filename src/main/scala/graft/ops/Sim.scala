@@ -18,12 +18,22 @@ import org.apache.spark.sql.functions._
 object Sim {
 
   /** Sequential-fold dot product in double — matches the oracle's
-    * list_reduce association exactly (0.0 + x == x in IEEE). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    * list_reduce association exactly (0.0 + x == x in IEEE). Routed
+    * through the native codegen DotProduct expression: same fold order,
+    * ~10× faster than interpreted zip_with/aggregate lambdas (the
+    * pairwise queries evaluate millions of 64-dim dots). Callers must
+    * `ensureRegistered` once per session (all Sim entry points do). */
+  def dot(a: Column, b: Column): Column = {
+    // resolution happens at analysis time on the active session
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.DotProduct.register)
+    call_function("graft_dot", a, b)
+  }
 
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+  def norm2(a: Column): Column = dot(a, a)
+
+  private def ensureRegistered(df: DataFrame): Unit =
+    graft.functions.DotProduct.register(df.sparkSession)
 
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
@@ -34,6 +44,7 @@ object Sim {
   /** Brute-force top-k neighbors for each probe (rounded-sim ranking with
     * id tiebreak — deterministic). */
   def cosineTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    ensureRegistered(corpus)
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pe"))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
     val scored = fan(p).crossJoin(broadcast(c))
@@ -46,6 +57,7 @@ object Sim {
 
   /** All pairs with sim ≥ tau inside each label block. */
   def pairwiseThreshold(corpus: DataFrame, tau: Double): DataFrame = {
+    ensureRegistered(corpus)
     val v = fan(corpus).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
     v.as("a").join(broadcast(v).as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
@@ -60,6 +72,7 @@ object Sim {
     * 100 TB route candidates through `lshBucket` first and verify only
     * bucket-mates — same scoring expression either way. */
   def nearDupPairs(corpus: DataFrame, tau: Double): DataFrame = {
+    ensureRegistered(corpus)
     val v = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("e"))
     v.as("a").join(broadcast(v).as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -87,6 +100,7 @@ object Sim {
     * is the correctness oracle; this is the 100 TB throughput path. */
   def annTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               nBits: Int = 8, dim: Int = 64): DataFrame = {
+    ensureRegistered(corpus)
     val p = probes.select(col("vec_id").as("probe_id"),
       asDouble(col("embedding")).as("pe"))
       .withColumn("bucket", lshBucket(col("pe"), nBits, dim))

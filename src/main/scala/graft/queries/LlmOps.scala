@@ -157,7 +157,7 @@ object LlmOps extends QueryPack {
       |GROUP BY token
       |ORDER BY cnt DESC, token
       |LIMIT 20""") { (s, dir) =>
-    Tables(s, dir, "documents")
+    graft.engine.Tables.fan(Tables(s, dir, "documents"))
       .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
@@ -191,7 +191,7 @@ object LlmOps extends QueryPack {
       |FROM tf JOIN df USING (term) CROSS JOIN n
       |ORDER BY doc_id, term""") { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val tok = docs.select(col("doc_id"),
+    val tok = graft.engine.Tables.fan(docs).select(col("doc_id"),
       explode(TextOps.tokens(lower(col("text")))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
@@ -285,5 +285,35 @@ object LlmOps extends QueryPack {
     Multimodal.extractFeatures(media)
       .toDF()
       .orderBy("id")
+  }
+
+  // decode → resize → per-kind stats; frame-sampling on the video subset
+  qNo("multimodal_pipeline") { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
+    val resized = Multimodal.resize(Multimodal.extractFeatures(media), 640, 480)
+    val frames = Multimodal.frameSample(media, everyNth = 4)
+      .toDF("id", "frame_idx", "frame_hash")
+      .groupBy("id").agg(count(lit(1)).as("n_frames"))
+    resized.toDF()
+      .join(frames, Seq("id"), "left")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        max(col("width")).as("max_w"), max(col("height")).as("max_h"),
+        sum(coalesce(col("n_frames"), lit(0L))).as("total_frames"))
+      .orderBy("kind")
+  }
+
+  q("text_tokens_bpe",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_bpeish_tokens
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(TextOps.bpeishPattern), lit(0)))
+          .as("n_bpeish_tokens"))
+      .orderBy("doc_id")
   }
 }

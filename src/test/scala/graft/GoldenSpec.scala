@@ -5,8 +5,8 @@ import java.security.MessageDigest
 
 /** Golden regression hashes for the NO-ORACLE queries (oracle-backed ones
   * are already guarded by the DuckDB rehearsal). Regenerate after an
-  * intentional semantic change with:
-  *   sbt -Dgolden.regen=true test
+  * intentional semantic change by deleting the golden file and re-running
+  * (tests fork, so -D flags from the sbt command line don't reach them).
   */
 class GoldenSpec extends SparkSpec {
 
