@@ -55,6 +55,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState funnel matches flatMapGroupsWithState semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Funnel.Ev]
+    val q = graft.streaming.TwsFunnel.conversions(in.toDS())
+      .writeStream.format("memory").queryName("tws_funnel_test")
+      .outputMode("append").start()
+    try {
+      in.addData(Funnel.Ev(1L, 100L, "signup"), Funnel.Ev(2L, 10L, "signup"))
+      q.processAllAvailable()
+      assert(spark.table("tws_funnel_test").count() == 0)
+      in.addData(Funnel.Ev(1L, 200L, "purchase"), Funnel.Ev(2L, 5L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("tws_funnel_test").as[Funnel.Conversion].collect()
+      // user 2's purchase (ts 5) precedes its signup (ts 10) → no conversion
+      assert(rows.toSeq == Seq(Funnel.Conversion(1L, 100L, 200L)))
+      in.addData(Funnel.Ev(1L, 300L, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("tws_funnel_test").count() == 1) // exactly-once emission
+    } finally q.stop()
+  }
+
   test("file-source streaming tumbling equals batch result") {
     val streamed = Streams.runToMemory(spark, sf, "tumbling_test", "complete") { ev =>
       ev.groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
