@@ -20,6 +20,7 @@ object SparkEntry {
     qp.LlmOps,
     qp.Streaming,
     qp.Extensibility,
+    qp.Extras,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

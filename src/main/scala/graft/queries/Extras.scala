@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.engine.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Breadth operators beyond the SURVEY §2 core: reproducible sampling,
+  * bitwise ops, boolean aggregates, nth_value frames. */
+object Extras extends QueryPack {
+
+  // rand()-based sampling is engine- and run-dependent; the portable ETL
+  // idiom is hash-bucket sampling: deterministic, reproducible, and at
+  // 100 TB it pushes down to a cheap per-row predicate with no shuffle
+  q("sample_deterministic",
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+        .isin("0", "1", "2"))
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
+  q("fn_bitwise",
+    """SELECT event_id,
+      |  event_id & 255 AS low_byte,
+      |  event_id | 4096 AS with_flag,
+      |  xor(event_id, 255) AS xored,
+      |  event_id << 2 AS shl,
+      |  event_id >> 3 AS shr
+      |FROM events
+      |ORDER BY event_id""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        col("event_id").bitwiseAND(255).as("low_byte"),
+        col("event_id").bitwiseOR(4096).as("with_flag"),
+        col("event_id").bitwiseXOR(255).as("xored"),
+        shiftleft(col("event_id"), 2).as("shl"),
+        shiftright(col("event_id"), 3).as("shr"))
+      .orderBy("event_id")
+  }
+
+  q("agg_bool",
+    """SELECT event_type,
+      |  bool_and(value >= 0) AS all_nonneg,
+      |  bool_or(value > 150) AS any_large,
+      |  COUNT(*) FILTER (WHERE value > 150) AS n_large
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(bool_and(col("value") >= 0).as("all_nonneg"),
+        bool_or(col("value") > 150).as("any_large"),
+        count(when(col("value") > 150, 1)).as("n_large"))
+      .orderBy("event_type")
+  }
+
+  q("win_nth_value",
+    """SELECT c_nationkey, c_custkey,
+      |  nth_value(c_custkey, 2) OVER w AS second_richest
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal DESC NULLS LAST, c_custkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY c_nationkey, c_custkey""") { (s, dir) =>
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc_nulls_last, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        nth_value(col("c_custkey"), 2).over(w).as("second_richest"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+}
