@@ -28,8 +28,14 @@ object SparkEntry {
     qp.AggCore.flagship(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = packs.flatMap(_.names)
+    // a cross-pack name collision would silently drop a query AND could
+    // pair one pack's oracle with another pack's builder — fail loudly
+    require(names.distinct.size == names.size,
+      s"duplicate query names across packs: ${names.diff(names.distinct).distinct}")
     packs.flatMap(_.queries).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

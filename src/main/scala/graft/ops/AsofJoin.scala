@@ -30,7 +30,9 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     // pack the right payload into one struct ordered by (ts, tiebreak) so
     // `last` over the sort order picks the at-or-before, max-ts, max-tiebreak row
-    val r = right.select(
+    val r = right
+      .filter(col(rightTs).isNotNull) // NULL ts can never satisfy rightTs <= leftTs
+      .select(
       col(rightKey).as("__key"),
       col(rightTs).as("__ts"),
       lit(0).as("__side"),

@@ -114,6 +114,11 @@ object Dedup {
 
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int): DataFrame = {
+    // pigeonhole: 4 bands can only GUARANTEE candidates up to Hamming 3;
+    // a larger radius would silently drop pairs whose differing bits span
+    // all four bands
+    require(maxHamming <= 3,
+      s"4-band blocking guarantees recall only for Hamming <= 3, got $maxHamming")
     val sig = simhash(docs, textCol, idCol)
     // 4 bands of 16 bits: Hamming ≤ 3 guarantees ≥1 equal band
     val banded = sig.select(col("id"), col("simhash"),

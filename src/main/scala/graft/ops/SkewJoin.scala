@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * modes where AQE splitting doesn't apply (e.g. streaming joins).
   */
 object SkewJoin {
-  /** @param saltSource a unique left column; salt = pmod(xxhash64(col), buckets) */
+  /** @param saltSource columns that together vary within a hot key (ideally
+    *                    a unique row id); salt = pmod(xxhash64(cols), buckets) */
   def saltedEquiJoin(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
-                     saltSource: String, buckets: Int): DataFrame = {
+                     saltSource: Seq[String], buckets: Int): DataFrame = {
     val l = left.withColumn("__salt",
-      pmod(xxhash64(col(saltSource)), lit(buckets.toLong)))
+      pmod(xxhash64(saltSource.map(col): _*), lit(buckets.toLong)))
     val r = right.withColumn("__salt",
       explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))

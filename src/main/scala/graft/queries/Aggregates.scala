@@ -136,21 +136,58 @@ object Aggregates extends QueryPack {
       .orderBy("c_nationkey")
   }
 
+  // P2 applies to stats too: stddev/var/corr/covar over raw doubles differ
+  // between Spark's partial-merge and DuckDB's sequential accumulation.
+  // Instead: exact integer moment sums (fixed-point per row), then the
+  // co-moment formulas spelled identically in both engines. Scales: qty
+  // centi-units (x100), price whole units (x1 — squared sums must fit
+  // int64 at sf0.1), discount basis points (x10000); corr is scale-free.
   q("agg_stats",
     """SELECT l_returnflag,
-      |  round(stddev_samp(l_quantity), 3) AS sd_qty,
-      |  round(var_samp(l_quantity), 3) AS var_qty,
-      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-      |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
-      |FROM lineitem
-      |GROUP BY l_returnflag
+      |  round(sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+      |             / (CAST(n AS DOUBLE)*(n-1)) / 10000), 3) AS sd_qty,
+      |  round((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+      |        / (CAST(n AS DOUBLE)*(n-1)) / 10000, 3) AS var_qty,
+      |  round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+      |        / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+      |         * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 6) AS corr_qty_price,
+      |  round((CAST(n AS DOUBLE)*sxd - CAST(sx AS DOUBLE)*sd)
+      |        / (CAST(n AS DOUBLE)*(n-1)) / 1000000, 6) AS covar_qty_disc
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(qx) AS sx, SUM(qx*qx) AS sxx,
+      |    SUM(pd) AS sy, SUM(pd*pd) AS syy,
+      |    SUM(qx*pd) AS sxy,
+      |    SUM(df) AS sd, SUM(qx*df) AS sxd
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qx,
+      |      CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS pd,
+      |      CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS df
+      |    FROM lineitem)
+      |  GROUP BY l_returnflag)
       |ORDER BY l_returnflag""") { (s, dir) =>
-    Tables(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(round(stddev_samp(col("l_quantity")), 3).as("sd_qty"),
-        round(var_samp(col("l_quantity")), 3).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+    val base = Tables(s, dir, "lineitem").select(col("l_returnflag"),
+      fix(col("l_quantity"), 2).as("qx"),
+      fix(col("l_extendedprice"), 0).as("pd"),
+      fix(col("l_discount"), 4).as("df"))
+    val m = base.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(col("qx")).as("sx"), sum(col("qx") * col("qx")).as("sxx"),
+      sum(col("pd")).as("sy"), sum(col("pd") * col("pd")).as("syy"),
+      sum(col("qx") * col("pd")).as("sxy"),
+      sum(col("df")).as("sd"), sum(col("qx") * col("df")).as("sxd"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val varFix = (nD * d("sxx") - d("sx") * col("sx")) / (nD * (col("n") - 1))
+    m.select(col("l_returnflag"),
+        round(sqrt(varFix / 10000), 3).as("sd_qty"),
+        round(varFix / 10000, 3).as("var_qty"),
+        round((nD * d("sxy") - d("sx") * col("sy"))
+          / (sqrt(nD * d("sxx") - d("sx") * col("sx"))
+            * sqrt(nD * d("syy") - d("sy") * col("sy"))), 6).as("corr_qty_price"),
+        round((nD * d("sxd") - d("sx") * col("sd"))
+          / (nD * (col("n") - 1)) / 1000000, 6).as("covar_qty_disc"))
       .orderBy("l_returnflag")
   }
 

@@ -173,7 +173,8 @@ object Joins extends QueryPack {
       |ORDER BY o.o_orderstatus""") { (s, dir) =>
     graft.ops.SkewJoin.saltedEquiJoin(
         Tables(s, dir, "lineitem"), Tables(s, dir, "orders"),
-        "l_orderkey", "o_orderkey", saltSource = "l_linenumber", buckets = 8)
+        "l_orderkey", "o_orderkey",
+        saltSource = Seq("l_orderkey", "l_linenumber"), buckets = 8)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),
         money(sum(cents(col("l_extendedprice")))).as("total"))

@@ -57,7 +57,8 @@ object LlmOps extends QueryPack {
   }
 
   qNo("llm_dedup_simhash") { (s, dir) =>
-    Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+    // maxHamming 3 = the radius the 4-band blocking fully guarantees
+    Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
       .orderBy("id_a", "id_b")
   }
 
@@ -229,16 +230,19 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // the oracle's stopword list is GENERATED from TextOps.stopwords so the
+  // two can never drift apart (a hardcoded copy did, latently)
+  private val oracleStopList: String = TextOps.stopwords.values.flatten
+    .toSeq.distinct.sorted.map(w => s"'$w'").mkString(",")
+
   q("text_quality",
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |  round(
       |    least(CAST(length(text) AS DOUBLE) / 200, 1.0) * 0.3
       |    + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
       |             / length(text)) * 0.3
       |    + (CAST(len(list_intersect(string_split(lower(text), ' '),
-      |         ['a','and','auf','con','dans','das','de','der','die','ein','el','en','es',
-      |          'est','et','for','in','is','la','le','mit','of','on','our','para','por',
-      |          'pour','que','the','to','un','una','une','und','von','with','y','zu']))
+      |         [$oracleStopList]))
       |       AS DOUBLE) / len(string_split(text, ' '))) * 0.4,
       |  4) AS quality
       |FROM documents

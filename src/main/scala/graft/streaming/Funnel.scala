@@ -16,6 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Funnel {
 
   case class Ev(user_id: Long, ts_us: Long, event_type: String)
+
+  /** Within one timestamp, state-advancing events process first. */
+  def eventPriority(eventType: String): Int =
+    eventType match { case "signup" => 0; case _ => 1 }
   case class FunnelState(signupUs: Option[Long], emitted: Boolean)
   case class Conversion(user_id: Long, signup_us: Long, purchase_us: Long)
 
@@ -33,7 +37,9 @@ object Funnel {
         (user: Long, it: Iterator[Ev], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(None, emitted = false))
           val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
-          it.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+          // signup sorts before purchase at EQUAL ts so a same-instant
+          // signup→purchase pair converts (oracle uses ts >= signup_ts)
+          it.toSeq.sortBy(e => (e.ts_us, eventPriority(e.event_type))).foreach { e =>
             if (!st.emitted) {
               e.event_type match {
                 case "signup" if st.signupUs.isEmpty =>

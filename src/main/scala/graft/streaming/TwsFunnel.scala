@@ -27,7 +27,7 @@ object TwsFunnel {
                                  timers: TimerValues): Iterator[Conversion] = {
       var st = Option(state.get()).getOrElse(FunnelState(None, emitted = false))
       val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
-      rows.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+      rows.toSeq.sortBy(e => (e.ts_us, Funnel.eventPriority(e.event_type))).foreach { e =>
         if (!st.emitted) {
           e.event_type match {
             case "signup" if st.signupUs.isEmpty =>

@@ -40,6 +40,14 @@ class AsofJoinSpec extends SparkSpec with TableDrivenPropertyChecks {
       (1, 10L, Some("k1"), 1L), (2, 10L, Some("k2"), 2L), (3, 10L, None, -1L)))
   }
 
+  test("null right timestamps never match") {
+    val l = Seq((1, 5L)).toDF("k", "ts")
+    val r = Seq((1, Option.empty[Long], "x", 1L), (1, Some(3L), "y", 2L))
+      .toDF("k", "rts", "v", "rid")
+    val out = AsofJoin(l, r, "k", "k", "ts", "rts", Seq("v", "rid"), "rid").collect()
+    assert(out.length == 1 && out.head.getString(2) == "y") // null-ts row skipped
+  }
+
   test("property: match ts <= probe ts and is the max such ts per key") {
     val rnd = new scala.util.Random(42)
     val left = Seq.fill(200)((rnd.nextInt(5), rnd.nextInt(100).toLong))

@@ -5,8 +5,9 @@ import java.security.MessageDigest
 
 /** Golden regression hashes for the NO-ORACLE queries (oracle-backed ones
   * are already guarded by the DuckDB rehearsal). Regenerate after an
-  * intentional semantic change by deleting the golden file and re-running
-  * (tests fork, so -D flags from the sbt command line don't reach them).
+  * intentional semantic change with GOLDEN_REGEN=1 sbt test (env vars DO
+  * reach forked test JVMs; -D flags don't). A missing golden file FAILS —
+  * silently regenerating would mask regressions when cwd is wrong.
   */
 class GoldenSpec extends SparkSpec {
 
@@ -24,12 +25,15 @@ class GoldenSpec extends SparkSpec {
     val noOracle = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
       .toSeq.sorted
     val current = noOracle.map(n => n -> resultHash(n)).toMap
-    if (sys.props.get("golden.regen").contains("true") || !Files.exists(goldenPath)) {
+    if (sys.env.get("GOLDEN_REGEN").contains("1")) {
       Files.createDirectories(goldenPath.getParent)
       Files.writeString(goldenPath,
         current.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
       info(s"golden file (re)generated with ${current.size} entries")
     } else {
+      assert(Files.exists(goldenPath),
+        s"golden file missing at $goldenPath (cwd=${sys.props("user.dir")}); " +
+          "regenerate intentionally with GOLDEN_REGEN=1 sbt test")
       val golden = Files.readAllLines(goldenPath).toArray.map(_.toString)
         .filter(_.nonEmpty)
         .map { l => val Array(k, v) = l.split("\t"); k -> v }.toMap

@@ -28,6 +28,12 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("same-timestamp signup and purchase converts (batch mode)") {
+    val ds = Seq(Funnel.Ev(7L, 100L, "purchase"), Funnel.Ev(7L, 100L, "signup")).toDS()
+    val out = Funnel.conversions(ds).collect()
+    assert(out.toSeq == Seq(Funnel.Conversion(7L, 100L, 100L)))
+  }
+
   test("watermark drops late rows in append-mode windowed aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
