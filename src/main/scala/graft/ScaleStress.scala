@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-up stress for the candidate-generation operators: replicates
+  * the sf0.1 corpus with per-copy token/vector perturbation (so copies
+  * don't trivially collide in blocking) and times the heavy ops. Evidence
+  * for SCALE.md's linear-scaling claims. Run:
+  *   sbt "runMain graft.ScaleStress"
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def time[T](tag: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r)")
+    }
+    val docs = engine.Tables(spark, dir, "documents")
+    val emb = engine.Tables(spark, dir, "embeddings")
+
+    def docsX(n: Int): DataFrame = (0 until n).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(i.toString))), " ").as("text"))
+    }.reduce(_ unionByName _)
+
+    def embX(n: Int): DataFrame = (0 until n).map { i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(i * 0.01f)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+    val d1 = docs.select("doc_id", "text").cache(); d1.count()
+    val d10 = docsX(10).cache(); d10.count()
+    val e10 = embX(10).cache(); e10.count()
+
+    time("exact dedup 1x (5k docs)")(ops.Dedup.exact(d1, "text", "doc_id").count())
+    time("exact dedup 10x (50k docs)")(ops.Dedup.exact(d10, "text", "doc_id").count())
+    time("jaccard pairs 1x")(ops.Dedup.jaccardPairs(d1, "text", "doc_id", 3, 0.3).count())
+    time("jaccard pairs 10x")(ops.Dedup.jaccardPairs(d10, "text", "doc_id", 3, 0.3).count())
+    time("minhash pairs 1x")(ops.Dedup.minhashPairs(d1, "text", "doc_id", 3, 32, 8, 0.3).count())
+    time("minhash pairs 10x")(ops.Dedup.minhashPairs(d10, "text", "doc_id", 3, 32, 8, 0.3).count())
+    time("simhash pairs 10x")(ops.Dedup.simhashPairs(d10, "text", "doc_id", 3).count())
+    time("ann lsh topk 10x (20k corpus)")(
+      ops.Sim.annTopK(e10.filter(col("vec_id") < 10), e10, 5, nBits = 8).count())
+    time("pairwise threshold 10x (20k vecs, label-blocked)")(
+      ops.Sim.pairwiseThreshold(e10, 0.25).count())
+    spark.stop()
+  }
+}

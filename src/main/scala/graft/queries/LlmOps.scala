@@ -195,7 +195,9 @@ object LlmOps extends QueryPack {
     val tok = graft.engine.Tables.fan(docs).select(col("doc_id"),
       explode(TextOps.tokens(lower(col("text")))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    // tf rows are unique per (doc, term), so df = plain count over tf —
+    // reuses the first aggregate and avoids a count-distinct expand
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(df, "term")
       .crossJoin(broadcast(n))
