@@ -96,6 +96,29 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** MLlib-native MinHash-LSH variant of [[minhashPairs]]: shingle sets →
+    * binary HashingTF vectors → `MinHashLSH.approxSimilarityJoin` (Jaccard
+    * distance over the hashed feature space; exact on candidates modulo
+    * 2^18-bucket hash collisions). Seeded → deterministic. The hand-rolled
+    * banding above exposes the mechanics; this is the same algorithm
+    * riding MLlib's implementation — both are 100 TB-shaped (bucket-join
+    * candidates, verify only candidates). */
+  def minhashPairsML(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int, numHashTables: Int, tau: Double): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val sh = shingleSets(docs, textCol, idCol, k)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val feat = tf.transform(sh)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42)
+    val model = mh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 1.0 - tau, "dist")
+      .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+        round(lit(1.0) - col("dist"), 4).as("jaccard"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64, bitwise ±1 votes,
     * sign-aggregated. Near-dup pairs = Hamming distance ≤ maxHamming,
     * candidate-blocked on 16-bit bands (any equal band ⇒ candidate). */

@@ -95,6 +95,42 @@ object Sim {
     }.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every `stride`-th
+    * corpus vector is a centroid), corpus vectors assigned to their
+    * nearest centroid, probes scored only against their `nProbe` nearest
+    * centroid cells. The classic inverted-file layout: centroid id is the
+    * join key, per-cell work is corpus/centroids on average. Fully
+    * deterministic (no trained state) — swap the sampled centroids for a
+    * k-means codebook at scale without touching the query shape. */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+              stride: Int = 25, nProbe: Int = 3): DataFrame = {
+    ensureRegistered(corpus)
+    val cents = corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent"))
+    def nearestCells(df: DataFrame, embCol: String, n: Int, out: String): DataFrame = {
+      val wCell = Window.partitionBy(col("vid")).orderBy(col("d").asc, col("cent_id"))
+      df.select(col("vec_id").as("vid"), col(embCol).as("e"))
+        .crossJoin(broadcast(cents))
+        .select(col("vid"), col("e"), col("cent_id"),
+          (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("cent"))).as("d"))
+        .withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") <= n)
+        .select(col("vid"), col("e"), col("cent_id").as(out))
+    }
+    val corpusCells = nearestCells(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce")), "ce", 1, "cell")
+      .select(col("vid").as("vec_id"), col("e").as("ce"), col("cell"))
+    val probeCells = nearestCells(
+      probes.select(col("vec_id"), asDouble(col("embedding")).as("pe")), "pe", nProbe, "cell")
+      .select(col("vid").as("probe_id"), col("e").as("pe"), col("cell"))
+    val scored = probeCells.join(corpusCells, "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("pe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** ANN top-k via LSH buckets: each probe only scores its own bucket.
     * Recall < 1 by construction (bucket boundaries) — the brute-force path
     * is the correctness oracle; this is the 100 TB throughput path. */

@@ -126,6 +126,20 @@ object LlmOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // MLlib MinHashLSH scale path (seeded, deterministic) → rows-only
+  qNo("llm_dedup_minhash_ml") { (s, dir) =>
+    Dedup.minhashPairsML(Tables(s, dir, "documents"), "text", "doc_id",
+        k = 3, numHashTables = 8, tau = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // IVF-style ANN with deterministic sampled centroids → rows-only
+  qNo("sim_ann_ivf") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Sim.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("probe_id", "rn")
+  }
+
   // LSH bucket assignment depends on engine-seeded hyperplanes → rows-only
   qNo("sim_ann_lsh") { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")

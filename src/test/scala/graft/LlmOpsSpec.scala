@@ -46,6 +46,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(mh.nonEmpty)
   }
 
+  test("MLlib MinHashLSH pairs agree with exhaustive jaccard on fixture docs") {
+    val docs = engine.Tables(spark, sf, "documents")
+    val exact = ops.Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val ml = ops.Dedup.minhashPairsML(docs, "text", "doc_id", 3, 8, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(ml.subsetOf(exact), s"false positives: ${ml -- exact}")
+    // LSH is probabilistic — require high recall, not perfection
+    assert(ml.size >= (exact.size * 0.9).toInt, s"recall ${ml.size}/${exact.size}")
+  }
+
+  test("IVF ANN returns true nearest neighbor for most probes") {
+    val emb = engine.Tables(spark, sf, "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val brute = ops.Sim.cosineTopK(probes, emb, 1)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toMap
+    // isotropic random embeddings are IVF's worst case (no cluster
+    // structure) — recall is governed by the probed-corpus fraction;
+    // nProbe=8 of 20 cells ⇒ expect a clear majority of exact hits
+    val ivf = ops.Sim.ivfTopK(probes, emb, 1, stride = 25, nProbe = 8)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toMap
+    val hits = brute.count { case (p, n) => ivf.get(p).contains(n) }
+    assert(hits >= 5, s"IVF top-1 recall too low: $hits/10")
+  }
+
   test("simhash of identical texts is identical; pairs found within hamming") {
     val df = Seq((1L, "same tokens here"), (2L, "same tokens here"),
       (3L, "other words entirely different")).toDF("doc_id", "text")
