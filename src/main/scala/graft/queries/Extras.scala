@@ -57,6 +57,60 @@ object Extras extends QueryPack {
       .orderBy("event_type")
   }
 
+  q("fn_datetime_make",
+    """SELECT o_orderkey,
+      |  strftime(make_date(CAST(year(o_orderdate) AS INT), 1, 1), '%Y-%m-%d') AS year_start,
+      |  strftime(make_timestamp(CAST(year(o_orderdate) AS INT),
+      |                          CAST(month(o_orderdate) AS INT), 1, 12, 30, 0),
+      |           '%Y-%m-%d %H:%M:%S') AS month_noon
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(make_date(year(col("o_orderdate")), lit(1), lit(1)), "yyyy-MM-dd")
+          .as("year_start"),
+        date_format(make_timestamp(year(col("o_orderdate")), month(col("o_orderdate")),
+            lit(1), lit(12), lit(30), lit(0)), "yyyy-MM-dd HH:mm:ss")
+          .as("month_noon"))
+      .orderBy("o_orderkey")
+  }
+
+  q("fn_string_extra",
+    """SELECT s_suppkey,
+      |  ltrim(s_name, 'S') AS lt, rtrim(s_name, '0123456789') AS rt,
+      |  translate(s_name, '#', '_') AS tr,
+      |  repeat('ab', 3) AS rep,
+      |  CAST(length(s_name) - length(replace(s_name, '#', '')) AS INT) AS n_hash
+      |FROM supplier
+      |ORDER BY s_suppkey""") { (s, dir) =>
+    Tables(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        expr("ltrim('S', s_name)").as("lt"),
+        expr("rtrim('0123456789', s_name)").as("rt"),
+        translate(col("s_name"), "#", "_").as("tr"),
+        expr("repeat('ab', 3)").as("rep"),
+        (length(col("s_name")) - length(regexp_replace(col("s_name"), "#", "")))
+          .cast("int").as("n_hash"))
+      .orderBy("s_suppkey")
+  }
+
+  q("agg_minmax",
+    """SELECT c_nationkey,
+      |  min(c_name) AS first_name, max(c_name) AS last_name,
+      |  CAST(epoch(min(o_orderdate)) AS BIGINT) AS first_order_epoch,
+      |  CAST(epoch(max(o_orderdate)) AS BIGINT) AS last_order_epoch
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""") { (s, dir) =>
+    Tables(s, dir, "customer").as("c")
+      .join(Tables(s, dir, "orders").as("o"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(min(col("c_name")).as("first_name"), max(col("c_name")).as("last_name"),
+        unix_timestamp(min(col("o_orderdate"))).as("first_order_epoch"),
+        unix_timestamp(max(col("o_orderdate"))).as("last_order_epoch"))
+      .orderBy("c_nationkey")
+  }
+
   q("win_nth_value",
     """SELECT c_nationkey, c_custkey,
       |  nth_value(c_custkey, 2) OVER w AS second_richest
