@@ -21,6 +21,7 @@ object SparkEntry {
     qp.Streaming,
     qp.Extensibility,
     qp.Extras,
+    qp.Subqueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
