@@ -111,6 +111,21 @@ object Extras extends QueryPack {
       .orderBy("c_nationkey")
   }
 
+  // Spark 4 VariantType for semi-structured JSON; the oracle reaches the
+  // same values through plain JSON extraction
+  q("fn_variant",
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k_variant,
+      |  CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod
+      |FROM events
+      |ORDER BY event_id""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k_variant"),
+        (expr("variant_get(parse_json(props), '$.k', 'int')") % 10).as("k_mod"))
+      .orderBy("event_id")
+  }
+
   q("win_nth_value",
     """SELECT c_nationkey, c_custkey,
       |  nth_value(c_custkey, 2) OVER w AS second_richest

@@ -1,0 +1,41 @@
+package graft
+
+/** Physical-plan regression guards: the shapes BASELINE.md/SCALE.md claim.
+  * A correctness-neutral change that turns a broadcast join into a
+  * sort-merge join or un-pushes a filter should fail HERE, not at the
+  * next benchmark round. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter_simple pushes predicate and prunes columns at the scan") {
+    val p = plan("filter_simple")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]")
+      || p.contains("PushedFilters: [IsNotNull(l_quantity), GT(l_quantity,45.0)]"),
+      s"predicate not pushed:\n$p")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!scanLine.contains("l_extendedprice"), "scan reads unprojected columns")
+  }
+
+  test("join_multiway broadcasts every dimension — fact side never shuffles") {
+    val p = plan("join_multiway")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 4, p)
+    assert(!p.contains("SortMergeJoin"), "star query fell back to SMJ")
+  }
+
+  test("topk_global plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("flagship aggregation is two-phase (partial + final)") {
+    val p = plan("agg_group_sum")
+    assert(p.contains("HashAggregate") && p.contains("partial_"), p)
+  }
+
+  test("scan_parquet scan stays columnar/vectorized") {
+    val p = plan("scan_parquet")
+    assert(p.contains("ColumnarToRow") || p.contains("Batched: true"), p)
+  }
+}
