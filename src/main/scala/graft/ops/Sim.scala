@@ -112,7 +112,10 @@ object Sim {
       df.select(col("vec_id").as("vid"), col(embCol).as("e"))
         .crossJoin(broadcast(cents))
         .select(col("vid"), col("e"), col("cent_id"),
-          (dot(col("e"), col("e")) - lit(2.0) * dot(col("e"), col("cent"))).as("d"))
+          // squared Euclidean up to the per-row |e|^2 constant: the |cent|^2
+          // term matters for the argmin (without it this ranks by dot product,
+          // biasing toward large-norm centroids)
+          (dot(col("cent"), col("cent")) - lit(2.0) * dot(col("e"), col("cent"))).as("d"))
         .withColumn("rn", row_number().over(wCell))
         .filter(col("rn") <= n)
         .select(col("vid"), col("e"), col("cent_id").as(out))

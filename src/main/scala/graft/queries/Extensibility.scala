@@ -79,7 +79,7 @@ object Extensibility extends QueryPack {
       .join(Pipeline.source("customer"), "o_custkey = c_custkey")
       .agg(Seq("c_mktsegment"),
         "COUNT(*) AS n_orders",
-        s"CAST(CAST(SUM(${oCents("o_totalprice")}) AS DOUBLE) / 100 AS DECIMAL(18,2)) AS total")
+        s"CAST(SUM(${oCents("o_totalprice")}) AS DOUBLE) / 100 AS total")
       .sort("c_mktsegment")
       .run(s, dir)
   }

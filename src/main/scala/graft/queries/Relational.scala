@@ -14,13 +14,13 @@ object Relational extends QueryPack {
 
   q("proj_select",
     s"""SELECT l_orderkey, l_linenumber,
-      |  CAST(CAST(${oCents("l_extendedprice * (1 - l_discount)")} AS DOUBLE) / 100 AS DECIMAL(18,2)) AS net
+      |  CAST(${oCents("l_extendedprice * (1 - l_discount)")} AS DOUBLE) / 100 AS net
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
     val net = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
     Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
-        (net.cast("double") / 100).cast(D2).as("net"))
+        (net.cast("double") / 100).as("net"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -105,14 +105,14 @@ object Relational extends QueryPack {
     s"""SELECT l_orderkey, l_linenumber,
       |  CAST(l_linenumber AS BIGINT) AS line_big,
       |  CAST(l_orderkey AS VARCHAR) AS okey_str,
-      |  CAST(CAST(${oCents("l_quantity")} AS DOUBLE) / 100 AS DECIMAL(18,2)) AS qty_dec
+      |  CAST(${oCents("l_quantity")} AS DOUBLE) / 100 AS qty_dec
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
     Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_linenumber").cast("long").as("line_big"),
         col("l_orderkey").cast("string").as("okey_str"),
-        (cents(col("l_quantity")).cast("double") / 100).cast(D2).as("qty_dec"))
+        (cents(col("l_quantity")).cast("double") / 100).as("qty_dec"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 }

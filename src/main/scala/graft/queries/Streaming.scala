@@ -16,14 +16,14 @@ object Streaming extends QueryPack {
   q("stream_tumbling",
     s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
       |  event_type, COUNT(*) AS n,
-      |  CAST(CAST(SUM(${oFix("value", 2)}) AS DOUBLE) / 100 AS DECIMAL(18,2)) AS sum_value
+      |  CAST(SUM(${oFix("value", 2)}) AS DOUBLE) / 100 AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""") { (s, dir) =>
     Tables(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (sum(fix(col("value"), 2)).cast("double") / 100).cast(D2).as("sum_value"))
+        (sum(fix(col("value"), 2)).cast("double") / 100).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")

@@ -85,15 +85,15 @@ object Windows extends QueryPack {
 
   q("win_running_sum",
     s"""SELECT event_id, user_id,
-      |  CAST(CAST(SUM(${oFix("value", 2)}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  CAST(SUM(${oFix("value", 2)}) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
-      |       AS DECIMAL(18,2)) AS running_value
+      |       AS running_value
       |FROM events
       |ORDER BY user_id, event_id""") { (s, dir) =>
     val w = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables(s, dir, "events")
       .select(col("event_id"), col("user_id"),
-        (sum(fix(col("value"), 2)).over(w).cast("double") / 100).cast(D2).as("running_value"))
+        (sum(fix(col("value"), 2)).over(w).cast("double") / 100).as("running_value"))
       .orderBy("user_id", "event_id")
   }
 

@@ -30,7 +30,10 @@ object Streams {
     val stage = Paths.get(s"/tmp/graft_io/events_src_${math.abs(dir.hashCode)}")
     Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    // recreate each run: a stale link from a prior run (or a hashCode
+    // collision between two dirs) must never point at the wrong source
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, src)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventsSchema)
       .parquet(stage.toString)

@@ -43,7 +43,7 @@ class GoldenSpec extends SparkSpec {
       assert(diffs.isEmpty, s"golden hash mismatch for: ${diffs.keys.toSeq.sorted}")
       val added = current.keySet -- golden.keySet
       if (added.nonEmpty) info(s"new no-oracle queries without golden entries: $added " +
-        "(regenerate with -Dgolden.regen=true)")
+        "(regenerate with GOLDEN_REGEN=1 sbt test)")
     }
   }
 }

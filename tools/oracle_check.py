@@ -6,8 +6,13 @@ Usage: python3 tools/oracle_check.py [sfDir] [verifyOutDir] [onlyQuery...]
 Reads the Verify-dumped parquet results + oracle_sql.json, runs each oracle
 in DuckDB against views named after the graded tables, sorts columns by
 name (the driver's compare contract), and diffs cell-by-cell on exact
-string representations (fetchall keeps DECIMAL exact — no pandas float64
-coercion).
+string representations.
+
+DECIMAL output columns are BANNED on either side: the driver's own decimal
+canonicalization (not reproduced here) hashed Decimal('123.40') and
+Decimal('123.4') differently in round 1, so a symmetric str() compare
+passes while the real gate fails. Money must be emitted as DOUBLE computed
+from exact integer cents (graft.engine.Det.money).
 
 Dev tooling only — the engine itself is pure Scala/Spark.
 """
@@ -36,6 +41,12 @@ def cell_str(v):
     return str(v)
 
 
+def decimal_cols(con, sql):
+    """Column names whose type is DECIMAL in the given query's result."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [r[0] for r in rows if "DECIMAL" in r[1].upper()]
+
+
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -61,6 +72,13 @@ def main():
             wcols, want = fetch(con, sql)
         except Exception as e:
             fails.append((name, f"oracle error: {e}"))
+            continue
+        bad = decimal_cols(
+            con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+        bad += [c for c in decimal_cols(con, sql) if c not in bad]
+        if bad:
+            fails.append((name, f"DECIMAL output banned (driver canonicalization"
+                                f" diverges): {bad}"))
             continue
         if gcols != wcols:
             fails.append((name, f"schema: spark={gcols} oracle={wcols}"))
