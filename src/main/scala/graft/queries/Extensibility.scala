@@ -66,6 +66,29 @@ object Extensibility extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // same pairs as expr_custom_dot, but the Spark side writes the PORTABLE
+  // higher-order-lambda form and relies on the injected DotRewrite optimizer
+  // rule to reach the codegen expression — grading the Rule[LogicalPlan]
+  // surface itself (PlanShapeSpec pins that the rewrite actually fired)
+  q("expr_dot_rewrite",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 20
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_reduce(list_prepend(0.0, list_transform(list_zip(a.e, b.e),
+      |        z -> z[1] * z[2])), (x, y) -> x + y), 4) AS dot
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |ORDER BY id_a, id_b""") { (s, dir) =>
+    graft.plans.Rules.ensureInjected(s)
+    val v = Tables(s, dir, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"),
+          4).as("dot"))
+      .orderBy("id_a", "id_b")
+  }
+
   // the ETL-builder surface end-to-end: config-style steps → Catalyst plan
   q("pipeline_e2e",
     s"""SELECT c_mktsegment, COUNT(*) AS n_orders,

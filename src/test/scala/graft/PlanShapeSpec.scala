@@ -34,6 +34,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
   }
 
+  test("expr_dot_rewrite reaches the codegen expression via the optimizer rule") {
+    val p = plan("expr_dot_rewrite")
+    assert(p.contains("graft_dot"), s"DotRewrite did not fire in the graded query:\n$p")
+  }
+
   test("scan_parquet scan stays columnar/vectorized") {
     val p = plan("scan_parquet")
     assert(p.contains("ColumnarToRow") || p.contains("Batched: true"), p)
