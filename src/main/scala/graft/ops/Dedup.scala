@@ -4,6 +4,7 @@ import graft.engine.Tables.fan
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (SURVEY §2.9).
   *
@@ -30,6 +31,14 @@ object Dedup {
       .filter(size(col("tk")) >= k)
       .select(col("id"), array_distinct(TextOps.shingles(col("tk"), k)).as("sh"))
 
+  /** Persist a frame the downstream DAG consumes ≥2× under DIFFERENT join
+    * keys (ReuseExchange only dedupes identical exchanges, so e.g. the
+    * candidate-verification joins on id_a then id_b would re-tokenize and
+    * re-shingle every document per consumer). MEMORY_AND_DISK: spills, never
+    * OOMs. At 100 TB the same seam is a checkpoint to reliable storage —
+    * every published LSH pipeline materializes the signature stage. */
+  private def pin(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
+
   /** Exact dedup: keep the lowest-id row per identical text. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
@@ -42,7 +51,7 @@ object Dedup {
     * Deterministic and SQL-expressible (the graded form). */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, tau: Double): DataFrame = {
-    val sh = shingleSets(docs, textCol, idCol, k)
+    val sh = pin(shingleSets(docs, textCol, idCol, k))
     val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
     val counts = sh.select(col("id"), size(col("sh")).as("n"))
     val inter = exploded.as("a")
@@ -60,17 +69,27 @@ object Dedup {
 
   /** MinHash signatures + LSH banding: candidates share ≥1 of `bands`
     * band-hashes; candidates are then exact-verified with `jaccardPairs`-
-    * style scoring. Hash seeds are positional (xxhash64(seed, shingle)) —
-    * deterministic across runs, not portable to other engines (no-oracle). */
+    * style scoring. The hash family is Kirsch-Mitzenmacher double hashing
+    * (h_i = xxhash64(s) + i·xxhash64(-1, s), wrapping) — deterministic
+    * across runs, not portable to other engines (no-oracle). */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingleSets(docs, textCol, idCol, k)
-    // signature[i] = min over shingles of xxhash64(i, shingle)
+    val sh = pin(shingleSets(docs, textCol, idCol, k))
+    // signature[i] = min over shingles of (h1 + i*h2) — Kirsch-Mitzenmacher
+    // double hashing: 2 string hashes per shingle instead of numHashes, the
+    // derived family keeps the min-wise independence LSH banding needs.
+    // h1 < 2^62 and h2 < 2^31 bound h1 + i*h2 below 2^63 for i ≤ 2^26, so
+    // the sum never overflows (ANSI mode throws on wrap, and a wrapped min
+    // would not be a valid permutation surrogate anyway).
+    require(numHashes <= (1 << 26), "derived-hash family bound")
     val minHashes = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"),
+        pmod(xxhash64(col("s")), lit(1L << 62)).as("h1"),
+        pmod(xxhash64(lit(-1), col("s")), lit(1L << 31)).as("h2"))
       .groupBy("id")
       .agg(minHashes.head, minHashes.tail: _*)
     // band j hashes rows [j*r, (j+1)*r)
@@ -109,7 +128,10 @@ object Dedup {
     val sh = shingleSets(docs, textCol, idCol, k)
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
       .setBinary(true).setNumFeatures(1 << 18)
-    val feat = tf.transform(sh)
+    // MLlib's documented contract: cache the transformed input before
+    // approxSimilarityJoin — the self-join consumes it once per side plus
+    // once per hash-table explode, each a full lineage recompute otherwise
+    val feat = pin(tf.transform(sh))
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42)
     val model = mh.fit(feat)
