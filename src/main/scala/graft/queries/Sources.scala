@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.engine.{QueryPack, Tables}
+import graft.engine.{Det, QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -37,6 +37,27 @@ object Sources extends QueryPack {
       StructField("n_regionkey", IntegerType)))
     s.read.schema(schema).json(out)
       .orderBy("n_nationkey")
+  }
+
+  // bucketed sink + co-located join: both sides pre-shuffled into 8 buckets
+  // on custkey, so the join itself plans with zero exchanges (the 100 TB
+  // fact-join layout; BucketedJoinSpec pins the plan shape)
+  q("sink_bucketed_join",
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  ${Det.oMoney("o_totalprice")} AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""") { (s, dir) =>
+    import graft.ops.Bucketing
+    Bucketing.bucketize(Tables(s, dir, "orders").select("o_custkey", "o_totalprice"),
+      "orders_bkt", "o_custkey", 8)
+    Bucketing.bucketize(Tables(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+      "customer_bkt", "c_custkey", 8)
+    Bucketing.coLocatedJoin(s, "orders_bkt", "customer_bkt", "o_custkey", "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.money(sum(Det.cents(col("o_totalprice")))).as("total"))
+      .orderBy("c_mktsegment")
   }
 
   qNo("sink_partitioned") { (s, dir) =>

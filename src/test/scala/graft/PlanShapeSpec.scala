@@ -39,6 +39,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_dot"), s"DotRewrite did not fire in the graded query:\n$p")
   }
 
+  test("topk_per_group pushes the rank filter into WindowGroupLimit") {
+    // Spark's InferWindowGroupLimit turns row_number()<=k into a partial
+    // per-partition group-limit BEFORE the shuffle plus a final one after —
+    // the bounded-heap top-k operator, no full per-group materialization
+    val p = plan("topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed down:\n$p")
+    assert(p.contains("Partial") || p.linesIterator.count(_.contains("WindowGroupLimit")) == 2,
+      s"no partial (pre-shuffle) group limit:\n$p")
+  }
+
   test("scan_parquet scan stays columnar/vectorized") {
     val p = plan("scan_parquet")
     assert(p.contains("ColumnarToRow") || p.contains("Batched: true"), p)
