@@ -39,6 +39,18 @@ object Sources extends QueryPack {
       .orderBy("n_nationkey")
   }
 
+  // ORC round-trip: binary-typed columnar format, lossless → the original
+  // table is the oracle (unlike CSV, where text round-trips are weaker)
+  q("scan_orc",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+    val out = "/tmp/graft_io/orc_supplier"
+    Tables(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("s_suppkey")
+  }
+
   // bucketed sink + co-located join: both sides pre-shuffled into 8 buckets
   // on custkey, so the join itself plans with zero exchanges (the 100 TB
   // fact-join layout; BucketedJoinSpec pins the plan shape)

@@ -136,6 +136,22 @@ object Streaming extends QueryPack {
       .orderBy("user_id")
   }
 
+  // stream ⋈ static dimension enrichment through a real readStream: every
+  // micro-batch hash-joins against the broadcast static table — the
+  // standard pattern for decorating a fact stream without shuffling it
+  q("stream_static_join",
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""") { (s, dir) =>
+    val dim = Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    Streams.runToMemory(s, dir, "graft_static_join", "complete") { ev =>
+      ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }.orderBy("c_mktsegment", "event_type")
+  }
+
   // real readStream → parquet sink with checkpoint, then re-read: the
   // sink's content must equal the batch table exactly
   q("stream_foreach_sink",
