@@ -162,6 +162,40 @@ object Joins extends QueryPack {
       .orderBy("event_id")
   }
 
+  // PURE range predicate (no equi key): Spark alone would plan a
+  // nested-loop join; ops.RangeJoin buckets the time axis so it becomes a
+  // shuffled equi-join on bucket id + exact filter (RangeJoinSpec pins the
+  // no-nested-loop plan). Windows = the 5 busiest hours, derived
+  // deterministically from the data itself.
+  q("join_range_bucketed",
+    """WITH hb AS (
+      |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1
+      |), iv AS (
+      |  SELECT CAST(epoch_us(h) AS BIGINT) AS lo_us,
+      |         CAST(epoch_us(h) AS BIGINT) + 3599999999 AS hi_us
+      |  FROM hb ORDER BY n DESC, h LIMIT 5
+      |)
+      |SELECT iv.lo_us, COUNT(*) AS n_events
+      |FROM events e JOIN iv
+      |  ON CAST(epoch_us(e.ts) AS BIGINT) BETWEEN iv.lo_us AND iv.hi_us
+      |GROUP BY iv.lo_us
+      |ORDER BY iv.lo_us""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val iv = Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("h"))
+      .limit(5)
+      .select(unix_micros(col("h")).as("lo_us"),
+        (unix_micros(col("h")) + lit(3599999999L)).as("hi_us"))
+    graft.ops.RangeJoin.pointInInterval(ev, col("ts_us"), iv,
+        col("lo_us"), col("hi_us"), bucketWidth = 15L * 60 * 1000000)
+      .groupBy("lo_us")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("lo_us")
+  }
+
   // salted implementation must be bit-identical to the plain join —
   // the oracle IS the unsalted SQL
   q("join_skew_salted",
