@@ -64,6 +64,18 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** PII redaction: mask emails, phone numbers, IPv4 addresses with typed
+    * placeholder tokens — the standard scrub pass before training-data
+    * release. Patterns stay in the RE2-compatible subset (char classes,
+    * bounded repeats, \b) so Java regex and RE2-family engines agree. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+?[0-9]{1,2}[ -][0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+
   /** Quality score in [0,1]: length saturation, non-punctuation share,
     * stopword share — per-row IEEE arithmetic, association fixed.
     * Punctuation is counted by stripping [A-Za-z0-9 ] (portable to any

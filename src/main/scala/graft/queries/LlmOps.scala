@@ -269,6 +269,27 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // PII redaction over text with deterministically injected PII (the
+  // synthetic corpus has none, so the query plants one email/phone/IP per
+  // doc and grades their removal — the regexes stay in the RE2-safe subset
+  // both engines parse identically)
+  q("text_pii_scrub",
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    'mail user' || doc_id || '@example.com tel +1 555-123-4567 ip 10.0.' || doc_id % 256 || '.7 ' || text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+?[0-9]{1,2}[ -][0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.piiScrub(concat(
+          lit("mail user"), col("doc_id"), lit("@example.com tel +1 555-123-4567 ip 10.0."),
+          col("doc_id") % 256, lit(".7 "), col("text"))).as("clean"))
+      .orderBy("doc_id")
+  }
+
   q("text_fingerprint",
     """SELECT doc_id,
       |  list_reduce(list_prepend(0::BIGINT,
