@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join: the full tier-(c) extension — custom LogicalPlan +
+  * SparkStrategy + SparkPlan, injected via GraftExtensions.
+  *
+  * Semantics (identical to the ops.AsofJoin library op, which is the
+  * compose-from-built-ins tier-(a) form): left-outer; each left row gets
+  * the right row with the greatest `rightTs <= leftTs` within its key,
+  * ties on rightTs resolved to the greatest `tiebreak`; right rows with
+  * NULL ts never match; left rows with NULL ts or NULL key get no match
+  * (SQL equi-join null semantics).
+  *
+  * Physical shape: requiredChildDistribution clusters both children on
+  * their keys (one shuffle each, exactly like SortMergeJoin) and
+  * requiredChildOrdering sorts them (key, ts[, tiebreak]); doExecute is a
+  * single linear merge per co-partition pair — O(|L|+|R|), zero pair
+  * blowup, no window-function state machine. The library op needs a
+  * union + full window pass over |L|+|R| rows; this streams both sides
+  * once with a one-row cursor. Same plan skeleton Spark uses for SMJ, so
+  * AQE/EnsureRequirements handle the exchanges and sorts.
+  */
+case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTs: Attribute, rightTs: Attribute,
+                        tiebreak: Attribute, payload: Seq[Attribute])
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lts, rts, tb, pl) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tb, pl) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Attribute, rightKey: Attribute,
+                        leftTs: Attribute, rightTs: Attribute,
+                        tiebreak: Attribute, payload: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+
+  // one hash shuffle per side, co-partitioned on the keys — the SMJ shape
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  // right sorted (key, ts, tiebreak): the LAST row at-or-before a left ts
+  // is then automatically the max-(ts, tiebreak) match
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(tiebreak, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lki = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lti = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rki = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rti = right.output.indexWhere(_.exprId == rightTs.exprId)
+    require(lki >= 0 && lti >= 0 && rki >= 0 && rti >= 0,
+      "as-of join columns missing from child output")
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
+    val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+    val payloadAttrs = payload
+    val rightOutput = right.output
+    val outputAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val payloadProj = UnsafeProjection.create(payloadAttrs, rightOutput)
+      val resultProj = UnsafeProjection.create(outputAttrs,
+        left.output ++ payloadAttrs.map(_.withNullability(true)))
+      val nullPayload = new GenericInternalRow(payloadAttrs.length)
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+
+      new Iterator[InternalRow] {
+        private var curKey: Any = null
+        private var haveKey = false
+        private var held: InternalRow = null
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          if (l.isNullAt(lki)) return resultProj(joined(l, nullPayload))
+          val lk = l.get(lki, keyType)
+          if (!haveKey || keyOrd.compare(curKey, lk) != 0) {
+            // new left key: skip right rows with smaller or null keys
+            while (rBuf.hasNext && {
+              val h = rBuf.head
+              h.isNullAt(rki) || keyOrd.compare(h.get(rki, keyType), lk) < 0
+            }) rBuf.next()
+            held = null
+            // copy: non-primitive key values (UTF8String…) alias the row
+            // buffer the shuffle reader reuses on the next fetch
+            curKey = InternalRow.copyValue(lk)
+            haveKey = true
+          }
+          if (l.isNullAt(lti)) return resultProj(joined(l, nullPayload))
+          val lts = l.get(lti, tsType)
+          // consume right rows of this key with ts <= left ts; last one
+          // wins (= greatest ts, then greatest tiebreak, by sort order);
+          // null-ts right rows sort first and are skipped without holding
+          while (rBuf.hasNext && {
+            val h = rBuf.head
+            !h.isNullAt(rki) && keyOrd.compare(h.get(rki, keyType), lk) == 0 &&
+              (h.isNullAt(rti) || tsOrd.compare(h.get(rti, tsType), lts) <= 0)
+          }) {
+            val r = rBuf.next()
+            if (!r.isNullAt(rti)) held = r.copy()
+          }
+          val p = if (held != null) payloadProj(held) else nullPayload
+          resultProj(joined(l, p))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: build the custom plan from two DataFrames. */
+object AsofNative {
+  def join(left: DataFrame, right: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTs: String, rightTs: String,
+           payload: Seq[String], tiebreak: String): DataFrame = {
+    val spark = left.sparkSession
+    Rules.ensureInjected(spark)
+    def attr(df: DataFrame, n: String): Attribute =
+      df.queryExecution.analyzed.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in ${df.queryExecution.analyzed.output.map(_.name)}"))
+    val (lts, rts) = (attr(left, leftTs), attr(right, rightTs))
+    require(lts.dataType == rts.dataType,
+      s"as-of ts types differ: ${lts.dataType} vs ${rts.dataType}")
+    val (lk, rk) = (attr(left, leftKey), attr(right, rightKey))
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    org.apache.spark.sql.classic.GraftOfRows(spark,
+      AsofJoinPlan(left.queryExecution.analyzed, right.queryExecution.analyzed,
+        lk, rk, lts, rts, attr(right, tiebreak), payload.map(attr(right, _))))
+  }
+}

@@ -70,12 +70,17 @@ object DotRewrite extends Rule[LogicalPlan] {
 }
 
 object Rules {
-  /** Idempotently add graft's optimizer rules to a session the harness
-    * already built (the runtime equivalent of GraftExtensions). */
+  /** Idempotently add graft's optimizer rules and planner strategies to a
+    * session the harness already built (the runtime equivalent of
+    * GraftExtensions). */
   def ensureInjected(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(DotRewrite)) {
       spark.experimental.extraOptimizations = cur :+ DotRewrite
+    }
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(AsofJoinStrategy)) {
+      spark.experimental.extraStrategies = strats :+ AsofJoinStrategy
     }
   }
 }

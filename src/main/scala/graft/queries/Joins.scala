@@ -145,6 +145,31 @@ object Joins extends QueryPack {
       .orderBy("event_id")
   }
 
+  // same as-of semantics through the NATIVE tier-(c) operator (custom
+  // LogicalPlan + SparkStrategy + SparkPlan merge exec) — graded against
+  // the identical DuckDB oracle as the library-op form above
+  q("join_asof_native",
+    """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY o.o_orderdate DESC NULLS LAST,
+      |                                     o.o_orderkey DESC NULLS LAST) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |) WHERE rn = 1
+      |ORDER BY event_id""") { (s, dir) =>
+    val events = Tables(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    graft.plans.AsofNative.join(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_totalprice"), tiebreak = "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
   q("join_interval",
     """SELECT a.event_id, COUNT(b.event_id) AS n_within_hour
       |FROM events a LEFT JOIN events b
