@@ -52,6 +52,32 @@ object ScaleStress {
       ops.Sim.annTopK(e10.filter(col("vec_id") < 10), e10, 5, nBits = 8).count())
     time("pairwise threshold 10x (20k vecs, label-blocked)")(
       ops.Sim.pairwiseThreshold(e10, 0.25).count())
+
+    // as-of join: window-machinery library op vs native merge exec — the
+    // fixed extra stage of the native plan should wash out as rows/key grow
+    val ev = engine.Tables(spark, dir, "events").select("event_id", "user_id", "ts")
+    val ord = engine.Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    def evX(n: Int): DataFrame = (0 until n).map { i =>
+      ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"), col("user_id"),
+        (col("ts") + expr(s"INTERVAL $i SECONDS")).as("ts"))
+    }.reduce(_ unionByName _).cache()
+    def ordX(n: Int): DataFrame = (0 until n).map { i =>
+      ord.select(col("o_custkey"),
+        (col("o_orderdate") + expr(s"INTERVAL $i SECONDS")).as("o_orderdate"),
+        (col("o_orderkey") + lit(i * 10000000L)).as("o_orderkey"), col("o_totalprice"))
+    }.reduce(_ unionByName _).cache()
+    val (ev10, ord10) = (evX(10), ordX(10)); ev10.count(); ord10.count()
+    val asofCols = (Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+    time("asof library 1x")(ops.AsofJoin(ev, ord, "user_id", "o_custkey",
+      "ts", "o_orderdate", asofCols._1, asofCols._2).count())
+    time("asof native  1x")(plans.AsofNative.join(ev, ord, "user_id", "o_custkey",
+      "ts", "o_orderdate", asofCols._1, asofCols._2).count())
+    time("asof library 10x (1M x 1.5M)")(ops.AsofJoin(ev10, ord10, "user_id", "o_custkey",
+      "ts", "o_orderdate", asofCols._1, asofCols._2).count())
+    time("asof native  10x (1M x 1.5M)")(plans.AsofNative.join(ev10, ord10, "user_id", "o_custkey",
+      "ts", "o_orderdate", asofCols._1, asofCols._2).count())
     spark.stop()
   }
 }
