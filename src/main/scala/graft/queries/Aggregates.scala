@@ -46,6 +46,20 @@ object Aggregates extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  // Datasketches HLL: per-group sketches, then the global figure from
+  // hll_union_agg over the SKETCHES — re-aggregation without rescanning,
+  // the mergeable-summary pattern every 100 TB rollup pipeline relies on.
+  // Register-max estimates are insertion-order-independent → golden-stable.
+  qNo("agg_hll_sketch") { (s, dir) =>
+    val sk = Tables(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    sk.select(col("o_orderstatus"), expr("hll_sketch_estimate(sk)").as("n_custs"))
+      .unionByName(sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_custs"))
+        .select(lit("ALL").as("o_orderstatus"), col("n_custs")))
+      .orderBy("o_orderstatus")
+  }
+
   q("agg_grouping_sets",
     """SELECT GROUPING(r_name) AS gr, GROUPING(n_name) AS gn,
       |  r_name, n_name, COUNT(*) AS n_custs

@@ -175,6 +175,33 @@ object Scalars extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // URL parsing via regexp extraction (identical RE2-safe patterns both
+  // engines; Spark's parse_url has no DuckDB twin) over URLs constructed
+  // deterministically from order keys
+  q("fn_url",
+    """WITH u AS (
+      |  SELECT o_orderkey,
+      |    'https://shop' || o_orderkey % 5 || '.example.com/p/' || o_orderkey
+      |      || '?cust=' || o_custkey AS url
+      |  FROM orders
+      |)
+      |SELECT o_orderkey,
+      |  regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      |  regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+      |  regexp_extract(url, 'cust=([0-9]+)', 1) AS cust_param
+      |FROM u
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        concat(lit("https://shop"), col("o_orderkey") % 5, lit(".example.com/p/"),
+          col("o_orderkey"), lit("?cust="), col("o_custkey")).as("url"))
+      .select(col("o_orderkey"),
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+        regexp_extract(col("url"), "^https?://[^/]+(/[^?]*)", 1).as("path"),
+        regexp_extract(col("url"), "cust=([0-9]+)", 1).as("cust_param"))
+      .orderBy("o_orderkey")
+  }
+
   // xxhash64/crc32 have no cross-engine twins — declared separately, no oracle
   qNo("fn_hash_native") { (s, dir) =>
     Tables(s, dir, "documents")
