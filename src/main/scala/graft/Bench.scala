@@ -23,11 +23,14 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      // a swallowed failure must never masquerade as a fast query
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must not masquerade as a fast one: it goes to the
+      // "failed" list and contributes nothing to the timings or the total
+      try {
+        fn(spark, sfDir).count()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => failed += name; None }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -31,7 +31,11 @@ object AsofJoin {
     // pack the right payload into one struct ordered by (ts, tiebreak) so
     // `last` over the sort order picks the at-or-before, max-ts, max-tiebreak row
     val r = right
-      .filter(col(rightTs).isNotNull) // NULL ts can never satisfy rightTs <= leftTs
+      // NULL ts can never satisfy rightTs <= leftTs; NULL key must never
+      // match (SQL equi-join semantics — without this filter the window
+      // partitioning would group null-key left rows with null-key right
+      // rows, diverging from the oracle's LEFT JOIN ON key equality)
+      .filter(col(rightTs).isNotNull && col(rightKey).isNotNull)
       .select(
       col(rightKey).as("__key"),
       col(rightTs).as("__ts"),

@@ -35,7 +35,10 @@ object Dedup {
     * keys (ReuseExchange only dedupes identical exchanges, so e.g. the
     * candidate-verification joins on id_a then id_b would re-tokenize and
     * re-shingle every document per consumer). MEMORY_AND_DISK: spills, never
-    * OOMs. At 100 TB the same seam is a checkpoint to reliable storage —
+    * OOMs. Repeated calls do NOT leak: CacheManager keys cached data by the
+    * canonicalized plan, so re-invoking an operator on the same input reuses
+    * the existing entry (storage is bounded by #distinct inputs per
+    * session). At 100 TB the same seam is a checkpoint to reliable storage —
     * every published LSH pipeline materializes the signature stage. */
   private def pin(df: DataFrame): DataFrame = df.persist(StorageLevel.MEMORY_AND_DISK)
 

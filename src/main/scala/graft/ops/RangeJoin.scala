@@ -33,9 +33,12 @@ object RangeJoin {
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val b = lit(bucketWidth)
-    // floor-div via SQL `div` (floor semantics for negatives differ from
-    // Scala /): bucket ids stay aligned for timestamps before the epoch
-    val iv = intervals.withColumn("__bkt",
+    // empty intervals (lo > hi) match nothing — drop them BEFORE explode,
+    // both for join semantics and because sequence() would otherwise emit a
+    // descending bucket range. Caller contract: bucketWidth must be sized so
+    // max interval span / bucketWidth stays well under 2^31 (sequence()'s
+    // array limit) — pick B near the median span.
+    val iv = intervals.where(lo <= hi).withColumn("__bkt",
       explode(sequence(floorDiv(lo, b), floorDiv(hi, b))))
     val pts = points.withColumn("__bkt", floorDiv(pt, b))
     pts.join(iv, Seq("__bkt")).where(lo <= pt && pt <= hi).drop("__bkt")

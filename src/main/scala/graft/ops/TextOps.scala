@@ -73,7 +73,7 @@ object TextOps {
       regexp_replace(
         regexp_replace(text,
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-        "\\+?[0-9]{1,2}[ -][0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+        "(\\+?[0-9]{1,2}[ -])?[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
       "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
 
   /** Quality score in [0,1]: length saturation, non-punctuation share,

@@ -91,14 +91,17 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val primitive = isLongBacked(keyType) && isLongBacked(tsType)
     val keyOrd = if (primitive) null else TypeUtils.getInterpretedOrdering(keyType)
     val tsOrd = if (primitive) null else TypeUtils.getInterpretedOrdering(tsType)
+    // locals only: referencing left/right.output inside the closure would
+    // capture `this` (the whole plan tree) into every task
     val payloadAttrs = payload
+    val leftOutput = left.output
     val rightOutput = right.output
     val outputAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val payloadProj = UnsafeProjection.create(payloadAttrs, rightOutput)
       val resultProj = UnsafeProjection.create(outputAttrs,
-        left.output ++ payloadAttrs.map(_.withNullability(true)))
+        leftOutput ++ payloadAttrs.map(_.withNullability(true)))
       val nullPayload = new GenericInternalRow(payloadAttrs.length)
       val joined = new JoinedRow
       val rBuf = rIt.buffered

@@ -278,7 +278,7 @@ object LlmOps extends QueryPack {
       |  regexp_replace(regexp_replace(regexp_replace(
       |    'mail user' || doc_id || '@example.com tel +1 555-123-4567 ip 10.0.' || doc_id % 256 || '.7 ' || text,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\+?[0-9]{1,2}[ -][0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '(\+?[0-9]{1,2}[ -])?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
       |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS clean
       |FROM documents
       |ORDER BY doc_id""") { (s, dir) =>

@@ -30,15 +30,19 @@ class AsofNativeSpec extends SparkSpec {
   test("native as-of handles null ts, equal-ts ties, and unmatched keys") {
     import spark.implicits._
     val lPath = "/tmp/graft_io/asof/l"; val rPath = "/tmp/graft_io/asof/r"
-    // left: (id, key, ts) — includes null ts and keys with no right rows
-    Seq((1L, 10L, Some(100L)), (2L, 10L, Some(50L)), (3L, 10L, None),
-        (4L, 20L, Some(5L)), (5L, 30L, Some(7L)), (6L, 10L, Some(200L)))
+    // left: (id, key, ts) — includes null ts, null key, keys with no
+    // right rows
+    Seq((1L, Some(10L), Some(100L)), (2L, Some(10L), Some(50L)),
+        (3L, Some(10L), None), (4L, Some(20L), Some(5L)),
+        (5L, Some(30L), Some(7L)), (6L, Some(10L), Some(200L)),
+        (7L, None, Some(100L)))
       .toDF("id", "k", "ts").write.mode("overwrite").parquet(lPath)
     // right: (key, ts, tb, v) — equal-ts tie at (10,100), null ts row,
-    // key 99 matching nothing
-    Seq((10L, Some(100L), 1L, "a"), (10L, Some(100L), 2L, "b"),
-        (10L, Some(40L), 3L, "c"), (10L, None, 4L, "d"),
-        (20L, Some(6L), 5L, "e"), (99L, Some(1L), 6L, "f"))
+    // null key row (must match NOTHING — SQL equi-join), key 99 unmatched
+    Seq((Some(10L), Some(100L), 1L, "a"), (Some(10L), Some(100L), 2L, "b"),
+        (Some(10L), Some(40L), 3L, "c"), (Some(10L), None, 4L, "d"),
+        (Some(20L), Some(6L), 5L, "e"), (Some(99L), Some(1L), 6L, "f"),
+        (None, Some(50L), 7L, "g"))
       .toDF("k", "rts", "tb", "v").write.mode("overwrite").parquet(rPath)
     val l = spark.read.parquet(lPath)
     val r = spark.read.parquet(rPath)
@@ -51,7 +55,9 @@ class AsofNativeSpec extends SparkSpec {
       (3L, None, None),            // null left ts → no match
       (4L, None, None),            // right ts 6 > 5 → no match
       (5L, None, None),            // key 30 absent on the right
-      (6L, Some(2L), Some("b"))))  // still the ts=100 winner at ts=200
+      (6L, Some(2L), Some("b")),   // still the ts=100 winner at ts=200
+      (7L, None, None)))           // null left key → no match, even with a
+                                   // null-key right row present
     // same data through the library op — bit-identical
     val lib = AsofJoin(l, r, "k", "k", "ts", "rts", Seq("tb", "v"), "tb")
       .select("id", "tb", "v").orderBy("id").collect().toSeq.map(x =>
