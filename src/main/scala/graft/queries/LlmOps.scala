@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.engine.{QueryPack, Tables}
+import graft.engine.{Det, QueryPack, Tables}
 import graft.ops.{Dedup, Multimodal, Sim, TextOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -250,6 +250,69 @@ object LlmOps extends QueryPack {
   // two can never drift apart (a hardcoded copy did, latently)
   private val oracleStopList: String = TextOps.stopwords.values.flatten
     .toSeq.distinct.sorted.map(w => s"'$w'").mkString(",")
+
+  private def oracleLangList(lang: String): String =
+    TextOps.stopwords(lang).map(w => s"'$w'").mkString(",")
+
+  // the whole training-data pipeline in ONE graded query: PII scrub →
+  // language gate → quality gate → exact dedup → corpus stats. Every stage
+  // is individually oracled elsewhere; this grades their composition (the
+  // shape a real corpus build runs nightly). Averages go through integer
+  // fixed-point (Det P2) — quality is 4dp-rounded so fix(·,4) is exact.
+  q("llm_corpus_pipeline",
+    s"""WITH scrubbed AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '(\\+?[0-9]{1,2}[ -])?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS text
+      |  FROM documents
+      |), lang AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+      |         WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+      |         WHEN en >= es AND en >= fr THEN 'en'
+      |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      len(list_intersect(string_split(lower(text), ' '), [${oracleLangList("de")}])) AS de,
+      |      len(list_intersect(string_split(lower(text), ' '), [${oracleLangList("en")}])) AS en,
+      |      len(list_intersect(string_split(lower(text), ' '), [${oracleLangList("es")}])) AS es,
+      |      len(list_intersect(string_split(lower(text), ' '), [${oracleLangList("fr")}])) AS fr
+      |    FROM scrubbed)
+      |), scored AS (
+      |  SELECT doc_id, text,
+      |    round(
+      |      least(CAST(length(text) AS DOUBLE) / 200, 1.0) * 0.3
+      |      + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |               / length(text)) * 0.3
+      |      + (CAST(len(list_intersect(string_split(lower(text), ' '),
+      |           [$oracleStopList])) AS DOUBLE)
+      |         / len(string_split(text, ' '))) * 0.4, 4) AS quality
+      |  FROM lang WHERE lang_pred = 'en'
+      |), kept AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, text, quality,
+      |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |    FROM scored WHERE quality >= 0.6
+      |  ) WHERE rn = 1
+      |)
+      |SELECT COUNT(*) AS n_docs,
+      |  round(CAST(SUM(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |        / 10000 / COUNT(*), 4) AS avg_quality,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |FROM kept""") { (s, dir) =>
+    val scrubbed = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"))
+    val en = scrubbed.filter(TextOps.langId(col("text")) === "en")
+    val scored = en.select(col("doc_id"), col("text"),
+        TextOps.qualityScore(col("text"), size(TextOps.tokens(col("text")))).as("quality"))
+      .filter(col("quality") >= 0.6)
+    Dedup.exact(scored, "text", "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.avgFix(sum(Det.fix(col("quality"), 4)), 4, count(lit(1))).as("avg_quality"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+  }
 
   q("text_quality",
     s"""SELECT doc_id,
