@@ -70,4 +70,54 @@ object Pipeline {
   }
 
   def source(table: String): Pipeline = Pipeline(table)
+
+  /** Parse a pipeline from a JSON config document — the ETL-builder entry
+    * point: pipelines are data, authored/stored/diffed as config and only
+    * interpreted into a Catalyst plan at run time. Shape:
+    *
+    * {{{
+    * { "source": "orders",
+    *   "steps": [
+    *     {"op": "filter", "condition": "o_orderstatus = 'F'"},
+    *     {"op": "join", "pipeline": {"source": "customer"},
+    *      "condition": "o_custkey = c_custkey", "how": "inner"},
+    *     {"op": "agg", "groupBy": ["c_mktsegment"], "aggs": ["count(*) AS n"]},
+    *     {"op": "sort", "keys": ["c_mktsegment"]} ] }
+    * }}}
+    */
+  def fromJson(json: String): Pipeline = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    build(mapper.readTree(json))
+  }
+
+  private def build(n: com.fasterxml.jackson.databind.JsonNode): Pipeline = {
+    import scala.jdk.CollectionConverters._
+    require(n != null && n.hasNonNull("source"), "pipeline config needs a \"source\"")
+    val steps = Option(n.get("steps")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    steps.foldLeft(source(n.get("source").asText())) { (p, s) =>
+      val op = { require(s.hasNonNull("op"), s"step missing \"op\": $s"); s.get("op").asText() }
+      def str(f: String): String = {
+        require(s.hasNonNull(f), s"step \"$op\" missing \"$f\""); s.get(f).asText()
+      }
+      def strs(f: String): Seq[String] = {
+        require(s.hasNonNull(f), s"step \"$op\" missing \"$f\"")
+        s.get(f).elements().asScala.map(_.asText()).toSeq
+      }
+      op match {
+        case "filter"     => p.filter(str("condition"))
+        case "selectExpr" => p.selectExpr(strs("exprs"): _*)
+        case "withColumn" => p.withColumn(str("name"), str("expr"))
+        case "drop"       => p.drop(strs("cols"): _*)
+        case "join"       => p.join(build(s.get("pipeline")), str("condition"),
+          if (s.hasNonNull("how")) str("how") else "inner")
+        case "agg"        => p.agg(if (s.hasNonNull("groupBy")) strs("groupBy") else Nil,
+          strs("aggs"): _*)
+        case "sort"       => p.sort(strs("keys"): _*)
+        case "limit"      => p.limit(s.get("n").asInt())
+        case "distinct"   => p.distinct
+        case "unionAll"   => p.unionAll(build(s.get("pipeline")))
+        case other => throw new IllegalArgumentException(s"unknown pipeline op: $other")
+      }
+    }
+  }
 }

@@ -89,6 +89,28 @@ object Extensibility extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // the SAME builder driven from a JSON config document — pipelines are
+  // data; nothing here touches the DataFrame API directly
+  q("pipeline_from_config",
+    """SELECT n.n_name, COUNT(*) AS n_custs,
+      |  CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_bal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_acctbal > 0
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""") { (s, dir) =>
+    Pipeline.fromJson(
+      """{ "source": "customer",
+        |  "steps": [
+        |    {"op": "filter", "condition": "c_acctbal > 0"},
+        |    {"op": "join", "pipeline": {"source": "nation"},
+        |     "condition": "c_nationkey = n_nationkey", "how": "inner"},
+        |    {"op": "agg", "groupBy": ["n_name"],
+        |     "aggs": ["count(*) AS n_custs",
+        |              "CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS total_bal"]},
+        |    {"op": "sort", "keys": ["n_name"]}
+        |  ] }""".stripMargin).run(s, dir)
+  }
+
   // the ETL-builder surface end-to-end: config-style steps → Catalyst plan
   q("pipeline_e2e",
     s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
