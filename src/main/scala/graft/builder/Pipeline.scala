@@ -90,6 +90,15 @@ object Pipeline {
     build(mapper.readTree(json))
   }
 
+  /** Same config schema as [[fromJson]], YAML syntax (the usual ETL-config
+    * dialect). Jackson's YAML reader yields the identical tree, so the two
+    * entry points can never drift. */
+  def fromYaml(yaml: String): Pipeline = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    build(mapper.readTree(yaml))
+  }
+
   private def build(n: com.fasterxml.jackson.databind.JsonNode): Pipeline = {
     import scala.jdk.CollectionConverters._
     require(n != null && n.hasNonNull("source"), "pipeline config needs a \"source\"")

@@ -25,6 +25,28 @@ class PipelineJsonSpec extends SparkSpec {
     assert(fromConfig.nonEmpty && fromConfig == fluent)
   }
 
+  test("YAML config interprets to the same result as JSON") {
+    val yaml =
+      """source: orders
+        |steps:
+        |  - op: filter
+        |    condition: o_orderstatus = 'F'
+        |  - op: agg
+        |    groupBy: [o_orderpriority]
+        |    aggs: ["count(*) AS n"]
+        |  - op: sort
+        |    keys: [o_orderpriority]
+        |""".stripMargin
+    val json =
+      """{"source": "orders", "steps": [
+        |  {"op": "filter", "condition": "o_orderstatus = 'F'"},
+        |  {"op": "agg", "groupBy": ["o_orderpriority"], "aggs": ["count(*) AS n"]},
+        |  {"op": "sort", "keys": ["o_orderpriority"]}]}""".stripMargin
+    val a = Pipeline.fromYaml(yaml).run(spark, sf).collect().toSeq
+    val b = Pipeline.fromJson(json).run(spark, sf).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("unknown op and missing fields fail loudly") {
     intercept[IllegalArgumentException] {
       Pipeline.fromJson("""{"source": "orders", "steps": [{"op": "explode"}]}""")

@@ -38,6 +38,31 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("property: 300 random points x 100 random intervals equal the naive join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ptsPath = "/tmp/graft_io/rangejoin/prop_pts"
+    val ivPath = "/tmp/graft_io/rangejoin/prop_iv"
+    (1 to 300).map(i => (i.toLong, rnd.between(-1000L, 1000L)))
+      .toDF("pid", "pt").write.mode("overwrite").parquet(ptsPath)
+    (1 to 100).map { i =>
+      val lo = rnd.between(-1000L, 1000L)
+      // ~10% inverted intervals (must match nothing)
+      val hi = if (i % 10 == 0) lo - rnd.between(1L, 50L) else lo + rnd.between(0L, 200L)
+      (i.toLong, lo, hi)
+    }.toDF("id", "lo", "hi").write.mode("overwrite").parquet(ivPath)
+    val pts = spark.read.parquet(ptsPath)
+    val iv = spark.read.parquet(ivPath)
+    val naive = pts.join(iv, col("lo") <= col("pt") && col("pt") <= col("hi"))
+      .select("pid", "id").orderBy("pid", "id").collect().toSeq
+    assert(naive.nonEmpty)
+    for (b <- Seq(1L, 7L, 64L, 1000L)) {
+      val fast = RangeJoin.pointInInterval(pts, col("pt"), iv, col("lo"), col("hi"), b)
+        .select("pid", "id").orderBy("pid", "id").collect().toSeq
+      assert(fast == naive, s"bucketWidth=$b")
+    }
+  }
+
   test("plans a shuffled equi-join on the bucket id, not a nested loop") {
     import spark.implicits._
     val pts = spark.read.parquet("/tmp/graft_io/rangejoin/pts")
