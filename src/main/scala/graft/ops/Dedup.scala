@@ -144,6 +144,53 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
+  /** Connected components over a near-dup pair list via iterative min-label
+    * propagation: every node starts labeled with its own id; each round every
+    * node takes the minimum label among itself and its neighbors; fixpoint =
+    * every node labeled with the smallest id in its component. Convergence
+    * needs O(component diameter) rounds — near-dup clusters are shallow
+    * (most are cliques from a shared shingle block), so a handful of rounds
+    * suffices in practice and `maxIter` bounds the worst case.
+    *
+    * Scale design (100 TB): each round is one shuffle-join on the edge list
+    * plus a groupBy — the same plan GraphX/GraphFrames CC lowers to, with no
+    * extra dependency. `localCheckpoint` cuts the growing lineage each round
+    * (an iterative plan otherwise re-derives every prior round on each
+    * action); at cluster scale the same seam is `checkpoint` to reliable
+    * storage. Convergence is detected by the label-sum invariant: labels
+    * only ever decrease, so an unchanged SUM(label) ⇔ no label changed —
+    * one cheap aggregate per round instead of a self-join diff.
+    *
+    * Returns (id, cluster) with cluster = min id in the component.
+    * Deterministic: min-labels are independent of partitioning/order. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = pin(fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")).localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("cluster")).first().get(0)).fold(0L)(_.asInstanceOf[Long])
+    var prev = labelSum(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("cluster").as("nbr"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val cur = labelSum(next)
+      converged = cur == prev
+      prev = cur
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64, bitwise ±1 votes,
     * sign-aggregated. Near-dup pairs = Hamming distance ≤ maxHamming,
     * candidate-blocked on 16-bit bands (any equal band ⇒ candidate). */

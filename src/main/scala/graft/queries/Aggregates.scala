@@ -251,6 +251,26 @@ object Aggregates extends QueryPack {
       .orderBy("p_partkey", "key")
   }
 
+  // arg-max/arg-min: "the row that attains the extreme", the lookup every
+  // report builder needs without a self-join. Ties broken deterministically
+  // by folding the unique customer key into the ordering value (P10):
+  // cents(acctbal) * 100000 + custkey is injective while custkey < 100000
+  // (15 k at the largest graded SF).
+  q("agg_argminmax",
+    s"""SELECT c_nationkey,
+      |  arg_max(c_name, ${oCents("c_acctbal")} * 100000 + c_custkey) AS richest,
+      |  arg_min(c_name, ${oCents("c_acctbal")} * 100000 + c_custkey) AS poorest
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""") { (s, dir) =>
+    val ordKey = cents(col("c_acctbal")).cast("long") * 100000 + col("c_custkey")
+    Tables(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(max_by(col("c_name"), ordKey).as("richest"),
+        min_by(col("c_name"), ordKey).as("poorest"))
+      .orderBy("c_nationkey")
+  }
+
   q("agg_udaf_wavg",
     s"""SELECT l_returnflag,
       |  round(CAST(SUM(${oCents("l_extendedprice")} * ${oCents("l_quantity")}) AS DOUBLE)

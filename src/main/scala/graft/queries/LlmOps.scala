@@ -49,6 +49,53 @@ object LlmOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // near-dup pairs → duplicate CLUSTERS: connected components by iterative
+  // min-label propagation (Dedup.connectedComponents); the oracle re-derives
+  // the same components with a recursive transitive-closure CTE. This is the
+  // step a real corpus build needs between pair detection and "keep one per
+  // cluster" — pairs alone can't answer which docs are mutual duplicates.
+  q("llm_dedup_cluster",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM i JOIN n na ON i.id_a = na.doc_id JOIN n nb ON i.id_b = nb.doc_id
+      |  ) WHERE jaccard >= 0.3
+      |), ed AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT s AS id, d AS r FROM ed
+      |  UNION
+      |  SELECT reach.id, ed.d AS r FROM reach JOIN ed ON reach.r = ed.s
+      |)
+      |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM (
+      |  SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+      |)
+      |ORDER BY doc_id""") { (s, dir) =>
+    val pairs = Dedup.jaccardPairs(Tables(s, dir, "documents"), "text", "doc_id",
+      k = 3, tau = 0.3)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
   // xxhash64 seeds are engine-specific → declared, rows-only check
   qNo("llm_dedup_minhash") { (s, dir) =>
     Dedup.minhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
@@ -405,6 +452,32 @@ object LlmOps extends QueryPack {
         max(col("width")).as("max_w"), max(col("height")).as("max_h"),
         sum(coalesce(col("n_frames"), lit(0L))).as("total_frames"))
       .orderBy("kind")
+  }
+
+  // per-dimension embedding statistics per label — the profile an embedding
+  // pipeline runs before normalization / whitening. posexplode distributes
+  // the per-dimension fan-out; means go through integer fixed-point (P2).
+  q("emb_dim_stats",
+    s"""SELECT label, CAST(dim AS INT) AS dim, COUNT(*) AS n,
+      |  ${Det.oAvgFix("e", 6)} AS mean_e,
+      |  round(min(e), 4) AS min_e, round(max(e), 4) AS max_e
+      |FROM (
+      |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS e
+      |  FROM embeddings
+      |)
+      |GROUP BY label, dim
+      |ORDER BY label, dim""") { (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("label"), (col("dim") + 1).cast("int").as("dim"),
+        col("e").cast("double").as("e"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        Det.avgFix(sum(Det.fix(col("e"), 6)), 6, count(lit(1))).as("mean_e"),
+        round(min(col("e")), 4).as("min_e"),
+        round(max(col("e")), 4).as("max_e"))
+      .orderBy("label", "dim")
   }
 
   q("text_tokens_bpe",

@@ -209,6 +209,45 @@ object Scalars extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // trig family: java.lang.Math vs libm agree to the last ulp on these
+  // inputs; round(·,4) absorbs any residual — a divergence would need the
+  // true value within ~1e-16 of a 0.5e-4 boundary (P7 policy)
+  q("fn_trig",
+    """SELECT p_partkey,
+      |  round(sin(p_size), 4) AS sin_v,
+      |  round(cos(p_size), 4) AS cos_v,
+      |  round(atan2(p_size, 7), 4) AS atan2_v,
+      |  round(degrees(atan(p_size)), 4) AS deg_atan,
+      |  round(radians(p_size), 4) AS rad_v
+      |FROM part
+      |ORDER BY p_partkey""") { (s, dir) =>
+    Tables(s, dir, "part")
+      .select(col("p_partkey"),
+        round(sin(col("p_size")), 4).as("sin_v"),
+        round(cos(col("p_size")), 4).as("cos_v"),
+        round(atan2(col("p_size"), lit(7)), 4).as("atan2_v"),
+        round(degrees(atan(col("p_size"))), 4).as("deg_atan"),
+        round(radians(col("p_size")), 4).as("rad_v"))
+      .orderBy("p_partkey")
+  }
+
+  // printf-style formatting: Spark format_string and DuckDB printf share the
+  // C conversion spec for %d/%s/%x and zero-padded widths (floats excluded:
+  // %f rounding is HALF_UP in Java but binary-round in C)
+  q("fn_format",
+    """SELECT n_nationkey,
+      |  printf('%03d|%s|%d', n_nationkey, n_name, n_regionkey) AS tag,
+      |  printf('0x%x', n_nationkey * 2654435761) AS hex_key
+      |FROM nation
+      |ORDER BY n_nationkey""") { (s, dir) =>
+    Tables(s, dir, "nation")
+      .select(col("n_nationkey"),
+        format_string("%03d|%s|%d", col("n_nationkey"), col("n_name"),
+          col("n_regionkey")).as("tag"),
+        format_string("0x%x", col("n_nationkey") * lit(2654435761L)).as("hex_key"))
+      .orderBy("n_nationkey")
+  }
+
   q("fn_null_coalesce",
     """SELECT o_orderkey,
       |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,

@@ -72,6 +72,72 @@ object Sources extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
+  // native XML source (Spark 4 ships spark-xml in core): write a dimension
+  // out as XML, read it back with an explicit schema — lossless for the
+  // integer/string columns used, so the original table is the oracle
+  q("scan_xml",
+    """SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+    val out = "/tmp/graft_io/xml_supplier"
+    Tables(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite")
+      .option("rootTag", "suppliers").option("rowTag", "supplier")
+      .format("xml").save(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType)))
+    s.read.schema(schema).option("rowTag", "supplier").format("xml").load(out)
+      .orderBy("s_suppkey")
+  }
+
+  // line-oriented text source: documents round-trip as "id<TAB>text" lines
+  // (corpus text is verified tab/newline-free), split back on first tab.
+  // Lossless → the documents table is the oracle.
+  q("scan_text",
+    """SELECT doc_id, text FROM documents ORDER BY doc_id""") { (s, dir) =>
+    val out = "/tmp/graft_io/text_documents"
+    Tables(s, dir, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(split(col("value"), "\t", 2).as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("text"))
+      .orderBy("doc_id")
+  }
+
+  // binaryFile source: whole files as opaque binary blobs + metadata — the
+  // ingestion shape for multimodal assets (images/audio) at 100 TB, where
+  // the blob rides an opaque binary column and only metadata is relational.
+  // File lengths/hashes are environment data → rows-only + golden hash.
+  qNo("scan_binary") { (s, dir) =>
+    s.read.format("binaryFile").load(s"$dir/*.parquet")
+      .select(regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("table_name"),
+        col("length"), xxhash64(col("content")).as("content_hash"))
+      .orderBy("table_name")
+  }
+
+  // hive-partitioned write + pruned read-back, oracle-backed: the aggregate
+  // over the single read partition must equal the same filter on the source
+  // table. PlanShapeSpec pins that the scan's PartitionFilters prune to one
+  // directory — the 100 TB layout where a predicate touches 1/k of the data.
+  q("scan_partition_pruned",
+    s"""SELECT l_linestatus, COUNT(*) AS n,
+      |  ${Det.oMoney("l_extendedprice")} AS revenue
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""") { (s, dir) =>
+    val out = "/tmp/graft_io/part_pruned_lineitem"
+    Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_linestatus", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    s.read.parquet(out)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        Det.money(sum(Det.cents(col("l_extendedprice")))).as("revenue"))
+      .orderBy("l_linestatus")
+  }
+
   qNo("sink_partitioned") { (s, dir) =>
     val out = "/tmp/graft_io/part_lineitem"
     Tables(s, dir, "lineitem")

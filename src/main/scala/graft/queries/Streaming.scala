@@ -152,6 +152,34 @@ object Streaming extends QueryPack {
     }.orderBy("c_mktsegment", "event_type")
   }
 
+  // stream-stream interval join, batch-graded: clicks matched to the same
+  // user's purchases within the following 10 minutes. The identical join
+  // (plus watermarks bounding both sides' state) runs as a genuine two-
+  // stream join in StreamingSpec — inner interval joins emit on match, so
+  // the drained stream equals this batch form row-for-row.
+  q("stream_stream_join",
+    """SELECT c.user_id, CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+      |       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY 1, 2, 3""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_uid") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        unix_micros(col("p_ts")).as("purchase_us"))
+      .orderBy("user_id", "click_us", "purchase_us")
+  }
+
   // real readStream → parquet sink with checkpoint, then re-read: the
   // sink's content must equal the batch table exactly
   q("stream_foreach_sink",

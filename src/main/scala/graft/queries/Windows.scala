@@ -129,6 +129,36 @@ object Windows extends QueryPack {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // IGNORE NULLS offsets: carry the last observed value across gaps — the
+  // sensor-fill / last-known-good idiom. Nulls are derived (error events),
+  // since the graded tables are NULL-free; values go through per-row
+  // fixed-point so the carried numbers are integers (P2).
+  q("win_ignore_nulls",
+    """SELECT user_id, event_id, v,
+      |  lag(v IGNORE NULLS) OVER w AS prev_v,
+      |  last_value(v IGNORE NULLS) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                   AND CURRENT ROW) AS last_good_v
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN event_type = 'error' THEN NULL
+      |         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v
+      |  FROM events
+      |)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(Det.fix(col("value"), 2).cast("long")).as("v"))
+      .select(col("user_id"), col("event_id"), col("v"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+        last(col("v"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("last_good_v"))
+      .orderBy("user_id", "event_id")
+  }
+
   q("win_percent_cume",
     """SELECT p_brand, p_partkey, p_size,
       |  round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_size), 6) AS pr,

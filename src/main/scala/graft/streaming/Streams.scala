@@ -47,18 +47,29 @@ object Streams {
   def runToMemory(spark: SparkSession, dir: String, name: String,
                   outputMode: String = "append")
                  (transform: DataFrame => DataFrame): DataFrame = {
-    val chk = s"/tmp/graft_io/chk_$name${math.abs(dir.hashCode)}"
+    drainToMemory(spark, s"$name${math.abs(dir.hashCode)}",
+      transform(eventsStream(spark, dir)), outputMode, alias = name)
+  }
+
+  /** Drain an already-built streaming DataFrame into an in-memory table
+    * (AvailableNow trigger, fresh checkpoint → deterministic reprocess) and
+    * return it. Callers that compose several sources (e.g. a two-stream
+    * join) build the streaming plan themselves and hand it here. */
+  def drainToMemory(spark: SparkSession, name: String, sdf: DataFrame,
+                    outputMode: String = "append",
+                    alias: String = null): DataFrame = {
+    val chk = s"/tmp/graft_io/chk_$name"
     // memory sinks cannot recover a checkpoint → fresh reprocess every run
     import scala.reflect.io.Directory
     new Directory(new java.io.File(chk)).deleteRecursively()
-    val q = transform(eventsStream(spark, dir))
-      .writeStream.format("memory").queryName(name)
+    val q = sdf.writeStream.format("memory")
+      .queryName(if (alias == null) name else alias)
       .outputMode(outputMode)
       .option("checkpointLocation", chk)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    spark.table(if (alias == null) name else alias)
   }
 
   /** Streaming parquet sink: drain the events stream into parquet with a

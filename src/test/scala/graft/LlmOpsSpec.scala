@@ -24,6 +24,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("connected components label every node with the component minimum") {
+    // two components: a 4-node chain 1-2-3-4 (diameter 3 — needs real
+    // propagation, not one hop) and an isolated pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components of an empty pair list is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs, "id_a", "id_b").count() == 0)
+  }
+
   test("jaccard is symmetric-safe and bounded by [0,1]") {
     val df = Seq(
       (1L, "a b c d e f"), (2L, "a b c d x y"), (3L, "a b c d e f g h")

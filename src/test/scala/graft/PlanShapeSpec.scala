@@ -49,6 +49,15 @@ class PlanShapeSpec extends SparkSpec {
       s"no partial (pre-shuffle) group limit:\n$p")
   }
 
+  test("scan_partition_pruned prunes to one hive partition at the scan") {
+    val p = plan("scan_partition_pruned")
+    // the read-back scan must carry the partition predicate as a
+    // PartitionFilters entry (directory pruning), not a post-scan Filter
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("l_returnflag")),
+      s"partition filter not pushed to the scan:\n$p")
+  }
+
   test("scan_parquet scan stays columnar/vectorized") {
     val p = plan("scan_parquet")
     assert(p.contains("ColumnarToRow") || p.contains("Batched: true"), p)

@@ -82,6 +82,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two-stream interval join equals the batch-graded form") {
+    val clicks = Streams.eventsStream(spark, sf)
+      .filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = Streams.eventsStream(spark, sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+        $"user_id" === $"p_uid" &&
+        $"p_ts" > $"c_ts" &&
+        $"p_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"))
+      .select($"user_id", unix_micros($"c_ts").as("click_us"),
+        unix_micros($"p_ts").as("purchase_us"))
+    val streamed = Streams.drainToMemory(spark, "ssj_test", joined)
+      .orderBy("user_id", "click_us", "purchase_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = SparkEntry.queries("stream_stream_join")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("file-source streaming tumbling equals batch result") {
     val streamed = Streams.runToMemory(spark, sf, "tumbling_test", "complete") { ev =>
       ev.groupBy(window($"ts", "1 hour")).agg(count(lit(1)).as("n"))
