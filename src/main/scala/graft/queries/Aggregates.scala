@@ -251,6 +251,60 @@ object Aggregates extends QueryPack {
       .orderBy("p_partkey", "key")
   }
 
+  // incremental re-aggregation: daily partial aggregates are materialized
+  // once (the "nightly" run), then monthly totals re-aggregate the partials
+  // WITHOUT rescanning the fact table — sums of exact integer cents are
+  // mergeable, so the rollup is lossless. At 100 TB this is the difference
+  // between scanning 365 daily summaries and re-scanning a year of facts.
+  // The oracle aggregates the facts directly: both routes must agree.
+  q("agg_incremental_rollup",
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |  l_returnflag, CAST(SUM(cnt_rows) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS DOUBLE) / 100 AS revenue
+      |FROM (
+      |  SELECT date_trunc('day', l_shipdate) AS day, l_shipdate, l_returnflag,
+      |    1 AS cnt_rows, ${Det.oCents("l_extendedprice")} AS cents
+      |  FROM lineitem
+      |)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""") { (s, dir) =>
+    val partials = "/tmp/graft_io/daily_partials"
+    Tables(s, dir, "lineitem")
+      .groupBy(date_trunc("day", col("l_shipdate")).as("day"), col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt_rows"),
+        sum(cents(col("l_extendedprice"))).as("cents"))
+      .write.mode("overwrite").parquet(partials)
+    s.read.parquet(partials)
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"),
+        col("l_returnflag"))
+      .agg(sum(col("cnt_rows")).as("n"),
+        (sum(col("cents")).cast("double") / 100).as("revenue"))
+      .orderBy("month", "l_returnflag")
+  }
+
+  // FILTER-clause aggregates: several differently-filtered measures in ONE
+  // pass over the fact table (the alternative — one scan per measure —
+  // multiplies I/O at 100 TB). Spark evaluates the same FILTER syntax.
+  q("agg_filter_clause",
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_all,
+      |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  CAST(COALESCE(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |         FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) / 100 AS disc_rev
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_all"),
+        expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_big"),
+        (coalesce(expr(
+            "sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) " +
+            "FILTER (WHERE l_discount > 0.05)"), lit(0L))
+          .cast("double") / 100).as("disc_rev"))
+      .orderBy("l_returnflag")
+  }
+
   // arg-max/arg-min: "the row that attains the extreme", the lookup every
   // report builder needs without a self-join. Ties broken deterministically
   // by folding the unique customer key into the ordering value (P10):

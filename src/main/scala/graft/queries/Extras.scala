@@ -142,4 +142,58 @@ object Extras extends QueryPack {
         nth_value(col("c_custkey"), 2).over(w).as("second_richest"))
       .orderBy("c_nationkey", "c_custkey")
   }
+
+  // upsert/merge without mutable storage: apply a changeset to a base table
+  // via full-outer join + coalesce — the immutable-parquet MERGE pattern
+  // (new key → insert, matching key → update, absent → carry forward).
+  // Changeset is derived: customers holding an urgent order get a tag.
+  q("etl_merge_upsert",
+    """WITH delta AS (
+      |  SELECT DISTINCT o_custkey AS key, 'URGENT_BUYER' AS tag
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |)
+      |SELECT COALESCE(c.c_custkey, d.key) AS c_custkey,
+      |  COALESCE(d.tag, c.c_mktsegment) AS segment,
+      |  CASE WHEN d.key IS NULL THEN 'carried'
+      |       WHEN c.c_custkey IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS merge_action
+      |FROM customer c FULL JOIN delta d ON c.c_custkey = d.key
+      |ORDER BY c_custkey""") { (s, dir) =>
+    val delta = Tables(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("key")).distinct()
+      .withColumn("tag", lit("URGENT_BUYER"))
+    Tables(s, dir, "customer").as("c")
+      .join(delta.as("d"), col("c_custkey") === col("key"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+        coalesce(col("tag"), col("c_mktsegment")).as("segment"),
+        when(col("key").isNull, "carried")
+          .when(col("c_custkey").isNull, "inserted")
+          .otherwise("updated").as("merge_action"))
+      .orderBy("c_custkey")
+  }
+
+  // one-pass data-quality profile: row count, key uniqueness, null rate,
+  // domain violations, accepted-value coverage — the assertion set an ETL
+  // builder runs after every load, as a single scan of the fact table
+  q("dq_profile",
+    """SELECT
+      |  COUNT(*) AS n_rows,
+      |  CAST(COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT) AS n_unique_keys,
+      |  COUNT(*) FILTER (WHERE l_quantity IS NULL) AS n_null_qty,
+      |  COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS n_qty_range_viol,
+      |  COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS n_bad_flag,
+      |  COUNT(*) FILTER (WHERE l_shipdate < TIMESTAMP '1990-01-01') AS n_bad_date
+      |FROM lineitem""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey") * 10 + col("l_linenumber")).as("n_unique_keys"),
+        expr("count(*) FILTER (WHERE l_quantity IS NULL)").as("n_null_qty"),
+        expr("count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)")
+          .as("n_qty_range_viol"),
+        expr("count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R'))")
+          .as("n_bad_flag"),
+        expr("count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1990-01-01')")
+          .as("n_bad_date"))
+  }
 }

@@ -240,6 +240,26 @@ object Joins extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+  // each other instead of vanishing — the semantics ETL reconciliation
+  // needs when "unknown" buckets on both sides must pair up. Nulls are
+  // derived (the graded tables are NULL-free): bucket 0 becomes NULL on
+  // both sides and still joins.
+  q("join_null_safe",
+    """SELECT o_orderkey, r_regionkey
+      |FROM (SELECT o_orderkey, nullif(o_custkey % 5, 0) AS k FROM orders) o
+      |JOIN (SELECT r_regionkey, nullif(r_regionkey, 0) AS k FROM region) r
+      |  ON o.k IS NOT DISTINCT FROM r.k
+      |ORDER BY o_orderkey, r_regionkey""") { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), expr("nullif(o_custkey % 5, 0)").as("k"))
+    val r = Tables(s, dir, "region")
+      .select(col("r_regionkey"), expr("nullif(r_regionkey, 0)").as("k2"))
+    o.join(broadcast(r), col("k") <=> col("k2"))
+      .select(col("o_orderkey"), col("r_regionkey"))
+      .orderBy("o_orderkey", "r_regionkey")
+  }
+
   q("join_multiway",
     s"""SELECT r.r_name, n.n_name,
       |  ${oMoney("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,

@@ -480,6 +480,72 @@ object LlmOps extends QueryPack {
       .orderBy("label", "dim")
   }
 
+  // corpus bigram counts: same shingle machinery as near-dup at k=2, the
+  // n-gram statistics a language-model corpus audit runs
+  q("text_bigrams",
+    """SELECT bg, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i+1])) AS bg
+      |  FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents)
+      |  WHERE len(tk) >= 2
+      |)
+      |GROUP BY bg
+      |ORDER BY cnt DESC, bg
+      |LIMIT 20""") { (s, dir) =>
+    graft.engine.Tables.fan(Tables(s, dir, "documents"))
+      .select(TextOps.tokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(TextOps.shingles(col("tk"), 2)).as("bg"))
+      .groupBy("bg")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg"))
+      .limit(20)
+  }
+
+  // two-stage vector analytics: per-label centroids (fixed-point dimension
+  // means, broadcastable — 5 labels × 64 dims) → each vector's Euclidean
+  // distance to its own centroid → top-5 outliers per label. The embedding
+  // QC pass that catches mislabeled / degenerate vectors before training.
+  // Squared diffs ride integer fixed-point so the 64-dim sum is exact (P2).
+  q("sim_centroid_dist",
+    s"""WITH d AS (
+      |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS e
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT label, dim, ${Det.oAvgFix("e", 6)} AS m
+      |  FROM d GROUP BY label, dim
+      |), dist AS (
+      |  SELECT d.label AS label, d.vec_id AS vec_id,
+      |    round(sqrt(CAST(SUM(${Det.oFix("(e - m) * (e - m)", 8)}) AS DOUBLE)
+      |               / 100000000), 4) AS dist
+      |  FROM d JOIN c ON d.label = c.label AND d.dim = c.dim
+      |  GROUP BY 1, 2
+      |)
+      |SELECT label, vec_id, dist, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY label
+      |                               ORDER BY dist DESC, vec_id) AS rn
+      |  FROM dist
+      |) WHERE rn <= 5
+      |ORDER BY label, rn""") { (s, dir) =>
+    val dims = Tables(s, dir, "embeddings")
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("label"), col("vec_id"), col("dim"),
+        col("e").cast("double").as("e"))
+    val cent = dims.groupBy("label", "dim")
+      .agg(Det.avgFix(sum(Det.fix(col("e"), 6)), 6, count(lit(1))).as("m"))
+    val dist = dims.join(broadcast(cent), Seq("label", "dim"))
+      .select(col("label"), col("vec_id"),
+        Det.fix((col("e") - col("m")) * (col("e") - col("m")), 8).cast("long").as("d2"))
+      .groupBy("label", "vec_id")
+      .agg(round(sqrt(sum(col("d2")).cast("double") / 100000000L), 4).as("dist"))
+    val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
+    dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("label", "rn")
+  }
+
   q("text_tokens_bpe",
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,

@@ -101,6 +101,27 @@ object Relational extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // nested-struct surgery: pack a struct column, add a derived field with
+  // withField, drop one with dropFields, read fields back out — the
+  // schema-evolution moves a nested-data pipeline makes without exploding
+  // the struct. The oracle checks the flattened result (struct literals
+  // don't hash cross-engine; the extracted scalars do).
+  q("proj_struct_ops",
+    """SELECT c_custkey, c_name AS name, c_mktsegment AS seg,
+      |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100 AS bal2
+      |FROM customer
+      |ORDER BY c_custkey""") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        struct(col("c_name").as("name"), col("c_mktsegment").as("seg"),
+          cents(col("c_acctbal")).as("bal")).as("cust"))
+      .withColumn("cust", col("cust").withField("bal2", col("cust.bal") + 100))
+      .withColumn("cust", col("cust").dropFields("bal"))
+      .select(col("c_custkey"), col("cust.name").as("name"),
+        col("cust.seg").as("seg"), col("cust.bal2").as("bal2"))
+      .orderBy("c_custkey")
+  }
+
   q("proj_cast",
     s"""SELECT l_orderkey, l_linenumber,
       |  CAST(l_linenumber AS BIGINT) AS line_big,

@@ -209,6 +209,24 @@ object Scalars extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // higher-order array predicates: filter / exists / forall over token
+  // arrays — all codegen'd lambda evaluation, no UDFs
+  q("fn_array_predicates",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(tk, t -> length(t) > 5)) AS INT) AS n_long,
+      |  len(list_filter(tk, t -> t = 'the')) > 0 AS has_the,
+      |  len(list_filter(tk, t -> length(t) < 1)) = 0 AS all_nonempty
+      |FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents)
+      |ORDER BY doc_id""") { (s, dir) =>
+    val tk = split(lower(col("text")), " ")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(tk, t => length(t) > 5)).as("n_long"),
+        exists(tk, t => t === "the").as("has_the"),
+        forall(tk, t => length(t) >= 1).as("all_nonempty"))
+      .orderBy("doc_id")
+  }
+
   // trig family: java.lang.Math vs libm agree to the last ulp on these
   // inputs; round(·,4) absorbs any residual — a divergence would need the
   // true value within ~1e-16 of a 0.5e-4 boundary (P7 policy)
