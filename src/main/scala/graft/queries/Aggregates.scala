@@ -251,6 +251,25 @@ object Aggregates extends QueryPack {
       .orderBy("p_partkey", "key")
   }
 
+  // exact COUNT DISTINCT via mergeable bitmaps: stage 1 builds one bitmap
+  // per (group, id-bucket) — a partial any executor can compute locally —
+  // stage 2 sums per-bucket cardinalities. Unlike HLL this is EXACT, and
+  // unlike count(distinct) the partials are tiny fixed-size blobs that
+  // merge associatively: the 100 TB distinct-rollup layout (store bitmaps,
+  // re-aggregate without rescanning). Oracle: plain COUNT(DISTINCT).
+  q("agg_bitmap_distinct",
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users"))
+      .orderBy("event_type")
+  }
+
   // incremental re-aggregation: daily partial aggregates are materialized
   // once (the "nightly" run), then monthly totals re-aggregate the partials
   // WITHOUT rescanning the fact table — sums of exact integer cents are

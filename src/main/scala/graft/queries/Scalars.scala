@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.engine.{QueryPack, Tables}
+import graft.engine.{Det, QueryPack, Tables}
 import org.apache.spark.sql.functions._
 
 /** Scalar function families (SURVEY §2.8) — one graded query per family,
@@ -207,6 +207,31 @@ object Scalars extends QueryPack {
     Tables(s, dir, "documents")
       .select(col("doc_id"), xxhash64(col("text")).as("h_xx64"), crc32(col("text")).as("h_crc32"))
       .orderBy("doc_id")
+  }
+
+  // ANSI-safe error handling: try_cast / try_divide / try_add return NULL
+  // instead of failing the job — at 100 TB one malformed row must not kill
+  // a 1000-executor stage. DuckDB lacks try_divide/try_add; the oracle
+  // spells the same semantics with guards.
+  q("fn_try_safe",
+    """SELECT o_orderkey,
+      |  TRY_CAST(o_orderpriority AS INT) AS prio_int,
+      |  TRY_CAST(o_orderkey AS SMALLINT) AS key_small,
+      |  CASE WHEN o_custkey % 3 = 0 THEN NULL
+      |       ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / (o_custkey % 3)
+      |  END AS price_per_bucket,
+      |  CASE WHEN o_orderkey > 7 THEN NULL
+      |       ELSE 9223372036854775800 + o_orderkey END AS near_overflow
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+        expr("try_cast(o_orderkey AS SMALLINT)").as("key_small"),
+        try_divide(Det.cents(col("o_totalprice")), col("o_custkey") % 3)
+          .as("price_per_bucket"),
+        try_add(lit(9223372036854775800L), col("o_orderkey")).as("near_overflow"))
+      .orderBy("o_orderkey")
   }
 
   // higher-order array predicates: filter / exists / forall over token
