@@ -251,6 +251,37 @@ object Aggregates extends QueryPack {
       .orderBy("p_partkey", "key")
   }
 
+  // fixed-width histogram via pure bucket arithmetic (no histogram UDAF
+  // needed): floor(v / width) is a plain per-row expression, so the
+  // histogram is an ordinary two-phase hash aggregate at any scale
+  q("agg_histogram",
+    s"""SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bucket, COUNT(*) AS n,
+      |  ${Det.oAvg4("l_quantity")} AS avg_qty
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(floor(col("l_quantity") / 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        Det.avg4(sum(cents(col("l_quantity"))), count(lit(1))).as("avg_qty"))
+      .orderBy("bucket")
+  }
+
+  // ordered DISTINCT string aggregation — dedup inside the aggregate, with
+  // an explicit WITHIN GROUP order so the concatenation is deterministic
+  q("agg_listagg_distinct",
+    """SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(expr("listagg(DISTINCT c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment)")
+        .as("segs"))
+      .orderBy("c_nationkey")
+  }
+
   // exact COUNT DISTINCT via mergeable bitmaps: stage 1 builds one bitmap
   // per (group, id-bucket) — a partial any executor can compute locally —
   // stage 2 sums per-bucket cardinalities. Unlike HLL this is EXACT, and

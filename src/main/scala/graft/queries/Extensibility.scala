@@ -47,6 +47,26 @@ object Extensibility extends QueryPack {
       .orderBy("p_partkey", "pos")
   }
 
+  // explode_outer: rows with EMPTY arrays survive as a NULL row instead of
+  // vanishing — the outer-generator semantics a left-join-shaped flatten
+  // needs. DuckDB has no outer unnest; the oracle pads empties to [NULL].
+  q("udtf_explode_outer",
+    """SELECT doc_id, tok FROM (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+      |  FROM (
+      |    SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 9) AS toks
+      |    FROM documents
+      |  )
+      |)
+      |ORDER BY doc_id, tok NULLS FIRST""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) > 9).as("toks"))
+      .select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+  }
+
   // native codegen Expression — called through SQL once registered
   q("expr_custom_dot",
     """WITH v AS (

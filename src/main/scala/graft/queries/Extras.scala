@@ -173,6 +173,42 @@ object Extras extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // SCD2-style change capture: collapse each user's event stream into
+  // versioned intervals — a new version starts whenever event_type changes
+  // (lag-detect → cumulative version counter → per-version envelope). The
+  // slowly-changing-dimension build an ETL tool runs over CDC feeds.
+  q("etl_scd2_intervals",
+    """WITH marked AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), grp AS (
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ver
+      |  FROM marked
+      |)
+      |SELECT user_id, event_type, ver,
+      |  CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us,
+      |  COUNT(*) AS n_events
+      |FROM grp
+      |GROUP BY user_id, event_type, ver
+      |ORDER BY user_id, ver""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("event_type"), 1).over(w)
+    Tables(s, dir, "events")
+      .withColumn("chg",
+        when(prev.isNull || prev =!= col("event_type"), 1).otherwise(0))
+      .withColumn("ver", sum(col("chg")).over(wcum).cast("long"))
+      .groupBy("user_id", "event_type", "ver")
+      .agg(unix_micros(min(col("ts"))).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "ver")
+  }
+
   // one-pass data-quality profile: row count, key uniqueness, null rate,
   // domain violations, accepted-value coverage — the assertion set an ETL
   // builder runs after every load, as a single scan of the fact table

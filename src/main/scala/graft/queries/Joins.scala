@@ -240,6 +240,39 @@ object Joins extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  // dynamic partition pruning: the fact table is laid out partitioned by
+  // the join column; a selective predicate on the dim side becomes a
+  // runtime `dynamicpruningexpression` PartitionFilter on the fact scan,
+  // so pruned partitions are never read. THE mechanism that makes
+  // dim-filtered fact joins cheap on a 100 TB hive layout (pinned in
+  // PlanShapeSpec). The dim must be file-backed: a VALUES relation folds
+  // to a LocalRelation and loses the selective-filter detection.
+  q("join_dpp",
+    s"""WITH flag_dim AS (
+      |  SELECT * FROM (VALUES ('A', 'keep'), ('R', 'keep'), ('N', 'drop')) t(flag, action)
+      |)
+      |SELECT l_returnflag, COUNT(*) AS n, ${oMoney("l_extendedprice")} AS revenue
+      |FROM lineitem JOIN flag_dim ON l_returnflag = flag
+      |WHERE action = 'keep'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (s, dir) =>
+    import s.implicits._
+    val factPath = "/tmp/graft_io/dpp_lineitem"
+    val dimPath = "/tmp/graft_io/dpp_flagdim"
+    Tables(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(factPath)
+    Seq(("A", "keep"), ("R", "keep"), ("N", "drop")).toDF("flag", "action")
+      .write.mode("overwrite").parquet(dimPath)
+    val fact = s.read.parquet(factPath)
+    val dim = s.read.parquet(dimPath).filter(col("action") === "keep")
+    fact.join(dim, col("l_returnflag") === col("flag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        money(sum(cents(col("l_extendedprice")))).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
   // each other instead of vanishing — the semantics ETL reconciliation
   // needs when "unknown" buckets on both sides must pair up. Nulls are

@@ -116,6 +116,31 @@ object Sources extends QueryPack {
       .orderBy("table_name")
   }
 
+  // schema evolution across file generations: v1 files lack a column that
+  // v2 files carry; mergeSchema unifies the footers and back-fills NULL —
+  // how a year of 100 TB daily drops survives adding a column mid-stream
+  q("scan_schema_evolution",
+    """SELECT o_orderkey, status, CAST(prio AS VARCHAR) AS prio FROM (
+      |  SELECT o_orderkey, o_orderstatus AS status, NULL AS prio
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |)
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val base = "/tmp/graft_io/schema_evo"
+    val o = Tables(s, dir, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"))
+      .write.mode("overwrite").parquet(s"$base/v1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"))
+      .write.mode("overwrite").parquet(s"$base/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+      .orderBy("o_orderkey")
+  }
+
   // hive-partitioned write + pruned read-back, oracle-backed: the aggregate
   // over the single read partition must equal the same filter on the source
   // table. PlanShapeSpec pins that the scan's PartitionFilters prune to one

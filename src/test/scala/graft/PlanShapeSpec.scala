@@ -49,6 +49,12 @@ class PlanShapeSpec extends SparkSpec {
       s"no partial (pre-shuffle) group limit:\n$p")
   }
 
+  test("join_dpp injects a dynamic partition pruning filter on the fact scan") {
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
+  }
+
   test("scan_partition_pruned prunes to one hive partition at the scan") {
     val p = plan("scan_partition_pruned")
     // the read-back scan must carry the partition predicate as a
