@@ -78,6 +78,15 @@ object ScaleStress {
       "ts", "o_orderdate", asofCols._1, asofCols._2).count())
     time("asof native  10x (1M x 1.5M)")(plans.AsofNative.join(ev10, ord10, "user_id", "o_custkey",
       "ts", "o_orderdate", asofCols._1, asofCols._2).count())
+
+    // connected components: rounds scale with component diameter, per-round
+    // work with edge count — pairs from the 1x/10x corpora
+    val p1 = ops.Dedup.jaccardPairs(d1, "text", "doc_id", 3, 0.3).cache(); p1.count()
+    val p10 = ops.Dedup.jaccardPairs(d10, "text", "doc_id", 3, 0.3).cache(); p10.count()
+    time("connected components 1x")(
+      ops.Dedup.connectedComponents(p1, "id_a", "id_b").count())
+    time("connected components 10x")(
+      ops.Dedup.connectedComponents(p10, "id_a", "id_b").count())
     spark.stop()
   }
 }

@@ -62,6 +62,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("connected components match a reference union-find on random graphs") {
+    val genEdge = for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val genGraph = Gen.listOfN(15, genEdge)
+    (0 until 3).foreach { i =>
+      val edges = genGraph(Gen.Parameters.default, Seed(7L + i)).get.distinct
+      // reference: driver-side union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = ops.Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      // min-label CC and union-find agree up to representative choice;
+      // normalize both to min-of-component
+      val canon = expected.groupBy(_._2).flatMap { case (_, m) =>
+        val mn = m.keys.min; m.keys.map(_ -> mn)
+      }
+      assert(got == canon, s"graph $i: $edges")
+    }
+  }
+
   test("cosine self-similarity is 1 for every corpus vector") {
     val emb = engine.Tables(spark, sf, "embeddings")
     val selfSim = emb.select(
