@@ -23,6 +23,15 @@ object Pipeline {
   final case class Limit(n: Int) extends Step
   final case class Distinct() extends Step
   final case class UnionAll(other: Pipeline) extends Step
+  /** Deterministic keep-first dedup: first row per key under an explicit
+    * total order (never dropDuplicates' arbitrary-survivor semantics). */
+  final case class DedupKeepFirst(keys: Seq[String], orderBy: Seq[String]) extends Step
+  /** Pivot with an EXPLICIT value list — implicit value discovery would
+    * make the output schema data-dependent (and column order unstable). */
+  final case class Pivot(groupBy: Seq[String], pivotCol: String,
+                         values: Seq[String], agg: String) extends Step
+  final case class Unpivot(ids: Seq[String], values: Seq[String],
+                           varName: String, valName: String) extends Step
 
   final case class Sink(path: String, format: String = "parquet",
                         partitionBy: Seq[String] = Nil)
@@ -39,6 +48,12 @@ object Pipeline {
     def limit(n: Int): Pipeline = add(Limit(n))
     def distinct: Pipeline = add(Distinct())
     def unionAll(other: Pipeline): Pipeline = add(UnionAll(other))
+    def dedupKeepFirst(keys: Seq[String], orderBy: Seq[String]): Pipeline =
+      add(DedupKeepFirst(keys, orderBy))
+    def pivot(groupBy: Seq[String], pivotCol: String, values: Seq[String],
+              agg: String): Pipeline = add(Pivot(groupBy, pivotCol, values, agg))
+    def unpivot(ids: Seq[String], values: Seq[String], varName: String,
+                valName: String): Pipeline = add(Unpivot(ids, values, varName, valName))
     private def add(s: Step): Pipeline = copy(steps = steps :+ s)
 
     /** Interpret the step list into a DataFrame lineage. */
@@ -59,6 +74,18 @@ object Pipeline {
         case (df, Limit(n))         => df.limit(n)
         case (df, Distinct())       => df.distinct()
         case (df, UnionAll(o))      => df.unionByName(o.run(spark, dir))
+        case (df, DedupKeepFirst(ks, ob)) =>
+          import org.apache.spark.sql.functions.{col, row_number, expr}
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(ks.map(col): _*).orderBy(ob.map(expr): _*)
+          df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        case (df, Pivot(g, pc, vs, a)) =>
+          import org.apache.spark.sql.functions.{col, expr}
+          df.groupBy(g.map(col): _*).pivot(pc, vs).agg(expr(a))
+        case (df, Unpivot(ids, vals, vn, valn)) =>
+          import org.apache.spark.sql.functions.col
+          df.unpivot(ids.map(col).toArray, vals.map(col).toArray, vn, valn)
       }
 
     /** Terminal write. */
@@ -125,6 +152,12 @@ object Pipeline {
         case "limit"      => p.limit(s.get("n").asInt())
         case "distinct"   => p.distinct
         case "unionAll"   => p.unionAll(build(s.get("pipeline")))
+        case "dedup"      => p.dedupKeepFirst(strs("keys"), strs("orderBy"))
+        case "pivot"      => p.pivot(
+          if (s.hasNonNull("groupBy")) strs("groupBy") else Nil,
+          str("pivotCol"), strs("values"), str("agg"))
+        case "unpivot"    => p.unpivot(strs("ids"), strs("values"),
+          str("varName"), str("valName"))
         case other => throw new IllegalArgumentException(s"unknown pipeline op: $other")
       }
     }

@@ -144,6 +144,34 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs with banded blocking:
+    * candidates must share the first token AND sit in the same or adjacent
+    * length band. Length banding is EXACT (lev ≤ d ⇒ length diff ≤ d <
+    * band width ⇒ bands differ by ≤ 1, and emitting each row into two
+    * consecutive bands makes that an equi-join); first-token blocking is
+    * the standard recall heuristic (edits at the head of the string can
+    * escape the block). Verification (the actual levenshtein) runs only on
+    * candidates — never O(n²). */
+  def fuzzyPairs(docs: DataFrame, textCol: String, idCol: String,
+                 maxDist: Int): DataFrame = {
+    val width = maxDist + 1
+    val base = fan(docs).select(col(idCol).cast("long").as("id"),
+      col(textCol).as("t"),
+      split(col(textCol), " ").getItem(0).as("blk"),
+      floor(length(col(textCol)) / width).cast("long").as("lb"))
+    val banded = base.select(col("id"), col("t"), col("blk"),
+      explode(array(col("lb"), col("lb") + 1)).as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.blk") === col("b.blk") && col("a.band") === col("b.band")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.t").as("ta"), col("b.t").as("tb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Connected components over a near-dup pair list via iterative min-label
     * propagation: every node starts labeled with its own id; each round every
     * node takes the minimum label among itself and its neighbors; fixpoint =

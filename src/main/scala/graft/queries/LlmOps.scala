@@ -96,6 +96,45 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // edit-distance dedup on part names, with deterministically injected
+  // typo-copies (last char mutated: distance exactly 1, same block) so the
+  // operator's recall is graded, not just its plumbing. Organic pairs from
+  // the real names ride along.
+  q("llm_dedup_fuzzy",
+    """WITH uniq AS (
+      |  SELECT min(p_partkey) AS id, p_name AS t FROM part GROUP BY p_name
+      |), src AS (
+      |  SELECT id, t FROM uniq
+      |  UNION ALL
+      |  SELECT id + 1000000,
+      |         substring(t, 1, CAST(length(t) AS INT) - 1) || 'x'
+      |  FROM uniq
+      |), k AS (
+      |  SELECT id, t, string_split(t, ' ')[1] AS blk,
+      |    CAST(floor(length(t) / 3) AS BIGINT) AS lb
+      |  FROM src
+      |), banded AS (
+      |  SELECT id, t, blk, unnest([lb, lb + 1]) AS band FROM k
+      |), cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.t AS ta, b.t AS tb
+      |  FROM banded a JOIN banded b
+      |    ON a.blk = b.blk AND a.band = b.band AND a.id < b.id
+      |)
+      |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INT) AS dist
+      |FROM cand WHERE levenshtein(ta, tb) <= 2
+      |ORDER BY id_a, id_b""") { (s, dir) =>
+    // exact-dedup first (fuzzy matching over distinct names is the real
+    // pipeline order — identical names are llm_dedup_exact's job and would
+    // produce quadratic dist-0 groups here)
+    val uniq = Tables(s, dir, "part").groupBy("p_name")
+      .agg(min("p_partkey").as("id"))
+      .select(col("id"), col("p_name").as("t"))
+    val src = uniq.unionByName(uniq.select((col("id") + 1000000).as("id"),
+      concat(expr("substring(t, 1, length(t) - 1)"), lit("x")).as("t")))
+    Dedup.fuzzyPairs(src, "t", "id", maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   // xxhash64 seeds are engine-specific → declared, rows-only check
   qNo("llm_dedup_minhash") { (s, dir) =>
     Dedup.minhashPairs(Tables(s, dir, "documents"), "text", "doc_id",

@@ -24,6 +24,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("fuzzy pairs find typo neighbors within the block, none beyond maxDist") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamm"),   // dist 1, same first token
+      (3L, "alpha completely different"),
+      (4L, "omega beta gamma")   // dist ≤ 2 of id 1 BUT different block
+    ).toDF("id", "t")
+    val out = Dedup.fuzzyPairs(df, "t", "id", maxDist = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("connected components label every node with the component minimum") {
     // two components: a 4-node chain 1-2-3-4 (diameter 3 — needs real
     // propagation, not one hop) and an isolated pair 10-11

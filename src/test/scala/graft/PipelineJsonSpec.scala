@@ -47,6 +47,44 @@ class PipelineJsonSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("dedup step keeps exactly the first row per key under the given order") {
+    val out = Pipeline.fromJson(
+      """{"source": "orders", "steps": [
+        |  {"op": "dedup", "keys": ["o_custkey"], "orderBy": ["o_orderdate", "o_orderkey"]},
+        |  {"op": "selectExpr", "exprs": ["o_custkey", "o_orderkey"]},
+        |  {"op": "sort", "keys": ["o_custkey"]}]}""".stripMargin)
+      .run(spark, sf)
+    // one row per customer, and it is the earliest (date, orderkey) order
+    import org.apache.spark.sql.functions._
+    assert(out.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+    val expect = engine.Tables(spark, sf, "orders")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .filter(col("rn") === 1).select("o_custkey", "o_orderkey")
+      .orderBy("o_custkey").collect().toSeq
+    assert(out.collect().toSeq == expect)
+  }
+
+  test("pivot and unpivot steps round-trip through config") {
+    val pivoted = Pipeline.fromJson(
+      """{"source": "events", "steps": [
+        |  {"op": "pivot", "groupBy": ["user_id"], "pivotCol": "event_type",
+        |   "values": ["click", "view"], "agg": "count(*)"},
+        |  {"op": "sort", "keys": ["user_id"]}]}""".stripMargin)
+      .run(spark, sf)
+    assert(pivoted.columns.toSeq == Seq("user_id", "click", "view"))
+    assert(pivoted.count() > 0)
+    val unpivoted = Pipeline.fromJson(
+      """{"source": "part", "steps": [
+        |  {"op": "selectExpr", "exprs": ["p_partkey", "CAST(p_size AS DOUBLE) AS p_size", "p_retailprice"]},
+        |  {"op": "unpivot", "ids": ["p_partkey"], "values": ["p_size", "p_retailprice"],
+        |   "varName": "k", "valName": "v"}]}""".stripMargin)
+      .run(spark, sf)
+    assert(unpivoted.count() ==
+      2 * engine.Tables(spark, sf, "part").count())
+  }
+
   test("unknown op and missing fields fail loudly") {
     intercept[IllegalArgumentException] {
       Pipeline.fromJson("""{"source": "orders", "steps": [{"op": "explode"}]}""")
