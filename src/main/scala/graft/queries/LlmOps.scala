@@ -96,6 +96,54 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // the APPLY step: near-dup clusters → the surviving corpus (keep the
+  // lowest doc_id per cluster, pass untouched docs through). This is what
+  // the pipeline actually ships — pairs and clusters are intermediates.
+  q("llm_dedup_apply",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM i JOIN n na ON i.id_a = na.doc_id JOIN n nb ON i.id_b = nb.doc_id
+      |  ) WHERE jaccard >= 0.3
+      |), ed AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT s AS id, d AS r FROM ed
+      |  UNION
+      |  SELECT reach.id, ed.d AS r FROM reach JOIN ed ON reach.r = ed.s
+      |), drop_ids AS (
+      |  SELECT id FROM (
+      |    SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+      |  ) WHERE id <> cluster_id
+      |)
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+      |ORDER BY doc_id""") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.3)
+    val losers = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("drop_id"))
+    docs.join(losers, col("doc_id") === col("drop_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // edit-distance dedup on part names, with deterministically injected
   // typo-copies (last char mutated: distance exactly 1, same block) so the
   // operator's recall is graded, not just its plumbing. Organic pairs from

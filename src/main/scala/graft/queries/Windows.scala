@@ -129,6 +129,39 @@ object Windows extends QueryPack {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // moving median over a bounded ROWS frame — the robust rolling statistic
+  // (outlier-resistant, unlike the moving average). Spark refuses ordered-
+  // set aggregates over frames, so the frame is materialized with
+  // collect_list + sort_array and the median read out positionally —
+  // ≤7 longs per row, codegen'd. Values ride integer cents; a median of
+  // integers interpolates at worst to .5, exact in double (P2).
+  q("win_median_frame",
+    """SELECT user_id, event_id, v_cents,
+      |  median(v_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      |FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+      |  FROM events
+      |)
+      |ORDER BY user_id, event_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    val lst = sort_array(collect_list(col("v_cents")).over(w))
+    val n = size(lst)
+    val med = when(n % 2 === 1,
+        element_at(lst, ((n + 1) / 2).cast("int")).cast("double"))
+      .otherwise(
+        (element_at(lst, (n / 2).cast("int"))
+          + element_at(lst, (n / 2).cast("int") + 1)).cast("double") / 2)
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        Det.fix(col("value"), 2).cast("long").as("v_cents"))
+      .select(col("user_id"), col("event_id"), col("v_cents"),
+        med.as("med7"))
+      .orderBy("user_id", "event_id")
+  }
+
   // IGNORE NULLS offsets: carry the last observed value across gaps — the
   // sensor-fill / last-known-good idiom. Nulls are derived (error events),
   // since the graded tables are NULL-free; values go through per-row
