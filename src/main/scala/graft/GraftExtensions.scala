@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.DotRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.LevPrefilter)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

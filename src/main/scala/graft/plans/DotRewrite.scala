@@ -78,6 +78,10 @@ object Rules {
     if (!cur.contains(DotRewrite)) {
       spark.experimental.extraOptimizations = cur :+ DotRewrite
     }
+    val cur2 = spark.experimental.extraOptimizations
+    if (!cur2.contains(LevPrefilter)) {
+      spark.experimental.extraOptimizations = cur2 :+ LevPrefilter
+    }
     val strats = spark.experimental.extraStrategies
     if (!strats.contains(AsofJoinStrategy)) {
       spark.experimental.extraStrategies = strats :+ AsofJoinStrategy

@@ -355,6 +355,17 @@ object Aggregates extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // GK-sketch percentiles: bounded-memory quantiles for fact-scale groups
+  // (exact percentile materializes the group; the sketch never does).
+  // Sketch merge internals are engine-specific → rows-only + golden, like
+  // the HLL family. At golden scale the sketch is exact (n < accuracy).
+  qNo("agg_approx_percentile") { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("pcts"))
+      .orderBy("event_type")
+  }
+
   // arg-max/arg-min: "the row that attains the extreme", the lookup every
   // report builder needs without a self-join. Ties broken deterministically
   // by folding the unique customer key into the ordering value (P10):

@@ -209,6 +209,25 @@ object Scalars extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // data masking: class-preserving redaction (upper→X, lower→x, digit→n)
+  // — the export-safe PII transform that keeps format validators working.
+  // The oracle spells the same classes as ordered regexp_replace chains.
+  q("fn_mask",
+    """SELECT c_custkey,
+      |  regexp_replace(regexp_replace(regexp_replace(c_name,
+      |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked_default,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+      |    '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', 'd', 'g'),
+      |    '[^Uld]', 'o', 'g') AS masked_custom
+      |FROM customer
+      |ORDER BY c_custkey""") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        mask(col("c_name")).as("masked_default"),
+        mask(col("c_name"), lit("U"), lit("l"), lit("d"), lit("o")).as("masked_custom"))
+      .orderBy("c_custkey")
+  }
+
   // ANSI-safe error handling: try_cast / try_divide / try_add return NULL
   // instead of failing the job — at 100 TB one malformed row must not kill
   // a 1000-executor stage. DuckDB lacks try_divide/try_add; the oracle
