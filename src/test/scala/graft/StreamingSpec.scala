@@ -82,6 +82,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("timer-based sessions close on watermark, not on batch arrival") {
+    import graft.streaming.TwsSessions
+    import graft.streaming.TwsSessions.{SessEv, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, min: Int) = SessEv(u, new java.sql.Timestamp(min * 60000L))
+    val in = MemoryStream[SessEv]
+    val sess = TwsSessions.sessions(
+      in.toDS().withWatermark("ts", "0 seconds"), gapMs = 30 * 60000L)
+    val q = sess.writeStream.format("memory").queryName("tws_sessions")
+      .outputMode("append").start()
+    try {
+      // t=1 not t=0: a row at exactly the initial watermark would be late
+      // user 1: events at t=1 and t=11 (one session); user 2: t=6
+      in.addData(ev(1, 1), ev(1, 11), ev(2, 6))
+      q.processAllAvailable()
+      // watermark is still at t=11 → no session may close yet
+      assert(spark.table("tws_sessions").count() == 0)
+      // an event at t=120 pushes the watermark past both sessions' gaps;
+      // it also opens a NEW session for user 1 that must stay open
+      in.addData(ev(1, 120))
+      q.processAllAvailable()
+      in.addData(ev(2, 125)) // advance watermark again → still < 120+30
+      q.processAllAvailable()
+      val rows = spark.table("tws_sessions").as[SessionOut].collect().toSet
+      assert(rows == Set(SessionOut(1L, 60000000L, 2L), SessionOut(2L, 6L * 60000000L, 1L)),
+        s"got $rows")
+      // push watermark past everything → the two open sessions close
+      in.addData(ev(3, 300))
+      q.processAllAvailable()
+      val fin = spark.table("tws_sessions").as[SessionOut].collect().toSet
+      assert(fin.contains(SessionOut(1L, 120L * 60000000L, 1L)), s"got $fin")
+      assert(fin.contains(SessionOut(2L, 125L * 60000000L, 1L)), s"got $fin")
+    } finally q.stop()
+  }
+
   test("two-stream interval join equals the batch-graded form") {
     val clicks = Streams.eventsStream(spark, sf)
       .filter($"event_type" === "click")
