@@ -209,6 +209,31 @@ object Scalars extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // binary encodings + crypto round-trip: base64/hex/chr/ascii with
+  // cross-engine oracles, and an AES ECB encrypt→decrypt round-trip whose
+  // oracle is the identity (ECB is the deterministic mode; GCM's random IV
+  // would break both the hash gate and idempotent reruns)
+  q("fn_encoding",
+    """SELECT n_nationkey,
+      |  base64(CAST(n_name AS BLOB)) AS b64,
+      |  CAST(from_base64(base64(CAST(n_name AS BLOB))) AS VARCHAR) AS b64_rt,
+      |  hex(n_name) AS hx,
+      |  chr(ascii(n_name) + 1) AS next_initial,
+      |  n_name AS aes_rt
+      |FROM nation
+      |ORDER BY n_nationkey""") { (s, dir) =>
+    val key = lit("0000111122223333")
+    Tables(s, dir, "nation")
+      .select(col("n_nationkey"),
+        base64(col("n_name").cast("binary")).as("b64"),
+        unbase64(base64(col("n_name").cast("binary"))).cast("string").as("b64_rt"),
+        hex(col("n_name")).as("hx"),
+        chr(ascii(col("n_name")) + 1).as("next_initial"),
+        aes_decrypt(aes_encrypt(col("n_name").cast("binary"), key, lit("ECB")),
+          key, lit("ECB")).cast("string").as("aes_rt"))
+      .orderBy("n_nationkey")
+  }
+
   // data masking: class-preserving redaction (upper→X, lower→x, digit→n)
   // — the export-safe PII transform that keeps format validators working.
   // The oracle spells the same classes as ordered regexp_replace chains.
