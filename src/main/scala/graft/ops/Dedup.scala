@@ -231,8 +231,17 @@ object Dedup {
         labels = next
         it += 1
       }
+      // fail LOUDLY on truncation: silently returning intermediate labels
+      // would hand callers wrong clusters (a chain component with min-id
+      // eccentricity > maxIter needs more rounds — raise maxIter)
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "a component's diameter exceeds maxIter; raise it")
       labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      edges.unpersist() // labels are localCheckpointed — lineage is cut
+    }
   }
 
   /** 64-bit SimHash per document: per-token xxhash64, bitwise ±1 votes,

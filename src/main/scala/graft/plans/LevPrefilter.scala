@@ -31,7 +31,10 @@ import org.apache.spark.sql.types.IntegerType
 object LevPrefilter extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case LessThanOrEqual(lev @ Levenshtein(a, b, None), d @ Literal(dv, IntegerType))
-        if dv != null && dv.asInstanceOf[Int] >= 1 =>
+        // operand duplication (guard + banded DP each evaluate a and b) is
+        // only sound for deterministic expressions
+        if dv != null && dv.asInstanceOf[Int] >= 1 &&
+          a.deterministic && b.deterministic =>
       val guard = LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), d)
       And(guard, GreaterThanOrEqual(Levenshtein(a, b, Some(d)), Literal(0)))
   }

@@ -29,7 +29,7 @@ class LlmOpsSpec extends SparkSpec {
       (1L, "alpha beta gamma"),
       (2L, "alpha beta gamm"),   // dist 1, same first token
       (3L, "alpha completely different"),
-      (4L, "omega beta gamma")   // dist ≤ 2 of id 1 BUT different block
+      (4L, "xlpha beta gamma")   // dist 1 of id 1 BUT different first token
     ).toDF("id", "t")
     val out = Dedup.fuzzyPairs(df, "t", "id", maxDist = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

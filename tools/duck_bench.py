@@ -47,6 +47,9 @@ def main():
         except Exception as e:
             print(f"SKIP {name}: {str(e)[:80]}", file=sys.stderr)
 
+    if not rows:
+        print("no comparable queries (empty name intersection or all skipped)")
+        return
     rows.sort(key=lambda r: -(r[1] + r[2]))
     if top_n:
         rows = rows[:top_n]
