@@ -267,6 +267,29 @@ object Aggregates extends QueryPack {
       .orderBy("bucket")
   }
 
+  // grouping()/grouping_id(): distinguish "NULL because subtotal row" from
+  // "NULL because the data is NULL" in rollup outputs — without it a
+  // consumer cannot tell totals apart from null-keyed groups
+  q("agg_grouping_id",
+    """SELECT coalesce(o_orderstatus, '<total>') AS status,
+      |  coalesce(o_orderpriority, '<total>') AS prio,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, prio""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("<total>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<total>")).as("prio"),
+        col("g_status"), col("gid"), col("n"))
+      .orderBy("gid", "status", "prio")
+  }
+
   // ordered DISTINCT string aggregation — dedup inside the aggregate, with
   // an explicit WITHIN GROUP order so the concatenation is deterministic
   q("agg_listagg_distinct",
