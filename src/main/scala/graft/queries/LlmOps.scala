@@ -541,6 +541,54 @@ object LlmOps extends QueryPack {
       .orderBy("kind")
   }
 
+  // k-NN classification in pure SQL shape (the ML-inference-in-SQL pattern):
+  // 5 nearest neighbors by cosine vote on the label; majority wins, ties
+  // break deterministically to the smaller label. Composes cosineTopK —
+  // the probe's own row is excluded, so this is leave-one-out validation.
+  q("sim_knn_classify",
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      |  FROM embeddings WHERE vec_id < 50
+      |), c AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+      |), s AS (
+      |  SELECT probe_id, vec_id, label,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pe, ce),
+      |        z -> z[1] * z[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pe, x -> x*x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x*x)), (a, b) -> a + b))),
+      |    4) AS sim
+      |  FROM p CROSS JOIN c WHERE probe_id <> vec_id
+      |), nn AS (
+      |  SELECT probe_id, vec_id, label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                                 ORDER BY sim DESC, vec_id) AS rn FROM s)
+      |  WHERE rn <= 5
+      |), votes AS (
+      |  SELECT probe_id, label, COUNT(*) AS votes FROM nn GROUP BY 1, 2
+      |)
+      |SELECT probe_id, CAST(label AS INT) AS pred_label, CAST(votes AS BIGINT) AS votes
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                               ORDER BY votes DESC, label) AS rn
+      |  FROM votes)
+      |WHERE rn = 1
+      |ORDER BY probe_id""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val nn = Sim.cosineTopK(emb.filter(col("vec_id") < 50), emb, k = 5)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val votes = nn.groupBy("probe_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("label").cast("int").as("pred_label"),
+        col("votes"))
+      .orderBy("probe_id")
+  }
+
   // per-dimension embedding statistics per label — the profile an embedding
   // pipeline runs before normalization / whitening. posexplode distributes
   // the per-dimension fan-out; means go through integer fixed-point (P2).

@@ -152,6 +152,46 @@ object Streaming extends QueryPack {
     }.orderBy("c_mktsegment", "event_type")
   }
 
+  // path analysis: per-session ordered event-type sequences, counted across
+  // the corpus — the "what do users do" product-analytics query. Path
+  // assembly sorts the collected (ts, event_id, type) structs explicitly
+  // (collect_list alone has no order guarantee — P10).
+  q("stream_session_paths",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), i AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o
+      |), paths AS (
+      |  SELECT user_id, sid,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM i GROUP BY user_id, sid
+      |)
+      |SELECT path, COUNT(*) AS n
+      |FROM paths
+      |GROUP BY path
+      |ORDER BY n DESC, path
+      |LIMIT 25""") { (s, dir) =>
+    val sess = Tables(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")),
+        ">").as("path"))
+    sess.groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(25)
+  }
+
   // stream-stream interval join, batch-graded: clicks matched to the same
   // user's purchases within the following 10 minutes. The identical join
   // (plus watermarks bounding both sides' state) runs as a genuine two-
