@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join: attach to each left row the single right row with the
-  * greatest `rightTs <= leftTs` within the same key (left-outer semantics).
-  * Ties on `rightTs` resolve to the greatest `tiebreak` — fully
+  * greatest `rightTs <= leftTs` within the same key (left-outer semantics,
+  * `direction = "backward"`), or the smallest `rightTs >= leftTs`
+  * (`direction = "forward"` — the next-upcoming match). Ties on `rightTs`
+  * resolve to the greatest `tiebreak` backward / smallest forward — fully
   * deterministic.
   *
   * Spark has no built-in AS OF join, and a naive range join explodes to
@@ -26,7 +28,10 @@ object AsofJoin {
   def apply(left: DataFrame, right: DataFrame,
             leftKey: String, rightKey: String,
             leftTs: String, rightTs: String,
-            payload: Seq[String], tiebreak: String): DataFrame = {
+            payload: Seq[String], tiebreak: String,
+            direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     // pack the right payload into one struct ordered by (ts, tiebreak) so
     // `last` over the sort order picks the at-or-before, max-ts, max-tiebreak row
@@ -51,9 +56,17 @@ object AsofJoin {
     val unioned = l.unionByName(r.select(
       (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col("__key"), col("__ts"), col("__side"), col("__payload"))): _*))
-    // right rows (__side=0) sort before left rows at equal ts → "at or before"
-    val w = Window.partitionBy("__key")
-      .orderBy(col("__ts").asc, col("__side").asc, col("__payload").asc_nulls_first)
+    // right rows (__side=0) sort before left rows at equal ts → "at or
+    // before" (backward) / "at or after" (forward). Forward is the same
+    // one-pass carry on the REVERSED time order: preceding rows in a
+    // descending sort are exactly the ts >= leftTs rows, and ordering the
+    // payload desc makes `last` pick the smallest (ts, tiebreak) match.
+    val w = (if (direction == "backward")
+        Window.partitionBy("__key")
+          .orderBy(col("__ts").asc, col("__side").asc, col("__payload").asc_nulls_first)
+      else
+        Window.partitionBy("__key")
+          .orderBy(col("__ts").desc, col("__side").asc, col("__payload").desc_nulls_last))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__match", last("__payload", ignoreNulls = true).over(w))

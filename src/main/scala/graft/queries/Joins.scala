@@ -145,6 +145,35 @@ object Joins extends QueryPack {
       .orderBy("event_id")
   }
 
+  // FORWARD as-of: each order ↔ that customer's earliest event at-or-after
+  // the order date (the "next upcoming match" direction; ties resolve to
+  // the smallest event_id). Customers with no events exercise the
+  // left-outer null path.
+  q("join_asof_forward",
+    """SELECT o_orderkey, o_custkey, event_id, ev_us FROM (
+      |  SELECT o.o_orderkey, o.o_custkey, e.event_id,
+      |         CAST(epoch_us(e.ts) AS BIGINT) AS ev_us,
+      |         row_number() OVER (PARTITION BY o.o_orderkey
+      |                            ORDER BY e.ts ASC NULLS LAST,
+      |                                     e.event_id ASC NULLS LAST) AS rn
+      |  FROM orders o LEFT JOIN events e
+      |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |) WHERE rn = 1
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val orders = Tables(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val events = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsofJoin(orders, events,
+        leftKey = "o_custkey", rightKey = "user_id",
+        leftTs = "o_orderdate", rightTs = "ts",
+        payload = Seq("event_id", "ts"), tiebreak = "event_id",
+        direction = "forward")
+      .select(col("o_orderkey"), col("o_custkey"), col("event_id"),
+        unix_micros(col("ts")).as("ev_us"))
+      .orderBy("o_orderkey")
+  }
+
   // same as-of semantics through the NATIVE tier-(c) operator (custom
   // LogicalPlan + SparkStrategy + SparkPlan merge exec) — graded against
   // the identical DuckDB oracle as the library-op form above

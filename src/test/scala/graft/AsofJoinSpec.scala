@@ -32,6 +32,26 @@ class AsofJoinSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out === Seq((1, 10L, Some("hi"), 9L)))
   }
 
+  private def runFwd(left: Seq[(Int, Long)], right: Seq[(Int, Long, String, Long)]) = {
+    val l = left.toDF("k", "ts")
+    val r = right.toDF("k", "rts", "v", "rid")
+    AsofJoin(l, r, "k", "k", "ts", "rts", Seq("v", "rid"), "rid",
+        direction = "forward")
+      .collect().map(row => (row.getInt(0), row.getLong(1),
+        Option(row.getString(2)), if (row.isNullAt(3)) -1L else row.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+  }
+
+  test("forward: earliest at-or-after match; ties resolve to min tiebreak") {
+    val out = runFwd(
+      left = Seq((1, 10L), (1, 20L), (1, 30L)),
+      right = Seq((1, 10L, "a", 5L), (1, 10L, "a0", 1L), (1, 25L, "b", 2L)))
+    assert(out === Seq(
+      (1, 10L, Some("a0"), 1L),  // equal ts counts; tie → min rid
+      (1, 20L, Some("b"), 2L),   // next future row
+      (1, 30L, None, -1L)))      // nothing after → null
+  }
+
   test("keys never mix; unmatched keys yield nulls") {
     val out = run(
       left = Seq((1, 10L), (2, 10L), (3, 10L)),
