@@ -75,4 +75,39 @@ object AsofJoin {
       df.withColumn(c, col("__match").getField(c))
     }.select((leftCols ++ payload).map(col): _*)
   }
+
+  /** Nearest-direction as-of (pandas merge_asof direction="nearest"):
+    * the right row minimizing |rightTs - leftTs| per key; |Δ| ties resolve
+    * to the BACKWARD candidate (the earlier right row). Composes one
+    * backward and one forward pass — still two linear carries, no pair
+    * blowup. `leftId` must be a unique left column (the re-join key).
+    * Timestamps are compared in epoch micros. */
+  def nearest(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTs: String, rightTs: String,
+              payload: Seq[String], tiebreak: String,
+              leftId: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pay = (payload :+ rightTs).distinct
+    def tagged(dir: String, tag: String) =
+      apply(left, right, leftKey, rightKey, leftTs, rightTs,
+          pay, tiebreak, dir)
+        .select((Seq(col(leftId)) ++
+          pay.map(c => col(c).as(s"${tag}_$c"))): _*)
+    val bk = tagged("backward", "bk")
+    val fw = tagged("forward", "fw")
+    val both = left.join(bk, Seq(leftId), "left").join(fw, Seq(leftId), "left")
+    def micros(c: org.apache.spark.sql.Column) =
+      left.schema(leftTs).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val bkD = micros(col(leftTs)) - micros(col(s"bk_$rightTs"))
+    val fwD = micros(col(s"fw_$rightTs")) - micros(col(leftTs))
+    val useBk = col(s"fw_$rightTs").isNull ||
+      (col(s"bk_$rightTs").isNotNull && bkD <= fwD)
+    payload.foldLeft(both) { (df, c) =>
+      df.withColumn(c, when(useBk, col(s"bk_$c")).otherwise(col(s"fw_$c")))
+    }.select((leftCols ++ payload).map(col): _*)
+  }
 }

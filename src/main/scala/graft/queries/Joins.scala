@@ -174,6 +174,40 @@ object Joins extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // NEAREST as-of (pandas merge_asof direction="nearest"): each purchase ↔
+  // the same user's click with minimal |Δts|; |Δ| ties go to the earlier
+  // (backward) click, equal-ts duplicates to its max event_id. Two linear
+  // carry passes — the oracle's per-key cross join is what this avoids.
+  q("join_asof_nearest",
+    """SELECT p_id, user_id, click_id, click_us FROM (
+      |  SELECT p.event_id AS p_id, p.user_id, c.event_id AS click_id,
+      |         CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |           ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+      |                    c.ts ASC NULLS LAST,
+      |                    CASE WHEN c.ts <= p.ts THEN -c.event_id
+      |                         ELSE c.event_id END ASC NULLS LAST) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id
+      |) WHERE rn = 1
+      |ORDER BY p_id""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    AsofJoin.nearest(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_uid",
+        leftTs = "ts", rightTs = "c_ts",
+        payload = Seq("click_id", "c_ts"), tiebreak = "click_id",
+        leftId = "p_id")
+      .select(col("p_id"), col("user_id"), col("click_id"),
+        unix_micros(col("c_ts")).as("click_us"))
+      .orderBy("p_id")
+  }
+
   // same as-of semantics through the NATIVE tier-(c) operator (custom
   // LogicalPlan + SparkStrategy + SparkPlan merge exec) — graded against
   // the identical DuckDB oracle as the library-op form above

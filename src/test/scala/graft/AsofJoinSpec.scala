@@ -52,6 +52,21 @@ class AsofJoinSpec extends SparkSpec with TableDrivenPropertyChecks {
       (1, 30L, None, -1L)))      // nothing after → null
   }
 
+  test("nearest: minimal |delta|, ties to the backward candidate") {
+    val l = Seq((1L, 1, 10L), (2L, 1, 100L), (3L, 2, 50L))
+      .toDF("lid", "k", "ts")
+    val r = Seq((1, 7L, "back", 1L), (1, 12L, "fwd", 2L),
+      (1, 98L, "b2", 3L), (1, 102L, "f2", 4L)).toDF("k", "rts", "v", "rid")
+    val out = AsofJoin.nearest(l, r, "k", "k", "ts", "rts",
+        Seq("v"), "rid", leftId = "lid")
+      .collect().map(row => (row.getLong(0), Option(row.getString(3))))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, Some("fwd")),   // |12-10| = 2 < |10-7| = 3
+      (2L, Some("b2")),    // |98-100| = 2 == |102-100| = 2 → backward wins
+      (3L, None)))         // key 2 has no right rows
+  }
+
   test("keys never mix; unmatched keys yield nulls") {
     val out = run(
       left = Seq((1, 10L), (2, 10L), (3, 10L)),
