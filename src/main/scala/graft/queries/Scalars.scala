@@ -209,6 +209,23 @@ object Scalars extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // width_bucket: equi-width histogram bucketing with explicit under/over-
+  // flow buckets (0 and n+1). DuckDB lacks the function — the oracle spells
+  // the same arithmetic; inputs are integral doubles so bucket boundaries
+  // are exact in either formula.
+  q("fn_width_bucket",
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_quantity < 1 THEN 0
+      |       WHEN l_quantity >= 51 THEN 11
+      |       ELSE CAST(floor((l_quantity - 1) / 5) AS INT) + 1 END AS qty_bucket
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("width_bucket(l_quantity, 1, 51, 10)").cast("int").as("qty_bucket"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // binary encodings + crypto round-trip: base64/hex/chr/ascii with
   // cross-engine oracles, and an AES ECB encrypt→decrypt round-trip whose
   // oracle is the identity (ECB is the deterministic mode; GCM's random IV

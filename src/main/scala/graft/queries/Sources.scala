@@ -116,6 +116,60 @@ object Sources extends QueryPack {
       .orderBy("table_name")
   }
 
+  // CSV round-trip under hostile content: fields carrying the delimiter,
+  // quotes, and leading/trailing spaces — the quoting/escaping path a real
+  // ingestion job lives or dies on. Values are derived deterministically;
+  // lossless round-trip → SQL-computable oracle.
+  q("scan_csv_quoted",
+    """SELECT doc_id,
+      |  'pre,fix "' || lang || '" ' || CAST(n_chars AS VARCHAR) AS tricky
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    val out = "/tmp/graft_io/csv_quoted"
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("pre,fix \""), col("lang"), lit("\" "),
+          col("n_chars").cast("string")).as("tricky"))
+      .write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("tricky", StringType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .orderBy("doc_id")
+  }
+
+  // zstd-compressed parquet round-trip: the 100 TB at-rest codec choice
+  // (better ratio than snappy at similar scan speed); lossless → the
+  // source table is the oracle
+  q("scan_parquet_zstd",
+    """SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey""") { (s, dir) =>
+    val out = "/tmp/graft_io/parquet_zstd"
+    Tables(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+      .write.mode("overwrite").option("compression", "zstd").parquet(out)
+    s.read.parquet(out).orderBy("p_partkey")
+  }
+
+  // row-level error quarantine: PERMISSIVE CSV parse captures malformed
+  // rows in _corrupt_record instead of failing the job — at 100 TB one bad
+  // row must quarantine, not kill the stage. Bad rows are injected
+  // deterministically; engine-specific capture format → rows-only + golden.
+  qNo("scan_csv_corrupt") { (s, dir) =>
+    val out = "/tmp/graft_io/csv_corrupt/data.csv"
+    val rows = Seq("id,val", "1,10", "2,not_a_number", "3,30", "4,4,4,4")
+    val p = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, String.join("\n", rows: _*).getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("val", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema).option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv("/tmp/graft_io/csv_corrupt")
+      .select(col("id"), col("val"), col("_corrupt_record").isNotNull.as("quarantined"))
+      .orderBy(col("id").asc_nulls_last, col("quarantined"))
+  }
+
   // schema evolution across file generations: v1 files lack a column that
   // v2 files carry; mergeSchema unifies the footers and back-fills NULL —
   // how a year of 100 TB daily drops survives adding a column mid-stream
