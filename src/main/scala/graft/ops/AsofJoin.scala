@@ -65,8 +65,13 @@ object AsofJoin {
         Window.partitionBy("__key")
           .orderBy(col("__ts").asc, col("__side").asc, col("__payload").asc_nulls_first)
       else
+        // desc_nulls_FIRST mirrors asc's nulls-first: a null-ts left row
+        // must precede every right row so it matches nothing (rightTs >=
+        // NULL is never true) — desc's nulls-last default would hand it
+        // the whole frame
         Window.partitionBy("__key")
-          .orderBy(col("__ts").desc, col("__side").asc, col("__payload").desc_nulls_last))
+          .orderBy(col("__ts").desc_nulls_first, col("__side").asc,
+            col("__payload").desc_nulls_last))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__match", last("__payload", ignoreNulls = true).over(w))
@@ -97,13 +102,18 @@ object AsofJoin {
     val bk = tagged("backward", "bk")
     val fw = tagged("forward", "fw")
     val both = left.join(bk, Seq(leftId), "left").join(fw, Seq(leftId), "left")
-    def micros(c: org.apache.spark.sql.Column) =
-      left.schema(leftTs).dataType match {
-        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
-        case _ => c.cast("long")
-      }
-    val bkD = micros(col(leftTs)) - micros(col(s"bk_$rightTs"))
-    val fwD = micros(col(s"fw_$rightTs")) - micros(col(leftTs))
+    // dispatch the epoch conversion on EACH side's own type (left and right
+    // ts types may differ — apply() union-coerces them, this compare can't)
+    def micros(c: org.apache.spark.sql.Column,
+               dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.DateType => unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
+    }
+    val lDt = left.schema(leftTs).dataType
+    val rDt = right.schema(rightTs).dataType
+    val bkD = micros(col(leftTs), lDt) - micros(col(s"bk_$rightTs"), rDt)
+    val fwD = micros(col(s"fw_$rightTs"), rDt) - micros(col(leftTs), lDt)
     val useBk = col(s"fw_$rightTs").isNull ||
       (col(s"bk_$rightTs").isNotNull && bkD <= fwD)
     payload.foldLeft(both) { (df, c) =>

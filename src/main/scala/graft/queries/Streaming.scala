@@ -50,7 +50,7 @@ object Streaming extends QueryPack {
     """WITH o AS (
       |  SELECT user_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -160,7 +160,7 @@ object Streaming extends QueryPack {
     """WITH o AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -52,6 +52,19 @@ class AsofJoinSpec extends SparkSpec with TableDrivenPropertyChecks {
       (1, 30L, None, -1L)))      // nothing after → null
   }
 
+  test("forward: null left ts matches nothing (rightTs >= NULL is never true)") {
+    val l = Seq((1, Option(10L)), (1, Option.empty[Long])).toDF("k", "ts")
+    val r = Seq((1, 5L, "early", 1L), (1, 20L, "late", 2L)).toDF("k", "rts", "v", "rid")
+    val out = AsofJoin(l, r, "k", "k", "ts", "rts", Seq("v"), "rid",
+        direction = "forward")
+      .collect().map(row => (Option(row.get(1)).map(_.asInstanceOf[Long]),
+        Option(row.getString(2))))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (None, None),              // null ts row must NOT match
+      (Some(10L), Some("late")))) // 20 is the earliest rts >= 10
+  }
+
   test("nearest: minimal |delta|, ties to the backward candidate") {
     val l = Seq((1L, 1, 10L), (2L, 1, 100L), (3L, 2, 50L))
       .toDF("lid", "k", "ts")
