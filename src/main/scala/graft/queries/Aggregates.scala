@@ -378,6 +378,30 @@ object Aggregates extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // deterministic MODE: most frequent value per group, ties to the
+  // smallest value (built-in mode() picks an arbitrary tie survivor — P10
+  // bans that); spelled as count + arg_min over (-count, value)
+  q("agg_mode",
+    """SELECT o_custkey, mode_prio FROM (
+      |  SELECT o_custkey, o_orderpriority AS mode_prio,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      |  FROM orders
+      |  GROUP BY o_custkey, o_orderpriority
+      |) WHERE rn = 1
+      |ORDER BY o_custkey""") { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("mode_prio"))
+      .orderBy("o_custkey")
+  }
+
   // GK-sketch percentiles: bounded-memory quantiles for fact-scale groups
   // (exact percentile materializes the group; the sketch never does).
   // Sketch merge internals are engine-specific → rows-only + golden, like

@@ -209,6 +209,16 @@ object Scalars extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // phonetic encoding for fuzzy name matching — DuckDB has no soundex, so
+  // rows-only + golden (the fuzzy-dedup family's third blocking key after
+  // shingles and length bands)
+  qNo("fn_soundex") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), soundex(col("c_name")).as("name_soundex"),
+        soundex(col("c_mktsegment")).as("seg_soundex"))
+      .orderBy("c_custkey")
+  }
+
   // width_bucket: equi-width histogram bucketing with explicit under/over-
   // flow buckets (0 and n+1). DuckDB lacks the function — the oracle spells
   // the same arithmetic; inputs are integral doubles so bucket boundaries

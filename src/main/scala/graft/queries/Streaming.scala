@@ -152,6 +152,51 @@ object Streaming extends QueryPack {
     }.orderBy("c_mktsegment", "event_type")
   }
 
+  // 3-step sequence pattern (CEP shape): signup → first click at-or-after
+  // it → first purchase at-or-after that click, per user. Each stage is a
+  // min-aggregate over a key-joined filter — three linear passes, no
+  // pattern automaton state explosion.
+  q("stream_pattern_3step",
+    """WITH s AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, s.t1, min(e.ts) AS t2
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= s.t1
+      |  GROUP BY e.user_id, s.t1
+      |), p AS (
+      |  SELECT e.user_id, c.t1, c.t2, min(e.ts) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      |  GROUP BY e.user_id, c.t1, c.t2
+      |)
+      |SELECT user_id,
+      |  CAST(epoch_us(t1) AS BIGINT) AS signup_us,
+      |  CAST(epoch_us(t2) AS BIGINT) AS click_us,
+      |  CAST(epoch_us(t3) AS BIGINT) AS purchase_us
+      |FROM p
+      |ORDER BY user_id""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val click = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("ts").as("ts2"))
+      .join(signup, col("u2") === col("user_id"))
+      .filter(col("ts2") >= col("t1"))
+      .groupBy("u2", "t1").agg(min("ts2").as("t2"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u3"), col("ts").as("ts3"))
+      .join(click, col("u3") === col("u2"))
+      .filter(col("ts3") >= col("t2"))
+      .groupBy("u3", "t1", "t2").agg(min("ts3").as("t3"))
+    purchase.select(col("u3").as("user_id"),
+        unix_micros(col("t1")).as("signup_us"),
+        unix_micros(col("t2")).as("click_us"),
+        unix_micros(col("t3")).as("purchase_us"))
+      .orderBy("user_id")
+  }
+
   // path analysis: per-session ordered event-type sequences, counted across
   // the corpus — the "what do users do" product-analytics query. Path
   // assembly sorts the collected (ts, event_id, type) structs explicitly

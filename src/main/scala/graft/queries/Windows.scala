@@ -129,6 +129,24 @@ object Windows extends QueryPack {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ratio-to-report: each row's share of its group total — the classic
+  // reporting window (no frame: the whole partition is the denominator).
+  // Integer-cents numerator/denominator → one IEEE division → round(6).
+  q("win_ratio_to_report",
+    """SELECT o_orderkey, o_custkey,
+      |  round(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+      |        / SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |            OVER (PARTITION BY o_custkey), 6) AS share
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
+    val cents = Det.fix(col("o_totalprice"), 2).cast("long")
+    val w = Window.partitionBy("o_custkey")
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(cents.cast("double") / sum(cents).over(w), 6).as("share"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // moving median over a bounded ROWS frame — the robust rolling statistic
   // (outlier-resistant, unlike the moving average). Spark refuses ordered-
   // set aggregates over frames, so the frame is materialized with
