@@ -22,6 +22,79 @@ object Extras extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // stratified reproducible sampling: per-stratum rates over the md5-bucket
+  // trick — language en keeps 8/16 buckets, de 4/16, everything else 2/16.
+  // The per-row predicate pushes to the scan; no shuffle, no RNG state.
+  q("sample_stratified",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CASE WHEN lang = 'en' THEN
+      |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+      |      WHEN lang = 'de' THEN
+      |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      |      ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') END
+      |ORDER BY doc_id""") { (s, dir) =>
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables(s, dir, "documents")
+      .filter(
+        when(col("lang") === "en", bucket.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+          .when(col("lang") === "de", bucket.isin("0", "1", "2", "3"))
+          .otherwise(bucket.isin("0", "1")))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  // bitwise AGGREGATES (bit_and/bit_or/bit_xor): associative+commutative →
+  // aggregation-order-independent, safe to grade exactly
+  q("agg_bit_ops",
+    """SELECT event_type,
+      |  bit_and(event_id) AS band, bit_or(event_id) AS bor,
+      |  bit_xor(event_id) AS bxor
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(bit_and(col("event_id")).as("band"),
+        bit_or(col("event_id")).as("bor"),
+        bit_xor(col("event_id")).as("bxor"))
+      .orderBy("event_type")
+  }
+
+  // closed-form least squares per group (y = a + b·x) from EXACT integer
+  // fixed-point sums — regr_slope/regr_intercept exist in both engines but
+  // sum raw doubles (reassociation-order-dependent, P2); the normal
+  // equations over integer Σx, Σy, Σxy, Σx² are bit-deterministic.
+  q("ml_linreg",
+    """SELECT l_returnflag, n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+      |FROM (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sy,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sxy,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |ORDER BY l_returnflag""") { (s, dir) =>
+    import graft.engine.Det
+    val x = col("l_quantity").cast("long")
+    val yc = Det.cents(col("l_extendedprice")).cast("long")
+    val sums = Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        (sum(yc).cast("double") / 100).as("sy"),
+        (sum(x * yc).cast("double") / 100).as("sxy"),
+        sum(x * x).cast("double").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("l_returnflag"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   q("fn_bitwise",
     """SELECT event_id,
       |  event_id & 255 AS low_byte,
