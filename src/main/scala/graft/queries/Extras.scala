@@ -282,6 +282,42 @@ object Extras extends QueryPack {
       .orderBy("user_id", "ver")
   }
 
+  // z-score anomaly detection: rows whose value sits > 2.5 sample standard
+  // deviations from their group mean. Mean and stddev are derived from
+  // EXACT integer-cents sums (Σv, Σv², n) so the threshold test is
+  // bit-deterministic — built-in stddev over doubles is order-dependent.
+  q("dq_outlier_zscore",
+    """WITH stats AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sv,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |           * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS svv
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_id, e.event_type,
+      |  CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS v_cents,
+      |  round(abs(CAST(floor(e.value * 100 + 0.5) AS BIGINT) - sv / n)
+      |        / sqrt((svv - sv * sv / n) / (n - 1)), 4) AS z
+      |FROM events e JOIN stats s ON e.event_type = s.event_type
+      |WHERE abs(CAST(floor(e.value * 100 + 0.5) AS BIGINT) - sv / n)
+      |      / sqrt((svv - sv * sv / n) / (n - 1)) > 2.5
+      |ORDER BY e.event_id""") { (s, dir) =>
+    val vc = graft.engine.Det.fix(col("value"), 2).cast("long")
+    val ev = Tables(s, dir, "events")
+    val stats = ev.select(col("event_type").as("st_type"), vc.as("vc"))
+      .groupBy("st_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("vc")).cast("double").as("sv"),
+        sum(col("vc") * col("vc")).cast("double").as("svv"))
+    val z = abs(vc - col("sv") / col("n")) /
+      sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+    ev.join(broadcast(stats), col("event_type") === col("st_type"))
+      .filter(z > 2.5)
+      .select(col("event_id"), col("event_type"), vc.as("v_cents"),
+        round(z, 4).as("z"))
+      .orderBy("event_id")
+  }
+
   // one-pass data-quality profile: row count, key uniqueness, null rate,
   // domain violations, accepted-value coverage — the assertion set an ETL
   // builder runs after every load, as a single scan of the fact table

@@ -152,6 +152,35 @@ object Streaming extends QueryPack {
     }.orderBy("c_mktsegment", "event_type")
   }
 
+  // cohort retention: users cohorted by first-activity week, retention =
+  // distinct active users per (cohort, weeks-since) cell — the canonical
+  // product-analytics triangle, built from two aggregates and one join
+  q("events_retention_cohorts",
+    """WITH first AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      |  FROM events GROUP BY user_id
+      |), activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      |)
+      |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+      |  CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS INT) AS weeks_since,
+      |  CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS active_users
+      |FROM first f JOIN activity a ON f.user_id = a.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val activity = ev.select(col("user_id").as("a_uid"),
+      date_trunc("week", col("ts")).as("wk")).distinct()
+    first.join(activity, col("user_id") === col("a_uid"))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800)
+          .cast("int").as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
   // 3-step sequence pattern (CEP shape): signup → first click at-or-after
   // it → first purchase at-or-after that click, per user. Each stage is a
   // min-aggregate over a key-joined filter — three linear passes, no
