@@ -194,8 +194,24 @@ object Dedup {
     *
     * Returns (id, cluster) with cluster = min id in the component.
     * Deterministic: min-labels are independent of partitioning/order. */
+  /** Memo of finished CC label frames, keyed by the canonicalized input
+    * plan: the labels are localCheckpointed (materialized RDD blocks, no
+    * lineage back to the input), so handing the same frame to every caller
+    * with a semantically-equal pair list is safe for the life of the
+    * context — and avoids re-running the whole iterative loop when e.g.
+    * the cluster query and the cluster-APPLY query both need the same
+    * components. Bounded by #distinct pair plans per session (tiny). */
+  private val ccMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int), DataFrame]
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    ccMemo.getOrElseUpdate(
+      (pairs.queryExecution.analyzed.canonicalized.hashCode, aCol, bCol, maxIter),
+      computeComponents(pairs, aCol, bCol, maxIter))
+
+  private def computeComponents(pairs: DataFrame, aCol: String, bCol: String,
+                                maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = pin(fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))

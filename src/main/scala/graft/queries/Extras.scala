@@ -65,14 +65,14 @@ object Extras extends QueryPack {
   // sum raw doubles (reassociation-order-dependent, P2); the normal
   // equations over integer Σx, Σy, Σxy, Σx² are bit-deterministic.
   q("ml_linreg",
-    """SELECT l_returnflag, n,
+    s"""SELECT l_returnflag, n,
       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
       |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
       |FROM (
       |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sy,
-      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sxy,
+      |    CAST(SUM(${graft.engine.Det.oCents("l_extendedprice")}) AS DOUBLE) / 100 AS sy,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * ${graft.engine.Det.oCents("l_extendedprice")}) AS DOUBLE) / 100 AS sxy,
       |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx
       |  FROM lineitem GROUP BY l_returnflag
       |)
@@ -287,20 +287,20 @@ object Extras extends QueryPack {
   // EXACT integer-cents sums (Σv, Σv², n) so the threshold test is
   // bit-deterministic — built-in stddev over doubles is order-dependent.
   q("dq_outlier_zscore",
-    """WITH stats AS (
+    s"""WITH stats AS (
       |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sv,
-      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
-      |           * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS svv
+      |    CAST(SUM(${graft.engine.Det.oFix("value", 2)}) AS DOUBLE) AS sv,
+      |    CAST(SUM(${graft.engine.Det.oFix("value", 2)}
+      |           * ${graft.engine.Det.oFix("value", 2)}) AS DOUBLE) AS svv
       |  FROM events GROUP BY event_type
       |)
       |SELECT e.event_id, e.event_type,
-      |  CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS v_cents,
-      |  round(abs(CAST(floor(e.value * 100 + 0.5) AS BIGINT) - sv / n)
-      |        / sqrt((svv - sv * sv / n) / (n - 1)), 4) AS z
+      |  ${graft.engine.Det.oFix("e.value", 2)} AS v_cents,
+      |  round(abs(${graft.engine.Det.oFix("e.value", 2)} - sv / n)
+      |        / sqrt(greatest(0, svv - sv * sv / n) / (n - 1)), 4) AS z
       |FROM events e JOIN stats s ON e.event_type = s.event_type
-      |WHERE abs(CAST(floor(e.value * 100 + 0.5) AS BIGINT) - sv / n)
-      |      / sqrt((svv - sv * sv / n) / (n - 1)) > 2.5
+      |WHERE abs(${graft.engine.Det.oFix("e.value", 2)} - sv / n)
+      |      / sqrt(greatest(0, svv - sv * sv / n) / (n - 1)) > 2.5
       |ORDER BY e.event_id""") { (s, dir) =>
     val vc = graft.engine.Det.fix(col("value"), 2).cast("long")
     val ev = Tables(s, dir, "events")
@@ -309,8 +309,13 @@ object Extras extends QueryPack {
       .agg(count(lit(1)).cast("double").as("n"),
         sum(col("vc")).cast("double").as("sv"),
         sum(col("vc") * col("vc")).cast("double").as("svv"))
+    // greatest(0, ·): the cancellation form svv - sv²/n can round an ulp
+    // negative on (near-)constant groups — DuckDB errors on sqrt(negative)
+    // while Spark returns NaN; the clamp keeps both engines on inf/NaN
+    // paths that filter identically
     val z = abs(vc - col("sv") / col("n")) /
-      sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+      sqrt(greatest(lit(0.0), col("svv") - col("sv") * col("sv") / col("n"))
+        / (col("n") - 1))
     ev.join(broadcast(stats), col("event_type") === col("st_type"))
       .filter(z > 2.5)
       .select(col("event_id"), col("event_type"), vc.as("v_cents"),

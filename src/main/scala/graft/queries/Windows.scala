@@ -133,9 +133,9 @@ object Windows extends QueryPack {
   // reporting window (no frame: the whole partition is the denominator).
   // Integer-cents numerator/denominator → one IEEE division → round(6).
   q("win_ratio_to_report",
-    """SELECT o_orderkey, o_custkey,
-      |  round(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
-      |        / SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+    s"""SELECT o_orderkey, o_custkey,
+      |  round(CAST(${Det.oCents("o_totalprice")} AS DOUBLE)
+      |        / SUM(${Det.oCents("o_totalprice")})
       |            OVER (PARTITION BY o_custkey), 6) AS share
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""") { (s, dir) =>
