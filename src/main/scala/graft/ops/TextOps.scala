@@ -15,6 +15,32 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Deflate-compression ratio per document — the C4/Gopher-style quality
+    * signal (highly repetitive or templated text compresses far below
+    * natural prose). zlib level 6, raw UTF-8 bytes; java.util.zip is
+    * deterministic for a fixed level+input, so the ratio is reproducible —
+    * but engine-specific (no DuckDB twin → golden-checked). Runs partition-
+    * wise with one Deflater per batch, not per row. */
+  def compressionRatio(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String): org.apache.spark.sql.DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length, out,
+            math.rint(out.toDouble / math.max(1, in.length) * 10000) / 10000)
+        }
+      }.toDF(idCol, "n_bytes", "n_compressed", "ratio")
+  }
+
   /** BPE-ish subword segmentation: letter runs, digit runs, single other
     * glyphs — the standard pre-tokenizer shape (RE2- and Java-regex safe). */
   val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"

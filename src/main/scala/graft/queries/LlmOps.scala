@@ -681,6 +681,49 @@ object LlmOps extends QueryPack {
       .orderBy("label", "rn")
   }
 
+  // compression-ratio quality gate (Gopher-style): repetitive/templated
+  // text compresses far below natural prose. zlib is engine-specific →
+  // rows-only + golden.
+  qNo("text_compress_ratio") { (s, dir) =>
+    TextOps.compressionRatio(
+        graft.engine.Tables.fan(Tables(s, dir, "documents")), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // int8 embedding quantization: per-vector symmetric scale to [-127,127]
+  // — 4× storage reduction for ANN indexes at 100 TB. Quantized codes and
+  // the reconstruction error are exact integer/fixed-point arithmetic, so
+  // DuckDB replays them bit-for-bit.
+  q("emb_quantize",
+    """SELECT vec_id,
+      |  round(amax, 6) AS amax,
+      |  CAST(list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(e, x -> CAST(floor(x / (amax / 127) + 0.5) AS BIGINT))),
+      |    (a, b) -> a + b) AS BIGINT) AS q_sum,
+      |  CAST(list_aggregate(list_transform(e,
+      |    x -> CAST(floor(x / (amax / 127) + 0.5) AS BIGINT)), 'max') AS BIGINT) AS q_max
+      |FROM (
+      |  SELECT vec_id, e,
+      |    list_aggregate(list_transform(e, x -> abs(x)), 'max') AS amax
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |)
+      |WHERE amax > 0
+      |ORDER BY vec_id""") { (s, dir) =>
+    val e = col("embedding").cast("array<double>")
+    val amax = array_max(transform(e, x => abs(x)))
+    val qCode = (x: org.apache.spark.sql.Column) =>
+      floor(x / (col("amax") / 127) + 0.5).cast("long")
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), e.as("e"), amax.as("amax"))
+      .filter(col("amax") > 0)
+      .select(col("vec_id"),
+        round(col("amax"), 6).as("amax"),
+        aggregate(transform(col("e"), x => qCode(x)), lit(0L), (a, b) => a + b)
+          .as("q_sum"),
+        array_max(transform(col("e"), x => qCode(x))).as("q_max"))
+      .orderBy("vec_id")
+  }
+
   q("text_tokens_bpe",
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
