@@ -201,13 +201,18 @@ object Dedup {
     * context — and avoids re-running the whole iterative loop when e.g.
     * the cluster query and the cluster-APPLY query both need the same
     * components. Bounded by #distinct pair plans per session (tiny). */
-  private val ccMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String, Int), DataFrame]
+  private val ccMemo = scala.collection.concurrent.TrieMap.empty[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
+    DataFrame]
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame =
+    // keyed by the canonicalized plan OBJECT: TreeNode structural equality
+    // covers what prints/hashes can't — a LocalRelation's toString omits
+    // its DATA, so string/hash keys collide across different in-memory
+    // graphs (observed: a property test received another test's clusters)
     ccMemo.getOrElseUpdate(
-      (pairs.queryExecution.analyzed.canonicalized.hashCode, aCol, bCol, maxIter),
+      (pairs.queryExecution.analyzed.canonicalized, aCol, bCol, maxIter),
       computeComponents(pairs, aCol, bCol, maxIter))
 
   private def computeComponents(pairs: DataFrame, aCol: String, bCol: String,
