@@ -202,18 +202,27 @@ object Dedup {
     * the cluster query and the cluster-APPLY query both need the same
     * components. Bounded by #distinct pair plans per session (tiny). */
   private val ccMemo = scala.collection.concurrent.TrieMap.empty[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, Int),
     DataFrame]
+  private val ccMemoCap = 32
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame =
-    // keyed by the canonicalized plan OBJECT: TreeNode structural equality
-    // covers what prints/hashes can't — a LocalRelation's toString omits
-    // its DATA, so string/hash keys collide across different in-memory
-    // graphs (observed: a property test received another test's clusters)
+                          maxIter: Int = 25): DataFrame = {
+    // keyed by (session, canonicalized plan OBJECT): TreeNode structural
+    // equality covers what prints/hashes can't — a LocalRelation's toString
+    // omits its DATA, so string/hash keys collide across different
+    // in-memory graphs (observed: a property test received another test's
+    // clusters) — and the session guard keeps a frame from one (possibly
+    // stopped) context out of another. Bounded: the key retains the input
+    // plan (LocalRelation data included), so a long-lived JVM clearing the
+    // map at the cap trades a recompute for unbounded driver heap.
+    if (ccMemo.size >= ccMemoCap) ccMemo.clear()
     ccMemo.getOrElseUpdate(
-      (pairs.queryExecution.analyzed.canonicalized, aCol, bCol, maxIter),
+      (pairs.sparkSession, pairs.queryExecution.analyzed.canonicalized,
+        aCol, bCol, maxIter),
       computeComponents(pairs, aCol, bCol, maxIter))
+  }
 
   private def computeComponents(pairs: DataFrame, aCol: String, bCol: String,
                                 maxIter: Int): DataFrame = {

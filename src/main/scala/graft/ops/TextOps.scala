@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * Everything here is built from codegen'd built-in functions (split,
   * transform, aggregate, regexp) — no UDFs in the hot path, so whole-stage
   * codegen spans the scan→project pipeline and the ops scale linearly with
-  * input bytes at 100 TB.
+  * input bytes at 100 TB. One deliberate exception: [[compressionRatio]]
+  * needs native zlib and runs as a typed mapPartitions (per-partition
+  * Deflater, still linear in input bytes — see its scaladoc).
   */
 object TextOps {
 
@@ -17,10 +19,14 @@ object TextOps {
 
   /** Deflate-compression ratio per document — the C4/Gopher-style quality
     * signal (highly repetitive or templated text compresses far below
-    * natural prose). zlib level 6, raw UTF-8 bytes; java.util.zip is
-    * deterministic for a fixed level+input, so the ratio is reproducible —
-    * but engine-specific (no DuckDB twin → golden-checked). Runs partition-
-    * wise with one Deflater per batch, not per row. */
+    * natural prose). zlib level 6, raw UTF-8 bytes. Deterministic per zlib
+    * BUILD (the JDK links the host libz; zlib-ng emits different bytes for
+    * the same input), so the golden hash is host-specific — fine for this
+    * harness, regenerate on migration. No DuckDB twin → golden-checked.
+    *
+    * This is the module's one deliberate codegen break: a typed
+    * mapPartitions with one native Deflater per PARTITION (not per row),
+    * released eagerly when the partition drains. */
   def compressionRatio(df: org.apache.spark.sql.DataFrame, textCol: String,
                        idCol: String): org.apache.spark.sql.DataFrame = {
     import df.sparkSession.implicits._
@@ -28,7 +34,7 @@ object TextOps {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
         val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
+        val mapped = it.map { case (id, text) =>
           val in = text.getBytes("UTF-8")
           deflater.reset()
           deflater.setInput(in)
@@ -37,6 +43,16 @@ object TextOps {
           while (!deflater.finished()) out += deflater.deflate(buf)
           (id, in.length, out,
             math.rint(out.toDouble / math.max(1, in.length) * 10000) / 10000)
+        }
+        // release native zlib buffers when the partition drains instead of
+        // waiting for GC finalization (end() is idempotent)
+        new Iterator[(Long, Int, Int, Double)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, Int, Int, Double) = mapped.next()
         }
       }.toDF(idCol, "n_bytes", "n_compressed", "ratio")
   }

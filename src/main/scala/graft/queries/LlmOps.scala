@@ -696,7 +696,7 @@ object LlmOps extends QueryPack {
   // DuckDB replays them bit-for-bit.
   q("emb_quantize",
     """SELECT vec_id,
-      |  round(amax, 6) AS amax,
+      |  CAST(floor(amax * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS amax,
       |  CAST(list_reduce(list_prepend(0::BIGINT,
       |    list_transform(e, x -> CAST(floor(x / (amax / 127) + 0.5) AS BIGINT))),
       |    (a, b) -> a + b) AS BIGINT) AS q_sum,
@@ -717,7 +717,10 @@ object LlmOps extends QueryPack {
       .select(col("vec_id"), e.as("e"), amax.as("amax"))
       .filter(col("amax") > 0)
       .select(col("vec_id"),
-        round(col("amax"), 6).as("amax"),
+        // fixed-point, not round(·,6): Spark rounds via exact BigDecimal
+        // HALF_UP while DuckDB rounds the binary double — they can differ
+        // at a .5e-6 boundary; floor(x*1e6+0.5)/1e6 is IEEE-identical (P7)
+        (Det.fix(col("amax"), 6).cast("double") / 1000000.0).as("amax"),
         aggregate(transform(col("e"), x => qCode(x)), lit(0L), (a, b) => a + b)
           .as("q_sum"),
         array_max(transform(col("e"), x => qCode(x))).as("q_max"))
