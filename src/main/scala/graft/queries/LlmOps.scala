@@ -436,16 +436,32 @@ object LlmOps extends QueryPack {
       |        / 10000 / COUNT(*), 4) AS avg_quality,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |FROM kept""") { (s, dir) =>
-    val scrubbed = Tables(s, dir, "documents")
-      .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text"))
-    val en = scrubbed.filter(TextOps.langId(col("text")) === "en")
-    val scored = en.select(col("doc_id"), col("text"),
-        TextOps.qualityScore(col("text"), size(TextOps.tokens(col("text")))).as("quality"))
+    import graft.engine.Tables.fan
+    // Staging (shingleSets pattern + a cache barrier):
+    //   fan #1 spreads the 1-split parquet scan so the regex-heavy scrub
+    //   runs 32-way instead of inside the single-task scan stage;
+    //   fan #2 is the CollapseProject barrier pinning the scrubbed text
+    //   (else the 3-regex scrub inlines into every downstream `text` ref);
+    //   persist() is the PREDICATE barrier: exchanges stop CollapseProject
+    //   but not PushDownPredicates — without the cache, the language-gate
+    //   filter below pushes through both repartitions into the file scan,
+    //   re-inlining scrub + tokenization into a single-task stage (measured
+    //   as this query's dominant cost). CacheManager keys by canonical plan,
+    //   so repeated runs reuse one bounded entry (same policy as Dedup.pin).
+    val scrubbed = fan(fan(Tables(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), TextOps.piiScrub(col("text")).as("text")))
+    val staged = scrubbed.select(col("doc_id"), col("text"),
+        TextOps.tokens(lower(col("text"))).as("ltk"),
+        size(TextOps.tokens(col("text"))).as("ntk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val en = staged.filter(TextOps.langIdToks(col("text"), col("ltk")) === "en")
+    val scored = en.select(col("doc_id"), col("text"), col("ntk"),
+        TextOps.qualityScoreToks(col("text"), col("ltk"), col("ntk")).as("quality"))
       .filter(col("quality") >= 0.6)
     Dedup.exact(scored, "text", "doc_id")
       .agg(count(lit(1)).as("n_docs"),
         Det.avgFix(sum(Det.fix(col("quality"), 4)), 4, count(lit(1))).as("avg_quality"),
-        sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"))
+        sum(col("ntk").cast("long")).as("n_tokens"))
   }
 
   q("text_quality",
