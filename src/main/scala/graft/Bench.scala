@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one session-level init instead of per-query re-registration checks
+    functions.DotProduct.register(spark)
+    functions.NfcNormalize.register(spark)
+    plans.Rules.ensureInjected(spark)
     // warm the JVM / parquet reader / codegen paths so startup cost is not
     // attributed to whichever query happens to run first
     try {

@@ -32,6 +32,20 @@ object Pipeline {
                          values: Seq[String], agg: String) extends Step
   final case class Unpivot(ids: Seq[String], values: Seq[String],
                            varName: String, valName: String) extends Step
+  /** Near-dup removal: drop any row whose `textCol` is shingle-Jaccard
+    * ≥ tau similar to a LOWER-id row (keep-lowest-id survivor policy).
+    * Candidates come from the shingle-blocked Dedup.jaccardPairs — never
+    * an all-pairs join. */
+  final case class DedupNear(textCol: String, idCol: String, k: Int,
+                             tau: Double) extends Step
+  /** PII scrub (emails / phone numbers / IPv4 → typed placeholders) of
+    * `col` into `out` (in-place when out == col). */
+  final case class PiiScrub(col: String, out: String) extends Step
+  /** As-of join against another pipeline: attach the latest right row with
+    * rightTs <= leftTs per key (backward; forward = next-upcoming). */
+  final case class Asof(other: Pipeline, leftKey: String, rightKey: String,
+                        leftTs: String, rightTs: String, payload: Seq[String],
+                        tiebreak: String, direction: String) extends Step
 
   final case class Sink(path: String, format: String = "parquet",
                         partitionBy: Seq[String] = Nil)
@@ -54,6 +68,13 @@ object Pipeline {
               agg: String): Pipeline = add(Pivot(groupBy, pivotCol, values, agg))
     def unpivot(ids: Seq[String], values: Seq[String], varName: String,
                 valName: String): Pipeline = add(Unpivot(ids, values, varName, valName))
+    def dedupNear(textCol: String, idCol: String, k: Int = 3,
+                  tau: Double = 0.3): Pipeline = add(DedupNear(textCol, idCol, k, tau))
+    def piiScrub(col: String, out: String): Pipeline = add(PiiScrub(col, out))
+    def asofJoin(other: Pipeline, leftKey: String, rightKey: String,
+                 leftTs: String, rightTs: String, payload: Seq[String],
+                 tiebreak: String, direction: String = "backward"): Pipeline =
+      add(Asof(other, leftKey, rightKey, leftTs, rightTs, payload, tiebreak, direction))
     private def add(s: Step): Pipeline = copy(steps = steps :+ s)
 
     /** Interpret the step list into a DataFrame lineage. */
@@ -86,6 +107,17 @@ object Pipeline {
         case (df, Unpivot(ids, vals, vn, valn)) =>
           import org.apache.spark.sql.functions.col
           df.unpivot(ids.map(col).toArray, vals.map(col).toArray, vn, valn)
+        case (df, DedupNear(tc, ic, k, tau)) =>
+          import org.apache.spark.sql.functions.{col, expr}
+          val losers = graft.ops.Dedup.jaccardPairs(df, tc, ic, k, tau)
+            .select(col("id_b").as("__loser")).distinct()
+          df.join(losers, expr(s"$ic = __loser"), "left_anti")
+        case (df, PiiScrub(c, out)) =>
+          df.withColumn(out, graft.ops.TextOps.piiScrub(
+            org.apache.spark.sql.functions.col(c)))
+        case (df, Asof(o, lk, rk, lts, rts, pay, tb, direction)) =>
+          graft.ops.AsofJoin(df, o.run(spark, dir), lk, rk, lts, rts,
+            pay, tb, direction)
       }
 
     /** Terminal write. */
@@ -158,6 +190,15 @@ object Pipeline {
           str("pivotCol"), strs("values"), str("agg"))
         case "unpivot"    => p.unpivot(strs("ids"), strs("values"),
           str("varName"), str("valName"))
+        case "dedupNear"  => p.dedupNear(str("textCol"), str("idCol"),
+          if (s.hasNonNull("k")) s.get("k").asInt() else 3,
+          if (s.hasNonNull("tau")) s.get("tau").asDouble() else 0.3)
+        case "piiScrub"   => p.piiScrub(str("col"),
+          if (s.hasNonNull("out")) str("out") else str("col"))
+        case "asofJoin"   => p.asofJoin(build(s.get("pipeline")),
+          str("leftKey"), str("rightKey"), str("leftTs"), str("rightTs"),
+          strs("payload"), str("tiebreak"),
+          if (s.hasNonNull("direction")) str("direction") else "backward")
         case other => throw new IllegalArgumentException(s"unknown pipeline op: $other")
       }
     }

@@ -18,15 +18,48 @@ object Multimodal {
                            head_byte: Int, checksum: Long,
                            width: Int, height: Int)
 
-  /** STUB DECODE: real image/audio codecs are not installed in this
-    * environment. `decode` derives deterministic fake dimensions from the
-    * payload bytes; the partition-wise execution shape, typed schema, and
-    * binary-column round-trip are the real, tested plumbing — swap the body
-    * for an actual codec call in production. */
-  def decode(bytes: Array[Byte]): (Int, Int) = {
-    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
-    (math.abs(h % 1920).toInt + 1, math.abs((h >> 11) % 1080).toInt + 1)
+  /** Deterministic synthetic PNG: `w`×`h` RGB pixels from a seeded LCG,
+    * encoded by the JDK's ImageIO PNG writer (no timestamps/ancillary
+    * chunks → byte-stable per JDK build). Real bytes for the real decode
+    * path below. */
+  def encodePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 24) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+
+  /** Image payloads are REALLY decoded: `javax.imageio` parses the PNG and
+    * the emitted width/height come from actual pixel data. Audio/video
+    * codecs are not installed in this environment, so non-PNG payloads
+    * fall back to STUB dimensions derived from the payload bytes — the
+    * partition-wise execution shape, typed schema, and binary-column
+    * round-trip are identical either way; swap the fallback for a codec
+    * call in production. */
+  def decode(bytes: Array[Byte]): (Int, Int) =
+    if (isPng(bytes)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      (img.getWidth, img.getHeight)
+    } else {
+      val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+      (math.abs(h % 1920).toInt + 1, math.abs((h >> 11) % 1080).toInt + 1)
+    }
 
   /** Partition-wise feature extraction over the opaque binary column. */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
@@ -41,9 +74,9 @@ object Multimodal {
     }
   }
 
-  /** STUB RESIZE: dimension transform over the metadata (a real codec
-    * resizes the payload; the stub rescales the fake dims and re-tags the
-    * bytes). Partition-wise, same batch shape as a real transcoder. */
+  /** Metadata resize: rescales the decoded dimensions to fit the bounding
+    * box (a production transcoder also re-encodes the payload; the
+    * dimension math and partition-wise batch shape are identical). */
   def resize(feats: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
     import feats.sparkSession.implicits._
     feats.mapPartitions(_.map { f =>
@@ -66,8 +99,11 @@ object Multimodal {
     })
   }
 
-  /** Build a media table from the documents fixture: utf-8 payload bytes
-    * with a deterministic kind tag — stands in for image/audio blobs. */
+  /** Build a media table from the documents fixture. Image rows carry REAL
+    * PNG bytes (synthesized per-row, dimensions derived from the id so the
+    * decode path is independently checkable); audio/video rows carry utf-8
+    * payload stand-ins. Payload synthesis runs partition-wise — the same
+    * batch shape as ingesting real blobs. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
     import spark.implicits._
     docs.select(col("doc_id").as("id"),
@@ -75,5 +111,11 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         encode(col("text"), "UTF-8").as("bytes"))
       .as[Media]
+      .mapPartitions(_.map { m =>
+        if (m.kind == "image")
+          m.copy(bytes = encodePng(m.id * 2654435761L,
+            8 + (m.id % 56).toInt, 8 + (m.id % 40).toInt))
+        else m
+      })
   }
 }

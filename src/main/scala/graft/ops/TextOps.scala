@@ -17,6 +17,16 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode NFC normalization (codegen expression, functions/
+    * NfcNormalize.scala) — run BEFORE tokenization/shingling on real-world
+    * corpora: decomposed accents make byte-different tokens that look
+    * identical, silently breaking dedup blocking and n-gram features. */
+  def nfc(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.NfcNormalize.register)
+    call_function("graft_nfc", text)
+  }
+
   /** Deflate-compression ratio per document — the C4/Gopher-style quality
     * signal (highly repetitive or templated text compresses far below
     * natural prose). zlib level 6, raw UTF-8 bytes. Deterministic per zlib

@@ -131,6 +131,52 @@ object Extensibility extends QueryPack {
         |  ] }""".stripMargin).run(s, dir)
   }
 
+  // LLM-pipeline ops as config steps: near-dedup (shingle-blocked, keep-
+  // lowest-id) and PII scrub driven from the same JSON surface as the
+  // relational steps — the ETL-builder story for corpus builds. Synthetic
+  // PII is prepended so the scrub is observable in the checked output.
+  q("pipeline_config_llm",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), losers AS (
+      |  SELECT DISTINCT id_b FROM (
+      |    SELECT id_a, id_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM i JOIN n na ON i.id_a = na.doc_id JOIN n nb ON i.id_b = nb.doc_id
+      |  ) WHERE jaccard >= 0.3
+      |)
+      |SELECT doc_id, lang, CAST(length(regexp_replace(regexp_replace(regexp_replace(
+      |    'contact u' || doc_id || '@x.io ip 10.1.' || doc_id % 256 || '.9 ' || text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '(\+?[0-9]{1,2}[ -])?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS INT)
+      |  AS n_clean
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+      |ORDER BY doc_id""") { (s, dir) =>
+    Pipeline.fromJson(
+      """{ "source": "documents",
+        |  "steps": [
+        |    {"op": "dedupNear", "textCol": "text", "idCol": "doc_id", "k": 3, "tau": 0.3},
+        |    {"op": "withColumn", "name": "tagged",
+        |     "expr": "concat('contact u', doc_id, '@x.io ip 10.1.', doc_id % 256, '.9 ', text)"},
+        |    {"op": "piiScrub", "col": "tagged", "out": "clean"},
+        |    {"op": "selectExpr", "exprs": ["doc_id", "lang", "length(clean) AS n_clean"]},
+        |    {"op": "sort", "keys": ["doc_id"]}
+        |  ] }""".stripMargin).run(s, dir)
+  }
+
   // the ETL-builder surface end-to-end: config-style steps → Catalyst plan
   q("pipeline_e2e",
     s"""SELECT c_mktsegment, COUNT(*) AS n_orders,

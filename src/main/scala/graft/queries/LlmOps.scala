@@ -256,6 +256,13 @@ object LlmOps extends QueryPack {
       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
       |) WHERE sim >= 0.4
       |ORDER BY id_a, id_b""") { (s, dir) =>
+    // tau = 0.4 sits below Sim.lshEffectiveTau (the fixture embeddings are
+    // near-isotropic — max pair sim ≈ 0.5 — so 0.4-pairs are the random
+    // tail, which no LSH can block without dropping borderline pairs), so
+    // the dispatcher routes this to the exact join, keeping the all-pairs
+    // oracle valid bit-for-bit. The realistic high-tau regime routes to
+    // nearDupPairsBlocked — pinned equal to the exact twin on planted
+    // duplicates by SimBlockedSpec.
     Sim.nearDupPairs(Tables(s, dir, "embeddings"), tau = 0.4)
       .orderBy("id_a", "id_b")
   }
@@ -277,7 +284,7 @@ object LlmOps extends QueryPack {
   // LSH bucket assignment depends on engine-seeded hyperplanes → rows-only
   qNo("sim_ann_lsh") { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
-    Sim.annTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nBits = 4)
+    Sim.annTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .orderBy("probe_id", "rn")
   }
 
@@ -500,6 +507,24 @@ object LlmOps extends QueryPack {
         TextOps.piiScrub(concat(
           lit("mail user"), col("doc_id"), lit("@example.com tel +1 555-123-4567 ip 10.0."),
           col("doc_id") % 256, lit(".7 "), col("text"))).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  // Unicode NFC normalization ahead of tokenization — the corpus-build
+  // hygiene pass. The fixtures are ASCII, so decomposed sequences (combining
+  // acute / diaeresis) are prepended to make composition observable in the
+  // hash gate; both engines implement UAX #15 canonical composition.
+  q("text_nfc_normalize",
+    """SELECT doc_id,
+      |  nfc_normalize('Cafe' || chr(769) || ' no' || chr(776) || 'el ' || text) AS norm,
+      |  CAST(length(nfc_normalize('Cafe' || chr(769) || ' no' || chr(776) || 'el ' || text)) AS INT) AS n_norm
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    val decomposed = concat(lit("Café nöel "), col("text"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.nfc(decomposed).as("norm"),
+        length(TextOps.nfc(decomposed)).as("n_norm"))
       .orderBy("doc_id")
   }
 

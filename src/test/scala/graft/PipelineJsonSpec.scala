@@ -85,6 +85,58 @@ class PipelineJsonSpec extends SparkSpec {
       2 * engine.Tables(spark, sf, "part").count())
   }
 
+  test("LLM config steps interpret to the library operators") {
+    import org.apache.spark.sql.functions._
+    // dedupNear: survivors = docs minus jaccardPairs' id_b side
+    val survivors = Pipeline.fromJson(
+      """{"source": "documents", "steps": [
+        |  {"op": "dedupNear", "textCol": "text", "idCol": "doc_id", "k": 3, "tau": 0.3},
+        |  {"op": "selectExpr", "exprs": ["doc_id"]},
+        |  {"op": "sort", "keys": ["doc_id"]}]}""".stripMargin)
+      .run(spark, sf).collect().map(_.getLong(0)).toSeq
+    val docs = engine.Tables(spark, sf, "documents")
+    val losers = ops.Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.3)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    val expect = docs.select("doc_id").collect().map(_.getLong(0))
+      .filterNot(losers).sorted.toSeq
+    assert(losers.nonEmpty, "degenerate fixture: no near-dup pairs")
+    assert(survivors == expect)
+
+    // piiScrub: same masking as the TextOps operator
+    val scrubbed = Pipeline.fromJson(
+      """{"source": "documents", "steps": [
+        |  {"op": "withColumn", "name": "t2", "expr": "concat('a@b.co 1.2.3.4 ', text)"},
+        |  {"op": "piiScrub", "col": "t2", "out": "t2"},
+        |  {"op": "selectExpr", "exprs": ["doc_id", "t2"]},
+        |  {"op": "sort", "keys": ["doc_id"]}]}""".stripMargin)
+      .run(spark, sf).collect().map(_.getString(1)).toSeq
+    assert(scrubbed.forall(_.startsWith("<EMAIL> <IP> ")))
+
+    // asofJoin: identical to calling the library op directly (orders has a
+    // DATE column, so the right side pre-projects a timestamp in-config)
+    val cfg = Pipeline.fromJson(
+      """{"source": "events", "steps": [
+        |  {"op": "selectExpr", "exprs": ["event_id", "user_id", "ts"]},
+        |  {"op": "asofJoin",
+        |   "pipeline": {"source": "orders", "steps": [
+        |     {"op": "selectExpr",
+        |      "exprs": ["o_custkey", "CAST(o_orderdate AS TIMESTAMP) AS o_ts", "o_orderkey"]}]},
+        |   "leftKey": "user_id", "rightKey": "o_custkey",
+        |   "leftTs": "ts", "rightTs": "o_ts",
+        |   "payload": ["o_orderkey"], "tiebreak": "o_orderkey"},
+        |  {"op": "selectExpr", "exprs": ["event_id", "o_orderkey"]},
+        |  {"op": "sort", "keys": ["event_id"]}]}""".stripMargin)
+      .run(spark, sf).collect().toSeq
+    val ev = engine.Tables(spark, sf, "events").select("event_id", "user_id", "ts")
+    val ord = engine.Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_ts"),
+        col("o_orderkey"))
+    val direct = ops.AsofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_ts",
+        Seq("o_orderkey"), "o_orderkey")
+      .select("event_id", "o_orderkey").orderBy("event_id").collect().toSeq
+    assert(cfg.nonEmpty && cfg == direct)
+  }
+
   test("unknown op and missing fields fail loudly") {
     intercept[IllegalArgumentException] {
       Pipeline.fromJson("""{"source": "orders", "steps": [{"op": "explode"}]}""")
