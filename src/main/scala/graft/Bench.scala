@@ -14,6 +14,7 @@ object Bench {
     // one session-level init instead of per-query re-registration checks
     functions.DotProduct.register(spark)
     functions.NfcNormalize.register(spark)
+    functions.LshBands.register(spark)
     plans.Rules.ensureInjected(spark)
     // warm the JVM / parquet reader / codegen paths so startup cost is not
     // attributed to whichever query happens to run first

@@ -17,6 +17,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     functions.DotProduct.register(spark)
     functions.NfcNormalize.register(spark)
+    functions.LshBands.register(spark)
     plans.Rules.ensureInjected(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

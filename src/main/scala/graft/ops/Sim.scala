@@ -91,23 +91,26 @@ object Sim {
     if (tau >= lshEffectiveTau) nearDupPairsBlocked(corpus, tau, dim = dim)
     else nearDupPairsExact(corpus, tau)
 
+  /** The full banded signature (array of `bands` bucket longs) via the
+    * native [[graft.functions.LshBands]] expression — ONE compact codegen
+    * loop over a shared hyperplane matrix instead of bands×rows dot
+    * subtrees of 64 literals each (the naive column form measured 5.9 s on
+    * the sf0.1 ANN query, dominated by codegen size; this is sub-second). */
+  private def lshSignature(e: Column, bands: Int, rowsPerBand: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.LshBands.register)
+    call_function("graft_lsh_bands", e, lit(bands), lit(rowsPerBand))
+  }
+
   /** (id, band, bucket) rows for banded random-hyperplane LSH: band j's
     * bucket packs `rowsPerBand` sign bits into a long, so (band, bucket) is
     * an equi-join key. Only 16-byte rows enter the widest shuffle — the
     * dim-sized payloads stay behind. */
-  private def bandedBuckets(v: DataFrame, bands: Int, rowsPerBand: Int,
-                            dim: Int): DataFrame = {
-    val hps = hyperplanes(bands * rowsPerBand, dim)
-    def bandBucket(e: Column, j: Int): Column =
-      (0 until rowsPerBand).map { i =>
-        val hpCol = array(hps(j * rowsPerBand + i).map(lit): _*)
-        when(dot(e, hpCol) > 0, lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _)
+  private def bandedBuckets(v: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     v.select(col("vec_id"),
-        explode(array((0 until bands).map(j =>
-          struct(lit(j).as("band"), bandBucket(col("e"), j).as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
-  }
+        posexplode(lshSignature(col("e"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
 
   /** Candidate pairs under banded-LSH blocking (id_a < id_b, distinct).
     * Exposed so tests can pin the PRUNING (candidates ≪ all pairs) as a
@@ -116,7 +119,7 @@ object Sim {
                        dim: Int): DataFrame = {
     ensureRegistered(corpus)
     val v = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val banded = bandedBuckets(v, bands, rowsPerBand, dim)
+    val banded = bandedBuckets(v, bands, rowsPerBand)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -139,7 +142,7 @@ object Sim {
     ensureRegistered(corpus)
     val v = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedBuckets(v, bands, rowsPerBand, dim)
+    val banded = bandedBuckets(v, bands, rowsPerBand)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -167,20 +170,10 @@ object Sim {
       .filter(col("sim") >= tau)
   }
 
-  /** Deterministic pseudo-random hyperplanes (seeded) — the LSH scale path. */
-  private def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(nBits)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
-
-  /** Random-hyperplane LSH bucket id (nBits sign bits packed into a long). */
-  def lshBucket(emb: Column, nBits: Int, dim: Int): Column = {
-    val hps = hyperplanes(nBits, dim)
-    hps.zipWithIndex.map { case (hp, j) =>
-      val hpCol = array(hp.map(lit): _*)
-      when(dot(emb, hpCol) > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  /** Random-hyperplane LSH bucket id (nBits sign bits packed into a long)
+    * — a single-band signature from the shared native expression. */
+  def lshBucket(emb: Column, nBits: Int, dim: Int = 64): Column =
+    element_at(lshSignature(emb, 1, nBits), 1)
 
   /** IVF-style ANN: a deterministic coarse quantizer (every `stride`-th
     * corpus vector is a centroid), corpus vectors assigned to their
@@ -240,9 +233,9 @@ object Sim {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pb = bandedBuckets(p.select(col("probe_id").as("vec_id"), col("pe").as("e")),
-      bands, rowsPerBand, dim).withColumnRenamed("vec_id", "probe_id")
+      bands, rowsPerBand).withColumnRenamed("vec_id", "probe_id")
     val cb = bandedBuckets(c.select(col("vec_id"), col("ce").as("e")),
-      bands, rowsPerBand, dim)
+      bands, rowsPerBand)
     val cand = pb.join(cb, Seq("band", "bucket"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"))
