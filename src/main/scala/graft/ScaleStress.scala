@@ -52,22 +52,26 @@ object ScaleStress {
       ops.Sim.annTopK(e10.filter(col("vec_id") < 10), e10, 5).count())
     time("pairwise threshold 10x (20k vecs, label-blocked)")(
       ops.Sim.pairwiseThreshold(e10, 0.25).count())
-    // blocked vs exact embedding near-dup on a 5k corpus with planted
+    // blocked vs exact embedding near-dup on a 16k corpus with planted
     // duplicates (the realistic high-tau regime the dispatcher routes to
-    // banding): candidates must stay well below all-pairs, results equal
+    // banding): candidates must stay well below the 128M all-pairs, results
+    // equal. At 5k vectors the exact broadcast join still wins on wall-time
+    // (per-pair codegen dot is that cheap); 16k is past the crossover where
+    // O(n²) scoring dominates the blocked path's three cheap shuffles.
     // twin = element-wise ±30% jitter (sign from a deterministic pseudo-
     // sequence) → cosine(orig, twin) ≈ 1/sqrt(1.09) ≈ 0.958, well above tau
-    val planted = emb.select(col("vec_id"), col("embedding")).unionByName(
-      emb.select((col("vec_id") + 5000000L).as("vec_id"),
+    val embBase = embX(4).select(col("vec_id"), col("embedding"))
+    val planted = embBase.unionByName(
+      embBase.select((col("vec_id") + 50000000L).as("vec_id"),
         transform(col("embedding"),
           (x, i) => x * (lit(1.0f) + lit(0.3f)
             * signum(sin(col("vec_id") * 31 + i)))).as("embedding"))).cache()
     planted.count()
-    time("embed near-dup BLOCKED 10x (5k vecs, planted dups)")(
+    time("embed near-dup BLOCKED (16k vecs, planted dups)")(
       ops.Sim.nearDupPairsBlocked(planted, 0.85).count())
-    time("embed near-dup EXACT   10x (5k vecs, planted dups)")(
+    time("embed near-dup EXACT   (16k vecs, planted dups)")(
       ops.Sim.nearDupPairsExact(planted, 0.85).count())
-    time("  blocked candidate pairs (vs 12.5M all-pairs)")(
+    time("  blocked candidate pairs (vs 128M all-pairs)")(
       ops.Sim.bandedCandidates(planted, 32, 8, 64).count())
 
     // as-of join: window-machinery library op vs native merge exec — the
