@@ -14,21 +14,30 @@ object DevTime {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val stages = scala.collection.mutable.ListBuffer.empty[(Int, String, Long, Int)]
+    // listener events arrive on the bus thread; synchronize the buffer and
+    // drain the bus before reading so late events can't race the report or
+    // bleed into the next tag
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Int)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val ms = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L))
-        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60), ms, si.numTasks))
+        stages.add((si.stageId, si.name.takeWhile(_ != '\n').take(60), ms, si.numTasks))
       }
     })
+    // listenerBus is private[spark]; a short settle sleep is the dev-tool
+    // approximation of waitUntilEmpty (events flush in single-digit ms)
+    def drain(): Unit = Thread.sleep(200)
     def time[T](tag: String)(f: => T): T = {
+      drain()
       stages.clear()
       val t0 = System.nanoTime()
       val r = f
       val tot = (System.nanoTime() - t0) / 1e9
+      drain()
       println(f"[devtime] $tag: $tot%.2f s")
-      stages.sortBy(-_._3).take(6).foreach { case (id, n, ms, nt) =>
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._3).take(6).foreach { case (id, n, ms, nt) =>
         println(f"    stage $id ($nt tasks) ${ms / 1e3}%.2f s  $n")
       }
       r

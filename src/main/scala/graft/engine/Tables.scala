@@ -24,11 +24,17 @@ object Tables {
     * one. Bounded: #tables × #dirs per session. */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
+  // cap-and-clear (same policy as Dedup's ccMemo): keys strongly reference
+  // their session, so a JVM cycling many sessions would otherwise pin every
+  // stopped session's state forever; a clear costs one re-listing per table
+  private val memoCap = 64
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (memo.size >= memoCap) memo.clear()
     memo.getOrElseUpdate((spark, dir, name),
       if (name == "events") events(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Fan a compute-dense input out to full core parallelism. Small single-
     * file scans arrive as ONE partition (one row-group), which serializes

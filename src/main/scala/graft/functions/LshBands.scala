@@ -42,6 +42,12 @@ case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
   override def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
     val n = e.numElements()
+    // over-dim input fails LOUD: a null here would be silently dropped by
+    // the caller's posexplode, turning every blocked/ANN result into an
+    // empty frame with no error (callers dispatch on dim; see Sim)
+    if (n > LshBands.maxDim) throw new IllegalArgumentException(
+      s"graft_lsh_bands supports dims up to ${LshBands.maxDim}, got $n — " +
+        "route this corpus through the exact path")
     val out = new Array[Long](bands)
     var j = 0
     while (j < bands) {
@@ -49,7 +55,6 @@ case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
       var i = 0
       while (i < rowsPerBand) {
         val hp = planes(j * rowsPerBand + i)
-        if (n > hp.length) return null
         var acc = 0.0
         var d = 0
         while (d < n) {
@@ -79,12 +84,16 @@ case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
       val hp = ctx.freshName("hp")
       s"""
          |int $n = $e.numElements();
+         |if ($n > ${LshBands.maxDim}) {
+         |  throw new IllegalArgumentException(
+         |    "graft_lsh_bands supports dims up to ${LshBands.maxDim}, got " + $n +
+         |    " — route this corpus through the exact path");
+         |}
          |long[] $out = new long[$bands];
          |for (int $j = 0; $j < $bands && !${ev.isNull}; $j++) {
          |  long $bucket = 0L;
          |  for (int $i = 0; $i < $rowsPerBand; $i++) {
          |    double[] $hp = $mat[$j * $rowsPerBand + $i];
-         |    if ($n > $hp.length) { ${ev.isNull} = true; break; }
          |    double $acc = 0.0;
          |    for (int $d = 0; $d < $n; $d++) {
          |      if ($e.isNullAt($d)) { ${ev.isNull} = true; break; }
@@ -108,13 +117,23 @@ case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
 
 object LshBands {
   /** Make `graft_lsh_bands(e, bands, rowsPerBand)` callable from SQL/expr
-    * in this session (bands/rows must be int literals — folded at
-    * registration into the expression's plan). */
+    * in this session. bands/rows must be foldable integer expressions —
+    * they size the hyperplane table at plan time. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_bands", exprs => LshBands(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
-      "built-in")
+      "graft_lsh_bands", exprs => {
+        def intArg(e: Expression, name: String): Int = {
+          require(e.foldable,
+            s"graft_lsh_bands: $name must be a literal, got ${e.sql}")
+          e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_lsh_bands: $name must be integral, got $other")
+          }
+        }
+        LshBands(exprs.head, intArg(exprs(1), "bands"),
+          intArg(exprs(2), "rowsPerBand"))
+      }, "built-in")
 
   /** Deterministic ±1 hyperplanes, identical values and consumption order
     * to the original column formulation (Random(42), row-major) so bucket

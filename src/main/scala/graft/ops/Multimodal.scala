@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every read/write with a disk temp
+  // file — per-row create/delete overhead in the executor hot path. Heap
+  // buffers produce identical bytes for the small frames handled here.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class Media(id: Long, kind: String, bytes: Array[Byte])
 
   case class MediaFeatures(id: Long, kind: String, n_bytes: Int,
@@ -52,14 +57,19 @@ object Multimodal {
     * partition-wise execution shape, typed schema, and binary-column
     * round-trip are identical either way; swap the fallback for a codec
     * call in production. */
-  def decode(bytes: Array[Byte]): (Int, Int) =
+  def decode(bytes: Array[Byte]): (Int, Int) = {
     if (isPng(bytes)) {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      (img.getWidth, img.getHeight)
-    } else {
-      val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
-      (math.abs(h % 1920).toInt + 1, math.abs((h >> 11) % 1080).toInt + 1)
+      // ImageIO returns null (or throws) on truncated/corrupt payloads — a
+      // real-corpus certainty; fall through to the stub dims instead of
+      // killing the whole partition task on one bad blob
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img != null) return (img.getWidth, img.getHeight)
+      } catch { case _: java.io.IOException => }
     }
+    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+    (math.abs(h % 1920).toInt + 1, math.abs((h >> 11) % 1080).toInt + 1)
+  }
 
   /** Partition-wise feature extraction over the opaque binary column. */
   def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {

@@ -32,8 +32,13 @@ object Sim {
 
   def norm2(a: Column): Column = dot(a, a)
 
-  private def ensureRegistered(df: DataFrame): Unit =
+  private def ensureRegistered(df: DataFrame): Unit = {
+    // df.sparkSession backstop: getActiveSession is a thread-local and is
+    // None on pool threads created before the session — every Sim entry
+    // point registers ALL the functions its plan may reach through here
     graft.functions.DotProduct.register(df.sparkSession)
+    graft.functions.LshBands.register(df.sparkSession)
+  }
 
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
@@ -69,26 +74,31 @@ object Sim {
 
   /** The threshold below which hyperplane-LSH banding stops being able to
     * combine near-1 recall with real pruning. Two vectors at cosine s agree
-    * on a random hyperplane with p = 1 - arccos(s)/π; at s = 0.65 that is
-    * p ≈ 0.74, and any (bands, rows) giving miss-rate < 1e-4 there also
-    * admits ≈ all random pairs (p = 0.5 at s = 0) as candidates — measured
-    * on the graded fixtures, whose embeddings are near-isotropic. Above
-    * this threshold banding separates sharply (see [[nearDupPairsBlocked]]);
-    * below it the exact join is the only implementation whose output equals
-    * the threshold-join semantics. Real embedding dedup (dup pairs at
-    * s ≥ 0.8–0.95 over a near-orthogonal bulk) sits firmly above. */
-  val lshEffectiveTau = 0.65
+    * on a random hyperplane with p = 1 - arccos(s)/π, and the default
+    * (b=32, r=8) banding misses a pair with (1-p^8)^32: 1.4e-4 at s = 0.85,
+    * 3.8e-3 at 0.80, 7.8% at 0.65 — while random bulk pairs (p = 0.5) are
+    * still admitted at ≈12%. 0.8 is the point where the boundary-pair miss
+    * rate stays sub-1% AND pruning is real; below it the exact join is the
+    * only implementation honoring threshold-join semantics. Real embedding
+    * dedup (dup pairs at s ≥ 0.9 over a near-orthogonal bulk) sits firmly
+    * above, where the miss rate is ~1e-6 or less. */
+  val lshEffectiveTau = 0.8
 
   /** Embedding-space near-duplicate pairs with cosine ≥ tau. Dispatches on
-    * tau: the realistic near-dup regime (tau ≥ [[lshEffectiveTau]]) runs
-    * banded-LSH blocking + exact verification on candidates only — the
-    * 100 TB shape, pinned equal to the exhaustive twin on planted
-    * duplicates by SimBlockedSpec — while low-tau threshold joins (where
-    * LSH provably cannot prune without dropping borderline pairs, see
-    * [[lshEffectiveTau]]) run the exact path. Both paths share the scoring
-    * expression, so the dispatch is a plan change, not a semantics change. */
+    * tau and dim: the realistic near-dup regime (tau ≥ [[lshEffectiveTau]],
+    * dim within [[graft.functions.LshBands.maxDim]]) runs banded-LSH
+    * blocking + exact verification on candidates only — the 100 TB shape,
+    * pinned equal to the exhaustive twin on planted duplicates by
+    * SimBlockedSpec. Every emitted pair is exactly scored; the blocking can
+    * only DROP pairs, with probability (1-p^r)^b that falls from ≤0.4% for
+    * pairs sitting exactly at tau = 0.8 to ~1e-6 at s = 0.9 (see
+    * [[lshEffectiveTau]] — genuine duplicates are far above the threshold,
+    * boundary pairs are the marginal ones). Below the threshold — where NO
+    * banding can prune without materially dropping borderline pairs — and
+    * for dims beyond the hyperplane table, the exact join runs instead. */
   def nearDupPairs(corpus: DataFrame, tau: Double, dim: Int = 64): DataFrame =
-    if (tau >= lshEffectiveTau) nearDupPairsBlocked(corpus, tau, dim = dim)
+    if (tau >= lshEffectiveTau && dim <= graft.functions.LshBands.maxDim)
+      nearDupPairsBlocked(corpus, tau, dim = dim)
     else nearDupPairsExact(corpus, tau)
 
   /** The full banded signature (array of `bands` bucket longs) via the
@@ -112,6 +122,17 @@ object Sim {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
+  /** The candidate self-join over a banded frame (id_a < id_b, distinct) —
+    * ONE definition shared by the production path and the pruning test, so
+    * retuning can never drift them apart. */
+  private def candidatesFrom(banded: DataFrame): DataFrame =
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+
   /** Candidate pairs under banded-LSH blocking (id_a < id_b, distinct).
     * Exposed so tests can pin the PRUNING (candidates ≪ all pairs) as a
     * structural property instead of a flaky timing compare. */
@@ -119,36 +140,24 @@ object Sim {
                        dim: Int): DataFrame = {
     ensureRegistered(corpus)
     val v = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val banded = bandedBuckets(v, bands, rowsPerBand)
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    candidatesFrom(bandedBuckets(v, bands, rowsPerBand))
   }
 
-  /** Banded-LSH blocked near-dup pairs: candidates from [[bandedCandidates]],
+  /** Banded-LSH blocked near-dup pairs: candidates from [[candidatesFrom]],
     * exact cosine verification on candidates only — blocking can only drop
-    * pairs, never corrupt them, and the defaults make dropping vanishingly
-    * rare in the regime the dispatcher routes here. Band-OR recall:
-    * P[candidate] = 1-(1-p^r)^b with p = 1-arccos(s)/π. At (b=32, r=8):
-    * dup pairs at s=0.9 miss with (1-0.856^8)^32 ≈ 4e-6; random bulk pairs
-    * (s≈0, p=0.5) collide in a band with 2^-8, so candidates ≈ 12% of all
-    * pairs — and the split widens with tau and with corpus anisotropy. */
+    * pairs, never corrupt them. Band-OR recall: P[candidate] = 1-(1-p^r)^b
+    * with p = 1-arccos(s)/π. At (b=32, r=8): dup pairs at s=0.9 miss with
+    * ~1e-6, pairs exactly at s=0.85 with 1.4e-4, at s=0.8 with 3.8e-3;
+    * random bulk pairs (s≈0, p=0.5) collide in a band with 2^-8, so
+    * candidates ≈ 12% of all pairs — the split widens with tau and with
+    * corpus anisotropy. */
   def nearDupPairsBlocked(corpus: DataFrame, tau: Double,
                           bands: Int = 32, rowsPerBand: Int = 8,
                           dim: Int = 64): DataFrame = {
     ensureRegistered(corpus)
     val v = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedBuckets(v, bands, rowsPerBand)
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    val cand = candidatesFrom(bandedBuckets(v, bands, rowsPerBand))
     cand
       .join(v.select(col("vec_id").as("id_a"), col("e").as("ea")), "id_a")
       .join(v.select(col("vec_id").as("id_b"), col("e").as("eb")), "id_b")
