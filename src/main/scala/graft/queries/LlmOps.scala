@@ -510,6 +510,98 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Benchmark decontamination — the Llama/GPT-style n-gram overlap scan:
+  // flag every training doc sharing a shingle with the eval set (here a
+  // deterministic doc_id % 97 subset stands in for the benchmark). Scale
+  // shape (100 TB): benchmark suites are tiny, so their distinct shingle
+  // set BROADCASTS; the corpus side is one linear scan + broadcast hash
+  // join + partial-aggregated count — corpus text never shuffles. (At a
+  // benchmark too big to broadcast the same plan degrades to one shuffle
+  // of 8-byte shingle hashes, still never of text.)
+  q("llm_decontaminate",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), bench AS (
+      |  SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 97 = 0
+      |), corpus AS (
+      |  SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 97 <> 0
+      |)
+      |SELECT doc_id, COUNT(*) AS n_hits
+      |FROM corpus JOIN bench USING (sg)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""") { (s, dir) =>
+    import graft.engine.Tables.fan
+    val sh = fan(fan(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk")))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), array_distinct(TextOps.shingles(col("tk"), 3)).as("sh"))
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("sg")).distinct()
+    val corpus = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+    corpus.join(broadcast(bench), "sg")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  // Repetition ratio — the Gopher-class quality signal: share of a doc's
+  // shingles that are duplicates of another shingle in the SAME doc
+  // (templated/spammy text repeats its own n-grams). Pure per-row array
+  // math, codegen'd, embarrassingly parallel.
+  q("text_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS s
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(len(s) AS INT) AS n_shingles,
+      |  round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 4) AS rep_ratio
+      |FROM sh
+      |ORDER BY doc_id""") { (s, dir) =>
+    import graft.engine.Tables.fan
+    fan(fan(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk")))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), TextOps.shingles(col("tk"), 3).as("s"))
+      .select(col("doc_id"), size(col("s")).as("n_shingles"),
+        round(lit(1.0) - size(array_distinct(col("s"))).cast("double") / size(col("s")),
+          4).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // Sequence packing — assign docs to fixed 512-token training windows by
+  // cumulative token count within each language stream (the streaming
+  // document-packing pass every pretraining pipeline runs before batch
+  // assembly). One shuffle on the partition key + a running-sum window —
+  // at 100 TB the stream partitions by (lang, shard) to bound per-window
+  // state, same plan otherwise. Deterministic: doc_id order.
+  q("llm_pack_sequences",
+    """SELECT doc_id, lang, CAST(ntok AS INT) AS ntok,
+      |  CAST(floor((cum - ntok) / 512) AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok,
+      |    SUM(len(string_split(text, ' ')))
+      |      OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+      |  FROM documents)
+      |ORDER BY lang, doc_id""") { (s, dir) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .select(col("doc_id"), col("lang"), col("ntok").cast("int").as("ntok"),
+        floor((col("cum") - col("ntok")) / 512).cast("long").as("pack_id"))
+      .orderBy("lang", "doc_id")
+  }
+
   // Unicode NFC normalization ahead of tokenization — the corpus-build
   // hygiene pass. The fixtures are ASCII, so decomposed sequences (combining
   // acute / diaeresis) are prepended to make composition observable in the
