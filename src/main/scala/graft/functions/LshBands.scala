@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * (scala.util.Random(42), row-major consumption), so bucket values — and
   * therefore the golden hashes of every LSH query — are unchanged.
   */
-case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
+case class LshBands(child: Expression, bands: Int, rowsPerBand: Int,
+                    tableDim: Int = LshBands.defaultDim)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -36,18 +37,23 @@ case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
   // null element or short/long row → null signature (callers filter nulls)
   override def nullable: Boolean = true
 
+  // table width: requested dim, clamped up so sub-64 corpora share the
+  // legacy (golden-pinned) 64-wide table
+  private val width = math.max(tableDim, LshBands.defaultDim)
+
   @transient private lazy val planes: Array[Array[Double]] =
-    LshBands.hyperplanes(bands * rowsPerBand)
+    LshBands.hyperplanes(bands * rowsPerBand, width)
 
   override def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]
     val n = e.numElements()
     // over-dim input fails LOUD: a null here would be silently dropped by
     // the caller's posexplode, turning every blocked/ANN result into an
-    // empty frame with no error (callers dispatch on dim; see Sim)
-    if (n > LshBands.maxDim) throw new IllegalArgumentException(
-      s"graft_lsh_bands supports dims up to ${LshBands.maxDim}, got $n — " +
-        "route this corpus through the exact path")
+    // empty frame with no error (callers size tableDim from the data's
+    // actual dim at plan time; see Sim.inferDim)
+    if (n > width) throw new IllegalArgumentException(
+      s"graft_lsh_bands sized for dim $width, got a $n-element row — " +
+        "re-plan with the corpus's true dimensionality")
     val out = new Array[Long](bands)
     var j = 0
     while (j < bands) {
@@ -84,10 +90,10 @@ case class LshBands(child: Expression, bands: Int, rowsPerBand: Int)
       val hp = ctx.freshName("hp")
       s"""
          |int $n = $e.numElements();
-         |if ($n > ${LshBands.maxDim}) {
+         |if ($n > $width) {
          |  throw new IllegalArgumentException(
-         |    "graft_lsh_bands supports dims up to ${LshBands.maxDim}, got " + $n +
-         |    " — route this corpus through the exact path");
+         |    "graft_lsh_bands sized for dim ${width}, got a " + $n +
+         |    "-element row — re-plan with the corpus's true dimensionality");
          |}
          |long[] $out = new long[$bands];
          |for (int $j = 0; $j < $bands && !${ev.isNull}; $j++) {
@@ -132,22 +138,29 @@ object LshBands {
           }
         }
         LshBands(exprs.head, intArg(exprs(1), "bands"),
-          intArg(exprs(2), "rowsPerBand"))
+          intArg(exprs(2), "rowsPerBand"),
+          if (exprs.length > 3) intArg(exprs(3), "dim") else defaultDim)
       }, "built-in")
 
-  /** Deterministic ±1 hyperplanes, identical values and consumption order
-    * to the original column formulation (Random(42), row-major) so bucket
-    * assignments — and golden hashes — are stable across the refactor.
-    * Rows are allocated at the max supported dim; `nullSafeEval` rejects
-    * longer inputs instead of silently truncating the signature. */
-  val maxDim = 64
+  /** Width of the legacy hyperplane table. Tables at dim ≤ defaultDim are
+    * generated at exactly this width with the SAME seed and consumption
+    * order as before the dim lift (Random(42), row-major), so every bucket
+    * value — and every golden hash — from the 64-dim era is unchanged.
+    * Wider corpora get a table generated at their true dim (cache key
+    * (nBits, dim)); those are new code paths with no goldens to preserve. */
+  val defaultDim = 64
 
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[Int, Array[Array[Double]]]
+    .empty[(Int, Int), Array[Array[Double]]]
 
-  def hyperplanes(nBits: Int): Array[Array[Double]] =
-    cache.getOrElseUpdate(nBits, {
+  /** Deterministic ±1 hyperplanes at the requested width. `dim` is clamped
+    * UP to [[defaultDim]] so sub-64-dim corpora reuse the legacy table
+    * (bit-identical buckets) instead of minting a third family. */
+  def hyperplanes(nBits: Int, dim: Int = defaultDim): Array[Array[Double]] = {
+    val width = math.max(dim, defaultDim)
+    cache.getOrElseUpdate((nBits, width), {
       val rnd = new scala.util.Random(42)
-      Array.fill(nBits)(Array.fill(maxDim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+      Array.fill(nBits)(Array.fill(width)(if (rnd.nextBoolean()) 1.0 else -1.0))
     })
+  }
 }

@@ -42,6 +42,22 @@ object Sim {
 
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Broadcast `df` only when the optimizer's size estimate fits under
+    * `graft.sim.broadcastThreshold` (bytes, default 512 MB — sized for the
+    * driver+executor memory of a typical large-cluster profile, not for
+    * this box). Over the threshold the hint is simply omitted and the join
+    * planner picks from stats: an equi-join becomes a shuffle hash/sort-
+    * merge join, a theta join a partitioned nested-loop — same semantics,
+    * no assume-it-fits-in-memory seam. This was the one unconditional
+    * `broadcast()` in the §2.9 family (r3 verdict hygiene item). */
+  private def maybeBroadcast(df: DataFrame): DataFrame = {
+    val threshold = df.sparkSession.conf
+      .get("graft.sim.broadcastThreshold", (512L << 20).toString).toLong
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      broadcast(df)
+    else df
+  }
+
   /** cosine = dot / (sqrt(|a|²) * sqrt(|b|²)), association fixed. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
@@ -52,7 +68,7 @@ object Sim {
     ensureRegistered(corpus)
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pe"))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
-    val scored = fan(p).crossJoin(broadcast(c))
+    val scored = fan(p).crossJoin(maybeBroadcast(c))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         round(cosine(col("pe"), col("ce")), 4).as("sim"))
@@ -64,7 +80,7 @@ object Sim {
   def pairwiseThreshold(corpus: DataFrame, tau: Double): DataFrame = {
     ensureRegistered(corpus)
     val v = fan(corpus).select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
-    v.as("a").join(broadcast(v).as("b"),
+    v.as("a").join(maybeBroadcast(v).as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"),
         col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
@@ -84,21 +100,39 @@ object Sim {
     * above, where the miss rate is ~1e-6 or less. */
   val lshEffectiveTau = 0.8
 
+  /** The corpus's embedding dimensionality, read from the data itself: one
+    * row of one (pruned) column — a trivial plan-time job, the same class
+    * of driver-side planning action as a range-partitioner sample. Keys the
+    * hyperplane-table width so dispatch can never be misled by a
+    * caller-asserted dim (ADVICE r3: a 768-dim corpus passed without an
+    * explicit dim used to throw deep in execution). Empty corpus → the
+    * legacy default width; any LSH result on it is empty anyway. */
+  def inferDim(corpus: DataFrame): Int =
+    corpus.select(size(col("embedding")).as("d")).limit(1).collect() match {
+      case Array(r) if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0)
+      case _ => graft.functions.LshBands.defaultDim
+    }
+
   /** Embedding-space near-duplicate pairs with cosine ≥ tau. Dispatches on
-    * tau and dim: the realistic near-dup regime (tau ≥ [[lshEffectiveTau]],
-    * dim within [[graft.functions.LshBands.maxDim]]) runs banded-LSH
-    * blocking + exact verification on candidates only — the 100 TB shape,
-    * pinned equal to the exhaustive twin on planted duplicates by
-    * SimBlockedSpec. Every emitted pair is exactly scored; the blocking can
-    * only DROP pairs, with probability (1-p^r)^b that falls from ≤0.4% for
-    * pairs sitting exactly at tau = 0.8 to ~1e-6 at s = 0.9 (see
+    * tau alone: the realistic near-dup regime (tau ≥ [[lshEffectiveTau]])
+    * runs banded-LSH blocking + exact verification on candidates only —
+    * the 100 TB shape, pinned equal to the exhaustive twin on planted
+    * duplicates by SimBlockedSpec — with the hyperplane table sized from
+    * the corpus's actual dimensionality ([[inferDim]] when the caller
+    * doesn't know it; dim ≤ 0 means infer), so real 768–4096-dim
+    * embeddings stay on the blocked path instead of falling back to the
+    * O(n²) exact join. Every emitted pair is exactly scored; the blocking
+    * can only DROP pairs, with probability (1-p^r)^b that falls from ≤0.4%
+    * for pairs sitting exactly at tau = 0.8 to ~1e-6 at s = 0.9 (see
     * [[lshEffectiveTau]] — genuine duplicates are far above the threshold,
     * boundary pairs are the marginal ones). Below the threshold — where NO
-    * banding can prune without materially dropping borderline pairs — and
-    * for dims beyond the hyperplane table, the exact join runs instead. */
-  def nearDupPairs(corpus: DataFrame, tau: Double, dim: Int = 64): DataFrame =
-    if (tau >= lshEffectiveTau && dim <= graft.functions.LshBands.maxDim)
-      nearDupPairsBlocked(corpus, tau, dim = dim)
+    * banding can prune without materially dropping borderline pairs — the
+    * exact join runs instead: exact semantics stay the default wherever
+    * pruning can't be had for a sub-1% boundary miss rate. */
+  def nearDupPairs(corpus: DataFrame, tau: Double, dim: Int = 0): DataFrame =
+    if (tau >= lshEffectiveTau)
+      nearDupPairsBlocked(corpus, tau,
+        dim = if (dim > 0) dim else inferDim(corpus))
     else nearDupPairsExact(corpus, tau)
 
   /** The full banded signature (array of `bands` bucket longs) via the
@@ -106,19 +140,21 @@ object Sim {
     * loop over a shared hyperplane matrix instead of bands×rows dot
     * subtrees of 64 literals each (the naive column form measured 5.9 s on
     * the sf0.1 ANN query, dominated by codegen size; this is sub-second). */
-  private def lshSignature(e: Column, bands: Int, rowsPerBand: Int): Column = {
+  private def lshSignature(e: Column, bands: Int, rowsPerBand: Int,
+                           dim: Int): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.LshBands.register)
-    call_function("graft_lsh_bands", e, lit(bands), lit(rowsPerBand))
+    call_function("graft_lsh_bands", e, lit(bands), lit(rowsPerBand), lit(dim))
   }
 
   /** (id, band, bucket) rows for banded random-hyperplane LSH: band j's
     * bucket packs `rowsPerBand` sign bits into a long, so (band, bucket) is
     * an equi-join key. Only 16-byte rows enter the widest shuffle — the
     * dim-sized payloads stay behind. */
-  private def bandedBuckets(v: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private def bandedBuckets(v: DataFrame, bands: Int, rowsPerBand: Int,
+                            dim: Int): DataFrame =
     v.select(col("vec_id"),
-        posexplode(lshSignature(col("e"), bands, rowsPerBand)))
+        posexplode(lshSignature(col("e"), bands, rowsPerBand, dim)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
@@ -135,12 +171,14 @@ object Sim {
 
   /** Candidate pairs under banded-LSH blocking (id_a < id_b, distinct).
     * Exposed so tests can pin the PRUNING (candidates ≪ all pairs) as a
-    * structural property instead of a flaky timing compare. */
+    * structural property instead of a flaky timing compare. `dim` sizes
+    * the hyperplane table (dim ≤ 0 → infer from the data). */
   def bandedCandidates(corpus: DataFrame, bands: Int, rowsPerBand: Int,
-                       dim: Int): DataFrame = {
+                       dim: Int = 0): DataFrame = {
     ensureRegistered(corpus)
+    val d = if (dim > 0) dim else inferDim(corpus)
     val v = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    candidatesFrom(bandedBuckets(v, bands, rowsPerBand))
+    candidatesFrom(bandedBuckets(v, bands, rowsPerBand, d))
   }
 
   /** Banded-LSH blocked near-dup pairs: candidates from [[candidatesFrom]],
@@ -153,11 +191,12 @@ object Sim {
     * corpus anisotropy. */
   def nearDupPairsBlocked(corpus: DataFrame, tau: Double,
                           bands: Int = 32, rowsPerBand: Int = 8,
-                          dim: Int = 64): DataFrame = {
+                          dim: Int = 0): DataFrame = {
     ensureRegistered(corpus)
+    val d = if (dim > 0) dim else inferDim(corpus)
     val v = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatesFrom(bandedBuckets(v, bands, rowsPerBand))
+    val cand = candidatesFrom(bandedBuckets(v, bands, rowsPerBand, d))
     cand
       .join(v.select(col("vec_id").as("id_a"), col("e").as("ea")), "id_a")
       .join(v.select(col("vec_id").as("id_b"), col("e").as("eb")), "id_b")
@@ -173,16 +212,19 @@ object Sim {
   def nearDupPairsExact(corpus: DataFrame, tau: Double): DataFrame = {
     ensureRegistered(corpus)
     val v = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    v.as("a").join(broadcast(v).as("b"), col("a.vec_id") < col("b.vec_id"))
+    v.as("a").join(maybeBroadcast(v).as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(cosine(col("a.e"), col("b.e")), 4).as("sim"))
       .filter(col("sim") >= tau)
   }
 
   /** Random-hyperplane LSH bucket id (nBits sign bits packed into a long)
-    * — a single-band signature from the shared native expression. */
-  def lshBucket(emb: Column, nBits: Int, dim: Int = 64): Column =
-    element_at(lshSignature(emb, 1, nBits), 1)
+    * — a single-band signature from the shared native expression. Column
+    * functions can't sample the data, so dim stays a caller parameter
+    * here; the default is the legacy table width. */
+  def lshBucket(emb: Column, nBits: Int,
+                dim: Int = graft.functions.LshBands.defaultDim): Column =
+    element_at(lshSignature(emb, 1, nBits, dim), 1)
 
   /** IVF-style ANN: a deterministic coarse quantizer (every `stride`-th
     * corpus vector is a centroid), corpus vectors assigned to their
@@ -199,7 +241,7 @@ object Sim {
     def nearestCells(df: DataFrame, embCol: String, n: Int, out: String): DataFrame = {
       val wCell = Window.partitionBy(col("vid")).orderBy(col("d").asc, col("cent_id"))
       df.select(col("vec_id").as("vid"), col(embCol).as("e"))
-        .crossJoin(broadcast(cents))
+        .crossJoin(maybeBroadcast(cents))
         .select(col("vid"), col("e"), col("cent_id"),
           // squared Euclidean up to the per-row |e|^2 constant: the |cent|^2
           // term matters for the argmin (without it this ranks by dot product,
@@ -235,16 +277,17 @@ object Sim {
     * throughput path. */
   def annTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               bands: Int = 24, rowsPerBand: Int = 6,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 0): DataFrame = {
     ensureRegistered(corpus)
+    val d = if (dim > 0) dim else inferDim(corpus)
     val p = probes.select(col("vec_id").as("probe_id"),
       asDouble(col("embedding")).as("pe"))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pb = bandedBuckets(p.select(col("probe_id").as("vec_id"), col("pe").as("e")),
-      bands, rowsPerBand).withColumnRenamed("vec_id", "probe_id")
+      bands, rowsPerBand, d).withColumnRenamed("vec_id", "probe_id")
     val cb = bandedBuckets(c.select(col("vec_id"), col("ce").as("e")),
-      bands, rowsPerBand)
+      bands, rowsPerBand, d)
     val cand = pb.join(cb, Seq("band", "bucket"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"))

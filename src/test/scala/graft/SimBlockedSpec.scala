@@ -52,6 +52,47 @@ class SimBlockedSpec extends SparkSpec {
     assert(blocked == exact, "blocked path emitted spurious pairs")
   }
 
+  /** The planted corpus tiled to `times` × 64 dims: concatenating a vector
+    * with itself scales every dot product by `times` and every norm by
+    * sqrt(times), so ALL pairwise cosines are exactly preserved — the
+    * high-dim corpus has the identical dup-over-bulk geometry, making the
+    * 64-dim exact twin's pair set the oracle for the 256/768-dim blocked
+    * path. */
+  private def tiled(df: DataFrame, times: Int): DataFrame =
+    df.select(col("vec_id"),
+      flatten(array_repeat(col("embedding"), times)).as("embedding"))
+
+  test("blocked near-dup holds at real embedding dims (256, 768)") {
+    val corpus = plantedCorpus(sf)
+    val exact = pairSet(ops.Sim.nearDupPairsExact(corpus, tau = 0.85))
+    assert(exact.size >= 400, s"degenerate planted corpus: ${exact.size} dup pairs")
+    for (times <- Seq(4, 12)) {
+      val hi = tiled(corpus, times)
+      // dim inferred from the data — the r3 dispatcher would have thrown
+      // (dim > 64) or silently routed to the O(n²) exact join here
+      val blocked = pairSet(ops.Sim.nearDupPairsBlocked(hi, tau = 0.85))
+      val missed = exact -- blocked
+      assert(missed.isEmpty,
+        s"dim=${times * 64}: blocking dropped ${missed.size}/${exact.size} " +
+          "true pairs — the wide hyperplane table lost recall")
+      assert(blocked == exact,
+        s"dim=${times * 64}: blocked path emitted spurious pairs")
+    }
+  }
+
+  test("high-dim corpora stay on the LSH-blocked plan (no all-pairs join)") {
+    val hi = tiled(plantedCorpus(sf), 12) // 768-dim
+    val dispatched = ops.Sim.nearDupPairs(hi, tau = 0.9)
+    val plan = dispatched.queryExecution.analyzed.toString
+    assert(plan.contains("graft_lsh_bands"),
+      "768-dim corpus was not routed through banded-LSH blocking — " +
+        "the dispatcher fell back to the O(n²) exact join")
+    // the exact twin is recognizable by its broadcast(corpus) hint; the
+    // blocked plan must not carry one (its joins are all bucket equi-joins)
+    assert(!plan.toLowerCase.contains("broadcast"),
+      "dispatched high-dim plan carries a broadcast all-pairs join")
+  }
+
   test("banded candidates prune the pair space") {
     val corpus = plantedCorpus(sf)
     val n = corpus.count()
@@ -73,6 +114,32 @@ class SimBlockedSpec extends SparkSpec {
         s"dispatcher diverged from exact semantics at $dir — " +
           "llm_dedup_embed's all-pairs oracle no longer matches")
     }
+  }
+
+  test("broadcast dispatch is size-aware: hint flips with the threshold") {
+    val emb = engine.Tables(spark, sf, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    def hinted(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("ResolvedHint")
+    val key = "graft.sim.broadcastThreshold"
+    // default threshold: small corpus estimates under it → hint present
+    val small = ops.Sim.cosineTopK(probes, emb, k = 5)
+    assert(hinted(small), "small corpus was not broadcast under the default threshold")
+    val smallExact = ops.Sim.nearDupPairsExact(emb, tau = 0.4)
+    assert(hinted(smallExact), "small exact join was not broadcast")
+    try {
+      // 1-byte threshold models the 100 TB corpus: hint must disappear,
+      // results must not move (the join planner falls back to stats)
+      spark.conf.set(key, "1")
+      val big = ops.Sim.cosineTopK(probes, emb, k = 5)
+      assert(!hinted(big), "over-threshold corpus still carries a broadcast hint")
+      val bigExact = ops.Sim.nearDupPairsExact(emb, tau = 0.4)
+      assert(!hinted(bigExact), "over-threshold exact join still carries a broadcast hint")
+      assert(pairSet(big) == pairSet(small),
+        "size-aware dispatch changed cosineTopK results")
+      assert(pairSet(bigExact) == pairSet(smallExact),
+        "size-aware dispatch changed nearDupPairsExact results")
+    } finally spark.conf.unset(key)
   }
 
   test("ANN recall@5 vs the brute-force oracle stays above the floor") {
