@@ -73,6 +73,42 @@ object ScaleStress {
       ops.Sim.nearDupPairsExact(planted, 0.85).count())
     time("  blocked candidate pairs (vs 128M all-pairs)")(
       ops.Sim.bandedCandidates(planted, 32, 8, 64).count())
+    // the r4 dim lift: the same 16k planted corpus tiled to 768 dims
+    // (tiling preserves every cosine) must stay on the blocked path with
+    // a hyperplane table sized from the data — r3 would have thrown here
+    val planted768 = planted.select(col("vec_id"),
+      flatten(array_repeat(col("embedding"), 12)).as("embedding")).cache()
+    planted768.count()
+    time("embed near-dup BLOCKED dim=768 (16k vecs)")(
+      ops.Sim.nearDupPairsBlocked(planted768, 0.85).count())
+
+    // two-phase block prefix rank/sum vs the naive one-task-per-key
+    // window (llm_shard_assign / llm_pack_sequences): same results, but
+    // parallelism = shuffle partitions instead of = key count. 4096
+    // shards proves position assignment scales with the shard count the
+    // 100 TB deployment would actually use.
+    val d10n = d10.cache(); d10n.count()
+    time("shard_assign naive window 10x (8 shards = 8 tasks)") {
+      val hashed = d10n.select(col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .withColumn("shard", conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 8)
+      hashed.withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy("h", "doc_id"))).count()
+    }
+    time("shard_assign block-prefix 10x (8 shards, 32-way)")(
+      queries.LlmOps.shardAssign(d10n, 8).count())
+    time("shard_assign block-prefix 10x (4096 shards, 32-way)")(
+      queries.LlmOps.shardAssign(d10n, 4096).count())
+    val toks10 = d10n.select(col("doc_id"),
+      (col("doc_id") % 7).as("lang"), size(split(col("text"), " ")).as("ntok"))
+    time("pack_sequences naive window 10x (7 langs = 7 tasks)")(
+      toks10.withColumn("cum", sum(col("ntok")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy("doc_id"))).count())
+    time("pack_sequences block-prefix 10x (7 langs, 32-way)")(
+      ops.BlockWindow.runningSum(toks10, Seq("lang"), Seq("doc_id"),
+        col("ntok"), "cum").count())
 
     // as-of join: window-machinery library op vs native merge exec — the
     // fixed extra stage of the native plan should wash out as rows/key grow
@@ -108,6 +144,25 @@ object ScaleStress {
       ops.Dedup.connectedComponents(p1, "id_a", "id_b").count())
     time("connected components 10x")(
       ops.Dedup.connectedComponents(p10, "id_a", "id_b").count())
+    // chain-diameter stress: the corpus fixtures are clique-dominated
+    // (round 0's neighbor-min resolves them), so they never exercise deep
+    // label walks. 20k parallel chains of depth 32 with ids increasing
+    // along each chain force the min label to walk one hop per round —
+    // 32 rounds of 1.2M-edge joins, the worst case the maxIter guard is
+    // sized against (default 25 would trip; realistic diameters need the
+    // caller to size maxIter to the expected eccentricity).
+    val chains = 20000L
+    val depth = 32L
+    // node(chain c, pos p) = p*chains + c, so edge (id, id + chains)
+    // links consecutive positions of the same chain for every id with
+    // p < depth-1 — i.e. all ids below chains*(depth-1)
+    val chainEdges = spark.range(chains * (depth - 1))
+      .select(col("id").as("id_a"), (col("id") + chains).as("id_b"))
+      .cache()
+    chainEdges.count()
+    time(s"connected components chain graph (${chains}x depth $depth, maxIter 40)")(
+      ops.Dedup.connectedComponents(chainEdges, "id_a", "id_b", maxIter = 40)
+        .agg(countDistinct(col("cluster"))).collect()(0).getLong(0))
     spark.stop()
   }
 }

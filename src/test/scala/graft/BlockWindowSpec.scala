@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the two-phase block prefix sum (ops/BlockWindow.scala) — the
+  * scale path behind `llm_pack_sequences` and `llm_shard_assign` — equal
+  * to the naive one-task-per-key window it replaces, on the graded
+  * fixture and across block counts (the boundary-independence claim: the
+  * telescoped offset math must cancel wherever the range partitioner
+  * cuts). A structural assertion keeps the plan range-partitioned, i.e.
+  * actually parallel over blocks rather than over keys.
+  */
+class BlockWindowSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def docs = engine.Tables(spark, sf, "documents")
+
+  test("block prefix rank equals the per-key row_number window") {
+    val hashed = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("shard", conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 8)
+    val naive = hashed
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id")))
+      .select("doc_id", "shard", "pos")
+    val expected = rows(naive)
+    for (nBlocks <- Seq(0, 1, 7)) { // 0 = session parallelism; 1 and 7 probe boundaries
+      val blocked = ops.BlockWindow.rowNumber(hashed, Seq("shard"),
+          Seq("h", "doc_id"), "pos", nBlocks)
+        .select("doc_id", "shard", "pos")
+      assert(rows(blocked) == expected,
+        s"nBlocks=$nBlocks: block prefix rank diverged from row_number")
+    }
+  }
+
+  test("block prefix sum equals the per-key running-sum window") {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).as("ntok"))
+    val naive = toks.withColumn("cum",
+      sum(col("ntok")).over(Window.partitionBy("lang").orderBy("doc_id")))
+    val expected = rows(naive.select(col("doc_id"), col("lang"), col("cum").cast("long")))
+    for (nBlocks <- Seq(0, 7)) {
+      val blocked = ops.BlockWindow.runningSum(toks, Seq("lang"),
+          Seq("doc_id"), col("ntok"), "cum", nBlocks)
+        .select(col("doc_id"), col("lang"), col("cum"))
+      assert(rows(blocked) == expected,
+        s"nBlocks=$nBlocks: block prefix sum diverged from the running-sum window")
+    }
+  }
+
+  test("shard positions are dense 1..n per shard at a non-graded shard count") {
+    val assigned = queries.LlmOps.shardAssign(docs, nShards = 31)
+    val bad = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        min(col("pos")).as("mn"), countDistinct(col("pos")).as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("d") =!= col("n"))
+    assert(bad.isEmpty, "positions are not a dense 1..n permutation per shard")
+  }
+
+  test("the plan parallelizes over range-partitioned blocks, not keys") {
+    val blocked = ops.BlockWindow.rowNumber(
+      docs.select(col("doc_id"), (col("doc_id") % 4).as("k")),
+      Seq("k"), Seq("doc_id"), "pos")
+    val plan = blocked.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("rangepartitioning"),
+      "no range-partitioned block exchange in the plan — the prefix sum " +
+        "would serialize on the key count again")
+  }
+}
