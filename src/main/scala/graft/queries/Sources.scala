@@ -17,7 +17,12 @@ object Sources extends QueryPack {
     Tables(s, dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
   }
 
-  qNo("scan_csv") { (s, dir) =>
+  // CSV round-trip: the kept columns (int key + delimiter-free strings)
+  // are text-lossless, so the ORIGINAL parquet table is the oracle — the
+  // same pattern scan_orc uses (upgraded from rows-only in r4)
+  q("scan_csv",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |ORDER BY c_custkey""") { (s, dir) =>
     val out = "/tmp/graft_io/csv_customer"
     Tables(s, dir, "customer").write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
@@ -29,7 +34,11 @@ object Sources extends QueryPack {
       .orderBy("c_custkey")
   }
 
-  qNo("scan_json") { (s, dir) =>
+  // JSON round-trip: int/string columns are lossless → original table is
+  // the oracle (upgraded from rows-only in r4)
+  q("scan_json",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |ORDER BY n_nationkey""") { (s, dir) =>
     val out = "/tmp/graft_io/json_nation"
     Tables(s, dir, "nation").write.mode("overwrite").json(out)
     val schema = StructType(Seq(

@@ -24,6 +24,65 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Approx-sketch queries can never bit-match an oracle (different sketch
+# algorithms), but a BROKEN sketch is off by orders of magnitude, not by
+# its error bound. For each: an exact DuckDB twin and a relative tolerance
+# sized at several times the sketch's configured error (rsd 0.02 /
+# accuracy 1000 / HLL lgK default ~1.6% rsd), so the rehearsal catches a
+# broken implementation while honest estimation noise passes. String
+# (group-key) cells still compare exactly, as do row counts and schemas.
+TOLERANCE = {
+    "agg_approx_distinct": (
+        """SELECT o_orderstatus, count(DISTINCT o_custkey) AS approx_custs
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        0.10),
+    "agg_approx_percentile": (
+        """SELECT event_type,
+                  round(quantile_cont(value, 0.5), 6) AS p50,
+                  round(quantile_cont(value, 0.95), 6) AS p95
+           FROM events GROUP BY event_type ORDER BY event_type""",
+        0.05),
+    "agg_hll_sketch": (
+        """SELECT * FROM (
+             SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS DOUBLE)
+                    AS n_custs FROM orders GROUP BY o_orderstatus
+             UNION ALL
+             SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS DOUBLE)
+             FROM orders
+           ) ORDER BY o_orderstatus""",
+        0.10),
+}
+
+
+def within_tol(gv, wv, rtol):
+    """True when the cells agree exactly, or both parse as numbers within
+    relative tolerance."""
+    if gv == wv:
+        return True
+    try:
+        g, w = float(gv), float(wv)
+    except (TypeError, ValueError):
+        return False
+    return abs(g - w) <= rtol * max(abs(w), 1.0)
+
+
+def check_tolerance(con, outdir, name, sql, rtol):
+    """Compare the Spark dump for `name` to an exact twin within rtol.
+    Returns None on pass, else a failure description."""
+    gcols, got = fetch(
+        con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+    wcols, want = fetch(con, sql)
+    if gcols != wcols:
+        return f"schema: spark={gcols} oracle={wcols}"
+    if len(got) != len(want):
+        return f"rowcount: spark={len(got)} oracle={len(want)}"
+    for i, (g, w) in enumerate(zip(got, want)):
+        for j, (gv, wv) in enumerate(zip(g, w)):
+            if not within_tol(gv, wv, rtol):
+                return (f"row {i} col {gcols[j]}: spark={gv!r} outside "
+                        f"±{rtol:.0%} of exact {wv!r}")
+    return None
+
 
 def fetch(con, sql):
     """Run sql; return (sorted column names, rows with cols sorted by name,
@@ -99,11 +158,25 @@ def main():
             fails.append((name, f"{ndiff} cells differ;{detail}"))
             continue
         ok.append(name)
-    for name in ok:
+    # sketch queries: exact-twin compare within the sketch's error budget
+    tol_names = [n for n in sorted(TOLERANCE) if not only or n in only]
+    for name in tol_names:
+        sql, rtol = TOLERANCE[name]
+        try:
+            why = check_tolerance(con, outdir, name, sql, rtol)
+        except Exception as e:
+            why = f"tolerance check error: {e}"
+        if why is None:
+            print(f"PASS {name} (approx, within ±{rtol:.0%} of exact)")
+            ok.append(name)
+        else:
+            fails.append((name, why))
+    for name in sorted(n for n in ok if n not in TOLERANCE):
         print(f"PASS {name}")
     for name, why in fails:
         print(f"FAIL {name}: {why}")
-    print(f"\n{len(ok)}/{len(names)} queries match")
+    print(f"\n{len(ok)}/{len(names) + len(tol_names)} queries match "
+          f"({len(tol_names)} approx-tolerance)")
     sys.exit(1 if fails else 0)
 
 
