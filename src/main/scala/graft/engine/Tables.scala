@@ -24,13 +24,22 @@ object Tables {
     * one. Bounded: #tables × #dirs per session. */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
-  // cap-and-clear (same policy as Dedup's ccMemo): keys strongly reference
-  // their session, so a JVM cycling many sessions would otherwise pin every
-  // stopped session's state forever; a clear costs one re-listing per table
+  // keys strongly reference their session, so a JVM cycling many sessions
+  // would otherwise pin every stopped session's state forever
   private val memoCap = 64
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (memo.size >= memoCap) memo.clear()
+    // Eviction targets DEAD sessions first (their relations can never be
+    // handed out again), falling back to a full clear only if 64+ live
+    // entries exist. Check-then-act races with concurrent callers are
+    // tolerated BY DESIGN rather than locked away: the worst interleaving
+    // evicts an entry mid-insert or briefly overshoots the cap, costing
+    // one redundant file re-listing — never a wrong result, since entries
+    // are pure functions of their key.
+    if (memo.size >= memoCap) {
+      memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
+      if (memo.size >= memoCap) memo.clear()
+    }
     memo.getOrElseUpdate((spark, dir, name),
       if (name == "events") events(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet"))

@@ -623,6 +623,10 @@ object LlmOps extends QueryPack {
   // text column stays with its scan. Within the surviving crawl an exact
   // dedup keeps the lowest doc_id. At 100 TB the reference digest set is a
   // bucketed table the anti-join co-locates against; same plan otherwise.
+  // The oracle uses NOT EXISTS, not NOT IN: NOT IN returns no rows for a
+  // null-keyed probe while left_anti keeps them, so the two formulations
+  // would diverge on null-bearing text even though the fixtures carry
+  // none (ADVICE r3); NOT EXISTS matches left_anti null semantics exactly.
   q("llm_cross_dedup",
     """WITH h AS (
       |  SELECT doc_id, source, lang, md5(text) AS h,
@@ -632,7 +636,8 @@ object LlmOps extends QueryPack {
       |SELECT doc_id, source, lang FROM (
       |  SELECT doc_id, source, lang,
       |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
-      |  FROM h WHERE srcn >= 10 AND h NOT IN (SELECT h FROM ref)
+      |  FROM h WHERE srcn >= 10
+      |    AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.h = h.h)
       |) WHERE rn = 1
       |ORDER BY doc_id""") { (s, dir) =>
     val h = Tables(s, dir, "documents")

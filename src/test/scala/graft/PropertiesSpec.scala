@@ -93,6 +93,25 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("connected components converges on deep chains and trips the guard past maxIter") {
+    import spark.implicits._
+    // a path graph with ids increasing along the chain is the min-label
+    // worst case: the label walks ONE hop per round, so rounds = depth
+    val depth = 30
+    val chain = (0L until depth).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // deep enough to exceed the default maxIter=25 → must fail LOUDLY
+    // (silently returning partial labels would hand callers wrong clusters)
+    val e = intercept[IllegalStateException] {
+      ops.Dedup.connectedComponents(chain, "id_a", "id_b").count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // sized to the eccentricity it converges — one component labeled 0
+    val labels = ops.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(0L), "chain did not collapse to one component")
+    assert(labels.keySet == (0L to depth).toSet)
+  }
+
   test("cosine self-similarity is 1 for every corpus vector") {
     val emb = engine.Tables(spark, sf, "embeddings")
     val selfSim = emb.select(
