@@ -141,6 +141,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("rate-source stream ingests message-bus-shaped unbounded input") {
+    // No Kafka broker exists offline; rate-micro-batch is Spark's built-in
+    // unbounded source with the same shape (per-batch offsets, monotone
+    // values) — it stands in for the message-bus ingestion path. The
+    // memory sink commits whole batches, so after stop() the table must
+    // hold an exact contiguous prefix 0..n-1 of the generated values:
+    // any loss, dup, or torn batch breaks the set equality.
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 100)
+      .option("numPartitions", 4)
+      .load()
+      .select($"timestamp", $"value")
+      .writeStream.format("memory").queryName("rate_test")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rate_test").count() < 300
+             && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    val values = spark.table("rate_test").select($"value").as[Long].collect()
+    assert(values.length >= 300, s"only ${values.length} rows after 30 s")
+    assert(values.length % 100 == 0, "memory sink committed a torn batch")
+    assert(values.toSet == (0L until values.length).toSet,
+      "rate stream lost or duplicated values")
+  }
+
   test("checkpointed sink restart is exactly-once: no loss, no replay") {
     // Kill-and-restart recovery drill for the checkpointed parquet sink:
     // drain wave 1, "crash" (query fully stopped), drop wave 2 into the
