@@ -76,6 +76,24 @@ object Sim {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Brute-force max-inner-product top-k (MIPS) — the retrieval scorer
+    * when magnitude carries signal (popularity-weighted embeddings), so
+    * normalizing to cosine would be wrong. Same fan × size-gated-broadcast
+    * shape as [[cosineTopK]]; at corpus scale the standard reduction
+    * (augment vectors with sqrt(M²-|x|²) and run cosine LSH) reuses the
+    * banded machinery above unchanged. */
+  def mipsTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    ensureRegistered(corpus)
+    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pe"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+    val scored = fan(p).crossJoin(maybeBroadcast(c))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot(col("pe"), col("ce")), 4).as("score"))
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** All pairs with sim ≥ tau inside each label block. */
   def pairwiseThreshold(corpus: DataFrame, tau: Double): DataFrame = {
     ensureRegistered(corpus)

@@ -223,6 +223,47 @@ object LlmOps extends QueryPack {
       .orderBy("probe_id", "rn")
   }
 
+  // Max-inner-product top-k (MIPS): the retrieval scorer when magnitude
+  // carries signal — same plan shape as cosine top-k, no normalization
+  q("sim_mips_topk",
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      |  FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+      |), s AS (
+      |  SELECT probe_id, vec_id,
+      |    round(list_reduce(list_prepend(0.0, list_transform(list_zip(pe, ce),
+      |      z -> z[1] * z[2])), (a, b) -> a + b), 4) AS score
+      |  FROM p CROSS JOIN c WHERE probe_id <> vec_id
+      |)
+      |SELECT probe_id, vec_id, score, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                               ORDER BY score DESC, vec_id) AS rn FROM s)
+      |WHERE rn <= 5
+      |ORDER BY probe_id, rn""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Sim.mipsTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  // Token-budget truncation — the context-length trim every SFT/pretrain
+  // assembly pass runs; pure per-row array math, embarrassingly parallel
+  q("llm_doc_truncate",
+    """SELECT doc_id,
+      |  array_to_string(list_slice(string_split(text, ' '), 1, 64), ' ') AS trimmed,
+      |  CAST(least(len(string_split(text, ' ')), 64) AS INT) AS n_kept,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_orig
+      |FROM documents ORDER BY doc_id""") { (s, dir) =>
+    val toks = split(col("text"), " ")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        array_join(slice(toks, 1, 64), " ").as("trimmed"),
+        least(size(toks), lit(64)).cast("int").as("n_kept"),
+        size(toks).cast("int").as("n_orig"))
+      .orderBy("doc_id")
+  }
+
   q("sim_pairwise_threshold",
     """WITH v AS (
       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.engine.{Det, QueryPack, Tables}
 import graft.streaming.{Funnel, Streams}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming operators, batch-graded (SURVEY §2.10): identical window
@@ -155,6 +156,47 @@ object Streaming extends QueryPack {
   // cohort retention: users cohorted by first-activity week, retention =
   // distinct active users per (cohort, weeks-since) cell — the canonical
   // product-analytics triangle, built from two aggregates and one join
+  // Batch sessionization — gap > 30 min starts a new session; session id
+  // is the running count of gap-breaks per user (the standard two-window
+  // formulation). user_id is high-cardinality, so the windows parallelize
+  // naturally at any scale (unlike the few-key shapes BlockWindow exists
+  // for). Second comparisons use floor-to-seconds on BOTH engines
+  // (unix_timestamp truncates; DuckDB epoch() keeps the µs fraction).
+  q("events_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, floor(epoch(ts)) AS sec FROM events
+      |), b AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+      |                                   ORDER BY sec, event_id) > 1800
+      |         OR lag(sec) OVER (PARTITION BY user_id
+      |                           ORDER BY sec, event_id) IS NULL
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e
+      |), s AS (
+      |  SELECT user_id, sec,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id
+      |                        ORDER BY sec, event_id) AS BIGINT) AS session_id
+      |  FROM b
+      |)
+      |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(min(sec) AS BIGINT) AS start_s, CAST(max(sec) AS BIGINT) AS end_s
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("sec"))
+      .withColumn("brk",
+        when(col("sec") - lag("sec", 1).over(w) > 1800
+          || lag("sec", 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("sec").as("start_s"), max("sec").as("end_s"))
+      .orderBy("user_id", "session_id")
+  }
+
   q("events_retention_cohorts",
     """WITH first AS (
       |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
