@@ -352,4 +352,46 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Chunk-level exact dedup — the paragraph-dedup pass of a corpus build,
+    * at fixed-width granularity (the fixture text has no paragraph breaks,
+    * so the chunk boundary is every `width` tokens; on real corpora swap
+    * the chunker for a split on "\n\n" — the dedup core is identical). A
+    * chunk whose text appears anywhere earlier in the corpus (first by
+    * doc_id, then by position) is dropped; each doc is reassembled from its
+    * surviving chunks in order. Docs with no surviving chunk disappear —
+    * corpus-level boilerplate removal, not per-doc trimming.
+    *
+    * Scale: no all-pairs step. Occurrence ranking is ONE window keyed by
+    * the chunk text (the chunk must travel to its bucket anyway to be
+    * reassembled, so hashing the key would not shrink the shuffle), and
+    * reassembly is one groupBy(doc_id) with an in-group sort by position.
+    * Both shuffles move each chunk exactly once. */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+                 width: Int): DataFrame = {
+    require(width > 0, s"chunk width must be positive, got $width")
+    val t = fan(docs.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("tk")))
+    val nChunks = ceil(size(col("tk")).cast("double") / width).cast("int")
+    val chunks = t
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("tk"), i * width + 1, lit(width)), " "))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk")
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("chunk_idx"))
+    val kept = chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val tot = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    kept.groupBy("doc_id")
+      .agg(
+        // struct sorts by field order (chunk_idx first) — positional order
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("text_dedup"),
+        count(lit(1)).cast("int").as("n_kept"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("text_dedup"), col("n_kept"),
+        col("n_chunks").cast("int").as("n_chunks"))
+  }
 }

@@ -1044,4 +1044,191 @@ object LlmOps extends QueryPack {
           .as("n_bpeish_tokens"))
       .orderBy("doc_id")
   }
+
+  // Unigram-LM pseudo-perplexity — the KenLM-shaped quality gate reduced
+  // to public math: score = mean over doc tokens of -ln(corpus unigram
+  // probability) = mean of (ln total - ln cnt). Low = stereotyped/common
+  // text, high = rare-token noise; real builds band-pass on it. Scale: the
+  // vocab aggregate is tiny and broadcast back; the corpus is scanned once
+  // and only (doc_id, term) rows shuffle for the two counts. Determinism:
+  // ln is applied ONLY to integer counts through 6-dp fixed point
+  // (Det.lnFix — cross-engine last-ulp ln differences are survivable only
+  // when the argument set is small), and all summation is exact BIGINT.
+  q("text_lm_score",
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), cnt AS (
+      |  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1
+      |), tot AS (SELECT COUNT(*) AS total FROM tok)
+      |SELECT doc_id,
+      |  round(CAST(SUM(${Det.oLnFix("total", 6)} - ${Det.oLnFix("cnt", 6)})
+      |        AS DOUBLE) / 1000000 / COUNT(*), 4) AS lm_nll,
+      |  CAST(COUNT(*) AS INT) AS n_tokens
+      |FROM tok JOIN cnt USING (term) CROSS JOIN tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""") { (s, dir) =>
+    val tok = graft.engine.Tables.fan(Tables(s, dir, "documents"))
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+    val cnt = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = tok.agg(count(lit(1)).as("total"))
+    tok.join(broadcast(cnt), "term").crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (Det.lnFix(col("total"), 6) - Det.lnFix(col("cnt"), 6)).as("nll6"))
+      .groupBy("doc_id")
+      .agg(sum("nll6").as("s6"), count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        round(col("s6").cast("double") / 1000000 / col("n"), 4).as("lm_nll"),
+        col("n").cast("int").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // Per-doc token-distribution Shannon entropy — the lexical-diversity
+  // quality signal (near-0 = "spam spam spam" boilerplate; real builds
+  // floor on it). H = ln n - Σ (c/n)·ln c = (n·ln n - Σ c·ln c) / n, so ln
+  // only ever sees INTEGER counts (Det.lnFix — the rational-argument form
+  // measurably hit a cross-engine fix boundary at sf0.01) and everything
+  // up to the final division is exact BIGINT math.
+  q("text_entropy",
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+      |), n AS (
+      |  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_terms FROM tf GROUP BY 1
+      |), h AS (
+      |  SELECT doc_id,
+      |    round(CAST(n * ${Det.oLnFix("n", 6)}
+      |               - SUM(c * ${Det.oLnFix("c", 6)})
+      |          AS DOUBLE) / n / 1000000, 4) AS entropy
+      |  FROM tf JOIN n USING (doc_id)
+      |  GROUP BY doc_id, n
+      |)
+      |SELECT doc_id, entropy, CAST(n_terms AS INT) AS n_terms
+      |FROM h JOIN n USING (doc_id)
+      |ORDER BY doc_id""") { (s, dir) =>
+    val tok = graft.engine.Tables.fan(Tables(s, dir, "documents"))
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val n = tf.groupBy("doc_id").agg(sum("c").as("n"), count(lit(1)).as("n_terms"))
+    val h = tf.join(n.select("doc_id", "n"), "doc_id")
+      .select(col("doc_id"), col("n"),
+        (col("c") * Det.lnFix(col("c"), 6)).as("clc6"))
+      .groupBy("doc_id", "n").agg(sum("clc6").as("s6"))
+      .select(col("doc_id"),
+        round((col("n") * Det.lnFix(col("n"), 6) - col("s6")).cast("double")
+          / col("n") / 1000000, 4).as("entropy"))
+    h.join(n.select(col("doc_id"), col("n_terms").cast("int").as("n_terms")),
+        "doc_id")
+      .orderBy("doc_id")
+  }
+
+  // Temperature-scaled source mixing — the multilingual/multi-source
+  // α-sampling rule (weight_s ∝ n_s^α, α = 0.3): upweights small sources
+  // against head domination when assembling an epoch. One tiny grouped
+  // count + a broadcast 1-row total; nothing big moves. n^α goes through
+  // 6-dp fixed point so the 4-row total is an exact BIGINT sum.
+  q("llm_mix_temperature",
+    """WITH src AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+      |), u AS (
+      |  SELECT source, n_docs,
+      |    CAST(floor(pow(CAST(n_docs AS DOUBLE), 0.3) * 1000000 + 0.5) AS BIGINT) AS u
+      |  FROM src
+      |), tot AS (SELECT SUM(u) AS tot FROM u)
+      |SELECT source, n_docs,
+      |  round(CAST(u AS DOUBLE) / tot, 4) AS weight,
+      |  CAST(floor(10000.0 * u / tot + 0.5) AS INT) AS epoch_docs
+      |FROM u CROSS JOIN tot
+      |ORDER BY source""") { (s, dir) =>
+    val src = Tables(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val u = src.select(col("source"), col("n_docs"),
+      Det.fix(pow(col("n_docs").cast("double"), lit(0.3)), 6).as("u"))
+    val tot = u.agg(sum("u").as("tot"))
+    u.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("u").cast("double") / col("tot"), 4).as("weight"),
+        floor(lit(10000.0) * col("u") / col("tot") + lit(0.5)).cast("int")
+          .as("epoch_docs"))
+      .orderBy("source")
+  }
+
+  // Semantic dedup (the SemDeDup shape, public: Abbas et al. 2023):
+  // embedding-space near-dup pairs → connected components → keep the
+  // lowest vec_id per cluster, singletons pass through. Composes two
+  // individually-oracled operators (Sim.nearDupPairs routes blocked-LSH
+  // in the realistic high-tau regime — the 100 TB path — and exact below
+  // it; Dedup.connectedComponents is the BSP min-label loop). The oracle
+  // re-derives components with a recursive transitive-closure CTE over
+  // the same exactly-scored pairs.
+  q("llm_semantic_dedup",
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), p AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |      round(
+      |        list_reduce(list_prepend(0.0, list_transform(list_zip(a.e, b.e),
+      |          z -> z[1] * z[2])), (x, y) -> x + y)
+      |        / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.e, x -> x*x)), (x, y) -> x + y))
+      |         * sqrt(list_reduce(list_prepend(0.0, list_transform(b.e, x -> x*x)), (x, y) -> x + y))),
+      |      4) AS sim
+      |    FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  ) WHERE sim >= 0.4
+      |), ed AS (
+      |  SELECT id_a AS s, id_b AS d FROM p
+      |  UNION ALL SELECT id_b, id_a FROM p
+      |), reach AS (
+      |  SELECT s AS id, d AS r FROM ed
+      |  UNION
+      |  SELECT reach.id, ed.d AS r FROM reach JOIN ed ON reach.r = ed.s
+      |), cl AS (
+      |  SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id
+      |)
+      |SELECT vec_id, label FROM embeddings
+      |WHERE vec_id NOT IN (SELECT id FROM cl WHERE id <> cluster)
+      |ORDER BY vec_id""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    // tau below Sim.lshEffectiveTau on the near-isotropic fixture → the
+    // dispatcher's exact path, keeping the all-pairs oracle valid; real
+    // corpora run tau ≥ 0.9 which routes blocked (SimBlockedSpec pins it)
+    val pairs = Sim.nearDupPairs(emb, tau = 0.4)
+    val drop = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("vec_id"))
+    emb.join(drop, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
+  // Chunk-level exact dedup (paragraph-dedup shape; see Dedup.chunkDedup
+  // for the scale argument) — a chunk seen anywhere earlier in the corpus
+  // is dropped, docs are reassembled from surviving chunks.
+  q("llm_dedup_chunk",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), ch AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, CAST(ceil(len(tk) / 16.0) AS INT))) AS chunk_idx, tk
+      |  FROM t
+      |), c2 AS (
+      |  SELECT doc_id, chunk_idx,
+      |    array_to_string(tk[chunk_idx*16+1 : chunk_idx*16+16], ' ') AS chunk
+      |  FROM ch
+      |), k AS (
+      |  SELECT doc_id, chunk_idx, chunk,
+      |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM c2
+      |), tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c2 GROUP BY 1)
+      |SELECT doc_id,
+      |  array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS text_dedup,
+      |  CAST(COUNT(*) AS INT) AS n_kept,
+      |  CAST(any_value(n_chunks) AS INT) AS n_chunks
+      |FROM k JOIN tot USING (doc_id)
+      |WHERE rn = 1
+      |GROUP BY doc_id
+      |ORDER BY doc_id""") { (s, dir) =>
+    Dedup.chunkDedup(Tables(s, dir, "documents"), "text", "doc_id", width = 16)
+      .orderBy("doc_id")
+  }
 }

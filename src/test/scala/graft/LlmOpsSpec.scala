@@ -36,6 +36,55 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("chunk dedup drops repeated chunks and whole-duplicate docs") {
+    // width=2 chunks; doc 2 repeats doc 1's first chunk; doc 3 is a full
+    // duplicate of doc 1 so every chunk is dropped and the doc disappears
+    val df = Seq(
+      (1L, "a b c d"),  // chunks: "a b", "c d"
+      (2L, "a b x y"),  // "a b" already seen → survives as "x y"
+      (3L, "a b c d")   // all chunks seen → removed entirely
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.chunkDedup(df, "text", "doc_id", width = 2)
+      .select("doc_id", "text_dedup", "n_kept", "n_chunks")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out == Map(1L -> (("a b c d", 2, 2)), 2L -> (("x y", 1, 2))))
+  }
+
+  test("chunk dedup keeps a ragged tail chunk and orders chunks by position") {
+    // 5 tokens at width 2 → chunks "p q", "r s", "t"; the repeated middle
+    // chunk of doc 2 is dropped, surviving chunks stay in document order
+    val df = Seq((1L, "p q r s t"), (2L, "z z r s w w")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.chunkDedup(df, "text", "doc_id", width = 2)
+      .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "p q r s t", 2L -> "z z w w"))
+  }
+
+  test("entropy and unigram-LM scores are sane on the graded table") {
+    // entropy ∈ [0, ln(n_terms)] up to the output's 4-dp rounding (a
+    // uniform doc hits the bound exactly and can round a half-ulp above);
+    // lm_nll > 0 (every unigram prob < 1)
+    val ent = graft.queries.LlmOps.queries("text_entropy")(spark, sf)
+      .collect().map(r => (r.getDouble(1), r.getInt(2)))
+    assert(ent.nonEmpty && ent.forall { case (h, k) =>
+      h >= 0.0 && h <= math.log(k) + 5e-5 })
+    val lm = graft.queries.LlmOps.queries("text_lm_score")(spark, sf)
+      .collect().map(_.getDouble(1))
+    assert(lm.nonEmpty && lm.forall(_ > 0.0))
+  }
+
+  test("temperature mix upweights small sources and weights sum to ~1") {
+    val rows = graft.queries.LlmOps.queries("llm_mix_temperature")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-2)
+    // α < 1 compresses: the weight RATIO between any two sources is closer
+    // to 1 than their count ratio
+    val sorted = rows.sortBy(_._1)
+    val (nLo, wLo) = sorted.head; val (nHi, wHi) = sorted.last
+    assert(wHi / wLo < nHi.toDouble / nLo - 1e-9 || nHi == nLo)
+  }
+
   test("connected components label every node with the component minimum") {
     // two components: a 4-node chain 1-2-3-4 (diameter 3 — needs real
     // propagation, not one hop) and an isolated pair 10-11
