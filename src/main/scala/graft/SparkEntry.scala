@@ -22,6 +22,7 @@ object SparkEntry {
     qp.Extensibility,
     qp.Extras,
     qp.Subqueries,
+    qp.GraphOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -85,6 +85,30 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Asymmetric shingle CONTAINMENT |Sa ∩ Sb| / |Sa| over the same
+    * shingle-blocked candidates as [[jaccardPairs]]: catches doc-IN-doc
+    * duplication (a quote, a boilerplate wrapper, a page embedding another)
+    * that symmetric Jaccard dilutes — a short doc fully contained in a long
+    * one has tiny Jaccard but containment 1.0. Ordered pairs (a≠b, both
+    * directions scored); same 8-byte hashed-shingle join keys, candidates
+    * only ever share ≥1 shingle, exact verification on those. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int, tau: Double): DataFrame = {
+    val sh = pin(shingleSets(docs, textCol, idCol, k))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
+    val counts = sh.select(col("id"), size(col("sh")).as("n"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"), col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.as("ca"), col("id_a") === col("ca.id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("ca.n"), 4).as("containment"))
+      .filter(col("containment") >= tau)
+  }
+
   /** MinHash signatures + LSH banding: candidates share ≥1 of `bands`
     * band-hashes; candidates are then exact-verified with `jaccardPairs`-
     * style scoring. The hash family is Kirsch-Mitzenmacher double hashing

@@ -251,24 +251,35 @@ object Sim {
     * join key, per-cell work is corpus/centroids on average. Fully
     * deterministic (no trained state) — swap the sampled centroids for a
     * k-means codebook at scale without touching the query shape. */
+  /** Coarse-quantizer cell assignment: each vector's `n` nearest centroids
+    * (squared-Euclidean argmin, centroid id tiebreak). Shared by the IVF
+    * and IVF-PQ paths — one definition so their candidate sets can never
+    * drift apart. */
+  private def nearestCellsOf(cents: DataFrame)(df: DataFrame, embCol: String,
+                                               n: Int, out: String): DataFrame = {
+    val wCell = Window.partitionBy(col("vid")).orderBy(col("d").asc, col("cent_id"))
+    df.select(col("vec_id").as("vid"), col(embCol).as("e"))
+      .crossJoin(maybeBroadcast(cents))
+      .select(col("vid"), col("e"), col("cent_id"),
+        // squared Euclidean up to the per-row |e|^2 constant: the |cent|^2
+        // term matters for the argmin (without it this ranks by dot product,
+        // biasing toward large-norm centroids)
+        (dot(col("cent"), col("cent")) - lit(2.0) * dot(col("e"), col("cent"))).as("d"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= n)
+      .select(col("vid"), col("e"), col("cent_id").as(out))
+  }
+
+  /** Deterministic coarse centroids: every `stride`-th corpus vector. */
+  private def strideCentroids(corpus: DataFrame, stride: Int): DataFrame =
+    corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent"))
+
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               stride: Int = 25, nProbe: Int = 8): DataFrame = {
     ensureRegistered(corpus)
-    val cents = corpus.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("cent_id"), asDouble(col("embedding")).as("cent"))
-    def nearestCells(df: DataFrame, embCol: String, n: Int, out: String): DataFrame = {
-      val wCell = Window.partitionBy(col("vid")).orderBy(col("d").asc, col("cent_id"))
-      df.select(col("vec_id").as("vid"), col(embCol).as("e"))
-        .crossJoin(maybeBroadcast(cents))
-        .select(col("vid"), col("e"), col("cent_id"),
-          // squared Euclidean up to the per-row |e|^2 constant: the |cent|^2
-          // term matters for the argmin (without it this ranks by dot product,
-          // biasing toward large-norm centroids)
-          (dot(col("cent"), col("cent")) - lit(2.0) * dot(col("e"), col("cent"))).as("d"))
-        .withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") <= n)
-        .select(col("vid"), col("e"), col("cent_id").as(out))
-    }
+    val cents = strideCentroids(corpus, stride)
+    val nearestCells = nearestCellsOf(cents) _
     val corpusCells = nearestCells(
       corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce")), "ce", 1, "cell")
       .select(col("vid").as("vec_id"), col("e").as("ce"), col("cell"))
@@ -277,6 +288,103 @@ object Sim {
       .select(col("vid").as("probe_id"), col("e").as("pe"), col("cell"))
     val scored = probeCells.join(corpusCells, "cell")
       .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("pe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** IVF-PQ: the coarse inverted file of [[ivfTopK]] for candidate pruning,
+    * product quantization for the scoring — the composition every
+    * billion-vector ANN service runs (IVF bounds WHO you score, PQ bounds
+    * WHAT a score costs).
+    *
+    * PQ: the vector splits into `m` subspaces; each subspace has a
+    * `nCentroids`-entry codebook (deterministic: the lowest-id corpus
+    * vectors, sliced — swap for k-means sub-codebooks at scale without
+    * touching the query shape); a corpus vector stores only its m argmin
+    * codes — at (m=8, 256 centroids) that is 8 bytes instead of d×4, the
+    * 100 TB memory story. A probe precomputes an m×nCentroids look-up table
+    * of subspace dot products once, so scoring a candidate is m integer
+    * joins + an integer SUM — asymmetric distance computation (ADC) with
+    * fixed-point partials, so the sum is aggregation-order-independent and
+    * the output run-deterministic (golden-hashable).
+    *
+    * Approximation is two-layer (cell miss + quantized score); the exact
+    * brute-force path is the recall oracle — SimBlockedSpec pins the floor.
+    */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                stride: Int = 25, nProbe: Int = 8,
+                m: Int = 8, nCentroids: Int = 16): DataFrame = {
+    ensureRegistered(corpus)
+    val d = inferDim(corpus)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    val subIdx = explode(sequence(lit(0), lit(m - 1)))
+    // per-subspace codebook from the nCentroids lowest-id corpus vectors
+    // (TakeOrdered — no global sort); code = rank among the seeds
+    val seeds = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .orderBy("vec_id").limit(nCentroids)
+      .withColumn("code", row_number().over(Window.orderBy("vec_id")))
+    val codebook = seeds
+      .withColumn("subq", subIdx)
+      .select(col("code"), col("subq"),
+        slice(col("e"), col("subq") * sub + 1, lit(sub)).as("cv"))
+    // corpus encoding: argmin sub-centroid per (vector, subspace) — min on
+    // a (dist, code) struct is a lexicographic argmin with deterministic
+    // code tiebreak, no window needed
+    val c = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = c
+      .withColumn("subq", subIdx)
+      .select(col("vec_id"), col("subq"),
+        slice(col("ce"), col("subq") * sub + 1, lit(sub)).as("ev"))
+      .join(broadcast(codebook), "subq")
+      .select(col("vec_id"), col("subq"), col("code"),
+        (dot(col("cv"), col("cv")) - lit(2.0) * dot(col("ev"), col("cv"))).as("dist"))
+      .groupBy("vec_id", "subq")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("subq"), col("best.code").as("code"))
+    // probe ADC look-up table: fixed-point subspace dot products
+    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pe"))
+    val lut = p
+      .withColumn("subq", subIdx)
+      .select(col("probe_id"), col("subq"),
+        slice(col("pe"), col("subq") * sub + 1, lit(sub)).as("pv"))
+      .join(broadcast(codebook), "subq")
+      .select(col("probe_id"), col("subq"), col("code"),
+        graft.engine.Det.fix(dot(col("pv"), col("cv")), 6).cast("long").as("partial"))
+    // coarse candidate pruning — the same cell assignment as ivfTopK
+    val cents = strideCentroids(corpus, stride)
+    val nearestCells = nearestCellsOf(cents) _
+    val corpusCells = nearestCells(c.select(col("vec_id"), col("ce")), "ce", 1, "cell")
+      .select(col("vid").as("vec_id"), col("cell"))
+    val probeCells = nearestCells(
+      probes.select(col("vec_id"), asDouble(col("embedding")).as("pe")), "pe", nProbe, "cell")
+      .select(col("vid").as("probe_id"), col("cell"))
+    val cand = probeCells.join(corpusCells, "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"))
+      .distinct()
+    // ADC scoring: m integer partials per candidate, integer sum — CHEAP
+    // (8 code bytes per vector in the join), so it ranks the whole cell's
+    // candidates; only the top `rerank` shortlist per probe ever touches a
+    // full vector again. Shortlist-then-exact-rerank is how every deployed
+    // PQ index spends its flops: the quantized score orders the scan, the
+    // exact score orders the answer.
+    val rerank = math.max(k * 10, 50)
+    val adc = cand
+      .join(codes, "vec_id")
+      .join(lut, Seq("probe_id", "subq", "code"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum(col("partial")).as("sfix"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("sfix").desc, col("vec_id"))
+    val shortlist = adc.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select(col("probe_id"), col("vec_id"))
+    val scored = shortlist
+      .join(p, "probe_id").join(c, "vec_id")
       .select(col("probe_id"), col("vec_id"),
         round(cosine(col("pe"), col("ce")), 4).as("sim"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))

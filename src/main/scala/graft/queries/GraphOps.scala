@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.engine.{QueryPack, Tables}
+import graft.ops.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a derived trade graph (beyond SURVEY §2 core).
+  *
+  * The graph: nation → nation "trade" edges, one per distinct
+  * (supplier nation, customer nation) pair observed in the order book —
+  * derived by the 4-way lineitem ⋈ orders ⋈ customer ⋈ supplier join, so
+  * the graded queries exercise graph analytics AND a realistic fact-to-
+  * dimension edge extraction in one plan. At 100 TB the derivation is the
+  * usual star join (dimension sides broadcast, fact side never shuffled —
+  * see BenchPlanSpec's star-join pin); the analytics run on the collapsed
+  * edge list, which is orders of magnitude smaller than the fact table.
+  */
+object GraphOps extends QueryPack {
+
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .distinct()
+
+  private val oracleEdges =
+    """edges AS (
+      |  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_nationkey <> c.c_nationkey
+      |)""".stripMargin
+
+  private val prIters = 5
+
+  // The oracle unrolls the BSP rounds as chained CTEs (r1..r5 generated
+  // from the same iteration count the Spark loop uses): DuckDB's recursive
+  // CTEs disallow aggregation over the recursive reference, and unrolling
+  // keeps the per-round arithmetic — integer contributions, integer sums,
+  // per-row double update — spelled identically to Graph.pageRank.
+  private def prRound(k: Int): String =
+    s"""r$k AS (
+       |  SELECT n.id,
+       |    CAST(floor(150000 + CAST(0.85 AS DOUBLE) * CAST(COALESCE(m.s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst, SUM(CAST(floor(CAST(r.r AS DOUBLE) / d.d) AS BIGINT)) AS s
+       |    FROM edges e JOIN r${k - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+       |    GROUP BY e.dst) m ON n.id = m.dst
+       |)""".stripMargin
+
+  q("graph_pagerank",
+    s"""WITH $oracleEdges,
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${(1 to prIters).map(prRound).mkString(",\n")}
+       |SELECT nn.n_name, CAST(r.r AS DOUBLE) / 1000000 AS pr
+       |FROM r$prIters r JOIN nation nn ON r.id = nn.n_nationkey
+       |ORDER BY pr DESC, n_name""") { (s, dir) =>
+    Graph.pageRank(tradeEdges(s, dir), prIters)
+      .join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .select(col("n_name"), (col("r").cast("double") / 1000000).as("pr"))
+      .orderBy(col("pr").desc, col("n_name"))
+  }
+
+  q("graph_triangle_count",
+    s"""WITH $oracleEdges,
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)
+       |SELECT e1.a AS na, e1.b AS nb, e2.b AS nc
+       |FROM und e1
+       |JOIN und e2 ON e1.b = e2.a
+       |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+       |ORDER BY na, nb, nc""") { (s, dir) =>
+    Graph.triangles(tradeEdges(s, dir))
+      .orderBy("na", "nb", "nc")
+  }
+
+  // Hub ranking by undirected degree — the cheap structural profile a
+  // pipeline computes before deciding partitioning for the expensive
+  // analytics above (skewed hubs → salting); one symmetrized aggregate.
+  q("graph_degree_topk",
+    s"""WITH $oracleEdges,
+       |sym AS (SELECT src AS id, dst AS nbr FROM edges
+       |        UNION SELECT dst, src FROM edges)
+       |SELECT nn.n_name, CAST(COUNT(*) AS BIGINT) AS degree
+       |FROM sym JOIN nation nn ON sym.id = nn.n_nationkey
+       |GROUP BY nn.n_name
+       |ORDER BY degree DESC, n_name LIMIT 10""") { (s, dir) =>
+    val e = tradeEdges(s, dir)
+    val sym = e.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("id"), col("src").as("nbr")))
+      .distinct()
+    sym.join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("degree"))
+      .orderBy(col("degree").desc, col("n_name"))
+      .limit(10)
+  }
+}

@@ -50,6 +50,37 @@ object LlmOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // asymmetric containment |Sa∩Sb|/|Sa| over the same shingle blocking —
+  // the doc-IN-doc detector (boilerplate wrappers, quoted inclusions) that
+  // symmetric Jaccard structurally under-scores: a short doc fully inside a
+  // long one divides by the UNION and vanishes. Ordered pairs, both
+  // directions scored; candidates still only pairs sharing ≥1 shingle.
+  q("text_containment",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b, containment FROM (
+      |  SELECT id_a, id_b,
+      |    round(CAST(inter AS DOUBLE) / na.n, 4) AS containment
+      |  FROM i JOIN n na ON i.id_a = na.doc_id
+      |) WHERE containment >= 0.5
+      |ORDER BY id_a, id_b""") { (s, dir) =>
+    Dedup.containmentPairs(Tables(s, dir, "documents"), "text", "doc_id",
+        k = 3, tau = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   // near-dup pairs → duplicate CLUSTERS: connected components by iterative
   // min-label propagation (Dedup.connectedComponents); the oracle re-derives
   // the same components with a recursive transitive-closure CTE. This is the
@@ -327,6 +358,16 @@ object LlmOps extends QueryPack {
   qNo("sim_ann_lsh") { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
     Sim.annTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .orderBy("probe_id", "rn")
+  }
+
+  // IVF coarse pruning + product-quantized ADC scoring — the memory-bounded
+  // billion-vector layout (8 code bytes per vector in the scoring joins).
+  // Quantized scores are engine-specific → rows-only + golden hash; recall
+  // floor vs the exact path pinned in SimBlockedSpec.
+  qNo("sim_ann_ivfpq") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Sim.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .orderBy("probe_id", "rn")
   }
 

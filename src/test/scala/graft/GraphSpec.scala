@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph analytics: PageRank fixed-point arithmetic pinned against a
+  * hand-rolled reference iteration, triangle enumeration against a known
+  * topology (each triangle once, duplicates/reversed edges collapsed). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+
+  test("pageRank matches a hand-rolled fixed-point iteration") {
+    val got = Graph.pageRank(edgeList.toDF("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the same micro-unit recurrence, computed driver-side
+    val deg = edgeList.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var exp = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    for (_ <- 0 until 5) {
+      val sums = edgeList.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) =>
+          math.floor(exp(s).toDouble / deg(s)).toLong
+        }.sum
+      }
+      exp = exp.keys.map(id => id ->
+        math.floor(150000.0 + 0.85 * sums.getOrElse(id, 0L).toDouble + 0.5).toLong).toMap
+    }
+    assert(got == exp)
+  }
+
+  test("pageRank ranks the cycle members above the pass-through node") {
+    // 1↔3 recirculate rank (3 returns everything to 1); 2 only ever
+    // receives half of 1's rank and passes it on — structurally lowest
+    val r = Graph.pageRank(edgeList.toDF("src", "dst"), 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) && r(3L) > r(2L))
+  }
+
+  test("triangles enumerates each triangle exactly once, canonically ordered") {
+    // triangle {1,2,3} with a reversed duplicate edge, triangle {4,5,6},
+    // bridge 3-4 creating wedges but no extra triangle
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (2L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    val t = Graph.triangles(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t.length == t.distinct.length, "a triangle was emitted twice")
+    assert(t.toSet == Set((1L, 2L, 3L), (4L, 5L, 6L)))
+  }
+
+  test("graded trade-graph queries run on sf0.001 and agree on the edge set") {
+    val pr = SparkEntry.queries("graph_pagerank")(spark, sf)
+    assert(pr.count() > 0)
+    // rank column is the micro-unit quotient: bounded by the teleport floor
+    val prs = pr.select(col("pr")).collect().map(_.getDouble(0))
+    assert(prs.forall(_ >= 0.15), "a rank fell below the teleport mass")
+    val tri = SparkEntry.queries("graph_triangle_count")(spark, sf)
+    // canonical ordering: every triple strictly increasing
+    assert(tri.filter(!(col("na") < col("nb") && col("nb") < col("nc"))).count() == 0)
+  }
+}

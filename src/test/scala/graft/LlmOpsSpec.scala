@@ -146,6 +146,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits >= 5, s"IVF top-1 recall too low: $hits/10")
   }
 
+  test("containment catches doc-in-doc that symmetric Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long),
+      (3L, "completely unrelated words only here")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "text", "doc_id", k = 3, tau = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every shingle of 1 appears in 2 → containment(1→2) = 1.0; the reverse
+    // direction and the unrelated doc stay below tau
+    assert(cont == Set((1L, 2L)))
+    val jac = Dedup.jaccardPairs(df, "text", "doc_id", k = 3, tau = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), "Jaccard should dilute the contained pair")
+  }
+
   test("simhash of identical texts is identical; pairs found within hamming") {
     val df = Seq((1L, "same tokens here"), (2L, "same tokens here"),
       (3L, "other words entirely different")).toDF("doc_id", "text")

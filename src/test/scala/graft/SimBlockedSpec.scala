@@ -163,4 +163,22 @@ class SimBlockedSpec extends SparkSpec {
     assert(lshRecall >= 0.6, f"LSH ANN recall@5 $lshRecall%.2f < 0.6")
     assert(ivfRecall >= 0.6, f"IVF ANN recall@5 $ivfRecall%.2f < 0.6")
   }
+
+  test("IVF-PQ recall@5 vs brute force stays above the floor") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = engine.Tables(spark, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    def topkSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topkSet(ops.Sim.cosineTopK(probes, emb, k = 5))
+    val pq = topkSet(ops.Sim.ivfPqTopK(probes, emb, k = 5))
+    val recall = (pq & brute).size.toDouble / brute.size
+    info(f"recall@5: ivfpq=$recall%.2f")
+    // two approximation layers stack here (coarse cell miss × ADC
+    // shortlist miss before the exact re-rank) on the worst-case
+    // near-isotropic fixture; measured 0.66 — floor at 0.5 with headroom,
+    // just under the single-layer paths' 0.6
+    assert(recall >= 0.5, f"IVF-PQ recall@5 $recall%.2f < 0.5")
+  }
 }
