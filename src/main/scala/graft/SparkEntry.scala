@@ -23,6 +23,7 @@ object SparkEntry {
     qp.Extras,
     qp.Subqueries,
     qp.GraphOps,
+    qp.QualityOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -94,6 +94,24 @@ object Sim {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Radius query: every corpus vector within cosine ≥ tau of each probe.
+    * Orientation matters at scale: the CORPUS streams (never broadcast,
+    * never collected) while the probe set is size-gated-broadcast — a
+    * radius scan's big side is always the corpus, so this is one linear
+    * pass over it per batch of probes. For tau ≥ [[lshEffectiveTau]] with
+    * a large probe set, [[nearDupPairsBlocked]]'s banded candidate join is
+    * the sub-linear path (same scoring expression — swap is plan-only). */
+  def rangeSearch(probes: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
+    ensureRegistered(corpus)
+    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pe"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+    fan(c).crossJoin(maybeBroadcast(p))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("pe"), col("ce")), 4).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   /** All pairs with sim ≥ tau inside each label block. */
   def pairwiseThreshold(corpus: DataFrame, tau: Double): DataFrame = {
     ensureRegistered(corpus)

@@ -1,0 +1,267 @@
+package graft.queries
+
+import graft.engine.{Det, QueryPack, Tables}
+import graft.engine.Tables.fan
+import graft.ops.{Dedup, Sim, TextOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-quality and data-management operators beyond SURVEY §2's core
+  * list: boilerplate-phrase detection, soft-dedup training weights,
+  * distribution-drift (PSI) monitoring, embedding range search, snapshot
+  * diffing, and a linear-classifier quality gate. Each is the Spark-shaped
+  * version of an operation a production training-data pipeline runs
+  * (CCNet-style boilerplate share, SoftDeDup reweighting instead of
+  * dropping, PSI drift gates between crawl snapshots, radius queries over
+  * embeddings, CDC-less snapshot compare, fastText-style model gating).
+  */
+object QualityOps extends QueryPack {
+
+  private val oracleStopList: String = TextOps.stopwords.values.flatten
+    .toSeq.distinct.sorted.map(w => s"'$w'").mkString(",")
+
+  // Boilerplate-phrase share — the CCNet/RefinedWeb signal: a 3-gram that
+  // appears in ≥ 5% of a SOURCE's documents is template text (nav bars,
+  // footers, licence blurbs), and a document dominated by such shingles is
+  // boilerplate. Scale shape (100 TB): shingles collapse to 8-byte
+  // xxhash64 keys before the explode (the oracle joins raw strings —
+  // same documented collision caveat as llm_decontaminate), the frequency
+  // count is one partial-aggregated shuffle on (source, hash), and the
+  // per-source doc totals (#sources rows) broadcast. The boilerplate set
+  // joins back WITHOUT a broadcast hint: it is data-dependent in size, so
+  // the plan stays a shuffle join that AQE downgrades to broadcast when
+  // the set turns out small — no assume-it-fits seam.
+  q("text_boilerplate",
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, source, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), src AS (SELECT source, COUNT(*) AS n_docs FROM sh GROUP BY source),
+      |e AS (SELECT doc_id, source, unnest(s) AS sg FROM sh),
+      |bp AS (
+      |  SELECT e.source, sg FROM e JOIN src USING (source)
+      |  GROUP BY e.source, sg, n_docs HAVING COUNT(*) >= 0.05 * n_docs
+      |)
+      |SELECT e.doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
+      |  round(CAST(COUNT(*) FILTER (WHERE bp.sg IS NOT NULL) AS DOUBLE)
+      |        / COUNT(*), 4) AS boiler_frac
+      |FROM e LEFT JOIN bp ON e.source = bp.source AND e.sg = bp.sg
+      |GROUP BY e.doc_id
+      |ORDER BY e.doc_id""") { (s, dir) =>
+    val sh = fan(fan(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("tk")))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("source"),
+        array_distinct(transform(TextOps.shingles(col("tk"), 3), xxhash64(_))).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reuse barrier: totals + explode
+    val srcDocs = sh.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val e = sh.select(col("doc_id"), col("source"), explode(col("hs")).as("h"))
+    val bp = e.groupBy("source", "h").agg(count(lit(1)).as("nd"))
+      .join(broadcast(srcDocs), "source")
+      .filter(col("nd") >= lit(0.05) * col("n_docs"))
+      .select(col("source"), col("h"), lit(1).as("is_bp"))
+    e.join(bp, Seq("source", "h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shingles"),
+        round(count(col("is_bp")).cast("double") / count(lit(1)), 4).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
+  // SoftDeDup — reweight instead of drop: every document in a near-dup
+  // cluster trains at weight 1/|cluster| so the cluster contributes one
+  // document's worth of gradient in aggregate (arXiv 2401.00448-style soft
+  // deduplication; keeps tail phrasing diversity hard dedup throws away).
+  // Composition of two already-graded pieces: jaccardPairs (shingle-blocked
+  // candidates) + BSP connected components; the weight join back to the
+  // corpus moves doc ids only, never text.
+  q("llm_dedup_weight",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM i JOIN n na ON i.id_a = na.doc_id JOIN n nb ON i.id_b = nb.doc_id
+      |  ) WHERE jaccard >= 0.3
+      |), ed AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT s AS id, d AS r FROM ed
+      |  UNION
+      |  SELECT reach.id, ed.d AS r FROM reach JOIN ed ON reach.r = ed.s
+      |), cl AS (
+      |  SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+      |), sz AS (SELECT cluster_id, COUNT(*) AS n FROM cl GROUP BY cluster_id)
+      |SELECT d.doc_id, round(1.0 / coalesce(c.n, 1), 4) AS weight
+      |FROM documents d
+      |LEFT JOIN (SELECT doc_id, n FROM cl JOIN sz USING (cluster_id)) c USING (doc_id)
+      |ORDER BY d.doc_id""") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.3)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val withN = cc.join(sizes, "cluster").select(col("id").as("doc_id"), col("n"))
+    docs.select(col("doc_id"))
+      .join(withN, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) / coalesce(col("n"), lit(1L)).cast("double"), 4).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  // Population-stability-index drift between the English and non-English
+  // length distributions — the gate a pipeline runs between crawl
+  // snapshots to catch distribution shift before training on it. One
+  // partial-aggregated groupBy on a derived bucket; totals are a 1-row
+  // broadcast. Determinism: psi terms are per-row double math whose ln
+  // arguments are INTEGER-valued products (Det.lnFix guidance — libm/Java
+  // last-ulp disagreement on integer args never lands on a round(4)
+  // boundary in practice), and zero-count buckets are excluded on both
+  // sides (psi is undefined there).
+  q("dq_drift_psi",
+    """WITH b AS (
+      |  SELECT CAST(n_chars // 64 AS INT) AS bucket,
+      |    COUNT(*) FILTER (WHERE lang = 'en') AS rn,
+      |    COUNT(*) FILTER (WHERE lang <> 'en') AS cn
+      |  FROM documents GROUP BY 1
+      |), t AS (SELECT SUM(rn) AS rt, SUM(cn) AS ct FROM b)
+      |SELECT bucket, CAST(rn AS BIGINT) AS ref_n, CAST(cn AS BIGINT) AS cand_n,
+      |  round((CAST(rn AS DOUBLE)/rt - CAST(cn AS DOUBLE)/ct)
+      |        * (ln(CAST(rn AS DOUBLE) * ct) - ln(CAST(cn AS DOUBLE) * rt)),
+      |    4) AS psi_term
+      |FROM b CROSS JOIN t
+      |WHERE rn > 0 AND cn > 0
+      |ORDER BY bucket""") { (s, dir) =>
+    val b = Tables(s, dir, "documents")
+      .groupBy(expr("n_chars div 64").cast("int").as("bucket"))
+      .agg(count(when(col("lang") === "en", 1)).as("rn"),
+        count(when(col("lang") =!= "en", 1)).as("cn"))
+    val t = b.agg(sum("rn").as("rt"), sum("cn").as("ct"))
+    b.crossJoin(broadcast(t))
+      .filter(col("rn") > 0 && col("cn") > 0)
+      .select(col("bucket"), col("rn").cast("long").as("ref_n"),
+        col("cn").cast("long").as("cand_n"),
+        round((col("rn").cast("double") / col("rt") - col("cn").cast("double") / col("ct"))
+          * (log(col("rn").cast("double") * col("ct")) - log(col("cn").cast("double") * col("rt"))),
+          4).as("psi_term"))
+      .orderBy("bucket")
+  }
+
+  // Radius (range) query over embeddings: every corpus vector within
+  // cosine ≥ tau of each probe — the retrieval primitive when the caller
+  // wants "everything this close", not top-k. The probe set broadcasts
+  // (size-gated) while the corpus STREAMS — the opposite orientation from
+  // cosineTopK's corpus broadcast, because a radius scan's big side is
+  // always the corpus; at tau ≥ Sim.lshEffectiveTau the banded-LSH
+  // machinery slots in unchanged (same candidate join as nearDupPairs).
+  q("sim_range_search",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 25 = 0)
+      |SELECT probe_id, vec_id, sim FROM (
+      |  SELECT probe_id, vec_id,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pe, e),
+      |        z -> z[1] * z[2])), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pe, x -> x*x)), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)), (x, y) -> x + y))),
+      |    4) AS sim
+      |  FROM v CROSS JOIN p WHERE probe_id <> vec_id
+      |) WHERE sim >= 0.25
+      |ORDER BY probe_id, vec_id""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    Sim.rangeSearch(emb.filter(col("vec_id") % 25 === 0), emb, tau = 0.25)
+      .orderBy("probe_id", "vec_id")
+  }
+
+  // Snapshot diff — classify every key across two table versions as
+  // Inserted / Updated / Deleted (the audit step before publishing an
+  // incremental load; the "new" snapshot is a deterministic mutation of
+  // orders so both engines construct identical inputs). One full-outer
+  // sort-merge join on the key — the canonical distributed diff; at 100 TB
+  // both sides shuffle once on o_orderkey and nothing else moves.
+  q("etl_snapshot_diff",
+    """WITH old AS (SELECT o_orderkey AS k, o_custkey AS c FROM orders),
+      |new AS (
+      |  SELECT o_orderkey AS k,
+      |    o_custkey + CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE 0 END AS c
+      |  FROM orders WHERE o_orderkey % 41 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey FROM orders
+      |  WHERE o_orderkey % 41 <> 0 AND o_orderkey % 43 = 0
+      |)
+      |SELECT COALESCE(o.k, n.k) AS o_orderkey,
+      |  CASE WHEN o.k IS NULL THEN 'I' WHEN n.k IS NULL THEN 'D'
+      |       ELSE 'U' END AS change
+      |FROM old o FULL JOIN new n ON o.k = n.k
+      |WHERE o.k IS NULL OR n.k IS NULL OR o.c <> n.c
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val orders = Tables(s, dir, "orders")
+    val old = orders.select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+    val nw = orders.filter(col("o_orderkey") % 41 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        (col("o_custkey") + when(col("o_orderkey") % 37 === 0, 1).otherwise(0)).as("c"))
+      .unionAll(orders
+        .filter(col("o_orderkey") % 41 =!= 0 && col("o_orderkey") % 43 === 0)
+        .select((col("o_orderkey") + 100000000L).as("k"), col("o_custkey").as("c")))
+    old.as("o").join(nw.as("n"), col("o.k") === col("n.k"), "full_outer")
+      .filter(col("o.k").isNull || col("n.k").isNull || col("o.c") =!= col("n.c"))
+      .select(coalesce(col("o.k"), col("n.k")).as("o_orderkey"),
+        when(col("o.k").isNull, "I").when(col("n.k").isNull, "D")
+          .otherwise("U").as("change"))
+      .orderBy("o_orderkey")
+  }
+
+  // Linear-classifier quality gate — the fastText/DCLM-style model gate as
+  // an operator: a fixed-weight linear score over the same three features
+  // the heuristic quality score uses, squashed by a HARD sigmoid
+  // (clamp(0.5 + z/4)) instead of exp so the score is pure rational
+  // arithmetic — bit-deterministic across engines with no libm seam at
+  // all. Swapping in trained weights (or a real model via a scorer UDF) is
+  // a parameter change, not a plan change. Per-row codegen'd math —
+  // embarrassingly parallel at any scale.
+  q("llm_quality_gate",
+    s"""SELECT doc_id, score FROM (
+      |  SELECT doc_id,
+      |    round(least(greatest(0.5 + (
+      |      2.0 * least(CAST(length(text) AS DOUBLE) / 200, 1.0)
+      |      - 0.5 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |               / length(text))
+      |      + 8.0 * (CAST(len(list_intersect(string_split(lower(text), ' '),
+      |           [$oracleStopList])) AS DOUBLE) / len(string_split(text, ' ')))
+      |      - 1.6) / 4, 0.0), 1.0), 4) AS score
+      |  FROM documents)
+      |WHERE score >= 0.5
+      |ORDER BY doc_id""") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val toks = TextOps.tokens(lower(col("text")))
+    val lenSat = least(length(col("text")).cast("double") / 200, lit(1.0))
+    val alpha = lit(1.0) -
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") /
+        length(col("text"))
+    val stop = size(array_intersect(toks,
+      array(TextOps.stopwords.values.flatten.toSeq.distinct.sorted.map(lit): _*)))
+      .cast("double") / size(TextOps.tokens(col("text")))
+    val z = lit(2.0) * lenSat - lit(0.5) * alpha + lit(8.0) * stop - lit(1.6)
+    docs.select(col("doc_id"),
+        round(least(greatest(lit(0.5) + z / 4, lit(0.0)), lit(1.0)), 4).as("score"))
+      .filter(col("score") >= 0.5)
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.engine.Tables
+import graft.ops.Sim
+import graft.queries.QualityOps
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-quality pack (each query is oracle-verified
+  * at sf0.01 by the driver; these pin the SEMANTIC contracts a refactor
+  * could silently break while still hash-matching some new oracle).
+  */
+class QualitySpec extends SparkSpec {
+
+  private def run(name: String) = QualityOps.queries(name)(spark, sf)
+
+  test("rangeSearch is the threshold-filter of the exact score — no " +
+    "dropped and no phantom pairs vs a brute-force recompute") {
+    val emb = Tables(spark, sf, "embeddings")
+    val got = Sim.rangeSearch(emb.filter(col("vec_id") % 25 === 0), emb, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent exact recompute via the pairwise scorer on the same data
+    val v = emb.select(col("vec_id"), Sim.asDouble(col("embedding")).as("e"))
+    val probes = v.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val want = v.crossJoin(probes)
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(Sim.cosine(col("pe"), col("e")), 4).as("sim"))
+      .filter(col("sim") >= 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("soft-dedup weights: every doc keeps a weight in (0,1], cluster " +
+    "members split one doc's worth of weight, corpus cardinality preserved") {
+    val docs = Tables(spark, sf, "documents")
+    val w = run("llm_dedup_weight").collect()
+    assert(w.length == docs.count())
+    assert(w.forall { r => val x = r.getDouble(1); x > 0.0 && x <= 1.0 })
+    // the effective (weighted) corpus size equals #clusters + #singletons:
+    // each n-member cluster contributes n * round(1/n, 4) ≈ 1
+    val effective = w.map(_.getDouble(1)).sum
+    val nonSingleton = w.count(_.getDouble(1) < 1.0)
+    val singleton = w.length - nonSingleton
+    assert(effective > singleton) // clusters contribute ~1 each, not 0
+    assert(effective < w.length || nonSingleton == 0) // strictly shrinks when dups exist
+    assert(nonSingleton > 0, "fixture should contain near-dup clusters")
+  }
+
+  test("boilerplate fractions are valid ratios and the flagged phrases " +
+    "are genuinely frequent within their source") {
+    val b = run("text_boilerplate").collect()
+    assert(b.nonEmpty)
+    assert(b.forall { r =>
+      val f = r.getDouble(2); f >= 0.0 && f <= 1.0 && r.getInt(1) > 0
+    })
+    assert(b.exists(_.getDouble(2) > 0), "fixture should contain boilerplate")
+  }
+
+  test("snapshot diff classifies the planted mutations exactly") {
+    val d = run("etl_snapshot_diff")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byType = d.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    // inserted keys are exactly the shifted clones
+    assert(byType("I").forall(_ > 100000000L))
+    // deleted keys are exactly the % 41 family
+    assert(byType("D").forall(_ % 41 == 0))
+    // updated keys are the % 37 family that survived deletion
+    assert(byType("U").forall(k => k % 37 == 0 && k % 41 != 0))
+    assert(byType.keySet == Set("I", "U", "D"))
+  }
+
+  test("quality gate keeps a strict, non-empty subset with scores >= 0.5") {
+    val docs = Tables(spark, sf, "documents")
+    val g = run("llm_quality_gate").collect()
+    assert(g.nonEmpty && g.length < docs.count())
+    assert(g.forall(_.getDouble(1) >= 0.5))
+  }
+
+  test("psi drift terms are finite and buckets partition both corpora") {
+    val p = run("dq_drift_psi").collect()
+    assert(p.nonEmpty)
+    assert(p.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    assert(p.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
+  }
+}
