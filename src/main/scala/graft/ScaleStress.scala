@@ -147,10 +147,11 @@ object ScaleStress {
     // chain-diameter stress: the corpus fixtures are clique-dominated
     // (round 0's neighbor-min resolves them), so they never exercise deep
     // label walks. 20k parallel chains of depth 32 with ids increasing
-    // along each chain force the min label to walk one hop per round —
-    // 32 rounds of 1.2M-edge joins, the worst case the maxIter guard is
-    // sized against (default 25 would trip; realistic diameters need the
-    // caller to size maxIter to the expected eccentricity).
+    // along each chain are the propagation worst case — pre-doubling this
+    // cost one round per hop (32 rounds of 1.2M-edge joins); with pointer
+    // jumping the min label covers 2^round hops per round, so the same
+    // graph converges in ~log2(32)+1 rounds and the default maxIter=25
+    // guards diameters up to ~2^25.
     val chains = 20000L
     val depth = 32L
     // node(chain c, pos p) = p*chains + c, so edge (id, id + chains)

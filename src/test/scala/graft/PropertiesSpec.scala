@@ -96,17 +96,19 @@ class PropertiesSpec extends SparkSpec {
   test("connected components converges on deep chains and trips the guard past maxIter") {
     import spark.implicits._
     // a path graph with ids increasing along the chain is the min-label
-    // worst case: the label walks ONE hop per round, so rounds = depth
-    val depth = 30
+    // worst case: with pointer jumping the component min propagates
+    // 2^round hops per round, so a depth-d chain needs ~log2(d) rounds
+    val depth = 300
     val chain = (0L until depth).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    // deep enough to exceed the default maxIter=25 → must fail LOUDLY
-    // (silently returning partial labels would hand callers wrong clusters)
+    // a maxIter below log2(depth) must fail LOUDLY (silently returning
+    // partial labels would hand callers wrong clusters)
     val e = intercept[IllegalStateException] {
-      ops.Dedup.connectedComponents(chain, "id_a", "id_b").count()
+      ops.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 4).count()
     }
     assert(e.getMessage.contains("did not converge"))
-    // sized to the eccentricity it converges — one component labeled 0
-    val labels = ops.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 40)
+    // the default maxIter=25 covers diameters up to ~2^25 via doubling —
+    // the 300-deep chain (16 rounds pre-doubling) converges comfortably
+    val labels = ops.Dedup.connectedComponents(chain, "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
     assert(labels.values.toSet == Set(0L), "chain did not collapse to one component")
     assert(labels.keySet == (0L to depth).toSet)
