@@ -84,6 +84,23 @@ object GraphOps extends QueryPack {
       .orderBy("na", "nb", "nc")
   }
 
+  // Degree-oriented triangle enumeration — identical output to
+  // graph_triangle_count (the oracle IS the naive form's SQL), different
+  // plan: edges orient toward the (degree, id)-larger endpoint, bounding
+  // wedge fanout by O(√m) per vertex instead of d² at hub vertices — the
+  // skew-proof 100 TB form (see Graph.trianglesOriented).
+  q("graph_triangle_oriented",
+    s"""WITH $oracleEdges,
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)
+       |SELECT e1.a AS na, e1.b AS nb, e2.b AS nc
+       |FROM und e1
+       |JOIN und e2 ON e1.b = e2.a
+       |JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+       |ORDER BY na, nb, nc""") { (s, dir) =>
+    Graph.trianglesOriented(tradeEdges(s, dir))
+      .orderBy("na", "nb", "nc")
+  }
+
   // Hub ranking by undirected degree — the cheap structural profile a
   // pipeline computes before deciding partitioning for the expensive
   // analytics above (skewed hubs → salting); one symmetrized aggregate.

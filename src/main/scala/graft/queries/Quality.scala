@@ -228,6 +228,99 @@ object QualityOps extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // Bigram language-model scoring — the step up from the unigram LM gate
+  // (text_lm_score): per-doc mean negative log-likelihood under an
+  // add-one-smoothed corpus bigram model, the classic cheap perplexity
+  // proxy for fluency filtering. NLL per bigram = ln(C(w1)+V) − ln(C12+1):
+  // both ln arguments are INTEGERS, so fixed-point ln is cross-engine-safe
+  // (Det.lnFix), and the per-doc mean is an exact BIGINT sum → one double
+  // division (§5.4 P2). Scale shape: two partial-aggregated count shuffles
+  // (bigram, head token) + joins back on those same keys; at 100 TB the
+  // join keys become xxhash64 of the bigram (the llm_decontaminate
+  // precedent), and V is a 1-row broadcast.
+  q("text_lm_bigram",
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i+1])) AS b
+      |  FROM t
+      |), cb AS (SELECT b, COUNT(*) AS c12 FROM bg GROUP BY b),
+      |cu AS (SELECT string_split(b, ' ')[1] AS w1, COUNT(*) AS c1
+      |       FROM bg GROUP BY 1),
+      |vv AS (SELECT COUNT(DISTINCT w) AS v
+      |       FROM (SELECT unnest(tk) AS w FROM t))
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+      |  round(CAST(SUM(${Det.oLnFix("c1 + v", 6)}
+      |                 - ${Det.oLnFix("c12 + 1", 6)}) AS DOUBLE)
+      |        / 1000000 / COUNT(*), 4) AS nll
+      |FROM bg JOIN cb USING (b)
+      |JOIN cu ON string_split(b, ' ')[1] = cu.w1
+      |CROSS JOIN vv
+      |GROUP BY doc_id
+      |ORDER BY doc_id""") { (s, dir) =>
+    val t = fan(fan(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("tk")))
+      .filter(size(col("tk")) >= 2)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bg = t.select(col("doc_id"), explode(TextOps.shingles(col("tk"), 2)).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: both counts + per-doc join
+    val cb = bg.groupBy("b").agg(count(lit(1)).as("c12"))
+    val cu = bg.select(element_at(split(col("b"), " "), 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = t.select(explode(col("tk")).as("w")).agg(countDistinct("w").as("v"))
+    bg.join(cb, "b")
+      .withColumn("w1", element_at(split(col("b"), " "), 1))
+      .join(cu, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (Det.lnFix(col("c1") + col("v"), 6) - Det.lnFix(col("c12") + 1, 6)).as("nll6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        Det.avgFix(sum(col("nll6")), 6, count(lit(1))).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  // Robust outlier detection: per-event-type median absolute deviation.
+  // Z-scores (dq_outlier_zscore) break when the contamination inflates the
+  // stddev; MAD's 50% breakdown point is the production-monitoring
+  // standard. Values go through integer cents first so both medians
+  // interpolate on exact .0/.5 grid points (bit-identical across engines —
+  // raw-double median interpolation is an engine-formula seam); the robust
+  // z itself is per-row double math. Two grouped medians + two broadcast
+  // joins of a #event_types-row frame — nothing big moves twice.
+  q("events_anomaly_mad",
+    """WITH v AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events
+      |), m AS (SELECT event_type, median(vc) AS med FROM v GROUP BY event_type),
+      |d AS (
+      |  SELECT event_type, median(abs(vc - med)) AS mad
+      |  FROM v JOIN m USING (event_type) GROUP BY event_type
+      |)
+      |SELECT event_id, event_type, CAST(vc AS DOUBLE) / 100 AS value,
+      |  round(abs(vc - med) / (1.4826 * mad), 4) AS robust_z
+      |FROM v JOIN m USING (event_type) JOIN d USING (event_type)
+      |WHERE mad > 0 AND abs(vc - med) > 3 * 1.4826 * mad
+      |ORDER BY event_id""") { (s, dir) =>
+    val v = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        Det.fix(col("value"), 2).cast("long").as("vc"))
+    val m = v.groupBy("event_type").agg(median(col("vc")).as("med"))
+    val withMed = v.join(broadcast(m), "event_type")
+    val d = withMed.groupBy("event_type")
+      .agg(median(abs(col("vc") - col("med"))).as("mad"))
+    withMed.join(broadcast(d), "event_type")
+      .filter(col("mad") > 0 &&
+        abs(col("vc") - col("med")) > lit(3) * lit(1.4826) * col("mad"))
+      .select(col("event_id"), col("event_type"),
+        (col("vc").cast("double") / 100).as("value"),
+        round(abs(col("vc") - col("med")) / (lit(1.4826) * col("mad")), 4).as("robust_z"))
+      .orderBy("event_id")
+  }
+
   // Linear-classifier quality gate — the fastText/DCLM-style model gate as
   // an operator: a fixed-weight linear score over the same three features
   // the heuristic quality score uses, squashed by a HARD sigmoid

@@ -48,6 +48,25 @@ class GraphSpec extends SparkSpec {
     assert(t.toSet == Set((1L, 2L, 3L), (4L, 5L, 6L)))
   }
 
+  test("degree-oriented triangles equal the naive enumeration, including " +
+    "on a hub-skewed graph") {
+    // same fixture as the naive test
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (2L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L)).toDF("src", "dst")
+    def tset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tset(Graph.trianglesOriented(edges)) == tset(Graph.triangles(edges)))
+    // hub-skewed: vertex 0 (lowest id, highest degree — the id-ordering
+    // worst case) connects to everyone; spokes 1..20 form a ring, so
+    // triangles are exactly {0, i, i+1} plus the fan closures
+    val hub = ((1L to 20L).map(i => (0L, i)) ++
+      (1L until 20L).map(i => (i, i + 1)) :+ (20L, 1L)).toDF("src", "dst")
+    val naive = tset(Graph.triangles(hub))
+    val oriented = tset(Graph.trianglesOriented(hub))
+    assert(oriented == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("graded trade-graph queries run on sf0.001 and agree on the edge set") {
     val pr = SparkEntry.queries("graph_pagerank")(spark, sf)
     assert(pr.count() > 0)
