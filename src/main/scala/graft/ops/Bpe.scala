@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training over a corpus — the tokenizer-train
+  * step of an LLM data pipeline (Sennrich et al. 2016, public), Spark-shaped.
+  *
+  * Scale design (100 TB): BPE trains on the VOCABULARY (word, frequency),
+  * not the corpus stream — one groupBy collapses any corpus to a frame
+  * bounded by distinct-word count, and every round after that is
+  * vocab-sized work regardless of corpus size. Each round is one
+  * explode+sum pair count (partial-aggregated shuffle on the pair string),
+  * one 1-row argmax (`orderBy.limit(1)` plans as TakeOrderedAndProject —
+  * a per-partition heap + driver merge of singletons, never a full sort),
+  * and one per-row array fold to apply the merge — embarrassingly parallel.
+  * The only driver-side state is the merge table itself (`rounds` rows),
+  * the same class of scalar-per-iteration driver action as the CC loop's
+  * convergence observation. `localCheckpoint` cuts the growing per-round
+  * lineage exactly like the other iterative operators.
+  *
+  * Determinism: pair counts are integer sums; the argmax tiebreak is
+  * (count desc, pair string asc); the merge fold is greedy left-to-right
+  * (overlapping occurrences like "a a a" merge non-overlapping from the
+  * left, matching the reference BPE behavior). Bit-stable across runs —
+  * golden-hashable.
+  */
+object Bpe {
+
+  /** Learn `rounds` merges; returns (round, pair, freq) — the merge table
+    * a tokenizer would persist. */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark: SparkSession = docs.sparkSession
+    val words = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    // initial symbols: characters + the end-of-word marker
+    var vocab = words.select(col("wf"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("sym"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = vocab
+        // fully-merged single-symbol words have no pairs — and Spark's
+        // sequence(1, 0) is DESCENDING, so they must not reach the explode
+        .filter(size(col("sym")) >= 2)
+        .select(col("wf"), explode(
+          transform(sequence(lit(1), size(col("sym")) - 1),
+            i => concat_ws(" ",
+              element_at(col("sym"), i), element_at(col("sym"), i + 1)))).as("p"))
+        .groupBy("p").agg(sum("wf").as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1)
+        .collect()
+      if (top.isEmpty) {
+        // every word fully merged — nothing left to learn
+        return spark.createDataFrame(merges.result())
+          .toDF("round", "pair", "freq")
+      }
+      val tp = top(0).getString(0)
+      merges += ((r, tp, top(0).getLong(1)))
+      val Array(lSym, rSym) = tp.split(" ", 2)
+      val mergedSym = lSym + rSym
+      // greedy left-to-right application: an index fold with a skip flag,
+      // so "a a a" under merge (a,a) becomes ("aa", "a") — non-overlapping
+      // from the left, the reference semantics
+      val n = size(col("sym"))
+      val folded = aggregate(
+        sequence(lit(1), n),
+        struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+        (acc, i) => {
+          val cur = element_at(col("sym"), i)
+          // ANSI mode: element_at past the end THROWS — the when() guard
+          // keeps the lookahead branch unevaluated on the last symbol
+          val nxt = when(i < n, element_at(col("sym"), i + 1))
+          val isPair = i < n && cur === lit(lSym) && nxt === lit(rSym)
+          when(acc.getField("skip"),
+              struct(acc.getField("out").as("out"), lit(false).as("skip")))
+            .when(isPair,
+              struct(concat(acc.getField("out"), array(lit(mergedSym))).as("out"),
+                lit(true).as("skip")))
+            .otherwise(
+              struct(concat(acc.getField("out"), array(cur)).as("out"),
+                lit(false).as("skip")))
+        },
+        acc => acc.getField("out"))
+      vocab = vocab.select(col("wf"), folded.as("sym")).localCheckpoint()
+    }
+    spark.createDataFrame(merges.result()).toDF("round", "pair", "freq")
+  }
+}

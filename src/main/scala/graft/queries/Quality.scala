@@ -321,6 +321,63 @@ object QualityOps extends QueryPack {
       .orderBy("event_id")
   }
 
+  // Quality-weighted importance sampling: within each quality stratum keep
+  // the top floor(stratum_rate · n) documents by md5 rank — deterministic
+  // "coin flips" (the md5 order is the uniform; same idiom as
+  // sample_deterministic / llm_domain_mix), sampling rate proportional to
+  // quality. The DCLM/FineWeb-style soft gate: instead of a hard quality
+  // cutoff, low-quality strata still contribute a thinned sample. One
+  // window per stratum (10 strata → but each stratum is hash-distributed
+  // across the rank window's partitions... the stratum count bounds window
+  // parallelism, so at 100 TB the block-prefix form used by
+  // llm_shard_assign replaces the window — same output, documented there).
+  q("llm_importance_sample",
+    s"""WITH scored AS (
+      |  SELECT doc_id,
+      |    round(
+      |      least(CAST(length(text) AS DOUBLE) / 200, 1.0) * 0.3
+      |      + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |               / length(text)) * 0.3
+      |      + (CAST(len(list_intersect(string_split(lower(text), ' '),
+      |           [$oracleStopList])) AS DOUBLE) / len(string_split(text, ' '))) * 0.4,
+      |    4) AS q
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, q, CAST(floor(q * 10) AS INT) AS qb,
+      |    row_number() OVER (PARTITION BY CAST(floor(q * 10) AS INT)
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY CAST(floor(q * 10) AS INT)) AS n
+      |  FROM scored
+      |)
+      |SELECT doc_id, q AS quality FROM b
+      |WHERE rk <= floor(CAST(qb AS DOUBLE) / 10 * n + 0.5)
+      |ORDER BY doc_id""") { (s, dir) =>
+    val scored = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text"), size(TextOps.tokens(col("text")))).as("q"))
+    val qb = floor(col("q") * 10).cast("int")
+    val w = Window.partitionBy(qb)
+    scored
+      .withColumn("qb", qb)
+      .withColumn("rk", row_number().over(
+        w.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rk") <= floor(col("qb").cast("double") / 10 * col("n") + lit(0.5)))
+      .select(col("doc_id"), col("q").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // BPE tokenizer training — the merge table (round, pair, freq) learned
+  // over the corpus vocabulary. No SQL oracle (an iterative argmax chain
+  // has no sane ANSI spelling); golden-hashed, with the hand-checkable
+  // reference walk pinned in QualitySpec. See ops/Bpe.scala for the
+  // vocab-not-corpus scale argument.
+  qNo("llm_bpe_train") { (s, dir) =>
+    graft.ops.Bpe.trainMerges(
+      Tables(s, dir, "documents").select("text"), "text", rounds = 8)
+      .orderBy("round")
+  }
+
   // Linear-classifier quality gate — the fastText/DCLM-style model gate as
   // an operator: a fixed-weight linear score over the same three features
   // the heuristic quality score uses, squashed by a HARD sigmoid

@@ -78,6 +78,36 @@ class QualitySpec extends SparkSpec {
     assert(g.forall(_.getDouble(1) >= 0.5))
   }
 
+  test("BPE training reproduces the reference merge walk on the classic fixture") {
+    import spark.implicits._
+    // Sennrich-style toy corpus: low ×3, lower ×2, newest ×1.
+    // Hand walk: r1 pairs {l o:5, o w:5, w </w>:3, w e:3, e r:2, r </w>:2,
+    // n e/e w/e s/s t/t </w>:1} → tie (l o, o w) at 5 → asc picks "l o";
+    // r2 "lo w":5; r3 "low </w>":3; r4 tie (e r, low e, r </w>) at 2 →
+    // asc picks "e r".
+    val docs = Seq("low low low", "lower lower", "newest").toDF("text")
+    val m = graft.ops.Bpe.trainMerges(docs, "text", 4)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(m.toSeq == Seq((1, "l o", 5L), (2, "lo w", 5L),
+      (3, "low </w>", 3L), (4, "e r", 2L)))
+  }
+
+  test("BPE training stops early when the vocabulary is fully merged") {
+    import spark.implicits._
+    val m = graft.ops.Bpe.trainMerges(Seq("ab ab").toDF("text"), "text", 10)
+      .collect()
+    // "ab" → a b </w>: merges "a b" then "ab </w>" then nothing left
+    assert(m.length == 2)
+  }
+
+  test("importance sample keeps roughly quality-proportional stratum fractions") {
+    val got = run("llm_importance_sample").collect()
+    val all = graft.engine.Tables(spark, sf, "documents").count()
+    assert(got.nonEmpty && got.length < all)
+    assert(got.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
   test("psi drift terms are finite and buckets partition both corpora") {
     val p = run("dq_drift_psi").collect()
     assert(p.nonEmpty)
