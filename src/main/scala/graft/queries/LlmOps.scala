@@ -871,6 +871,31 @@ object LlmOps extends QueryPack {
   }
 
   // decode → resize → per-kind stats; frame-sampling on the video subset
+  // Windowed audio energy over binary payloads — the feature-extraction
+  // plumbing (blob row → N window rows, partition-wise byte iteration,
+  // exact integer output) graded against a SQL oracle that recomputes the
+  // same sums from the ASCII payload's codepoints. A real deployment swaps
+  // the byte loop for a codec decode; the Spark shape is unchanged.
+  q("multimodal_audio_energy",
+    """WITH a AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 1),
+      |w AS (
+      |  SELECT id, unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS win, text
+      |  FROM a
+      |), s AS (SELECT id, win, substr(text, win * 64 + 1, 64) AS seg FROM w)
+      |SELECT id, CAST(win AS INT) AS win, CAST(length(seg) AS INT) AS n_samples,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(seg) + 1),
+      |      i -> CAST((unicode(substr(seg, i, 1)) - 128)
+      |                * (unicode(substr(seg, i, 1)) - 128) AS BIGINT))),
+      |    (x, y) -> x + y) AS BIGINT) AS ssq
+      |FROM s
+      |ORDER BY id, win""") { (s, dir) =>
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
+    Multimodal.audioEnergy(media).toDF("id", "win", "n_samples", "ssq")
+      .orderBy("id", "win")
+  }
+
   qNo("multimodal_pipeline") { (s, dir) =>
     val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
     val resized = Multimodal.resize(Multimodal.extractFeatures(media), 640, 480)

@@ -34,6 +34,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate") && p.contains("partial_"), p)
   }
 
+  test("etl_snapshot_diff plans one full-outer sort-merge join, no cartesian") {
+    val p = plan("etl_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("text_boilerplate aggregates partially before its shuffles and " +
+    "never broadcasts the data-dependent boilerplate set by hint") {
+    val p = plan("text_boilerplate")
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    // the ≥5% frequency filter must run BEFORE the join back to shingles
+    assert(p.contains(">= (0.05"), s"boilerplate threshold not in plan:\n$p")
+  }
+
+  test("graph_triangle_oriented plans pure equi-joins — no cartesian even " +
+    "with the wedge-order inequality") {
+    val p = plan("graph_triangle_oriented")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("expr_dot_rewrite reaches the codegen expression via the optimizer rule") {
     val p = plan("expr_dot_rewrite")
     assert(p.contains("graft_dot"), s"DotRewrite did not fire in the graded query:\n$p")
