@@ -60,32 +60,63 @@ object Bpe {
       val tp = top(0).getString(0)
       merges += ((r, tp, top(0).getLong(1)))
       val Array(lSym, rSym) = tp.split(" ", 2)
-      val mergedSym = lSym + rSym
-      // greedy left-to-right application: an index fold with a skip flag,
-      // so "a a a" under merge (a,a) becomes ("aa", "a") — non-overlapping
-      // from the left, the reference semantics
-      val n = size(col("sym"))
-      val folded = aggregate(
-        sequence(lit(1), n),
-        struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
-        (acc, i) => {
-          val cur = element_at(col("sym"), i)
-          // ANSI mode: element_at past the end THROWS — the when() guard
-          // keeps the lookahead branch unevaluated on the last symbol
-          val nxt = when(i < n, element_at(col("sym"), i + 1))
-          val isPair = i < n && cur === lit(lSym) && nxt === lit(rSym)
-          when(acc.getField("skip"),
-              struct(acc.getField("out").as("out"), lit(false).as("skip")))
-            .when(isPair,
-              struct(concat(acc.getField("out"), array(lit(mergedSym))).as("out"),
-                lit(true).as("skip")))
-            .otherwise(
-              struct(concat(acc.getField("out"), array(cur)).as("out"),
-                lit(false).as("skip")))
-        },
-        acc => acc.getField("out"))
-      vocab = vocab.select(col("wf"), folded.as("sym")).localCheckpoint()
+      vocab = vocab.select(col("wf"), mergeFold(lSym, rSym).as("sym"))
+        .localCheckpoint()
     }
     spark.createDataFrame(merges.result()).toDF("round", "pair", "freq")
+  }
+
+  /** Greedy left-to-right application of ONE merge to the `sym` column: an
+    * index fold with a skip flag, so "a a a" under merge (a,a) becomes
+    * ("aa", "a") — non-overlapping from the left, the reference semantics. */
+  private def mergeFold(lSym: String, rSym: String) = {
+    val mergedSym = lSym + rSym
+    val n = size(col("sym"))
+    aggregate(
+      sequence(lit(1), n),
+      struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+      (acc, i) => {
+        val cur = element_at(col("sym"), i)
+        // ANSI mode: element_at past the end THROWS — the when() guard
+        // keeps the lookahead branch unevaluated on the last symbol
+        val nxt = when(i < n, element_at(col("sym"), i + 1))
+        val isPair = i < n && cur === lit(lSym) && nxt === lit(rSym)
+        when(acc.getField("skip"),
+            struct(acc.getField("out").as("out"), lit(false).as("skip")))
+          .when(isPair,
+            struct(concat(acc.getField("out"), array(lit(mergedSym))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** Tokenize with a learned merge table: per-word segmentation under the
+    * merges applied IN TRAINING ORDER (the reference apply semantics),
+    * then per-document subword counts.
+    *
+    * Scale shape: segmentation runs on the DISTINCT-WORD vocabulary (one
+    * fold pass per merge over a vocab-sized frame, localCheckpoint between
+    * merges), and documents join the resulting (word → n_subwords) map on
+    * the word key — corpus-sized work is one explode + one shuffle-join on
+    * short word strings + one partial-aggregated count, no matter how many
+    * merges were learned. Returns (doc_id, n_words, n_subwords). */
+  def applyMerges(docs: DataFrame, textCol: String, idCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    var vocab = tok.select("w").distinct()
+      .select(col("w"), concat(split(col("w"), ""), array(lit("</w>"))).as("sym"))
+      .localCheckpoint()
+    for ((lSym, rSym) <- merges)
+      vocab = vocab.select(col("w"), mergeFold(lSym, rSym).as("sym"))
+        .localCheckpoint()
+    tok.join(vocab.select(col("w"), size(col("sym")).as("ns")), "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        sum(col("ns")).cast("long").as("n_subwords"))
   }
 }

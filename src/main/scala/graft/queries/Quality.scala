@@ -378,6 +378,22 @@ object QualityOps extends QueryPack {
       .orderBy("round")
   }
 
+  // Train-then-tokenize end to end: learn 8 merges, segment every doc with
+  // them, report per-doc word and subword counts. The merge table is
+  // driver-side (8 rows — the same scalar-per-iteration class as the CC
+  // convergence observation); segmentation runs on the distinct-word vocab
+  // and docs join the (word → n_subwords) map (see Bpe.applyMerges).
+  qNo("llm_bpe_tokenize") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val merges = graft.ops.Bpe
+      .trainMerges(docs.select("text"), "text", rounds = 8)
+      .orderBy("round").collect()
+      .map { r => val Array(l, rt) = r.getString(1).split(" ", 2); (l, rt) }
+      .toSeq
+    graft.ops.Bpe.applyMerges(docs, "text", "doc_id", merges)
+      .orderBy("doc_id")
+  }
+
   // Linear-classifier quality gate — the fastText/DCLM-style model gate as
   // an operator: a fixed-weight linear score over the same three features
   // the heuristic quality score uses, squashed by a HARD sigmoid

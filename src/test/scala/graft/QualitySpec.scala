@@ -93,6 +93,20 @@ class QualitySpec extends SparkSpec {
       (3, "low </w>", 3L), (4, "e r", 2L)))
   }
 
+  test("BPE apply segments with the learned merges in training order") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    // merges from the hand walk: l+o, lo+w, low+</w>, e+r
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "r"))
+    val got = graft.ops.Bpe.applyMerges(docs, "text", "doc_id", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // low → [low</w>] = 1 symbol; lower → [low, er, </w>] = 3;
+    // newest → [n, e, w, e, s, t, </w>] = 7
+    assert(got.toSeq == Seq((1L, 3, 3L), (2L, 2, 6L), (3L, 1, 7L)))
+  }
+
   test("BPE training stops early when the vocabulary is fully merged") {
     import spark.implicits._
     val m = graft.ops.Bpe.trainMerges(Seq("ab ab").toDF("text"), "text", 10)
