@@ -36,9 +36,29 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wf"))
     // initial symbols: characters + the end-of-word marker
-    var vocab = words.select(col("wf"),
+    val vocab = words.select(col("wf"),
         concat(split(col("w"), ""), array(lit("</w>"))).as("sym"))
       .localCheckpoint()
+    // the loop works on the VOCAB frame — size its shuffles to that frame,
+    // not the session default (same seam as the CC/PageRank loops: an
+    // iterative plan pays scheduling per shuffle partition per round, and
+    // the vocabulary is orders of magnitude smaller than the corpus)
+    val nWords = vocab.count()
+    val para = spark.sparkContext.defaultParallelism.toLong
+    val loopParts = math.max(math.max(1L, para / 4),
+      math.min(para, nWords / 1000000L + 1L))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      trainLoop(spark, vocab, rounds)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
+  private def trainLoop(spark: SparkSession, vocab0: DataFrame,
+                        rounds: Int): DataFrame = {
+    var vocab = vocab0
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to rounds) {
       val top = vocab
@@ -105,15 +125,26 @@ object Bpe {
     * merges were learned. Returns (doc_id, n_words, n_subwords). */
   def applyMerges(docs: DataFrame, textCol: String, idCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
     val tok = docs.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
     var vocab = tok.select("w").distinct()
       .select(col("w"), concat(split(col("w"), ""), array(lit("</w>"))).as("sym"))
       .localCheckpoint()
-    for ((lSym, rSym) <- merges)
-      vocab = vocab.select(col("w"), mergeFold(lSym, rSym).as("sym"))
-        .localCheckpoint()
+    // per-merge folds are vocab-sized — scope the loop's shuffles like
+    // trainMerges does (the folds themselves are narrow; only the
+    // localCheckpoint repartitioning is affected)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, spark.sparkContext.defaultParallelism.toLong / 4).toString)
+    try {
+      for ((lSym, rSym) <- merges)
+        vocab = vocab.select(col("w"), mergeFold(lSym, rSym).as("sym"))
+          .localCheckpoint()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     tok.join(vocab.select(col("w"), size(col("sym")).as("ns")), "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_words"),
