@@ -298,6 +298,14 @@ object Dedup {
       var converged = false
       var it = 0
       val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+      // Note on broadcast: localCheckpoint frames have no size stats, so
+      // the planner never auto-broadcasts the label frame — but hinting
+      // broadcast(labels) per round was MEASURED SLOWER here (0.3 → 0.5
+      // s/round at sf0.1): every round would re-collect the fresh labels
+      // to the driver and re-ship them, and that serial seam costs more
+      // than the 8-partition shuffles it saves. Shuffle joins keep the
+      // round fully pipelined; at real scale labels don't fit a broadcast
+      // anyway.
       while (!converged && it < maxIter) {
         val t0 = System.nanoTime()
         // Convergence detection rides INSIDE the round's only job: an
