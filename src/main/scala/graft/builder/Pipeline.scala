@@ -46,6 +46,15 @@ object Pipeline {
   final case class Asof(other: Pipeline, leftKey: String, rightKey: String,
                         leftTs: String, rightTs: String, payload: Seq[String],
                         tiebreak: String, direction: String) extends Step
+  /** Keep rows whose predicted language equals `lang` (stopword-vote
+    * language ID over `textCol`). */
+  final case class LangFilter(textCol: String, lang: String) extends Step
+  /** Keep rows whose heuristic quality score over `textCol` ≥ minScore. */
+  final case class QualityGate(textCol: String, minScore: Double) extends Step
+  /** Quality-proportional thinning: within each 0.1-wide quality stratum
+    * keep the top stratum_rate·n rows by md5(id) rank — the soft gate of
+    * llm_importance_sample as a reusable builder step. */
+  final case class ImportanceSample(textCol: String, idCol: String) extends Step
 
   final case class Sink(path: String, format: String = "parquet",
                         partitionBy: Seq[String] = Nil)
@@ -75,6 +84,12 @@ object Pipeline {
                  leftTs: String, rightTs: String, payload: Seq[String],
                  tiebreak: String, direction: String = "backward"): Pipeline =
       add(Asof(other, leftKey, rightKey, leftTs, rightTs, payload, tiebreak, direction))
+    def langFilter(textCol: String, lang: String): Pipeline =
+      add(LangFilter(textCol, lang))
+    def qualityGate(textCol: String, minScore: Double): Pipeline =
+      add(QualityGate(textCol, minScore))
+    def importanceSample(textCol: String, idCol: String): Pipeline =
+      add(ImportanceSample(textCol, idCol))
     private def add(s: Step): Pipeline = copy(steps = steps :+ s)
 
     /** Interpret the step list into a DataFrame lineage. */
@@ -118,6 +133,26 @@ object Pipeline {
         case (df, Asof(o, lk, rk, lts, rts, pay, tb, direction)) =>
           graft.ops.AsofJoin(df, o.run(spark, dir), lk, rk, lts, rts,
             pay, tb, direction)
+        case (df, LangFilter(tc, lang)) =>
+          import org.apache.spark.sql.functions.col
+          df.filter(graft.ops.TextOps.langId(col(tc)) === lang)
+        case (df, QualityGate(tc, min)) =>
+          import org.apache.spark.sql.functions.{col, size}
+          df.filter(graft.ops.TextOps.qualityScore(col(tc),
+            size(graft.ops.TextOps.tokens(col(tc)))) >= min)
+        case (df, ImportanceSample(tc, ic)) =>
+          import org.apache.spark.sql.functions._
+          val q = graft.ops.TextOps.qualityScore(col(tc),
+            size(graft.ops.TextOps.tokens(col(tc))))
+          val qb = floor(q * 10).cast("int")
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(qb)
+          df.withColumn("__qb", qb)
+            .withColumn("__rk", row_number().over(
+              w.orderBy(md5(col(ic).cast("string")), col(ic))))
+            .withColumn("__n", count(lit(1)).over(w))
+            .filter(col("__rk") <=
+              floor(col("__qb").cast("double") / 10 * col("__n") + lit(0.5)))
+            .drop("__qb", "__rk", "__n")
       }
 
     /** Terminal write. */
@@ -199,6 +234,11 @@ object Pipeline {
           str("leftKey"), str("rightKey"), str("leftTs"), str("rightTs"),
           strs("payload"), str("tiebreak"),
           if (s.hasNonNull("direction")) str("direction") else "backward")
+        case "langFilter" => p.langFilter(str("textCol"), str("lang"))
+        case "qualityGate" => p.qualityGate(str("textCol"),
+          if (s.hasNonNull("minScore")) s.get("minScore").asDouble() else 0.5)
+        case "importanceSample" =>
+          p.importanceSample(str("textCol"), str("idCol"))
         case other => throw new IllegalArgumentException(s"unknown pipeline op: $other")
       }
     }

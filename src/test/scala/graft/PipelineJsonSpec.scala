@@ -137,6 +137,31 @@ class PipelineJsonSpec extends SparkSpec {
     assert(cfg.nonEmpty && cfg == direct)
   }
 
+  test("corpus-gate steps (langFilter, qualityGate, importanceSample) " +
+    "interpret to the graded operators") {
+    val kept = Pipeline.fromJson(
+      """{ "source": "documents",
+        |  "steps": [
+        |    {"op": "langFilter", "textCol": "text", "lang": "en"},
+        |    {"op": "qualityGate", "textCol": "text", "minScore": 0.6},
+        |    {"op": "importanceSample", "textCol": "text", "idCol": "doc_id"} ] }"""
+        .stripMargin)
+      .run(spark, sf)
+    val all = engine.Tables(spark, sf, "documents").count()
+    val n = kept.count()
+    assert(n > 0 && n < all, s"gates kept $n of $all")
+    // schema passes through untouched — gates only filter
+    assert(kept.columns.toSeq ==
+      engine.Tables(spark, sf, "documents").columns.toSeq)
+    // the importance-sample step agrees with the graded query's keep set
+    // on the quality-scored subset it receives
+    val direct = Pipeline.source("documents")
+      .langFilter("text", "en").qualityGate("text", 0.6)
+      .importanceSample("text", "doc_id")
+      .run(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(kept.collect().map(_.getLong(0)).toSet == direct)
+  }
+
   test("unknown op and missing fields fail loudly") {
     intercept[IllegalArgumentException] {
       Pipeline.fromJson("""{"source": "orders", "steps": [{"op": "explode"}]}""")
