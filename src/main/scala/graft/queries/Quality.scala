@@ -228,6 +228,87 @@ object QualityOps extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // Matryoshka truncation audit — modern embedding models (MRL-trained)
+  // are served truncated to a prefix of their dimensions; this measures
+  // what truncation keeps: energy retained by the 16- and 32-dim prefixes
+  // and the renormalized leading component. Per-row array math, scalars
+  // out (double→string array formatting is an engine seam; scalar doubles
+  // after round(4) are not). At serving scale this is the pre-flight check
+  // before swapping a cheaper truncated index in.
+  q("emb_matryoshka",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |n AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(0.0, list_transform(e, x -> x*x)), (x, y) -> x + y) AS nf,
+      |    list_reduce(list_prepend(0.0, list_transform(e[1:16], x -> x*x)), (x, y) -> x + y) AS n16,
+      |    list_reduce(list_prepend(0.0, list_transform(e[1:32], x -> x*x)), (x, y) -> x + y) AS n32,
+      |    e[1] AS e1
+      |  FROM v
+      |)
+      |SELECT vec_id, round(n16 / nf, 4) AS retained_16,
+      |  round(n32 / nf, 4) AS retained_32,
+      |  round(e1 / sqrt(n16), 4) AS lead_renorm_16
+      |FROM n ORDER BY vec_id""") { (s, dir) =>
+    def ssq(c: org.apache.spark.sql.Column) =
+      aggregate(transform(c, x => x * x), lit(0.0), (a, x) => a + x)
+    val e = Sim.asDouble(col("embedding"))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), ssq(e).as("nf"),
+        ssq(slice(e, 1, 16)).as("n16"), ssq(slice(e, 1, 32)).as("n32"),
+        element_at(e, 1).as("e1"))
+      .select(col("vec_id"),
+        round(col("n16") / col("nf"), 4).as("retained_16"),
+        round(col("n32") / col("nf"), 4).as("retained_32"),
+        round(col("e1") / sqrt(col("n16")), 4).as("lead_renorm_16"))
+      .orderBy("vec_id")
+  }
+
+  // Binary (sign-bit) quantization: 64 dims → two 32-bit packed words,
+  // 512× smaller than float32 — the memory layout behind binary-embedding
+  // retrieval (Hamming distance over packed words approximates angle).
+  // Pure integer folds, bit-identical anywhere; bit_count is the popcount
+  // both engines share. Two half-words instead of one long because
+  // DuckDB's checked BIGINT shift overflows at bit 63 — shifts stay ≤ 31.
+  q("emb_binary_quantize",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |w AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, least(len(e), 32) + 1),
+      |        i -> CASE WHEN e[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+      |                  ELSE CAST(0 AS BIGINT) END)),
+      |      (x, y) -> x | y) AS word_lo,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(33, len(e) + 1),
+      |        i -> CASE WHEN e[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 33))
+      |                  ELSE CAST(0 AS BIGINT) END)),
+      |      (x, y) -> x | y) AS word_hi
+      |  FROM v
+      |)
+      |SELECT vec_id, word_lo, word_hi,
+      |  CAST(bit_count(word_lo) + bit_count(word_hi) AS INT) AS n_pos
+      |FROM w ORDER BY vec_id""") { (s, dir) =>
+    val e = Sim.asDouble(col("embedding"))
+    // indices come from FILTERING the ascending 1..n sequence — Spark's
+    // sequence(hi, lo) turns DESCENDING when the range is empty, so
+    // sequence(33, size) on a <33-dim vector would walk out of bounds
+    def pack(from: Int, until: Int) = aggregate(
+      filter(sequence(lit(1), size(e)),
+        i => i >= from && i < lit(until)),
+      lit(0L),
+      (acc, i) => when(element_at(e, i) > 0,
+        acc.bitwiseOR(call_function("shiftleft", lit(1L),
+          (i - lit(from)).cast("int")))).otherwise(acc))
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        pack(1, 33).as("word_lo"),
+        pack(33, 65).as("word_hi"))
+      .select(col("vec_id"), col("word_lo"), col("word_hi"),
+        (bit_count(col("word_lo")) + bit_count(col("word_hi")))
+          .cast("int").as("n_pos"))
+      .orderBy("vec_id")
+  }
+
   // Bigram language-model scoring — the step up from the unigram LM gate
   // (text_lm_score): per-doc mean negative log-likelihood under an
   // add-one-smoothed corpus bigram model, the classic cheap perplexity
