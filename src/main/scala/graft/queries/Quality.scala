@@ -228,6 +228,54 @@ object QualityOps extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // Exact-substring duplication profile — the ExactSubstr flavor of dedup
+  // (Lee et al. 2022): a token is "duplicated" when it sits inside an
+  // 8-token span that appears anywhere else in the corpus. The full
+  // suffix-array construction is overkill at fixed span length; sliding
+  // shingles WITH POSITIONS give the same coverage set. Scale shape:
+  // shingles hash to 8-byte keys before the frequency count (text never
+  // shuffles), coverage explodes only the DUPLICATED occurrences (rare in
+  // clean corpora), and everything partial-aggregates. The profile is the
+  // gate a pipeline uses to route docs to span-cutting.
+  q("llm_dedup_span_profile",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8
+      |), sh AS (
+      |  SELECT doc_id, pos, array_to_string(tk[pos+1:pos+8], ' ') AS sg
+      |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 7)) AS pos FROM t)
+      |), dup AS (SELECT sg FROM sh GROUP BY sg HAVING COUNT(*) > 1),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tok
+      |  FROM sh JOIN dup USING (sg)
+      |), c AS (SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(tk) AS INT) AS n_tokens,
+      |  CAST(coalesce(n_dup, 0) AS INT) AS n_dup_tokens,
+      |  round(CAST(coalesce(n_dup, 0) AS DOUBLE) / len(tk), 4) AS dup_frac
+      |FROM t LEFT JOIN c USING (doc_id)
+      |ORDER BY t.doc_id""") { (s, dir) =>
+    val t = fan(fan(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk")))
+      .filter(size(col("tk")) >= 8)
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: shingles + final sizes
+    val sh = t.select(col("doc_id"),
+        posexplode(TextOps.shingles(col("tk"), 8)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: dup count + coverage join
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("h")
+    val cov = sh.join(dup, "h")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    t.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup_tokens"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / size(col("tk")), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   // Matryoshka truncation audit — modern embedding models (MRL-trained)
   // are served truncated to a prefix of their dimensions; this measures
   // what truncation keeps: energy retained by the 16- and 32-dim prefixes
