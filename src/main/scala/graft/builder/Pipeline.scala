@@ -141,18 +141,7 @@ object Pipeline {
           df.filter(graft.ops.TextOps.qualityScore(col(tc),
             size(graft.ops.TextOps.tokens(col(tc)))) >= min)
         case (df, ImportanceSample(tc, ic)) =>
-          import org.apache.spark.sql.functions._
-          val q = graft.ops.TextOps.qualityScore(col(tc),
-            size(graft.ops.TextOps.tokens(col(tc))))
-          val qb = floor(q * 10).cast("int")
-          val w = org.apache.spark.sql.expressions.Window.partitionBy(qb)
-          df.withColumn("__qb", qb)
-            .withColumn("__rk", row_number().over(
-              w.orderBy(md5(col(ic).cast("string")), col(ic))))
-            .withColumn("__n", count(lit(1)).over(w))
-            .filter(col("__rk") <=
-              floor(col("__qb").cast("double") / 10 * col("__n") + lit(0.5)))
-            .drop("__qb", "__rk", "__n")
+          graft.ops.Sampling.importanceSample(df, tc, ic).drop("__quality")
       }
 
     /** Terminal write. */

@@ -455,11 +455,10 @@ object QualityOps extends QueryPack {
   // "coin flips" (the md5 order is the uniform; same idiom as
   // sample_deterministic / llm_domain_mix), sampling rate proportional to
   // quality. The DCLM/FineWeb-style soft gate: instead of a hard quality
-  // cutoff, low-quality strata still contribute a thinned sample. One
-  // window per stratum (10 strata → but each stratum is hash-distributed
-  // across the rank window's partitions... the stratum count bounds window
-  // parallelism, so at 100 TB the block-prefix form used by
-  // llm_shard_assign replaces the window — same output, documented there).
+  // cutoff, low-quality strata still contribute a thinned sample. The rank
+  // runs through the two-phase block prefix sum (ops/Sampling →
+  // BlockWindow), so parallelism is the shuffle width, not the 10-stratum
+  // count — the oracle's plain window is the semantic spec, not the plan.
   q("llm_importance_sample",
     s"""WITH scored AS (
       |  SELECT doc_id,
@@ -481,18 +480,10 @@ object QualityOps extends QueryPack {
       |SELECT doc_id, q AS quality FROM b
       |WHERE rk <= floor(CAST(qb AS DOUBLE) / 10 * n + 0.5)
       |ORDER BY doc_id""") { (s, dir) =>
-    val scored = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        TextOps.qualityScore(col("text"), size(TextOps.tokens(col("text")))).as("q"))
-    val qb = floor(col("q") * 10).cast("int")
-    val w = Window.partitionBy(qb)
-    scored
-      .withColumn("qb", qb)
-      .withColumn("rk", row_number().over(
-        w.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(w))
-      .filter(col("rk") <= floor(col("qb").cast("double") / 10 * col("n") + lit(0.5)))
-      .select(col("doc_id"), col("q").as("quality"))
+    graft.ops.Sampling.importanceSample(
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        "text", "doc_id", qualityOut = "quality")
+      .select(col("doc_id"), col("quality"))
       .orderBy("doc_id")
   }
 
