@@ -363,10 +363,11 @@ object QualityOps extends QueryPack {
   // proxy for fluency filtering. NLL per bigram = ln(C(w1)+V) − ln(C12+1):
   // both ln arguments are INTEGERS, so fixed-point ln is cross-engine-safe
   // (Det.lnFix), and the per-doc mean is an exact BIGINT sum → one double
-  // division (§5.4 P2). Scale shape: two partial-aggregated count shuffles
-  // (bigram, head token) + joins back on those same keys; at 100 TB the
-  // join keys become xxhash64 of the bigram (the llm_decontaminate
-  // precedent), and V is a 1-row broadcast.
+  // division (§5.4 P2). Scale shape: bigram and head-token collapse to
+  // 8-byte xxhash64 keys AT THE EXPLODE, so the two count shuffles and the
+  // joins back move longs, never strings (the llm_decontaminate precedent
+  // — the oracle counts raw strings; equality holds modulo 64-bit
+  // collisions, negligible and documented there). V is a 1-row broadcast.
   q("text_lm_bigram",
     s"""WITH t AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
@@ -393,15 +394,17 @@ object QualityOps extends QueryPack {
         .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("tk")))
       .filter(size(col("tk")) >= 2)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // strings die here: only (doc_id, hash(bigram), hash(head)) shuffles
     val bg = t.select(col("doc_id"), explode(TextOps.shingles(col("tk"), 2)).as("b"))
+      .select(col("doc_id"), xxhash64(col("b")).as("hb"),
+        xxhash64(element_at(split(col("b"), " "), 1)).as("hw"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reused: both counts + per-doc join
-    val cb = bg.groupBy("b").agg(count(lit(1)).as("c12"))
-    val cu = bg.select(element_at(split(col("b"), " "), 1).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = t.select(explode(col("tk")).as("w")).agg(countDistinct("w").as("v"))
-    bg.join(cb, "b")
-      .withColumn("w1", element_at(split(col("b"), " "), 1))
-      .join(cu, "w1")
+    val cb = bg.groupBy("hb").agg(count(lit(1)).as("c12"))
+    val cu = bg.groupBy("hw").agg(count(lit(1)).as("c1"))
+    val v = t.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(xxhash64(col("w"))).as("v"))
+    bg.join(cb, "hb")
+      .join(cu, "hw")
       .crossJoin(broadcast(v))
       .select(col("doc_id"),
         (Det.lnFix(col("c1") + col("v"), 6) - Det.lnFix(col("c12") + 1, 6)).as("nll6"))

@@ -32,20 +32,34 @@ def main():
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # bound the damage a pathological oracle can do: the recursive-CTE
+    # transitive closures explode superlinearly with sf (measured 33 GB of
+    # temp spill at sf0.1 before being killed), so spill goes to /tmp and
+    # any single query is interrupted after a budget instead of wedging
+    # the whole comparison
+    con.execute("SET temp_directory='/tmp/duck_bench_spill'")
+    con.execute("SET memory_limit='16GB'")
+    per_query_budget_s = float(
+        sys.argv[5]) if len(sys.argv) > 5 else 60.0
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    import threading
     rows = []
     names = sorted(set(oracles) & set(spark_times))
     for name in names:
         t0 = time.monotonic()
+        timer = threading.Timer(per_query_budget_s, con.interrupt)
+        timer.start()
         try:
             con.execute(oracles[name]).fetchall()
             dt = time.monotonic() - t0
             rows.append((name, spark_times[name], dt))
         except Exception as e:
             print(f"SKIP {name}: {str(e)[:80]}", file=sys.stderr)
+        finally:
+            timer.cancel()
 
     if not rows:
         print("no comparable queries (empty name intersection or all skipped)")
