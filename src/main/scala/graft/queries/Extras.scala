@@ -414,4 +414,52 @@ object Extras extends QueryPack {
       }.reduce(_.unionAll(_))
     }.reduce(_.unionAll(_)).orderBy("rule_id")
   }
+
+  // Z-order (Morton) layout audit — the lakehouse multi-dimension
+  // clustering primitive: interleave the low 12 bits of two key columns,
+  // sort by the code, and data that is range-queried on EITHER column
+  // lands in few contiguous buckets (row-group skipping on both dims at
+  // once, where a plain sort clusters only its leading column). The code
+  // is pure integer bit math — fully oracle-able — and the per-bucket
+  // min/max spans ARE the skipping evidence: narrow on both columns.
+  // At 100 TB this pairs with sink_partitioned: compute code → range-sort
+  // → write; the audit here is the layout-quality check a table service
+  // runs after compaction.
+  q("etl_zorder_stats",
+    """WITH m AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    o_custkey % 4096 AS a, o_orderkey % 4096 AS b,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 12),
+      |        i -> (((( o_custkey % 4096) >> i) & 1) << (2*i))
+      |           | ((((o_orderkey % 4096) >> i) & 1) << (2*i + 1)))),
+      |      (x, y) -> x | y) AS BIGINT) AS zcode
+      |  FROM orders
+      |)
+      |SELECT CAST(zcode // 262144 AS INT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(a) AS INT) AS min_a, CAST(MAX(a) AS INT) AS max_a,
+      |  CAST(MIN(b) AS INT) AS min_b, CAST(MAX(b) AS INT) AS max_b
+      |FROM m GROUP BY 1 ORDER BY bucket""") { (s, dir) =>
+    val a = col("o_custkey") % 4096
+    val b = col("o_orderkey") % 4096
+    val zcode = aggregate(
+      sequence(lit(0), lit(11)),
+      lit(0L),
+      (acc, i) => acc
+        .bitwiseOR(call_function("shiftleft",
+          call_function("shiftright", a, i.cast("int")).bitwiseAND(lit(1L)),
+          (i * 2).cast("int")))
+        .bitwiseOR(call_function("shiftleft",
+          call_function("shiftright", b, i.cast("int")).bitwiseAND(lit(1L)),
+          (i * 2 + 1).cast("int"))))
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        a.as("a"), b.as("b"), zcode.as("zcode"))
+      .groupBy(expr("zcode div 262144").cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).cast("int").as("min_a"), max(col("a")).cast("int").as("max_a"),
+        min(col("b")).cast("int").as("min_b"), max(col("b")).cast("int").as("max_b"))
+      .orderBy("bucket")
+  }
 }
