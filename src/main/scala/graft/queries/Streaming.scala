@@ -223,6 +223,53 @@ object Streaming extends QueryPack {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  // First-touch attribution: each purchase credits the EARLIEST click by
+  // the same user within the preceding 7 days. One RANGE-frame window
+  // (sliding min over event time — peers at the same second included in
+  // both engines) finds the first-click second; a left join on that exact
+  // second recovers the click id with a min tiebreak. Scale shape: one
+  // window shuffle on the high-cardinality user key + one equi-join —
+  // never a time-range theta join.
+  q("events_attribution",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(ts) // 1000000 AS sec
+      |  FROM events
+      |), w AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' THEN sec END)
+      |    OVER (PARTITION BY user_id ORDER BY sec
+      |          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS fc
+      |  FROM e
+      |), p AS (SELECT user_id, event_id, sec, fc FROM w WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, sec AS csec, event_id AS cid FROM e
+      |      WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id,
+      |  CAST(min(c.cid) AS BIGINT) AS click_id,
+      |  CAST(p.sec - p.fc AS BIGINT) AS lag_s
+      |FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.csec = p.fc
+      |GROUP BY p.event_id, p.user_id, p.sec, p.fc
+      |ORDER BY p.event_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+    val w = Window.partitionBy("user_id").orderBy(col("sec"))
+      .rangeBetween(-604800, Window.currentRow)
+    val withFc = e.withColumn("fc",
+      min(when(col("event_type") === "click", col("sec"))).over(w))
+    val p = withFc.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("sec"), col("fc"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("sec").as("csec"),
+        col("event_id").as("cid"))
+    p.join(c, col("user_id") === col("c_uid") && col("csec") === col("fc"),
+        "left")
+      .groupBy("event_id", "user_id", "sec", "fc")
+      .agg(min(col("cid")).cast("long").as("click_id"))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("sec") - col("fc")).cast("long").as("lag_s"))
+      .orderBy("event_id")
+  }
+
   // 3-step sequence pattern (CEP shape): signup → first click at-or-after
   // it → first purchase at-or-after that click, per user. Each stage is a
   // min-aggregate over a key-joined filter — three linear passes, no
