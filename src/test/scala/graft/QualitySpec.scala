@@ -107,6 +107,51 @@ class QualitySpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3, 3L), (2L, 2, 6L), (3L, 1, 7L)))
   }
 
+  test("BPE merge application matches a reference greedy fold on " +
+    "adversarial symbol sequences (overlaps, boundaries, repeats)") {
+    import spark.implicits._
+    // reference greedy left-to-right non-overlapping merge
+    def ref(sym: List[String], l: String, r: String): List[String] = sym match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: ref(rest, l, r)
+      case a :: rest => a :: ref(rest, l, r)
+      case Nil => Nil
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "ab", "</w>")
+    val cases = Seq.fill(60)(List.fill(1 + rnd.nextInt(9))(
+      alphabet(rnd.nextInt(alphabet.length)))) ++
+      Seq(List("a", "a", "a"), List("a", "a", "a", "a"), List("a"),
+        List("a", "b"), List("b", "a", "a", "b"))
+    val docs = cases.zipWithIndex
+      .map { case (syms, i) => (i.toLong, syms.mkString(" ")) }
+      .toDF("doc_id", "text")
+    // the fold runs on each word's CHARACTER symbols inside applyMerges,
+    // so the observable is the per-doc subword COUNT: with no merges it is
+    // chars+1 per word, and under (a,a)->aa it must equal the reference
+    // greedy walk's length — overlap handling ("a a a" → "aa","a") is
+    // exactly what this pins
+    val merges = Seq(("a", "a"))
+    val got = graft.ops.Bpe.applyMerges(
+        docs.select(col("doc_id"), col("text")), "text", "doc_id", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // with NO merges, subwords per word = chars + 1 (</w>); per doc = sum
+    val want = cases.zipWithIndex.map { case (syms, i) =>
+      i.toLong -> syms.map(w => w.length + 1).sum.toLong
+    }.toMap
+    assert(got == want)
+    // and with the (a,a) merge, counts shrink by the reference fold over
+    // each word's character symbols
+    val got2 = graft.ops.Bpe.applyMerges(
+        docs.select(col("doc_id"), col("text")), "text", "doc_id", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want2 = cases.zipWithIndex.map { case (syms, i) =>
+      i.toLong -> syms.map { w =>
+        ref(w.split("").toList :+ "</w>", "a", "a").length.toLong
+      }.sum
+    }.toMap
+    assert(got2 == want2)
+  }
+
   test("BPE training stops early when the vocabulary is fully merged") {
     import spark.implicits._
     val m = graft.ops.Bpe.trainMerges(Seq("ab ab").toDF("text"), "text", 10)
