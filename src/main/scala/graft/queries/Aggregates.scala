@@ -453,4 +453,38 @@ object Aggregates extends QueryPack {
         .as("wavg_price"))
       .orderBy("l_returnflag")
   }
+
+  // Gini concentration of order value per status — the inequality metric a
+  // revenue dashboard tracks. Rank formula G = 2·Σ(rk·x)/(n·Σx) − (n+1)/n
+  // over cents: every sum is exact BIGINT (tie blocks contribute c·Σrk, so
+  // the arbitrary order WITHIN a tie cannot move the total), and the final
+  // expression is per-row double math on those integers — deterministic.
+  // Scale: one window + one aggregate on the group key; at corpora where
+  // Σ(rk·x) nears 2^63 the fix is per-group scaling, not a new plan.
+  q("agg_gini",
+    """WITH v AS (
+      |  SELECT o_orderstatus AS s,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM orders
+      |), r AS (
+      |  SELECT s, c, row_number() OVER (PARTITION BY s ORDER BY c) AS rk
+      |  FROM v
+      |)
+      |SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(2.0 * CAST(SUM(rk * c) AS DOUBLE) / (COUNT(*) * CAST(SUM(c) AS DOUBLE))
+      |        - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+      |FROM r GROUP BY s ORDER BY s""") { (s, dir) =>
+    val v = Tables(s, dir, "orders")
+      .select(col("o_orderstatus").as("s"),
+        Det.cents(col("o_totalprice")).cast("long").as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s").orderBy("c")
+    v.withColumn("rk", row_number().over(w))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), sum(col("rk") * col("c")).as("src"),
+        sum(col("c")).as("sc"))
+      .select(col("s"), col("n").cast("long").as("n"),
+        round(lit(2.0) * col("src").cast("double") / (col("n") * col("sc").cast("double"))
+          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+      .orderBy("s")
+  }
 }

@@ -376,4 +376,55 @@ object Scalars extends QueryPack {
         expr("nullif(o_orderstatus, 'F')").isNull.as("is_f"))
       .orderBy("o_orderkey")
   }
+
+  // Deterministic namespace UUID (the v3/v5 shape: hash of namespace+key
+  // formatted as a UUID) — the reproducible-surrogate-key op every ETL
+  // needs when `uuid()` (random, run-dependent) would break idempotent
+  // re-runs. Pure per-row string math.
+  q("fn_uuid_deterministic",
+    """SELECT o_orderkey,
+      |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' || substr(h, 13, 4)
+      |    || '-' || substr(h, 17, 4) || '-' || substr(h, 21, 12) AS uuid
+      |FROM (SELECT o_orderkey, md5('graft:' || o_orderkey) AS h FROM orders)
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val h = md5(concat(lit("graft:"), col("o_orderkey").cast("string")))
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), h.as("h"))
+      .select(col("o_orderkey"),
+        concat_ws("-", substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+          substring(col("h"), 13, 4), substring(col("h"), 17, 4),
+          substring(col("h"), 21, 12)).as("uuid"))
+      .orderBy("o_orderkey")
+  }
+
+  // IPv4 string ↔ integer round-trip + /24 subnet — the log-enrichment
+  // staple (the fixture has no IP column, so one is derived from the key
+  // deterministically, parsed back, and bucketed). Per-row integer math.
+  q("fn_ip_int",
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    '10.' || ((o_orderkey // 65536) % 256) || '.'
+      |          || ((o_orderkey // 256) % 256) || '.' || (o_orderkey % 256) AS ip
+      |  FROM orders
+      |), p AS (
+      |  SELECT o_orderkey, ip, string_split(ip, '.') AS o FROM t
+      |)
+      |SELECT o_orderkey, ip,
+      |  CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+      |    + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT) AS ip_int,
+      |  CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+      |    + CAST(o[3] AS BIGINT) * 256 AS subnet24
+      |FROM p ORDER BY o_orderkey""") { (s, dir) =>
+    val ip = concat(lit("10."), (expr("o_orderkey div 65536") % 256).cast("string"),
+      lit("."), (expr("o_orderkey div 256") % 256).cast("string"),
+      lit("."), (col("o_orderkey") % 256).cast("string"))
+    val o = split(col("ip"), "\\.")
+    def oct(i: Int) = element_at(o, i).cast("long")
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), ip.as("ip"))
+      .select(col("o_orderkey"), col("ip"),
+        (oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4)).as("ip_int"),
+        (oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L).as("subnet24"))
+      .orderBy("o_orderkey")
+  }
 }
