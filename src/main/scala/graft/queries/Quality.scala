@@ -228,6 +228,45 @@ object QualityOps extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // One-row "dataset card" — the corpus summary a training-data release
+  // ships: sizes, language/source spread, mean quality, exact-dup share.
+  // One scan + one global aggregate (everything partial-aggregates; the
+  // dup count is countDistinct over md5 digests, never text).
+  q("llm_dataset_card",
+    s"""WITH scored AS (
+      |  SELECT text, lang, source,
+      |    round(
+      |      least(CAST(length(text) AS DOUBLE) / 200, 1.0) * 0.3
+      |      + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |               / length(text)) * 0.3
+      |      + (CAST(len(list_intersect(string_split(lower(text), ' '),
+      |           [$oracleStopList])) AS DOUBLE)
+      |         / len(string_split(text, ' '))) * 0.4, 4) AS q
+      |  FROM documents
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  round(CAST(SUM(${Det.oFix("q", 4)}) AS DOUBLE) / 10000 / COUNT(*), 4)
+      |    AS avg_quality,
+      |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+      |FROM scored""") { (s, dir) =>
+    val toks = TextOps.tokens(col("text"))
+    Tables(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        Det.avgFix(sum(Det.fix(TextOps.qualityScore(col("text"), size(toks)), 4)),
+          4, count(lit(1))).as("avg_quality"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens"), col("n_langs").cast("long").as("n_langs"),
+        col("n_sources").cast("long").as("n_sources"), col("avg_quality"),
+        col("n_exact_dups").cast("long").as("n_exact_dups"))
+  }
+
   // Exact-substring duplication profile — the ExactSubstr flavor of dedup
   // (Lee et al. 2022): a token is "duplicated" when it sits inside an
   // 8-token span that appears anywhere else in the corpus. The full

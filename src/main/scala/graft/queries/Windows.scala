@@ -223,4 +223,72 @@ object Windows extends QueryPack {
         round(cume_dist().over(w), 6).as("cd"))
       .orderBy("p_brand", "p_size", "p_partkey")
   }
+
+  // Hampel filter — the robust sliding-window outlier detector for time
+  // series (win_median_frame's median plus a windowed MAD): a point is an
+  // outlier when it sits > 3·1.4826·MAD from its trailing-7 median. Both
+  // medians interpolate on the exact cents grid (.0/.5 and .0/.25/.75
+  // deviations), so the per-row robust z is engine-identical double math.
+  // One window shuffle on the high-cardinality user key.
+  q("win_hampel",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events
+      |), l AS (
+      |  SELECT user_id, event_id, vc,
+      |    list_sort(list(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS lst
+      |  FROM e
+      |), m AS (
+      |  SELECT *, CASE WHEN len(lst) % 2 = 1
+      |      THEN CAST(lst[(len(lst)+1)//2] AS DOUBLE)
+      |      ELSE CAST(lst[len(lst)//2] + lst[len(lst)//2 + 1] AS DOUBLE) / 2
+      |    END AS med
+      |  FROM l
+      |), d AS (
+      |  SELECT *, list_sort(list_transform(lst, x -> abs(CAST(x AS DOUBLE) - med))) AS devs
+      |  FROM m
+      |), z AS (
+      |  SELECT user_id, event_id, vc, med,
+      |    CASE WHEN len(devs) % 2 = 1 THEN devs[(len(devs)+1)//2]
+      |         ELSE (devs[len(devs)//2] + devs[len(devs)//2 + 1]) / 2
+      |    END AS mad
+      |  FROM d
+      |)
+      |SELECT user_id, event_id, vc,
+      |  round(abs(vc - med) / (1.4826 * mad), 4) AS robust_z
+      |FROM z
+      |WHERE mad > 0 AND abs(vc - med) > 3 * 1.4826 * mad
+      |ORDER BY user_id, event_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    val lst = sort_array(collect_list(col("vc")).over(w))
+    def medOf(a: org.apache.spark.sql.Column) = {
+      val n = size(a)
+      when(n % 2 === 1, element_at(a, ((n + 1) / 2).cast("int")).cast("double"))
+        .otherwise((element_at(a, (n / 2).cast("int"))
+          + element_at(a, (n / 2).cast("int") + 1)).cast("double") / 2)
+    }
+    def medOfD(a: org.apache.spark.sql.Column) = {
+      val n = size(a)
+      when(n % 2 === 1, element_at(a, ((n + 1) / 2).cast("int")))
+        .otherwise((element_at(a, (n / 2).cast("int"))
+          + element_at(a, (n / 2).cast("int") + 1)) / 2)
+    }
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        Det.fix(col("value"), 2).cast("long").as("vc"))
+      .withColumn("lst", lst)
+      .withColumn("med", medOf(col("lst")))
+      .withColumn("devs", sort_array(
+        transform(col("lst"), x => abs(x.cast("double") - col("med")))))
+      .withColumn("mad", medOfD(col("devs")))
+      .filter(col("mad") > 0 &&
+        abs(col("vc") - col("med")) > lit(3) * lit(1.4826) * col("mad"))
+      .select(col("user_id"), col("event_id"), col("vc"),
+        round(abs(col("vc") - col("med")) / (lit(1.4826) * col("mad")), 4)
+          .as("robust_z"))
+      .orderBy("user_id", "event_id")
+  }
 }
