@@ -454,6 +454,45 @@ object Aggregates extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // Weighted median (quantity-weighted price) — the robust center a
+  // pricing dashboard wants when line sizes differ: smallest value whose
+  // cumulative weight reaches half the total. All-integer compare
+  // (cents × BIGINT weights), so cross-engine determinism is free; one
+  // ordered window + one aggregate on the group key.
+  q("agg_weighted_median",
+    """WITH v AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+      |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT g, c, w,
+      |    SUM(w) OVER (PARTITION BY g ORDER BY c, l_orderkey, l_linenumber
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY g) AS tw
+      |  FROM v
+      |)
+      |SELECT g,
+      |  CAST(min(CASE WHEN 2 * cw >= tw THEN c END) AS DOUBLE) / 100 AS wmedian
+      |FROM r GROUP BY g ORDER BY g""") { (s, dir) =>
+    val v = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        Det.cents(col("l_extendedprice")).cast("long").as("c"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    v.withColumn("cw", sum(col("w")).over(wOrd))
+      .withColumn("tw", sum(col("w")).over(wAll))
+      .groupBy("g")
+      .agg((min(when(col("cw") * 2 >= col("tw"), col("c"))).cast("double") / 100)
+        .as("wmedian"))
+      .orderBy("g")
+  }
+
   // Gini concentration of order value per status — the inequality metric a
   // revenue dashboard tracks. Rank formula G = 2·Σ(rk·x)/(n·Σx) − (n+1)/n
   // over cents: every sum is exact BIGINT (tie blocks contribute c·Σrk, so
