@@ -223,6 +223,67 @@ object Streaming extends QueryPack {
       .orderBy("cohort_week", "weeks_since")
   }
 
+  // First-order Markov transition matrix over user event streams — the
+  // behavioral model a product team fits before funnel design: P(next
+  // event | current event). One lag/lead window on the user key + one
+  // grouped count; probabilities are per-row doubles from exact counts.
+  q("events_markov_transitions",
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events
+      |)
+      |SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n,
+      |  round(CAST(COUNT(*) AS DOUBLE)
+      |        / SUM(COUNT(*)) OVER (PARTITION BY event_type), 4) AS p
+      |FROM s WHERE nxt IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("event_type"), lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("src")), 4))
+      .select(col("src"), col("dst"), col("n").cast("long").as("n"), col("p"))
+      .orderBy("src", "dst")
+  }
+
+  // DAU / trailing-28-day MAU / stickiness — the engagement dashboard
+  // staple. Exact distinct counts both days; the MAU side avoids a
+  // sliding DISTINCT window (unsupported and quadratic) by exploding each
+  // (user, active day) into the 28 MAU days it covers — linear ×28, all
+  // partial-aggregated shuffles on (day, user).
+  q("events_dau_mau",
+    """WITH d AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      |  FROM events
+      |), cov AS (
+      |  SELECT user_id, CAST(day + k * INTERVAL 1 DAY AS DATE) AS day
+      |  FROM (SELECT user_id, day, unnest(range(0, 28)) AS k FROM d)
+      |), m AS (SELECT day, COUNT(DISTINCT user_id) AS mau FROM cov GROUP BY day),
+      |a AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY day)
+      |SELECT strftime(a.day, '%Y-%m-%d') AS day, CAST(dau AS BIGINT) AS dau,
+      |  CAST(mau AS BIGINT) AS mau,
+      |  round(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
+      |FROM a JOIN m USING (day)
+      |ORDER BY day""") { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+      .distinct()
+    val cov = d.select(col("user_id"),
+        explode(sequence(lit(0), lit(27))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+    val m = cov.groupBy("day").agg(countDistinct("user_id").as("mau"))
+    val a = d.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    a.join(m, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau").cast("long").as("dau"), col("mau").cast("long").as("mau"),
+        round(col("dau").cast("double") / col("mau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   // First-touch attribution: each purchase credits the EARLIEST click by
   // the same user within the preceding 7 days. One RANGE-frame window
   // (sliding min over event time — peers at the same second included in
