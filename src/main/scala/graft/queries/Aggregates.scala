@@ -454,6 +454,45 @@ object Aggregates extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // Market-basket co-occurrence — association-rule mining's support and
+  // confidence for part pairs bought in the same order. The candidate
+  // join is per-order (equi-join on the order key, a < b canonical), so
+  // work scales with Σ basket², never corpus²; supports/confidences are
+  // per-row doubles from exact counts. Top 20 by support, full tiebreak.
+  q("agg_market_basket",
+    """WITH i AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |), n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM i),
+      |pc AS (SELECT p, COUNT(*) AS np FROM i GROUP BY p),
+      |pairs AS (
+      |  SELECT a.p AS pa, b.p AS pb, COUNT(*) AS nab
+      |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2
+      |)
+      |SELECT pa, pb, CAST(nab AS BIGINT) AS n_both,
+      |  round(CAST(nab AS DOUBLE) / n_orders, 6) AS support,
+      |  round(CAST(nab AS DOUBLE) / ca.np, 6) AS confidence
+      |FROM pairs JOIN pc ca ON pairs.pa = ca.p CROSS JOIN n
+      |ORDER BY n_both DESC, pa, pb LIMIT 20""") { (s, dir) =>
+    val i = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrders = i.agg(countDistinct("o").as("n_orders"))
+    val pc = i.groupBy("p").agg(count(lit(1)).as("np"))
+    val pairs = i.as("a")
+      .join(i.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("nab"))
+    pairs
+      .join(pc.select(col("p").as("pa"), col("np")), "pa")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("nab").cast("long").as("n_both"),
+        round(col("nab").cast("double") / col("n_orders"), 6).as("support"),
+        round(col("nab").cast("double") / col("np"), 6).as("confidence"))
+      .orderBy(col("n_both").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
   // Weighted median (quantity-weighted price) — the robust center a
   // pricing dashboard wants when line sizes differ: smallest value whose
   // cumulative weight reaches half the total. All-integer compare

@@ -228,6 +228,38 @@ object QualityOps extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // Flesch-style readability — vowel-group syllable heuristic (the
+  // public approximation: a syllable per maximal [aeiouy]+ run) over the
+  // single-sentence fixture docs. Per-row regex + integer counts → double
+  // formula; embarrassingly parallel.
+  q("text_readability",
+    s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syllables,
+      |  CAST(${Det.oFix(
+           // literals CAST to DOUBLE: DuckDB otherwise parses 1.015 as
+           // DECIMAL and computes DECIMAL×BIGINT exactly, one ulp off
+           // Spark's double arithmetic
+           """CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * len(string_split(text, ' '))
+      |        - CAST(84.6 AS DOUBLE) * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+      |                  / len(string_split(text, ' ')))""", 4)}
+      |    AS DOUBLE) / 10000 AS flesch
+      |FROM documents
+      |ORDER BY doc_id""") { (s, dir) =>
+    val words = size(TextOps.tokens(col("text")))
+    val syl = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    // 4-dp via Det.fix, NOT round(): small-integer syllable/word ratios
+    // land the score exactly on .xxxx5 shortest-string ties, where Spark
+    // (decimal-string HALF_UP) and DuckDB (binary rounding) disagree —
+    // measured 2 cells at sf0.01. floor(x·10⁴+0.5) is pure IEEE both sides.
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), words.as("n_words"), syl.as("n_syllables"),
+        (Det.fix(lit(206.835) - lit(1.015) * words
+          - lit(84.6) * (syl.cast("double") / words), 4).cast("double") / 10000)
+          .as("flesch"))
+      .orderBy("doc_id")
+  }
+
   // One-row "dataset card" — the corpus summary a training-data release
   // ships: sizes, language/source spread, mean quality, exact-dup share.
   // One scan + one global aggregate (everything partial-aggregates; the
