@@ -109,17 +109,23 @@ object Bpe {
   /** Greedy left-to-right application of ONE merge to the `sym` column: an
     * index fold with a skip flag, so "a a a" under merge (a,a) becomes
     * ("aa", "a") — non-overlapping from the left, the reference semantics. */
-  private def mergeFold(lSym: String, rSym: String) = {
+  private def mergeFold(lSym: String, rSym: String): org.apache.spark.sql.Column =
+    mergeFoldOn(col("sym"), lSym, rSym)
+
+  /** [[mergeFold]] over an arbitrary input column, so merge chains can
+    * NEST into one projection (apply-time: no per-merge checkpoint job). */
+  private def mergeFoldOn(in: org.apache.spark.sql.Column,
+                          lSym: String, rSym: String) = {
     val mergedSym = lSym + rSym
-    val n = size(col("sym"))
+    val n = size(in)
     aggregate(
       sequence(lit(1), n),
       struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
       (acc, i) => {
-        val cur = element_at(col("sym"), i)
+        val cur = element_at(in, i)
         // ANSI mode: element_at past the end THROWS — the when() guard
         // keeps the lookahead branch unevaluated on the last symbol
-        val nxt = when(i < n, element_at(col("sym"), i + 1))
+        val nxt = when(i < n, element_at(in, i + 1))
         val isPair = i < n && cur === lit(lSym) && nxt === lit(rSym)
         when(acc.getField("skip"),
             struct(acc.getField("out").as("out"), lit(false).as("skip")))
@@ -149,6 +155,12 @@ object Bpe {
     val tok = docs.select(col(idCol),
       explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
+    // One checkpointed fold pass per merge over the distinct-word vocab.
+    // NOT one nested projection: each fold level references its input
+    // expression ~4 times (sequence bound, current, lookahead, guard), so
+    // nesting k merges copies the base tree O(4^k) — measured as a
+    // planner heap blowup at k=8. The checkpoint between merges is the
+    // tree-severing seam, same as the iterative loops elsewhere.
     var vocab = tok.select("w").distinct()
       .select(col("w"), concat(split(col("w"), ""), array(lit("</w>"))).as("sym"))
       .localCheckpoint()
