@@ -228,6 +228,46 @@ object QualityOps extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // Keyphrase extraction: each doc's top-3 terms by TF-IDF (rounded-score
+  // rank with term tiebreak — deterministic). The summarization-lite step
+  // a corpus pipeline runs for indexing/labeling; same two aggregates as
+  // text_tfidf plus one WindowGroupLimit-pushed rank per doc.
+  q("text_keyphrases",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+      |), n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    round(tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored
+      |) WHERE rk <= 3
+      |ORDER BY doc_id, rk""") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val tok = fan(docs).select(col("doc_id"),
+      explode(TextOps.tokens(lower(col("text")))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 4).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk").cast("int").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   // Flesch-style readability — vowel-group syllable heuristic (the
   // public approximation: a syllable per maximal [aeiouy]+ run) over the
   // single-sentence fixture docs. Per-row regex + integer counts → double
