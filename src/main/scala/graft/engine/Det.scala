@@ -50,9 +50,15 @@ object Det {
     floor(c * lit(p) + lit(0.5))
   }
 
-  /** Sum-of-fixed-point + count → s-dp average (double). */
+  /** Sum-of-fixed-point + count → 4-dp average (double). Quantization is
+    * floor(x·10⁴+0.5), NOT round(): at an exact .xxxx5 tie Spark's round
+    * (shortest-decimal-string HALF_UP) and DuckDB's (binary) disagree —
+    * llm_cluster_report measured one such cell. Ties in this form are
+    * dyadic (k + 0.5 is exactly representable), so floor(x+0.5) is the
+    * same pure-IEEE branch in both engines. */
   def avgFix(sumFix: Column, s: Int, cnt: Column): Column =
-    round(sumFix.cast("double") / math.pow(10, s) / cnt, 4)
+    floor(sumFix.cast("double") / math.pow(10, s) / cnt * 10000 + lit(0.5))
+      .cast("double") / 10000
 
   /** Fixed-point natural log: floor(ln(x)·10^s + 0.5) as BIGINT. Use with
     * INTEGER-valued x only: Java's Math.log and DuckDB's libm ln can
@@ -80,8 +86,16 @@ object Det {
   def oFix(x: String, s: Int): String =
     s"CAST(floor(($x) * ${math.pow(10, s).toLong} + 0.5) AS BIGINT)"
 
+  /** DuckDB spelling of [[avgFix]] — floor-based 4-dp quantization, the
+    * identical IEEE operation chain. */
   def oAvgFix(x: String, s: Int): String =
-    s"round(CAST(SUM(${oFix(x, s)}) AS DOUBLE) / ${math.pow(10, s).toLong} / COUNT(*), 4)"
+    s"CAST(floor(CAST(SUM(${oFix(x, s)}) AS DOUBLE) / ${math.pow(10, s).toLong}" +
+      s" / COUNT(*) * 10000 + 0.5) AS DOUBLE) / 10000"
+
+  /** [[oAvgFix]] when the SUM-of-fixed column is already computed. */
+  def oAvgOfSumFix(sumFix: String, s: Int): String =
+    s"CAST(floor(CAST($sumFix AS DOUBLE) / ${math.pow(10, s).toLong}" +
+      s" / COUNT(*) * 10000 + 0.5) AS DOUBLE) / 10000"
 
   /** DuckDB spelling of [[lnFix]] — integer-argument fixed-point ln. */
   def oLnFix(x: String, s: Int): String =

@@ -405,15 +405,20 @@ object LlmOps extends QueryPack {
   }
 
   q("text_lang_filter",
+    // 4-dp mean via floor(x·10⁴+0.5), not round() — integer-sum/count
+    // ratios land exactly on .xxxx5 ties where the engines' round()s
+    // disagree (Det.avgFix rationale)
     """SELECT lang, COUNT(*) AS n_docs,
-      |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+      |  CAST(floor(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS avg_chars
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang""") { (s, dir) =>
     Tables(s, dir, "documents")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+        (floor(sum(col("n_chars")).cast("double") / count(lit(1)) * 10000 + lit(0.5))
+          .cast("double") / 10000).as("avg_chars"))
       .orderBy("lang")
   }
 
@@ -522,8 +527,8 @@ object LlmOps extends QueryPack {
       |  ) WHERE rn = 1
       |)
       |SELECT COUNT(*) AS n_docs,
-      |  round(CAST(SUM(CAST(floor(quality * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
-      |        / 10000 / COUNT(*), 4) AS avg_quality,
+      |  ${Det.oAvgOfSumFix(
+           "SUM(CAST(floor(quality * 10000 + 0.5) AS BIGINT))", 4)} AS avg_quality,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |FROM kept""") { (s, dir) =>
     import graft.engine.Tables.fan
@@ -1127,8 +1132,9 @@ object LlmOps extends QueryPack {
       |  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1
       |), tot AS (SELECT COUNT(*) AS total FROM tok)
       |SELECT doc_id,
-      |  round(CAST(SUM(${Det.oLnFix("total", 6)} - ${Det.oLnFix("cnt", 6)})
-      |        AS DOUBLE) / 1000000 / COUNT(*), 4) AS lm_nll,
+      |  ${Det.oAvgOfSumFix(
+           s"SUM(${Det.oLnFix("total", 6)} - ${Det.oLnFix("cnt", 6)})", 6)}
+      |    AS lm_nll,
       |  CAST(COUNT(*) AS INT) AS n_tokens
       |FROM tok JOIN cnt USING (term) CROSS JOIN tot
       |GROUP BY doc_id
@@ -1143,7 +1149,8 @@ object LlmOps extends QueryPack {
       .groupBy("doc_id")
       .agg(sum("nll6").as("s6"), count(lit(1)).as("n"))
       .select(col("doc_id"),
-        round(col("s6").cast("double") / 1000000 / col("n"), 4).as("lm_nll"),
+        (floor(col("s6").cast("double") / 1000000 / col("n") * 10000 + lit(0.5))
+          .cast("double") / 10000).as("lm_nll"),
         col("n").cast("int").as("n_tokens"))
       .orderBy("doc_id")
   }

@@ -125,6 +125,73 @@ object QualityOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Near-dup cluster report — the human-review artifact a dedup run
+  // ships: per cluster its size, the kept doc (min id — the same survivor
+  // llm_dedup_apply keeps), and mean quality, so reviewers can spot
+  // clusters where the keeper is the WORST member. Rides the memoized CC
+  // frame (one BSP loop shared with cluster/apply/weight in a session).
+  q("llm_cluster_report",
+    s"""WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM i JOIN n na ON i.id_a = na.doc_id JOIN n nb ON i.id_b = nb.doc_id
+      |  ) WHERE jaccard >= 0.3
+      |), ed AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT s AS id, d AS r FROM ed
+      |  UNION
+      |  SELECT reach.id, ed.d AS r FROM reach JOIN ed ON reach.r = ed.s
+      |), cl AS (
+      |  SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+      |), q AS (
+      |  SELECT doc_id,
+      |    round(
+      |      least(CAST(length(text) AS DOUBLE) / 200, 1.0) * 0.3
+      |      + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |               / length(text)) * 0.3
+      |      + (CAST(len(list_intersect(string_split(lower(text), ' '),
+      |           [$oracleStopList])) AS DOUBLE)
+      |         / len(string_split(text, ' '))) * 0.4, 4) AS qs
+      |  FROM documents
+      |)
+      |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS kept_doc,
+      |  ${Det.oAvgFix("qs", 4)} AS avg_quality
+      |FROM cl JOIN q USING (doc_id)
+      |GROUP BY cluster_id
+      |ORDER BY cluster_id""") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.3)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val q = docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text"), size(TextOps.tokens(col("text")))).as("qs"))
+    cc.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .join(q, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("kept_doc"),
+        Det.avgFix(sum(Det.fix(col("qs"), 4)), 4, count(lit(1))).as("avg_quality"))
+      .select(col("cluster_id"), col("n_docs").cast("long").as("n_docs"),
+        col("kept_doc").cast("long").as("kept_doc"), col("avg_quality"))
+      .orderBy("cluster_id")
+  }
+
   // Population-stability-index drift between the English and non-English
   // length distributions — the gate a pipeline runs between crawl
   // snapshots to catch distribution shift before training on it. One
@@ -320,8 +387,7 @@ object QualityOps extends QueryPack {
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-      |  round(CAST(SUM(${Det.oFix("q", 4)}) AS DOUBLE) / 10000 / COUNT(*), 4)
-      |    AS avg_quality,
+      |  ${Det.oAvgFix("q", 4)} AS avg_quality,
       |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
       |FROM scored""") { (s, dir) =>
     val toks = TextOps.tokens(col("text"))
@@ -493,9 +559,9 @@ object QualityOps extends QueryPack {
       |vv AS (SELECT COUNT(DISTINCT w) AS v
       |       FROM (SELECT unnest(tk) AS w FROM t))
       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
-      |  round(CAST(SUM(${Det.oLnFix("c1 + v", 6)}
-      |                 - ${Det.oLnFix("c12 + 1", 6)}) AS DOUBLE)
-      |        / 1000000 / COUNT(*), 4) AS nll
+      |  ${Det.oAvgOfSumFix(
+           s"SUM(${Det.oLnFix("c1 + v", 6)} - ${Det.oLnFix("c12 + 1", 6)})",
+           6)} AS nll
       |FROM bg JOIN cb USING (b)
       |JOIN cu ON string_split(b, ' ')[1] = cu.w1
       |CROSS JOIN vv
