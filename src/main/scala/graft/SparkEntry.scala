@@ -24,6 +24,7 @@ object SparkEntry {
     qp.Subqueries,
     qp.GraphOps,
     qp.QualityOps,
+    qp.TimeSeriesOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -730,4 +730,131 @@ object QualityOps extends QueryPack {
       .filter(col("score") >= 0.5)
       .orderBy("doc_id")
   }
+
+  // Benford first-digit audit — the classic fabricated-data / corrupted-
+  // feed detector for financial columns. The first significant digit is
+  // taken from the INTEGER cents via string math (BIGINT→VARCHAR is
+  // identical in both engines; ×100 shifts the decimal point without
+  // touching the leading digit for these ≥ $1 prices), never from
+  // floor(log10(x)) — a power-of-ten boundary there turns a last-ulp log
+  // difference into an off-by-one digit. Expected Benford mass and the
+  // χ² contribution are per-row closed-form doubles over the 9 digit
+  // rows. One partial-aggregated shuffle on a 9-value key.
+  q("dq_benford",
+    """WITH c AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders
+      |), d AS (
+      |  SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit, COUNT(*) AS cnt
+      |  FROM c GROUP BY substr(CAST(cents AS VARCHAR), 1, 1)
+      |), t AS (SELECT SUM(cnt) AS n FROM d)
+      |SELECT digit, CAST(cnt AS BIGINT) AS n_obs,
+      |  floor(CAST(cnt AS DOUBLE) / n * 10000 + 0.5) / 10000 AS obs_frac,
+      |  floor(log10(1 + 1 / CAST(CAST(digit AS INT) AS DOUBLE)) * 10000 + 0.5)
+      |    / 10000 AS exp_frac
+      |FROM d, t
+      |ORDER BY digit""") { (s, dir) =>
+    val d = Tables(s, dir, "orders")
+      .select(substring(Det.cents(col("o_totalprice")).cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val t = d.groupBy().agg(sum(col("cnt")).as("n"))
+    d.crossJoin(broadcast(t))
+      .select(col("digit"), col("cnt").cast("long").as("n_obs"),
+        (floor(col("cnt").cast("double") / col("n") * 10000 + lit(0.5)) / 10000)
+          .as("obs_frac"),
+        (floor(log10(lit(1) + lit(1) / col("digit").cast("int").cast("double"))
+          * 10000 + lit(0.5)) / 10000).as("exp_frac"))
+      .orderBy("digit")
+  }
+
+  // RAG-style chunking: overlapping token windows (size 32, stride 24 →
+  // 8-token overlap) per document, the retrieval-index preprocessing step.
+  // Chunk count is exact integer math (1 + ⌈(n-32)/24⌉ via integer
+  // division), the window slice is engine-native list slicing, and the
+  // whole operator is a per-row explode — embarrassingly parallel, no
+  // shuffle until the final presentation sort.
+  q("llm_chunk_overlap",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), k AS (
+      |  SELECT doc_id, tk, n, unnest(range(0,
+      |    CASE WHEN n <= 32 THEN 1 ELSE (n - 9) // 24 + 1 END)) AS chunk_id
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  CAST(len(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS INT)
+      |    AS n_tok,
+      |  array_to_string(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+      |    AS chunk
+      |FROM k
+      |ORDER BY doc_id, chunk_id""") { (s, dir) =>
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+    val k = t.withColumn("chunk_id", explode(sequence(lit(0),
+      when(col("n") <= 32, lit(1))
+        .otherwise(expr("(n - 9) div 24").cast("int") + 1) - 1)))
+    val sl = slice(col("tk"), col("chunk_id") * 24 + 1, lit(32))
+    k.select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        size(sl).cast("int").as("n_tok"),
+        array_join(sl, " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // Crawl-frontier URL dedup: canonicalize (lowercase scheme+host, strip
+  // default port / www / fragment / tracking params, sort surviving query
+  // params) then collapse to one keeper per canonical URL. The URL is
+  // synthesized deterministically from the documents fixture (no URL
+  // column exists) with deliberate case/port/utm noise; canonicalization
+  // itself is the real operator — pure per-row string/array built-ins
+  // (split_part / higher-order filter / array_sort), no regex backrefs
+  // (Java `$1` vs RE2 `\1` would fork the engines). Group-by on the
+  // canonical key is the only shuffle.
+  q("llm_url_dedup",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.COM:443/d/'
+      |      || CAST(doc_id % 7 AS VARCHAR) || '?utm_campaign=c'
+      |      || CAST(doc_id % 3 AS VARCHAR) || '&id='
+      |      || CAST(doc_id % 50 AS VARCHAR) || '&ref=feed#top' AS url
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id,
+      |    replace(replace(lower(split_part(split_part(url, '#', 1), '?', 1)),
+      |      ':443/', '/'), '://www.', '://') AS base,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(split_part(split_part(url, '#', 1), '?', 2), '&'),
+      |      p -> NOT (p LIKE 'utm!_%' ESCAPE '!' OR p LIKE 'ref=%'))), '&') AS cq
+      |  FROM u
+      |)
+      |SELECT base || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon,
+      |  CAST(COUNT(*) AS BIGINT) AS n_urls, min(doc_id) AS keeper
+      |FROM c
+      |GROUP BY base || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+      |ORDER BY canon""") { (s, dir) =>
+    val u = Tables(s, dir, "documents")
+      .select(col("doc_id"), concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.COM:443/d/"), (col("doc_id") % 7).cast("string"),
+        lit("?utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+        lit("&id="), (col("doc_id") % 50).cast("string"),
+        lit("&ref=feed#top")).as("url"))
+    val c = u.select(col("doc_id"),
+      replace(replace(
+        lower(split_part(split_part(col("url"), lit("#"), lit(1)),
+          lit("?"), lit(1))),
+        lit(":443/"), lit("/")), lit("://www."), lit("://")).as("base"),
+      array_join(array_sort(expr(
+        "filter(split(split_part(split_part(url, '#', 1), '?', 2), '&'), " +
+          "p -> NOT (p LIKE 'utm!_%' ESCAPE '!' OR p LIKE 'ref=%'))")), "&")
+        .as("cq"))
+    c.select(concat(col("base"),
+        when(col("cq") === "", "").otherwise(concat(lit("?"), col("cq"))))
+        .as("canon"), col("doc_id"))
+      .groupBy("canon")
+      .agg(count(lit(1)).cast("long").as("n_urls"), min("doc_id").as("keeper"))
+      .orderBy("canon")
+  }
 }

@@ -1,0 +1,406 @@
+package graft.queries
+
+import graft.engine.{Det, QueryPack, Tables}
+import graft.ops.BlockWindow
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / experimentation operators over the `events` stream table:
+  * calendar resampling with forward fill, linear-interpolation gap fill,
+  * EWMA smoothing, rolling correlation, Welch's t-test (A/B experiment
+  * readout), and RFM segmentation. These are the batch-analytics shapes a
+  * feature-store / metrics pipeline runs next to the LLM-data operators.
+  *
+  * Determinism contract (SURVEY §5.4): every value that crosses an
+  * aggregation boundary is integer fixed-point (`Det.fix`/`Det.cents` —
+  * BIGINT sums are order-independent and exact in both engines); derived
+  * statistics are computed per-row in double with IDENTICAL expression
+  * trees on the Spark and DuckDB sides and quantized to 4 dp via the
+  * floor(x·10⁴+0.5) form (never `round` — P12).
+  */
+object TimeSeriesOps extends QueryPack {
+
+  // Resample each user's event stream onto a daily calendar grid and
+  // forward-fill the last observed value across gap days — the standard
+  // "as-of state per day" shape (feature stores, balance snapshots).
+  // Scale shape (100 TB): the grid explode is |user| × |span days| rows —
+  // linear in the OUTPUT, never a cross join; the daily-close pick and the
+  // fill are one window shuffle each on the high-cardinality user key.
+  // Leading nulls cannot occur: each user's grid starts on the user's own
+  // first observed day.
+  q("ts_resample_ffill",
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts,
+      |    event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |      ORDER BY ts DESC, event_id DESC) AS rn FROM e
+      |  ) WHERE rn = 1
+      |), span AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+      |), grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |)
+      |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+      |  CAST(last_value(daily.v IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS v,
+      |  CASE WHEN daily.v IS NULL THEN 'fill' ELSE 'obs' END AS src
+      |FROM grid g LEFT JOIN daily
+      |  ON g.user_id = daily.user_id AND g.day = daily.day
+      |ORDER BY g.user_id, day""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"),
+        col("ts"), col("event_id"), Det.cents(col("value")).as("v"))
+    val wDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = e.withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1).select(col("user_id"), col("day"), col("v"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wFill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (last(col("v"), ignoreNulls = true).over(wFill).cast("double") / 100).as("v"),
+        when(col("v").isNull, "fill").otherwise("obs").as("src"))
+      .orderBy("user_id", "day")
+  }
+
+  // Same daily grid, but gaps are LINEARLY INTERPOLATED between the
+  // surrounding observations instead of held flat — the resampling mode
+  // for continuous signals (sensor readings, prices). Neighbor lookup is
+  // two ignore-nulls window passes (previous obs from the backward frame,
+  // next obs from the forward frame); the interpolation itself is pure
+  // per-row IEEE double math on integer-cent endpoints and integer day
+  // offsets, so both engines compute bit-identical cells (§5.4 P2/P12).
+  q("ts_gap_fill_interp",
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, ts,
+      |    event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, v FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |      ORDER BY ts DESC, event_id DESC) AS rn FROM e
+      |  ) WHERE rn = 1
+      |), span AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+      |), grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |), n AS (
+      |  SELECT g.user_id, g.day, daily.v,
+      |    last_value(daily.v IGNORE NULLS) OVER wp AS pv,
+      |    last_value(CASE WHEN daily.v IS NOT NULL THEN g.day END IGNORE NULLS)
+      |      OVER wp AS pd,
+      |    first_value(daily.v IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN daily.v IS NOT NULL THEN g.day END IGNORE NULLS)
+      |      OVER wf AS nd
+      |  FROM grid g LEFT JOIN daily
+      |    ON g.user_id = daily.user_id AND g.day = daily.day
+      |  WINDOW
+      |    wp AS (PARTITION BY g.user_id ORDER BY g.day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY g.user_id ORDER BY g.day
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) / 100
+      |       ELSE floor((CAST(pv AS DOUBLE)
+      |                   + ((CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+      |                      * date_diff('day', pd, day) / date_diff('day', pd, nd)))
+      |                  / 100 * 10000 + 0.5) / 10000 END AS v,
+      |  CASE WHEN v IS NULL THEN 'interp' ELSE 'obs' END AS src
+      |FROM n
+      |ORDER BY user_id, day""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"),
+        col("ts"), col("event_id"), Det.cents(col("value")).as("v"))
+    val wDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = e.withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1).select(col("user_id"), col("day"), col("v"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wp = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("day"))
+    val n = grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("v"),
+        last(col("v"), ignoreNulls = true).over(wp).as("pv"),
+        last(obsDay, ignoreNulls = true).over(wp).as("pd"),
+        first(col("v"), ignoreNulls = true).over(wf).as("nv"),
+        first(obsDay, ignoreNulls = true).over(wf).as("nd"))
+    val interp = floor(
+      (col("pv").cast("double")
+        + ((col("nv").cast("double") - col("pv").cast("double"))
+           * datediff(col("day"), col("pd")) / datediff(col("nd"), col("pd"))))
+        / 100 * 10000 + lit(0.5)) / 10000
+    n.select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        when(col("v").isNotNull, col("v").cast("double") / 100)
+          .otherwise(interp).as("v"),
+        when(col("v").isNull, "interp").otherwise("obs").as("src"))
+      .orderBy("user_id", "day")
+  }
+
+  // EWMA smoothing (α = 0.3) of each user's daily-average value series —
+  // the anomaly-baseline / trend signal. The recursion y_t = αx_t +
+  // (1-α)y_{t-1} is inherently sequential IN TIME but embarrassingly
+  // parallel ACROSS users, so each user's (bounded: ≤ calendar days)
+  // series folds inside one task via a higher-order `aggregate`, never a
+  // driver loop. Daily inputs are 4-dp-quantized BEFORE the fold and the
+  // fold's arithmetic is written identically on both sides, so every
+  // intermediate double is bit-identical (the oracle folds the same
+  // recurrence through a recursive CTE — one iteration per day across all
+  // users at once).
+  q("ts_ewma",
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS DOUBLE) / 10000 AS x
+      |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |), d AS (
+      |  SELECT user_id, day, x,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM daily
+      |), r AS (
+      |  SELECT user_id, day, rn, x, x AS ew FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.user_id, d.day, d.rn, d.x,
+      |    CAST(0.3 AS DOUBLE) * d.x + CAST(0.7 AS DOUBLE) * r.ew
+      |  FROM d JOIN r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, x,
+      |  floor(ew * 10000 + 0.5) / 10000 AS ewma
+      |FROM r
+      |ORDER BY user_id, day""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("day"),
+        Det.avgFix(col("s1"), 4, col("n")).as("x"))
+    val folded = daily
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .withColumn("ews", expr(
+        "aggregate(xs, CAST(array() AS array<double>), (acc, e) -> " +
+          "array_append(acc, CASE WHEN size(acc) = 0 THEN e.x " +
+          "ELSE CAST(0.3 AS DOUBLE) * e.x " +
+          "+ CAST(0.7 AS DOUBLE) * element_at(acc, -1) END))"))
+    folded
+      .select(col("user_id"), col("ews"), posexplode(col("xs")))
+      .select(col("user_id"),
+        date_format(col("col.day"), "yyyy-MM-dd").as("day"),
+        col("col.x").as("x"),
+        (floor(element_at(col("ews"), col("pos") + 1) * 10000 + lit(0.5)) / 10000)
+          .as("ewma"))
+      .orderBy("user_id", "day")
+  }
+
+  // Rolling Pearson correlation between quantity and revenue over each
+  // supplier's last 11 shipments. The frame statistics are five INTEGER
+  // window sums (order-independent, exact — §5.4 P2); the correlation is
+  // assembled per-row from those BIGINTs in one closed-form double
+  // expression, so there is no engine-specific co-moment accumulation
+  // (Spark's and DuckDB's built-in `corr` use different update orders and
+  // would diverge in the last ulp). Degenerate frames (zero variance on
+  // either side) emit NULL via an exact integer test, not a double
+  // compare. One window shuffle on the high-cardinality supplier key.
+  // (l_orderkey, l_linenumber) is NOT unique in this fixture — measured:
+  // duplicate pairs exist with different shipdates — so BOTH the window
+  // order and the presentation sort carry (shipdate, x, y) tiebreaks.
+  // Rows still tied after that are interchangeable (identical in every
+  // column the frame sums read), so frame CONTENT is deterministic even
+  // though their relative order is not; the trailing `r NULLS FIRST`
+  // pins the presentation order of such twins (DuckDB defaults to NULLS
+  // LAST on ASC, Spark to NULLS FIRST — spelled out so both agree).
+  q("win_rolling_corr",
+    s"""WITH b AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    strftime(l_shipdate, '%Y-%m-%d') AS ship,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+      |    ${Det.oCents("l_extendedprice")} AS y
+      |  FROM lineitem
+      |), w AS (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, ship, x, y,
+      |    COUNT(*) OVER fr AS n,
+      |    SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
+      |    SUM(x * y) OVER fr AS sxy,
+      |    SUM(x * x) OVER fr AS sxx, SUM(y * y) OVER fr AS syy
+      |  FROM b
+      |  WINDOW fr AS (PARTITION BY l_suppkey
+      |    ORDER BY ship, l_orderkey, l_linenumber, x, y
+      |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT l_suppkey, l_orderkey, l_linenumber, ship, x, y,
+      |  CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |       ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |                         * CAST(n * syy - sy * sy AS DOUBLE))
+      |                  * 10000 + 0.5) / 10000 END AS r
+      |FROM w
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, ship, x, y,
+      |  r ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    val fr = Window.partitionBy("l_suppkey")
+      .orderBy("ship", "l_orderkey", "l_linenumber", "x", "y")
+      .rowsBetween(-10, Window.currentRow)
+    val b = Tables(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"),
+        floor(col("l_quantity") + lit(0.5)).as("x"),
+        Det.cents(col("l_extendedprice")).as("y"))
+    val w = b.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      col("ship"), col("x"), col("y"),
+      count(lit(1)).over(fr).as("n"),
+      sum(col("x")).over(fr).as("sx"), sum(col("y")).over(fr).as("sy"),
+      sum(col("x") * col("y")).over(fr).as("sxy"),
+      sum(col("x") * col("x")).over(fr).as("sxx"),
+      sum(col("y") * col("y")).over(fr).as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    w.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship"), col("x"), col("y"),
+        col("n").cast("long").as("n"),
+        when(vx === 0 || vy === 0, lit(null))
+          .otherwise(floor(num / sqrt(vx.cast("double") * vy.cast("double"))
+            * 10000 + lit(0.5)) / 10000).as("r"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("ship"), col("x"), col("y"), col("r").asc_nulls_first)
+  }
+
+  // Welch's unequal-variance t-test of each event type's mean value
+  // against the 'view' baseline — the A/B experiment readout. Group
+  // moments are two BIGINT sums (Σ 10⁴x and Σ(10⁴x)², exact to ~10⁶ rows
+  // per group before the squared sum nears 2⁶³ — scaladoc'd bound); mean,
+  // variance, t, and the Welch–Satterthwaite df are per-row closed-form
+  // doubles over those integers, written with the identical tree in both
+  // engines. The baseline row broadcasts (one row by construction).
+  q("events_ab_welch",
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS s1,
+      |    SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)
+      |        * CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS s2
+      |  FROM events GROUP BY event_type
+      |), m AS (
+      |  SELECT event_type, n, s1, s2,
+      |    CAST(s1 AS DOUBLE) / 10000 / n AS mean,
+      |    (CAST(s2 AS DOUBLE) / 100000000
+      |     - (CAST(s1 AS DOUBLE) / 10000) * (CAST(s1 AS DOUBLE) / 10000) / n)
+      |    / (n - 1) AS vr
+      |  FROM st
+      |), base AS (SELECT n AS nb, mean AS mb, vr AS vb FROM m
+      |            WHERE event_type = 'view')
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  floor(mean * 10000 + 0.5) / 10000 AS mean,
+      |  floor((mean - mb) / sqrt(vr / n + vb / nb) * 10000 + 0.5) / 10000 AS t,
+      |  floor((vr / n + vb / nb) * (vr / n + vb / nb)
+      |        / ((vr / n) * (vr / n) / (n - 1)
+      |           + (vb / nb) * (vb / nb) / (nb - 1)) * 10 + 0.5) / 10 AS df
+      |FROM m, base
+      |WHERE event_type <> 'view'
+      |ORDER BY event_type""") { (s, dir) =>
+    val f = Det.fix(col("value"), 4)
+    val st = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(f).as("s1"), sum(f * f).as("s2"))
+    val m = st.select(col("event_type"), col("n"), col("s1"), col("s2"),
+      (col("s1").cast("double") / 10000 / col("n")).as("mean"),
+      ((col("s2").cast("double") / 100000000L
+        - (col("s1").cast("double") / 10000) * (col("s1").cast("double") / 10000)
+          / col("n")) / (col("n") - 1)).as("vr"))
+    val base = m.filter(col("event_type") === "view")
+      .select(col("n").as("nb"), col("mean").as("mb"), col("vr").as("vb"))
+    val u = col("vr") / col("n") + col("vb") / col("nb")
+    m.filter(col("event_type") =!= "view")
+      .crossJoin(broadcast(base))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        (floor(col("mean") * 10000 + lit(0.5)) / 10000).as("mean"),
+        (floor((col("mean") - col("mb")) / sqrt(u) * 10000 + lit(0.5)) / 10000)
+          .as("t"),
+        (floor(u * u
+          / ((col("vr") / col("n")) * (col("vr") / col("n")) / (col("n") - 1)
+            + (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1))
+          * 10 + lit(0.5)) / 10).as("df"))
+      .orderBy("event_type")
+  }
+
+  // RFM segmentation: per-user Recency / Frequency (purchases) / Monetary
+  // (purchase revenue) with quintile scores. The quintile is SQL ntile's
+  // exact bucket formula written out over (row_number, total) — NOT the
+  // engines' ntile — so both sides share one integer definition, and the
+  // Spark row number comes from the two-phase block prefix sum
+  // ([[BlockWindow]]): a global ORDER BY window would run in ONE task at
+  // 100 TB, the same serialization llm_shard_assign was flagged for in r3.
+  // Integer throughout; monetary emitted via one exact cents division.
+  q("events_rfm",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    date_diff('day', CAST(max(date_trunc('day', ts)) AS DATE),
+      |              DATE '2024-01-30') AS recency,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS f,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS m
+      |  FROM events GROUP BY user_id
+      |), t AS (SELECT COUNT(*) AS n FROM u), rk AS (
+      |  SELECT user_id, recency, f, m,
+      |    row_number() OVER (ORDER BY recency, user_id) AS rr,
+      |    row_number() OVER (ORDER BY f, user_id) AS rf,
+      |    row_number() OVER (ORDER BY m, user_id) AS rm
+      |  FROM u
+      |)
+      |SELECT user_id, CAST(recency AS BIGINT) AS recency,
+      |  CAST(f AS BIGINT) AS f, CAST(m AS DOUBLE) / 100 AS m,
+      |  CAST(6 - (CASE WHEN rr <= (n // 5 + 1) * (n % 5)
+      |    THEN (rr - 1) // (n // 5 + 1) + 1
+      |    ELSE n % 5 + (rr - 1 - (n // 5 + 1) * (n % 5)) // (n // 5) + 1 END)
+      |    AS INT) AS r_score,
+      |  CAST(CASE WHEN rf <= (n // 5 + 1) * (n % 5)
+      |    THEN (rf - 1) // (n // 5 + 1) + 1
+      |    ELSE n % 5 + (rf - 1 - (n // 5 + 1) * (n % 5)) // (n // 5) + 1 END
+      |    AS INT) AS f_score,
+      |  CAST(CASE WHEN rm <= (n // 5 + 1) * (n % 5)
+      |    THEN (rm - 1) // (n // 5 + 1) + 1
+      |    ELSE n % 5 + (rm - 1 - (n // 5 + 1) * (n % 5)) // (n // 5) + 1 END
+      |    AS INT) AS m_score
+      |FROM rk, t
+      |ORDER BY user_id""") { (s, dir) =>
+    // fixture-wide last calendar day (FIXTURES.md: events span Jan 2024);
+    // a literal keeps "recency" stable across engines instead of racing
+    // two max() reductions
+    val u = Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(datediff(lit("2024-01-30").cast("date"),
+          max(to_date(date_trunc("day", col("ts"))))).as("recency"),
+        count(when(col("event_type") === "purchase", 1)).as("f"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          Det.cents(col("value")))), lit(0L)).as("m"))
+    val ranked0 = BlockWindow.rowNumber(u, Seq(), Seq("recency", "user_id"), "rr")
+    val ranked1 = BlockWindow.rowNumber(ranked0, Seq(), Seq("f", "user_id"), "rf")
+    val ranked = BlockWindow.rowNumber(ranked1, Seq(), Seq("m", "user_id"), "rm")
+      .crossJoin(broadcast(u.groupBy().agg(count(lit(1)).as("n"))))
+    // ntile's exact bucket math from (rank, n): the first (n mod 5)
+    // buckets hold ⌈n/5⌉ rows, the rest ⌊n/5⌋ — integer ops only
+    def nt(rn: String): org.apache.spark.sql.Column = expr(
+      s"CASE WHEN $rn <= (n div 5 + 1) * (n % 5) " +
+        s"THEN ($rn - 1) div (n div 5 + 1) + 1 " +
+        s"ELSE n % 5 + ($rn - 1 - (n div 5 + 1) * (n % 5)) div (n div 5) + 1 END")
+    ranked.select(col("user_id"), col("recency").cast("long").as("recency"),
+        col("f").cast("long").as("f"),
+        (col("m").cast("double") / 100).as("m"),
+        (lit(6) - nt("rr")).cast("int").as("r_score"),
+        nt("rf").cast("int").as("f_score"),
+        nt("rm").cast("int").as("m_score"))
+      .orderBy("user_id")
+  }
+}
