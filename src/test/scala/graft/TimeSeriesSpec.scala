@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural + reference checks for the TimeSeriesOps pack. The DuckDB
+  * rehearsal is the cell-exact gate; these pin the properties a hash can't
+  * explain on its own (fill completeness, interpolation bounds, the EWMA
+  * recurrence against an in-JVM reference fold, chunk coverage, quintile
+  * balance).
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("ts_resample_ffill: grid is contiguous per user, no null values, obs rows preserved") {
+    val out = SparkEntry.queries("ts_resample_ffill")(spark, sf).cache()
+    assert(out.filter(col("v").isNull).count() == 0, "forward fill left a hole")
+    // per-user day count == span length (contiguous daily grid)
+    val bad = out.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"),
+        (datediff(max(to_date(col("day"))), min(to_date(col("day")))) + 1).as("span"))
+      .filter(col("rows") =!= col("span")).count()
+    assert(bad == 0, "grid has missing or duplicate days")
+    assert(out.filter(col("src") === "obs").count() > 0)
+  }
+
+  test("ts_gap_fill_interp: interpolated values stay within neighbor bounds") {
+    val out = SparkEntry.queries("ts_gap_fill_interp")(spark, sf).cache()
+    assert(out.filter(col("v").isNull).count() == 0)
+    // every interpolated day sits strictly inside an observed span, so its
+    // value must lie within [min, max] of that user's observed values
+    val obs = out.filter(col("src") === "obs")
+      .groupBy("user_id").agg(min("v").as("lo"), max("v").as("hi"))
+    val oob = out.filter(col("src") === "interp").join(obs, "user_id")
+      .filter(col("v") < col("lo") - 1e-9 || col("v") > col("hi") + 1e-9)
+      .count()
+    assert(oob == 0, "linear interpolation escaped the observed envelope")
+  }
+
+  test("ts_ewma matches an in-JVM reference fold of its own daily inputs") {
+    val out = SparkEntry.queries("ts_ewma")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3)))
+    val byUser = out.groupBy(_._1)
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var ew = 0.0
+      sorted.zipWithIndex.foreach { case ((_, _, x, got), i) =>
+        ew = if (i == 0) x else 0.3 * x + 0.7 * ew
+        val want = math.floor(ew * 10000 + 0.5) / 10000
+        assert(got == want, s"EWMA fold diverged at step $i: $got != $want")
+      }
+    }
+  }
+
+  test("win_rolling_corr: r bounded, frame never exceeds 11 rows") {
+    val out = SparkEntry.queries("win_rolling_corr")(spark, sf).cache()
+    assert(out.filter(col("n") > 11).count() == 0)
+    assert(out.filter(abs(col("r")) > 1.0 + 1e-9).count() == 0,
+      "correlation left [-1, 1]")
+    assert(out.filter(col("r").isNotNull).count() > 0)
+  }
+
+  test("events_ab_welch: one row per non-baseline type with finite stats") {
+    val rows = SparkEntry.queries("events_ab_welch")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("click", "error", "purchase", "signup"))
+    rows.foreach { r =>
+      assert(!r.isNullAt(3) && !r.getDouble(3).isNaN, "t-statistic not finite")
+      assert(r.getDouble(4) > 0, "Welch df must be positive")
+    }
+  }
+
+  test("events_rfm: quintile scores in 1..5 with balanced buckets") {
+    val out = SparkEntry.queries("events_rfm")(spark, sf).cache()
+    val n = out.count()
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = out.groupBy(c).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(sizes.keySet.subsetOf((1 to 5).toSet), s"$c outside 1..5")
+      // ntile semantics: bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1, s"$c buckets unbalanced")
+      assert(sizes.values.sum == n)
+    }
+  }
+
+  test("llm_chunk_overlap: chunks tile each document with stride 24") {
+    val docs = engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = SparkEntry.queries("llm_chunk_overlap")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    chunks.foreach { case (docId, rows) =>
+      val tk = docs(docId)
+      val sorted = rows.sortBy(_.getInt(1))
+      sorted.foreach { r =>
+        val k = r.getInt(1)
+        val expect = tk.slice(k * 24, k * 24 + 32)
+        assert(r.getString(3) == expect.mkString(" "),
+          s"chunk $k of doc $docId mismatched")
+        assert(r.getInt(2) == expect.size)
+      }
+      // full coverage: last chunk reaches the document's end
+      val last = sorted.last
+      assert(last.getInt(1) * 24 + last.getInt(2) == tk.size,
+        s"doc $docId tail not covered")
+    }
+  }
+
+  test("llm_url_dedup: canonical urls carry no noise and keep the lowest doc") {
+    val out = SparkEntry.queries("llm_url_dedup")(spark, sf).collect()
+    out.foreach { r =>
+      val u = r.getString(0)
+      assert(u == u.toLowerCase, "canonical url not lowercased")
+      assert(!u.contains("utm") && !u.contains("ref=") && !u.contains("#")
+        && !u.contains(":443") && !u.contains("www."), s"noise survived: $u")
+    }
+    assert(out.map(_.getLong(1)).sum ==
+      engine.Tables(spark, sf, "documents").count(),
+      "every source url must land in exactly one canonical group")
+  }
+
+  test("dq_benford: nine digits, observed mass sums to ~1") {
+    val rows = SparkEntry.queries("dq_benford")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(('1' to '9').map(_.toString).toSet))
+    val mass = rows.map(_.getDouble(2)).sum
+    assert(math.abs(mass - 1.0) < 1e-2, s"observed fractions sum to $mass")
+  }
+}
