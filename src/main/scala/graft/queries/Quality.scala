@@ -857,4 +857,98 @@ object QualityOps extends QueryPack {
       .agg(count(lit(1)).cast("long").as("n_urls"), min("doc_id").as("keeper"))
       .orderBy("canon")
   }
+
+  // Lloyd k-means (k = 8, 3 iterations) over the embeddings — semantic
+  // clustering for corpus curation (SemDeDup-style pruning buckets). Fully
+  // ORACLE-BACKED, which iterative float clustering normally can't be:
+  //  - distances are Σ floor((e-m)²·10⁸) — exact BIGINT sums, so argmin
+  //    (with cid tiebreak) is integer-deterministic in both engines;
+  //  - recomputed centroids quantize to 6 dp via integer means, so the
+  //    next iteration's inputs are bit-identical cross-engine;
+  //  - seeds = the k lowest vec_ids (no RNG).
+  // The oracle unrolls the 3 iterations as CTE blocks; Spark loops,
+  // re-broadcasting the k×d centroid frame each round (512 rows — the
+  // same tiny-frame BSP shape as PageRank). The per-dim explode is
+  // persisted once and reused by all three assignment joins; the argmin
+  // window partitions on the high-cardinality vec_id, never globally.
+  // At 100 TB: each iteration is one broadcast join + two shuffles
+  // (vec-level argmin, (cid,dim)-level means) — no all-pairs anything.
+  q("emb_kmeans",
+    """WITH dims AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS e
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT vec_id AS cid, dim, e AS m FROM dims
+      |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+      |), a1 AS (
+      |  SELECT d.vec_id, c.cid,
+      |    SUM(CAST(floor((d.e - c.m) * (d.e - c.m) * 100000000 + 0.5) AS BIGINT)) AS d2
+      |  FROM dims d JOIN c0 c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+      |), p1 AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM a1) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT p.cid, d.dim,
+      |    floor(CAST(SUM(CAST(floor(d.e * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |          / COUNT(*) + 0.5) / 1000000 AS m
+      |  FROM p1 p JOIN dims d ON p.vec_id = d.vec_id GROUP BY p.cid, d.dim
+      |), a2 AS (
+      |  SELECT d.vec_id, c.cid,
+      |    SUM(CAST(floor((d.e - c.m) * (d.e - c.m) * 100000000 + 0.5) AS BIGINT)) AS d2
+      |  FROM dims d JOIN c1 c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+      |), p2 AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM a2) WHERE rn = 1
+      |), c2 AS (
+      |  SELECT p.cid, d.dim,
+      |    floor(CAST(SUM(CAST(floor(d.e * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |          / COUNT(*) + 0.5) / 1000000 AS m
+      |  FROM p2 p JOIN dims d ON p.vec_id = d.vec_id GROUP BY p.cid, d.dim
+      |), a3 AS (
+      |  SELECT d.vec_id, c.cid,
+      |    SUM(CAST(floor((d.e - c.m) * (d.e - c.m) * 100000000 + 0.5) AS BIGINT)) AS d2
+      |  FROM dims d JOIN c2 c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+      |), p3 AS (
+      |  SELECT vec_id, cid, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |    FROM a3) WHERE rn = 1
+      |)
+      |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(d2) AS DOUBLE) / 100000000 AS inertia
+      |FROM p3 GROUP BY cid
+      |ORDER BY cid""") { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel
+    val dims = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("vec_id"), (col("dim") + 1).as("dim"),
+        col("e").cast("double").as("e"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reuse barrier: 3 assignment joins + 2 centroid recomputes
+    val seeds = Tables(s, dir, "embeddings")
+      .select(col("vec_id")).orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("cid"))
+    var cent = dims.join(broadcast(seeds), dims("vec_id") === seeds("cid"))
+      .select(col("cid"), col("dim"), col("e").as("m"))
+    var picked: org.apache.spark.sql.DataFrame = null
+    val wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    for (_ <- 1 to 3) {
+      val a = dims.join(broadcast(cent), "dim")
+        .select(col("vec_id"), col("cid"),
+          floor((col("e") - col("m")) * (col("e") - col("m")) * 100000000L
+            + lit(0.5)).as("dd"))
+        .groupBy("vec_id", "cid").agg(sum("dd").as("d2"))
+      picked = a.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"), col("d2"))
+      cent = picked.join(dims, "vec_id")
+        .groupBy("cid", "dim")
+        .agg((floor(sum(Det.fix(col("e"), 6)).cast("double") / count(lit(1))
+          + lit(0.5)) / 1000000).as("m"))
+    }
+    picked.groupBy("cid")
+      .agg(count(lit(1)).cast("long").as("n"),
+        (sum("d2").cast("double") / 100000000L).as("inertia"))
+      .orderBy("cid")
+  }
 }

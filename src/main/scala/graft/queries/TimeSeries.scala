@@ -403,4 +403,231 @@ object TimeSeriesOps extends QueryPack {
         nt("rm").cast("int").as("m_score"))
       .orderBy("user_id")
   }
+
+  // One-sided CUSUM drift detector per user (slack k = 1.0, alarm h = 10):
+  // s_t = max(0, s_{t-1} + (x_t - μ - k)) over the daily-average series,
+  // the classic sequential change-point monitor. Same execution shape as
+  // ts_ewma: the recurrence folds inside one task per user (bounded by
+  // calendar days), parallel across users; μ is the user's own 4-dp mean
+  // computed from exact integer sums, so every input to the fold — and
+  // therefore every intermediate double — is bit-identical cross-engine.
+  q("ts_cusum",
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS DOUBLE) / 10000 AS x
+      |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |), mu AS (
+      |  SELECT user_id,
+      |    floor(CAST(SUM(CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |          / COUNT(*) + 0.5) / 10000 AS mu
+      |  FROM daily GROUP BY user_id
+      |), d AS (
+      |  SELECT daily.user_id, day, x, mu,
+      |    row_number() OVER (PARTITION BY daily.user_id ORDER BY day) AS rn
+      |  FROM daily JOIN mu ON daily.user_id = mu.user_id
+      |), r AS (
+      |  SELECT user_id, day, rn, x, mu,
+      |    greatest(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+      |             + (x - mu - CAST(1 AS DOUBLE))) AS s
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.user_id, d.day, d.rn, d.x, d.mu,
+      |    greatest(CAST(0 AS DOUBLE), r.s + (d.x - d.mu - CAST(1 AS DOUBLE)))
+      |  FROM d JOIN r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, x,
+      |  floor(s * 10000 + 0.5) / 10000 AS cusum,
+      |  CAST(CASE WHEN floor(s * 10000 + 0.5) / 10000 > 10.0 THEN 1 ELSE 0 END
+      |       AS INT) AS alarm
+      |FROM r
+      |ORDER BY user_id, day""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("day"),
+        Det.avgFix(col("s1"), 4, col("n")).as("x"))
+    val mu = daily.groupBy("user_id")
+      .agg((floor(sum(Det.fix(col("x"), 4)).cast("double") / count(lit(1))
+        + lit(0.5)) / 10000).as("mu"))
+    val folded = daily.join(mu, "user_id")
+      .groupBy("user_id", "mu")
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .withColumn("ss", expr(
+        "aggregate(xs, CAST(array() AS array<double>), (acc, e) -> " +
+          "array_append(acc, greatest(CAST(0 AS DOUBLE), " +
+          "CASE WHEN size(acc) = 0 THEN CAST(0 AS DOUBLE) " +
+          "ELSE element_at(acc, -1) END + (e.x - mu - CAST(1 AS DOUBLE)))))"))
+    val cusum4 = floor(element_at(col("ss"), col("pos") + 1) * 10000 + lit(0.5)) / 10000
+    folded
+      .select(col("user_id"), col("ss"), posexplode(col("xs")))
+      .select(col("user_id"),
+        date_format(col("col.day"), "yyyy-MM-dd").as("day"),
+        col("col.x").as("x"), cusum4.as("cusum"),
+        when(cusum4 > 10.0, 1).otherwise(0).cast("int").as("alarm"))
+      .orderBy("user_id", "day")
+  }
+
+  // Holt double-exponential smoothing (level α = 0.5, trend β = 0.3) with
+  // a one-step-ahead forecast — the trend-aware upgrade of ts_ewma. The
+  // fold carries a (level, trend) struct per step; the new-trend term
+  // repeats the new-level EXPRESSION verbatim instead of simplifying it
+  // algebraically, so the oracle's recursive CTE computes the identical
+  // IEEE tree (P2: same ops in the same order, not "same math").
+  q("ts_holt",
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS DOUBLE) / 10000 AS x
+      |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |), d AS (
+      |  SELECT user_id, day, x,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM daily
+      |), r AS (
+      |  SELECT user_id, day, rn, x, x AS l, CAST(0 AS DOUBLE) AS b
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.user_id, d.day, d.rn, d.x,
+      |    CAST(0.5 AS DOUBLE) * d.x + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+      |    CAST(0.3 AS DOUBLE)
+      |      * ((CAST(0.5 AS DOUBLE) * d.x + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+      |      + CAST(0.7 AS DOUBLE) * r.b
+      |  FROM d JOIN r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, x,
+      |  floor(l * 10000 + 0.5) / 10000 AS level,
+      |  floor(b * 10000 + 0.5) / 10000 AS trend,
+      |  floor((l + b) * 10000 + 0.5) / 10000 AS forecast
+      |FROM r
+      |ORDER BY user_id, day""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("day"),
+        Det.avgFix(col("s1"), 4, col("n")).as("x"))
+    val folded = daily
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .withColumn("lb", expr(
+        "aggregate(xs, CAST(array() AS array<struct<l:double,b:double>>), " +
+          "(acc, e) -> array_append(acc, CASE WHEN size(acc) = 0 " +
+          "THEN named_struct('l', e.x, 'b', CAST(0 AS DOUBLE)) " +
+          "ELSE named_struct(" +
+          "'l', CAST(0.5 AS DOUBLE) * e.x + CAST(0.5 AS DOUBLE) " +
+          "* (element_at(acc, -1).l + element_at(acc, -1).b), " +
+          "'b', CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * e.x " +
+          "+ CAST(0.5 AS DOUBLE) * (element_at(acc, -1).l + element_at(acc, -1).b)) " +
+          "- element_at(acc, -1).l) + CAST(0.7 AS DOUBLE) * element_at(acc, -1).b) " +
+          "END))"))
+    val st = element_at(col("lb"), col("pos") + 1)
+    folded
+      .select(col("user_id"), col("lb"), posexplode(col("xs")))
+      .select(col("user_id"),
+        date_format(col("col.day"), "yyyy-MM-dd").as("day"),
+        col("col.x").as("x"),
+        (floor(st.getField("l") * 10000 + lit(0.5)) / 10000).as("level"),
+        (floor(st.getField("b") * 10000 + lit(0.5)) / 10000).as("trend"),
+        (floor((st.getField("l") + st.getField("b")) * 10000 + lit(0.5)) / 10000)
+          .as("forecast"))
+      .orderBy("user_id", "day")
+  }
+
+  // Lag-1 autocorrelation of each user's daily series — the "is today
+  // predictive of tomorrow" screen run before fitting anything fancier.
+  // Inputs are the 4-dp daily averages lifted to BIGINT units, so the six
+  // pair sums are exact integers (one lag window + one group-by); the
+  // correlation assembles per-row exactly like win_rolling_corr. Users
+  // with fewer than two observed days drop out (no pairs).
+  q("ts_autocorr",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS BIGINT) AS xi
+      |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |), p AS (
+      |  SELECT user_id, xi AS a,
+      |    lag(xi) OVER (PARTITION BY user_id ORDER BY day) AS b
+      |  FROM daily
+      |), g AS (
+      |  SELECT user_id, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+      |    SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+      |  FROM p WHERE b IS NOT NULL GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+      |  CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0 THEN NULL
+      |       ELSE floor(CAST(n * sab - sa * sb AS DOUBLE)
+      |                  / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+      |                         * CAST(n * sbb - sb * sb AS DOUBLE))
+      |                  * 10000 + 0.5) / 10000 END AS r
+      |FROM g
+      |ORDER BY user_id""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("day"),
+        floor(Det.avgFix(col("s1"), 4, col("n")) * 10000 + lit(0.5)).as("xi"))
+    val wl = Window.partitionBy("user_id").orderBy("day")
+    val p = daily.select(col("user_id"), col("xi").as("a"),
+        lag(col("xi"), 1).over(wl).as("b"))
+      .filter(col("b").isNotNull)
+    val g = p.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+    val va = col("n") * col("saa") - col("sa") * col("sa")
+    val vb = col("n") * col("sbb") - col("sb") * col("sb")
+    val num = (col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+    g.select(col("user_id"), col("n").cast("long").as("n_pairs"),
+        when(va === 0 || vb === 0, lit(null))
+          .otherwise(floor(num / sqrt(va.cast("double") * vb.cast("double"))
+            * 10000 + lit(0.5)) / 10000).as("r"))
+      .orderBy("user_id")
+  }
+
+  // Day-of-week seasonality profile per event type: mean value per
+  // weekday divided by the type's overall mean — the seasonal index a
+  // metrics pipeline applies before anomaly thresholds. The weekday comes
+  // from integer epoch-day arithmetic anchored on a known Monday
+  // (2024-01-01), NOT from the engines' dayofweek builtins (Spark counts
+  // Sunday=1, DuckDB Sunday=0 — an avoidable cross-engine seam). Exact
+  // integer sums throughout; two small aggregates + a broadcast join.
+  q("ts_dow_seasonality",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7 AS INT) AS dow,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), d AS (
+      |  SELECT event_type, dow, COUNT(*) AS c, SUM(v) AS s
+      |  FROM e GROUP BY event_type, dow
+      |), t AS (
+      |  SELECT event_type, SUM(c) AS tc, SUM(s) AS ts FROM d GROUP BY event_type
+      |)
+      |SELECT d.event_type, dow, CAST(c AS BIGINT) AS n,
+      |  floor(CAST(s AS DOUBLE) / 100 / c * 10000 + 0.5) / 10000 AS avg_v,
+      |  floor((CAST(s AS DOUBLE) / c) / (CAST(ts AS DOUBLE) / tc) * 10000 + 0.5)
+      |    / 10000 AS season_idx
+      |FROM d JOIN t ON d.event_type = t.event_type
+      |ORDER BY d.event_type, dow""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7).cast("int").as("dow"),
+        Det.cents(col("value")).as("v"))
+    val d = e.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("c"), sum("v").as("s"))
+    val t = d.groupBy("event_type")
+      .agg(sum("c").as("tc"), sum("s").as("ts"))
+    d.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("dow"), col("c").cast("long").as("n"),
+        (floor(col("s").cast("double") / 100 / col("c") * 10000 + lit(0.5))
+          / 10000).as("avg_v"),
+        (floor((col("s").cast("double") / col("c"))
+          / (col("ts").cast("double") / col("tc")) * 10000 + lit(0.5)) / 10000)
+          .as("season_idx"))
+      .orderBy("event_type", "dow")
+  }
 }

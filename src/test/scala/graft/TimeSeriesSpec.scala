@@ -123,4 +123,103 @@ class TimeSeriesSpec extends SparkSpec {
     val mass = rows.map(_.getDouble(2)).sum
     assert(math.abs(mass - 1.0) < 1e-2, s"observed fractions sum to $mass")
   }
+
+  test("ts_cusum: statistic non-negative, alarm agrees with threshold, fold matches reference") {
+    val rows = SparkEntry.queries("ts_cusum")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    rows.foreach { case (_, _, _, c, a) =>
+      assert(c >= 0.0, "CUSUM went negative")
+      assert((a == 1) == (c > 10.0), "alarm flag disagrees with threshold")
+    }
+    rows.groupBy(_._1).foreach { case (_, userRows) =>
+      val sorted = userRows.sortBy(_._2)
+      val xs = sorted.map(_._3)
+      // reference: mu = 4-dp mean of the daily xs, same fixed-point form
+      val mu = math.floor(xs.map(x => math.floor(x * 10000 + 0.5)).sum
+        / xs.length + 0.5) / 10000
+      var sAcc = 0.0
+      sorted.zipWithIndex.foreach { case ((_, _, x, got, _), i) =>
+        sAcc = math.max(0.0, sAcc + (x - mu - 1.0))
+        assert(got == math.floor(sAcc * 10000 + 0.5) / 10000,
+          s"CUSUM fold diverged at step $i")
+      }
+    }
+  }
+
+  test("ts_holt: level/trend recurrence matches an in-JVM reference fold") {
+    val rows = SparkEntry.queries("ts_holt")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    rows.groupBy(_._1).foreach { case (_, userRows) =>
+      val sorted = userRows.sortBy(_._2)
+      var l = 0.0; var b = 0.0
+      sorted.zipWithIndex.foreach { case ((_, _, x, gl, gb, gf), i) =>
+        if (i == 0) { l = x; b = 0.0 }
+        else {
+          val nl = 0.5 * x + 0.5 * (l + b)
+          val nb = 0.3 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.7 * b
+          l = nl; b = nb
+        }
+        def q4(v: Double) = math.floor(v * 10000 + 0.5) / 10000
+        assert(gl == q4(l) && gb == q4(b) && gf == q4(l + b),
+          s"Holt fold diverged at step $i")
+      }
+    }
+  }
+
+  test("ts_autocorr: correlation bounded, pair counts below day count") {
+    val out = SparkEntry.queries("ts_autocorr")(spark, sf).cache()
+    assert(out.filter(abs(col("r")) > 1.0 + 1e-9).count() == 0)
+    assert(out.filter(col("n_pairs") < 1).count() == 0)
+  }
+
+  test("ts_dow_seasonality: weekdays 0..6, count-weighted index centers on 1") {
+    val rows = SparkEntry.queries("ts_dow_seasonality")(spark, sf).collect()
+    assert(rows.map(_.getInt(1)).forall(d => d >= 0 && d <= 6))
+    rows.groupBy(_.getString(0)).foreach { case (et, grp) =>
+      val n = grp.map(_.getLong(2)).sum.toDouble
+      val centered = grp.map(r => r.getDouble(4) * r.getLong(2)).sum / n
+      assert(math.abs(centered - 1.0) < 0.01,
+        s"$et seasonal indices don't average to 1: $centered")
+    }
+  }
+
+  test("emb_kmeans matches an in-JVM Lloyd reference with identical fixed-point math") {
+    val vecs = engine.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val k = 8
+    // seeds: k lowest vec_ids, raw (unquantized) coordinates
+    var cents: Map[Long, Array[Double]] =
+      vecs.take(k).map { case (id, v) => id -> v }.toMap
+    def d2(v: Array[Double], m: Array[Double]): Long =
+      v.zip(m).map { case (e, c) =>
+        math.floor((e - c) * (e - c) * 100000000L + 0.5).toLong }.sum
+    var assign: Array[(Long, Long, Long)] = null // (vec, cid, d2)
+    for (_ <- 1 to 3) {
+      assign = vecs.map { case (id, v) =>
+        val (cid, dd) = cents.toSeq.map { case (c, m) => (c, d2(v, m)) }
+          .minBy { case (c, dd) => (dd, c) }
+        (id, cid, dd)
+      }
+      val vmap = vecs.toMap
+      cents = assign.groupBy(_._2).map { case (cid, members) =>
+        val vs = members.map(m => vmap(m._1))
+        val m = Array.tabulate(vs.head.length) { d =>
+          val sumFix = vs.map(v => math.floor(v(d) * 1000000 + 0.5).toLong).sum
+          math.floor(sumFix.toDouble / vs.length + 0.5) / 1000000
+        }
+        cid -> m
+      }
+    }
+    val want = assign.groupBy(_._2).map { case (cid, ms) =>
+      cid -> (ms.length.toLong, ms.map(_._3).sum.toDouble / 100000000L)
+    }
+    val got = SparkEntry.queries("emb_kmeans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want, s"kmeans clusters diverged: got $got want $want")
+  }
 }
