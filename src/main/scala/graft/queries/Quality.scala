@@ -951,4 +951,110 @@ object QualityOps extends QueryPack {
         (sum("d2").cast("double") / 100000000L).as("inertia"))
       .orderBy("cid")
   }
+
+  // Top principal component of the embedding cloud via 3 power-iteration
+  // rounds over the (uncentered) second-moment matrix — the dominant-
+  // direction probe behind whitening / anisotropy diagnostics. Same
+  // determinism recipe as emb_kmeans, which is what makes an ITERATIVE
+  // float linear-algebra op oracle-backed at all: the 64×64 moment matrix
+  // is 8-dp quantized means of exact BIGINT product sums; each matvec
+  // accumulates 12-dp fixed-point terms (exact, order-independent); the
+  // norm squares through 14-dp fixed point (|w|≲3 → terms ≤1e15, 64 of
+  // them — no BIGINT overflow); the renormalized vector re-quantizes to
+  // 6 dp before the next round. Start vector = uniform 1/8 (no RNG; 0.125
+  // is exactly representable). Scale shape: the moment matrix is one
+  // self-join on vec_id grouped to k²=4096 rows — after that every round
+  // touches only 4096-row × 64-row broadcast joins, independent of corpus
+  // size; the oracle unrolls the rounds as CTEs.
+  q("emb_pca_power",
+    """WITH dims AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS e
+      |  FROM embeddings
+      |), C AS (
+      |  SELECT d1.dim AS i, d2.dim AS j,
+      |    floor(CAST(SUM(CAST(floor(d1.e * d2.e * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |          / (SELECT COUNT(*) FROM embeddings) + 0.5) / 100000000 AS c
+      |  FROM dims d1 JOIN dims d2 ON d1.vec_id = d2.vec_id
+      |  GROUP BY d1.dim, d2.dim
+      |), v0 AS (
+      |  SELECT DISTINCT dim AS j, CAST(0.125 AS DOUBLE) AS v FROM dims
+      |), w1 AS (
+      |  SELECT C.i AS i, SUM(CAST(floor(C.c * v0.v * 1000000000000 + 0.5) AS BIGINT)) AS sw
+      |  FROM C JOIN v0 ON C.j = v0.j GROUP BY C.i
+      |), n1 AS (
+      |  SELECT sqrt(CAST(SUM(CAST(floor((CAST(sw AS DOUBLE) / 1000000000000)
+      |    * (CAST(sw AS DOUBLE) / 1000000000000) * 100000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100000000000000) AS nrm FROM w1
+      |), v1 AS (
+      |  SELECT i AS j, floor(CAST(sw AS DOUBLE) / 1000000000000 / nrm * 1000000 + 0.5)
+      |    / 1000000 AS v FROM w1, n1
+      |), w2 AS (
+      |  SELECT C.i AS i, SUM(CAST(floor(C.c * v1.v * 1000000000000 + 0.5) AS BIGINT)) AS sw
+      |  FROM C JOIN v1 ON C.j = v1.j GROUP BY C.i
+      |), n2 AS (
+      |  SELECT sqrt(CAST(SUM(CAST(floor((CAST(sw AS DOUBLE) / 1000000000000)
+      |    * (CAST(sw AS DOUBLE) / 1000000000000) * 100000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100000000000000) AS nrm FROM w2
+      |), v2 AS (
+      |  SELECT i AS j, floor(CAST(sw AS DOUBLE) / 1000000000000 / nrm * 1000000 + 0.5)
+      |    / 1000000 AS v FROM w2, n2
+      |), w3 AS (
+      |  SELECT C.i AS i, SUM(CAST(floor(C.c * v2.v * 1000000000000 + 0.5) AS BIGINT)) AS sw
+      |  FROM C JOIN v2 ON C.j = v2.j GROUP BY C.i
+      |), n3 AS (
+      |  SELECT sqrt(CAST(SUM(CAST(floor((CAST(sw AS DOUBLE) / 1000000000000)
+      |    * (CAST(sw AS DOUBLE) / 1000000000000) * 100000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100000000000000) AS nrm FROM w3
+      |), v3 AS (
+      |  SELECT i AS j, floor(CAST(sw AS DOUBLE) / 1000000000000 / nrm * 1000000 + 0.5)
+      |    / 1000000 AS v FROM w3, n3
+      |)
+      |SELECT CAST(v3.j AS INT) AS dim, v3.v AS loading,
+      |  floor(n3.nrm * 1000000 + 0.5) / 1000000 AS eigenvalue
+      |FROM v3, n3
+      |ORDER BY dim""") { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel
+    val dims = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .select(col("vec_id"), (col("dim") + 1).as("dim"),
+        col("e").cast("double").as("e"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reuse barrier: both sides of the moment self-join
+    val nEmb = Tables(s, dir, "embeddings").groupBy().agg(count(lit(1)).as("n"))
+    val moment = dims.join(
+        dims.select(col("vec_id"), col("dim").as("j"), col("e").as("e2")),
+        "vec_id")
+      .select(col("dim").as("i"), col("j"),
+        floor(col("e") * col("e2") * lit(100000000L) + lit(0.5)).as("p"))
+      .groupBy("i", "j").agg(sum("p").as("sp"))
+      .crossJoin(broadcast(nEmb))
+      .select(col("i"), col("j"),
+        (floor(col("sp").cast("double") / col("n") + lit(0.5))
+          / lit(100000000L)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused by all three matvecs
+    var v = dims.select(col("dim").as("j")).distinct()
+      .withColumn("v", lit(0.125))
+    var lastNrm: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 3) {
+      val w = moment.join(broadcast(v), "j")
+        .select(col("i"),
+          floor(col("c") * col("v") * lit(1000000000000L) + lit(0.5)).as("t"))
+        .groupBy("i").agg(sum("t").as("sw"))
+      val wi = col("sw").cast("double") / lit(1000000000000L)
+      val nrm = w
+        .select(floor(wi * wi * lit(100000000000000L) + lit(0.5)).as("q"))
+        .groupBy()
+        .agg(sqrt(sum("q").cast("double") / lit(100000000000000L)).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"),
+          (floor(wi / col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L))
+            .as("v"))
+      lastNrm = nrm
+    }
+    v.crossJoin(broadcast(lastNrm))
+      .select(col("j").cast("int").as("dim"), col("v").as("loading"),
+        (floor(col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L))
+          .as("eigenvalue"))
+      .orderBy("dim")
+  }
 }

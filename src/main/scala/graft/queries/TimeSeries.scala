@@ -630,4 +630,47 @@ object TimeSeriesOps extends QueryPack {
           .as("season_idx"))
       .orderBy("event_type", "dow")
   }
+
+  // Pearson χ² test of independence between event type and weekday — "is
+  // usage pattern day-of-week dependent". Observed counts and both margins
+  // are exact integers; each cell's expectation r·c/n and χ² contribution
+  // are per-row closed-form doubles with identical trees (the repeated
+  // r·c/n subterm is written out verbatim, not factored differently per
+  // engine). Emits the 35 cells, not a pre-summed statistic — a double sum
+  // across cells would be aggregation-order-dependent (§5.4 P2); the
+  // consumer sums the BIGINT-free terms or reads per-cell deviations.
+  q("events_chi2_independence",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7 AS INT) AS dow
+      |  FROM events
+      |), cell AS (
+      |  SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY event_type, dow
+      |), rt AS (SELECT event_type, SUM(o) AS r FROM cell GROUP BY event_type),
+      |ct AS (SELECT dow, SUM(o) AS c FROM cell GROUP BY dow),
+      |t AS (SELECT SUM(o) AS n FROM cell)
+      |SELECT cell.event_type, cell.dow, CAST(o AS BIGINT) AS observed,
+      |  floor(CAST(r AS DOUBLE) * c / n * 10000 + 0.5) / 10000 AS expected,
+      |  floor((o - CAST(r AS DOUBLE) * c / n) * (o - CAST(r AS DOUBLE) * c / n)
+      |        / (CAST(r AS DOUBLE) * c / n) * 10000 + 0.5) / 10000 AS chi2_term
+      |FROM cell JOIN rt USING (event_type) JOIN ct USING (dow), t
+      |ORDER BY cell.event_type, cell.dow""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7).cast("int").as("dow"))
+    val cell = e.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rt = cell.groupBy("event_type").agg(sum("o").as("r"))
+    val ct = cell.groupBy("dow").agg(sum("o").as("c"))
+    val t = cell.groupBy().agg(sum("o").as("n"))
+    val ex = col("r").cast("double") * col("c") / col("n")
+    cell.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+      .crossJoin(broadcast(t))
+      .select(col("event_type"), col("dow"), col("o").cast("long").as("observed"),
+        (floor(ex * 10000 + lit(0.5)) / 10000).as("expected"),
+        (floor((col("o") - ex) * (col("o") - ex) / ex * 10000 + lit(0.5)) / 10000)
+          .as("chi2_term"))
+      .orderBy("event_type", "dow")
+  }
 }

@@ -185,6 +185,41 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("events_chi2_independence: margins reconstruct, expectations sum to row totals") {
+    val rows = SparkEntry.queries("events_chi2_independence")(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    rows.groupBy(_.getString(0)).foreach { case (et, grp) =>
+      val obs = grp.map(_.getLong(2)).sum.toDouble
+      val exp = grp.map(_.getDouble(3)).sum
+      assert(math.abs(obs - exp) < 0.01 * total,
+        s"$et expected counts don't reconstruct the row margin: $obs vs $exp")
+    }
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0, "negative chi2 term"))
+  }
+
+  test("emb_pca_power: unit-norm loading, positive eigenvalue, Rayleigh consistency") {
+    val rows = SparkEntry.queries("emb_pca_power")(spark, sf).collect()
+    assert(rows.length == 64)
+    val v = rows.sortBy(_.getInt(0)).map(_.getDouble(1))
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loading norm $norm not ~1")
+    val lambda = rows.head.getDouble(2)
+    assert(rows.forall(_.getDouble(2) == lambda), "eigenvalue differs across rows")
+    assert(lambda > 0, "eigenvalue must be positive")
+    // Rayleigh check against the raw data: v'Cv should be close to λ
+    val vecs = engine.Tables(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val proj = vecs.map(e => e.zip(v).map { case (a, b) => a * b }.sum)
+    // λ is |C·v₂| (the pre-normalization norm of round 3) while the
+    // Rayleigh quotient uses v₃ — after only 3 rounds they still differ
+    // by a few percent on this spectrum; the check guards order-of-
+    // magnitude sanity, not convergence
+    val rayleigh = proj.map(p => p * p).sum / vecs.length
+    assert(math.abs(rayleigh - lambda) < 0.15 * lambda,
+      s"v'Cv = $rayleigh far from eigenvalue $lambda")
+  }
+
   test("emb_kmeans matches an in-JVM Lloyd reference with identical fixed-point math") {
     val vecs = engine.Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
