@@ -952,21 +952,11 @@ object QualityOps extends QueryPack {
       .orderBy("cid")
   }
 
-  // Top principal component of the embedding cloud via 3 power-iteration
-  // rounds over the (uncentered) second-moment matrix — the dominant-
-  // direction probe behind whitening / anisotropy diagnostics. Same
-  // determinism recipe as emb_kmeans, which is what makes an ITERATIVE
-  // float linear-algebra op oracle-backed at all: the 64×64 moment matrix
-  // is 8-dp quantized means of exact BIGINT product sums; each matvec
-  // accumulates 12-dp fixed-point terms (exact, order-independent); the
-  // norm squares through 14-dp fixed point (|w|≲3 → terms ≤1e15, 64 of
-  // them — no BIGINT overflow); the renormalized vector re-quantizes to
-  // 6 dp before the next round. Start vector = uniform 1/8 (no RNG; 0.125
-  // is exactly representable). Scale shape: the moment matrix is one
-  // self-join on vec_id grouped to k²=4096 rows — after that every round
-  // touches only 4096-row × 64-row broadcast joins, independent of corpus
-  // size; the oracle unrolls the rounds as CTEs.
-  q("emb_pca_power",
+  // Shared CTE chain for the power-iteration family (emb_pca_power,
+  // emb_whiten): per-dim explode → 8-dp quantized moment matrix → three
+  // matvec+renormalize rounds. One string so the two oracles cannot
+  // drift apart.
+  private val pcaCtes: String =
     """WITH dims AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
       |    unnest(CAST(embedding AS DOUBLE[])) AS e
@@ -1009,17 +999,106 @@ object QualityOps extends QueryPack {
       |), v3 AS (
       |  SELECT i AS j, floor(CAST(sw AS DOUBLE) / 1000000000000 / nrm * 1000000 + 0.5)
       |    / 1000000 AS v FROM w3, n3
-      |)
+      |)""".stripMargin
+
+  // Top principal component of the embedding cloud via 3 power-iteration
+  // rounds over the (uncentered) second-moment matrix — the dominant-
+  // direction probe behind whitening / anisotropy diagnostics. Same
+  // determinism recipe as emb_kmeans, which is what makes an ITERATIVE
+  // float linear-algebra op oracle-backed at all: the 64×64 moment matrix
+  // is 8-dp quantized means of exact BIGINT product sums; each matvec
+  // accumulates 12-dp fixed-point terms (exact, order-independent); the
+  // norm squares through 14-dp fixed point (|w|≲3 → terms ≤1e15, 64 of
+  // them — no BIGINT overflow); the renormalized vector re-quantizes to
+  // 6 dp before the next round. Start vector = uniform 1/8 (no RNG; 0.125
+  // is exactly representable). Scale shape: the moment matrix is one
+  // self-join on vec_id grouped to k²=4096 rows — after that every round
+  // touches only 4096-row × 64-row broadcast joins, independent of corpus
+  // size; the oracle unrolls the rounds as CTEs.
+  q("emb_pca_power",
+    s"""$pcaCtes
       |SELECT CAST(v3.j AS INT) AS dim, v3.v AS loading,
       |  floor(n3.nrm * 1000000 + 0.5) / 1000000 AS eigenvalue
       |FROM v3, n3
       |ORDER BY dim""") { (s, dir) =>
+    val (v, lastNrm, _) = pcaTop(s, dir)
+    v.crossJoin(broadcast(lastNrm))
+      .select(col("j").cast("int").as("dim"), col("v").as("loading"),
+        (floor(col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L))
+          .as("eigenvalue"))
+      .orderBy("dim")
+  }
+
+  // All-but-the-top whitening (Mu & Viswanath-style anisotropy fix): drop
+  // each embedding's projection onto the dominant component. Per vector:
+  // p = Σ eᵢvᵢ through 12-dp fixed point (exact sum), quantized to 6 dp;
+  // residual norm² = Σ(eᵢ - p·vᵢ)² the same way. The loading broadcasts
+  // (64 rows), so the projection pass is one shuffle-free scan over the
+  // corpus + one group-by on vec_id — linear at any corpus size, and the
+  // norm reduction per vector is exact integer math (no aggregation-order
+  // seam). Demonstrates composing the iterative PCA output back onto the
+  // data inside one declarative plan.
+  q("emb_whiten",
+    s"""$pcaCtes, pr AS (
+      |  SELECT d.vec_id,
+      |    floor(CAST(SUM(CAST(floor(d.e * v3.v * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |          / 1000000000000 * 1000000 + 0.5) / 1000000 AS p
+      |  FROM dims d JOIN v3 ON d.dim = v3.j GROUP BY d.vec_id
+      |)
+      |SELECT d.vec_id,
+      |  pr.p AS proj,
+      |  floor(sqrt(CAST(SUM(CAST(floor(d.e * d.e * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |             / 1000000000000) * 10000 + 0.5) / 10000 AS norm_before,
+      |  floor(sqrt(CAST(SUM(CAST(floor((d.e - pr.p * v3.v) * (d.e - pr.p * v3.v)
+      |             * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |             / 1000000000000) * 10000 + 0.5) / 10000 AS norm_after
+      |FROM dims d JOIN v3 ON d.dim = v3.j JOIN pr ON d.vec_id = pr.vec_id
+      |GROUP BY d.vec_id, pr.p
+      |ORDER BY d.vec_id""") { (s, dir) =>
+    val (v, _, dims) = pcaTop(s, dir) // dims persist shared with the PCA pass
+    val withV = dims.join(broadcast(v.select(col("j").as("dim"), col("v"))), "dim")
+    val pr = withV
+      .select(col("vec_id"),
+        floor(col("e") * col("v") * lit(1000000000000L) + lit(0.5)).as("t"))
+      .groupBy("vec_id")
+      .agg((floor(sum("t").cast("double") / lit(1000000000000L) * lit(1000000L)
+        + lit(0.5)) / lit(1000000L)).as("p"))
+    withV.join(pr, "vec_id")
+      .select(col("vec_id"), col("p"),
+        floor(col("e") * col("e") * lit(1000000000000L) + lit(0.5)).as("nb"),
+        floor((col("e") - col("p") * col("v")) * (col("e") - col("p") * col("v"))
+          * lit(1000000000000L) + lit(0.5)).as("na"))
+      .groupBy("vec_id", "p")
+      .agg(
+        (floor(sqrt(sum("nb").cast("double") / lit(1000000000000L))
+          * lit(10000L) + lit(0.5)) / lit(10000L)).as("norm_before"),
+        (floor(sqrt(sum("na").cast("double") / lit(1000000000000L))
+          * lit(10000L) + lit(0.5)) / lit(10000L)).as("norm_after"))
+      .select(col("vec_id"), col("p").as("proj"),
+        col("norm_before"), col("norm_after"))
+      .orderBy("vec_id")
+  }
+
+  /** The per-dim explode of the embeddings table (1-based dims to match
+    * DuckDB's generate_subscripts), persisted: the moment self-join reads
+    * it twice and the projection queries read it again. */
+  private def embDims(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import org.apache.spark.storage.StorageLevel
-    val dims = Tables(s, dir, "embeddings")
+    Tables(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "e")))
       .select(col("vec_id"), (col("dim") + 1).as("dim"),
         col("e").cast("double").as("e"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reuse barrier: both sides of the moment self-join
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** 3 power-iteration rounds over the 8-dp quantized second-moment
+    * matrix (determinism recipe in the emb_pca_power scaladoc). Returns
+    * (loading (j, v) 6-dp quantized, 1-row (nrm) frame). */
+  private def pcaTop(s: org.apache.spark.sql.SparkSession, dir: String)
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+     org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    val dims = embDims(s, dir)
     val nEmb = Tables(s, dir, "embeddings").groupBy().agg(count(lit(1)).as("n"))
     val moment = dims.join(
         dims.select(col("vec_id"), col("dim").as("j"), col("e").as("e2")),
@@ -1051,10 +1130,6 @@ object QualityOps extends QueryPack {
             .as("v"))
       lastNrm = nrm
     }
-    v.crossJoin(broadcast(lastNrm))
-      .select(col("j").cast("int").as("dim"), col("v").as("loading"),
-        (floor(col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L))
-          .as("eigenvalue"))
-      .orderBy("dim")
+    (v, lastNrm, dims)
   }
 }

@@ -220,6 +220,17 @@ class TimeSeriesSpec extends SparkSpec {
       s"v'Cv = $rayleigh far from eigenvalue $lambda")
   }
 
+  test("emb_whiten: residual norms shrink and satisfy Pythagoras against the projection") {
+    val rows = SparkEntry.queries("emb_whiten")(spark, sf).collect()
+    rows.foreach { r =>
+      val (p, nb, na) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(na <= nb + 1e-9, "removing a component cannot grow the norm")
+      // v is unit norm, so nb² ≈ na² + p² up to the 4-dp quantization
+      assert(math.abs(nb * nb - (na * na + p * p)) < 1e-2,
+        s"Pythagoras violated: nb=$nb na=$na p=$p")
+    }
+  }
+
   test("emb_kmeans matches an in-JVM Lloyd reference with identical fixed-point math") {
     val vecs = engine.Tables(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding"))
