@@ -164,6 +164,21 @@ object ScaleStress {
     time(s"connected components chain graph (${chains}x depth $depth, maxIter 40)")(
       ops.Dedup.connectedComponents(chainEdges, "id_a", "id_b", maxIter = 40)
         .agg(countDistinct(col("cluster"))).collect()(0).getLong(0))
+
+    // iterative linear algebra (ops/Linalg.scala): per-round work is a
+    // broadcast join against an O(k·d)/O(d²) frame, so the 10× lines
+    // should track the corpus linearly (k-means) / the one-off moment
+    // self-join (PCA — O(n·d²) by construction, then corpus-independent
+    // rounds). e1/e10 reuse the perturbed-copy fixtures above.
+    val e1 = emb.select("vec_id", "embedding").cache(); e1.count()
+    time("kmeans k=8 x3 rounds 1x (2k vecs)")(
+      ops.Linalg.kmeansAssign(e1, "vec_id", "embedding", 8, 3).count())
+    time("kmeans k=8 x3 rounds 10x (20k vecs)")(
+      ops.Linalg.kmeansAssign(e10, "vec_id", "embedding", 8, 3).count())
+    time("pca power x3 rounds 1x (2k vecs)")(
+      ops.Linalg.pcaTop(e1, "vec_id", "embedding", 3)._1.count())
+    time("pca power x3 rounds 10x (20k vecs)")(
+      ops.Linalg.pcaTop(e10, "vec_id", "embedding", 3)._1.count())
     spark.stop()
   }
 }

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed linear algebra over embedding columns — Lloyd k-means and
+  * power-iteration PCA — in the cross-engine-deterministic fixed-point
+  * style (SURVEY §5.4): every value that crosses an aggregation boundary
+  * is an exact BIGINT; every per-row double expression is an identical
+  * IEEE tree in the DuckDB oracles that grade the query-pack wrappers.
+  *
+  * Scale shapes (100 TB): both operators reduce the corpus once per round
+  * to O(k·d) / O(d²) frames that BROADCAST — no round ever joins the
+  * corpus against anything larger than those. k-means rounds are one
+  * broadcast join + an id-partitioned argmin window + a (cid, dim) mean
+  * shuffle; PCA pays one self-join on the vector id to build the d²
+  * moment matrix (O(n·d²) work — the algorithm's own cost), after which
+  * every round touches only d²-row frames, corpus-size-independent.
+  */
+object Linalg {
+
+  /** Per-dimension explode of a vector column: (id, dim (1-based, to
+    * match DuckDB's generate_subscripts), e as double). Persisted — every
+    * caller reads it at least twice. */
+  def dims(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "e")))
+      .select(col("vec_id"), (col("dim") + 1).as("dim"),
+        col("e").cast("double").as("e"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Lloyd k-means assignment after `iters` rounds, seeded with the k
+    * lowest ids (no RNG). Distances are Σ floor((e−m)²·10⁸) exact BIGINTs
+    * (argmin with cid tiebreak is integer-deterministic); recomputed
+    * centroids quantize to 6 dp via integer means so every round's inputs
+    * are bit-identical cross-engine. Returns (vec_id, cid, d2) with d2 in
+    * 1e-8 units against the LAST round's centroids. */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    val d = dims(emb, idCol, vecCol)
+    val seeds = emb.select(col(idCol).as("cid")).orderBy("cid").limit(k)
+    var cent = d.join(broadcast(seeds), d("vec_id") === seeds("cid"))
+      .select(col("cid"), col("dim"), col("e").as("m"))
+    var picked: DataFrame = null
+    val wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    for (_ <- 1 to iters) {
+      val a = d.join(broadcast(cent), "dim")
+        .select(col("vec_id"), col("cid"),
+          floor((col("e") - col("m")) * (col("e") - col("m")) * 100000000L
+            + lit(0.5)).as("dd"))
+        .groupBy("vec_id", "cid").agg(sum("dd").as("d2"))
+      picked = a.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"), col("d2"))
+      cent = picked.join(d, "vec_id")
+        .groupBy("cid", "dim")
+        .agg((floor(sum(graft.engine.Det.fix(col("e"), 6)).cast("double")
+          / count(lit(1)) + lit(0.5)) / 1000000).as("m"))
+    }
+    picked
+  }
+
+  /** Top principal component via `iters` power-iteration rounds over the
+    * 8-dp quantized (uncentered) second-moment matrix. Matvec terms are
+    * 12-dp fixed point (exact, order-independent); norm squares 14-dp
+    * (|w|≲3 over 64 dims — no BIGINT overflow); the vector requantizes to
+    * 6 dp per round; start = uniform 1/√d for d=64 (0.125, exactly
+    * representable). Returns (loading (j, v), 1-row (nrm), dims) — dims
+    * is the persisted explode, shared so projection passes reuse it. */
+  def pcaTop(emb: DataFrame, idCol: String, vecCol: String, iters: Int)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val d = dims(emb, idCol, vecCol)
+    val nEmb = emb.groupBy().agg(count(lit(1)).as("n"))
+    val moment = d.join(
+        d.select(col("vec_id"), col("dim").as("j"), col("e").as("e2")),
+        "vec_id")
+      .select(col("dim").as("i"), col("j"),
+        floor(col("e") * col("e2") * lit(100000000L) + lit(0.5)).as("p"))
+      .groupBy("i", "j").agg(sum("p").as("sp"))
+      .crossJoin(broadcast(nEmb))
+      .select(col("i"), col("j"),
+        (floor(col("sp").cast("double") / col("n") + lit(0.5))
+          / lit(100000000L)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused by every matvec round
+    var v = d.select(col("dim").as("j")).distinct()
+      .withColumn("v", lit(0.125))
+    var lastNrm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = moment.join(broadcast(v), "j")
+        .select(col("i"),
+          floor(col("c") * col("v") * lit(1000000000000L) + lit(0.5)).as("t"))
+        .groupBy("i").agg(sum("t").as("sw"))
+      val wi = col("sw").cast("double") / lit(1000000000000L)
+      val nrm = w
+        .select(floor(wi * wi * lit(100000000000000L) + lit(0.5)).as("q"))
+        .groupBy()
+        .agg(sqrt(sum("q").cast("double") / lit(100000000000000L)).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"),
+          (floor(wi / col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L))
+            .as("v"))
+      lastNrm = nrm
+    }
+    (v, lastNrm, d)
+  }
+}

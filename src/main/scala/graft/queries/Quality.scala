@@ -920,33 +920,9 @@ object QualityOps extends QueryPack {
       |  CAST(SUM(d2) AS DOUBLE) / 100000000 AS inertia
       |FROM p3 GROUP BY cid
       |ORDER BY cid""") { (s, dir) =>
-    import org.apache.spark.storage.StorageLevel
-    val dims = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "e")))
-      .select(col("vec_id"), (col("dim") + 1).as("dim"),
-        col("e").cast("double").as("e"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reuse barrier: 3 assignment joins + 2 centroid recomputes
-    val seeds = Tables(s, dir, "embeddings")
-      .select(col("vec_id")).orderBy("vec_id").limit(8)
-      .select(col("vec_id").as("cid"))
-    var cent = dims.join(broadcast(seeds), dims("vec_id") === seeds("cid"))
-      .select(col("cid"), col("dim"), col("e").as("m"))
-    var picked: org.apache.spark.sql.DataFrame = null
-    val wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    for (_ <- 1 to 3) {
-      val a = dims.join(broadcast(cent), "dim")
-        .select(col("vec_id"), col("cid"),
-          floor((col("e") - col("m")) * (col("e") - col("m")) * 100000000L
-            + lit(0.5)).as("dd"))
-        .groupBy("vec_id", "cid").agg(sum("dd").as("d2"))
-      picked = a.withColumn("rn", row_number().over(wv))
-        .filter(col("rn") === 1).select(col("vec_id"), col("cid"), col("d2"))
-      cent = picked.join(dims, "vec_id")
-        .groupBy("cid", "dim")
-        .agg((floor(sum(Det.fix(col("e"), 6)).cast("double") / count(lit(1))
-          + lit(0.5)) / 1000000).as("m"))
-    }
-    picked.groupBy("cid")
+    graft.ops.Linalg
+      .kmeansAssign(Tables(s, dir, "embeddings"), "vec_id", "embedding", 8, 3)
+      .groupBy("cid")
       .agg(count(lit(1)).cast("long").as("n"),
         (sum("d2").cast("double") / 100000000L).as("inertia"))
       .orderBy("cid")
@@ -1021,7 +997,8 @@ object QualityOps extends QueryPack {
       |  floor(n3.nrm * 1000000 + 0.5) / 1000000 AS eigenvalue
       |FROM v3, n3
       |ORDER BY dim""") { (s, dir) =>
-    val (v, lastNrm, _) = pcaTop(s, dir)
+    val (v, lastNrm, _) = graft.ops.Linalg
+      .pcaTop(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3)
     v.crossJoin(broadcast(lastNrm))
       .select(col("j").cast("int").as("dim"), col("v").as("loading"),
         (floor(col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L))
@@ -1055,7 +1032,8 @@ object QualityOps extends QueryPack {
       |FROM dims d JOIN v3 ON d.dim = v3.j JOIN pr ON d.vec_id = pr.vec_id
       |GROUP BY d.vec_id, pr.p
       |ORDER BY d.vec_id""") { (s, dir) =>
-    val (v, _, dims) = pcaTop(s, dir) // dims persist shared with the PCA pass
+    val (v, _, dims) = graft.ops.Linalg // dims persist shared with the PCA pass
+      .pcaTop(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3)
     val withV = dims.join(broadcast(v.select(col("j").as("dim"), col("v"))), "dim")
     val pr = withV
       .select(col("vec_id"),
@@ -1079,57 +1057,5 @@ object QualityOps extends QueryPack {
       .orderBy("vec_id")
   }
 
-  /** The per-dim explode of the embeddings table (1-based dims to match
-    * DuckDB's generate_subscripts), persisted: the moment self-join reads
-    * it twice and the projection queries read it again. */
-  private def embDims(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    import org.apache.spark.storage.StorageLevel
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "e")))
-      .select(col("vec_id"), (col("dim") + 1).as("dim"),
-        col("e").cast("double").as("e"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-  }
 
-  /** 3 power-iteration rounds over the 8-dp quantized second-moment
-    * matrix (determinism recipe in the emb_pca_power scaladoc). Returns
-    * (loading (j, v) 6-dp quantized, 1-row (nrm) frame). */
-  private def pcaTop(s: org.apache.spark.sql.SparkSession, dir: String)
-  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-     org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.storage.StorageLevel
-    val dims = embDims(s, dir)
-    val nEmb = Tables(s, dir, "embeddings").groupBy().agg(count(lit(1)).as("n"))
-    val moment = dims.join(
-        dims.select(col("vec_id"), col("dim").as("j"), col("e").as("e2")),
-        "vec_id")
-      .select(col("dim").as("i"), col("j"),
-        floor(col("e") * col("e2") * lit(100000000L) + lit(0.5)).as("p"))
-      .groupBy("i", "j").agg(sum("p").as("sp"))
-      .crossJoin(broadcast(nEmb))
-      .select(col("i"), col("j"),
-        (floor(col("sp").cast("double") / col("n") + lit(0.5))
-          / lit(100000000L)).as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused by all three matvecs
-    var v = dims.select(col("dim").as("j")).distinct()
-      .withColumn("v", lit(0.125))
-    var lastNrm: org.apache.spark.sql.DataFrame = null
-    for (_ <- 1 to 3) {
-      val w = moment.join(broadcast(v), "j")
-        .select(col("i"),
-          floor(col("c") * col("v") * lit(1000000000000L) + lit(0.5)).as("t"))
-        .groupBy("i").agg(sum("t").as("sw"))
-      val wi = col("sw").cast("double") / lit(1000000000000L)
-      val nrm = w
-        .select(floor(wi * wi * lit(100000000000000L) + lit(0.5)).as("q"))
-        .groupBy()
-        .agg(sqrt(sum("q").cast("double") / lit(100000000000000L)).as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("i").as("j"),
-          (floor(wi / col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L))
-            .as("v"))
-      lastNrm = nrm
-    }
-    (v, lastNrm, dims)
-  }
 }

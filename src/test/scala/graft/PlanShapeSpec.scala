@@ -40,6 +40,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("events_rfm ranks through block windows — no single-task global sort window") {
+    val p = plan("events_rfm")
+    // every Window in the plan must partition on __block (the two-phase
+    // prefix rank); a bare global-ORDER-BY window would serialize the
+    // user universe into one task at scale
+    val winLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.nonEmpty, s"expected block windows:\n$p")
+    assert(winLines.forall(l => l.contains("__block") || !l.contains("windowspecdefinition")),
+      s"global window leaked into events_rfm:\n$winLines")
+  }
+
+  test("emb_kmeans assignment joins broadcast the centroid frame every round") {
+    val p = plan("emb_kmeans")
+    // 3 assignment rounds + seed pick: the corpus side must never shuffle
+    // into a sort-merge join against the tiny k×d centroid frame
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    assert(!p.contains("SortMergeJoin"), s"kmeans fell back to SMJ:\n$p")
+  }
+
+  test("emb_pca_power matvec rounds broadcast the vector frame") {
+    val p = plan("emb_pca_power")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    // 1-row scalar frames (norms, counts) legitimately attach as
+    // broadcast nested-loop CROSS joins; what must never appear is an
+    // unbroadcast cartesian or a corpus-side SMJ in the matvec rounds
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("text_boilerplate aggregates partially before its shuffles and " +
     "never broadcasts the data-dependent boilerplate set by hint") {
     val p = plan("text_boilerplate")
