@@ -673,4 +673,65 @@ object TimeSeriesOps extends QueryPack {
           .as("chi2_term"))
       .orderBy("event_type", "dow")
   }
+
+  // Seasonally-adjusted anomaly detection: subtract each (type, weekday)'s
+  // expected value (integer cents, from the same anchored weekday math as
+  // ts_dow_seasonality) and z-score the residual within the event type —
+  // the |z| > 3 flags a plain z-score would miss on strongly seasonal
+  // metrics (or false-alarm on). Residuals and their moments stay exact
+  // BIGINTs end to end; the z assembly is one closed-form double per row.
+  // Two broadcast joins (35-row and 5-row frames), no extra shuffle over
+  // the event scan.
+  q("ts_anomaly_seasonal",
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7 AS INT) AS dow,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), m AS (
+      |  SELECT event_type, dow,
+      |    CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mc
+      |  FROM e GROUP BY event_type, dow
+      |), r AS (
+      |  SELECT e.event_id, e.event_type, e.dow, e.v, e.v - mc AS res
+      |  FROM e JOIN m ON e.event_type = m.event_type AND e.dow = m.dow
+      |), st AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(res) AS sr,
+      |    SUM(res * res) AS sr2
+      |  FROM r GROUP BY event_type
+      |)
+      |SELECT event_id, r.event_type, dow, CAST(v AS DOUBLE) / 100 AS v,
+      |  floor((res - CAST(sr AS DOUBLE) / n)
+      |        / sqrt((CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)
+      |               / (n - 1)) * 10000 + 0.5) / 10000 AS z
+      |FROM r JOIN st ON r.event_type = st.event_type
+      |WHERE abs((res - CAST(sr AS DOUBLE) / n)
+      |          / sqrt((CAST(sr2 AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / n)
+      |                 / (n - 1))) > 3
+      |ORDER BY event_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        (datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7).cast("int").as("dow"),
+        Det.cents(col("value")).as("v"))
+    val m = e.groupBy("event_type", "dow")
+      .agg(floor(sum("v").cast("double") / count(lit(1)) + lit(0.5)).as("mc"))
+    val r = e.join(broadcast(m), Seq("event_type", "dow"))
+      .select(col("event_id"), col("event_type"), col("dow"), col("v"),
+        (col("v") - col("mc")).as("res"))
+    val st = r.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("res").as("sr"),
+        sum(col("res") * col("res")).as("sr2"))
+    val z = (col("res") - col("sr").cast("double") / col("n")) /
+      sqrt((col("sr2").cast("double")
+        - col("sr").cast("double") * col("sr").cast("double") / col("n"))
+        / (col("n") - 1))
+    r.join(broadcast(st), "event_type")
+      .filter(abs(z) > 3)
+      .select(col("event_id"), col("event_type"), col("dow"),
+        (col("v").cast("double") / 100).as("v"),
+        (floor(z * 10000 + lit(0.5)) / 10000).as("z"))
+      .orderBy("event_id")
+  }
 }

@@ -220,6 +220,13 @@ class TimeSeriesSpec extends SparkSpec {
       s"v'Cv = $rayleigh far from eigenvalue $lambda")
   }
 
+  test("ts_anomaly_seasonal: flags only |z| > 3 and stays a small subset") {
+    val out = SparkEntry.queries("ts_anomaly_seasonal")(spark, sf).cache()
+    assert(out.filter(abs(col("z")) <= 3.0).count() == 0, "unflagged row emitted")
+    val total = engine.Tables(spark, sf, "events").count()
+    assert(out.count() < total / 20, "more than 5% flagged — threshold broken")
+  }
+
   test("emb_whiten: residual norms shrink and satisfy Pythagoras against the projection") {
     val rows = SparkEntry.queries("emb_whiten")(spark, sf).collect()
     rows.foreach { r =>
