@@ -734,4 +734,124 @@ object TimeSeriesOps extends QueryPack {
         (floor(z * 10000 + lit(0.5)) / 10000).as("z"))
       .orderBy("event_id")
   }
+
+  // Mann-Kendall trend test per user — the nonparametric "is this series
+  // drifting" screen (no normality assumption, robust to spikes). S is an
+  // exact integer sum of pairwise signs over the ≤ calendar-days daily
+  // series (the per-user pair join is T² ≤ ~10³ rows — bounded by the
+  // CALENDAR, not the corpus, so it parallelizes across users like the
+  // fold family); Var(S) carries the exact tie correction
+  // Σt(t−1)(2t+5). The z assembly is the only double expression.
+  q("ts_mann_kendall",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS BIGINT) AS xi
+      |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |), s AS (
+      |  SELECT a.user_id,
+      |    SUM(CASE WHEN b.xi > a.xi THEN 1 WHEN b.xi < a.xi THEN -1 ELSE 0 END) AS mks
+      |  FROM daily a JOIN daily b
+      |    ON a.user_id = b.user_id AND a.day < b.day
+      |  GROUP BY a.user_id
+      |), n AS (SELECT user_id, COUNT(*) AS nd FROM daily GROUP BY user_id),
+      |ties AS (
+      |  SELECT user_id, COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tcor
+      |  FROM (SELECT user_id, xi, COUNT(*) AS t FROM daily
+      |        GROUP BY user_id, xi) GROUP BY user_id
+      |)
+      |SELECT n.user_id, CAST(nd AS BIGINT) AS n_days, CAST(mks AS BIGINT) AS s,
+      |  CASE WHEN nd < 2 OR nd * (nd - 1) * (2 * nd + 5) - tcor = 0 THEN NULL
+      |       WHEN mks > 0 THEN floor((mks - 1)
+      |         / sqrt(CAST(nd * (nd - 1) * (2 * nd + 5) - tcor AS DOUBLE) / 18)
+      |         * 10000 + 0.5) / 10000
+      |       WHEN mks < 0 THEN floor((mks + 1)
+      |         / sqrt(CAST(nd * (nd - 1) * (2 * nd + 5) - tcor AS DOUBLE) / 18)
+      |         * 10000 + 0.5) / 10000
+      |       ELSE CAST(0 AS DOUBLE) END AS z
+      |FROM n JOIN s ON n.user_id = s.user_id JOIN ties ON n.user_id = ties.user_id
+      |ORDER BY n.user_id""") { (sp, dir) =>
+    val daily = Tables(sp, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("day"),
+        floor(Det.avgFix(col("s1"), 4, col("n")) * 10000 + lit(0.5)).as("xi"))
+    val a = daily.select(col("user_id"), col("day").as("da"), col("xi").as("xa"))
+    val b = daily.select(col("user_id"), col("day").as("db"), col("xi").as("xb"))
+    val s = a.join(b, Seq("user_id")).filter(col("da") < col("db"))
+      .groupBy("user_id")
+      .agg(sum(when(col("xb") > col("xa"), 1)
+        .when(col("xb") < col("xa"), -1).otherwise(0)).as("mks"))
+    val n = daily.groupBy("user_id").agg(count(lit(1)).as("nd"))
+    val ties = daily.groupBy("user_id", "xi").agg(count(lit(1)).as("t"))
+      .groupBy("user_id")
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+        lit(0L)).as("tcor"))
+    val varNum = col("nd") * (col("nd") - 1) * (lit(2) * col("nd") + 5) - col("tcor")
+    val sd = sqrt(varNum.cast("double") / 18)
+    n.join(s, "user_id").join(ties, "user_id")
+      .select(col("user_id"), col("nd").cast("long").as("n_days"),
+        col("mks").cast("long").as("s"),
+        when(col("nd") < 2 || varNum === 0, lit(null))
+          .when(col("mks") > 0,
+            floor((col("mks") - 1) / sd * 10000 + lit(0.5)) / 10000)
+          .when(col("mks") < 0,
+            floor((col("mks") + 1) / sd * 10000 + lit(0.5)) / 10000)
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy("user_id")
+  }
+
+  // Theil–Sen robust slope per user: the median of all pairwise slopes —
+  // the trend ESTIMATE to Mann-Kendall's trend TEST (insensitive to ~29%
+  // outliers). Slopes are per-row doubles from exact integer deltas
+  // (identical trees); the exact median picks the middle one/two ranks,
+  // and the even-count case averages exactly two doubles — IEEE addition
+  // is commutative, so the 2-row AVG is engine-independent even though
+  // general double AVG is not. Same bounded per-user pair fan as above.
+  q("ts_theil_sen",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS BIGINT) AS xi
+      |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |), sl AS (
+      |  SELECT a.user_id,
+      |    CAST(b.xi - a.xi AS DOUBLE) / date_diff('day', a.day, b.day) AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.user_id = b.user_id AND a.day < b.day
+      |), rk AS (
+      |  SELECT user_id, slope,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS c
+      |  FROM sl
+      |)
+      |SELECT user_id, CAST(max(c) AS BIGINT) AS n_pairs,
+      |  floor(AVG(slope) / 10000 * 10000 + 0.5) / 10000 AS slope_per_day
+      |FROM rk
+      |WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2
+      |GROUP BY user_id
+      |ORDER BY user_id""") { (sp, dir) =>
+    val daily = Tables(sp, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("day"),
+        floor(Det.avgFix(col("s1"), 4, col("n")) * 10000 + lit(0.5)).as("xi"))
+    val a = daily.select(col("user_id"), col("day").as("da"), col("xi").as("xa"))
+    val b = daily.select(col("user_id"), col("day").as("db"), col("xi").as("xb"))
+    val sl = a.join(b, Seq("user_id")).filter(col("da") < col("db"))
+      .select(col("user_id"),
+        ((col("xb") - col("xa")).cast("double")
+          / datediff(col("db"), col("da"))).as("slope"))
+    val wr = Window.partitionBy("user_id").orderBy("slope")
+    val wc = Window.partitionBy("user_id")
+    val rk = sl.select(col("user_id"), col("slope"),
+      row_number().over(wr).as("rn"), count(lit(1)).over(wc).as("c"))
+    rk.filter(col("rn") === expr("(c + 1) div 2") ||
+        col("rn") === expr("(c + 2) div 2"))
+      .groupBy("user_id")
+      .agg(max("c").cast("long").as("n_pairs"),
+        (floor(avg("slope") / 10000 * 10000 + lit(0.5)) / 10000)
+          .as("slope_per_day"))
+      .orderBy("user_id")
+  }
 }

@@ -227,6 +227,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.count() < total / 20, "more than 5% flagged — threshold broken")
   }
 
+  test("ts_mann_kendall: S bounded by pair count, z sign follows S") {
+    val mk = SparkEntry.queries("ts_mann_kendall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    mk.foreach { case (u, n, s, z) =>
+      assert(math.abs(s) <= n * (n - 1) / 2, s"user $u: |S| exceeds pair count")
+      z.foreach { zz =>
+        assert(math.signum(zz) == math.signum(s.toDouble) || zz == 0.0,
+          s"user $u: z sign disagrees with S")
+        assert(math.abs(zz) < 10, s"user $u: implausible z $zz")
+      }
+    }
+  }
+
+  test("ts_theil_sen: pair counts match the day count, slope within daily deltas") {
+    val mk = SparkEntry.queries("ts_mann_kendall")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ts = SparkEntry.queries("ts_theil_sen")(spark, sf).collect()
+    ts.foreach { r =>
+      val (u, np, slope) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val n = mk(u)
+      assert(np == n * (n - 1) / 2, s"user $u: pair count $np != C($n,2)")
+      // daily averages live in ~[0, 200]; a median per-day slope outside
+      // ±200 would mean a broken delta somewhere
+      assert(math.abs(slope) <= 200, s"user $u: slope $slope out of range")
+    }
+  }
+
   test("emb_whiten: residual norms shrink and satisfy Pythagoras against the projection") {
     val rows = SparkEntry.queries("emb_whiten")(spark, sf).collect()
     rows.foreach { r =>
