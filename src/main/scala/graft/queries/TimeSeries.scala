@@ -862,4 +862,77 @@ object TimeSeriesOps extends QueryPack {
           .as("slope_per_day"))
       .orderBy("user_id")
   }
+
+  // Signup-cohort conversion funnel with exact time-to-convert
+  // percentiles: users cohorted by signup week (integer epoch-second →
+  // day → week arithmetic, no calendar builtins), conversion = first
+  // purchase at-or-after first signup. Latencies are integer seconds, so
+  // the median (exact-rank pick; even counts average exactly two
+  // integers — commutative) and the nearest-rank p90 are deterministic
+  // without any float percentile machinery. One window-free plan: two
+  // conditional aggregates on the user key + one rank window per cohort.
+  q("events_funnel_latency",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec FROM events
+      |), su AS (
+      |  SELECT user_id, min(sec) AS s0 FROM e WHERE event_type = 'signup'
+      |  GROUP BY user_id
+      |), pu AS (
+      |  SELECT e.user_id, min(sec) AS p0
+      |  FROM e JOIN su ON e.user_id = su.user_id
+      |  WHERE event_type = 'purchase' AND sec >= s0
+      |  GROUP BY e.user_id
+      |), lat AS (
+      |  SELECT su.user_id, (s0 // 86400) // 7 AS wk, p0 - s0 AS l
+      |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+      |), rk AS (
+      |  SELECT wk, l,
+      |    row_number() OVER (PARTITION BY wk ORDER BY l, user_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY wk) AS c
+      |  FROM lat WHERE l IS NOT NULL
+      |), agg AS (
+      |  SELECT wk, COUNT(*) AS n_signups, COUNT(l) AS n_conv FROM lat GROUP BY wk
+      |), med AS (
+      |  SELECT wk, AVG(CAST(l AS DOUBLE)) AS med FROM rk
+      |  WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2 GROUP BY wk
+      |), p90 AS (
+      |  SELECT wk, CAST(l AS BIGINT) AS p90 FROM rk WHERE rn = (9 * c + 9) // 10
+      |)
+      |SELECT agg.wk AS cohort_week, CAST(n_signups AS BIGINT) AS n_signups,
+      |  CAST(n_conv AS BIGINT) AS n_conv,
+      |  floor(CAST(n_conv AS DOUBLE) / n_signups * 10000 + 0.5) / 10000 AS conv_rate,
+      |  med AS med_latency_s, p90 AS p90_latency_s
+      |FROM agg LEFT JOIN med ON agg.wk = med.wk LEFT JOIN p90 ON agg.wk = p90.wk
+      |ORDER BY cohort_week""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("sec"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("sec").as("s0"))
+    val pu = e.join(su, "user_id")
+      .filter(col("event_type") === "purchase" && col("sec") >= col("s0"))
+      .groupBy("user_id").agg(min("sec").as("p0"))
+    val lat = su.join(pu, Seq("user_id"), "left")
+      .select(col("user_id"), expr("(s0 div 86400) div 7").as("wk"),
+        (col("p0") - col("s0")).as("l"))
+    val wr = Window.partitionBy("wk").orderBy("l", "user_id")
+    val wc = Window.partitionBy("wk")
+    val rk = lat.filter(col("l").isNotNull)
+      .select(col("wk"), col("l"), row_number().over(wr).as("rn"),
+        count(lit(1)).over(wc).as("c"))
+    val agg = lat.groupBy("wk")
+      .agg(count(lit(1)).as("n_signups"), count(col("l")).as("n_conv"))
+    val med = rk.filter(col("rn") === expr("(c + 1) div 2") ||
+        col("rn") === expr("(c + 2) div 2"))
+      .groupBy("wk").agg(avg(col("l").cast("double")).as("med"))
+    val p90 = rk.filter(col("rn") === expr("(9 * c + 9) div 10"))
+      .select(col("wk"), col("l").cast("long").as("p90"))
+    agg.join(med, Seq("wk"), "left").join(p90, Seq("wk"), "left")
+      .select(col("wk").as("cohort_week"),
+        col("n_signups").cast("long").as("n_signups"),
+        col("n_conv").cast("long").as("n_conv"),
+        (floor(col("n_conv").cast("double") / col("n_signups") * 10000
+          + lit(0.5)) / 10000).as("conv_rate"),
+        col("med").as("med_latency_s"), col("p90").as("p90_latency_s"))
+      .orderBy("cohort_week")
+  }
 }

@@ -255,6 +255,17 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("events_funnel_latency: conversions bounded by signups, percentiles ordered") {
+    val rows = SparkEntry.queries("events_funnel_latency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, nc) = (r.getLong(1), r.getLong(2))
+      assert(nc <= ns, "more conversions than signups")
+      if (!r.isNullAt(4) && !r.isNullAt(5))
+        assert(r.getDouble(4) <= r.getLong(5) + 1e-9, "median above p90")
+    }
+  }
+
   test("emb_whiten: residual norms shrink and satisfy Pythagoras against the projection") {
     val rows = SparkEntry.queries("emb_whiten")(spark, sf).collect()
     rows.foreach { r =>
