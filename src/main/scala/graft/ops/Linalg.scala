@@ -100,6 +100,12 @@ object Linalg {
     // the join form (same double casts, same product), so the oracle and
     // goldens are unaffected.
     val moment = memoized(emb, s"moment|$idCol|$vecCol") {
+      // NOT fanned: measured 9.0 s -> 16.9 s with a pre-explode
+      // repartition at sf0.1 — at these corpus sizes the cost is the
+      // round-chain's JOB count, not single-task compute, and the extra
+      // exchange per job loses more than the parallel explode gains. At
+      // real corpus sizes the parquet source arrives already split, so
+      // the narrow explode inherits real parallelism without help.
       emb.select(col(idCol).as("vec_id"),
           posexplode(col(vecCol)).as(Seq("i0", "ei")), col(vecCol).as("arr"))
         .select((col("i0") + 1).as("i"), col("ei").cast("double").as("e"),
