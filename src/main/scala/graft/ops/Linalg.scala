@@ -34,7 +34,14 @@ object Linalg {
   private def memoized(emb: DataFrame, tag: String)(build: => DataFrame): DataFrame = {
     if (memo.size >= memoCap) {
       memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
-      if (memo.size >= memoCap) memo.clear()
+      if (memo.size >= memoCap) {
+        // full clear: release the cached blocks too — unlike dead-session
+        // eviction (blocks die with the context), live frames dropped
+        // from the memo would otherwise stay persisted until session end.
+        // A racer holding an evicted frame just recomputes (never wrong).
+        memo.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
+        memo.clear()
+      }
     }
     memo.getOrElseUpdate(
       (emb.sparkSession, emb.queryExecution.logical.semanticHash(), tag), build)
