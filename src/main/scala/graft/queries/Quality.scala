@@ -928,6 +928,87 @@ object QualityOps extends QueryPack {
       .orderBy("cid")
   }
 
+  // Referential-integrity audit across the star schema — the ETL
+  // builder's classic post-load gate: for every FK edge, how many child
+  // rows, how many NULL keys, how many orphans (no matching parent). One
+  // left join against the DISTINCT parent keys per edge; no broadcast
+  // hint — parent key sets range from 5 rows (region) to fact-scale, so
+  // the plan must let AQE pick broadcast vs shuffle per edge. int32/int64
+  // key-width mixes (SURVEY §1.2) widen identically in both engines.
+  q("dq_referential_integrity",
+    """WITH edges AS (
+      |  SELECT 'customer.nation' AS rel, COUNT(*) AS n_rows,
+      |    COUNT(*) FILTER (WHERE c_nationkey IS NULL) AS n_null_fk,
+      |    COUNT(*) FILTER (WHERE c_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
+      |      AS n_orphans
+      |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      |    ON c.c_nationkey = n.n_nationkey
+      |  UNION ALL
+      |  SELECT 'lineitem.orders', COUNT(*),
+      |    COUNT(*) FILTER (WHERE l_orderkey IS NULL),
+      |    COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+      |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem.part', COUNT(*),
+      |    COUNT(*) FILTER (WHERE l_partkey IS NULL),
+      |    COUNT(*) FILTER (WHERE l_partkey IS NOT NULL AND p.p_partkey IS NULL)
+      |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      |    ON l.l_partkey = p.p_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem.supplier', COUNT(*),
+      |    COUNT(*) FILTER (WHERE l_suppkey IS NULL),
+      |    COUNT(*) FILTER (WHERE l_suppkey IS NOT NULL AND s.s_suppkey IS NULL)
+      |  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+      |    ON l.l_suppkey = s.s_suppkey
+      |  UNION ALL
+      |  SELECT 'nation.region', COUNT(*),
+      |    COUNT(*) FILTER (WHERE n_regionkey IS NULL),
+      |    COUNT(*) FILTER (WHERE n_regionkey IS NOT NULL AND r.r_regionkey IS NULL)
+      |  FROM nation n LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+      |    ON n.n_regionkey = r.r_regionkey
+      |  UNION ALL
+      |  SELECT 'orders.customer', COUNT(*),
+      |    COUNT(*) FILTER (WHERE o_custkey IS NULL),
+      |    COUNT(*) FILTER (WHERE o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+      |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON o.o_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 'supplier.nation', COUNT(*),
+      |    COUNT(*) FILTER (WHERE s_nationkey IS NULL),
+      |    COUNT(*) FILTER (WHERE s_nationkey IS NOT NULL AND n.n_nationkey IS NULL)
+      |  FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      |    ON s.s_nationkey = n.n_nationkey
+      |)
+      |SELECT rel, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(n_null_fk AS BIGINT) AS n_null_fk,
+      |  CAST(n_orphans AS BIGINT) AS n_orphans
+      |FROM edges ORDER BY rel""") { (s, dir) =>
+    def edge(rel: String, child: String, fk: String,
+             parent: String, pk: String) = {
+      val p = Tables(s, dir, parent).select(col(pk)).distinct()
+        .withColumnRenamed(pk, "__pk")
+      Tables(s, dir, child)
+        .join(p, col(fk) === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col(fk).isNull, 1)).as("n_null_fk"),
+          count(when(col(fk).isNotNull && col("__pk").isNull, 1)).as("n_orphans"))
+        .select(lit(rel).as("rel"), col("n_rows").cast("long").as("n_rows"),
+          col("n_null_fk").cast("long").as("n_null_fk"),
+          col("n_orphans").cast("long").as("n_orphans"))
+    }
+    Seq(
+      edge("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("lineitem.orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+      edge("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy("rel")
+  }
+
   // Shared CTE chain for the power-iteration family (emb_pca_power,
   // emb_whiten): per-dim explode → 8-dp quantized moment matrix → three
   // matvec+renormalize rounds. One string so the two oracles cannot

@@ -255,6 +255,17 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("dq_referential_integrity: all seven edges audited, fixture is orphan-free") {
+    val rows = SparkEntry.queries("dq_referential_integrity")(spark, sf).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: empty child table")
+      // the generated fixture is referentially intact — any orphan here
+      // means the audit itself (or a loader) broke
+      assert(r.getLong(3) == 0, s"${r.getString(0)}: unexpected orphans")
+    }
+  }
+
   test("events_funnel_latency: conversions bounded by signups, percentiles ordered") {
     val rows = SparkEntry.queries("events_funnel_latency")(spark, sf).collect()
     assert(rows.nonEmpty)
