@@ -1009,6 +1009,34 @@ object QualityOps extends QueryPack {
       .orderBy("rel")
   }
 
+  // Cross-environment table checksum — the reconciliation fingerprint you
+  // compare after a migration/backfill: row count plus one
+  // order-independent content checksum per audited column. Each row
+  // contributes the integer value of its md5 prefix (the established
+  // hex→BIGINT idiom), and the SUM of those integers is exact and
+  // commutative, so the checksum is independent of partitioning, task
+  // order, and engine — a row-level diff anywhere flips it with
+  // probability 1-2⁻³². Money goes through integer cents BEFORE the
+  // string rendering (double→string formatting differs across engines).
+  // One aggregate scan, embarrassingly parallel.
+  q("dq_checksum_table",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  SUM(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT))
+      |    AS ck_orderkey,
+      |  SUM(CAST(('0x' || substr(md5(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |    AS VARCHAR)), 1, 8)) AS BIGINT)) AS ck_totalprice,
+      |  SUM(CAST(('0x' || substr(md5(o_orderstatus), 1, 8)) AS BIGINT)) AS ck_status
+      |FROM orders""") { (s, dir) =>
+    def ck(c: org.apache.spark.sql.Column) =
+      sum(conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+    Tables(s, dir, "orders")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        ck(col("o_orderkey")).as("ck_orderkey"),
+        ck(Det.cents(col("o_totalprice"))).as("ck_totalprice"),
+        ck(col("o_orderstatus")).as("ck_status"))
+  }
+
   // Shared CTE chain for the power-iteration family (emb_pca_power,
   // emb_whiten): per-dim explode → 8-dp quantized moment matrix → three
   // matvec+renormalize rounds. One string so the two oracles cannot

@@ -255,6 +255,19 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("dq_checksum_table: checksum is partitioning-invariant and flips on any row change") {
+    val base = SparkEntry.queries("dq_checksum_table")(spark, sf).collect()(0)
+    // recompute over a deliberately re-partitioned copy — the sums must
+    // not care how rows are distributed
+    val shuffled = engine.Tables(spark, sf, "orders").repartition(13)
+    val ck = shuffled.agg(
+      count(lit(1)).cast("long"),
+      sum(conv(substring(md5(col("o_orderkey").cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long"))).collect()(0)
+    assert(base.getLong(0) == ck.getLong(0) && base.getLong(1) == ck.getLong(1),
+      "checksum changed under repartitioning")
+  }
+
   test("dq_referential_integrity: all seven edges audited, fixture is orphan-free") {
     val rows = SparkEntry.queries("dq_referential_integrity")(spark, sf).collect()
     assert(rows.length == 7)
