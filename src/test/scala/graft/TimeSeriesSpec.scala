@@ -68,6 +68,26 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("the RFM ntile closed form equals SQL ntile semantics for every n up to 500") {
+    // pure-JVM pin of the formula events_rfm spells out on both engines:
+    // ntile(5) gives the first (n mod 5) buckets ⌈n/5⌉ rows, the rest ⌊n/5⌋
+    for (n <- 1 to 500) {
+      val big = n / 5 + 1
+      val cut = big.toLong * (n % 5)
+      var expect = Vector.empty[Int]
+      val sizes = (1 to 5).map(b => n / 5 + (if (b <= n % 5) 1 else 0))
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        expect = expect ++ Vector.fill(sz)(i + 1)
+      }
+      for (rn <- 1 to n) {
+        val got =
+          if (rn <= cut) (rn - 1) / big + 1
+          else (n % 5) + (rn - 1 - cut).toInt / (n / 5) + 1
+        assert(got == expect(rn - 1), s"n=$n rn=$rn: formula $got != ntile ${expect(rn - 1)}")
+      }
+    }
+  }
+
   test("events_rfm: quintile scores in 1..5 with balanced buckets") {
     val out = SparkEntry.queries("events_rfm")(spark, sf).cache()
     val n = out.count()
