@@ -1021,11 +1021,12 @@ object QualityOps extends QueryPack {
   // One aggregate scan, embarrassingly parallel.
   q("dq_checksum_table",
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-      |  SUM(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT))
-      |    AS ck_orderkey,
-      |  SUM(CAST(('0x' || substr(md5(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-      |    AS VARCHAR)), 1, 8)) AS BIGINT)) AS ck_totalprice,
-      |  SUM(CAST(('0x' || substr(md5(o_orderstatus), 1, 8)) AS BIGINT)) AS ck_status
+      |  CAST(SUM(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT))
+      |    AS BIGINT) AS ck_orderkey,
+      |  CAST(SUM(CAST(('0x' || substr(md5(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |    AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS ck_totalprice,
+      |  CAST(SUM(CAST(('0x' || substr(md5(o_orderstatus), 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS ck_status
       |FROM orders""") { (s, dir) =>
     def ck(c: org.apache.spark.sql.Column) =
       sum(conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)

@@ -101,9 +101,15 @@ def cell_str(v):
 
 
 def decimal_cols(con, sql):
-    """Column names whose type is DECIMAL in the given query's result."""
+    """Column names whose type is DECIMAL or HUGEINT in the query's result.
+    Both are driver-canonicalization hazards: DECIMAL hashes trailing zeros
+    differently (round 1), and DuckDB's SUM(BIGINT) returns HUGEINT (int128)
+    which the driver hashes differently from Spark's BIGINT even when the
+    values are identical (round 4, dq_checksum_table). Wrap sums as
+    CAST(SUM(...) AS BIGINT)."""
     rows = con.execute(f"DESCRIBE {sql}").fetchall()
-    return [r[0] for r in rows if "DECIMAL" in r[1].upper()]
+    return [r[0] for r in rows
+            if "DECIMAL" in r[1].upper() or "HUGEINT" in r[1].upper()]
 
 
 def main():
@@ -136,8 +142,8 @@ def main():
             con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
         bad += [c for c in decimal_cols(con, sql) if c not in bad]
         if bad:
-            fails.append((name, f"DECIMAL output banned (driver canonicalization"
-                                f" diverges): {bad}"))
+            fails.append((name, f"DECIMAL/HUGEINT output banned (driver "
+                                f"canonicalization diverges): {bad}"))
             continue
         if gcols != wcols:
             fails.append((name, f"schema: spark={gcols} oracle={wcols}"))
