@@ -45,6 +45,21 @@ object ScaleStress {
     time("exact dedup 10x (50k docs)")(ops.Dedup.exact(d10, "text", "doc_id").count())
     time("jaccard pairs 1x")(ops.Dedup.jaccardPairs(d1, "text", "doc_id", 3, 0.3).count())
     time("jaccard pairs 10x")(ops.Dedup.jaccardPairs(d10, "text", "doc_id", 3, 0.3).count())
+    // planted-boilerplate stress: every doc gets the same leading 3-gram —
+    // a df=5000 shingle that UNCAPPED blocking turns into ~12.5M candidate
+    // pairs from ONE join key (the quadratic hot-key failure mode at corpus
+    // scale; at 100 TB a 5%-of-source template shingle is O(d²) with d in
+    // the millions). The default stop-shingle cap (128) drops it from
+    // candidate generation; pair COUNTS must match the uncapped run because
+    // pairs sharing only boilerplate score far below tau anyway.
+    val boiler = d1.select(col("doc_id"),
+      concat(lit("xq zq wq "), col("text")).as("text")).cache()
+    boiler.count()
+    time("jaccard pairs 1x planted-boilerplate CAPPED (df cap 128)")(
+      ops.Dedup.jaccardPairs(boiler, "text", "doc_id", 3, 0.3).count())
+    time("jaccard pairs 1x planted-boilerplate UNCAPPED (hot key d=5000)")(
+      ops.Dedup.jaccardPairs(boiler, "text", "doc_id", 3, 0.3,
+        dfCap = Int.MaxValue).count())
     time("minhash pairs 1x")(ops.Dedup.minhashPairs(d1, "text", "doc_id", 3, 32, 8, 0.3).count())
     time("minhash pairs 10x")(ops.Dedup.minhashPairs(d10, "text", "doc_id", 3, 32, 8, 0.3).count())
     time("simhash pairs 10x")(ops.Dedup.simhashPairs(d10, "text", "doc_id", 3).count())

@@ -31,21 +31,9 @@ object Linalg {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, Int, String), DataFrame]
   private val memoCap = 64
-  private def memoized(emb: DataFrame, tag: String)(build: => DataFrame): DataFrame = {
-    if (memo.size >= memoCap) {
-      memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
-      if (memo.size >= memoCap) {
-        // full clear: release the cached blocks too — unlike dead-session
-        // eviction (blocks die with the context), live frames dropped
-        // from the memo would otherwise stay persisted until session end.
-        // A racer holding an evicted frame just recomputes (never wrong).
-        memo.values.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
-        memo.clear()
-      }
-    }
-    memo.getOrElseUpdate(
-      (emb.sparkSession, emb.queryExecution.logical.semanticHash(), tag), build)
-  }
+  private def memoized(emb: DataFrame, tag: String)(build: => DataFrame): DataFrame =
+    PlanMemo.memoized(memo, memoCap,
+      (emb.sparkSession, emb.queryExecution.logical.semanticHash(), tag))(build)
 
   /** Per-dimension explode of a vector column: (id, dim (1-based, to
     * match DuckDB's generate_subscripts), e as double). Persisted — every

@@ -138,13 +138,22 @@ object Multimodal {
     * PNG bytes (synthesized per-row, dimensions derived from the id so the
     * decode path is independently checkable); audio/video rows carry utf-8
     * payload stand-ins. Payload synthesis runs partition-wise — the same
-    * batch shape as ingesting real blobs. */
-  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[Media] = {
+    * batch shape as ingesting real blobs.
+    *
+    * `kinds` filters BEFORE payload synthesis: a typed filter placed after
+    * the opaque mapPartitions cannot push through it, so a kind-restricted
+    * consumer (audioEnergy, frameSample) would otherwise pay PNG encoding
+    * for ~1/3 of the corpus and discard it — a pure constant-factor waste
+    * at any scale. The declarative pre-filter also prunes at the scan. */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame,
+                         kinds: Seq[String] = Seq("image", "audio", "video"))
+      : Dataset[Media] = {
     import spark.implicits._
     docs.select(col("doc_id").as("id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         encode(col("text"), "UTF-8").as("bytes"))
+      .filter(col("kind").isin(kinds: _*))
       .as[Media]
       .mapPartitions(_.map { m =>
         if (m.kind == "image")

@@ -896,7 +896,8 @@ object LlmOps extends QueryPack {
       |FROM s
       |ORDER BY id, win""") { (s, dir) =>
     import s.implicits._
-    val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
+    val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"),
+      kinds = Seq("audio"))
     Multimodal.audioEnergy(media).toDF("id", "win", "n_samples", "ssq")
       .orderBy("id", "win")
   }

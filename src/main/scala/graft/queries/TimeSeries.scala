@@ -280,11 +280,16 @@ object TimeSeriesOps extends QueryPack {
 
   // Welch's unequal-variance t-test of each event type's mean value
   // against the 'view' baseline — the A/B experiment readout. Group
-  // moments are two BIGINT sums (Σ 10⁴x and Σ(10⁴x)², exact to ~10⁶ rows
-  // per group before the squared sum nears 2⁶³ — scaladoc'd bound); mean,
-  // variance, t, and the Welch–Satterthwaite df are per-row closed-form
-  // doubles over those integers, written with the identical tree in both
-  // engines. The baseline row broadcasts (one row by construction).
+  // moments are two exact integer sums (Σ 10⁴x and Σ(10⁴x)²), accumulated
+  // as DECIMAL(38,0) on the Spark side and HUGEINT (DuckDB's native
+  // SUM(BIGINT) result) on the oracle side — both 128-bit-exact, so the
+  // per-group sum cannot wrap at ANY row count (a BIGINT accumulator
+  // would overflow the squared sum around ~2e6 rows/group at value≈200 —
+  // far below corpus scale). Only the per-ROW product must fit int64:
+  // |x| ≤ ~3e5 at 4dp, documented here. Both engines then round the same
+  // exact integer to the nearest double, so mean/variance/t/df — written
+  // with the identical tree in both engines — hash-match. The baseline
+  // row broadcasts (one row by construction).
   q("events_ab_welch",
     """WITH st AS (
       |  SELECT event_type, COUNT(*) AS n,
@@ -311,9 +316,11 @@ object TimeSeriesOps extends QueryPack {
       |WHERE event_type <> 'view'
       |ORDER BY event_type""") { (s, dir) =>
     val f = Det.fix(col("value"), 4)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val st = Tables(s, dir, "events")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum(f).as("s1"), sum(f * f).as("s2"))
+      .agg(count(lit(1)).as("n"), sum(f.cast(dec38)).as("s1"),
+        sum((f * f).cast(dec38)).as("s2"))
     val m = st.select(col("event_type"), col("n"), col("s1"), col("s2"),
       (col("s1").cast("double") / 10000 / col("n")).as("mean"),
       ((col("s2").cast("double") / 100000000L
@@ -591,13 +598,16 @@ object TimeSeriesOps extends QueryPack {
   // metrics pipeline applies before anomaly thresholds. The weekday comes
   // from integer epoch-day arithmetic anchored on a known Monday
   // (2024-01-01), NOT from the engines' dayofweek builtins (Spark counts
-  // Sunday=1, DuckDB Sunday=0 — an avoidable cross-engine seam). Exact
-  // integer sums throughout; two small aggregates + a broadcast join.
+  // Sunday=1, DuckDB Sunday=0 — an avoidable cross-engine seam). The
+  // ((d % 7) + 7) % 7 form keeps dow in 0..6 for timestamps BEFORE the
+  // anchor too (both engines' % takes the dividend's sign), so the
+  // operator is fixture-independent. Exact integer sums throughout; two
+  // small aggregates + a broadcast join.
   q("ts_dow_seasonality",
     """WITH e AS (
       |  SELECT event_type,
-      |    CAST(date_diff('day', DATE '2024-01-01',
-      |      CAST(date_trunc('day', ts) AS DATE)) % 7 AS INT) AS dow,
+      |    CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INT) AS dow,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
       |  FROM events
       |), d AS (
@@ -614,8 +624,8 @@ object TimeSeriesOps extends QueryPack {
       |ORDER BY d.event_type, dow""") { (s, dir) =>
     val e = Tables(s, dir, "events")
       .select(col("event_type"),
-        (datediff(to_date(date_trunc("day", col("ts"))),
-          lit("2024-01-01").cast("date")) % 7).cast("int").as("dow"),
+        (((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("int").as("dow"),
         Det.cents(col("value")).as("v"))
     val d = e.groupBy("event_type", "dow")
       .agg(count(lit(1)).as("c"), sum("v").as("s"))
@@ -642,8 +652,8 @@ object TimeSeriesOps extends QueryPack {
   q("events_chi2_independence",
     """WITH e AS (
       |  SELECT event_type,
-      |    CAST(date_diff('day', DATE '2024-01-01',
-      |      CAST(date_trunc('day', ts) AS DATE)) % 7 AS INT) AS dow
+      |    CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INT) AS dow
       |  FROM events
       |), cell AS (
       |  SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY event_type, dow
@@ -658,8 +668,8 @@ object TimeSeriesOps extends QueryPack {
       |ORDER BY cell.event_type, cell.dow""") { (s, dir) =>
     val e = Tables(s, dir, "events")
       .select(col("event_type"),
-        (datediff(to_date(date_trunc("day", col("ts"))),
-          lit("2024-01-01").cast("date")) % 7).cast("int").as("dow"))
+        (((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("int").as("dow"))
     val cell = e.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
     val rt = cell.groupBy("event_type").agg(sum("o").as("r"))
     val ct = cell.groupBy("dow").agg(sum("o").as("c"))
@@ -685,8 +695,8 @@ object TimeSeriesOps extends QueryPack {
   q("ts_anomaly_seasonal",
     """WITH e AS (
       |  SELECT event_id, event_type,
-      |    CAST(date_diff('day', DATE '2024-01-01',
-      |      CAST(date_trunc('day', ts) AS DATE)) % 7 AS INT) AS dow,
+      |    CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INT) AS dow,
       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
       |  FROM events
       |), m AS (
@@ -712,8 +722,8 @@ object TimeSeriesOps extends QueryPack {
       |ORDER BY event_id""") { (s, dir) =>
     val e = Tables(s, dir, "events")
       .select(col("event_id"), col("event_type"),
-        (datediff(to_date(date_trunc("day", col("ts"))),
-          lit("2024-01-01").cast("date")) % 7).cast("int").as("dow"),
+        (((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("int").as("dow"),
         Det.cents(col("value")).as("v"))
     val m = e.groupBy("event_type", "dow")
       .agg(floor(sum("v").cast("double") / count(lit(1)) + lit(0.5)).as("mc"))
