@@ -55,6 +55,16 @@ object Pipeline {
     * keep the top stratum_rate·n rows by md5(id) rank — the soft gate of
     * llm_importance_sample as a reusable builder step. */
   final case class ImportanceSample(textCol: String, idCol: String) extends Step
+  /** Chunk-level exact dedup (Dedup.chunkDedup): a `width`-token chunk seen
+    * anywhere earlier in the corpus is dropped and docs are reassembled
+    * from surviving chunks. REPLACES the frame with
+    * (doc_id, text_dedup, n_kept, n_chunks) — like Agg, a schema-changing
+    * step; docs with no surviving chunk disappear. */
+  final case class ChunkDedup(textCol: String, idCol: String, width: Int) extends Step
+  /** URL dedup: keep the lowest-`idCol` row per canonical URL
+    * (TextOps.urlCanon — fragment/tracking-param stripped, params sorted).
+    * One window over the canon key — the exact-dedup shuffle shape. */
+  final case class UrlDedup(urlCol: String, idCol: String) extends Step
 
   final case class Sink(path: String, format: String = "parquet",
                         partitionBy: Seq[String] = Nil)
@@ -90,6 +100,10 @@ object Pipeline {
       add(QualityGate(textCol, minScore))
     def importanceSample(textCol: String, idCol: String): Pipeline =
       add(ImportanceSample(textCol, idCol))
+    def chunkDedup(textCol: String, idCol: String, width: Int = 16): Pipeline =
+      add(ChunkDedup(textCol, idCol, width))
+    def urlDedup(urlCol: String, idCol: String): Pipeline =
+      add(UrlDedup(urlCol, idCol))
     private def add(s: Step): Pipeline = copy(steps = steps :+ s)
 
     /** Interpret the step list into a DataFrame lineage. */
@@ -142,6 +156,14 @@ object Pipeline {
             size(graft.ops.TextOps.tokens(col(tc)))) >= min)
         case (df, ImportanceSample(tc, ic)) =>
           graft.ops.Sampling.importanceSample(df, tc, ic).drop("__quality")
+        case (df, ChunkDedup(tc, ic, w)) =>
+          graft.ops.Dedup.chunkDedup(df, tc, ic, w)
+        case (df, UrlDedup(uc, ic)) =>
+          import org.apache.spark.sql.functions.{col, row_number}
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(graft.ops.TextOps.urlCanon(col(uc))).orderBy(col(ic))
+          df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
       }
 
     /** Terminal write. */
@@ -228,6 +250,9 @@ object Pipeline {
           if (s.hasNonNull("minScore")) s.get("minScore").asDouble() else 0.5)
         case "importanceSample" =>
           p.importanceSample(str("textCol"), str("idCol"))
+        case "chunkDedup" => p.chunkDedup(str("textCol"), str("idCol"),
+          if (s.hasNonNull("width")) s.get("width").asInt() else 16)
+        case "urlDedup"   => p.urlDedup(str("urlCol"), str("idCol"))
         case other => throw new IllegalArgumentException(s"unknown pipeline op: $other")
       }
     }

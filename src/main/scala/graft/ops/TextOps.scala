@@ -17,6 +17,22 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical URL for dedup keys: strip the fragment, lowercase the
+    * scheme/host/path, drop the default-port `:443` and a leading `www.`,
+    * remove tracking query params (`utm_*`, `ref`), and SORT the surviving
+    * params so key order can't split identical resources. Pure codegen'd
+    * string ops — linear per row, and the canon string is a groupable/
+    * windowable key (llm_url_dedup and the builder's UrlDedup step). */
+  def urlCanon(url: Column): Column = {
+    val base = replace(replace(
+      lower(split_part(split_part(url, lit("#"), lit(1)), lit("?"), lit(1))),
+      lit(":443/"), lit("/")), lit("://www."), lit("://"))
+    val cq = array_join(array_sort(filter(
+      split(split_part(split_part(url, lit("#"), lit(1)), lit("?"), lit(2)), "&"),
+      p => !(p.like("utm\\_%") || p.like("ref=%")))), "&")
+    concat(base, when(cq === "", "").otherwise(concat(lit("?"), cq)))
+  }
+
   /** Unicode NFC normalization (codegen expression, functions/
     * NfcNormalize.scala) — run BEFORE tokenization/shingling on real-world
     * corpora: decomposed accents make byte-different tokens that look

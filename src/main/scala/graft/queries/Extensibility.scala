@@ -177,6 +177,67 @@ object Extensibility extends QueryPack {
         |  ] }""".stripMargin).run(s, dir)
   }
 
+  // the R5 builder-parity steps (urlDedup, chunkDedup) composed from JSON
+  // config: synthesize a messy URL per doc, keep the lowest-id doc per
+  // canonical URL, then chunk-dedup the survivors' text. The oracle
+  // replays the same canon → keeper → chunk-window chain; the chunk
+  // window runs over the URL-SURVIVING subset only (step order matters
+  // and the oracle must match it).
+  q("pipeline_config_curate",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.COM:443/d/'
+      |      || CAST(doc_id % 7 AS VARCHAR) || '?utm_campaign=c'
+      |      || CAST(doc_id % 3 AS VARCHAR) || '&id='
+      |      || CAST(doc_id % 50 AS VARCHAR) || '&ref=feed#top' AS url
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id,
+      |    replace(replace(lower(split_part(split_part(url, '#', 1), '?', 1)),
+      |      ':443/', '/'), '://www.', '://') AS base,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(split_part(split_part(url, '#', 1), '?', 2), '&'),
+      |      p -> NOT (p LIKE 'utm!_%' ESCAPE '!' OR p LIKE 'ref=%'))), '&') AS cq
+      |  FROM u
+      |), keepers AS (
+      |  SELECT min(doc_id) AS doc_id
+      |  FROM c
+      |  GROUP BY base || CASE WHEN cq = '' THEN '' ELSE '?' || cq END
+      |), t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE doc_id IN (SELECT doc_id FROM keepers)
+      |), ch AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, CAST(ceil(len(tk) / 16.0) AS INT))) AS chunk_idx, tk
+      |  FROM t
+      |), c2 AS (
+      |  SELECT doc_id, chunk_idx,
+      |    array_to_string(tk[chunk_idx*16+1 : chunk_idx*16+16], ' ') AS chunk
+      |  FROM ch
+      |), k AS (
+      |  SELECT doc_id, chunk_idx, chunk,
+      |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM c2
+      |), tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c2 GROUP BY 1)
+      |SELECT doc_id,
+      |  array_to_string(list(chunk ORDER BY chunk_idx), ' ') AS text_dedup,
+      |  CAST(COUNT(*) AS INT) AS n_kept,
+      |  CAST(any_value(n_chunks) AS INT) AS n_chunks
+      |FROM k JOIN tot USING (doc_id)
+      |WHERE rn = 1
+      |GROUP BY doc_id
+      |ORDER BY doc_id""") { (s, dir) =>
+    Pipeline.fromJson(
+      """{ "source": "documents",
+        |  "steps": [
+        |    {"op": "withColumn", "name": "url",
+        |     "expr": "concat('HTTPS://WWW.', source, '.Example.COM:443/d/', CAST(doc_id % 7 AS STRING), '?utm_campaign=c', CAST(doc_id % 3 AS STRING), '&id=', CAST(doc_id % 50 AS STRING), '&ref=feed#top')"},
+        |    {"op": "urlDedup", "urlCol": "url", "idCol": "doc_id"},
+        |    {"op": "chunkDedup", "textCol": "text", "idCol": "doc_id", "width": 16},
+        |    {"op": "sort", "keys": ["doc_id"]}
+        |  ] }""".stripMargin).run(s, dir)
+  }
+
   // the ETL-builder surface end-to-end: config-style steps → Catalyst plan
   q("pipeline_e2e",
     s"""SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -841,18 +841,7 @@ object QualityOps extends QueryPack {
         lit("?utm_campaign=c"), (col("doc_id") % 3).cast("string"),
         lit("&id="), (col("doc_id") % 50).cast("string"),
         lit("&ref=feed#top")).as("url"))
-    val c = u.select(col("doc_id"),
-      replace(replace(
-        lower(split_part(split_part(col("url"), lit("#"), lit(1)),
-          lit("?"), lit(1))),
-        lit(":443/"), lit("/")), lit("://www."), lit("://")).as("base"),
-      array_join(array_sort(expr(
-        "filter(split(split_part(split_part(url, '#', 1), '?', 2), '&'), " +
-          "p -> NOT (p LIKE 'utm!_%' ESCAPE '!' OR p LIKE 'ref=%'))")), "&")
-        .as("cq"))
-    c.select(concat(col("base"),
-        when(col("cq") === "", "").otherwise(concat(lit("?"), col("cq"))))
-        .as("canon"), col("doc_id"))
+    u.select(TextOps.urlCanon(col("url")).as("canon"), col("doc_id"))
       .groupBy("canon")
       .agg(count(lit(1)).cast("long").as("n_urls"), min("doc_id").as("keeper"))
       .orderBy("canon")

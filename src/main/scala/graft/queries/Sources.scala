@@ -226,7 +226,16 @@ object Sources extends QueryPack {
       .orderBy("l_linestatus")
   }
 
-  qNo("sink_partitioned") { (s, dir) =>
+  // hive-partitioned write, graded by ROW-LEVEL read-back: every row of the
+  // pruned partition must hash-match the same filter on the source table —
+  // the write path (directory layout, partition-column round-trip through
+  // the path string, schema reassembly) is what's actually under test.
+  // Ties in the sort are full-row duplicates (lineitem repeats
+  // (l_orderkey, l_linenumber) pairs), so any tie order hashes identically.
+  q("sink_partitioned",
+    """SELECT l_orderkey, l_linenumber, CAST(l_returnflag AS VARCHAR) AS l_returnflag
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""") { (s, dir) =>
     val out = "/tmp/graft_io/part_lineitem"
     Tables(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_returnflag")
@@ -234,8 +243,7 @@ object Sources extends QueryPack {
     // read back ONE partition — the scan must prune to a single directory
     s.read.parquet(out)
       .filter(col("l_returnflag") === "R")
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_rows"))
-      .orderBy("l_returnflag")
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
   }
 }

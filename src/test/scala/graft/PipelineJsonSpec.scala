@@ -162,6 +162,39 @@ class PipelineJsonSpec extends SparkSpec {
     assert(kept.collect().map(_.getLong(0)).toSet == direct)
   }
 
+  test("chunkDedup and urlDedup steps interpret to the library operators") {
+    import org.apache.spark.sql.functions._
+    // urlDedup: keep-lowest-id per canonical url — two docs sharing a canon
+    val kept = Pipeline.fromJson(
+      """{ "source": "documents",
+        |  "steps": [
+        |    {"op": "withColumn", "name": "url",
+        |     "expr": "concat('https://EXAMPLE.com/p/', CAST(doc_id % 5 AS STRING), '?ref=x&utm_s=y#frag')"},
+        |    {"op": "urlDedup", "urlCol": "url", "idCol": "doc_id"},
+        |    {"op": "sort", "keys": ["doc_id"]} ] }""".stripMargin)
+      .run(spark, sf).select("doc_id").collect().map(_.getLong(0)).toSeq
+    // canon = https://example.com/p/<doc_id % 5> (params all stripped) →
+    // exactly the 5 lowest ids, one per residue class
+    val expect = engine.Tables(spark, sf, "documents")
+      .groupBy((col("doc_id") % 5).as("r")).agg(min("doc_id").as("m"))
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(kept == expect, s"urlDedup kept $kept, expected $expect")
+
+    // chunkDedup: identical to calling Dedup.chunkDedup directly
+    val cfg = Pipeline.fromJson(
+      """{ "source": "documents",
+        |  "steps": [
+        |    {"op": "chunkDedup", "textCol": "text", "idCol": "doc_id", "width": 16},
+        |    {"op": "sort", "keys": ["doc_id"]} ] }""".stripMargin)
+      .run(spark, sf).collect().toSeq
+    val direct = ops.Dedup.chunkDedup(
+        engine.Tables(spark, sf, "documents"), "text", "doc_id", 16)
+      .orderBy("doc_id").collect().toSeq
+    assert(cfg.nonEmpty && cfg == direct)
+    assert(cfg.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text_dedup", "n_kept", "n_chunks"))
+  }
+
   test("unknown op and missing fields fail loudly") {
     intercept[IllegalArgumentException] {
       Pipeline.fromJson("""{"source": "orders", "steps": [{"op": "explode"}]}""")
