@@ -180,6 +180,17 @@ object ScaleStress {
       ops.Dedup.connectedComponents(chainEdges, "id_a", "id_b", maxIter = 40)
         .agg(countDistinct(col("cluster"))).collect()(0).getLong(0))
 
+    // BPE merge training: the loop is argued vocab-bounded (corpus reduces
+    // to a pair-count table after one aggregation; each round is one
+    // argmax + one fold over that table, corpus rows never re-enter) —
+    // measure rounds at 1x/4x the graded count like k-means/PCA were.
+    time("bpe train 8 rounds 1x corpus")(
+      ops.Bpe.trainMerges(d1, "text", rounds = 8).count())
+    time("bpe train 32 rounds 1x corpus")(
+      ops.Bpe.trainMerges(d1, "text", rounds = 32).count())
+    time("bpe train 8 rounds 10x corpus")(
+      ops.Bpe.trainMerges(d10, "text", rounds = 8).count())
+
     // iterative linear algebra (ops/Linalg.scala): per-round work is a
     // broadcast join against an O(k·d)/O(d²) frame, so the 10× lines
     // should track the corpus linearly (k-means) / the one-off moment

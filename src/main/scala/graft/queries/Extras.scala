@@ -462,4 +462,38 @@ object Extras extends QueryPack {
         min(col("b")).cast("int").as("min_b"), max(col("b")).cast("int").as("max_b"))
       .orderBy("bucket")
   }
+
+  // Small-file compaction plan: pack files (documents stand in, n_chars =
+  // size) into target-sized output buckets by START OFFSET in the
+  // id-ordered cumulative-size sequence — the greedy sequential packing
+  // every lakehouse compactor runs. The inherently-serial running sum
+  // goes through the two-phase block prefix sum (ops/BlockWindow.scala):
+  // with NO partition key at all a plain window is ONE task over the
+  // whole file listing — at 100 TB that listing is billions of rows, and
+  // the block form keeps assignment 32-way parallel (nBlocks-way on a
+  // cluster) while producing the identical plan output. Everything
+  // integer; bucket = floor(cum_before / target).
+  q("etl_compaction_plan",
+    """WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |    COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM documents
+      |)
+      |SELECT CAST(cum_before // 16384 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_files,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY CAST(cum_before // 16384 AS BIGINT)
+      |ORDER BY bucket""") { (s, dir) =>
+    graft.ops.BlockWindow.runningSum(
+        Tables(s, dir, "documents").select("doc_id", "n_chars"),
+        Seq(), Seq("doc_id"), col("n_chars"), "cum")
+      .withColumn("bucket", expr("(cum - n_chars) div 16384"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum("n_chars").cast("long").as("total_chars"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bucket")
+  }
 }

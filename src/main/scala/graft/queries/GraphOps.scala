@@ -121,4 +121,49 @@ object GraphOps extends QueryPack {
       .orderBy(col("degree").desc, col("n_name"))
       .limit(10)
   }
+
+  // Neighbor-set Jaccard — the classic link-prediction / role-similarity
+  // feature: two nodes are structurally similar when their neighborhoods
+  // overlap. Candidates come from the WEDGE join (pairs sharing ≥1
+  // neighbor), the same neighbor-blocked sub-quadratic shape as shingle
+  // blocking in text dedup — never an all-pairs node join; at 100 TB the
+  // hub-fanout guard is the same df-cap / orientation trick the triangle
+  // and dedup operators already carry. Counts exact; one double division
+  // per surviving pair.
+  q("graph_neighbor_jaccard",
+    s"""WITH $oracleEdges,
+       |sym AS (SELECT src AS id, dst AS nbr FROM edges
+       |        UNION SELECT dst, src FROM edges),
+       |deg AS (SELECT id, COUNT(*) AS n FROM sym GROUP BY id),
+       |inter AS (
+       |  SELECT x.id AS node_a, y.id AS node_b, COUNT(*) AS shared
+       |  FROM sym x JOIN sym y ON x.nbr = y.nbr AND x.id < y.id
+       |  GROUP BY x.id, y.id
+       |)
+       |SELECT node_a, node_b, CAST(shared AS BIGINT) AS shared,
+       |  round(CAST(shared AS DOUBLE) / (da.n + db.n - shared), 4) AS jaccard
+       |FROM inter
+       |JOIN deg da ON node_a = da.id JOIN deg db ON node_b = db.id
+       |WHERE CAST(shared AS DOUBLE) / (da.n + db.n - shared)
+       |      >= CAST(0.5 AS DOUBLE)
+       |ORDER BY node_a, node_b""") { (s, dir) =>
+    val e = tradeEdges(s, dir)
+    val sym = e.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("id"), col("src").as("nbr")))
+      .distinct()
+    val deg = sym.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sym.as("x")
+      .join(sym.as("y"), col("x.nbr") === col("y.nbr") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("node_a"), col("y.id").as("node_b"))
+      .agg(count(lit(1)).as("shared"))
+    // raw-expression filter, quantized select (P14)
+    val j = col("shared").cast("double") / (col("da.n") + col("db.n") - col("shared"))
+    inter
+      .join(deg.as("da"), col("node_a") === col("da.id"))
+      .join(deg.as("db"), col("node_b") === col("db.id"))
+      .filter(j >= lit(0.5))
+      .select(col("node_a"), col("node_b"),
+        col("shared").cast("long").as("shared"), round(j, 4).as("jaccard"))
+      .orderBy("node_a", "node_b")
+  }
 }

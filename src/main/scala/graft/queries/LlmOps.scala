@@ -1305,4 +1305,47 @@ object LlmOps extends QueryPack {
     Dedup.chunkDedup(Tables(s, dir, "documents"), "text", "doc_id", width = 16)
       .orderBy("doc_id")
   }
+
+  // Corpus novelty curve: per document (in ingestion = doc_id order), the
+  // fraction of its distinct 3-gram shingles whose FIRST corpus occurrence
+  // is this document — the saturation diagnostic a crawl pipeline watches
+  // to decide when another dump stops adding information. First occurrence
+  // is one min-aggregate on the shingle key; the per-doc roll-up joins it
+  // back on the same key. Two shuffles, both on the shingle string (it
+  // must travel to its bucket anyway); counts exact, one double division
+  // per doc (identical tree both engines).
+  q("llm_ngram_novelty",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |fo AS (SELECT sg, min(doc_id) AS first_doc FROM e GROUP BY sg)
+      |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN fo.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  floor(CAST(SUM(CASE WHEN fo.first_doc = e.doc_id THEN 1 ELSE 0 END)
+      |          AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000 AS novelty
+      |FROM e JOIN fo ON e.sg = fo.sg
+      |GROUP BY e.doc_id
+      |ORDER BY e.doc_id""") { (s, dir) =>
+    val sh = graft.engine.Tables.fan(Tables(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk")))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("tk"), 3))).as("sg"))
+    val fo = sh.groupBy("sg").agg(min("doc_id").as("first_doc"))
+    val novel = sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+    sh.join(fo, "sg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), novel.as("nv"))
+      .select(col("doc_id"), col("n_sh").cast("long").as("n_shingles"),
+        col("nv").cast("long").as("n_novel"),
+        (floor(col("nv").cast("double") / col("n_sh") * 10000 + lit(0.5)) / 10000)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
 }

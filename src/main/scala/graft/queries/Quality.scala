@@ -998,6 +998,59 @@ object QualityOps extends QueryPack {
       .orderBy("rel")
   }
 
+  // Functional-dependency audit — the other half of the post-load DQ gate:
+  // for each CLAIMED dependency X → Y, how many distinct X keys exist, how
+  // many have more than one Y (violations), and the worst key's distinct-Y
+  // count. One groupBy(X) per check with a distinct-count on Y — at 100 TB
+  // each check is a single key-shuffle (partial agg first), and the checks
+  // union into one artifact like dq_referential_integrity's edges. The mix
+  // includes dependencies that HOLD (nation.region) and ones that are
+  // deliberately false on the fixture (documents source→lang, orders
+  // cust→status) so both report paths are exercised.
+  q("dq_functional_dependency",
+    """WITH checks AS (
+      |  SELECT 'documents: source->lang' AS fd, COUNT(*) AS n_keys,
+      |    COUNT(*) FILTER (WHERE nd > 1) AS n_violating, MAX(nd) AS max_rhs
+      |  FROM (SELECT source, COUNT(DISTINCT lang) AS nd
+      |        FROM documents GROUP BY source)
+      |  UNION ALL
+      |  SELECT 'nation: nationkey->regionkey', COUNT(*),
+      |    COUNT(*) FILTER (WHERE nd > 1), MAX(nd)
+      |  FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS nd
+      |        FROM nation GROUP BY n_nationkey)
+      |  UNION ALL
+      |  SELECT 'orders: custkey->orderstatus', COUNT(*),
+      |    COUNT(*) FILTER (WHERE nd > 1), MAX(nd)
+      |  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderstatus) AS nd
+      |        FROM orders GROUP BY o_custkey)
+      |  UNION ALL
+      |  SELECT 'lineitem: orderkey->returnflag', COUNT(*),
+      |    COUNT(*) FILTER (WHERE nd > 1), MAX(nd)
+      |  FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nd
+      |        FROM lineitem GROUP BY l_orderkey)
+      |)
+      |SELECT fd, CAST(n_keys AS BIGINT) AS n_keys,
+      |  CAST(n_violating AS BIGINT) AS n_violating,
+      |  CAST(max_rhs AS BIGINT) AS max_rhs
+      |FROM checks ORDER BY fd""") { (s, dir) =>
+    def check(name: String, table: String, lhs: String, rhs: String) =
+      Tables(s, dir, table)
+        .groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          count(when(col("nd") > 1, 1)).as("n_violating"),
+          max("nd").as("max_rhs"))
+        .select(lit(name).as("fd"), col("n_keys").cast("long").as("n_keys"),
+          col("n_violating").cast("long").as("n_violating"),
+          col("max_rhs").cast("long").as("max_rhs"))
+    Seq(
+      check("documents: source->lang", "documents", "source", "lang"),
+      check("nation: nationkey->regionkey", "nation", "n_nationkey", "n_regionkey"),
+      check("orders: custkey->orderstatus", "orders", "o_custkey", "o_orderstatus"),
+      check("lineitem: orderkey->returnflag", "lineitem", "l_orderkey", "l_returnflag"))
+      .reduce(_ unionByName _)
+      .orderBy("fd")
+  }
+
   // Cross-environment table checksum — the reconciliation fingerprint you
   // compare after a migration/backfill: row count plus one
   // order-independent content checksum per audited column. Each row

@@ -291,4 +291,75 @@ object Windows extends QueryPack {
           .as("robust_z"))
       .orderBy("user_id", "event_id")
   }
+
+  // Gaps-and-islands: per-user runs of CONSECUTIVE active days (the streak
+  // metric every engagement dashboard carries). The classic trick: within
+  // a user, (day - row_number over day) is constant exactly along a run of
+  // consecutive days, so streaks fall out of one groupBy on that derived
+  // key. Day = integer epoch-day offset (no DATE columns in output — P11);
+  // all counts exact integers. Two shuffles total (distinct + the window's
+  // user partition), both on user_id — scale is per-user state, the same
+  // horizontal story as sessionization.
+  q("win_gap_islands",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d
+      |), st AS (
+      |  SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY user_id, grp
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest,
+      |  CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM st GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    d.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_streaks"),
+        max("len").cast("long").as("longest"),
+        sum("len").cast("long").as("active_days"))
+      .orderBy("user_id")
+  }
+
+  // Running COUNT(DISTINCT) over a window — neither engine supports
+  // DISTINCT inside a window frame, and a naive collect_set-per-row frame
+  // is O(frame²) memory. The standard scalable form: flag each row that is
+  // the FIRST occurrence of its (user, type) pair (one row_number window),
+  // then a running SUM of flags (second window, same user partitioning —
+  // Spark plans one exchange, two sorts). Exact, deterministic under the
+  // (ts, event_id) total order, linear state per user.
+  q("win_count_distinct_running",
+    """WITH f AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN row_number() OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+      |      THEN 1 ELSE 0 END AS first_seen
+      |  FROM events
+      |)
+      |SELECT event_id, user_id,
+      |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_types_so_far
+      |FROM f ORDER BY user_id, event_id""") { (s, dir) =>
+    val wf = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val wr = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("first_seen",
+        when(row_number().over(wf) === 1, 1).otherwise(0))
+      .select(col("event_id"), col("user_id"),
+        sum("first_seen").over(wr).cast("long").as("n_types_so_far"))
+      .orderBy("user_id", "event_id")
+  }
 }
