@@ -54,7 +54,17 @@ object Linalg {
     * are bit-identical cross-engine. Returns (vec_id, cid, d2) with d2 in
     * 1e-8 units against the LAST round's centroids. */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
+                   k: Int, iters: Int): DataFrame =
+    // memoized + persisted: the assignment is read by emb_kmeans AND the
+    // centroid-outlier query in one session — the seam that already pays
+    // for itself across the whiten/PCA trio
+    memoized(emb, s"kmeans|$idCol|$vecCol|$k|$iters") {
+      computeKmeans(emb, idCol, vecCol, k, iters)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def computeKmeans(emb: DataFrame, idCol: String, vecCol: String,
+                            k: Int, iters: Int): DataFrame = {
     val d = dims(emb, idCol, vecCol)
     val seeds = emb.select(col(idCol).as("cid")).orderBy("cid").limit(k)
     var cent = d.join(broadcast(seeds), d("vec_id") === seeds("cid"))

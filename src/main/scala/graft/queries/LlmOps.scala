@@ -1348,4 +1348,37 @@ object LlmOps extends QueryPack {
           .as("novelty"))
       .orderBy("doc_id")
   }
+
+  // Per-domain document cap — the crawl-balance pass that stops one
+  // over-represented source from dominating the training mix: keep at
+  // most N docs per source, chosen by md5(doc_id) rank (deterministic,
+  // uniform — never "first N in file order", which biases toward crawl
+  // chronology). One window on the source key; survivors + per-source
+  // kept/total counts in one pass. At 100 TB the window partitions on
+  // source — high-cardinality (millions of domains), so per-task state is
+  // one domain's docs; a pathological single-domain skew routes through
+  // the same AQE/salting guards as every other hot key.
+  q("llm_domain_cap",
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_source
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_source,
+      |  CAST(n_source AS BIGINT) AS n_source
+      |FROM r WHERE rn <= 40
+      |ORDER BY doc_id""") { (s, dir) =>
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wc = Window.partitionBy("source")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wc).as("n_source"))
+      .filter(col("rn") <= 40)
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rank_in_source"),
+        col("n_source").cast("long").as("n_source"))
+      .orderBy("doc_id")
+  }
 }

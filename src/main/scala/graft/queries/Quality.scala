@@ -862,7 +862,10 @@ object QualityOps extends QueryPack {
   // window partitions on the high-cardinality vec_id, never globally.
   // At 100 TB: each iteration is one broadcast join + two shuffles
   // (vec-level argmin, (cid,dim)-level means) — no all-pairs anything.
-  q("emb_kmeans",
+  // Shared CTE chain for the k-means family (emb_kmeans,
+  // emb_centroid_outliers): seeds → 3 unrolled assign/recompute rounds →
+  // final assignment p3. One string so the two oracles cannot drift.
+  private val kmeansCtes: String =
     """WITH dims AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
       |    unnest(CAST(embedding AS DOUBLE[])) AS e
@@ -904,7 +907,10 @@ object QualityOps extends QueryPack {
       |  SELECT vec_id, cid, d2 FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       |    FROM a3) WHERE rn = 1
-      |)
+      |)""".stripMargin
+
+  q("emb_kmeans",
+    s"""$kmeansCtes
       |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(d2) AS DOUBLE) / 100000000 AS inertia
       |FROM p3 GROUP BY cid
@@ -915,6 +921,47 @@ object QualityOps extends QueryPack {
       .agg(count(lit(1)).cast("long").as("n"),
         (sum("d2").cast("double") / 100000000L).as("inertia"))
       .orderBy("cid")
+  }
+
+  // Semantic outliers: vectors unusually FAR from their own k-means
+  // centroid — the curation pass that flags noise/garbled docs after
+  // SemDeDup-style clustering. Rides the memoized assignment (d2 is
+  // already an exact BIGINT in 1e-8 units); per-cluster moments accumulate
+  // as DECIMAL(38,0) / HUGEINT (d2² ≈ 4e16 per row — an int64 SUM wraps
+  // within ~200 rows, P16's exactness note), z is one closed-form double,
+  // filtered UNQUANTIZED on both engines (P14). One broadcast join of the
+  // 8-row moment frame back onto the assignment.
+  q("emb_centroid_outliers",
+    s"""$kmeansCtes,
+      |st AS (
+      |  SELECT cid, COUNT(*) AS n, SUM(d2) AS s, SUM(d2 * d2) AS s2
+      |  FROM p3 GROUP BY cid
+      |)
+      |SELECT vec_id, p3.cid, CAST(d2 AS DOUBLE) / 100000000 AS dist2,
+      |  floor((d2 - CAST(s AS DOUBLE) / n)
+      |        / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |               / (n - 1)) * 10000 + 0.5) / 10000 AS z
+      |FROM p3 JOIN st ON p3.cid = st.cid
+      |WHERE (d2 - CAST(s AS DOUBLE) / n)
+      |      / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |             / (n - 1)) > 2
+      |ORDER BY vec_id""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val a = graft.ops.Linalg
+      .kmeansAssign(Tables(s, dir, "embeddings"), "vec_id", "embedding", 8, 3)
+    val st = a.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum(col("d2").cast(dec38)).as("s"),
+        sum((col("d2") * col("d2")).cast(dec38)).as("s2"))
+    val z = (col("d2") - col("s").cast("double") / col("n")) /
+      sqrt((col("s2").cast("double")
+        - col("s").cast("double") * col("s").cast("double") / col("n"))
+        / (col("n") - 1))
+    a.join(broadcast(st), "cid")
+      .filter(z > 2)
+      .select(col("vec_id"), col("cid"),
+        (col("d2").cast("double") / 100000000L).as("dist2"),
+        (floor(z * 10000 + lit(0.5)) / 10000).as("z"))
+      .orderBy("vec_id")
   }
 
   // Referential-integrity audit across the star schema — the ETL

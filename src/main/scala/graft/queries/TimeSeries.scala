@@ -945,4 +945,197 @@ object TimeSeriesOps extends QueryPack {
         col("med").as("med_latency_s"), col("p90").as("p90_latency_s"))
       .orderBy("cohort_week")
   }
+
+  // OHLC candle resample — the finance/metrics downsample: per (user,
+  // day), first/last/min/max of the value series. Open and close are
+  // DETERMINISTIC picks via two row_numbers under the (ts, event_id)
+  // total order and its exact reverse (never first()/last() or
+  // arg_min/arg_max — P10: engines break value ties differently); both
+  // windows share one exchange (same partitioning, two sorts). Money
+  // stays integer cents until the final /100 render.
+  q("ts_ohlc_resample",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) AS INT) AS day,
+      |    ts, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, day, v,
+      |    row_number() OVER (PARTITION BY user_id, day
+      |      ORDER BY ts, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY user_id, day
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM e
+      |)
+      |SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(CASE WHEN ra = 1 THEN v END) AS DOUBLE) / 100 AS open,
+      |  CAST(MAX(v) AS DOUBLE) / 100 AS high,
+      |  CAST(MIN(v) AS DOUBLE) / 100 AS low,
+      |  CAST(MAX(CASE WHEN rd = 1 THEN v END) AS DOUBLE) / 100 AS close
+      |FROM r GROUP BY user_id, day
+      |ORDER BY user_id, day""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"),
+        datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")).as("day"),
+        col("ts"), col("event_id"), Det.cents(col("value")).as("v"))
+    val wa = Window.partitionBy("user_id", "day").orderBy(col("ts"), col("event_id"))
+    val wd = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("ra", row_number().over(wa))
+      .withColumn("rd", row_number().over(wd))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).cast("long").as("n"),
+        (max(when(col("ra") === 1, col("v"))).cast("double") / 100).as("open"),
+        (max("v").cast("double") / 100).as("high"),
+        (min("v").cast("double") / 100).as("low"),
+        (max(when(col("rd") === 1, col("v"))).cast("double") / 100).as("close"))
+      .orderBy("user_id", "day")
+  }
+
+  // Inter-arrival-gap profile per user: the burstiness diagnostic (bot
+  // detection, rate-limit sizing). Gaps are exact integer seconds from one
+  // lag window; median/p90 are exact-rank picks (P13 — the even-count
+  // median averages exactly TWO doubles), never interpolating quantiles.
+  q("events_inter_arrival",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id,
+      |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM e
+      |), rk AS (
+      |  SELECT user_id, gap,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS c
+      |  FROM g WHERE gap IS NOT NULL
+      |), med AS (
+      |  SELECT user_id, AVG(CAST(gap AS DOUBLE)) AS med FROM rk
+      |  WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2 GROUP BY user_id
+      |), p90 AS (
+      |  SELECT user_id, CAST(gap AS BIGINT) AS p90 FROM rk
+      |  WHERE rn = (9 * c + 9) // 10
+      |)
+      |SELECT rk.user_id, CAST(MAX(c) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap) AS BIGINT) AS min_gap,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap,
+      |  MAX(med) AS med_gap, MAX(p90) AS p90_gap
+      |FROM rk JOIN med ON rk.user_id = med.user_id
+      |JOIN p90 ON rk.user_id = p90.user_id
+      |GROUP BY rk.user_id
+      |ORDER BY rk.user_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("long").as("sec"))
+    val wl = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val g = e.select(col("user_id"),
+        (col("sec") - lag("sec", 1).over(wl)).as("gap"))
+      .filter(col("gap").isNotNull)
+    val wr = Window.partitionBy("user_id").orderBy("gap")
+    val wc = Window.partitionBy("user_id")
+    val rk = g.select(col("user_id"), col("gap"),
+      row_number().over(wr).as("rn"), count(lit(1)).over(wc).as("c"))
+    val med = rk.filter(col("rn") === expr("(c + 1) div 2") ||
+        col("rn") === expr("(c + 2) div 2"))
+      .groupBy("user_id").agg(avg(col("gap").cast("double")).as("med"))
+    val p90 = rk.filter(col("rn") === expr("(9 * c + 9) div 10"))
+      .select(col("user_id"), col("gap").cast("long").as("p90"))
+    rk.join(med, "user_id").join(p90, "user_id")
+      .groupBy("user_id")
+      .agg(max("c").cast("long").as("n_gaps"),
+        min("gap").cast("long").as("min_gap"),
+        max("gap").cast("long").as("max_gap"),
+        max("med").as("med_gap"), max("p90").as("p90_gap"))
+      .orderBy("user_id")
+  }
+
+  // Partial autocorrelation (lags 1-3) of the daily-revenue series via the
+  // Durbin-Levinson recursion — the ARIMA order-selection diagnostic.
+  // P15 shape: deviations from the INTEGER-quantized mean are exact cents,
+  // the three lag co-moments are exact BIGINT sums (one lead window over
+  // the ~365-row daily frame — global window on an explicitly tiny
+  // output, like top-k), and the recursion unrolls as one closed-form
+  // double tree per phi, written verbatim in both engines. phi11 = r1;
+  // phi22 = (r2-r1²)/(1-r1²); phi33 from the order-2 coefficients.
+  q("ts_pacf",
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mu
+      |  FROM daily
+      |), d AS (
+      |  SELECT day, v - mu AS dv,
+      |    lead(v - mu, 1) OVER (ORDER BY day) AS d1,
+      |    lead(v - mu, 2) OVER (ORDER BY day) AS d2,
+      |    lead(v - mu, 3) OVER (ORDER BY day) AS d3
+      |  FROM daily, m
+      |), s AS (
+      |  SELECT CAST(SUM(dv * dv) AS BIGINT) AS s0,
+      |    CAST(SUM(CASE WHEN d1 IS NOT NULL THEN dv * d1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN d2 IS NOT NULL THEN dv * d2 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(SUM(CASE WHEN d3 IS NOT NULL THEN dv * d3 ELSE 0 END) AS BIGINT) AS c3
+      |  FROM d
+      |), r AS (
+      |  SELECT CAST(c1 AS DOUBLE) / s0 AS r1, CAST(c2 AS DOUBLE) / s0 AS r2,
+      |    CAST(c3 AS DOUBLE) / s0 AS r3
+      |  FROM s
+      |), p AS (
+      |  SELECT r1, r2, r3,
+      |    r1 AS phi11,
+      |    (r2 - r1 * r1) / (1 - r1 * r1) AS phi22,
+      |    r1 - (r2 - r1 * r1) / (1 - r1 * r1) * r1 AS phi21
+      |  FROM r
+      |)
+      |SELECT floor(r1 * 10000 + 0.5) / 10000 AS r1,
+      |  floor(r2 * 10000 + 0.5) / 10000 AS r2,
+      |  floor(r3 * 10000 + 0.5) / 10000 AS r3,
+      |  floor(phi11 * 10000 + 0.5) / 10000 AS pacf1,
+      |  floor(phi22 * 10000 + 0.5) / 10000 AS pacf2,
+      |  floor((r3 - phi21 * r2 - phi22 * r1)
+      |        / (1 - phi21 * r1 - phi22 * r2) * 10000 + 0.5) / 10000 AS pacf3
+      |FROM p""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date")).as("day"))
+      .agg(sum(Det.cents(col("value"))).as("v"))
+    val m = daily.agg(
+      floor(sum("v").cast("double") / count(lit(1)) + lit(0.5)).cast("long").as("mu"))
+    val w = Window.orderBy("day")
+    val d = daily.crossJoin(broadcast(m))
+      .select(col("day"), (col("v") - col("mu")).as("dv"),
+        lead(col("v") - col("mu"), 1).over(w).as("d1"),
+        lead(col("v") - col("mu"), 2).over(w).as("d2"),
+        lead(col("v") - col("mu"), 3).over(w).as("d3"))
+    val st = d.agg(
+      sum(col("dv") * col("dv")).cast("long").as("s0"),
+      sum(when(col("d1").isNotNull, col("dv") * col("d1")).otherwise(0L))
+        .cast("long").as("c1"),
+      sum(when(col("d2").isNotNull, col("dv") * col("d2")).otherwise(0L))
+        .cast("long").as("c2"),
+      sum(when(col("d3").isNotNull, col("dv") * col("d3")).otherwise(0L))
+        .cast("long").as("c3"))
+    val r = st.select((col("c1").cast("double") / col("s0")).as("r1"),
+      (col("c2").cast("double") / col("s0")).as("r2"),
+      (col("c3").cast("double") / col("s0")).as("r3"))
+    val p = r.select(col("r1"), col("r2"), col("r3"),
+      col("r1").as("phi11"),
+      ((col("r2") - col("r1") * col("r1"))
+        / (lit(1) - col("r1") * col("r1"))).as("phi22"),
+      (col("r1") - (col("r2") - col("r1") * col("r1"))
+        / (lit(1) - col("r1") * col("r1")) * col("r1")).as("phi21"))
+    p.select(
+      (floor(col("r1") * 10000 + lit(0.5)) / 10000).as("r1"),
+      (floor(col("r2") * 10000 + lit(0.5)) / 10000).as("r2"),
+      (floor(col("r3") * 10000 + lit(0.5)) / 10000).as("r3"),
+      (floor(col("phi11") * 10000 + lit(0.5)) / 10000).as("pacf1"),
+      (floor(col("phi22") * 10000 + lit(0.5)) / 10000).as("pacf2"),
+      (floor((col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
+        / (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2"))
+        * 10000 + lit(0.5)) / 10000).as("pacf3"))
+  }
 }
