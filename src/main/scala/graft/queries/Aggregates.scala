@@ -565,4 +565,74 @@ object Aggregates extends QueryPack {
           - (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
       .orderBy("s")
   }
+
+  // Skewness / excess kurtosis per event type from exact integer power
+  // sums — NEVER the engines' skewness()/kurtosis() builtins (their
+  // streaming central-moment updates are aggregation-order-dependent in
+  // the last ulp, the same reason agg_stats rounds and win_rolling_corr
+  // avoids corr()). S1..S4 accumulate as DECIMAL(38,0)/HUGEINT (cents⁴ ≈
+  // 1.6e17 per row — an int64 sum wraps within ~60 rows); the moment
+  // assembly is one closed-form double tree per group, identical both
+  // engines, dimensionless so the cents scale cancels.
+  q("agg_skew_kurtosis",
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s3,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s4
+      |  FROM events GROUP BY event_type
+      |), m AS (
+      |  SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS a1,
+      |    CAST(s2 AS DOUBLE) / n AS a2, CAST(s3 AS DOUBLE) / n AS a3,
+      |    CAST(s4 AS DOUBLE) / n AS a4
+      |  FROM st
+      |), c AS (
+      |  SELECT event_type, n,
+      |    a2 - a1 * a1 AS m2,
+      |    a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1 AS m3,
+      |    a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * a1 * a1 * a1 * a1 AS m4
+      |  FROM m
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) / 10000 AS skewness,
+      |  floor((m4 / (m2 * m2) - 3) * 10000 + 0.5) / 10000 AS kurtosis
+      |FROM c ORDER BY event_type""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = Det.cents(col("value"))
+    val st = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast(dec38)).as("s1"),
+        sum((v * v).cast(dec38)).as("s2"),
+        // promote BEFORE the 3rd/4th power: cents⁴ at value≈550 already
+        // exceeds int64 per ROW (the fixture max 490 leaves only 1.6×
+        // headroom); decimal×long stays exact at any plausible magnitude
+        sum(v.cast(dec38) * v * v).as("s3"),
+        sum(v.cast(dec38) * v * v * v).as("s4"))
+    val m = st.select(col("event_type"), col("n"),
+      (col("s1").cast("double") / col("n")).as("a1"),
+      (col("s2").cast("double") / col("n")).as("a2"),
+      (col("s3").cast("double") / col("n")).as("a3"),
+      (col("s4").cast("double") / col("n")).as("a4"))
+    val c = m.select(col("event_type"), col("n"),
+      (col("a2") - col("a1") * col("a1")).as("m2"),
+      (col("a3") - lit(3) * col("a1") * col("a2")
+        + lit(2) * col("a1") * col("a1") * col("a1")).as("m3"),
+      (col("a4") - lit(4) * col("a1") * col("a3")
+        + lit(6) * col("a1") * col("a1") * col("a2")
+        - lit(3) * col("a1") * col("a1") * col("a1") * col("a1")).as("m4"))
+    c.select(col("event_type"), col("n").cast("long").as("n"),
+      (floor(col("m3") / (col("m2") * sqrt(col("m2"))) * 10000 + lit(0.5))
+        / 10000).as("skewness"),
+      (floor((col("m4") / (col("m2") * col("m2")) - lit(3)) * 10000 + lit(0.5))
+        / 10000).as("kurtosis"))
+      .orderBy("event_type")
+  }
 }

@@ -1381,4 +1381,86 @@ object LlmOps extends QueryPack {
         col("n_source").cast("long").as("n_source"))
       .orderBy("doc_id")
   }
+
+  // Cross-source duplication profile — which SOURCE PAIRS share near-dup
+  // documents, and how similar: the mixing diagnostic that tells a corpus
+  // builder "dump B is 30% re-crawl of dump A" before weights are chosen.
+  // Rides the graded jaccardPairs output (memo'd shingle sets, blocked
+  // candidates) + one broadcast-size source lookup per side; the pair
+  // source key is normalized (least/greatest) so A-B and B-A collapse.
+  // Mean similarity via integer fixed-point (P2), not double AVG.
+  q("llm_source_overlap",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), p AS (
+      |  SELECT id_a, id_b, jaccard FROM (
+      |    SELECT id_a, id_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |    FROM i JOIN n na ON i.id_a = na.doc_id JOIN n nb ON i.id_b = nb.doc_id
+      |  ) WHERE jaccard >= 0.3
+      |), sp AS (
+      |  SELECT least(da.source, db.source) AS source_a,
+      |    greatest(da.source, db.source) AS source_b, jaccard
+      |  FROM p JOIN documents da ON p.id_a = da.doc_id
+      |  JOIN documents db ON p.id_b = db.doc_id
+      |)
+      |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(floor(CAST(SUM(CAST(floor(jaccard * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / COUNT(*) + 0.5) AS DOUBLE) / 10000 AS mean_jaccard
+      |FROM sp GROUP BY source_a, source_b
+      |ORDER BY source_a, source_b""") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.3)
+    val src = docs.select(col("doc_id"), col("source"))
+    val sp = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+    sp.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        (floor(sum(Det.fix(col("jaccard"), 4)).cast("double") / count(lit(1))
+          + lit(0.5)).cast("double") / 10000).as("mean_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // Language-ID confusion matrix — labeled lang × stopword-vote
+  // prediction: the eval artifact that justifies (or indicts) the lang
+  // gate's thresholds before it drops terabytes. One scan + one grouped
+  // count; the prediction is the same codegen'd CASE chain the corpus
+  // pipeline gates on, spelled identically in the oracle.
+  q("text_lang_confusion",
+    s"""WITH p AS (
+      |  SELECT lang,
+      |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+      |         WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+      |         WHEN en >= es AND en >= fr THEN 'en'
+      |         WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred
+      |  FROM (
+      |    SELECT lang, text,
+      |      len(list_intersect(string_split(lower(text), ' '), [${oracleLangList("de")}])) AS de,
+      |      len(list_intersect(string_split(lower(text), ' '), [${oracleLangList("en")}])) AS en,
+      |      len(list_intersect(string_split(lower(text), ' '), [${oracleLangList("es")}])) AS es,
+      |      len(list_intersect(string_split(lower(text), ' '), [${oracleLangList("fr")}])) AS fr
+      |    FROM documents)
+      |)
+      |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM p GROUP BY lang, lang_pred
+      |ORDER BY lang, lang_pred""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("lang", "lang_pred")
+  }
 }

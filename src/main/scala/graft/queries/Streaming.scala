@@ -445,6 +445,74 @@ object Streaming extends QueryPack {
   }
 
   // real readStream → parquet sink with checkpoint, then re-read: the
+  // Alert edge detection — emit only UP-CROSSINGS of a threshold (prev
+  // value at-or-below, current above), the debounce every alerting
+  // pipeline needs to avoid re-firing on every sample while a metric sits
+  // above the line. Integer-cents comparison (no double-boundary seam);
+  // one lag window per user + one aggregate. Streaming twin: the same
+  // lag-free formulation runs under mapGroupsWithState with the previous
+  // sample as keyed state.
+  q("events_threshold_crossings",
+    """WITH v AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events
+      |), l AS (
+      |  SELECT user_id, event_id, sec, c,
+      |    lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM v
+      |), x AS (
+      |  SELECT user_id, event_id, sec FROM l
+      |  WHERE c > 25000 AND prev IS NOT NULL AND prev <= 25000
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_crossings,
+      |  CAST(MIN(sec) AS BIGINT) AS first_cross_sec,
+      |  CAST(MAX(sec) AS BIGINT) AS last_cross_sec
+      |FROM x GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("long").as("sec"), Det.cents(col("value")).as("c"))
+      .withColumn("prev", lag("c", 1).over(w))
+      .filter(col("c") > 25000 && col("prev").isNotNull && col("prev") <= 25000)
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_crossings"),
+        min("sec").cast("long").as("first_cross_sec"),
+        max("sec").cast("long").as("last_cross_sec"))
+      .orderBy("user_id")
+  }
+
+  // The SAME edge detection as a keyed state machine
+  // (streaming/Crossings.scala, flatMapGroupsWithState): one long of state
+  // per user, emits per-crossing rows; batch invocation is the graded
+  // path, StreamingSpec drives it incrementally across micro-batches.
+  q("stream_threshold_alert",
+    """WITH v AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events
+      |), l AS (
+      |  SELECT user_id, event_id, sec, c,
+      |    lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM v
+      |)
+      |SELECT user_id, event_id, CAST(sec AS BIGINT) AS sec,
+      |  CAST(c AS BIGINT) AS cents
+      |FROM l
+      |WHERE c > 25000 AND prev IS NOT NULL AND prev <= 25000
+      |ORDER BY user_id, event_id""") { (s, dir) =>
+    import s.implicits._
+    val samples = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), Det.cents(col("value")).as("cents"))
+      .as[graft.streaming.Crossings.Sample]
+    graft.streaming.Crossings.crossings(samples, thresholdCents = 25000L)
+      .toDF()
+      .select(col("user_id"), col("event_id"), col("sec"), col("cents"))
+      .orderBy("user_id", "event_id")
+  }
+
   // sink's content must equal the batch table exactly
   q("stream_foreach_sink",
     """SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users

@@ -24,6 +24,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("stop-shingle cap: capped output equals uncapped when cap exceeds " +
+    "max df, and the correction join keeps scores exact under boilerplate") {
+    // 6 docs: two true near-dup pairs + every doc sharing the SAME leading
+    // 3-gram (the planted boilerplate whose df=6 exceeds the tiny cap)
+    val docs = Seq(
+      (1L, "tpl tpl tpl alpha beta gamma delta epsilon zeta"),
+      (2L, "tpl tpl tpl alpha beta gamma delta epsilon eta"),
+      (3L, "tpl tpl tpl one two three four five six"),
+      (4L, "tpl tpl tpl one two three four five seven"),
+      (5L, "tpl tpl tpl red orange yellow green blue indigo"),
+      (6L, "tpl tpl tpl cyan magenta white black grey brown"))
+      .toDF("doc_id", "text")
+    def pairs(cap: Int) =
+      Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.3, dfCap = cap)
+        .orderBy("id_a", "id_b").collect().toSeq
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(4) // boilerplate shingles (df=6) excluded from generation
+    // candidates sharing a rare shingle survive, and the correction join
+    // must add the boilerplate back so the SCORES match the uncapped run
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped,
+      s"capped=$capped uncapped=$uncapped")
+    // graded-fixture invariant: default cap >> max df => byte-identical
+    val fixture = graft.engine.Tables(spark, sf, "documents")
+    val a = Dedup.jaccardPairs(fixture, "text", "doc_id", 3, 0.3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = Dedup.jaccardPairs(fixture, "text", "doc_id", 3, 0.3,
+        dfCap = Int.MaxValue)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("fuzzy pairs find typo neighbors within the block, none beyond maxDist") {
     val df = Seq(
       (1L, "alpha beta gamma"),

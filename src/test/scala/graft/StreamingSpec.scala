@@ -34,6 +34,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(Funnel.Conversion(7L, 100L, 100L)))
   }
 
+  test("crossings detector carries prev-sample state across micro-batches") {
+    import graft.streaming.Crossings
+    import graft.streaming.Crossings.{Crossing, Sample}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sample]
+    val q = Crossings.crossings(in.toDS(), thresholdCents = 100L)
+      .writeStream.format("memory").queryName("crossings_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: first sample never fires (no prev); then below threshold
+      in.addData(Sample(1L, 1000000L, 1L, 150L), Sample(1L, 2000000L, 2L, 80L))
+      q.processAllAvailable()
+      assert(spark.table("crossings_test").count() == 0)
+      // batch 2: prev=80 (from the PREVIOUS micro-batch) → up-crossing
+      in.addData(Sample(1L, 3000000L, 3L, 120L))
+      q.processAllAvailable()
+      val rows = spark.table("crossings_test").as[Crossing].collect()
+      assert(rows.toSeq == Seq(Crossing(1L, 3L, 3L, 120L)))
+      // batch 3: stays above → debounced, no re-fire
+      in.addData(Sample(1L, 4000000L, 4L, 200L))
+      q.processAllAvailable()
+      assert(spark.table("crossings_test").count() == 1)
+    } finally q.stop()
+  }
+
   test("watermark drops late rows in append-mode windowed aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
