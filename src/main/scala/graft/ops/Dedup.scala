@@ -80,8 +80,8 @@ object Dedup {
     * keys shuffle/compare far cheaper than ~25-byte strings. Exact modulo
     * xxhash64 collisions among distinct shingles — P ≈ n²/2^65, ~1e-9 at a
     * million shingles. The df count rides a window over the same hash key
-    * the self-join shuffles on, so the cap costs one exchange the join
-    * immediately reuses. */
+    * the self-join consumes, and the windowed frame is pinned once for
+    * all four downstream reads (see interCounts). */
   private def shingleRowsWithDf(sh: DataFrame): DataFrame =
     sh.select(col("id"), explode(col("sh")).as("s0"))
       .select(col("id"), xxhash64(col("s0")).as("s"))
@@ -101,8 +101,14 @@ object Dedup {
     *
     * `pred` orders the pair (a < b for symmetric Jaccard, a ≠ b for
     * directional containment). */
-  private def interCounts(rows: DataFrame, dfCap: Int,
+  private def interCounts(rowsIn: DataFrame, dfCap: Int,
                           pred: (Column, Column) => Column): DataFrame = {
+    // Pin the df-tagged rows: FOUR consumers read them (both sides of the
+    // candidate self-join, both sides of the correction join), and AQE does
+    // not merge their window stages — without the cache each consumer
+    // re-explodes, re-hashes, and re-windows the corpus (measured 4× the
+    // exploded-frame work in the final adaptive plan).
+    val rows = pin(rowsIn)
     val capped = rows.filter(col("__df") <= dfCap).drop("__df")
     val high = rows.filter(col("__df") > dfCap).drop("__df")
     val interC = capped.as("a")

@@ -1051,6 +1051,74 @@ object TimeSeriesOps extends QueryPack {
       .orderBy("user_id")
   }
 
+  // Kaplan-Meier survival curve for user churn — time-to-churn with
+  // right-censoring, the retention economics readout. Churn event = a
+  // user's LAST active day when it precedes the observation end (users
+  // still active at the end are censored, never counted as deaths);
+  // risk set n_t = users not yet churned before t. The product
+  // S(t) = Π (n_i - d_i)/n_i folds as a PURE INTEGER recurrence in 1e-8
+  // fixed point (s·(n-d) ≤ 1e12 — no overflow, no floats anywhere), so
+  // the curve is bit-identical cross-engine with zero IEEE reasoning:
+  // the fold is one aggregate() HOF over the ≤#days-long event-time list
+  // (P15's recurrence seam), and every d/n comes from two integer
+  // aggregates.
+  q("events_survival_km",
+    """WITH RECURSIVE lastd AS (
+      |  SELECT user_id, max(date_diff('day', DATE '2024-01-01',
+      |    CAST(date_trunc('day', ts) AS DATE))) AS last_day
+      |  FROM events GROUP BY user_id
+      |), ob AS (SELECT max(last_day) AS max_day FROM lastd),
+      |tot AS (SELECT COUNT(*) AS n_users FROM lastd),
+      |churn AS (
+      |  SELECT last_day AS day, COUNT(*) AS d
+      |  FROM lastd, ob WHERE last_day < max_day GROUP BY last_day
+      |), o AS (
+      |  SELECT day, d,
+      |    row_number() OVER (ORDER BY day) AS rn,
+      |    n_users - COALESCE(SUM(d) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      |  FROM churn, tot
+      |), r AS (
+      |  SELECT day, d, n, rn, (100000000 * (n - d)) // n AS s
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.day, o.d, o.n, o.rn, (r.s * (o.n - o.d)) // o.n
+      |  FROM o JOIN r ON o.rn = r.rn + 1
+      |)
+      |SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_at_risk,
+      |  CAST(d AS BIGINT) AS n_churned,
+      |  CAST(s AS DOUBLE) / 100000000 AS survival
+      |FROM r ORDER BY day""") { (s, dir) =>
+    val lastd = Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(max(datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date"))).as("last_day"))
+    val ob = lastd.agg(max("last_day").as("max_day"))
+    val tot = lastd.agg(count(lit(1)).as("n_users"))
+    val churn = lastd.crossJoin(broadcast(ob))
+      .filter(col("last_day") < col("max_day"))
+      .groupBy(col("last_day").as("day")).agg(count(lit(1)).as("d"))
+    val wp = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val o = churn.crossJoin(broadcast(tot))
+      .withColumn("n", col("n_users") - coalesce(sum("d").over(wp), lit(0L)))
+    // single ordered fold over the ≤#days churn-day list: integer-only
+    val folded = o
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("day"), col("d"), col("n")))).as("xs"))
+      .withColumn("ss", expr(
+        "aggregate(xs, CAST(array() AS array<bigint>), (acc, e) -> " +
+          "array_append(acc, (CASE WHEN size(acc) = 0 THEN CAST(100000000 AS BIGINT) " +
+          "ELSE element_at(acc, -1) END * (e.n - e.d)) div e.n))"))
+    folded.select(col("ss"), posexplode(col("xs")))
+      .select(col("col.day").cast("long").as("day"),
+        col("col.n").cast("long").as("n_at_risk"),
+        col("col.d").cast("long").as("n_churned"),
+        (element_at(col("ss"), col("pos") + 1).cast("double") / 100000000L)
+          .as("survival"))
+      .orderBy("day")
+  }
+
   // Partial autocorrelation (lags 1-3) of the daily-revenue series via the
   // Durbin-Levinson recursion — the ARIMA order-selection diagnostic.
   // P15 shape: deviations from the INTEGER-quantized mean are exact cents,

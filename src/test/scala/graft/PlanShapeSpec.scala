@@ -89,6 +89,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_dot"), s"DotRewrite did not fire in the graded query:\n$p")
   }
 
+  test("llm_dedup_near feeds all four df-window consumers from ONE cached " +
+    "frame and plans no cartesian product") {
+    // The stop-shingle design reads the df-tagged shingle rows four times
+    // (candidate self-join a/b + correction join a/b). AQE does not merge
+    // those window stages, so interCounts pins the frame: the plan must
+    // read it through InMemoryTableScan (cache hits), and the WINDOW that
+    // computes the df count must appear in the physical plan only via the
+    // cached relation — i.e. no per-consumer Window node outside it.
+    val df = SparkEntry.queries("llm_dedup_near")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "jaccard must never plan all-pairs")
+    // cache substitution must have replaced the four df-window subtrees:
+    // the LOGICAL plan after caching shows InMemoryRelation where each
+    // consumer would otherwise re-explode + re-window the corpus
+    val cached = df.queryExecution.withCachedData.toString
+    assert(cached.contains("InMemoryRelation"),
+      s"df-window rows must come from the pinned frame:\n$cached")
+    // and no consumer recomputes the window OUTSIDE the cached subtree:
+    // traverse the optimized logical TREE (InMemoryRelation's cached plan
+    // is an innerChild, not traversed), where any Window node would mean a
+    // consumer re-derived the df count instead of reading the pin
+    val nWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    assert(nWindows == 0,
+      s"df window recomputed outside the pinned frame ($nWindows Window nodes)")
+  }
+
   test("topk_per_group pushes the rank filter into WindowGroupLimit") {
     // Spark's InferWindowGroupLimit turns row_number()<=k into a partial
     // per-partition group-limit BEFORE the shuffle plus a final one after —
