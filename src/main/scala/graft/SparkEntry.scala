@@ -25,6 +25,7 @@ object SparkEntry {
     qp.GraphOps,
     qp.QualityOps,
     qp.TimeSeriesOps,
+    qp.StatsOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

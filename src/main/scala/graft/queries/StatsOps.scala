@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.engine.{Det, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / dataset-management operators rounding out the
+  * experimentation and corpus-curation surface: a rank-sum test, revenue
+  * concentration, exact sampling quotas, deterministic epoch shuffling,
+  * robust (winsorized) aggregation, 2-D density, and column profiling.
+  *
+  * Determinism contract (SURVEY §5.4): integer fixed-point across every
+  * aggregation boundary; derived doubles computed per-row with IDENTICAL
+  * IEEE trees on both engines and quantized via the floor(x·10^s+0.5)
+  * form (P12). Wide integer accumulators promote to DECIMAL(38,0) /
+  * HUGEINT BEFORE the product when a per-row term can approach int64
+  * (P16 — outputs stay BIGINT/DOUBLE; HUGEINT never escapes the oracle).
+  */
+object StatsOps extends QueryPack {
+
+  // Mann-Whitney U (Wilcoxon rank-sum) between click and purchase values —
+  // the non-parametric A/B readout next to events_ab_welch's t-test.
+  // Scale design: NEVER ranks rows. The U statistic only needs the value
+  // HISTOGRAM per group: U1 = Σ_v c1(v)·(C2(<v) + c2(v)/2), so the plan is
+  // one hash aggregate over distinct cent-values (domain-bounded, ~6.6k
+  // cells at sf0.01 and value-range-bounded at any corpus size) plus one
+  // ordered cumsum over that histogram — not a global sort of the events.
+  // All-integer core: 2·U1 stays integral; the per-cell product
+  // c1·(2·C2+c2) is promoted to 128-bit BEFORE multiplying (n1·n2 exceeds
+  // int64 once both arms pass ~3e9 rows).
+  q("events_ab_mannwhitney",
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), hist AS (
+      |  SELECT v,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      |  FROM ev GROUP BY v
+      |), h2 AS (
+      |  SELECT *, COALESCE(SUM(c2) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum2
+      |  FROM hist
+      |), a AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    SUM(CAST(c1 AS HUGEINT) * (2 * cum2 + c2)) AS two_u1
+      |  FROM h2
+      |)
+      |SELECT n1, n2,
+      |  CAST(two_u1 AS DOUBLE) / 2 AS u1,
+      |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(two_u1 AS DOUBLE) / 2 AS u2,
+      |  CAST(floor((CAST(two_u1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) - 1)
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS rank_biserial
+      |FROM a""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("v"))
+    val hist = ev.groupBy("v").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val h2 = hist.withColumn("cum2", coalesce(sum("c2").over(w), lit(0L)))
+    val a = h2.agg(
+      sum("c1").as("n1"), sum("c2").as("n2"),
+      sum((col("c1").cast("decimal(38,0)") * (lit(2) * col("cum2") + col("c2"))))
+        .as("two_u1"))
+    def d(c: String) = col(c).cast("double")
+    a.select(col("n1"), col("n2"),
+      (d("two_u1") / 2).as("u1"),
+      (d("n1") * d("n2") - d("two_u1") / 2).as("u2"),
+      (floor((d("two_u1") / (d("n1") * d("n2")) - 1) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("rank_biserial"))
+  }
+
+  // Revenue concentration per event type: the minimum number of users
+  // covering ≥80% of value (the "how top-heavy is this metric" readout)
+  // plus the exact top-10 share. The 80% test stays integral —
+  // 5·cum ≥ 4·total avoids the 0.8·total double entirely. Scale shape:
+  // the window ranks PER-USER AGGREGATES (|users| rows, orders of
+  // magnitude below |events|), partitioned by type — the standard
+  // heavy-hitter cumsum, never a sort of the raw stream.
+  q("events_pareto_coverage",
+    """WITH pu AS (
+      |  SELECT event_type, user_id,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+      |  FROM events GROUP BY event_type, user_id
+      |), r AS (
+      |  SELECT event_type, user_id, s,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY s DESC, user_id) AS rn,
+      |    SUM(s) OVER (PARTITION BY event_type ORDER BY s DESC, user_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(s) OVER (PARTITION BY event_type) AS tot
+      |  FROM pu
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(MIN(CASE WHEN 5 * cum >= 4 * tot THEN rn END) AS BIGINT) AS k80,
+      |  CAST(floor(CAST(SUM(CASE WHEN rn <= 10 THEN s ELSE 0 END) AS DOUBLE)
+      |    / CAST(MAX(tot) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS top10_share
+      |FROM r GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val pu = Tables(s, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(sum(Det.cents(col("value")).cast("long")).as("s"))
+    val wo = Window.partitionBy("event_type").orderBy(col("s").desc, col("user_id"))
+    val r = pu
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("cum",
+        sum("s").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("s").over(Window.partitionBy("event_type")))
+    r.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        min(when(lit(5) * col("cum") >= lit(4) * col("tot"), col("rn"))).as("k80"),
+        (floor(sum(when(col("rn") <= 10, col("s")).otherwise(0L)).cast("double")
+          / max("tot").cast("double") * 1000000 + lit(0.5))
+          .cast("double") / 1000000).as("top10_share"))
+      .orderBy("event_type")
+  }
+
+  // Largest-remainder (Hamilton) apportionment of a fixed sampling budget
+  // across (source, lang) cells proportional to cell counts — the exact
+  // quota step of stratified corpus sampling (quotas sum to the target by
+  // construction; floor shares + the L largest remainders get +1).
+  // Pure integer arithmetic end-to-end; the remainder-rank window runs
+  // over CELLS (|sources|×|langs|, ~100), never documents.
+  q("llm_sampling_quota",
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+      |), t AS (SELECT SUM(n) AS total FROM cells),
+      |sh AS (
+      |  SELECT source, lang, n,
+      |    (200 * n) // total AS base, (200 * n) % total AS rem
+      |  FROM cells, t
+      |), l AS (SELECT 200 - SUM(base) AS leftover FROM sh),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, source, lang) AS rn FROM sh
+      |)
+      |SELECT source, lang, CAST(n AS BIGINT) AS n_docs,
+      |  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |FROM rk, l ORDER BY source, lang""") { (s, dir) =>
+    val cells = Tables(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val t = cells.agg(sum("n").as("total"))
+    val sh = cells.crossJoin(broadcast(t))
+      .withColumn("base", expr("(200 * n) div total"))
+      .withColumn("rem", (lit(200) * col("n")) % col("total"))
+    val l = sh.agg((lit(200) - sum("base")).as("leftover"))
+    val rk = sh.withColumn("rn",
+      row_number().over(Window.orderBy(col("rem").desc, col("source"), col("lang"))))
+    rk.crossJoin(broadcast(l))
+      .select(col("source"), col("lang"), col("n").as("n_docs"),
+        (col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy("source", "lang")
+  }
+
+  // Deterministic epoch shuffle: per training epoch, document order is
+  // row_number over md5(epoch ':' doc_id) — a stable, engine-independent
+  // permutation (md5 hex is identical everywhere, unlike engine hash
+  // seeds), so a resumed job replays the exact order. Graded on the first
+  // 64 positions of 3 epochs; InferWindowGroupLimit pushes the rn ≤ 64
+  // filter to a per-partition group-limit BEFORE the per-epoch shuffle, so
+  // at corpus scale this is a distributed top-k, not a global sort.
+  q("llm_shuffle_epoch",
+    """SELECT epoch, pos, doc_id FROM (
+      |  SELECT e.epoch, d.doc_id,
+      |    row_number() OVER (PARTITION BY e.epoch
+      |      ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)))
+      |      AS pos
+      |  FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+      |) WHERE pos <= 64 ORDER BY epoch, pos""") { (s, dir) =>
+    val d = Tables(s, dir, "documents").select("doc_id")
+      .withColumn("epoch", explode(array(lit(0), lit(1), lit(2))))
+    val key = md5(concat(col("epoch").cast("string"), lit(":"),
+      col("doc_id").cast("string")))
+    d.withColumn("pos", row_number().over(Window.partitionBy("epoch").orderBy(key)))
+      .filter(col("pos") <= 64)
+      .select(col("epoch"), col("pos"), col("doc_id"))
+      .orderBy("epoch", "pos")
+  }
+
+  // Winsorized mean of order value per status — robust aggregation with
+  // the clamp bounds at the exact discrete p10/p90 (the ceil(p·n)-th
+  // smallest value, derived by BOTH engines from the same rank formula
+  // rather than either engine's quantile builtin). Scale design: no
+  // per-row window anywhere — the percentiles come from a cumulative
+  // count over the per-status VALUE HISTOGRAM, and the winsorized sum is
+  // Σ count·clamp(v) over the same histogram, so every pass is
+  // histogram-sized (distinct cent-values), not row-sized.
+  q("agg_winsorize",
+    """WITH h AS (
+      |  SELECT o_orderstatus AS st,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM orders GROUP BY 1, 2
+      |), h2 AS (
+      |  SELECT *, SUM(c) OVER (PARTITION BY st ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+      |    SUM(c) OVER (PARTITION BY st) AS n
+      |  FROM h
+      |), b AS (
+      |  SELECT st, CAST(MAX(n) AS BIGINT) AS n,
+      |    MIN(CASE WHEN cc >= (n + 9) // 10 THEN v END) AS lo,
+      |    MIN(CASE WHEN cc >= (9 * n + 9) // 10 THEN v END) AS hi
+      |  FROM h2 GROUP BY st
+      |)
+      |SELECT h.st AS o_orderstatus, b.n,
+      |  CAST(b.lo AS DOUBLE) / 100 AS p10,
+      |  CAST(b.hi AS DOUBLE) / 100 AS p90,
+      |  CAST(floor(CAST(SUM(h.c * least(greatest(h.v, b.lo), b.hi)) AS DOUBLE)
+      |    / 100 / MAX(b.n) * 10000 + 0.5) AS DOUBLE) / 10000 AS wmean
+      |FROM h JOIN b ON h.st = b.st
+      |GROUP BY h.st, b.n, b.lo, b.hi ORDER BY o_orderstatus""") { (s, dir) =>
+    val h = Tables(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("st"),
+        Det.cents(col("o_totalprice")).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wcc = Window.partitionBy("st").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h2 = h.withColumn("cc", sum("c").over(wcc))
+      .withColumn("n", sum("c").over(Window.partitionBy("st")))
+    // integer div: Column./ is ALWAYS double division in Spark, unlike
+    // DuckDB's // — the ceil(p·n) thresholds must stay integral
+    val b = h2.groupBy("st").agg(max("n").as("n"),
+      min(when(col("cc") >= expr("(n + 9) div 10"), col("v"))).as("lo"),
+      min(when(col("cc") >= expr("(9 * n + 9) div 10"), col("v"))).as("hi"))
+    h.join(b.withColumnRenamed("st", "bst"), col("st") === col("bst"))
+      .groupBy(col("st").as("o_orderstatus"), col("n"), col("lo"), col("hi"))
+      .agg((floor(sum(col("c") * least(greatest(col("v"), col("lo")), col("hi")))
+          .cast("double") / 100 / max("n") * 10000 + lit(0.5))
+        .cast("double") / 10000).as("wmean"))
+      .select(col("o_orderstatus"), col("n"),
+        (col("lo").cast("double") / 100).as("p10"),
+        (col("hi").cast("double") / 100).as("p90"), col("wmean"))
+      .orderBy("o_orderstatus")
+  }
+
+  // 2-D histogram (quantity × price-band density grid with revenue per
+  // cell) — the heatmap feed. Bucket keys are plain per-row floor
+  // arithmetic, so the whole query is one two-phase hash aggregate.
+  q("agg_histogram2d",
+    s"""SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+      |  CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_band,
+      |  COUNT(*) AS n, ${Det.oMoney("l_extendedprice")} AS revenue
+      |FROM lineitem GROUP BY 1, 2 ORDER BY qty_band, price_band""") { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(floor(col("l_quantity") / 10).as("qty_band"),
+        floor(col("l_extendedprice") / 10000).as("price_band"))
+      .agg(count(lit(1)).as("n"),
+        Det.money(sum(Det.cents(col("l_extendedprice")))).as("revenue"))
+      .orderBy("qty_band", "price_band")
+  }
+
+  // Column-level profile of orders (count / nulls / distinct / min / max
+  // as strings) — the dataset-card companion for relational tables. One
+  // aggregate pass computes every column's stats; stack() unpivots the
+  // single result row into one row per column. Double columns are
+  // excluded by design: double→string rendering is engine-specific, and
+  // dq_expectations / llm_dataset_card already profile numeric ranges.
+  q("dq_column_profile",
+    """SELECT * FROM (
+      |  SELECT 'o_custkey' AS column_name, COUNT(*) AS n,
+      |    COUNT(*) - COUNT(o_custkey) AS n_null,
+      |    COUNT(DISTINCT o_custkey) AS n_distinct,
+      |    CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+      |    CAST(MAX(o_custkey) AS VARCHAR) AS max_s FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+      |    COUNT(DISTINCT CAST(o_orderdate AS DATE)),
+      |    CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+      |    CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+      |    COUNT(DISTINCT o_orderkey), CAST(MIN(o_orderkey) AS VARCHAR),
+      |    CAST(MAX(o_orderkey) AS VARCHAR) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+      |    COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority),
+      |    MAX(o_orderpriority) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+      |    COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus),
+      |    MAX(o_orderstatus) FROM orders
+      |) ORDER BY column_name""") { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+      .withColumn("o_orderdate_d", to_date(col("o_orderdate")))
+    def prof(name: String, c: String) = Seq(
+      lit(name).as(s"name_$name"),
+      count(lit(1)).as(s"n_$name"),
+      (count(lit(1)) - count(col(c))).as(s"nn_$name"),
+      countDistinct(col(c)).as(s"nd_$name"),
+      min(col(c)).cast("string").as(s"mn_$name"),
+      max(col(c)).cast("string").as(s"mx_$name"))
+    val cols = Seq("o_custkey" -> "o_custkey", "o_orderdate" -> "o_orderdate_d",
+      "o_orderkey" -> "o_orderkey", "o_orderpriority" -> "o_orderpriority",
+      "o_orderstatus" -> "o_orderstatus")
+    val aggs = cols.flatMap { case (n, c) => prof(n, c) }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { case (n, _) =>
+      s"name_$n, n_$n, nn_$n, nd_$n, mn_$n, mx_$n"
+    }.mkString(", ")
+    one.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n, n_null, n_distinct, min_s, max_s)"))
+      .orderBy("column_name")
+  }
+}
