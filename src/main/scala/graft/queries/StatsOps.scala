@@ -249,6 +249,332 @@ object StatsOps extends QueryPack {
       .orderBy("qty_band", "price_band")
   }
 
+  // Burstiness / bot screen: each user's peak event count inside ANY
+  // trailing 60-second window. The RANGE frame is value-based (epoch
+  // seconds), so simultaneous events are counted in full in both engines.
+  // Scale shape: one window shuffle on the high-cardinality user key —
+  // the same partitioning events_sessionize already rides.
+  q("events_burst_rate",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+      |), b AS (
+      |  SELECT user_id, COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+      |    RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS burst
+      |  FROM e
+      |)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(burst) AS BIGINT) AS max_burst_60s
+      |FROM b GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+    val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-59, 0)
+    e.withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("burst").as("max_burst_60s"))
+      .orderBy("user_id")
+  }
+
+  // Zipf log-log slope of the token frequency curve per language — the
+  // "is this corpus natural text" diagnostic (natural language ≈ −1).
+  // ln stays on INTEGER arguments only (ranks 1..100 and integer counts —
+  // Det.lnFix's safe set); the regression moments are 128-bit exact
+  // (x ≈ ln(100)·10⁸ ⇒ Σx² ≈ 5e19 wraps int64 — P16 promote BEFORE the
+  // product); the slope is one closed-form double tree over those exact
+  // integers. Rank window is per-lang over token COUNTS, not tokens.
+  q("text_zipf_slope",
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(lower(text), ' ')) AS token FROM documents
+      |), tf AS (
+      |  SELECT lang, token, COUNT(*) AS f FROM tok GROUP BY lang, token
+      |), rk AS (
+      |  SELECT lang, token, f,
+      |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, token) AS r
+      |  FROM tf
+      |), pts AS (
+      |  SELECT lang,
+      |    CAST(floor(ln(CAST(r AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(f AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS y
+      |  FROM rk WHERE r <= 100
+      |), mom AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pts GROUP BY lang
+      |)
+      |SELECT lang, CAST(n AS BIGINT) AS n_points,
+      |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS zipf_slope
+      |FROM mom ORDER BY lang""") { (s, dir) =>
+    import graft.ops.TextOps
+    val tf = Tables(s, dir, "documents")
+      .select(col("lang"), explode(TextOps.tokens(lower(col("text")))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("f"))
+    val rk = tf.withColumn("r", row_number().over(
+      Window.partitionBy("lang").orderBy(col("f").desc, col("token"))))
+      .filter(col("r") <= 100)
+    val pts = rk.select(col("lang"),
+      Det.lnFix(col("r"), 8).cast("long").as("x"),
+      Det.lnFix(col("f"), 8).cast("long").as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val mom = pts.groupBy("lang").agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"))
+    mom.select(col("lang"), col("n").as("n_points"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  // Ljung-Box portmanteau test (lags 1–5) on the global daily-revenue
+  // series — "is there ANY autocorrelation left" after a model fit.
+  // P15 shape: deviations from the INTEGER-quantized mean are exact
+  // BIGINTs; the six co-moments are 128-bit-promoted products summed over
+  // the tiny daily frame (ONE lag window, ~series-length rows); each ρ_k
+  // is quantized to 8 dp BEFORE entering the single written-out Q tree,
+  // so both engines square and sum identical doubles.
+  q("ts_ljung_box",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1
+      |), st AS (SELECT COUNT(*) AS n, SUM(x) // COUNT(*) AS m FROM daily),
+      |d AS (SELECT day, x - m AS dv FROM daily, st),
+      |lagged AS (
+      |  SELECT dv,
+      |    lag(dv, 1) OVER (ORDER BY day) AS d1,
+      |    lag(dv, 2) OVER (ORDER BY day) AS d2,
+      |    lag(dv, 3) OVER (ORDER BY day) AS d3,
+      |    lag(dv, 4) OVER (ORDER BY day) AS d4,
+      |    lag(dv, 5) OVER (ORDER BY day) AS d5
+      |  FROM d
+      |), mom AS (
+      |  SELECT SUM(CAST(dv AS HUGEINT) * dv) AS c0,
+      |    SUM(CAST(dv AS HUGEINT) * d1) AS c1, SUM(CAST(dv AS HUGEINT) * d2) AS c2,
+      |    SUM(CAST(dv AS HUGEINT) * d3) AS c3, SUM(CAST(dv AS HUGEINT) * d4) AS c4,
+      |    SUM(CAST(dv AS HUGEINT) * d5) AS c5
+      |  FROM lagged
+      |), r AS (
+      |  SELECT (SELECT CAST(n AS BIGINT) FROM st) AS n,
+      |    CAST(floor(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) * 100000000 + 0.5) AS DOUBLE) / 100000000 AS r1,
+      |    CAST(floor(CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) * 100000000 + 0.5) AS DOUBLE) / 100000000 AS r2,
+      |    CAST(floor(CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) * 100000000 + 0.5) AS DOUBLE) / 100000000 AS r3,
+      |    CAST(floor(CAST(c4 AS DOUBLE) / CAST(c0 AS DOUBLE) * 100000000 + 0.5) AS DOUBLE) / 100000000 AS r4,
+      |    CAST(floor(CAST(c5 AS DOUBLE) / CAST(c0 AS DOUBLE) * 100000000 + 0.5) AS DOUBLE) / 100000000 AS r5
+      |  FROM mom
+      |)
+      |SELECT n AS n_days, r1, r2, r3, r4, r5,
+      |  CAST(floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2)
+      |    * (r1 * r1 / (CAST(n AS DOUBLE) - 1) + r2 * r2 / (CAST(n AS DOUBLE) - 2)
+      |       + r3 * r3 / (CAST(n AS DOUBLE) - 3) + r4 * r4 / (CAST(n AS DOUBLE) - 4)
+      |       + r5 * r5 / (CAST(n AS DOUBLE) - 5)) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS q_stat
+      |FROM r""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val st = daily.agg(count(lit(1)).as("n"), expr("sum(x) div count(*)").as("m"))
+    val d = daily.crossJoin(broadcast(st))
+      .select(col("day"), (col("x") - col("m")).as("dv"), col("n"))
+    val wo = Window.orderBy("day")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val lagged = d.select(col("n") +: (col("dv") +:
+      (1 to 5).map(k => lag(col("dv"), k).over(wo).as(s"d$k"))): _*)
+    val mom = lagged.groupBy("n").agg(
+      sum(dec(col("dv")) * col("dv")).as("c0"),
+      sum(dec(col("dv")) * col("d1")).as("c1"),
+      sum(dec(col("dv")) * col("d2")).as("c2"),
+      sum(dec(col("dv")) * col("d3")).as("c3"),
+      sum(dec(col("dv")) * col("d4")).as("c4"),
+      sum(dec(col("dv")) * col("d5")).as("c5"))
+    def rho(k: Int) = (floor(col(s"c$k").cast("double") / col("c0").cast("double")
+      * 100000000 + lit(0.5)).cast("double") / 100000000).as(s"r$k")
+    val r = mom.select(col("n") +: (1 to 5).map(rho): _*)
+    val nd = col("n").cast("double")
+    r.select(col("n").as("n_days"), col("r1"), col("r2"), col("r3"), col("r4"), col("r5"),
+      (floor(nd * (nd + 2)
+        * (col("r1") * col("r1") / (nd - 1) + col("r2") * col("r2") / (nd - 2)
+          + col("r3") * col("r3") / (nd - 3) + col("r4") * col("r4") / (nd - 4)
+          + col("r5") * col("r5") / (nd - 5)) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("q_stat"))
+  }
+
+  // 7-observation rolling exact median of each user's daily value — the
+  // robust trend line a dashboard draws over noisy per-day averages.
+  // The frame is ROWS-bounded (≤7 elements), so the in-frame sort is O(1)
+  // per row; the even case averages exactly TWO doubles (P13). One window
+  // shuffle on the user key.
+  q("ts_rolling_median",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS BIGINT) AS xi
+      |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |), wnd AS (
+      |  SELECT user_id, day,
+      |    list_sort(list(xi) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS xs
+      |  FROM daily
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(len(xs) AS BIGINT) AS n_win,
+      |  CASE WHEN len(xs) % 2 = 1
+      |    THEN CAST(xs[(len(xs) + 1) // 2] AS DOUBLE) / 10000
+      |    ELSE CAST(xs[len(xs) // 2] + xs[len(xs) // 2 + 1] AS DOUBLE) / 2 / 10000
+      |  END AS med7
+      |FROM wnd ORDER BY user_id, day""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("day"),
+        floor(Det.avgFix(col("s1"), 4, col("cnt")) * 10000 + lit(0.5))
+          .cast("long").as("xi"))
+    val w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    val wnd = daily.select(col("user_id"), col("day"),
+      array_sort(collect_list("xi").over(w7)).as("xs"))
+    val k = size(col("xs"))
+    wnd.select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        k.cast("long").as("n_win"),
+        when(k % 2 === 1,
+          element_at(col("xs"), ((k + 1) / 2).cast("int")).cast("double") / 10000)
+          .otherwise((element_at(col("xs"), (k / 2).cast("int"))
+            + element_at(col("xs"), (k / 2 + 1).cast("int"))).cast("double") / 2 / 10000)
+          .as("med7"))
+      .orderBy("user_id", "day")
+  }
+
+  // Difference-in-differences estimator: treat = odd user_id, post =
+  // day ≥ Jan 16 — the quasi-experimental readout when randomization
+  // isn't available. One conditional aggregate produces all four cell
+  // means (exact integer cents → 4-dp quantized doubles); the DiD is a
+  // single arithmetic tree over those four quantized means, so both
+  // engines subtract identical doubles.
+  q("events_diff_in_diff",
+    """WITH c AS (
+      |  SELECT (user_id % 2 = 1) AS treat,
+      |    (CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16') AS post,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), cells AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_tpre,
+      |    CAST(floor(CAST(SUM(CASE WHEN treat AND NOT post THEN v END) AS DOUBLE) / 100
+      |      / SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) * 10000 + 0.5) AS DOUBLE) / 10000 AS m_tpre,
+      |    CAST(SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tpost,
+      |    CAST(floor(CAST(SUM(CASE WHEN treat AND post THEN v END) AS DOUBLE) / 100
+      |      / SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) * 10000 + 0.5) AS DOUBLE) / 10000 AS m_tpost,
+      |    CAST(SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_cpre,
+      |    CAST(floor(CAST(SUM(CASE WHEN NOT treat AND NOT post THEN v END) AS DOUBLE) / 100
+      |      / SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) * 10000 + 0.5) AS DOUBLE) / 10000 AS m_cpre,
+      |    CAST(SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cpost,
+      |    CAST(floor(CAST(SUM(CASE WHEN NOT treat AND post THEN v END) AS DOUBLE) / 100
+      |      / SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) * 10000 + 0.5) AS DOUBLE) / 10000 AS m_cpost
+      |  FROM c
+      |)
+      |SELECT *, (m_tpost - m_tpre) - (m_cpost - m_cpre) AS did FROM cells""") { (s, dir) =>
+    val c = Tables(s, dir, "events").select(
+      (col("user_id") % 2 === 1).as("treat"),
+      (to_date(date_trunc("day", col("ts"))) >= lit("2024-01-16").cast("date")).as("post"),
+      Det.cents(col("value")).cast("long").as("v"))
+    def cell(name: String, p: org.apache.spark.sql.Column) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$name"),
+      (floor(sum(when(p, col("v"))).cast("double") / 100
+        / sum(when(p, 1L).otherwise(0L)) * 10000 + lit(0.5))
+        .cast("double") / 10000).as(s"m_$name"))
+    val aggs = cell("tpre", col("treat") && !col("post")) ++
+      cell("tpost", col("treat") && col("post")) ++
+      cell("cpre", !col("treat") && !col("post")) ++
+      cell("cpost", !col("treat") && col("post"))
+    c.agg(aggs.head, aggs.tail: _*)
+      .withColumn("did",
+        (col("m_tpost") - col("m_tpre")) - (col("m_cpost") - col("m_cpre")))
+  }
+
+  // Rolling-origin backtest of the naive lag-7-observation forecast per
+  // event type: MAE and mean bias of "this day looks like 7 observed days
+  // ago". Residuals are exact integer cents (|x−x7| never touches a
+  // float), so the error metrics are avgFix-quantized exacts. One lag
+  // window over the tiny (type, day) frame.
+  q("ts_backtest_snaive",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1, 2
+      |), f AS (
+      |  SELECT event_type, x,
+      |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+      |  FROM daily
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |  CAST(floor(CAST(SUM(ABS(x - x7)) AS DOUBLE) / 100 / COUNT(*) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS mae,
+      |  CAST(floor(CAST(SUM(x - x7) AS DOUBLE) / 100 / COUNT(*) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS bias
+      |FROM f WHERE x7 IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val f = daily.select(col("event_type"), col("x"),
+        lag(col("x"), 7).over(Window.partitionBy("event_type").orderBy("day")).as("x7"))
+      .filter(col("x7").isNotNull)
+    f.groupBy("event_type")
+      .agg(count(lit(1)).as("n_eval"),
+        (floor(sum(abs(col("x") - col("x7"))).cast("double") / 100 / count(lit(1))
+          * 10000 + lit(0.5)).cast("double") / 10000).as("mae"),
+        (floor(sum(col("x") - col("x7")).cast("double") / 100 / count(lit(1))
+          * 10000 + lit(0.5)).cast("double") / 10000).as("bias"))
+      .orderBy("event_type")
+  }
+
+  // Train/eval contamination check: fraction of each eval document's
+  // distinct 5-gram shingles that appear ANYWHERE in the train split
+  // (doc_id % 10 = 0 ⇒ eval) — the decontamination gate run before any
+  // benchmark claim. Scale design: Spark joins on xxhash64(shingle)
+  // (8-byte keys, collision odds ~n²/2^65 — the same seam every Dedup
+  // operator documents), distinct-per-side BEFORE the join; the train
+  // side is a semi-join-shaped left join on the hash key, linear in
+  // corpus shingle volume. The oracle joins the raw shingle strings.
+  q("llm_contamination",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+      |      || ' ' || tk[i+4])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |tr AS (SELECT DISTINCT sg FROM e WHERE doc_id % 10 <> 0),
+      |ev AS (SELECT doc_id, sg FROM e WHERE doc_id % 10 = 0)
+      |SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN tr.sg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  CAST(floor(CAST(SUM(CASE WHEN tr.sg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) * 10000 + 0.5) AS DOUBLE) / 10000 AS frac
+      |FROM ev LEFT JOIN tr ON ev.sg = tr.sg
+      |GROUP BY ev.doc_id ORDER BY ev.doc_id""") { (s, dir) =>
+    import graft.ops.TextOps
+    val sh = Tables(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(col("tk"), 5))).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+    val train = sh.filter(col("doc_id") % 10 =!= 0).select("h").distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % 10 === 0)
+      .join(train, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"),
+        (floor(sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1))
+          * 10000 + lit(0.5)).cast("double") / 10000).as("frac"))
+      .orderBy("doc_id")
+  }
+
   // Column-level profile of orders (count / nulls / distinct / min / max
   // as strings) — the dataset-card companion for relational tables. One
   // aggregate pass computes every column's stats; stack() unpivots the
