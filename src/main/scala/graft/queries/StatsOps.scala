@@ -109,7 +109,9 @@ object StatsOps extends QueryPack {
       .withColumn("tot", sum("s").over(Window.partitionBy("event_type")))
     r.groupBy("event_type")
       .agg(count(lit(1)).as("n_users"),
-        min(when(lit(5) * col("cum") >= lit(4) * col("tot"), col("rn"))).as("k80"),
+        // row_number is INT — lift to BIGINT to match the oracle's cast
+        min(when(lit(5) * col("cum") >= lit(4) * col("tot"), col("rn")))
+          .cast("long").as("k80"),
         (floor(sum(when(col("rn") <= 10, col("s")).otherwise(0L)).cast("double")
           / max("tot").cast("double") * 1000000 + lit(0.5))
           .cast("double") / 1000000).as("top10_share"))
@@ -174,7 +176,8 @@ object StatsOps extends QueryPack {
       col("doc_id").cast("string")))
     d.withColumn("pos", row_number().over(Window.partitionBy("epoch").orderBy(key)))
       .filter(col("pos") <= 64)
-      .select(col("epoch"), col("pos"), col("doc_id"))
+      // row_number is INT; DuckDB's is BIGINT — align the output schema
+      .select(col("epoch"), col("pos").cast("long").as("pos"), col("doc_id"))
       .orderBy("epoch", "pos")
   }
 

