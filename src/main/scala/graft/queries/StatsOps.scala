@@ -578,6 +578,171 @@ object StatsOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Tukey 1.5×IQR outlier gate per event type with EXACT discrete
+  // quartiles — the boxplot companion to the MAD/Hampel/seasonal anomaly
+  // family. The fences stay integral: v < q1 − 1.5·IQR becomes
+  // 2v < 2·q1 − 3·IQR (IQR in cents is an integer), so no float ever
+  // enters the comparison. Same histogram machinery as agg_winsorize —
+  // every pass is distinct-cent-value-sized, not row-sized.
+  q("dq_anomaly_iqr",
+    """WITH h AS (
+      |  SELECT event_type AS et, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), h2 AS (
+      |  SELECT *, SUM(c) OVER (PARTITION BY et ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+      |    SUM(c) OVER (PARTITION BY et) AS n
+      |  FROM h
+      |), b AS (
+      |  SELECT et, CAST(MAX(n) AS BIGINT) AS n,
+      |    MIN(CASE WHEN cc >= (n + 3) // 4 THEN v END) AS q1,
+      |    MIN(CASE WHEN cc >= (3 * n + 3) // 4 THEN v END) AS q3
+      |  FROM h2 GROUP BY et
+      |)
+      |SELECT h.et AS event_type, b.n,
+      |  CAST(b.q1 AS DOUBLE) / 100 AS q1, CAST(b.q3 AS DOUBLE) / 100 AS q3,
+      |  CAST(SUM(CASE WHEN 2 * h.v < 2 * b.q1 - 3 * (b.q3 - b.q1)
+      |             OR 2 * h.v > 2 * b.q3 + 3 * (b.q3 - b.q1)
+      |           THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM h JOIN b ON h.et = b.et
+      |GROUP BY h.et, b.n, b.q1, b.q3 ORDER BY event_type""") { (s, dir) =>
+    val h = Tables(s, dir, "events")
+      .groupBy(col("event_type").as("et"), Det.cents(col("value")).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wcc = Window.partitionBy("et").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h2 = h.withColumn("cc", sum("c").over(wcc))
+      .withColumn("n", sum("c").over(Window.partitionBy("et")))
+    val b = h2.groupBy("et").agg(max("n").as("n"),
+      min(when(col("cc") >= expr("(n + 3) div 4"), col("v"))).as("q1"),
+      min(when(col("cc") >= expr("(3 * n + 3) div 4"), col("v"))).as("q3"))
+    val iqr = col("q3") - col("q1")
+    h.join(b.withColumnRenamed("et", "bet"), col("et") === col("bet"))
+      .groupBy(col("et").as("event_type"), col("n"), col("q1"), col("q3"))
+      .agg(sum(when(lit(2) * col("v") < lit(2) * col("q1") - lit(3) * iqr
+          || lit(2) * col("v") > lit(2) * col("q3") + lit(3) * iqr,
+        col("c")).otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        (col("q1").cast("double") / 100).as("q1"),
+        (col("q3").cast("double") / 100).as("q3"), col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  // Cohort LTV curve: users grouped by first-seen week, cumulative
+  // purchase revenue per user tracked across week offsets — the
+  // lifetime-value readout next to events_retention_cohorts' count
+  // matrix. Weeks come from integer epoch-day arithmetic anchored on
+  // Monday 2024-01-01 (never the engines' week builtins — P12 family).
+  // Shapes: one per-user min aggregate, one join back on the user key,
+  // one (cohort, offset) aggregate; the cumsum window runs over ≤#weeks²
+  // cells.
+  q("events_cohort_ltv",
+    """WITH fd AS (
+      |  SELECT user_id,
+      |    min(date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE))) // 7 AS cohort_week
+      |  FROM events GROUP BY user_id
+      |), cs AS (SELECT cohort_week, COUNT(*) AS n_users FROM fd GROUP BY 1),
+      |rev AS (
+      |  SELECT fd.cohort_week,
+      |    date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', e.ts) AS DATE)) // 7 - fd.cohort_week AS week_offset,
+      |    SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS r
+      |  FROM events e JOIN fd ON e.user_id = fd.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT cohort_week, week_offset,
+      |    SUM(r) OVER (PARTITION BY cohort_week ORDER BY week_offset
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+      |  FROM rev
+      |)
+      |SELECT c.cohort_week, c.week_offset, cs.n_users,
+      |  CAST(c.cum_r AS DOUBLE) / 100 AS cum_revenue,
+      |  CAST(floor(CAST(c.cum_r AS DOUBLE) / 100 / cs.n_users * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS ltv_per_user
+      |FROM cum c JOIN cs ON c.cohort_week = cs.cohort_week
+      |ORDER BY c.cohort_week, week_offset""") { (s, dir) =>
+    val fd = Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(expr("min(datediff(to_date(date_trunc('day', ts)), date'2024-01-01')) div 7")
+        .as("cohort_week"))
+    val cs = fd.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val rev = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("datediff(to_date(date_trunc('day', ts)), date'2024-01-01') div 7")
+          .as("wk"),
+        Det.cents(col("value")).cast("long").as("vc"))
+      .join(fd, "user_id")
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(sum("vc").as("r"))
+    val cum = rev.withColumn("cum_r",
+      sum("r").over(Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(cs, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        (col("cum_r").cast("double") / 100).as("cum_revenue"),
+        (floor(col("cum_r").cast("double") / 100 / col("n_users") * 10000
+          + lit(0.5)).cast("double") / 10000).as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  // Weekly-seasonality strength per event type: the STL-style
+  // F_s = max(0, 1 − SSR/SST) where the seasonal component is the
+  // integer-quantized day-of-week mean. Every sum of squares is a
+  // 128-bit-promoted exact integer (P16); the ratio is one double tree.
+  // Weekday from anchored integer day arithmetic (((diff % 7) + 7) % 7 —
+  // fixture-independent, the r4 ADVICE form).
+  q("ts_seasonal_strength",
+    """WITH daily AS (
+      |  SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1, 2
+      |), dw AS (
+      |  SELECT *, ((date_diff('day', DATE '2024-01-01', day) % 7) + 7) % 7 AS dow
+      |  FROM daily
+      |), sm AS (
+      |  SELECT et, dow, SUM(x) // COUNT(*) AS s FROM dw GROUP BY et, dow
+      |), gm AS (
+      |  SELECT et, SUM(x) // COUNT(*) AS m FROM dw GROUP BY et
+      |), j AS (
+      |  SELECT dw.et, dw.x, sm.s, gm.m FROM dw
+      |  JOIN sm ON dw.et = sm.et AND dw.dow = sm.dow
+      |  JOIN gm ON dw.et = gm.et
+      |), agg AS (
+      |  SELECT et, COUNT(*) AS n_days,
+      |    SUM(CAST(x - s AS HUGEINT) * (x - s)) AS ssr,
+      |    SUM(CAST(x - m AS HUGEINT) * (x - m)) AS sst
+      |  FROM j GROUP BY et
+      |)
+      |SELECT et AS event_type, CAST(n_days AS BIGINT) AS n_days,
+      |  CASE WHEN sst = 0 THEN NULL
+      |    ELSE greatest(0.0, CAST(floor((1 - CAST(ssr AS DOUBLE) / CAST(sst AS DOUBLE))
+      |      * 1000000 + 0.5) AS DOUBLE) / 1000000) END AS seasonal_strength
+      |FROM agg ORDER BY event_type""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type").as("et"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val dw = daily.withColumn("dow",
+      expr("((datediff(day, date'2024-01-01') % 7) + 7) % 7"))
+    val sm = dw.groupBy("et", "dow").agg(expr("sum(x) div count(*)").as("s"))
+    val gm = dw.groupBy("et").agg(expr("sum(x) div count(*)").as("m"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val j = dw.join(sm, Seq("et", "dow")).join(gm, Seq("et"))
+    val agg = j.groupBy("et").agg(count(lit(1)).as("n_days"),
+      sum(dec(col("x") - col("s")) * (col("x") - col("s"))).as("ssr"),
+      sum(dec(col("x") - col("m")) * (col("x") - col("m"))).as("sst"))
+    agg.select(col("et").as("event_type"), col("n_days"),
+        when(col("sst") === 0, lit(null)).otherwise(
+          greatest(lit(0.0),
+            floor((lit(1) - col("ssr").cast("double") / col("sst").cast("double"))
+              * 1000000 + lit(0.5)).cast("double") / 1000000))
+          .as("seasonal_strength"))
+      .orderBy("event_type")
+  }
+
   // Column-level profile of orders (count / nulls / distinct / min / max
   // as strings) — the dataset-card companion for relational tables. One
   // aggregate pass computes every column's stats; stack() unpivots the
