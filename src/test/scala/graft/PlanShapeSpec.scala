@@ -117,6 +117,26 @@ class PlanShapeSpec extends SparkSpec {
       s"df window recomputed outside the pinned frame ($nWindows Window nodes)")
   }
 
+  test("order-statistics queries window over the value HISTOGRAM, never " +
+    "raw rows") {
+    // agg_winsorize / dq_anomaly_iqr / events_ab_mannwhitney derive exact
+    // percentiles and rank sums from cumulative counts over the distinct-
+    // cent-value histogram. The load-bearing scale property: every Window
+    // in the optimized plan sits ABOVE an Aggregate (histogram-sized
+    // input), so no per-row sort exists anywhere in the plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    for (name <- Seq("agg_winsorize", "dq_anomaly_iqr", "events_ab_mannwhitney")) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$name: expected a cumulative-count window")
+      windows.foreach { w =>
+        val aggsBelow = w.child.collect { case a: Aggregate => a }
+        assert(aggsBelow.nonEmpty,
+          s"$name: a Window runs over raw rows, not the value histogram:\n$w")
+      }
+    }
+  }
+
   test("topk_per_group pushes the rank filter into WindowGroupLimit") {
     // Spark's InferWindowGroupLimit turns row_number()<=k into a partial
     // per-partition group-limit BEFORE the shuffle plus a final one after —
