@@ -743,6 +743,132 @@ object StatsOps extends QueryPack {
       .orderBy("event_type")
   }
 
+  // Value-distribution entropy per column (nats, plus the 0..1 normalized
+  // form) — the uniqueness/skew summary next to dq_column_profile's
+  // min/max. H = ln(n) − Σ c·ln(c)/n decomposes into ln over INTEGER
+  // arguments only (counts — Det.lnFix's safe set, P12): Σ c·lnFix(c) is
+  // an exact 128-bit integer, and the assembly is one double tree over
+  // exact integers. One groupBy per column over dimension-sized value
+  // domains.
+  q("dq_value_entropy",
+    { def side(cn: String, c: String) =
+        s"""SELECT '$cn' AS column_name, CAST(SUM(c) AS BIGINT) AS n,
+           |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           |  CAST(floor((CAST(floor(ln(CAST(SUM(c) AS DOUBLE)) * 100000000 + 0.5) AS DOUBLE) / 100000000
+           |    - CAST(SUM(CAST(c AS HUGEINT) * CAST(floor(ln(CAST(c AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / 100000000 / SUM(c)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS entropy,
+           |  CASE WHEN COUNT(*) = 1 THEN NULL
+           |    ELSE CAST(floor((CAST(floor(ln(CAST(SUM(c) AS DOUBLE)) * 100000000 + 0.5) AS DOUBLE) / 100000000
+           |      - CAST(SUM(CAST(c AS HUGEINT) * CAST(floor(ln(CAST(c AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           |        / 100000000 / SUM(c))
+           |      / (CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 100000000 + 0.5) AS DOUBLE) / 100000000)
+           |      * 1000000 + 0.5) AS DOUBLE) / 1000000 END AS entropy_norm
+           |FROM (SELECT $c, COUNT(*) AS c FROM orders GROUP BY $c)""".stripMargin
+      Seq(side("o_custkey", "o_custkey"), side("o_orderpriority", "o_orderpriority"),
+        side("o_orderstatus", "o_orderstatus"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+    }) { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+    def side(cn: String) = {
+      val counts = o.groupBy(cn).agg(count(lit(1)).as("c"))
+      val lnN = floor(log(sum("c").cast("double")) * 100000000 + lit(0.5))
+        .cast("double") / 100000000
+      val lnD = floor(log(count(lit(1)).cast("double")) * 100000000 + lit(0.5))
+        .cast("double") / 100000000
+      val sLn = sum(col("c").cast("decimal(38,0)") * Det.lnFix(col("c"), 8))
+        .cast("double") / 100000000 / sum("c")
+      counts.agg(
+        sum("c").as("n"), count(lit(1)).as("n_distinct"),
+        (floor((lnN - sLn) * 1000000 + lit(0.5)).cast("double") / 1000000)
+          .as("entropy"),
+        when(count(lit(1)) === 1, lit(null)).otherwise(
+          floor((lnN - sLn) / lnD * 1000000 + lit(0.5)).cast("double") / 1000000)
+          .as("entropy_norm"))
+        .select(lit(cn).as("column_name"), col("n"), col("n_distinct"),
+          col("entropy"), col("entropy_norm"))
+    }
+    side("o_custkey").unionByName(side("o_orderpriority"))
+      .unionByName(side("o_orderstatus"))
+      .orderBy("column_name")
+  }
+
+  // Audience overlap between event types: distinct-user co-occurrence
+  // with Jaccard and lift — "do clickers also purchase". Scale shape:
+  // the self-join runs over DISTINCT (user, type) rows (≤5 per user —
+  // orders of magnitude below the event stream) on the user key, fanout
+  // bounded by #types² per user; totals broadcast.
+  q("events_type_overlap",
+    """WITH pu AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |), tot AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+      |per AS (SELECT event_type, COUNT(*) AS n FROM pu GROUP BY event_type),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+      |  FROM pu a JOIN pu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, pa.n AS n_a, pb.n AS n_b, n_both,
+      |  CAST(floor(CAST(n_both AS DOUBLE) / (pa.n + pb.n - n_both) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS jaccard,
+      |  CAST(floor(CAST(n_both AS DOUBLE) * nu / (CAST(pa.n AS DOUBLE) * pb.n)
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS lift
+      |FROM pairs JOIN per pa ON pairs.type_a = pa.event_type
+      |JOIN per pb ON pairs.type_b = pb.event_type
+      |CROSS JOIN tot
+      |ORDER BY type_a, type_b""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val pu = ev.select("user_id", "event_type").distinct()
+    val tot = ev.agg(countDistinct("user_id").as("nu"))
+    val per = pu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = pu.as("a").join(pu.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(per.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(per.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (floor(col("n_both").cast("double") / (col("n_a") + col("n_b") - col("n_both"))
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("jaccard"),
+        (floor(col("n_both").cast("double") * col("nu")
+          / (col("n_a").cast("double") * col("n_b")) * 1000000 + lit(0.5))
+          .cast("double") / 1000000).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
+  // Deterministic train/val/test split by md5(doc_id) hex range — the
+  // same document lands in the same split in any engine, any run, any
+  // cluster (leakage-proof by construction; '0'-'b' ⇒ 12/16 train,
+  // 'c'-'d' val, 'e'-'f' test). Reports per-lang proportions. One scan +
+  // one dimension-sized aggregate.
+  q("llm_dataset_split",
+    """WITH s AS (
+      |  SELECT lang,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+      |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents
+      |), lt AS (SELECT lang, COUNT(*) AS n_lang FROM s GROUP BY lang)
+      |SELECT s.lang, split, COUNT(*) AS n_docs,
+      |  CAST(floor(CAST(COUNT(*) AS DOUBLE) / MAX(n_lang) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS frac_of_lang
+      |FROM s JOIN lt ON s.lang = lt.lang
+      |GROUP BY s.lang, split ORDER BY s.lang, split""") { (s, dir) =>
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val sp = Tables(s, dir, "documents")
+      .select(col("lang"),
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test").as("split"))
+    val lt = sp.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    sp.join(broadcast(lt), "lang")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        (floor(count(lit(1)).cast("double") / max("n_lang") * 10000 + lit(0.5))
+          .cast("double") / 10000).as("frac_of_lang"))
+      .orderBy("lang", "split")
+  }
+
   // Column-level profile of orders (count / nulls / distinct / min / max
   // as strings) — the dataset-card companion for relational tables. One
   // aggregate pass computes every column's stats; stack() unpivots the
