@@ -869,6 +869,75 @@ object StatsOps extends QueryPack {
       .orderBy("lang", "split")
   }
 
+  // Sequential pattern mining: the top-20 event-type trigrams across
+  // per-user ordered streams — one step past events_markov_transitions'
+  // bigram matrix (funnel discovery, bot-signature detection). Two lead
+  // windows share ONE user-key shuffle; the count aggregate runs on
+  // ≤|types|³ distinct patterns.
+  q("events_seq_trigrams",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+      |  FROM events
+      |)
+      |SELECT event_type || '>' || t2 || '>' || t3 AS pattern, COUNT(*) AS n
+      |FROM o WHERE t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, pattern LIMIT 20""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("pattern"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pattern"))
+      .limit(20)
+  }
+
+  // Backfill planner: the expected (type, ingestion-shard, day) grid —
+  // each type's own min..max calendar span × 32 hash shards — minus the
+  // cells that actually landed → the partition list a scheduler must
+  // re-run. The grid explode is |types| × 32 × |span| rows — linear in
+  // the OUTPUT like ts_resample_ffill; the anti-join runs on the full
+  // grid key.
+  q("etl_backfill_plan",
+    """WITH obs AS (
+      |  SELECT DISTINCT event_type, user_id % 32 AS shard,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events
+      |), span AS (
+      |  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1
+      |), gridd AS (
+      |  SELECT event_type,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span
+      |), grid AS (
+      |  SELECT event_type, CAST(sh.shard AS BIGINT) AS shard, day
+      |  FROM gridd CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS shard) sh
+      |)
+      |SELECT g.event_type, g.shard, strftime(g.day, '%Y-%m-%d') AS missing_day
+      |FROM grid g ANTI JOIN obs
+      |  ON g.event_type = obs.event_type AND g.shard = obs.shard AND g.day = obs.day
+      |ORDER BY event_type, shard, missing_day""") { (s, dir) =>
+    val obs = Tables(s, dir, "events")
+      .select(col("event_type"), (col("user_id") % 32).as("shard"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+    val grid = obs.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(31L))).as("shard"),
+        col("d0"), col("d1"))
+      .select(col("event_type"), col("shard"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    grid.join(obs, Seq("event_type", "shard", "day"), "left_anti")
+      .select(col("event_type"), col("shard"),
+        date_format(col("day"), "yyyy-MM-dd").as("missing_day"))
+      .orderBy("event_type", "shard", "missing_day")
+  }
+
   // Column-level profile of orders (count / nulls / distinct / min / max
   // as strings) — the dataset-card companion for relational tables. One
   // aggregate pass computes every column's stats; stack() unpivots the
