@@ -990,4 +990,300 @@ object StatsOps extends QueryPack {
         "(column_name, n, n_null, n_distinct, min_s, max_s)"))
       .orderBy("column_name")
   }
+
+  // Pearson correlation matrix over lineitem's numeric measures — the
+  // feature-selection / collinearity card. ONE aggregate pass collects all
+  // nine 128-bit-exact co-moments (P16 promote BEFORE the product:
+  // price-cents² ≈ 1e14/row wraps int64 near 1e5 rows); each pairwise r is
+  // then a single closed-form double tree over those exact integers —
+  // sqrt is IEEE-exact (unlike ln), so no fixed-point detour is needed
+  // before the final 6-dp quantization. Never a corr() built-in: Spark and
+  // DuckDB accumulate running co-moments in engine-specific order.
+  q("agg_corr_matrix",
+    """WITH v AS (
+      |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x2,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x3
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+      |    SUM(CAST(x3 AS HUGEINT)) AS s3,
+      |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11, SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+      |    SUM(CAST(x3 AS HUGEINT) * x3) AS s33,
+      |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12, SUM(CAST(x1 AS HUGEINT) * x3) AS s13,
+      |    SUM(CAST(x2 AS HUGEINT) * x3) AS s23
+      |  FROM v
+      |)
+      |SELECT pair, CAST(n AS BIGINT) AS n,
+      |  CAST(floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+      |       * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS corr
+      |FROM (
+      |  SELECT 'quantity~price' AS pair, n, CAST(s1 AS DOUBLE) AS sx,
+      |    CAST(s2 AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS sxx,
+      |    CAST(s22 AS DOUBLE) AS syy, CAST(s12 AS DOUBLE) AS sxy FROM m
+      |  UNION ALL
+      |  SELECT 'quantity~discount', n, CAST(s1 AS DOUBLE), CAST(s3 AS DOUBLE),
+      |    CAST(s11 AS DOUBLE), CAST(s33 AS DOUBLE), CAST(s13 AS DOUBLE) FROM m
+      |  UNION ALL
+      |  SELECT 'price~discount', n, CAST(s2 AS DOUBLE), CAST(s3 AS DOUBLE),
+      |    CAST(s22 AS DOUBLE), CAST(s33 AS DOUBLE), CAST(s23 AS DOUBLE) FROM m
+      |)
+      |ORDER BY pair""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val v = Tables(s, dir, "lineitem").select(
+      Det.fix(col("l_quantity"), 0).cast("long").as("x1"),
+      Det.cents(col("l_extendedprice")).cast("long").as("x2"),
+      Det.fix(col("l_discount"), 2).cast("long").as("x3"))
+    val m = v.agg(count(lit(1)).as("n"),
+      sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
+      sum(dec(col("x3"))).as("s3"),
+      sum(dec(col("x1")) * col("x1")).as("s11"),
+      sum(dec(col("x2")) * col("x2")).as("s22"),
+      sum(dec(col("x3")) * col("x3")).as("s33"),
+      sum(dec(col("x1")) * col("x2")).as("s12"),
+      sum(dec(col("x1")) * col("x3")).as("s13"),
+      sum(dec(col("x2")) * col("x3")).as("s23"))
+    val rows = m.select(
+      expr("stack(3, " +
+        "'quantity~price', CAST(s1 AS DOUBLE), CAST(s2 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s22 AS DOUBLE), CAST(s12 AS DOUBLE), " +
+        "'quantity~discount', CAST(s1 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(s11 AS DOUBLE), CAST(s33 AS DOUBLE), CAST(s13 AS DOUBLE), " +
+        "'price~discount', CAST(s2 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(s22 AS DOUBLE), CAST(s33 AS DOUBLE), CAST(s23 AS DOUBLE)" +
+        ") AS (pair, sx, sy, sxx, syy, sxy)"),
+      col("n"))
+    rows.select(col("pair"), col("n").cast("long").as("n"),
+        (floor((col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy")))
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("corr"))
+      .orderBy("pair")
+  }
+
+  // New-vs-returning daily split — the growth-accounting card every
+  // product dashboard leads with. The distinct (user, day) frame is one
+  // hash aggregate; the first-seen day is a user-key window over that
+  // already-reduced frame (≤ users×days rows, never raw events); the
+  // final day-sized aggregate is dimension-bounded.
+  q("events_new_vs_returning",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events
+      |), w AS (
+      |  SELECT user_id, day, min(day) OVER (PARTITION BY user_id) AS d0 FROM ud
+      |), g AS (
+      |  SELECT day, SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS n_new,
+      |    SUM(CASE WHEN day > d0 THEN 1 ELSE 0 END) AS n_ret
+      |  FROM w GROUP BY day
+      |)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(n_new AS BIGINT) AS new_users, CAST(n_ret AS BIGINT) AS returning_users
+      |FROM g ORDER BY day""") { (s, dir) =>
+    val ud = Tables(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+    val w = ud.withColumn("d0", min("day").over(Window.partitionBy("user_id")))
+    w.groupBy("day")
+      .agg(sum(when(col("day") === col("d0"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") > col("d0"), 1L).otherwise(0L)).as("returning_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("returning_users"))
+      .orderBy("day")
+  }
+
+  // Candidate-key discovery on orders: |distinct(key)| vs |rows| per
+  // candidate — the uniqueness half of dq_functional_dependency's
+  // dependency card. Each candidate is ONE exact-distinct hash aggregate
+  // over a pruned projection (no multi-distinct Expand blowup); the union
+  // is candidate-count-sized.
+  q("dq_key_candidates",
+    """SELECT 'o_custkey' AS candidate, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT o_custkey) AS n_distinct,
+      |  COUNT(*) = COUNT(DISTINCT o_custkey) AS is_key
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey,o_orderdate', COUNT(*),
+      |  COUNT(DISTINCT (o_custkey, o_orderdate)),
+      |  COUNT(*) = COUNT(DISTINCT (o_custkey, o_orderdate))
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderkey', COUNT(*), COUNT(DISTINCT o_orderkey),
+      |  COUNT(*) = COUNT(DISTINCT o_orderkey)
+      |FROM orders
+      |ORDER BY candidate""") { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+    def cand(name: String, cols0: Seq[String]) = o
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(cols0.head), cols0.tail.map(col): _*).as("n_distinct"))
+      .select(lit(name).as("candidate"), col("n_rows"), col("n_distinct"),
+        (col("n_rows") === col("n_distinct")).as("is_key"))
+    cand("o_custkey", Seq("o_custkey"))
+      .unionAll(cand("o_custkey,o_orderdate", Seq("o_custkey", "o_orderdate")))
+      .unionAll(cand("o_orderkey", Seq("o_orderkey")))
+      .orderBy("candidate")
+  }
+
+  // Spearman rank correlation between the daily revenue and daily volume
+  // series — the monotone-association companion to win_rolling_corr's
+  // Pearson. Ranks are row_number with a (value, day) tiebreak — fully
+  // deterministic in both engines (no averaged tie ranks) — computed over
+  // the DAY-sized aggregate, never the raw events (P15: windows above
+  // Aggregate); Σd² is integer-exact, ρ is one closed-form double tree.
+  q("ts_spearman",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS rev, COUNT(*) AS vol
+      |  FROM events GROUP BY day
+      |), r AS (
+      |  SELECT day,
+      |    row_number() OVER (ORDER BY rev, day) AS rx,
+      |    row_number() OVER (ORDER BY vol, day) AS ry
+      |  FROM d
+      |), a AS (
+      |  SELECT COUNT(*) AS n, SUM((rx - ry) * (rx - ry)) AS sd2 FROM r
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(floor((1 - 6.0 * sd2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)))
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS spearman_rho
+      |FROM a""") { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("rev"),
+        count(lit(1)).as("vol"))
+    val r = d.select(col("day"),
+      row_number().over(Window.orderBy("rev", "day")).as("rx"),
+      row_number().over(Window.orderBy("vol", "day")).as("ry"))
+    val a = r.agg(count(lit(1)).as("n"),
+      sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("sd2"))
+    a.select(col("n").cast("long").as("n_days"),
+      (floor((lit(1) - lit(6.0) * col("sd2")
+          / (col("n").cast("double") * (col("n").cast("double") * col("n") - 1)))
+        * 1000000 + lit(0.5)).cast("double") / 1000000).as("spearman_rho"))
+  }
+
+  // Ingestion-freshness report per event type: last-landed timestamp, lag
+  // behind the freshest type in whole seconds, and trailing-24h volume —
+  // the staleness monitor a scheduler alerts on. One type-sized aggregate
+  // (max + conditional count vs the global max, broadcast back); integer
+  // epoch-second arithmetic end to end.
+  q("dq_freshness",
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 AS sec FROM events
+      |), g AS (
+      |  SELECT MAX(sec) AS gmax FROM e
+      |), t AS (
+      |  SELECT event_type, MAX(sec) AS tmax,
+      |    SUM(CASE WHEN sec > (SELECT gmax FROM g) - 86400 THEN 1 ELSE 0 END) AS n_24h
+      |  FROM e GROUP BY event_type
+      |)
+      |SELECT event_type, CAST(tmax AS BIGINT) AS last_sec,
+      |  CAST((SELECT gmax FROM g) - tmax AS BIGINT) AS lag_sec,
+      |  CAST(n_24h AS BIGINT) AS n_last_24h
+      |FROM t ORDER BY event_type""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"), col("ts").cast("long").as("sec"))
+    val gmax = e.agg(max("sec").as("gmax"))
+    val t = e.crossJoin(broadcast(gmax))
+      .groupBy("event_type")
+      .agg(max("sec").as("tmax"),
+        sum(when(col("sec") > col("gmax") - 86400L, 1L).otherwise(0L)).as("n_24h"),
+        max("gmax").as("gmax"))
+    t.select(col("event_type"), col("tmax").as("last_sec"),
+        (col("gmax") - col("tmax")).as("lag_sec"), col("n_24h").as("n_last_24h"))
+      .orderBy("event_type")
+  }
+
+  // Multinomial naive-Bayes language classifier, trained and evaluated in
+  // one query: md5-split the corpus 50/50 (leakage-proof, same device as
+  // llm_dataset_split), train per-(lang, token) Laplace-smoothed counts,
+  // score every held-out doc against every lang, and emit the confusion
+  // matrix. The whole pipeline is integer-exact: every ln runs on INTEGER
+  // arguments (counts — Det.lnFix's safe set, P12) and the per-doc scores
+  // are Σ c·lnFix products in 128-bit accumulators (P16), so argmax ties
+  // are exact and broken by lang. Scale shape: training is ONE
+  // (lang, token) hash aggregate; scoring is ONE token-key shuffle join
+  // (test-token × vocab-entry, never docs × vocab); the doc × |langs|
+  // score frame is linear in the test set with a dimension-sized
+  // broadcast; the argmax is a |langs|-group window per doc.
+  q("ml_naive_bayes",
+    """WITH d AS (
+      |  SELECT doc_id, lang, lower(text) AS t,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' AS is_train
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, lang, is_train, unnest(string_split(t, ' ')) AS token FROM d
+      |), tt AS (
+      |  SELECT lang, token, COUNT(*) AS c FROM tok WHERE is_train GROUP BY lang, token
+      |), lt AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l FROM tt GROUP BY lang
+      |), ld AS (
+      |  SELECT lang, COUNT(*) AS d_l FROM d WHERE is_train GROUP BY lang
+      |), vv AS (
+      |  SELECT COUNT(DISTINCT token) AS v FROM tt
+      |), te AS (
+      |  SELECT doc_id, token, COUNT(*) AS cdt FROM tok WHERE NOT is_train
+      |  GROUP BY doc_id, token
+      |), tn AS (
+      |  SELECT doc_id, CAST(SUM(cdt) AS BIGINT) AS n_d FROM te GROUP BY doc_id
+      |), td AS (
+      |  SELECT doc_id, lang AS actual FROM d WHERE NOT is_train
+      |), mt AS (
+      |  SELECT te.doc_id, tt.lang,
+      |    SUM(CAST(cdt AS HUGEINT)
+      |      * CAST(floor(ln(CAST(c + 1 AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)) AS s_match
+      |  FROM te JOIN tt ON te.token = tt.token
+      |  GROUP BY te.doc_id, tt.lang
+      |), base AS (
+      |  SELECT td.doc_id, td.actual, lt.lang,
+      |    COALESCE(mt.s_match, 0)
+      |      - CAST(tn.n_d AS HUGEINT)
+      |        * CAST(floor(ln(CAST(lt.t_l + (SELECT v FROM vv) AS DOUBLE))
+      |            * 100000000 + 0.5) AS BIGINT)
+      |      + CAST(floor(ln(CAST(ld.d_l AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)
+      |      AS score
+      |  FROM td
+      |  JOIN tn ON td.doc_id = tn.doc_id
+      |  CROSS JOIN lt
+      |  JOIN ld ON ld.lang = lt.lang
+      |  LEFT JOIN mt ON mt.doc_id = td.doc_id AND mt.lang = lt.lang
+      |), pr AS (
+      |  SELECT doc_id, actual, lang AS pred,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+      |  FROM base
+      |)
+      |SELECT actual AS actual_lang, pred AS pred_lang, COUNT(*) AS n_docs
+      |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d0 = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
+      lower(col("text")).as("t"),
+      (substring(md5(col("doc_id").cast("string")), 1, 1) <= "7").as("is_train"))
+    val tok = d0.select(col("doc_id"), col("lang"), col("is_train"),
+      explode(split(col("t"), " ")).as("token"))
+    val tt = tok.filter(col("is_train"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+    val lt = tt.groupBy("lang").agg(sum("c").cast("long").as("t_l"))
+    val ld = d0.filter(col("is_train")).groupBy("lang").agg(count(lit(1)).as("d_l"))
+    val vv = tt.agg(countDistinct(col("token")).as("v"))
+    val te = tok.filter(!col("is_train"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cdt"))
+    val tn = te.groupBy("doc_id").agg(sum("cdt").cast("long").as("n_d"))
+    val td = d0.filter(!col("is_train")).select(col("doc_id"), col("lang").as("actual"))
+    val mt = te.join(tt.withColumnRenamed("lang", "plang"), "token")
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(dec(col("cdt")) * Det.lnFix(col("c") + 1, 8).cast("long")).as("s_match"))
+    val langs = broadcast(lt.join(ld, "lang").crossJoin(vv))
+    val base = td.join(tn, "doc_id").crossJoin(langs)
+      .join(mt, td("doc_id") === mt("doc_id") && col("lang") === col("plang"), "left")
+      .select(td("doc_id"), col("actual"), col("lang"),
+        (coalesce(col("s_match"), lit(0).cast("decimal(38,0)"))
+          - dec(col("n_d")) * Det.lnFix(col("t_l") + col("v"), 8).cast("long")
+          + Det.lnFix(col("d_l"), 8).cast("long")).as("score"))
+    val pr = base.withColumn("rn", row_number().over(
+      Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))))
+      .filter(col("rn") === 1)
+    pr.groupBy(col("actual").as("actual_lang"), col("lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual_lang", "pred_lang")
+  }
 }
