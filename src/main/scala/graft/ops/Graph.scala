@@ -84,6 +84,77 @@ object Graph {
     }
   }
 
+  /** Fixed-round min-label propagation (connected components) over an
+    * undirected edge list: comp₀(v) = v, compₖ(v) = min(compₖ₋₁(v),
+    * min over neighbors compₖ₋₁(u)). Converges once k reaches the graph
+    * diameter; callers pick k ≥ the expected diameter, and because BOTH
+    * engines run the identical k rounds, the output is deterministic even
+    * pre-convergence. One join + one integer-MIN aggregate per round —
+    * the same BSP seam as [[pageRank]] (localCheckpoint lineage cuts);
+    * for unbounded-diameter graphs at 100 TB the pointer-jumping variant
+    * in [[Dedup.connectedComponents]] (O(log d) rounds) is the scale
+    * path — this fixed-round form exists for bounded-diameter analytics
+    * graphs where the unrolled plan is cheaper than the adaptive loop. */
+  def labelPropagate(edges: DataFrame, iters: Int): DataFrame = {
+    val fwd = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Self-loops fold the "keep own label" min into the SAME neighbor
+    // aggregate, so each round is ONE join + MIN referencing the previous
+    // round exactly once — essential for the oracle twin, where a round
+    // referencing its predecessor twice inlines exponentially in engines
+    // without CTE materialization (observed: 2^8 re-evaluations spilled
+    // DuckDB to disk), and one fewer join per round here too.
+    val symx = sym.union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      comp = symx.join(comp, symx("dst") === comp("id"))
+        .groupBy(symx("src").as("gid")).agg(min("comp").as("comp"))
+        .select(col("gid").as("id"), col("comp"))
+        .localCheckpoint()
+    }
+    comp
+  }
+
+  /** Fixed-round BFS shortest hop-distance from the minimum-id node:
+    * d₀(source) = 0, dₖ(v) = min(dₖ₋₁(v), 1 + min over neighbors
+    * dₖ₋₁(u)); unreached nodes stay NULL. Same determinism argument and
+    * BSP plan shape as [[labelPropagate]] — one relax join + integer-MIN
+    * aggregate per round, k bounds the radius explored. */
+  def bfsDist(edges: DataFrame, iters: Int): DataFrame = {
+    val fwd = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Weight-0 self-loops make the relax step a single join + MIN(d + w)
+    // (MIN skips NULL-distance neighbors in both engines; the self-loop
+    // guarantees every node keeps a row), referencing the previous round
+    // once — same linear-chain rationale as [[labelPropagate]].
+    val symw = sym.select(col("src"), col("dst"), lit(1L).as("w"))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcNode = nodes.agg(min("id").as("sid"))
+    var dist = nodes.crossJoin(broadcast(srcNode))
+      .select(col("id"),
+        when(col("id") === col("sid"), lit(0L)).otherwise(lit(null).cast("long")).as("d"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      dist = symw.join(dist, symw("dst") === dist("id"))
+        .groupBy(symw("src").as("gid")).agg(min(col("d") + col("w")).as("d"))
+        .select(col("gid").as("id"), col("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Every triangle in the undirected graph, emitted once as an ordered
     * (a < b < c) triple. Canonical-ordering enumeration: orient each edge
     * low→high, then a triangle is exactly one (a,b)-(b,c) wedge closed by

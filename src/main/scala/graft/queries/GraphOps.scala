@@ -166,4 +166,119 @@ object GraphOps extends QueryPack {
         col("shared").cast("long").as("shared"), round(j, 4).as("jaccard"))
       .orderBy("node_a", "node_b")
   }
+
+  // ---- Weight-thresholded graph for the component/path analytics ----
+  // Keeping only edges with weight ≥ 2× the exact median edge weight makes
+  // the (otherwise complete) trade graph sparse, and the RELATIVE
+  // threshold keeps it similarly sparse at every corpus scale — an
+  // absolute cut would re-densify at 10× the data. The median is the
+  // exact lower-median row (row_number selection with a full tiebreak,
+  // same device as the winsorize/IQR family) over the EDGE table — a
+  // |E|-sized frame, never the fact table.
+  private def strongTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val we = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val ww = org.apache.spark.sql.expressions.Window.orderBy("w", "src", "dst")
+    val med = we
+      .select(col("w"), row_number().over(ww).as("rn"),
+        count(lit(1)).over().as("cnt"))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("w").as("mw"))
+    we.crossJoin(broadcast(med)).filter(col("w") >= lit(2) * col("mw"))
+      .select(col("src"), col("dst"))
+  }
+
+  private val oracleStrongEdges =
+    """we AS (
+      |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_nationkey <> c.c_nationkey
+      |  GROUP BY 1, 2
+      |), med AS (
+      |  SELECT w AS mw FROM (
+      |    SELECT w, row_number() OVER (ORDER BY w, src, dst) AS rn,
+      |      COUNT(*) OVER () AS cnt FROM we
+      |  ) WHERE rn = (cnt + 1) // 2
+      |), ke AS (
+      |  SELECT src, dst FROM we WHERE w >= 2 * (SELECT mw FROM med)
+      |), sym AS (
+      |  SELECT src, dst FROM ke WHERE src <> dst
+      |  UNION SELECT dst, src FROM ke WHERE src <> dst
+      |), nodes AS (SELECT DISTINCT src AS id FROM sym)""".stripMargin
+
+  private val ccIters = 8
+
+  // Each unrolled round references its predecessor EXACTLY ONCE: the
+  // self-loop rows in symx fold "keep own label" into the same MIN, so the
+  // CTE chain stays linear under inlining. A round shaped as
+  // `CASE ... FROM c(k-1) LEFT JOIN (agg over c(k-1))` references it twice
+  // and inlines to 2^k evaluations of the whole edge-derivation join —
+  // observed to spill the oracle engine to disk at k=8.
+  private def ccRound(k: Int): String =
+    s"""c$k AS (
+       |  SELECT s.src AS id, MIN(c.comp) AS comp
+       |  FROM symx s JOIN c${k - 1} c ON s.dst = c.id GROUP BY s.src
+       |)""".stripMargin
+
+  // Connected components of the strong-trade graph — "which nation blocs
+  // only trade heavily among themselves". Fixed-round min-label BSP
+  // (rounds ≥ diameter of the thresholded graph); both engines run the
+  // IDENTICAL unrolled rounds, so the output is deterministic by
+  // construction, converged or not. The oracle unrolls the rounds as
+  // chained CTEs exactly like graph_pagerank's.
+  q("graph_cc",
+    s"""WITH $oracleStrongEdges,
+       |symx AS (SELECT src, dst FROM sym UNION ALL SELECT id, id FROM nodes),
+       |c0 AS (SELECT id, id AS comp FROM nodes),
+       |${(1 to ccIters).map(ccRound).mkString(",\n")}
+       |SELECT nn.n_name, CAST(c.comp AS BIGINT) AS component
+       |FROM c$ccIters c JOIN nation nn ON c.id = nn.n_nationkey
+       |ORDER BY component, n_name""") { (s, dir) =>
+    Graph.labelPropagate(strongTradeEdges(s, dir), ccIters)
+      .join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("comp").as("component"))
+      .orderBy("component", "n_name")
+  }
+
+  private val bfsIters = 6
+
+  // Same linear-chain device as ccRound: weight-0 self-loops in symw let
+  // MIN(d + w) express "min(own d, 1 + min neighbor d)" in one aggregate
+  // (MIN skips NULL distances in both engines), one predecessor reference.
+  private def bfsRound(k: Int): String =
+    s"""b$k AS (
+       |  SELECT s.src AS id, MIN(b.d + s.w) AS d
+       |  FROM symw s JOIN b${k - 1} b ON s.dst = b.id GROUP BY s.src
+       |)""".stripMargin
+
+  // BFS hop distance from the minimum-id node of the strong-trade graph —
+  // "how many strong-trade hops separate each bloc member from the
+  // anchor". Same unrolled fixed-round BSP as graph_cc; nodes outside the
+  // explored radius (or in another component) surface as NULL.
+  q("graph_bfs_dist",
+    s"""WITH $oracleStrongEdges,
+       |symw AS (SELECT src, dst, 1 AS w FROM sym
+       |         UNION ALL SELECT id, id, 0 FROM nodes),
+       |b0 AS (
+       |  SELECT id, CASE WHEN id = (SELECT MIN(id) FROM nodes)
+       |    THEN 0 ELSE NULL END AS d
+       |  FROM nodes
+       |),
+       |${(1 to bfsIters).map(bfsRound).mkString(",\n")}
+       |SELECT nn.n_name, CAST(b.d AS BIGINT) AS dist
+       |FROM b$bfsIters b JOIN nation nn ON b.id = nn.n_nationkey
+       |ORDER BY n_name""") { (s, dir) =>
+    Graph.bfsDist(strongTradeEdges(s, dir), bfsIters)
+      .join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("d").cast("long").as("dist"))
+      .orderBy("n_name")
+  }
 }
