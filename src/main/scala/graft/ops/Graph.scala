@@ -155,6 +155,31 @@ object Graph {
     dist
   }
 
+  /** Fixed-round k-core peel: each round drops every edge with an endpoint
+    * of current degree < k in the surviving subgraph; after `rounds` rounds
+    * the surviving nodes approximate (and, once stable, equal) the k-core.
+    * Returns (id, degree) for surviving nodes. Deterministic converged or
+    * not — both engines run the identical round count. One degree
+    * aggregate + two semi-join-shaped filters per round over the edge
+    * list; the symmetric list makes out-degree = degree, so no second
+    * aggregate is needed. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val fwd = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    for (_ <- 0 until rounds) {
+      val keep = sym.groupBy(col("src").as("kid")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("kid"))
+      sym = sym
+        .join(keep, sym("src") === keep("kid"), "left_semi")
+        .join(keep.select(col("kid").as("kid2")), sym("dst") === col("kid2"), "left_semi")
+        .localCheckpoint()
+    }
+    sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Every triangle in the undirected graph, emitted once as an ordered
     * (a < b < c) triple. Canonical-ordering enumeration: orient each edge
     * low→high, then a triangle is exactly one (a,b)-(b,c) wedge closed by

@@ -635,4 +635,30 @@ object Aggregates extends QueryPack {
         / 10000).as("kurtosis"))
       .orderBy("event_type")
   }
+
+  // Boolean and bitwise aggregate surface (bool_and/bool_or,
+  // bit_and/bit_or/bit_xor) — the SQL-parity aggregates a DQ rule engine
+  // leans on ("does EVERY row satisfy X", set-membership bitmasks).
+  // Booleans are cast to INT at the output seam (the driver's
+  // canonicalizer hashes bool presentation differently per engine — same
+  // rationale as the DECIMAL/HUGEINT bans). All codegen'd built-ins; one
+  // hash aggregate, map-side partials do the reduction.
+  q("agg_bitops",
+    """SELECT event_type,
+      |  CAST(bool_and(value > 1) AS INT) AS all_over_1,
+      |  CAST(bool_or(value > 400) AS INT) AS any_over_400,
+      |  CAST(bit_and(user_id) AS BIGINT) AS band,
+      |  CAST(bit_or(user_id) AS BIGINT) AS bor,
+      |  CAST(bit_xor(user_id) AS BIGINT) AS bxor
+      |FROM events GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("bool_and(value > 1)").cast("int").as("all_over_1"),
+        expr("bool_or(value > 400)").cast("int").as("any_over_400"),
+        expr("bit_and(user_id)").cast("long").as("band"),
+        expr("bit_or(user_id)").cast("long").as("bor"),
+        expr("bit_xor(user_id)").cast("long").as("bxor"))
+      .orderBy("event_type")
+  }
 }

@@ -248,6 +248,77 @@ object GraphOps extends QueryPack {
       .orderBy("component", "n_name")
   }
 
+  // Newman modularity of the REGION partition on the strong-trade graph —
+  // "do the heavy-trade blocs align with geography?". Exact-integer core:
+  // with M = |symmetric edge list| (= 2·edges), E2_c = both-endpoint-in-c
+  // directed edge count, D_c = degree sum, each region's contribution is
+  // (E2_c·M − D_c²)/M² and Q = Σ numerators / M² — numerators accumulate
+  // 128-bit (P16), ONE double division per output. Scale shape: two
+  // broadcast-joinable maps (node→region, node→degree) over the collapsed
+  // edge list; nothing fact-scale.
+  q("graph_modularity",
+    s"""WITH $oracleStrongEdges,
+       |cm AS (SELECT n_nationkey AS id, n_regionkey AS comp FROM nation),
+       |mm AS (SELECT COUNT(*) AS m2 FROM sym),
+       |deg AS (SELECT src AS id, COUNT(*) AS dg FROM sym GROUP BY src),
+       |dc AS (
+       |  SELECT cm.comp, SUM(dg) AS d_c
+       |  FROM deg JOIN cm ON deg.id = cm.id GROUP BY cm.comp
+       |), ec AS (
+       |  SELECT a.comp, COUNT(*) AS e2_c
+       |  FROM sym s JOIN cm a ON s.src = a.id JOIN cm b ON s.dst = b.id
+       |  WHERE a.comp = b.comp GROUP BY a.comp
+       |), nu AS (
+       |  SELECT dc.comp, COALESCE(ec.e2_c, 0) AS e2_c, dc.d_c,
+       |    CAST(COALESCE(ec.e2_c, 0) AS HUGEINT) * m2
+       |      - CAST(dc.d_c AS HUGEINT) * dc.d_c AS num, m2
+       |  FROM dc LEFT JOIN ec ON dc.comp = ec.comp CROSS JOIN mm
+       |)
+       |SELECT r.r_name, CAST(e2_c // 2 AS BIGINT) AS intra_edges,
+       |  CAST(d_c AS BIGINT) AS degree_sum,
+       |  CAST(floor(CAST(num AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+       |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS contribution,
+       |  CAST(floor(CAST((SELECT SUM(num) FROM nu) AS DOUBLE)
+       |    / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
+       |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS q_total
+       |FROM nu JOIN region r ON nu.comp = r.r_regionkey
+       |ORDER BY r_name""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val fwd = strongTradeEdges(s, dir).filter(col("src") =!= col("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val cm = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("id"), col("n_regionkey").as("comp"))
+    val mm = sym.agg(count(lit(1)).as("m2"))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+    val dc = deg.join(broadcast(cm), "id").groupBy("comp").agg(sum("dg").as("d_c"))
+    val ec = sym
+      .join(broadcast(cm.select(col("id").as("sid"), col("comp").as("ca"))),
+        col("src") === col("sid"))
+      .join(broadcast(cm.select(col("id").as("did"), col("comp").as("cb"))),
+        col("dst") === col("did"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("comp")).agg(count(lit(1)).as("e2_c"))
+    val nu = dc.join(ec, Seq("comp"), "left").crossJoin(broadcast(mm))
+      .select(col("comp"), coalesce(col("e2_c"), lit(0L)).as("e2_c"), col("d_c"),
+        (dec(coalesce(col("e2_c"), lit(0L))) * col("m2")
+          - dec(col("d_c")) * col("d_c")).as("num"), col("m2"))
+      .localCheckpoint()
+    val tot = nu.agg(sum("num").as("num_tot"))
+    nu.crossJoin(broadcast(tot))
+      .join(Tables(s, dir, "region"), col("comp") === col("r_regionkey"))
+      .select(col("r_name"),
+        expr("e2_c div 2").cast("long").as("intra_edges"),
+        col("d_c").cast("long").as("degree_sum"),
+        (floor(col("num").cast("double")
+          / (col("m2").cast("double") * col("m2").cast("double"))
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("contribution"),
+        (floor(col("num_tot").cast("double")
+          / (col("m2").cast("double") * col("m2").cast("double"))
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("q_total"))
+      .orderBy("r_name")
+  }
+
   private val bfsIters = 6
 
   // Same linear-chain device as ccRound: weight-0 self-loops in symw let
@@ -263,6 +334,42 @@ object GraphOps extends QueryPack {
   // "how many strong-trade hops separate each bloc member from the
   // anchor". Same unrolled fixed-round BSP as graph_cc; nodes outside the
   // explored radius (or in another component) surface as NULL.
+  private val kcK = 2
+  private val kcRounds = 4
+
+  // Each peel round references its predecessor ONCE by computing both
+  // endpoint degrees as window counts over the same edge scan (symmetric
+  // list ⇒ partition-by-src count IS the degree) — the same linear-chain
+  // discipline as ccRound/bfsRound, just with windows instead of a
+  // self-join so the degree filter needs no second reference.
+  private def kcRound(r: Int): String =
+    s"""e$r AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      COUNT(*) OVER (PARTITION BY src) AS ds,
+       |      COUNT(*) OVER (PARTITION BY dst) AS dd
+       |    FROM e${r - 1}
+       |  ) WHERE ds >= $kcK AND dd >= $kcK
+       |)""".stripMargin
+
+  // k-core of the strong-trade graph (k = 2, fixed 4 peel rounds) — the
+  // "mutually-committed trade bloc" skeleton: nodes kept only while ≥ k
+  // strong partners themselves survive. Deterministic converged or not;
+  // both engines run the identical rounds.
+  q("graph_kcore",
+    s"""WITH $oracleStrongEdges,
+       |e0 AS (SELECT src, dst FROM sym),
+       |${(1 to kcRounds).map(kcRound).mkString(",\n")}
+       |SELECT nn.n_name, CAST(j.degree AS BIGINT) AS degree
+       |FROM (SELECT src AS id, COUNT(*) AS degree FROM e$kcRounds GROUP BY src) j
+       |JOIN nation nn ON j.id = nn.n_nationkey
+       |ORDER BY n_name""") { (s, dir) =>
+    Graph.kCorePeel(strongTradeEdges(s, dir), kcK, kcRounds)
+      .join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("degree").cast("long").as("degree"))
+      .orderBy("n_name")
+  }
+
   q("graph_bfs_dist",
     s"""WITH $oracleStrongEdges,
        |symw AS (SELECT src, dst, 1 AS w FROM sym

@@ -1196,6 +1196,60 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Per-source unigram KL divergence vs the whole corpus — the
+  // domain-shift readout ("which source's token distribution is least like
+  // the mix it feeds"). Decomposed so ln only ever sees INTEGER counts
+  // (Det.lnFix — same rationale as text_entropy):
+  //   KL(p_s‖p) = (1/N_s)·[ Σ_term c·(ln c − ln d) + N_s·(ln N − ln N_s) ]
+  // with c = per-source term count, d = corpus term count (d ≥ c > 0, so
+  // no zero-q guard is needed). The Σ accumulates exact 128-bit integers
+  // (P16: c·lnFix6 passes int64 once a source passes ~5e11 tokens); ONE
+  // double division at the end. Plan: tf on the (source, term) key, corpus
+  // df by a second aggregate of tf on term — both shuffles on keys the
+  // data must visit anyway, nothing row-scale crosses to the driver.
+  q("text_source_kl",
+    s"""WITH tok AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents
+      |), tfs AS (
+      |  SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+      |), tfc AS (
+      |  SELECT term, SUM(c) AS d2 FROM tfs GROUP BY 1
+      |), ns AS (
+      |  SELECT source, SUM(c) AS n_s FROM tfs GROUP BY 1
+      |), nt AS (
+      |  SELECT SUM(c) AS n FROM tfs
+      |), acc AS (
+      |  SELECT source,
+      |    SUM(CAST(c AS HUGEINT) * (${Det.oLnFix("c", 6)} - ${Det.oLnFix("d2", 6)})) AS a
+      |  FROM tfs JOIN tfc USING (term) GROUP BY source
+      |)
+      |SELECT acc.source, CAST(n_s AS BIGINT) AS n_tokens,
+      |  CAST(floor(CAST(a + CAST(n_s AS HUGEINT)
+      |      * (${Det.oLnFix("n", 6)} - ${Det.oLnFix("n_s", 6)}) AS DOUBLE)
+      |    / n_s / 1000000 * 10000 + 0.5) AS DOUBLE) / 10000 AS kl
+      |FROM acc JOIN ns ON acc.source = ns.source CROSS JOIN nt
+      |ORDER BY acc.source""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val tok = graft.engine.Tables.fan(Tables(s, dir, "documents"))
+      .select(col("source"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+    val tfs = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val tfc = tfs.groupBy("term").agg(sum("c").as("d2"))
+    val ns = tfs.groupBy("source").agg(sum("c").as("n_s"))
+    val nt = tfs.agg(sum("c").as("n"))
+    val acc = tfs.join(tfc, "term")
+      .select(col("source"),
+        (dec(col("c")) * (Det.lnFix(col("c"), 6).cast("long")
+          - Det.lnFix(col("d2"), 6).cast("long"))).as("term6"))
+      .groupBy("source").agg(sum("term6").as("a"))
+    acc.join(ns, "source").crossJoin(broadcast(nt))
+      .select(col("source"), col("n_s").cast("long").as("n_tokens"),
+        (floor((col("a") + dec(col("n_s"))
+            * (Det.lnFix(col("n"), 6).cast("long")
+              - Det.lnFix(col("n_s"), 6).cast("long"))).cast("double")
+          / col("n_s") / 1000000 * 10000 + lit(0.5)).cast("double") / 10000).as("kl"))
+      .orderBy("source")
+  }
+
   // Temperature-scaled source mixing — the multilingual/multi-source
   // α-sampling rule (weight_s ∝ n_s^α, α = 0.3): upweights small sources
   // against head domination when assembling an epoch. One tiny grouped

@@ -1286,4 +1286,170 @@ object StatsOps extends QueryPack {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("actual_lang", "pred_lang")
   }
+
+  // Two-sample Kolmogorov–Smirnov D between click and purchase value
+  // distributions — the distribution-shift companion to the location tests
+  // (Welch, Mann-Whitney). Same never-rank-rows scale design as
+  // events_ab_mannwhitney: D = max_v |F1(v) − F2(v)| needs only the
+  // cent-value HISTOGRAM (domain-bounded cells) + one ordered cumsum, so
+  // the plan is a hash aggregate + windows over the tiny histogram, never
+  // a sort of the raw stream. All-integer core: the numerator
+  // |cum1·n2 − cum2·n1| is exact 128-bit (P16: promote BEFORE the product
+  // — cum·tot passes int64 once both arms pass ~3e9 rows); argmax row is
+  // picked by (num DESC, v ASC) row_number, ONE double division at the end.
+  q("events_ks_test",
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), hist AS (
+      |  SELECT v,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      |  FROM ev GROUP BY v
+      |), h2 AS (
+      |  SELECT v,
+      |    SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+      |    SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+      |    SUM(c1) OVER () AS tot1, SUM(c2) OVER () AS tot2
+      |  FROM hist
+      |), sc AS (
+      |  SELECT v, tot1, tot2,
+      |    ABS(CAST(cum1 AS HUGEINT) * tot2 - CAST(cum2 AS HUGEINT) * tot1) AS num,
+      |    row_number() OVER (ORDER BY
+      |      ABS(CAST(cum1 AS HUGEINT) * tot2 - CAST(cum2 AS HUGEINT) * tot1) DESC,
+      |      v) AS rn
+      |  FROM h2
+      |)
+      |SELECT CAST(tot1 AS BIGINT) AS n1, CAST(tot2 AS BIGINT) AS n2,
+      |  CAST(floor(CAST(num AS DOUBLE)
+      |    / (CAST(tot1 AS DOUBLE) * CAST(tot2 AS DOUBLE)) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS ks_d,
+      |  CAST(v AS DOUBLE) / 100 AS at_value
+      |FROM sc WHERE rn = 1""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("v"))
+    val hist = ev.groupBy("v").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val wc = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy()
+    val h2 = hist
+      .withColumn("cum1", sum("c1").over(wc))
+      .withColumn("cum2", sum("c2").over(wc))
+      .withColumn("tot1", sum("c1").over(wt))
+      .withColumn("tot2", sum("c2").over(wt))
+      .withColumn("num",
+        abs(dec(col("cum1")) * col("tot2") - dec(col("cum2")) * col("tot1")))
+    h2.withColumn("rn",
+        row_number().over(Window.orderBy(col("num").desc, col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("tot1").as("n1"), col("tot2").as("n2"),
+        (floor(col("num").cast("double")
+          / (col("tot1").cast("double") * col("tot2").cast("double"))
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("ks_d"),
+        (col("v").cast("double") / 100).as("at_value"))
+  }
+
+  // Two-feature OLS with intercept: daily purchase revenue (cents) ~
+  // a·clicks + b·active_users + c, solved in closed form by Cramer's rule
+  // on the normal equations. Determinism: every moment (Σx, Σx², Σxy, …)
+  // is an EXACT integer accumulated 128-bit (P16), cast to double exactly
+  // once; the determinants and coefficients are then fixed chains of
+  // IEEE ops over those nine doubles — identical expression trees on both
+  // engines (the pacf3/rolling-corr precedent), quantized only at the
+  // output. Scale shape: one day-grained aggregate over the stream (the
+  // regression itself runs on |days| rows → a 1-row frame); at any corpus
+  // size the moments stay exact and the 3×3 solve is O(1).
+  q("ml_linreg_ols",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x1,
+      |    COUNT(DISTINCT user_id) AS x2,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      |  FROM daily
+      |), d AS (
+      |  SELECT *,
+      |    s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1)
+      |      + s1 * (s12 * s2 - s22 * s1) AS det,
+      |    s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy)
+      |      + s1 * (s2y * s2 - s22 * sy) AS deta,
+      |    s11 * (s2y * n - sy * s2) - s1y * (s12 * n - s2 * s1)
+      |      + s1 * (s12 * sy - s2y * s1) AS detb,
+      |    s11 * (s22 * sy - s2 * s2y) - s12 * (s12 * sy - s2 * s1y)
+      |      + s1y * (s12 * s2 - s22 * s1) AS detc
+      |  FROM m
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(floor(deta / det * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_clicks,
+      |  CAST(floor(detb / det * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_users,
+      |  CAST(floor(detc / det * 100 + 0.5) AS DOUBLE) / 100 AS intercept,
+      |  CAST(floor((1 - (syy - deta / det * s1y - detb / det * s2y - detc / det * sy)
+      |    / (syy - sy * sy / n)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS r2
+      |FROM d""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+        countDistinct(col("user_id")).as("x2"),
+        sum(when(col("event_type") === "purchase",
+          Det.cents(col("value")).cast("long")).otherwise(0L)).as("y"))
+    val m = daily.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(col("x1"))).cast("double").as("s1"),
+      sum(dec(col("x2"))).cast("double").as("s2"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("x1")) * col("x1")).cast("double").as("s11"),
+      sum(dec(col("x1")) * col("x2")).cast("double").as("s12"),
+      sum(dec(col("x2")) * col("x2")).cast("double").as("s22"),
+      sum(dec(col("x1")) * col("y")).cast("double").as("s1y"),
+      sum(dec(col("x2")) * col("y")).cast("double").as("s2y"),
+      sum(dec(col("y")) * col("y")).cast("double").as("syy"))
+    val d = m
+      .withColumn("det",
+        col("s11") * (col("s22") * col("n") - col("s2") * col("s2"))
+          - col("s12") * (col("s12") * col("n") - col("s2") * col("s1"))
+          + col("s1") * (col("s12") * col("s2") - col("s22") * col("s1")))
+      .withColumn("deta",
+        col("s1y") * (col("s22") * col("n") - col("s2") * col("s2"))
+          - col("s12") * (col("s2y") * col("n") - col("s2") * col("sy"))
+          + col("s1") * (col("s2y") * col("s2") - col("s22") * col("sy")))
+      .withColumn("detb",
+        col("s11") * (col("s2y") * col("n") - col("sy") * col("s2"))
+          - col("s1y") * (col("s12") * col("n") - col("s2") * col("s1"))
+          + col("s1") * (col("s12") * col("sy") - col("s2y") * col("s1")))
+      .withColumn("detc",
+        col("s11") * (col("s22") * col("sy") - col("s2") * col("s2y"))
+          - col("s12") * (col("s12") * col("sy") - col("s2") * col("s1y"))
+          + col("s1y") * (col("s12") * col("s2") - col("s22") * col("s1")))
+    d.select(
+      col("n").cast("long").as("n_days"),
+      (floor(col("deta") / col("det") * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("coef_clicks"),
+      (floor(col("detb") / col("det") * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("coef_users"),
+      (floor(col("detc") / col("det") * 100 + lit(0.5)).cast("double")
+        / 100).as("intercept"),
+      (floor((lit(1) - (col("syy") - col("deta") / col("det") * col("s1y")
+          - col("detb") / col("det") * col("s2y")
+          - col("detc") / col("det") * col("sy"))
+        / (col("syy") - col("sy") * col("sy") / col("n")))
+        * 1000000 + lit(0.5)).cast("double") / 1000000).as("r2"))
+  }
 }

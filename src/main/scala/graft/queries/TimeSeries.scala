@@ -1206,4 +1206,74 @@ object TimeSeriesOps extends QueryPack {
         / (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2"))
         * 10000 + lit(0.5)) / 10000).as("pacf3"))
   }
+
+  // Single change-point per event_type over the daily-total series, by the
+  // CUSUM argmax — where the centered cumulative sum is farthest from the
+  // zero line. ALL-INTEGER score: |S_t|·n = |n·cum_t − t·tot| on cent
+  // sums (no mean, no per-step double), promoted 128-bit before the
+  // product (P16: n·cum passes int64 once day-count × daily-cents does);
+  // the argmax is a row_number pick with earliest-day tiebreak, and the
+  // only doubles are the final normalized stat + before/after mean shift,
+  // each ONE closed-form expression quantized on both engines. Scale
+  // shape: windows run over the per-(type, day) AGGREGATE (|days| rows per
+  // type), never the raw stream.
+  q("ts_changepoint",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT event_type, day, s,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    SUM(s) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    SUM(s) OVER (PARTITION BY event_type) AS tot
+      |  FROM daily
+      |), sc AS (
+      |  SELECT event_type, day, t, cum, n, tot,
+      |    ABS(CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * tot) AS score,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY
+      |      ABS(CAST(n AS HUGEINT) * cum - CAST(t AS HUGEINT) * tot) DESC,
+      |      day) AS rn
+      |  FROM w
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  strftime(day, '%Y-%m-%d') AS cp_day,
+      |  CAST(floor(CAST(score AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS cusum_stat,
+      |  CASE WHEN t < n THEN
+      |    CAST(floor((CAST(tot - cum AS DOUBLE) / (n - t)
+      |      - CAST(cum AS DOUBLE) / t) / 100 * 10000 + 0.5) AS DOUBLE) / 10000
+      |  END AS mean_shift
+      |FROM sc WHERE rn = 1
+      |ORDER BY event_type""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("s"))
+    val wp = Window.partitionBy("event_type")
+    val wo = wp.orderBy("day")
+    val w = daily
+      .withColumn("t", row_number().over(wo))
+      .withColumn("cum",
+        sum("s").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("tot", sum("s").over(wp))
+      .withColumn("score", abs(dec(col("n")) * col("cum") - dec(col("t")) * col("tot")))
+    w.withColumn("rn",
+        row_number().over(wp.orderBy(col("score").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        (floor(col("score").cast("double")
+          / (col("n").cast("double") * col("tot").cast("double"))
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("cusum_stat"),
+        when(col("t") < col("n"),
+          floor(((col("tot") - col("cum")).cast("double") / (col("n") - col("t"))
+            - col("cum").cast("double") / col("t")) / 100 * 10000 + lit(0.5))
+            .cast("double") / 10000).as("mean_shift"))
+      .orderBy("event_type")
+  }
 }
