@@ -496,4 +496,44 @@ object Extras extends QueryPack {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("bucket")
   }
+
+  // Incremental-load watermark planner: with the high watermark at
+  // max(o_orderdate) − 30 days, report per month-partition how much is
+  // already closed (immutable — skippable on the next incremental run) vs
+  // still in the hot window, plus the next watermark to persist. The
+  // month grain mirrors how a 100 TB fact table is date-partitioned: the
+  // planner's output IS the partition-pruning list for the next run; one
+  // grouped aggregate + a 1-row broadcast max, nothing row-scale moves.
+  q("etl_incremental_watermark",
+    """WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+      |g AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN o_orderdate > maxd - INTERVAL 30 DAY THEN 1 ELSE 0 END) AS n_hot,
+      |    MAX(o_orderdate) AS mdate, MAX(maxd) AS maxd
+      |  FROM orders CROSS JOIN mx
+      |  GROUP BY 1
+      |)
+      |SELECT strftime(month, '%Y-%m-%d') AS month,
+      |  CAST(n_rows AS BIGINT) AS n_rows, CAST(n_hot AS BIGINT) AS n_hot,
+      |  CAST(CASE WHEN mdate <= maxd - INTERVAL 30 DAY THEN 1 ELSE 0 END AS INT)
+      |    AS is_closed,
+      |  strftime(maxd, '%Y-%m-%d') AS next_watermark
+      |FROM g ORDER BY month""") { (s, dir) =>
+    val orders = Tables(s, dir, "orders").select(col("o_orderdate"))
+    val mx = orders.agg(max("o_orderdate").as("maxd"))
+    orders.crossJoin(broadcast(mx))
+      .groupBy(trunc(col("o_orderdate"), "month").as("month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderdate") > date_sub(col("maxd"), 30), 1L)
+          .otherwise(0L)).as("n_hot"),
+        max("o_orderdate").as("mdate"), max("maxd").as("maxd"))
+      .select(date_format(col("month"), "yyyy-MM-dd").as("month"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_hot").cast("long").as("n_hot"),
+        when(col("mdate") <= date_sub(col("maxd"), 30), 1).otherwise(0)
+          .cast("int").as("is_closed"),
+        date_format(col("maxd"), "yyyy-MM-dd").as("next_watermark"))
+      .orderBy("month")
+  }
 }

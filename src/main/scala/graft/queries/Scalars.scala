@@ -427,4 +427,30 @@ object Scalars extends QueryPack {
         (oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L).as("subnet24"))
       .orderBy("o_orderkey")
   }
+
+  // Bitwise scalar surface: AND/OR/XOR, shifts, popcount — the hash-/
+  // bitmap-manipulation primitives (all codegen'd integer ops). Engine
+  // seam: DuckDB's `^` is exponentiation, so XOR is spelled xor() there
+  // and `^` on the Spark side; semantics are identical two's-complement.
+  q("fn_bits",
+    """SELECT o_orderkey,
+      |  o_orderkey & 2047 AS band,
+      |  o_orderkey | 4096 AS bor,
+      |  xor(o_orderkey, 1365) AS bxor,
+      |  o_orderkey << 3 AS shl,
+      |  o_orderkey >> 2 AS shr,
+      |  CAST(bit_count(o_orderkey) AS INT) AS popcount
+      |FROM orders WHERE o_orderkey <= 600
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .filter(col("o_orderkey") <= 600)
+      .select(col("o_orderkey"),
+        expr("o_orderkey & 2047").as("band"),
+        expr("o_orderkey | 4096").as("bor"),
+        expr("o_orderkey ^ 1365").as("bxor"),
+        expr("shiftleft(o_orderkey, 3)").as("shl"),
+        expr("shiftright(o_orderkey, 2)").as("shr"),
+        expr("bit_count(o_orderkey)").cast("int").as("popcount"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -250,6 +250,62 @@ object Streaming extends QueryPack {
       .orderBy("src", "dst")
   }
 
+  // Entropy rate of the user-journey Markov chain — how predictable is the
+  // next event given the current one (0 = deterministic funnels, ln k =
+  // uniform noise). Per-state conditional entropy H_s and the
+  // count-weighted global rate, decomposed so ln only sees INTEGER counts
+  // (Det.lnFix, the text_entropy device): H_s = Σ_t c_st·(lnFix c_s −
+  // lnFix c_st) / c_s; Σ accumulates exact 128-bit (P16), ONE double
+  // division per output. Plan: the lag window on (user, ts) the
+  // transitions need anyway, then k²-cell aggregates — nothing row-scale
+  // past the first shuffle.
+  q("events_entropy_rate",
+    s"""WITH tr AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events
+      |), c AS (
+      |  SELECT src, dst, COUNT(*) AS cst FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2
+      |), cs AS (
+      |  SELECT src, SUM(cst) AS c_s FROM c GROUP BY 1
+      |), h AS (
+      |  SELECT c.src,
+      |    SUM(CAST(cst AS HUGEINT)
+      |      * (${Det.oLnFix("c_s", 6)} - ${Det.oLnFix("cst", 6)})) AS h6
+      |  FROM c JOIN cs ON c.src = cs.src GROUP BY c.src
+      |), tot AS (
+      |  SELECT SUM(h6) AS h6_tot, SUM(c_s) AS n FROM h JOIN cs ON h.src = cs.src
+      |)
+      |SELECT h.src, CAST(c_s AS BIGINT) AS n_out,
+      |  CAST(floor(CAST(h6 AS DOUBLE) / c_s / 1000000 * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS h_cond,
+      |  CAST(floor(CAST(h6_tot AS DOUBLE) / n / 1000000 * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS entropy_rate
+      |FROM h JOIN cs ON h.src = cs.src CROSS JOIN tot
+      |ORDER BY h.src""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = Tables(s, dir, "events")
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+    val c = tr.groupBy("src", "dst").agg(count(lit(1)).as("cst"))
+    val cs = c.groupBy("src").agg(sum("cst").as("c_s"))
+    val h = c.join(cs, "src")
+      .select(col("src"),
+        (dec(col("cst")) * (Det.lnFix(col("c_s"), 6).cast("long")
+          - Det.lnFix(col("cst"), 6).cast("long"))).as("t6"))
+      .groupBy("src").agg(sum("t6").as("h6"))
+    val tot = h.join(cs, "src").agg(sum("h6").as("h6_tot"), sum("c_s").as("n"))
+    h.join(cs, "src").crossJoin(broadcast(tot))
+      .select(col("src"), col("c_s").cast("long").as("n_out"),
+        (floor(col("h6").cast("double") / col("c_s") / 1000000 * 10000
+          + lit(0.5)).cast("double") / 10000).as("h_cond"),
+        (floor(col("h6_tot").cast("double") / col("n") / 1000000 * 10000
+          + lit(0.5)).cast("double") / 10000).as("entropy_rate"))
+      .orderBy("src")
+  }
+
   // DAU / trailing-28-day MAU / stickiness — the engagement dashboard
   // staple. Exact distinct counts both days; the MAU side avoids a
   // sliding DISTINCT window (unsupported and quadratic) by exploding each

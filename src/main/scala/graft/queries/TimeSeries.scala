@@ -1217,6 +1217,82 @@ object TimeSeriesOps extends QueryPack {
   // each ONE closed-form expression quantized on both engines. Scale
   // shape: windows run over the per-(type, day) AGGREGATE (|days| rows per
   // type), never the raw stream.
+  // One-way ANOVA of daily revenue across the 7 weekdays — "is there a
+  // day-of-week effect in the mean, not just the seasonal index". The
+  // 7 groups are FIXED ARITY, so SSB is a closed-form expression over 14
+  // named columns (s0²/n0 + … + s6²/n6 − S²/N, written in the identical
+  // left-to-right order on both engines) — never an aggregation over
+  // per-group doubles, which would be order-nondeterministic. Group sums
+  // are exact integers (v² promoted 128-bit per P16) cast to double once.
+  // Weekday from the sign-safe ((diff % 7) + 7) % 7 anchor form.
+  q("ts_anova_dow",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(((datediff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INT) AS dow,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS q,
+      |    CAST(SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+      |    CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+      |    CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+      |    CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS DOUBLE) AS n3,
+      |    CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS DOUBLE) AS n4,
+      |    CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS DOUBLE) AS n5,
+      |    CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS DOUBLE) AS n6,
+      |    CAST(SUM(CASE WHEN dow = 0 THEN CAST(v AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s0,
+      |    CAST(SUM(CASE WHEN dow = 1 THEN CAST(v AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s1,
+      |    CAST(SUM(CASE WHEN dow = 2 THEN CAST(v AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s2,
+      |    CAST(SUM(CASE WHEN dow = 3 THEN CAST(v AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s3,
+      |    CAST(SUM(CASE WHEN dow = 4 THEN CAST(v AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s4,
+      |    CAST(SUM(CASE WHEN dow = 5 THEN CAST(v AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s5,
+      |    CAST(SUM(CASE WHEN dow = 6 THEN CAST(v AS HUGEINT) ELSE 0 END) AS DOUBLE) AS s6
+      |  FROM daily
+      |), f AS (
+      |  SELECT n,
+      |    s0 * s0 / n0 + s1 * s1 / n1 + s2 * s2 / n2 + s3 * s3 / n3
+      |      + s4 * s4 / n4 + s5 * s5 / n5 + s6 * s6 / n6 - s * s / n AS ssb,
+      |    q - s * s / n AS sst
+      |  FROM m
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(floor((ssb / 6) / ((sst - ssb) / (n - 7)) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS f_stat,
+      |  CAST(floor(ssb / sst * 10000 + 0.5) AS DOUBLE) / 10000 AS eta_sq
+      |FROM f""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        ((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7 + 7) % 7).cast("int").as("dow"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("v"))
+    def ng(g: Int) = sum(when(col("dow") === g, 1L).otherwise(0L))
+      .cast("double").as(s"n$g")
+    def sg(g: Int) = sum(when(col("dow") === g, dec(col("v")))
+      .otherwise(lit(0).cast("decimal(38,0)"))).cast("double").as(s"s$g")
+    val m = daily.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(col("v"))).cast("double").as("s"),
+      sum(dec(col("v")) * col("v")).cast("double").as("q"),
+      ng(0), ng(1), ng(2), ng(3), ng(4), ng(5), ng(6),
+      sg(0), sg(1), sg(2), sg(3), sg(4), sg(5), sg(6))
+    val f = m.select(col("n"), col("q"), col("s"),
+      (col("s0") * col("s0") / col("n0") + col("s1") * col("s1") / col("n1")
+        + col("s2") * col("s2") / col("n2") + col("s3") * col("s3") / col("n3")
+        + col("s4") * col("s4") / col("n4") + col("s5") * col("s5") / col("n5")
+        + col("s6") * col("s6") / col("n6")
+        - col("s") * col("s") / col("n")).as("ssb"),
+      (col("q") - col("s") * col("s") / col("n")).as("sst"))
+    f.select(col("n").cast("long").as("n_days"),
+      (floor((col("ssb") / 6) / ((col("sst") - col("ssb")) / (col("n") - 7))
+        * 10000 + lit(0.5)).cast("double") / 10000).as("f_stat"),
+      (floor(col("ssb") / col("sst") * 10000 + lit(0.5)).cast("double")
+        / 10000).as("eta_sq"))
+  }
+
   q("ts_changepoint",
     """WITH daily AS (
       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
