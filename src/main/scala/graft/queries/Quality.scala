@@ -1256,5 +1256,75 @@ object QualityOps extends QueryPack {
       .orderBy("vec_id")
   }
 
-
+  // Multi-key entity resolution: records link if they share EITHER the
+  // canonical URL (llm_url_dedup's synthesis + canonicalization) OR the
+  // exact content fingerprint (md5), and linkage is transitive across key
+  // types — the record-linkage step exact-single-key dedup can't express.
+  // Scale design: per key group we emit STAR edges to the min-doc (|group|
+  // edges, never the quadratic within-group pairs), then one min-label CC
+  // over the union; the oracle re-derives components with the recursive
+  // transitive-closure CTE (llm_dedup_cluster's device). Singleton records
+  // resolve to themselves via the left join.
+  q("llm_entity_resolution",
+    """WITH RECURSIVE u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.COM:443/d/'
+      |      || CAST(doc_id % 7 AS VARCHAR) || '?utm_campaign=c'
+      |      || CAST(doc_id % 3 AS VARCHAR) || '&id='
+      |      || CAST(doc_id % 50 AS VARCHAR) || '&ref=feed#top' AS url
+      |  FROM documents
+      |), cu AS (
+      |  SELECT doc_id,
+      |    replace(replace(lower(split_part(split_part(url, '#', 1), '?', 1)),
+      |      ':443/', '/'), '://www.', '://') AS base,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(split_part(split_part(url, '#', 1), '?', 2), '&'),
+      |      p -> NOT (p LIKE 'utm!_%' ESCAPE '!' OR p LIKE 'ref=%'))), '&') AS cq
+      |  FROM u
+      |), ck AS (
+      |  SELECT doc_id, 'u:' || base
+      |    || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS k
+      |  FROM cu
+      |  UNION ALL
+      |  SELECT doc_id, 'm:' || md5(text) AS k FROM documents
+      |), roots AS (
+      |  SELECT k, MIN(doc_id) AS root FROM ck GROUP BY k
+      |), pairs AS (
+      |  SELECT ck.doc_id AS id_a, root AS id_b
+      |  FROM ck JOIN roots ON ck.k = roots.k WHERE ck.doc_id <> root
+      |), ed AS (
+      |  SELECT DISTINCT id_a AS s, id_b AS d FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT s AS id, d AS r FROM ed
+      |  UNION
+      |  SELECT reach.id, ed.d AS r FROM reach JOIN ed ON reach.r = ed.s
+      |), cl AS (
+      |  SELECT id, least(id, MIN(r)) AS cluster FROM reach GROUP BY id
+      |)
+      |SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS entity_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY COALESCE(cl.cluster, d.doc_id))
+      |    AS BIGINT) AS entity_size
+      |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+      |ORDER BY d.doc_id""") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val u = docs.select(col("doc_id"), concat(lit("HTTPS://WWW."), col("source"),
+      lit(".Example.COM:443/d/"), (col("doc_id") % 7).cast("string"),
+      lit("?utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+      lit("&id="), (col("doc_id") % 50).cast("string"),
+      lit("&ref=feed#top")).as("url"))
+    val ck = u.select(col("doc_id"),
+        concat(lit("u:"), TextOps.urlCanon(col("url"))).as("k"))
+      .union(docs.select(col("doc_id"), concat(lit("m:"), md5(col("text"))).as("k")))
+    val roots = ck.groupBy("k").agg(min("doc_id").as("root"))
+    val pairs = ck.join(roots, "k").filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("id_a"), col("root").as("id_b")).distinct()
+    val cl = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val ent = docs.select(col("doc_id"))
+      .join(cl, docs("doc_id") === cl("id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("entity_id"))
+    ent.withColumn("entity_size",
+        count(lit(1)).over(Window.partitionBy("entity_id")).cast("long"))
+      .orderBy("doc_id")
+  }
 }

@@ -362,4 +362,34 @@ object Windows extends QueryPack {
         sum("first_seen").over(wr).cast("long").as("n_types_so_far"))
       .orderBy("user_id", "event_id")
   }
+
+  // TIME-interval RANGE frame: per-user trailing-72-hour spend and event
+  // count at every purchase — the time-windowed feature a resample can't
+  // give (each row gets ITS OWN trailing window, not a calendar bucket).
+  // Both engines frame on epoch-MICROsecond numeric range (±0 skew: a
+  // RANGE INTERVAL frame over raw timestamps and a numeric frame over
+  // epoch_us admit identical peers), so sub-second timestamps can never
+  // split the frame differently. Scale: one shuffle on user_id, frames
+  // computed in a single pass per partition — never a self-join.
+  q("win_time_range",
+    """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100
+      |    AS spend_72h,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_72h
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+      |  RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_us, event_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-259200000000L, 0L)
+    Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (sum(Det.cents(col("value")).cast("long")).over(w).cast("double") / 100)
+          .as("spend_72h"),
+        count(lit(1)).over(w).cast("long").as("n_72h"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
 }
