@@ -180,6 +180,20 @@ object ScaleStress {
       ops.Dedup.connectedComponents(chainEdges, "id_a", "id_b", maxIter = 40)
         .agg(countDistinct(col("cluster"))).collect()(0).getLong(0))
 
+    // fixed-round graph BSP family (ops/Graph): per-round cost is one
+    // join + one aggregate over the symmetric edge list, independent of
+    // convergence — the chain fixture (640k nodes / 620k edges) times the
+    // per-round constant at ~50x the graded edge count
+    time("labelPropagate 8 rounds chain graph (620k edges)")(
+      ops.Graph.labelPropagate(
+        chainEdges.select(col("id_a").as("src"), col("id_b").as("dst")), 8).count())
+    time("bfsDist 6 rounds chain graph (620k edges)")(
+      ops.Graph.bfsDist(
+        chainEdges.select(col("id_a").as("src"), col("id_b").as("dst")), 6).count())
+    time("kCorePeel k=2 4 rounds chain graph (620k edges)")(
+      ops.Graph.kCorePeel(
+        chainEdges.select(col("id_a").as("src"), col("id_b").as("dst")), 2, 4).count())
+
     // BPE merge training: the loop is argued vocab-bounded (corpus reduces
     // to a pair-count table after one aggregation; each round is one
     // argmax + one fold over that table, corpus rows never re-enter) —

@@ -319,6 +319,59 @@ object GraphOps extends QueryPack {
       .orderBy("r_name")
   }
 
+  // Degree assortativity of the strong-trade graph — Pearson correlation
+  // of endpoint degrees over the symmetric edge list (negative =
+  // hub-to-leaf "exporter feeds satellites" topology). Exact-integer
+  // moments (degrees joined onto edges, 128-bit Σxy/Σx²; P16) cast to
+  // double once; r is one closed-form chain incl. IEEE sqrt (correctly
+  // rounded, engine-identical). Degree map broadcasts over the edge list.
+  q("graph_assortativity",
+    s"""WITH $oracleStrongEdges,
+       |deg AS (SELECT src AS id, COUNT(*) AS dg FROM sym GROUP BY src),
+       |xy AS (
+       |  SELECT a.dg AS x, b.dg AS y
+       |  FROM sym s JOIN deg a ON s.src = a.id JOIN deg b ON s.dst = b.id
+       |), m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS mm,
+       |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+       |    CAST(COUNT(*) AS BIGINT) AS m_directed
+       |  FROM xy
+       |)
+       |SELECT CAST(m_directed // 2 AS BIGINT) AS m_edges,
+       |  CAST(floor((mm * sxy - sx * sy)
+       |    / sqrt((mm * sxx - sx * sx) * (mm * syy - sy * sy))
+       |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS assortativity
+       |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val fwd = strongTradeEdges(s, dir).filter(col("src") =!= col("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+    val xy = sym
+      .join(broadcast(deg.select(col("id").as("ia"), col("dg").as("x"))),
+        col("src") === col("ia"))
+      .join(broadcast(deg.select(col("id").as("ib"), col("dg").as("y"))),
+        col("dst") === col("ib"))
+      .select(col("x"), col("y"))
+    val m = xy.agg(
+      count(lit(1)).cast("double").as("mm"),
+      sum(dec(col("x"))).cast("double").as("sx"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("x")) * col("y")).cast("double").as("sxy"),
+      sum(dec(col("x")) * col("x")).cast("double").as("sxx"),
+      sum(dec(col("y")) * col("y")).cast("double").as("syy"),
+      count(lit(1)).cast("long").as("m_directed"))
+    m.select(expr("m_directed div 2").cast("long").as("m_edges"),
+      (floor((col("mm") * col("sxy") - col("sx") * col("sy"))
+        / sqrt((col("mm") * col("sxx") - col("sx") * col("sx"))
+          * (col("mm") * col("syy") - col("sy") * col("sy")))
+        * 1000000 + lit(0.5)).cast("double") / 1000000).as("assortativity"))
+  }
+
   private val bfsIters = 6
 
   // Same linear-chain device as ccRound: weight-0 self-loops in symw let

@@ -1394,14 +1394,19 @@ object StatsOps extends QueryPack {
       |    s11 * (s22 * sy - s2 * s2y) - s12 * (s12 * sy - s2 * s1y)
       |      + s1y * (s12 * s2 - s22 * s1) AS detc
       |  FROM m
+      |), r AS (
+      |  SELECT y - (deta / det * x1 + detb / det * x2 + detc / det) AS e
+      |  FROM daily CROSS JOIN d
+      |), sse AS (
+      |  SELECT SUM(CAST(floor(e * e + 0.5) AS HUGEINT)) AS sse FROM r
       |)
       |SELECT CAST(n AS BIGINT) AS n_days,
       |  CAST(floor(deta / det * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_clicks,
       |  CAST(floor(detb / det * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_users,
       |  CAST(floor(detc / det * 100 + 0.5) AS DOUBLE) / 100 AS intercept,
-      |  CAST(floor((1 - (syy - deta / det * s1y - detb / det * s2y - detc / det * sy)
-      |    / (syy - sy * sy / n)) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS r2
-      |FROM d""") { (s, dir) =>
+      |  CAST(floor((1 - CAST(sse AS DOUBLE) / (syy - sy * sy / n))
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS r2
+      |FROM d CROSS JOIN sse""") { (s, dir) =>
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val daily = Tables(s, dir, "events")
       .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
@@ -1438,7 +1443,20 @@ object StatsOps extends QueryPack {
         col("s11") * (col("s22") * col("sy") - col("s2") * col("s2y"))
           - col("s12") * (col("s12") * col("sy") - col("s2") * col("s1y"))
           + col("s1y") * (col("s12") * col("s2") - col("s22") * col("s1")))
-    d.select(
+    // SSE by a second residual pass, NOT the one-pass syy − a·s1y − …
+    // identity: with a near-singular system (collinear features at tiny
+    // fixtures) the identity cancels catastrophically and can even go
+    // negative; Σ floor(e²+0.5) is exact-integer, non-negative, and keeps
+    // r2 ≤ 1 by construction. Per-day residual² must stay under 2^53 for
+    // the floored double to be integer-exact — ~9×10^7 currency units of
+    // daily miss, far past any realistic series.
+    val r = daily.crossJoin(broadcast(d))
+      .select((col("y") - (col("deta") / col("det") * col("x1")
+        + col("detb") / col("det") * col("x2")
+        + col("detc") / col("det"))).as("e"))
+    val sse = r.agg(sum(floor(col("e") * col("e") + lit(0.5))
+      .cast("decimal(38,0)")).as("sse"))
+    d.crossJoin(broadcast(sse)).select(
       col("n").cast("long").as("n_days"),
       (floor(col("deta") / col("det") * 1000000 + lit(0.5)).cast("double")
         / 1000000).as("coef_clicks"),
@@ -1446,9 +1464,7 @@ object StatsOps extends QueryPack {
         / 1000000).as("coef_users"),
       (floor(col("detc") / col("det") * 100 + lit(0.5)).cast("double")
         / 100).as("intercept"),
-      (floor((lit(1) - (col("syy") - col("deta") / col("det") * col("s1y")
-          - col("detb") / col("det") * col("s2y")
-          - col("detc") / col("det") * col("sy"))
+      (floor((lit(1) - col("sse").cast("double")
         / (col("syy") - col("sy") * col("sy") / col("n")))
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("r2"))
   }

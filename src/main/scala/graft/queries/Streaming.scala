@@ -250,6 +250,61 @@ object Streaming extends QueryPack {
       .orderBy("src", "dst")
   }
 
+  // Per-user token-bucket rate limiting over the event stream (cap 5,
+  // refill 1 token per 100 s, cost 1): the quota-enforcement decision
+  // every ingestion edge makes, replayed as a batch operator. ALL-INTEGER
+  // recurrence — refilled = min(cap, tok + Δus div 10^8), admit =
+  // refilled ≥ 1, tok' = refilled − admit — folded per user inside ONE
+  // aggregate() HOF over the time-sorted event array (the ts_cusum
+  // seam); the oracle replays the identical recurrence as a per-user
+  // recursive CTE. The min() makes this inexpressible as any window sum.
+  q("events_rate_limit",
+    """WITH RECURSIVE d AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, event_id, us, rn, 1 AS admit, CAST(4 AS BIGINT) AS tok
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.user_id, d.event_id, d.us, d.rn,
+      |    CASE WHEN least(5, r.tok + (d.us - r.us) // 100000000) >= 1
+      |         THEN 1 ELSE 0 END,
+      |    least(5, r.tok + (d.us - r.us) // 100000000)
+      |      - CASE WHEN least(5, r.tok + (d.us - r.us) // 100000000) >= 1
+      |             THEN 1 ELSE 0 END
+      |  FROM d JOIN r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+      |)
+      |SELECT user_id, event_id, CAST(admit AS INT) AS admitted,
+      |  CAST(tok AS BIGINT) AS tokens_after
+      |FROM r ORDER BY user_id, event_id""") { (s, dir) =>
+    val folded = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("us"), col("event_id")))).as("xs"))
+      .withColumn("st", expr(
+        """aggregate(xs,
+          |  CAST(array() AS array<struct<event_id:bigint,us:bigint,admit:int,tok:bigint>>),
+          |  (acc, e) -> array_append(acc, named_struct(
+          |    'event_id', e.event_id, 'us', e.us,
+          |    'admit', CASE WHEN (CASE WHEN size(acc) = 0 THEN CAST(5 AS BIGINT)
+          |        ELSE least(CAST(5 AS BIGINT), element_at(acc, -1).tok
+          |          + ((e.us - element_at(acc, -1).us) div 100000000)) END) >= 1
+          |      THEN 1 ELSE 0 END,
+          |    'tok', (CASE WHEN size(acc) = 0 THEN CAST(5 AS BIGINT)
+          |        ELSE least(CAST(5 AS BIGINT), element_at(acc, -1).tok
+          |          + ((e.us - element_at(acc, -1).us) div 100000000)) END)
+          |      - (CASE WHEN (CASE WHEN size(acc) = 0 THEN CAST(5 AS BIGINT)
+          |        ELSE least(CAST(5 AS BIGINT), element_at(acc, -1).tok
+          |          + ((e.us - element_at(acc, -1).us) div 100000000)) END) >= 1
+          |      THEN 1 ELSE 0 END))))""".stripMargin))
+    folded.select(col("user_id"), explode(col("st")).as("e"))
+      .select(col("user_id"), col("e.event_id").as("event_id"),
+        col("e.admit").cast("int").as("admitted"),
+        col("e.tok").cast("long").as("tokens_after"))
+      .orderBy("user_id", "event_id")
+  }
+
   // Entropy rate of the user-journey Markov chain — how predictable is the
   // next event given the current one (0 = deterministic funnels, ln k =
   // uniform noise). Per-state conditional entropy H_s and the

@@ -1217,6 +1217,62 @@ object TimeSeriesOps extends QueryPack {
   // each ONE closed-form expression quantized on both engines. Scale
   // shape: windows run over the per-(type, day) AGGREGATE (|days| rows per
   // type), never the raw stream.
+  // Bollinger band breakouts per user: trailing-7-day rolling mean ± 2σ
+  // over the daily-mean series, flagging days outside the band — the
+  // σ-band cousin of win_hampel's MAD gate. Frame moments (Σv, Σv², n)
+  // are exact integers in 4-dp fixed point; mean/σ/flag are per-row
+  // closed-form doubles with identical trees (the unquantized-comparison
+  // P14 device — only displayed columns are quantized). One shuffle on
+  // user_id; frames single-pass over the per-day aggregate.
+  q("ts_bollinger",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS BIGINT) AS v4
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT user_id, day, v4,
+      |    SUM(v4) OVER fr AS sw,
+      |    SUM(CAST(v4 AS HUGEINT) * v4) OVER fr AS qw,
+      |    COUNT(*) OVER fr AS nw
+      |  FROM daily
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(v4 AS DOUBLE) / 10000 AS x,
+      |  CAST(floor(CAST(sw AS DOUBLE) / nw + 0.5) AS DOUBLE) / 10000 AS mid,
+      |  CAST(floor(CAST(sw AS DOUBLE) / nw
+      |    + 2 * sqrt((CAST(qw AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / nw) / nw)
+      |    + 0.5) AS DOUBLE) / 10000 AS upper_band,
+      |  CAST(CASE WHEN abs(CAST(v4 AS DOUBLE) - CAST(sw AS DOUBLE) / nw)
+      |    > 2 * sqrt((CAST(qw AS DOUBLE) - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / nw) / nw)
+      |    THEN 1 ELSE 0 END AS INT) AS breakout
+      |FROM w ORDER BY user_id, day""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("day"),
+        floor(col("s1").cast("double") / 10000 / col("cnt") * 10000 + lit(0.5))
+          .cast("long").as("v4"))
+    val fr = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    val w = daily
+      .withColumn("sw", sum("v4").over(fr))
+      .withColumn("qw", sum(dec(col("v4")) * col("v4")).over(fr))
+      .withColumn("nw", count(lit(1)).over(fr))
+    val mean = col("sw").cast("double") / col("nw")
+    val sig = sqrt((col("qw").cast("double")
+      - col("sw").cast("double") * col("sw").cast("double") / col("nw")) / col("nw"))
+    w.select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("v4").cast("double") / 10000).as("x"),
+        (floor(mean + lit(0.5)).cast("double") / 10000).as("mid"),
+        (floor(mean + lit(2) * sig + lit(0.5)).cast("double") / 10000).as("upper_band"),
+        when(abs(col("v4").cast("double") - mean) > lit(2) * sig, 1)
+          .otherwise(0).cast("int").as("breakout"))
+      .orderBy("user_id", "day")
+  }
+
   // One-way ANOVA of daily revenue across the 7 weekdays — "is there a
   // day-of-week effect in the mean, not just the seasonal index". The
   // 7 groups are FIXED ARITY, so SSB is a closed-form expression over 14

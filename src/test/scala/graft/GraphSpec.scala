@@ -67,6 +67,41 @@ class GraphSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("labelPropagate finds the two components of a disconnected graph") {
+    // component {1,2,3} (triangle) and {10,11} (single edge); 8 rounds far
+    // exceeds both diameters, so labels are fully converged minima
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)).toDF("src", "dst")
+    val comp = Graph.labelPropagate(edges, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("labelPropagate pre-convergence is the exact k-round min-spread") {
+    // path 1-2-3-4-5: after ONE round each node has min(self, neighbors)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val comp = Graph.labelPropagate(edges, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("bfsDist: hop distances from the min node; unreached stays null") {
+    // path 1-2-3 plus isolated pair 8-9; source = min id = 1
+    val edges = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("src", "dst")
+    val d = Graph.bfsDist(edges, 4).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 8L -> -1L, 9L -> -1L))
+  }
+
+  test("kCorePeel removes tails but keeps the 2-core cycle") {
+    // triangle {1,2,3} with pendant chain 3-4-5: the chain peels off in
+    // two rounds, the triangle survives with degree 2 everywhere
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graph.kCorePeel(edges, 2, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("graded trade-graph queries run on sf0.001 and agree on the edge set") {
     val pr = SparkEntry.queries("graph_pagerank")(spark, sf)
     assert(pr.count() > 0)

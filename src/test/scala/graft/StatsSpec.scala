@@ -118,4 +118,51 @@ class StatsSpec extends SparkSpec {
       assert(rho >= -1.0 && rho <= 1.0, s"r$k out of range")
     }
   }
+
+  test("events_ks_test: D is a probability distance in [0,1] and the " +
+    "attained value is a real observed cent value") {
+    val r = run("events_ks_test").collect().head
+    val d = r.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Long]("n1") > 0 && r.getAs[Long]("n2") > 0)
+    // at_value is cents/100 → re-scaling must give an integer
+    val v = r.getAs[Double]("at_value") * 100
+    assert(math.abs(v - math.rint(v)) < 1e-9)
+  }
+
+  test("ts_anova_dow: eta² in [0,1] and F non-negative") {
+    val r = SparkEntry.queries("ts_anova_dow")(spark, sf).collect().head
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0.0 && eta <= 1.0)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+  }
+
+  test("ml_linreg_ols: R² ≤ 1 and the fit explains no more than all " +
+    "variance") {
+    val r = run("ml_linreg_ols").collect().head
+    assert(r.getAs[Double]("r2") <= 1.0 + 1e-9)
+    assert(r.getAs[Long]("n_days") > 10)
+  }
+
+  test("events_rate_limit: tokens stay within [0, cap) after a consume " +
+    "and the first event per user is always admitted") {
+    val rows = SparkEntry.queries("events_rate_limit")(spark, sf).collect()
+    assert(rows.forall { r =>
+      val t = r.getAs[Long]("tokens_after"); t >= 0L && t <= 4L
+    })
+    val firstByUser = rows.groupBy(_.getAs[Long]("user_id")).view
+      .mapValues(_.minBy(_.getAs[Long]("event_id"))).toMap
+    assert(firstByUser.values.forall(_.getAs[Int]("admitted") == 1))
+  }
+
+  test("events_entropy_rate: conditional entropies are non-negative and " +
+    "the global rate is a count-weighted mean of them") {
+    val rows = SparkEntry.queries("events_entropy_rate")(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("h_cond") >= 0.0))
+    val n = rows.map(_.getAs[Long]("n_out")).sum.toDouble
+    val mix = rows.map(r => r.getAs[Long]("n_out") * r.getAs[Double]("h_cond")).sum / n
+    val rate = rows.head.getAs[Double]("entropy_rate")
+    // both 4-dp quantized from the same exact integers — agree to ~1e-3
+    assert(math.abs(mix - rate) < 2e-3, s"mix=$mix rate=$rate")
+  }
 }
