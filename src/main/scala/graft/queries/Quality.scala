@@ -1256,6 +1256,82 @@ object QualityOps extends QueryPack {
       .orderBy("vec_id")
   }
 
+  // Temporal distribution drift per event_type: two-sample KS D between
+  // the first 45 days and the rest — the shape-sensitive companion to
+  // dq_drift_psi's binned divergence (PSI misses tail shifts that keep
+  // bin masses; KS is bin-free). Same never-rank-rows device as
+  // events_ks_test, partitioned by type: cent-value histograms + ordered
+  // cumsum windows, exact 128-bit numerator, argmax via row_number.
+  q("dq_drift_ks",
+    """WITH mn AS (SELECT MIN(ts) AS t0 FROM events),
+      |b AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN ts < t0 + INTERVAL 45 DAY THEN 1 ELSE 0 END AS early
+      |  FROM events CROSS JOIN mn
+      |), hist AS (
+      |  SELECT event_type, v,
+      |    SUM(early) AS c1, SUM(1 - early) AS c2
+      |  FROM b GROUP BY event_type, v
+      |), h2 AS (
+      |  SELECT event_type, v,
+      |    SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2,
+      |    SUM(c1) OVER p AS tot1, SUM(c2) OVER p AS tot2
+      |  FROM hist
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  p AS (PARTITION BY event_type)
+      |), sc AS (
+      |  SELECT event_type, v, tot1, tot2,
+      |    ABS(CAST(cum1 AS HUGEINT) * tot2 - CAST(cum2 AS HUGEINT) * tot1) AS num,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY
+      |      ABS(CAST(cum1 AS HUGEINT) * tot2 - CAST(cum2 AS HUGEINT) * tot1) DESC,
+      |      v) AS rn
+      |  FROM h2
+      |)
+      |SELECT event_type, CAST(tot1 AS BIGINT) AS n_early,
+      |  CAST(tot2 AS BIGINT) AS n_late,
+      |  CAST(floor(CAST(num AS DOUBLE)
+      |    / (CAST(tot1 AS DOUBLE) * CAST(tot2 AS DOUBLE)) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS ks_d,
+      |  CAST(CASE WHEN CAST(floor(CAST(num AS DOUBLE)
+      |    / (CAST(tot1 AS DOUBLE) * CAST(tot2 AS DOUBLE)) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 > 0.1 THEN 1 ELSE 0 END AS INT) AS drifted
+      |FROM sc WHERE rn = 1 AND tot1 > 0 AND tot2 > 0
+      |ORDER BY event_type""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+    val mn = ev.agg(min("ts").as("t0"))
+    val b = ev.crossJoin(broadcast(mn))
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("v"),
+        when(col("ts") < col("t0") + expr("INTERVAL 45 DAY"), 1L)
+          .otherwise(0L).as("early"))
+    val hist = b.groupBy("event_type", "v")
+      .agg(sum("early").as("c1"), sum(lit(1L) - col("early")).as("c2"))
+    val p = Window.partitionBy("event_type")
+    val w = p.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h2 = hist
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+      .withColumn("tot1", sum("c1").over(p))
+      .withColumn("tot2", sum("c2").over(p))
+      .withColumn("num",
+        abs(dec(col("cum1")) * col("tot2") - dec(col("cum2")) * col("tot1")))
+    val ksd = floor(col("num").cast("double")
+      / (col("tot1").cast("double") * col("tot2").cast("double"))
+      * 1000000 + lit(0.5)).cast("double") / 1000000
+    h2.withColumn("rn",
+        row_number().over(p.orderBy(col("num").desc, col("v"))))
+      // a type living entirely on one side of the split has no two-sample
+      // question to ask (and tot1·tot2 = 0 divides by zero under ANSI)
+      .filter(col("rn") === 1 && col("tot1") > 0 && col("tot2") > 0)
+      .select(col("event_type"),
+        col("tot1").cast("long").as("n_early"),
+        col("tot2").cast("long").as("n_late"),
+        ksd.as("ks_d"),
+        when(ksd > 0.1, 1).otherwise(0).cast("int").as("drifted"))
+      .orderBy("event_type")
+  }
+
   // Multi-key entity resolution: records link if they share EITHER the
   // canonical URL (llm_url_dedup's synthesis + canonicalization) OR the
   // exact content fingerprint (md5), and linkage is transitive across key

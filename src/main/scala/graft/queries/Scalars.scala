@@ -428,6 +428,32 @@ object Scalars extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // regexp_extract_all parity: pull EVERY match out of a string column
+  // (not just the first — the scraping/log-mining primitive). The vowel-
+  // run pattern stays inside the regex subset where Java (Spark) and RE2
+  // (DuckDB) agree — character classes + greedy quantifiers, no
+  // backrefs/lookarounds (P-rule: the regex seam bans engine-specific
+  // syntax, not the function). Per-row codegen'd; nothing shuffles.
+  q("fn_regex_extract_all",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS INT) AS n_runs,
+      |  regexp_extract_all(text, '[aeiou]{2,}')[1] AS first_run,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers
+      |FROM documents WHERE doc_id <= 300
+      |ORDER BY doc_id""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") <= 300)
+      .withColumn("runs", expr("regexp_extract_all(text, '[aeiou]{2,}', 0)"))
+      .select(col("doc_id"),
+        size(col("runs")).cast("int").as("n_runs"),
+        // guarded 1-based pick: DuckDB's [1] is NULL on empty lists, but
+        // Spark's ANSI element_at throws out-of-bounds
+        when(size(col("runs")) > 0, element_at(col("runs"), 1)).as("first_run"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("int")
+          .as("n_numbers"))
+      .orderBy("doc_id")
+  }
+
   // Bitwise scalar surface: AND/OR/XOR, shifts, popcount — the hash-/
   // bitmap-manipulation primitives (all codegen'd integer ops). Engine
   // seam: DuckDB's `^` is exponentiation, so XOR is spelled xor() there

@@ -250,6 +250,69 @@ object Streaming extends QueryPack {
       .orderBy("src", "dst")
   }
 
+  // Sequence-pattern matching per user — MATCH_RECOGNIZE's core: count
+  // non-overlapping view→click→purchase subsequence completions in each
+  // user's time-ordered event stream (greedy, state resets after a full
+  // match). The 2-field integer automaton (progress, matches) folds in
+  // ONE aggregate() HOF per user; the oracle steps the IDENTICAL CASE
+  // transition in a per-user recursive CTE. Pure integer state — no
+  // float seam; state size O(1) per user, shuffle only on user_id.
+  q("events_pattern_match",
+    """WITH RECURSIVE d AS (
+      |  SELECT user_id, event_type AS et,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, rn, cnt,
+      |    CASE WHEN et = 'view' THEN 1 ELSE 0 END AS p, 0 AS m
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.user_id, d.rn, d.cnt,
+      |    CASE WHEN (CASE WHEN r.p = 0 AND d.et = 'view' THEN 1
+      |                    WHEN r.p = 1 AND d.et = 'click' THEN 2
+      |                    WHEN r.p = 2 AND d.et = 'purchase' THEN 3
+      |                    ELSE r.p END) = 3 THEN 0
+      |         ELSE (CASE WHEN r.p = 0 AND d.et = 'view' THEN 1
+      |                    WHEN r.p = 1 AND d.et = 'click' THEN 2
+      |                    WHEN r.p = 2 AND d.et = 'purchase' THEN 3
+      |                    ELSE r.p END) END,
+      |    r.m + CASE WHEN (CASE WHEN r.p = 0 AND d.et = 'view' THEN 1
+      |                    WHEN r.p = 1 AND d.et = 'click' THEN 2
+      |                    WHEN r.p = 2 AND d.et = 'purchase' THEN 3
+      |                    ELSE r.p END) = 3 THEN 1 ELSE 0 END
+      |  FROM d JOIN r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+      |)
+      |SELECT user_id, CAST(cnt AS BIGINT) AS n_events,
+      |  CAST(m AS BIGINT) AS n_matches, CAST(p AS INT) AS pending
+      |FROM r WHERE rn = cnt ORDER BY user_id""") { (s, dir) =>
+    val folded = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("et"))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("us"), col("event_id"), col("et"))))
+        .as("xs"))
+      .withColumn("st", expr(
+        """aggregate(xs, named_struct('p', 0, 'm', 0),
+          |  (acc, e) -> named_struct(
+          |    'p', CASE WHEN (CASE WHEN acc.p = 0 AND e.et = 'view' THEN 1
+          |                        WHEN acc.p = 1 AND e.et = 'click' THEN 2
+          |                        WHEN acc.p = 2 AND e.et = 'purchase' THEN 3
+          |                        ELSE acc.p END) = 3 THEN 0
+          |           ELSE (CASE WHEN acc.p = 0 AND e.et = 'view' THEN 1
+          |                      WHEN acc.p = 1 AND e.et = 'click' THEN 2
+          |                      WHEN acc.p = 2 AND e.et = 'purchase' THEN 3
+          |                      ELSE acc.p END) END,
+          |    'm', acc.m + CASE WHEN (CASE WHEN acc.p = 0 AND e.et = 'view' THEN 1
+          |                      WHEN acc.p = 1 AND e.et = 'click' THEN 2
+          |                      WHEN acc.p = 2 AND e.et = 'purchase' THEN 3
+          |                      ELSE acc.p END) = 3 THEN 1 ELSE 0 END))""".stripMargin))
+    folded.select(col("user_id"), size(col("xs")).cast("long").as("n_events"),
+        col("st.m").cast("long").as("n_matches"),
+        col("st.p").cast("int").as("pending"))
+      .orderBy("user_id")
+  }
+
   // Per-user token-bucket rate limiting over the event stream (cap 5,
   // refill 1 token per 100 s, cost 1): the quota-enforcement decision
   // every ingestion edge makes, replayed as a batch operator. ALL-INTEGER
@@ -621,6 +684,42 @@ object Streaming extends QueryPack {
     graft.streaming.Crossings.crossings(samples, thresholdCents = 25000L)
       .toDF()
       .select(col("user_id"), col("event_id"), col("sec"), col("cents"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // the token bucket through the STREAMING tier — flatMapGroupsWithState
+  // state machine (streaming/RateLimit.scala), graded in batch mode
+  // against the identical recursive-CTE oracle as events_rate_limit; the
+  // micro-batch state carry is exercised in StreamingSpec
+  q("stream_rate_limit",
+    """WITH RECURSIVE d AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, event_id, us, rn, 1 AS admit, CAST(4 AS BIGINT) AS tok
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.user_id, d.event_id, d.us, d.rn,
+      |    CASE WHEN least(5, r.tok + (d.us - r.us) // 100000000) >= 1
+      |         THEN 1 ELSE 0 END,
+      |    least(5, r.tok + (d.us - r.us) // 100000000)
+      |      - CASE WHEN least(5, r.tok + (d.us - r.us) // 100000000) >= 1
+      |             THEN 1 ELSE 0 END
+      |  FROM d JOIN r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+      |)
+      |SELECT user_id, event_id, CAST(admit AS INT) AS admitted,
+      |  CAST(tok AS BIGINT) AS tokens_after
+      |FROM r ORDER BY user_id, event_id""") { (s, dir) =>
+    import s.implicits._
+    val evs = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[graft.streaming.RateLimit.Ev]
+    graft.streaming.RateLimit.decide(evs)
+      .toDF()
+      .select(col("user_id"), col("event_id"),
+        col("admitted").cast("int").as("admitted"),
+        col("tokens_after").cast("long").as("tokens_after"))
       .orderBy("user_id", "event_id")
   }
 

@@ -249,4 +249,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("rate limiter carries the token bucket across micro-batches") {
+    import graft.streaming.RateLimit
+    import graft.streaming.RateLimit.{Decision, Ev}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = RateLimit.decide(in.toDS())
+      .writeStream.format("memory").queryName("ratelimit_test")
+      .outputMode("append").start()
+    def us(sec: Long) = sec * 1000000L
+    try {
+      // batch 1: burst of 6 at t=0..5s — bucket starts full (5), the
+      // 6th is rejected (no refill inside 100 s)
+      in.addData((1 to 6).map(i => Ev(1L, us(i.toLong), i.toLong)): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("ratelimit_test").as[Decision].collect()
+        .sortBy(_.event_id)
+      assert(b1.map(_.admitted).toSeq == Seq(1, 1, 1, 1, 1, 0))
+      assert(b1.last.tokens_after == 0L)
+      // batch 2: 250 s later — bucket refilled by exactly 2 tokens OF THE
+      // PREVIOUS batch's state; both admitted, second drains it again
+      in.addData(Ev(1L, us(255L), 7L), Ev(1L, us(256L), 8L))
+      q.processAllAvailable()
+      val b2 = spark.table("ratelimit_test").as[Decision].collect()
+        .sortBy(_.event_id).drop(6)
+      assert(b2.map(_.admitted).toSeq == Seq(1, 1))
+      assert(b2.last.tokens_after == 0L)
+    } finally q.stop()
+  }
 }
