@@ -54,16 +54,25 @@ object Tables {
   def fan(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4.1 refuses to read
-    * by default (PARQUET_TYPE_ILLEGAL). We read it as epoch-nano longs and
-    * floor to microseconds with INTEGER division — `/` would route a ~1.7e18
-    * long through a 53-bit double mantissa and corrupt the low digits.
-    * DuckDB reads the same column as a µs TIMESTAMP (truncating), so after
-    * this conversion both engines see identical values (SURVEY §5.4 P3).
+  /** `events.ts` has shipped as two physical types across fixture
+    * generations: parquet `timestamp[ns]` (which Spark 4.1 refuses to read
+    * by default — PARQUET_TYPE_ILLEGAL — so we read it as epoch-nano longs
+    * and floor to µs with INTEGER division; `/` would route a ~1.7e18 long
+    * through a 53-bit double mantissa and corrupt the low digits) and
+    * parquet `timestamp[us]` (which Spark reads as TIMESTAMP_NTZ). Both
+    * normalize to a session-TZ TIMESTAMP: the session TZ is pinned UTC, so
+    * the NTZ→LTZ cast keeps the wall clock and yields µs values identical
+    * to what DuckDB sees reading the same file (SURVEY §5.4 P3).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }

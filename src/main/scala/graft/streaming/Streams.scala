@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events schema as the streaming source sees it (ts = epoch nanos long,
-    * see Tables.events / SURVEY §5.4 P3). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema as the streaming source sees it. `ts` has shipped as
+    * parquet timestamp[ns] (read as epoch-nano long under the legacy conf)
+    * and timestamp[us] (read as TIMESTAMP_NTZ) across fixture generations —
+    * see Tables.events / SURVEY §5.4 P3 — so the declared type follows a
+    * one-time footer probe of the actual file. */
+  private def eventsSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -35,9 +38,15 @@ object Streams {
     Files.deleteIfExists(link)
     Files.createSymbolicLink(link, src)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
+    // footer probe: which physical ts type did this fixture generation ship?
+    val tsType = spark.read.parquet(src.toString).schema("ts").dataType
+    val raw = spark.readStream.schema(eventsSchema(tsType))
       .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Run a streaming transform of the events stream to completion
