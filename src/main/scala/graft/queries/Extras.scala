@@ -536,4 +536,60 @@ object Extras extends QueryPack {
         date_format(col("maxd"), "yyyy-MM-dd").as("next_watermark"))
       .orderBy("month")
   }
+
+  // Join-key skew report — the diagnostic that decides whether a join
+  // needs salting (SkewJoin) or AQE skew splitting: per-key cardinalities
+  // of the fact-side join key, the max/avg skew factor, an exact p99, and
+  // the top-5 heaviest keys. The window ranks the KEY frame (|suppliers|,
+  // not |lineitem|); p99 is the exact order statistic via row_number
+  // selection (the winsorize/IQR device), never a sampled percentile.
+  q("etl_data_skew_report",
+    """WITH k AS (
+      |  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY l_suppkey
+      |), st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS max_c
+      |  FROM k
+      |), r AS (
+      |  SELECT key, c, row_number() OVER (ORDER BY c, key) AS rn,
+      |    row_number() OVER (ORDER BY c DESC, key) AS rd
+      |  FROM k
+      |), p AS (
+      |  SELECT r.c AS p99 FROM r CROSS JOIN st
+      |  WHERE r.rn = (st.n_keys * 99 + 99) // 100
+      |)
+      |SELECT r.rd AS rank, r.key, r.c AS key_rows, st.n_keys, st.n_rows,
+      |  CAST(floor(CAST(st.n_rows AS DOUBLE) / CAST(st.n_keys AS DOUBLE)
+      |    * 100 + 0.5) AS DOUBLE) / 100 AS avg_rows,
+      |  CAST(p.p99 AS BIGINT) AS p99_rows,
+      |  CAST(floor(CAST(st.max_c AS DOUBLE) * CAST(st.n_keys AS DOUBLE)
+      |    / CAST(st.n_rows AS DOUBLE) * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS skew_factor
+      |FROM r CROSS JOIN st CROSS JOIN p
+      |WHERE r.rd <= 5 ORDER BY r.rd""") { (s, dir) =>
+    val k = Tables(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("key"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val st = k.agg(count(lit(1)).cast("long").as("n_keys"),
+      sum("c").cast("long").as("n_rows"), max("c").as("max_c"))
+    val r = k
+      .withColumn("rn", row_number().over(Window.orderBy(col("c"), col("key"))))
+      .withColumn("rd",
+        row_number().over(Window.orderBy(col("c").desc, col("key"))))
+    val p = r.crossJoin(broadcast(st))
+      .filter(col("rn") === expr("(n_keys * 99 + 99) div 100"))
+      .select(col("c").as("p99"))
+    def d(c: String) = col(c).cast("double")
+    r.crossJoin(broadcast(st)).crossJoin(broadcast(p))
+      .filter(col("rd") <= 5)
+      .select(col("rd").as("rank"), col("key"), col("c").as("key_rows"),
+        col("n_keys"), col("n_rows"),
+        (floor(d("n_rows") / d("n_keys") * 100 + lit(0.5)).cast("double")
+          / 100).as("avg_rows"),
+        col("p99").cast("long").as("p99_rows"),
+        (floor(d("max_c") * d("n_keys") / d("n_rows") * 10000 + lit(0.5))
+          .cast("double") / 10000).as("skew_factor"))
+      .orderBy("rank")
+  }
 }

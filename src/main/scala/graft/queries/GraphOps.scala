@@ -445,6 +445,103 @@ object GraphOps extends QueryPack {
       .orderBy("n_name")
   }
 
+  // Adamic-Adar link prediction: candidate pairs come from the WEDGE join
+  // (same neighbor-blocked sub-quadratic shape as graph_neighbor_jaccard —
+  // never all-pairs), each common neighbor w contributing 1/ln(deg(w)).
+  // Determinism: the only transcendental is ln over the tiny integer
+  // degree domain (common neighbors have deg ≥ 2 by construction, so
+  // ln > 0), quantized PER NEIGHBOR to a 6-dp integer before the pair sum —
+  // the cross-row double-sum-order trap (SURVEY §5.4) never opens.
+  q("graph_adamic_adar",
+    s"""WITH $oracleEdges,
+       |sym AS (SELECT src AS id, dst AS nbr FROM edges
+       |        UNION SELECT dst, src FROM edges),
+       |deg AS (SELECT id, COUNT(*) AS n FROM sym GROUP BY id),
+       |term AS (
+       |  SELECT id, CAST(floor(1000000.0 / ln(CAST(n AS DOUBLE)) + 0.5) AS BIGINT) AS t
+       |  FROM deg WHERE n >= 2
+       |)
+       |SELECT x.id AS node_a, y.id AS node_b,
+       |  CAST(COUNT(*) AS BIGINT) AS shared,
+       |  CAST(SUM(tm.t) AS DOUBLE) / 1000000 AS aa_score
+       |FROM sym x JOIN sym y ON x.nbr = y.nbr AND x.id < y.id
+       |JOIN term tm ON x.nbr = tm.id
+       |GROUP BY x.id, y.id
+       |ORDER BY aa_score DESC, node_a, node_b LIMIT 20""") { (s, dir) =>
+    val e = tradeEdges(s, dir)
+    val sym = e.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(e.select(col("dst").as("id"), col("src").as("nbr")))
+      .distinct()
+    val term = sym.groupBy("id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("id"),
+        floor(lit(1000000.0) / log(col("n").cast("double")) + lit(0.5))
+          .cast("long").as("t"))
+    sym.as("x")
+      .join(sym.as("y"), col("x.nbr") === col("y.nbr") && col("x.id") < col("y.id"))
+      .join(term.as("tm"), col("x.nbr") === col("tm.id"))
+      .groupBy(col("x.id").as("node_a"), col("y.id").as("node_b"))
+      .agg(count(lit(1)).cast("long").as("shared"),
+        (sum(col("tm.t")).cast("double") / 1000000).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("node_a"), col("node_b"))
+      .limit(20)
+  }
+
+  // Local clustering coefficient: 2·tri(v) / (deg(v)·(deg(v)−1)), the
+  // per-node "how clique-like is my neighborhood" readout. Per-vertex
+  // triangle counts reuse the oriented (a<b<c) triangle enumeration —
+  // each triangle credits all three corners — so the plan never expands
+  // beyond the |E|-sized wedge join. The coefficient is INTEGER floor
+  // division at 6 dp: both engines floor the same exact integer ratio,
+  // no float division anywhere.
+  q("graph_clustering_coeff",
+    s"""WITH $oracleEdges,
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+       |sym AS (SELECT a AS id, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT id, COUNT(*) AS d FROM sym GROUP BY id),
+       |tri AS (
+       |  SELECT e1.a AS na, e1.b AS nb, e2.b AS nc
+       |  FROM und e1
+       |  JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+       |), pv AS (
+       |  SELECT v, COUNT(*) AS t FROM (
+       |    SELECT na AS v FROM tri UNION ALL SELECT nb FROM tri
+       |    UNION ALL SELECT nc FROM tri) GROUP BY v
+       |)
+       |SELECT nn.n_name, CAST(deg.d AS BIGINT) AS degree,
+       |  CAST(COALESCE(pv.t, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN deg.d < 2 THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST((2 * COALESCE(pv.t, 0) * 1000000) // (deg.d * (deg.d - 1))
+       |      AS DOUBLE) / 1000000 END AS clustering
+       |FROM deg LEFT JOIN pv ON deg.id = pv.v
+       |JOIN nation nn ON deg.id = nn.n_nationkey
+       |ORDER BY n_name""") { (s, dir) =>
+    val e = tradeEdges(s, dir)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val sym = und.select(col("a").as("id"), col("b").as("nbr"))
+      .union(und.select(col("b").as("id"), col("a").as("nbr")))
+    val deg = sym.groupBy("id").agg(count(lit(1)).as("d"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("na"), col("e1.b").as("nb"), col("e2.b").as("nc"))
+    val pv = tri.select(col("na").as("v"))
+      .union(tri.select(col("nb").as("v")))
+      .union(tri.select(col("nc").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(pv, col("id") === col("v"), "left")
+      .join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("d").cast("long").as("degree"),
+        coalesce(col("t"), lit(0L)).cast("long").as("triangles"),
+        when(col("d") < 2, lit(0.0)).otherwise(
+          expr("(2 * coalesce(t, 0) * 1000000) div (d * (d - 1))")
+            .cast("double") / 1000000).as("clustering"))
+      .orderBy("n_name")
+  }
+
   q("graph_bfs_dist",
     s"""WITH $oracleStrongEdges,
        |symw AS (SELECT src, dst, 1 AS w FROM sym

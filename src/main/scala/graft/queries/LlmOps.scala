@@ -1517,4 +1517,128 @@ object LlmOps extends QueryPack {
       .agg(count(lit(1)).cast("long").as("n"))
       .orderBy("lang", "lang_pred")
   }
+
+  // Sentence segmentation stats per language — the corpus-profiling pass
+  // feeding chunking decisions (avg sentence length drives chunk size).
+  // Split on terminal punctuation runs, drop whitespace-only segments,
+  // count words as non-empty whitespace tokens. Both engines run the same
+  // regex dialect (RE2-safe subset) and the same filter-then-measure
+  // order; averages are integer-sum ratios quantized at 4 dp (P12).
+  q("text_sentences",
+    """WITH sp AS (
+      |  SELECT lang, unnest(string_split_regex(text, '[.!?]+')) AS st
+      |  FROM documents
+      |), t AS (
+      |  SELECT lang, trim(st) AS st FROM sp WHERE length(trim(st)) > 0
+      |), w AS (
+      |  SELECT lang, length(st) AS chars,
+      |    len(list_filter(string_split_regex(st, '\s+'),
+      |        x -> length(x) > 0)) AS words
+      |  FROM t
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS sentences,
+      |  CAST(SUM(words) AS BIGINT) AS words,
+      |  CAST(floor(CAST(SUM(words) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    * 10000 + 0.5) AS DOUBLE) / 10000 AS avg_words,
+      |  CAST(floor(CAST(SUM(chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    * 10000 + 0.5) AS DOUBLE) / 10000 AS avg_chars
+      |FROM w GROUP BY lang ORDER BY lang""") { (s, dir) =>
+    val t = Tables.fan(Tables(s, dir, "documents"))
+      .select(col("lang"), explode(split(col("text"), "[.!?]+")).as("st"))
+      .select(col("lang"), trim(col("st")).as("st"))
+      .filter(length(col("st")) > 0)
+    val w = t.select(col("lang"), length(col("st")).as("chars"),
+      size(filter(split(col("st"), "\\s+"), x => length(x) > 0)).as("words"))
+    w.groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("sentences"),
+        sum("words").cast("long").as("words"),
+        (floor(sum("words").cast("double") / count(lit(1)).cast("double")
+          * 10000 + lit(0.5)).cast("double") / 10000).as("avg_words"),
+        (floor(sum("chars").cast("double") / count(lit(1)).cast("double")
+          * 10000 + lit(0.5)).cast("double") / 10000).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  // Code-likeness detection — the corpus-curation filter that routes
+  // code-looking documents to a separate mix bucket. Marker counts are
+  // pure length-difference arithmetic (no regex engine in the hot path:
+  // occurrences of '{', ';', '=' and '=>' come from replace()-shrinkage),
+  // and the per-doc verdict is an integer cross-multiplied density test —
+  // ≥1 marker per 50 chars — so the whole operator is codegen-able
+  // string/int ops that agree bit-for-bit across engines.
+  q("llm_code_detect",
+    """WITH c AS (
+      |  SELECT source,
+      |    length(text) AS n,
+      |    length(text) - length(replace(text, '{', ''))
+      |      + length(text) - length(replace(text, '}', '')) AS braces,
+      |    length(text) - length(replace(text, ';', '')) AS semis,
+      |    (length(text) - length(replace(text, '=>', ''))) // 2 AS arrows,
+      |    length(text) - length(replace(text, '=', '')) AS eqs
+      |  FROM documents
+      |), sc AS (
+      |  SELECT source, n,
+      |    3 * braces + 2 * semis + 2 * arrows + eqs AS score
+      |  FROM c
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(CASE WHEN 50 * score >= n THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS code_docs,
+      |  CAST(floor(CAST(SUM(CASE WHEN 50 * score >= n THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 10000 + 0.5) AS DOUBLE)
+      |    / 10000 AS code_rate,
+      |  CAST(SUM(score) AS BIGINT) AS total_markers
+      |FROM sc GROUP BY source ORDER BY source""") { (s, dir) =>
+    def occ(ch: String) =
+      length(col("text")) - length(expr(s"replace(text, '$ch', '')"))
+    val c = Tables(s, dir, "documents")
+      .select(col("source"), length(col("text")).as("n"),
+        (occ("{") + occ("}")).as("braces"), occ(";").as("semis"),
+        expr("(length(text) - length(replace(text, '=>', ''))) div 2")
+          .as("arrows"),
+        occ("=").as("eqs"))
+    val sc = c.select(col("source"), col("n"),
+      (lit(3) * col("braces") + lit(2) * col("semis")
+        + lit(2) * col("arrows") + col("eqs")).as("score"))
+    val isCode = when(lit(50) * col("score") >= col("n"), 1L).otherwise(0L)
+    sc.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("docs"),
+        sum(isCode).cast("long").as("code_docs"),
+        (floor(sum(isCode).cast("double") / count(lit(1)).cast("double")
+          * 10000 + lit(0.5)).cast("double") / 10000).as("code_rate"),
+        sum("score").cast("long").as("total_markers"))
+      .orderBy("source")
+  }
+
+  // Curriculum ordering: rank the corpus by a difficulty proxy (length,
+  // doc_id tiebreak) and cut it into 10 curriculum steps — the deciles a
+  // staged training schedule consumes easiest-first. ntile keeps the
+  // assignment a single |corpus|-row window (range-partitionable at
+  // scale, same note as win_ntile); per-step stats are plain integer
+  // aggregates.
+  q("llm_curriculum_order",
+    """WITH r AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS step
+      |  FROM documents
+      |)
+      |SELECT step, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(floor(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    * 100 + 0.5) AS DOUBLE) / 100 AS avg_chars,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs
+      |FROM r GROUP BY step ORDER BY step""") { (s, dir) =>
+    val r = Tables(s, dir, "documents")
+      .withColumn("step",
+        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+    r.groupBy("step")
+      .agg(count(lit(1)).cast("long").as("docs"),
+        min("n_chars").cast("long").as("min_chars"),
+        max("n_chars").cast("long").as("max_chars"),
+        (floor(sum("n_chars").cast("double") / count(lit(1)).cast("double")
+          * 100 + lit(0.5)).cast("double") / 100).as("avg_chars"),
+        countDistinct("lang").cast("long").as("langs"))
+      .orderBy("step")
+  }
 }

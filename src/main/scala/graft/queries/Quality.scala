@@ -1403,4 +1403,33 @@ object QualityOps extends QueryPack {
         count(lit(1)).over(Window.partitionBy("entity_id")).cast("long"))
       .orderBy("doc_id")
   }
+
+  // Sequence-gap audit: find holes in a should-be-contiguous id space —
+  // the completeness check a CDC/ingestion pipeline runs against its
+  // high-watermark. Restricting to one event type guarantees gaps exist
+  // (the full id space is dense), and the top-20 cut bounds the report.
+  // Scale note: lag over a globally ordered id is a range-partitioned
+  // sort at cluster scale; only partition-boundary rows need exchanging,
+  // and the report frame after the gap filter is tiny.
+  q("dq_sequence_gaps",
+    """WITH o AS (
+      |  SELECT event_id,
+      |    lag(event_id) OVER (ORDER BY event_id) AS prev
+      |  FROM events WHERE event_type = 'click'
+      |)
+      |SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end,
+      |  CAST(event_id - prev - 1 AS BIGINT) AS missing
+      |FROM o WHERE prev IS NOT NULL AND event_id - prev > 1
+      |ORDER BY missing DESC, gap_start LIMIT 20""") { (s, dir) =>
+    val o = Tables(s, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"),
+        lag("event_id", 1).over(Window.orderBy("event_id")).as("prev"))
+    o.filter(col("prev").isNotNull && col("event_id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"),
+        (col("event_id") - 1).as("gap_end"),
+        (col("event_id") - col("prev") - 1).cast("long").as("missing"))
+      .orderBy(col("missing").desc, col("gap_start"))
+      .limit(20)
+  }
 }

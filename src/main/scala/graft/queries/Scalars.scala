@@ -479,4 +479,29 @@ object Scalars extends QueryPack {
         expr("bit_count(o_orderkey)").cast("int").as("popcount"))
       .orderBy("o_orderkey")
   }
+
+  // Edit-distance scalar: Levenshtein against canonical reference strings
+  // — the fuzzy-matching primitive under entity resolution and typo-
+  // tolerant dedup. Both engines implement the classic unit-cost dynamic
+  // program, so the distances are exactly comparable; the similarity
+  // ratio is quantized integer arithmetic over (distance, length).
+  q("fn_levenshtein",
+    """SELECT p_partkey,
+      |  CAST(levenshtein(p_brand, 'Brand#33') AS BIGINT) AS d_brand,
+      |  CAST(levenshtein(p_type, 'PROMO BURNISHED COPPER') AS BIGINT) AS d_type,
+      |  CAST((greatest(length(p_type), 22)
+      |        - levenshtein(p_type, 'PROMO BURNISHED COPPER')) * 10000
+      |       // greatest(length(p_type), 22) AS DOUBLE) / 10000 AS sim_type
+      |FROM part ORDER BY p_partkey""") { (s, dir) =>
+    val refType = "PROMO BURNISHED COPPER"
+    Tables(s, dir, "part")
+      .select(col("p_partkey"),
+        levenshtein(col("p_brand"), lit("Brand#33")).cast("long").as("d_brand"),
+        levenshtein(col("p_type"), lit(refType)).cast("long").as("d_type"),
+        (expr(s"(greatest(length(p_type), ${refType.length})"
+          + s" - levenshtein(p_type, '$refType')) * 10000"
+          + s" div greatest(length(p_type), ${refType.length})")
+          .cast("double") / 10000).as("sim_type"))
+      .orderBy("p_partkey")
+  }
 }

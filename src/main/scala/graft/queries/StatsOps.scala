@@ -1468,4 +1468,336 @@ object StatsOps extends QueryPack {
         / (col("syy") - col("sy") * col("sy") / col("n")))
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("r2"))
   }
+
+  // Kruskal-Wallis H: the k-group generalization of the Mann-Whitney rank
+  // test (does ANY event type's value distribution differ?). Same scale
+  // design as events_ab_mannwhitney: ranks are NEVER assigned to rows —
+  // the mid-rank of a tied cent-value v is (2·C(<v) + t(v) + 1)/2, all
+  // integers off the value HISTOGRAM, so the plan is one hash aggregate
+  // over distinct cents plus one |distinct|-sized cumsum. The only
+  // cross-group double sum is quantized to integers first (P12); per-group
+  // rank sums ride 128-bit. Integer-quantum bound: the n·dev² term stays
+  // under int64 to ~1e18 rank-units — promote the floor to a pre-scaled
+  // decimal if a corpus ever crosses it.
+  q("stats_kruskal_wallis",
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), hist AS (
+      |  SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY event_type, v
+      |), vt AS (
+      |  SELECT v, SUM(c) AS t FROM hist GROUP BY v
+      |), vc AS (
+      |  SELECT v, t, COALESCE(SUM(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM vt
+      |), rg AS (
+      |  SELECT h.event_type, CAST(SUM(h.c) AS BIGINT) AS n,
+      |    SUM(CAST(h.c AS HUGEINT) * (2 * vc.cb + vc.t + 1)) AS r2
+      |  FROM hist h JOIN vc ON h.v = vc.v GROUP BY h.event_type
+      |), tot AS (SELECT SUM(n) AS nn FROM rg),
+      |tie AS (SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tq FROM vt),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(nn) AS nn,
+      |    SUM(CAST(floor(CAST(n AS DOUBLE)
+      |      * (CAST(r2 AS DOUBLE) / (2 * CAST(n AS DOUBLE))
+      |         - (CAST(nn AS DOUBLE) + 1) / 2)
+      |      * (CAST(r2 AS DOUBLE) / (2 * CAST(n AS DOUBLE))
+      |         - (CAST(nn AS DOUBLE) + 1) / 2) + 0.5) AS HUGEINT)) AS s4
+      |  FROM rg CROSS JOIN tot
+      |), f AS (
+      |  SELECT k, CAST(nn AS BIGINT) AS n,
+      |    12 * CAST(s4 AS DOUBLE)
+      |      / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1)) AS h_raw,
+      |    1 - CAST(tq AS DOUBLE)
+      |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |         - CAST(nn AS DOUBLE)) AS corr
+      |  FROM s CROSS JOIN tie
+      |)
+      |SELECT k, n,
+      |  CAST(floor(h_raw * 1000000 + 0.5) AS DOUBLE) / 1000000 AS h,
+      |  CAST(floor(h_raw / corr * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS h_tie_corrected
+      |FROM f""") { (s, dir) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("v"))
+    val hist = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val vt = hist.groupBy("v").agg(sum("c").as("t"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val vc = vt.withColumn("cb", coalesce(sum("t").over(w), lit(0L)))
+    val rg = hist.join(vc, Seq("v"))
+      .groupBy("event_type")
+      .agg(sum("c").cast("long").as("n"),
+        sum(col("c").cast(dec) * (lit(2) * col("cb") + col("t") + 1)).as("r2"))
+    val tot = rg.agg(sum("n").as("nn"))
+    val tie = vt.agg(sum(col("t").cast(dec) * col("t") * col("t") - col("t"))
+      .as("tq"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val rb = d(col("r2")) / (lit(2) * d(col("n")))
+    val dev = rb - (d(col("nn")) + 1) / 2
+    val st = rg.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).cast("long").as("k"), max("nn").as("nn"),
+        sum(floor(d(col("n")) * dev * dev + lit(0.5)).cast(dec)).as("s4"))
+    val f = st.crossJoin(broadcast(tie))
+      .select(col("k"), col("nn").cast("long").as("n"),
+        (lit(12) * d(col("s4")) / (d(col("nn")) * (d(col("nn")) + 1)))
+          .as("h_raw"),
+        (lit(1) - d(col("tq"))
+          / (d(col("nn")) * d(col("nn")) * d(col("nn")) - d(col("nn"))))
+          .as("corr"))
+    f.select(col("k"), col("n"),
+      (floor(col("h_raw") * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("h"),
+      (floor(col("h_raw") / col("corr") * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("h_tie_corrected"))
+  }
+
+  // Kendall tau-b trend test per event type: is the DAILY MEAN value
+  // drifting over time? Pairwise concordance is computed on the ~90-row
+  // daily aggregate (never the raw stream — the classic O(n²) statistic
+  // becomes tractable by aggregating first), and mean comparisons cross-
+  // multiply integer (sum, count) pairs — s_i·c_j vs s_j·c_i — so no
+  // division touches the concordance decision. Day ties are impossible
+  // (grouped by day); the value-tie correction rides the y side of the
+  // tau-b denominator.
+  q("stats_kendall_tau",
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+      |), p AS (
+      |  SELECT a.event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE
+      |      WHEN CAST(b.s AS HUGEINT) * a.c > CAST(a.s AS HUGEINT) * b.c THEN 1
+      |      WHEN CAST(b.s AS HUGEINT) * a.c < CAST(a.s AS HUGEINT) * b.c THEN -1
+      |      ELSE 0 END) AS BIGINT) AS cd,
+      |    CAST(SUM(CASE
+      |      WHEN CAST(b.s AS HUGEINT) * a.c = CAST(a.s AS HUGEINT) * b.c
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS tt
+      |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY a.event_type
+      |)
+      |SELECT event_type, n0, cd,
+      |  CAST(floor(CAST(cd AS DOUBLE)
+      |    / sqrt(CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - CAST(tt AS DOUBLE)))
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS tau_b
+      |FROM p ORDER BY event_type""") { (s, dir) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dd = Tables(s, dir, "events")
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("s"),
+        count(lit(1)).as("c"))
+    val bs = col("b.s").cast(dec) * col("a.c")
+    val as_ = col("a.s").cast(dec) * col("b.c")
+    val p = dd.as("a")
+      .join(dd.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).cast("long").as("n0"),
+        sum(when(bs > as_, 1L).when(bs < as_, -1L).otherwise(0L))
+          .cast("long").as("cd"),
+        sum(when(bs === as_, 1L).otherwise(0L)).cast("long").as("tt"))
+    def d(c: String) = col(c).cast("double")
+    p.select(col("event_type"), col("n0"), col("cd"),
+      (floor(d("cd") / sqrt(d("n0") * (d("n0") - d("tt"))) * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("tau_b"))
+      .orderBy("event_type")
+  }
+
+  // Levene's homogeneity-of-variance test (mean-centered form) across
+  // event types — the gate before trusting a pooled-variance t-test.
+  // Scale-integer core: the per-row deviation |x_ij − x̄_g| is carried as
+  // the INTEGER |n_g·x_ij − s_g| (value × group count minus group sum), so
+  // both absolute and squared deviation sums are exact 128-bit integers;
+  // each group contributes three numbers and every division happens on the
+  // k-row group frame. Cross-group sums are integer-quantized first (P12).
+  q("stats_levene",
+    """WITH ev AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s
+      |  FROM ev GROUP BY event_type
+      |), z AS (
+      |  SELECT ev.event_type,
+      |    abs(CAST(g.n * ev.v - g.s AS HUGEINT)) AS a
+      |  FROM ev JOIN g ON ev.event_type = g.event_type
+      |), zg AS (
+      |  SELECT z.event_type, MAX(g.n) AS n, SUM(a) AS sa, SUM(a * a) AS sb
+      |  FROM z JOIN g ON z.event_type = g.event_type GROUP BY z.event_type
+      |), q AS (
+      |  SELECT event_type, n, sa,
+      |    CAST(sa AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS zb,
+      |    CAST(sb AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |      AS wg
+      |  FROM zg
+      |), t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+      |    SUM(CAST(floor(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) * 10000 + 0.5)
+      |      AS HUGEINT)) AS szb,
+      |    SUM(CAST(floor(wg * 10000 + 0.5) AS HUGEINT)) AS sden
+      |  FROM q
+      |), m AS (
+      |  SELECT k, nn, sden,
+      |    CAST(szb AS DOUBLE) / 10000 / CAST(nn AS DOUBLE) AS zbar FROM t
+      |), u AS (
+      |  SELECT m.k, m.nn, m.sden,
+      |    SUM(CAST(floor(CAST(q.n AS DOUBLE) * (q.zb - m.zbar) * (q.zb - m.zbar)
+      |      * 10000 + 0.5) AS HUGEINT)) AS snum
+      |  FROM q CROSS JOIN m GROUP BY m.k, m.nn, m.sden
+      |)
+      |SELECT k, nn AS n,
+      |  CAST(floor((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+      |    / (CAST(k AS DOUBLE) - 1)
+      |    * (CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE))
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS w
+      |FROM u""") { (s, dir) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("v"))
+    val g = ev.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"), sum("v").as("s"))
+    val z = ev.join(broadcast(g), Seq("event_type"))
+      .select(col("event_type"),
+        abs((col("n") * col("v") - col("s")).cast(dec)).as("a"))
+    val zg = z.join(broadcast(g.select(col("event_type"), col("n"))),
+        Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), sum("a").as("sa"),
+        sum(col("a") * col("a")).as("sb"))
+    val q_ = zg.select(col("event_type"), col("n"), col("sa"),
+      (d(col("sa")) / (d(col("n")) * d(col("n")))).as("zb"),
+      (d(col("sb")) / (d(col("n")) * d(col("n")))
+        - d(col("sa")) * d(col("sa"))
+          / (d(col("n")) * d(col("n")) * d(col("n")))).as("wg"))
+    val t = q_
+      .agg(count(lit(1)).cast("long").as("k"), sum("n").cast("long").as("nn"),
+        sum(floor(d(col("sa")) / d(col("n")) * 10000 + lit(0.5)).cast(dec))
+          .as("szb"),
+        sum(floor(col("wg") * 10000 + lit(0.5)).cast(dec)).as("sden"))
+    val m = t.select(col("k"), col("nn"), col("sden"),
+      (d(col("szb")) / 10000 / d(col("nn"))).as("zbar"))
+    val u = q_.crossJoin(broadcast(m))
+      .groupBy("k", "nn", "sden")
+      .agg(sum(floor(d(col("n")) * (col("zb") - col("zbar"))
+        * (col("zb") - col("zbar")) * 10000 + lit(0.5)).cast(dec)).as("snum"))
+    u.select(col("k"), col("nn").as("n"),
+      (floor((d(col("nn")) - d(col("k"))) / (d(col("k")) - 1)
+        * (d(col("snum")) / d(col("sden")))
+        * 1000000 + lit(0.5)).cast("double") / 1000000).as("w"))
+  }
+
+  // CUPED variance reduction — the standard pre-experiment covariate
+  // adjustment: each user's pre-period spend X predicts their post-period
+  // spend Y, and Y_adj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) strips the
+  // predictable component from the experiment readout. The pre/post split
+  // is the integer midpoint of the observed time span; arms are the
+  // deterministic user_id parity. All moments (ΣX, ΣY, ΣXY, ΣX², ΣY²) are
+  // exact integers promoted to 128-bit BEFORE the product (P16); θ and the
+  // per-arm variances derive from single-row moment frames — no cross-row
+  // double sums anywhere.
+  q("events_ab_cuped",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), sp AS (
+      |  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+      |), u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    SUM(CASE WHEN us < mid THEN cents ELSE 0 END) AS x,
+      |    SUM(CASE WHEN us >= mid THEN cents ELSE 0 END) AS y
+      |  FROM ev CROSS JOIN sp GROUP BY user_id, user_id % 2
+      |), gm AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM u
+      |), th AS (
+      |  SELECT n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+      |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |      AS theta
+      |  FROM gm
+      |), am AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS na,
+      |    SUM(x) AS sxa, SUM(y) AS sya,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxya,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxxa,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syya
+      |  FROM u GROUP BY arm
+      |), f AS (
+      |  SELECT arm, na, theta,
+      |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS ybar,
+      |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS xbara, xbar,
+      |    (CAST(syya AS DOUBLE)
+      |      - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE))
+      |      / (CAST(na AS DOUBLE) - 1) AS vy,
+      |    (CAST(sxya AS DOUBLE)
+      |      - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE) / CAST(na AS DOUBLE))
+      |      / (CAST(na AS DOUBLE) - 1) AS cxy,
+      |    (CAST(sxxa AS DOUBLE)
+      |      - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE))
+      |      / (CAST(na AS DOUBLE) - 1) AS vx
+      |  FROM am CROSS JOIN th
+      |)
+      |SELECT arm, na AS n_users,
+      |  CAST(floor(ybar / 100 * 10000 + 0.5) AS DOUBLE) / 10000 AS mean_y,
+      |  CAST(floor((ybar - theta * (xbara - xbar)) / 100 * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS mean_y_cuped,
+      |  CAST(floor(theta * 1000000 + 0.5) AS DOUBLE) / 1000000 AS theta,
+      |  CAST(floor((1 - (vy - 2 * theta * cxy + theta * theta * vx) / vy)
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS var_reduction
+      |FROM f ORDER BY arm""") { (s, dir) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        Det.cents(col("value")).cast("long").as("cents"))
+    val sp = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val u = ev.crossJoin(broadcast(sp))
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+    val gm = u.agg(count(lit(1)).cast("long").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"))
+    val th = gm.select(col("n"), (d(col("sx")) / d(col("n"))).as("xbar"),
+      (d(col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy"))
+        / d(col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx")))
+        .as("theta"))
+    val am = u.groupBy("arm")
+      .agg(count(lit(1)).cast("long").as("na"),
+        sum("x").as("sxa"), sum("y").as("sya"),
+        sum(col("x").cast(dec) * col("y")).as("sxya"),
+        sum(col("x").cast(dec) * col("x")).as("sxxa"),
+        sum(col("y").cast(dec) * col("y")).as("syya"))
+    val f = am.crossJoin(broadcast(th))
+      .select(col("arm"), col("na"), col("theta"),
+        (d(col("sya")) / d(col("na"))).as("ybar"),
+        (d(col("sxa")) / d(col("na"))).as("xbara"), col("xbar"),
+        ((d(col("syya")) - d(col("sya")) * d(col("sya")) / d(col("na")))
+          / (d(col("na")) - 1)).as("vy"),
+        ((d(col("sxya")) - d(col("sxa")) * d(col("sya")) / d(col("na")))
+          / (d(col("na")) - 1)).as("cxy"),
+        ((d(col("sxxa")) - d(col("sxa")) * d(col("sxa")) / d(col("na")))
+          / (d(col("na")) - 1)).as("vx"))
+    f.select(col("arm"), col("na").as("n_users"),
+      (floor(col("ybar") / 100 * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("mean_y"),
+      (floor((col("ybar") - col("theta") * (col("xbara") - col("xbar")))
+        / 100 * 10000 + lit(0.5)).cast("double") / 10000).as("mean_y_cuped"),
+      (floor(col("theta") * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("theta"),
+      (floor((lit(1) - (col("vy") - lit(2) * col("theta") * col("cxy")
+        + col("theta") * col("theta") * col("vx")) / col("vy"))
+        * 1000000 + lit(0.5)).cast("double") / 1000000).as("var_reduction"))
+      .orderBy("arm")
+  }
 }

@@ -392,4 +392,47 @@ object Windows extends QueryPack {
         count(lit(1)).over(w).cast("long").as("n_72h"))
       .orderBy("user_id", "ts_us", "event_id")
   }
+
+  // Conditional-reset running total — the "basket since last purchase"
+  // shape: a per-user running spend that restarts after every purchase
+  // event. Two stacked windows, both partitioned by user: a running count
+  // of prior purchases numbers the segments, then the cumulative sum runs
+  // within (user, segment). No global sort; both windows share the same
+  // per-user shuffle at scale. Money rides integer cents end-to-end.
+  q("win_cumulative_reset",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), seg AS (
+      |  SELECT user_id, event_id, ts_us, cents,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      |  FROM e
+      |)
+      |SELECT user_id, event_id, ts_us, CAST(seg AS BIGINT) AS seg,
+      |  CAST(SUM(cents) OVER (PARTITION BY user_id, seg
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+      |    AS basket
+      |FROM seg ORDER BY user_id, ts_us, event_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        Det.cents(col("value")).cast("long").as("cents"))
+    val wPrior = Window.partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seg = e.withColumn("seg",
+      coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .over(wPrior), lit(0L)))
+    val wRun = Window.partitionBy("user_id", "seg")
+      .orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg.select(col("user_id"), col("event_id"), col("ts_us"),
+        col("seg").cast("long").as("seg"),
+        (sum("cents").over(wRun).cast("double") / 100).as("basket"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
 }

