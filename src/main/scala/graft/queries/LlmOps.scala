@@ -1610,6 +1610,144 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // Retrieval quality evaluation over the cosine top-10: treating
+  // same-label neighbors as relevant, report MRR@10, precision@5 and
+  // hit-rate@10 — the metrics that decide whether an ANN index is good
+  // enough to replace the brute-force scorer. Reciprocal ranks are exact
+  // integer fixes (1000000 // rn over rn ∈ 1..10), so the probe-set mean
+  // is an integer-sum ratio, never a float accumulation (P12).
+  q("sim_retrieval_eval",
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe,
+      |    label AS plabel
+      |  FROM embeddings WHERE vec_id < 50
+      |), c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce, label AS clabel
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT probe_id, vec_id, plabel, clabel,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pe, ce),
+      |        z -> z[1] * z[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pe, x -> x*x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x*x)), (a, b) -> a + b))),
+      |    4) AS sim
+      |  FROM p CROSS JOIN c WHERE probe_id <> vec_id
+      |), tk AS (
+      |  SELECT probe_id, vec_id, rn,
+      |    CASE WHEN plabel = clabel THEN 1 ELSE 0 END AS rel
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                                 ORDER BY sim DESC, vec_id) AS rn FROM s)
+      |  WHERE rn <= 10
+      |), pp AS (
+      |  SELECT probe_id,
+      |    COALESCE(MAX(CASE WHEN rel = 1 THEN 1000000 // rn END), 0) AS rr6,
+      |    SUM(CASE WHEN rn <= 5 THEN rel ELSE 0 END) AS rel5,
+      |    MAX(rel) AS hit
+      |  FROM tk GROUP BY probe_id
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+      |  CAST(floor(CAST(SUM(rr6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    + 0.5) AS DOUBLE) / 1000000 AS mrr_at_10,
+      |  CAST(floor(CAST(SUM(rel5) AS DOUBLE)
+      |    / (5 * CAST(COUNT(*) AS DOUBLE)) * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS precision_at_5,
+      |  CAST(floor(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    * 10000 + 0.5) AS DOUBLE) / 10000 AS hit_rate_at_10
+      |FROM pp""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val tk = Sim.cosineTopK(emb.filter(col("vec_id") < 50), emb, k = 10)
+      .join(broadcast(labels.select(col("vec_id").as("probe_id"),
+        col("label").as("plabel"))), Seq("probe_id"))
+      .join(broadcast(labels.select(col("vec_id"), col("label").as("clabel"))),
+        Seq("vec_id"))
+      .select(col("probe_id"), col("rn"),
+        when(col("plabel") === col("clabel"), 1).otherwise(0).as("rel"))
+    // MAX over "1000000 // rn where rel=1" = reciprocal rank of the FIRST
+    // relevant hit: 1/rn is monotone-decreasing in rn, so the max of the
+    // fix is exactly the earliest relevant rank.
+    val pp = tk.groupBy("probe_id")
+      .agg(coalesce(max(when(col("rel") === 1,
+          expr("1000000 div rn"))), lit(0L)).as("rr6"),
+        sum(when(col("rn") <= 5, col("rel")).otherwise(0)).as("rel5"),
+        max("rel").as("hit"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    pp.agg(count(lit(1)).cast("long").as("n_probes"),
+      (floor(d(sum("rr6")) / d(count(lit(1))) + lit(0.5)).cast("double")
+        / 1000000).as("mrr_at_10"),
+      (floor(d(sum("rel5")) / (lit(5) * d(count(lit(1)))) * 10000 + lit(0.5))
+        .cast("double") / 10000).as("precision_at_5"),
+      (floor(d(sum("hit")) / d(count(lit(1))) * 10000 + lit(0.5))
+        .cast("double") / 10000).as("hit_rate_at_10"))
+  }
+
+  // Pointwise mutual information over within-document co-occurrence of
+  // the 30 highest-document-frequency tokens — the collocation detector
+  // behind phrase mining and tokenizer-merge candidates. Candidate pairs
+  // are blocked by document (≤ C(30,2) pairs per doc), never a global
+  // token cross join. PMI = ln(N·c_ab/(c_a·c_b)) decomposes into FOUR
+  // integer-argument ln's, each 6-dp-fixed separately (Det.lnFix's safe
+  // domain), then combined with pure integer adds — no float sum order
+  // anywhere.
+  q("text_pmi_cooccur",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      |  FROM documents
+      |), dfreq AS (
+      |  SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS c
+      |  FROM tok GROUP BY t
+      |), top AS (
+      |  SELECT t, c FROM dfreq ORDER BY c DESC, t LIMIT 30
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, t FROM tok WHERE t IN (SELECT t FROM top)
+      |), nd AS (
+      |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents
+      |), pair AS (
+      |  SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS cab
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+      |  GROUP BY a.t, b.t
+      |)
+      |SELECT ta, tb, cab,
+      |  CAST(CAST(floor(ln(CAST(nd.n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |    + CAST(floor(ln(CAST(cab AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |    - CAST(floor(ln(CAST(ca.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |    - CAST(floor(ln(CAST(cb.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |    AS DOUBLE) / 1000000 AS pmi
+      |FROM pair
+      |JOIN top ca ON pair.ta = ca.t
+      |JOIN top cb ON pair.tb = cb.t
+      |CROSS JOIN nd
+      |ORDER BY pmi DESC, ta, tb LIMIT 20""") { (s, dir) =>
+    val tok = Tables.fan(Tables(s, dir, "documents"))
+      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("t"))
+    val dfreq = tok.groupBy("t")
+      .agg(countDistinct("doc_id").cast("long").as("c"))
+    val top = dfreq.orderBy(col("c").desc, col("t")).limit(30)
+    val dt = tok.join(broadcast(top.select(col("t"))), Seq("t"), "semi")
+      .select(col("doc_id"), col("t")).distinct()
+    val nd = Tables(s, dir, "documents")
+      .agg(countDistinct("doc_id").cast("long").as("n"))
+    val pair = dt.as("a")
+      .join(dt.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+      .agg(count(lit(1)).cast("long").as("cab"))
+    pair
+      .join(broadcast(top.select(col("t").as("ta"), col("c").as("ca"))), Seq("ta"))
+      .join(broadcast(top.select(col("t").as("tb"), col("c").as("cb"))), Seq("tb"))
+      .crossJoin(broadcast(nd))
+      .select(col("ta"), col("tb"), col("cab"),
+        ((Det.lnFix(col("n"), 6).cast("long")
+          + Det.lnFix(col("cab"), 6).cast("long")
+          - Det.lnFix(col("ca"), 6).cast("long")
+          - Det.lnFix(col("cb"), 6).cast("long")).cast("double") / 1000000)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("ta"), col("tb"))
+      .limit(20)
+  }
+
   // Curriculum ordering: rank the corpus by a difficulty proxy (length,
   // doc_id tiebreak) and cut it into 10 curriculum steps — the deciles a
   // staged training schedule consumes easiest-first. ntile keeps the

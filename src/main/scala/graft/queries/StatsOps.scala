@@ -1693,6 +1693,66 @@ object StatsOps extends QueryPack {
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("w"))
   }
 
+  // Experiment power analysis against the 'view' baseline: the minimum
+  // detectable effect at 80% power / 5% two-sided alpha (z_α/2 + z_β
+  // pinned to the literal 2.8 both engines evaluate identically), and the
+  // per-arm sample size needed to detect a 5% relative lift. Group
+  // moments are the same exact 128-bit integer sums as events_ab_welch;
+  // every derived double is a single-row identical-tree expression.
+  q("events_ab_power",
+    """WITH st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS s1,
+      |    SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)
+      |        * CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS s2
+      |  FROM events GROUP BY event_type
+      |), m AS (
+      |  SELECT event_type, n,
+      |    CAST(s1 AS DOUBLE) / 10000 / n AS mean,
+      |    (CAST(s2 AS DOUBLE) / 100000000
+      |     - (CAST(s1 AS DOUBLE) / 10000) * (CAST(s1 AS DOUBLE) / 10000) / n)
+      |    / (n - 1) AS vr
+      |  FROM st
+      |), base AS (SELECT n AS nb, mean AS mb, vr AS vb FROM m
+      |            WHERE event_type = 'view')
+      |SELECT event_type, n,
+      |  CAST(floor(CAST(2.8 AS DOUBLE) * sqrt(vr / n + vb / nb) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS mde_abs,
+      |  CAST(floor(CAST(2.8 AS DOUBLE) * sqrt(vr / n + vb / nb) / mb
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS mde_rel,
+      |  CAST(ceil(CAST(2.8 AS DOUBLE) * CAST(2.8 AS DOUBLE) * (vr + vb)
+      |    / ((CAST(0.05 AS DOUBLE) * mb) * (CAST(0.05 AS DOUBLE) * mb)))
+      |    AS BIGINT) AS n_per_arm_5pct
+      |FROM m, base
+      |WHERE event_type <> 'view'
+      |ORDER BY event_type""") { (s, dir) =>
+    val f = Det.fix(col("value"), 4)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val st = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"), sum(f.cast(dec38)).as("s1"),
+        sum((f * f).cast(dec38)).as("s2"))
+    val m = st.select(col("event_type"), col("n"),
+      (col("s1").cast("double") / 10000 / col("n")).as("mean"),
+      ((col("s2").cast("double") / 100000000L
+        - (col("s1").cast("double") / 10000) * (col("s1").cast("double") / 10000)
+          / col("n")) / (col("n") - 1)).as("vr"))
+    val base = m.filter(col("event_type") === "view")
+      .select(col("n").as("nb"), col("mean").as("mb"), col("vr").as("vb"))
+    val se = sqrt(col("vr") / col("n") + col("vb") / col("nb"))
+    m.filter(col("event_type") =!= "view")
+      .crossJoin(broadcast(base))
+      .select(col("event_type"), col("n"),
+        (floor(lit(2.8) * se * 10000 + lit(0.5)).cast("double") / 10000)
+          .as("mde_abs"),
+        (floor(lit(2.8) * se / col("mb") * 1000000 + lit(0.5)).cast("double")
+          / 1000000).as("mde_rel"),
+        ceil(lit(2.8) * lit(2.8) * (col("vr") + col("vb"))
+          / ((lit(0.05) * col("mb")) * (lit(0.05) * col("mb"))))
+          .cast("long").as("n_per_arm_5pct"))
+      .orderBy("event_type")
+  }
+
   // CUPED variance reduction — the standard pre-experiment covariate
   // adjustment: each user's pre-period spend X predicts their post-period
   // spend Y, and Y_adj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) strips the

@@ -540,6 +540,93 @@ object TimeSeriesOps extends QueryPack {
       .orderBy("user_id", "day")
   }
 
+  // Holt-Winters additive triple smoothing (α = 0.4, β = 0.2, γ = 0.3,
+  // weekly season m = 7) — the seasonal upgrade of ts_holt. The fold state
+  // is (level, trend, seasonal-queue): the 7-slot queue holds the next
+  // seven seasonal components, so s_{t−7} is always the queue head and the
+  // one-step forecast is l + b + head. First-cycle seasonals initialize to
+  // 0 (deterministic contract; no backcast). As in ts_holt, the new-level
+  // EXPRESSION is repeated verbatim inside the trend and seasonal updates
+  // so the oracle's recursive CTE computes the identical IEEE tree (P2);
+  // the queue shift itself is pure list surgery — no float math.
+  q("ts_holt_winters",
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS DOUBLE) / 10000 AS x
+      |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |), d AS (
+      |  SELECT user_id, day, x,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM daily
+      |), r AS (
+      |  SELECT user_id, day, rn, x, x AS l, CAST(0 AS DOUBLE) AS b,
+      |    [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      |     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      |     CAST(0 AS DOUBLE)] AS seas
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.user_id, d.day, d.rn, d.x,
+      |    CAST(0.4 AS DOUBLE) * (d.x - r.seas[1])
+      |      + CAST(0.6 AS DOUBLE) * (r.l + r.b),
+      |    CAST(0.2 AS DOUBLE) * ((CAST(0.4 AS DOUBLE) * (d.x - r.seas[1])
+      |      + CAST(0.6 AS DOUBLE) * (r.l + r.b)) - r.l)
+      |      + CAST(0.8 AS DOUBLE) * r.b,
+      |    r.seas[2:7] || [CAST(0.3 AS DOUBLE) * (d.x
+      |      - (CAST(0.4 AS DOUBLE) * (d.x - r.seas[1])
+      |         + CAST(0.6 AS DOUBLE) * (r.l + r.b)))
+      |      + CAST(0.7 AS DOUBLE) * r.seas[1]]
+      |  FROM d JOIN r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, x,
+      |  floor(l * 10000 + 0.5) / 10000 AS level,
+      |  floor(b * 10000 + 0.5) / 10000 AS trend,
+      |  floor(seas[7] * 10000 + 0.5) / 10000 AS seasonal,
+      |  floor((l + b + seas[1]) * 10000 + 0.5) / 10000 AS forecast
+      |FROM r
+      |ORDER BY user_id, day""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("day"),
+        Det.avgFix(col("s1"), 4, col("n")).as("x"))
+    val prev = "element_at(acc, -1)"
+    val s1 = s"element_at($prev.seas, 1)"
+    val lnew = s"CAST(0.4 AS DOUBLE) * (e.x - $s1)" +
+      s" + CAST(0.6 AS DOUBLE) * ($prev.l + $prev.b)"
+    val folded = daily
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .withColumn("st", expr(
+        "aggregate(xs, " +
+          "CAST(array() AS array<struct<l:double,b:double,seas:array<double>>>), " +
+          "(acc, e) -> array_append(acc, CASE WHEN size(acc) = 0 " +
+          "THEN named_struct('l', e.x, 'b', CAST(0 AS DOUBLE), " +
+          "'seas', array_repeat(CAST(0 AS DOUBLE), 7)) " +
+          "ELSE named_struct(" +
+          s"'l', $lnew, " +
+          s"'b', CAST(0.2 AS DOUBLE) * (($lnew) - $prev.l) " +
+          s"+ CAST(0.8 AS DOUBLE) * $prev.b, " +
+          s"'seas', concat(slice($prev.seas, 2, 6), " +
+          s"array(CAST(0.3 AS DOUBLE) * (e.x - ($lnew)) " +
+          s"+ CAST(0.7 AS DOUBLE) * $s1)) " +
+          ") END))"))
+    val sti = element_at(col("st"), col("pos") + 1)
+    folded
+      .select(col("user_id"), col("st"), posexplode(col("xs")))
+      .select(col("user_id"),
+        date_format(col("col.day"), "yyyy-MM-dd").as("day"),
+        col("col.x").as("x"),
+        (floor(sti.getField("l") * 10000 + lit(0.5)) / 10000).as("level"),
+        (floor(sti.getField("b") * 10000 + lit(0.5)) / 10000).as("trend"),
+        (floor(element_at(sti.getField("seas"), 7) * 10000 + lit(0.5)) / 10000)
+          .as("seasonal"),
+        (floor((sti.getField("l") + sti.getField("b")
+          + element_at(sti.getField("seas"), 1)) * 10000 + lit(0.5)) / 10000)
+          .as("forecast"))
+      .orderBy("user_id", "day")
+  }
+
   // Lag-1 autocorrelation of each user's daily series — the "is today
   // predictive of tomorrow" screen run before fitting anything fancier.
   // Inputs are the 4-dp daily averages lifted to BIGINT units, so the six
