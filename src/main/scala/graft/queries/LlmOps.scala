@@ -1610,6 +1610,44 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // T5-style span corruption prep: deterministically mask every token
+  // whose (position + doc_id) lands on the stride — no RNG, so the same
+  // doc always corrupts identically across engines, runs, and epochs
+  // (epoch-varying masks would key on (epoch, doc_id, pos) the same way).
+  // Pure per-row array surgery: tokenize once, one indexed transform, one
+  // filtered count — embarrassingly parallel, no shuffle at any scale.
+  // Index parity: Spark's transform lambda index is 0-based, DuckDB's
+  // range is a 1-based value list, so the Spark side masks on (i+1).
+  q("llm_span_corruption",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |)
+      |SELECT doc_id,
+      |  array_to_string(list_transform(range(1, len(tk) + 1),
+      |    i -> CASE WHEN (i + doc_id) % 7 = 0 THEN '<extra_id>'
+      |         ELSE tk[i] END), ' ') AS corrupted,
+      |  CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(range(1, len(tk) + 1),
+      |    i -> (i + doc_id) % 7 = 0)) AS BIGINT) AS n_masked,
+      |  CAST(len(list_filter(range(1, len(tk) + 1),
+      |    i -> (i + doc_id) % 7 = 0)) * 10000 // len(tk) AS DOUBLE) / 10000
+      |    AS mask_ratio
+      |FROM tk ORDER BY doc_id""") { (s, dir) =>
+    val tk = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    tk.select(col("doc_id"),
+        expr("array_join(transform(tk, (x, i) -> " +
+          "CASE WHEN (i + 1 + doc_id) % 7 = 0 THEN '<extra_id>' ELSE x END), " +
+          "' ')").as("corrupted"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        expr("cast(size(filter(sequence(1, size(tk)), " +
+          "i -> (i + doc_id) % 7 = 0)) as long)").as("n_masked"),
+        (expr("size(filter(sequence(1, size(tk)), " +
+          "i -> (i + doc_id) % 7 = 0)) * 10000L div size(tk)")
+          .cast("double") / 10000).as("mask_ratio"))
+      .orderBy("doc_id")
+  }
+
   // Retrieval quality evaluation over the cosine top-10: treating
   // same-label neighbors as relevant, report MRR@10, precision@5 and
   // hit-rate@10 — the metrics that decide whether an ANN index is good

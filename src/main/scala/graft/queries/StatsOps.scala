@@ -1693,6 +1693,117 @@ object StatsOps extends QueryPack {
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("w"))
   }
 
+  // Monte-Carlo permutation (randomization) test of the click-vs-purchase
+  // mean difference — the distribution-free p-value when normality can't
+  // be assumed and no erf/Φ is available cross-engine. 100 deterministic
+  // relabelings come from md5(b:event_id) (first hex nibble < '8' → arm
+  // 0), and every |T_b| ≥ |T_obs| comparison is EXACT: mean differences
+  // are compared by 128-bit cross-multiplication, no division or float
+  // anywhere until the reported statistic. Scale shape: the ×100 expand
+  // collapses map-side to 100 partial-moment cells per partition — only
+  // B×4 integers ever shuffle, so the plan survives any corpus size.
+  q("stats_permutation_test",
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), obs AS (
+      |  SELECT SUM(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS s0,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1
+      |  FROM ev
+      |), bb AS (SELECT unnest(generate_series(1, 100)) AS b),
+      |hv AS (
+      |  SELECT cents, md5(CAST(event_id AS VARCHAR)) AS h FROM ev
+      |), pb AS (
+      |  SELECT bb.b, cents,
+      |    (instr('0123456789abcdef',
+      |       substring(h, ((bb.b - 1) // 4) + 1, 1)) - 1)
+      |    // (CASE WHEN (bb.b - 1) % 4 = 0 THEN 1
+      |             WHEN (bb.b - 1) % 4 = 1 THEN 2
+      |             WHEN (bb.b - 1) % 4 = 2 THEN 4 ELSE 8 END) % 2 AS arm
+      |  FROM hv CROSS JOIN bb
+      |), perm AS (
+      |  SELECT b,
+      |    SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS s0,
+      |    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+      |  FROM pb GROUP BY b
+      |), cmp AS (
+      |  SELECT p.b,
+      |    CASE WHEN abs(CAST(p.s0 AS HUGEINT) * p.n1
+      |                  - CAST(p.s1 AS HUGEINT) * p.n0)
+      |           * CAST(o.n0 AS HUGEINT) * o.n1
+      |         >= abs(CAST(o.s0 AS HUGEINT) * o.n1
+      |                - CAST(o.s1 AS HUGEINT) * o.n0)
+      |           * CAST(p.n0 AS HUGEINT) * p.n1
+      |    THEN 1 ELSE 0 END AS ge
+      |  FROM perm p CROSS JOIN obs o
+      |)
+      |SELECT CAST(100 AS BIGINT) AS n_perm,
+      |  CAST(floor((CAST(o.s0 AS DOUBLE) / 100 / o.n0
+      |    - CAST(o.s1 AS DOUBLE) / 100 / o.n1) * 10000 + 0.5) AS DOUBLE)
+      |    / 10000 AS t_obs,
+      |  CAST(SUM(ge) AS BIGINT) AS n_extreme,
+      |  CAST(floor((CAST(SUM(ge) AS DOUBLE) + 1) / 101 * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS p_value
+      |FROM cmp CROSS JOIN obs o
+      |GROUP BY o.s0, o.n0, o.s1, o.n1""") { (s, dir) =>
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("event_type"),
+        Det.cents(col("value")).cast("long").as("cents"))
+    val obs = ev.agg(
+      sum(when(col("event_type") === "click", col("cents")).otherwise(0L)).as("s0"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n0"),
+      sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L)).as("s1"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n1"))
+    val bb = (1 to 100).toDF("b")
+    // ONE md5 per ROW, not per (b, row): the 128-bit digest carries all
+    // 100 permutation bits — permutation b reads bit (b−1) of the hex
+    // string (nibble (b−1)//4, bit (b−1)%4). Cuts the dominant hash work
+    // 100× on the expand; at corpus scale the per-row cost is one digest
+    // plus 100 integer bit-extracts.
+    val hv = ev.select(col("cents"),
+      md5(col("event_id").cast("string")).as("h"))
+    val pb = hv.crossJoin(bb)
+      .select(col("b"), col("cents"),
+        expr("((instr('0123456789abcdef', substring(h, ((b - 1) div 4) + 1, 1))"
+          + " - 1) div (CASE WHEN (b - 1) % 4 = 0 THEN 1"
+          + " WHEN (b - 1) % 4 = 1 THEN 2"
+          + " WHEN (b - 1) % 4 = 2 THEN 4 ELSE 8 END)) % 2")
+          .as("arm"))
+    val perm = pb
+      .groupBy("b")
+      .agg(sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+    val cmp = perm.as("p").crossJoin(broadcast(obs.as("o")))
+      .select(col("p.b"),
+        when(abs(col("p.s0").cast(dec) * col("p.n1")
+            - col("p.s1").cast(dec) * col("p.n0"))
+            * col("o.n0").cast(dec) * col("o.n1")
+          >= abs(col("o.s0").cast(dec) * col("o.n1")
+            - col("o.s1").cast(dec) * col("o.n0"))
+            * col("p.n0").cast(dec) * col("p.n1"), 1L).otherwise(0L).as("ge"),
+        col("o.s0"), col("o.n0"), col("o.s1"), col("o.n1"))
+    cmp.groupBy("s0", "n0", "s1", "n1")
+      .agg(sum("ge").cast("long").as("n_extreme"))
+      .select(lit(100L).as("n_perm"),
+        (floor((d(col("s0")) / 100 / col("n0")
+          - d(col("s1")) / 100 / col("n1")) * 10000 + lit(0.5)).cast("double")
+          / 10000).as("t_obs"),
+        col("n_extreme"),
+        (floor((d(col("n_extreme")) + 1) / 101 * 1000000 + lit(0.5))
+          .cast("double") / 1000000).as("p_value"))
+  }
+
   // Experiment power analysis against the 'view' baseline: the minimum
   // detectable effect at 80% power / 5% two-sided alpha (z_α/2 + z_β
   // pinned to the literal 2.8 both engines evaluate identically), and the
