@@ -166,4 +166,37 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("scan_parquet")
     assert(p.contains("ColumnarToRow") || p.contains("Batched: true"), p)
   }
+
+  test("stats_permutation_test expands then partially aggregates — only " +
+    "B-sized frames cross the shuffle") {
+    val p = plan("stats_permutation_test")
+    // the ×100 expand must sit UNDER a partial hash aggregate keyed by b:
+    // a plan that shuffles the expanded rows before aggregating would move
+    // |events|×100 rows instead of B×4 integers per partition
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    val ix = p.indexOf("partial_sum")
+    assert(ix >= 0, s"no partial (map-side) aggregation:\n$p")
+    // exactly one scan of events feeds the whole statistic (obs is
+    // derived from the same relation; a second scan is fine — what must
+    // NOT appear is a sort anywhere in the plan)
+    assert(!p.contains("Sort "), s"unexpected sort in permutation plan:\n$p")
+  }
+
+  test("graph_adamic_adar joins the tiny ln-degree frame by broadcast") {
+    val p = plan("graph_adamic_adar")
+    assert(p.contains("BroadcastHashJoin"),
+      s"degree/term frame not broadcast:\n$p")
+  }
+
+  test("stats_kruskal_wallis windows over the value HISTOGRAM — rank " +
+    "assignment never touches raw rows") {
+    val p = plan("stats_kruskal_wallis")
+    // the only Window in the plan runs after the distinct-cents aggregate,
+    // so its input is the histogram frame, not the events relation
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"no window (cumsum) found:\n$p")
+    val below = p.substring(winIdx)
+    assert(below.contains("HashAggregate"),
+      s"window input is not the aggregated histogram:\n$p")
+  }
 }
