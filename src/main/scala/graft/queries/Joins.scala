@@ -378,4 +378,63 @@ object Joins extends QueryPack {
         count(lit(1)).as("n_lines"))
       .orderBy("r_name", "n_name")
   }
+
+  // Grid-blocked 2-D neighbor join: users as points (spend dollars ×
+  // activity), pairs within L2 radius 50. One side explodes into its 3×3
+  // cell neighborhood and the join runs on the CELL KEY — a pure hash
+  // equi-join, never a BETWEEN range join (which Spark would plan as a
+  // nested-loop). Each candidate pair matches in exactly one cell (the
+  // probe's own), so no post-dedup is needed; the exact distance filter
+  // is all-integer (dx² + dy² ≤ r²). The standard spatial-binning shape:
+  // at 100 TB the cell key is the shuffle key and density skew is handled
+  // like any hot join key (salt the heavy cells).
+  q("join_spatial_grid",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id, SUM(cents) // 100 AS x, COUNT(*) * 10 AS y
+      |  FROM ev GROUP BY user_id
+      |), g AS (
+      |  SELECT user_id, x, y, x // 50 AS cx, y // 50 AS cy FROM u
+      |), ae AS (
+      |  SELECT user_id, x, y, cx + ox.o AS cx, cy + oy.o AS cy
+      |  FROM g
+      |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) ox
+      |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS o) oy
+      |), pair AS (
+      |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      |  FROM ae a JOIN g b
+      |    ON a.cx = b.cx AND a.cy = b.cy AND a.user_id < b.user_id
+      |)
+      |SELECT user_a, user_b, CAST(dist2 AS BIGINT) AS dist2
+      |FROM pair WHERE dist2 <= 2500
+      |ORDER BY dist2, user_a, user_b LIMIT 50""") { (s, dir) =>
+    val u = Tables(s, dir, "events")
+      .select(col("user_id"), Det.cents(col("value")).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(expr("sum(cents) div 100").as("x"),
+        (count(lit(1)) * 10).as("y"))
+    val g = u.select(col("user_id"), col("x"), col("y"),
+      expr("x div 50").as("cx"), expr("y div 50").as("cy"))
+    val off = g.sparkSession.range(1).select(
+      explode(array(lit(-1), lit(0), lit(1))).as("o"))
+    val ae = g
+      .crossJoin(broadcast(off.select(col("o").as("ox"))))
+      .crossJoin(broadcast(off.select(col("o").as("oy"))))
+      .select(col("user_id"), col("x"), col("y"),
+        (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
+    val pair = ae.as("a")
+      .join(g.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy")
+          && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+        ((col("a.x") - col("b.x")) * (col("a.x") - col("b.x"))
+          + (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))).as("dist2"))
+    pair.filter(col("dist2") <= 2500)
+      .select(col("user_a"), col("user_b"), col("dist2").cast("long").as("dist2"))
+      .orderBy("dist2", "user_a", "user_b")
+      .limit(50)
+  }
 }

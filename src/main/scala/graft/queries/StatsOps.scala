@@ -1693,6 +1693,86 @@ object StatsOps extends QueryPack {
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("w"))
   }
 
+  // Deterministic Bayesian-bootstrap confidence interval for the mean
+  // purchase value: 100 replicates weight every row by a hex nibble
+  // (0..15) of its own md5 digests — a discrete Rubin-style resample that
+  // is bit-identical across engines, runs, and cluster sizes (no RNG
+  // state to coordinate). Four digests per row supply 100 nibbles
+  // (25 used per digest); replicate means quantize at 6 dp BEFORE the
+  // rank, so the 5th/95th order statistics select identically in both
+  // engines. Plan shape: scan → digest projection → ×100 expand →
+  // partial aggregate (only B×2 integers shuffle) → 100-row rank.
+  q("stats_bootstrap_ci",
+    """WITH ev AS (
+      |  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'
+      |), hv AS (
+      |  SELECT cents,
+      |    md5(CAST(event_id AS VARCHAR) || ':1') AS h1,
+      |    md5(CAST(event_id AS VARCHAR) || ':2') AS h2,
+      |    md5(CAST(event_id AS VARCHAR) || ':3') AS h3,
+      |    md5(CAST(event_id AS VARCHAR) || ':4') AS h4
+      |  FROM ev
+      |), bb AS (SELECT unnest(generate_series(1, 100)) AS b),
+      |pb AS (
+      |  SELECT bb.b, cents,
+      |    instr('0123456789abcdef', substring(
+      |      CASE WHEN bb.b <= 25 THEN h1 WHEN bb.b <= 50 THEN h2
+      |           WHEN bb.b <= 75 THEN h3 ELSE h4 END,
+      |      ((bb.b - 1) % 25) + 1, 1)) - 1 AS w
+      |  FROM hv CROSS JOIN bb
+      |), rep AS (
+      |  SELECT b, SUM(w * cents) AS sw, SUM(w) AS tw FROM pb GROUP BY b
+      |), rm AS (
+      |  SELECT b, CAST(floor(CAST(sw AS DOUBLE) / CAST(tw AS DOUBLE) / 100
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS m
+      |  FROM rep
+      |), r AS (
+      |  SELECT m, row_number() OVER (ORDER BY m, b) AS rn FROM rm
+      |), pt AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(floor(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100
+      |      * 1000000 + 0.5) AS DOUBLE) / 1000000 AS mean
+      |  FROM ev
+      |)
+      |SELECT pt.n, pt.mean,
+      |  MIN(CASE WHEN rn = 5 THEN m END) AS ci_lo,
+      |  MIN(CASE WHEN rn = 95 THEN m END) AS ci_hi
+      |FROM r CROSS JOIN pt GROUP BY pt.n, pt.mean""") { (s, dir) =>
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), Det.cents(col("value")).cast("long").as("cents"))
+    def h(r: Int) = md5(concat(col("event_id").cast("string"), lit(s":$r")))
+    val hv = ev.select(col("cents"),
+      h(1).as("h1"), h(2).as("h2"), h(3).as("h3"), h(4).as("h4"))
+    val bb = (1 to 100).toDF("b")
+    val pb = hv.crossJoin(bb)
+      .select(col("b"), col("cents"),
+        (expr("instr('0123456789abcdef', substring(" +
+          "CASE WHEN b <= 25 THEN h1 WHEN b <= 50 THEN h2 " +
+          "WHEN b <= 75 THEN h3 ELSE h4 END, " +
+          "((b - 1) % 25) + 1, 1))") - 1).as("w"))
+    val rep = pb.groupBy("b")
+      .agg(sum((col("w") * col("cents")).cast(dec)).as("sw"),
+        sum(col("w").cast(dec)).as("tw"))
+    val rm = rep.select(col("b"),
+      (floor(d(col("sw")) / d(col("tw")) / 100 * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("m"))
+    val r = rm.select(col("m"),
+      row_number().over(Window.orderBy(col("m"), col("b"))).as("rn"))
+    val pt = ev.agg(count(lit(1)).cast("long").as("n"),
+      (floor(d(sum("cents")) / count(lit(1)) / 100 * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("mean"))
+    r.crossJoin(broadcast(pt))
+      .groupBy("n", "mean")
+      .agg(min(when(col("rn") === 5, col("m"))).as("ci_lo"),
+        min(when(col("rn") === 95, col("m"))).as("ci_hi"))
+      .select(col("n"), col("mean"), col("ci_lo"), col("ci_hi"))
+  }
+
   // Monte-Carlo permutation (randomization) test of the click-vs-purchase
   // mean difference — the distribution-free p-value when normality can't
   // be assumed and no erf/Φ is available cross-engine. 100 deterministic
