@@ -145,6 +145,45 @@ object Joins extends QueryPack {
       .orderBy("event_id")
   }
 
+  // As-of with a staleness tolerance: the backward match is DISCARDED
+  // (payload nulled, event kept) when the matched order is more than 30
+  // days older than the event — the "quote too stale to use" contract of
+  // financial as-of joins. Composes the single-shuffle AsofJoin with a
+  // post-join validity mask; no second scan, no extra shuffle.
+  q("join_asof_tolerance",
+    """SELECT event_id, user_id,
+      |  CASE WHEN staleness <= 30 THEN o_orderkey END AS o_orderkey,
+      |  CASE WHEN staleness <= 30 THEN staleness END AS staleness_days
+      |FROM (
+      |  SELECT event_id, user_id, o_orderkey,
+      |    date_diff('day', CAST(o_orderdate AS DATE),
+      |      CAST(date_trunc('day', ts) AS DATE)) AS staleness
+      |  FROM (
+      |    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+      |           row_number() OVER (PARTITION BY e.event_id
+      |                              ORDER BY o.o_orderdate DESC NULLS LAST,
+      |                                       o.o_orderkey DESC NULLS LAST) AS rn
+      |    FROM events e LEFT JOIN orders o
+      |      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      |  ) WHERE rn = 1
+      |)
+      |ORDER BY event_id""") { (s, dir) =>
+    val events = Tables(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    val joined = AsofJoin(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        payload = Seq("o_orderkey", "o_orderdate"), tiebreak = "o_orderkey")
+      .withColumn("staleness",
+        datediff(to_date(date_trunc("day", col("ts"))),
+          col("o_orderdate").cast("date")))
+    joined.select(col("event_id"), col("user_id"),
+        when(col("staleness") <= 30, col("o_orderkey")).as("o_orderkey"),
+        when(col("staleness") <= 30, col("staleness")).as("staleness_days"))
+      .orderBy("event_id")
+  }
+
   // FORWARD as-of: each order ↔ that customer's earliest event at-or-after
   // the order date (the "next upcoming match" direction; ties resolve to
   // the smallest event_id). Customers with no events exercise the

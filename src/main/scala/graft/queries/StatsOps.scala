@@ -1693,6 +1693,78 @@ object StatsOps extends QueryPack {
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("w"))
   }
 
+  // Count-min sketch heavy hitters, fully deterministic and therefore
+  // fully ORACLE-ABLE (unlike probabilistic-seed sketches): d=4 hash rows
+  // × w=64 buckets, bucket = two md5 hex nibbles of (user_id:i). The
+  // sketch build is one ×4 expand + hash aggregate (256 cells — the
+  // mergeable, fixed-size state a 1000-executor rollup ships instead of
+  // per-key counts); estimates are the min over the 4 rows and provably
+  // ≥ the exact count. The exact top-5 twin rides the same scan so the
+  // report shows estimate vs truth inflation per key.
+  q("agg_count_min",
+    """WITH ev AS (SELECT user_id FROM events),
+      |ii AS (SELECT unnest(generate_series(1, 4)) AS i),
+      |hb AS (
+      |  SELECT ii.i,
+      |    ((instr('0123456789abcdef', substring(
+      |        md5(CAST(user_id AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)),
+      |        1, 1)) - 1) * 16
+      |     + instr('0123456789abcdef', substring(
+      |        md5(CAST(user_id AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)),
+      |        2, 1)) - 1) % 64 AS bucket
+      |  FROM ev CROSS JOIN ii
+      |), cms AS (
+      |  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM hb GROUP BY i, bucket
+      |), topk AS (
+      |  SELECT user_id, exact_n, rk FROM (
+      |    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n,
+      |      row_number() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+      |    FROM ev GROUP BY user_id
+      |  ) WHERE rk <= 5
+      |), tb AS (
+      |  SELECT t.user_id, t.exact_n, t.rk, ii.i,
+      |    ((instr('0123456789abcdef', substring(
+      |        md5(CAST(t.user_id AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)),
+      |        1, 1)) - 1) * 16
+      |     + instr('0123456789abcdef', substring(
+      |        md5(CAST(t.user_id AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)),
+      |        2, 1)) - 1) % 64 AS bucket
+      |  FROM topk t CROSS JOIN ii
+      |)
+      |SELECT tb.user_id, tb.exact_n AS exact_n, MIN(cms.c) AS cms_est,
+      |  CAST(MIN(cms.c) * 10000 // tb.exact_n AS DOUBLE) / 10000 AS inflation
+      |FROM tb JOIN cms ON tb.i = cms.i AND tb.bucket = cms.bucket
+      |GROUP BY tb.user_id, tb.exact_n, tb.rk
+      |ORDER BY tb.rk""") { (s, dir) =>
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select("user_id")
+    val ii = (1 to 4).toDF("i")
+    def bucket(idCol: String) =
+      expr(s"((instr('0123456789abcdef', substring(" +
+        s"md5(CAST($idCol AS STRING) || ':' || CAST(i AS STRING)), 1, 1)) - 1) * 16" +
+        s" + instr('0123456789abcdef', substring(" +
+        s"md5(CAST($idCol AS STRING) || ':' || CAST(i AS STRING)), 2, 1)) - 1) % 64")
+    val cms = ev.crossJoin(broadcast(ii))
+      .select(col("i"), bucket("user_id").as("bucket"))
+      .groupBy("i", "bucket").agg(count(lit(1)).cast("long").as("c"))
+    val topk = ev.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("exact_n"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("exact_n").desc, col("user_id"))))
+      .filter(col("rk") <= 5)
+    val tb = topk.crossJoin(broadcast(ii))
+      .select(col("user_id"), col("exact_n"), col("rk"), col("i"),
+        bucket("user_id").as("bucket"))
+    tb.join(cms, Seq("i", "bucket"))
+      .groupBy("user_id", "exact_n", "rk")
+      .agg(min("c").as("cms_est"))
+      .orderBy("rk")
+      .select(col("user_id"), col("exact_n"), col("cms_est"),
+        (expr("cms_est * 10000 div exact_n").cast("double") / 10000)
+          .as("inflation"))
+  }
+
   // Deterministic Bayesian-bootstrap confidence interval for the mean
   // purchase value: 100 replicates weight every row by a hex nibble
   // (0..15) of its own md5 digests — a discrete Rubin-style resample that

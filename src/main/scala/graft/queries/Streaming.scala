@@ -93,6 +93,40 @@ object Streaming extends QueryPack {
     }.orderBy("window_start")
   }
 
+  // Windowed heavy hitters on the live stream: per 6-hour tumbling
+  // window, the top-3 event types by count. The streaming stage computes
+  // the windowed counts (the only part that needs stream state — bounded
+  // by |windows|×|types|); the rank runs on the DRAINED aggregate, which
+  // is the foreachBatch/gold-table pattern in production (rank inside a
+  // streaming agg would demand complete-mode recomputation of every
+  // window on every trigger). Oracle is the identical batch cube.
+  q("stream_topk_window",
+    """SELECT window_start, event_type, n, rn FROM (
+      |  SELECT CAST(epoch(to_timestamp(
+      |      CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)) AS BIGINT)
+      |      AS window_start,
+      |    event_type, COUNT(*) AS n,
+      |    row_number() OVER (
+      |      PARTITION BY CAST(floor(epoch(ts) / 21600) AS BIGINT)
+      |      ORDER BY COUNT(*) DESC, event_type) AS rn
+      |  FROM events
+      |  GROUP BY CAST(floor(epoch(ts) / 21600) AS BIGINT), event_type
+      |)
+      |WHERE rn <= 3
+      |ORDER BY window_start, rn""") { (s, dir) =>
+    val counts = Streams.runToMemory(s, dir, "graft_topk_window", "complete") { ev =>
+      ev.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n"))
+    }
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("window_start", "rn")
+  }
+
   q("stream_dedup",
     """SELECT user_id, event_type, minute_us, event_id FROM (
       |  SELECT user_id, event_type,
