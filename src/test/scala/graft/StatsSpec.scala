@@ -225,6 +225,54 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("stats_bootstrap_ci: interval is ordered and brackets the point " +
+    "estimate") {
+    val r = run("stats_bootstrap_ci").collect().head
+    val (lo, m, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("mean"),
+      r.getAs[Double]("ci_hi"))
+    assert(lo <= hi, s"lo=$lo hi=$hi")
+    // nibble weights are unbiased; at sf0.001 the replicate spread easily
+    // covers the point estimate
+    assert(lo <= m && m <= hi, s"mean $m outside [$lo, $hi]")
+  }
+
+  test("agg_count_min: the sketch NEVER under-counts (est >= exact, " +
+    "inflation >= 1)") {
+    run("agg_count_min").collect().foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_n"))
+      assert(r.getAs[Double]("inflation") >= 1.0)
+    }
+  }
+
+  test("stats_permutation_test: the p-value respects the +1 smoothing " +
+    "bounds of a 100-replicate randomization test") {
+    val r = run("stats_permutation_test").collect().head
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 1.0 / 101 - 1e-9 && p <= 1.0, s"p=$p")
+    assert(r.getAs[Long]("n_extreme") <= 100L)
+  }
+
+  test("join_spatial_grid: every reported pair is within the radius, " +
+    "ordered by distance, and properly oriented") {
+    val rows = SparkEntry.queries("join_spatial_grid")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dist2") <= 2500L)
+      assert(r.getAs[Long]("user_a") < r.getAs[Long]("user_b"))
+    }
+    val ds = rows.map(_.getAs[Long]("dist2"))
+    ds.sliding(2).filter(_.length == 2).foreach(w => assert(w(1) >= w(0)))
+  }
+
+  test("join_asof_tolerance: reported staleness is within tolerance; " +
+    "out-of-tolerance matches are nulled as a pair") {
+    SparkEntry.queries("join_asof_tolerance")(spark, sf).collect().foreach { r =>
+      val sd = r.getAs[Integer]("staleness_days")
+      val ok = r.getAs[java.lang.Long]("o_orderkey")
+      if (sd == null) assert(ok == null, "payload kept on stale match")
+      else assert(sd <= 30, s"staleness $sd exceeds tolerance")
+    }
+  }
+
   test("graph_clustering_coeff: coefficients live in [0,1] and deg<2 " +
     "nodes report exactly 0") {
     SparkEntry.queries("graph_clustering_coeff")(spark, sf).collect()
