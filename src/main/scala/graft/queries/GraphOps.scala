@@ -445,6 +445,84 @@ object GraphOps extends QueryPack {
       .orderBy("n_name")
   }
 
+  // HITS hubs & authorities, 3 BSP rounds over the directed trade graph —
+  // the second classic link-analysis fixed point next to PageRank, and a
+  // different propagation shape (two alternating half-rounds per round).
+  // Normalization, the usual float hazard of HITS, is INTEGER: each
+  // half-round rescales scores to ·1e6 by floor division by the round's
+  // max, so both engines carry identical BIGINTs and the oracle unrolls
+  // the same 3 rounds as chained CTEs with scalar-subquery maxima. Same
+  // BSP seam as graph_pagerank (edge frame persisted once; per-round
+  // frames are |V|-sized).
+  private val hitsIters = 3
+
+  private def hitsRound(k: Int): String =
+    s"""a${k}r AS (
+       |  SELECT n.id, COALESCE(m.s, 0) AS ar FROM nodes n LEFT JOIN (
+       |    SELECT e.dst, SUM(h${k - 1}.h) AS s FROM edges e
+       |    JOIN h${k - 1} ON e.src = h${k - 1}.id GROUP BY e.dst) m
+       |  ON n.id = m.dst
+       |), a$k AS (
+       |  SELECT id, ar * 1000000 // (SELECT MAX(ar) FROM a${k}r) AS a
+       |  FROM a${k}r
+       |), h${k}r AS (
+       |  SELECT n.id, COALESCE(m.s, 0) AS hr FROM nodes n LEFT JOIN (
+       |    SELECT e.src, SUM(a$k.a) AS s FROM edges e
+       |    JOIN a$k ON e.dst = a$k.id GROUP BY e.src) m
+       |  ON n.id = m.src
+       |), h$k AS (
+       |  SELECT id, hr * 1000000 // (SELECT MAX(hr) FROM h${k}r) AS h
+       |  FROM h${k}r
+       |)""".stripMargin
+
+  q("graph_hits",
+    s"""WITH $oracleEdges,
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |${(1 to hitsIters).map(hitsRound).mkString(",\n")}
+       |SELECT nn.n_name,
+       |  CAST(h$hitsIters.h AS DOUBLE) / 1000000 AS hub,
+       |  CAST(a$hitsIters.a AS DOUBLE) / 1000000 AS authority
+       |FROM h$hitsIters JOIN a$hitsIters ON h$hitsIters.id = a$hitsIters.id
+       |JOIN nation nn ON h$hitsIters.id = nn.n_nationkey
+       |ORDER BY n_name""") { (s, dir) =>
+    val e = tradeEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var h = nodes.select(col("id"), lit(1000000L).as("h")).localCheckpoint()
+    var a: DataFrame = null
+    for (_ <- 1 to hitsIters) {
+      val inbound = e.as("e")
+        .join(h.as("hh"), col("e.src") === col("hh.id"))
+        .groupBy(col("e.dst").as("did")).agg(sum("hh.h").as("s"))
+      val ar = nodes.as("n")
+        .join(inbound, col("n.id") === col("did"), "left")
+        .select(col("n.id").as("id"), coalesce(col("s"), lit(0L)).as("ar"))
+      a = ar.crossJoin(broadcast(ar.agg(max("ar").as("m"))))
+        .select(col("id"), expr("ar * 1000000 div m").as("a")).localCheckpoint()
+      val outbound = e.as("e")
+        .join(a.as("aa"), col("e.dst") === col("aa.id"))
+        .groupBy(col("e.src").as("sid")).agg(sum("aa.a").as("s"))
+      val hr = nodes.as("n")
+        .join(outbound, col("n.id") === col("sid"), "left")
+        .select(col("n.id").as("id"), coalesce(col("s"), lit(0L)).as("hr"))
+      h = hr.crossJoin(broadcast(hr.agg(max("hr").as("m"))))
+        .select(col("id"), expr("hr * 1000000 div m").as("h")).localCheckpoint()
+    }
+    // h/a are eager localCheckpoints — the loop inputs are no longer
+    // reachable from the result plan, so release them now (the round-4
+    // ADVICE rule: never leave per-query persisted blocks pinned)
+    e.unpersist(false); nodes.unpersist(false)
+    h.as("h").join(a.as("a"), col("h.id") === col("a.id"))
+      .join(Tables(s, dir, "nation"), col("h.id") === col("n_nationkey"))
+      .select(col("n_name"),
+        (col("h.h").cast("double") / 1000000).as("hub"),
+        (col("a.a").cast("double") / 1000000).as("authority"))
+      .orderBy("n_name")
+  }
+
   // Adamic-Adar link prediction: candidate pairs come from the WEDGE join
   // (same neighbor-blocked sub-quadratic shape as graph_neighbor_jaccard —
   // never all-pairs), each common neighbor w contributing 1/ln(deg(w)).

@@ -1610,6 +1610,39 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // SFT example assembly: render (prompt, completion) pairs into the
+  // chat template a fine-tune run consumes, with the token counts that
+  // drive the loss mask (prompt tokens masked, completion tokens train).
+  // Pure per-row string/array surgery — the embarrassingly parallel tail
+  // of every SFT data pipeline; the 32/32 split is a fixed contract so
+  // the mask boundary is reproducible.
+  q("llm_sft_format",
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |)
+      |SELECT doc_id,
+      |  '<|user|>' || chr(10) || 'Summarize: '
+      |    || array_to_string(tk[1:32], ' ') || chr(10)
+      |    || '<|assistant|>' || chr(10)
+      |    || array_to_string(tk[33:64], ' ') AS example,
+      |  CAST(32 AS BIGINT) AS prompt_tokens,
+      |  CAST(least(len(tk), 64) - 32 AS BIGINT) AS completion_tokens
+      |FROM tk WHERE len(tk) >= 40
+      |ORDER BY doc_id""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 40)
+      .select(col("doc_id"),
+        concat(lit("<|user|>\nSummarize: "),
+          array_join(slice(col("tk"), 1, 32), " "),
+          lit("\n<|assistant|>\n"),
+          array_join(slice(col("tk"), 33, 32), " ")).as("example"),
+        lit(32L).as("prompt_tokens"),
+        (least(size(col("tk")), lit(64)) - 32).cast("long")
+          .as("completion_tokens"))
+      .orderBy("doc_id")
+  }
+
   // T5-style span corruption prep: deterministically mask every token
   // whose (position + doc_id) lands on the stride — no RNG, so the same
   // doc always corrupts identically across engines, runs, and epochs
