@@ -1610,6 +1610,102 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // Bloom-filter cross-shard dedup prefilter, fully deterministic and
+  // oracle-able: shard A's texts set k=3 md5-derived bits in a 1024-bit
+  // filter (the fixed-size mergeable state one executor-group ships to
+  // another INSTEAD of its full key set — the 100 TB point of a bloom
+  // prefilter); shard B probes it, and the report scores the prefilter
+  // against exact text equality: true hits vs false positives vs clean
+  // passes. The filter build is |A| rows → ≤1024 grouped bits; the probe
+  // is a 3-way semi-join on bit membership per candidate.
+  q("llm_dedup_bloom",
+    """WITH a AS (
+      |  SELECT text FROM documents WHERE length(source) = 4
+      |), b AS (
+      |  SELECT doc_id, text FROM documents WHERE length(source) = 5
+      |), bits AS (
+      |  SELECT DISTINCT bit FROM (
+      |    SELECT unnest([
+      |      (instr('0123456789abcdef', substring(md5(text || ':1'), 1, 1)) - 1) * 64
+      |        + (instr('0123456789abcdef', substring(md5(text || ':1'), 2, 1)) - 1) * 4
+      |        + (instr('0123456789abcdef', substring(md5(text || ':1'), 3, 1)) - 1) % 4,
+      |      (instr('0123456789abcdef', substring(md5(text || ':2'), 1, 1)) - 1) * 64
+      |        + (instr('0123456789abcdef', substring(md5(text || ':2'), 2, 1)) - 1) * 4
+      |        + (instr('0123456789abcdef', substring(md5(text || ':2'), 3, 1)) - 1) % 4,
+      |      (instr('0123456789abcdef', substring(md5(text || ':3'), 1, 1)) - 1) * 64
+      |        + (instr('0123456789abcdef', substring(md5(text || ':3'), 2, 1)) - 1) * 4
+      |        + (instr('0123456789abcdef', substring(md5(text || ':3'), 3, 1)) - 1) % 4
+      |    ]) AS bit FROM a
+      |  )
+      |), probe AS (
+      |  SELECT b.doc_id,
+      |    (instr('0123456789abcdef', substring(md5(b.text || ':1'), 1, 1)) - 1) * 64
+      |      + (instr('0123456789abcdef', substring(md5(b.text || ':1'), 2, 1)) - 1) * 4
+      |      + (instr('0123456789abcdef', substring(md5(b.text || ':1'), 3, 1)) - 1) % 4 AS bit1,
+      |    (instr('0123456789abcdef', substring(md5(b.text || ':2'), 1, 1)) - 1) * 64
+      |      + (instr('0123456789abcdef', substring(md5(b.text || ':2'), 2, 1)) - 1) * 4
+      |      + (instr('0123456789abcdef', substring(md5(b.text || ':2'), 3, 1)) - 1) % 4 AS bit2,
+      |    (instr('0123456789abcdef', substring(md5(b.text || ':3'), 1, 1)) - 1) * 64
+      |      + (instr('0123456789abcdef', substring(md5(b.text || ':3'), 2, 1)) - 1) * 4
+      |      + (instr('0123456789abcdef', substring(md5(b.text || ':3'), 3, 1)) - 1) % 4 AS bit3,
+      |    EXISTS (SELECT 1 FROM a WHERE a.text = b.text) AS is_dup
+      |  FROM b
+      |), verdict AS (
+      |  SELECT doc_id, is_dup,
+      |    (bit1 IN (SELECT bit FROM bits)
+      |     AND bit2 IN (SELECT bit FROM bits)
+      |     AND bit3 IN (SELECT bit FROM bits)) AS flagged
+      |  FROM probe
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS probed,
+      |  CAST(SUM(CASE WHEN flagged AND is_dup THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS true_hits,
+      |  CAST(SUM(CASE WHEN flagged AND NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS false_positives,
+      |  CAST(SUM(CASE WHEN NOT flagged THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS clean_passes,
+      |  CAST(SUM(CASE WHEN NOT flagged AND is_dup THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS missed
+      |FROM verdict""") { (s, dir) =>
+    // reads the frame's `text` column; salt picks the hash function
+    def bit(salt: Int) = {
+      def nib(i: Int) =
+        expr(s"instr('0123456789abcdef', substring(md5(concat(text, ':$salt')), $i, 1))") - 1
+      (nib(1) * 64 + nib(2) * 4 + nib(3) % 4)
+    }
+    val docs = Tables(s, dir, "documents")
+    val a = docs.filter(length(col("source")) === 4).select(col("text"))
+    val b = docs.filter(length(col("source")) === 5)
+      .select(col("doc_id"), col("text"))
+    val bits = a.select(explode(array(bit(1), bit(2), bit(3))).as("bit"))
+      .distinct()
+    val probe = b
+      .join(a.select(col("text").as("atext")).distinct(),
+        col("text") === col("atext"), "left")
+      .select(col("doc_id"),
+        bit(1).as("bit1"), bit(2).as("bit2"), bit(3).as("bit3"),
+        col("atext").isNotNull.as("is_dup"))
+    val verdict = probe
+      .join(broadcast(bits.withColumnRenamed("bit", "m1")),
+        col("bit1") === col("m1"), "left")
+      .join(broadcast(bits.withColumnRenamed("bit", "m2")),
+        col("bit2") === col("m2"), "left")
+      .join(broadcast(bits.withColumnRenamed("bit", "m3")),
+        col("bit3") === col("m3"), "left")
+      .select(col("doc_id"), col("is_dup"),
+        (col("m1").isNotNull && col("m2").isNotNull && col("m3").isNotNull)
+          .as("flagged"))
+    verdict.agg(count(lit(1)).cast("long").as("probed"),
+      sum(when(col("flagged") && col("is_dup"), 1L).otherwise(0L)).cast("long")
+        .as("true_hits"),
+      sum(when(col("flagged") && !col("is_dup"), 1L).otherwise(0L)).cast("long")
+        .as("false_positives"),
+      sum(when(!col("flagged"), 1L).otherwise(0L)).cast("long")
+        .as("clean_passes"),
+      sum(when(!col("flagged") && col("is_dup"), 1L).otherwise(0L)).cast("long")
+        .as("missed"))
+  }
+
   // SFT example assembly: render (prompt, completion) pairs into the
   // chat template a fine-tune run consumes, with the token counts that
   // drive the loss mask (prompt tokens masked, completion tokens train).
