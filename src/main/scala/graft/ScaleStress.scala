@@ -219,6 +219,39 @@ object ScaleStress {
       ops.Linalg.pcaTop(e1, "vec_id", "embedding", 3)._1.count())
     time("pca power x3 rounds 10x (20k vecs)")(
       ops.Linalg.pcaTop(e10, "vec_id", "embedding", 3)._1.count())
+
+    // round-6 resampling family: the ×100 digest-bit expand must scale
+    // LINEARLY in rows (the expand collapses map-side; only B×moment
+    // integers shuffle). 10× events → 10× wall is the pass criterion.
+    val pev1 = engine.Tables(spark, dir, "events")
+      .select("event_id", "value").cache(); pev1.count()
+    val pev10 = (0 until 10).map(i => pev1.select(
+        (col("event_id") + lit(i * 100000000L)).as("event_id"), col("value")))
+      .reduce(_ unionByName _).cache(); pev10.count()
+    def permExpand(ev: DataFrame): Long = {
+      import spark.implicits._
+      val bb = (1 to 100).toDF("b")
+      val hv = ev.select(
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        md5(col("event_id").cast("string")).as("h"))
+      hv.crossJoin(broadcast(bb))
+        .select(col("b"), col("cents"),
+          expr("((instr('0123456789abcdef', substring(h, ((b - 1) div 4) + 1, 1))"
+            + " - 1) div (CASE WHEN (b - 1) % 4 = 0 THEN 1"
+            + " WHEN (b - 1) % 4 = 1 THEN 2"
+            + " WHEN (b - 1) % 4 = 2 THEN 4 ELSE 8 END)) % 2").as("arm"))
+        .groupBy("b")
+        .agg(sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s0"),
+          count(lit(1)).as("n"))
+        // checksum the moments so column pruning cannot drop the md5/arm
+        // work (a bare count() prunes everything but the group key and
+        // times an empty loop)
+        .agg(sum(col("s0"))).collect()(0).getLong(0)
+    }
+    time("permutation x100 expand 1x (600k events -> 60M expanded)")(
+      permExpand(pev1))
+    time("permutation x100 expand 10x (6M events -> 600M expanded)")(
+      permExpand(pev10))
     spark.stop()
   }
 }
