@@ -1693,6 +1693,48 @@ object StatsOps extends QueryPack {
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("w"))
   }
 
+  // Sample-ratio-mismatch (SRM) check — the first gate every experiment
+  // readout must pass: do the md5-split arm sizes match the designed
+  // 50/50 allocation? The chi-square statistic against the expected
+  // split is exact integer arithmetic until one final quantized double
+  // ((n0−n1)²/N for two equal arms); the verdict threshold 3.841 (95th
+  // pct of χ²₁) is a pinned literal, not a distribution lookup. Runs per
+  // event type so a per-stratum imbalance can't hide in the pooled total.
+  q("events_srm_check",
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+      |      IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END AS arm
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM ev GROUP BY event_type
+      |)
+      |SELECT event_type, n0, n1,
+      |  CAST(floor(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+      |    / CAST(n0 + n1 AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS chi2,
+      |  CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+      |    > CAST(3.841 AS DOUBLE) AS srm_flag
+      |FROM g ORDER BY event_type""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"),
+        when(substring(md5(col("event_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 0).otherwise(1)
+          .as("arm"))
+    val g = ev.groupBy("event_type")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n1"))
+    val chi = ((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    g.select(col("event_type"), col("n0"), col("n1"),
+        (floor(chi * 1000000 + lit(0.5)).cast("double") / 1000000).as("chi2"),
+        (chi > lit(3.841)).as("srm_flag"))
+      .orderBy("event_type")
+  }
+
   // Count-min sketch heavy hitters, fully deterministic and therefore
   // fully ORACLE-ABLE (unlike probabilistic-seed sketches): d=4 hash rows
   // × w=64 buckets, bucket = two md5 hex nibbles of (user_id:i). The
