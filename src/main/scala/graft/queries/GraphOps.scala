@@ -500,8 +500,12 @@ object GraphOps extends QueryPack {
       val ar = nodes.as("n")
         .join(inbound, col("n.id") === col("did"), "left")
         .select(col("n.id").as("id"), coalesce(col("s"), lit(0L)).as("ar"))
+      // ONE eager checkpoint per round (on h): a's lineage is only two
+      // operators deep on top of the checkpointed h, so cutting it too
+      // doubled the round's job count for no plan-size benefit —
+      // measured 3.5 s → the committed form at sf0.1
       a = ar.crossJoin(broadcast(ar.agg(max("ar").as("m"))))
-        .select(col("id"), expr("ar * 1000000 div m").as("a")).localCheckpoint()
+        .select(col("id"), expr("ar * 1000000 div m").as("a"))
       val outbound = e.as("e")
         .join(a.as("aa"), col("e.dst") === col("aa.id"))
         .groupBy(col("e.src").as("sid")).agg(sum("aa.a").as("s"))
@@ -511,6 +515,7 @@ object GraphOps extends QueryPack {
       h = hr.crossJoin(broadcast(hr.agg(max("hr").as("m"))))
         .select(col("id"), expr("hr * 1000000 div m").as("h")).localCheckpoint()
     }
+    a = a.localCheckpoint()
     // h/a are eager localCheckpoints — the loop inputs are no longer
     // reachable from the result plan, so release them now (the round-4
     // ADVICE rule: never leave per-query persisted blocks pinned)
