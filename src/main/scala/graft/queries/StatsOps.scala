@@ -1693,6 +1693,79 @@ object StatsOps extends QueryPack {
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("w"))
   }
 
+  // Per-segment uplift readout: treatment-vs-control mean post-period
+  // spend, segmented by PRE-period spend quartile — segmenting on a
+  // pre-treatment covariate is the leakage-free form (segmenting on the
+  // outcome would fabricate uplift). Arms are the deterministic user-id
+  // parity (as events_ab_cuped); the pre/post split is the integer
+  // midpoint of the time span. All moments are exact integer sums;
+  // uplift and relative lift are single-row quantized doubles per
+  // segment. The heterogeneous-treatment-effect table every experiment
+  // review reads after the topline.
+  q("events_uplift_by_segment",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), sp AS (
+      |  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
+      |), u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    SUM(CASE WHEN us < mid THEN cents ELSE 0 END) AS x,
+      |    SUM(CASE WHEN us >= mid THEN cents ELSE 0 END) AS y
+      |  FROM ev CROSS JOIN sp GROUP BY user_id, user_id % 2
+      |), seg AS (
+      |  SELECT user_id, arm, y, ntile(4) OVER (ORDER BY x, user_id) AS segment
+      |  FROM u
+      |), g AS (
+      |  SELECT segment,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS s0,
+      |    SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS s1
+      |  FROM seg GROUP BY segment
+      |)
+      |SELECT segment, n0, n1,
+      |  CAST(floor(CAST(s0 AS DOUBLE) / n0 / 100 * 10000 + 0.5) AS DOUBLE)
+      |    / 10000 AS mean_control,
+      |  CAST(floor(CAST(s1 AS DOUBLE) / n1 / 100 * 10000 + 0.5) AS DOUBLE)
+      |    / 10000 AS mean_treat,
+      |  CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / 100
+      |    * 10000 + 0.5) AS DOUBLE) / 10000 AS uplift,
+      |  CAST(floor((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+      |    / (CAST(s0 AS DOUBLE) / n0) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS rel_lift
+      |FROM g ORDER BY segment""") { (s, dir) =>
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        Det.cents(col("value")).cast("long").as("cents"))
+    val sp = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val u = ev.crossJoin(broadcast(sp))
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+    val seg = u.select(col("user_id"), col("arm"), col("y"),
+      ntile(4).over(Window.orderBy(col("x"), col("user_id"))).as("segment"))
+    val g = seg.groupBy("segment")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("s1"))
+    val m0 = d(col("s0")) / col("n0")
+    val m1 = d(col("s1")) / col("n1")
+    g.select(col("segment"), col("n0"), col("n1"),
+        (floor(m0 / 100 * 10000 + lit(0.5)).cast("double") / 10000)
+          .as("mean_control"),
+        (floor(m1 / 100 * 10000 + lit(0.5)).cast("double") / 10000)
+          .as("mean_treat"),
+        (floor((m1 - m0) / 100 * 10000 + lit(0.5)).cast("double") / 10000)
+          .as("uplift"),
+        (floor((m1 - m0) / m0 * 1000000 + lit(0.5)).cast("double") / 1000000)
+          .as("rel_lift"))
+      .orderBy("segment")
+  }
+
   // Sample-ratio-mismatch (SRM) check — the first gate every experiment
   // readout must pass: do the md5-split arm sizes match the designed
   // 50/50 allocation? The chi-square statistic against the expected
