@@ -1693,6 +1693,107 @@ object StatsOps extends QueryPack {
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("w"))
   }
 
+  // Delta-method inference for a RATIO metric (revenue per event): the
+  // unit of randomization is the user, so naive per-event variance is
+  // wrong — the correct standard error linearizes R = Σx/Σy around the
+  // user-level moments: var(R) ≈ (var(x) − 2R·cov(x,y) + R²·var(y)) /
+  // (n·ȳ²). Arms are the user-id parity; all six moments per arm are
+  // exact 128-bit integer sums and the z statistic is one quantized
+  // double tree. The ratio-metric machinery every experimentation
+  // platform implements once and reuses everywhere.
+  q("events_ratio_metric_delta",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x,
+      |    COUNT(*) AS y
+      |  FROM events GROUP BY user_id, user_id % 2
+      |), m AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM u GROUP BY arm
+      |), r AS (
+      |  SELECT arm, n,
+      |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+      |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+      |    (CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1) AS vx,
+      |    (CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1) AS vy,
+      |    (CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1) AS cxy
+      |  FROM m
+      |), se AS (
+      |  SELECT arm, n, ratio,
+      |    (vx - 2 * ratio * cxy + ratio * ratio * vy)
+      |      / (CAST(n AS DOUBLE) * ybar * ybar) AS se2
+      |  FROM r
+      |), w AS (
+      |  SELECT
+      |    MAX(CASE WHEN arm = 0 THEN ratio END) AS r0,
+      |    MAX(CASE WHEN arm = 1 THEN ratio END) AS r1,
+      |    MAX(CASE WHEN arm = 0 THEN se2 END) AS se20,
+      |    MAX(CASE WHEN arm = 1 THEN se2 END) AS se21,
+      |    CAST(SUM(n) AS BIGINT) AS n_users
+      |  FROM se
+      |)
+      |SELECT n_users,
+      |  CAST(floor(r0 / 100 * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS ratio_control,
+      |  CAST(floor(r1 / 100 * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS ratio_treat,
+      |  CAST(floor((r1 - r0) / 100 * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS diff,
+      |  CAST(floor((r1 - r0) / sqrt(se20 + se21) * 10000 + 0.5) AS DOUBLE)
+      |    / 10000 AS z
+      |FROM w""") { (s, dir) =>
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val u = Tables(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+    val m = u.groupBy("arm")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+    val r = m.select(col("arm"), col("n"),
+      (d(col("sx")) / d(col("sy"))).as("ratio"),
+      (d(col("sy")) / d(col("n"))).as("ybar"),
+      ((d(col("sxx")) - d(col("sx")) * d(col("sx")) / d(col("n")))
+        / (d(col("n")) - 1)).as("vx"),
+      ((d(col("syy")) - d(col("sy")) * d(col("sy")) / d(col("n")))
+        / (d(col("n")) - 1)).as("vy"),
+      ((d(col("sxy")) - d(col("sx")) * d(col("sy")) / d(col("n")))
+        / (d(col("n")) - 1)).as("cxy"))
+    val se = r.select(col("arm"), col("n"), col("ratio"),
+      ((col("vx") - lit(2) * col("ratio") * col("cxy")
+        + col("ratio") * col("ratio") * col("vy"))
+        / (d(col("n")) * col("ybar") * col("ybar"))).as("se2"))
+    val w = se.agg(
+      max(when(col("arm") === 0, col("ratio"))).as("r0"),
+      max(when(col("arm") === 1, col("ratio"))).as("r1"),
+      max(when(col("arm") === 0, col("se2"))).as("se20"),
+      max(when(col("arm") === 1, col("se2"))).as("se21"),
+      sum("n").cast("long").as("n_users"))
+    w.select(col("n_users"),
+      (floor(col("r0") / 100 * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("ratio_control"),
+      (floor(col("r1") / 100 * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("ratio_treat"),
+      (floor((col("r1") - col("r0")) / 100 * 10000 + lit(0.5)).cast("double")
+        / 10000).as("diff"),
+      (floor((col("r1") - col("r0")) / sqrt(col("se20") + col("se21"))
+        * 10000 + lit(0.5)).cast("double") / 10000).as("z"))
+  }
+
   // Per-segment uplift readout: treatment-vs-control mean post-period
   // spend, segmented by PRE-period spend quartile — segmenting on a
   // pre-treatment covariate is the leakage-free form (segmenting on the
