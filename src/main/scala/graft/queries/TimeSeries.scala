@@ -1495,4 +1495,325 @@ object TimeSeriesOps extends QueryPack {
             .cast("double") / 10000).as("mean_shift"))
       .orderBy("event_type")
   }
+
+  // Cutler's 14-day RSI (relative strength index) over the global daily
+  // order-revenue series — the momentum readout a metrics dashboard puts
+  // next to Bollinger bands. Cutler's SMA variant (not Wilder's recursive
+  // EWMA) keeps every window term an exact BIGINT cents delta, so the only
+  // double op is one final ratio with an identical tree in both engines.
+  // Scale shape (100 TB): the daily pre-aggregation collapses the fact
+  // table to |days| rows in one shuffle; the partition-free window after
+  // it runs on that tiny frame, not on the corpus.
+  q("ts_rsi",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1
+      |), d AS (
+      |  SELECT day, v, v - lag(v) OVER (ORDER BY day) AS delta FROM daily
+      |), w AS (
+      |  SELECT day,
+      |    SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER fr AS sg,
+      |    SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER fr AS sl,
+      |    COUNT(delta) OVER fr AS nw
+      |  FROM d
+      |  WINDOW fr AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CASE WHEN sg + sl = 0 THEN CAST(50.0 AS DOUBLE)
+      |    ELSE CAST(floor(CAST(sg AS DOUBLE) * 100 / CAST(sg + sl AS DOUBLE)
+      |      * 10000 + 0.5) AS DOUBLE) / 10000 END AS rsi14
+      |FROM w WHERE nw = 14 ORDER BY day""") { (s, dir) =>
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("v"))
+    val wo = Window.orderBy("day")
+    val d = daily.withColumn("delta", col("v") - lag("v", 1).over(wo))
+    val fr = wo.rowsBetween(-13, 0)
+    d.withColumn("sg",
+        sum(when(col("delta") > 0, col("delta")).otherwise(0L)).over(fr))
+      .withColumn("sl",
+        sum(when(col("delta") < 0, -col("delta")).otherwise(0L)).over(fr))
+      .withColumn("nw", count(col("delta")).over(fr))
+      .filter(col("nw") === 14)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        when(col("sg") + col("sl") === 0, lit(50.0))
+          .otherwise(floor(col("sg").cast("double") * 100
+            / (col("sg") + col("sl")).cast("double") * 10000 + lit(0.5))
+            .cast("double") / 10000).as("rsi14"))
+      .orderBy("day")
+  }
+
+  // Maximum drawdown of the daily-revenue KPI: largest relative
+  // peak-to-trough decline against the running maximum — the "how bad did
+  // the metric dip" monitoring readout. Running max and the trough argmax
+  // are integer windows; the one double ratio quantizes to 6 dp. The
+  // trough tiebreak (deepest dd, then earliest day) and the peak-day pick
+  // (earliest day attaining the trough's peak value) are total orders, so
+  // the single output row is deterministic in both engines.
+  q("ts_drawdown",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1
+      |), r AS (
+      |  SELECT day, v, MAX(v) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+      |  FROM daily
+      |), dd AS (
+      |  SELECT day, v, pk,
+      |    CAST(floor(CAST(pk - v AS DOUBLE) / CAST(pk AS DOUBLE) * 1000000
+      |      + 0.5) AS BIGINT) AS dd6
+      |  FROM r
+      |), t AS (
+      |  SELECT day, v, pk, dd6,
+      |    row_number() OVER (ORDER BY dd6 DESC, day) AS rn
+      |  FROM dd
+      |)
+      |SELECT CAST(t.dd6 AS DOUBLE) / 1000000 AS max_drawdown,
+      |  strftime((SELECT MIN(day) FROM dd WHERE dd.v = t.pk), '%Y-%m-%d')
+      |    AS peak_day,
+      |  strftime(t.day, '%Y-%m-%d') AS trough_day,
+      |  CAST(t.pk AS DOUBLE) / 100 AS peak_revenue,
+      |  CAST(t.v AS DOUBLE) / 100 AS trough_revenue
+      |FROM t WHERE rn = 1""") { (s, dir) =>
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("v"))
+    val wo = Window.orderBy("day")
+    val dd = daily
+      .withColumn("pk", max("v").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd6",
+        floor((col("pk") - col("v")).cast("double") / col("pk").cast("double")
+          * 1000000 + lit(0.5)).cast("long"))
+    val trough = dd
+      .withColumn("rn", row_number().over(Window.orderBy(col("dd6").desc, col("day"))))
+      .filter(col("rn") === 1)
+    val peakDay = dd.join(
+        broadcast(trough.select(col("pk").as("tpk"))), col("v") === col("tpk"))
+      .agg(min("day").as("peak_day_d"))
+    trough.crossJoin(broadcast(peakDay))
+      .select((col("dd6").cast("double") / 1000000).as("max_drawdown"),
+        date_format(col("peak_day_d"), "yyyy-MM-dd").as("peak_day"),
+        date_format(col("day"), "yyyy-MM-dd").as("trough_day"),
+        (col("pk").cast("double") / 100).as("peak_revenue"),
+        (col("v").cast("double") / 100).as("trough_revenue"))
+  }
+
+  // Chow structural-break test on the daily-revenue trend: OLS on the
+  // full series vs the two halves (break at the integer midpoint index),
+  // F = ((RSSp − RSS1 − RSS2)/2) / ((RSS1+RSS2)/(n−4)) — "did the trend
+  // change?". All regression moments are exact integers promoted to
+  // 128-bit BEFORE the product (P16: Σt·y and Σy² overflow int64 at real
+  // scale); slopes/RSS derive per-row in double with identical trees.
+  // Scale: one shuffle to the daily frame, then one-row moment frames.
+  q("ts_chow_break",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      |  FROM orders GROUP BY 1
+      |), ix AS (
+      |  SELECT y, row_number() OVER (ORDER BY day) - 1 AS t,
+      |    COUNT(*) OVER () AS n
+      |  FROM daily
+      |), sg AS (
+      |  SELECT CASE WHEN t < n // 2 THEN 0 ELSE 1 END AS seg, t, y FROM ix
+      |), m AS (
+      |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(t) AS sx, SUM(y) AS sy,
+      |    SUM(CAST(t AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(t AS HUGEINT) * t) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM sg GROUP BY seg
+      |), p AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(t) AS sx, SUM(y) AS sy,
+      |    SUM(CAST(t AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(t AS HUGEINT) * t) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM sg
+      |), r AS (
+      |  SELECT seg, n,
+      |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cxy,
+      |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n AS cxx,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cyy
+      |  FROM m
+      |), rk AS (
+      |  SELECT seg, n, cxy / cxx AS slope, cyy - cxy * cxy / cxx AS rss FROM r
+      |), rp AS (
+      |  SELECT n,
+      |    (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |    - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |      * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+      |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |      AS rssp
+      |  FROM p
+      |), fl AS (
+      |  SELECT SUM(CASE WHEN seg = 0 THEN slope END) AS slope_pre,
+      |    SUM(CASE WHEN seg = 1 THEN slope END) AS slope_post,
+      |    SUM(rss) AS rss12, SUM(n) AS nn
+      |  FROM rk
+      |)
+      |SELECT CAST(nn AS BIGINT) AS n_days,
+      |  CAST(floor(slope_pre / 100 * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS slope_pre,
+      |  CAST(floor(slope_post / 100 * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS slope_post,
+      |  CAST(floor((rssp - rss12) / 2 / (rss12 / (nn - 4)) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS f_stat
+      |FROM fl CROSS JOIN rp""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("y"))
+    val ix = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")) - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val sg = ix.select(
+      when(col("t") < expr("n div 2"), 0).otherwise(1).as("seg"),
+      col("t"), col("y"))
+    def moments(g: org.apache.spark.sql.RelationalGroupedDataset) =
+      g.agg(count(lit(1)).cast("long").as("n"),
+        sum("t").as("sx"), sum("y").as("sy"),
+        sum(dec(col("t")) * col("y")).as("sxy"),
+        sum(dec(col("t")) * col("t")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+    val m = moments(sg.groupBy("seg"))
+    val p = moments(sg.groupBy())
+    val r = m.select(col("seg"), col("n"),
+      (d(col("sxy")) - d(col("sx")) * d(col("sy")) / col("n")).as("cxy"),
+      (d(col("sxx")) - d(col("sx")) * d(col("sx")) / col("n")).as("cxx"),
+      (d(col("syy")) - d(col("sy")) * d(col("sy")) / col("n")).as("cyy"))
+    val rk = r.select(col("seg"), col("n"),
+      (col("cxy") / col("cxx")).as("slope"),
+      (col("cyy") - col("cxy") * col("cxy") / col("cxx")).as("rss"))
+    val cxyP = d(col("sxy")) - d(col("sx")) * d(col("sy")) / col("n")
+    val rp = p.select(
+      ((d(col("syy")) - d(col("sy")) * d(col("sy")) / col("n"))
+        - cxyP * cxyP
+          / (d(col("sxx")) - d(col("sx")) * d(col("sx")) / col("n"))).as("rssp"))
+    val fl = rk.agg(
+      sum(when(col("seg") === 0, col("slope"))).as("slope_pre"),
+      sum(when(col("seg") === 1, col("slope"))).as("slope_post"),
+      sum("rss").as("rss12"), sum("n").as("nn"))
+    fl.crossJoin(broadcast(rp))
+      .select(col("nn").cast("long").as("n_days"),
+        (floor(col("slope_pre") / 100 * 1000000 + lit(0.5)).cast("double")
+          / 1000000).as("slope_pre"),
+        (floor(col("slope_post") / 100 * 1000000 + lit(0.5)).cast("double")
+          / 1000000).as("slope_post"),
+        (floor((col("rssp") - col("rss12")) / 2 / (col("rss12") / (col("nn") - 4))
+          * 10000 + lit(0.5)).cast("double") / 10000).as("f_stat"))
+  }
+
+  // Per-user exponential time-decay engagement score with half-life =
+  // 1 day: score = Σ cents(value) · 2^(−age_days) — the recency-weighted
+  // activity feature a ranking / churn model consumes. Dyadic decay keeps
+  // it EXACT: each contribution is cents · 2^(40−k) as a BIGINT (k = age
+  // capped at 40 — older events contribute < 2^-40 ≈ 1e-12, below the
+  // 4 dp output quantum), summed in 128-bit, divided once by 2^40 (a
+  // power-of-two division, exact in IEEE). No transcendentals anywhere.
+  // Scale: one groupBy(user) shuffle; the ref-day frame is one broadcast row.
+  q("events_decay_score",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), ref AS (SELECT MAX(day_id) AS ref_day FROM e
+      |), c AS (
+      |  SELECT user_id,
+      |    cents * (CAST(1 AS BIGINT)
+      |      << CAST(40 - LEAST(ref_day - day_id, 40) AS INT)) AS contrib
+      |  FROM e CROSS JOIN ref
+      |)
+      |SELECT user_id,
+      |  CAST(floor(CAST(SUM(CAST(contrib AS HUGEINT)) AS DOUBLE)
+      |    / 1099511627776 * 10000 + 0.5) AS DOUBLE) / 10000 AS decay_score
+      |FROM c GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day_id"),
+        Det.cents(col("value")).cast("long").as("cents"))
+    val ref = e.agg(max("day_id").as("ref_day"))
+    e.crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        (col("cents") * expr("shiftleft(1L, cast(40 - least(ref_day - day_id, 40) as int))"))
+          .as("contrib"))
+      .groupBy("user_id")
+      .agg(sum(col("contrib").cast("decimal(38,0)")).as("sc"))
+      .select(col("user_id"),
+        (floor(col("sc").cast("double") / 1099511627776L * 10000 + lit(0.5))
+          .cast("double") / 10000).as("decay_score"))
+      .orderBy("user_id")
+  }
+
+  // Peak concurrent sessions per day — the capacity-planning readout: how
+  // many 30-min-gap sessions overlap at the busiest instant. Sessions
+  // come from the same gap rule as events_sessionize; each contributes an
+  // arrival (+1 at start) and a departure (−1 at end+1s, end-inclusive)
+  // delta, and the peak is the max of the running sum over the day's
+  // sweep. The sweep's total order (t, d, user, session) makes the
+  // running sum — and therefore the peak — engine-deterministic.
+  // Scale: windows partition by user (sessionize) then by day (sweep);
+  // the delta frame is 2×sessions rows, never the raw event stream. A
+  // session is attributed to its start day by contract (cross-midnight
+  // carry-in counts in the start day), which is what keeps the sweep
+  // day-partitioned instead of one global serial pass.
+  q("events_concurrent_peak",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events
+      |), b AS (
+      |  SELECT user_id, event_id, sec,
+      |    CASE WHEN sec - lag(sec) OVER w > 1800
+      |         OR lag(sec) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+      |), s AS (
+      |  SELECT user_id, sec,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+      |      AS BIGINT) AS sid
+      |  FROM b
+      |), sess AS (
+      |  SELECT user_id, sid, MIN(sec) AS t0, MAX(sec) AS t1
+      |  FROM s GROUP BY user_id, sid
+      |), delta AS (
+      |  SELECT user_id, sid, t0 // 86400 AS day_id, t0 AS t, 1 AS d FROM sess
+      |  UNION ALL
+      |  SELECT user_id, sid, t0 // 86400 AS day_id, t1 + 1 AS t, -1 AS d FROM sess
+      |), run AS (
+      |  SELECT day_id, t, d,
+      |    SUM(d) OVER (PARTITION BY day_id ORDER BY t, d, user_id, sid) AS conc
+      |  FROM delta
+      |)
+      |SELECT day_id, CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+      |  CAST(COUNT(*) AS BIGINT) // 2 AS n_sessions
+      |FROM run GROUP BY day_id ORDER BY day_id""") { (s, dir) =>
+    val wu = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    val sess = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+      .withColumn("brk",
+        when(col("sec") - lag("sec", 1).over(wu) > 1800
+          || lag("sec", 1).over(wu).isNull, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("sec").as("t0"), max("sec").as("t1"))
+    val delta = sess.select(col("user_id"), col("sid"),
+        expr("t0 div 86400").as("day_id"),
+        col("t0").as("t"), lit(1).as("d"))
+      .unionAll(sess.select(col("user_id"), col("sid"),
+        expr("t0 div 86400").as("day_id"),
+        (col("t1") + 1).as("t"), lit(-1).as("d")))
+    val ws = Window.partitionBy("day_id")
+      .orderBy("t", "d", "user_id", "sid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    delta.withColumn("conc", sum("d").over(ws))
+      .groupBy("day_id")
+      .agg(max("conc").cast("long").as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_sessions"))
+      .orderBy("day_id")
+  }
 }
