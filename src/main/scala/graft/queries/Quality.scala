@@ -1432,4 +1432,138 @@ object QualityOps extends QueryPack {
       .orderBy(col("missing").desc, col("gap_start"))
       .limit(20)
   }
+
+  // k-anonymity audit over the (nation, market-segment) quasi-identifier:
+  // the privacy gate a dataset must pass before release — every row's
+  // quasi-group size k is its re-identification protection, and the
+  // report is the k distribution plus the share of rows below the k=5 /
+  // k=10 thresholds. Two shuffles: one groupBy(quasi) to size the groups,
+  // one single-row rollup; the per-row double ratios quantize at 6 dp.
+  q("dq_k_anonymity",
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM customer GROUP BY 1, 2
+      |)
+      |SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(floor(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(k) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS pct_rows_k_lt5,
+      |  CAST(floor(CAST(SUM(CASE WHEN k < 10 THEN k ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(k) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS pct_rows_k_lt10,
+      |  CAST(floor(CAST(SUM(k) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS avg_k
+      |FROM g""") { (s, dir) =>
+    val g = Tables(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).cast("long").as("k"))
+    g.agg(sum("k").cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_groups"),
+        min("k").cast("long").as("min_k"),
+        (floor(sum(when(col("k") < 5, col("k")).otherwise(0L)).cast("double")
+          / sum("k").cast("double") * 1000000 + lit(0.5)).cast("double")
+          / 1000000).as("pct_rows_k_lt5"),
+        (floor(sum(when(col("k") < 10, col("k")).otherwise(0L)).cast("double")
+          / sum("k").cast("double") * 1000000 + lit(0.5)).cast("double")
+          / 1000000).as("pct_rows_k_lt10"),
+        (floor(sum("k").cast("double") / count(lit(1)) * 10000 + lit(0.5))
+          .cast("double") / 10000).as("avg_k"))
+  }
+
+  // l-diversity companion to the k-anonymity audit: within each
+  // quasi-group, how many DISTINCT sensitive values (account-balance
+  // $1000 band) appear — a group where everyone shares one sensitive
+  // value leaks it even at high k. Banding is exact integer math on
+  // cents (floor division keeps negative balances in their own band).
+  q("dq_l_diversity",
+    """WITH b AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS sband
+      |  FROM customer
+      |), g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(COUNT(DISTINCT sband) AS BIGINT) AS l
+      |  FROM b GROUP BY 1, 2
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(MIN(l) AS BIGINT) AS min_l,
+      |  CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT) AS groups_l_lt2,
+      |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS groups_l_lt3,
+      |  CAST(floor(CAST(SUM(l) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS avg_l
+      |FROM g""") { (s, dir) =>
+    val b = Tables(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(floor(c_acctbal * 100 + 0.5) as bigint) div 100000")
+          .as("sband"))
+    val g = b.groupBy("c_nationkey", "c_mktsegment")
+      .agg(countDistinct("sband").cast("long").as("l"))
+    g.agg(count(lit(1)).cast("long").as("n_groups"),
+        min("l").cast("long").as("min_l"),
+        sum(when(col("l") < 2, 1L).otherwise(0L)).cast("long").as("groups_l_lt2"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).cast("long").as("groups_l_lt3"),
+        (floor(sum("l").cast("double") / count(lit(1)) * 10000 + lit(0.5))
+          .cast("double") / 10000).as("avg_l"))
+  }
+
+  // Cross-TABLE expectation rules — the consistency checks single-table
+  // dq_expectations cannot express: temporal ordering across the
+  // order⋈lineitem join and orphan detection in both directions. Each
+  // rule is one aggregate over one join; the join keys are the natural
+  // shuffle keys and the orders side of the orphan checks uses the
+  // existing-key semi/anti shape (no row multiplication). At 100 TB each
+  // rule is a single key-partitioned pass — rules over the same join
+  // could further share one scan, kept separate here for per-rule
+  // provenance in the report.
+  q("dq_cross_table_rules",
+    """WITH r1 AS (
+      |  SELECT 'lineitem_ship_after_order' AS rule_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_checked,
+      |    CAST(SUM(CASE WHEN l.l_shipdate >= o.o_orderdate THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS violations
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), r2 AS (
+      |  SELECT 'order_has_lineitems' AS rule_id,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                       WHERE l.l_orderkey = o.o_orderkey)) AS violations
+      |), r3 AS (
+      |  SELECT 'lineitem_has_order' AS rule_id,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_checked,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                       WHERE o.o_orderkey = l.l_orderkey)) AS violations
+      |)
+      |SELECT rule_id, n_checked, violations, violations = 0 AS pass FROM r1
+      |UNION ALL SELECT rule_id, n_checked, violations, violations = 0 FROM r2
+      |UNION ALL SELECT rule_id, n_checked, violations, violations = 0 FROM r3
+      |ORDER BY rule_id""") { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders")
+    val r1 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).cast("long").as("n_checked"),
+        sum(when(col("l_shipdate") >= col("o_orderdate"), 0L).otherwise(1L))
+          .cast("long").as("violations"))
+      .select(lit("lineitem_ship_after_order").as("rule_id"),
+        col("n_checked"), col("violations"))
+    val r2 = o.join(li.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).cast("long").as("n_checked"))))
+      .select(lit("order_has_lineitems").as("rule_id"),
+        col("n_checked"), col("violations"))
+    val r3 = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("violations"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).cast("long").as("n_checked"))))
+      .select(lit("lineitem_has_order").as("rule_id"),
+        col("n_checked"), col("violations"))
+    r1.unionAll(r2).unionAll(r3)
+      .select(col("rule_id"), col("n_checked"), col("violations"),
+        (col("violations") === 0).as("pass"))
+      .orderBy("rule_id")
+  }
 }
