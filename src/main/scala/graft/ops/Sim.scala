@@ -92,6 +92,61 @@ object Sim {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): greedily pick `selectK` of the probe's `candK` nearest
+    * neighbors, each round choosing argmax λ·sim(q,d) −
+    * (1−λ)·max_{s∈S} sim(d,s) with λ=0.5 — at which the ranking equals
+    * argmax of the INTEGER quantity su − max(pij) (both 4-dp-fixed sims),
+    * so every greedy pick is an exact integer argmax with id tiebreak,
+    * engine-deterministic. Scale shape: one corpus pass scores the
+    * candidate pool (the same brute-force/LSH seam as cosineTopK); the
+    * pool is persisted (candK rows) and every MMR round after it touches
+    * only candK²-row broadcast frames — the greedy loop never rescans the
+    * corpus. Returns (pick_order, vec_id, sim, mmr). */
+  def mmrDiversify(corpus: DataFrame, probeId: Long,
+                   candK: Int, selectK: Int): DataFrame = {
+    ensureRegistered(corpus)
+    val c = withNorm(corpus.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+    val p = c.filter(col("vec_id") === probeId)
+      .select(col("e").as("pe"), col("nrm").as("pn"))
+    val cand = c.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(p))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        floor(round(cosinePre(dot(col("pe"), col("e")), col("pn"), col("nrm")), 4)
+          * 10000 + lit(0.5)).cast("long").as("su"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("su").desc, col("vec_id"))))
+      .filter(col("rn") <= candK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pair = cand.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+      .join(cand.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        floor(round(cosinePre(dot(col("ea"), col("eb")), col("na"), col("nb")), 4)
+          * 10000 + lit(0.5)).cast("long").as("pij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var sel = cand.filter(col("rn") === 1)
+      .select(col("vec_id"), col("su"), lit(1).as("pick_order"), col("su").as("m"))
+    for (r <- 2 to selectK) {
+      val rem = cand.join(sel.select(col("vec_id").as("sv")),
+        col("vec_id") === col("sv"), "left_anti")
+      val pick = rem.join(pair, rem("vec_id") === pair("a"))
+        .join(broadcast(sel.select(col("vec_id").as("b"))), "b")
+        .groupBy(rem("vec_id"), col("su"))
+        .agg(max("pij").as("mp"))
+        .select(col("vec_id"), col("su"), (col("su") - col("mp")).as("m"))
+        .withColumn("prn", row_number().over(
+          Window.orderBy(col("m").desc, col("vec_id"))))
+        .filter(col("prn") === 1)
+        .select(col("vec_id"), col("su"), lit(r).as("pick_order"), col("m"))
+      sel = sel.unionAll(pick)
+    }
+    sel.select(col("pick_order"), col("vec_id"),
+        (col("su").cast("double") / 10000).as("sim"),
+        (col("m").cast("double") / 10000).as("mmr"))
+      .orderBy("pick_order")
+  }
+
   /** Brute-force max-inner-product top-k (MIPS) — the retrieval scorer
     * when magnitude carries signal (popularity-weighted embeddings), so
     * normalizing to cosine would be wrong. Same fan × size-gated-broadcast

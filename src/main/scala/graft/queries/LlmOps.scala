@@ -1946,4 +1946,115 @@ object LlmOps extends QueryPack {
         countDistinct("lang").cast("long").as("langs"))
       .orderBy("step")
   }
+
+  // DPO/RLHF preference-pair assembly: documents bucketed into pseudo-
+  // prompt groups of 10 by id; within each group the highest-scoring doc
+  // (word count, id tiebreak) becomes `chosen` and the lowest `rejected`,
+  // kept only when the margin is strictly positive — the standard
+  // best-vs-worst pairing a preference-tuning dataset builder emits.
+  // One shuffle on the group key; argmax/argmin are two windows over it.
+  q("llm_dpo_pairs",
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 10 AS grp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+      |  FROM documents
+      |), w AS (
+      |  SELECT grp, doc_id, score,
+      |    row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS rb,
+      |    row_number() OVER (PARTITION BY grp ORDER BY score ASC, doc_id DESC) AS rw,
+      |    COUNT(*) OVER (PARTITION BY grp) AS gn
+      |  FROM d
+      |), ch AS (
+      |  SELECT grp, doc_id AS chosen_id, score AS chosen_score,
+      |    CAST(gn AS BIGINT) AS group_size
+      |  FROM w WHERE rb = 1
+      |), rj AS (
+      |  SELECT grp, doc_id AS rejected_id, score AS rejected_score
+      |  FROM w WHERE rw = 1
+      |)
+      |SELECT ch.grp AS pair_id, chosen_id, rejected_id,
+      |  chosen_score - rejected_score AS margin, group_size
+      |FROM ch JOIN rj USING (grp)
+      |WHERE group_size >= 2 AND chosen_score > rejected_score
+      |ORDER BY pair_id""") { (s, dir) =>
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("doc_id div 10").as("grp"),
+        size(split(col("text"), " ")).cast("long").as("score"))
+    val wg = Window.partitionBy("grp")
+    val w = d
+      .withColumn("rb", row_number().over(wg.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("rw", row_number().over(wg.orderBy(col("score").asc, col("doc_id").desc)))
+      .withColumn("gn", count(lit(1)).over(wg))
+    val ch = w.filter(col("rb") === 1)
+      .select(col("grp"), col("doc_id").as("chosen_id"),
+        col("score").as("chosen_score"), col("gn").cast("long").as("group_size"))
+    val rj = w.filter(col("rw") === 1)
+      .select(col("grp"), col("doc_id").as("rejected_id"),
+        col("score").as("rejected_score"))
+    ch.join(rj, "grp")
+      .filter(col("group_size") >= 2 && col("chosen_score") > col("rejected_score"))
+      .select(col("grp").as("pair_id"), col("chosen_id"), col("rejected_id"),
+        (col("chosen_score") - col("rejected_score")).as("margin"),
+        col("group_size"))
+      .orderBy("pair_id")
+  }
+
+  // MMR-diversified retrieval (Sim.mmrDiversify): greedy 4-pick from the
+  // probe's top-8 cosine pool at λ=0.5, where each round's argmax reduces
+  // to an exact integer comparison over 4-dp-fixed sims. The oracle
+  // unrolls the greedy rounds as chained CTEs generated from the same
+  // (candK, selectK) the Spark loop uses.
+  q("sim_mmr_diversify", {
+    def oCos(a: String, b: String): String =
+      s"""round(list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+         |      z -> z[1] * z[2])), (x, y) -> x + y)
+         |    / (sqrt(list_reduce(list_prepend(0.0, list_transform($a, v -> v * v)),
+         |        (x, y) -> x + y))
+         |     * sqrt(list_reduce(list_prepend(0.0, list_transform($b, v -> v * v)),
+         |        (x, y) -> x + y))), 4)""".stripMargin
+    def mmrRound(k: Int): String = {
+      val prev = if (k == 2) "s1" else s"sel${k - 1}"
+      s"""r$k AS (
+         |  SELECT c.vec_id, c.su, c.su - MAX(p.pij) AS m
+         |  FROM cand c JOIN pair p ON p.a = c.vec_id
+         |  JOIN $prev s ON p.b = s.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY c.vec_id, c.su
+         |), s$k AS (
+         |  SELECT vec_id, su, $k AS pick_order, m FROM (
+         |    SELECT *, row_number() OVER (ORDER BY m DESC, vec_id) AS prn
+         |    FROM r$k) WHERE prn = 1
+         |), sel$k AS (
+         |  SELECT vec_id FROM $prev UNION ALL SELECT vec_id FROM s$k
+         |)""".stripMargin
+    }
+    s"""WITH p AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0
+       |), c0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+       |  WHERE vec_id <> 0
+       |), scored AS (
+       |  SELECT vec_id, ce,
+       |    CAST(floor(${oCos("pe", "ce")} * 10000 + 0.5) AS BIGINT) AS su
+       |  FROM p CROSS JOIN c0
+       |), cand AS (
+       |  SELECT vec_id, ce, su, rn FROM (
+       |    SELECT *, row_number() OVER (ORDER BY su DESC, vec_id) AS rn
+       |    FROM scored) WHERE rn <= 8
+       |), pair AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    CAST(floor(${oCos("a.ce", "b.ce")} * 10000 + 0.5) AS BIGINT) AS pij
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+       |), s1 AS (
+       |  SELECT vec_id, su, 1 AS pick_order, su AS m FROM cand WHERE rn = 1
+       |), ${(2 to 4).map(mmrRound).mkString(", ")}
+       |SELECT pick_order, vec_id, CAST(su AS DOUBLE) / 10000 AS sim,
+       |  CAST(m AS DOUBLE) / 10000 AS mmr
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+       |ORDER BY pick_order""".stripMargin
+  }) { (s, dir) =>
+    Sim.mmrDiversify(Tables(s, dir, "embeddings"), probeId = 0L,
+      candK = 8, selectK = 4)
+  }
 }
