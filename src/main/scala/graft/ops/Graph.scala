@@ -34,6 +34,40 @@ object Graph {
     * simple variant; redistribution is one extra broadcast scalar per round
     * if ever needed. Returns (id, r) with r in micro-units.
     */
+  /** Katz centrality, truncated at `rounds` path lengths with dyadic
+    * attenuation β = 1/2: katz(v) = Σ_{r=1..rounds} β^r · paths_r(v)
+    * (directed paths of length r ending at v). Path counts are exact
+    * BIGINTs (each round is one sparse matvec: join on src, sum on dst),
+    * and with β dyadic the weighted sum stays integer in units of
+    * 2^-rounds — no floating point anywhere, fully engine-deterministic.
+    * Scale: `rounds` key-shuffles over the edge list, same shape as a
+    * pageRank round; path counts grow like (mean in-degree)^r, still far
+    * inside int64 for any r this truncation makes sense at. Returns
+    * (id, katz) with katz in 2^-rounds units. */
+  def katz(edges: DataFrame, rounds: Int): DataFrame = {
+    val fwd = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = fwd.select(col("src").as("id"))
+      .union(fwd.select(col("dst").as("id"))).distinct()
+    var pr = fwd.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).cast("long").as("p"))
+    var acc = pr.select(col("id"), (col("p") * (1L << (rounds - 1))).as("k"))
+    for (r <- 2 to rounds) {
+      pr = fwd.join(pr, fwd("src") === pr("id"))
+        .groupBy(col("dst")).agg(sum("p").as("p"))
+        .select(col("dst").as("id"), col("p"))
+      acc = acc.join(pr.select(col("id"), (col("p") * (1L << (rounds - r))).as("w")),
+          Seq("id"), "full")
+        .select(col("id"),
+          (coalesce(col("k"), lit(0L)) + coalesce(col("w"), lit(0L))).as("k"))
+    }
+    nodes.join(acc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("k"), lit(0L)).as("katz"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     val fwd = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))

@@ -643,4 +643,62 @@ object GraphOps extends QueryPack {
       .select(col("n_name"), col("d").cast("long").as("dist"))
       .orderBy("n_name")
   }
+
+  // Katz centrality truncated at 3 path lengths with dyadic attenuation
+  // β = 1/2 (Graph.katz): katz8 = 4·p1 + 2·p2 + p3 in 1/8 units, where
+  // p_r counts directed trade paths of length r ending at the nation —
+  // exact integer path counts, so the centrality ranking is
+  // engine-deterministic with no floating point at all. The oracle is the
+  // same three sparse matvecs as chained CTEs.
+  q("graph_katz",
+    s"""WITH $oracleEdges,
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |p1 AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS p
+       |       FROM edges GROUP BY dst),
+       |p2 AS (SELECT e.dst AS id, SUM(p.p) AS p
+       |       FROM edges e JOIN p1 p ON e.src = p.id GROUP BY e.dst),
+       |p3 AS (SELECT e.dst AS id, SUM(p.p) AS p
+       |       FROM edges e JOIN p2 p ON e.src = p.id GROUP BY e.dst)
+       |SELECT nn.n_name,
+       |  CAST(4 * COALESCE(p1.p, 0) + 2 * COALESCE(p2.p, 0)
+       |    + COALESCE(p3.p, 0) AS BIGINT) AS katz8
+       |FROM nodes n
+       |LEFT JOIN p1 ON n.id = p1.id
+       |LEFT JOIN p2 ON n.id = p2.id
+       |LEFT JOIN p3 ON n.id = p3.id
+       |JOIN nation nn ON n.id = nn.n_nationkey
+       |ORDER BY katz8 DESC, n_name""") { (s, dir) =>
+    Graph.katz(tradeEdges(s, dir), rounds = 3)
+      .join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("katz").as("katz8"))
+      .orderBy(col("katz8").desc, col("n_name"))
+  }
+
+  // Edge reciprocity of the directed trade graph: the share of edges
+  // whose reverse edge also exists — the standard directed-network
+  // symmetry diagnostic. One semi-join of the edge list against its own
+  // swap; the ratio is a single double division over two exact counts.
+  q("graph_reciprocity",
+    s"""WITH $oracleEdges,
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |    CAST(SUM(CASE WHEN EXISTS (
+       |      SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+       |  FROM edges e
+       |)
+       |SELECT n_edges, n_reciprocal,
+       |  CAST(floor(CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE)
+       |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS reciprocity
+       |FROM m""") { (s, dir) =>
+    val e = tradeEdges(s, dir)
+    val recip = e.join(e.select(col("dst").as("r_src"), col("src").as("r_dst")),
+        col("src") === col("r_src") && col("dst") === col("r_dst"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_reciprocal"))
+    e.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(broadcast(recip))
+      .select(col("n_edges"), col("n_reciprocal"),
+        (floor(col("n_reciprocal").cast("double") / col("n_edges").cast("double")
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("reciprocity"))
+  }
 }
