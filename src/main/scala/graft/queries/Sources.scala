@@ -246,4 +246,49 @@ object Sources extends QueryPack {
       .select("l_orderkey", "l_linenumber", "l_returnflag")
       .orderBy("l_orderkey", "l_linenumber")
   }
+
+  // CSV sink → scan roundtrip, graded against the SOURCE table: what goes
+  // through the text serialization must come back value-identical. Money
+  // travels as integer cents (a double through CSV would re-parse via
+  // decimal strings — the exact cross-engine hazard Det exists to avoid);
+  // the read-back uses an explicit schema, never inference, so the
+  // roundtrip is deterministic.
+  q("sink_csv_roundtrip",
+    """SELECT o_orderkey, CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+      |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val out = "/tmp/graft_io/csv_orders"
+    Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        Det.cents(col("o_totalprice")).cast("long").as("cents"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true")
+      .schema("o_orderkey LONG, o_orderstatus STRING, cents LONG")
+      .csv(out)
+      .orderBy("o_orderkey")
+  }
+
+  // JSON-lines sink → scan roundtrip (same contract as the CSV twin, plus
+  // a nested struct column to exercise the non-flat JSON path).
+  q("sink_json_roundtrip",
+    """SELECT o_orderkey, CAST(o_orderstatus AS VARCHAR) AS status,
+      |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val out = "/tmp/graft_io/json_orders"
+    Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"),
+          Det.cents(col("o_totalprice")).cast("long").as("c")).as("payload"))
+      .write.mode("overwrite").json(out)
+    s.read
+      .schema("o_orderkey LONG, payload STRUCT<st: STRING, c: LONG>")
+      .json(out)
+      .select(col("o_orderkey"), col("payload.st").as("status"),
+        col("payload.c").as("cents"))
+      .orderBy("o_orderkey")
+  }
 }
