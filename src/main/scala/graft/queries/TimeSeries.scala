@@ -1730,7 +1730,7 @@ object TimeSeriesOps extends QueryPack {
       |)
       |SELECT user_id,
       |  CAST(floor(CAST(SUM(CAST(contrib AS HUGEINT)) AS DOUBLE)
-      |    / 1099511627776 * 10000 + 0.5) AS DOUBLE) / 10000 AS decay_score
+      |    / 1099511627776 / 100 * 10000 + 0.5) AS DOUBLE) / 10000 AS decay_score
       |FROM c GROUP BY user_id ORDER BY user_id""") { (s, dir) =>
     val e = Tables(s, dir, "events")
       .select(col("user_id"),
@@ -1744,7 +1744,7 @@ object TimeSeriesOps extends QueryPack {
       .groupBy("user_id")
       .agg(sum(col("contrib").cast("decimal(38,0)")).as("sc"))
       .select(col("user_id"),
-        (floor(col("sc").cast("double") / 1099511627776L * 10000 + lit(0.5))
+        (floor(col("sc").cast("double") / 1099511627776L / 100 * 10000 + lit(0.5))
           .cast("double") / 10000).as("decay_score"))
       .orderBy("user_id")
   }
