@@ -2339,4 +2339,97 @@ object StatsOps extends QueryPack {
         * 1000000 + lit(0.5)).cast("double") / 1000000).as("var_reduction"))
       .orderBy("arm")
   }
+
+  // Weekly growth accounting — the new / retained / resurrected / churned
+  // decomposition of the active-user count (the "growth accounting
+  // identity" every consumer-metrics stack reports). Activity collapses
+  // to distinct (user, week) rows in one shuffle; classification is pure
+  // integer window arithmetic per user (first week, gap to previous
+  // active week), and churn is the identity active(w-1) − retained(w)
+  // computed with one lag over the weekly rollup. Invariant (pinned in
+  // Round7Spec): new + retained + resurrected = active, every week.
+  q("events_growth_accounting",
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS wk
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id, wk,
+      |    MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+      |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk
+      |  FROM e
+      |), c AS (
+      |  SELECT wk,
+      |    CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(SUM(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(SUM(CASE WHEN wk > first_wk AND prev_wk < wk - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM u GROUP BY wk
+      |)
+      |SELECT wk, n_active, n_new, n_retained, n_resurrected,
+      |  COALESCE(lag(n_active) OVER (ORDER BY wk), 0) - n_retained
+      |    AS n_churned
+      |FROM c ORDER BY wk""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400 div 7").as("wk"))
+      .distinct()
+    val wu = Window.partitionBy("user_id")
+    val u = e
+      .withColumn("first_wk", min("wk").over(wu))
+      .withColumn("prev_wk", lag("wk", 1).over(wu.orderBy("wk")))
+    val c = u.groupBy("wk")
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        sum(when(col("wk") === col("first_wk"), 1L).otherwise(0L))
+          .cast("long").as("n_new"),
+        sum(when(col("prev_wk") === col("wk") - 1, 1L).otherwise(0L))
+          .cast("long").as("n_retained"),
+        sum(when(col("wk") > col("first_wk") && col("prev_wk") < col("wk") - 1,
+          1L).otherwise(0L)).cast("long").as("n_resurrected"))
+    c.withColumn("n_churned",
+        coalesce(lag("n_active", 1).over(Window.orderBy("wk")), lit(0L))
+          - col("n_retained"))
+      .orderBy("wk")
+  }
+
+  // Engagement depth curve: for each threshold k = 1..28, the share of
+  // users with at least k distinct active days — the L28-style power-user
+  // curve. One distinct-day rollup per user, then the tiny per-user frame
+  // meets the 28-row threshold grid; at any scale the crossed frame is
+  // |users|·28, linear in users.
+  q("events_engagement_curve",
+    """WITH ad AS (
+      |  SELECT user_id,
+      |    CAST(COUNT(DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+      |      AS BIGINT) AS days
+      |  FROM events GROUP BY user_id
+      |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM ad
+      |), ks AS (SELECT CAST(unnest(generate_series(1, 28)) AS BIGINT) AS k)
+      |SELECT k,
+      |  CAST(SUM(CASE WHEN days >= k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS users_ge,
+      |  CAST(floor(CAST(SUM(CASE WHEN days >= k THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(MAX(n_users) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS pct
+      |FROM ad CROSS JOIN ks CROSS JOIN n
+      |GROUP BY k ORDER BY k""") { (s, dir) =>
+    val ad = Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(countDistinct(expr("unix_timestamp(ts) div 86400")).cast("long")
+        .as("days"))
+    val n = ad.agg(count(lit(1)).cast("long").as("n_users"))
+    val ks = Tables(s, dir, "events").sparkSession.range(1, 29)
+      .select(col("id").as("k"))
+    ad.crossJoin(broadcast(ks)).crossJoin(broadcast(n))
+      .groupBy("k")
+      .agg(sum(when(col("days") >= col("k"), 1L).otherwise(0L)).cast("long")
+          .as("users_ge"),
+        (floor(sum(when(col("days") >= col("k"), 1L).otherwise(0L))
+          .cast("double") / max("n_users").cast("double") * 1000000
+          + lit(0.5)).cast("double") / 1000000).as("pct"))
+      .orderBy("k")
+  }
 }

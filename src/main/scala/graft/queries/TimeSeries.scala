@@ -1816,4 +1816,103 @@ object TimeSeriesOps extends QueryPack {
         (count(lit(1)) / 2).cast("long").as("n_sessions"))
       .orderBy("day_id")
   }
+
+  // Classical additive decomposition of the daily-revenue series
+  // (STL-style, moving-average flavor): trend = centered 7-day MA (full
+  // windows only), seasonal = day-of-week mean of the detrended series,
+  // resid = remainder. All three components stay integer cents until the
+  // final /100 emit: the MA divides an exact window sum by 7 and requants
+  // via floor(x+0.5) (the P-rule dyadic-tie form, valid for negatives
+  // too), and the dow means do the same over exact BIGINT sums. Weekday
+  // from anchored integer day arithmetic (fixture-independent form).
+  // Scale: one shuffle to |days| rows, then windows/joins on that frame.
+  q("ts_stl_decompose",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      |  FROM orders GROUP BY 1
+      |), tr AS (
+      |  SELECT day, y, SUM(y) OVER fr AS s7, COUNT(*) OVER fr AS n7
+      |  FROM daily
+      |  WINDOW fr AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), t AS (
+      |  SELECT day, y,
+      |    CAST(floor(CAST(s7 AS DOUBLE) / 7 + 0.5) AS BIGINT) AS t7,
+      |    y - CAST(floor(CAST(s7 AS DOUBLE) / 7 + 0.5) AS BIGINT) AS detr,
+      |    ((date_diff('day', DATE '2024-01-01', day) % 7) + 7) % 7 AS dow
+      |  FROM tr WHERE n7 = 7
+      |), sm AS (
+      |  SELECT dow,
+      |    CAST(floor(CAST(SUM(detr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+      |      AS sdow
+      |  FROM t GROUP BY dow
+      |)
+      |SELECT strftime(t.day, '%Y-%m-%d') AS day,
+      |  CAST(y AS DOUBLE) / 100 AS y,
+      |  CAST(t7 AS DOUBLE) / 100 AS trend,
+      |  CAST(sdow AS DOUBLE) / 100 AS seasonal,
+      |  CAST(detr - sdow AS DOUBLE) / 100 AS resid
+      |FROM t JOIN sm ON t.dow = sm.dow
+      |ORDER BY day""") { (s, dir) =>
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("y"))
+    val fr = Window.orderBy("day").rowsBetween(-3, 3)
+    val t7 = floor(col("s7").cast("double") / 7 + lit(0.5)).cast("long")
+    val t = daily
+      .withColumn("s7", sum("y").over(fr))
+      .withColumn("n7", count(lit(1)).over(fr))
+      .filter(col("n7") === 7)
+      .select(col("day"), col("y"), t7.as("t7"), (col("y") - t7).as("detr"),
+        expr("((datediff(day, date'2024-01-01') % 7) + 7) % 7").as("dow"))
+    val sm = t.groupBy("dow")
+      .agg(floor(sum("detr").cast("double") / count(lit(1)) + lit(0.5))
+        .cast("long").as("sdow"))
+    t.join(broadcast(sm), "dow")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("y").cast("double") / 100).as("y"),
+        (col("t7").cast("double") / 100).as("trend"),
+        (col("sdow").cast("double") / 100).as("seasonal"),
+        ((col("detr") - col("sdow")).cast("double") / 100).as("resid"))
+      .orderBy("day")
+  }
+
+  // Day-over-day and week-over-week percent change of daily revenue —
+  // the two deltas every KPI dashboard leads with. Ratios of exact
+  // BIGINT cents with identical double trees; 6 dp.
+  q("ts_pct_change",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(v AS DOUBLE) / 100 AS revenue,
+      |  CASE WHEN lag(v) OVER w IS NULL THEN NULL
+      |    ELSE CAST(floor((CAST(v AS DOUBLE) - CAST(lag(v) OVER w AS DOUBLE))
+      |      / CAST(lag(v) OVER w AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |      / 1000000 END AS dod_pct,
+      |  CASE WHEN lag(v, 7) OVER w IS NULL THEN NULL
+      |    ELSE CAST(floor((CAST(v AS DOUBLE) - CAST(lag(v, 7) OVER w AS DOUBLE))
+      |      / CAST(lag(v, 7) OVER w AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |      / 1000000 END AS wow_pct
+      |FROM daily WINDOW w AS (ORDER BY day)
+      |ORDER BY day""") { (s, dir) =>
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("v"))
+    val w = Window.orderBy("day")
+    def pct(l: org.apache.spark.sql.Column) =
+      when(l.isNull, lit(null)).otherwise(
+        floor((col("v").cast("double") - l.cast("double")) / l.cast("double")
+          * 1000000 + lit(0.5)).cast("double") / 1000000)
+    daily
+      .withColumn("l1", lag("v", 1).over(w))
+      .withColumn("l7", lag("v", 7).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("v").cast("double") / 100).as("revenue"),
+        pct(col("l1")).as("dod_pct"),
+        pct(col("l7")).as("wow_pct"))
+      .orderBy("day")
+  }
 }

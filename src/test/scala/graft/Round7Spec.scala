@@ -118,6 +118,32 @@ class Round7Spec extends SparkSpec {
     assert(ratio >= 0.0 && ratio <= 1.0)
   }
 
+  test("ts_stl_decompose components reassemble the series exactly") {
+    val out = SparkEntry.queries("ts_stl_decompose")(spark, sf).cache()
+    assert(out.count() > 0)
+    val broken = out.filter(
+      abs(col("trend") + col("seasonal") + col("resid") - col("y")) > 1e-9)
+      .count()
+    assert(broken == 0, "y != trend + seasonal + resid")
+  }
+
+  test("events_growth_accounting: new + retained + resurrected = active") {
+    val out = SparkEntry.queries("events_growth_accounting")(spark, sf).cache()
+    assert(out.count() > 0)
+    val broken = out.filter(
+      col("n_new") + col("n_retained") + col("n_resurrected") =!= col("n_active"))
+      .count()
+    assert(broken == 0, "growth accounting identity violated")
+  }
+
+  test("events_engagement_curve is monotone non-increasing over k") {
+    val rows = SparkEntry.queries("events_engagement_curve")(spark, sf)
+      .orderBy("k").collect()
+    assert(rows.length == 28)
+    val counts = rows.map(_.getAs[Long]("users_ge"))
+    assert(counts.sliding(2).forall { case Array(a, b) => b <= a })
+  }
+
   test("sink roundtrips preserve cardinality of the filtered source") {
     val o = graft.engine.Tables(spark, sf, "orders")
     assert(SparkEntry.queries("sink_csv_roundtrip")(spark, sf).count()
