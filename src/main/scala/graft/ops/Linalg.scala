@@ -97,20 +97,34 @@ object Linalg {
   def pcaTop(emb: DataFrame, idCol: String, vecCol: String, iters: Int)
   : (DataFrame, DataFrame, DataFrame) = {
     val d = dims(emb, idCol, vecCol)
-    val nEmb = emb.groupBy().agg(count(lit(1)).as("n"))
-    // all d² products per vector come from a GENERATOR CHAIN (explode i,
-    // keep the array, explode j) — a narrow map with zero shuffle, where
-    // the equivalent dims⋈dims self-join would shuffle the corpus twice
-    // before producing the identical rows. Values are bit-identical to
-    // the join form (same double casts, same product), so the oracle and
-    // goldens are unaffected.
-    val moment = memoized(emb, s"moment|$idCol|$vecCol") {
-      // NOT fanned: measured 9.0 s -> 16.9 s with a pre-explode
-      // repartition at sf0.1 — at these corpus sizes the cost is the
-      // round-chain's JOB count, not single-task compute, and the extra
-      // exchange per job loses more than the parallel explode gains. At
-      // real corpus sizes the parquet source arrives already split, so
-      // the narrow explode inherits real parallelism without help.
+    val moment = momentOf(emb, idCol, vecCol)
+    val (v, lastNrm) = powerRounds(moment, d, iters)
+    // the finished loading/norm are d- and 1-row frames whose lineage is
+    // ~10 nested broadcast jobs; persist+memoize them so a second query
+    // over the same corpus (emb_whiten after emb_pca_power) replays a
+    // cache read instead of the whole round chain. Plan construction
+    // above is lazy, so a memo hit costs nothing.
+    val vM = memoized(emb, s"pcaV|$idCol|$vecCol|$iters")(
+      v.persist(StorageLevel.MEMORY_AND_DISK))
+    val nM = memoized(emb, s"pcaNrm|$idCol|$vecCol|$iters")(
+      lastNrm.persist(StorageLevel.MEMORY_AND_DISK))
+    (vM, nM, d)
+  }
+
+  /** 8-dp quantized (uncentered) second-moment matrix of the embedding
+    * cloud as (i, j, c), memoized+persisted — the O(n·d²) pass every
+    * power-iteration consumer shares. All d² products per vector come
+    * from a GENERATOR CHAIN (explode i, keep the array, explode j) — a
+    * narrow map with zero shuffle, where the equivalent dims⋈dims
+    * self-join would shuffle the corpus twice before producing the
+    * identical rows. NOT fanned: measured 9.0 s → 16.9 s with a
+    * pre-explode repartition at sf0.1 — at these corpus sizes the cost is
+    * the round-chain's JOB count, not single-task compute. At real corpus
+    * sizes the parquet source arrives already split, so the narrow
+    * explode inherits real parallelism without help. */
+  private def momentOf(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    memoized(emb, s"moment|$idCol|$vecCol") {
+      val nEmb = emb.groupBy().agg(count(lit(1)).as("n"))
       emb.select(col(idCol).as("vec_id"),
           posexplode(col(vecCol)).as(Seq("i0", "ei")), col(vecCol).as("arr"))
         .select((col("i0") + 1).as("i"), col("ei").cast("double").as("e"),
@@ -125,6 +139,13 @@ object Linalg {
             / lit(100000000L)).as("c"))
         .persist(StorageLevel.MEMORY_AND_DISK) // reused by every matvec round
     }
+
+  /** The shared matvec+renormalize loop: `iters` rounds of w = C·v (12-dp
+    * fixed-point terms, exact integer sums), |w| via 14-dp fixed squares,
+    * v ← quantize₆(w/|w|), starting from the uniform 0.125 vector.
+    * Returns (v as (j, v), last 1-row (nrm)). */
+  private def powerRounds(moment: DataFrame, d: DataFrame, iters: Int)
+  : (DataFrame, DataFrame) = {
     var v = d.select(col("dim").as("j")).distinct()
       .withColumn("v", lit(0.125))
     var lastNrm: DataFrame = null
@@ -144,15 +165,40 @@ object Linalg {
             .as("v"))
       lastNrm = nrm
     }
-    // the finished loading/norm are d- and 1-row frames whose lineage is
-    // ~10 nested broadcast jobs; persist+memoize them so a second query
-    // over the same corpus (emb_whiten after emb_pca_power) replays a
-    // cache read instead of the whole round chain. Plan construction
-    // above is lazy, so a memo hit costs nothing.
-    val vM = memoized(emb, s"pcaV|$idCol|$vecCol|$iters")(
-      v.persist(StorageLevel.MEMORY_AND_DISK))
-    val nM = memoized(emb, s"pcaNrm|$idCol|$vecCol|$iters")(
-      lastNrm.persist(StorageLevel.MEMORY_AND_DISK))
-    (vM, nM, d)
+    (v, lastNrm)
+  }
+
+  /** Second principal component via Hotelling deflation: run [[pcaTop]]
+    * (memo hit when the query pack already computed it this session),
+    * subtract the rank-1 term λ₁·v₁v₁ᵀ from the moment matrix with λ₁
+    * quantized to the same 6 dp the eigenvalue output uses and each
+    * deflated cell re-quantized to the moment's 8 dp, then rerun the
+    * identical power loop on the deflated matrix. Everything after the
+    * memoized moment build touches only d²-row broadcast frames —
+    * corpus-size-independent, like the first component. Returns
+    * (loading (j, v), 1-row (nrm)). */
+  def pcaSecond(emb: DataFrame, idCol: String, vecCol: String, iters: Int)
+  : (DataFrame, DataFrame) = {
+    val (v1, n1, d) = pcaTop(emb, idCol, vecCol, iters)
+    // same memo seam as the moment matrix: the deflated build is pure in
+    // (corpus, params)
+    val lam = n1.select(
+      (floor(col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L)).as("l"))
+    val moment = momentOf(emb, idCol, vecCol)
+    val deflated = memoized(emb, s"moment2|$idCol|$vecCol|$iters") {
+      moment
+        .join(broadcast(v1.select(col("j").as("i"), col("v").as("vi"))), "i")
+        .join(broadcast(v1.select(col("j"), col("v").as("vj"))), "j")
+        .crossJoin(broadcast(lam))
+        .select(col("i"), col("j"),
+          (col("c") - floor(col("l") * col("vi") * col("vj") * lit(100000000L)
+            + lit(0.5)) / lit(100000000L)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val (v2, n2) = powerRounds(deflated, d, iters)
+    (memoized(emb, s"pca2V|$idCol|$vecCol|$iters")(
+        v2.persist(StorageLevel.MEMORY_AND_DISK)),
+      memoized(emb, s"pca2Nrm|$idCol|$vecCol|$iters")(
+        n2.persist(StorageLevel.MEMORY_AND_DISK)))
   }
 }

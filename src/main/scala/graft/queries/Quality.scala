@@ -1205,6 +1205,52 @@ object QualityOps extends QueryPack {
       .orderBy("dim")
   }
 
+  // Second principal component via Hotelling deflation
+  // (Linalg.pcaSecond): subtract the rank-1 term λ₁v₁v₁ᵀ (λ₁ at the
+  // 6-dp output quantum, each deflated cell re-quantized to the moment's
+  // 8 dp) and rerun the identical 3-round power loop. The oracle extends
+  // the shared pcaCtes chain with the deflation and three more unrolled
+  // rounds generated from the same template, so the two engines' round
+  // arithmetic cannot drift. Memo seams make this a d²-frame-only
+  // computation when emb_pca_power already ran this session.
+  q("emb_pca_deflate", {
+    def round(k: Int): String = {
+      val prev = if (k == 1) "v0" else s"x${k - 1}"
+      s"""u$k AS (
+         |  SELECT C2.i AS i,
+         |    SUM(CAST(floor(C2.c * $prev.v * 1000000000000 + 0.5) AS BIGINT)) AS sw
+         |  FROM C2 JOIN $prev ON C2.j = $prev.j GROUP BY C2.i
+         |), m$k AS (
+         |  SELECT sqrt(CAST(SUM(CAST(floor((CAST(sw AS DOUBLE) / 1000000000000)
+         |    * (CAST(sw AS DOUBLE) / 1000000000000) * 100000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 100000000000000) AS nrm FROM u$k
+         |), x$k AS (
+         |  SELECT i AS j, floor(CAST(sw AS DOUBLE) / 1000000000000 / nrm * 1000000 + 0.5)
+         |    / 1000000 AS v FROM u$k, m$k
+         |)""".stripMargin
+    }
+    s"""$pcaCtes,
+       |lam AS (SELECT floor(nrm * 1000000 + 0.5) / 1000000 AS l FROM n3),
+       |C2 AS (
+       |  SELECT C.i AS i, C.j AS j,
+       |    C.c - floor(l * a.v * b.v * 100000000 + 0.5) / 100000000 AS c
+       |  FROM C JOIN v3 a ON C.i = a.j JOIN v3 b ON C.j = b.j, lam
+       |),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT CAST(x3.j AS INT) AS dim, x3.v AS loading,
+       |  floor(m3.nrm * 1000000 + 0.5) / 1000000 AS eigenvalue2
+       |FROM x3, m3
+       |ORDER BY dim""".stripMargin
+  }) { (s, dir) =>
+    val (v2, n2) = graft.ops.Linalg
+      .pcaSecond(Tables(s, dir, "embeddings"), "vec_id", "embedding", 3)
+    v2.crossJoin(broadcast(n2))
+      .select(col("j").cast("int").as("dim"), col("v").as("loading"),
+        (floor(col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L))
+          .as("eigenvalue2"))
+      .orderBy("dim")
+  }
+
   // All-but-the-top whitening (Mu & Viswanath-style anisotropy fix): drop
   // each embedding's projection onto the dominant component. Per vector:
   // p = Σ eᵢvᵢ through 12-dp fixed point (exact sum), quantized to 6 dp;

@@ -144,6 +144,21 @@ class Round7Spec extends SparkSpec {
     assert(counts.sliding(2).forall { case Array(a, b) => b <= a })
   }
 
+  test("emb_pca_deflate: second component near-orthogonal to first, smaller eigenvalue") {
+    val v1 = SparkEntry.queries("emb_pca_power")(spark, sf).collect()
+    val v2 = SparkEntry.queries("emb_pca_deflate")(spark, sf).collect()
+    assert(v1.length == v2.length)
+    val lam1 = v1.head.getAs[Double]("eigenvalue")
+    val lam2 = v2.head.getAs[Double]("eigenvalue2")
+    assert(lam2 <= lam1 + 1e-9, s"second eigenvalue $lam2 > first $lam1")
+    val l1 = v1.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading"))
+    val l2 = v2.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading"))
+    val dot = l1.zip(l2).map { case (a, b) => a * b }.sum
+    // 3 truncated rounds + 6-dp quantization leave residual correlation;
+    // anything near ±1 would mean deflation did nothing
+    assert(math.abs(dot) < 0.25, s"|<v1,v2>| = ${math.abs(dot)} too large")
+  }
+
   test("sink roundtrips preserve cardinality of the filtered source") {
     val o = graft.engine.Tables(spark, sf, "orders")
     assert(SparkEntry.queries("sink_csv_roundtrip")(spark, sf).count()
