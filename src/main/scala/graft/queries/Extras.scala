@@ -592,4 +592,51 @@ object Extras extends QueryPack {
           .cast("double") / 10000).as("skew_factor"))
       .orderBy("rank")
   }
+
+  // Late-arrival / out-of-order audit over the event stream: treating
+  // event_id as arrival order, an event is "late" if its event time
+  // precedes the running max event time already seen for that user — the
+  // number a watermark policy must be sized against. One user-partitioned
+  // window for the running max; delays are exact integer seconds.
+  q("etl_late_arrival_report",
+    """WITH o AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    MAX(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+      |  FROM events
+      |), l AS (
+      |  SELECT CASE WHEN mx IS NOT NULL AND sec < mx THEN 1 ELSE 0 END AS late,
+      |    CASE WHEN mx IS NOT NULL AND sec < mx THEN mx - sec ELSE 0 END AS delay
+      |  FROM o
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(late) AS BIGINT) AS n_late,
+      |  CAST(floor(CAST(SUM(late) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS pct_late,
+      |  CAST(MAX(delay) AS BIGINT) AS max_delay_s,
+      |  CASE WHEN SUM(late) = 0 THEN NULL
+      |    ELSE CAST(floor(CAST(SUM(delay) AS DOUBLE) / SUM(late) * 100 + 0.5)
+      |      AS DOUBLE) / 100 END AS avg_late_delay_s
+      |FROM l""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val o = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+      .withColumn("mx", max("sec").over(w))
+    val l = o.select(
+      when(col("mx").isNotNull && col("sec") < col("mx"), 1L).otherwise(0L)
+        .as("late"),
+      when(col("mx").isNotNull && col("sec") < col("mx"), col("mx") - col("sec"))
+        .otherwise(0L).as("delay"))
+    l.agg(count(lit(1)).cast("long").as("n_events"),
+        sum("late").cast("long").as("n_late"),
+        (floor(sum("late").cast("double") / count(lit(1)) * 1000000 + lit(0.5))
+          .cast("double") / 1000000).as("pct_late"),
+        max("delay").cast("long").as("max_delay_s"),
+        when(sum("late") === 0, lit(null)).otherwise(
+          floor(sum("delay").cast("double") / sum("late") * 100 + lit(0.5))
+            .cast("double") / 100).as("avg_late_delay_s"))
+  }
 }

@@ -2057,4 +2057,65 @@ object LlmOps extends QueryPack {
     Sim.mmrDiversify(Tables(s, dir, "embeddings"), probeId = 0L,
       candK = 8, selectK = 4)
   }
+
+  // Lexical-diversity profile per source: vocabulary size, hapax
+  // legomena (once-only tokens) and their share of the vocabulary, plus
+  // the type-token ratio — the companions to the Zipf-slope naturalness
+  // check. One token explode → (source, token) count shuffle; the
+  // rollup reads the count frame, never the corpus again.
+  q("text_hapax_ratio",
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM t GROUP BY source, token
+      |)
+      |SELECT source,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab,
+      |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(floor(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS hapax_ratio,
+      |  CAST(floor(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS type_token_ratio
+      |FROM c GROUP BY source ORDER BY source""") { (s, dir) =>
+    val c = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    c.groupBy("source")
+      .agg(sum("cnt").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("long").as("hapax"),
+        (floor(sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)) * 1000000 + lit(0.5)).cast("double") / 1000000)
+          .as("hapax_ratio"),
+        (floor(count(lit(1)).cast("double") / sum("cnt").cast("double")
+          * 1000000 + lit(0.5)).cast("double") / 1000000)
+          .as("type_token_ratio"))
+      .orderBy("source")
+  }
+
+  // Shard manifest for dataset shipping: per 64-doc shard, the row/byte
+  // counts plus an order-independent content hash — md5 over the shard's
+  // SORTED per-doc md5s, so the manifest is stable under any scan order
+  // and verifiable shard-by-shard downstream. One shuffle on the shard
+  // key; the inner hashes are per-row expressions.
+  q("llm_shard_manifest",
+    """SELECT doc_id // 64 AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  md5(string_agg(md5(text), ',' ORDER BY md5(text))) AS content_hash
+      |FROM documents GROUP BY doc_id // 64
+      |ORDER BY shard_id""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(expr("doc_id div 64").as("shard_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"),
+        md5(array_join(array_sort(collect_list(md5(col("text").cast("binary")))),
+          ",").cast("binary")).as("content_hash"))
+      .orderBy("shard_id")
+  }
 }

@@ -2432,4 +2432,57 @@ object StatsOps extends QueryPack {
           + lit(0.5)).cast("double") / 1000000).as("pct"))
       .orderBy("k")
   }
+
+  // Bayesian conversion readout per experiment arm: user-level purchase
+  // conversion under a uniform Beta(1,1) prior — posterior mean
+  // (1+s)/(2+n) and a ±2σ normal-approximation interval from the exact
+  // Beta variance. Everything is rational arithmetic over exact integer
+  // (s, n) plus one sqrt — conjugacy is what makes a BAYESIAN readout
+  // oracle-exact. Arms are the deterministic user-id parity; one shuffle
+  // to user grain, one to the two-arm rollup.
+  q("events_ab_conversion_bayes",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS arm,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id, user_id % 2
+      |), m AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(conv) AS BIGINT) AS s
+      |  FROM u GROUP BY arm
+      |)
+      |SELECT arm, n, s,
+      |  CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS rate,
+      |  CAST(floor(CAST(1 + s AS DOUBLE) / CAST(2 + n AS DOUBLE) * 1000000
+      |    + 0.5) AS DOUBLE) / 1000000 AS post_mean,
+      |  CAST(floor((CAST(1 + s AS DOUBLE) / CAST(2 + n AS DOUBLE)
+      |    - 2 * sqrt(CAST(1 + s AS DOUBLE) * CAST(1 + n - s AS DOUBLE)
+      |      / (CAST(2 + n AS DOUBLE) * CAST(2 + n AS DOUBLE)
+      |         * CAST(3 + n AS DOUBLE)))) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS ci_lo,
+      |  CAST(floor((CAST(1 + s AS DOUBLE) / CAST(2 + n AS DOUBLE)
+      |    + 2 * sqrt(CAST(1 + s AS DOUBLE) * CAST(1 + n - s AS DOUBLE)
+      |      / (CAST(2 + n AS DOUBLE) * CAST(2 + n AS DOUBLE)
+      |         * CAST(3 + n AS DOUBLE)))) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS ci_hi
+      |FROM m ORDER BY arm""") { (s, dir) =>
+    val u = Tables(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+    val m = u.groupBy("arm")
+      .agg(count(lit(1)).cast("long").as("n"), sum("conv").cast("long").as("s"))
+    val pm = (col("s") + 1).cast("double") / (col("n") + 2).cast("double")
+    val sd = lit(2) * sqrt((col("s") + 1).cast("double")
+      * (col("n") - col("s") + 1).cast("double")
+      / ((col("n") + 2).cast("double") * (col("n") + 2).cast("double")
+        * (col("n") + 3).cast("double")))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000 + lit(0.5)).cast("double") / 1000000
+    m.select(col("arm"), col("n"), col("s"),
+        q6(col("s").cast("double") / col("n").cast("double")).as("rate"),
+        q6(pm).as("post_mean"),
+        q6(pm - sd).as("ci_lo"),
+        q6(pm + sd).as("ci_hi"))
+      .orderBy("arm")
+  }
 }
