@@ -145,6 +145,57 @@ object Multimodal {
     * consumer (audioEnergy, frameSample) would otherwise pay PNG encoding
     * for ~1/3 of the corpus and discard it — a pure constant-factor waste
     * at any scale. The declarative pre-filter also prunes at the scan. */
+  /** 64-bit average-hash perceptual fingerprint: decode, reduce to an 8×8
+    * grid of integer luminance sums (block means via exact integer
+    * division), set bit k when cell k's mean exceeds the global mean.
+    * Pure integer math over decoded pixels — deterministic per payload.
+    * Non-decodable payloads fall back to a byte-rolling hash so the
+    * column is total (same contract as [[decode]]). */
+  def pHash64(bytes: Array[Byte]): Long = {
+    if (isPng(bytes)) {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img != null) {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val cy = math.min(7, y * 8 / h)
+            var x = 0
+            while (x < w) {
+              val cx = math.min(7, x * 8 / w)
+              val rgb = img.getRGB(x, y)
+              val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              val c = cy * 8 + cx
+              sums(c) += lum; counts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val means = Array.tabulate(64)(i =>
+            if (counts(i) == 0) 0L else sums(i) / counts(i))
+          val global = means.sum / 64
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (means(i) > global) hash |= (1L << i)
+            i += 1
+          }
+          return hash
+        }
+      } catch { case _: java.io.IOException => }
+    }
+    bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+  }
+
+  /** (id, phash) frame over a media set — partition-wise, the decode loop
+    * is per-row JVM work a Catalyst expression cannot express. */
+  def phashFrame(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => (m.id, pHash64(m.bytes)))).toDF("id", "phash")
+  }
+
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame,
                          kinds: Seq[String] = Seq("image", "audio", "video"))
       : Dataset[Media] = {

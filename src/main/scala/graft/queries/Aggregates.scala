@@ -3,6 +3,7 @@ package graft.queries
 import graft.engine.{Det, QueryPack, Tables}
 import graft.functions.WAvgFix
 import org.apache.spark.sql.{Encoders, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Aggregation operators beyond the flagship (SURVEY §2.4).
@@ -660,5 +661,47 @@ object Aggregates extends QueryPack {
         expr("bit_or(user_id)").cast("long").as("bor"),
         expr("bit_xor(user_id)").cast("long").as("bxor"))
       .orderBy("event_type")
+  }
+
+  // EXACT deciles per group — percentile_disc(q) for q = 10..90 — from
+  // the value HISTOGRAM, never a per-row sort: the pick "smallest v with
+  // cum ≥ ⌈q·n/10⌉" rewrites as the all-integer predicate cum·10 ≥ q·n,
+  // so the whole query is integer arithmetic over a domain-bounded count
+  // frame (the same scale shape as the Mann-Whitney rank trick). The
+  // exact twin to agg_approx_percentile's sketch: at 100 TB the
+  // histogram is |group|×|distinct cents| rows, and the decile grid
+  // joins a 9-row broadcast.
+  q("agg_exact_deciles",
+    """WITH h AS (
+      |  SELECT event_type AS et, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT et, v, c, SUM(c) OVER (PARTITION BY et ORDER BY v) AS cc,
+      |    SUM(c) OVER (PARTITION BY et) AS n
+      |  FROM h
+      |), qs AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS q)
+      |SELECT et AS event_type, CAST(q * 10 AS BIGINT) AS pct,
+      |  CAST(MIN(CASE WHEN cc * 10 >= q * n THEN v END) AS DOUBLE) / 100
+      |    AS value
+      |FROM cum CROSS JOIN qs
+      |GROUP BY et, q ORDER BY event_type, pct""") { (s, dir) =>
+    val h = Tables(s, dir, "events")
+      .groupBy(col("event_type").as("et"),
+        graft.engine.Det.cents(col("value")).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val wp = Window.partitionBy("et")
+    val cum = h
+      .withColumn("cc", sum("c").over(wp.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(wp))
+    val qs = h.sparkSession.range(1, 10).select(col("id").as("q"))
+    cum.crossJoin(broadcast(qs))
+      .groupBy(col("et"), col("q"))
+      .agg(min(when(col("cc") * 10 >= col("q") * col("n"), col("v")))
+        .cast("double").as("v100"))
+      .select(col("et").as("event_type"), (col("q") * 10).cast("long").as("pct"),
+        (col("v100") / 100).as("value"))
+      .orderBy("event_type", "pct")
   }
 }

@@ -902,6 +902,35 @@ object LlmOps extends QueryPack {
       .orderBy("id", "win")
   }
 
+  // Image near-dup via banded perceptual hash: 64-bit average-hash per
+  // decoded image (Multimodal.pHash64 — integer luminance grid), blocked
+  // into 4 16-bit bands (the simhash trick: any pair within Hamming
+  // distance 6 of a 64-bit hash must agree exactly on ≥1 of 4 bands), so
+  // candidates come from band-bucket joins — never an all-pairs scan —
+  // and only candidates pay the bit_count verify. Golden-hashed (the
+  // decode runs in the JVM; no SQL oracle can reproduce ImageIO).
+  qNo("multimodal_phash") { (s, dir) =>
+    val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"),
+      kinds = Seq("image"))
+    val ph = Multimodal.phashFrame(media)
+    val bands = ph.select(col("id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("id"), col("phash"), col("band"),
+        expr("(phash >> (band * 16)) & 65535").as("key"))
+    val cand = bands.select(col("band"), col("key"),
+        col("id").as("ida"), col("phash").as("pa"))
+      .join(bands.select(col("band"), col("key"),
+        col("id").as("idb"), col("phash").as("pb")), Seq("band", "key"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb", "pa", "pb").distinct()
+    val near = cand.filter(expr("bit_count(pa ^ pb) <= 6"))
+    ph.agg(count(lit(1)).cast("long").as("n_images"))
+      .crossJoin(broadcast(
+        cand.agg(count(lit(1)).cast("long").as("n_candidates"))))
+      .crossJoin(broadcast(
+        near.agg(count(lit(1)).cast("long").as("n_near_dups"))))
+  }
+
   qNo("multimodal_pipeline") { (s, dir) =>
     val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"))
     val resized = Multimodal.resize(Multimodal.extractFeatures(media), 640, 480)
@@ -2056,6 +2085,105 @@ object LlmOps extends QueryPack {
   }) { (s, dir) =>
     Sim.mmrDiversify(Tables(s, dir, "embeddings"), probeId = 0L,
       candK = 8, selectK = 4)
+  }
+
+  // Hardest-triplet mining for metric learning: per probe, the same-label
+  // vector it is FARTHEST from (hardest positive) and the different-label
+  // vector it is CLOSEST to (hardest negative) — the pairs a triplet-loss
+  // fine-tune should sample. Sims quantize to the 4-dp grid before the
+  // integer argmin/argmax with id tiebreaks, so the mined pairs are
+  // engine-deterministic. Probe×corpus is the brute-force baseline (16
+  // probes); at corpus scale the candidate pool rides the same LSH seam
+  // as cosineTopK.
+  q("emb_triplet_mining",
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, label AS plabel,
+      |    CAST(embedding AS DOUBLE[]) AS pe
+      |  FROM embeddings WHERE vec_id < 16
+      |), c AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+      |), s AS (
+      |  SELECT probe_id, plabel, vec_id, label,
+      |    CAST(floor(round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pe, ce),
+      |        z -> z[1] * z[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pe, x -> x*x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x*x)), (a, b) -> a + b))),
+      |    4) * 10000 + 0.5) AS BIGINT) AS su
+      |  FROM p CROSS JOIN c WHERE probe_id <> vec_id
+      |), pos AS (
+      |  SELECT probe_id, plabel, vec_id AS pos_id, su AS pos_su FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY su ASC, vec_id) AS rn
+      |    FROM s WHERE label = plabel) WHERE rn = 1
+      |), neg AS (
+      |  SELECT probe_id, vec_id AS neg_id, su AS neg_su FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY su DESC, vec_id) AS rn
+      |    FROM s WHERE label <> plabel) WHERE rn = 1
+      |)
+      |SELECT p.probe_id, CAST(p.plabel AS INT) AS label,
+      |  pos_id, CAST(pos_su AS DOUBLE) / 10000 AS pos_sim,
+      |  neg_id, CAST(neg_su AS DOUBLE) / 10000 AS neg_sim,
+      |  CAST(pos_su - neg_su AS DOUBLE) / 10000 AS margin
+      |FROM pos p JOIN neg USING (probe_id)
+      |ORDER BY probe_id""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val p = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        Sim.asDouble(col("embedding")).as("pe"))
+    val c = emb.select(col("vec_id"), col("label"),
+      Sim.asDouble(col("embedding")).as("ce"))
+    val scored = broadcast(p).crossJoin(c)
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("plabel"), col("vec_id"), col("label"),
+        floor(round(Sim.cosine(col("pe"), col("ce")), 4) * 10000 + lit(0.5))
+          .cast("long").as("su"))
+    val wp = Window.partitionBy("probe_id")
+    val pos = scored.filter(col("label") === col("plabel"))
+      .withColumn("rn", row_number().over(wp.orderBy(col("su").asc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("plabel"),
+        col("vec_id").as("pos_id"), col("su").as("pos_su"))
+    val neg = scored.filter(col("label") =!= col("plabel"))
+      .withColumn("rn", row_number().over(wp.orderBy(col("su").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id").as("neg_id"), col("su").as("neg_su"))
+    pos.join(neg, "probe_id")
+      .select(col("probe_id"), col("plabel").cast("int").as("label"),
+        col("pos_id"), (col("pos_su").cast("double") / 10000).as("pos_sim"),
+        col("neg_id"), (col("neg_su").cast("double") / 10000).as("neg_sim"),
+        ((col("pos_su") - col("neg_su")).cast("double") / 10000).as("margin"))
+      .orderBy("probe_id")
+  }
+
+  // Dedup-pipeline quality harness: score the MinHash-LSH candidate path
+  // against the exact shingle-Jaccard truth set at the same (k, τ) —
+  // the measurement that justifies swapping the exact path for the
+  // sketch at scale. Both sides verify candidates exactly, so precision
+  // is 1.0 by construction (modulo the df-cap) and RECALL is the number
+  // under test: LSH banding can miss true pairs whose signatures never
+  // collide. Golden-hashed (MinHash is not SQL-expressible).
+  qNo("llm_dedup_eval") { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val truth = Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val pred = Dedup.minhashPairs(docs, "text", "doc_id",
+        k = 3, numHashes = 32, bands = 8, tau = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val tp = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000 + lit(0.5)).cast("double") / 1000000
+    truth.agg(count(lit(1)).cast("long").as("n_truth"))
+      .crossJoin(broadcast(pred.agg(count(lit(1)).cast("long").as("n_pred"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).cast("long").as("n_tp"))))
+      .select(col("n_truth"), col("n_pred"), col("n_tp"),
+        q6(col("n_tp").cast("double") / col("n_pred").cast("double"))
+          .as("precision"),
+        q6(col("n_tp").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        q6(lit(2) * col("n_tp").cast("double")
+          / (col("n_pred") + col("n_truth")).cast("double")).as("f1"))
   }
 
   // Lexical-diversity profile per source: vocabulary size, hapax

@@ -159,6 +159,37 @@ class Round7Spec extends SparkSpec {
     assert(math.abs(dot) < 0.25, s"|<v1,v2>| = ${math.abs(dot)} too large")
   }
 
+  test("multimodal_phash: candidate superset of near-dups, full image coverage") {
+    val r = SparkEntry.queries("multimodal_phash")(spark, sf).head
+    val nImages = graft.engine.Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(r.getAs[Long]("n_images") == nImages)
+    assert(r.getAs[Long]("n_near_dups") <= r.getAs[Long]("n_candidates"))
+  }
+
+  test("emb_triplet_mining: positives share the label, margins are consistent") {
+    val out = SparkEntry.queries("emb_triplet_mining")(spark, sf).collect()
+    assert(out.length == 16)
+    out.foreach { r =>
+      // hardest positive is farther than (or tied with) hardest negative
+      // only when margin says so — the margin must equal the sim gap
+      val margin = r.getAs[Double]("margin")
+      val gap = r.getAs[Double]("pos_sim") - r.getAs[Double]("neg_sim")
+      assert(math.abs(margin - gap) < 1e-9)
+      assert(r.getAs[Long]("pos_id") != r.getAs[Long]("neg_id"))
+    }
+  }
+
+  test("llm_dedup_eval: verified-candidate precision is 1, recall bounded") {
+    val r = SparkEntry.queries("llm_dedup_eval")(spark, sf).head
+    assert(r.getAs[Long]("n_tp") <= r.getAs[Long]("n_pred"))
+    assert(r.getAs[Long]("n_tp") <= r.getAs[Long]("n_truth"))
+    // both paths verify candidates exactly at the same tau, so every
+    // predicted pair is a true pair
+    assert(r.getAs[Double]("precision") == 1.0)
+    assert(r.getAs[Double]("recall") <= 1.0)
+  }
+
   test("sink roundtrips preserve cardinality of the filtered source") {
     val o = graft.engine.Tables(spark, sf, "orders")
     assert(SparkEntry.queries("sink_csv_roundtrip")(spark, sf).count()
