@@ -663,6 +663,31 @@ object Aggregates extends QueryPack {
       .orderBy("event_type")
   }
 
+  // SUM(DISTINCT) / AVG(DISTINCT) — the dedup-before-aggregate SQL
+  // surface, on exact integer cents so the distinct set is well-defined
+  // cross-engine (distinct doubles would be representation-dependent).
+  q("agg_sum_distinct",
+    """SELECT l_returnflag,
+      |  CAST(SUM(DISTINCT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 100 AS sum_distinct_qty,
+      |  CAST(COUNT(DISTINCT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS n_distinct_qty,
+      |  CAST(floor(CAST(SUM(DISTINCT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / COUNT(DISTINCT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |    / 100 * 10000 + 0.5) AS DOUBLE) / 10000 AS avg_distinct_qty
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (s, dir) =>
+    val q100 = Det.cents(col("l_quantity")).cast("long")
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg((sum_distinct(q100).cast("double") / 100).as("sum_distinct_qty"),
+        countDistinct(q100).cast("long").as("n_distinct_qty"),
+        (floor(sum_distinct(q100).cast("double") / countDistinct(q100)
+          / 100 * 10000 + lit(0.5)).cast("double") / 10000)
+          .as("avg_distinct_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // EXACT deciles per group — percentile_disc(q) for q = 10..90 — from
   // the value HISTOGRAM, never a per-row sort: the pick "smallest v with
   // cum ≥ ⌈q·n/10⌉" rewrites as the all-integer predicate cum·10 ≥ q·n,

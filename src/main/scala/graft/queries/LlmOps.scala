@@ -2186,6 +2186,55 @@ object LlmOps extends QueryPack {
           / (col("n_pred") + col("n_truth")).cast("double")).as("f1"))
   }
 
+  // Context-window fit report: for each candidate sequence length, how
+  // many documents fit whole and how many tokens truncation would burn —
+  // the sizing table behind a packing/truncation policy choice. The
+  // token-count frame meets a 4-row broadcast limit grid; all counts
+  // exact integers, shares rational.
+  q("llm_context_fit",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents
+      |), n AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(toks) AS n_toks FROM d
+      |), ls AS (SELECT CAST(unnest([16, 32, 64, 96]) AS BIGINT) AS lim)
+      |SELECT lim AS context_limit,
+      |  CAST(SUM(CASE WHEN toks <= lim THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+      |  CAST(floor(CAST(SUM(CASE WHEN toks <= lim THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(MAX(n_docs) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS pct_fit,
+      |  CAST(SUM(CASE WHEN toks > lim THEN toks - lim ELSE 0 END) AS BIGINT)
+      |    AS tokens_lost,
+      |  CAST(floor(CAST(SUM(CASE WHEN toks > lim THEN toks - lim ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(MAX(n_toks) AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS pct_tokens_lost
+      |FROM d CROSS JOIN ls CROSS JOIN n
+      |GROUP BY lim ORDER BY context_limit""") { (s, dir) =>
+    val d = Tables(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+    val n = d.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("toks").as("n_toks"))
+    val ls = d.sparkSession.range(0, 4)
+      .select(element_at(array(lit(16L), lit(32L), lit(64L), lit(96L)),
+        (col("id") + 1).cast("int")).as("lim"))
+    d.crossJoin(broadcast(ls)).crossJoin(broadcast(n))
+      .groupBy("lim")
+      .agg(sum(when(col("toks") <= col("lim"), 1L).otherwise(0L)).cast("long")
+          .as("n_fit"),
+        (floor(sum(when(col("toks") <= col("lim"), 1L).otherwise(0L))
+          .cast("double") / max("n_docs").cast("double") * 1000000 + lit(0.5))
+          .cast("double") / 1000000).as("pct_fit"),
+        sum(when(col("toks") > col("lim"), col("toks") - col("lim"))
+          .otherwise(0L)).cast("long").as("tokens_lost"),
+        (floor(sum(when(col("toks") > col("lim"), col("toks") - col("lim"))
+          .otherwise(0L)).cast("double") / max("n_toks").cast("double")
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("pct_tokens_lost"))
+      .select(col("lim").as("context_limit"), col("n_fit"), col("pct_fit"),
+        col("tokens_lost"), col("pct_tokens_lost"))
+      .orderBy("context_limit")
+  }
+
   // Lexical-diversity profile per source: vocabulary size, hapax
   // legomena (once-only tokens) and their share of the vocabulary, plus
   // the type-token ratio — the companions to the Zipf-slope naturalness

@@ -504,4 +504,24 @@ object Scalars extends QueryPack {
           .cast("double") / 10000).as("sim_type"))
       .orderBy("p_partkey")
   }
+
+  // Padding / repetition / reversal scalar surface: lpad, rpad, repeat,
+  // reverse, and translate — the fixed-width-report formatting family.
+  q("fn_string_pad",
+    """SELECT n_nationkey,
+      |  lpad(n_name, 20, '.') AS padded_left,
+      |  rpad(n_name, 20, '.') AS padded_right,
+      |  repeat('-', CAST(n_nationkey % 5 + 1 AS INT)) AS rule_mark,
+      |  reverse(n_name) AS reversed,
+      |  translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels
+      |FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+    Tables(s, dir, "nation")
+      .select(col("n_nationkey"),
+        lpad(col("n_name"), 20, ".").as("padded_left"),
+        rpad(col("n_name"), 20, ".").as("padded_right"),
+        expr("repeat('-', cast(n_nationkey % 5 + 1 as int))").as("rule_mark"),
+        reverse(col("n_name")).as("reversed"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("lowered_vowels"))
+      .orderBy("n_nationkey")
+  }
 }

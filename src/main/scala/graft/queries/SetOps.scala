@@ -83,4 +83,24 @@ object SetOps extends QueryPack {
       .distinct()
       .orderBy("l_returnflag", "l_linestatus")
   }
+
+  // Symmetric difference — customers appearing in exactly one of two
+  // order-status populations, composed from the same except/intersect
+  // primitives a user would reach for: (A ∪ B) − (A ∩ B).
+  q("set_symmetric_diff",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |SELECT o_custkey FROM (
+      |  (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+      |  EXCEPT
+      |  (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      |)
+      |ORDER BY o_custkey""") { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    val b = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+    a.union(b).distinct()
+      .except(a.intersect(b))
+      .orderBy("o_custkey")
+  }
 }

@@ -2485,4 +2485,52 @@ object StatsOps extends QueryPack {
         q6(pm + sd).as("ci_hi"))
       .orderBy("arm")
   }
+
+  // Hour-of-day load profile per event type: peak hour, its traffic
+  // share, and the Herfindahl concentration index Σ share² — "is this
+  // event type bursty or flat across the day". Shares are rational over
+  // exact counts; HHI promotes the squared counts to 128-bit before the
+  // sum (P16) and divides once by n². Hour from integer epoch math, so
+  // the profile is timezone-fixed (UTC) and engine-identical.
+  q("events_hourly_concentration",
+    """WITH h AS (
+      |  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600
+      |    AS hour, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), t AS (
+      |  SELECT event_type, SUM(c) AS n, SUM(CAST(c AS HUGEINT) * c) AS ssq
+      |  FROM h GROUP BY event_type
+      |), pk AS (
+      |  SELECT event_type, hour AS peak_hour, c AS peak_c FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type
+      |      ORDER BY c DESC, hour) AS rn FROM h) WHERE rn = 1
+      |)
+      |SELECT t.event_type, CAST(pk.peak_hour AS BIGINT) AS peak_hour,
+      |  CAST(floor(CAST(pk.peak_c AS DOUBLE) / CAST(t.n AS DOUBLE) * 1000000
+      |    + 0.5) AS DOUBLE) / 1000000 AS peak_share,
+      |  CAST(floor(CAST(t.ssq AS DOUBLE)
+      |    / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS hhi
+      |FROM t JOIN pk USING (event_type)
+      |ORDER BY event_type""") { (s, dir) =>
+    val h = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("(unix_timestamp(ts) % 86400) div 3600").as("hour"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val t = h.groupBy("event_type")
+      .agg(sum("c").as("n"), sum(dec(col("c")) * col("c")).as("ssq"))
+    val pk = h.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("c").desc, col("hour"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("hour").as("peak_hour"), col("c").as("peak_c"))
+    t.join(pk, "event_type")
+      .select(col("event_type"), col("peak_hour").cast("long").as("peak_hour"),
+        (floor(col("peak_c").cast("double") / col("n").cast("double") * 1000000
+          + lit(0.5)).cast("double") / 1000000).as("peak_share"),
+        (floor(col("ssq").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")) * 1000000
+          + lit(0.5)).cast("double") / 1000000).as("hhi"))
+      .orderBy("event_type")
+  }
 }
