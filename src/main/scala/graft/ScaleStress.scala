@@ -252,6 +252,47 @@ object ScaleStress {
       permExpand(pev1))
     time("permutation x100 expand 10x (6M events -> 600M expanded)")(
       permExpand(pev10))
+
+    // round-7 additions. PCA deflation: everything past the (memoized)
+    // moment matrix is d²-frame work, so the 10× DELTA over pcaTop must
+    // stay flat — the moment build itself is the linear part.
+    time("pca second component (deflation) 1x (2k vecs)")(
+      ops.Linalg.pcaSecond(e10.filter(col("vec_id") < 10000000L),
+        "vec_id", "embedding", 3)._1.count())
+    time("pca second component (deflation) 10x (20k vecs)")(
+      ops.Linalg.pcaSecond(e10, "vec_id", "embedding", 3)._1.count())
+    // interval sweep: sessions → ±1 deltas → per-day running sum. Events
+    // 10× → sessions ~10× → 10× wall; the sweep window partitions by day,
+    // never one global serial pass.
+    val sev1 = engine.Tables(spark, dir, "events")
+      .select("user_id", "event_id", "ts").cache(); sev1.count()
+    val sev10 = (0 until 10).map(i => sev1.select(
+        (col("user_id") + lit(i * 10000000L)).as("user_id"),
+        (col("event_id") + lit(i * 100000000L)).as("event_id"), col("ts")))
+      .reduce(_ unionByName _).cache(); sev10.count()
+    def concPeak(ev: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val wu = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val sess = ev.select(col("user_id"), col("event_id"),
+          floor(unix_timestamp(col("ts"))).cast("long").as("sec"))
+        .withColumn("brk", when(col("sec") - lag("sec", 1).over(wu) > 1800
+          || lag("sec", 1).over(wu).isNull, 1).otherwise(0))
+        .withColumn("sid", sum("brk").over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid").agg(min("sec").as("t0"), max("sec").as("t1"))
+      val delta = sess.select(col("user_id"), col("sid"),
+          expr("t0 div 86400").as("day_id"), col("t0").as("t"), lit(1).as("d"))
+        .unionAll(sess.select(col("user_id"), col("sid"),
+          expr("t0 div 86400").as("day_id"), (col("t1") + 1).as("t"),
+          lit(-1).as("d")))
+      val ws = Window.partitionBy("day_id").orderBy("t", "d", "user_id", "sid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      delta.withColumn("conc", sum("d").over(ws))
+        .groupBy("day_id").agg(max("conc").as("pk"))
+        .agg(sum("pk")).collect()(0).getLong(0)
+    }
+    time("concurrent-session sweep 1x (600k events)")(concPeak(sev1))
+    time("concurrent-session sweep 10x (6M events)")(concPeak(sev10))
     spark.stop()
   }
 }
