@@ -701,4 +701,42 @@ object GraphOps extends QueryPack {
         (floor(col("n_reciprocal").cast("double") / col("n_edges").cast("double")
           * 1000000 + lit(0.5)).cast("double") / 1000000).as("reciprocity"))
   }
+
+  // Strongly connected components of the DIRECTED strong-trade graph
+  // (w ≥ 2·median edges — the same sparsified edge set the BFS/k-core
+  // family rides): which nation blocs trade mutually, directly or through
+  // intermediaries, and which nations sit outside every cycle. Exact via
+  // Graph.scc's transitive-closure path doubling (5 rounds covers paths
+  // ≤ 32 > |nations|); the oracle is the recursive-CTE closure with the
+  // identical mutual-reach MIN. The fact-scale work is the shared
+  // star-join edge derivation; the closure runs on the collapsed
+  // dimension-bounded graph (see Graph.scc's scale note for the FW-BW
+  // web-scale alternative).
+  q("graph_scc",
+    s"""WITH RECURSIVE $oracleStrongEdges,
+       |dn AS (SELECT src AS id FROM ke UNION SELECT dst FROM ke),
+       |reach AS (
+       |  SELECT id AS src, id AS dst FROM dn
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN ke e ON r.dst = e.src
+       |),
+       |scc AS (
+       |  SELECT r1.src AS id, MIN(r1.dst) AS sid
+       |  FROM reach r1 JOIN reach r2
+       |    ON r2.src = r1.dst AND r2.dst = r1.src
+       |  GROUP BY r1.src
+       |),
+       |sz AS (SELECT sid, CAST(COUNT(*) AS BIGINT) AS m FROM scc GROUP BY sid)
+       |SELECT nn.n_name, CAST(s.sid AS BIGINT) AS scc_id, z.m AS scc_size
+       |FROM scc s JOIN sz z ON s.sid = z.sid
+       |JOIN nation nn ON s.id = nn.n_nationkey
+       |ORDER BY n_name""") { (s, dir) =>
+    val comp = Graph.scc(strongTradeEdges(s, dir), doublingRounds = 5)
+    val sz = comp.groupBy("scc_id").agg(count(lit(1)).cast("long").as("scc_size"))
+    comp.join(sz, "scc_id")
+      .join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("scc_id").cast("long").as("scc_id"),
+        col("scc_size"))
+      .orderBy("n_name")
+  }
 }

@@ -1612,4 +1612,75 @@ object QualityOps extends QueryPack {
         (col("violations") === 0).as("pass"))
       .orderBy("rule_id")
   }
+
+  // Adjusted Rand index between a deterministic sign-bit partition of the
+  // embedding space (bucket = 8 sign bits of the first 8 dims — the
+  // random-hyperplane-LSH cell with axis-aligned planes, expressible in
+  // BOTH engines) and the ground-truth label column — "does cheap
+  // geometric hashing recover the labeled clusters", the standard
+  // external cluster-validity readout. ARI needs only the contingency
+  // table: with S2 = Σᵢⱼ nᵢⱼ(nᵢⱼ−1), A2/B2 the same over the two
+  // marginals and T2 = n(n−1), ARI = (S2 − A2·B2/T2) /
+  // ((A2+B2)/2 − A2·B2/T2) — the pair-count form doubled throughout so
+  // no integer halving is needed. All counts are exact (128-bit products
+  // per P16); the final expression is one IEEE double tree. Scale: one
+  // aggregate to the |buckets|·|labels| grid; marginals re-aggregate the
+  // grid, never the corpus.
+  q("emb_cluster_ari",
+    """WITH v AS (
+      |  SELECT label,
+      |    (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+      |    + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+      |    + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+      |    + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+      |    + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+      |  FROM embeddings
+      |), ct AS (
+      |  SELECT bucket, label, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM v GROUP BY bucket, label
+      |), s2 AS (
+      |  SELECT CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE) AS s2,
+      |    CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+      |    CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+      |  FROM ct
+      |), a2 AS (
+      |  SELECT CAST(SUM(CAST(a AS HUGEINT) * (a - 1)) AS DOUBLE) AS a2
+      |  FROM (SELECT SUM(c) AS a FROM ct GROUP BY bucket)
+      |), b2 AS (
+      |  SELECT CAST(SUM(CAST(b AS HUGEINT) * (b - 1)) AS DOUBLE) AS b2
+      |  FROM (SELECT SUM(c) AS b FROM ct GROUP BY label)
+      |)
+      |SELECT n, n_buckets, n_labels,
+      |  floor((s2 - a2 * b2 / (CAST(n AS DOUBLE) * (n - 1)))
+      |    / ((a2 + b2) / 2 - a2 * b2 / (CAST(n AS DOUBLE) * (n - 1)))
+      |    * 1000000 + 0.5) / 1000000 AS ari
+      |FROM s2, a2, b2""") { (s, dir) =>
+    val e = col("embedding")
+    val bucket = (0 until 8).map { i =>
+      when(element_at(e, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val v = Tables(s, dir, "embeddings")
+      .select(col("label"), bucket.as("bucket"))
+    val ct = v.groupBy("bucket", "label").agg(count(lit(1)).as("c"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val s2 = ct.agg(
+      sum(dec(col("c")) * (col("c") - 1)).cast("double").as("s2"),
+      sum("c").cast("long").as("n"),
+      countDistinct("bucket").cast("long").as("n_buckets"),
+      countDistinct("label").cast("long").as("n_labels"))
+    val a2 = ct.groupBy("bucket").agg(sum("c").as("a"))
+      .agg(sum(dec(col("a")) * (col("a") - 1)).cast("double").as("a2"))
+    val b2 = ct.groupBy("label").agg(sum("c").as("b"))
+      .agg(sum(dec(col("b")) * (col("b") - 1)).cast("double").as("b2"))
+    val t2 = col("n").cast("double") * (col("n") - 1)
+    val exp = col("a2") * col("b2") / t2
+    s2.crossJoin(broadcast(a2)).crossJoin(broadcast(b2))
+      .select(col("n"), col("n_buckets"), col("n_labels"),
+        (floor((col("s2") - exp) / ((col("a2") + col("b2")) / 2 - exp)
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("ari"))
+  }
 }

@@ -112,4 +112,26 @@ class GraphSpec extends SparkSpec {
     // canonical ordering: every triple strictly increasing
     assert(tri.filter(!(col("na") < col("nb") && col("nb") < col("nc"))).count() == 0)
   }
+
+  test("scc finds exact components on a hand-built two-cycle digraph") {
+    // cycle {1,2,3}, cycle {4,5}, bridge 3->4 (one-way), isolate-ish 6->1:
+    // SCCs are {1,2,3}, {4,5}, {6}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L),
+      (3L, 4L), (6L, 1L)).toDF("src", "dst")
+    val got = Graph.scc(edges, doublingRounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L))
+  }
+
+  test("graph_scc: scc_id is the minimum member nation key and sizes are " +
+    "consistent with membership counts") {
+    val rows = SparkEntry.queries("graph_scc")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.groupBy(_.getAs[Long]("scc_id"))
+    byId.foreach { case (id, members) =>
+      members.foreach(m => assert(m.getAs[Long]("scc_size") === members.length))
+    }
+    assert(byId.values.map(_.length).sum === rows.length)
+  }
 }

@@ -173,4 +173,17 @@ class QualitySpec extends SparkSpec {
     assert(p.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
     assert(p.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0))
   }
+
+  test("emb_cluster_ari: ARI is bounded above by 1, the row accounting " +
+    "matches the corpus, and the bucket domain is 8-bit") {
+    val r = run("emb_cluster_ari").collect().head
+    assert(r.getAs[Long]("n") ===
+      graft.engine.Tables(spark, sf, "embeddings").count())
+    assert(r.getAs[Long]("n_buckets") >= 1L)
+    assert(r.getAs[Long]("n_buckets") <= 256L)
+    val ari = r.getAs[Double]("ari")
+    assert(ari <= 1.0 + 1e-9, s"ARI above 1: $ari")
+    // ARI below ~-0.5 is impossible for any pair of partitions
+    assert(ari >= -0.5 - 1e-9, s"ARI impossibly low: $ari")
+  }
 }
