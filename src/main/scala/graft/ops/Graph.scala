@@ -313,4 +313,38 @@ object Graph {
       .intersect(reach.select(col("dst").as("src"), col("src").as("dst")))
     mutual.groupBy(col("src").as("id")).agg(min("dst").as("scc_id"))
   }
+
+  /** Fixed-round all-pairs shortest hop distances (undirected): the
+    * [[bfsDist]] relax loop keyed by (source, node) instead of node, so
+    * every node is a BFS source simultaneously — one join + integer-MIN
+    * aggregate per round over a frame bounded by |V|·|V| REACHED pairs.
+    * Exact once iters ≥ graph diameter; unreached pairs are simply
+    * absent. Only sane on a dimension-bounded node set (here: nations) —
+    * billion-node closeness estimation swaps this for sampled pivots
+    * (HyperBall-style sketches), same per-round plan shape. */
+  def allPairsDist(edges: DataFrame, iters: Int): DataFrame = {
+    val fwd = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // weight-0 self-loops: one join + MIN(d+w) per round carries the
+    // previous distance forward — the single-predecessor-reference shape
+    // shared with bfsDist/labelPropagate (and their oracle CTE chains)
+    val symw = sym.select(col("src"), col("dst"), lit(1L).as("w"))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = nodes.select(col("id").as("s"), col("id").as("v"), lit(0L).as("d"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      dist = symw.join(dist, dist("v") === symw("src"))
+        .groupBy(dist("s").as("gs"), symw("dst").as("gv"))
+        .agg(min(col("d") + col("w")).as("d"))
+        .select(col("gs").as("s"), col("gv").as("v"), col("d"))
+        .localCheckpoint()
+    }
+    dist
+  }
 }

@@ -739,4 +739,57 @@ object GraphOps extends QueryPack {
         col("scc_size"))
       .orderBy("n_name")
   }
+
+  private val apIters = 6
+
+  // One all-pairs relax round, keyed by BFS source — bfsRound with the
+  // (s, v) composite state instead of v (same self-loop MIN(d+w) device).
+  private def apRound(k: Int): String =
+    s"""p$k AS (
+       |  SELECT p.s AS s, e.dst AS v, MIN(p.d + e.w) AS d
+       |  FROM symw e JOIN p${k - 1} p ON p.v = e.src
+       |  GROUP BY p.s, e.dst
+       |)""".stripMargin
+
+  // Wasserman-Faust closeness centrality of every nation in the strong-
+  // trade graph: C(s) = ((r−1)/(n−1)) · ((r−1)/Σd) over the r nodes
+  // reachable from s within the fixed BFS radius — the disconnected-
+  // graph-safe normalization (isolates score exactly 0 via an integer
+  // Σd = 0 test, not a double compare). Runs every BFS source
+  // simultaneously: Graph.allPairsDist's relax frame is bounded by
+  // |V|² reached pairs, sane only because nodes are a collapsed
+  // dimension; billion-node closeness swaps in sampled pivots /
+  // HyperBall sketches (see the Scaladoc). The oracle unrolls the same
+  // rounds with (s, v) keys.
+  q("graph_closeness",
+    s"""WITH $oracleStrongEdges,
+       |symw AS (SELECT src, dst, 1 AS w FROM sym
+       |         UNION ALL SELECT id, id, 0 FROM nodes),
+       |p0 AS (SELECT id AS s, id AS v, 0 AS d FROM nodes),
+       |${(1 to apIters).map(apRound).mkString(",\n")},
+       |agg AS (
+       |  SELECT s, CAST(COUNT(*) AS BIGINT) AS r, CAST(SUM(d) AS BIGINT) AS sd
+       |  FROM p$apIters GROUP BY s
+       |), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)
+       |SELECT nn.n_name, a.r AS n_reachable, a.sd AS sum_dist,
+       |  CASE WHEN a.sd = 0 THEN 0.0 ELSE
+       |    floor((CAST(a.r - 1 AS DOUBLE) / (n - 1))
+       |      * (CAST(a.r - 1 AS DOUBLE) / a.sd) * 1000000 + 0.5) / 1000000
+       |  END AS closeness
+       |FROM agg a CROSS JOIN cnt JOIN nation nn ON a.s = nn.n_nationkey
+       |ORDER BY n_name""") { (s, dir) =>
+    val d = Graph.allPairsDist(strongTradeEdges(s, dir), apIters)
+    val agg = d.groupBy("s")
+      .agg(count(lit(1)).cast("long").as("r"), sum("d").cast("long").as("sd"))
+    val cnt = agg.agg(count(lit(1)).cast("long").as("n"))
+    agg.crossJoin(broadcast(cnt))
+      .join(Tables(s, dir, "nation"), col("s") === col("n_nationkey"))
+      .select(col("n_name"), col("r").as("n_reachable"),
+        col("sd").as("sum_dist"),
+        when(col("sd") === 0, lit(0.0)).otherwise(
+          floor(((col("r") - 1).cast("double") / (col("n") - 1))
+            * ((col("r") - 1).cast("double") / col("sd")) * 1000000
+            + lit(0.5)).cast("double") / 1000000).as("closeness"))
+      .orderBy("n_name")
+  }
 }

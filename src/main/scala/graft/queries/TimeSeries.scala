@@ -1915,4 +1915,81 @@ object TimeSeriesOps extends QueryPack {
         pct(col("l7")).as("wow_pct"))
       .orderBy("day")
   }
+
+  // Fast/slow EWMA crossover signals on each event type's daily revenue —
+  // the trading-style trend-change detector (golden cross +1 when the
+  // fast α=0.5 average climbs through the slow α=0.2 one, death cross
+  // −1 on the way down). Same determinism device as ts_ewma: the
+  // per-type daily series is a DAY-grain frame, both recursions fold it
+  // with the IDENTICAL per-element double tree (Spark higher-order
+  // aggregate ≡ DuckDB recursive CTE carrying both accumulators), and
+  // the cross test compares the two raw doubles — identical operands on
+  // both engines, so the sign sequence matches bit-for-bit. One corpus
+  // aggregate; windows only over the bounded daily frame (P15).
+  q("ts_ewm_crossover",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+      |      AS x
+      |  FROM events GROUP BY 1, 2
+      |), d AS (
+      |  SELECT event_type, day, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily
+      |), r AS (
+      |  SELECT event_type, day, rn, x, x AS f, x AS sl FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.day, d.rn, d.x,
+      |    CAST(0.5 AS DOUBLE) * d.x + CAST(0.5 AS DOUBLE) * r.f,
+      |    CAST(0.2 AS DOUBLE) * d.x + CAST(0.8 AS DOUBLE) * r.sl
+      |  FROM d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1
+      |), sig AS (
+      |  SELECT event_type, day, x, f, sl, f > sl AS up,
+      |    lag(f > sl) OVER (PARTITION BY event_type ORDER BY day) AS pup
+      |  FROM r
+      |)
+      |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x AS revenue,
+      |  floor(f * 10000 + 0.5) / 10000 AS ewma_fast,
+      |  floor(sl * 10000 + 0.5) / 10000 AS ewma_slow,
+      |  CAST(CASE WHEN pup IS NULL THEN 0
+      |    WHEN up AND NOT pup THEN 1
+      |    WHEN NOT up AND pup THEN -1 ELSE 0 END AS BIGINT) AS signal
+      |FROM sig
+      |ORDER BY event_type, day""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg((sum(Det.cents(col("value"))).cast("double") / 100).as("x"))
+    val folded = daily
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .withColumn("fs", expr(
+        "aggregate(xs, CAST(array() AS array<double>), (acc, e) -> " +
+          "array_append(acc, CASE WHEN size(acc) = 0 THEN e.x " +
+          "ELSE CAST(0.5 AS DOUBLE) * e.x " +
+          "+ CAST(0.5 AS DOUBLE) * element_at(acc, -1) END))"))
+      .withColumn("ss", expr(
+        "aggregate(xs, CAST(array() AS array<double>), (acc, e) -> " +
+          "array_append(acc, CASE WHEN size(acc) = 0 THEN e.x " +
+          "ELSE CAST(0.2 AS DOUBLE) * e.x " +
+          "+ CAST(0.8 AS DOUBLE) * element_at(acc, -1) END))"))
+    val rows = folded
+      .select(col("event_type"), col("fs"), col("ss"), posexplode(col("xs")))
+      .select(col("event_type"), col("col.day").as("day"), col("col.x").as("x"),
+        element_at(col("fs"), col("pos") + 1).as("f"),
+        element_at(col("ss"), col("pos") + 1).as("sl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val sig = rows.withColumn("up", col("f") > col("sl"))
+      .withColumn("pup", lag(col("f") > col("sl"), 1).over(w))
+    sig.select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("x").as("revenue"),
+        (floor(col("f") * 10000 + lit(0.5)) / 10000).as("ewma_fast"),
+        (floor(col("sl") * 10000 + lit(0.5)) / 10000).as("ewma_slow"),
+        when(col("pup").isNull, 0L)
+          .when(col("up") && !col("pup"), 1L)
+          .when(!col("up") && col("pup"), -1L)
+          .otherwise(0L).as("signal"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -134,4 +134,29 @@ class GraphSpec extends SparkSpec {
     }
     assert(byId.values.map(_.length).sum === rows.length)
   }
+
+  test("allPairsDist matches hand-computed distances on a path-plus-isolate") {
+    // path 1-2-3-4 (undirected via symmetrization) and the pair {7,8}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("src", "dst")
+    val d = Graph.allPairsDist(edges, iters = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d((1L, 4L)) === 3L)
+    assert(d((4L, 1L)) === 3L)
+    assert(d((2L, 4L)) === 2L)
+    assert(d((7L, 8L)) === 1L)
+    // cross-component pairs never materialize
+    assert(!d.contains((1L, 7L)) && !d.contains((8L, 3L)))
+  }
+
+  test("graph_closeness: scores live in [0,1] and isolates score exactly 0") {
+    val rows = SparkEntry.queries("graph_closeness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("closeness")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9, s"closeness=$c")
+      if (r.getAs[Long]("sum_dist") == 0L) assert(c === 0.0)
+      // reachable counts include the source itself
+      assert(r.getAs[Long]("n_reachable") >= 1L)
+    }
+  }
 }

@@ -358,4 +358,27 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got == want, s"kmeans clusters diverged: got $got want $want")
   }
+
+  test("ts_ewm_crossover: signals only fire on actual fast/slow order " +
+    "flips and each type's first day is silent") {
+    val rows = SparkEntry.queries("ts_ewm_crossover")(spark, sf)
+      .orderBy("event_type", "day").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.head.getAs[Long]("signal") === 0L, "first day must be silent")
+      rs.sliding(2).filter(_.length == 2).foreach { w =>
+        val (prev, cur) = (w(0), w(1))
+        def up(r: org.apache.spark.sql.Row) =
+          r.getAs[Double]("ewma_fast") > r.getAs[Double]("ewma_slow")
+        val sig = cur.getAs[Long]("signal")
+        assert(sig >= -1L && sig <= 1L)
+        // 4-dp quantization can only blur exact ties; a ±1 signal must
+        // agree with the quantized order unless the two averages tie
+        if (sig == 1L && cur.getAs[Double]("ewma_fast") != cur.getAs[Double]("ewma_slow"))
+          assert(up(cur), "golden cross but fast below slow")
+        if (sig == -1L && cur.getAs[Double]("ewma_fast") != cur.getAs[Double]("ewma_slow"))
+          assert(!up(cur), "death cross but fast above slow")
+      }
+    }
+  }
 }
