@@ -2854,4 +2854,99 @@ object StatsOps extends QueryPack {
           / 1000000 / 1000000 / col("n"))).as("t"),
       (col("n") - 1).as("df"))
   }
+
+  // Quantile normalization of spend across event types — map every
+  // distinct per-type value to the GLOBAL value at the same quantile
+  // (the cross-source distribution equalizer; ties take the standard
+  // mid-rank). Scale design: NO per-row ranking anywhere. Both sides
+  // reduce to domain-bounded cent-value HISTOGRAMS (the Mann-Whitney
+  // trick), and the "global value at quantile q" lookup is a single
+  // merge-scan: per-type quantile requests and global cumulative-count
+  // boundaries union into one frame ordered by key DESC, and a
+  // last_value IGNORE NULLS carry assigns each request the smallest
+  // boundary with cum ≥ q·n — one window over the distinct-value frame
+  // instead of a quadratic range join. Tags break (key) ties so a
+  // boundary always precedes coincident requests in the scan; the carry
+  // is total because the cum = n boundary is the scan's first row.
+  // Doubles: q = (2·cp + c + 1)/(2·n_g) and key = q·n are identical
+  // IEEE trees; the carry compares sort keys only.
+  q("stats_quantile_normalize",
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), gh AS (
+      |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2
+      |), gt AS (
+      |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS ng FROM gh GROUP BY 1
+      |), gc AS (
+      |  SELECT event_type, v, c,
+      |    CAST(COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cp
+      |  FROM gh
+      |), hc AS (
+      |  SELECT vg, CAST(SUM(cg) OVER (ORDER BY vg
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM (SELECT v AS vg, CAST(COUNT(*) AS BIGINT) AS cg
+      |        FROM e GROUP BY v)
+      |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+      |req AS (
+      |  SELECT g.event_type, g.v, g.c,
+      |    (2 * CAST(g.cp AS DOUBLE) + g.c + 1) / (2 * t.ng) AS q
+      |  FROM gc g JOIN gt t USING (event_type)
+      |), uni AS (
+      |  SELECT q * n AS key, 0 AS tag, event_type, v, c, q,
+      |    CAST(NULL AS BIGINT) AS vg
+      |  FROM req, nn
+      |  UNION ALL
+      |  SELECT CAST(cum AS DOUBLE), 1, NULL, NULL, NULL, NULL, vg FROM hc
+      |), carry AS (
+      |  SELECT *, last_value(vg IGNORE NULLS) OVER (
+      |    ORDER BY key DESC, tag DESC, COALESCE(event_type, ''),
+      |             COALESCE(v, -1)
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tgt
+      |  FROM uni
+      |)
+      |SELECT event_type, CAST(v AS DOUBLE) / 100 AS value, c AS n_rows,
+      |  floor(q * 1000000 + 0.5) / 1000000 AS quantile,
+      |  CAST(tgt AS DOUBLE) / 100 AS qn_value
+      |FROM carry WHERE tag = 0
+      |ORDER BY event_type, value""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"), Det.cents(col("value")).cast("long").as("v"))
+    val gh = e.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+    val gt = gh.groupBy("event_type").agg(sum("c").as("ng"))
+    val wp = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gc = gh.withColumn("cp",
+      coalesce(sum("c").over(wp), lit(0L)).cast("long"))
+    val wg = Window.orderBy("vg")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hc = e.groupBy(col("v").as("vg")).agg(count(lit(1)).as("cg"))
+      .withColumn("cum", sum("cg").over(wg).cast("long"))
+    val nn = e.agg(count(lit(1)).as("n"))
+    val req = gc.join(broadcast(gt), "event_type")
+      .select(col("event_type"), col("v"), col("c"),
+        ((lit(2) * col("cp").cast("double") + col("c") + 1)
+          / (lit(2) * col("ng"))).as("q"))
+    val uni = req.crossJoin(broadcast(nn))
+      .select((col("q") * col("n")).as("key"), lit(0).as("tag"),
+        col("event_type"), col("v"), col("c"), col("q"),
+        lit(null).cast("long").as("vg"))
+      .unionAll(hc.select(col("cum").cast("double").as("key"), lit(1).as("tag"),
+        lit(null).cast("string").as("event_type"),
+        lit(null).cast("long").as("v"), lit(null).cast("long").as("c"),
+        lit(null).cast("double").as("q"), col("vg")))
+    val wc = Window.orderBy(col("key").desc, col("tag").desc,
+        coalesce(col("event_type"), lit("")), coalesce(col("v"), lit(-1L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    uni.withColumn("tgt", last(col("vg"), ignoreNulls = true).over(wc))
+      .filter(col("tag") === 0)
+      .select(col("event_type"), (col("v").cast("double") / 100).as("value"),
+        col("c").as("n_rows"),
+        (floor(col("q") * 1000000 + lit(0.5)) / 1000000).as("quantile"),
+        (col("tgt").cast("double") / 100).as("qn_value"))
+      .orderBy("event_type", "value")
+  }
 }

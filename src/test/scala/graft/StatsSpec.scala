@@ -352,4 +352,27 @@ class StatsSpec extends SparkSpec {
       .filter(col("k1") > 0 && col("k2") > 0).count()
     assert(n === users)
   }
+
+  test("stats_quantile_normalize: mapping is rank-preserving within each " +
+    "type, targets are actual global values, quantiles are in (0,1]") {
+    val rows = run("stats_quantile_normalize").collect()
+    assert(rows.nonEmpty)
+    import spark.implicits._
+    val globalVals = graft.engine.Tables(spark, sf, "events")
+      .select(col("value")).as[Double].collect()
+      .map(v => math.floor(v * 100 + 0.5) / 100).toSet
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quantile")
+      assert(q > 0.0 && q <= 1.0, s"quantile out of range: $q")
+      assert(globalVals.contains(r.getAs[Double]("qn_value")),
+        "normalized target is not an observed global value")
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Double]("value"))
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1).getAs[Double]("qn_value") >= w(0).getAs[Double]("qn_value"),
+          "quantile mapping not monotone")
+      }
+    }
+  }
 }
