@@ -524,4 +524,56 @@ object Scalars extends QueryPack {
         translate(col("n_name"), "AEIOU", "aeiou").as("lowered_vowels"))
       .orderBy("n_nationkey")
   }
+
+  // Great-circle (haversine) distance between synthetic nation centroids:
+  // lat/lon derived from the key by pure integer-and-double arithmetic
+  // (bit-identical in both engines), then the textbook haversine with
+  // R = 6371 km. Determinism: sin/cos/asin are transcendental, but the
+  // argument set is tiny (n² nation pairs, 625 here) and the result is
+  // fixed at 10⁻¹ km — the same few-distinct-arguments rationale as
+  // Det.lnFix: a last-ulp libm disagreement only matters if a value also
+  // sits within an ulp of a .05 km boundary, jointly unobservable.
+  // Closest-pairs output keeps it a broadcast n×n problem — a geo join at
+  // corpus scale would go through join_spatial_grid's grid blocking, not
+  // this all-pairs form.
+  q("fn_geo_haversine",
+    """WITH pt AS (
+      |  SELECT n_nationkey AS k, n_name AS name,
+      |    -60 + (n_nationkey * 7) % 120 + n_nationkey * 0.25 AS lat,
+      |    -170 + (n_nationkey * 29) % 340 + n_nationkey * 0.125 AS lon
+      |  FROM nation
+      |), pr AS (
+      |  SELECT a.k AS k1, a.name AS name1, b.k AS k2, b.name AS name2,
+      |    2 * 6371.0 * asin(sqrt(
+      |      sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+      |      + cos(radians(a.lat)) * cos(radians(b.lat))
+      |        * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+      |    )) AS dist
+      |  FROM pt a JOIN pt b ON a.k < b.k
+      |)
+      |SELECT k1, name1, k2, name2,
+      |  floor(dist * 10 + 0.5) / 10 AS dist_km
+      |FROM pr ORDER BY floor(dist * 10 + 0.5) / 10, k1, k2 LIMIT 20""") { (s, dir) =>
+    val pt = Tables(s, dir, "nation").select(
+      col("n_nationkey").as("k"), col("n_name").as("name"),
+      (lit(-60) + (col("n_nationkey") * 7) % 120
+        + col("n_nationkey") * 0.25).as("lat"),
+      (lit(-170) + (col("n_nationkey") * 29) % 340
+        + col("n_nationkey") * 0.125).as("lon"))
+    val a = pt.select(col("k").as("k1"), col("name").as("name1"),
+      col("lat").as("lat1"), col("lon").as("lon1"))
+    val b = pt.select(col("k").as("k2"), col("name").as("name2"),
+      col("lat").as("lat2"), col("lon").as("lon2"))
+    val dlat = radians(col("lat2") - col("lat1")) / 2
+    val dlon = radians(col("lon2") - col("lon1")) / 2
+    val dist = lit(2) * lit(6371.0) * asin(sqrt(
+      sin(dlat) * sin(dlat)
+        + cos(radians(col("lat1"))) * cos(radians(col("lat2")))
+        * sin(dlon) * sin(dlon)))
+    a.join(broadcast(b), col("k1") < col("k2"))
+      .select(col("k1"), col("name1"), col("k2"), col("name2"),
+        (floor(dist * 10 + lit(0.5)) / 10).as("dist_km"))
+      .orderBy(col("dist_km"), col("k1"), col("k2"))
+      .limit(20)
+  }
 }

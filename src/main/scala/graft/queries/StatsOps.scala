@@ -2949,4 +2949,231 @@ object StatsOps extends QueryPack {
         (col("tgt").cast("double") / 100).as("qn_value"))
       .orderBy("event_type", "value")
   }
+
+  // Jarque-Bera normality test per event type: JB = n/6·(S² + K²/4) from
+  // the SAME exact integer power sums as agg_skew_kurtosis (s1..s4 as
+  // DECIMAL(38,0)/HUGEINT — cents⁴ per row exceeds int64). One hash
+  // aggregate; the moment → S/K → JB assembly is a single closed-form
+  // double tree per group, identical in both engines, then one P12
+  // quantization. reject_5pct compares the PRE-rounding JB against the
+  // χ²₂ 95% critical value 5.991 — a boundary tie needs JB within one ulp
+  // of 5.991..., unobservable. Scale: map-side partials reduce to one row
+  // per (type × partition); output is k rows.
+  q("stats_jarque_bera",
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s1,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s2,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s3,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)
+      |      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s4
+      |  FROM events GROUP BY event_type
+      |), m AS (
+      |  SELECT event_type, n, CAST(s1 AS DOUBLE) / n AS a1,
+      |    CAST(s2 AS DOUBLE) / n AS a2, CAST(s3 AS DOUBLE) / n AS a3,
+      |    CAST(s4 AS DOUBLE) / n AS a4
+      |  FROM st
+      |), c AS (
+      |  SELECT event_type, n,
+      |    a2 - a1 * a1 AS m2,
+      |    a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1 AS m3,
+      |    a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * a1 * a1 * a1 * a1 AS m4
+      |  FROM m
+      |), j AS (
+      |  SELECT event_type, n,
+      |    CAST(n AS DOUBLE) / 6
+      |      * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+      |         + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4) AS jb
+      |  FROM c
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  floor(jb * 10000 + 0.5) / 10000 AS jb,
+      |  CAST(jb > 5.991464547107979 AS INT) AS reject_5pct
+      |FROM j ORDER BY event_type""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = Det.cents(col("value"))
+    val st = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast(dec38)).as("s1"),
+        sum((v * v).cast(dec38)).as("s2"),
+        sum(v.cast(dec38) * v * v).as("s3"),
+        sum(v.cast(dec38) * v * v * v).as("s4"))
+    val m = st.select(col("event_type"), col("n"),
+      (col("s1").cast("double") / col("n")).as("a1"),
+      (col("s2").cast("double") / col("n")).as("a2"),
+      (col("s3").cast("double") / col("n")).as("a3"),
+      (col("s4").cast("double") / col("n")).as("a4"))
+    val c = m.select(col("event_type"), col("n"),
+      (col("a2") - col("a1") * col("a1")).as("m2"),
+      (col("a3") - lit(3) * col("a1") * col("a2")
+        + lit(2) * col("a1") * col("a1") * col("a1")).as("m3"),
+      (col("a4") - lit(4) * col("a1") * col("a3")
+        + lit(6) * col("a1") * col("a1") * col("a2")
+        - lit(3) * col("a1") * col("a1") * col("a1") * col("a1")).as("m4"))
+    val skew = col("m3") / (col("m2") * sqrt(col("m2")))
+    val kurt = col("m4") / (col("m2") * col("m2")) - lit(3)
+    val j = c.select(col("event_type"), col("n"),
+      (col("n").cast("double") / 6
+        * (skew * skew + kurt * kurt / 4)).as("jb"))
+    j.select(col("event_type"), col("n").cast("long").as("n"),
+        (floor(col("jb") * 10000 + lit(0.5)) / 10000).as("jb"),
+        (col("jb") > lit(5.991464547107979)).cast("int").as("reject_5pct"))
+      .orderBy("event_type")
+  }
+
+  // Chi-square goodness-of-fit of the event-type mix against a uniform
+  // null. Closed all-integer form: χ² = Σ(oᵢ−n/k)²/(n/k) = (k·Σoᵢ²−n²)/n,
+  // so the whole statistic is two exact integer aggregates (Σoᵢ promoted
+  // products to HUGEINT/DECIMAL — oᵢ² wraps int64 once a type passes ~3e9
+  // rows) and ONE double division at the end. One k-row hash aggregate;
+  // nothing rank- or order-dependent.
+  q("stats_chisq_gof",
+    """WITH cell AS (
+      |  SELECT event_type, COUNT(*) AS o FROM events GROUP BY event_type
+      |), t AS (
+      |  SELECT COUNT(*) AS k, CAST(SUM(o) AS BIGINT) AS n,
+      |    SUM(CAST(o AS HUGEINT) * o) AS s2
+      |  FROM cell
+      |)
+      |SELECT CAST(k AS BIGINT) AS k, n, CAST(k - 1 AS BIGINT) AS dof,
+      |  floor((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |         - CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / n * 10000 + 0.5)
+      |    / 10000 AS chi2
+      |FROM t""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cell = Tables(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("o"))
+    cell.groupBy()
+      .agg(count(lit(1)).as("k"), sum(col("o")).cast("long").as("n"),
+        sum(col("o").cast(dec38) * col("o")).as("s2"))
+      .select(col("k").cast("long").as("k"), col("n"),
+        (col("k") - 1).cast("long").as("dof"),
+        (floor((col("k").cast("double") * col("s2").cast("double")
+          - col("n").cast("double") * col("n").cast("double")) / col("n")
+          * 10000 + lit(0.5)) / 10000).as("chi2"))
+  }
+
+  // Wilcoxon signed-rank test on per-user paired counts (clicks vs
+  // purchases). Scale design mirrors events_ab_mannwhitney: the statistic
+  // never ranks users — it only needs the histogram of |d| with
+  // positive/negative splits. Average rank of the cell at |d| is
+  // cum(<|d|) + (c+1)/2, so 2·W⁺ = Σ pos·(2·cum + c + 1) stays integral;
+  // the per-cell product is promoted to 128-bit BEFORE multiplying. The
+  // normal approximation z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24) is the
+  // untied textbook form (tie correction deliberately omitted — both
+  // engines compute the identical formula, which is the contract). Plan:
+  // one user aggregate, one |d|-histogram aggregate (domain-bounded
+  // cells), one ordered cumsum over that histogram.
+  q("stats_wilcoxon_signed",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'click')
+      |      - COUNT(*) FILTER (WHERE event_type = 'purchase') AS d
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY user_id
+      |), nz AS (SELECT d FROM u WHERE d <> 0
+      |), hist AS (
+      |  SELECT abs(d) AS ad,
+      |    COUNT(*) FILTER (WHERE d > 0) AS pos, COUNT(*) AS c
+      |  FROM nz GROUP BY abs(d)
+      |), h2 AS (
+      |  SELECT *, COALESCE(SUM(c) OVER (ORDER BY ad
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM hist
+      |), a AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    SUM(CAST(pos AS HUGEINT) * (2 * cum + c + 1)) AS two_w
+      |  FROM h2
+      |)
+      |SELECT n, CAST(two_w AS DOUBLE) / 2 AS w_plus,
+      |  floor((CAST(two_w AS DOUBLE) / 2
+      |         - CAST(n AS DOUBLE) * (n + 1) / 4)
+      |        / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24)
+      |        * 10000 + 0.5) / 10000 AS z
+      |FROM a""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id")
+      .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        - sum(when(col("event_type") === "purchase", 1L).otherwise(0L))).as("d"))
+    val hist = u.filter(col("d") =!= 0)
+      .groupBy(abs(col("d")).as("ad"))
+      .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("c"))
+    val w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    val h2 = hist.withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+    val a = h2.groupBy()
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("pos").cast(dec38) * (col("cum") * 2 + col("c") + 1)).as("two_w"))
+    val nD = col("n").cast("double")
+    a.select(col("n"), (col("two_w").cast("double") / 2).as("w_plus"),
+      (floor((col("two_w").cast("double") / 2 - nD * (col("n") + 1) / 4)
+        / sqrt(nD * (col("n") + 1) * (col("n") * 2 + 1) / 24)
+        * 10000 + lit(0.5)) / 10000).as("z"))
+  }
+
+  // Cramér's V effect size for the (weekday × event type) contingency —
+  // the "is the association MATERIAL, not just significant" companion to
+  // events_chi2_independence. P2 discipline: the per-cell χ² term is a
+  // derived double, so each cell is quantized to a fixed-point BIGINT
+  // (floor(term·10⁶+0.5)) BEFORE the cross-cell sum — integer addition is
+  // order-independent; summing the raw double terms is not. The χ² the
+  // statistic uses is therefore "sum of 6-dp-rounded cell terms", stated
+  // here and computed identically in both engines (35 cells ⇒ ≤3.5e-5
+  // absolute deviation from the unrounded value, far inside the 6-dp
+  // output). dow uses the sign-safe ((diff%7)+7)%7 anchor form.
+  q("stats_cramers_v",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INT) AS dow
+      |  FROM events
+      |), cell AS (
+      |  SELECT event_type, dow, COUNT(*) AS o FROM e GROUP BY event_type, dow
+      |), rt AS (SELECT event_type, SUM(o) AS r FROM cell GROUP BY event_type),
+      |ct AS (SELECT dow, SUM(o) AS c FROM cell GROUP BY dow),
+      |t AS (SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS nr,
+      |      COUNT(DISTINCT dow) AS nc FROM cell),
+      |fx AS (
+      |  SELECT CAST(floor(
+      |      (o - CAST(r AS DOUBLE) * c / n) * (o - CAST(r AS DOUBLE) * c / n)
+      |      / (CAST(r AS DOUBLE) * c / n) * 1000000 + 0.5) AS BIGINT) AS term
+      |  FROM cell JOIN rt USING (event_type) JOIN ct USING (dow), t
+      |), s AS (
+      |  SELECT CAST(SUM(term) AS DOUBLE) / 1000000 AS chi2 FROM fx
+      |)
+      |SELECT CAST(n AS BIGINT) AS n, floor(chi2 * 10000 + 0.5) / 10000 AS chi2,
+      |  CAST(least(nr - 1, nc - 1) AS BIGINT) AS dof_min,
+      |  floor(sqrt(chi2 / (n * least(nr - 1, nc - 1))) * 1000000 + 0.5)
+      |    / 1000000 AS cramers_v
+      |FROM s, t""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"),
+        (((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("int").as("dow"))
+    val cell = e.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rt = cell.groupBy("event_type").agg(sum("o").as("r"))
+    val ct = cell.groupBy("dow").agg(sum("o").as("c"))
+    val t = cell.groupBy().agg(sum("o").as("n"),
+      countDistinct("event_type").as("nr"), countDistinct("dow").as("nc"))
+    val ex = col("r").cast("double") * col("c") / col("n")
+    val fx = cell.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+      .crossJoin(broadcast(t))
+      .select(floor((col("o") - ex) * (col("o") - ex) / ex * 1000000 + lit(0.5))
+        .cast("long").as("term"))
+    val sdf = fx.groupBy().agg((sum("term").cast("double") / 1000000).as("chi2"))
+    sdf.crossJoin(broadcast(t))
+      .select(col("n").cast("long").as("n"),
+        (floor(col("chi2") * 10000 + lit(0.5)) / 10000).as("chi2"),
+        least(col("nr") - 1, col("nc") - 1).cast("long").as("dof_min"),
+        (floor(sqrt(col("chi2") / (col("n") * least(col("nr") - 1, col("nc") - 1)))
+          * 1000000 + lit(0.5)) / 1000000).as("cramers_v"))
+  }
 }

@@ -1992,4 +1992,71 @@ object TimeSeriesOps extends QueryPack {
           .otherwise(0L).as("signal"))
       .orderBy("event_type", "day")
   }
+
+  // Lagged cross-correlation between the daily 'view' and 'purchase'
+  // count series (does today's traffic predict purchases ℓ days later?).
+  // Lags 0..7; r(ℓ) is Pearson over the overlapping days, assembled from
+  // SIX exact integer sums per lag (n, Σx, Σy, Σxy, Σx², Σy²) — the only
+  // doubles are one closed-form tree per lag. Products promote to
+  // DECIMAL(38,0)/HUGEINT before multiplying: a daily count at corpus
+  // scale is ~1e9 and its square exceeds int64. Plan: one tiny daily
+  // aggregate (days × types rows), an 8-way lag expansion of that
+  // aggregate (NOT of the raw events), and a broadcast-sized join — the
+  // heavy table is touched exactly once.
+  q("ts_cross_corr",
+    """WITH d AS (
+      |  SELECT date_diff('day', DATE '2024-01-01',
+      |           CAST(date_trunc('day', ts) AS DATE)) AS day, event_type,
+      |         COUNT(*) AS c
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1, 2
+      |), x AS (SELECT day, c FROM d WHERE event_type = 'view'),
+      |y AS (SELECT day, c FROM d WHERE event_type = 'purchase'),
+      |l AS (SELECT unnest(range(0, 8)) AS lag),
+      |p AS (
+      |  SELECT l.lag, x.c AS xv, y.c AS yv
+      |  FROM l JOIN x ON TRUE JOIN y ON y.day = x.day + l.lag
+      |), st AS (
+      |  SELECT lag, COUNT(*) AS n,
+      |    CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+      |    SUM(CAST(xv AS HUGEINT) * yv) AS sxy,
+      |    SUM(CAST(xv AS HUGEINT) * xv) AS sxx,
+      |    SUM(CAST(yv AS HUGEINT) * yv) AS syy
+      |  FROM p GROUP BY lag
+      |)
+      |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+      |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    * 1000000 + 0.5) / 1000000 AS r
+      |FROM st ORDER BY lag""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = Tables(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val x = d.filter(col("event_type") === "view").select(col("day"), col("c").as("xv"))
+    val y = d.filter(col("event_type") === "purchase")
+      .select(col("day").as("yday"), col("c").as("yv"))
+    val p = x.withColumn("lag", explode(sequence(lit(0), lit(7))))
+      .join(y, col("yday") === col("day") + col("lag"))
+    val st = p.groupBy("lag").agg(count(lit(1)).as("n"),
+      sum("xv").cast("long").as("sx"), sum("yv").cast("long").as("sy"),
+      sum(col("xv").cast(dec38) * col("yv")).as("sxy"),
+      sum(col("xv").cast(dec38) * col("xv")).as("sxx"),
+      sum(col("yv").cast(dec38) * col("yv")).as("syy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val den = sqrt((nD * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+      * (nD * col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double")))
+    st.select(col("lag").cast("long").as("lag"), col("n").cast("long").as("n"),
+        (floor(num / den * 1000000 + lit(0.5)) / 1000000).as("r"))
+      .orderBy("lag")
+  }
 }

@@ -435,4 +435,30 @@ object Windows extends QueryPack {
         (sum("cents").over(wRun).cast("double") / 100).as("basket"))
       .orderBy("user_id", "ts_us", "event_id")
   }
+
+  // Frame-exclusion window: sum of the ±3-row neighborhood EXCLUDING the
+  // current row ("how much did my neighbors spend"). Spark's window frames
+  // have no EXCLUDE clause, so the engine computes the full ±3 frame sum
+  // and subtracts the current row's value — algebraically identical on the
+  // exact integer cents. The oracle uses DuckDB's native
+  // EXCLUDE CURRENT ROW, making this a cross-engine parity check of the
+  // SQL:2016 frame-exclusion semantics. Per-user partitions: fully
+  // parallel, no global window.
+  q("win_frame_exclude",
+    """SELECT user_id, event_id,
+      |  CAST(COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+      |    EXCLUDE CURRENT ROW), 0) AS DOUBLE) / 100 AS neighbor_sum
+      |FROM events
+      |ORDER BY user_id, event_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .withColumn("cents", Det.cents(col("value")).cast("long"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-3, 3)
+    e.select(col("user_id"), col("event_id"),
+        ((sum("cents").over(w) - col("cents")).cast("double") / 100)
+          .as("neighbor_sum"))
+      .orderBy("user_id", "event_id")
+  }
 }
