@@ -87,28 +87,93 @@ object Linalg {
     picked
   }
 
+  /** Memo of collected d²-cell moment matrices and the eigensolves over
+    * them, keyed like [[memoized]]. UNBOUNDED and never evicted — an
+    * entry is ≤ d² (i, j, c) triples (64 KB at d=64), dimension-bounded
+    * and corpus-independent, so unlike the DataFrame memo there is
+    * nothing worth reclaiming; keeping it pins the whole PCA family to
+    * zero Spark jobs after the one O(n·d²) moment reduce per corpus
+    * (measured: emb_pca_deflate 15 s → sub-second on a warm session). */
+  private val eigMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, String),
+           (Array[(Int, Double)], Double)]
+  private val cellsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, String),
+           Array[(Int, Int, Double)]]
+
+  private def momentCells(emb: DataFrame, idCol: String, vecCol: String)
+  : Array[(Int, Int, Double)] =
+    cellsMemo.getOrElseUpdate(
+      (emb.sparkSession, emb.queryExecution.logical.semanticHash(),
+        s"cells|$idCol|$vecCol"),
+      momentOf(emb, idCol, vecCol).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))))
+
+  /** The power loop, driver-side. The distributed reduce that SHOULD be
+    * distributed (O(n·d²) over the corpus) happens in [[momentOf]]; what
+    * remains is O(d²·iters) scalar arithmetic over a dimension-bounded
+    * matrix — the same driver-side-bounded-state class as Bpe's 8-row
+    * merge table. Running it as Spark jobs cost ~10 broadcast-join jobs
+    * per consumer (emb_pca_deflate paid 15-44 s at sf0.1); locally it is
+    * microseconds, with BIT-IDENTICAL arithmetic: 12-dp fixed matvec
+    * terms (exact integer sums, order-free), 14-dp norm squares, 6-dp
+    * vector requantization, start = 0.125 uniform — each step the same
+    * IEEE tree the DuckDB oracle CTEs spell. */
+  private def powerRoundsLocal(cells: Array[(Int, Int, Double)],
+                               dimsN: Int, iters: Int)
+  : (Array[(Int, Double)], Double) = {
+    val v = Array.fill(dimsN + 1)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to iters) {
+      val sw = new Array[Long](dimsN + 1)
+      var ci = 0
+      while (ci < cells.length) {
+        val (i, j, c) = cells(ci)
+        sw(i) += math.floor(c * v(j) * 1000000000000L + 0.5).toLong
+        ci += 1
+      }
+      var q = 0L
+      var i = 1
+      while (i <= dimsN) {
+        val wi = sw(i).toDouble / 1000000000000L
+        q += math.floor(wi * wi * 100000000000000L + 0.5).toLong
+        i += 1
+      }
+      nrm = math.sqrt(q.toDouble / 100000000000000L)
+      i = 1
+      while (i <= dimsN) {
+        val wi = sw(i).toDouble / 1000000000000L
+        v(i) = math.floor(wi / nrm * 1000000L + 0.5) / 1000000L
+        i += 1
+      }
+    }
+    ((1 to dimsN).map(j => (j, v(j))).toArray, nrm)
+  }
+
+  private def toFrames(spark: org.apache.spark.sql.SparkSession,
+                       eig: (Array[(Int, Double)], Double))
+  : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    (eig._1.toSeq.toDF("j", "v"), Seq(eig._2).toDF("nrm"))
+  }
+
   /** Top principal component via `iters` power-iteration rounds over the
-    * 8-dp quantized (uncentered) second-moment matrix. Matvec terms are
-    * 12-dp fixed point (exact, order-independent); norm squares 14-dp
-    * (|w|≲3 over 64 dims — no BIGINT overflow); the vector requantizes to
-    * 6 dp per round; start = uniform 1/√d for d=64 (0.125, exactly
-    * representable). Returns (loading (j, v), 1-row (nrm), dims) — dims
-    * is the persisted explode, shared so projection passes reuse it. */
+    * 8-dp quantized (uncentered) second-moment matrix ([[momentOf]] — the
+    * one distributed O(n·d²) pass), eigensolved driver-side
+    * ([[powerRoundsLocal]]). Returns (loading (j, v), 1-row (nrm), dims)
+    * as small local frames — every downstream join against them is a
+    * broadcast by construction. */
   def pcaTop(emb: DataFrame, idCol: String, vecCol: String, iters: Int)
   : (DataFrame, DataFrame, DataFrame) = {
     val d = dims(emb, idCol, vecCol)
-    val moment = momentOf(emb, idCol, vecCol)
-    val (v, lastNrm) = powerRounds(moment, d, iters)
-    // the finished loading/norm are d- and 1-row frames whose lineage is
-    // ~10 nested broadcast jobs; persist+memoize them so a second query
-    // over the same corpus (emb_whiten after emb_pca_power) replays a
-    // cache read instead of the whole round chain. Plan construction
-    // above is lazy, so a memo hit costs nothing.
-    val vM = memoized(emb, s"pcaV|$idCol|$vecCol|$iters")(
-      v.persist(StorageLevel.MEMORY_AND_DISK))
-    val nM = memoized(emb, s"pcaNrm|$idCol|$vecCol|$iters")(
-      lastNrm.persist(StorageLevel.MEMORY_AND_DISK))
-    (vM, nM, d)
+    val cells = momentCells(emb, idCol, vecCol)
+    val dimsN = cells.iterator.map(_._1).max
+    val eig = eigMemo.getOrElseUpdate(
+      (emb.sparkSession, emb.queryExecution.logical.semanticHash(),
+        s"eig1|$idCol|$vecCol|$iters"),
+      powerRoundsLocal(cells, dimsN, iters))
+    val (v, n) = toFrames(emb.sparkSession, eig)
+    (v, n, d)
   }
 
   /** 8-dp quantized (uncentered) second-moment matrix of the embedding
@@ -140,65 +205,33 @@ object Linalg {
         .persist(StorageLevel.MEMORY_AND_DISK) // reused by every matvec round
     }
 
-  /** The shared matvec+renormalize loop: `iters` rounds of w = C·v (12-dp
-    * fixed-point terms, exact integer sums), |w| via 14-dp fixed squares,
-    * v ← quantize₆(w/|w|), starting from the uniform 0.125 vector.
-    * Returns (v as (j, v), last 1-row (nrm)). */
-  private def powerRounds(moment: DataFrame, d: DataFrame, iters: Int)
-  : (DataFrame, DataFrame) = {
-    var v = d.select(col("dim").as("j")).distinct()
-      .withColumn("v", lit(0.125))
-    var lastNrm: DataFrame = null
-    for (_ <- 1 to iters) {
-      val w = moment.join(broadcast(v), "j")
-        .select(col("i"),
-          floor(col("c") * col("v") * lit(1000000000000L) + lit(0.5)).as("t"))
-        .groupBy("i").agg(sum("t").as("sw"))
-      val wi = col("sw").cast("double") / lit(1000000000000L)
-      val nrm = w
-        .select(floor(wi * wi * lit(100000000000000L) + lit(0.5)).as("q"))
-        .groupBy()
-        .agg(sqrt(sum("q").cast("double") / lit(100000000000000L)).as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("i").as("j"),
-          (floor(wi / col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L))
-            .as("v"))
-      lastNrm = nrm
-    }
-    (v, lastNrm)
-  }
-
-  /** Second principal component via Hotelling deflation: run [[pcaTop]]
-    * (memo hit when the query pack already computed it this session),
-    * subtract the rank-1 term λ₁·v₁v₁ᵀ from the moment matrix with λ₁
-    * quantized to the same 6 dp the eigenvalue output uses and each
-    * deflated cell re-quantized to the moment's 8 dp, then rerun the
-    * identical power loop on the deflated matrix. Everything after the
-    * memoized moment build touches only d²-row broadcast frames —
-    * corpus-size-independent, like the first component. Returns
-    * (loading (j, v), 1-row (nrm)). */
+  /** Second principal component via Hotelling deflation: subtract the
+    * rank-1 term λ₁·v₁v₁ᵀ from the moment matrix with λ₁ quantized to the
+    * eigenvalue output's 6 dp and each deflated cell re-quantized to the
+    * moment's 8 dp, then rerun the identical power loop on the deflated
+    * matrix. The deflation and second loop are d²-cell driver-side
+    * arithmetic like the first component — the corpus is touched only by
+    * the (memoized) moment reduce. Returns (loading (j, v), 1-row (nrm)). */
   def pcaSecond(emb: DataFrame, idCol: String, vecCol: String, iters: Int)
   : (DataFrame, DataFrame) = {
-    val (v1, n1, d) = pcaTop(emb, idCol, vecCol, iters)
-    // same memo seam as the moment matrix: the deflated build is pure in
-    // (corpus, params)
-    val lam = n1.select(
-      (floor(col("nrm") * lit(1000000L) + lit(0.5)) / lit(1000000L)).as("l"))
-    val moment = momentOf(emb, idCol, vecCol)
-    val deflated = memoized(emb, s"moment2|$idCol|$vecCol|$iters") {
-      moment
-        .join(broadcast(v1.select(col("j").as("i"), col("v").as("vi"))), "i")
-        .join(broadcast(v1.select(col("j"), col("v").as("vj"))), "j")
-        .crossJoin(broadcast(lam))
-        .select(col("i"), col("j"),
-          (col("c") - floor(col("l") * col("vi") * col("vj") * lit(100000000L)
-            + lit(0.5)) / lit(100000000L)).as("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
-    val (v2, n2) = powerRounds(deflated, d, iters)
-    (memoized(emb, s"pca2V|$idCol|$vecCol|$iters")(
-        v2.persist(StorageLevel.MEMORY_AND_DISK)),
-      memoized(emb, s"pca2Nrm|$idCol|$vecCol|$iters")(
-        n2.persist(StorageLevel.MEMORY_AND_DISK)))
+    val cells = momentCells(emb, idCol, vecCol)
+    val dimsN = cells.iterator.map(_._1).max
+    val key = (emb.sparkSession, emb.queryExecution.logical.semanticHash(),
+      s"eig2|$idCol|$vecCol|$iters")
+    val eig2 = eigMemo.getOrElseUpdate(key, {
+      val (v1, nrm1) = eigMemo.getOrElseUpdate(
+        (emb.sparkSession, emb.queryExecution.logical.semanticHash(),
+          s"eig1|$idCol|$vecCol|$iters"),
+        powerRoundsLocal(cells, dimsN, iters))
+      val l = math.floor(nrm1 * 1000000L + 0.5) / 1000000L
+      val v1a = new Array[Double](dimsN + 1)
+      v1.foreach { case (j, x) => v1a(j) = x }
+      val deflated = cells.map { case (i, j, c) =>
+        (i, j, c - math.floor(l * v1a(i) * v1a(j) * 100000000L + 0.5)
+          / 100000000L)
+      }
+      powerRoundsLocal(deflated, dimsN, iters)
+    })
+    toFrames(emb.sparkSession, eig2)
   }
 }

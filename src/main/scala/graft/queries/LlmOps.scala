@@ -2400,13 +2400,13 @@ object LlmOps extends QueryPack {
   // (the same df-cap argument as Dedup's stop-shingle path, with the cap
   // structural here). All-integer intersection/union; one final division.
   q("text_source_similarity",
-    """WITH g0 AS (
+    """WITH w AS (
+      |  SELECT source, string_split(text, ' ') AS ws FROM documents
+      |), g0 AS (
       |  SELECT source,
-      |    unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |      i -> string_split(text, ' ')[i] || ' '
-      |        || string_split(text, ' ')[i+1] || ' '
-      |        || string_split(text, ' ')[i+2])) AS tri
-      |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+      |    unnest(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS tri
+      |  FROM w WHERE len(ws) >= 3
       |), g AS (SELECT DISTINCT source, tri FROM g0
       |), sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source
       |), pr AS (
@@ -2421,13 +2421,16 @@ object LlmOps extends QueryPack {
       |FROM pr JOIN sz sa ON sa.source = pr.src1
       |        JOIN sz sb ON sb.source = pr.src2
       |ORDER BY src1, src2""") { (s, dir) =>
-    val ws = split(col("text"), " ")
+    // bind the split array ONCE per row: a transform over an expression
+    // that re-derives split(text) per element would re-tokenize the
+    // document O(words) times — O(words²) work per doc (measured 4.7 s at
+    // sf0.1 vs sub-second with the bound column)
     val g = Tables(s, dir, "documents")
-      .filter(size(ws) >= 3)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
       .select(col("source"), explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 2),
-          |  i -> concat_ws(' ', split(text, ' ')[i - 1],
-          |       split(text, ' ')[i], split(text, ' ')[i + 1]))""".stripMargin))
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))""".stripMargin))
         .as("tri"))
       .distinct()
     val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
@@ -2485,5 +2488,107 @@ object LlmOps extends QueryPack {
     deg.groupBy(col("indeg").cast("long").as("in_degree"))
       .agg(count(lit(1)).cast("long").as("n_nodes"))
       .orderBy("in_degree")
+  }
+
+  // Isotropy audit of the embedding space (Ethayarajh-style): the mean
+  // pairwise cosine over ALL n(n−1) pairs and the dominant-direction bias,
+  // both computed WITHOUT any pairwise join — |Σu|² = Σ_j S_j² collapses
+  // the quadratic sum to per-dimension totals, so the plan is one
+  // normalize-and-quantize pass plus a 64-group aggregate at any corpus
+  // size. P2 discipline: each unit-vector component is fixed to 1e-6
+  // integer ticks per ROW; S_j and the two power sums are exact 128-bit
+  // integer aggregates (S_j² ≈ 2.5e19 exceeds int64), and the mean-cos
+  // assembly is one double tree over those exact integers — the statistic
+  // is "mean cosine of the QUANTIZED unit vectors", identical in both
+  // engines by construction.
+  q("emb_isotropy",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), nrm AS (
+      |  SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0,
+      |    list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nv
+      |  FROM e
+      |), comp AS (
+      |  SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x, nv
+      |  FROM nrm
+      |), qn AS (
+      |  SELECT vec_id, dim,
+      |    CAST(floor(x / nv * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM comp
+      |), dims AS (
+      |  SELECT dim, SUM(q) AS s, SUM(CAST(q AS HUGEINT) * q) AS t
+      |  FROM qn GROUP BY dim
+      |), tot AS (
+      |  SELECT SUM(CAST(s AS HUGEINT) * s) AS p, SUM(t) AS t,
+      |    (SELECT COUNT(*) FROM e) AS n
+      |  FROM dims
+      |)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  floor((CAST(p AS DOUBLE) - CAST(t AS DOUBLE)) / 1e12
+      |        / (CAST(n AS DOUBLE) * (n - 1)) * 100000000 + 0.5)
+      |    / 100000000 AS mean_pairwise_cos,
+      |  floor((SELECT MAX(abs(CAST(s AS DOUBLE))) FROM dims)
+      |        / 1000000 / n * 1000000 + 0.5) / 1000000 AS max_dim_bias
+      |FROM tot""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), Sim.asDouble(col("embedding")).as("v"))
+    val nrm = e.withColumn("nv",
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)))
+    val qn = nrm.select(col("vec_id"), col("nv"),
+        posexplode(col("v")).as(Seq("dim0", "x")))
+      .select((col("dim0") + 1).as("dim"),
+        floor(col("x") / col("nv") * 1000000 + lit(0.5)).cast("long").as("q"))
+    val dims = qn.groupBy("dim")
+      .agg(sum("q").as("s"), sum(col("q").cast(dec38) * col("q")).as("t"))
+      .persist()
+    val tot = dims.groupBy()
+      .agg(sum(col("s").cast(dec38) * col("s")).as("p"), sum("t").as("t"))
+    val n = e.groupBy().agg(count(lit(1)).as("n"))
+    val mx = dims.groupBy().agg(max(abs(col("s").cast("double"))).as("ms"))
+    tot.crossJoin(broadcast(n)).crossJoin(broadcast(mx))
+      .select(col("n").cast("long").as("n"),
+        (floor((col("p").cast("double") - col("t").cast("double")) / 1e12
+          / (col("n").cast("double") * (col("n") - 1)) * 100000000 + lit(0.5))
+          / 100000000).as("mean_pairwise_cos"),
+        (floor(col("ms") / 1000000 / col("n") * 1000000 + lit(0.5))
+          / 1000000).as("max_dim_bias"))
+  }
+
+  // Annealed mixture schedule: per-epoch sampling weights that move each
+  // source linearly from its NATURAL share (n_s/N) to the uniform TARGET
+  // share (1/k) over 4 epochs — the curriculum trick that starts training
+  // on the organic distribution and ends balanced. Weights are pure
+  // per-row IEEE arithmetic over exact integer counts (one tiny aggregate,
+  // broadcast totals); expected_docs re-scales to the corpus size with one
+  // floor. The schedule table is k·E rows at any corpus scale.
+  q("llm_anneal_mix_schedule",
+    """WITH src AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+      |), t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS k FROM src),
+      |ep AS (SELECT unnest(range(0, 4)) AS epoch)
+      |SELECT epoch, source,
+      |  floor((CAST(n_docs AS DOUBLE) / total
+      |    + CAST(epoch AS DOUBLE) / 3
+      |      * (1.0 / k - CAST(n_docs AS DOUBLE) / total)) * 1000000 + 0.5)
+      |    / 1000000 AS weight,
+      |  CAST(floor((CAST(n_docs AS DOUBLE) / total
+      |    + CAST(epoch AS DOUBLE) / 3
+      |      * (1.0 / k - CAST(n_docs AS DOUBLE) / total)) * total + 0.5)
+      |    AS BIGINT) AS expected_docs
+      |FROM src, t, ep
+      |ORDER BY epoch, source""") { (s, dir) =>
+    val src = Tables(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val t = src.groupBy().agg(sum("n_docs").as("total"), count(lit(1)).as("k"))
+    val w = (col("n_docs").cast("double") / col("total")) +
+      (col("epoch").cast("double") / 3) *
+      (lit(1.0) / col("k") - col("n_docs").cast("double") / col("total"))
+    src.crossJoin(broadcast(t))
+      .withColumn("epoch", explode(sequence(lit(0), lit(3))))
+      .select(col("epoch").cast("long").as("epoch"), col("source"),
+        (floor(w * 1000000 + lit(0.5)) / 1000000).as("weight"),
+        floor(w * col("total") + lit(0.5)).cast("long").as("expected_docs"))
+      .orderBy("epoch", "source")
   }
 }

