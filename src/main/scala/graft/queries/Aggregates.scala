@@ -61,6 +61,22 @@ object Aggregates extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  // Cross-shard sketch merge — the flow a 100 TB deployment actually
+  // runs: each of 16 hash shards builds its OWN HLL sketch of the users
+  // it saw (one partial per shard, bytes not rows on the wire), and the
+  // per-type answer is the union of the shard sketches. Estimates are
+  // tolerance-checked against exact DuckDB distinct counts in
+  // tools/oracle_check.py (a broken merge is off by orders of magnitude,
+  // not by the sketch's ~2% rsd); the golden hash pins determinism.
+  qNo("agg_hll_union") { (s, dir) =>
+    val shard = Tables(s, dir, "events")
+      .groupBy(col("event_type"), (col("user_id") % 16).as("shard"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    shard.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users"))
+      .orderBy("event_type")
+  }
+
   q("agg_grouping_sets",
     """SELECT GROUPING(r_name) AS gr, GROUPING(n_name) AS gn,
       |  r_name, n_name, COUNT(*) AS n_custs

@@ -3176,4 +3176,92 @@ object StatsOps extends QueryPack {
         (floor(sqrt(col("chi2") / (col("n") * least(col("nr") - 1, col("nc") - 1)))
           * 1000000 + lit(0.5)) / 1000000).as("cramers_v"))
   }
+
+  // Single-feature decision stump: the best gini-impurity split of
+  // `value` for predicting purchase-vs-view — the interpretable baseline
+  // (and boosting weak learner) a feature-audit runs before any real
+  // model. Scale design mirrors events_ab_mannwhitney: candidate
+  // thresholds are the DISTINCT cent-values (domain-bounded histogram,
+  // never a row sort), cumulative class counts come from one ordered
+  // window over that histogram, and every candidate's weighted gini is a
+  // closed-form double tree over exact integer counts — ranked by its
+  // 8-dp fixed-point image with the threshold as tiebreak, so the argmin
+  // is integer-deterministic. One events pass, one histogram window, one
+  // top-1 pick.
+  q("ml_decision_stump",
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |), hist AS (
+      |  SELECT v, SUM(y) AS h1, COUNT(*) - SUM(y) AS h0
+      |  FROM ev GROUP BY v
+      |), cum AS (
+      |  SELECT v,
+      |    SUM(h1) OVER (ORDER BY v) AS l1, SUM(h0) OVER (ORDER BY v) AS l0
+      |  FROM hist
+      |), t AS (
+      |  SELECT CAST(SUM(h1) AS BIGINT) AS t1, CAST(SUM(h0) AS BIGINT) AS t0
+      |  FROM hist
+      |), g AS (
+      |  SELECT v, l1, l0, t1 - l1 AS r1, t0 - l0 AS r0, t1, t0,
+      |    ((l1 + l0) - (CAST(l1 AS DOUBLE) * l1 + CAST(l0 AS DOUBLE) * l0)
+      |       / (l1 + l0)
+      |     + (t1 - l1 + t0 - l0)
+      |     - (CAST(t1 - l1 AS DOUBLE) * (t1 - l1)
+      |        + CAST(t0 - l0 AS DOUBLE) * (t0 - l0))
+      |       / (t1 - l1 + t0 - l0))
+      |    / (t1 + t0) AS wg
+      |  FROM cum, t
+      |  WHERE l1 + l0 > 0 AND (t1 - l1) + (t0 - l0) > 0
+      |), rk AS (
+      |  SELECT *, row_number() OVER (
+      |    ORDER BY CAST(floor(wg * 100000000 + 0.5) AS BIGINT), v) AS rn
+      |  FROM g
+      |)
+      |SELECT CAST(v AS DOUBLE) / 100 AS threshold,
+      |  CAST(l1 AS BIGINT) AS left_pos, CAST(l0 AS BIGINT) AS left_neg,
+      |  CAST(r1 AS BIGINT) AS right_pos, CAST(r0 AS BIGINT) AS right_neg,
+      |  floor((1 - (CAST(t1 AS DOUBLE) * t1 + CAST(t0 AS DOUBLE) * t0)
+      |      / (CAST(t1 + t0 AS DOUBLE) * (t1 + t0))) * 1000000 + 0.5)
+      |    / 1000000 AS gini_parent,
+      |  floor(wg * 1000000 + 0.5) / 1000000 AS gini_split
+      |FROM rk WHERE rn = 1""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(Det.cents(col("value")).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val hist = ev.groupBy("v")
+      .agg(sum("y").as("h1"), (count(lit(1)) - sum("y")).as("h0"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.select(col("v"), sum("h1").over(w).as("l1"),
+      sum("h0").over(w).as("l0"))
+    val t = hist.groupBy().agg(sum("h1").cast("long").as("t1"),
+      sum("h0").cast("long").as("t0"))
+    val r1 = col("t1") - col("l1")
+    val r0 = col("t0") - col("l0")
+    // association mirrors the oracle exactly: ((A - B) + C) - D, then /G
+    val wg = ((col("l1") + col("l0"))
+      - (col("l1").cast("double") * col("l1")
+        + col("l0").cast("double") * col("l0")) / (col("l1") + col("l0"))
+      + (r1 + r0)
+      - (r1.cast("double") * r1 + r0.cast("double") * r0) / (r1 + r0)) /
+      (col("t1") + col("t0"))
+    val g = cum.crossJoin(broadcast(t))
+      .filter(col("l1") + col("l0") > 0 && r1 + r0 > 0)
+      .select(col("v"), col("l1"), col("l0"), r1.as("r1"), r0.as("r0"),
+        col("t1"), col("t0"), wg.as("wg"))
+    val rk = g.withColumn("rn", row_number().over(
+      Window.orderBy(floor(col("wg") * 100000000 + lit(0.5)).cast("long"),
+        col("v"))))
+    rk.filter(col("rn") === 1)
+      .select((col("v").cast("double") / 100).as("threshold"),
+        col("l1").cast("long").as("left_pos"), col("l0").cast("long").as("left_neg"),
+        col("r1").cast("long").as("right_pos"), col("r0").cast("long").as("right_neg"),
+        (floor((lit(1) - (col("t1").cast("double") * col("t1")
+          + col("t0").cast("double") * col("t0"))
+          / ((col("t1") + col("t0")).cast("double") * (col("t1") + col("t0"))))
+          * 1000000 + lit(0.5)) / 1000000).as("gini_parent"),
+        (floor(col("wg") * 1000000 + lit(0.5)) / 1000000).as("gini_split"))
+  }
 }

@@ -2059,4 +2059,73 @@ object TimeSeriesOps extends QueryPack {
         (floor(num / den * 1000000 + lit(0.5)) / 1000000).as("r"))
       .orderBy("lag")
   }
+
+  // Periodogram over the daily revenue series: normalized DFT power at
+  // candidate periods 2..14 days — the spectral "which cycle is real"
+  // companion to ts_dow_seasonality's fixed weekly fold. Determinism: the
+  // cos/sin arguments are 2π·(t mod p)/p — at most Σp ≈ 100 DISTINCT
+  // angles (the Det.lnFix few-distinct-arguments rationale), and every
+  // per-row product (demeaned value × trig) is fixed to integer BEFORE
+  // the cross-day sum, so the aggregation is exact and order-free. The
+  // demeaned value itself is one double tree over exact integer cents.
+  // Plan: one daily aggregate, a 13-way period expansion OF THE DAILY
+  // ROWS (not the events), and a 13-group aggregate — the event table is
+  // scanned once at any scale.
+  q("ts_periodogram",
+    """WITH daily AS (
+      |  SELECT date_diff('day', DATE '2024-01-01',
+      |           CAST(date_trunc('day', ts) AS DATE)) AS t,
+      |         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1
+      |), tot AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n FROM daily),
+      |dm AS (
+      |  SELECT t, CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n AS dm
+      |  FROM daily, tot
+      |), pp AS (SELECT unnest(range(2, 15)) AS p),
+      |terms AS (
+      |  SELECT p,
+      |    CAST(floor(dm * cos(((2 * pi()) * (((t % p) + p) % p)) / p) * 100
+      |      + 0.5) AS BIGINT) AS tc,
+      |    CAST(floor(dm * sin(((2 * pi()) * (((t % p) + p) % p)) / p) * 100
+      |      + 0.5) AS BIGINT) AS tsn,
+      |    CAST(floor(dm * dm * 100 + 0.5) AS BIGINT) AS q
+      |  FROM dm, pp
+      |), st AS (
+      |  SELECT p, COUNT(*) AS n, CAST(SUM(tc) AS BIGINT) AS sc,
+      |    CAST(SUM(tsn) AS BIGINT) AS ss, CAST(SUM(q) AS BIGINT) AS sq
+      |  FROM terms GROUP BY p
+      |)
+      |SELECT CAST(p AS BIGINT) AS period, CAST(n AS BIGINT) AS n_days,
+      |  floor(((CAST(sc AS DOUBLE) / 100) * (CAST(sc AS DOUBLE) / 100)
+      |         + (CAST(ss AS DOUBLE) / 100) * (CAST(ss AS DOUBLE) / 100))
+      |        / (n * (CAST(sq AS DOUBLE) / 100)) * 1000000 + 0.5)
+      |    / 1000000 AS norm_power
+      |FROM st ORDER BY period""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date")).as("t"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val tot = daily.groupBy().agg(sum("x").cast("long").as("sx"),
+      count(lit(1)).as("n"))
+    val dm = daily.crossJoin(broadcast(tot))
+      .select(col("t"),
+        (col("x").cast("double") - col("sx").cast("double") / col("n")).as("dm"))
+    val ang = ((lit(2) * lit(math.Pi)) * (((col("t") % col("p")) + col("p"))
+      % col("p"))) / col("p")
+    val terms = dm.withColumn("p", explode(sequence(lit(2), lit(14))))
+      .select(col("p"),
+        floor(col("dm") * cos(ang) * 100 + lit(0.5)).cast("long").as("tc"),
+        floor(col("dm") * sin(ang) * 100 + lit(0.5)).cast("long").as("tsn"),
+        floor(col("dm") * col("dm") * 100 + lit(0.5)).cast("long").as("q"))
+    val st = terms.groupBy("p").agg(count(lit(1)).as("n"),
+      sum("tc").cast("long").as("sc"), sum("tsn").cast("long").as("ss"),
+      sum("q").cast("long").as("sq"))
+    st.select(col("p").cast("long").as("period"),
+        col("n").cast("long").as("n_days"),
+        (floor(((col("sc").cast("double") / 100) * (col("sc").cast("double") / 100)
+          + (col("ss").cast("double") / 100) * (col("ss").cast("double") / 100))
+          / (col("n") * (col("sq").cast("double") / 100)) * 1000000 + lit(0.5))
+          / 1000000).as("norm_power"))
+      .orderBy("period")
+  }
 }

@@ -126,6 +126,39 @@ class Round8Spec extends SparkSpec {
     assert(out.filter(col("chars_per_token") <= 0.0).count() == 0)
   }
 
+  test("ts_periodogram: 13 periods, normalized power in [0, 1]") {
+    val rows = SparkEntry.queries("ts_periodogram")(spark, sf).collect()
+    assert(rows.length == 13)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("norm_power")
+      assert(p >= 0.0 && p <= 1.0 + 1e-6, s"period ${r.get(0)} power $p")
+    }
+  }
+
+  test("ml_decision_stump: split never worse than parent, classes conserved") {
+    val r = SparkEntry.queries("ml_decision_stump")(spark, sf).collect().head
+    assert(r.getAs[Double]("gini_split") <= r.getAs[Double]("gini_parent") + 1e-9)
+    val pos = r.getAs[Long]("left_pos") + r.getAs[Long]("right_pos")
+    val neg = r.getAs[Long]("left_neg") + r.getAs[Long]("right_neg")
+    val ev = graft.engine.Tables(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+    assert(pos == ev.filter(col("event_type") === "purchase").count())
+    assert(pos + neg == ev.count())
+  }
+
+  test("agg_hll_union: shard-merged estimates within 10% of exact distincts") {
+    val est = SparkEntry.queries("agg_hll_union")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users").toDouble).toMap
+    val exact = graft.engine.Tables(spark, sf, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) <= 0.10 * exact(k) + 1,
+        s"$k: sketch $e vs exact ${exact(k)}")
+    }
+  }
+
   test("multimodal_resolution_report: REAL decode dims conserve the image count " +
     "and the synthesis bounds") {
     val out = SparkEntry.queries("multimodal_resolution_report")(spark, sf).cache()

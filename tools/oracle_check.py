@@ -51,6 +51,13 @@ TOLERANCE = {
              FROM orders
            ) ORDER BY o_orderstatus""",
         0.10),
+    # cross-shard union must reproduce the single-sketch estimate class:
+    # exact distinct per type, 10% envelope (HLL lgK default ~1.6% rsd)
+    "agg_hll_union": (
+        """SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE)
+               AS n_users
+           FROM events GROUP BY event_type ORDER BY event_type""",
+        0.10),
 }
 
 
