@@ -1683,4 +1683,79 @@ object QualityOps extends QueryPack {
         (floor((col("s2") - exp) / ((col("a2") + col("b2")) / 2 - exp)
           * 1000000 + lit(0.5)).cast("double") / 1000000).as("ari"))
   }
+
+  // Per-partition (per-day) incremental checksums — dq_checksum_table's
+  // scale form: one order-independent digest per day so a re-delivered or
+  // silently-mutated partition is localized instead of detected only at
+  // table level. Per-row digest = first 8 md5 hex digits as an integer
+  // (the table checksum's spelling); the per-day combine promotes to
+  // 128-bit BEFORE summing (4.3e9/row × 1e10 rows/day wraps int64 at
+  // corpus scale) and emits the sum modulo the Mersenne prime 2^61−1 as
+  // BIGINT. One hash aggregate keyed by day — linear, shuffle carries one
+  // row per (day × partition).
+  q("dq_checksum_partitions",
+    """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |    AS BIGINT) AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS ck_event,
+      |  CAST(SUM(CAST(CAST(('0x' || substr(md5(CAST(CAST(floor(value * 100 + 0.5)
+      |    AS BIGINT) AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT))
+      |    % 2305843009213693951 AS BIGINT) AS ck_value
+      |FROM events GROUP BY 1 ORDER BY day""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+    Tables(s, dir, "events")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        (sum(h(col("event_id")).cast(dec38)) % lit(2305843009213693951L))
+          .cast("long").as("ck_event"),
+        (sum(h(Det.cents(col("value")).cast("long")).cast(dec38))
+          % lit(2305843009213693951L)).cast("long").as("ck_value"))
+      .orderBy("day")
+  }
+
+  // Bot/abuse scoring over the event stream: per-user volume, burstiness
+  // (minimum inter-event gap), activity span, and a rule-based flag —
+  // the pre-training-pipeline "drop synthetic traffic" gate. Everything
+  // is exact integer arithmetic on microsecond timestamps (the min gap
+  // comes from one lag window inside the user partition, the same
+  // partition the aggregate shuffles on — one shuffle total, fully
+  // parallel across users at any scale). Flag rule: >= 50 events AND
+  // min gap under 60 s AND events-per-active-day >= 20.
+  q("events_bot_score",
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events
+      |), u AS (
+      |  SELECT user_id, COUNT(*) AS n, MIN(gap) AS min_gap_us,
+      |    COUNT(DISTINCT us // 86400000000) AS active_days
+      |  FROM g GROUP BY user_id
+      |)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  CAST(min_gap_us AS BIGINT) AS min_gap_us,
+      |  CAST(active_days AS BIGINT) AS active_days,
+      |  CAST(n >= 50 AND min_gap_us < 60000000
+      |       AND n >= 20 * active_days AS INT) AS bot_flag
+      |FROM u WHERE n >= 10
+      |ORDER BY user_id""") { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val g = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+    g.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("gap").as("min_gap_us"),
+        countDistinct(expr("us div 86400000000")).as("active_days"))
+      .filter(col("n") >= 10)
+      .select(col("user_id"), col("n").cast("long").as("n_events"),
+        col("min_gap_us").cast("long").as("min_gap_us"),
+        col("active_days").cast("long").as("active_days"),
+        (col("n") >= 50 && col("min_gap_us") < 60000000L
+          && col("n") >= col("active_days") * 20).cast("int").as("bot_flag"))
+      .orderBy("user_id")
+  }
 }

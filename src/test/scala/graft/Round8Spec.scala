@@ -159,6 +159,21 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("dq_checksum_partitions: day row counts conserve the table; checksums in field") {
+    val out = SparkEntry.queries("dq_checksum_partitions")(spark, sf).cache()
+    val total = out.agg(sum("n_rows")).collect().head.getLong(0)
+    assert(total == graft.engine.Tables(spark, sf, "events").count())
+    val p = 2305843009213693951L
+    assert(out.filter(col("ck_event") < 0 || col("ck_event") >= p).count() == 0)
+  }
+
+  test("events_bot_score: gaps nonnegative, flag implies the rule") {
+    val out = SparkEntry.queries("events_bot_score")(spark, sf).cache()
+    assert(out.filter(col("min_gap_us") < 0).count() == 0)
+    assert(out.filter(col("bot_flag") === 1 &&
+      (col("n_events") < 50 || col("min_gap_us") >= 60000000L)).count() == 0)
+  }
+
   test("multimodal_resolution_report: REAL decode dims conserve the image count " +
     "and the synthesis bounds") {
     val out = SparkEntry.queries("multimodal_resolution_report")(spark, sf).cache()
