@@ -2128,4 +2128,125 @@ object TimeSeriesOps extends QueryPack {
           / 1000000).as("norm_power"))
       .orderBy("period")
   }
+
+  // SLO error-budget burn rate: per-day error share against a 1% SLO,
+  // with the 1-day and (trailing) 7-day burn multiples an alerting
+  // policy pages on (Google SRE multi-window form). Counts are exact
+  // integers; the rolling 7-day sums stay integer via a rows-frame
+  // window over the DAILY aggregate (365 rows/year — the window never
+  // sees events); rates and burn multiples are single double trees.
+  q("events_error_rate_slo",
+    """WITH d AS (
+      |  SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+      |    COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE event_type = 'error') AS errs
+      |  FROM events GROUP BY 1
+      |), r AS (
+      |  SELECT day, n, errs,
+      |    SUM(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |      AS n7,
+      |    SUM(errs) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |      AS e7
+      |  FROM d
+      |)
+      |SELECT day, CAST(n AS BIGINT) AS n_events, CAST(errs AS BIGINT) AS n_errors,
+      |  floor(CAST(errs AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS error_rate,
+      |  floor(CAST(errs AS DOUBLE) / n / 0.01 * 10000 + 0.5) / 10000
+      |    AS burn_1d,
+      |  floor(CAST(e7 AS DOUBLE) / n7 / 0.01 * 10000 + 0.5) / 10000
+      |    AS burn_7d
+      |FROM r ORDER BY day""") { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    val r = d.withColumn("n7", sum("n").over(w))
+      .withColumn("e7", sum("errs").over(w))
+    r.select(col("day"), col("n").cast("long").as("n_events"),
+        col("errs").cast("long").as("n_errors"),
+        (floor(col("errs").cast("double") / col("n") * 1000000 + lit(0.5))
+          / 1000000).as("error_rate"),
+        (floor(col("errs").cast("double") / col("n") / 0.01 * 10000 + lit(0.5))
+          / 10000).as("burn_1d"),
+        (floor(col("e7").cast("double") / col("n7") / 0.01 * 10000 + lit(0.5))
+          / 10000).as("burn_7d"))
+      .orderBy("day")
+  }
+
+  // Exact-duplicate event detection (the ingestion-replay DQ gate):
+  // duplicate = identical (user_id, event_type, second-truncated ts,
+  // cent value). One hash aggregate on the composite key; the summary is
+  // a second tiny aggregate. At corpus scale this is the same
+  // one-shuffle digest-groupBy shape as llm_dedup_exact — the key is
+  // hashed integers, never raw payloads.
+  q("dq_duplicate_rows",
+    """WITH k AS (
+      |  SELECT user_id, event_type, epoch_us(date_trunc('second', ts)) AS tsec,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+      |  CAST(SUM(c) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+      |    AS n_redundant_rows,
+      |  floor(CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS DOUBLE)
+      |        / SUM(c) * 1000000 + 0.5) / 1000000 AS dup_rate
+      |FROM k""") { (s, dir) =>
+    val k = Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"),
+        unix_micros(date_trunc("second", col("ts"))).as("tsec"),
+        Det.cents(col("value")).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    k.groupBy()
+      .agg(count(lit(1)).cast("long").as("n_distinct_keys"),
+        sum("c").cast("long").as("n_rows"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).cast("long").as("n_dup_keys"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).cast("long")
+          .as("n_redundant_rows"),
+        (floor(sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).cast("double")
+          / sum("c") * 1000000 + lit(0.5)) / 1000000).as("dup_rate"))
+  }
+
+  // Cart-abandonment funnel by day: of the users who clicked that day,
+  // how many never purchased the same day. Two tiny per-(day, user)
+  // semi-joined aggregates — the shuffle key is (day, user), so the op
+  // is embarrassingly parallel at any scale; the daily readout is a
+  // second aggregate over per-day integers.
+  q("events_cart_abandonment",
+    """WITH cu AS (
+      |  SELECT DISTINCT strftime(CAST(date_trunc('day', ts) AS DATE),
+      |    '%Y-%m-%d') AS day, user_id
+      |  FROM events WHERE event_type = 'click'
+      |), pu AS (
+      |  SELECT DISTINCT strftime(CAST(date_trunc('day', ts) AS DATE),
+      |    '%Y-%m-%d') AS day, user_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), j AS (
+      |  SELECT cu.day, cu.user_id,
+      |    CASE WHEN pu.user_id IS NULL THEN 1 ELSE 0 END AS abandoned
+      |  FROM cu LEFT JOIN pu ON pu.day = cu.day AND pu.user_id = cu.user_id
+      |)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_clickers,
+      |  CAST(SUM(abandoned) AS BIGINT) AS n_abandoned,
+      |  floor(CAST(SUM(abandoned) AS DOUBLE) / COUNT(*) * 1000000 + 0.5)
+      |    / 1000000 AS abandonment_rate
+      |FROM j GROUP BY day ORDER BY day""") { (s, dir) =>
+    def du(t: String) = Tables(s, dir, "events")
+      .filter(col("event_type") === t)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .distinct()
+    val j = du("click").join(du("purchase").withColumn("hit", lit(1)),
+        Seq("day", "user_id"), "left")
+      .select(col("day"),
+        when(col("hit").isNull, 1L).otherwise(0L).as("abandoned"))
+    j.groupBy("day")
+      .agg(count(lit(1)).cast("long").as("n_clickers"),
+        sum("abandoned").cast("long").as("n_abandoned"),
+        (floor(sum("abandoned").cast("double") / count(lit(1)) * 1000000
+          + lit(0.5)) / 1000000).as("abandonment_rate"))
+      .orderBy("day")
+  }
 }

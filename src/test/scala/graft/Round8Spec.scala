@@ -159,6 +159,30 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("events_error_rate_slo: rates in [0,1], burn = rate/SLO within quantization") {
+    val out = SparkEntry.queries("events_error_rate_slo")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("error_rate") < 0 || col("error_rate") > 1).count() == 0)
+    assert(out.filter(
+      abs(col("burn_1d") - col("error_rate") / 0.01) > 0.01).count() == 0)
+  }
+
+  test("dq_duplicate_rows: key and row counts conserve") {
+    val r = SparkEntry.queries("dq_duplicate_rows")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_rows") ==
+      graft.engine.Tables(spark, sf, "events").count())
+    assert(r.getAs[Long]("n_distinct_keys") + r.getAs[Long]("n_redundant_rows")
+      == r.getAs[Long]("n_rows"))
+  }
+
+  test("events_cart_abandonment: abandoned never exceeds clickers") {
+    val out = SparkEntry.queries("events_cart_abandonment")(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_abandoned") > col("n_clickers")).count() == 0)
+    assert(out.filter(col("abandonment_rate") < 0 ||
+      col("abandonment_rate") > 1).count() == 0)
+  }
+
   test("dq_checksum_partitions: day row counts conserve the table; checksums in field") {
     val out = SparkEntry.queries("dq_checksum_partitions")(spark, sf).cache()
     val total = out.agg(sum("n_rows")).collect().head.getLong(0)
