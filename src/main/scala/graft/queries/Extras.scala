@@ -639,4 +639,70 @@ object Extras extends QueryPack {
           floor(sum("delay").cast("double") / sum("late") * 100 + lit(0.5))
             .cast("double") / 100).as("avg_late_delay_s"))
   }
+
+  // Order-backlog aging buckets: open (non-finished) orders bucketed by
+  // age against the fixed analysis anchor, with exact money totals per
+  // bucket — the operational "how stale is the pipeline" report. Age is
+  // pure integer date arithmetic; bucket thresholds are CASE rungs
+  // (codegen'd); one hash aggregate.
+  q("agg_aging_buckets",
+    """SELECT CASE
+      |    WHEN age_d < 30 THEN '0-29d' WHEN age_d < 90 THEN '30-89d'
+      |    WHEN age_d < 180 THEN '90-179d' ELSE '180d+' END AS age_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100 AS open_value
+      |FROM (
+      |  SELECT o_totalprice,
+      |    date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01')
+      |      AS age_d
+      |  FROM orders WHERE o_orderstatus <> 'F'
+      |)
+      |GROUP BY 1 ORDER BY age_bucket""") { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus") =!= "F")
+      .select(col("o_totalprice"),
+        datediff(lit("1998-12-01").cast("date"),
+          to_date(col("o_orderdate"))).as("age_d"))
+    o.select(
+        when(col("age_d") < 30, "0-29d").when(col("age_d") < 90, "30-89d")
+          .when(col("age_d") < 180, "90-179d").otherwise("180d+")
+          .as("age_bucket"),
+        col("o_totalprice"))
+      .groupBy("age_bucket")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .cast("double") / 100).as("open_value"))
+      .orderBy("age_bucket")
+  }
+
+  // Supply-chain concentration risk: suppliers-per-part distribution and
+  // the single-sourced share, from the DISTINCT (part, supplier) pairs
+  // lineitem actually exercised. Two hash aggregates (pair-distinct →
+  // per-part count → histogram); the distinct is the only corpus-sized
+  // shuffle, keyed on the pair — linear and combinable map-side.
+  q("join_supply_risk",
+    """WITH ps AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      |), per_part AS (
+      |  SELECT l_partkey, COUNT(*) AS n_supp FROM ps GROUP BY l_partkey
+      |)
+      |SELECT CAST(n_supp AS BIGINT) AS n_suppliers,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  floor(CAST(COUNT(*) AS DOUBLE)
+      |        / (SELECT COUNT(*) FROM per_part) * 1000000 + 0.5) / 1000000
+      |    AS share_of_parts
+      |FROM per_part GROUP BY n_supp ORDER BY n_suppliers""") { (s, dir) =>
+    val ps = Tables(s, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct()
+    val perPart = ps.groupBy("l_partkey").agg(count(lit(1)).as("n_supp"))
+    val tot = perPart.groupBy().agg(count(lit(1)).as("np"))
+    perPart.groupBy("n_supp").agg(count(lit(1)).as("n_parts"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_supp").cast("long").as("n_suppliers"),
+        col("n_parts").cast("long").as("n_parts"),
+        (floor(col("n_parts").cast("double") / col("np") * 1000000 + lit(0.5))
+          / 1000000).as("share_of_parts"))
+      .orderBy("n_suppliers")
+  }
 }

@@ -2555,6 +2555,131 @@ object LlmOps extends QueryPack {
           / 1000000).as("max_dim_bias"))
   }
 
+  // KL divergence between the natural source mix and its
+  // temperature-flattened resamples — "how far does τ-sampling move the
+  // distribution" in nats, the number a mixture designer trades against
+  // downstream loss. q_s(τ) ∝ p_s^τ. Determinism: the ln arguments are
+  // ratios of per-source rationals — ≤ |sources|·|taus| ≈ 60 DISTINCT
+  // values (Det.lnFix rationale) — and each doc-count power p^τ is the
+  // same exp(τ·ln p) tree in both engines; per-source KL terms are fixed
+  // to 1e-8 integers BEFORE the cross-source sum (P2). Source counts are
+  // one tiny aggregate; everything after is a |sources|-row frame.
+  q("llm_mixture_kl",
+    """WITH src AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      |  GROUP BY source
+      |), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM src),
+      |taus AS (SELECT unnest([5, 7, 10]) AS tau10),
+      |pw AS (
+      |  SELECT tau10, source, n,
+      |    exp((CAST(tau10 AS DOUBLE) / 10) * ln(CAST(n AS DOUBLE))) AS w
+      |  FROM src, taus
+      |), z AS (
+      |  SELECT tau10,
+      |    SUM(CAST(floor(w * 1000000 + 0.5) AS BIGINT)) AS zfix
+      |  FROM pw GROUP BY tau10
+      |), terms AS (
+      |  SELECT pw.tau10,
+      |    CAST(floor(
+      |      (CAST(n AS DOUBLE) / total)
+      |      * ln((CAST(n AS DOUBLE) / total)
+      |           / (floor(w * 1000000 + 0.5) / (CAST(zfix AS DOUBLE))))
+      |      * 100000000 + 0.5) AS BIGINT) AS kfix
+      |  FROM pw JOIN z USING (tau10), t
+      |)
+      |SELECT floor(CAST(tau10 AS DOUBLE) / 10 * 10 + 0.5) / 10 AS tau,
+      |  floor(CAST(SUM(kfix) AS DOUBLE) / 100 + 0.5) / 1000000 AS kl_nats
+      |FROM terms GROUP BY tau10 ORDER BY tau""") { (s, dir) =>
+    val src = Tables(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).cast("long").as("n"))
+    val t = src.groupBy().agg(sum("n").cast("long").as("total"))
+    val taus = s.range(0, 3).select(
+      element_at(array(lit(5), lit(7), lit(10)), (col("id") + 1).cast("int"))
+        .as("tau10"))
+    val pw = src.crossJoin(broadcast(taus))
+      .select(col("tau10"), col("source"), col("n"),
+        exp((col("tau10").cast("double") / 10) * log(col("n").cast("double")))
+          .as("w"))
+    val z = pw.groupBy("tau10")
+      .agg(sum(floor(col("w") * 1000000 + lit(0.5)).cast("long")).as("zfix"))
+    val p = col("n").cast("double") / col("total")
+    val q = floor(col("w") * 1000000 + lit(0.5)) / col("zfix").cast("double")
+    val terms = pw.join(broadcast(z), "tau10").crossJoin(broadcast(t))
+      .select(col("tau10"),
+        floor(p * log(p / q) * 100000000 + lit(0.5)).cast("long").as("kfix"))
+    terms.groupBy("tau10")
+      .agg((floor(sum("kfix").cast("double") / 100 + lit(0.5)) / 1000000)
+        .as("kl_nats"))
+      .select((floor(col("tau10").cast("double") / 10 * 10 + lit(0.5)) / 10)
+        .as("tau"), col("kl_nats"))
+      .orderBy("tau")
+  }
+
+  // Embedding-space drift between the first and second half of the
+  // corpus (by vec_id — the "old batch vs new batch" proxy): centroid
+  // displacement and the worst-shifted dimension, the embedding DQ gate
+  // before an index rebuild. Per-dim means via exact 1e-6 fixed sums
+  // (P2); the displacement is one 64-term double tree over the exact
+  // per-dim deltas — computed on a 64-row frame, corpus touched once.
+  q("emb_drift_centroid",
+    """WITH half AS (
+      |  SELECT vec_id, CASE WHEN vec_id * 2 < (SELECT MAX(vec_id) + 1
+      |    FROM embeddings) THEN 0 ELSE 1 END AS h,
+      |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS e
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT h, dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(floor(e * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      |  FROM half GROUP BY h, dim
+      |), d AS (
+      |  SELECT a.dim,
+      |    CAST(b.s AS DOUBLE) / 1000000 / b.n
+      |      - CAST(a.s AS DOUBLE) / 1000000 / a.n AS delta
+      |  FROM m a JOIN m b ON a.dim = b.dim AND a.h = 0 AND b.h = 1
+      |), agg AS (
+      |  SELECT SUM(CAST(floor(delta * delta * 1000000000000 + 0.5) AS BIGINT))
+      |      AS ss,
+      |    MAX(CAST(floor(abs(delta) * 1000000 + 0.5) AS BIGINT)) AS mx,
+      |    arg_max(dim, CAST(floor(abs(delta) * 1000000 + 0.5) AS BIGINT)
+      |      * 1000 - dim) AS mxdim
+      |  FROM d
+      |)
+      |SELECT floor(sqrt(CAST(ss AS DOUBLE) / 1000000000000) * 1000000 + 0.5)
+      |    / 1000000 AS centroid_shift,
+      |  CAST(mx AS DOUBLE) / 1000000 AS max_dim_shift,
+      |  CAST(mxdim AS INT) AS max_shift_dim
+      |FROM agg""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val mid = emb.groupBy().agg(((max("vec_id") + 1)).as("cnt"))
+    val half = emb.crossJoin(broadcast(mid))
+      .select(when(col("vec_id") * 2 < col("cnt"), 0).otherwise(1).as("h"),
+        posexplode(Sim.asDouble(col("embedding"))).as(Seq("dim0", "e")))
+      .select(col("h"), (col("dim0") + 1).as("dim"),
+        floor(col("e") * 1000000 + lit(0.5)).cast("long").as("q"))
+    val m = half.groupBy("h", "dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"))
+    val a = m.filter(col("h") === 0)
+      .select(col("dim"), col("n").as("na"), col("s").as("sa"))
+    val b = m.filter(col("h") === 1)
+      .select(col("dim"), col("n").as("nb"), col("s").as("sb"))
+    val delta = col("sb").cast("double") / 1000000 / col("nb") -
+      col("sa").cast("double") / 1000000 / col("na")
+    val d = a.join(b, "dim").select(col("dim"), delta.as("delta"))
+    val agg = d.groupBy().agg(
+      sum(floor(col("delta") * col("delta") * 1000000000000L + lit(0.5))
+        .cast("long")).as("ss"),
+      max(floor(abs(col("delta")) * 1000000 + lit(0.5)).cast("long")).as("mx"),
+      max_by(col("dim"),
+        floor(abs(col("delta")) * 1000000 + lit(0.5)).cast("long") * 1000
+          - col("dim")).as("mxdim"))
+    agg.select(
+      (floor(sqrt(col("ss").cast("double") / 1000000000000L) * 1000000
+        + lit(0.5)) / 1000000).as("centroid_shift"),
+      (col("mx").cast("double") / 1000000).as("max_dim_shift"),
+      col("mxdim").cast("int").as("max_shift_dim"))
+  }
+
   // Annealed mixture schedule: per-epoch sampling weights that move each
   // source linearly from its NATURAL share (n_s/N) to the uniform TARGET
   // share (1/k) over 4 epochs — the curriculum trick that starts training

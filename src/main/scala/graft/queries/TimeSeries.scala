@@ -2174,6 +2174,38 @@ object TimeSeriesOps extends QueryPack {
       .orderBy("day")
   }
 
+  // Weekday × hour activity matrix with within-day share — the calendar
+  // heatmap feeding capacity planning and anomaly baselines. dow uses the
+  // sign-safe anchor form; hour from the microsecond epoch (integer
+  // division, identical both engines); one hash aggregate over 168 cells
+  // plus a broadcast of the per-dow totals.
+  q("events_dow_hour_matrix",
+    """WITH e AS (
+      |  SELECT CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INT) AS dow,
+      |    CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour
+      |  FROM events
+      |), cell AS (
+      |  SELECT dow, hour, COUNT(*) AS n FROM e GROUP BY dow, hour
+      |), dt AS (SELECT dow, SUM(n) AS dn FROM cell GROUP BY dow)
+      |SELECT cell.dow, cell.hour, CAST(n AS BIGINT) AS n_events,
+      |  floor(CAST(n AS DOUBLE) / dn * 1000000 + 0.5) / 1000000
+      |    AS share_of_dow
+      |FROM cell JOIN dt USING (dow)
+      |ORDER BY dow, hour""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .select((((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("int").as("dow"),
+        expr("cast((unix_micros(ts) div 3600000000) % 24 as int)").as("hour"))
+    val cell = e.groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+    val dt = cell.groupBy("dow").agg(sum("n").as("dn"))
+    cell.join(broadcast(dt), "dow")
+      .select(col("dow"), col("hour"), col("n").cast("long").as("n_events"),
+        (floor(col("n").cast("double") / col("dn") * 1000000 + lit(0.5))
+          / 1000000).as("share_of_dow"))
+      .orderBy("dow", "hour")
+  }
+
   // Exact-duplicate event detection (the ingestion-replay DQ gate):
   // duplicate = identical (user_id, event_type, second-truncated ts,
   // cent value). One hash aggregate on the composite key; the summary is

@@ -159,6 +159,50 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("llm_mixture_kl: nonnegative, monotone decreasing toward tau=1") {
+    val rows = SparkEntry.queries("llm_mixture_kl")(spark, sf).collect()
+      .sortBy(_.getAs[Double]("tau"))
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getAs[Double]("kl_nats") >= -1e-6))
+    // tau=1.0 reproduces the natural mix → KL ≈ 0 (quantization only)
+    assert(rows.last.getAs[Double]("kl_nats") < 1e-3)
+    assert(rows.head.getAs[Double]("kl_nats") >= rows.last.getAs[Double]("kl_nats"))
+  }
+
+  test("emb_drift_centroid: shift bounded by the worst dim times sqrt(d)") {
+    val r = SparkEntry.queries("emb_drift_centroid")(spark, sf).collect().head
+    val shift = r.getAs[Double]("centroid_shift")
+    val mx = r.getAs[Double]("max_dim_shift")
+    assert(shift >= mx - 1e-6, s"l2 $shift < worst dim $mx")
+    assert(shift <= mx * 8 + 1e-6, s"l2 $shift > sqrt(64)*worst $mx")
+    val d = r.getAs[Int]("max_shift_dim")
+    assert(d >= 1 && d <= 64)
+  }
+
+  test("events_dow_hour_matrix: shares sum to 1 per dow, hours in range") {
+    val out = SparkEntry.queries("events_dow_hour_matrix")(spark, sf).cache()
+    assert(out.filter(col("hour") < 0 || col("hour") > 23).count() == 0)
+    out.groupBy("dow").agg(sum("share_of_dow").as("s")).collect()
+      .foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-4))
+  }
+
+  test("agg_aging_buckets: only open orders counted") {
+    val out = SparkEntry.queries("agg_aging_buckets")(spark, sf).cache()
+    val n = out.agg(sum("n_orders")).collect().head.getLong(0)
+    val open = graft.engine.Tables(spark, sf, "orders")
+      .filter(col("o_orderstatus") =!= "F").count()
+    assert(n == open)
+  }
+
+  test("join_supply_risk: shares sum to 1, parts conserve") {
+    val out = SparkEntry.queries("join_supply_risk")(spark, sf).cache()
+    val s = out.agg(sum("share_of_parts")).collect().head.getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-3)
+    val parts = graft.engine.Tables(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(out.agg(sum("n_parts")).collect().head.getLong(0) == parts)
+  }
+
   test("events_error_rate_slo: rates in [0,1], burn = rate/SLO within quantization") {
     val out = SparkEntry.queries("events_error_rate_slo")(spark, sf).cache()
     assert(out.count() > 0)
