@@ -486,45 +486,44 @@ object GraphOps extends QueryPack {
        |FROM h$hitsIters JOIN a$hitsIters ON h$hitsIters.id = a$hitsIters.id
        |JOIN nation nn ON h$hitsIters.id = nn.n_nationkey
        |ORDER BY n_name""") { (s, dir) =>
-    val e = tradeEdges(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var h = nodes.select(col("id"), lit(1000000L).as("h")).localCheckpoint()
-    var a: DataFrame = null
+    // The DISTINCT nation-pair edge derivation is the corpus-scale work
+    // and stays distributed (4-way join over lineitem). The graph it
+    // yields is CATALOG-bounded — ≤25 nations, ≤600 directed edges,
+    // corpus-independent — so the HITS rounds run driver-side over the
+    // collected edge list with the identical integer arithmetic
+    // (Long `/` on nonnegative values ≡ `div`/`//`), the same
+    // bounded-collect class as Linalg's moment matrix. Formerly 3 rounds
+    // of tiny Spark jobs with localCheckpoint lineage cuts: 4.8 s at
+    // sf0.1; now one collect job + microseconds. Corpus-sized graphs
+    // (doc dedup CC, user graphs) keep the distributed BSP path in
+    // ops/Graph — this shortcut is only valid when |V| is bounded by the
+    // CATALOG, not the corpus.
+    val edges = tradeEdges(s, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val inByDst = edges.groupBy(_._2)
+    val outBySrc = edges.groupBy(_._1)
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = Map.empty[Int, Long]
     for (_ <- 1 to hitsIters) {
-      val inbound = e.as("e")
-        .join(h.as("hh"), col("e.src") === col("hh.id"))
-        .groupBy(col("e.dst").as("did")).agg(sum("hh.h").as("s"))
-      val ar = nodes.as("n")
-        .join(inbound, col("n.id") === col("did"), "left")
-        .select(col("n.id").as("id"), coalesce(col("s"), lit(0L)).as("ar"))
-      // ONE eager checkpoint per round (on h): a's lineage is only two
-      // operators deep on top of the checkpointed h, so cutting it too
-      // doubled the round's job count for no plan-size benefit —
-      // measured 3.5 s → the committed form at sf0.1
-      a = ar.crossJoin(broadcast(ar.agg(max("ar").as("m"))))
-        .select(col("id"), expr("ar * 1000000 div m").as("a"))
-      val outbound = e.as("e")
-        .join(a.as("aa"), col("e.dst") === col("aa.id"))
-        .groupBy(col("e.src").as("sid")).agg(sum("aa.a").as("s"))
-      val hr = nodes.as("n")
-        .join(outbound, col("n.id") === col("sid"), "left")
-        .select(col("n.id").as("id"), coalesce(col("s"), lit(0L)).as("hr"))
-      h = hr.crossJoin(broadcast(hr.agg(max("hr").as("m"))))
-        .select(col("id"), expr("hr * 1000000 div m").as("h")).localCheckpoint()
+      val ar = nodes.map(id =>
+        id -> inByDst.getOrElse(id, Array.empty[(Int, Int)])
+          .iterator.map(e => h(e._1)).sum).toMap
+      val ma = ar.values.max
+      a = ar.map { case (k, v) => k -> v * 1000000L / ma }
+      val hr = nodes.map(id =>
+        id -> outBySrc.getOrElse(id, Array.empty[(Int, Int)])
+          .iterator.map(e => a(e._2)).sum).toMap
+      val mh = hr.values.max
+      h = hr.map { case (k, v) => k -> v * 1000000L / mh }
     }
-    a = a.localCheckpoint()
-    // h/a are eager localCheckpoints — the loop inputs are no longer
-    // reachable from the result plan, so release them now (the round-4
-    // ADVICE rule: never leave per-query persisted blocks pinned)
-    e.unpersist(false); nodes.unpersist(false)
-    h.as("h").join(a.as("a"), col("h.id") === col("a.id"))
-      .join(Tables(s, dir, "nation"), col("h.id") === col("n_nationkey"))
+    val spark = s
+    import spark.implicits._
+    val haDf = nodes.map(id => (id, h(id), a(id))).toSeq.toDF("id", "h", "a")
+    haDf.join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
       .select(col("n_name"),
-        (col("h.h").cast("double") / 1000000).as("hub"),
-        (col("a.a").cast("double") / 1000000).as("authority"))
+        (col("h").cast("double") / 1000000).as("hub"),
+        (col("a").cast("double") / 1000000).as("authority"))
       .orderBy("n_name")
   }
 
