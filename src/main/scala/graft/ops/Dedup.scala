@@ -132,19 +132,30 @@ object Dedup {
     * are EXACT (the cap only prunes candidate generation; shared
     * ubiquitous shingles are added back by [[interCounts]]'s correction).
     * Deterministic and SQL-expressible (the graded form). */
+  /** Memo of finished pair frames: SIX graded consumers (near, weight,
+    * cluster_report, apply, fuzzy, eval) call jaccardPairs with the same
+    * (corpus, k, tau) in one Verify/Bench session; without this each
+    * re-runs the candidate join. Keyed like Linalg's memo — (session,
+    * input-plan semantic hash, params) — entries are pure in their key. */
+  private val pairMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, String), DataFrame]
+
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, tau: Double,
-                   dfCap: Int = stopShingleDfCap): DataFrame = {
-    val sh = pin(shingleSets(docs, textCol, idCol, k))
-    val counts = sh.select(col("id"), size(col("sh")).as("n"))
-    interCounts(shingleRowsWithDf(sh), dfCap, _ < _)
-      .join(counts.as("ca"), col("id_a") === col("ca.id"))
-      .join(counts.as("cb"), col("id_b") === col("cb.id"))
-      .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double")
-          / (col("ca.n") + col("cb.n") - col("inter")), 4).as("jaccard"))
-      .filter(col("jaccard") >= tau)
-  }
+                   dfCap: Int = stopShingleDfCap): DataFrame =
+    PlanMemo.memoized(pairMemo, 16,
+      (docs.sparkSession, docs.queryExecution.logical.semanticHash(),
+        s"jp|$textCol|$idCol|$k|$tau|$dfCap")) {
+      val sh = pin(shingleSets(docs, textCol, idCol, k))
+      val counts = sh.select(col("id"), size(col("sh")).as("n"))
+      pin(interCounts(shingleRowsWithDf(sh), dfCap, _ < _)
+        .join(counts.as("ca"), col("id_a") === col("ca.id"))
+        .join(counts.as("cb"), col("id_b") === col("cb.id"))
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double")
+            / (col("ca.n") + col("cb.n") - col("inter")), 4).as("jaccard"))
+        .filter(col("jaccard") >= tau))
+    }
 
   /** Asymmetric shingle CONTAINMENT |Sa ∩ Sb| / |Sa| over the same
     * shingle-blocked candidates as [[jaccardPairs]]: catches doc-IN-doc
