@@ -549,6 +549,55 @@ object Aggregates extends QueryPack {
       .orderBy("g")
   }
 
+  // Weighted percentiles (p25/p50/p90 of price, quantity-weighted) via
+  // the histogram form: weights first collapse onto DISTINCT cent values
+  // (one hash aggregate — the only corpus-sized pass), then one ordered
+  // cumsum over the value-domain-bounded histogram and an all-integer
+  // nearest-rank pick (100·cw ≥ p100·tw — no doubles anywhere near the
+  // boundary). Generalizes agg_weighted_median without its per-row
+  // window: the window here runs over the histogram, not the table.
+  q("agg_weighted_percentile",
+    """WITH v AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem
+      |), h AS (
+      |  SELECT g, c, CAST(SUM(w) AS BIGINT) AS w FROM v GROUP BY g, c
+      |), r AS (
+      |  SELECT g, c, w,
+      |    CAST(SUM(w) OVER (PARTITION BY g ORDER BY c) AS BIGINT) AS cw,
+      |    CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+      |  FROM h
+      |), p AS (SELECT unnest([25, 50, 90]) AS p100)
+      |SELECT g, CAST(p100 AS DOUBLE) / 100 AS pct,
+      |  CAST(min(CASE WHEN 100 * cw >= p100 * tw THEN c END) AS DOUBLE) / 100
+      |    AS wpct_value
+      |FROM r, p GROUP BY g, p100 ORDER BY g, pct""") { (s, dir) =>
+    val v = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        Det.cents(col("l_extendedprice")).cast("long").as("c"),
+        col("l_quantity").cast("long").as("w"))
+    val h = v.groupBy("g", "c").agg(sum("w").as("w"))
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val r = h.withColumn("cw", sum("w").over(wOrd))
+      .withColumn("tw", sum("w").over(wAll))
+    val p = s.range(0, 3).select(
+      element_at(array(lit(25L), lit(50L), lit(90L)), (col("id") + 1).cast("int"))
+        .as("p100"))
+    r.crossJoin(broadcast(p))
+      .groupBy("g", "p100")
+      .agg((min(when(col("cw") * 100 >= col("p100") * col("tw"), col("c")))
+        .cast("double") / 100).as("wpct_value"))
+      .select(col("g"), (col("p100").cast("double") / 100).as("pct"),
+        col("wpct_value"))
+      .orderBy("g", "pct")
+  }
+
   // Gini concentration of order value per status — the inequality metric a
   // revenue dashboard tracks. Rank formula G = 2·Σ(rk·x)/(n·Σx) − (n+1)/n
   // over cents: every sum is exact BIGINT (tie blocks contribute c·Σrk, so
