@@ -15,6 +15,7 @@ object Bench {
     functions.DotProduct.register(spark)
     functions.NfcNormalize.register(spark)
     functions.LshBands.register(spark)
+    functions.JaroWinkler.register(spark)
     plans.Rules.ensureInjected(spark)
     // warm the JVM / parquet reader / codegen paths so startup cost is not
     // attributed to whichever query happens to run first

@@ -21,6 +21,7 @@ object Verify {
     functions.DotProduct.register(spark)
     functions.NfcNormalize.register(spark)
     functions.LshBands.register(spark)
+    functions.JaroWinkler.register(spark)
     plans.Rules.ensureInjected(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -525,6 +525,35 @@ object Scalars extends QueryPack {
       .orderBy("n_nationkey")
   }
 
+  // Native Jaro-Winkler similarity (functions/JaroWinkler.scala — codegen
+  // expression) against DuckDB's built-in jaro_winkler_similarity: the
+  // fuzzy-match ranking entity resolution runs when levenshtein's integer
+  // distance is too blunt. Argument set = nation-name pairs (≤625 — P17
+  // bounded); both engines compute the identical textbook double tree
+  // (verified bit-equal), quantized at 6 dp. Broadcast self-join; the
+  // expression runs inside whole-stage codegen.
+  q("fn_jaro_winkler",
+    """SELECT a.n_name AS name1, b.n_name AS name2,
+      |  floor(jaro_winkler_similarity(a.n_name, b.n_name) * 1000000 + 0.5)
+      |    / 1000000 AS jw,
+      |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS lev
+      |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      |ORDER BY floor(jaro_winkler_similarity(a.n_name, b.n_name) * 1000000
+      |  + 0.5) / 1000000 DESC, name1, name2
+      |LIMIT 15""") { (s, dir) =>
+    graft.functions.JaroWinkler.register(s)
+    val n = Tables(s, dir, "nation")
+    val a = n.select(col("n_nationkey").as("k1"), col("n_name").as("name1"))
+    val b = n.select(col("n_nationkey").as("k2"), col("n_name").as("name2"))
+    a.join(broadcast(b), col("k1") < col("k2"))
+      .select(col("name1"), col("name2"),
+        (floor(call_function("graft_jw", col("name1"), col("name2"))
+          * 1000000 + lit(0.5)) / 1000000).as("jw"),
+        levenshtein(col("name1"), col("name2")).cast("long").as("lev"))
+      .orderBy(col("jw").desc, col("name1"), col("name2"))
+      .limit(15)
+  }
+
   // Great-circle (haversine) distance between synthetic nation centroids:
   // lat/lon derived from the key by pure integer-and-double arithmetic
   // (bit-identical in both engines), then the textbook haversine with

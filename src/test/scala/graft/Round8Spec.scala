@@ -159,6 +159,26 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("graft_jw: codegen matches interpreted and the textbook fixtures") {
+    graft.functions.JaroWinkler.register(spark)
+    // Winkler's published examples
+    assert(math.abs(graft.functions.JaroWinkler.similarity("MARTHA", "MARHTA")
+      - 0.9611111111111111) < 1e-15)
+    assert(math.abs(graft.functions.JaroWinkler.similarity("DIXON", "DICKSONX")
+      - 0.8133333333333332) < 1e-15)
+    assert(graft.functions.JaroWinkler.similarity("same", "same") == 1.0)
+    assert(graft.functions.JaroWinkler.similarity("a", "b") == 0.0)
+    // codegen path (whole-stage projection) equals the static helper
+    import spark.implicits._
+    val rows = Seq(("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("x", ""),
+      ("apple", "applesauce")).toDF("a", "b")
+      .selectExpr("a", "b", "graft_jw(a, b) AS jw").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) ==
+        graft.functions.JaroWinkler.similarity(r.getString(0), r.getString(1)))
+    }
+  }
+
   test("agg_weighted_percentile: monotone in p, p50 equals agg_weighted_median") {
     val out = SparkEntry.queries("agg_weighted_percentile")(spark, sf).collect()
       .groupBy(_.getString(0))
