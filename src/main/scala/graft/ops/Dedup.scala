@@ -182,7 +182,12 @@ object Dedup {
     * (h_i = xxhash64(s) + i·xxhash64(-1, s), wrapping) — deterministic
     * across runs, not portable to other engines (no-oracle). */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   k: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
+                   k: Int, numHashes: Int, bands: Int, tau: Double): DataFrame =
+  // same memo seam as jaccardPairs: llm_dedup_minhash and llm_dedup_eval
+  // share (corpus, params) in one session
+  PlanMemo.memoized(pairMemo, 16,
+      (docs.sparkSession, docs.queryExecution.logical.semanticHash(),
+        s"mh|$textCol|$idCol|$k|$numHashes|$bands|$tau")) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = pin(shingleSets(docs, textCol, idCol, k))
@@ -218,10 +223,10 @@ object Dedup {
     val withSets = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    withSets.select(col("id_a"), col("id_b"),
+    pin(withSets.select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+      .filter(col("jaccard") >= tau))
   }
 
   /** MLlib-native MinHash-LSH variant of [[minhashPairs]]: shingle sets →
