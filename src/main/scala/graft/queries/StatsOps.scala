@@ -3177,6 +3177,53 @@ object StatsOps extends QueryPack {
           * 1000000 + lit(0.5)) / 1000000).as("cramers_v"))
   }
 
+  // Per-user ML feature-vector assembly — the feature-store handoff: one
+  // aggregate builds event-type counts, recency, and monetary value, then
+  // packs them into an array<double> feature column (plus named columns
+  // for audit). Every element is exact integer arithmetic divided once;
+  // the array constructor is codegen'd. One shuffle on user_id; at 100 TB
+  // this is the canonical map-side-combinable profile aggregate.
+  q("ml_feature_vector",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+      |    COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |    COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |    date_diff('day', CAST(max(date_trunc('day', ts)) AS DATE),
+      |              DATE '2024-01-30') AS recency,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0) AS mon
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id,
+      |  [CAST(n_view AS DOUBLE), CAST(n_click AS DOUBLE),
+      |   CAST(n_purchase AS DOUBLE), CAST(recency AS DOUBLE),
+      |   CAST(mon AS DOUBLE) / 100] AS features,
+      |  CAST(n_purchase AS BIGINT) AS n_purchase,
+      |  CAST(recency AS BIGINT) AS recency_days,
+      |  CAST(mon AS DOUBLE) / 100 AS monetary
+      |FROM u ORDER BY user_id""") { (s, dir) =>
+    val u = Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        datediff(lit("2024-01-30").cast("date"),
+          to_date(max(date_trunc("day", col("ts"))))).as("recency"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          Det.cents(col("value")).cast("long"))), lit(0L)).as("mon"))
+    u.select(col("user_id"),
+        array(col("n_view").cast("double"), col("n_click").cast("double"),
+          col("n_purchase").cast("double"), col("recency").cast("double"),
+          col("mon").cast("double") / 100).as("features"),
+        col("n_purchase").cast("long").as("n_purchase"),
+        col("recency").cast("long").as("recency_days"),
+        (col("mon").cast("double") / 100).as("monetary"))
+      .orderBy("user_id")
+  }
+
   // Single-feature decision stump: the best gini-impurity split of
   // `value` for predicting purchase-vs-view — the interpretable baseline
   // (and boosting weak learner) a feature-audit runs before any real

@@ -2129,6 +2129,57 @@ object TimeSeriesOps extends QueryPack {
       .orderBy("period")
   }
 
+  // Local-peak detection on the daily revenue series: a day is a peak
+  // when it strictly exceeds the two days on each side (±2 window via
+  // lag/lead — pure integer cents comparisons) and its prominence over
+  // the higher shoulder clears 5% of the peak. Window is per-series and
+  // ROWS-bounded; at corpus scale the daily aggregate is tiny and the
+  // event scan is the only linear pass.
+  q("ts_peaks",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1
+      |), w AS (
+      |  SELECT day, x,
+      |    lag(x, 1) OVER (ORDER BY day) AS p1,
+      |    lag(x, 2) OVER (ORDER BY day) AS p2,
+      |    lead(x, 1) OVER (ORDER BY day) AS f1,
+      |    lead(x, 2) OVER (ORDER BY day) AS f2
+      |  FROM d
+      |)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(x AS DOUBLE) / 100 AS revenue,
+      |  floor((CAST(x AS DOUBLE) - greatest(p1, p2, f1, f2))
+      |        / x * 1000000 + 0.5) / 1000000 AS prominence
+      |FROM w
+      |WHERE p1 IS NOT NULL AND p2 IS NOT NULL
+      |  AND f1 IS NOT NULL AND f2 IS NOT NULL
+      |  AND x > p1 AND x > p2 AND x > f1 AND x > f2
+      |  AND 20 * (x - greatest(p1, p2, f1, f2)) >= x
+      |ORDER BY day""") { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val w = Window.orderBy("day")
+    val ww = d
+      .withColumn("p1", lag("x", 1).over(w))
+      .withColumn("p2", lag("x", 2).over(w))
+      .withColumn("f1", lead("x", 1).over(w))
+      .withColumn("f2", lead("x", 2).over(w))
+    val hi = greatest(col("p1"), col("p2"), col("f1"), col("f2"))
+    ww.filter(col("p1").isNotNull && col("p2").isNotNull
+        && col("f1").isNotNull && col("f2").isNotNull
+        && col("x") > col("p1") && col("x") > col("p2")
+        && col("x") > col("f1") && col("x") > col("f2")
+        && (col("x") - hi) * 20 >= col("x"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("x").cast("double") / 100).as("revenue"),
+        (floor((col("x").cast("double") - hi) / col("x") * 1000000 + lit(0.5))
+          / 1000000).as("prominence"))
+      .orderBy("day")
+  }
+
   // SLO error-budget burn rate: per-day error share against a 1% SLO,
   // with the 1-day and (trailing) 7-day burn multiples an alerting
   // policy pages on (Google SRE multi-window form). Counts are exact

@@ -159,6 +159,27 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("ml_feature_vector: one row per user, array mirrors the named columns") {
+    val out = SparkEntry.queries("ml_feature_vector")(spark, sf).cache()
+    val users = graft.engine.Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(out.count() == users)
+    out.collect().take(50).foreach { r =>
+      val f = r.getSeq[Double](r.fieldIndex("features"))
+      assert(f.length == 5)
+      assert(f(2) == r.getAs[Long]("n_purchase").toDouble)
+      assert(f(4) == r.getAs[Double]("monetary"))
+    }
+  }
+
+  test("ts_peaks: every peak strictly dominates its +-2 neighborhood") {
+    val out = SparkEntry.queries("ts_peaks")(spark, sf).collect()
+    out.foreach { r =>
+      val p = r.getAs[Double]("prominence")
+      assert(p >= 0.05 - 1e-6 && p <= 1.0)
+    }
+  }
+
   test("graft_jw: codegen matches interpreted and the textbook fixtures") {
     graft.functions.JaroWinkler.register(spark)
     // Winkler's published examples
