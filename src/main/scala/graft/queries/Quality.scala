@@ -923,6 +923,48 @@ object QualityOps extends QueryPack {
       .orderBy("cid")
   }
 
+  // Topic-proxy cluster profile: k-means clusters of the embedding space
+  // joined back to the documents they index (vec_id ≡ doc_id in the
+  // fixtures — the standard "embedding row per document" layout), with
+  // each cluster's top-2 sources and their share. The SemDeDup-style
+  // "what IS this cluster" readout. Rides the memoized assignment; the
+  // profile is two hash aggregates + a WindowGroupLimit-prunable top-2.
+  q("llm_topic_report",
+    s"""$kmeansCtes,
+      |j AS (
+      |  SELECT p3.cid, d.source FROM p3
+      |  JOIN documents d ON p3.vec_id = d.doc_id
+      |), cs AS (
+      |  SELECT cid, source, COUNT(*) AS n FROM j GROUP BY cid, source
+      |), tot AS (SELECT cid, SUM(n) AS cn FROM cs GROUP BY cid),
+      |rk AS (
+      |  SELECT cs.cid, cs.source, cs.n, tot.cn,
+      |    row_number() OVER (PARTITION BY cs.cid
+      |                       ORDER BY cs.n DESC, cs.source) AS rn
+      |  FROM cs JOIN tot ON cs.cid = tot.cid
+      |)
+      |SELECT cid, CAST(rn AS BIGINT) AS rank, source,
+      |  CAST(n AS BIGINT) AS n_docs,
+      |  floor(CAST(n AS DOUBLE) / cn * 1000000 + 0.5) / 1000000 AS share
+      |FROM rk WHERE rn <= 2 ORDER BY cid, rank""") { (s, dir) =>
+    val asg = graft.ops.Linalg
+      .kmeansAssign(Tables(s, dir, "embeddings"), "vec_id", "embedding", 8, 3)
+    val j = asg.join(Tables(s, dir, "documents"),
+        col("vec_id") === col("doc_id"))
+      .select(col("cid"), col("source"))
+    val cs = j.groupBy("cid", "source").agg(count(lit(1)).as("n"))
+    val tot = cs.groupBy("cid").agg(sum("n").as("cn"))
+    val w = Window.partitionBy("cid").orderBy(col("n").desc, col("source"))
+    cs.join(broadcast(tot), "cid")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("cid"), col("rn").cast("long").as("rank"), col("source"),
+        col("n").cast("long").as("n_docs"),
+        (floor(col("n").cast("double") / col("cn") * 1000000 + lit(0.5))
+          / 1000000).as("share"))
+      .orderBy("cid", "rank")
+  }
+
   // Semantic outliers: vectors unusually FAR from their own k-means
   // centroid — the curation pass that flags noise/garbled docs after
   // SemDeDup-style clustering. Rides the memoized assignment (d2 is

@@ -121,4 +121,18 @@ class PropertiesSpec extends SparkSpec {
         .as("s"))
     assert(selfSim.filter($"s" =!= 1.0).count() == 0)
   }
+
+  test("jaro-winkler: identity, symmetry, bounds on random strings") {
+    val gen = Gen.listOfN(2, Gen.alphaStr.map(_.take(12)))
+    var seed = Seed(42L)
+    (1 to 200).foreach { _ =>
+      val Some(List(a, b)) = gen.apply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val ab = functions.JaroWinkler.similarity(a, b)
+      val ba = functions.JaroWinkler.similarity(b, a)
+      assert(ab == ba, s"asymmetric on ('$a','$b'): $ab vs $ba")
+      assert(ab >= 0.0 && ab <= 1.0, s"out of bounds on ('$a','$b'): $ab")
+      assert(functions.JaroWinkler.similarity(a, a) == 1.0)
+    }
+  }
 }
