@@ -525,6 +525,39 @@ object Scalars extends QueryPack {
       .orderBy("n_nationkey")
   }
 
+  // Higher-order array function parity: transform / filter / reduce /
+  // exists / zip_with against DuckDB's list_* family, over a per-row
+  // derived integer sequence. All codegen'd lambdas — the §2.8 surface a
+  // pipeline DSL compiles array manipulations onto. Integer-only
+  // payloads (P2-free).
+  q("fn_array_higher_order",
+    """WITH t AS (
+      |  SELECT n_nationkey AS k,
+      |    range(1, n_nationkey % 5 + 3) AS xs
+      |  FROM nation
+      |)
+      |SELECT k,
+      |  list_transform(xs, x -> x * x) AS squares,
+      |  list_filter(xs, x -> x % 2 = 0) AS evens,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), xs), (a, b) -> a + b)
+      |    AS total,
+      |  CAST(len(list_filter(xs, x -> x > 3)) > 0 AS INT) AS has_gt3,
+      |  list_transform(list_zip(xs, list_reverse_sort(xs)),
+      |    z -> z[1] + z[2]) AS zipped_sum
+      |FROM t ORDER BY k""") { (s, dir) =>
+    Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("k"),
+        sequence(lit(1L), (col("n_nationkey") % 5 + 2).cast("long")).as("xs"))
+      .select(col("k"),
+        transform(col("xs"), x => x * x).as("squares"),
+        filter(col("xs"), x => x % 2 === 0).as("evens"),
+        aggregate(col("xs"), lit(0L), (a, b) => a + b).as("total"),
+        exists(col("xs"), x => x > 3).cast("int").as("has_gt3"),
+        zip_with(col("xs"), reverse(array_sort(col("xs"))),
+          (a, b) => a + b).as("zipped_sum"))
+      .orderBy("k")
+  }
+
   // Native Jaro-Winkler similarity (functions/JaroWinkler.scala — codegen
   // expression) against DuckDB's built-in jaro_winkler_similarity: the
   // fuzzy-match ranking entity resolution runs when levenshtein's integer

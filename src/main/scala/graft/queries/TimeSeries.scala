@@ -2225,6 +2225,79 @@ object TimeSeriesOps extends QueryPack {
       .orderBy("day")
   }
 
+  // Stratified (blocked) treatment-effect estimate: click-vs-view value
+  // difference per weekday stratum, plus the stratum-size-weighted ATE —
+  // the discrete-covariate form of inverse-propensity weighting, the
+  // adjustment that removes day-mix confounding from a naive A/B diff.
+  // Per-stratum means assemble from exact integer sums; the overall ATE
+  // sums 7 per-stratum double terms AFTER a 1e-4 fix (P2: integer
+  // addition only across cells). Two hash aggregates, 7-row frames.
+  q("events_ab_stratified",
+    """WITH e AS (
+      |  SELECT CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS INT) AS dow,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |), st AS (
+      |  SELECT dow,
+      |    SUM(t) AS nt, SUM(1 - t) AS nc,
+      |    SUM(CASE WHEN t = 1 THEN c ELSE 0 END) AS sct,
+      |    SUM(CASE WHEN t = 0 THEN c ELSE 0 END) AS scc
+      |  FROM e GROUP BY dow
+      |), d AS (
+      |  SELECT dow, nt, nc,
+      |    CAST(sct AS DOUBLE) / 100 / nt AS mt,
+      |    CAST(scc AS DOUBLE) / 100 / nc AS mc,
+      |    CAST(floor((CAST(sct AS DOUBLE) / 100 / nt
+      |                - CAST(scc AS DOUBLE) / 100 / nc)
+      |         * (nt + nc) * 10000 + 0.5) AS BIGINT) AS wdfix
+      |  FROM st WHERE nt > 0 AND nc > 0
+      |), tot AS (SELECT CAST(SUM(nt + nc) AS BIGINT) AS n,
+      |                  CAST(SUM(wdfix) AS HUGEINT) AS wsum FROM d)
+      |SELECT CAST(dow AS BIGINT) AS stratum,
+      |  CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_control,
+      |  floor(mt * 10000 + 0.5) / 10000 AS mean_treat,
+      |  floor(mc * 10000 + 0.5) / 10000 AS mean_control,
+      |  floor((mt - mc) * 10000 + 0.5) / 10000 AS diff
+      |FROM d
+      |UNION ALL
+      |SELECT -1, NULL, NULL, NULL, NULL,
+      |  floor(CAST(wsum AS DOUBLE) / 10000 / n * 10000 + 0.5) / 10000
+      |FROM tot
+      |ORDER BY stratum""") { (s, dir) =>
+    val e = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select((((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("int").as("dow"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("t"),
+        Det.cents(col("value")).cast("long").as("c"))
+    val st = e.groupBy("dow").agg(
+      sum("t").as("nt"), sum(lit(1L) - col("t")).as("nc"),
+      sum(when(col("t") === 1, col("c")).otherwise(0L)).as("sct"),
+      sum(when(col("t") === 0, col("c")).otherwise(0L)).as("scc"))
+    val mt = col("sct").cast("double") / 100 / col("nt")
+    val mc = col("scc").cast("double") / 100 / col("nc")
+    val d = st.filter(col("nt") > 0 && col("nc") > 0)
+      .select(col("dow"), col("nt"), col("nc"), mt.as("mt"), mc.as("mc"),
+        floor((mt - mc) * (col("nt") + col("nc")) * 10000 + lit(0.5))
+          .cast("long").as("wdfix"))
+    val tot = d.groupBy().agg(sum(col("nt") + col("nc")).cast("long").as("n"),
+      sum("wdfix").as("wsum"))
+    val per = d.select(col("dow").cast("long").as("stratum"),
+      col("nt").cast("long").as("n_treat"), col("nc").cast("long").as("n_control"),
+      (floor(col("mt") * 10000 + lit(0.5)) / 10000).as("mean_treat"),
+      (floor(col("mc") * 10000 + lit(0.5)) / 10000).as("mean_control"),
+      (floor((col("mt") - col("mc")) * 10000 + lit(0.5)) / 10000).as("diff"))
+    val overall = tot.select(lit(-1L).as("stratum"),
+      lit(null).cast("long").as("n_treat"), lit(null).cast("long").as("n_control"),
+      lit(null).cast("double").as("mean_treat"),
+      lit(null).cast("double").as("mean_control"),
+      (floor(col("wsum").cast("double") / 10000 / col("n") * 10000 + lit(0.5))
+        / 10000).as("diff"))
+    per.unionAll(overall).orderBy("stratum")
+  }
+
   // Weekday × hour activity matrix with within-day share — the calendar
   // heatmap feeding capacity planning and anomaly baselines. dow uses the
   // sign-safe anchor form; hour from the microsecond epoch (integer

@@ -159,6 +159,28 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("events_ab_stratified: overall ATE inside the per-stratum diff envelope") {
+    val rows = SparkEntry.queries("events_ab_stratified")(spark, sf).collect()
+    val per = rows.filter(_.getAs[Long]("stratum") >= 0)
+    val all = rows.find(_.getAs[Long]("stratum") == -1).get.getAs[Double]("diff")
+    assert(per.nonEmpty)
+    val ds = per.map(_.getAs[Double]("diff"))
+    assert(all >= ds.min - 1e-3 && all <= ds.max + 1e-3,
+      s"ATE $all outside [${ds.min}, ${ds.max}]")
+  }
+
+  test("fn_array_higher_order: derived arrays consistent per row") {
+    SparkEntry.queries("fn_array_higher_order")(spark, sf).collect().foreach { r =>
+      val sq = r.getSeq[Long](r.fieldIndex("squares"))
+      val tot = r.getAs[Long]("total")
+      val n = sq.length
+      assert(tot == (1 to n).sum.toLong)
+      assert(sq == (1 to n).map(i => (i.toLong * i)))
+      val zs = r.getSeq[Long](r.fieldIndex("zipped_sum"))
+      assert(zs.forall(_ == n + 1))
+    }
+  }
+
   test("ml_feature_vector: one row per user, array mirrors the named columns") {
     val out = SparkEntry.queries("ml_feature_vector")(spark, sf).cache()
     val users = graft.engine.Tables(spark, sf, "events")
