@@ -2344,6 +2344,96 @@ object LlmOps extends QueryPack {
       .orderBy("aspect", "size_bucket")
   }
 
+  // PII-exposure report per source: counts of email / phone / IP matches
+  // over the synthetic-PII-decorated corpus (the same deterministic
+  // decoration text_pii_scrub scrubs), the audit table a release gate
+  // reads before the scrub runs. regexp_count per row (codegen'd), one
+  // hash aggregate; exact integers throughout.
+  q("text_pii_report",
+    """WITH d AS (
+      |  SELECT source,
+      |    'mail user' || doc_id || '@example.com tel +1 555-123-4567 ip 10.0.'
+      |      || doc_id % 256 || '.7 ' || text AS t
+      |  FROM documents
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+      |    AS n_email,
+      |  CAST(SUM(len(regexp_extract_all(t,
+      |    '(\+?[0-9]{1,2}[ -])?[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT)
+      |    AS n_phone,
+      |  CAST(SUM(len(regexp_extract_all(t,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) AS BIGINT)
+      |    AS n_ip
+      |FROM d GROUP BY source ORDER BY source""") { (s, dir) =>
+    val t = concat(lit("mail user"), col("doc_id"),
+      lit("@example.com tel +1 555-123-4567 ip 10.0."),
+      col("doc_id") % 256, lit(".7 "), col("text"))
+    def cnt(pat: String) =
+      size(expr(s"regexp_extract_all(t, '$pat', 0)"))
+    Tables(s, dir, "documents")
+      .select(col("source"), t.as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"))
+          .cast("long").as("n_email"),
+        sum(cnt("(\\\\+?[0-9]{1,2}[ -])?[0-9]{3}-[0-9]{3}-[0-9]{4}"))
+          .cast("long").as("n_phone"),
+        sum(cnt("\\\\b[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\b"))
+          .cast("long").as("n_ip"))
+      .orderBy("source")
+  }
+
+  // Dedup-threshold sweep: surviving near-dup pair counts and affected
+  // docs at tau ∈ {0.2 … 0.8}, all derived from ONE pair computation at
+  // the lowest tau (the memoized jaccardPairs frame) — the tuning table
+  // that picks tau before a full dedup run. The sweep itself is a 7-way
+  // expansion of the PAIR frame (tiny), never of the corpus.
+  q("llm_dedup_sweep",
+    """WITH pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      |  FROM (SELECT doc_id, list_distinct(list_transform(
+      |          range(1, len(string_split(text, ' ')) - 1),
+      |          i -> string_split(text, ' ')[i] || ' '
+      |            || string_split(text, ' ')[i+1] || ' '
+      |            || string_split(text, ' ')[i+2])) AS sh
+      |        FROM documents WHERE len(string_split(text, ' ')) >= 3) a
+      |  JOIN (SELECT doc_id, list_distinct(list_transform(
+      |          range(1, len(string_split(text, ' ')) - 1),
+      |          i -> string_split(text, ' ')[i] || ' '
+      |            || string_split(text, ' ')[i+1] || ' '
+      |            || string_split(text, ' ')[i+2])) AS sh
+      |        FROM documents WHERE len(string_split(text, ' ')) >= 3) b
+      |    ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+      |), taus AS (SELECT unnest([20, 30, 40, 50, 60, 70, 80]) AS tau100)
+      |SELECT CAST(tau100 AS DOUBLE) / 100 AS tau,
+      |  CAST(COUNT(CASE WHEN jaccard >= CAST(tau100 AS DOUBLE) / 100
+      |    THEN 1 END) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(DISTINCT CASE WHEN jaccard >= CAST(tau100 AS DOUBLE) / 100
+      |    THEN id_b END) AS BIGINT) AS n_docs_affected
+      |FROM pairs, taus
+      |GROUP BY tau100 ORDER BY tau""") { (s, dir) =>
+    val pairs = Dedup.jaccardPairs(Tables(s, dir, "documents"),
+      "text", "doc_id", k = 3, tau = 0.2)
+    val taus = s.range(0, 7).select(
+      ((col("id") + 2) * 10).cast("int").as("tau100"))
+    pairs.crossJoin(broadcast(taus))
+      .groupBy("tau100")
+      .agg(
+        sum(when(col("jaccard") >= col("tau100").cast("double") / 100, 1L))
+          .cast("long").as("n_pairs"),
+        countDistinct(when(col("jaccard") >= col("tau100").cast("double") / 100,
+          col("id_b"))).cast("long").as("n_docs_affected"))
+      .select((col("tau100").cast("double") / 100).as("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("n_docs_affected"))
+      .orderBy("tau")
+  }
+
   // Tokenizer-fertility report per (lang, source): tokens-per-word and
   // chars-per-token decide how much a corpus slice REALLY costs to train
   // on (a high-fertility source burns context budget). The subword count

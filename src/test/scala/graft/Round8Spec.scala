@@ -159,6 +159,23 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("text_pii_report: every doc carries the planted email/phone/ip at least once") {
+    val out = SparkEntry.queries("text_pii_report")(spark, sf).cache()
+    assert(out.filter(col("n_email") < col("n_docs")).count() == 0)
+    assert(out.filter(col("n_phone") < col("n_docs")).count() == 0)
+    assert(out.filter(col("n_ip") < col("n_docs")).count() == 0)
+  }
+
+  test("llm_dedup_sweep: pair counts monotone nonincreasing in tau") {
+    val rows = SparkEntry.queries("llm_dedup_sweep")(spark, sf).collect()
+      .sortBy(_.getAs[Double]("tau"))
+    assert(rows.length == 7)
+    val ps = rows.map(_.getAs[Long]("n_pairs"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
+    val ds = rows.map(_.getAs[Long]("n_docs_affected"))
+    assert(ds.zip(ps).forall { case (d, p) => d <= p || p == 0 })
+  }
+
   test("events_ab_stratified: overall ATE inside the per-stratum diff envelope") {
     val rows = SparkEntry.queries("events_ab_stratified")(spark, sf).collect()
     val per = rows.filter(_.getAs[Long]("stratum") >= 0)
