@@ -51,7 +51,26 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_run1":${js(run1)},"passes":2,"failed":$fs,"sf":"$sfDir"}""")
+    // The harness archives only the last ~2000 chars of stdout; a full
+    // per-query map over 440+ queries is ~15 KB and gets truncated into an
+    // unparseable fragment (every BENCH_r*.json so far: parsed=null). So:
+    // full detail goes to BENCH_FULL.json on disk, and the ONE stdout JSON
+    // line stays compact — summary stats + the slowest queries — so it fits
+    // whole inside the archived tail and parses.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_run1":${js(run1)},"passes":2,"failed":$fs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+    val sorted = results.values.toSeq.sorted
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+    def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
+    val slow = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slow,"n_queries":${results.size},"median":${r3(pct(0.5))},"p90":${r3(pct(0.9))},"max":${r3(pct(1.0))},"passes":2,"failed":$fs,"sf":$sfNum,"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
