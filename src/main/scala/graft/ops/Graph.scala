@@ -155,6 +155,40 @@ object Graph {
     comp
   }
 
+  /** Fixed-round synchronous label-propagation COMMUNITY detection
+    * (mode-label LPA, Raghavan et al. 2007): label₀(v) = v, labelₖ(v) =
+    * the most frequent label among v's neighbors at round k−1, ties
+    * broken by the smallest label. Unlike [[labelPropagate]]'s MIN
+    * (which computes connected components), the frequency vote settles
+    * into dense blocs — communities — and the deterministic tie-break
+    * plus fixed round count make the pre-convergence output identical in
+    * both engines. Every node of the symmetrized graph has ≥1 neighbor
+    * by construction, so the neighbors-only vote is total. Per round:
+    * one join + one count aggregate + a WindowGroupLimit rank-1 pick —
+    * each round references its predecessor exactly once (the oracle-twin
+    * inlining constraint, see [[labelPropagate]]). */
+  def modeLabelPropagate(edges: DataFrame, iters: Int): DataFrame = {
+    val fwd = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var lab = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(col("cnt").desc, col("label"))
+    for (_ <- 0 until iters) {
+      lab = sym.join(lab, sym("dst") === lab("id"))
+        .groupBy(sym("src").as("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("v").as("id"), col("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
   /** Fixed-round BFS shortest hop-distance from the minimum-id node:
     * d₀(source) = 0, dₖ(v) = min(dₖ₋₁(v), 1 + min over neighbors
     * dₖ₋₁(u)); unreached nodes stay NULL. Same determinism argument and

@@ -705,4 +705,45 @@ object Extras extends QueryPack {
           / 1000000).as("share_of_parts"))
       .orderBy("n_suppliers")
   }
+
+  // Weighted reservoir sampling without replacement (Efraimidis–Spirakis
+  // A-ES): keep the k items with the largest u^(1/w), equivalently the
+  // largest ln(u)/w. Deterministic across engines: u is the md5-derived
+  // 32-bit integer + 1 (the repo's portable-hash idiom), ln runs on that
+  // INTEGER argument through the fixed-point lnFix form (the blessed
+  // cross-engine path — Det.scala header), and the single key division
+  // ln(u/2^32)/w is one IEEE op over identical operands. Scale shape:
+  // the key is per-row arithmetic with no shuffle; top-k by key plans
+  // TakeOrderedAndProject (per-partition heap + k-row driver merge), and
+  // the rank window runs on the 64-row result — never a global sort.
+  // 22180709777918 = floor(ln(2^32)·10^12 + 0.5), spelled as the same
+  // literal in both engines.
+  q("sample_weighted_reservoir",
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS u
+      |  FROM documents
+      |), k AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(CAST(floor(ln(CAST(u AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)
+      |         - 22180709777918 AS DOUBLE) / n_chars AS key
+      |  FROM d
+      |), t AS (SELECT * FROM k ORDER BY key DESC, doc_id LIMIT 64)
+      |SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+      |  doc_id, n_chars
+      |FROM t ORDER BY rank""") { (s, dir) =>
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long") + 1)
+    val key = ((graft.engine.Det.lnFix(u.cast("double"), 12).cast("long")
+      - lit(22180709777918L)).cast("double") / col("n_chars")).as("key")
+    val top = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), key)
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(64)
+    top.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("key").desc, col("doc_id"))).cast("long").as("rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy("rank")
+  }
 }

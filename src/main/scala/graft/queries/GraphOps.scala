@@ -791,4 +791,42 @@ object GraphOps extends QueryPack {
             + lit(0.5)).cast("double") / 1000000).as("closeness"))
       .orderBy("n_name")
   }
+
+  private val lpaIters = 3
+
+  // Each unrolled vote references its predecessor once (the ccRound
+  // inlining constraint): join neighbors → count labels → rank-1 pick
+  // with the (count DESC, label ASC) deterministic tie-break.
+  private def lpaRound(k: Int): String =
+    s"""l$k AS (
+       |  SELECT v AS id, label FROM (
+       |    SELECT s.src AS v, c.label, COUNT(*) AS cnt,
+       |      row_number() OVER (PARTITION BY s.src
+       |        ORDER BY COUNT(*) DESC, c.label) AS rn
+       |    FROM sym s JOIN l${k - 1} c ON s.dst = c.id
+       |    GROUP BY s.src, c.label
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  // Community detection by mode-label propagation (LPA) on the
+  // strong-trade graph — the frequency-vote sibling of graph_cc's
+  // min-label components: labels converge to dense trade blocs rather
+  // than mere reachability classes. Fixed 3 synchronous rounds with the
+  // (count DESC, label ASC) tie-break run identically in both engines,
+  // so the output is deterministic converged or not. Scale shape: per
+  // round one shuffle on dst (the join) + one on (v,label) (the vote) +
+  // a WindowGroupLimit rank-1 pick — the same bounded-round BSP seam as
+  // pagerank/cc, linear in |edges| per round at any graph size.
+  q("graph_community_lpa",
+    s"""WITH $oracleStrongEdges,
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |${(1 to lpaIters).map(lpaRound).mkString(",\n")}
+       |SELECT nn.n_name, CAST(l.label AS BIGINT) AS community
+       |FROM l$lpaIters l JOIN nation nn ON l.id = nn.n_nationkey
+       |ORDER BY community, n_name""") { (s, dir) =>
+    Graph.modeLabelPropagate(strongTradeEdges(s, dir), lpaIters)
+      .join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .select(col("n_name"), col("label").as("community"))
+      .orderBy("community", "n_name")
+  }
 }

@@ -3311,4 +3311,138 @@ object StatsOps extends QueryPack {
           * 1000000 + lit(0.5)) / 1000000).as("gini_parent"),
         (floor(col("wg") * 1000000 + lit(0.5)) / 1000000).as("gini_split"))
   }
+
+  // Cohen's d (pooled-SD standardized mean difference) of each event
+  // type's value against the 'view' baseline, with Hedges' g small-sample
+  // correction — the effect-size readout next to events_ab_welch's
+  // significance test. Same exact-moment scheme as welch: the two group
+  // moments are integer sums at 4 dp accumulated DECIMAL(38,0)/HUGEINT
+  // (P16 — cannot wrap at any row count), and every derived double
+  // (mean, variance, pooled SD, d, g) is the identical IEEE tree on both
+  // engines, quantized once at the output. One two-phase hash aggregate
+  // over the stream; the per-type frame is |types| rows.
+  q("stats_cohens_d",
+    """WITH st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS s1,
+      |    SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)
+      |        * CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS s2
+      |  FROM events GROUP BY event_type
+      |), m AS (
+      |  SELECT event_type, n,
+      |    CAST(s1 AS DOUBLE) / 10000 / n AS mean,
+      |    (CAST(s2 AS DOUBLE) / 100000000
+      |     - (CAST(s1 AS DOUBLE) / 10000) * (CAST(s1 AS DOUBLE) / 10000) / n)
+      |    / (n - 1) AS vr
+      |  FROM st
+      |), base AS (SELECT n AS nb, mean AS mb, vr AS vb FROM m
+      |            WHERE event_type = 'view')
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  floor((mean - mb) / sqrt(((n - 1) * vr + (nb - 1) * vb) / (n + nb - 2))
+      |    * 10000 + 0.5) / 10000 AS d,
+      |  floor((mean - mb) / sqrt(((n - 1) * vr + (nb - 1) * vb) / (n + nb - 2))
+      |    * (1 - CAST(3 AS DOUBLE) / (4 * (n + nb) - 9)) * 10000 + 0.5) / 10000 AS g
+      |FROM m, base
+      |WHERE event_type <> 'view'
+      |ORDER BY event_type""") { (s, dir) =>
+    val f = Det.fix(col("value"), 4)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val st = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(f.cast(dec38)).as("s1"),
+        sum((f * f).cast(dec38)).as("s2"))
+    val m = st.select(col("event_type"), col("n"),
+      (col("s1").cast("double") / 10000 / col("n")).as("mean"),
+      ((col("s2").cast("double") / 100000000L
+        - (col("s1").cast("double") / 10000) * (col("s1").cast("double") / 10000)
+          / col("n")) / (col("n") - 1)).as("vr"))
+    val base = m.filter(col("event_type") === "view")
+      .select(col("n").as("nb"), col("mean").as("mb"), col("vr").as("vb"))
+    val sp = sqrt(((col("n") - 1) * col("vr") + (col("nb") - 1) * col("vb"))
+      / (col("n") + col("nb") - 2))
+    val d = (col("mean") - col("mb")) / sp
+    m.filter(col("event_type") =!= "view")
+      .crossJoin(broadcast(base))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        (floor(d * 10000 + lit(0.5)) / 10000).as("d"),
+        (floor(d * (lit(1) - lit(3).cast("double")
+          / (lit(4) * (col("n") + col("nb")) - 9)) * 10000 + lit(0.5)) / 10000)
+          .as("g"))
+      .orderBy("event_type")
+  }
+
+  // Jensen–Shannon divergence between each event type's early-month and
+  // late-month value distributions (day-of-month ≤ 15 vs > 15) — the
+  // symmetric, bounded drift metric completing the PSI/KS/KL family.
+  // Distributions are 5-unit value bins with add-one smoothing over the
+  // union of observed bins. All-integer core: with smoothed counts c1,c2
+  // and totals N1,N2, p/m = 2·c1·N2/(c1·N2+c2·N1) — a ratio of two
+  // INTEGERS — so both logs go through the fixed-point integer-argument
+  // ln (Det.lnFix / the oracle's floor(ln·10¹²+0.5)) and the Σ c·ln
+  // terms are exact integer products (≤ ~3e17, inside int64 per row;
+  // the SUM promotes to DECIMAL(38,0)/HUGEINT, P16). One hash aggregate
+  // over the stream → bin histogram (value-range-bounded, ~112 cells per
+  // type here); everything after is per-bin integer math.
+  q("dq_drift_jsd",
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(floor(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) / 500) AS BIGINT) AS b,
+      |    CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END AS half
+      |  FROM events
+      |), h AS (
+      |  SELECT event_type, b,
+      |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS c1,
+      |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS c2
+      |  FROM ev GROUP BY event_type, b
+      |), n AS (
+      |  SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c2) AS BIGINT) AS n2, COUNT(*) AS n_bins
+      |  FROM h GROUP BY event_type
+      |), t AS (
+      |  SELECT h.event_type,
+      |    CAST(SUM(c1 * (CAST(floor(ln(CAST(2 * c1 * n2 AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)
+      |               - CAST(floor(ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)))
+      |      AS DOUBLE) / MAX(n1) AS ta,
+      |    CAST(SUM(c2 * (CAST(floor(ln(CAST(2 * c2 * n1 AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)
+      |               - CAST(floor(ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)))
+      |      AS DOUBLE) / MAX(n2) AS tb,
+      |    MAX(n1) AS n1, MAX(n2) AS n2, MAX(n_bins) AS n_bins
+      |  FROM h JOIN n ON h.event_type = n.event_type
+      |  GROUP BY h.event_type
+      |)
+      |SELECT event_type,
+      |  floor((ta + tb) / 2000000000000 * 1000000 + 0.5) / 1000000 AS jsd_nats,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(n_bins AS BIGINT) AS n_bins
+      |FROM t ORDER BY event_type""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cv = Det.cents(col("value")).cast("long")
+    val ev = Tables(s, dir, "events").select(col("event_type"),
+      floor((cv.cast("double") / 500)).cast("long").as("b"),
+      when(dayofmonth(col("ts")) <= 15, 0).otherwise(1).as("half"))
+    val h = ev.groupBy("event_type", "b").agg(
+      (sum(when(col("half") === 0, 1L).otherwise(0L)) + 1).as("c1"),
+      (sum(when(col("half") === 1, 1L).otherwise(0L)) + 1).as("c2"))
+    val n = h.groupBy("event_type").agg(
+      sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"),
+      count(lit(1)).as("n_bins"))
+    def lnf(x: org.apache.spark.sql.Column) = Det.lnFix(x.cast("double"), 12)
+    val joined = h.join(n, "event_type")
+    val ta = sum((col("c1") * (lnf(lit(2) * col("c1") * col("n2"))
+      - lnf(col("c1") * col("n2") + col("c2") * col("n1")))).cast(dec38))
+      .cast("double") / max(col("n1"))
+    val tb = sum((col("c2") * (lnf(lit(2) * col("c2") * col("n1"))
+      - lnf(col("c1") * col("n2") + col("c2") * col("n1")))).cast(dec38))
+      .cast("double") / max(col("n2"))
+    joined.groupBy("event_type")
+      .agg(ta.as("ta"), tb.as("tb"), max(col("n1")).as("n1"),
+        max(col("n2")).as("n2"), max(col("n_bins")).as("n_bins"))
+      .select(col("event_type"),
+        (floor((col("ta") + col("tb")) / 2000000000000L * 1000000 + lit(0.5))
+          / 1000000).as("jsd_nats"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("n_bins").cast("long").as("n_bins"))
+      .orderBy("event_type")
+  }
 }

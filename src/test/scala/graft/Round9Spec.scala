@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-9 operators — properties the cell-exact
+  * DuckDB rehearsal can't explain on its own (bounds, conservation laws,
+  * cross-query consistency, and the "the reported span really IS a
+  * duplicate" ground-truth check for substring dedup).
+  */
+class Round9Spec extends SparkSpec {
+
+  test("llm_substring_dedup: reported spans are real token-for-token duplicates") {
+    val spans = SparkEntry.queries("llm_substring_dedup")(spark, sf).collect()
+    assert(spans.nonEmpty, "fixture plants near-duplicate prefixes; spans expected")
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    spans.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (sa, sb) = (r.getAs[Long]("start_a").toInt, r.getAs[Long]("start_b").toInt)
+      val len = r.getAs[Long]("span_tokens").toInt
+      assert(a < b && len >= 10)
+      // positions are 1-based; the span must match token-for-token
+      val ta = text(a).slice(sa - 1, sa - 1 + len)
+      val tb = text(b).slice(sb - 1, sb - 1 + len)
+      assert(ta.sameElements(tb),
+        s"span ($a,$b,$sa,$sb,$len) is not an exact duplicate")
+    }
+  }
+
+  test("llm_substring_dedup: spans are maximal along their diagonal (no adjacent extension)") {
+    val spans = SparkEntry.queries("llm_substring_dedup")(spark, sf).collect()
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    spans.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (sa, sb) = (r.getAs[Long]("start_a").toInt, r.getAs[Long]("start_b").toInt)
+      val len = r.getAs[Long]("span_tokens").toInt
+      val (ta, tb) = (text(a), text(b))
+      // one token before the span start must differ (or be out of range)
+      if (sa >= 2 && sb >= 2)
+        assert(ta(sa - 2) != tb(sb - 2), s"span ($a,$b) extends left")
+      // one token past the span end must differ (or be out of range)
+      val (ea, eb) = (sa - 1 + len, sb - 1 + len)
+      if (ea < ta.length && eb < tb.length)
+        assert(ta(ea) != tb(eb), s"span ($a,$b) extends right")
+    }
+  }
+
+  test("sample_weighted_reservoir: exactly 64 distinct docs, dense ranks, length-biased") {
+    val rows = SparkEntry.queries("sample_weighted_reservoir")(spark, sf).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 64L))
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 64)
+    // weighting by n_chars must bias the sample toward long documents:
+    // the sample mean length should exceed the corpus mean
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / 64
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
+  test("graph_community_lpa: labels are member nodes and refine into >= 2 communities") {
+    val rows = SparkEntry.queries("graph_community_lpa")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val communities = rows.map(_.getAs[Long]("community")).distinct
+    // the strong-trade graph is sparse by construction (threshold at 2x
+    // median weight), so 3 LPA rounds must not collapse it to one bloc
+    assert(communities.length >= 2, s"collapsed to ${communities.length} communities")
+    // every label is a real node id (labels originate as node ids)
+    val nodeIds = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("long")).collect().map(_.getLong(0)).toSet
+    communities.foreach(c => assert(nodeIds.contains(c)))
+  }
+
+  test("multimodal_audio_vad: segment arithmetic and threshold consistency with audio_energy") {
+    val segs = SparkEntry.queries("multimodal_audio_vad")(spark, sf).collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val (s0, s1) = (r.getAs[Int]("seg_start"), r.getAs[Int]("seg_end"))
+      val n = r.getAs[Long]("n_wins")
+      assert(s0 >= 0 && s1 >= s0)
+      assert(n == s1 - s0 + 1, "segment must cover consecutive windows")
+      assert(n >= 2)
+    }
+    // every window inside a reported segment is active under the same
+    // integer threshold the query uses (ssq >= 2000 * n_samples)
+    val energy = SparkEntry.queries("multimodal_audio_energy")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("win")) ->
+        (r.getAs[Long]("ssq"), r.getAs[Int]("n_samples"))).toMap
+    segs.foreach { r =>
+      val id = r.getAs[Long]("id")
+      (r.getAs[Int]("seg_start") to r.getAs[Int]("seg_end")).foreach { w =>
+        val (ssq, n) = energy((id, w))
+        assert(ssq >= 2000L * n, s"inactive window $w inside segment of doc $id")
+      }
+    }
+  }
+
+  test("stats_cohens_d: sign of d matches the direction of the mean difference") {
+    val rows = SparkEntry.queries("stats_cohens_d")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val means = SparkEntry.queries("events_ab_welch")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("t")).toMap
+    rows.foreach { r =>
+      val (d, g) = (r.getAs[Double]("d"), r.getAs[Double]("g"))
+      // Hedges' g is a shrinkage of d: same sign, |g| <= |d|
+      assert(math.signum(g) == math.signum(d) || g == 0.0)
+      assert(math.abs(g) <= math.abs(d) + 1e-9)
+      // d and the welch t statistic must agree in sign (same numerator)
+      means.get(r.getAs[String]("event_type")).foreach { t =>
+        if (math.abs(t) > 0.01 && math.abs(d) > 0.0001)
+          assert(math.signum(d) == math.signum(t), "d and t disagree in sign")
+      }
+    }
+  }
+
+  test("dq_drift_jsd: bounded by ln 2 and totals account for the smoothed stream") {
+    val rows = SparkEntry.queries("dq_drift_jsd")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val evCount = spark.read.parquet(s"$sf/events.parquet").count()
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd_nats")
+      assert(j >= -1e-6 && j <= math.log(2) + 1e-4,
+        s"JSD $j outside [0, ln 2]")
+      // smoothed totals: n1 + n2 = raw rows of this type + 2 * n_bins
+      val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+      val bins = r.getAs[Long]("n_bins")
+      assert(n1 + n2 - 2 * bins > 0 && n1 + n2 - 2 * bins <= evCount)
+    }
+  }
+
+  test("sql_pivot / sql_unpivot: pivot cells reconcile with unpivot rows") {
+    val pivot = SparkEntry.queries("sql_pivot")(spark, sf).collect()
+      .map(r => r.getAs[String]("flag") ->
+        (Option(r.getAs[java.lang.Long]("qty_o")).map(_.longValue).getOrElse(0L)
+          + Option(r.getAs[java.lang.Long]("qty_f")).map(_.longValue).getOrElse(0L)))
+      .toMap
+    val unpivot = SparkEntry.queries("sql_unpivot")(spark, sf).collect()
+      .filter(_.getAs[String]("metric") == "qty")
+      .map(r => r.getAs[String]("flag") -> r.getAs[Long]("val")).toMap
+    assert(pivot.nonEmpty && unpivot.keySet == pivot.keySet)
+    // every flag's O+F pivot quantity equals the unpivot qty metric
+    // (statuses O and F partition the fixture's lineitem rows)
+    pivot.foreach { case (flag, total) =>
+      assert(unpivot(flag) == total, s"flag $flag: pivot $total != unpivot ${unpivot(flag)}")
+    }
+  }
+}
