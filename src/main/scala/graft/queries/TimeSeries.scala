@@ -2405,4 +2405,123 @@ object TimeSeriesOps extends QueryPack {
           + lit(0.5)) / 1000000).as("abandonment_rate"))
       .orderBy("day")
   }
+
+  // Granger-style lead-lag test: do yesterday's CLICKS help predict
+  // today's purchase REVENUE beyond yesterday's revenue alone? Restricted
+  // model y_t ~ y_{t-1} vs unrestricted y_t ~ y_{t-1} + x_{t-1}, compared
+  // by the F statistic on the residual-sum-of-squares drop (1 added
+  // regressor, n−3 dof). Exact-moment determinism throughout (the
+  // ml_linreg_ols scheme): integer-cents daily sums, 128-bit moment
+  // accumulators (P16), closed-form Cramer coefficients as identical IEEE
+  // trees, and BOTH SSEs accumulated as Σ floor(e²+0.5) integers so the
+  // F ratio divides two exactly-agreed quantities. Scale shape: one
+  // day-grained aggregate over the stream; the lag frame, moments, and
+  // residual passes all run on |days| rows.
+  q("ts_granger_lite",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x
+      |  FROM events GROUP BY 1
+      |), lagged AS (
+      |  SELECT day, y, lag(y) OVER (ORDER BY day) AS y1,
+      |    lag(x) OVER (ORDER BY day) AS x1
+      |  FROM daily
+      |), lf AS (SELECT y, y1, x1 FROM lagged WHERE y1 IS NOT NULL),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(y1 AS HUGEINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(y1 AS HUGEINT) * y1) AS DOUBLE) AS s11,
+      |    CAST(SUM(CAST(y1 AS HUGEINT) * x1) AS DOUBLE) AS s12,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s22,
+      |    CAST(SUM(CAST(y1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s2y
+      |  FROM lf
+      |), cr AS (
+      |  SELECT *,
+      |    (n * s1y - s1 * sy) / (n * s11 - s1 * s1) AS br,
+      |    (sy - (n * s1y - s1 * sy) / (n * s11 - s1 * s1) * s1) / n AS ar,
+      |    s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1)
+      |      + s1 * (s12 * s2 - s22 * s1) AS det,
+      |    s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy)
+      |      + s1 * (s2y * s2 - s22 * sy) AS deta,
+      |    s11 * (s2y * n - sy * s2) - s1y * (s12 * n - s2 * s1)
+      |      + s1 * (s12 * sy - s2y * s1) AS detb,
+      |    s11 * (s22 * sy - s2 * s2y) - s12 * (s12 * sy - s2y * s1)
+      |      + s1y * (s12 * s2 - s22 * s1) AS detc
+      |  FROM m
+      |), sse AS (
+      |  SELECT
+      |    SUM(CAST(floor((y - (ar + br * y1)) * (y - (ar + br * y1)) + 0.5)
+      |        AS HUGEINT)) AS sse_r,
+      |    SUM(CAST(floor((y - (deta / det * y1 + detb / det * x1 + detc / det))
+      |        * (y - (deta / det * y1 + detb / det * x1 + detc / det)) + 0.5)
+      |        AS HUGEINT)) AS sse_u
+      |  FROM lf CROSS JOIN cr
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  CAST(floor(deta / det * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_ylag,
+      |  CAST(floor(detb / det * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_xlag,
+      |  CAST(floor((CAST(sse_r AS DOUBLE) - CAST(sse_u AS DOUBLE))
+      |    / (CAST(sse_u AS DOUBLE) / (n - 3)) * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS f_stat
+      |FROM cr CROSS JOIN sse""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(
+        sum(when(col("event_type") === "purchase",
+          Det.cents(col("value")).cast("long")).otherwise(0L)).as("y"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"))
+    val wd = Window.orderBy("day")
+    val lf = daily
+      .select(col("y"), lag("y", 1).over(wd).as("y1"), lag("x", 1).over(wd).as("x1"))
+      .filter(col("y1").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = lf.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(col("y1"))).cast("double").as("s1"),
+      sum(dec(col("x1"))).cast("double").as("s2"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("y1")) * col("y1")).cast("double").as("s11"),
+      sum(dec(col("y1")) * col("x1")).cast("double").as("s12"),
+      sum(dec(col("x1")) * col("x1")).cast("double").as("s22"),
+      sum(dec(col("y1")) * col("y")).cast("double").as("s1y"),
+      sum(dec(col("x1")) * col("y")).cast("double").as("s2y"))
+    val br = (col("n") * col("s1y") - col("s1") * col("sy")) /
+      (col("n") * col("s11") - col("s1") * col("s1"))
+    val cr = m.select(col("*"),
+      br.as("br"),
+      ((col("sy") - br * col("s1")) / col("n")).as("ar"),
+      (col("s11") * (col("s22") * col("n") - col("s2") * col("s2"))
+        - col("s12") * (col("s12") * col("n") - col("s2") * col("s1"))
+        + col("s1") * (col("s12") * col("s2") - col("s22") * col("s1"))).as("det"),
+      (col("s1y") * (col("s22") * col("n") - col("s2") * col("s2"))
+        - col("s12") * (col("s2y") * col("n") - col("s2") * col("sy"))
+        + col("s1") * (col("s2y") * col("s2") - col("s22") * col("sy"))).as("deta"),
+      (col("s11") * (col("s2y") * col("n") - col("sy") * col("s2"))
+        - col("s1y") * (col("s12") * col("n") - col("s2") * col("s1"))
+        + col("s1") * (col("s12") * col("sy") - col("s2y") * col("s1"))).as("detb"),
+      (col("s11") * (col("s22") * col("sy") - col("s2") * col("s2y"))
+        - col("s12") * (col("s12") * col("sy") - col("s2y") * col("s1"))
+        + col("s1y") * (col("s12") * col("s2") - col("s22") * col("s1"))).as("detc"))
+    val er = col("y") - (col("ar") + col("br") * col("y1"))
+    val eu = col("y") - (col("deta") / col("det") * col("y1")
+      + col("detb") / col("det") * col("x1") + col("detc") / col("det"))
+    val sse = lf.crossJoin(broadcast(cr)).agg(
+      sum(dec(floor(er * er + lit(0.5)))).as("sse_r"),
+      sum(dec(floor(eu * eu + lit(0.5)))).as("sse_u"))
+    cr.crossJoin(broadcast(sse))
+      .select(col("n").cast("long").as("n_days"),
+        (floor(col("deta") / col("det") * 1000000 + lit(0.5)).cast("double")
+          / 1000000).as("coef_ylag"),
+        (floor(col("detb") / col("det") * 1000000 + lit(0.5)).cast("double")
+          / 1000000).as("coef_xlag"),
+        (floor((col("sse_r").cast("double") - col("sse_u").cast("double"))
+          / (col("sse_u").cast("double") / (col("n") - 3)) * 10000
+          + lit(0.5)).cast("double") / 10000).as("f_stat"))
+  }
 }

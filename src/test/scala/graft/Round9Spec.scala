@@ -132,6 +132,87 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("llm_substring_dedup_apply: removal accounting against the raw span list") {
+    val apply = SparkEntry.queries("llm_substring_dedup_apply")(spark, sf).collect()
+    assert(apply.nonEmpty)
+    val spans = SparkEntry.queries("llm_substring_dedup")(spark, sf).collect()
+    val rawByDoc = spans.groupBy(_.getAs[Long]("doc_b"))
+      .view.mapValues(_.map(_.getAs[Long]("span_tokens")).sum).toMap
+    apply.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val (n, rm) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("removed_tokens"))
+      assert(rm > 0 && rm <= n, s"doc $doc removes $rm of $n")
+      // merged-union length never exceeds the raw (possibly overlapping) sum
+      assert(rm <= rawByDoc(doc))
+      val kept = r.getAs[Double]("kept_ratio")
+      assert(math.abs(kept - (n - rm).toDouble / n) < 1e-5)
+    }
+    // every doc_b with a span appears exactly once in the apply report
+    assert(apply.map(_.getAs[Long]("doc_id")).toSet == rawByDoc.keySet)
+  }
+
+  test("multimodal_scene_cuts: every cut's delta agrees with the frame energies") {
+    val cuts = SparkEntry.queries("multimodal_scene_cuts")(spark, sf).collect()
+    assert(cuts.nonEmpty)
+    import org.apache.spark.sql.functions.{col => c}
+    val media = graft.ops.Multimodal.mediaFromDocuments(spark,
+      spark.read.parquet(s"$sf/documents.parquet"), kinds = Seq("video"))
+    val energy = graft.ops.Multimodal.frameEnergy(media)
+      .toDF("id", "win", "n", "ssq").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("win")) -> r.getAs[Long]("ssq"))
+      .toMap
+    cuts.foreach { r =>
+      val (id, f) = (r.getAs[Long]("id"), r.getAs[Int]("cut_frame"))
+      val delta = r.getAs[Long]("delta")
+      assert(f >= 1, "frame 0 has no predecessor and cannot be a cut")
+      assert(math.abs(delta) >= 25000)
+      assert(energy((id, f)) - energy((id, f - 1)) == delta)
+    }
+  }
+
+  test("text_lm_crossent_loso: all sources scored, held-out NLL positive and bounded") {
+    val rows = SparkEntry.queries("text_lm_crossent_loso")(spark, sf).collect()
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("heldout_nll")
+      assert(nll > 0.0 && nll < 20.0, s"NLL $nll out of range")
+      assert(r.getAs[Long]("n_bigrams") > 0)
+    }
+  }
+
+  test("ml_linreg_ols: coefficients satisfy the intercept normal equation") {
+    // mean(y) = a·mean(x1) + b·mean(x2) + c for ANY least-squares fit with
+    // an intercept — an oracle-blind invariant (the oracle runs the same
+    // expression tree, so a formula slip passes the hash yet fails this;
+    // the round-9 detc transposition did exactly that)
+    import org.apache.spark.sql.functions.{col => c, _}
+    val r = SparkEntry.queries("ml_linreg_ols")(spark, sf).collect().head
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(to_date(date_trunc("day", c("ts"))).as("day"))
+      .agg(
+        sum(when(c("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+        countDistinct(c("user_id")).as("x2"),
+        sum(when(c("event_type") === "purchase",
+          graft.engine.Det.cents(c("value")).cast("long")).otherwise(0L)).as("y"))
+      .agg(avg("x1"), avg("x2"), avg("y")).collect().head
+    val (mx1, mx2, my) = (daily.getDouble(0), daily.getDouble(1), daily.getDouble(2))
+    val fit = r.getAs[Double]("coef_clicks") * mx1 +
+      r.getAs[Double]("coef_users") * mx2 + r.getAs[Double]("intercept")
+    assert(math.abs(fit - my) / math.abs(my) < 1e-3,
+      s"normal equation violated: fit of means $fit vs mean y $my")
+  }
+
+  test("ts_granger_lite: F >= 0 (nested models) and coefficients finite") {
+    val r = SparkEntry.queries("ts_granger_lite")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_days") >= 10)
+    // RSS_restricted >= RSS_unrestricted for nested OLS; the integer SSE
+    // rounding can only move the ratio by a hair
+    assert(r.getAs[Double]("f_stat") >= -0.01)
+    assert(!r.getAs[Double]("coef_ylag").isNaN && !r.getAs[Double]("coef_xlag").isNaN)
+  }
+
   test("sql_pivot / sql_unpivot: pivot cells reconcile with unpivot rows") {
     val pivot = SparkEntry.queries("sql_pivot")(spark, sf).collect()
       .map(r => r.getAs[String]("flag") ->
