@@ -1,0 +1,412 @@
+#!/usr/bin/env python3
+"""Independent recomputation audit for formula-heavy graded queries.
+
+The DuckDB oracle runs the SAME expression tree as the Spark side, so a
+mathematical slip in a closed-form statistic passes the hash-compare in
+both engines (round 9 found exactly that: ml_linreg_ols's intercept
+cofactor had a transposed index). This tool re-derives each statistic
+FROM TEXTBOOK DEFINITIONS in plain Python — sharing only the documented
+data-preprocessing conventions (cents/4-dp quantization, daily
+aggregation, anchor dates) — and compares against the Verify dump.
+
+Usage: python3 tools/formula_audit.py <sfdir> <verify_outdir> [query ...]
+"""
+import math
+import sys
+from fractions import Fraction
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vfull"
+ONLY = set(sys.argv[3:])
+
+con = duckdb.connect()
+fails = []
+checked = []
+
+
+def rows(sql):
+    return con.execute(sql).fetchall()
+
+
+def dump(name):
+    return rows(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+
+
+def dump_cols(name):
+    con.execute(f"SELECT * FROM '{OUT}/{name}/*.parquet' LIMIT 0")
+    return [d[0] for d in con.description]
+
+
+def close(a, b, tol=5e-3):
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+def report(name, mismatches, n):
+    checked.append(name)
+    if mismatches:
+        fails.append(name)
+        print(f"FAIL {name}: {len(mismatches)}/{n} cells disagree")
+        for m in mismatches[:5]:
+            print(f"  {m}")
+    else:
+        print(f"PASS {name} ({n} cells)")
+
+
+def events_q4():
+    """Per-row values quantized at 4 dp (the Det.fix convention)."""
+    return rows(
+        "SELECT event_type, CAST(floor(value * 10000 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet'")
+
+
+def groups_q4():
+    g = {}
+    for t, v in events_q4():
+        g.setdefault(t, []).append(v / 10000.0)
+    return g
+
+
+def daily_xi():
+    """user_id -> [(day, xi)] with xi = rounded 1e-4-unit daily mean,
+    replicating the documented avgFix preprocessing."""
+    r = rows(
+        "SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS s1, COUNT(*) AS n "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2")
+    out = {}
+    for u, day, s1, n in r:
+        q = math.floor(s1 / 10000.0 / n * 10000 + 0.5)  # avgFix 4-dp
+        out.setdefault(u, []).append((day, int(q)))
+    return out
+
+
+def sample_var(xs, mean):
+    return sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+
+
+def audit_welch():
+    g = groups_q4()
+    base = g["view"]
+    nb, mb = len(base), sum(base) / len(base)
+    vb = sample_var(base, mb)
+    exp = {}
+    for t, xs in g.items():
+        if t == "view":
+            continue
+        n, m = len(xs), sum(xs) / len(xs)
+        v = sample_var(xs, m)
+        u = v / n + vb / nb
+        tstat = (m - mb) / math.sqrt(u)
+        df = u * u / ((v / n) ** 2 / (n - 1) + (vb / nb) ** 2 / (nb - 1))
+        exp[t] = (m, tstat, df)
+    mis = []
+    got = dump("events_ab_welch")
+    for r in got:
+        t, _, mean, tstat, df = r
+        em, et, edf = exp[t]
+        if not (close(mean, em) and close(tstat, et) and close(df, edf, 2e-3)):
+            mis.append((t, "got", (mean, tstat, df), "exp", (em, et, edf)))
+    report("events_ab_welch", mis, len(got) * 3)
+
+
+def central_moments(xs):
+    n = len(xs)
+    m = sum(xs) / n
+    m2 = sum((x - m) ** 2 for x in xs) / n
+    m3 = sum((x - m) ** 3 for x in xs) / n
+    m4 = sum((x - m) ** 4 for x in xs) / n
+    return n, m2, m3, m4
+
+
+def groups_cents():
+    g = {}
+    for t, v in rows(
+            "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) "
+            f"FROM '{SF}/events.parquet'"):
+        g.setdefault(t, []).append(float(v))
+    return g
+
+
+def audit_jarque_bera():
+    mis = []
+    got = dump("stats_jarque_bera")
+    cols = dump_cols("stats_jarque_bera")
+    ji = cols.index("jb")
+    g = groups_cents()
+    for r in got:
+        t = r[0]
+        n, m2, m3, m4 = central_moments(g[t])
+        s = m3 / m2 ** 1.5
+        k = m4 / (m2 * m2) - 3
+        jb = n / 6.0 * (s * s + k * k / 4)
+        if not close(r[ji], jb, 2e-3):
+            mis.append((t, "got", r[ji], "exp", jb))
+    report("stats_jarque_bera", mis, len(got))
+
+
+def audit_skew_kurtosis():
+    mis = []
+    got = dump("agg_skew_kurtosis")
+    cols = dump_cols("agg_skew_kurtosis")
+    g = groups_cents()
+    for r in got:
+        row = dict(zip(cols, r))
+        t = row["event_type"]
+        n, m2, m3, m4 = central_moments(g[t])
+        s = m3 / m2 ** 1.5
+        k = m4 / (m2 * m2) - 3
+        for cname, exp in (("skewness", s), ("kurtosis_excess", k)):
+            if cname in row and not close(row[cname], exp, 2e-3):
+                mis.append((t, cname, "got", row[cname], "exp", exp))
+    report("agg_skew_kurtosis", mis, len(got) * 2)
+
+
+def audit_mann_kendall():
+    mis = []
+    series = daily_xi()
+    got = dump("ts_mann_kendall")
+    cols = dump_cols("ts_mann_kendall")
+    for r in got:
+        row = dict(zip(cols, r))
+        u = row["user_id"]
+        xs = [x for _, x in sorted(series[u])]
+        nd = len(xs)
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(nd) for j in range(i + 1, nd))
+        ties = {}
+        for x in xs:
+            ties[x] = ties.get(x, 0) + 1
+        tcor = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var = (nd * (nd - 1) * (2 * nd + 5) - tcor) / 18.0
+        if nd < 2 or var == 0:
+            z = None
+        elif s > 0:
+            z = (s - 1) / math.sqrt(var)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        if row["s"] != s or not close(row["z"], z):
+            mis.append((u, "got", (row["s"], row["z"]), "exp", (s, z)))
+    report("ts_mann_kendall", mis, len(got) * 2)
+
+
+def audit_theil_sen():
+    mis = []
+    series = daily_xi()
+    got = dump("ts_theil_sen")
+    cols = dump_cols("ts_theil_sen")
+    for r in got:
+        row = dict(zip(cols, r))
+        u = row["user_id"]
+        pts = sorted(series[u])
+        slopes = sorted(
+            (x2 - x1) / (d2 - d1).days
+            for i, (d1, x1) in enumerate(pts)
+            for (d2, x2) in pts[i + 1:])
+        c = len(slopes)
+        if c == 0:
+            continue
+        if c % 2 == 1:
+            med = slopes[c // 2]
+        else:
+            med = (slopes[c // 2 - 1] + slopes[c // 2]) / 2
+        exp = med / 10000.0  # xi is in 1e-4 units
+        if row["n_pairs"] != c or not close(row["slope_per_day"], exp, 2e-3):
+            mis.append((u, "got", (row["n_pairs"], row["slope_per_day"]),
+                        "exp", (c, exp)))
+    report("ts_theil_sen", mis, len(got) * 2)
+
+
+def audit_autocorr():
+    mis = []
+    series = daily_xi()
+    got = dump("ts_autocorr")
+    cols = dump_cols("ts_autocorr")
+    for r in got:
+        row = dict(zip(cols, r))
+        u = row["user_id"]
+        xs = [x for _, x in sorted(series[u])]
+        pairs = list(zip(xs[1:], xs[:-1]))  # (today, yesterday)
+        n = len(pairs)
+        if n == 0:
+            continue
+        sa = sum(a for a, _ in pairs)
+        sb = sum(b for _, b in pairs)
+        sab = sum(a * b for a, b in pairs)
+        saa = sum(a * a for a, _ in pairs)
+        sbb = sum(b * b for _, b in pairs)
+        da = n * saa - sa * sa
+        db = n * sbb - sb * sb
+        exp = None if da == 0 or db == 0 else \
+            (n * sab - sa * sb) / math.sqrt(float(da) * float(db))
+        if row["n_pairs"] != n or not close(row["r"], exp):
+            mis.append((u, "got", (row["n_pairs"], row["r"]), "exp", (n, exp)))
+    report("ts_autocorr", mis, len(got) * 2)
+
+
+def audit_kendall_tau():
+    mis = []
+    r = rows(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s, COUNT(*) AS c "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2")
+    series = {}
+    for t, day, s, c in r:
+        series.setdefault(t, []).append((day, Fraction(int(s), int(c))))
+    got = dump("stats_kendall_tau")
+    cols = dump_cols("stats_kendall_tau")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        t = row["event_type"]
+        ys = [y for _, y in sorted(series[t])]
+        n = len(ys)
+        cd = tt = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if ys[j] > ys[i]:
+                    cd += 1
+                elif ys[j] < ys[i]:
+                    cd -= 1
+                else:
+                    tt += 1
+        n0 = n * (n - 1) // 2
+        tau = cd / math.sqrt(float(n0) * float(n0 - tt))
+        if row["n0"] != n0 or row["cd"] != cd or not close(row["tau_b"], tau):
+            mis.append((t, "got", (row["n0"], row["cd"], row["tau_b"]),
+                        "exp", (n0, cd, tau)))
+    report("stats_kendall_tau", mis, len(got) * 3)
+
+
+def audit_cramers_v():
+    mis = []
+    # dow via the repo's documented sign-safe anchor convention
+    r = rows(
+        "SELECT ((date_diff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS dow, "
+        f"event_type, COUNT(*) FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    cells = {(d, t): c for d, t, c in r}
+    dows = sorted({d for d, _ in cells})
+    types = sorted({t for _, t in cells})
+    n = sum(cells.values())
+    rowt = {d: sum(cells.get((d, t), 0) for t in types) for d in dows}
+    colt = {t: sum(cells.get((d, t), 0) for d in dows) for d in dows for t in types}
+    chi2 = 0.0
+    for d in dows:
+        for t in types:
+            e = rowt[d] * colt[t] / n
+            o = cells.get((d, t), 0)
+            # the repo contract sums 6-dp-rounded cell terms
+            chi2 += math.floor((o - e) ** 2 / e * 1e6 + 0.5) / 1e6
+    v = math.sqrt(chi2 / (n * (min(len(dows), len(types)) - 1)))
+    got = dump("stats_cramers_v")
+    cols = dump_cols("stats_cramers_v")
+    row = dict(zip(cols, got[0]))
+    if not (close(row["chi2"], chi2, 1e-3) and close(row["cramers_v"], v, 1e-3)):
+        mis.append(("got", (row["chi2"], row["cramers_v"]), "exp", (chi2, v)))
+    report("stats_cramers_v", mis, 2)
+
+
+def audit_ks_test():
+    mis = []
+    g = {}
+    for t, v in rows(
+            "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) "
+            f"FROM '{SF}/events.parquet' "
+            "WHERE event_type IN ('click', 'purchase')"):
+        g.setdefault(t, []).append(int(v))
+    a, b = sorted(g["click"]), sorted(g["purchase"])
+    import bisect
+    vals = sorted(set(a) | set(b))
+    best = 0.0
+    for v in vals:
+        f1 = bisect.bisect_right(a, v) / len(a)
+        f2 = bisect.bisect_right(b, v) / len(b)
+        best = max(best, abs(f1 - f2))
+    got = dump("events_ks_test")
+    cols = dump_cols("events_ks_test")
+    row = dict(zip(cols, got[0]))
+    if not close(row["ks_d"], best, 1e-3):
+        mis.append(("got", row["ks_d"], "exp", best))
+    report("events_ks_test", mis, 1)
+
+
+def audit_granger():
+    mis = []
+    r = rows(
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CASE WHEN event_type='purchase' THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) AS y, "
+        "SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS x "
+        f"FROM '{SF}/events.parquet' GROUP BY 1) "
+        "SELECT day, y, x FROM daily ORDER BY day")
+    ys = [float(y) for _, y, _ in r]
+    xs = [float(x) for _, _, x in r]
+    y, y1, x1 = ys[1:], ys[:-1], xs[:-1]
+    n = len(y)
+
+    def ols(feats, target):
+        k = len(feats) + 1
+        m = [[Fraction(0)] * (k + 1) for _ in range(k)]
+        rows_ = [list(f) + [1.0] for f in zip(*feats)] if feats else [[1.0]] * len(target)
+        for ri, t in zip(rows_, target):
+            for i in range(k):
+                for j in range(k):
+                    m[i][j] += Fraction(ri[i]) * Fraction(ri[j])
+                m[i][k] += Fraction(ri[i]) * Fraction(t)
+        for i in range(k):
+            p = m[i][i]
+            for j in range(k):
+                if j != i:
+                    f = m[j][i] / p
+                    m[j] = [a - f * c for a, c in zip(m[j], m[i])]
+        coef = [float(m[i][k] / m[i][i]) for i in range(k)]
+        rss = sum((t - sum(c * f for c, f in zip(coef, ri))) ** 2
+                  for ri, t in zip(rows_, target))
+        return coef, rss
+
+    _, rss_r = ols([y1], y)
+    coef_u, rss_u = ols([y1, x1], y)
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    got = dump("ts_granger_lite")
+    cols = dump_cols("ts_granger_lite")
+    row = dict(zip(cols, got[0]))
+    if not (close(row["coef_ylag"], coef_u[0], 1e-3)
+            and close(row["coef_xlag"], coef_u[1], 1e-3)
+            and close(row["f_stat"], f, 2e-2)):
+        mis.append(("got", (row["coef_ylag"], row["coef_xlag"], row["f_stat"]),
+                    "exp", (coef_u[0], coef_u[1], f)))
+    report("ts_granger_lite", mis, 3)
+
+
+AUDITS = {
+    "events_ab_welch": audit_welch,
+    "stats_jarque_bera": audit_jarque_bera,
+    "agg_skew_kurtosis": audit_skew_kurtosis,
+    "ts_mann_kendall": audit_mann_kendall,
+    "ts_theil_sen": audit_theil_sen,
+    "ts_autocorr": audit_autocorr,
+    "stats_kendall_tau": audit_kendall_tau,
+    "stats_cramers_v": audit_cramers_v,
+    "events_ks_test": audit_ks_test,
+    "ts_granger_lite": audit_granger,
+}
+
+for name, fn in AUDITS.items():
+    if ONLY and name not in ONLY:
+        continue
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001 - audit must report, not die
+        fails.append(name)
+        checked.append(name)
+        print(f"ERROR {name}: {e}")
+
+print(f"\n{len(checked) - len(fails)}/{len(checked)} audits agree")
+sys.exit(1 if fails else 0)
