@@ -768,4 +768,37 @@ object Streaming extends QueryPack {
       .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
   }
+
+  // CDC upsert through the streaming tier — the events stream read as a
+  // changelog on per-user profile rows ('error' ops are deletes, all
+  // others upserts), resolved last-writer-wins by EVENT time (ts,
+  // event_id), not arrival order, via the keyed state machine in
+  // streaming/CdcUpsert.scala (flatMapGroupsWithState; state = one
+  // 4-field winner per key). Deleted keys surface with a tombstone flag,
+  // the changelog-complete shape a downstream MERGE consumes. The winner
+  // is a MAX, so micro-batch boundaries cannot change the result —
+  // StreamingSpec pins streaming-mode last-emission parity with this
+  // graded batch path.
+  q("stream_cdc_upsert",
+    """WITH r AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS del,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |SELECT user_id, ts_us, cents, CAST(del AS INT) AS deleted
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id""") { (s, dir) =>
+    import s.implicits._
+    val ops = Tables(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), Det.cents(col("value")).cast("long").as("cents"),
+        (col("event_type") === "error").as("del"))
+      .as[graft.streaming.CdcUpsert.Op]
+    graft.streaming.CdcUpsert.upserts(ops)
+      .toDF()
+      .orderBy("user_id")
+  }
 }

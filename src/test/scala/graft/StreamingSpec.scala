@@ -59,6 +59,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc upsert resolves last-writer-wins by event time across micro-batches") {
+    import graft.streaming.CdcUpsert
+    import graft.streaming.CdcUpsert.{Op, Upsert}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Op]
+    val q = CdcUpsert.upserts(in.toDS())
+      .writeStream.format("memory").queryName("cdc_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two upserts for key 1, event time decides (id 2 wins)
+      in.addData(Op(1L, 1000L, 1L, 500L, del = false),
+        Op(1L, 2000L, 2L, 600L, del = false))
+      q.processAllAvailable()
+      def latest(): Map[Long, Upsert] =
+        spark.table("cdc_test").as[Upsert].collect()
+          .zipWithIndex.sortBy(_._2).map(_._1)
+          .groupBy(_.user_id).view.mapValues(_.last).toMap
+      assert(latest()(1L) == Upsert(1L, 2000L, 600L, 0))
+      // batch 2: an OLDER event arrives late — state must NOT regress
+      in.addData(Op(1L, 1500L, 9L, 999L, del = false))
+      q.processAllAvailable()
+      assert(latest()(1L) == Upsert(1L, 2000L, 600L, 0))
+      // batch 3: a newer DELETE tombstones the key
+      in.addData(Op(1L, 3000L, 10L, 0L, del = true))
+      q.processAllAvailable()
+      assert(latest()(1L) == Upsert(1L, 3000L, 0L, 1))
+    } finally q.stop()
+  }
+
   test("watermark drops late rows in append-mode windowed aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
