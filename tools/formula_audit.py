@@ -385,6 +385,193 @@ def audit_granger():
     report("ts_granger_lite", mis, 3)
 
 
+def audit_levene():
+    mis = []
+    g = groups_cents()
+    zbar = {}
+    zall_sum = 0.0
+    nn = 0
+    zs = {}
+    for t, xs in g.items():
+        m = sum(xs) / len(xs)
+        z = [abs(x - m) for x in xs]
+        zs[t] = z
+        zbar[t] = sum(z) / len(z)
+        zall_sum += sum(z)
+        nn += len(z)
+    zall = zall_sum / nn
+    k = len(g)
+    num = sum(len(z) * (zbar[t] - zall) ** 2 for t, z in zs.items())
+    den = sum(sum((zi - zbar[t]) ** 2 for zi in z) for t, z in zs.items())
+    w = (nn - k) / (k - 1) * num / den
+    row = dict(zip(dump_cols("stats_levene"), dump("stats_levene")[0]))
+    if not (row["k"] == k and row["n"] == nn and close(row["w"], w, 2e-3)):
+        mis.append(("got", (row["k"], row["n"], row["w"]), "exp", (k, nn, w)))
+    report("stats_levene", mis, 3)
+
+
+def audit_kruskal():
+    mis = []
+    g = groups_cents()
+    allv = sorted(v for xs in g.values() for v in xs)
+    nn = len(allv)
+    # midranks per distinct value
+    rank = {}
+    i = 0
+    while i < nn:
+        j = i
+        while j < nn and allv[j] == allv[i]:
+            j += 1
+        rank[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    h = 12.0 / (nn * (nn + 1)) * sum(
+        len(xs) * (sum(rank[v] for v in xs) / len(xs) - (nn + 1) / 2.0) ** 2
+        for xs in g.values())
+    ties = {}
+    for v in allv:
+        ties[v] = ties.get(v, 0) + 1
+    corr = 1 - sum(t ** 3 - t for t in ties.values()) / (nn ** 3 - nn)
+    row = dict(zip(dump_cols("stats_kruskal_wallis"),
+                   dump("stats_kruskal_wallis")[0]))
+    if not (close(row["h"], h, 2e-3)
+            and close(row["h_tie_corrected"], h / corr, 2e-3)):
+        mis.append(("got", (row["h"], row["h_tie_corrected"]),
+                    "exp", (h, h / corr)))
+    report("stats_kruskal_wallis", mis, 2)
+
+
+def audit_overdispersion():
+    mis = []
+    r = rows(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE), COUNT(*) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    g = {}
+    for t, _, c in r:
+        g.setdefault(t, []).append(c)
+    got = dump("events_overdispersion")
+    cols = dump_cols("events_overdispersion")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        cs = g[row["event_type"]]
+        k, m = len(cs), sum(cs) / len(cs)
+        var = sum((c - m) ** 2 for c in cs) / (k - 1)
+        if not (row["k"] == k and close(row["mean_daily"], m)
+                and close(row["dispersion"], var / m, 2e-3)):
+            mis.append((row["event_type"], "got",
+                        (row["k"], row["mean_daily"], row["dispersion"]),
+                        "exp", (k, m, var / m)))
+    report("events_overdispersion", mis, len(got) * 3)
+
+
+def audit_mutual_information():
+    mis = []
+    r = rows(
+        "SELECT event_type, ((date_diff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7, COUNT(*) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    cxy = {(x, y): c for x, y, c in r}
+    n = sum(cxy.values())
+    cx = {}
+    cy = {}
+    for (x, y), c in cxy.items():
+        cx[x] = cx.get(x, 0) + c
+        cy[y] = cy.get(y, 0) + c
+    mi = sum(c / n * math.log(c * n / (cx[x] * cy[y]))
+             for (x, y), c in cxy.items())
+    hx = -sum(c / n * math.log(c / n) for c in cx.values())
+    hy = -sum(c / n * math.log(c / n) for c in cy.values())
+    nmi = mi / math.sqrt(hx * hy)
+    row = dict(zip(dump_cols("stats_mutual_information"),
+                   dump("stats_mutual_information")[0]))
+    if not (close(row["mi"], mi, 2e-3) and close(row["h_x"], hx, 2e-3)
+            and close(row["h_y"], hy, 2e-3) and close(row["nmi"], nmi, 2e-3)):
+        mis.append(("got", (row["mi"], row["h_x"], row["h_y"], row["nmi"]),
+                    "exp", (mi, hx, hy, nmi)))
+    report("stats_mutual_information", mis, 4)
+
+
+def audit_ljung_box():
+    mis = []
+    r = rows(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    xs = [x for _, x in r]
+    n = len(xs)
+    m = sum(xs) // n  # the documented integer-mean convention
+    dv = [x - m for x in xs]
+    c0 = sum(d * d for d in dv)
+    q = 0.0
+    rks = []
+    for k in range(1, 6):
+        ck = sum(dv[i] * dv[i - k] for i in range(k, n))
+        rk = ck / c0
+        rks.append(rk)
+        q += rk * rk / (n - k)
+    q *= n * (n + 2)
+    row = dict(zip(dump_cols("ts_ljung_box"), dump("ts_ljung_box")[0]))
+    ok = row["n_days"] == n and close(row["q_stat"], q, 2e-3) and all(
+        close(row[f"r{k}"], rks[k - 1], 2e-3) for k in range(1, 6))
+    if not ok:
+        mis.append(("got", tuple(row.values()), "exp", (n, *rks, q)))
+    report("ts_ljung_box", mis, 7)
+
+
+def audit_cohens_d():
+    mis = []
+    g = groups_q4()
+    base = g["view"]
+    nb, mb = len(base), sum(base) / len(base)
+    vb = sample_var(base, mb)
+    got = dump("stats_cohens_d")
+    cols = dump_cols("stats_cohens_d")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        xs = g[row["event_type"]]
+        nx, mx = len(xs), sum(xs) / len(xs)
+        vx = sample_var(xs, mx)
+        sp = math.sqrt(((nx - 1) * vx + (nb - 1) * vb) / (nx + nb - 2))
+        d = (mx - mb) / sp
+        gg = d * (1 - 3.0 / (4 * (nx + nb) - 9))
+        if not (close(row["d"], d, 2e-3) and close(row["g"], gg, 2e-3)):
+            mis.append((row["event_type"], "got", (row["d"], row["g"]),
+                        "exp", (d, gg)))
+    report("stats_cohens_d", mis, len(got) * 2)
+
+
+def audit_drift_jsd():
+    mis = []
+    r = rows(
+        "SELECT event_type, "
+        "CAST(floor(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE) / 500) AS BIGINT), "
+        "CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END, COUNT(*) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2, 3")
+    bins = {}
+    for t, b, h, c in r:
+        e = bins.setdefault(t, {}).setdefault(b, [0, 0])
+        e[h] += c
+    got = dump("dq_drift_jsd")
+    cols = dump_cols("dq_drift_jsd")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        bm = bins[row["event_type"]]
+        c1 = {b: v[0] + 1 for b, v in bm.items()}  # add-one smoothing
+        c2 = {b: v[1] + 1 for b, v in bm.items()}
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        jsd = 0.0
+        for b in bm:
+            p, q = c1[b] / n1, c2[b] / n2
+            mmid = (p + q) / 2
+            jsd += 0.5 * (p * math.log(p / mmid) + q * math.log(q / mmid))
+        if not (row["n1"] == n1 and row["n2"] == n2
+                and row["n_bins"] == len(bm)
+                and close(row["jsd_nats"], jsd, 2e-3)):
+            mis.append((row["event_type"], "got",
+                        (row["n1"], row["n2"], row["n_bins"], row["jsd_nats"]),
+                        "exp", (n1, n2, len(bm), jsd)))
+    report("dq_drift_jsd", mis, len(got) * 4)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -396,6 +583,13 @@ AUDITS = {
     "stats_cramers_v": audit_cramers_v,
     "events_ks_test": audit_ks_test,
     "ts_granger_lite": audit_granger,
+    "stats_levene": audit_levene,
+    "stats_kruskal_wallis": audit_kruskal,
+    "events_overdispersion": audit_overdispersion,
+    "stats_mutual_information": audit_mutual_information,
+    "ts_ljung_box": audit_ljung_box,
+    "stats_cohens_d": audit_cohens_d,
+    "dq_drift_jsd": audit_drift_jsd,
 }
 
 for name, fn in AUDITS.items():
