@@ -60,6 +60,21 @@ object ScaleStress {
     time("jaccard pairs 1x planted-boilerplate UNCAPPED (hot key d=5000)")(
       ops.Dedup.jaccardPairs(boiler, "text", "doc_id", 3, 0.3,
         dfCap = Int.MaxValue).count())
+    // substring-span dedup under the same planted-ubiquity attack: one
+    // 8-token prefix shared by ALL 5k docs is a df=5000 ANCHOR that the
+    // uncapped inverted-index join expands to ~12.5M candidate pairs from
+    // one key; the df cap (8) excludes it before the join. Span output is
+    // IDENTICAL (a lone boilerplate anchor is a run of 1 → span 8 < the
+    // minSpan 10 floor), so the cap is pure cost, no recall.
+    val spanBoiler = d1.select(col("doc_id"),
+      concat(lit("ba bb bc bd be bf bg bh "), col("text")).as("text")).cache()
+    spanBoiler.count()
+    time("substring spans 1x planted-ubiquitous-anchor CAPPED (df cap 8)")(
+      ops.Dedup.substringSpans(spanBoiler).count())
+    time("substring spans 1x planted-ubiquitous-anchor UNCAPPED (hot anchor d=5000)")(
+      ops.Dedup.substringSpans(spanBoiler, dfCap = Int.MaxValue).count())
+    time("substring spans 10x (50k docs)")(
+      ops.Dedup.substringSpans(d10).count())
     time("minhash pairs 1x")(ops.Dedup.minhashPairs(d1, "text", "doc_id", 3, 32, 8, 0.3).count())
     time("minhash pairs 10x")(ops.Dedup.minhashPairs(d10, "text", "doc_id", 3, 32, 8, 0.3).count())
     time("simhash pairs 10x")(ops.Dedup.simhashPairs(d10, "text", "doc_id", 3).count())

@@ -515,4 +515,48 @@ object Dedup {
       .select(col("doc_id"), col("text_dedup"), col("n_kept"),
         col("n_chunks").cast("int").as("n_chunks"))
   }
+
+  /** Cross-document duplicated token SPANS (Lee et al. 2022 substring
+    * dedup, relationally): k-token anchors from every position, a
+    * df-capped inverted-index self-join for candidates, and maximal
+    * shared spans as gap-islands along each doc-pair diagonal
+    * (pos_a − pos_b constant; a run of r consecutive anchors is a shared
+    * span of r+k−1 tokens). The df cap is the stop-shingle argument at
+    * the anchor level: a boilerplate k-gram present in d documents is an
+    * O(d²) join key, and pairs sharing ONLY ubiquitous anchors are
+    * boilerplate, not duplication — dropping them bounds every join key
+    * while leaving true long spans (which contain many NON-ubiquitous
+    * anchors) intact. Output: (doc_a, doc_b, start_a, start_b,
+    * span_tokens), positions 1-based. */
+  def substringSpans(docs: DataFrame, k: Int = 8, dfCap: Int = 8,
+                     minSpan: Int = 10): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+    val wk = Window.partitionBy("doc_id").orderBy("p0").rowsBetween(0, k - 1)
+    val kg = toks
+      .withColumn("arr", collect_list("tok").over(wk))
+      .filter(size(col("arr")) === k)
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        // shuffle a 64-bit anchor hash, not the k-token string
+        xxhash64(concat_ws(" ", col("arr"))).as("anchor"))
+    val keep = kg.groupBy("anchor")
+      .agg(countDistinct("doc_id").as("d"))
+      .filter(col("d").between(2, dfCap))
+      .select("anchor")
+    val ka = kg.join(keep, "anchor")
+    val pr = ka.select(col("anchor"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(ka.select(col("anchor"), col("doc_id").as("db"), col("pos").as("pb")),
+        "anchor")
+      .filter(col("da") < col("db"))
+    val wi = Window.partitionBy(col("da"), col("db"), col("pa") - col("pb"))
+      .orderBy("pa")
+    pr.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(wi))
+      .groupBy("da", "db", "diag", "grp")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("start_a"), col("start_b"), col("span_tokens"))
+  }
 }

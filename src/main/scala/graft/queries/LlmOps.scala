@@ -2858,36 +2858,9 @@ object LlmOps extends QueryPack {
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
   private def substringSpans(s: org.apache.spark.sql.SparkSession,
                              dir: String): DataFrame =
-    spanMemo.getOrElseUpdate((s, dir), {
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
-      val wk = Window.partitionBy("doc_id").orderBy("p0").rowsBetween(0, 7)
-      val kg = toks
-        .withColumn("arr", collect_list("tok").over(wk))
-        .filter(size(col("arr")) === 8)
-        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-          concat_ws(" ", col("arr")).as("anchor"))
-      val keep = kg.groupBy("anchor")
-        .agg(countDistinct("doc_id").as("d"))
-        .filter(col("d").between(2, 8))
-        .select("anchor")
-      val ka = kg.join(keep, "anchor")
-      val pr = ka.select(col("anchor"), col("doc_id").as("da"), col("pos").as("pa"))
-        .join(ka.select(col("anchor"), col("doc_id").as("db"), col("pos").as("pb")),
-          "anchor")
-        .filter(col("da") < col("db"))
-      val wi = Window.partitionBy(col("da"), col("db"), col("pa") - col("pb"))
-        .orderBy("pa")
-      pr.withColumn("diag", col("pa") - col("pb"))
-        .withColumn("grp", col("pa") - row_number().over(wi))
-        .groupBy("da", "db", "diag", "grp")
-        .agg(min("pa").as("start_a"), min("pb").as("start_b"),
-          (count(lit(1)) + 7).as("span_tokens"))
-        .filter(col("span_tokens") >= 10)
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          col("start_a"), col("start_b"), col("span_tokens"))
-        .localCheckpoint()
-    })
+    spanMemo.getOrElseUpdate((s, dir),
+      Dedup.substringSpans(Tables(s, dir, "documents"),
+        k = 8, dfCap = 8, minSpan = 10).localCheckpoint())
 
   // Cross-document duplicated-SPAN extraction (the substring-level dedup
   // of Lee et al. 2022 "Deduplicating Training Data Makes Language

@@ -205,4 +205,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(below.contains("HashAggregate"),
       s"window input is not the aggregated histogram:\n$p")
   }
+
+  test("llm_substring_dedup: anchor-blocked joins only — no cartesian, hashed anchors") {
+    // the graded query localCheckpoints its memoized span frame (plan
+    // truncation by design), so pin the ops-level plan it wraps
+    val p = graft.ops.Dedup
+      .substringSpans(spark.read.parquet(s"$sf/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    // candidates must come from equi-joins on the anchor key, never a
+    // doc × doc cross product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"span candidates degenerate to all-pairs:\n$p")
+    // the join key is the 64-bit anchor hash — the k-token anchor STRING
+    // must not survive into any exchange
+    assert(p.contains("xxhash64"), s"anchor hashing missing:\n$p")
+  }
 }
