@@ -572,6 +572,171 @@ def audit_drift_jsd():
     report("dq_drift_jsd", mis, len(got) * 4)
 
 
+def audit_drift_psi():
+    mis = []
+    r = rows(
+        "SELECT n_chars // 64, "
+        "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), "
+        "SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) "
+        f"FROM '{SF}/documents.parquet' GROUP BY 1")
+    rt = sum(rn for _, rn, _ in r)
+    ct = sum(cn for _, _, cn in r)
+    exp = {b: (rn / rt - cn / ct) * math.log((rn * ct) / (cn * rt))
+           for b, rn, cn in r if rn > 0 and cn > 0}
+    got = dump("dq_drift_psi")
+    cols = dump_cols("dq_drift_psi")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        if not close(row["psi_term"], exp[row["bucket"]], 2e-3):
+            mis.append((row["bucket"], "got", row["psi_term"],
+                        "exp", exp[row["bucket"]]))
+    if set(exp) != {dict(zip(cols, r_))["bucket"] for r_ in got}:
+        mis.append(("bucket set mismatch",))
+    report("dq_drift_psi", mis, len(got))
+
+
+def audit_benford():
+    mis = []
+    r = rows(
+        "SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+        f"AS VARCHAR), 1, 1), COUNT(*) FROM '{SF}/orders.parquet' GROUP BY 1")
+    cnt = dict(r)
+    n = sum(cnt.values())
+    got = dump("dq_benford")
+    cols = dump_cols("dq_benford")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        d = row["digit"]
+        ef = math.log10(1 + 1 / int(d))
+        if not (row["n_obs"] == cnt[d] and close(row["obs_frac"], cnt[d] / n)
+                and close(row["exp_frac"], ef)):
+            mis.append((d, "got", (row["n_obs"], row["obs_frac"], row["exp_frac"]),
+                        "exp", (cnt[d], cnt[d] / n, ef)))
+    report("dq_benford", mis, len(got) * 3)
+
+
+def audit_gini():
+    mis = []
+    r = rows(
+        "SELECT o_orderstatus, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/orders.parquet'")
+    g = {}
+    for s, c in r:
+        g.setdefault(s, []).append(int(c))
+    got = dump("agg_gini")
+    cols = dump_cols("agg_gini")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        xs = sorted(g[row["s"]])
+        n = len(xs)
+        gini = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) \
+            / (n * float(sum(xs))) - (n + 1.0) / n
+        if not (row["n"] == n and close(row["gini"], gini, 1e-3)):
+            mis.append((row["s"], "got", (row["n"], row["gini"]),
+                        "exp", (n, gini)))
+    report("agg_gini", mis, len(got) * 2)
+
+
+def audit_theil():
+    mis = []
+    r = rows(
+        "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet' WHERE value > 0")
+    g = {}
+    for t, x in r:
+        g.setdefault(t, []).append(int(x))
+    got = dump("agg_theil_index")
+    cols = dump_cols("agg_theil_index")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        xs = g[row["event_type"]]
+        n, s = len(xs), sum(xs)
+        # Theil T = (1/S)·Σ x·ln x − ln(S/n), invariant to the cents scale
+        t_val = sum(x * math.log(x) for x in xs) / s - math.log(s / n)
+        if not close(row["theil_t"], t_val, 2e-3):
+            mis.append((row["event_type"], "got", row["theil_t"], "exp", t_val))
+    report("agg_theil_index", mis, len(got))
+
+
+def audit_fdr_bh():
+    mis = []
+    r = rows(
+        "SELECT event_type, ((date_diff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS dow, "
+        "COUNT(*), SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    allv = rows(
+        "SELECT COUNT(*), SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)), "
+        "SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT) "
+        "* CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet'")[0]
+    ng, sg, sq = int(allv[0]), int(allv[1]), float(allv[2])
+    gm = sg / ng
+    gv = (sq - sg * gm) / (ng - 1)
+    cells = []
+    for t, dow, n, s in r:
+        z = (s / n - gm) / math.sqrt(gv / n)
+        p = min(1.0, 1.0 / (z * z)) if z * z >= 1 else 1.0
+        cells.append((t, int(dow), n, z, p))
+    m = len(cells)
+    ranked = sorted(cells, key=lambda c: (c[4], c[0], c[1]))
+    imax = max((i + 1 for i, c in enumerate(ranked)
+                if c[4] <= (i + 1) * 0.1 / m), default=0)
+    exp = {}
+    for i, (t, dow, n, z, p) in enumerate(ranked):
+        exp[(t, dow)] = (n, z, p, i + 1, 1 if i + 1 <= imax else 0,
+                         1 if p <= 0.1 / m else 0)
+    got = dump("stats_fdr_bh")
+    cols = dump_cols("stats_fdr_bh")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        en, ez, ep, er, ebh, ebf = exp[(row["event_type"], row["dow"])]
+        if not (row["n"] == en and close(row["z"], ez, 2e-3)
+                and close(row["p"], ep, 2e-3) and row["p_rank"] == er
+                and row["bh_reject"] == ebh and row["bonf_reject"] == ebf):
+            mis.append(((row["event_type"], row["dow"]), "got",
+                        (row["n"], row["z"], row["p"], row["p_rank"],
+                         row["bh_reject"], row["bonf_reject"]),
+                        "exp", (en, ez, ep, er, ebh, ebf)))
+    report("stats_fdr_bh", mis, len(got) * 6)
+
+
+def audit_survival_km():
+    mis = []
+    r = rows(
+        "SELECT user_id, max(date_diff('day', DATE '2024-01-01', "
+        f"CAST(date_trunc('day', ts) AS DATE))) FROM '{SF}/events.parquet' "
+        "GROUP BY 1")
+    last = [int(d) for _, d in r]
+    max_day = max(last)
+    n_users = len(last)
+    churn = {}
+    for d in last:
+        if d < max_day:
+            churn[d] = churn.get(d, 0) + 1
+    # Kaplan-Meier product over churn days; the engine's integer-floor
+    # 1e8 fixed-point convention is replicated exactly
+    s = 100000000
+    at_risk = n_users
+    exp = {}
+    for day in sorted(churn):
+        d = churn[day]
+        s = s * (at_risk - d) // at_risk
+        exp[day] = (at_risk, d, s / 100000000)
+        at_risk -= d
+    got = dump("events_survival_km")
+    cols = dump_cols("events_survival_km")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        en, ed, es = exp[row["day"]]
+        if not (row["n_at_risk"] == en and row["n_churned"] == ed
+                and close(row["survival"], es, 1e-6)):
+            mis.append((row["day"], "got",
+                        (row["n_at_risk"], row["n_churned"], row["survival"]),
+                        "exp", (en, ed, es)))
+    report("events_survival_km", mis, len(got) * 3)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -590,6 +755,12 @@ AUDITS = {
     "ts_ljung_box": audit_ljung_box,
     "stats_cohens_d": audit_cohens_d,
     "dq_drift_jsd": audit_drift_jsd,
+    "dq_drift_psi": audit_drift_psi,
+    "dq_benford": audit_benford,
+    "agg_gini": audit_gini,
+    "agg_theil_index": audit_theil,
+    "stats_fdr_bh": audit_fdr_bh,
+    "events_survival_km": audit_survival_km,
 }
 
 for name, fn in AUDITS.items():
