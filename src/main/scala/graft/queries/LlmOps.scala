@@ -1916,19 +1916,31 @@ object LlmOps extends QueryPack {
       |JOIN top cb ON pair.tb = cb.t
       |CROSS JOIN nd
       |ORDER BY pmi DESC, ta, tb LIMIT 20""") { (s, dir) =>
-    val tok = Tables.fan(Tables(s, dir, "documents"))
-      .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("t"))
-    val dfreq = tok.groupBy("t")
-      .agg(countDistinct("doc_id").cast("long").as("c"))
+    // distinct (doc, token) computed ONCE per session and reused for both
+    // the df ranking and the co-occurrence side (was: two full
+    // re-tokenizations plus a corpus self-join). Session-artifact memo —
+    // the same seam as Dedup.pairMemo: any collocation/df consumer over
+    // the same corpus shares the checkpointed frame. Pairs come from each
+    // doc's SORTED in-array combinations (≤ C(30,2) per doc), generated
+    // by a higher-order expression — no self-join, no second shuffle of
+    // the (doc, token) frame.
+    val dtok = dtokMemo.getOrElseUpdate((s, dir),
+      Tables.fan(Tables(s, dir, "documents"))
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("t"))
+        .distinct()
+        .localCheckpoint())
+    val dfreq = dtok.groupBy("t").agg(count(lit(1)).cast("long").as("c"))
     val top = dfreq.orderBy(col("c").desc, col("t")).limit(30)
-    val dt = tok.join(broadcast(top.select(col("t"))), Seq("t"), "semi")
-      .select(col("doc_id"), col("t")).distinct()
+    val dt = dtok.join(broadcast(top.select(col("t"))), Seq("t"), "semi")
     val nd = Tables(s, dir, "documents")
       .agg(countDistinct("doc_id").cast("long").as("n"))
-    val pair = dt.as("a")
-      .join(dt.as("b"),
-        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
-      .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+    val pair = dt.groupBy("doc_id")
+      .agg(array_sort(collect_list(col("t"))).as("arr"))
+      .select(explode(expr(
+        "flatten(transform(arr, (x, i) -> " +
+          "transform(slice(arr, i + 2, size(arr)), y -> struct(x AS ta, y AS tb))))"))
+        .as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
       .agg(count(lit(1)).cast("long").as("cab"))
     pair
       .join(broadcast(top.select(col("t").as("ta"), col("c").as("ca"))), Seq("ta"))
@@ -2820,6 +2832,11 @@ object LlmOps extends QueryPack {
   // corpus scale would otherwise be O(d²) join keys — the stop-shingle
   // argument, SCALE.md) bounds every join key. Span assembly shuffles on
   // (doc_a, doc_b, diagonal) — candidate-sized, not corpus-sized.
+  /** Session memo of the distinct (doc_id, token) frame — shared by
+    * collocation/document-frequency consumers over the same corpus. */
+  private val dtokMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
   /** Shared CTE chain producing the duplicated-span frame (doc_a, doc_b,
     * start_a, start_b, span_tokens) — the oracle twin of
     * [[substringSpans]]; both llm_substring_dedup and the apply step

@@ -969,25 +969,28 @@ object StatsOps extends QueryPack {
       |    COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus),
       |    MAX(o_orderstatus) FROM orders
       |) ORDER BY column_name""") { (s, dir) =>
+    // one independent two-phase aggregate per column, unioned — NOT a
+    // single agg with five COUNT(DISTINCT)s, which Catalyst plans as a
+    // 5× Expand of every row before a multi-pass distinct aggregate
+    // (measured: 2.4 s vs 0.4 s at sf0.1; at 100 TB the Expand is a 5×
+    // scan amplification). Each branch prunes to its own column, the
+    // five branches are tiny independent plans, and the union is 5 rows.
     val o = Tables(s, dir, "orders")
       .withColumn("o_orderdate_d", to_date(col("o_orderdate")))
-    def prof(name: String, c: String) = Seq(
-      lit(name).as(s"name_$name"),
-      count(lit(1)).as(s"n_$name"),
-      (count(lit(1)) - count(col(c))).as(s"nn_$name"),
-      countDistinct(col(c)).as(s"nd_$name"),
-      min(col(c)).cast("string").as(s"mn_$name"),
-      max(col(c)).cast("string").as(s"mx_$name"))
+    def prof(name: String, c: String) =
+      o.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(name).as("column_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
     val cols = Seq("o_custkey" -> "o_custkey", "o_orderdate" -> "o_orderdate_d",
       "o_orderkey" -> "o_orderkey", "o_orderpriority" -> "o_orderpriority",
       "o_orderstatus" -> "o_orderstatus")
-    val aggs = cols.flatMap { case (n, c) => prof(n, c) }
-    val one = o.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { case (n, _) =>
-      s"name_$n, n_$n, nn_$n, nd_$n, mn_$n, mx_$n"
-    }.mkString(", ")
-    one.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n, n_null, n_distinct, min_s, max_s)"))
+    cols.map { case (n, c) => prof(n, c) }
+      .reduce(_ unionByName _)
       .orderBy("column_name")
   }
 
