@@ -737,6 +737,133 @@ def audit_survival_km():
     report("events_survival_km", mis, len(got) * 3)
 
 
+def audit_ab_cuped():
+    mis = []
+    r = rows(
+        "SELECT user_id, CAST(epoch_us(ts) AS BIGINT), "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet'")
+    mid = (min(u for _, u, _ in r) + max(u for _, u, _ in r)) // 2
+    users = {}
+    for uid, us, c in r:
+        e = users.setdefault(uid, [0, 0])
+        e[0 if us < mid else 1] += c
+    xs = {u: v[0] for u, v in users.items()}
+    ys = {u: v[1] for u, v in users.items()}
+    n = len(users)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in users)
+    sxx = sum(x * x for x in xs.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    got = dump("events_ab_cuped")
+    cols = dump_cols("events_ab_cuped")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        arm = row["arm"]
+        uu = [u for u in users if u % 2 == arm]
+        na = len(uu)
+        ybar = sum(ys[u] for u in uu) / na
+        xbara = sum(xs[u] for u in uu) / na
+        vy = sum((ys[u] - ybar) ** 2 for u in uu) / (na - 1)
+        vx = sum((xs[u] - xbara) ** 2 for u in uu) / (na - 1)
+        cxy = sum((xs[u] - xbara) * (ys[u] - ybar) for u in uu) / (na - 1)
+        adj = ybar - theta * (xbara - xbar)
+        vred = 1 - (vy - 2 * theta * cxy + theta * theta * vx) / vy
+        if not (row["n_users"] == na and close(row["mean_y"], ybar / 100)
+                and close(row["mean_y_cuped"], adj / 100)
+                and close(row["theta"], theta, 2e-3)
+                and close(row["var_reduction"], vred, 2e-3)):
+            mis.append((arm, "got", tuple(row.values()),
+                        "exp", (na, ybar / 100, adj / 100, theta, vred)))
+    report("events_ab_cuped", mis, len(got) * 5)
+
+
+def audit_diff_in_diff():
+    mis = []
+    r = rows(
+        "SELECT user_id % 2 = 1, "
+        "CAST(date_trunc('day', ts) AS DATE) >= DATE '2024-01-16', "
+        "COUNT(*), SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    cells = {(t, p): (n, s) for t, p, n, s in r}
+
+    def m(t, p):
+        n, s = cells[(t, p)]
+        return math.floor(s / 100 / n * 10000 + 0.5) / 10000
+
+    row = dict(zip(dump_cols("events_diff_in_diff"),
+                   dump("events_diff_in_diff")[0]))
+    exp = {
+        "n_tpre": cells[(True, False)][0], "m_tpre": m(True, False),
+        "n_tpost": cells[(True, True)][0], "m_tpost": m(True, True),
+        "n_cpre": cells[(False, False)][0], "m_cpre": m(False, False),
+        "n_cpost": cells[(False, True)][0], "m_cpost": m(False, True),
+    }
+    exp["did"] = (exp["m_tpost"] - exp["m_tpre"]) \
+        - (exp["m_cpost"] - exp["m_cpre"])
+    for k, v in exp.items():
+        if not close(row[k], v, 1e-6):
+            mis.append((k, "got", row[k], "exp", v))
+    report("events_diff_in_diff", mis, len(exp))
+
+
+def audit_chow_break():
+    mis = []
+    r = rows(
+        "SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day, "
+        "SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1")
+    ys = [float(y) for _, y in r]
+    n = len(ys)
+
+    def fit(sub, t0):
+        ts = list(range(t0, t0 + len(sub)))
+        k = len(sub)
+        mt, my = sum(ts) / k, sum(sub) / k
+        cxy = sum((t - mt) * (y - my) for t, y in zip(ts, sub))
+        cxx = sum((t - mt) ** 2 for t in ts)
+        cyy = sum((y - my) ** 2 for y in sub)
+        return cxy / cxx, cyy - cxy * cxy / cxx
+
+    half = n // 2
+    s1, rss1 = fit(ys[:half], 0)
+    s2, rss2 = fit(ys[half:], half)
+    _, rssp = fit(ys, 0)
+    rss12 = rss1 + rss2
+    f = (rssp - rss12) / 2 / (rss12 / (n - 4))
+    row = dict(zip(dump_cols("ts_chow_break"), dump("ts_chow_break")[0]))
+    if not (row["n_days"] == n and close(row["slope_pre"], s1 / 100, 2e-3)
+            and close(row["slope_post"], s2 / 100, 2e-3)
+            and close(row["f_stat"], f, 2e-2)):
+        mis.append(("got", tuple(row.values()), "exp", (n, s1 / 100, s2 / 100, f)))
+    report("ts_chow_break", mis, 4)
+
+
+def audit_ab_power():
+    mis = []
+    g = groups_q4()
+    base = g["view"]
+    nb, mb = len(base), sum(base) / len(base)
+    vb = sample_var(base, mb)
+    got = dump("events_ab_power")
+    cols = dump_cols("events_ab_power")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        xs = g[row["event_type"]]
+        nx, mx = len(xs), sum(xs) / len(xs)
+        vx = sample_var(xs, mx)
+        mde = 2.8 * math.sqrt(vx / nx + vb / nb)
+        npa = math.ceil(2.8 * 2.8 * (vx + vb) / ((0.05 * mb) ** 2))
+        if not (close(row["mde_abs"], mde, 2e-3)
+                and close(row["mde_rel"], mde / mb, 2e-3)
+                and abs(row["n_per_arm_5pct"] - npa) <= 1):
+            mis.append((row["event_type"], "got",
+                        (row["mde_abs"], row["mde_rel"], row["n_per_arm_5pct"]),
+                        "exp", (mde, mde / mb, npa)))
+    report("events_ab_power", mis, len(got) * 3)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -761,6 +888,10 @@ AUDITS = {
     "agg_theil_index": audit_theil,
     "stats_fdr_bh": audit_fdr_bh,
     "events_survival_km": audit_survival_km,
+    "events_ab_cuped": audit_ab_cuped,
+    "events_diff_in_diff": audit_diff_in_diff,
+    "ts_chow_break": audit_chow_break,
+    "events_ab_power": audit_ab_power,
 }
 
 for name, fn in AUDITS.items():
