@@ -213,6 +213,42 @@ class Round9Spec extends SparkSpec {
     assert(!r.getAs[Double]("coef_ylag").isNaN && !r.getAs[Double]("coef_xlag").isNaN)
   }
 
+  test("round-9 operators are shuffle-partition-count invariant") {
+    // the determinism contract says parallelism must not change results;
+    // run the ops-level pipelines (not the memoized graded wrappers, which
+    // would short-circuit the second run) at 3 and 32 shuffle partitions
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ops = graft.engine.Tables(spark, sf, "events")
+      .select(c("user_id"), expr("unix_micros(ts)").as("ts_us"), c("event_id"),
+        graft.engine.Det.cents(c("value")).cast("long").as("cents"),
+        (c("event_type") === "error").as("del"))
+    def runAll(): Seq[Seq[String]] = {
+      import spark.implicits._
+      Seq(
+        graft.ops.Dedup.substringSpans(docs)
+          .orderBy("doc_a", "doc_b", "start_a")
+          .collect().map(_.mkString("|")).toSeq,
+        graft.streaming.CdcUpsert.upserts(ops.as[graft.streaming.CdcUpsert.Op])
+          .toDF().orderBy("user_id")
+          .collect().map(_.mkString("|")).toSeq,
+        SparkEntry.queries("dq_drift_jsd")(spark, sf)
+          .collect().map(_.mkString("|")).toSeq,
+        SparkEntry.queries("sample_weighted_reservoir")(spark, sf)
+          .collect().map(_.mkString("|")).toSeq)
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val at3 = runAll()
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val at32 = runAll()
+      at3.zip(at32).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a == b, s"pipeline $i differs across partition counts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("sql_pivot / sql_unpivot: pivot cells reconcile with unpivot rows") {
     val pivot = SparkEntry.queries("sql_pivot")(spark, sf).collect()
       .map(r => r.getAs[String]("flag") ->
