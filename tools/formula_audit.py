@@ -864,6 +864,119 @@ def audit_ab_power():
     report("events_ab_power", mis, len(got) * 3)
 
 
+def daily_orders_cents():
+    return [(d, int(v)) for d, v in rows(
+        "SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day, "
+        "SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1")]
+
+
+def audit_rsi():
+    mis = []
+    daily = daily_orders_cents()
+    vs = [v for _, v in daily]
+    deltas = [None] + [vs[i] - vs[i - 1] for i in range(1, len(vs))]
+    exp = {}
+    for i, (day, _) in enumerate(daily):
+        win = [d for d in deltas[max(0, i - 13):i + 1] if d is not None]
+        if len(win) != 14:
+            continue
+        sg = sum(d for d in win if d > 0)
+        sl = sum(-d for d in win if d < 0)
+        exp[day.strftime("%Y-%m-%d")] = 50.0 if sg + sl == 0 \
+            else 100.0 * sg / (sg + sl)
+    got = dump("ts_rsi")
+    cols = dump_cols("ts_rsi")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        if not close(row["rsi14"], exp[row["day"]], 2e-3):
+            mis.append((row["day"], "got", row["rsi14"], "exp", exp[row["day"]]))
+    if len(got) != len(exp):
+        mis.append(("row count", len(got), "exp", len(exp)))
+    report("ts_rsi", mis, len(got))
+
+
+def audit_drawdown():
+    mis = []
+    daily = daily_orders_cents()
+    pk = 0
+    best = None  # (dd6, day, pk, v)
+    for day, v in daily:
+        pk = max(pk, v)
+        dd6 = math.floor((pk - v) / pk * 1e6 + 0.5)
+        if best is None or dd6 > best[0]:
+            best = (dd6, day, pk, v)
+    dd6, trough, peak_v, trough_v = best
+    peak_day = min(d for d, v in daily if v == peak_v)
+    row = dict(zip(dump_cols("ts_drawdown"), dump("ts_drawdown")[0]))
+    exp = {"max_drawdown": dd6 / 1e6,
+           "peak_day": peak_day.strftime("%Y-%m-%d"),
+           "trough_day": trough.strftime("%Y-%m-%d"),
+           "peak_revenue": peak_v / 100, "trough_revenue": trough_v / 100}
+    for k, v in exp.items():
+        ok = close(row[k], v, 1e-6) if isinstance(v, float) else row[k] == v
+        if not ok:
+            mis.append((k, "got", row[k], "exp", v))
+    report("ts_drawdown", mis, len(exp))
+
+
+def audit_pareto():
+    mis = []
+    r = rows(
+        "SELECT event_type, user_id, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    g = {}
+    for t, u, s in r:
+        g.setdefault(t, []).append((int(s), u))
+    got = dump("events_pareto_coverage")
+    cols = dump_cols("events_pareto_coverage")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        us = sorted(g[row["event_type"]], key=lambda x: (-x[0], x[1]))
+        tot = sum(s for s, _ in us)
+        cum = 0
+        k80 = None
+        for i, (s, _) in enumerate(us):
+            cum += s
+            if k80 is None and 5 * cum >= 4 * tot:
+                k80 = i + 1
+        top10 = sum(s for s, _ in us[:10]) / tot
+        if not (row["n_users"] == len(us) and row["k80"] == k80
+                and close(row["top10_share"], top10, 1e-4)):
+            mis.append((row["event_type"], "got",
+                        (row["n_users"], row["k80"], row["top10_share"]),
+                        "exp", (len(us), k80, top10)))
+    report("events_pareto_coverage", mis, len(got) * 3)
+
+
+def audit_zipf():
+    mis = []
+    r = rows(
+        "SELECT lang, unnest(string_split(lower(text), ' ')) AS t "
+        f"FROM '{SF}/documents.parquet'")
+    g = {}
+    for lang, t in r:
+        g.setdefault(lang, {}).setdefault(t, 0)
+        g[lang][t] += 1
+    got = dump("text_zipf_slope")
+    cols = dump_cols("text_zipf_slope")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        freq = sorted(g[row["lang"]].items(), key=lambda x: (-x[1], x[0]))[:100]
+        pts = [(math.log(i + 1), math.log(f)) for i, (_, f) in enumerate(freq)]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        if not (row["n_points"] == n and close(row["zipf_slope"], slope, 2e-3)):
+            mis.append((row["lang"], "got", (row["n_points"], row["zipf_slope"]),
+                        "exp", (n, slope)))
+    report("text_zipf_slope", mis, len(got) * 2)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -892,6 +1005,10 @@ AUDITS = {
     "events_diff_in_diff": audit_diff_in_diff,
     "ts_chow_break": audit_chow_break,
     "events_ab_power": audit_ab_power,
+    "ts_rsi": audit_rsi,
+    "ts_drawdown": audit_drawdown,
+    "events_pareto_coverage": audit_pareto,
+    "text_zipf_slope": audit_zipf,
 }
 
 for name, fn in AUDITS.items():
