@@ -2406,6 +2406,150 @@ object TimeSeriesOps extends QueryPack {
       .orderBy("day")
   }
 
+  // Lo–MacKinlay variance-ratio test (q=5) on the daily revenue series —
+  // the random-walk screen: if increments are iid, the variance of
+  // 5-day overlapping changes is 5× the 1-day variance and VR(5)=1;
+  // mean-reversion pushes VR below 1, trending above. Both variances
+  // come from INTEGER differences of the integer-cents daily series
+  // (v_t − v_{t−1} and v_t − v_{t−5}, one lag window each), their
+  // moments accumulate 128-bit exact (P16), and VR / the homoskedastic
+  // z are one closed-form double tree over those exact integers —
+  // identical in both engines, quantized at the output. |days| rows
+  // after one day-grained aggregate; no corpus-scale anything.
+  q("ts_variance_ratio",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1
+      |), lagd AS (
+      |  SELECT day, v,
+      |    v - lag(v, 1) OVER (ORDER BY day) AS d1,
+      |    v - lag(v, 5) OVER (ORDER BY day) AS d5
+      |  FROM daily
+      |), m1 AS (
+      |  SELECT CAST(COUNT(d1) AS BIGINT) AS n1, SUM(CAST(d1 AS HUGEINT)) AS s1,
+      |    SUM(CAST(d1 AS HUGEINT) * d1) AS q1
+      |  FROM lagd WHERE d1 IS NOT NULL
+      |), m5 AS (
+      |  SELECT CAST(COUNT(d5) AS BIGINT) AS n5, SUM(CAST(d5 AS HUGEINT)) AS s5,
+      |    SUM(CAST(d5 AS HUGEINT) * d5) AS q5
+      |  FROM lagd WHERE d5 IS NOT NULL
+      |), vr AS (
+      |  SELECT n1,
+      |    (CAST(q5 AS DOUBLE) - CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE) / n5)
+      |      / n5 / 5
+      |    / ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+      |       / n1) AS v_ratio
+      |  FROM m1 CROSS JOIN m5
+      |)
+      |SELECT CAST(n1 AS BIGINT) AS n_increments,
+      |  floor(v_ratio * 1000000 + 0.5) / 1000000 AS vr5,
+      |  floor((v_ratio - 1)
+      |    * sqrt(CAST(n1 AS DOUBLE) * 3 * 5 / (2 * (2 * 5 - 1) * (5 - 1)))
+      |    * 10000 + 0.5) / 10000 AS z
+      |FROM vr""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("v"))
+    val wo = Window.orderBy("day")
+    val lagd = daily.select(col("v"),
+      (col("v") - lag("v", 1).over(wo)).as("d1"),
+      (col("v") - lag("v", 5).over(wo)).as("d5"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m1 = lagd.filter(col("d1").isNotNull).agg(
+      count(col("d1")).as("n1"), sum(dec(col("d1"))).as("s1"),
+      sum(dec(col("d1")) * col("d1")).as("q1"))
+    val m5 = lagd.filter(col("d5").isNotNull).agg(
+      count(col("d5")).as("n5"), sum(dec(col("d5"))).as("s5"),
+      sum(dec(col("d5")) * col("d5")).as("q5"))
+    val vRatio = ((col("q5").cast("double")
+      - col("s5").cast("double") * col("s5").cast("double") / col("n5"))
+      / col("n5") / 5) /
+      ((col("q1").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double") / col("n1"))
+        / col("n1"))
+    m1.crossJoin(broadcast(m5))
+      .select(col("n1").cast("long").as("n_increments"),
+        (floor(vRatio * 1000000 + lit(0.5)) / 1000000).as("vr5"),
+        (floor((vRatio - 1)
+          * sqrt(col("n1").cast("double") * 3 * 5 / (2 * (2 * 5 - 1) * (5 - 1)))
+          * 10000 + lit(0.5)) / 10000).as("z"))
+  }
+
+  // Wald–Wolfowitz runs test on the daily revenue series against its
+  // exact lower median — the "is the sequence of above/below-median days
+  // RANDOM" screen (too few runs = sticky regimes, too many =
+  // oscillation). The median is the rank-⌈n/2⌉ value by the explicit
+  // integer rank formula (the winsorize/deciles precedent — no quantile
+  // builtin), ties with the median are excluded (the standard
+  // convention), runs count by one lag comparison, and the normal
+  // approximation z assembles from exact integer n1, n2, R. |days| rows
+  // end to end.
+  q("stats_runs_test",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1
+      |), med AS (
+      |  SELECT v AS m FROM (
+      |    SELECT v, row_number() OVER (ORDER BY v, day) AS rn,
+      |      COUNT(*) OVER () AS n FROM daily
+      |  ) WHERE rn = (n + 1) // 2
+      |), sg AS (
+      |  SELECT day, CASE WHEN v > m THEN 1 ELSE 0 END AS s
+      |  FROM daily CROSS JOIN med WHERE v <> m
+      |), runs AS (
+      |  SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+      |                   OR lag(s) OVER (ORDER BY day) <> s
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM sg
+      |), agg AS (
+      |  SELECT CAST(SUM(s) AS BIGINT) AS n1,
+      |    CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+      |    CAST(SUM(brk) AS BIGINT) AS r
+      |  FROM runs
+      |)
+      |SELECT n1, n2, r,
+      |  floor((2.0 * n1 * n2 / (n1 + n2) + 1) * 10000 + 0.5) / 10000
+      |    AS expected_runs,
+      |  floor((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+      |    / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+      |           / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1)))
+      |    * 10000 + 0.5) / 10000 AS z
+      |FROM agg""") { (s, dir) =>
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wm = Window.orderBy("v", "day")
+    val med = daily
+      .withColumn("rn", row_number().over(wm))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === floor((col("n") + 1) / 2))
+      .select(col("v").as("m"))
+    val wo = Window.orderBy("day")
+    val sg = daily.crossJoin(broadcast(med))
+      .filter(col("v") =!= col("m"))
+      .select(col("day"), when(col("v") > col("m"), 1).otherwise(0).as("s"))
+    val runs = sg.select(col("s"),
+      when(lag("s", 1).over(wo).isNull
+        || lag("s", 1).over(wo) =!= col("s"), 1).otherwise(0).as("brk"))
+    val agg = runs.agg(
+      sum("s").cast("long").as("n1"),
+      (count(lit(1)) - sum("s")).cast("long").as("n2"),
+      sum("brk").cast("long").as("r"))
+    val n = col("n1") + col("n2")
+    val er = lit(2.0) * col("n1") * col("n2") / n + 1
+    agg.select(col("n1"), col("n2"), col("r"),
+      (floor(er * 10000 + lit(0.5)) / 10000).as("expected_runs"),
+      (floor((col("r") - er)
+        / sqrt(lit(2.0) * col("n1") * col("n2")
+          * (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2"))
+          / (n.cast("double") * n * (n - 1)))
+        * 10000 + lit(0.5)) / 10000).as("z"))
+  }
+
   // Granger-style lead-lag test: do yesterday's CLICKS help predict
   // today's purchase REVENUE beyond yesterday's revenue alone? Restricted
   // model y_t ~ y_{t-1} vs unrestricted y_t ~ y_{t-1} + x_{t-1}, compared

@@ -977,6 +977,48 @@ def audit_zipf():
     report("text_zipf_slope", mis, len(got) * 2)
 
 
+def audit_variance_ratio():
+    mis = []
+    daily = daily_orders_cents()
+    vs = [v for _, v in daily]
+    d1 = [vs[i] - vs[i - 1] for i in range(1, len(vs))]
+    d5 = [vs[i] - vs[i - 5] for i in range(5, len(vs))]
+
+    def popvar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    q = 5
+    vr = (popvar(d5) / q) / popvar(d1)
+    n = len(d1)
+    z = (vr - 1) * math.sqrt(n * 3 * q / (2 * (2 * q - 1) * (q - 1)))
+    row = dict(zip(dump_cols("ts_variance_ratio"),
+                   dump("ts_variance_ratio")[0]))
+    if not (row["n_increments"] == n and close(row["vr5"], vr, 1e-4)
+            and close(row["z"], z, 2e-3)):
+        mis.append(("got", tuple(row.values()), "exp", (n, vr, z)))
+    report("ts_variance_ratio", mis, 3)
+
+
+def audit_runs_test():
+    mis = []
+    daily = daily_orders_cents()
+    vs = sorted((v, d) for d, v in daily)
+    med = vs[(len(vs) + 1) // 2 - 1][0]  # lower median, rank (n+1)//2
+    signs = [1 if v > med else 0 for _, v in daily if v != med]
+    n1, n2 = sum(signs), len(signs) - sum(signs)
+    r = 1 + sum(1 for i in range(1, len(signs)) if signs[i] != signs[i - 1])
+    n = n1 + n2
+    er = 2.0 * n1 * n2 / n + 1
+    sd = math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1)))
+    z = (r - er) / sd
+    row = dict(zip(dump_cols("stats_runs_test"), dump("stats_runs_test")[0]))
+    if not (row["n1"] == n1 and row["n2"] == n2 and row["r"] == r
+            and close(row["expected_runs"], er, 1e-4) and close(row["z"], z, 2e-3)):
+        mis.append(("got", tuple(row.values()), "exp", (n1, n2, r, er, z)))
+    report("stats_runs_test", mis, 5)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1009,6 +1051,8 @@ AUDITS = {
     "ts_drawdown": audit_drawdown,
     "events_pareto_coverage": audit_pareto,
     "text_zipf_slope": audit_zipf,
+    "ts_variance_ratio": audit_variance_ratio,
+    "stats_runs_test": audit_runs_test,
 }
 
 for name, fn in AUDITS.items():
