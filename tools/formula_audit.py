@@ -1019,6 +1019,87 @@ def audit_runs_test():
     report("stats_runs_test", mis, 5)
 
 
+def daily_x_series():
+    """user_id -> [(day, x)] with x the 4-dp daily mean double (avgFix)."""
+    r = rows(
+        "SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS s1, COUNT(*) AS n "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2")
+    out = {}
+    for u, day, s1, n in r:
+        x = math.floor(s1 / 10000.0 / n * 10000 + 0.5) / 10000
+        out.setdefault(u, []).append((day.strftime("%Y-%m-%d"), x))
+    return out
+
+
+def audit_ewma():
+    mis = []
+    exp = {}
+    for u, pts in daily_x_series().items():
+        ew = None
+        for day, x in pts:
+            ew = x if ew is None else 0.3 * x + 0.7 * ew
+            exp[(u, day)] = math.floor(ew * 10000 + 0.5) / 10000
+    got = dump("ts_ewma")
+    cols = dump_cols("ts_ewma")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        e = exp[(row["user_id"], row["day"])]
+        if not close(row["ewma"], e, 1e-6):
+            mis.append(((row["user_id"], row["day"]), "got", row["ewma"], "exp", e))
+    report("ts_ewma", mis, len(got))
+
+
+def audit_cusum():
+    mis = []
+    exp = {}
+    for u, pts in daily_x_series().items():
+        s4 = sum(math.floor(x * 10000 + 0.5) for _, x in pts)
+        mu = math.floor(s4 / len(pts) + 0.5) / 10000
+        s = 0.0
+        first = True
+        for day, x in pts:
+            s = max(0.0, (0.0 if first else s) + (x - mu - 1.0))
+            first = False
+            exp[(u, day)] = math.floor(s * 10000 + 0.5) / 10000
+    got = dump("ts_cusum")
+    cols = dump_cols("ts_cusum")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        e = exp[(row["user_id"], row["day"])]
+        if not close(row["cusum"], e, 1e-6):
+            mis.append(((row["user_id"], row["day"]), "got", row["cusum"], "exp", e))
+    report("ts_cusum", mis, len(got))
+
+
+def audit_holt():
+    mis = []
+    exp = {}
+    for u, pts in daily_x_series().items():
+        lv, b = None, 0.0
+        for day, x in pts:
+            if lv is None:
+                lv = x
+            else:
+                nl = 0.5 * x + 0.5 * (lv + b)
+                b = 0.3 * (nl - lv) + 0.7 * b
+                lv = nl
+            exp[(u, day)] = (math.floor(lv * 10000 + 0.5) / 10000,
+                             math.floor(b * 10000 + 0.5) / 10000,
+                             math.floor((lv + b) * 10000 + 0.5) / 10000)
+    got = dump("ts_holt")
+    cols = dump_cols("ts_holt")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        el, eb, ef = exp[(row["user_id"], row["day"])]
+        if not (close(row["level"], el, 1e-6) and close(row["trend"], eb, 1e-6)
+                and close(row["forecast"], ef, 1e-6)):
+            mis.append(((row["user_id"], row["day"]), "got",
+                        (row["level"], row["trend"], row["forecast"]),
+                        "exp", (el, eb, ef)))
+    report("ts_holt", mis, len(got) * 3)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1053,6 +1134,9 @@ AUDITS = {
     "text_zipf_slope": audit_zipf,
     "ts_variance_ratio": audit_variance_ratio,
     "stats_runs_test": audit_runs_test,
+    "ts_ewma": audit_ewma,
+    "ts_cusum": audit_cusum,
+    "ts_holt": audit_holt,
 }
 
 for name, fn in AUDITS.items():
