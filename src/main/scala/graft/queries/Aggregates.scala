@@ -496,9 +496,20 @@ object Aggregates extends QueryPack {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOrders = i.agg(countDistinct("o").as("n_orders"))
     val pc = i.groupBy("p").agg(count(lit(1)).as("np"))
-    val pairs = i.as("a")
-      .join(i.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+    // co-purchase pairs from each basket's SORTED in-array combinations
+    // (≤ C(7,2) per TPC-H order) via a higher-order expression — the
+    // text_pmi_cooccur shape. Replaces the basket self-join: one shuffle
+    // branch instead of two over the (order, part) frame. Measured ~flat
+    // at sf0.1 (the distinct over lineitem dominates either way); the
+    // structural win is that pair generation stays basket-bounded with
+    // no second corpus-frame exchange at any scale.
+    val pairs = i.groupBy("o")
+      .agg(array_sort(collect_list(col("p"))).as("arr"))
+      .select(explode(expr(
+        "flatten(transform(arr, (x, i) -> " +
+          "transform(slice(arr, i + 2, size(arr)), y -> struct(x AS pa, y AS pb))))"))
+        .as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("nab"))
     pairs
       .join(pc.select(col("p").as("pa"), col("np")), "pa")
