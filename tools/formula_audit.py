@@ -1100,6 +1100,89 @@ def audit_holt():
     report("ts_holt", mis, len(got) * 3)
 
 
+def audit_hampel():
+    mis = []
+    r = rows(
+        "SELECT user_id, event_id, ts, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id")
+    series = {}
+    for u, e, ts, vc in r:
+        series.setdefault(u, []).append((e, int(vc)))
+    exp = {}
+    for u, pts in series.items():
+        for i, (e, vc) in enumerate(pts):
+            win = sorted(v for _, v in pts[max(0, i - 6):i + 1])
+            k = len(win)
+            med = float(win[(k + 1) // 2 - 1]) if k % 2 == 1 \
+                else (win[k // 2 - 1] + win[k // 2]) / 2.0
+            devs = sorted(abs(v - med) for v in win)
+            mad = devs[(k + 1) // 2 - 1] if k % 2 == 1 \
+                else (devs[k // 2 - 1] + devs[k // 2]) / 2.0
+            if mad > 0 and abs(vc - med) > 3 * 1.4826 * mad:
+                exp[(u, e)] = abs(vc - med) / (1.4826 * mad)
+    got = dump("win_hampel")
+    cols = dump_cols("win_hampel")
+    seen = set()
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        key = (row["user_id"], row["event_id"])
+        seen.add(key)
+        if key not in exp or not close(row["robust_z"], exp[key], 1e-3):
+            mis.append((key, "got", row.get("robust_z"), "exp", exp.get(key)))
+    if seen != set(exp):
+        mis.append(("outlier set mismatch", len(seen), "exp", len(exp)))
+    report("win_hampel", mis, len(got))
+
+
+def audit_decay_score():
+    mis = []
+    r = rows(
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400, "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet'")
+    ref = max(d for _, d, _ in r)
+    acc = {}
+    for u, d, c in r:
+        # dyadic half-life-1-day decay: weight 2^-(age) with 40-day floor,
+        # accumulated exactly as integer cents << (40 - age)
+        acc[u] = acc.get(u, 0) + int(c) * (1 << (40 - min(ref - d, 40)))
+    got = dump("events_decay_score")
+    cols = dump_cols("events_decay_score")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        e = math.floor(acc[row["user_id"]] / 2 ** 40 / 100 * 10000 + 0.5) / 10000
+        if not close(row["decay_score"], e, 1e-6):
+            mis.append((row["user_id"], "got", row["decay_score"], "exp", e))
+    report("events_decay_score", mis, len(got))
+
+
+def audit_backtest_snaive():
+    mis = []
+    r = rows(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2")
+    g = {}
+    for t, _, x in r:
+        g.setdefault(t, []).append(int(x))
+    got = dump("ts_backtest_snaive")
+    cols = dump_cols("ts_backtest_snaive")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        xs = g[row["event_type"]]
+        errs = [(xs[i] - xs[i - 7]) for i in range(7, len(xs))]
+        n = len(errs)
+        mae = sum(abs(e) for e in errs) / 100 / n
+        bias = sum(errs) / 100 / n
+        if not (row["n_eval"] == n and close(row["mae"], mae, 1e-4)
+                and close(row["bias"], bias, 1e-4)):
+            mis.append((row["event_type"], "got",
+                        (row["n_eval"], row["mae"], row["bias"]),
+                        "exp", (n, mae, bias)))
+    report("ts_backtest_snaive", mis, len(got) * 3)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1137,6 +1220,9 @@ AUDITS = {
     "ts_ewma": audit_ewma,
     "ts_cusum": audit_cusum,
     "ts_holt": audit_holt,
+    "win_hampel": audit_hampel,
+    "events_decay_score": audit_decay_score,
+    "ts_backtest_snaive": audit_backtest_snaive,
 }
 
 for name, fn in AUDITS.items():
