@@ -1183,6 +1183,160 @@ def audit_backtest_snaive():
     report("ts_backtest_snaive", mis, len(got) * 3)
 
 
+def audit_corr_matrix():
+    mis = []
+    r = rows(
+        "SELECT CAST(floor(l_quantity + 0.5) AS BIGINT), "
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), "
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/lineitem.parquet'")
+    cols3 = list(zip(*r))
+
+    def corr(a, b):
+        n = len(a)
+        ma, mb = sum(a) / n, sum(b) / n
+        num = sum((x - ma) * (y - mb) for x, y in zip(a, b))
+        return num / math.sqrt(sum((x - ma) ** 2 for x in a)
+                               * sum((y - mb) ** 2 for y in b))
+
+    exp = {"quantity~price": corr(cols3[0], cols3[1]),
+           "quantity~discount": corr(cols3[0], cols3[2]),
+           "price~discount": corr(cols3[1], cols3[2])}
+    got = dump("agg_corr_matrix")
+    cols = dump_cols("agg_corr_matrix")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        if not close(row["corr"], exp[row["pair"]], 1e-4):
+            mis.append((row["pair"], "got", row["corr"], "exp", exp[row["pair"]]))
+    report("agg_corr_matrix", mis, len(got))
+
+
+def audit_winsorize():
+    mis = []
+    r = rows(
+        "SELECT o_orderstatus, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/orders.parquet'")
+    g = {}
+    for s, v in r:
+        g.setdefault(s, []).append(int(v))
+    got = dump("agg_winsorize")
+    cols = dump_cols("agg_winsorize")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        xs = sorted(g[row["o_orderstatus"]])
+        n = len(xs)
+        lo = xs[(n + 9) // 10 - 1]       # ceil(0.1n)-th smallest
+        hi = xs[(9 * n + 9) // 10 - 1]   # ceil(0.9n)-th smallest
+        wmean = sum(min(max(x, lo), hi) for x in xs) / 100 / n
+        if not (row["n"] == n and close(row["p10"], lo / 100, 1e-6)
+                and close(row["p90"], hi / 100, 1e-6)
+                and close(row["wmean"], wmean, 1e-4)):
+            mis.append((row["o_orderstatus"], "got", tuple(row.values())[1:],
+                        "exp", (n, lo / 100, hi / 100, wmean)))
+    report("agg_winsorize", mis, len(got) * 4)
+
+
+def audit_exact_deciles():
+    mis = []
+    r = rows(
+        "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet'")
+    g = {}
+    for t, v in r:
+        g.setdefault(t, []).append(int(v))
+    got = dump("agg_exact_deciles")
+    cols = dump_cols("agg_exact_deciles")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        xs = sorted(g[row["event_type"]])
+        n = len(xs)
+        q = row["pct"] // 10
+        # smallest v with 10*rank >= q*n — the explicit ceil(q·n/10) rank
+        v = xs[(q * n + 9) // 10 - 1]
+        if not close(row["value"], v / 100, 1e-6):
+            mis.append(((row["event_type"], row["pct"]),
+                        "got", row["value"], "exp", v / 100))
+    report("agg_exact_deciles", mis, len(got))
+
+
+def audit_pacf():
+    mis = []
+    r = rows(
+        "SELECT date_diff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) AS day, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    vs = [int(v) for _, v in r]
+    mu = math.floor(sum(vs) / len(vs) + 0.5)
+    dv = [v - mu for v in vs]
+    s0 = sum(d * d for d in dv)
+    rk = [sum(dv[i] * dv[i + k] for i in range(len(dv) - k)) / s0
+          for k in (1, 2, 3)]
+    r1, r2, r3 = rk
+    phi11 = r1
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    pacf3 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+    row = dict(zip(dump_cols("ts_pacf"), dump("ts_pacf")[0]))
+    exp = {"r1": r1, "r2": r2, "r3": r3,
+           "pacf1": phi11, "pacf2": phi22, "pacf3": pacf3}
+    for k, v in exp.items():
+        if not close(row[k], v, 2e-3):
+            mis.append((k, "got", row[k], "exp", v))
+    report("ts_pacf", mis, len(exp))
+
+
+def audit_naive_bayes():
+    mis = []
+
+    def lnfix8(x):
+        return math.floor(math.log(x) * 100000000 + 0.5)
+
+    r = rows(
+        "SELECT doc_id, lang, lower(text), "
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '7' "
+        f"FROM '{SF}/documents.parquet'")
+    train_counts = {}
+    lang_tokens = {}
+    lang_docs = {}
+    test_docs = []
+    for doc_id, lang, t, is_train in r:
+        toks = t.split(" ")
+        if is_train:
+            lang_docs[lang] = lang_docs.get(lang, 0) + 1
+            for tok in toks:
+                train_counts[(lang, tok)] = train_counts.get((lang, tok), 0) + 1
+                lang_tokens[lang] = lang_tokens.get(lang, 0) + 1
+        else:
+            test_docs.append((doc_id, lang, toks))
+    vocab = len({tok for _, tok in train_counts})
+    langs = sorted(lang_docs)
+    confusion = {}
+    for doc_id, actual, toks in test_docs:
+        cdt = {}
+        for tok in toks:
+            cdt[tok] = cdt.get(tok, 0) + 1
+        n_d = sum(cdt.values())
+        scored = []
+        for lang in langs:
+            s = sum(c * lnfix8(train_counts[(lang, tok)] + 1)
+                    for tok, c in cdt.items() if (lang, tok) in train_counts)
+            s -= n_d * lnfix8(lang_tokens[lang] + vocab)
+            s += lnfix8(lang_docs[lang])
+            scored.append((-s, lang))
+        pred = min(scored)[1]
+        confusion[(actual, pred)] = confusion.get((actual, pred), 0) + 1
+    got = dump("ml_naive_bayes")
+    cols = dump_cols("ml_naive_bayes")
+    seen = {}
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        seen[(row["actual_lang"], row["pred_lang"])] = row["n_docs"]
+    if seen != confusion:
+        mis.append(("confusion matrix mismatch", "got", seen, "exp", confusion))
+    report("ml_naive_bayes", mis, len(got))
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1223,6 +1377,11 @@ AUDITS = {
     "win_hampel": audit_hampel,
     "events_decay_score": audit_decay_score,
     "ts_backtest_snaive": audit_backtest_snaive,
+    "agg_corr_matrix": audit_corr_matrix,
+    "agg_winsorize": audit_winsorize,
+    "agg_exact_deciles": audit_exact_deciles,
+    "ts_pacf": audit_pacf,
+    "ml_naive_bayes": audit_naive_bayes,
 }
 
 for name, fn in AUDITS.items():
