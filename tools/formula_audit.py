@@ -1337,6 +1337,86 @@ def audit_naive_bayes():
     report("ml_naive_bayes", mis, len(got))
 
 
+def audit_srm_check():
+    mis = []
+    r = rows(
+        "SELECT event_type, "
+        "CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) "
+        "IN ('0','1','2','3','4','5','6','7') THEN 0 ELSE 1 END, COUNT(*) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    cells = {(t, a): c for t, a, c in r}
+    got = dump("events_srm_check")
+    cols = dump_cols("events_srm_check")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        t = row["event_type"]
+        n0, n1 = cells.get((t, 0), 0), cells.get((t, 1), 0)
+        chi2 = (n0 - n1) ** 2 / (n0 + n1)
+        if not (row["n0"] == n0 and row["n1"] == n1
+                and close(row["chi2"], chi2, 1e-4)
+                and row["srm_flag"] == (chi2 > 3.841)):
+            mis.append((t, "got", tuple(row.values())[1:],
+                        "exp", (n0, n1, chi2, chi2 > 3.841)))
+    report("events_srm_check", mis, len(got) * 4)
+
+
+def audit_value_entropy():
+    mis = []
+    got = dump("dq_value_entropy")
+    cols = dump_cols("dq_value_entropy")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        cn = row["column_name"]
+        counts = [c for _, c in rows(
+            f"SELECT {cn}, COUNT(*) FROM '{SF}/orders.parquet' GROUP BY 1")]
+        n, d = sum(counts), len(counts)
+        h = math.log(n) - sum(c * math.log(c) for c in counts) / n
+        hn = None if d == 1 else h / math.log(d)
+        if not (row["n"] == n and row["n_distinct"] == d
+                and close(row["entropy"], h, 2e-3)
+                and close(row["entropy_norm"], hn, 2e-3)):
+            mis.append((cn, "got", tuple(row.values())[1:],
+                        "exp", (n, d, h, hn)))
+    report("dq_value_entropy", mis, len(got) * 4)
+
+
+def audit_funnel_latency():
+    mis = []
+    r = rows(
+        "SELECT user_id, event_type, epoch_us(ts) // 1000000 "
+        f"FROM '{SF}/events.parquet' "
+        "WHERE event_type IN ('signup', 'purchase')")
+    s0 = {}
+    for u, t, sec in r:
+        if t == "signup":
+            s0[u] = min(s0.get(u, sec), sec)
+    p0 = {}
+    for u, t, sec in r:
+        if t == "purchase" and u in s0 and sec >= s0[u]:
+            p0[u] = min(p0.get(u, sec), sec)
+    weeks = {}
+    for u, s in s0.items():
+        wk = (s // 86400) // 7
+        lat = p0[u] - s if u in p0 else None
+        weeks.setdefault(wk, []).append((lat, u))
+    got = dump("events_funnel_latency")
+    cols = dump_cols("events_funnel_latency")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        ls = weeks[row["cohort_week"]]
+        conv = sorted((l, u) for l, u in ls if l is not None)
+        c = len(conv)
+        med = (conv[(c + 1) // 2 - 1][0] + conv[(c + 2) // 2 - 1][0]) / 2.0
+        p90 = conv[(9 * c + 9) // 10 - 1][0]
+        if not (row["n_signups"] == len(ls) and row["n_conv"] == c
+                and close(row["conv_rate"], c / len(ls), 1e-4)
+                and close(row["med_latency_s"], med, 1e-6)
+                and row["p90_latency_s"] == p90):
+            mis.append((row["cohort_week"], "got", tuple(row.values())[1:],
+                        "exp", (len(ls), c, med, p90)))
+    report("events_funnel_latency", mis, len(got) * 4)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1382,6 +1462,9 @@ AUDITS = {
     "agg_exact_deciles": audit_exact_deciles,
     "ts_pacf": audit_pacf,
     "ml_naive_bayes": audit_naive_bayes,
+    "events_srm_check": audit_srm_check,
+    "dq_value_entropy": audit_value_entropy,
+    "events_funnel_latency": audit_funnel_latency,
 }
 
 for name, fn in AUDITS.items():
