@@ -805,4 +805,66 @@ object Aggregates extends QueryPack {
         (col("v100") / 100).as("value"))
       .orderBy("event_type", "pct")
   }
+
+  // Lorenz curve deciles per order status: the cumulative REVENUE share
+  // held by the bottom d·10% of orders — the curve behind agg_gini's
+  // scalar. Exact rank semantics with tie-aware partial bins: the bottom
+  // r = ceil(d·n/10) orders' value is the cumulative bin sum minus the
+  // over-counted (cc − r) copies of the boundary bin's value — ALL
+  // integer math on the value HISTOGRAM (never a row sort; the
+  // winsorize/deciles scale argument), one double division per output
+  // cell. Monotone by construction; Round10 checks convexity.
+  q("agg_lorenz_deciles",
+    """WITH h AS (
+      |  SELECT o_orderstatus AS st,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT st, v, c,
+      |    SUM(c) OVER (PARTITION BY st ORDER BY v) AS cc,
+      |    SUM(v * c) OVER (PARTITION BY st ORDER BY v) AS cv,
+      |    SUM(c) OVER (PARTITION BY st) AS n,
+      |    SUM(v * c) OVER (PARTITION BY st) AS tv
+      |  FROM h
+      |), qs AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS q),
+      |pick AS (
+      |  SELECT st, q, MAX(n) AS n,
+      |    MIN(CASE WHEN cc * 10 >= q * n THEN v END) AS bv
+      |  FROM cum CROSS JOIN qs GROUP BY st, q
+      |)
+      |SELECT cum.st AS o_orderstatus, CAST(pick.q * 10 AS BIGINT) AS pct,
+      |  floor((CAST(cv AS DOUBLE)
+      |         - CAST(cc - (pick.q * cum.n + 9) // 10 AS DOUBLE) * cum.v)
+      |    / CAST(tv AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bottom_share
+      |FROM pick JOIN cum ON pick.st = cum.st AND pick.bv = cum.v
+      |ORDER BY o_orderstatus, pct""") { (s, dir) =>
+    val h = Tables(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("st"),
+        Det.cents(col("o_totalprice")).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val wp = Window.partitionBy("st")
+    val wo = wp.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("cc", sum("c").over(wo))
+      .withColumn("cv", sum(col("v") * col("c")).over(wo))
+      .withColumn("n", sum("c").over(wp))
+      .withColumn("tv", sum(col("v") * col("c")).over(wp))
+    val qs = h.sparkSession.range(1, 11).select(col("id").as("q"))
+    val pick = cum.crossJoin(broadcast(qs))
+      .groupBy("st", "q")
+      .agg(max("n").as("n"),
+        min(when(col("cc") * 10 >= col("q") * col("n"), col("v"))).as("bv"))
+    pick.join(cum.select(col("st").as("st2"), col("v"), col("c"), col("cc"),
+        col("cv"), col("n").as("n2"), col("tv")),
+        pick("st") === col("st2") && pick("bv") === col("v"))
+      .select(pick("st").as("o_orderstatus"),
+        (pick("q") * 10).cast("long").as("pct"),
+        (floor((col("cv").cast("double")
+          - (col("cc") - expr("(q * n2 + 9) div 10")).cast("double") * col("v"))
+          / col("tv").cast("double") * 1000000 + lit(0.5)) / 1000000)
+          .as("bottom_share"))
+      .orderBy("o_orderstatus", "pct")
+  }
 }

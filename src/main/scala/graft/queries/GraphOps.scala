@@ -3,6 +3,7 @@ package graft.queries
 import graft.engine.{QueryPack, Tables}
 import graft.ops.Graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over a derived trade graph (beyond SURVEY §2 core).
@@ -790,6 +791,47 @@ object GraphOps extends QueryPack {
             * ((col("r") - 1).cast("double") / col("sd")) * 1000000
             + lit(0.5)).cast("double") / 1000000).as("closeness"))
       .orderBy("n_name")
+  }
+
+  // Shortest-path hop-length DISTRIBUTION over all unordered reachable
+  // pairs of the strong-trade graph — the small-world readout (average
+  // path length + effective diameter fall straight out of cum_share).
+  // Rides the same all-sources relax frame as graph_closeness (bounded
+  // by |V|² pairs on the collapsed dimension graph; billion-node twins
+  // sample pivots); the histogram/cumshare math is all-integer with one
+  // double division per row.
+  q("graph_path_length_dist",
+    s"""WITH $oracleStrongEdges,
+       |symw AS (SELECT src, dst, 1 AS w FROM sym
+       |         UNION ALL SELECT id, id, 0 FROM nodes),
+       |p0 AS (SELECT id AS s, id AS v, 0 AS d FROM nodes),
+       |${(1 to apIters).map(apRound).mkString(",\n")},
+       |pairs AS (SELECT d FROM p$apIters WHERE s < v),
+       |h AS (SELECT d AS hops, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |      FROM pairs GROUP BY d),
+       |c AS (
+       |  SELECT hops, n_pairs,
+       |    SUM(n_pairs) OVER (ORDER BY hops) AS cum,
+       |    SUM(n_pairs) OVER () AS tot
+       |  FROM h
+       |)
+       |SELECT CAST(hops AS BIGINT) AS hops, n_pairs,
+       |  floor(CAST(cum AS DOUBLE) / tot * 1000000 + 0.5) / 1000000
+       |    AS cum_share
+       |FROM c ORDER BY hops""") { (s, dir) =>
+    val d = Graph.allPairsDist(strongTradeEdges(s, dir), apIters)
+      .filter(col("s") < col("v"))
+    val h = d.groupBy(col("d").as("hops"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+    val wc = Window.orderBy("hops")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.withColumn("cum", sum("n_pairs").over(wc))
+      .withColumn("tot", sum("n_pairs").over(
+        Window.partitionBy()))
+      .select(col("hops").cast("long").as("hops"), col("n_pairs"),
+        (floor(col("cum").cast("double") / col("tot") * 1000000 + lit(0.5))
+          / 1000000).as("cum_share"))
+      .orderBy("hops")
   }
 
   private val lpaIters = 3

@@ -2970,6 +2970,39 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Span-sharing doc CLUSTERS: the duplicated-span pair list collapsed to
+  // connected components — "which documents form a substring-duplication
+  // family" (templated boilerplate chains A↔B↔C where A and C share no
+  // span directly). Composes the memoized span frame with the same
+  // pointer-free CC loop the jaccard clusters use; the oracle re-derives
+  // components with the recursive transitive-closure CTE. Pair list is
+  // candidate-sized; CC rounds are O(log diameter) — span families are
+  // shallow chains in practice.
+  q("llm_span_dedup_cluster",
+    s"""WITH RECURSIVE $oracleSpanCtes,
+      |pairs AS (SELECT DISTINCT doc_a AS id_a, doc_b AS id_b FROM spans),
+      |ed AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach AS (
+      |  SELECT s AS id, d AS r FROM ed
+      |  UNION
+      |  SELECT reach.id, ed.d AS r FROM reach JOIN ed ON reach.r = ed.s
+      |)
+      |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM (
+      |  SELECT id AS doc_id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id
+      |)
+      |ORDER BY doc_id""") { (s, dir) =>
+    val pairs = substringSpans(s, dir)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")).distinct()
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy("doc_id")
+  }
+
   // Voice-activity detection over the binary audio payloads: the windowed
   // energy frames of multimodal_audio_energy, thresholded at mean-square
   // ≥ 2000 (an exact INTEGER comparison, ssq ≥ 2000·n — no division) and

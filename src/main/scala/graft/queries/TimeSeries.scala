@@ -2406,6 +2406,89 @@ object TimeSeriesOps extends QueryPack {
       .orderBy("day")
   }
 
+  // Exponential retention-decay fit: regress ln(retention rate) on weeks
+  // since signup across every (cohort, age ≥ 1) cell — the one-number
+  // summary (decay/week + half-life) of the retention matrix. Cohort
+  // size is the cohort's own week-0 active count (every user is active
+  // in their signup week by construction), ln(active/size) splits into
+  // two INTEGER-argument fixed-point logs (P12/P17), and the OLS slope
+  // assembles from exact integer moments (P16). ln 2 is spelled as the
+  // same double literal in both engines (libm ln(2) is not blessed).
+  // Cohort-week frame in, one row out.
+  q("events_retention_decay_fit",
+    """WITH first AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      |  FROM events GROUP BY user_id
+      |), activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      |), ret AS (
+      |  SELECT f.cohort,
+      |    CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS w,
+      |    CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS active
+      |  FROM first f JOIN activity a ON f.user_id = a.user_id
+      |  GROUP BY 1, 2
+      |), sz AS (SELECT cohort, active AS size FROM ret WHERE w = 0),
+      |pts AS (
+      |  SELECT r.w AS x,
+      |    CAST(floor(ln(CAST(r.active AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |      - CAST(floor(ln(CAST(s.size AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |      AS y
+      |  FROM ret r JOIN sz s ON r.cohort = s.cohort
+      |  WHERE r.w >= 1 AND r.active > 0
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pts
+      |), f AS (
+      |  SELECT n,
+      |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) / 1000000
+      |      AS slope
+      |  FROM m
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_points,
+      |  floor(slope * 1000000 + 0.5) / 1000000 AS decay_per_week,
+      |  CASE WHEN slope >= 0 THEN NULL
+      |    ELSE floor(CAST(0.6931471805599453 AS DOUBLE) / (-slope) * 10000 + 0.5)
+      |         / 10000 END AS half_life_weeks
+      |FROM f""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val activity = ev.select(col("user_id").as("a_uid"),
+      date_trunc("week", col("ts")).as("wk")).distinct()
+    val ret = first.join(activity, col("user_id") === col("a_uid"))
+      .groupBy(col("cohort"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800)
+          .cast("long").as("w"))
+      .agg(countDistinct(col("user_id")).as("active"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = ret.filter(col("w") === 0)
+      .select(col("cohort").as("c2"), col("active").as("size"))
+    val pts = ret.join(sz, col("cohort") === col("c2"))
+      .filter(col("w") >= 1 && col("active") > 0)
+      .select(col("w").as("x"),
+        (Det.lnFix(col("active").cast("double"), 6)
+          - Det.lnFix(col("size").cast("double"), 6)).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"))
+    val slope = (m("n").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (m("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
+        .cast("double") / 1000000
+    m.select(col("n").cast("long").as("n_points"),
+        slope.as("slope"))
+      .select(col("n_points"),
+        (floor(col("slope") * 1000000 + lit(0.5)) / 1000000).as("decay_per_week"),
+        when(col("slope") >= 0, lit(null).cast("double"))
+          .otherwise(floor(lit(0.6931471805599453) / -col("slope") * 10000
+            + lit(0.5)) / 10000).as("half_life_weeks"))
+  }
+
   // Lo–MacKinlay variance-ratio test (q=5) on the daily revenue series —
   // the random-walk screen: if increments are iid, the variance of
   // 5-day overlapping changes is 5× the 1-day variance and VR(5)=1;
