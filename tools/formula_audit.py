@@ -1417,6 +1417,125 @@ def audit_funnel_latency():
     report("events_funnel_latency", mis, len(got) * 4)
 
 
+def audit_entropy_rate():
+    mis = []
+    r = rows(
+        "SELECT user_id, event_type FROM "
+        f"'{SF}/events.parquet' ORDER BY user_id, ts, event_id")
+    trans = {}
+    prev = {}
+    for u, t in r:
+        if u in prev:
+            key = (prev[u], t)
+            trans[key] = trans.get(key, 0) + 1
+        prev[u] = t
+    out = {}
+    for (s, _), c in trans.items():
+        out[s] = out.get(s, 0) + c
+    n = sum(out.values())
+    hrate = sum(c * math.log(out[s] / c) for (s, _), c in trans.items()) / n
+    got = dump("events_entropy_rate")
+    cols = dump_cols("events_entropy_rate")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        s = row["src"]
+        hc = sum(c * math.log(out[s] / c)
+                 for (s2, _), c in trans.items() if s2 == s) / out[s]
+        if not (row["n_out"] == out[s] and close(row["h_cond"], hc, 2e-3)
+                and close(row["entropy_rate"], hrate, 2e-3)):
+            mis.append((s, "got", tuple(row.values())[1:],
+                        "exp", (out[s], hc, hrate)))
+    report("events_entropy_rate", mis, len(got) * 3)
+
+
+def audit_inter_arrival():
+    mis = []
+    r = rows(
+        "SELECT user_id, epoch_us(ts) // 1000000 FROM "
+        f"'{SF}/events.parquet' ORDER BY user_id, ts, event_id")
+    gaps = {}
+    prev = {}
+    for u, sec in r:
+        if u in prev:
+            gaps.setdefault(u, []).append(sec - prev[u])
+        prev[u] = sec
+    got = dump("events_inter_arrival")
+    cols = dump_cols("events_inter_arrival")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        gs = sorted(gaps[row["user_id"]])
+        c = len(gs)
+        med = (gs[(c + 1) // 2 - 1] + gs[(c + 2) // 2 - 1]) / 2.0
+        p90 = gs[(9 * c + 9) // 10 - 1]
+        if not (row["n_gaps"] == c and row["min_gap"] == gs[0]
+                and row["max_gap"] == gs[-1]
+                and close(row["med_gap"], med, 1e-6)
+                and row["p90_gap"] == p90):
+            mis.append((row["user_id"], "got", tuple(row.values())[1:],
+                        "exp", (c, gs[0], gs[-1], med, p90)))
+    report("events_inter_arrival", mis, len(got) * 5)
+
+
+def audit_new_vs_returning():
+    mis = []
+    r = rows(
+        "SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) "
+        f"FROM '{SF}/events.parquet'")
+    first = {}
+    for u, d in r:
+        first[u] = min(first.get(u, d), d)
+    days = {}
+    for u, d in r:
+        e = days.setdefault(d, [0, 0])
+        e[0 if d == first[u] else 1] += 1
+    got = dump("events_new_vs_returning")
+    cols = dump_cols("events_new_vs_returning")
+    import datetime
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        d = datetime.date.fromisoformat(row["day"])
+        nn, nr = days[d]
+        if not (row["new_users"] == nn and row["returning_users"] == nr):
+            mis.append((row["day"], "got",
+                        (row["new_users"], row["returning_users"]),
+                        "exp", (nn, nr)))
+    report("events_new_vs_returning", mis, len(got) * 2)
+
+
+def audit_cohort_ltv():
+    mis = []
+    r = rows(
+        "SELECT user_id, event_type, "
+        "date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)), "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet'")
+    first_day = {}
+    for u, _, d, _ in r:
+        first_day[u] = min(first_day.get(u, d), d)
+    cohort = {u: d // 7 for u, d in first_day.items()}
+    n_users = {}
+    for u, cw in cohort.items():
+        n_users[cw] = n_users.get(cw, 0) + 1
+    rev = {}
+    for u, t, d, c in r:
+        if t == "purchase":
+            key = (cohort[u], d // 7 - cohort[u])
+            rev[key] = rev.get(key, 0) + int(c)
+    got = dump("events_cohort_ltv")
+    cols = dump_cols("events_cohort_ltv")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        cw, wo = row["cohort_week"], row["week_offset"]
+        cum = sum(v for (c2, w2), v in rev.items() if c2 == cw and w2 <= wo)
+        ltv = math.floor(cum / 100 / n_users[cw] * 10000 + 0.5) / 10000
+        if not (row["n_users"] == n_users[cw]
+                and close(row["cum_revenue"], cum / 100, 1e-6)
+                and close(row["ltv_per_user"], ltv, 1e-6)):
+            mis.append(((cw, wo), "got", tuple(row.values())[2:],
+                        "exp", (n_users[cw], cum / 100, ltv)))
+    report("events_cohort_ltv", mis, len(got) * 3)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1465,6 +1584,10 @@ AUDITS = {
     "events_srm_check": audit_srm_check,
     "dq_value_entropy": audit_value_entropy,
     "events_funnel_latency": audit_funnel_latency,
+    "events_entropy_rate": audit_entropy_rate,
+    "events_inter_arrival": audit_inter_arrival,
+    "events_new_vs_returning": audit_new_vs_returning,
+    "events_cohort_ltv": audit_cohort_ltv,
 }
 
 for name, fn in AUDITS.items():
