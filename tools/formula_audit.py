@@ -1536,6 +1536,103 @@ def audit_cohort_ltv():
     report("events_cohort_ltv", mis, len(got) * 3)
 
 
+def audit_rate_limit():
+    mis = []
+    r = rows(
+        "SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) "
+        f"FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id")
+    # token bucket: start 5 tokens, refill 1 per 100s (integer-floored),
+    # cap 5, admit iff >= 1 token, first event always admitted (5 -> 4)
+    state = {}
+    exp = {}
+    for u, e, us in r:
+        if u not in state:
+            tok = 5
+        else:
+            ptok, pus = state[u]
+            tok = min(5, ptok + (us - pus) // 100000000)
+        admit = 1 if tok >= 1 else 0
+        tok -= admit
+        state[u] = (tok, us)
+        exp[(u, e)] = (admit, tok)
+    got = dump("stream_rate_limit")
+    cols = dump_cols("stream_rate_limit")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        ea, et = exp[(row["user_id"], row["event_id"])]
+        if not (row["admitted"] == ea and row["tokens_after"] == et):
+            mis.append(((row["user_id"], row["event_id"]), "got",
+                        (row["admitted"], row["tokens_after"]), "exp", (ea, et)))
+    report("stream_rate_limit", mis, len(got) * 2)
+
+
+def audit_stateful_funnel():
+    mis = []
+    r = rows(
+        "SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) "
+        f"FROM '{SF}/events.parquet'")
+    s0 = {}
+    for u, t, us in r:
+        if t == "signup":
+            s0[u] = min(s0.get(u, us), us)
+    p0 = {}
+    for u, t, us in r:
+        if t == "purchase" and u in s0 and us >= s0[u]:
+            p0[u] = min(p0.get(u, us), us)
+    got = dump("stream_stateful_funnel")
+    cols = dump_cols("stream_stateful_funnel")
+    seen = set()
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        u = row["user_id"]
+        seen.add(u)
+        if not (row["signup_us"] == s0.get(u)
+                and row["purchase_us"] == p0.get(u)):
+            mis.append((u, "got", (row["signup_us"], row["purchase_us"]),
+                        "exp", (s0.get(u), p0.get(u))))
+    if seen != set(p0):
+        mis.append(("converted-user set mismatch", len(seen), len(p0)))
+    report("stream_stateful_funnel", mis, len(got) * 2)
+
+
+def audit_burst_rate():
+    mis = []
+    r = rows(
+        "SELECT user_id, epoch_us(ts) // 1000000 "
+        f"FROM '{SF}/events.parquet' ORDER BY user_id, ts")
+    secs = {}
+    for u, s in r:
+        secs.setdefault(u, []).append(s)
+    got = dump("events_burst_rate")
+    cols = dump_cols("events_burst_rate")
+    import bisect
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        ss = sorted(secs[row["user_id"]])
+        best = max(bisect.bisect_right(ss, s) - bisect.bisect_left(ss, s - 59)
+                   for s in ss)
+        if not (row["n_events"] == len(ss) and row["max_burst_60s"] == best):
+            mis.append((row["user_id"], "got",
+                        (row["n_events"], row["max_burst_60s"]),
+                        "exp", (len(ss), best)))
+    report("events_burst_rate", mis, len(got) * 2)
+
+
+def audit_sequence_gaps():
+    mis = []
+    r = rows(
+        "SELECT event_id FROM "
+        f"'{SF}/events.parquet' WHERE event_type = 'click' ORDER BY event_id")
+    ids = [i for (i,) in r]
+    gaps = [(p + 1, n - 1, n - p - 1)
+            for p, n in zip(ids, ids[1:]) if n - p > 1]
+    exp = sorted(gaps, key=lambda g: (-g[2], g[0]))[:20]
+    got = [tuple(x) for x in dump("dq_sequence_gaps")]
+    if got != exp:
+        mis.append(("got", got[:3], "exp", exp[:3]))
+    report("dq_sequence_gaps", mis, len(got))
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1588,6 +1685,10 @@ AUDITS = {
     "events_inter_arrival": audit_inter_arrival,
     "events_new_vs_returning": audit_new_vs_returning,
     "events_cohort_ltv": audit_cohort_ltv,
+    "stream_rate_limit": audit_rate_limit,
+    "stream_stateful_funnel": audit_stateful_funnel,
+    "events_burst_rate": audit_burst_rate,
+    "dq_sequence_gaps": audit_sequence_gaps,
 }
 
 for name, fn in AUDITS.items():
