@@ -867,4 +867,75 @@ object Aggregates extends QueryPack {
           .as("bottom_share"))
       .orderBy("o_orderstatus", "pct")
   }
+
+  // Mergeable equi-log quantile summaries — the 100 TB percentile
+  // pattern next to the HLL/bitmap rollups: each shard (order status
+  // here) reduces to a CONSTANT-size sketch of ~7%-wide log-value
+  // buckets carrying (count, min, max); sketches OR-merge exactly
+  // (counts add, bounds min/max — all associative), and any quantile
+  // query answers from the merged sketch with a guaranteed ≤ one-bucket
+  // (~7% relative) error band [est_lo, est_hi]. The bucket index is the
+  // integer-argument fixed-point ln divided by a fixed integer (P17 —
+  // no transcendental leaves the blessed set), so shard summaries are
+  // bit-identical in both engines. At scale this turns "p99 of a year"
+  // into "merge 365 few-hundred-row summaries".
+  q("agg_quantile_summary_merge",
+    """WITH v AS (
+      |  SELECT o_orderstatus AS shard,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |  FROM orders
+      |), sk AS (
+      |  SELECT shard,
+      |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) // 68000
+      |      AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    MIN(c) AS lo, MAX(c) AS hi
+      |  FROM v GROUP BY 1, 2
+      |), merged AS (
+      |  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt,
+      |    MIN(lo) AS lo, MAX(hi) AS hi
+      |  FROM sk GROUP BY bucket
+      |), cum AS (
+      |  SELECT bucket, cnt, lo, hi,
+      |    SUM(cnt) OVER (ORDER BY bucket) AS cc,
+      |    SUM(cnt) OVER () AS n
+      |  FROM merged
+      |), qs AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct)
+      |SELECT pct,
+      |  CAST(MIN(CASE WHEN cc * 100 >= pct * n THEN lo END) AS DOUBLE) / 100
+      |    AS est_lo,
+      |  CAST(MIN(CASE WHEN cc * 100 >= pct * n THEN hi END) AS DOUBLE) / 100
+      |    AS est_hi,
+      |  CAST(MIN(CASE WHEN cc * 100 >= pct * n THEN bucket END) AS BIGINT)
+      |    AS bucket
+      |FROM cum CROSS JOIN qs GROUP BY pct ORDER BY pct""") { (s, dir) =>
+    val v = Tables(s, dir, "orders")
+      .select(col("o_orderstatus").as("shard"),
+        Det.cents(col("o_totalprice")).cast("long").as("c"))
+    val sk = v.groupBy(col("shard"),
+        expr(s"CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) div 68000")
+          .as("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        min("c").as("lo"), max("c").as("hi"))
+    val merged = sk.groupBy("bucket")
+      .agg(sum("cnt").cast("long").as("cnt"),
+        min("lo").as("lo"), max("hi").as("hi"))
+    val cum = merged
+      .withColumn("cc", sum("cnt").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    val qs = v.sparkSession.range(0, 3)
+      .select(element_at(array(lit(50L), lit(90L), lit(99L)),
+        (col("id") + 1).cast("int")).as("pct"))
+    cum.crossJoin(broadcast(qs))
+      .groupBy("pct")
+      .agg(
+        (min(when(col("cc") * 100 >= col("pct") * col("n"), col("lo")))
+          .cast("double") / 100).as("est_lo"),
+        (min(when(col("cc") * 100 >= col("pct") * col("n"), col("hi")))
+          .cast("double") / 100).as("est_hi"),
+        min(when(col("cc") * 100 >= col("pct") * col("n"), col("bucket")))
+          .cast("long").as("bucket"))
+      .orderBy("pct")
+  }
 }

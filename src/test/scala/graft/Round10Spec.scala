@@ -57,6 +57,23 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("agg_quantile_summary_merge: error bands bracket the exact quantiles") {
+    val bands = SparkEntry.queries("agg_quantile_summary_merge")(spark, sf)
+      .collect().map(r => r.getAs[Long]("pct") ->
+        (r.getAs[Double]("est_lo"), r.getAs[Double]("est_hi"))).toMap
+    val cents = spark.read.parquet(s"$sf/orders.parquet")
+      .select(graft.engine.Det.cents(col("o_totalprice")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    bands.foreach { case (pct, (lo, hi)) =>
+      // exact rank-based quantile: the ceil(p·n/100)-th smallest value
+      val exact = cents((pct * cents.length + 99).toInt / 100 - 1) / 100.0
+      assert(lo <= exact && exact <= hi,
+        s"p$pct exact $exact outside sketch band [$lo, $hi]")
+      // the band is one log-bucket wide: ≤ ~7.3% relative
+      assert(hi / lo <= 1.075, s"p$pct band wider than one bucket")
+    }
+  }
+
   test("events_retention_decay_fit: half-life consistent with the decay rate") {
     val r = SparkEntry.queries("events_retention_decay_fit")(spark, sf)
       .collect().head
