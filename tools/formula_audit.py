@@ -1633,6 +1633,64 @@ def audit_sequence_gaps():
     report("dq_sequence_gaps", mis, len(got))
 
 
+def audit_mix_temperature():
+    mis = []
+    r = rows(f"SELECT source, COUNT(*) FROM '{SF}/documents.parquet' GROUP BY 1")
+    u = {s: math.floor(n ** 0.3 * 1e6 + 0.5) for s, n in r}
+    ndocs = dict(r)
+    tot = sum(u.values())
+    got = dump("llm_mix_temperature")
+    cols = dump_cols("llm_mix_temperature")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        s = row["source"]
+        if not (row["n_docs"] == ndocs[s]
+                and close(row["weight"], u[s] / tot, 1e-4)
+                and row["epoch_docs"] == math.floor(10000.0 * u[s] / tot + 0.5)):
+            mis.append((s, "got", tuple(row.values())[1:],
+                        "exp", (ndocs[s], u[s] / tot,
+                                math.floor(10000.0 * u[s] / tot + 0.5))))
+    report("llm_mix_temperature", mis, len(got) * 3)
+
+
+def audit_readability():
+    mis = []
+    import re
+    r = rows(f"SELECT doc_id, text FROM '{SF}/documents.parquet'")
+    got = dump("text_readability")
+    cols = dump_cols("text_readability")
+    texts = dict(r)
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        t = texts[row["doc_id"]]
+        w = len(t.split(" "))
+        syl = len(re.findall(r"[aeiouy]+", t.lower()))
+        flesch = 206.835 - 1.015 * w - 84.6 * (syl / w)
+        if not (row["n_words"] == w and row["n_syllables"] == syl
+                and close(row["flesch"], flesch, 1e-3)):
+            mis.append((row["doc_id"], "got", tuple(row.values())[1:],
+                        "exp", (w, syl, flesch)))
+    report("text_readability", mis, len(got) * 3)
+
+
+def audit_domain_mix():
+    mis = []
+    r = rows(f"SELECT source, COUNT(*) FROM '{SF}/documents.parquet' GROUP BY 1")
+    sizes = dict(r)
+    total = sum(sizes.values())
+    quota = math.ceil(0.8 * total / len(sizes))
+    got = dump("llm_domain_mix")
+    cols = dump_cols("llm_domain_mix")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        s = row["source"]
+        if not (row["n_before"] == sizes[s]
+                and row["n_after"] == min(sizes[s], quota)):
+            mis.append((s, "got", (row["n_before"], row["n_after"]),
+                        "exp", (sizes[s], min(sizes[s], quota))))
+    report("llm_domain_mix", mis, len(got) * 2)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1689,6 +1747,9 @@ AUDITS = {
     "stream_stateful_funnel": audit_stateful_funnel,
     "events_burst_rate": audit_burst_rate,
     "dq_sequence_gaps": audit_sequence_gaps,
+    "llm_mix_temperature": audit_mix_temperature,
+    "text_readability": audit_readability,
+    "llm_domain_mix": audit_domain_mix,
 }
 
 for name, fn in AUDITS.items():
