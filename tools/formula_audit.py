@@ -1691,6 +1691,110 @@ def audit_domain_mix():
     report("llm_domain_mix", mis, len(got) * 2)
 
 
+def audit_anomaly_iqr():
+    mis = []
+    g = {}
+    for t, v in rows(
+            "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) "
+            f"FROM '{SF}/events.parquet'"):
+        g.setdefault(t, []).append(int(v))
+    got = dump("dq_anomaly_iqr")
+    cols = dump_cols("dq_anomaly_iqr")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        xs = sorted(g[row["event_type"]])
+        n = len(xs)
+        q1 = xs[(n + 3) // 4 - 1]
+        q3 = xs[(3 * n + 3) // 4 - 1]
+        # Tukey 1.5×IQR fences in exact doubled-integer form
+        out = sum(1 for v in xs
+                  if 2 * v < 2 * q1 - 3 * (q3 - q1)
+                  or 2 * v > 2 * q3 + 3 * (q3 - q1))
+        if not (row["n"] == n and close(row["q1"], q1 / 100, 1e-6)
+                and close(row["q3"], q3 / 100, 1e-6)
+                and row["n_outliers"] == out):
+            mis.append((row["event_type"], "got", tuple(row.values())[1:],
+                        "exp", (n, q1 / 100, q3 / 100, out)))
+    report("dq_anomaly_iqr", mis, len(got) * 4)
+
+
+def audit_outlier_zscore():
+    mis = []
+    g = {}
+    for t, e, v in rows(
+            "SELECT event_type, event_id, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) "
+            f"FROM '{SF}/events.parquet'"):
+        g.setdefault(t, []).append((e, int(v)))
+    exp = {}
+    for t, evs in g.items():
+        vs = [v for _, v in evs]
+        n = len(vs)
+        m = sum(vs) / n
+        sd = math.sqrt(max(0.0, sum(v * v for v in vs) - sum(vs) ** 2 / n)
+                       / (n - 1))
+        for e, v in evs:
+            z = abs(v - m) / sd
+            if z > 2.5:
+                exp[e] = z
+    got = dump("dq_outlier_zscore")
+    cols = dump_cols("dq_outlier_zscore")
+    seen = set()
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        e = row["event_id"]
+        seen.add(e)
+        if e not in exp or not close(row["z"], exp[e], 1e-3):
+            mis.append((e, "got", row["z"], "exp", exp.get(e)))
+    if seen != set(exp):
+        mis.append(("outlier set mismatch", len(seen), len(exp)))
+    report("dq_outlier_zscore", mis, len(got))
+
+
+def audit_mode():
+    mis = []
+    g = {}
+    for ck, p in rows(
+            f"SELECT o_custkey, o_orderpriority FROM '{SF}/orders.parquet'"):
+        g.setdefault(ck, {}).setdefault(p, 0)
+        g[ck][p] += 1
+    got = dump("agg_mode")
+    cols = dump_cols("agg_mode")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        counts = g[row["o_custkey"]]
+        exp = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if row["mode_prio"] != exp:
+            mis.append((row["o_custkey"], "got", row["mode_prio"], "exp", exp))
+    if len(got) != len(g):
+        mis.append(("row count", len(got), len(g)))
+    report("agg_mode", mis, len(got))
+
+
+def audit_hapax():
+    mis = []
+    g = {}
+    for s, t in rows(
+            "SELECT source, unnest(string_split(lower(text), ' ')) "
+            f"FROM '{SF}/documents.parquet'"):
+        g.setdefault(s, {}).setdefault(t, 0)
+        g[s][t] += 1
+    got = dump("text_hapax_ratio")
+    cols = dump_cols("text_hapax_ratio")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        counts = g[row["source"]]
+        n = sum(counts.values())
+        v = len(counts)
+        h = sum(1 for c in counts.values() if c == 1)
+        if not (row["n_tokens"] == n and row["vocab"] == v and row["hapax"] == h
+                and close(row["hapax_ratio"], h / v, 1e-5)
+                and close(row["type_token_ratio"], v / n, 1e-5)):
+            mis.append((row["source"], "got", tuple(row.values())[1:],
+                        "exp", (n, v, h, h / v, v / n)))
+    report("text_hapax_ratio", mis, len(got) * 5)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1750,6 +1854,10 @@ AUDITS = {
     "llm_mix_temperature": audit_mix_temperature,
     "text_readability": audit_readability,
     "llm_domain_mix": audit_domain_mix,
+    "dq_anomaly_iqr": audit_anomaly_iqr,
+    "dq_outlier_zscore": audit_outlier_zscore,
+    "agg_mode": audit_mode,
+    "text_hapax_ratio": audit_hapax,
 }
 
 for name, fn in AUDITS.items():
