@@ -1795,6 +1795,108 @@ def audit_hapax():
     report("text_hapax_ratio", mis, len(got) * 5)
 
 
+def audit_source_kl():
+    mis = []
+    g = {}
+    corpus = {}
+    for s, t in rows(
+            "SELECT source, unnest(string_split(lower(text), ' ')) "
+            f"FROM '{SF}/documents.parquet'"):
+        g.setdefault(s, {}).setdefault(t, 0)
+        g[s][t] += 1
+        corpus[t] = corpus.get(t, 0) + 1
+    n = sum(corpus.values())
+    got = dump("text_source_kl")
+    cols = dump_cols("text_source_kl")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        counts = g[row["source"]]
+        ns = sum(counts.values())
+        # KL(p_source || p_corpus) = Σ (c/ns)·ln((c/ns)/(d/n))
+        kl = sum(c * math.log((c * n) / (corpus[t] * ns))
+                 for t, c in counts.items()) / ns
+        if not (row["n_tokens"] == ns and close(row["kl"], kl, 2e-3)):
+            mis.append((row["source"], "got", (row["n_tokens"], row["kl"]),
+                        "exp", (ns, kl)))
+    report("text_source_kl", mis, len(got) * 2)
+
+
+def audit_histogram():
+    mis = []
+    r = rows(
+        "SELECT CAST(floor(l_quantity / 10) AS BIGINT), COUNT(*), "
+        "SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/lineitem.parquet' GROUP BY 1")
+    exp = {b: (c, s) for b, c, s in r}
+    got = dump("agg_histogram")
+    cols = dump_cols("agg_histogram")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        c, s = exp[row["bucket"]]
+        avg = round(s / 100 / c, 4)
+        if not (row["n"] == c and close(row["avg_qty"], avg, 1e-4)):
+            mis.append((row["bucket"], "got", (row["n"], row["avg_qty"]),
+                        "exp", (c, avg)))
+    report("agg_histogram", mis, len(got) * 2)
+
+
+def audit_gap_islands():
+    mis = []
+    r = rows(
+        "SELECT DISTINCT user_id, date_diff('day', DATE '2024-01-01', "
+        f"CAST(date_trunc('day', ts) AS DATE)) FROM '{SF}/events.parquet'")
+    days = {}
+    for u, d in r:
+        days.setdefault(u, set()).add(d)
+    got = dump("win_gap_islands")
+    cols = dump_cols("win_gap_islands")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        ds = sorted(days[row["user_id"]])
+        streaks = []
+        cur = 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        if not (row["n_streaks"] == len(streaks)
+                and row["longest"] == max(streaks)
+                and row["active_days"] == len(ds)):
+            mis.append((row["user_id"], "got", tuple(row.values())[1:],
+                        "exp", (len(streaks), max(streaks), len(ds))))
+    report("win_gap_islands", mis, len(got) * 3)
+
+
+def audit_bollinger():
+    mis = []
+    series = daily_x_series()
+    got = dump("ts_bollinger")
+    cols = dump_cols("ts_bollinger")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        pts = series[row["user_id"]]
+        idx = [d for d, _ in pts].index(row["day"])
+        win = [int(math.floor(x * 10000 + 0.5)) for _, x in
+               pts[max(0, idx - 6):idx + 1]]
+        nw = len(win)
+        sw, qw = sum(win), sum(v * v for v in win)
+        mean = sw / nw
+        sd = math.sqrt((qw - sw * sw / nw) / nw)
+        v4 = win[-1]
+        mid = math.floor(mean + 0.5) / 10000
+        upper = math.floor(mean + 2 * sd + 0.5) / 10000
+        breakout = 1 if abs(v4 - mean) > 2 * sd else 0
+        if not (close(row["mid"], mid, 1e-6) and close(row["upper_band"], upper, 1e-6)
+                and row["breakout"] == breakout):
+            mis.append(((row["user_id"], row["day"]), "got",
+                        (row["mid"], row["upper_band"], row["breakout"]),
+                        "exp", (mid, upper, breakout)))
+    report("ts_bollinger", mis, len(got) * 3)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1858,6 +1960,10 @@ AUDITS = {
     "dq_outlier_zscore": audit_outlier_zscore,
     "agg_mode": audit_mode,
     "text_hapax_ratio": audit_hapax,
+    "text_source_kl": audit_source_kl,
+    "agg_histogram": audit_histogram,
+    "win_gap_islands": audit_gap_islands,
+    "ts_bollinger": audit_bollinger,
 }
 
 for name, fn in AUDITS.items():
