@@ -1897,6 +1897,93 @@ def audit_bollinger():
     report("ts_bollinger", mis, len(got) * 3)
 
 
+def audit_attribution():
+    mis = []
+    r = rows(
+        "SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 "
+        f"FROM '{SF}/events.parquet'")
+    clicks = {}
+    for u, e, t, sec in r:
+        if t == "click":
+            clicks.setdefault(u, []).append((sec, e))
+    got = dump("events_attribution")
+    cols = dump_cols("events_attribution")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        pe = row["event_id"]
+        u = row["user_id"]
+        psec = next(sec for uu, e, t, sec in r if e == pe)
+        cs = [(sec, e) for sec, e in clicks.get(u, [])
+              if psec - 604800 <= sec <= psec]
+        if not cs:
+            ok = row["click_id"] is None and row["lag_s"] is None
+        else:
+            fc = min(sec for sec, _ in cs)
+            cid = min(e for sec, e in cs if sec == fc)
+            ok = row["click_id"] == cid and row["lag_s"] == psec - fc
+        if not ok:
+            mis.append((pe, "got", (row["click_id"], row["lag_s"])))
+    report("events_attribution", mis, len(got) * 2)
+
+
+def audit_uplift_by_segment():
+    mis = []
+    r = rows(
+        "SELECT user_id, CAST(epoch_us(ts) AS BIGINT), "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet'")
+    mid = (min(u for _, u, _ in r) + max(u for _, u, _ in r)) // 2
+    users = {}
+    for uid, us, c in r:
+        e = users.setdefault(uid, [0, 0])
+        e[0 if us < mid else 1] += c
+    ranked = sorted(users.items(), key=lambda kv: (kv[1][0], kv[0]))
+    n = len(ranked)
+    segs = {}
+    base, extra = divmod(n, 4)
+    i = 0
+    for tile in range(1, 5):
+        size = base + (1 if tile <= extra else 0)
+        for uid, (x, y) in ranked[i:i + size]:
+            segs.setdefault(tile, []).append((uid, y))
+        i += size
+    got = dump("events_uplift_by_segment")
+    cols = dump_cols("events_uplift_by_segment")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        members = segs[row["segment"]]
+        c0 = [y for uid, y in members if uid % 2 == 0]
+        c1 = [y for uid, y in members if uid % 2 == 1]
+        m0 = sum(c0) / len(c0) / 100
+        m1 = sum(c1) / len(c1) / 100
+        if not (row["n0"] == len(c0) and row["n1"] == len(c1)
+                and close(row["mean_control"], m0, 1e-4)
+                and close(row["mean_treat"], m1, 1e-4)
+                and close(row["uplift"], m1 - m0, 1e-3)):
+            mis.append((row["segment"], "got", tuple(row.values())[1:6],
+                        "exp", (len(c0), len(c1), m0, m1, m1 - m0)))
+    report("events_uplift_by_segment", mis, len(got) * 5)
+
+
+def audit_mixture_kl():
+    mis = []
+    r = rows(f"SELECT source, COUNT(*) FROM '{SF}/documents.parquet' GROUP BY 1")
+    sizes = dict(r)
+    total = sum(sizes.values())
+    got = dump("llm_mixture_kl")
+    cols = dump_cols("llm_mixture_kl")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        tau = row["tau"]
+        w = {s: math.floor(n ** tau * 1e6 + 0.5) for s, n in sizes.items()}
+        z = sum(w.values())
+        kl = sum((n / total) * math.log((n / total) / (w[s] / z))
+                 for s, n in sizes.items())
+        if not close(row["kl_nats"], kl, 2e-3):
+            mis.append((tau, "got", row["kl_nats"], "exp", kl))
+    report("llm_mixture_kl", mis, len(got))
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -1964,6 +2051,9 @@ AUDITS = {
     "agg_histogram": audit_histogram,
     "win_gap_islands": audit_gap_islands,
     "ts_bollinger": audit_bollinger,
+    "events_attribution": audit_attribution,
+    "events_uplift_by_segment": audit_uplift_by_segment,
+    "llm_mixture_kl": audit_mixture_kl,
 }
 
 for name, fn in AUDITS.items():
