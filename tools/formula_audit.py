@@ -1984,6 +1984,105 @@ def audit_mixture_kl():
     report("llm_mixture_kl", mis, len(got))
 
 
+def audit_markov_transitions():
+    mis = []
+    r = rows(
+        "SELECT user_id, event_type FROM "
+        f"'{SF}/events.parquet' ORDER BY user_id, ts, event_id")
+    trans = {}
+    prev = {}
+    for u, t in r:
+        if u in prev:
+            key = (prev[u], t)
+            trans[key] = trans.get(key, 0) + 1
+        prev[u] = t
+    out = {}
+    for (s, _), c in trans.items():
+        out[s] = out.get(s, 0) + c
+    got = dump("events_markov_transitions")
+    cols = dump_cols("events_markov_transitions")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        key = (row["src"], row["dst"])
+        if not (row["n"] == trans.get(key)
+                and close(row["p"], trans[key] / out[row["src"]], 1e-4)):
+            mis.append((key, "got", (row["n"], row["p"]),
+                        "exp", (trans.get(key), trans[key] / out[row["src"]])))
+    if len(got) != len(trans):
+        mis.append(("transition count", len(got), len(trans)))
+    report("events_markov_transitions", mis, len(got) * 2)
+
+
+def audit_freshness():
+    mis = []
+    r = rows(
+        "SELECT event_type, epoch_us(ts) // 1000000 "
+        f"FROM '{SF}/events.parquet'")
+    gmax = max(sec for _, sec in r)
+    g = {}
+    for t, sec in r:
+        g.setdefault(t, []).append(sec)
+    got = dump("dq_freshness")
+    cols = dump_cols("dq_freshness")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        secs = g[row["event_type"]]
+        tmax = max(secs)
+        n24 = sum(1 for s in secs if s > gmax - 86400)
+        if not (row["last_sec"] == tmax and row["lag_sec"] == gmax - tmax
+                and row["n_last_24h"] == n24):
+            mis.append((row["event_type"], "got", tuple(row.values())[1:],
+                        "exp", (tmax, gmax - tmax, n24)))
+    report("dq_freshness", mis, len(got) * 3)
+
+
+def audit_argminmax():
+    mis = []
+    r = rows(
+        "SELECT c_nationkey, c_name, c_custkey, "
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/customer.parquet'")
+    g = {}
+    for nk, name, ck, bal in r:
+        g.setdefault(nk, []).append((int(bal) * 100000 + ck, name))
+    got = dump("agg_argminmax")
+    cols = dump_cols("agg_argminmax")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        xs = g[row["c_nationkey"]]
+        if not (row["richest"] == max(xs)[1] and row["poorest"] == min(xs)[1]):
+            mis.append((row["c_nationkey"], "got",
+                        (row["richest"], row["poorest"]),
+                        "exp", (max(xs)[1], min(xs)[1])))
+    report("agg_argminmax", mis, len(got) * 2)
+
+
+def audit_dow_hour_matrix():
+    mis = []
+    r = rows(
+        "SELECT ((date_diff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7, "
+        "(epoch_us(ts) // 3600000000) % 24, COUNT(*) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    cells = {(int(d), int(h)): c for d, h, c in r}
+    dow_tot = {}
+    for (d, _), c in cells.items():
+        dow_tot[d] = dow_tot.get(d, 0) + c
+    got = dump("events_dow_hour_matrix")
+    cols = dump_cols("events_dow_hour_matrix")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        key = (row["dow"], row["hour"])
+        if not (row["n_events"] == cells.get(key)
+                and close(row["share_of_dow"],
+                          cells[key] / dow_tot[row["dow"]], 1e-5)):
+            mis.append((key, "got", (row["n_events"], row["share_of_dow"]),
+                        "exp", (cells.get(key), cells[key] / dow_tot[row["dow"]])))
+    if len(got) != len(cells):
+        mis.append(("cell count", len(got), len(cells)))
+    report("events_dow_hour_matrix", mis, len(got) * 2)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -2054,6 +2153,10 @@ AUDITS = {
     "events_attribution": audit_attribution,
     "events_uplift_by_segment": audit_uplift_by_segment,
     "llm_mixture_kl": audit_mixture_kl,
+    "events_markov_transitions": audit_markov_transitions,
+    "dq_freshness": audit_freshness,
+    "agg_argminmax": audit_argminmax,
+    "events_dow_hour_matrix": audit_dow_hour_matrix,
 }
 
 for name, fn in AUDITS.items():
