@@ -2083,6 +2083,110 @@ def audit_dow_hour_matrix():
     report("events_dow_hour_matrix", mis, len(got) * 2)
 
 
+def trade_edges():
+    return set(rows(
+        "SELECT DISTINCT s.s_nationkey, c.c_nationkey "
+        f"FROM '{SF}/lineitem.parquet' l "
+        f"JOIN '{SF}/orders.parquet' o ON l.l_orderkey = o.o_orderkey "
+        f"JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey "
+        f"JOIN '{SF}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey "
+        "WHERE s.s_nationkey <> c.c_nationkey"))
+
+
+def audit_degree_topk():
+    mis = []
+    edges = trade_edges()
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    names = dict(rows(
+        f"SELECT n_nationkey, n_name FROM '{SF}/nation.parquet'"))
+    deg = sorted(((len(v), names[k]) for k, v in sym.items()),
+                 key=lambda x: (-x[0], x[1]))[:10]
+    got = [(r[0], r[1]) for r in dump("graph_degree_topk")]
+    exp = [(n, d) for d, n in deg]
+    if got != exp:
+        mis.append(("got", got[:3], "exp", exp[:3]))
+    report("graph_degree_topk", mis, len(got))
+
+
+def audit_reciprocity():
+    mis = []
+    edges = trade_edges()
+    recip = sum(1 for a, b in edges if (b, a) in edges)
+    row = dict(zip(dump_cols("graph_reciprocity"),
+                   dump("graph_reciprocity")[0]))
+    if not (row["n_edges"] == len(edges) and row["n_reciprocal"] == recip
+            and close(row["reciprocity"], recip / len(edges), 1e-5)):
+        mis.append(("got", tuple(row.values()),
+                    "exp", (len(edges), recip, recip / len(edges))))
+    report("graph_reciprocity", mis, 3)
+
+
+def audit_neighbor_jaccard():
+    mis = []
+    edges = trade_edges()
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    nodes = sorted(sym)
+    exp = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            inter = len(sym[a] & sym[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sym[a]) + len(sym[b]) - inter)
+            if j >= 0.5:
+                exp[(a, b)] = (inter, j)
+    got = dump("graph_neighbor_jaccard")
+    cols = dump_cols("graph_neighbor_jaccard")
+    seen = set()
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        key = (row["node_a"], row["node_b"])
+        seen.add(key)
+        e = exp.get(key)
+        if e is None or row["shared"] != e[0] or not close(row["jaccard"], e[1], 1e-4):
+            mis.append((key, "got", (row["shared"], row["jaccard"]), "exp", e))
+    if seen != set(exp):
+        mis.append(("pair set mismatch", len(seen), len(exp)))
+    report("graph_neighbor_jaccard", mis, max(1, len(got) * 2))
+
+
+def audit_ts_peaks():
+    mis = []
+    r = rows(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    days = [d for d, _ in r]
+    xs = [int(x) for _, x in r]
+    exp = {}
+    for i in range(2, len(xs) - 2):
+        x = xs[i]
+        nb = [xs[i - 1], xs[i - 2], xs[i + 1], xs[i + 2]]
+        if all(x > v for v in nb) and 20 * (x - max(nb)) >= x:
+            exp[days[i].strftime("%Y-%m-%d")] = \
+                (x / 100, math.floor((x - max(nb)) / x * 1e6 + 0.5) / 1e6)
+    got = dump("ts_peaks")
+    cols = dump_cols("ts_peaks")
+    seen = set()
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        seen.add(row["day"])
+        e = exp.get(row["day"])
+        if e is None or not (close(row["revenue"], e[0], 1e-6)
+                             and close(row["prominence"], e[1], 1e-6)):
+            mis.append((row["day"], "got",
+                        (row["revenue"], row["prominence"]), "exp", e))
+    if seen != set(exp):
+        mis.append(("peak set mismatch", len(seen), len(exp)))
+    report("ts_peaks", mis, max(1, len(got) * 2))
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -2157,6 +2261,10 @@ AUDITS = {
     "dq_freshness": audit_freshness,
     "agg_argminmax": audit_argminmax,
     "events_dow_hour_matrix": audit_dow_hour_matrix,
+    "graph_degree_topk": audit_degree_topk,
+    "graph_reciprocity": audit_reciprocity,
+    "graph_neighbor_jaccard": audit_neighbor_jaccard,
+    "ts_peaks": audit_ts_peaks,
 }
 
 for name, fn in AUDITS.items():
