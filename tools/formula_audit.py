@@ -2187,6 +2187,80 @@ def audit_ts_peaks():
     report("ts_peaks", mis, max(1, len(got) * 2))
 
 
+def audit_aging_buckets():
+    mis = []
+    r = rows(
+        "SELECT date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01'), "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/orders.parquet' WHERE o_orderstatus <> 'F'")
+    b = {}
+    for age, c in r:
+        k = "0-29d" if age < 30 else "30-89d" if age < 90 \
+            else "90-179d" if age < 180 else "180d+"
+        e = b.setdefault(k, [0, 0])
+        e[0] += 1
+        e[1] += int(c)
+    got = dump("agg_aging_buckets")
+    cols = dump_cols("agg_aging_buckets")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        n, v = b[row["age_bucket"]]
+        if not (row["n_orders"] == n and close(row["open_value"], v / 100, 1e-6)):
+            mis.append((row["age_bucket"], "got",
+                        (row["n_orders"], row["open_value"]), "exp", (n, v / 100)))
+    report("agg_aging_buckets", mis, len(got) * 2)
+
+
+def audit_error_rate_slo():
+    mis = []
+    r = rows(
+        "SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d'), "
+        "COUNT(*), SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    days = [(d, n, e) for d, n, e in r]
+    got = dump("events_error_rate_slo")
+    cols = dump_cols("events_error_rate_slo")
+    idx = {d: i for i, (d, _, _) in enumerate(days)}
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        i = idx[row["day"]]
+        _, n, e = days[i]
+        win = days[max(0, i - 6):i + 1]
+        n7, e7 = sum(x[1] for x in win), sum(x[2] for x in win)
+        if not (row["n_events"] == n and row["n_errors"] == e
+                and close(row["error_rate"], e / n, 1e-5)
+                and close(row["burn_1d"], e / n / 0.01, 1e-3)
+                and close(row["burn_7d"], e7 / n7 / 0.01, 1e-3)):
+            mis.append((row["day"], "got", tuple(row.values())[1:],
+                        "exp", (n, e, e / n, e / n / 0.01, e7 / n7 / 0.01)))
+    report("events_error_rate_slo", mis, len(got) * 5)
+
+
+def audit_type_overlap():
+    mis = []
+    r = rows(
+        f"SELECT DISTINCT user_id, event_type FROM '{SF}/events.parquet'")
+    users = {}
+    for u, t in r:
+        users.setdefault(t, set()).add(u)
+    nu = len({u for u, _ in r})
+    got = dump("events_type_overlap")
+    cols = dump_cols("events_type_overlap")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        a, b = users[row["type_a"]], users[row["type_b"]]
+        both = len(a & b)
+        jac = both / len(a | b)
+        lift = both * nu / (len(a) * len(b))
+        if not (row["n_a"] == len(a) and row["n_b"] == len(b)
+                and row["n_both"] == both and close(row["jaccard"], jac, 1e-5)
+                and close(row["lift"], lift, 1e-4)):
+            mis.append(((row["type_a"], row["type_b"]), "got",
+                        tuple(row.values())[2:],
+                        "exp", (len(a), len(b), both, jac, lift)))
+    report("events_type_overlap", mis, len(got) * 5)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -2265,6 +2339,9 @@ AUDITS = {
     "graph_reciprocity": audit_reciprocity,
     "graph_neighbor_jaccard": audit_neighbor_jaccard,
     "ts_peaks": audit_ts_peaks,
+    "agg_aging_buckets": audit_aging_buckets,
+    "events_error_rate_slo": audit_error_rate_slo,
+    "events_type_overlap": audit_type_overlap,
 }
 
 for name, fn in AUDITS.items():
