@@ -706,6 +706,55 @@ object Extras extends QueryPack {
       .orderBy("n_suppliers")
   }
 
+  // pg_trgm-style trigram-set similarity between part NAMES — the third
+  // classic string-similarity scalar after Levenshtein (banded) and
+  // Jaro-Winkler (codegen): sim = |trigrams∩| / |trigrams∪| over
+  // DISTINCT character 3-grams. The pair frame runs on the DEDUPED name
+  // catalog, not rows: names are a vocabulary (64 here, bounded at any
+  // corpus size — a first attempt paired raw part rows and measured 43 s
+  // at sf0.1 for identical output), so the all-pairs frame is
+  // catalog²-bounded and one broadcast join. Set sizes are exact
+  // integers; one double division per pair, 4-dp quantized.
+  q("fn_trigram_similarity",
+    """WITH nm AS (
+      |  SELECT DISTINCT lower(p_name) AS nm FROM part
+      |), tg AS (
+      |  SELECT nm,
+      |    list_distinct(list_transform(range(1, length(nm) - 1),
+      |      i -> substr(nm, i, 3))) AS t
+      |  FROM nm
+      |), pr AS (
+      |  SELECT a.nm AS name_a, b.nm AS name_b,
+      |    CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter,
+      |    CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS BIGINT)
+      |      AS uni
+      |  FROM tg a JOIN tg b ON a.nm < b.nm
+      |)
+      |SELECT name_a, name_b, inter, uni,
+      |  floor(CAST(inter AS DOUBLE) / uni * 10000 + 0.5) / 10000 AS sim
+      |FROM pr
+      |WHERE 4 * inter >= uni
+      |ORDER BY sim DESC, name_a, name_b""") { (s, dir) =>
+    val nm = Tables(s, dir, "part")
+      .select(lower(col("p_name")).as("nm")).distinct()
+    val tg = nm.select(col("nm"),
+      array_distinct(expr(
+        "transform(sequence(1, length(nm) - 2), i -> substring(nm, i, 3))"))
+        .as("t"))
+    val pr = tg.select(col("nm").as("name_a"), col("t").as("ta"))
+      .join(broadcast(tg.select(col("nm").as("name_b"), col("t").as("tb"))),
+        col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        (size(col("ta")) + size(col("tb"))
+          - size(array_intersect(col("ta"), col("tb")))).cast("long").as("uni"))
+    pr.filter(lit(4) * col("inter") >= col("uni"))
+      .select(col("name_a"), col("name_b"), col("inter"), col("uni"),
+        (floor(col("inter").cast("double") / col("uni") * 10000 + lit(0.5))
+          / 10000).as("sim"))
+      .orderBy(col("sim").desc, col("name_a"), col("name_b"))
+  }
+
   // Weighted reservoir sampling without replacement (Efraimidis–Spirakis
   // A-ES): keep the k items with the largest u^(1/w), equivalently the
   // largest ln(u)/w. Deterministic across engines: u is the md5-derived
