@@ -2261,6 +2261,36 @@ def audit_type_overlap():
     report("events_type_overlap", mis, len(got) * 5)
 
 
+def audit_trigram_similarity():
+    mis = []
+    names = [n for (n,) in rows(
+        f"SELECT DISTINCT lower(p_name) FROM '{SF}/part.parquet'")]
+    tg = {n: {n[i:i + 3] for i in range(len(n) - 2)} for n in names}
+    exp = {}
+    for a in names:
+        for b in names:
+            if a < b:
+                inter = len(tg[a] & tg[b])
+                uni = len(tg[a] | tg[b])
+                if 4 * inter >= uni:
+                    exp[(a, b)] = (inter, uni, inter / uni)
+    got = dump("fn_trigram_similarity")
+    cols = dump_cols("fn_trigram_similarity")
+    seen = set()
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        key = (row["name_a"], row["name_b"])
+        seen.add(key)
+        e = exp.get(key)
+        if e is None or row["inter"] != e[0] or row["uni"] != e[1] \
+                or not close(row["sim"], e[2], 1e-4):
+            mis.append((key, "got", (row["inter"], row["uni"], row["sim"]),
+                        "exp", e))
+    if seen != set(exp):
+        mis.append(("pair set mismatch", len(seen), len(exp)))
+    report("fn_trigram_similarity", mis, max(1, len(got) * 3))
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -2342,6 +2372,7 @@ AUDITS = {
     "agg_aging_buckets": audit_aging_buckets,
     "events_error_rate_slo": audit_error_rate_slo,
     "events_type_overlap": audit_type_overlap,
+    "fn_trigram_similarity": audit_trigram_similarity,
 }
 
 for name, fn in AUDITS.items():
