@@ -2291,6 +2291,101 @@ def audit_trigram_similarity():
     report("fn_trigram_similarity", mis, max(1, len(got) * 3))
 
 
+def audit_spearman():
+    mis = []
+    r = rows(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)), COUNT(*) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    days = [(d, int(rev), n) for d, rev, n in r]
+    rx = {d: i + 1 for i, (d, _, _) in enumerate(
+        sorted(days, key=lambda x: (x[1], x[0])))}
+    ry = {d: i + 1 for i, (d, _, _) in enumerate(
+        sorted(days, key=lambda x: (x[2], x[0])))}
+    n = len(days)
+    sd2 = sum((rx[d] - ry[d]) ** 2 for d, _, _ in days)
+    rho = 1 - 6.0 * sd2 / (n * (n * n - 1))
+    row = dict(zip(dump_cols("ts_spearman"), dump("ts_spearman")[0]))
+    if not (row["n_days"] == n and close(row["spearman_rho"], rho, 1e-5)):
+        mis.append(("got", tuple(row.values()), "exp", (n, rho)))
+    report("ts_spearman", mis, 2)
+
+
+def audit_ohlc():
+    mis = []
+    r = rows(
+        "SELECT user_id, date_diff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)), "
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) "
+        f"FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id")
+    g = {}
+    for u, d, v in r:
+        g.setdefault((u, int(d)), []).append(int(v))
+    got = dump("ts_ohlc_resample")
+    cols = dump_cols("ts_ohlc_resample")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        vs = g[(row["user_id"], row["day"])]
+        if not (row["n"] == len(vs) and close(row["open"], vs[0] / 100, 1e-6)
+                and close(row["high"], max(vs) / 100, 1e-6)
+                and close(row["low"], min(vs) / 100, 1e-6)
+                and close(row["close"], vs[-1] / 100, 1e-6)):
+            mis.append(((row["user_id"], row["day"]), "got",
+                        tuple(row.values())[2:],
+                        "exp", (len(vs), vs[0] / 100, max(vs) / 100,
+                                min(vs) / 100, vs[-1] / 100)))
+    if len(got) != len(g):
+        mis.append(("bar count", len(got), len(g)))
+    report("ts_ohlc_resample", mis, len(got) * 5)
+
+
+def audit_histogram2d():
+    mis = []
+    r = rows(
+        "SELECT CAST(floor(l_quantity / 10) AS BIGINT), "
+        "CAST(floor(l_extendedprice / 10000) AS BIGINT), COUNT(*), "
+        "SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/lineitem.parquet' GROUP BY 1, 2")
+    cells = {(q, p): (n, int(s)) for q, p, n, s in r}
+    got = dump("agg_histogram2d")
+    cols = dump_cols("agg_histogram2d")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        n, s = cells[(row["qty_band"], row["price_band"])]
+        if not (row["n"] == n and close(row["revenue"], s / 100, 1e-6)):
+            mis.append(((row["qty_band"], row["price_band"]), "got",
+                        (row["n"], row["revenue"]), "exp", (n, s / 100)))
+    report("agg_histogram2d", mis, len(got) * 2)
+
+
+def audit_anova_dow():
+    mis = []
+    r = rows(
+        "SELECT ((date_diff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS dow, "
+        "CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    groups = {}
+    for dow, _, v in r:
+        groups.setdefault(int(dow), []).append(int(v))
+    allv = [v for vs in groups.values() for v in vs]
+    n = len(allv)
+    gm = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values())
+    ssw = sum(sum((v - sum(vs) / len(vs)) ** 2 for v in vs)
+              for vs in groups.values())
+    k = len(groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = dump("ts_anova_dow")
+    cols = dump_cols("ts_anova_dow")
+    row = dict(zip(cols, got[0]))
+    fcol = next(c for c in cols if c.startswith("f"))
+    if not close(row[fcol], f, 2e-3):
+        mis.append(("got", row[fcol], "exp", f))
+    report("ts_anova_dow", mis, 1)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -2373,6 +2468,10 @@ AUDITS = {
     "events_error_rate_slo": audit_error_rate_slo,
     "events_type_overlap": audit_type_overlap,
     "fn_trigram_similarity": audit_trigram_similarity,
+    "ts_spearman": audit_spearman,
+    "ts_ohlc_resample": audit_ohlc,
+    "agg_histogram2d": audit_histogram2d,
+    "ts_anova_dow": audit_anova_dow,
 }
 
 for name, fn in AUDITS.items():
