@@ -2386,6 +2386,59 @@ def audit_anova_dow():
     report("ts_anova_dow", mis, 1)
 
 
+def audit_changepoint():
+    mis = []
+    r = rows(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2")
+    g = {}
+    for t, d, s in r:
+        g.setdefault(t, []).append((d, int(s)))
+    got = dump("ts_changepoint")
+    cols = dump_cols("ts_changepoint")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        pts = g[row["event_type"]]
+        n = len(pts)
+        tot = sum(s for _, s in pts)
+        best = None  # (score, day)
+        cum = 0
+        for t, (d, s) in enumerate(pts, start=1):
+            cum += s
+            score = abs(n * cum - t * tot)
+            if best is None or score > best[0]:
+                best = (score, d)
+        score, day = best
+        if not (row["n_days"] == n
+                and row["cp_day"] == day.strftime("%Y-%m-%d")
+                and close(row[cols[3]], score / (n * tot), 2e-3)):
+            mis.append((row["event_type"], "got", tuple(row.values())[1:],
+                        "exp", (n, day, score / (n * tot))))
+    report("ts_changepoint", mis, len(got) * 3)
+
+
+def audit_fingerprint():
+    mis = []
+    import hashlib
+    r = rows(f"SELECT doc_id, text FROM '{SF}/documents.parquet'")
+    got = dump("text_fingerprint")
+    cols = dump_cols("text_fingerprint")
+    texts = dict(r)
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        toks = texts[row["doc_id"]].split(" ")
+        fp = 0
+        for t in toks:
+            fp = (fp * 131 + (ord(t[0]) * 256 + len(t))) % 2147483647
+        min_md5 = min(hashlib.md5(t.encode()).hexdigest() for t in toks)
+        if not (row["fp_poly"] == fp and row["fp_min_md5"] == min_md5):
+            mis.append((row["doc_id"], "got",
+                        (row["fp_poly"], row["fp_min_md5"]),
+                        "exp", (fp, min_md5)))
+    report("text_fingerprint", mis, len(got) * 2)
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -2472,6 +2525,8 @@ AUDITS = {
     "ts_ohlc_resample": audit_ohlc,
     "agg_histogram2d": audit_histogram2d,
     "ts_anova_dow": audit_anova_dow,
+    "ts_changepoint": audit_changepoint,
+    "text_fingerprint": audit_fingerprint,
 }
 
 for name, fn in AUDITS.items():
