@@ -2439,6 +2439,42 @@ def audit_fingerprint():
     report("text_fingerprint", mis, len(got) * 2)
 
 
+def audit_dedup_near():
+    """Exhaustive all-pairs 3-gram Jaccard — the ground truth the blocked
+    candidate join must reproduce EXACTLY (recall 1.0 by construction,
+    since any pair with jaccard > 0 shares a shingle)."""
+    mis = []
+    r = rows(f"SELECT doc_id, text FROM '{SF}/documents.parquet'")
+    sh = {}
+    for doc_id, text in r:
+        tk = text.split(" ")
+        if len(tk) >= 3:
+            sh[doc_id] = {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+    ids = sorted(sh)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if round(j, 4) >= 0.3:
+                exp[(a, b)] = j
+    got = dump("llm_dedup_near")
+    cols = dump_cols("llm_dedup_near")
+    seen = set()
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        key = (row["id_a"], row["id_b"])
+        seen.add(key)
+        if key not in exp or not close(row["jaccard"], exp[key], 1e-4):
+            mis.append((key, "got", row["jaccard"], "exp", exp.get(key)))
+    if seen != set(exp):
+        mis.append(("pair set mismatch (blocked join missed/added pairs)",
+                    len(seen), len(exp)))
+    report("llm_dedup_near", mis, max(1, len(got)))
+
+
 AUDITS = {
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
@@ -2527,6 +2563,7 @@ AUDITS = {
     "ts_anova_dow": audit_anova_dow,
     "ts_changepoint": audit_changepoint,
     "text_fingerprint": audit_fingerprint,
+    "llm_dedup_near": audit_dedup_near,
 }
 
 for name, fn in AUDITS.items():
