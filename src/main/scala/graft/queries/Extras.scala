@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.engine.{QueryPack, Tables}
+import graft.ops.BlockWindow
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -540,9 +541,13 @@ object Extras extends QueryPack {
   // Join-key skew report — the diagnostic that decides whether a join
   // needs salting (SkewJoin) or AQE skew splitting: per-key cardinalities
   // of the fact-side join key, the max/avg skew factor, an exact p99, and
-  // the top-5 heaviest keys. The window ranks the KEY frame (|suppliers|,
-  // not |lineitem|); p99 is the exact order statistic via row_number
-  // selection (the winsorize/IQR device), never a sampled percentile.
+  // the top-5 heaviest keys. The ranks run on the KEY frame (|suppliers|,
+  // not |lineitem|) through BlockWindow.rowNumber — an equality filter
+  // (rn = p99 position) can't ride WindowGroupLimit, so a bare global
+  // window would serialize the whole key frame into one task as key
+  // cardinality grows; the block-prefix rank keeps it range-partitioned.
+  // p99 is the exact order statistic via rank selection (the winsorize/
+  // IQR device), never a sampled percentile.
   q("etl_data_skew_report",
     """WITH k AS (
       |  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS c
@@ -573,10 +578,12 @@ object Extras extends QueryPack {
       .agg(count(lit(1)).cast("long").as("c"))
     val st = k.agg(count(lit(1)).cast("long").as("n_keys"),
       sum("c").cast("long").as("n_rows"), max("c").as("max_c"))
-    val r = k
-      .withColumn("rn", row_number().over(Window.orderBy(col("c"), col("key"))))
-      .withColumn("rd",
-        row_number().over(Window.orderBy(col("c").desc, col("key"))))
+    // rd orders by (c DESC, key ASC): BlockWindow orders ascending, so rank
+    // the negated count — c is a positive row count, negation is exact
+    val rn1 = BlockWindow.rowNumber(k, Nil, Seq("c", "key"), "rn")
+    val r = BlockWindow.rowNumber(rn1.withColumn("__negc", -col("c")),
+        Nil, Seq("__negc", "key"), "rd")
+      .drop("__negc")
     val p = r.crossJoin(broadcast(st))
       .filter(col("rn") === expr("(n_keys * 99 + 99) div 100"))
       .select(col("c").as("p99"))
@@ -718,6 +725,7 @@ object Extras extends QueryPack {
   q("fn_trigram_similarity",
     """WITH nm AS (
       |  SELECT DISTINCT lower(p_name) AS nm FROM part
+      |  WHERE length(p_name) >= 3
       |), tg AS (
       |  SELECT nm,
       |    list_distinct(list_transform(range(1, length(nm) - 1),
@@ -735,7 +743,14 @@ object Extras extends QueryPack {
       |FROM pr
       |WHERE 4 * inter >= uni
       |ORDER BY sim DESC, name_a, name_b""") { (s, dir) =>
+    // length guard (both engines): a name shorter than 3 chars has NO
+    // trigrams, but Spark's sequence(1, len-2) auto-steps DOWN when
+    // start > stop (yielding bogus [1,0] windows) while DuckDB's
+    // range(1, len-1) is empty — and an all-empty pair would divide 0/0.
+    // Filtering the vocabulary up front gives both engines the same
+    // well-defined frame. Fixture names are all long; output unchanged.
     val nm = Tables(s, dir, "part")
+      .filter(length(col("p_name")) >= 3)
       .select(lower(col("p_name")).as("nm")).distinct()
     val tg = nm.select(col("nm"),
       array_distinct(expr(

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.engine.{Det, QueryPack, Tables}
+import graft.ops.BlockWindow
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1854,8 +1855,13 @@ object StatsOps extends QueryPack {
       .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
       .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x"),
         sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
-    val seg = u.select(col("user_id"), col("arm"), col("y"),
-      ntile(4).over(Window.orderBy(col("x"), col("user_id"))).as("segment"))
+    // quartile assignment via BlockWindow.ntile: the per-user frame grows
+    // with the corpus, so Spark's unpartitioned ntile window (ONE task for
+    // every user) is the r7 verdict's scale-killer shape — the block-prefix
+    // rank keeps it range-partitioned with identical ANSI bucket edges
+    val seg = BlockWindow
+      .ntile(u, 4, Nil, Seq("x", "user_id"), "segment")
+      .select(col("user_id"), col("arm"), col("y"), col("segment"))
     val g = seg.groupBy("segment")
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n0"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n1"),

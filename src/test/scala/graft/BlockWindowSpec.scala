@@ -61,6 +61,62 @@ class BlockWindowSpec extends SparkSpec {
     assert(bad.isEmpty, "positions are not a dense 1..n permutation per shard")
   }
 
+  test("block lag equals the window lag — global and keyed, across block counts") {
+    val ev = engine.Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    // global: lag over the whole ordered stream (the dq_sequence_gaps shape)
+    val naiveG = ev.select(col("event_id"),
+      lag("event_id", 1).over(Window.orderBy("event_id")).as("prev"))
+    val expG = rows(naiveG)
+    // keyed: lag within each event type
+    val naiveK = ev.select(col("event_id"), col("event_type"),
+      lag("user_id", 1).over(
+        Window.partitionBy("event_type").orderBy("event_id")).as("prev"))
+    val expK = rows(naiveK)
+    for (nBlocks <- Seq(0, 1, 7)) {
+      val g = ops.BlockWindow.lag(ev.select("event_id"), Nil,
+          Seq("event_id"), col("event_id"), "prev", nBlocks)
+        .select("event_id", "prev")
+      assert(rows(g) == expG, s"nBlocks=$nBlocks: global block lag diverged")
+      val k = ops.BlockWindow.lag(ev, Seq("event_type"),
+          Seq("event_id"), col("user_id"), "prev", nBlocks)
+        .select("event_id", "event_type", "prev")
+      assert(rows(k) == expK, s"nBlocks=$nBlocks: keyed block lag diverged")
+    }
+  }
+
+  test("block ntile equals the window ntile — including non-dividing bucket counts") {
+    val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    // 7 does not divide the fixture count — exercises the front-loaded
+    // wide-bucket edge the ANSI formula must reproduce exactly
+    for (k <- Seq(4, 7, 10)) {
+      val naive = d.select(col("doc_id"),
+        ntile(k).over(Window.orderBy(col("n_chars"), col("doc_id"))).as("b"))
+      val blocked = ops.BlockWindow.ntile(d, k, Nil,
+          Seq("n_chars", "doc_id"), "b", nBlocks = 7)
+        .select("doc_id", "b")
+      assert(rows(blocked) == rows(naive), s"k=$k: block ntile diverged")
+    }
+    // keyed: quartiles within each language
+    val naiveK = d.select(col("doc_id"), col("lang"),
+      ntile(4).over(
+        Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))).as("b"))
+    val blockedK = ops.BlockWindow.ntile(d, 4, Seq("lang"),
+        Seq("n_chars", "doc_id"), "b")
+      .select("doc_id", "lang", "b")
+    assert(rows(blockedK) == rows(naiveK), "keyed block ntile diverged")
+  }
+
+  test("block ntile with more buckets than rows degenerates to rank") {
+    import spark.implicits._
+    val tiny = Seq((1L, 10L), (2L, 5L), (3L, 7L)).toDF("id", "v")
+    val naive = tiny.select(col("id"),
+      ntile(8).over(Window.orderBy(col("v"), col("id"))).as("b"))
+    val blocked = ops.BlockWindow.ntile(tiny, 8, Nil, Seq("v", "id"), "b", 2)
+      .select("id", "b")
+    assert(rows(blocked) == rows(naive))
+  }
+
   test("the plan parallelizes over range-partitioned blocks, not keys") {
     val blocked = ops.BlockWindow.rowNumber(
       docs.select(col("doc_id"), (col("doc_id") % 4).as("k")),
