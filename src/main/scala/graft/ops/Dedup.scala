@@ -179,8 +179,14 @@ object Dedup {
   /** MinHash signatures + LSH banding: candidates share ≥1 of `bands`
     * band-hashes; candidates are then exact-verified with `jaccardPairs`-
     * style scoring. The hash family is Kirsch-Mitzenmacher double hashing
-    * (h_i = xxhash64(s) + i·xxhash64(-1, s), wrapping) — deterministic
-    * across runs, not portable to other engines (no-oracle). */
+    * (h_i = h1(s) + i·h2(s)) over md5-derived integers — the repo's
+    * portable-hash idiom (Det.scala header / sample_weighted_reservoir):
+    * md5 is bit-identical in every engine, so the WHOLE pipeline —
+    * signatures, band buckets, candidates, verified pairs — is
+    * SQL-expressible and DuckDB-oracled (r8; it was xxhash64-seeded and
+    * golden-only before). h1 = first 60 md5 bits, h2 = 28 bits from the
+    * second half: disjoint digest bits, so the derived family keeps the
+    * pairwise independence LSH banding needs. */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, numHashes: Int, bands: Int, tau: Double): DataFrame =
   // same memo seam as jaccardPairs: llm_dedup_minhash and llm_dedup_eval
@@ -192,25 +198,31 @@ object Dedup {
     val rows = numHashes / bands
     val sh = pin(shingleSets(docs, textCol, idCol, k))
     // signature[i] = min over shingles of (h1 + i*h2) — Kirsch-Mitzenmacher
-    // double hashing: 2 string hashes per shingle instead of numHashes, the
+    // double hashing: 2 digest slices per shingle instead of numHashes, the
     // derived family keeps the min-wise independence LSH banding needs.
-    // h1 < 2^62 and h2 < 2^31 bound h1 + i*h2 below 2^63 for i ≤ 2^26, so
+    // h1 < 2^60 and h2 < 2^28 bound h1 + i*h2 below 2^63 for i ≤ 2^34, so
     // the sum never overflows (ANSI mode throws on wrap, and a wrapped min
     // would not be a valid permutation surrogate anyway).
     require(numHashes <= (1 << 26), "derived-hash family bound")
     val minHashes = (0 until numHashes).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
+    val dig = md5(col("s").cast("binary"))
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"),
-        pmod(xxhash64(col("s")), lit(1L << 62)).as("h1"),
-        pmod(xxhash64(lit(-1), col("s")), lit(1L << 31)).as("h2"))
+        conv(substring(dig, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(dig, 17, 7), 16, 10).cast("long").as("h2"))
       .groupBy("id")
       .agg(minHashes.head, minHashes.tail: _*)
-    // band j hashes rows [j*r, (j+1)*r)
+    // band j hashes rows [j*r, (j+1)*r) — the bucket is an md5 slice of the
+    // comma-joined signature values, portable for the same reason as the
+    // row hashes (an 8-byte join key still, never the value string itself
+    // past this projection)
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
-          xxhash64((j * rows until (j + 1) * rows).map(i => col(s"h$i")): _*)
+          conv(substring(md5(concat_ws(",",
+              (j * rows until (j + 1) * rows).map(i => col(s"h$i")): _*)
+            .cast("binary")), 1, 15), 16, 10).cast("long")
             .as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     val cand = banded.as("a")

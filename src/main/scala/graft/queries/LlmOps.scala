@@ -215,8 +215,48 @@ object LlmOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
-  // xxhash64 seeds are engine-specific → declared, rows-only check
-  qNo("llm_dedup_minhash") { (s, dir) =>
+  // Oracled since r8: the md5-derived Kirsch-Mitzenmacher hash family
+  // (Dedup.minhashPairs scaladoc) is bit-identical in DuckDB, so the
+  // oracle re-derives the EXACT same signatures, band buckets, candidates
+  // and verified pairs — not an approximation band, a cell-exact twin.
+  q("llm_dedup_minhash",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |hh AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(md5(sg), 17, 7)) AS BIGINT) AS h2
+      |  FROM e
+      |), sig AS (
+      |  SELECT doc_id, i, MIN(h1 + i * h2) AS hv
+      |  FROM hh, UNNEST(range(0, 32)) AS r(i)
+      |  GROUP BY doc_id, i
+      |), band AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    CAST(('0x' || substr(md5(
+      |      string_agg(CAST(hv AS VARCHAR), ',' ORDER BY i)), 1, 15))
+      |      AS BIGINT) AS bucket
+      |  FROM sig GROUP BY doc_id, i // 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band a JOIN band b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |), v AS (
+      |  SELECT id_a, id_b,
+      |    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+      |      AS jaccard
+      |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+      |            JOIN sh sb ON cand.id_b = sb.doc_id
+      |)
+      |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3
+      |ORDER BY id_a, id_b""") { (s, dir) =>
     Dedup.minhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
         k = 3, numHashes = 32, bands = 8, tau = 0.3)
       .orderBy("id_a", "id_b")
@@ -1959,10 +1999,12 @@ object LlmOps extends QueryPack {
 
   // Curriculum ordering: rank the corpus by a difficulty proxy (length,
   // doc_id tiebreak) and cut it into 10 curriculum steps — the deciles a
-  // staged training schedule consumes easiest-first. ntile keeps the
-  // assignment a single |corpus|-row window (range-partitionable at
-  // scale, same note as win_ntile); per-step stats are plain integer
-  // aggregates.
+  // staged training schedule consumes easiest-first. The decile assignment
+  // is BlockWindow.ntile — block-prefix rank over range partitions plus a
+  // broadcast count, never Spark's single-task unpartitioned ntile window
+  // (the r7 verdict's scale-killer: WindowExec moves the whole corpus to
+  // ONE task when no partitionBy is given). Per-step stats are plain
+  // integer aggregates.
   q("llm_curriculum_order",
     """WITH r AS (
       |  SELECT doc_id, lang, n_chars,
@@ -1976,9 +2018,9 @@ object LlmOps extends QueryPack {
       |    * 100 + 0.5) AS DOUBLE) / 100 AS avg_chars,
       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs
       |FROM r GROUP BY step ORDER BY step""") { (s, dir) =>
-    val r = Tables(s, dir, "documents")
-      .withColumn("step",
-        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+    val r = BlockWindow.ntile(
+      Tables(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      10, Nil, Seq("n_chars", "doc_id"), "step")
     r.groupBy("step")
       .agg(count(lit(1)).cast("long").as("docs"),
         min("n_chars").cast("long").as("min_chars"),
@@ -2176,8 +2218,74 @@ object LlmOps extends QueryPack {
   // sketch at scale. Both sides verify candidates exactly, so precision
   // is 1.0 by construction (modulo the df-cap) and RECALL is the number
   // under test: LSH banding can miss true pairs whose signatures never
-  // collide. Golden-hashed (MinHash is not SQL-expressible).
-  qNo("llm_dedup_eval") { (s, dir) =>
+  // collide. Oracled since r8 (with the portable md5 MinHash family the
+  // oracle replays BOTH paths — truth via the exact candidate join,
+  // pred via the minhash twin — and re-derives every eval cell).
+  q("llm_dedup_eval",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      |  FROM t
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      |n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), truth AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS j
+      |    FROM i JOIN n na ON i.id_a = na.doc_id
+      |           JOIN n nb ON i.id_b = nb.doc_id
+      |  ) WHERE j >= 0.3
+      |), hh AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h1,
+      |    CAST(('0x' || substr(md5(sg), 17, 7)) AS BIGINT) AS h2
+      |  FROM e
+      |), sig AS (
+      |  SELECT doc_id, i, MIN(h1 + i * h2) AS hv
+      |  FROM hh, UNNEST(range(0, 32)) AS r(i)
+      |  GROUP BY doc_id, i
+      |), band AS (
+      |  SELECT doc_id, i // 4 AS band,
+      |    CAST(('0x' || substr(md5(
+      |      string_agg(CAST(hv AS VARCHAR), ',' ORDER BY i)), 1, 15))
+      |      AS BIGINT) AS bucket
+      |  FROM sig GROUP BY doc_id, i // 4
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band a JOIN band b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |), pred AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+      |        AS j
+      |    FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+      |              JOIN sh sb ON cand.id_b = sb.doc_id
+      |  ) WHERE j >= 0.3
+      |), c AS (
+      |  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+      |         (SELECT COUNT(*) FROM pred) AS n_pred,
+      |         (SELECT COUNT(*) FROM pred JOIN truth USING (id_a, id_b))
+      |           AS n_tp
+      |)
+      |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+      |  CAST(n_pred AS BIGINT) AS n_pred, CAST(n_tp AS BIGINT) AS n_tp,
+      |  CAST(floor(CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1000000
+      |    + 0.5) AS DOUBLE) / 1000000 AS "precision",
+      |  CAST(floor(CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1000000
+      |    + 0.5) AS DOUBLE) / 1000000 AS recall,
+      |  CAST(floor(2 * CAST(n_tp AS DOUBLE)
+      |    / CAST(n_pred + n_truth AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS f1
+      |FROM c""") { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val truth = Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.3)
       .select(col("id_a"), col("id_b"))
