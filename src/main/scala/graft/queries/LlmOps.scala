@@ -2942,7 +2942,16 @@ object LlmOps extends QueryPack {
   // argument, SCALE.md) bounds every join key. Span assembly shuffles on
   // (doc_a, doc_b, diagonal) — candidate-sized, not corpus-sized.
   /** Session memo of the distinct (doc_id, token) frame — shared by
-    * collocation/document-frequency consumers over the same corpus. */
+    * collocation/document-frequency consumers over the same corpus.
+    *
+    * Contract (here and [[spanMemo]]): entries are localCheckpointed
+    * frames keyed by (session, dir) with NO eviction — the harness reads
+    * a handful of immutable fixture dirs per session, so the pinned
+    * blocks are bounded by #dirs and the memo assumes the dir's parquet
+    * is never rewritten within a session (rewriting it would serve stale
+    * results; restart the session instead — same seam as Dedup.pairMemo).
+    * TrieMap.getOrElseUpdate may double-compute under a concurrent first
+    * touch; harmless (last write wins, both frames are correct). */
   private val dtokMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 

@@ -3389,14 +3389,17 @@ object StatsOps extends QueryPack {
   // late-month value distributions (day-of-month ≤ 15 vs > 15) — the
   // symmetric, bounded drift metric completing the PSI/KS/KL family.
   // Distributions are 5-unit value bins with add-one smoothing over the
-  // union of observed bins. All-integer core: with smoothed counts c1,c2
-  // and totals N1,N2, p/m = 2·c1·N2/(c1·N2+c2·N1) — a ratio of two
-  // INTEGERS — so both logs go through the fixed-point integer-argument
-  // ln (Det.lnFix / the oracle's floor(ln·10¹²+0.5)) and the Σ c·ln
-  // terms are exact integer products (≤ ~3e17, inside int64 per row;
-  // the SUM promotes to DECIMAL(38,0)/HUGEINT, P16). One hash aggregate
-  // over the stream → bin histogram (value-range-bounded, ~112 cells per
-  // type here); everything after is per-bin integer math.
+  // union of observed bins. Deterministic core: with smoothed counts
+  // c1,c2 and totals N1,N2, p/m = 2·c1·N2/(c1·N2+c2·N1); the count
+  // products feeding ln are computed in DOUBLE with the identical
+  // left-associated tree in both engines (int64 products would wrap in
+  // Spark and ERROR in DuckDB once a smoothed bin count passes ~2e5 —
+  // the r7 advice finding; exact below 2^53, same IEEE rounding above),
+  // and the Σ c·lnFix terms promote c to DECIMAL(38,0)/HUGEINT BEFORE
+  // the multiply, so the per-row product can never wrap at any row
+  // count (P16). One hash aggregate over the stream → bin histogram
+  // (value-range-bounded, ~112 cells per type here); everything after
+  // is per-bin math on that bounded frame.
   q("dq_drift_jsd",
     """WITH ev AS (
       |  SELECT event_type,
@@ -3414,11 +3417,11 @@ object StatsOps extends QueryPack {
       |  FROM h GROUP BY event_type
       |), t AS (
       |  SELECT h.event_type,
-      |    CAST(SUM(c1 * (CAST(floor(ln(CAST(2 * c1 * n2 AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)
-      |               - CAST(floor(ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)))
+      |    CAST(SUM(CAST(c1 AS HUGEINT) * (CAST(floor(ln(2.0 * c1 * n2) * 1000000000000 + 0.5) AS BIGINT)
+      |               - CAST(floor(ln(CAST(c1 AS DOUBLE) * n2 + CAST(c2 AS DOUBLE) * n1) * 1000000000000 + 0.5) AS BIGINT)))
       |      AS DOUBLE) / MAX(n1) AS ta,
-      |    CAST(SUM(c2 * (CAST(floor(ln(CAST(2 * c2 * n1 AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)
-      |               - CAST(floor(ln(CAST(c1 * n2 + c2 * n1 AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)))
+      |    CAST(SUM(CAST(c2 AS HUGEINT) * (CAST(floor(ln(2.0 * c2 * n1) * 1000000000000 + 0.5) AS BIGINT)
+      |               - CAST(floor(ln(CAST(c1 AS DOUBLE) * n2 + CAST(c2 AS DOUBLE) * n1) * 1000000000000 + 0.5) AS BIGINT)))
       |      AS DOUBLE) / MAX(n2) AS tb,
       |    MAX(n1) AS n1, MAX(n2) AS n2, MAX(n_bins) AS n_bins
       |  FROM h JOIN n ON h.event_type = n.event_type
@@ -3443,11 +3446,17 @@ object StatsOps extends QueryPack {
       count(lit(1)).as("n_bins"))
     def lnf(x: org.apache.spark.sql.Column) = Det.lnFix(x.cast("double"), 12)
     val joined = h.join(n, "event_type")
-    val ta = sum((col("c1") * (lnf(lit(2) * col("c1") * col("n2"))
-      - lnf(col("c1") * col("n2") + col("c2") * col("n1")))).cast(dec38))
+    // ln args built in DOUBLE (left-associated, mirroring the oracle's
+    // 2.0*c1*n2 tree) so the products can't wrap int64; the c·lnFix row
+    // products promote c to decimal(38,0) BEFORE multiplying (oracle:
+    // HUGEINT) — both engines then sum exact integers at any row count
+    val mArg = (col("c1").cast("double") * col("n2")) +
+      (col("c2").cast("double") * col("n1"))
+    val ta = sum(col("c1").cast(dec38)
+      * (lnf(lit(2.0) * col("c1") * col("n2")) - lnf(mArg)).cast(dec38))
       .cast("double") / max(col("n1"))
-    val tb = sum((col("c2") * (lnf(lit(2) * col("c2") * col("n1"))
-      - lnf(col("c1") * col("n2") + col("c2") * col("n1")))).cast(dec38))
+    val tb = sum(col("c2").cast(dec38)
+      * (lnf(lit(2.0) * col("c2") * col("n1")) - lnf(mArg)).cast(dec38))
       .cast("double") / max(col("n2"))
     joined.groupBy("event_type")
       .agg(ta.as("ta"), tb.as("tb"), max(col("n1")).as("n1"),

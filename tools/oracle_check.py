@@ -120,9 +120,29 @@ def decimal_cols(con, sql):
 
 
 def main():
-    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    only = set(sys.argv[3:])
+    # --json PATH: additionally write a per-query record in the DRIVER'S
+    # CORRECTNESS_r*.json schema ({rows_match, schema_match, hash_match,
+    # spark_rows, oracle_rows, err}) — the self-defending round artifact
+    # the r7 verdict asked for after the driver shipped an empty {}.
+    # No-oracle declared queries (a Verify dump dir without an oracle_sql
+    # entry) are recorded exactly as the driver records them: err =
+    # "no_oracle" with the spark row count.
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    outdir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    only = set(args[2:])
+    report = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -139,11 +159,13 @@ def main():
                 con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
         except Exception as e:
             fails.append((name, f"spark output unreadable: {e}"))
+            record(name, err=f"spark output unreadable: {e}")
             continue
         try:
             wcols, want = fetch(con, sql)
         except Exception as e:
             fails.append((name, f"oracle error: {e}"))
+            record(name, spark_rows=len(got), err=f"oracle error: {e}")
             continue
         bad = decimal_cols(
             con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -151,12 +173,20 @@ def main():
         if bad:
             fails.append((name, f"DECIMAL/HUGEINT output banned (driver "
                                 f"canonicalization diverges): {bad}"))
+            record(name, spark_rows=len(got), oracle_rows=len(want),
+                   err=f"decimal/hugeint output: {bad}")
             continue
         if gcols != wcols:
             fails.append((name, f"schema: spark={gcols} oracle={wcols}"))
+            record(name, rows_match=len(got) == len(want), schema_match=False,
+                   hash_match=False, spark_rows=len(got),
+                   oracle_rows=len(want))
             continue
         if len(got) != len(want):
             fails.append((name, f"rowcount: spark={len(got)} oracle={len(want)}"))
+            record(name, rows_match=False, schema_match=True,
+                   hash_match=False, spark_rows=len(got),
+                   oracle_rows=len(want))
             continue
         if got != want:
             detail = ""
@@ -169,8 +199,12 @@ def main():
                             detail = (f" first diff row {i} col {gcols[j]}: "
                                       f"spark={gv!r} oracle={wv!r}")
             fails.append((name, f"{ndiff} cells differ;{detail}"))
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(got), oracle_rows=len(want))
             continue
         ok.append(name)
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=len(got), oracle_rows=len(want))
     # sketch queries: exact-twin compare within the sketch's error budget
     tol_names = [n for n in sorted(TOLERANCE) if not only or n in only]
     for name in tol_names:
@@ -182,14 +216,36 @@ def main():
         if why is None:
             print(f"PASS {name} (approx, within ±{rtol:.0%} of exact)")
             ok.append(name)
+            record(name, err=f"no_oracle; approx pass within ±{rtol:.0%}")
         else:
             fails.append((name, why))
+            record(name, err=f"no_oracle; approx FAIL: {why}")
     for name in sorted(n for n in ok if n not in TOLERANCE):
         print(f"PASS {name}")
     for name, why in fails:
         print(f"FAIL {name}: {why}")
     print(f"\n{len(ok)}/{len(names) + len(tol_names)} queries match "
           f"({len(tol_names)} approx-tolerance)")
+    if json_out:
+        # declared no-oracle queries: every Verify dump dir without an
+        # oracle entry, recorded the way the driver records them
+        import os
+        for d in sorted(os.listdir(outdir)):
+            if d in oracle or d in report or d == "oracle_sql.json":
+                continue
+            if only and d not in only:
+                continue
+            if not os.path.isdir(os.path.join(outdir, d)):
+                continue
+            try:
+                _, rows = fetch(
+                    con, f"SELECT * FROM read_parquet('{outdir}/{d}/*.parquet')")
+                record(d, spark_rows=len(rows), err="no_oracle")
+            except Exception as e:
+                record(d, err=f"no_oracle; unreadable: {e}")
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(report.items())), f, indent=1)
+        print(f"driver-schema report written: {json_out} ({len(report)} queries)")
     sys.exit(1 if fails else 0)
 
 
