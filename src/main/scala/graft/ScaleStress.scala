@@ -145,6 +145,20 @@ object ScaleStress {
     time("pack_sequences block-prefix 10x (7 langs, 32-way)")(
       ops.BlockWindow.runningSum(toks10, Seq("lang"), Seq("doc_id"),
         col("ntok"), "cum").count())
+    // r8 conversions (llm_curriculum_order / events_uplift_by_segment /
+    // etl_data_skew_report): GLOBAL-order ntile/rank — zero partition keys,
+    // the degenerate case where the naive window is exactly ONE task for
+    // the whole corpus and the block form still gets full parallelism
+    val lens10 = d10n.select(col("doc_id"),
+      length(col("text")).as("len")).cache(); lens10.count()
+    time("global ntile naive window 10x (50k docs = 1 task)")(
+      lens10.select(ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("len"), col("doc_id"))).as("step"))
+        .groupBy("step").count().count())
+    time("global ntile block-prefix 10x (32-way)")(
+      ops.BlockWindow.ntile(lens10, 10, Nil, Seq("len", "doc_id"), "step")
+        .groupBy("step").count().count())
 
     // as-of join: window-machinery library op vs native merge exec — the
     // fixed extra stage of the native plan should wash out as rows/key grow
@@ -162,6 +176,17 @@ object ScaleStress {
         (col("o_orderkey") + lit(i * 10000000L)).as("o_orderkey"), col("o_totalprice"))
     }.reduce(_ unionByName _).cache()
     val (ev10, ord10) = (evX(10), ordX(10)); ev10.count(); ord10.count()
+    // r8 conversion (dq_sequence_gaps): global-order lag over the whole
+    // event stream — per-block lag + one boundary row vs the 1-task window
+    time("global lag naive window 10x (1M events = 1 task)")(
+      ev10.select(col("event_id"),
+          lag("event_id", 1).over(org.apache.spark.sql.expressions.Window
+            .orderBy("event_id")).as("prev"))
+        .filter(col("event_id") - col("prev") > 1).count())
+    time("global lag block-prefix 10x (1M events, 32-way)")(
+      ops.BlockWindow.lag(ev10.select("event_id"), Nil, Seq("event_id"),
+          col("event_id"), "prev")
+        .filter(col("event_id") - col("prev") > 1).count())
     val asofCols = (Seq("o_orderkey", "o_totalprice"), "o_orderkey")
     time("asof library 1x")(ops.AsofJoin(ev, ord, "user_id", "o_custkey",
       "ts", "o_orderdate", asofCols._1, asofCols._2).count())

@@ -445,15 +445,26 @@ object Dedup {
     edges.join(labels.withColumnRenamed("id", "dst"), "dst")
       .groupBy(col("src").as("id")).agg(min("cluster").as("nbr"))
 
-  /** 64-bit SimHash per document: per-token xxhash64, bitwise ±1 votes,
+  /** 64-bit SimHash per document: per-token hash, bitwise ±1 votes,
     * sign-aggregated. Near-dup pairs = Hamming distance ≤ maxHamming,
-    * candidate-blocked on 16-bit bands (any equal band ⇒ candidate). */
+    * candidate-blocked on 16-bit bands (any equal band ⇒ candidate).
+    * The token hash is the md5 portable-hash idiom (60 digest bits +
+    * the 4 bits of the 16th hex digit — 64 independent bits total), so
+    * signatures, band buckets and Hamming distances are bit-identical in
+    * any engine and the graded query is DuckDB-oracled (r8; xxhash64 and
+    * golden-only before). */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dig = md5(col("t").cast("binary"))
     val toked = fan(docs).select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .select(col("id"),
+        conv(substring(dig, 1, 15), 16, 10).cast("long").as("h60"),
+        conv(substring(dig, 16, 1), 16, 10).cast("long").as("h4"))
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
+      val bit =
+        if (b < 60) shiftright(col("h60"), b).bitwiseAND(1)
+        else shiftright(col("h4"), b - 60).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
     }
     val sig = toked.groupBy("id").agg(votes.head, votes.tail: _*)
     val bits = (0 until 64).map(b =>

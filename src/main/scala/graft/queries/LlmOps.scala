@@ -262,7 +262,51 @@ object LlmOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
-  qNo("llm_dedup_simhash") { (s, dir) =>
+  // Oracled since r8: the md5 token bits (Dedup.simhash scaladoc) let the
+  // oracle re-derive every vote, band bucket and Hamming distance
+  // cell-exactly; the band signature is rebuilt as four 16-bit integers
+  // (bit 63 never meets a BIGINT sign that way) and hamming =
+  // Σ bit_count(xor(band_a, band_b)) over the four bands.
+  q("llm_dedup_simhash",
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), h AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h60,
+      |    CAST(('0x' || substr(md5(tok), 16, 1)) AS BIGINT) AS h4
+      |  FROM t
+      |), v AS (
+      |  SELECT doc_id, b,
+      |    SUM((CASE WHEN b < 60 THEN (h60 >> b) & 1
+      |              ELSE (h4 >> (b - 60)) & 1 END) * 2 - 1) AS vote
+      |  FROM h, UNNEST(range(0, 64)) AS r(b)
+      |  GROUP BY doc_id, b
+      |), band AS (
+      |  SELECT doc_id, b // 16 AS band,
+      |    CAST(SUM((CASE WHEN vote > 0 THEN 1 ELSE 0 END)
+      |      * (1 << (b % 16))) AS BIGINT) AS bucket
+      |  FROM v GROUP BY doc_id, b // 16
+      |), sig AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band = 0 THEN bucket END) AS s0,
+      |    MAX(CASE WHEN band = 1 THEN bucket END) AS s1,
+      |    MAX(CASE WHEN band = 2 THEN bucket END) AS s2,
+      |    MAX(CASE WHEN band = 3 THEN bucket END) AS s3
+      |  FROM band GROUP BY doc_id
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM band a JOIN band b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |), hd AS (
+      |  SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+      |       + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
+      |      AS INT) AS hamming
+      |  FROM cand JOIN sig a ON cand.id_a = a.doc_id
+      |            JOIN sig b ON cand.id_b = b.doc_id
+      |)
+      |SELECT id_a, id_b, hamming FROM hd WHERE hamming <= 3
+      |ORDER BY id_a, id_b""") { (s, dir) =>
     // maxHamming 3 = the radius the 4-band blocking fully guarantees
     Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
       .orderBy("id_a", "id_b")
