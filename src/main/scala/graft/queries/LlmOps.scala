@@ -262,6 +262,72 @@ object LlmOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // LSH design-tuning table: for each candidate (rows-per-band r, bands b)
+  // layout of a 32-hash MinHash signature, the EXPECTED recall over this
+  // corpus's true near-dup pair set — Σ 1−(1−s^r)^b over the exact
+  // verified pairs' similarities, the number that justifies the shipped
+  // (r=4, b=8) config against its alternatives. Scale design: rides the
+  // memoized exact pair frame (no new corpus work), then four global
+  // aggregates over the pair list. Determinism: the collision polynomial
+  // is an identical LEFT-ASSOCIATED multiply chain in both engines
+  // (integer exponents as explicit products — never pow(), P12), each
+  // pair's recall quantizes to a 1e6 integer BEFORE the sum, and the
+  // mean divides once at the end — double summation order can't matter.
+  // Audit row: formula_audit.audit_lsh_recall_grid.
+  private val lshGridCfgs = Seq((2, 16), (4, 8), (8, 4), (16, 2))
+  private def lshGridSql: String = {
+    def chain(e: String, n: Int) = List.fill(n)(e).mkString("(", " * ", ")")
+    val pairCte =
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        |  FROM t
+        |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+        |n AS (SELECT doc_id, len(s) AS n FROM sh),
+        |i AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT jaccard FROM (
+        |    SELECT round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4)
+        |      AS jaccard
+        |    FROM i JOIN n na ON i.id_a = na.doc_id
+        |           JOIN n nb ON i.id_b = nb.doc_id
+        |  ) WHERE jaccard >= 0.3
+        |)""".stripMargin
+    val selects = lshGridCfgs.map { case (r, b) =>
+      val nb = chain(s"(1 - ${chain("jaccard", r)})", b)
+      s"""SELECT CAST($r AS INT) AS rows_per_band, CAST($b AS INT) AS bands,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  floor(CAST(SUM(CAST(floor((1 - $nb) * 1000000 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) / 1000000
+         |    AS expected_recall
+         |FROM p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$pairCte\n$selects\nORDER BY rows_per_band"
+  }
+
+  q("llm_lsh_recall_grid", lshGridSql) { (s, dir) =>
+    val pairs = Dedup.jaccardPairs(Tables(s, dir, "documents"), "text",
+      "doc_id", k = 3, tau = 0.3)
+    def powChain(c: org.apache.spark.sql.Column, n: Int) =
+      (1 until n).foldLeft(c)((a, _) => a * c)
+    lshGridCfgs.map { case (r, b) =>
+      val det = lit(1.0) - powChain(lit(1.0) - powChain(col("jaccard"), r), b)
+      pairs
+        .agg(count(lit(1)).as("np"),
+          sum(floor(det * 1000000 + lit(0.5)).cast("long")).as("sq"))
+        .select(lit(r).as("rows_per_band"), lit(b).as("bands"),
+          col("np").cast("long").as("n_pairs"),
+          (floor(col("sq").cast("double") / col("np").cast("double")
+            + lit(0.5)) / 1000000).as("expected_recall"))
+    }.reduce(_ unionByName _).orderBy("rows_per_band")
+  }
+
   // Oracled since r8: the md5 token bits (Dedup.simhash scaladoc) let the
   // oracle re-derive every vote, band bucket and Hamming distance
   // cell-exactly; the band signature is rebuilt as four 16-bit integers

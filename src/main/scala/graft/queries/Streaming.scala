@@ -801,4 +801,97 @@ object Streaming extends QueryPack {
       .toDF()
       .orderBy("user_id")
   }
+
+  // Stationary distribution of the session transition chain — "where does
+  // a user session spend its time in the long run": fixed-16-round power
+  // iteration over the event-type transition matrix. Scale design: the
+  // corpus collapses to the k×k count matrix in ONE user-partitioned
+  // window + aggregate (k = event-type catalog, bounded by design — the
+  // BPE-merge-table collect precedent), and the iteration runs
+  // driver-side in BigInt over ≤ k² integers. Determinism: p lives at
+  // 1e12 fixed point and every term floors p(s)·c(s,t)/n(s) in exact
+  // integer arithmetic (BigInt here, HUGEINT in the oracle), so the sum
+  // order cannot matter; dangling types (no outgoing transitions —
+  // absent at the fixture, real at scale) self-loop, the standard
+  // PageRank-style mass fix. The oracle unrolls the SAME 16 iterations
+  // as chained CTEs. Audit row: formula_audit.audit_markov_steady.
+  private val markovIters = 16
+  private def markovSteadySql: String = {
+    val iters = (1 to markovIters).map { i =>
+      s"""p$i AS (
+         |  SELECT ty.ty, CAST(COALESCE(SUM(
+         |      CAST(p.p AS HUGEINT) * cc.c // nn.n), 0) AS BIGINT) AS p
+         |  FROM ty LEFT JOIN cc ON cc.t = ty.ty
+         |          LEFT JOIN p${i - 1} p ON p.ty = cc.s
+         |          LEFT JOIN nn ON nn.s = cc.s
+         |  GROUP BY ty.ty
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH sq AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM events
+       |), c0 AS (
+       |  SELECT event_type AS s, nxt AS t, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM sq WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |), ty AS (SELECT DISTINCT event_type AS ty FROM events),
+       |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ty),
+       |cc AS (
+       |  SELECT s, t, c FROM c0
+       |  UNION ALL
+       |  SELECT ty, ty, CAST(1 AS BIGINT) FROM ty
+       |  WHERE ty NOT IN (SELECT s FROM c0)
+       |), nn AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY s),
+       |p0 AS (SELECT ty, 1000000000000 // k AS p FROM ty CROSS JOIN k),
+       |$iters
+       |SELECT ty.ty AS event_type,
+       |  CAST(COALESCE(n0.n, 0) AS BIGINT) AS out_transitions,
+       |  CAST(pf.p AS DOUBLE) / 1000000000000 AS steady_prob
+       |FROM ty
+       |LEFT JOIN (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM c0 GROUP BY s) n0
+       |  ON ty.ty = n0.s
+       |JOIN p$markovIters pf ON ty.ty = pf.ty
+       |ORDER BY event_type""".stripMargin
+  }
+
+  q("events_markov_steady", markovSteadySql) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables(s, dir, "events")
+    val counts = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val realOut: Map[String, Long] = counts.groupBy(_._1._1)
+      .map { case (s0, m) => s0 -> m.values.sum }
+    // dangling self-loop fix (types with no outgoing transitions)
+    val cm: Seq[(String, String, BigInt)] =
+      types.flatMap { s0 =>
+        if (realOut.contains(s0))
+          types.flatMap(t0 => counts.get((s0, t0))
+            .map(c => (s0, t0, BigInt(c))))
+        else Seq((s0, s0, BigInt(1)))
+      }
+    val n: Map[String, BigInt] = cm.groupBy(_._1)
+      .map { case (s0, v) => s0 -> v.map(_._3).sum }
+    val scale = BigInt(1000000000000L)
+    var p: Map[String, BigInt] = types.map(_ -> scale / types.size).toMap
+    for (_ <- 1 to markovIters) {
+      p = types.map { t0 =>
+        t0 -> cm.collect { case (s0, `t0`, c) => p(s0) * c / n(s0) }
+          .foldLeft(BigInt(0))(_ + _)
+      }.toMap
+    }
+    import s.implicits._
+    types.map(t0 => (t0, realOut.getOrElse(t0, 0L), p(t0).toLong))
+      .toDF("event_type", "out_transitions", "pfix")
+      .select(col("event_type"),
+        col("out_transitions").cast("long").as("out_transitions"),
+        (col("pfix").cast("double") / lit(1000000000000L)).as("steady_prob"))
+      .orderBy("event_type")
+  }
 }

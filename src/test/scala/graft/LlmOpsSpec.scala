@@ -237,4 +237,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
     assert(a.forall(f => f.width >= 1 && f.height >= 1 && f.n_bytes > 0))
   }
+
+  test("llm_lsh_recall_grid: recall decreases as rows-per-band grows at " +
+    "fixed signature width, and the shipped (4,8) config clears 0.9") {
+    val r = SparkEntry.queries("llm_lsh_recall_grid")(spark, sf)
+      .orderBy("rows_per_band").collect()
+    assert(r.length == 4)
+    val recalls = r.map(_.getAs[Double]("expected_recall"))
+    // same 32-hash budget: narrower bands collide easier -> higher recall
+    assert(recalls.sliding(2).forall(p => p(0) >= p(1)),
+      s"recall not monotone: ${recalls.mkString(",")}")
+    val shipped = r.find(_.getAs[Int]("rows_per_band") == 4).get
+      .getAs[Double]("expected_recall")
+    assert(shipped >= 0.9, s"shipped (4,8) expected recall $shipped")
+  }
 }

@@ -307,4 +307,17 @@ class StreamingSpec extends SparkSpec {
       assert(b2.last.tokens_after == 0L)
     } finally q.stop()
   }
+
+  test("events_markov_steady conserves probability mass and matches the " +
+    "transition structure") {
+    val r = SparkEntry.queries("events_markov_steady")(spark, sf).collect()
+    assert(r.nonEmpty)
+    // 16 floor-divisions lose at most (k rows x 16 iters) / 1e12 of mass
+    val mass = r.map(_.getAs[Double]("steady_prob")).sum
+    assert(mass <= 1.0 + 1e-9 && mass > 1.0 - 1e-6, s"mass = $mass")
+    // every type with observed outgoing transitions keeps positive mass
+    // in an irreducible-ish session chain; none may go negative
+    assert(r.forall(_.getAs[Double]("steady_prob") >= 0.0))
+    assert(r.map(_.getAs[String]("event_type")).distinct.length == r.length)
+  }
 }

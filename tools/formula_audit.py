@@ -2475,7 +2475,93 @@ def audit_dedup_near():
     report("llm_dedup_near", mis, max(1, len(got)))
 
 
+def audit_markov_steady():
+    """Stationary distribution from first principles: per-user event
+    sequences -> transition counts -> 16 exact-integer power-iteration
+    rounds at 1e12 fixed point (Python ints are unbounded, so this is the
+    arithmetic both engines CLAIM to perform — any floor/overflow slip in
+    either diverges here)."""
+    mis = []
+    ev = rows(f"SELECT user_id, event_type, ts, event_id "
+              f"FROM '{SF}/events.parquet'")
+    by_user = {}
+    for uid, et, ts, eid in ev:
+        by_user.setdefault(uid, []).append((ts, eid, et))
+    counts = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    types = sorted({et for _, et, _, _ in ev})
+    real_out = {}
+    for (a, _), c in counts.items():
+        real_out[a] = real_out.get(a, 0) + c
+    cm = dict(counts)
+    for t in types:
+        if t not in real_out:
+            cm[(t, t)] = 1
+    n = {}
+    for (a, _), c in cm.items():
+        n[a] = n.get(a, 0) + c
+    p = {t: 10 ** 12 // len(types) for t in types}
+    for _ in range(16):
+        p = {t: sum(p[s] * c // n[s]
+                    for (s, t2), c in cm.items() if t2 == t)
+             for t in types}
+    got = dump("events_markov_steady")
+    cols = dump_cols("events_markov_steady")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        t = row["event_type"]
+        if row["out_transitions"] != real_out.get(t, 0):
+            mis.append((t, "out", row["out_transitions"], real_out.get(t, 0)))
+        if not close(row["steady_prob"], p[t] / 1e12, 1e-9):
+            mis.append((t, "prob", row["steady_prob"], p[t] / 1e12))
+    if len(got) != len(types):
+        mis.append(("row count", len(got), len(types)))
+    report("events_markov_steady", mis, max(1, 2 * len(got)))
+
+
+def audit_lsh_recall_grid():
+    """Expected LSH recall re-derived from the exhaustive all-pairs
+    Jaccard truth set (audit_dedup_near's ground truth) and the collision
+    polynomial 1-(1-s^r)^b evaluated with math.pow — a different
+    computation route than either engine's multiply chains."""
+    mis = []
+    r_ = rows(f"SELECT doc_id, text FROM '{SF}/documents.parquet'")
+    sh = {}
+    for doc_id, text in r_:
+        tk = text.split(" ")
+        if len(tk) >= 3:
+            sh[doc_id] = {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+    ids = sorted(sh)
+    js = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 4)
+            if j >= 0.3:
+                js.append(j)
+    got = dump("llm_lsh_recall_grid")
+    cols = dump_cols("llm_lsh_recall_grid")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        r, b = row["rows_per_band"], row["bands"]
+        exp = sum(1.0 - (1.0 - j ** r) ** b for j in js) / max(1, len(js))
+        if row["n_pairs"] != len(js):
+            mis.append((r, b, "n_pairs", row["n_pairs"], len(js)))
+        if not close(row["expected_recall"], exp, 1e-5):
+            mis.append((r, b, "recall", row["expected_recall"], exp))
+    if len(got) != 4:
+        mis.append(("row count", len(got), 4))
+    report("llm_lsh_recall_grid", mis, max(1, 2 * len(got)))
+
+
 AUDITS = {
+    "events_markov_steady": audit_markov_steady,
+    "llm_lsh_recall_grid": audit_lsh_recall_grid,
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
     "agg_skew_kurtosis": audit_skew_kurtosis,
