@@ -215,20 +215,41 @@ object LlmOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
-  // Oracled since r8: the md5-derived Kirsch-Mitzenmacher hash family
-  // (Dedup.minhashPairs scaladoc) is bit-identical in DuckDB, so the
-  // oracle re-derives the EXACT same signatures, band buckets, candidates
-  // and verified pairs — not an approximation band, a cell-exact twin.
-  q("llm_dedup_minhash",
-    """WITH t AS (
+  /** Shared DuckDB oracle fragments for the dedup family. The four
+    * oracled queries (minhash, simhash, the eval harness, the LSH recall
+    * grid) and the family-overlap capstone compose these same CTE pieces,
+    * so the twins cannot drift apart: [[oShingles]] = the k=3 shingle
+    * frame; [[oNear]] = the exact-Jaccard chain ending in `nearj`
+    * (scored pairs) and `near` (the tau=0.3 pair set); [[oMinhash]] =
+    * the md5 Kirsch-Mitzenmacher chain ending in `mhv` (verified
+    * candidates) and `mh` (the tau=0.3 pair set); [[oSimhash]] = the md5
+    * simhash chain ending in `shd` (candidate Hamming distances) and
+    * `simp` (the Hamming≤3 pair set). */
+  private val oShingles =
+    """t AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3
       |), sh AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
       |  FROM t
-      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-      |hh AS (
+      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh)""".stripMargin
+
+  private val oNear =
+    """n AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), nearj AS (
+      |  SELECT id_a, id_b,
+      |    round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jaccard
+      |  FROM i JOIN n na ON i.id_a = na.doc_id
+      |         JOIN n nb ON i.id_b = nb.doc_id
+      |), near AS (SELECT id_a, id_b FROM nearj WHERE jaccard >= 0.3)""".stripMargin
+
+  private val oMinhash =
+    """hh AS (
       |  SELECT doc_id,
       |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h1,
       |    CAST(('0x' || substr(md5(sg), 17, 7)) AS BIGINT) AS h2
@@ -247,16 +268,63 @@ object LlmOps extends QueryPack {
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM band a JOIN band b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |), v AS (
+      |), mhv AS (
       |  SELECT id_a, id_b,
       |    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
       |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
       |      AS jaccard
       |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
       |            JOIN sh sb ON cand.id_b = sb.doc_id
-      |)
-      |SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.3
-      |ORDER BY id_a, id_b""") { (s, dir) =>
+      |), mh AS (SELECT id_a, id_b FROM mhv WHERE jaccard >= 0.3)""".stripMargin
+
+  private val oSimhash =
+    """stok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), sh64 AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h60,
+      |    CAST(('0x' || substr(md5(tok), 16, 1)) AS BIGINT) AS h4
+      |  FROM stok
+      |), sv AS (
+      |  SELECT doc_id, b,
+      |    SUM((CASE WHEN b < 60 THEN (h60 >> b) & 1
+      |              ELSE (h4 >> (b - 60)) & 1 END) * 2 - 1) AS vote
+      |  FROM sh64, UNNEST(range(0, 64)) AS r(b)
+      |  GROUP BY doc_id, b
+      |), sband AS (
+      |  SELECT doc_id, b // 16 AS band,
+      |    CAST(SUM((CASE WHEN vote > 0 THEN 1 ELSE 0 END)
+      |      * (1 << (b % 16))) AS BIGINT) AS bucket
+      |  FROM sv GROUP BY doc_id, b // 16
+      |), ssig AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN band = 0 THEN bucket END) AS s0,
+      |    MAX(CASE WHEN band = 1 THEN bucket END) AS s1,
+      |    MAX(CASE WHEN band = 2 THEN bucket END) AS s2,
+      |    MAX(CASE WHEN band = 3 THEN bucket END) AS s3
+      |  FROM sband GROUP BY doc_id
+      |), scand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sband a JOIN sband b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |), shd AS (
+      |  SELECT id_a, id_b,
+      |    CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+      |       + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
+      |      AS INT) AS hamming
+      |  FROM scand JOIN ssig a ON scand.id_a = a.doc_id
+      |             JOIN ssig b ON scand.id_b = b.doc_id
+      |), simp AS (SELECT id_a, id_b FROM shd WHERE hamming <= 3)""".stripMargin
+
+  // Oracled since r8: the md5-derived Kirsch-Mitzenmacher hash family
+  // (Dedup.minhashPairs scaladoc) is bit-identical in DuckDB, so the
+  // oracle re-derives the EXACT same signatures, band buckets, candidates
+  // and verified pairs — not an approximation band, a cell-exact twin.
+  q("llm_dedup_minhash",
+    s"""WITH $oShingles,
+       |$oMinhash
+       |SELECT id_a, id_b, jaccard FROM mhv WHERE jaccard >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     Dedup.minhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
         k = 3, numHashes = 32, bands = 8, tau = 0.3)
       .orderBy("id_a", "id_b")
@@ -278,27 +346,9 @@ object LlmOps extends QueryPack {
   private def lshGridSql: String = {
     def chain(e: String, n: Int) = List.fill(n)(e).mkString("(", " * ", ")")
     val pairCte =
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
-        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
-        |  FROM t
-        |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-        |n AS (SELECT doc_id, len(s) AS n FROM sh),
-        |i AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), p AS (
-        |  SELECT jaccard FROM (
-        |    SELECT round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4)
-        |      AS jaccard
-        |    FROM i JOIN n na ON i.id_a = na.doc_id
-        |           JOIN n nb ON i.id_b = nb.doc_id
-        |  ) WHERE jaccard >= 0.3
-        |)""".stripMargin
+      s"""WITH $oShingles,
+         |$oNear,
+         |p AS (SELECT jaccard FROM nearj WHERE jaccard >= 0.3)""".stripMargin
     val selects = lshGridCfgs.map { case (r, b) =>
       val nb = chain(s"(1 - ${chain("jaccard", r)})", b)
       s"""SELECT CAST($r AS INT) AS rows_per_band, CAST($b AS INT) AS bands,
@@ -334,48 +384,69 @@ object LlmOps extends QueryPack {
   // (bit 63 never meets a BIGINT sign that way) and hamming =
   // Σ bit_count(xor(band_a, band_b)) over the four bands.
   q("llm_dedup_simhash",
-    """WITH t AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-      |), h AS (
-      |  SELECT doc_id,
-      |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h60,
-      |    CAST(('0x' || substr(md5(tok), 16, 1)) AS BIGINT) AS h4
-      |  FROM t
-      |), v AS (
-      |  SELECT doc_id, b,
-      |    SUM((CASE WHEN b < 60 THEN (h60 >> b) & 1
-      |              ELSE (h4 >> (b - 60)) & 1 END) * 2 - 1) AS vote
-      |  FROM h, UNNEST(range(0, 64)) AS r(b)
-      |  GROUP BY doc_id, b
-      |), band AS (
-      |  SELECT doc_id, b // 16 AS band,
-      |    CAST(SUM((CASE WHEN vote > 0 THEN 1 ELSE 0 END)
-      |      * (1 << (b % 16))) AS BIGINT) AS bucket
-      |  FROM v GROUP BY doc_id, b // 16
-      |), sig AS (
-      |  SELECT doc_id,
-      |    MAX(CASE WHEN band = 0 THEN bucket END) AS s0,
-      |    MAX(CASE WHEN band = 1 THEN bucket END) AS s1,
-      |    MAX(CASE WHEN band = 2 THEN bucket END) AS s2,
-      |    MAX(CASE WHEN band = 3 THEN bucket END) AS s3
-      |  FROM band GROUP BY doc_id
-      |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM band a JOIN band b
-      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |), hd AS (
-      |  SELECT id_a, id_b,
-      |    CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
-      |       + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
-      |      AS INT) AS hamming
-      |  FROM cand JOIN sig a ON cand.id_a = a.doc_id
-      |            JOIN sig b ON cand.id_b = b.doc_id
-      |)
-      |SELECT id_a, id_b, hamming FROM hd WHERE hamming <= 3
-      |ORDER BY id_a, id_b""") { (s, dir) =>
+    s"""WITH $oSimhash
+       |SELECT id_a, id_b, hamming FROM shd WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     // maxHamming 3 = the radius the 4-band blocking fully guarantees
     Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
       .orderBy("id_a", "id_b")
+  }
+
+  // Dedup-family agreement capstone: the three near-dup detectors over
+  // the SAME corpus — exact shingle-Jaccard (the truth set), MinHash-LSH
+  // (verified at the same tau) and SimHash (Hamming ≤ 3) — counted
+  // individually and pairwise. The report a corpus build reads before
+  // choosing which detector runs at 100 TB: minhash∩near over n_near IS
+  // the realized LSH recall, simhash∩near shows how differently the
+  // bit-vote geometry selects pairs. Scale: the near and minhash frames
+  // are session-memoized (zero new corpus work); simhash adds one corpus
+  // pass; the six counts are broadcast-joined single-row frames. All
+  // cells integers; the oracle composes the exact same shared CTE
+  // fragments the three member queries grade against.
+  q("llm_dedup_family_overlap",
+    s"""WITH $oShingles,
+       |$oNear,
+       |$oMinhash,
+       |$oSimhash,
+       |c AS (
+       |  SELECT (SELECT COUNT(*) FROM near) AS n_near,
+       |         (SELECT COUNT(*) FROM mh) AS n_minhash,
+       |         (SELECT COUNT(*) FROM simp) AS n_simhash,
+       |         (SELECT COUNT(*) FROM mh JOIN near USING (id_a, id_b))
+       |           AS n_minhash_and_near,
+       |         (SELECT COUNT(*) FROM simp JOIN near USING (id_a, id_b))
+       |           AS n_simhash_and_near,
+       |         (SELECT COUNT(*) FROM mh JOIN simp USING (id_a, id_b))
+       |           AS n_minhash_and_simhash
+       |)
+       |SELECT CAST(n_near AS BIGINT) AS n_near,
+       |  CAST(n_minhash AS BIGINT) AS n_minhash,
+       |  CAST(n_simhash AS BIGINT) AS n_simhash,
+       |  CAST(n_minhash_and_near AS BIGINT) AS n_minhash_and_near,
+       |  CAST(n_simhash_and_near AS BIGINT) AS n_simhash_and_near,
+       |  CAST(n_minhash_and_simhash AS BIGINT) AS n_minhash_and_simhash
+       |FROM c""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val near = Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.3)
+      .select("id_a", "id_b")
+    val mh = Dedup.minhashPairs(docs, "text", "doc_id",
+      k = 3, numHashes = 32, bands = 8, tau = 0.3).select("id_a", "id_b")
+    val sp = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b")
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).cast("long").as(name))
+    cnt(near, "n_near")
+      .crossJoin(broadcast(cnt(mh, "n_minhash")))
+      .crossJoin(broadcast(cnt(sp, "n_simhash")))
+      .crossJoin(broadcast(
+        cnt(mh.join(near, Seq("id_a", "id_b"), "left_semi"),
+          "n_minhash_and_near")))
+      .crossJoin(broadcast(
+        cnt(sp.join(near, Seq("id_a", "id_b"), "left_semi"),
+          "n_simhash_and_near")))
+      .crossJoin(broadcast(
+        cnt(mh.join(sp, Seq("id_a", "id_b"), "left_semi"),
+          "n_minhash_and_simhash")))
   }
 
   q("sim_cosine_topk",
@@ -2332,70 +2403,25 @@ object LlmOps extends QueryPack {
   // oracle replays BOTH paths — truth via the exact candidate join,
   // pred via the minhash twin — and re-derives every eval cell).
   q("llm_dedup_eval",
-    """WITH t AS (
-      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3
-      |), sh AS (
-      |  SELECT doc_id, list_distinct(list_transform(range(1, len(tk)-1),
-      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
-      |  FROM t
-      |), e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-      |n AS (SELECT doc_id, len(s) AS n FROM sh),
-      |i AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |), truth AS (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT id_a, id_b,
-      |      round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS j
-      |    FROM i JOIN n na ON i.id_a = na.doc_id
-      |           JOIN n nb ON i.id_b = nb.doc_id
-      |  ) WHERE j >= 0.3
-      |), hh AS (
-      |  SELECT doc_id,
-      |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h1,
-      |    CAST(('0x' || substr(md5(sg), 17, 7)) AS BIGINT) AS h2
-      |  FROM e
-      |), sig AS (
-      |  SELECT doc_id, i, MIN(h1 + i * h2) AS hv
-      |  FROM hh, UNNEST(range(0, 32)) AS r(i)
-      |  GROUP BY doc_id, i
-      |), band AS (
-      |  SELECT doc_id, i // 4 AS band,
-      |    CAST(('0x' || substr(md5(
-      |      string_agg(CAST(hv AS VARCHAR), ',' ORDER BY i)), 1, 15))
-      |      AS BIGINT) AS bucket
-      |  FROM sig GROUP BY doc_id, i // 4
-      |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM band a JOIN band b
-      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |), pred AS (
-      |  SELECT id_a, id_b FROM (
-      |    SELECT id_a, id_b,
-      |      round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      |        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
-      |        AS j
-      |    FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
-      |              JOIN sh sb ON cand.id_b = sb.doc_id
-      |  ) WHERE j >= 0.3
-      |), c AS (
-      |  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
-      |         (SELECT COUNT(*) FROM pred) AS n_pred,
-      |         (SELECT COUNT(*) FROM pred JOIN truth USING (id_a, id_b))
-      |           AS n_tp
-      |)
-      |SELECT CAST(n_truth AS BIGINT) AS n_truth,
-      |  CAST(n_pred AS BIGINT) AS n_pred, CAST(n_tp AS BIGINT) AS n_tp,
-      |  CAST(floor(CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1000000
-      |    + 0.5) AS DOUBLE) / 1000000 AS "precision",
-      |  CAST(floor(CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1000000
-      |    + 0.5) AS DOUBLE) / 1000000 AS recall,
-      |  CAST(floor(2 * CAST(n_tp AS DOUBLE)
-      |    / CAST(n_pred + n_truth AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
-      |    / 1000000 AS f1
-      |FROM c""") { (s, dir) =>
+    s"""WITH $oShingles,
+       |$oNear,
+       |$oMinhash,
+       |c AS (
+       |  SELECT (SELECT COUNT(*) FROM near) AS n_truth,
+       |         (SELECT COUNT(*) FROM mh) AS n_pred,
+       |         (SELECT COUNT(*) FROM mh JOIN near USING (id_a, id_b))
+       |           AS n_tp
+       |)
+       |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_pred AS BIGINT) AS n_pred, CAST(n_tp AS BIGINT) AS n_tp,
+       |  CAST(floor(CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1000000
+       |    + 0.5) AS DOUBLE) / 1000000 AS "precision",
+       |  CAST(floor(CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE) * 1000000
+       |    + 0.5) AS DOUBLE) / 1000000 AS recall,
+       |  CAST(floor(2 * CAST(n_tp AS DOUBLE)
+       |    / CAST(n_pred + n_truth AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+       |    / 1000000 AS f1
+       |FROM c""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val truth = Dedup.jaccardPairs(docs, "text", "doc_id", k = 3, tau = 0.3)
       .select(col("id_a"), col("id_b"))

@@ -3468,4 +3468,75 @@ object StatsOps extends QueryPack {
         col("n_bins").cast("long").as("n_bins"))
       .orderBy("event_type")
   }
+
+  // Friedman test — the k-related-samples nonparametric ANOVA closing the
+  // rank-test family (Mann-Whitney / Kruskal-Wallis / Wilcoxon ship
+  // already): do the event types' DAILY revenue levels differ, treating
+  // each complete day as a matched block? Blocks = days where every type
+  // traded (a deterministic completeness rule — Friedman requires full
+  // blocks); within each day the k daily sums are ranked with exact
+  // average-rank tie handling kept INTEGRAL by the 2x-scaled rank
+  // identity 2*avg_rank = 2*rank + ties - 1. Q = 3*S/(n*k*(k+1)) -
+  // 3*n*(k+1) with S = SUM of squared 2x rank sums / ... all moments are
+  // exact integers until one final quantized double. Scale: the corpus
+  // collapses to the (day x type) frame in one aggregate; every window
+  // is day-partitioned (calendar-bounded frames); the statistic reduces
+  // a k-row frame. Audit row: formula_audit.audit_friedman.
+  q("stats_friedman_test",
+    """WITH ev AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events
+      |), d AS (
+      |  SELECT day, event_type, CAST(SUM(cents) AS BIGINT) AS v
+      |  FROM ev GROUP BY 1, 2
+      |), kk AS (
+      |  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events
+      |), full_days AS (
+      |  SELECT day FROM d GROUP BY day
+      |  HAVING COUNT(*) = (SELECT k FROM kk)
+      |), r AS (
+      |  SELECT d.day, d.event_type,
+      |    2 * rank() OVER (PARTITION BY d.day ORDER BY d.v)
+      |      + COUNT(*) OVER (PARTITION BY d.day, d.v) - 1 AS r2
+      |  FROM d JOIN full_days USING (day)
+      |), rs AS (
+      |  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2sum
+      |  FROM r GROUP BY event_type
+      |), agg AS (
+      |  SELECT CAST(SUM(r2sum * r2sum) AS BIGINT) AS s2,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM full_days) AS n,
+      |    (SELECT k FROM kk) AS k
+      |  FROM rs
+      |)
+      |SELECT n AS n_blocks, CAST(k AS INT) AS k, s2 AS sum_rank2_sq,
+      |  floor((CAST(3 * s2 AS DOUBLE) / CAST(n * k * (k + 1) AS DOUBLE)
+      |    - CAST(3 * n * (k + 1) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+      |    AS friedman_q
+      |FROM agg""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .select(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"), Det.cents(col("value")).cast("long").as("cents"))
+    val d = ev.groupBy("day", "event_type")
+      .agg(sum("cents").cast("long").as("v"))
+    val kk = ev.agg(countDistinct("event_type").as("k"))
+    val fullDays = d.groupBy("day").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(kk))
+      .filter(col("c") === col("k")).select("day")
+    val r = d.join(fullDays, "day")
+      .select(col("event_type"),
+        (lit(2) * rank().over(Window.partitionBy("day").orderBy("v"))
+          + count(lit(1)).over(Window.partitionBy("day", "v")) - 1).as("r2"))
+    val rs = r.groupBy("event_type").agg(sum("r2").cast("long").as("r2sum"))
+    rs.agg(sum(col("r2sum") * col("r2sum")).cast("long").as("s2"))
+      .crossJoin(broadcast(
+        fullDays.agg(count(lit(1)).cast("long").as("n"))))
+      .crossJoin(broadcast(kk.select(col("k").cast("long").as("k"))))
+      .select(col("n").as("n_blocks"), col("k").cast("int").as("k"),
+        col("s2").as("sum_rank2_sq"),
+        (floor(((lit(3) * col("s2")).cast("double")
+          / (col("n") * col("k") * (col("k") + 1)).cast("double")
+          - (lit(3) * col("n") * (col("k") + 1)).cast("double"))
+          * 1000000 + lit(0.5)) / 1000000).as("friedman_q"))
+  }
 }

@@ -251,4 +251,15 @@ class LlmOpsSpec extends SparkSpec {
       .getAs[Double]("expected_recall")
     assert(shipped >= 0.9, s"shipped (4,8) expected recall $shipped")
   }
+
+  test("llm_dedup_family_overlap: verified minhash pairs are a subset of " +
+    "the exact truth set by construction") {
+    val r = SparkEntry.queries("llm_dedup_family_overlap")(spark, sf).head
+    // both paths verify candidates with the same exact jaccard >= tau, so
+    // every minhash pair IS a near pair; simhash selects by a different
+    // geometry and need not be
+    assert(r.getAs[Long]("n_minhash_and_near") == r.getAs[Long]("n_minhash"))
+    assert(r.getAs[Long]("n_minhash") <= r.getAs[Long]("n_near"))
+    assert(r.getAs[Long]("n_simhash_and_near") <= r.getAs[Long]("n_simhash"))
+  }
 }

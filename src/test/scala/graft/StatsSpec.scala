@@ -375,4 +375,13 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("stats_friedman_test: Q is non-negative and blocks are complete") {
+    val r = SparkEntry.queries("stats_friedman_test")(spark, sf).head
+    // Q = 0 exactly when every type's rank sum is equal (Cauchy-Schwarz
+    // lower bound); ties only ever push the uncorrected Q DOWN to 0
+    assert(r.getAs[Double]("friedman_q") >= 0.0)
+    assert(r.getAs[Long]("n_blocks") > 0)
+    assert(r.getAs[Int]("k") >= 2)
+  }
 }

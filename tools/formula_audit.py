@@ -2559,9 +2559,134 @@ def audit_lsh_recall_grid():
     report("llm_lsh_recall_grid", mis, max(1, 2 * len(got)))
 
 
+def audit_friedman():
+    """Friedman Q from the textbook definition: complete-day blocks,
+    average ranks (as exact Fractions), Q = 12/(nk(k+1)) SUM R_j^2 -
+    3n(k+1) — no 2x-scaled-rank identity, a different route than both
+    engines' integer form."""
+    mis = []
+    ev = rows(f"SELECT CAST(date_trunc('day', ts) AS DATE), event_type, "
+              f"CAST(floor(value * 100 + 0.5) AS BIGINT) "
+              f"FROM '{SF}/events.parquet'")
+    daily = {}
+    types = set()
+    for day, et, cents in ev:
+        types.add(et)
+        daily[(day, et)] = daily.get((day, et), 0) + cents
+    k = len(types)
+    days = sorted({d for d, _ in daily})
+    full = [d for d in days
+            if sum(1 for t in types if (d, t) in daily) == k]
+    rank_sum = {t: Fraction(0) for t in types}
+    for d in full:
+        vals = sorted((daily[(d, t)], t) for t in types)
+        by_v = {}
+        for idx, (v, t) in enumerate(vals):
+            by_v.setdefault(v, []).append(idx + 1)
+        for v, t in vals:
+            rank_sum[t] += Fraction(sum(by_v[v]), len(by_v[v]))
+    n = len(full)
+    s = sum(r * r for r in rank_sum.values())
+    q = Fraction(12, n * k * (k + 1)) * s - 3 * n * (k + 1)
+    got = dump("stats_friedman_test")
+    cols = dump_cols("stats_friedman_test")
+    row = dict(zip(cols, got[0]))
+    if row["n_blocks"] != n:
+        mis.append(("n_blocks", row["n_blocks"], n))
+    if row["k"] != k:
+        mis.append(("k", row["k"], k))
+    if row["sum_rank2_sq"] != sum(int(2 * r) ** 2 for r in rank_sum.values()):
+        mis.append(("sum_rank2_sq", row["sum_rank2_sq"]))
+    if not close(row["friedman_q"], float(q), 1e-6):
+        mis.append(("q", row["friedman_q"], float(q)))
+    report("stats_friedman_test", mis, 4)
+
+
+def audit_dedup_family():
+    """The whole hashed dedup machinery reimplemented in Python: md5
+    Kirsch-Mitzenmacher MinHash (60+28-bit slices, 32 hashes, 8 bands,
+    exact verification at tau 0.3) and md5 SimHash (60+4-bit token
+    hashes, 64 vote bits, 4 16-bit bands, Hamming<=3), compared against
+    the family-overlap counts — if either engine's banding, bucketing or
+    verification drifts from the algorithm, the counts diverge here."""
+    import hashlib
+    mis = []
+    r_ = rows(f"SELECT doc_id, text FROM '{SF}/documents.parquet'")
+    sh = {}
+    toks = {}
+    for doc_id, text in r_:
+        tk = text.split(" ")
+        toks[doc_id] = tk
+        if len(tk) >= 3:
+            sh[doc_id] = {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+    ids = sorted(sh)
+    near = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and round(
+                    inter / (len(sh[a]) + len(sh[b]) - inter), 4) >= 0.3:
+                near.add((a, b))
+    # minhash: h_i = h1 + i*h2 over md5 slices; 8 bands of 4 rows
+    def slices(s):
+        d = hashlib.md5(s.encode()).hexdigest()
+        return int(d[:15], 16), int(d[16:23], 16)
+    band_buckets = {}
+    for doc in ids:
+        hs = [slices(s) for s in sh[doc]]
+        sig = [min(h1 + i * h2 for h1, h2 in hs) for i in range(32)]
+        for j in range(8):
+            key = (j, ",".join(str(v) for v in sig[4 * j:4 * j + 4]))
+            band_buckets.setdefault(key, []).append(doc)
+    mh = set()
+    for docs_ in band_buckets.values():
+        docs_ = sorted(set(docs_))
+        for i, a in enumerate(docs_):
+            for b in docs_[i + 1:]:
+                inter = len(sh[a] & sh[b])
+                if inter and round(
+                        inter / (len(sh[a]) + len(sh[b]) - inter), 4) >= 0.3:
+                    mh.add((a, b))
+    # simhash: 64 md5-derived vote bits, 4 bands of 16
+    sigs = {}
+    for doc_id, tk in toks.items():
+        votes = [0] * 64
+        for t in tk:
+            d = hashlib.md5(t.encode()).hexdigest()
+            h = int(d[:15], 16) | (int(d[15], 16) << 60)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sigs[doc_id] = sum(1 << b for b in range(64) if votes[b] > 0)
+    sbuckets = {}
+    for doc_id, s in sigs.items():
+        for j in range(4):
+            sbuckets.setdefault((j, (s >> (16 * j)) & 0xFFFF, ),
+                                []).append(doc_id)
+    simp = set()
+    for docs_ in sbuckets.values():
+        docs_ = sorted(set(docs_))
+        for i, a in enumerate(docs_):
+            for b in docs_[i + 1:]:
+                if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                    simp.add((a, b))
+    got = dump("llm_dedup_family_overlap")
+    cols = dump_cols("llm_dedup_family_overlap")
+    row = dict(zip(cols, got[0]))
+    exp = {"n_near": len(near), "n_minhash": len(mh), "n_simhash": len(simp),
+           "n_minhash_and_near": len(mh & near),
+           "n_simhash_and_near": len(simp & near),
+           "n_minhash_and_simhash": len(mh & simp)}
+    for kk, v in exp.items():
+        if row[kk] != v:
+            mis.append((kk, row[kk], v))
+    report("llm_dedup_family_overlap", mis, len(exp))
+
+
 AUDITS = {
     "events_markov_steady": audit_markov_steady,
     "llm_lsh_recall_grid": audit_lsh_recall_grid,
+    "stats_friedman_test": audit_friedman,
+    "llm_dedup_family_overlap": audit_dedup_family,
     "events_ab_welch": audit_welch,
     "stats_jarque_bera": audit_jarque_bera,
     "agg_skew_kurtosis": audit_skew_kurtosis,
