@@ -166,4 +166,46 @@ object TextOps {
         + (lit(1.0) - punct.cast("double") / length(text)) * 0.3
         + (stop.cast("double") / nTokens) * 0.4, 4)
   }
+
+  /** Corpus heavy hitters (frequency > n/k) with EXACT output counts via
+    * the two-pass Misra-Gries pattern: pass 1 runs a k-counter MG summary
+    * per partition (the classic mergeable frequency sketch — an item with
+    * global count > n/k must exceed n_p/k in at least one partition by
+    * pigeonhole, so the union of partition survivors is a guaranteed
+    * SUPERSET of every true heavy hitter at ANY partitioning); pass 2
+    * exactly recounts only the ≤ k·numPartitions candidates and filters
+    * on the exact threshold. The final output is therefore deterministic
+    * and exact even though the sketch itself is partitioning-dependent.
+    * This is the module's second deliberate mapPartitions (after
+    * [[compressionRatio]]): a decrement-all counter loop is per-partition
+    * imperative state, not a Catalyst expression. At 100 TB the
+    * candidate frame is k·partitions rows (broadcast-small) and the
+    * corpus is touched by streaming passes only. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 1, s"need at least 2 counters, got $k")
+    import docs.sparkSession.implicits._
+    val toks = graft.engine.Tables.fan(docs)
+      .select(explode(tokens(col(textCol))).as("tok"))
+    val cand = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (m.contains(t)) m(t) += 1L
+        else if (m.size < k) m(t) = 1L
+        else {
+          // decrement-all step; drained counters free their slots
+          m.mapValuesInPlace((_, v) => v - 1L)
+          m.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      m.keysIterator
+    }.toDF("tok").distinct()
+    val n = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cand), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(n))
+      .filter(col("c") * k > col("n"))
+      .select(col("tok"), col("c").cast("long").as("c"),
+        (floor(col("c").cast("double") / col("n").cast("double")
+          * 1000000 + lit(0.5)) / 1000000).as("share"))
+  }
 }

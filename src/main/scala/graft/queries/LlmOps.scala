@@ -392,6 +392,30 @@ object LlmOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // Misra-Gries heavy hitters over the token stream — the "which tokens
+  // dominate the corpus" readout a tokenizer/quality pipeline checks for
+  // template contamination. Two-pass exact pattern (TextOps.heavyHitters
+  // scaladoc): a k=64-counter MG sketch per partition yields a GUARANTEED
+  // superset of every token with frequency > n/64 at any partitioning;
+  // an exact recount of the ≤ k·partitions candidates then filters on
+  // the integer threshold c·64 > n — so the graded output is exact and
+  // deterministic while the corpus-sized work stays two streaming
+  // passes. The oracle counts everything (fine at oracle scale); the
+  // engine never materializes the full vocabulary count.
+  q("text_heavy_hitters_mg",
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+      |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok)
+      |SELECT tok, c,
+      |  floor(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE) * 1000000 + 0.5)
+      |    / 1000000 AS share
+      |FROM c CROSS JOIN n WHERE c * 64 > n.n
+      |ORDER BY c DESC, tok""") { (s, dir) =>
+    TextOps.heavyHitters(Tables(s, dir, "documents"), "text", k = 64)
+      .orderBy(col("c").desc, col("tok"))
+  }
+
   // Dedup-family agreement capstone: the three near-dup detectors over
   // the SAME corpus — exact shingle-Jaccard (the truth set), MinHash-LSH
   // (verified at the same tau) and SimHash (Hamming ≤ 3) — counted

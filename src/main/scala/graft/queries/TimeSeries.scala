@@ -2751,4 +2751,86 @@ object TimeSeriesOps extends QueryPack {
           / (col("sse_u").cast("double") / (col("n") - 3)) * 10000
           + lit(0.5)).cast("double") / 10000).as("f_stat"))
   }
+
+  // AR(2) fit by Yule-Walker on the daily revenue series — the
+  // workhorse autoregression a forecasting pipeline fits before anything
+  // fancier: phi1 = r1(1-r2)/(1-r1^2), phi2 = (r2-r1^2)/(1-r1^2), and
+  // the innovation-variance ratio 1 - phi1*r1 - phi2*r2. Determinism:
+  // the series is mean-centered WITHOUT division (z_t = n*y_t - S, exact
+  // int64), the lag products promote to DECIMAL(38,0)/HUGEINT before
+  // multiplying (z^2 ~ 1e33 at scale, P16), and r1/r2 are single double
+  // divisions of those exact sums feeding identical arithmetic trees.
+  // Scale: the corpus collapses to the calendar-bounded daily frame in
+  // one aggregate; the lag windows run over that bounded frame. Audit
+  // row: formula_audit.audit_ar2.
+  q("ts_ar2_yule_walker",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1
+      |), st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+      |  FROM daily
+      |), z AS (
+      |  SELECT day, n * v - s AS z FROM daily CROSS JOIN st
+      |), lagged AS (
+      |  SELECT z,
+      |    lag(z, 1) OVER (ORDER BY day) AS z1,
+      |    lag(z, 2) OVER (ORDER BY day) AS z2
+      |  FROM z
+      |), c AS (
+      |  SELECT CAST(SUM(CAST(z AS HUGEINT) * z) AS DOUBLE) AS c0,
+      |    CAST(SUM(CASE WHEN z1 IS NULL THEN CAST(0 AS HUGEINT)
+      |             ELSE CAST(z AS HUGEINT) * z1 END) AS DOUBLE) AS c1,
+      |    CAST(SUM(CASE WHEN z2 IS NULL THEN CAST(0 AS HUGEINT)
+      |             ELSE CAST(z AS HUGEINT) * z2 END) AS DOUBLE) AS c2,
+      |    MAX((SELECT n FROM st)) AS n
+      |  FROM lagged
+      |), r AS (SELECT n, c1 / c0 AS r1, c2 / c0 AS r2 FROM c)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  floor(r1 * 1000000 + 0.5) / 1000000 AS r1,
+      |  floor(r2 * 1000000 + 0.5) / 1000000 AS r2,
+      |  CASE WHEN 1 - r1 * r1 = 0 THEN NULL
+      |    ELSE floor(r1 * (1 - r2) / (1 - r1 * r1) * 1000000 + 0.5)
+      |      / 1000000 END AS phi1,
+      |  CASE WHEN 1 - r1 * r1 = 0 THEN NULL
+      |    ELSE floor((r2 - r1 * r1) / (1 - r1 * r1) * 1000000 + 0.5)
+      |      / 1000000 END AS phi2,
+      |  CASE WHEN 1 - r1 * r1 = 0 THEN NULL
+      |    ELSE floor((1 - (r1 * (1 - r2) / (1 - r1 * r1)) * r1
+      |      - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2) * 1000000 + 0.5)
+      |      / 1000000 END AS noise_ratio
+      |FROM r""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("v"))
+    val st = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum("v").cast("long").as("s"))
+    val z = daily.crossJoin(broadcast(st))
+      .select(col("day"), (col("n") * col("v") - col("s")).as("z"), col("n"))
+    val wo = Window.orderBy("day")
+    val lagged = z.select(col("z"), col("n"),
+      lag("z", 1).over(wo).as("z1"), lag("z", 2).over(wo).as("z2"))
+    val c = lagged.agg(
+      sum(col("z").cast(dec38) * col("z")).cast("double").as("c0"),
+      sum(when(col("z1").isNull, lit(0).cast(dec38))
+        .otherwise(col("z").cast(dec38) * col("z1"))).cast("double").as("c1"),
+      sum(when(col("z2").isNull, lit(0).cast(dec38))
+        .otherwise(col("z").cast(dec38) * col("z2"))).cast("double").as("c2"),
+      max(col("n")).as("n"))
+    val r1 = col("c1") / col("c0")
+    val r2 = col("c2") / col("c0")
+    val den = lit(1) - r1 * r1
+    val phi1 = r1 * (lit(1) - r2) / den
+    val phi2 = (r2 - r1 * r1) / den
+    def q6(x: org.apache.spark.sql.Column) =
+      floor(x * 1000000 + lit(0.5)) / 1000000
+    c.select(col("n").cast("long").as("n_days"),
+      q6(r1).as("r1"), q6(r2).as("r2"),
+      when(den === 0, lit(null)).otherwise(q6(phi1)).as("phi1"),
+      when(den === 0, lit(null)).otherwise(q6(phi2)).as("phi2"),
+      when(den === 0, lit(null))
+        .otherwise(q6(lit(1) - phi1 * r1 - phi2 * r2)).as("noise_ratio"))
+  }
 }

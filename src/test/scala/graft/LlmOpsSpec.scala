@@ -262,4 +262,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_minhash") <= r.getAs[Long]("n_near"))
     assert(r.getAs[Long]("n_simhash_and_near") <= r.getAs[Long]("n_simhash"))
   }
+
+  test("text_heavy_hitters_mg equals the exhaustive count at any partitioning") {
+    import org.apache.spark.sql.functions._
+    val docs = engine.Tables(spark, sf, "documents")
+    val exhaustive = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = exhaustive.agg(sum("c")).head.getLong(0)
+    val expected = exhaustive.filter(col("c") * 64 > n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // the MG candidate pass is partitioning-DEPENDENT; the exact recount
+    // must make the output partitioning-INDEPENDENT — drive both a skewed
+    // 2-way and a wide split through the same graded operator
+    for (parts <- Seq(2, 13)) {
+      val got = ops.TextOps.heavyHitters(docs.repartition(parts), "text", 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected, s"parts=$parts: MG output diverged")
+    }
+  }
 }

@@ -381,4 +381,14 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("ts_ar2_yule_walker: correlations bounded, innovation ratio in (0, 1]") {
+    val r = SparkEntry.queries("ts_ar2_yule_walker")(spark, sf).head
+    assert(math.abs(r.getAs[Double]("r1")) <= 1.0)
+    assert(math.abs(r.getAs[Double]("r2")) <= 1.0)
+    val nr = r.getAs[Double]("noise_ratio")
+    // a valid ACF keeps the AR(2) innovation variance positive and the
+    // fit can only ever EXPLAIN variance, never add it
+    assert(nr > 0.0 && nr <= 1.0, s"noise_ratio $nr")
+  }
 }

@@ -2559,6 +2559,37 @@ def audit_lsh_recall_grid():
     report("llm_lsh_recall_grid", mis, max(1, 2 * len(got)))
 
 
+def audit_ar2():
+    """Yule-Walker AR(2) from the textbook route: float daily means,
+    float autocovariances at lags 0/1/2 (a DIFFERENT centering than the
+    engines' exact n*y - S integer form), then the same linear solve."""
+    mis = []
+    r_ = rows(f"SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d, "
+              f"CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) "
+              f"AS BIGINT) AS v FROM '{SF}/orders.parquet' "
+              f"GROUP BY d ORDER BY d")
+    y = [v for _, v in r_]
+    n = len(y)
+    mean = sum(y) / n
+    z = [v - mean for v in y]
+    c0 = sum(x * x for x in z)
+    c1 = sum(z[i] * z[i - 1] for i in range(1, n))
+    c2 = sum(z[i] * z[i - 2] for i in range(2, n))
+    r1, r2 = c1 / c0, c2 / c0
+    den = 1 - r1 * r1
+    phi1 = r1 * (1 - r2) / den
+    phi2 = (r2 - r1 * r1) / den
+    got = dump("ts_ar2_yule_walker")
+    row = dict(zip(dump_cols("ts_ar2_yule_walker"), got[0]))
+    if row["n_days"] != n:
+        mis.append(("n_days", row["n_days"], n))
+    for kk, v in [("r1", r1), ("r2", r2), ("phi1", phi1), ("phi2", phi2),
+                  ("noise_ratio", 1 - phi1 * r1 - phi2 * r2)]:
+        if not close(row[kk], v, 1e-4):
+            mis.append((kk, row[kk], v))
+    report("ts_ar2_yule_walker", mis, 6)
+
+
 def audit_friedman():
     """Friedman Q from the textbook definition: complete-day blocks,
     average ranks (as exact Fractions), Q = 12/(nk(k+1)) SUM R_j^2 -
@@ -2683,6 +2714,7 @@ def audit_dedup_family():
 
 
 AUDITS = {
+    "ts_ar2_yule_walker": audit_ar2,
     "events_markov_steady": audit_markov_steady,
     "llm_lsh_recall_grid": audit_lsh_recall_grid,
     "stats_friedman_test": audit_friedman,
