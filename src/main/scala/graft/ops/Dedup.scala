@@ -473,7 +473,14 @@ object Dedup {
   }
 
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int): DataFrame =
+  // same memo seam as jaccardPairs/minhashPairs: llm_dedup_simhash and
+  // the family-overlap capstone share (corpus, params) in one session —
+  // without it the capstone re-runs the whole vote aggregation (measured
+  // 2.7 s vs the members' 1.6 s at sf0.1)
+  PlanMemo.memoized(pairMemo, 16,
+      (docs.sparkSession, docs.queryExecution.logical.semanticHash(),
+        s"sim|$textCol|$idCol|$maxHamming")) {
     // pigeonhole: 4 bands can only GUARANTEE candidates up to Hamming 3;
     // a larger radius would silently drop pairs whose differing bits span
     // all four bands
@@ -487,14 +494,17 @@ object Dedup {
             shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
               .as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.bucket"))
-    banded.as("a")
+    // pinned like the sibling pair frames: the memo hands the SAME frame
+    // to every same-session consumer, and the persist makes the second
+    // read a cache hit instead of a full vote-aggregation recompute
+    pin(banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming))
   }
 
   /** Chunk-level exact dedup — the paragraph-dedup pass of a corpus build,
