@@ -871,4 +871,72 @@ object GraphOps extends QueryPack {
       .select(col("n_name"), col("label").as("community"))
       .orderBy("community", "n_name")
   }
+
+  // Degree power-law readout over the customer-supplier TRADE graph (the
+  // bipartite fact-derived graph, thousands of nodes — the nation graph
+  // is too small for a tail): per-customer partner degree, then the Zipf
+  // slope of the top-100 log-log degree-rank curve — the "is this graph
+  // scale-free" diagnostic run before choosing partitioning for graph
+  // jobs (power-law degrees are exactly where hub-key skew comes from).
+  // Determinism: degrees and ranks are integers, both logs go through
+  // the integer-argument fixed-point lnFix (P12), the OLS moments
+  // promote to DECIMAL(38,0)/HUGEINT, and the slope is one quantized
+  // double — the text_zipf_slope discipline on a graph frame. Scale: one
+  // fact join collapses to the distinct edge list; the rank window runs
+  // over the degree AGGREGATE (node-bounded, detector-proof). Audit row:
+  // formula_audit.audit_degree_powerlaw.
+  q("graph_degree_powerlaw",
+    """WITH edges AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), deg AS (
+      |  SELECT cust, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY cust
+      |), rk AS (
+      |  SELECT d, row_number() OVER (ORDER BY d DESC, cust) AS r FROM deg
+      |), pts AS (
+      |  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(d AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS y
+      |  FROM rk WHERE r <= 100
+      |), mom AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pts
+      |), st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(d) AS BIGINT) AS n_edges, CAST(MAX(d) AS BIGINT) AS max_degree
+      |  FROM deg
+      |)
+      |SELECT st.n_nodes, st.n_edges, st.max_degree,
+      |  CAST(mom.n AS BIGINT) AS n_points,
+      |  CAST(floor(CAST(mom.n * mom.sxy - mom.sx * mom.sy AS DOUBLE)
+      |    / CAST(mom.n * mom.sxx - mom.sx * mom.sx AS DOUBLE) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS degree_slope
+      |FROM mom CROSS JOIN st""") { (s, dir) =>
+    import graft.engine.Det
+    val edges = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val deg = edges.groupBy("cust").agg(count(lit(1)).cast("long").as("d"))
+    val rk = deg.withColumn("r",
+        row_number().over(Window.orderBy(col("d").desc, col("cust"))))
+      .filter(col("r") <= 100)
+    val pts = rk.select(Det.lnFix(col("r"), 8).cast("long").as("x"),
+      Det.lnFix(col("d"), 8).cast("long").as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val mom = pts.agg(count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"))
+    val st = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+      sum("d").cast("long").as("n_edges"),
+      max("d").cast("long").as("max_degree"))
+    mom.crossJoin(broadcast(st))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("n").cast("long").as("n_points"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1000000 + lit(0.5)).cast("double") / 1000000).as("degree_slope"))
+  }
 }

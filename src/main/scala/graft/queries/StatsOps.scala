@@ -3539,4 +3539,91 @@ object StatsOps extends QueryPack {
           - (lit(3) * col("n") * (col("k") + 1)).cast("double"))
           * 1000000 + lit(0.5)) / 1000000).as("friedman_q"))
   }
+
+  // Sequential probability ratio test (Wald SPRT) on the purchase
+  // conversion stream, per md5-free parity arm — the always-valid
+  // monitoring statistic an experimentation platform evaluates after
+  // EVERY event instead of at a fixed horizon. H0: p = 0.10 vs H1:
+  // p = 0.12, alpha = beta = 0.05; the log-likelihood increments are
+  // PINNED 1e12 fixed-point integer literals (floor(ln(1.2)*1e12+0.5)
+  // etc. — the Det.scala portable-constant idiom, no runtime
+  // transcendentals), so the cumulative LLR is exact integer arithmetic:
+  // llr(t) = conv(t)*182321556794 + (t - conv(t))*(-22472855852),
+  // boundaries +/- ln(19)*1e12. Scale design: the per-arm cumulative
+  // counts run through BlockWindow.runningSum (arm has TWO values — the
+  // exact few-distinct-keys shape the two-phase block prefix exists
+  // for), the per-row products promote to DECIMAL(38,0)/HUGEINT (P16),
+  // and the report collapses to one row per arm. Audit row:
+  // formula_audit.audit_sprt.
+  q("events_ab_sequential_sprt",
+    """WITH ev AS (
+      |  SELECT user_id % 2 AS arm, ts, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      |  FROM events
+      |), c AS (
+      |  SELECT arm, ts, event_id, conv,
+      |    CAST(SUM(conv) OVER w AS BIGINT) AS s_cum,
+      |    CAST(row_number() OVER w AS BIGINT) AS rn
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY arm ORDER BY ts, event_id)
+      |), l AS (
+      |  SELECT arm, rn, s_cum,
+      |    CAST(s_cum AS HUGEINT) * 182321556794
+      |      + CAST(rn - s_cum AS HUGEINT) * (-22472855852) AS llr
+      |  FROM c
+      |), g AS (
+      |  SELECT arm, CAST(MAX(rn) AS BIGINT) AS n_events,
+      |    CAST(MAX(s_cum) AS BIGINT) AS n_conversions,
+      |    arg_max(llr, rn) AS llr_final_fix,
+      |    MIN(CASE WHEN llr >= 2944438979166 THEN rn END) AS cross_h1,
+      |    MIN(CASE WHEN llr <= -2944438979166 THEN rn END) AS cross_h0
+      |  FROM l GROUP BY arm
+      |)
+      |SELECT CAST(arm AS BIGINT) AS arm, n_events, n_conversions,
+      |  floor(CAST(llr_final_fix AS DOUBLE) / 1000000000000 * 1000000
+      |    + 0.5) / 1000000 AS llr_final,
+      |  CAST(cross_h1 AS BIGINT) AS first_cross_h1,
+      |  CAST(cross_h0 AS BIGINT) AS first_cross_h0,
+      |  CASE
+      |    WHEN cross_h1 IS NOT NULL
+      |     AND (cross_h0 IS NULL OR cross_h1 < cross_h0) THEN 'accept_h1'
+      |    WHEN cross_h0 IS NOT NULL
+      |     AND (cross_h1 IS NULL OR cross_h0 < cross_h1) THEN 'accept_h0'
+      |    ELSE 'continue' END AS decision
+      |FROM g ORDER BY arm""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ev = Tables(s, dir, "events")
+      .select((col("user_id") % 2).as("arm"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+    val cum = BlockWindow.runningSum(
+      BlockWindow.rowNumber(ev, Seq("arm"), Seq("ts", "event_id"), "rn"),
+      Seq("arm"), Seq("ts", "event_id"), col("conv"), "s_cum")
+    val l = cum.select(col("arm"), col("rn").cast("long").as("rn"),
+      col("s_cum"),
+      (col("s_cum").cast(dec38) * lit(182321556794L)
+        + (col("rn").cast("long") - col("s_cum")).cast(dec38)
+          * lit(-22472855852L)).as("llr"))
+    val g = l.groupBy("arm").agg(
+      max("rn").cast("long").as("n_events"),
+      max("s_cum").cast("long").as("n_conversions"),
+      max_by(col("llr"), col("rn")).as("llr_final_fix"),
+      min(when(col("llr") >= lit(2944438979166L).cast(dec38), col("rn")))
+        .as("cross_h1"),
+      min(when(col("llr") <= lit(-2944438979166L).cast(dec38), col("rn")))
+        .as("cross_h0"))
+    g.select(col("arm").cast("long").as("arm"), col("n_events"),
+        col("n_conversions"),
+        (floor(col("llr_final_fix").cast("double") / 1000000000000L
+          * 1000000 + lit(0.5)) / 1000000).as("llr_final"),
+        col("cross_h1").cast("long").as("first_cross_h1"),
+        col("cross_h0").cast("long").as("first_cross_h0"),
+        when(col("cross_h1").isNotNull
+            && (col("cross_h0").isNull || col("cross_h1") < col("cross_h0")),
+          "accept_h1")
+          .when(col("cross_h0").isNotNull
+            && (col("cross_h1").isNull || col("cross_h0") < col("cross_h1")),
+            "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy("arm")
+  }
 }

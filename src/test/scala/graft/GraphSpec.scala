@@ -159,4 +159,15 @@ class GraphSpec extends SparkSpec {
       assert(r.getAs[Long]("n_reachable") >= 1L)
     }
   }
+
+  test("graph_degree_powerlaw: the ranked degree curve slopes down over " +
+    "a full 100-point fit") {
+    val r = SparkEntry.queries("graph_degree_powerlaw")(spark, sf).head
+    assert(r.getAs[Long]("n_points") == 100L)
+    // ranked degrees can only fall; at the sf0.001 unit fixture the
+    // top-100 are all ties (slope exactly 0), at sf0.01+ strictly down
+    assert(r.getAs[Double]("degree_slope") <= 0.0)
+    assert(r.getAs[Long]("n_edges") >= r.getAs[Long]("n_nodes"))
+    assert(r.getAs[Long]("max_degree") >= 1L)
+  }
 }

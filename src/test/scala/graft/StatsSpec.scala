@@ -384,4 +384,21 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_blocks") > 0)
     assert(r.getAs[Int]("k") >= 2)
   }
+
+  test("events_ab_sequential_sprt: decision agrees with the earliest crossing") {
+    val rs = SparkEntry.queries("events_ab_sequential_sprt")(spark, sf).collect()
+    assert(rs.length == 2)
+    rs.foreach { r =>
+      val c1 = Option(r.getAs[java.lang.Long]("first_cross_h1")).map(_.toLong)
+      val c0 = Option(r.getAs[java.lang.Long]("first_cross_h0")).map(_.toLong)
+      val expected = (c1, c0) match {
+        case (Some(a), Some(b)) => if (a < b) "accept_h1" else "accept_h0"
+        case (Some(_), None)    => "accept_h1"
+        case (None, Some(_))    => "accept_h0"
+        case _                  => "continue"
+      }
+      assert(r.getAs[String]("decision") == expected)
+      assert(r.getAs[Long]("n_conversions") <= r.getAs[Long]("n_events"))
+    }
+  }
 }

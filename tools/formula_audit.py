@@ -2559,6 +2559,87 @@ def audit_lsh_recall_grid():
     report("llm_lsh_recall_grid", mis, max(1, 2 * len(got)))
 
 
+def audit_sprt():
+    """Wald SPRT replayed sequentially in Python with float math.log
+    increments (the engines use pinned 1e12 integer literals): cumulative
+    LLR per arm over (ts, event_id) order, first boundary crossings at
+    +/- ln(19), final LLR."""
+    import math
+    mis = []
+    ev = rows(f"SELECT user_id % 2 AS arm, ts, event_id, "
+              f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+              f"FROM '{SF}/events.parquet'")
+    l1, l0, bound = math.log(1.2), math.log(0.88 / 0.90), math.log(19)
+    by_arm = {}
+    for arm, ts, eid, conv in ev:
+        by_arm.setdefault(arm, []).append((ts, eid, conv))
+    exp = {}
+    for arm, seq in by_arm.items():
+        seq.sort()
+        s = llr = 0
+        cross1 = cross0 = None
+        for i, (_, _, conv) in enumerate(seq, 1):
+            s += conv
+            llr = s * l1 + (i - s) * l0
+            if cross1 is None and llr >= bound:
+                cross1 = i
+            if cross0 is None and llr <= -bound:
+                cross0 = i
+        exp[arm] = (len(seq), s, llr, cross1, cross0)
+    got = dump("events_ab_sequential_sprt")
+    cols = dump_cols("events_ab_sequential_sprt")
+    for row_ in got:
+        row = dict(zip(cols, row_))
+        n, s, llr, c1, c0 = exp[row["arm"]]
+        if row["n_events"] != n or row["n_conversions"] != s:
+            mis.append((row["arm"], "counts", row["n_events"], n))
+        if not close(row["llr_final"], llr, 1e-4):
+            mis.append((row["arm"], "llr", row["llr_final"], llr))
+        # float-vs-fixed-point increments can disagree on the exact
+        # crossing EVENT only if an llr value sits within float error of
+        # the boundary; allow off-by-nothing here, it never happens on
+        # the fixture
+        if row["first_cross_h1"] != c1 or row["first_cross_h0"] != c0:
+            mis.append((row["arm"], "crossings",
+                        (row["first_cross_h1"], row["first_cross_h0"]),
+                        (c1, c0)))
+    report("events_ab_sequential_sprt", mis, 3 * max(1, len(got)))
+
+
+def audit_degree_powerlaw():
+    """Degree Zipf slope from floats: distinct customer-supplier edges,
+    per-customer degree, log-log OLS over the top 100 by (degree desc,
+    cust) — math.log instead of the engines' fixed-point lnFix."""
+    import math
+    mis = []
+    ed = rows(f"SELECT DISTINCT o.o_custkey, l.l_suppkey "
+              f"FROM '{SF}/lineitem.parquet' l "
+              f"JOIN '{SF}/orders.parquet' o "
+              f"ON l.l_orderkey = o.o_orderkey")
+    deg = {}
+    for c, _ in ed:
+        deg[c] = deg.get(c, 0) + 1
+    ranked = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    pts = [(math.log(i + 1), math.log(d)) for i, (_, d) in enumerate(ranked)]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = dict(zip(dump_cols("graph_degree_powerlaw"),
+                   dump("graph_degree_powerlaw")[0]))
+    if row["n_nodes"] != len(deg):
+        mis.append(("n_nodes", row["n_nodes"], len(deg)))
+    if row["n_edges"] != len(ed):
+        mis.append(("n_edges", row["n_edges"], len(ed)))
+    if row["max_degree"] != max(deg.values()):
+        mis.append(("max_degree", row["max_degree"]))
+    if not close(row["degree_slope"], slope, 1e-4):
+        mis.append(("slope", row["degree_slope"], slope))
+    report("graph_degree_powerlaw", mis, 4)
+
+
 def audit_ar2():
     """Yule-Walker AR(2) from the textbook route: float daily means,
     float autocovariances at lags 0/1/2 (a DIFFERENT centering than the
@@ -2714,6 +2795,8 @@ def audit_dedup_family():
 
 
 AUDITS = {
+    "events_ab_sequential_sprt": audit_sprt,
+    "graph_degree_powerlaw": audit_degree_powerlaw,
     "ts_ar2_yule_walker": audit_ar2,
     "events_markov_steady": audit_markov_steady,
     "llm_lsh_recall_grid": audit_lsh_recall_grid,
