@@ -135,4 +135,41 @@ class PropertiesSpec extends SparkSpec {
       assert(functions.JaroWinkler.similarity(a, a) == 1.0)
     }
   }
+
+  test("BlockWindow ntile/lag equal the Spark windows on random frames " +
+    "at random block counts") {
+    import org.apache.spark.sql.expressions.Window
+    // random keyed frames with DUPLICATE order-tiebreak pressure: values
+    // drawn from a small domain so ties exercise the ANSI bucket edges
+    val genRow = for {
+      k <- Gen.oneOf("x", "y", "z")
+      v <- Gen.choose(0L, 9L)
+    } yield (k, v)
+    (0 until 3).foreach { i =>
+      val seed = Seed(1000L + i)
+      val rows = Gen.listOfN(60, genRow)(Gen.Parameters.default, seed).get
+        .zipWithIndex.map { case ((k, v), id) => (id.toLong, k, v) }
+      val df = rows.toDF("id", "k", "v")
+      val buckets = 2 + i * 3 // 2, 5, 8
+      val nBlocks = 1 + i * 2 // 1, 3, 5
+      val naiveN = df.select($"id",
+        ntile(buckets).over(
+          Window.partitionBy("k").orderBy($"v", $"id")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val blockN = ops.BlockWindow
+        .ntile(df, buckets, Seq("k"), Seq("v", "id"), "b", nBlocks)
+        .select($"id", $"b")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(blockN == naiveN, s"round $i: ntile diverged")
+      val naiveL = df.select($"id",
+        lag($"v", 1).over(
+          Window.partitionBy("k").orderBy($"v", $"id")).as("p"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val blockL = ops.BlockWindow
+        .lag(df, Seq("k"), Seq("v", "id"), $"v", "p", nBlocks)
+        .select($"id", $"p")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(blockL == naiveL, s"round $i: lag diverged")
+    }
+  }
 }
