@@ -3626,4 +3626,158 @@ object StatsOps extends QueryPack {
           .otherwise("continue").as("decision"))
       .orderBy("arm")
   }
+
+  // McNemar's test for paired binary outcomes — "did the same user's
+  // purchase behavior change between their FIRST and LAST active week?"
+  // Each user whose activity spans ≥ 14 days is one matched pair
+  // (x_first, x_last) of converted-in-window indicators over the user's
+  // own first and last 7 active-span days (user-relative windows — a
+  // calendar-half split saturates on any long-lived fixture: every
+  // user converts in both halves and the statistic degenerates to 0/0).
+  // Only the discordant counts n10 (converted then stopped) and n01
+  // (started converting) carry signal, and χ² = (n10−n01)²/(n10+n01)
+  // (plus the Edwards continuity-corrected form) is exact integer
+  // arithmetic until one final double division (P12). Scale: one
+  // groupBy(user) span pass and one span-join back (both shuffles on the
+  // user key); single-row output. Audit: formula_audit.audit_mcnemar.
+  q("stats_mcnemar",
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    event_type
+      |  FROM events
+      |), span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY 1
+      |), per AS (
+      |  SELECT e.user_id,
+      |    MAX(CASE WHEN e.day < s.d0 + INTERVAL 7 DAY
+      |          AND e.event_type = 'purchase' THEN 1 ELSE 0 END) AS xa,
+      |    MAX(CASE WHEN e.day > s.d1 - INTERVAL 7 DAY
+      |          AND e.event_type = 'purchase' THEN 1 ELSE 0 END) AS xb
+      |  FROM e JOIN span s ON e.user_id = s.user_id
+      |  WHERE date_diff('day', s.d0, s.d1) >= 14
+      |  GROUP BY 1
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(SUM(CASE WHEN xa = 1 AND xb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n10,
+      |    CAST(SUM(CASE WHEN xa = 0 AND xb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n01
+      |  FROM per
+      |)
+      |SELECT n_pairs, n10, n01,
+      |  CASE WHEN n10 + n01 = 0 THEN NULL ELSE
+      |    floor(CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+      |      * 1000000 + 0.5) / 1000000 END AS chi2,
+      |  CASE WHEN n10 + n01 = 0 THEN NULL ELSE
+      |    floor(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+      |      / (n10 + n01) * 1000000 + 0.5) / 1000000 END AS chi2_cc
+      |FROM agg""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+    val span = ev.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val per = ev.join(span, "user_id")
+      .filter(datediff(col("d1"), col("d0")) >= 14)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("day") < date_add(col("d0"), 7)
+          && col("event_type") === "purchase", 1).otherwise(0)).as("xa"),
+        max(when(col("day") > date_sub(col("d1"), 7)
+          && col("event_type") === "purchase", 1).otherwise(0)).as("xb"))
+    val agg = per
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("xa") === 1 && col("xb") === 0, 1).otherwise(0))
+          .cast("long").as("n10"),
+        sum(when(col("xa") === 0 && col("xb") === 1, 1).otherwise(0))
+          .cast("long").as("n01"))
+    val disc = col("n10") + col("n01")
+    agg.select(col("n_pairs"), col("n10"), col("n01"),
+      when(disc === 0, lit(null).cast("double"))
+        .otherwise(floor(((col("n10") - col("n01"))
+          * (col("n10") - col("n01"))).cast("double") / disc
+          * 1000000 + lit(0.5)) / 1000000).as("chi2"),
+      when(disc === 0, lit(null).cast("double"))
+        .otherwise(floor(((abs(col("n10") - col("n01")) - 1)
+          * (abs(col("n10") - col("n01")) - 1)).cast("double") / disc
+          * 1000000 + lit(0.5)) / 1000000).as("chi2_cc"))
+  }
+
+  // Cochran's Q test — "does within-week participation differ across the
+  // k event types?" Each ACTIVE USER-WEEK is a block with a 0/1
+  // indicator per event type (the k-treatment generalization of
+  // McNemar; the block grain is the user-week, not the user, because on
+  // any long-lived fixture every user eventually does every type and a
+  // per-user design degenerates to all-constant blocks). With column
+  // totals C_j, row totals R_i, and N = ΣR_i, the statistic is
+  // Q = (k−1)(k·ΣC_j² − N²) / (k·N − ΣR_i²) — every term an exact
+  // integer, promoted to DECIMAL(38,0)/HUGEINT before the products so
+  // the identity holds at any block cardinality (P16), one double
+  // division at the end (P12). Blocks with all-0 or all-k rows provably
+  // cancel out of Q, so no row filtering is needed. Scale: the
+  // block × type grid is |user-weeks|·k rows with k catalog-bounded
+  // (broadcast the type list); row/column totals are one shuffle each;
+  // single-row output. Audit row: formula_audit.audit_cochran_q.
+  q("stats_cochran_q",
+    """WITH x AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk, event_type
+      |  FROM events
+      |), blocks AS (SELECT DISTINCT user_id, wk FROM x),
+      |types AS (SELECT DISTINCT event_type FROM x),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+      |grid AS (
+      |  SELECT b.user_id, b.wk, t.event_type,
+      |    CASE WHEN x.user_id IS NULL THEN 0 ELSE 1 END AS x
+      |  FROM blocks b CROSS JOIN types t
+      |  LEFT JOIN x ON b.user_id = x.user_id AND b.wk = x.wk
+      |    AND t.event_type = x.event_type
+      |), rowt AS (
+      |  SELECT user_id, wk, CAST(SUM(x) AS BIGINT) AS r
+      |  FROM grid GROUP BY 1, 2
+      |), colt AS (
+      |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS c FROM grid GROUP BY 1
+      |), agg AS (
+      |  SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rowt) AS n_blocks,
+      |    (SELECT CAST(SUM(r) AS HUGEINT) FROM rowt) AS n,
+      |    (SELECT SUM(CAST(c AS HUGEINT) * c) FROM colt) AS sc2,
+      |    (SELECT CAST(SUM(r * r) AS HUGEINT) FROM rowt) AS sr2,
+      |    (SELECT CAST(k AS HUGEINT) FROM kk) AS k
+      |)
+      |SELECT n_blocks, CAST(k AS INT) AS k, CAST(sc2 AS BIGINT) AS sum_col_sq,
+      |  CASE WHEN k * n - sr2 = 0 THEN NULL ELSE
+      |    floor(CAST((k - 1) * (k * sc2 - n * n) AS DOUBLE)
+      |      / CAST(k * n - sr2 AS DOUBLE) * 1000000 + 0.5) / 1000000 END
+      |    AS cochran_q
+      |FROM agg""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        col("event_type"))
+    val x = ev.distinct().withColumn("hit", lit(1L))
+    val blocks = ev.select("user_id", "wk").distinct()
+    val types = ev.select("event_type").distinct()
+    val kk = types.agg(count(lit(1)).cast("long").as("k"))
+    val grid = blocks.crossJoin(broadcast(types))
+      .join(x, Seq("user_id", "wk", "event_type"), "left")
+      .select(col("user_id"), col("wk"), col("event_type"),
+        coalesce(col("hit"), lit(0L)).as("x"))
+    val rowt = grid.groupBy("user_id", "wk")
+      .agg(sum("x").cast("long").as("r"))
+    val colt = grid.groupBy("event_type").agg(sum("x").cast("long").as("c"))
+    val aggR = rowt.agg(count(lit(1)).cast("long").as("n_blocks"),
+      sum("r").cast("decimal(38,0)").as("n"),
+      sum(col("r") * col("r")).cast("decimal(38,0)").as("sr2"))
+    val aggC = colt.agg(sum(dec(col("c")) * col("c")).as("sc2"))
+    aggR.crossJoin(broadcast(aggC)).crossJoin(broadcast(kk))
+      .select(col("n_blocks"), col("k").cast("int").as("k"),
+        col("sc2").cast("long").as("sum_col_sq"),
+        when(dec(col("k")) * col("n") - col("sr2") === 0,
+          lit(null).cast("double"))
+          .otherwise(floor(((dec(col("k")) - 1)
+            * (dec(col("k")) * col("sc2") - col("n") * col("n")))
+            .cast("double")
+            / (dec(col("k")) * col("n") - col("sr2")).cast("double")
+            * 1000000 + lit(0.5)) / 1000000).as("cochran_q"))
+  }
 }

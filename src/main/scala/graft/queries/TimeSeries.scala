@@ -2833,4 +2833,168 @@ object TimeSeriesOps extends QueryPack {
       when(den === 0, lit(null))
         .otherwise(q6(lit(1) - phi1 * r1 - phi2 * r2)).as("noise_ratio"))
   }
+
+  // Durbin–Watson statistic on the mean-detrended daily revenue series —
+  // the classic lag-1 serial-correlation screen an econometrics readout
+  // runs before trusting OLS standard errors (DW ≈ 2 means no
+  // autocorrelation; ≈ 0 strong positive; ≈ 4 strong negative). The
+  // detrended residual is scaled by n so it stays INTEGER: u_t = n·v_t − S
+  // (v_t daily cents, S the grand sum) — the common n factor cancels in
+  // the DW ratio Σ(u_t − u_{t−1})² / Σu_t², so both sums accumulate
+  // 128-bit exact (P16) and the statistic is ONE double division at the
+  // end, quantized at 1e-6. Scale: the lag window runs over the
+  // day-grained aggregate (|days| rows, not corpus-scale — the
+  // PlanShapeSpec bounded-frame class); everything else is one
+  // aggregation pass. Audit row: formula_audit.audit_durbin_watson.
+  q("ts_durbin_watson",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+      |  FROM daily
+      |), u AS (
+      |  SELECT day, n * v - s AS u FROM daily CROSS JOIN tot
+      |), d AS (
+      |  SELECT u, u - lag(u) OVER (ORDER BY day) AS du FROM u
+      |), agg AS (
+      |  SELECT SUM(CAST(u AS HUGEINT) * u) AS den,
+      |    SUM(CAST(du AS HUGEINT) * du) AS num
+      |  FROM d
+      |)
+      |SELECT (SELECT n FROM tot) AS n_days,
+      |  floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000 + 0.5)
+      |    / 1000000 AS dw,
+      |  floor((1 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2) * 1000000
+      |    + 0.5) / 1000000 AS rho_lag1
+      |FROM agg""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("v"))
+    val tot = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum("v").cast("long").as("s"))
+    val u = daily.crossJoin(broadcast(tot))
+      .select(col("day"), (col("n") * col("v") - col("s")).as("u"))
+    val d = u.select(col("u"),
+      (col("u") - lag("u", 1).over(Window.orderBy("day"))).as("du"))
+    val agg = d.agg(sum(dec(col("u")) * col("u")).as("den"),
+      sum(dec(col("du")) * col("du")).as("num"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n").as("n_days"),
+        (floor(col("num").cast("double") / col("den").cast("double")
+          * 1000000 + lit(0.5)) / 1000000).as("dw"),
+        (floor((lit(1) - col("num").cast("double") / col("den").cast("double")
+          / 2) * 1000000 + lit(0.5)) / 1000000).as("rho_lag1"))
+  }
+
+  // Hurst exponent of the daily revenue series by classical rescaled-range
+  // (R/S) analysis — the long-memory diagnostic (H ≈ 0.5 iid, > 0.5
+  // trending/persistent, < 0.5 mean-reverting). For each scale
+  // w ∈ {16,32,64,128} the series splits into complete w-day chunks; the
+  // within-chunk deviations are scaled by w so they stay INTEGER
+  // (U_t = w·v_t − S_chunk), the cumulative-deviation range R and the
+  // second moment Q = ΣU² accumulate exactly (P16), and
+  // R/S = R_w·√w / √Q is one per-chunk double tree on exact integers
+  // (√ is IEEE correctly-rounded, so cross-engine safe on ANY double —
+  // unlike ln/exp). H is the OLS slope of ln(mean R/S) on ln(w), with
+  // both logs on INTEGER arguments only (P12): ln(Σq)−ln(cnt)−ln(10⁶)
+  // with the last a pinned 1e12 fixed-point literal. Scale: chunk windows
+  // partition by (w, chunk) — fully parallel; the only global window is
+  // the day-index row_number over the day-grained aggregate (bounded
+  // class). Audit row: formula_audit.audit_hurst.
+  q("ts_hurst",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+      |  FROM orders GROUP BY 1
+      |), idx AS (
+      |  SELECT row_number() OVER (ORDER BY day) AS t, v FROM daily
+      |), ch AS (
+      |  SELECT w, (t - 1) // w AS chunk, t, v
+      |  FROM idx CROSS JOIN (SELECT unnest([16, 32, 64, 128]) AS w)
+      |), fc AS (
+      |  SELECT w, chunk, CAST(SUM(v) AS BIGINT) AS s
+      |  FROM ch GROUP BY 1, 2 HAVING COUNT(*) = w
+      |), u AS (
+      |  SELECT c.w, c.chunk, c.t, c.w * c.v - f.s AS u
+      |  FROM ch c JOIN fc f ON c.w = f.w AND c.chunk = f.chunk
+      |), cum AS (
+      |  SELECT w, chunk, u,
+      |    CAST(SUM(u) OVER (PARTITION BY w, chunk ORDER BY t) AS BIGINT) AS cu
+      |  FROM u
+      |), pc AS (
+      |  SELECT w, chunk, MAX(cu) - MIN(cu) AS rw,
+      |    SUM(CAST(u AS HUGEINT) * u) AS q
+      |  FROM cum GROUP BY 1, 2
+      |), rs AS (
+      |  SELECT w, CAST(floor(CAST(rw AS DOUBLE) * sqrt(CAST(w AS DOUBLE))
+      |    / sqrt(CAST(q AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS q6
+      |  FROM pc WHERE q > 0
+      |), pts AS (
+      |  SELECT
+      |    CAST(floor(ln(CAST(w AS DOUBLE)) * 1000000000000 + 0.5) AS BIGINT)
+      |      AS x,
+      |    CAST(floor(ln(CAST(SUM(q6) AS DOUBLE)) * 1000000000000 + 0.5)
+      |        AS BIGINT)
+      |      - CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000000000 + 0.5)
+      |        AS BIGINT)
+      |      - 13815510557964 AS y
+      |  FROM rs GROUP BY w
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+      |    SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM pts
+      |)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+      |  CAST(n AS BIGINT) AS n_scales,
+      |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |    AS hurst
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+      .agg(sum(Det.cents(col("o_totalprice")).cast("long")).as("v"))
+    val nDays = daily.agg(count(lit(1)).cast("long").as("n_days"))
+    val idx = daily.select(
+      row_number().over(Window.orderBy("day")).cast("long").as("t"), col("v"))
+    val scales = idx.sparkSession.range(1)
+      .select(explode(array(lit(16L), lit(32L), lit(64L), lit(128L))).as("w"))
+    val ch = idx.crossJoin(broadcast(scales))
+      .select(col("w"), ((col("t") - 1) / col("w")).cast("long").as("chunk"),
+        col("t"), col("v"))
+    val fc = ch.groupBy("w", "chunk")
+      .agg(sum("v").cast("long").as("s"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") === col("w")).drop("cnt")
+    val u = ch.join(fc, Seq("w", "chunk"))
+      .select(col("w"), col("chunk"), col("t"),
+        (col("w") * col("v") - col("s")).as("u"))
+    val cum = u.select(col("w"), col("chunk"), col("u"),
+      sum("u").over(Window.partitionBy("w", "chunk").orderBy("t"))
+        .cast("long").as("cu"))
+    val pc = cum.groupBy("w", "chunk")
+      .agg((max("cu") - min("cu")).as("rw"), sum(dec(col("u")) * col("u")).as("q"))
+    val rs = pc.filter(col("q") > 0)
+      .select(col("w"),
+        floor(col("rw").cast("double") * sqrt(col("w").cast("double"))
+          / sqrt(col("q").cast("double")) * 1000000 + lit(0.5))
+          .cast("long").as("q6"))
+    val pts = rs.groupBy("w")
+      .agg(sum("q6").as("sq"), count(lit(1)).as("cnt"))
+      .select(Det.lnFix(col("w"), 12).cast("long").as("x"),
+        (Det.lnFix(col("sq"), 12) - Det.lnFix(col("cnt"), 12)
+          - lit(13815510557964L)).cast("long").as("y"))
+    val m = pts.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"))
+    m.crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n").cast("long").as("n_scales"),
+        (floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1000000 + lit(0.5)) / 1000000).as("hurst"))
+  }
 }

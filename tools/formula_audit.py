@@ -2794,6 +2794,144 @@ def audit_dedup_family():
     report("llm_dedup_family_overlap", mis, len(exp))
 
 
+def audit_durbin_watson():
+    """Durbin-Watson from the textbook route: float daily revenue means,
+    float residuals e_t = y_t - ybar (a DIFFERENT centering than the
+    engines' exact n*y - S integer form), DW = sum(diff^2)/sum(e^2)."""
+    mis = []
+    r_ = rows(f"SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d, "
+              f"SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v "
+              f"FROM '{SF}/orders.parquet' GROUP BY d ORDER BY d")
+    y = [v for _, v in r_]
+    n = len(y)
+    ybar = sum(y) / n
+    e = [v - ybar for v in y]
+    dw = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / \
+        sum(x * x for x in e)
+    row = dict(zip(dump_cols("ts_durbin_watson"), dump("ts_durbin_watson")[0]))
+    if row["n_days"] != n:
+        mis.append(("n_days", row["n_days"], n))
+    if not close(row["dw"], dw, 1e-6):
+        mis.append(("dw", row["dw"], dw))
+    if not close(row["rho_lag1"], 1 - dw / 2, 1e-6):
+        mis.append(("rho_lag1", row["rho_lag1"], 1 - dw / 2))
+    report("ts_durbin_watson", mis, 3)
+
+
+def audit_hurst():
+    """Rescaled-range Hurst from the textbook route: float chunk means,
+    float cumulative deviations, population std, mean R/S per scale
+    (quantized at 1e-6 like the engines), log-log OLS slope."""
+    import math
+    mis = []
+    r_ = rows(f"SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d, "
+              f"SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v "
+              f"FROM '{SF}/orders.parquet' GROUP BY d ORDER BY d")
+    y = [v for _, v in r_]
+    pts = []
+    for w in (16, 32, 64, 128):
+        qs = []
+        for c0 in range(0, len(y) - w + 1, w):
+            ch = y[c0:c0 + w]
+            mu = sum(ch) / w
+            dev = [v - mu for v in ch]
+            cum, run = [], 0.0
+            for dv in dev:
+                run += dv
+                cum.append(run)
+            r = max(cum) - min(cum)
+            s = math.sqrt(sum(d * d for d in dev) / w)
+            if s > 0:
+                qs.append(math.floor(r / s * 1e6 + 0.5))
+        pts.append((math.log(w), math.log(sum(qs) / len(qs) / 1e6)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(yy for _, yy in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * yy for x, yy in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = dict(zip(dump_cols("ts_hurst"), dump("ts_hurst")[0]))
+    if row["n_days"] != len(y):
+        mis.append(("n_days", row["n_days"], len(y)))
+    if row["n_scales"] != 4:
+        mis.append(("n_scales", row["n_scales"]))
+    if not close(row["hurst"], slope, 1e-4):
+        mis.append(("hurst", row["hurst"], slope))
+    report("ts_hurst", mis, 3)
+
+
+def audit_mcnemar():
+    """McNemar discordant pairs recounted row-by-row in Python from the
+    raw events (purchase in the user's first vs last 7 active-span days,
+    span >= 14), chi2 from the textbook (b-c)^2/(b+c) and
+    Edwards-corrected forms."""
+    import datetime
+    mis = []
+    r_ = rows(f"SELECT user_id, CAST(date_trunc('day', ts) AS DATE), "
+              f"event_type FROM '{SF}/events.parquet'")
+    span = {}
+    for u, d, _ in r_:
+        lo, hi = span.get(u, (d, d))
+        span[u] = (min(lo, d), max(hi, d))
+    week = datetime.timedelta(days=7)
+    per = {}
+    for u, d, t in r_:
+        d0, d1 = span[u]
+        if (d1 - d0).days < 14:
+            continue
+        xa, xb = per.get(u, (0, 0))
+        conv = 1 if t == "purchase" else 0
+        if d < d0 + week:
+            xa = max(xa, conv)
+        if d > d1 - week:
+            xb = max(xb, conv)
+        per[u] = (xa, xb)
+    pairs = list(per.values())
+    b = sum(1 for xa, xb in pairs if xa == 1 and xb == 0)
+    c = sum(1 for xa, xb in pairs if xa == 0 and xb == 1)
+    chi2 = (b - c) ** 2 / (b + c)
+    chi2_cc = (abs(b - c) - 1) ** 2 / (b + c)
+    row = dict(zip(dump_cols("stats_mcnemar"), dump("stats_mcnemar")[0]))
+    if row["n_pairs"] != len(pairs):
+        mis.append(("n_pairs", row["n_pairs"], len(pairs)))
+    if row["n10"] != b or row["n01"] != c:
+        mis.append(("discordant", (row["n10"], row["n01"]), (b, c)))
+    if not close(row["chi2"], chi2, 1e-6):
+        mis.append(("chi2", row["chi2"], chi2))
+    if not close(row["chi2_cc"], chi2_cc, 1e-6):
+        mis.append(("chi2_cc", row["chi2_cc"], chi2_cc))
+    report("stats_mcnemar", mis, 4)
+
+
+def audit_cochran_q():
+    """Cochran's Q recomputed from the raw user-week x type participation
+    grid: Q = (k-1)(k*sum(C_j^2) - N^2) / (k*N - sum(R_i^2)) with exact
+    Fractions."""
+    mis = []
+    r_ = rows(f"SELECT DISTINCT user_id, date_trunc('week', ts), "
+              f"event_type FROM '{SF}/events.parquet'")
+    users = sorted({(u, w) for u, w, _ in r_})
+    types = sorted({t for _, _, t in r_})
+    k = len(types)
+    hit = {((u, w), t) for u, w, t in r_}
+    colt = {t: sum(1 for b in users if (b, t) in hit) for t in types}
+    rowt = {b: sum(1 for t in types if (b, t) in hit) for b in users}
+    n_tot = sum(rowt.values())
+    sc2 = sum(c * c for c in colt.values())
+    sr2 = sum(r * r for r in rowt.values())
+    q = Fraction((k - 1) * (k * sc2 - n_tot * n_tot), k * n_tot - sr2)
+    row = dict(zip(dump_cols("stats_cochran_q"), dump("stats_cochran_q")[0]))
+    if row["n_blocks"] != len(users):
+        mis.append(("n_blocks", row["n_blocks"], len(users)))
+    if row["k"] != k:
+        mis.append(("k", row["k"], k))
+    if row["sum_col_sq"] != sc2:
+        mis.append(("sum_col_sq", row["sum_col_sq"], sc2))
+    if not close(row["cochran_q"], float(q), 1e-6):
+        mis.append(("q", row["cochran_q"], float(q)))
+    report("stats_cochran_q", mis, 4)
+
+
 AUDITS = {
     "events_ab_sequential_sprt": audit_sprt,
     "graph_degree_powerlaw": audit_degree_powerlaw,
@@ -2890,6 +3028,10 @@ AUDITS = {
     "ts_changepoint": audit_changepoint,
     "text_fingerprint": audit_fingerprint,
     "llm_dedup_near": audit_dedup_near,
+    "ts_durbin_watson": audit_durbin_watson,
+    "ts_hurst": audit_hurst,
+    "stats_mcnemar": audit_mcnemar,
+    "stats_cochran_q": audit_cochran_q,
 }
 
 for name, fn in AUDITS.items():
