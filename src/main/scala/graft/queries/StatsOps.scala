@@ -3780,4 +3780,231 @@ object StatsOps extends QueryPack {
             / (dec(col("k")) * col("n") - col("sr2")).cast("double")
             * 1000000 + lit(0.5)) / 1000000).as("cochran_q"))
   }
+
+  // ROC AUC of `value` as a purchase-vs-view classifier score, by the
+  // exact Mann-Whitney rank identity with midrank tie handling:
+  // AUC = Σ_v c₁(v)·(2·cum₀(<v) + c₀(v)) / (2·n₁·n₀) — the model-eval
+  // companion to ml_decision_stump. Same never-rank-rows scale design as
+  // events_ks_test: only the cent-value HISTOGRAM is windowed
+  // (domain-bounded cells), the numerator is exact 128-bit integer
+  // (P16: c₁·n₀ terms pass int64 once both classes pass ~3e9 rows), and
+  // AUC/Gini are ONE double division at the end (P12). Single-row
+  // output. Audit row: formula_audit.audit_roc_auc.
+  q("ml_roc_auc",
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |), hist AS (
+      |  SELECT v, CAST(SUM(y) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+      |  FROM ev GROUP BY v
+      |), cum AS (
+      |  SELECT v, c1, c0,
+      |    COALESCE(SUM(c0) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+      |  FROM hist
+      |), agg AS (
+      |  SELECT SUM(CAST(c1 AS HUGEINT) * (2 * CAST(cum0 AS HUGEINT) + c0))
+      |      AS num,
+      |    (SELECT CAST(SUM(c1) AS BIGINT) FROM hist) AS n1,
+      |    (SELECT CAST(SUM(c0) AS BIGINT) FROM hist) AS n0
+      |  FROM cum
+      |)
+      |SELECT n1 AS n_pos, n0 AS n_neg,
+      |  floor(CAST(num AS DOUBLE)
+      |    / (2 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) * 1000000 + 0.5)
+      |    / 1000000 AS auc,
+      |  floor((CAST(num AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1) * 1000000 + 0.5)
+      |    / 1000000 AS gini
+      |FROM agg""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(Det.cents(col("value")).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val hist = ev.groupBy("v").agg(sum("y").cast("long").as("c1"),
+      (count(lit(1)) - sum("y")).cast("long").as("c0"))
+    val wx = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum0", coalesce(sum("c0").over(wx), lit(0L)))
+    val tot = hist.agg(sum("c1").cast("long").as("n1"),
+      sum("c0").cast("long").as("n0"))
+    val agg = cum.agg(
+      sum(dec(col("c1")) * (lit(2) * dec(col("cum0")) + col("c0"))).as("num"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+        (floor(col("num").cast("double")
+          / (lit(2) * col("n1").cast("double") * col("n0").cast("double"))
+          * 1000000 + lit(0.5)) / 1000000).as("auc"),
+        (floor((col("num").cast("double")
+          / (col("n1").cast("double") * col("n0").cast("double")) - 1)
+          * 1000000 + lit(0.5)) / 1000000).as("gini"))
+  }
+
+  // Expected calibration error of the per-bucket empirical conversion
+  // model: md5-split purchase/view events 50/50 (the leakage-proof
+  // device shared with ml_naive_bayes), learn each 25-dollar value
+  // bucket's train purchase rate as its predicted confidence, and
+  // measure ECE = Σ_b (n_b/N)·|acc_b − conf_b| on the held-out half.
+  // Per-bucket |acc − conf| is one double tree over four exact integer
+  // counts quantized at 1e-8 (P12), so the weighted sum accumulates as
+  // exact integers over the ≤16-bucket catalog frame and divides once.
+  // Scale: two hash aggregates on the bucket key, one catalog-sized
+  // join; single-row output. Audit row: formula_audit.audit_ece.
+  q("ml_calibration_ece",
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+      |    substring(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7' AS is_train
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |), b AS (
+      |  SELECT LEAST(v // 2500, 15) AS bucket, y, is_train FROM ev
+      |), tr AS (
+      |  SELECT bucket, CAST(SUM(y) AS BIGINT) AS n1t,
+      |    CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM b WHERE is_train GROUP BY bucket
+      |), te AS (
+      |  SELECT bucket, CAST(SUM(y) AS BIGINT) AS n1e,
+      |    CAST(COUNT(*) AS BIGINT) AS ne
+      |  FROM b WHERE NOT is_train GROUP BY bucket
+      |), j AS (
+      |  SELECT te.bucket, n1t, nt, n1e, ne,
+      |    CAST(floor(abs(CAST(n1e AS DOUBLE) / ne - CAST(n1t AS DOUBLE) / nt)
+      |      * 100000000 + 0.5) AS BIGINT) AS gap8
+      |  FROM te JOIN tr ON te.bucket = tr.bucket
+      |), agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(SUM(ne) AS BIGINT) AS n_test,
+      |    SUM(CAST(ne AS HUGEINT) * gap8) AS wsum,
+      |    CAST(MAX(gap8) AS BIGINT) AS maxgap8
+      |  FROM j
+      |)
+      |SELECT n_buckets, n_test,
+      |  floor(CAST(wsum AS DOUBLE) / n_test / 100000000 * 1000000 + 0.5)
+      |    / 1000000 AS ece,
+      |  CAST(maxgap8 AS DOUBLE) / 100000000 AS max_gap
+      |FROM agg""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(Det.cents(col("value")).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+        (substring(md5(col("event_id").cast("string")), 1, 1) <= "7")
+          .as("is_train"))
+    val b = ev.select(least((col("v") / 2500).cast("long"), lit(15L))
+      .as("bucket"), col("y"), col("is_train"))
+    val tr = b.filter(col("is_train")).groupBy("bucket")
+      .agg(sum("y").cast("long").as("n1t"), count(lit(1)).as("nt"))
+    val te = b.filter(!col("is_train")).groupBy("bucket")
+      .agg(sum("y").cast("long").as("n1e"), count(lit(1)).as("ne"))
+    val j = te.join(tr, "bucket")
+      .select(col("ne"),
+        floor(abs(col("n1e").cast("double") / col("ne")
+          - col("n1t").cast("double") / col("nt")) * 100000000 + lit(0.5))
+          .cast("long").as("gap8"))
+    j.agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum("ne").cast("long").as("n_test"),
+        sum(dec(col("ne")) * col("gap8")).as("wsum"),
+        max("gap8").as("maxgap8"))
+      .select(col("n_buckets"), col("n_test"),
+        (floor(col("wsum").cast("double") / col("n_test") / 100000000
+          * 1000000 + lit(0.5)) / 1000000).as("ece"),
+        (col("maxgap8").cast("double") / 100000000).as("max_gap"))
+  }
+
+  // 5-fold cross-validated simple OLS (l_extendedprice ~ l_quantity),
+  // the model-selection harness pattern: deterministic fold assignment
+  // by (orderkey + linenumber) mod 5, each fold's TRAIN moments obtained
+  // as global-minus-fold (so training needs ONE aggregation pass, not
+  // 5), coefficients by the closed-form Cramer ratios over exact 128-bit
+  // moments (P16), per-row test residuals as one IEEE double tree over
+  // the exact integer numerators quantized to integer cents, and
+  // per-fold RMSE from the exact squared-cent sums (√ is IEEE
+  // correctly-rounded — cross-engine safe). Scale: two passes over the
+  // fact table, 5-row coefficient broadcast, 5-row output. Audit row:
+  // formula_audit.audit_kfold_cv.
+  q("ml_kfold_cv",
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+      |    (l_orderkey + l_linenumber) % 5 AS fold
+      |  FROM lineitem
+      |), g AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+      |    CAST(SUM(y) AS HUGEINT) AS sy, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM li
+      |), f AS (
+      |  SELECT fold, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM li GROUP BY fold
+      |), co AS (
+      |  SELECT fold, g.n - f.n AS n_train,
+      |    (g.n - f.n) * (g.sxx - f.sxx) - (g.sx - f.sx) * (g.sx - f.sx) AS d,
+      |    (g.n - f.n) * (g.sxy - f.sxy) - (g.sx - f.sx) * (g.sy - f.sy) AS bn,
+      |    (g.sy - f.sy) * (g.sxx - f.sxx) - (g.sx - f.sx) * (g.sxy - f.sxy)
+      |      AS an
+      |  FROM f CROSS JOIN g
+      |), e AS (
+      |  SELECT li.fold,
+      |    CAST(floor(CAST(li.y AS DOUBLE) - CAST(an AS DOUBLE) / CAST(d AS DOUBLE)
+      |      - CAST(bn AS DOUBLE) / CAST(d AS DOUBLE) * li.x + 0.5) AS BIGINT)
+      |      AS ef
+      |  FROM li JOIN co ON li.fold = co.fold
+      |), r AS (
+      |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |    SUM(CAST(ef AS HUGEINT) * ef) AS sq
+      |  FROM e GROUP BY fold
+      |)
+      |SELECT r.fold AS fold, CAST(co.n_train AS BIGINT) AS n_train, n_test,
+      |  floor(CAST(bn AS DOUBLE) / CAST(d AS DOUBLE) / 100 * 1000000 + 0.5)
+      |    / 1000000 AS slope,
+      |  floor(CAST(an AS DOUBLE) / CAST(d AS DOUBLE) / 100 * 10000 + 0.5)
+      |    / 10000 AS intercept,
+      |  floor(sqrt(CAST(sq AS DOUBLE) / n_test) * 100 + 0.5) / 10000 AS rmse
+      |FROM r JOIN co ON r.fold = co.fold
+      |ORDER BY fold""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        Det.cents(col("l_extendedprice")).cast("long").as("y"),
+        ((col("l_orderkey") + col("l_linenumber")) % 5).as("fold"))
+    val g = li.agg(count(lit(1)).cast("decimal(38,0)").as("gn"),
+      sum(dec(col("x"))).as("gsx"), sum(dec(col("y"))).as("gsy"),
+      sum(dec(col("x")) * col("x")).as("gsxx"),
+      sum(dec(col("x")) * col("y")).as("gsxy"))
+    val f = li.groupBy("fold").agg(count(lit(1)).cast("decimal(38,0)").as("fn"),
+      sum(dec(col("x"))).as("fsx"), sum(dec(col("y"))).as("fsy"),
+      sum(dec(col("x")) * col("x")).as("fsxx"),
+      sum(dec(col("x")) * col("y")).as("fsxy"))
+    val co = f.crossJoin(broadcast(g)).select(col("fold"),
+      (col("gn") - col("fn")).as("n_train"),
+      ((col("gn") - col("fn")) * (col("gsxx") - col("fsxx"))
+        - (col("gsx") - col("fsx")) * (col("gsx") - col("fsx"))).as("d"),
+      ((col("gn") - col("fn")) * (col("gsxy") - col("fsxy"))
+        - (col("gsx") - col("fsx")) * (col("gsy") - col("fsy"))).as("bn"),
+      ((col("gsy") - col("fsy")) * (col("gsxx") - col("fsxx"))
+        - (col("gsx") - col("fsx")) * (col("gsxy") - col("fsxy"))).as("an"))
+    val e = li.join(broadcast(co), "fold")
+      .select(col("fold"),
+        floor(col("y").cast("double")
+          - col("an").cast("double") / col("d").cast("double")
+          - col("bn").cast("double") / col("d").cast("double") * col("x")
+          + lit(0.5)).cast("long").as("ef"))
+    val r = e.groupBy("fold").agg(count(lit(1)).cast("long").as("n_test"),
+      sum(dec(col("ef")) * col("ef")).as("sq"))
+    r.join(broadcast(co), "fold")
+      .select(col("fold"), col("n_train").cast("long").as("n_train"),
+        col("n_test"),
+        (floor(col("bn").cast("double") / col("d").cast("double") / 100
+          * 1000000 + lit(0.5)) / 1000000).as("slope"),
+        (floor(col("an").cast("double") / col("d").cast("double") / 100
+          * 10000 + lit(0.5)) / 10000).as("intercept"),
+        (floor(sqrt(col("sq").cast("double") / col("n_test")) * 100
+          + lit(0.5)) / 10000).as("rmse"))
+      .orderBy("fold")
+  }
 }

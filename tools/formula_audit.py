@@ -2932,6 +2932,109 @@ def audit_cochran_q():
     report("stats_cochran_q", mis, 4)
 
 
+def audit_roc_auc():
+    """ROC AUC recomputed the slow textbook way: assign midranks to every
+    scored row (sorting rows, not the engines' histogram identity), then
+    AUC = (sum of positive midranks - n1(n1+1)/2) / (n1*n0)."""
+    mis = []
+    r_ = rows(f"SELECT CAST(floor(value * 100 + 0.5) AS BIGINT), "
+              f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+              f"FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view')")
+    r_ = sorted(r_)
+    ranks, i = {}, 0
+    while i < len(r_):
+        j = i
+        while j < len(r_) and r_[j][0] == r_[i][0]:
+            j += 1
+        mid = (i + 1 + j) / 2  # midrank of the tie group [i+1 .. j]
+        ranks[r_[i][0]] = mid
+        i = j
+    n1 = sum(y for _, y in r_)
+    n0 = len(r_) - n1
+    rsum = sum(ranks[v] for v, y in r_ if y == 1)
+    auc = (rsum - n1 * (n1 + 1) / 2) / (n1 * n0)
+    row = dict(zip(dump_cols("ml_roc_auc"), dump("ml_roc_auc")[0]))
+    if row["n_pos"] != n1 or row["n_neg"] != n0:
+        mis.append(("counts", (row["n_pos"], row["n_neg"]), (n1, n0)))
+    if not close(row["auc"], auc, 1e-6):
+        mis.append(("auc", row["auc"], auc))
+    if not close(row["gini"], 2 * auc - 1, 1e-5):
+        mis.append(("gini", row["gini"], 2 * auc - 1))
+    report("ml_roc_auc", mis, 3)
+
+
+def audit_ece():
+    """Expected calibration error recomputed row-by-row: md5 split via
+    hashlib, 25-dollar buckets, train rate as confidence, weighted
+    absolute gap on the test half."""
+    import hashlib
+    mis = []
+    r_ = rows(f"SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT), "
+              f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+              f"FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view')")
+    tr, te = {}, {}
+    for eid, v, y in r_:
+        b = min(v // 2500, 15)
+        side = tr if hashlib.md5(str(eid).encode()).hexdigest()[0] <= "7" \
+            else te
+        n1, n = side.get(b, (0, 0))
+        side[b] = (n1 + y, n + 1)
+    gaps = {b: abs(te[b][0] / te[b][1] - tr[b][0] / tr[b][1])
+            for b in te if b in tr}
+    n_test = sum(te[b][1] for b in gaps)
+    ece = sum(te[b][1] * gaps[b] for b in gaps) / n_test
+    row = dict(zip(dump_cols("ml_calibration_ece"),
+                   dump("ml_calibration_ece")[0]))
+    if row["n_buckets"] != len(gaps):
+        mis.append(("n_buckets", row["n_buckets"], len(gaps)))
+    if row["n_test"] != n_test:
+        mis.append(("n_test", row["n_test"], n_test))
+    if not close(row["ece"], ece, 1e-6):
+        mis.append(("ece", row["ece"], ece))
+    if not close(row["max_gap"], max(gaps.values()), 1e-6):
+        mis.append(("max_gap", row["max_gap"], max(gaps.values())))
+    report("ml_calibration_ece", mis, 4)
+
+
+def audit_kfold_cv():
+    """5-fold CV OLS recomputed per fold the direct way: train moments
+    summed over the four OTHER folds (not global-minus-fold), exact
+    Fraction coefficients, float residuals quantized to cents."""
+    import math
+    mis = []
+    r_ = rows(f"SELECT CAST(l_quantity AS BIGINT), "
+              f"CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), "
+              f"(l_orderkey + l_linenumber) % 5 "
+              f"FROM '{SF}/lineitem.parquet'")
+    got = {g[0]: g for g in dump("ml_kfold_cv")}
+    for k in range(5):
+        train = [(x, y) for x, y, f in r_ if f != k]
+        test = [(x, y) for x, y, f in r_ if f == k]
+        n = len(train)
+        sx = sum(x for x, _ in train)
+        sy = sum(y for _, y in train)
+        sxx = sum(x * x for x, _ in train)
+        sxy = sum(x * y for x, y in train)
+        d = n * sxx - sx * sx
+        b = Fraction(n * sxy - sx * sy, d)
+        a = Fraction(sy * sxx - sx * sxy, d)
+        sq = sum(math.floor(y - float(a) - float(b) * x + 0.5) ** 2
+                 for x, y in test)
+        rmse = math.sqrt(sq / len(test)) / 100
+        fold, n_train, n_test, slope, intercept, grmse = got[k]
+        if (n_train, n_test) != (n, len(test)):
+            mis.append((k, "counts", (n_train, n_test), (n, len(test))))
+        if not close(slope, float(b) / 100, 1e-5):
+            mis.append((k, "slope", slope, float(b) / 100))
+        if not close(intercept, float(a) / 100, 1e-5):
+            mis.append((k, "intercept", intercept, float(a) / 100))
+        if not close(grmse, rmse, 1e-5):
+            mis.append((k, "rmse", grmse, rmse))
+    report("ml_kfold_cv", mis, 20)
+
+
 AUDITS = {
     "events_ab_sequential_sprt": audit_sprt,
     "graph_degree_powerlaw": audit_degree_powerlaw,
@@ -3032,6 +3135,9 @@ AUDITS = {
     "ts_hurst": audit_hurst,
     "stats_mcnemar": audit_mcnemar,
     "stats_cochran_q": audit_cochran_q,
+    "ml_roc_auc": audit_roc_auc,
+    "ml_calibration_ece": audit_ece,
+    "ml_kfold_cv": audit_kfold_cv,
 }
 
 for name, fn in AUDITS.items():
