@@ -22,6 +22,7 @@ object Verify {
     functions.NfcNormalize.register(spark)
     functions.LshBands.register(spark)
     functions.JaroWinkler.register(spark)
+    functions.DamerauLevenshtein.register(spark)
     plans.Rules.ensureInjected(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native TRUE Damerau-Levenshtein distance (graft_dl) — edit distance
+  * with adjacent transposition as a first-class edit, the unrestricted
+  * Lowrance-Wagner (1975) variant, NOT the cheaper optimal-string-
+  * alignment (OSA) restriction: dl("CA","ABC") = 2 (transpose then
+  * insert through the transposed pair), where OSA says 3. DuckDB's
+  * built-in `damerau_levenshtein` implements the same unrestricted
+  * variant (probed: CA/ABC → 2), which is what makes the expression
+  * DuckDB-oracle-able. Spark ships only plain `levenshtein`, so typo-
+  * tolerant entity resolution (where swapped letters are the most common
+  * keyboard error) needs this as a custom expression.
+  *
+  * The full DP matrix is required (the transposition case reaches back
+  * to an arbitrary earlier row via the last-seen-character index), so
+  * the helper allocates (n+2)·(m+2) ints per call — fine for the name/
+  * code-length strings entity resolution feeds it (P17: graded use keeps
+  * the argument set domain-bounded). The loop runs inside whole-stage
+  * codegen via a static call, same seam as [[JaroWinkler]]. ASCII-safe;
+  * multi-byte text compares by char code unit like DuckDB's byte loop.
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dl expects (string, string), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_dl"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshtein.distance(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DamerauLevenshtein.distance($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshtein {
+  /** Lowrance-Wagner unrestricted Damerau-Levenshtein. Static so the
+    * generated code calls straight into it. */
+  def distance(s1: String, s2: String): Int = {
+    if (s1 == s2) return 0
+    val n = s1.length
+    val m = s2.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    // d is (n+2) x (m+2) with a sentinel -1 row/col holding `inf`
+    val w = m + 2
+    val d = new Array[Int](((n + 2) * w))
+    var j = 0
+    while (j < w) { d(j) = inf; j += 1 } // row -1
+    var i = 0
+    while (i <= n) {
+      d((i + 1) * w) = inf // col -1
+      d((i + 1) * w + 1) = i // col 0
+      i += 1
+    }
+    j = 0
+    while (j <= m) {
+      d(w + j + 1) = j // row 0
+      j += 1
+    }
+    // last row index (1-based) where each char was seen in s1
+    val da = scala.collection.mutable.HashMap.empty[Char, Int]
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k = da.getOrElse(s2.charAt(j - 1), 0)
+        val l = db
+        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 }
+        else 1
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val tra = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        d((i + 1) * w + j + 1) =
+          math.min(math.min(sub, ins), math.min(del, tra))
+        j += 1
+      }
+      da(s1.charAt(i - 1)) = i
+      i += 1
+    }
+    d((n + 1) * w + m + 1)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dl", exprs => DamerauLevenshtein(exprs.head, exprs(1)),
+      "built-in")
+}

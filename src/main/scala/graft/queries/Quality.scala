@@ -1006,6 +1006,79 @@ object QualityOps extends QueryPack {
       .orderBy("vec_id")
   }
 
+  // Simplified silhouette (Hruschka's centroid variant) of the k-means
+  // clustering — the cluster-quality readout that separates "8 real
+  // clusters" from "8 arbitrary cells": per vector, a = distance to its
+  // OWN cluster's centroid, b = distance to the nearest OTHER centroid,
+  // s = (b−a)/max(a,b) ∈ [−1, 1]. Centroids are recomputed FROM the
+  // final assignment by the same quantized integer-mean formula (so the
+  // metric scores the clustering itself, independent of k-means round
+  // internals); distances reuse the exact 1e-8-unit integer d2 form, √
+  // is IEEE correctly-rounded, and per-vector s quantizes at 1e-6 before
+  // the per-cluster integer-mean (P2/P12). Singleton clusters score ~1
+  // by construction (a ≈ 0) — the standard simplified-variant behavior.
+  // Scale: rides the memoized assignment + dims explode; ONE extra
+  // broadcast of the k·d centroid frame and one (vec, cid) aggregate —
+  // the same per-iteration shape as k-means itself; k-row output.
+  q("emb_silhouette",
+    s"""$kmeansCtes,
+      |c3 AS (
+      |  SELECT p.cid, d.dim,
+      |    floor(CAST(SUM(CAST(floor(d.e * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |          / COUNT(*) + 0.5) / 1000000 AS m
+      |  FROM p3 p JOIN dims d ON p.vec_id = d.vec_id GROUP BY p.cid, d.dim
+      |), a4 AS (
+      |  SELECT d.vec_id, c.cid,
+      |    SUM(CAST(floor((d.e - c.m) * (d.e - c.m) * 100000000 + 0.5) AS BIGINT)) AS d2
+      |  FROM dims d JOIN c3 c ON d.dim = c.dim GROUP BY d.vec_id, c.cid
+      |), ab AS (
+      |  SELECT a4.vec_id, p3.cid,
+      |    MAX(CASE WHEN a4.cid = p3.cid THEN a4.d2 END) AS a,
+      |    MIN(CASE WHEN a4.cid <> p3.cid THEN a4.d2 END) AS b
+      |  FROM a4 JOIN p3 ON a4.vec_id = p3.vec_id
+      |  GROUP BY a4.vec_id, p3.cid
+      |), sil AS (
+      |  SELECT cid,
+      |    CASE WHEN greatest(a, b) = 0 THEN 0 ELSE
+      |      CAST(floor((sqrt(CAST(b AS DOUBLE)) - sqrt(CAST(a AS DOUBLE)))
+      |        / greatest(sqrt(CAST(a AS DOUBLE)), sqrt(CAST(b AS DOUBLE)))
+      |        * 1000000 + 0.5) AS BIGINT) END AS s6
+      |  FROM ab
+      |)
+      |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+      |  floor(CAST(SUM(s6) AS DOUBLE) / COUNT(*) + 0.5) / 1000000
+      |    AS mean_silhouette
+      |FROM sil GROUP BY cid ORDER BY cid""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val asg = graft.ops.Linalg.kmeansAssign(emb, "vec_id", "embedding", 8, 3)
+    val dims = graft.ops.Linalg.dims(emb, "vec_id", "embedding")
+    val c3 = asg.select(col("vec_id"), col("cid")).join(dims, "vec_id")
+      .groupBy("cid", "dim")
+      .agg((floor(sum(Det.fix(col("e"), 6)).cast("double")
+        / count(lit(1)) + lit(0.5)) / 1000000).as("m"))
+    val a4 = dims.join(broadcast(c3.withColumnRenamed("cid", "acid")), "dim")
+      .select(col("vec_id"), col("acid"),
+        floor((col("e") - col("m")) * (col("e") - col("m")) * 100000000L
+          + lit(0.5)).as("dd"))
+      .groupBy("vec_id", "acid").agg(sum("dd").as("d2"))
+    val ab = a4.join(asg.select(col("vec_id"), col("cid")), "vec_id")
+      .groupBy("vec_id", "cid")
+      .agg(max(when(col("acid") === col("cid"), col("d2"))).as("a"),
+        min(when(col("acid") =!= col("cid"), col("d2"))).as("b"))
+    val sil = ab.select(col("cid"),
+      when(greatest(col("a"), col("b")) === 0, lit(0L))
+        .otherwise(floor((sqrt(col("b").cast("double"))
+          - sqrt(col("a").cast("double")))
+          / greatest(sqrt(col("a").cast("double")),
+            sqrt(col("b").cast("double")))
+          * 1000000 + lit(0.5)).cast("long")).as("s6"))
+    sil.groupBy("cid")
+      .agg(count(lit(1)).cast("long").as("n"),
+        (floor(sum("s6").cast("double") / count(lit(1)) + lit(0.5))
+          / 1000000).as("mean_silhouette"))
+      .orderBy("cid")
+  }
+
   // Referential-integrity audit across the star schema — the ETL
   // builder's classic post-load gate: for every FK edge, how many child
   // rows, how many NULL keys, how many orphans (no matching parent). One

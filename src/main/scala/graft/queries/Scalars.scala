@@ -638,4 +638,40 @@ object Scalars extends QueryPack {
       .orderBy(col("dist_km"), col("k1"), col("k2"))
       .limit(20)
   }
+
+  // Native TRUE Damerau-Levenshtein distance (functions/
+  // DamerauLevenshtein.scala — Lowrance-Wagner, transposition-aware,
+  // codegen expression) against DuckDB's built-in damerau_levenshtein —
+  // the typo-tolerant edit distance entity resolution prefers when
+  // swapped adjacent letters are the dominant error class. Argument set:
+  // the DISTINCT part-name catalog blocked on the noun token (P17
+  // domain-bounded — the catalog is a fixed cross of color × noun words,
+  // so the blocked pair count is constant at ANY fact-table scale); plain
+  // levenshtein rides along to show dl ≤ lev on every pair. Equi-join on
+  // the block key, never an all-pairs product.
+  q("fn_damerau_levenshtein",
+    """WITH p AS (
+      |  SELECT DISTINCT p_name AS nm FROM part
+      |), q AS (
+      |  SELECT nm, string_split(nm, ' ')[2] AS blk FROM p
+      |)
+      |SELECT a.nm AS name1, b.nm AS name2,
+      |  CAST(damerau_levenshtein(a.nm, b.nm) AS BIGINT) AS dl,
+      |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev
+      |FROM q a JOIN q b ON a.blk = b.blk AND a.nm < b.nm
+      |ORDER BY dl, name1, name2
+      |LIMIT 25""") { (s, dir) =>
+    graft.functions.DamerauLevenshtein.register(s)
+    val p = Tables(s, dir, "part").select(col("p_name").as("nm")).distinct()
+    val q0 = p.select(col("nm"), split(col("nm"), " ").getItem(1).as("blk"))
+    val a = q0.select(col("nm").as("name1"), col("blk"))
+    val b = q0.select(col("nm").as("name2"), col("blk").as("blk2"))
+    a.join(b, col("blk") === col("blk2") && col("name1") < col("name2"))
+      .select(col("name1"), col("name2"),
+        call_function("graft_dl", col("name1"), col("name2"))
+          .cast("long").as("dl"),
+        levenshtein(col("name1"), col("name2")).cast("long").as("lev"))
+      .orderBy(col("dl"), col("name1"), col("name2"))
+      .limit(25)
+  }
 }

@@ -3035,6 +3035,59 @@ def audit_kfold_cv():
     report("ml_kfold_cv", mis, 20)
 
 
+def audit_silhouette():
+    """Simplified silhouette recomputed end to end in Python, INCLUDING
+    the 3 quantized Lloyd rounds (seeds = 8 lowest ids, 1e-8-unit integer
+    distances, 6-dp integer-mean centroids) — an independent replay of
+    the whole kmeans chain plus the (b-a)/max(a,b) centroid silhouette."""
+    import math
+    mis = []
+    r_ = rows(f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+              f"FROM '{SF}/embeddings.parquet' ORDER BY vec_id")
+    vecs = dict(r_)
+    ids = sorted(vecs)
+
+    def d2(v, c):
+        return sum(math.floor((e - m) * (e - m) * 1e8 + 0.5)
+                   for e, m in zip(v, c))
+
+    def mean_centroid(members):
+        d = len(vecs[ids[0]])
+        out = []
+        for j in range(d):
+            s = sum(math.floor(vecs[v][j] * 1e6 + 0.5) for v in members)
+            out.append(math.floor(s / len(members) + 0.5) / 1e6)
+        return out
+
+    cents = {cid: list(vecs[cid]) for cid in ids[:8]}
+    assign = {}
+    for _ in range(3):
+        assign = {v: min(cents, key=lambda c: (d2(vecs[v], cents[c]), c))
+                  for v in ids}
+        cents = {c: mean_centroid([v for v in ids if assign[v] == c])
+                 for c in set(assign.values())}
+    # silhouette against centroids recomputed FROM the final assignment
+    per = {}
+    for v in ids:
+        own = assign[v]
+        a = math.sqrt(d2(vecs[v], cents[own]))
+        b = math.sqrt(min(d2(vecs[v], cents[c]) for c in cents if c != own))
+        s6 = 0 if max(a, b) == 0 else \
+            math.floor((b - a) / max(a, b) * 1e6 + 0.5)
+        n, s = per.get(own, (0, 0))
+        per[own] = (n + 1, s + s6)
+    got = dump("emb_silhouette")
+    if len(got) != len(per):
+        mis.append(("n_clusters", len(got), len(per)))
+    for cid, n, ms in got:
+        en, es = per.get(cid, (0, 0))
+        if n != en:
+            mis.append((cid, "n", n, en))
+        if not close(ms, math.floor(es / en + 0.5) / 1e6, 1e-6):
+            mis.append((cid, "mean_sil", ms, es / en / 1e6))
+    report("emb_silhouette", mis, len(got) * 2 + 1)
+
+
 AUDITS = {
     "events_ab_sequential_sprt": audit_sprt,
     "graph_degree_powerlaw": audit_degree_powerlaw,
@@ -3138,6 +3191,7 @@ AUDITS = {
     "ml_roc_auc": audit_roc_auc,
     "ml_calibration_ece": audit_ece,
     "ml_kfold_cv": audit_kfold_cv,
+    "emb_silhouette": audit_silhouette,
 }
 
 for name, fn in AUDITS.items():
