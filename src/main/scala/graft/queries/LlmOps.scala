@@ -3372,4 +3372,64 @@ object LlmOps extends QueryPack {
       .select(col("id"), col("win").as("cut_frame"), col("delta"))
       .orderBy("id", "cut_frame")
   }
+
+  // Lexicon-based sentiment scoring per source — the AFINN-style
+  // wordlist scorer a curation pipeline runs for tone/valence profiling
+  // (here over the fixture's own sentiment-bearing vocabulary:
+  // fast +2 / big +1 / small −1 / slow −2; a real deployment swaps the
+  // CASE for its full lexicon). Per-document score = Σ weights / tokens,
+  // an exact integer ratio quantized at 1e-6 BEFORE the per-source mean
+  // (P2: never average raw doubles), with positive/negative doc
+  // fractions from the exact integer sign counts. Scale: one token
+  // explode + two hash aggregates (doc, then source) — the text_stats
+  // shape; the lexicon is a codegen'd per-row CASE, no join at all.
+  q("text_sentiment_lexicon",
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents
+      |), ds AS (
+      |  SELECT doc_id, source,
+      |    CAST(SUM(CASE WHEN w = 'fast' THEN 2 WHEN w = 'slow' THEN -2
+      |      WHEN w = 'big' THEN 1 WHEN w = 'small' THEN -1 ELSE 0 END)
+      |      AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tok GROUP BY 1, 2
+      |), sq AS (
+      |  SELECT source,
+      |    CAST(floor(CAST(s AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT) AS s6,
+      |    CASE WHEN s > 0 THEN 1 ELSE 0 END AS pos,
+      |    CASE WHEN s < 0 THEN 1 ELSE 0 END AS neg
+      |  FROM ds
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  floor(CAST(SUM(s6) AS DOUBLE) / COUNT(*) + 0.5) / 1000000
+      |    AS mean_sentiment,
+      |  floor(CAST(SUM(pos) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+      |    AS pos_frac,
+      |  floor(CAST(SUM(neg) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+      |    AS neg_frac
+      |FROM sq GROUP BY source ORDER BY source""") { (s, dir) =>
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+    val ds = tok.groupBy("doc_id", "source")
+      .agg(sum(when(col("w") === "fast", 2L).when(col("w") === "slow", -2L)
+        .when(col("w") === "big", 1L).when(col("w") === "small", -1L)
+        .otherwise(0L)).cast("long").as("s"),
+        count(lit(1)).as("n"))
+    val sq = ds.select(col("source"),
+      floor(col("s").cast("double") / col("n") * 1000000 + lit(0.5))
+        .cast("long").as("s6"),
+      when(col("s") > 0, 1L).otherwise(0L).as("pos"),
+      when(col("s") < 0, 1L).otherwise(0L).as("neg"))
+    sq.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        (floor(sum("s6").cast("double") / count(lit(1)) + lit(0.5))
+          / 1000000).as("mean_sentiment"),
+        (floor(sum("pos").cast("double") / count(lit(1)) * 1000000
+          + lit(0.5)) / 1000000).as("pos_frac"),
+        (floor(sum("neg").cast("double") / count(lit(1)) * 1000000
+          + lit(0.5)) / 1000000).as("neg_frac"))
+      .orderBy("source")
+  }
 }

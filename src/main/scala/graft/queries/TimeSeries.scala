@@ -2997,4 +2997,80 @@ object TimeSeriesOps extends QueryPack {
           / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
           * 1000000 + lit(0.5)) / 1000000).as("hurst"))
   }
+
+  // Local-level Kalman filter over each user's daily mean value — the
+  // adaptive-gain upgrade of ts_ewma (the gain starts high while the
+  // state is uncertain and settles to the steady-state smoothing rate;
+  // q = 25 process variance, r = 400 observation variance, p₀ = r).
+  // Same recursion machinery as ts_holt: the per-user day series folds
+  // through `aggregate` carrying struct state (l, p) in Spark and
+  // through WITH RECURSIVE in DuckDB, with the gain/update/variance
+  // expressions written as ONE identical IEEE double tree in both
+  // engines over the 4-dp-quantized daily inputs (P12; the fold order
+  // is the sorted day array, deterministic). Scale: state is O(1) per
+  // user, the fold is one collect_list per user partition — embarrassingly
+  // parallel across users, the BlockWindow non-case.
+  q("ts_kalman_level",
+    """WITH RECURSIVE daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(floor(CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / 10000 / COUNT(*) * 10000 + 0.5) AS DOUBLE) / 10000 AS x
+      |  FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+      |), d AS (
+      |  SELECT user_id, day, x,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM daily
+      |), r AS (
+      |  SELECT user_id, day, rn, x, x AS l, CAST(400 AS DOUBLE) AS p
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.user_id, d.day, d.rn, d.x,
+      |    r.l + (r.p + CAST(25 AS DOUBLE))
+      |      / ((r.p + CAST(25 AS DOUBLE)) + CAST(400 AS DOUBLE))
+      |      * (d.x - r.l),
+      |    (CAST(1 AS DOUBLE) - (r.p + CAST(25 AS DOUBLE))
+      |      / ((r.p + CAST(25 AS DOUBLE)) + CAST(400 AS DOUBLE)))
+      |      * (r.p + CAST(25 AS DOUBLE))
+      |  FROM d JOIN r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, x,
+      |  floor(l * 10000 + 0.5) / 10000 AS level,
+      |  floor((p + CAST(25 AS DOUBLE))
+      |    / ((p + CAST(25 AS DOUBLE)) + CAST(400 AS DOUBLE))
+      |    * 1000000 + 0.5) / 1000000 AS next_gain
+      |FROM r
+      |ORDER BY user_id, day""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.fix(col("value"), 4)).as("s1"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("day"),
+        Det.avgFix(col("s1"), 4, col("n")).as("x"))
+    val folded = daily
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .withColumn("lp", expr(
+        "aggregate(xs, CAST(array() AS array<struct<l:double,p:double>>), " +
+          "(acc, e) -> array_append(acc, CASE WHEN size(acc) = 0 " +
+          "THEN named_struct('l', e.x, 'p', CAST(400 AS DOUBLE)) " +
+          "ELSE named_struct(" +
+          "'l', element_at(acc, -1).l " +
+          "+ (element_at(acc, -1).p + CAST(25 AS DOUBLE)) " +
+          "/ ((element_at(acc, -1).p + CAST(25 AS DOUBLE)) + CAST(400 AS DOUBLE)) " +
+          "* (e.x - element_at(acc, -1).l), " +
+          "'p', (CAST(1 AS DOUBLE) - (element_at(acc, -1).p + CAST(25 AS DOUBLE)) " +
+          "/ ((element_at(acc, -1).p + CAST(25 AS DOUBLE)) + CAST(400 AS DOUBLE))) " +
+          "* (element_at(acc, -1).p + CAST(25 AS DOUBLE))) " +
+          "END))"))
+    val st = element_at(col("lp"), col("pos") + 1)
+    folded
+      .select(col("user_id"), col("lp"), posexplode(col("xs")))
+      .select(col("user_id"),
+        date_format(col("col.day"), "yyyy-MM-dd").as("day"),
+        col("col.x").as("x"),
+        (floor(st.getField("l") * 10000 + lit(0.5)) / 10000).as("level"),
+        (floor((st.getField("p") + lit(25.0))
+          / ((st.getField("p") + lit(25.0)) + lit(400.0))
+          * 1000000 + lit(0.5)) / 1000000).as("next_gain"))
+      .orderBy("user_id", "day")
+  }
 }
