@@ -529,7 +529,13 @@ object Scalars extends QueryPack {
   // exists / zip_with against DuckDB's list_* family, over a per-row
   // derived integer sequence. All codegen'd lambdas — the §2.8 surface a
   // pipeline DSL compiles array manipulations onto. Integer-only
-  // payloads (P2-free).
+  // payloads (P2-free). The array-valued intermediates are rendered as
+  // comma-joined strings at the output seam (array_join /
+  // array_to_string) because the driver's pandas checker cannot lexsort
+  // list cells (CORRECTNESS_r08 red cell); the array-typed form stays
+  // golden-tested in ScalarsSpec. DuckDB's array_to_string of an EMPTY
+  // list is NULL where Spark's array_join is '' — hence the COALESCE on
+  // the oracle side (evens is empty whenever xs has no even element).
   q("fn_array_higher_order",
     """WITH t AS (
       |  SELECT n_nationkey AS k,
@@ -537,24 +543,30 @@ object Scalars extends QueryPack {
       |  FROM nation
       |)
       |SELECT k,
-      |  list_transform(xs, x -> x * x) AS squares,
-      |  list_filter(xs, x -> x % 2 = 0) AS evens,
+      |  COALESCE(array_to_string(list_transform(xs, x -> x * x), ','), '')
+      |    AS squares,
+      |  COALESCE(array_to_string(list_filter(xs, x -> x % 2 = 0), ','), '')
+      |    AS evens,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), xs), (a, b) -> a + b)
       |    AS total,
       |  CAST(len(list_filter(xs, x -> x > 3)) > 0 AS INT) AS has_gt3,
-      |  list_transform(list_zip(xs, list_reverse_sort(xs)),
-      |    z -> z[1] + z[2]) AS zipped_sum
+      |  COALESCE(array_to_string(list_transform(
+      |    list_zip(xs, list_reverse_sort(xs)), z -> z[1] + z[2]), ','), '')
+      |    AS zipped_sum
       |FROM t ORDER BY k""") { (s, dir) =>
     Tables(s, dir, "nation")
       .select(col("n_nationkey").as("k"),
         sequence(lit(1L), (col("n_nationkey") % 5 + 2).cast("long")).as("xs"))
       .select(col("k"),
-        transform(col("xs"), x => x * x).as("squares"),
-        filter(col("xs"), x => x % 2 === 0).as("evens"),
+        array_join(transform(col("xs"), x => (x * x).cast("string")), ",")
+          .as("squares"),
+        array_join(transform(filter(col("xs"), x => x % 2 === 0),
+          x => x.cast("string")), ",").as("evens"),
         aggregate(col("xs"), lit(0L), (a, b) => a + b).as("total"),
         exists(col("xs"), x => x > 3).cast("int").as("has_gt3"),
-        zip_with(col("xs"), reverse(array_sort(col("xs"))),
-          (a, b) => a + b).as("zipped_sum"))
+        array_join(transform(zip_with(col("xs"),
+          reverse(array_sort(col("xs"))), (a, b) => a + b),
+          x => x.cast("string")), ",").as("zipped_sum"))
       .orderBy("k")
   }
 

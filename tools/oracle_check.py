@@ -91,14 +91,28 @@ def check_tolerance(con, outdir, name, sql, rtol):
     return None
 
 
-def fetch(con, sql):
+def fetch(con, sql, sort_canary=True):
     """Run sql; return (sorted column names, rows with cols sorted by name,
-    as stringified tuples)."""
+    as stringified tuples).
+
+    Also REPRODUCES the driver's pandas row-sort as a crash canary: the
+    driver loads each result into pandas and sort_values over every column
+    before hashing, and that lexsort crashes on array-typed cells
+    (CORRECTNESS_r08: fn_array_higher_order, ml_feature_vector red-celled
+    this way while the order-based rehearsal passed). Running the same
+    sort here means a query the driver would crash on crashes the
+    rehearsal first. The comparison itself stays on the ORDER BY row
+    order (the tolerance path pairs rows by position)."""
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = [tuple(cell_str(row[i]) for i in order) for row in cur.fetchall()]
-    return [cols[i] for i in order], rows
+    scols = [cols[i] for i in order]
+    raw = [[row[i] for i in order] for row in cur.fetchall()]
+    if sort_canary and raw and scols:
+        import pandas as pd
+        pd.DataFrame(raw, columns=scols).sort_values(by=scols)
+    rows = [tuple(cell_str(v) for v in r) for r in raw]
+    return scols, rows
 
 
 def cell_str(v):
@@ -238,8 +252,12 @@ def main():
             if not os.path.isdir(os.path.join(outdir, d)):
                 continue
             try:
+                # no-oracle queries may output array columns (ANN, sketches)
+                # — the driver records their row counts without hashing, so
+                # skip the sort canary here
                 _, rows = fetch(
-                    con, f"SELECT * FROM read_parquet('{outdir}/{d}/*.parquet')")
+                    con, f"SELECT * FROM read_parquet('{outdir}/{d}/*.parquet')",
+                    sort_canary=False)
                 record(d, spark_rows=len(rows), err="no_oracle")
             except Exception as e:
                 record(d, err=f"no_oracle; unreadable: {e}")
