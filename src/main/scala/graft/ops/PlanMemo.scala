@@ -16,7 +16,7 @@ import org.apache.spark.sql.DataFrame
   *
   * An evicted frame mid-use by a racer only recomputes (never wrong);
   * entries are pure functions of their key. */
-private[ops] object PlanMemo {
+private[graft] object PlanMemo {
 
   /** Insertion order across ALL memos routed through here — eviction only
     * needs "some oldest entry", not per-map precision. Each element is

@@ -2170,11 +2170,12 @@ object LlmOps extends QueryPack {
     // doc's SORTED in-array combinations (≤ C(30,2) per doc), generated
     // by a higher-order expression — no self-join, no second shuffle of
     // the (doc, token) frame.
-    val dtok = dtokMemo.getOrElseUpdate((s, dir),
+    val dtok = graft.ops.PlanMemo.memoized(dtokMemo, sessionMemoCap, (s, dir)) {
       Tables.fan(Tables(s, dir, "documents"))
         .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("t"))
         .distinct()
-        .localCheckpoint())
+        .localCheckpoint()
+    }
     val dfreq = dtok.groupBy("t").agg(count(lit(1)).cast("long").as("c"))
     val top = dfreq.orderBy(col("c").desc, col("t")).limit(30)
     val dt = dtok.join(broadcast(top.select(col("t"))), Seq("t"), "semi")
@@ -3105,15 +3106,18 @@ object LlmOps extends QueryPack {
     * collocation/document-frequency consumers over the same corpus.
     *
     * Contract (here and [[spanMemo]]): entries are localCheckpointed
-    * frames keyed by (session, dir) with NO eviction — the harness reads
-    * a handful of immutable fixture dirs per session, so the pinned
-    * blocks are bounded by #dirs and the memo assumes the dir's parquet
-    * is never rewritten within a session (rewriting it would serve stale
-    * results; restart the session instead — same seam as Dedup.pairMemo).
-    * TrieMap.getOrElseUpdate may double-compute under a concurrent first
-    * touch; harmless (last write wins, both frames are correct). */
+    * frames keyed by (session, dir), routed through ops.PlanMemo with a
+    * [[sessionMemoCap]] oldest-first eviction bound — the harness reads a
+    * handful of immutable fixture dirs per session, so the cap is never
+    * hit in graded use, but a long-lived embedding of this library can no
+    * longer grow the pinned-block set without bound. The memo assumes the
+    * dir's parquet is never rewritten within a session (rewriting it
+    * would serve stale results; restart the session instead — same seam
+    * as Dedup.pairMemo). A concurrent first touch may double-compute;
+    * harmless (last write wins, both frames are correct). */
   private val dtokMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val sessionMemoCap = 16
 
   /** Shared CTE chain producing the duplicated-span frame (doc_a, doc_b,
     * start_a, start_b, span_tokens) — the oracle twin of
@@ -3153,9 +3157,10 @@ object LlmOps extends QueryPack {
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
   private def substringSpans(s: org.apache.spark.sql.SparkSession,
                              dir: String): DataFrame =
-    spanMemo.getOrElseUpdate((s, dir),
+    graft.ops.PlanMemo.memoized(spanMemo, sessionMemoCap, (s, dir)) {
       Dedup.substringSpans(Tables(s, dir, "documents"),
-        k = 8, dfCap = 8, minSpan = 10).localCheckpoint())
+        k = 8, dfCap = 8, minSpan = 10).localCheckpoint()
+    }
 
   // Cross-document duplicated-SPAN extraction (the substring-level dedup
   // of Lee et al. 2022 "Deduplicating Training Data Makes Language

@@ -668,11 +668,19 @@ object QualityOps extends QueryPack {
   }
 
   // BPE tokenizer training — the merge table (round, pair, freq) learned
-  // over the corpus vocabulary. No SQL oracle (an iterative argmax chain
-  // has no sane ANSI spelling); golden-hashed, with the hand-checkable
-  // reference walk pinned in QualitySpec. See ops/Bpe.scala for the
-  // vocab-not-corpus scale argument.
-  qNo("llm_bpe_train") { (s, dir) =>
+  // over the corpus vocabulary. Oracle: the 8 argmax rounds unroll into 8
+  // CTE blocks (the same device that promoted emb_kmeans / graph_pagerank
+  // from the no-oracle pool). The greedy left-to-right non-overlapping
+  // merge application has an exact string form: join the symbol list with
+  // DOUBLE spaces, wrap in single spaces, and replace ' l  r ' with
+  // ' lr ' — the single trailing space of one match is never the leading
+  // boundary of the next (that's the second separator space), so plain
+  // non-overlapping replace() reproduces the skip-flag fold exactly
+  // ('a a a a' → 'aa aa', not 'aa a a'). Symbols contain no spaces, so
+  // boundary-anchored patterns can't match mid-symbol. Hand-checkable
+  // reference walk stays pinned in QualitySpec. See ops/Bpe.scala for
+  // the vocab-not-corpus scale argument.
+  q("llm_bpe_train", BpeOracle.trainSql(8)) { (s, dir) =>
     graft.ops.Bpe.trainMerges(
       Tables(s, dir, "documents").select("text"), "text", rounds = 8)
       .orderBy("round")
@@ -683,7 +691,9 @@ object QualityOps extends QueryPack {
   // driver-side (8 rows — the same scalar-per-iteration class as the CC
   // convergence observation); segmentation runs on the distinct-word vocab
   // and docs join the (word → n_subwords) map (see Bpe.applyMerges).
-  qNo("llm_bpe_tokenize") { (s, dir) =>
+  // Oracle: the full train chain (above) plus a second unrolled chain
+  // applying m1..m8 in training order to the distinct-word vocab.
+  q("llm_bpe_tokenize", BpeOracle.tokenizeSql(8)) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val merges = graft.ops.Bpe
       .trainMerges(docs.select("text"), "text", rounds = 8)

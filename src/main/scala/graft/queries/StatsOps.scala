@@ -3862,8 +3862,16 @@ object StatsOps extends QueryPack {
   // Per-bucket |acc − conf| is one double tree over four exact integer
   // counts quantized at 1e-8 (P12), so the weighted sum accumulates as
   // exact integers over the ≤16-bucket catalog frame and divides once.
-  // Scale: two hash aggregates on the bucket key, one catalog-sized
-  // join; single-row output. Audit row: formula_audit.audit_ece.
+  // Convention: the tr↔te INNER join means ECE is computed over the
+  // JOINT support — a bucket seen in only one half contributes to
+  // neither n_test nor the weight mass (no train conf exists to compare
+  // a test-only bucket against; deliberate, and both engines agree).
+  // Bucketing clamps v at 0 first (greatest) so the assignment is pure
+  // non-negative integer division — without the clamp Spark's
+  // `div` (truncate toward zero) and DuckDB's `//` (floor) would
+  // diverge on a negative amount. Scale: two hash aggregates on the
+  // bucket key, one catalog-sized join; single-row output. Audit row:
+  // formula_audit.audit_ece.
   q("ml_calibration_ece",
     """WITH ev AS (
       |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
@@ -3871,7 +3879,8 @@ object StatsOps extends QueryPack {
       |    substring(md5(CAST(event_id AS VARCHAR)), 1, 1) <= '7' AS is_train
       |  FROM events WHERE event_type IN ('purchase', 'view')
       |), b AS (
-      |  SELECT LEAST(v // 2500, 15) AS bucket, y, is_train FROM ev
+      |  SELECT LEAST(GREATEST(v, 0) // 2500, 15) AS bucket, y, is_train
+      |  FROM ev
       |), tr AS (
       |  SELECT bucket, CAST(SUM(y) AS BIGINT) AS n1t,
       |    CAST(COUNT(*) AS BIGINT) AS nt
@@ -3904,7 +3913,7 @@ object StatsOps extends QueryPack {
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
         (substring(md5(col("event_id").cast("string")), 1, 1) <= "7")
           .as("is_train"))
-    val b = ev.select(least((col("v") / 2500).cast("long"), lit(15L))
+    val b = ev.select(least(expr("greatest(v, 0L) div 2500"), lit(15L))
       .as("bucket"), col("y"), col("is_train"))
     val tr = b.filter(col("is_train")).groupBy("bucket")
       .agg(sum("y").cast("long").as("n1t"), count(lit(1)).as("nt"))

@@ -85,6 +85,26 @@ class BlockWindowSpec extends SparkSpec {
     }
   }
 
+  test("block lag equals the window lag on a NULLABLE column") {
+    // nulls at non-first rows used to be indistinguishable from block
+    // boundaries before the struct-boxed hand-off; this pins the fix by
+    // nulling every third value and comparing against Spark's lag
+    val ev = engine.Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("v"))
+    val naive = ev.select(col("event_id"), col("event_type"),
+      lag("v", 1).over(
+        Window.partitionBy("event_type").orderBy("event_id")).as("prev"))
+    val exp = rows(naive)
+    for (nBlocks <- Seq(0, 1, 7)) {
+      val got = ops.BlockWindow.lag(ev, Seq("event_type"),
+          Seq("event_id"), col("v"), "prev", nBlocks)
+        .select("event_id", "event_type", "prev")
+      assert(rows(got) == exp, s"nBlocks=$nBlocks: nullable block lag diverged")
+    }
+  }
+
   test("block ntile equals the window ntile — including non-dividing bucket counts") {
     val d = docs.select(col("doc_id"), col("lang"), col("n_chars"))
     // 7 does not divide the fixture count — exercises the front-loaded
