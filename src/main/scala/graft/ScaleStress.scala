@@ -339,6 +339,47 @@ object ScaleStress {
     }
     time("concurrent-session sweep 1x (600k events)")(concPeak(sev1))
     time("concurrent-session sweep 10x (6M events)")(concPeak(sev10))
+
+    // trigram source-similarity self-join under a planted HOT trigram:
+    // one trigram prepended to EVERY doc of EVERY source — the worst
+    // possible join key for the text_source_similarity shape. The claim
+    // being proven (r8 verdict item 7): candidate volume per trigram is
+    // structurally ≤ |sources|², because the join input is the DISTINCT
+    // (source, trigram) frame — df of the planted key is 20 (= #sources)
+    // at ANY corpus size, so no df cap is needed where the doc-level
+    // dedup family needs one. 10× the corpus must not grow the planted
+    // key's fanout (20² pair rows before grouping, both runs).
+    def srcSimPairs(d: DataFrame): Long = {
+      val g = d.select(col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(ws) - 2),
+            |  i -> xxhash64(ws[i - 1], ws[i], ws[i + 1]))""".stripMargin))
+          .as("tri"))
+        .distinct()
+      g.select(col("source").as("src1"), col("tri"))
+        .join(g.select(col("source").as("src2"), col("tri")), Seq("tri"))
+        .filter(col("src1") < col("src2"))
+        .groupBy("src1", "src2").agg(count(lit(1)).as("inter"))
+        .count()
+    }
+    // per-copy token perturbation keeps copy vocabularies disjoint EXCEPT
+    // the planted trigram (prepended unperturbed), so the hot key's
+    // distinct frame is exactly one row per source in both runs
+    val srcDocs = engine.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(lit("hx hy hz "), col("text")).as("text"))
+    def srcDocsX(n: Int): DataFrame = (0 until n).map { i =>
+      srcDocs.select(col("source"),
+        concat(lit("hx hy hz "), array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(i.toString))), " ")).as("text"))
+    }.reduce(_ unionByName _)
+    val sd1 = srcDocs.cache(); sd1.count()
+    val sd10 = srcDocsX(10).cache(); sd10.count()
+    time("source-trigram similarity 1x planted-hot-trigram (5k docs, 20 sources)")(
+      srcSimPairs(sd1))
+    time("source-trigram similarity 10x planted-hot-trigram (50k docs, 20 sources)")(
+      srcSimPairs(sd10))
     spark.stop()
   }
 }

@@ -81,7 +81,7 @@ object Bpe {
     var vocab = vocab0
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (r <- 1 to rounds) {
-      val top = vocab
+      val topDf = vocab
         // fully-merged single-symbol words have no pairs — and Spark's
         // sequence(1, 0) is DESCENDING, so they must not reach the explode
         .filter(size(col("sym")) >= 2)
@@ -91,7 +91,7 @@ object Bpe {
               element_at(col("sym"), i), element_at(col("sym"), i + 1)))).as("p"))
         .groupBy("p").agg(sum("wf").as("c"))
         .orderBy(col("c").desc, col("p")).limit(1)
-        .collect()
+      val top = BoundedCollect.rows(topDf, "Bpe.trainLoop argmax")
       if (top.isEmpty) {
         // every word fully merged — nothing left to learn
         return spark.createDataFrame(merges.result())

@@ -106,7 +106,7 @@ object Linalg {
     cellsMemo.getOrElseUpdate(
       (emb.sparkSession, emb.queryExecution.logical.semanticHash(),
         s"cells|$idCol|$vecCol"),
-      momentOf(emb, idCol, vecCol).collect()
+      BoundedCollect.rows(momentOf(emb, idCol, vecCol), "Linalg.momentCells")
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))))
 
   /** The power loop, driver-side. The distributed reduce that SHOULD be

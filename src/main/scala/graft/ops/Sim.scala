@@ -124,7 +124,7 @@ object Sim {
     // Spark's BigDecimal HALF_UP round(…,4), integer fixed-point argmax
     // with id tiebreak). Formerly candK²-row Spark frames + selectK
     // rank-1 jobs: 2.1 s at sf0.1 → the one collect job.
-    val rows = cand.orderBy("rn").collect()
+    val rows = BoundedCollect.rows(cand.orderBy("rn"), "Sim.mmrDiversify pool")
     val ids = rows.map(_.getLong(0))
     val su = rows.map(_.getLong(2))
     val es = rows.map(_.getSeq[Double](1).toArray)
@@ -247,7 +247,8 @@ object Sim {
     * explicit dim used to throw deep in execution). Empty corpus → the
     * legacy default width; any LSH result on it is empty anyway. */
   def inferDim(corpus: DataFrame): Int =
-    corpus.select(size(col("embedding")).as("d")).limit(1).collect() match {
+    BoundedCollect.rows(corpus.select(size(col("embedding")).as("d")).limit(1),
+      "Sim.inferDim probe") match {
       case Array(r) if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0)
       case _ => graft.functions.LshBands.defaultDim
     }

@@ -499,7 +499,7 @@ object GraphOps extends QueryPack {
     // (doc dedup CC, user graphs) keep the distributed BSP path in
     // ops/Graph — this shortcut is only valid when |V| is bounded by the
     // CATALOG, not the corpus.
-    val edges = tradeEdges(s, dir).collect()
+    val edges = graft.ops.BoundedCollect.rows(tradeEdges(s, dir), "HITS edge list")
       .map(r => (r.getInt(0), r.getInt(1)))
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     val inByDst = edges.groupBy(_._2)

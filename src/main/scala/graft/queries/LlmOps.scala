@@ -2796,13 +2796,22 @@ object LlmOps extends QueryPack {
     // bind the split array ONCE per row: a transform over an expression
     // that re-derives split(text) per element would re-tokenize the
     // document O(words) times — O(words²) work per doc (measured 4.7 s at
-    // sf0.1 vs sub-second with the bound column)
+    // sf0.1 vs sub-second with the bound column). Trigrams collapse to
+    // 64-bit xxhash64 keys BEFORE the distinct — hashed straight from the
+    // three word columns, so trigram STRINGS are never materialized at
+    // all, and both the distinct aggregate and the candidate self-join
+    // shuffle/compare fixed 8-byte longs instead of ~25-byte strings (the
+    // llm_decontaminate device, one step further). The word-triple is the
+    // same set identity as the oracle's space-joined string (words contain
+    // no spaces, so the concat is injective); equality holds unless two
+    // distinct trigrams of ONE source collide in 64 bits (~n²/2^65,
+    // ~1e-9 at a million-trigram vocabulary, deterministic if ever hit).
     val g = Tables(s, dir, "documents")
       .select(col("source"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("source"), explode(expr(
         """transform(sequence(1, size(ws) - 2),
-          |  i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1]))""".stripMargin))
+          |  i -> xxhash64(ws[i - 1], ws[i], ws[i + 1]))""".stripMargin))
         .as("tri"))
       .distinct()
     val sz = g.groupBy("source").agg(count(lit(1)).as("n"))

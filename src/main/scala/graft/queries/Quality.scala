@@ -695,9 +695,9 @@ object QualityOps extends QueryPack {
   // applying m1..m8 in training order to the distinct-word vocab.
   q("llm_bpe_tokenize", BpeOracle.tokenizeSql(8)) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val merges = graft.ops.Bpe
+    val merges = graft.ops.BoundedCollect.rows(graft.ops.Bpe
       .trainMerges(docs.select("text"), "text", rounds = 8)
-      .orderBy("round").collect()
+      .orderBy("round"), "llm_bpe_tokenize merge table")
       .map { r => val Array(l, rt) = r.getString(1).split(" ", 2); (l, rt) }
       .toSeq
     graft.ops.Bpe.applyMerges(docs, "text", "doc_id", merges)

@@ -212,11 +212,57 @@ object Scalars extends QueryPack {
   // phonetic encoding for fuzzy name matching — DuckDB has no soundex, so
   // rows-only + golden (the fuzzy-dedup family's third blocking key after
   // shingles and length bands)
-  qNo("fn_soundex") { (s, dir) =>
-    Tables(s, dir, "customer")
-      .select(col("c_custkey"), soundex(col("c_name")).as("name_soundex"),
-        soundex(col("c_mktsegment")).as("seg_soundex"))
-      .orderBy("c_custkey")
+  // American Soundex (Spark's built-in), promoted to the DuckDB oracle in
+  // r9 by spelling the ALGORITHM in SQL: translate() maps letters to code
+  // digits with H/W marked '7' (Spark's skip-without-reset semantics),
+  // non-letters map to '0' (Spark's lastCode-reset path — identical
+  // observable effect to a vowel), the '7's are filtered OUT of the code
+  // sequence (they never update lastCode), and a code is emitted when it
+  // differs from its predecessor in that filtered sequence and is not
+  // '0'; first letter + first 3 emitted codes, zero-padded. Argument set:
+  // the letters-and-spaces vocabulary (p_type words, nation names with
+  // embedded spaces for the non-letter path, mktsegments) — digits are
+  // excluded because an input '0'-'7' would be indistinguishable from a
+  // code after translate().
+  q("fn_soundex",
+    """WITH words AS (
+      |  SELECT DISTINCT w FROM (
+      |    SELECT unnest(string_split(p_type, ' ')) AS w FROM part
+      |    UNION SELECT n_name FROM nation
+      |    UNION SELECT c_mktsegment FROM customer
+      |  )
+      |), s AS (
+      |  SELECT w, upper(w) AS u FROM words
+      |), c AS (
+      |  SELECT w, substr(u, 1, 1) AS f,
+      |    list_prepend(
+      |      translate(substr(u, 1, 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+      |                '01230127022455012623017202'),
+      |      list_filter(
+      |        list_transform(string_split(substr(u, 2), ''),
+      |          ch -> CASE WHEN ch BETWEEN 'A' AND 'Z'
+      |                THEN translate(ch, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+      |                               '01230127022455012623017202')
+      |                ELSE '0' END),
+      |        cd -> cd <> '7')) AS cds
+      |  FROM s
+      |), e AS (
+      |  SELECT w, f, list_filter(
+      |      list_transform(range(2, len(cds) + 1),
+      |        i -> CASE WHEN cds[i] <> '0' AND cds[i] <> cds[i-1]
+      |             THEN cds[i] ELSE '' END),
+      |      x -> x <> '') AS em
+      |  FROM c
+      |)
+      |SELECT w, substr(f || array_to_string(em, '') || '000', 1, 4) AS sdx
+      |FROM e ORDER BY w""") { (s, dir) =>
+    Tables(s, dir, "part")
+      .select(explode(split(col("p_type"), " ")).as("w"))
+      .union(Tables(s, dir, "nation").select(col("n_name").as("w")))
+      .union(Tables(s, dir, "customer").select(col("c_mktsegment").as("w")))
+      .distinct()
+      .select(col("w"), soundex(col("w")).as("sdx"))
+      .orderBy("w")
   }
 
   // width_bucket: equi-width histogram bucketing with explicit under/over-

@@ -857,15 +857,18 @@ object Streaming extends QueryPack {
   q("events_markov_steady", markovSteadySql) { (s, dir) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val ev = Tables(s, dir, "events")
-    val counts = ev
+    val countsDf = ev
       .select(col("event_type").as("src"),
         lead(col("event_type"), 1).over(w).as("dst"))
       .filter(col("dst").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    val counts = graft.ops.BoundedCollect
+      .rows(countsDf, "events_markov_steady transition counts")
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
-    val types = ev.select("event_type").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    val types = graft.ops.BoundedCollect
+      .rows(ev.select("event_type").distinct(), "events_markov_steady types")
+      .map(_.getString(0)).sorted.toSeq
     val realOut: Map[String, Long] = counts.groupBy(_._1._1)
       .map { case (s0, m) => s0 -> m.values.sum }
     // dangling self-loop fix (types with no outgoing transitions)

@@ -3088,7 +3088,83 @@ def audit_silhouette():
     report("emb_silhouette", mis, len(got) * 2 + 1)
 
 
+def audit_feature_vector():
+    """ml_feature_vector recomputed from raw events in Python: per-user
+    view/click/purchase counts, day-recency vs the 2024-01-30 anchor,
+    integer-cent monetary — and the exact CSV rendering of the feature
+    string (the r9 stringified output seam), including the two-decimal
+    cents digits."""
+    mis = []
+    r_ = rows(f"SELECT user_id, event_type, "
+              f"CAST(date_trunc('day', ts) AS DATE) AS day, value "
+              f"FROM '{SF}/events.parquet'")
+    import datetime
+    anchor = datetime.date(2024, 1, 30)
+    per = {}
+    for uid, et, day, val in r_:
+        st = per.setdefault(uid, {"view": 0, "click": 0, "purchase": 0,
+                                  "maxday": None, "mon": 0})
+        if et in st:
+            st[et] += 1
+        if st["maxday"] is None or day > st["maxday"]:
+            st["maxday"] = day
+        if et == "purchase":
+            st["mon"] += math.floor(val * 100 + 0.5)
+    got = dump("ml_feature_vector")
+    if len(got) != len(per):
+        mis.append(("n_users", len(got), len(per)))
+    cols = dump_cols("ml_feature_vector")
+    for row in got:
+        d = dict(zip(cols, row))
+        st = per.get(d["user_id"])
+        if st is None:
+            mis.append((d["user_id"], "unknown user"))
+            continue
+        rec = (anchor - st["maxday"]).days
+        mon = st["mon"]
+        sign = "-" if mon < 0 else ""
+        csv = (f"{st['view']},{st['click']},{st['purchase']},{rec},"
+               f"{sign}{abs(mon) // 100}.{abs(mon) % 100:02d}")
+        if d["features"] != csv:
+            mis.append((d["user_id"], "features", d["features"], csv))
+        if d["n_purchase"] != st["purchase"]:
+            mis.append((d["user_id"], "n_purchase", d["n_purchase"],
+                        st["purchase"]))
+        if d["recency_days"] != rec:
+            mis.append((d["user_id"], "recency", d["recency_days"], rec))
+        if not close(d["monetary"], mon / 100, 1e-9):
+            mis.append((d["user_id"], "monetary", d["monetary"], mon / 100))
+    report("ml_feature_vector", mis, len(got) * 4)
+
+
+def audit_array_higher_order():
+    """fn_array_higher_order recomputed from the nation-key definition:
+    xs = [1 .. k%5+2], squares/evens/zipped as CSV strings, total and
+    has_gt3 — verifying both the lambda semantics and the r9 stringified
+    rendering (empty evens must be '')."""
+    mis = []
+    got = dump("fn_array_higher_order")
+    cols = dump_cols("fn_array_higher_order")
+    for row in got:
+        d = dict(zip(cols, row))
+        xs = list(range(1, d["k"] % 5 + 3))
+        want = {
+            "squares": ",".join(str(x * x) for x in xs),
+            "evens": ",".join(str(x) for x in xs if x % 2 == 0),
+            "total": sum(xs),
+            "has_gt3": int(any(x > 3 for x in xs)),
+            "zipped_sum": ",".join(str(a + b) for a, b in
+                                   zip(xs, sorted(xs, reverse=True))),
+        }
+        for c, w in want.items():
+            if d[c] != w:
+                mis.append((d["k"], c, d[c], w))
+    report("fn_array_higher_order", mis, len(got) * 5)
+
+
 AUDITS = {
+    "ml_feature_vector": audit_feature_vector,
+    "fn_array_higher_order": audit_array_higher_order,
     "events_ab_sequential_sprt": audit_sprt,
     "graph_degree_powerlaw": audit_degree_powerlaw,
     "ts_ar2_yule_walker": audit_ar2,
