@@ -4028,4 +4028,314 @@ object StatsOps extends QueryPack {
           + lit(0.5)) / 10000).as("rmse"))
       .orderBy("fold")
   }
+
+  // Precision/recall curve — the operating-point readout ROC AUC
+  // deliberately integrates away: the full confusion matrix plus
+  // precision, recall, F1 and accuracy at each of four fixed cent
+  // thresholds of the purchase-vs-view classifier. One corpus pass (the
+  // threshold frame is a 4-row broadcast expand before the partial
+  // aggregate); every metric is a one-division double over exact integer
+  // counts, zero-guarded identically in both engines (a threshold above
+  // every value yields precision 0 by convention, not NaN — NaN never
+  // crosses the engine seam). Audit row: formula_audit.audit_pr_f1.
+  q("ml_pr_f1",
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |), t AS (
+      |  SELECT unnest([1000, 2500, 5000, 7500]) AS thr
+      |), cm AS (
+      |  SELECT thr,
+      |    CAST(SUM(CASE WHEN v >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN v >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN v < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN v < thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM ev, t GROUP BY thr
+      |)
+      |SELECT CAST(thr AS BIGINT) AS thr_cents, tp, fp, fn, tn,
+      |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE
+      |    floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000 + 0.5) / 1000000
+      |  END AS prec,
+      |  CASE WHEN tp + fn = 0 THEN 0.0 ELSE
+      |    floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000 + 0.5) / 1000000
+      |  END AS rec,
+      |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE
+      |    floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000 + 0.5)
+      |      / 1000000
+      |  END AS f1,
+      |  floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1000000 + 0.5)
+      |    / 1000000 AS acc
+      |FROM cm ORDER BY thr_cents""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(Det.cents(col("value")).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val thr = { import s.implicits._; Seq(1000L, 2500L, 5000L, 7500L).toDF("thr") }
+    val cm = ev.crossJoin(broadcast(thr)).groupBy("thr")
+      .agg(
+        sum(when(col("v") >= col("thr") && col("y") === 1, 1L).otherwise(0L))
+          .cast("long").as("tp"),
+        sum(when(col("v") >= col("thr") && col("y") === 0, 1L).otherwise(0L))
+          .cast("long").as("fp"),
+        sum(when(col("v") < col("thr") && col("y") === 1, 1L).otherwise(0L))
+          .cast("long").as("fn"),
+        sum(when(col("v") < col("thr") && col("y") === 0, 1L).otherwise(0L))
+          .cast("long").as("tn"))
+    def ratio(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0.0)).otherwise(
+        floor(num.cast("double") / den * 1000000 + lit(0.5)) / 1000000)
+    cm.select(col("thr").cast("long").as("thr_cents"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        ratio(col("tp"), col("tp") + col("fp")).as("prec"),
+        ratio(col("tp"), col("tp") + col("fn")).as("rec"),
+        ratio(lit(2) * col("tp"), lit(2) * col("tp") + col("fp") + col("fn"))
+          .as("f1"),
+        (floor((col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("fn") + col("tn")) * 1000000
+          + lit(0.5)) / 1000000).as("acc"))
+      .orderBy("thr_cents")
+  }
+
+  // Partial correlation of lineitem quantity and extended price
+  // CONTROLLING for discount — the confound-adjusted association a naive
+  // pairwise correlation matrix (agg_corr_matrix) can't answer. The
+  // three pairwise correlations come from one pass of exact 128-bit
+  // moments (P16 promotion before every product — price cents squared
+  // times row count passes int64); the recursion
+  // r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)) is one
+  // fixed double tree over those moments, quantized at 1e-6. Scale: one
+  // map-side-combinable aggregate, single-row output. Audit row:
+  // formula_audit.audit_partial_corr.
+  q("stats_partial_corr",
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS z
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(z) AS HUGEINT) AS sz,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |    SUM(CAST(z AS HUGEINT) * z) AS szz, SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * z) AS sxz, SUM(CAST(y AS HUGEINT) * z) AS syz
+      |  FROM li
+      |), r AS (
+      |  SELECT CAST(n AS BIGINT) AS nn,
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |           * CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+      |    CAST(n * sxz - sx * sz AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |           * CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+      |    CAST(n * syz - sy * sz AS DOUBLE)
+      |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+      |           * CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+      |  FROM m
+      |)
+      |SELECT nn AS n,
+      |  floor(rxy * 1000000 + 0.5) / 1000000 AS r_xy,
+      |  floor(rxz * 1000000 + 0.5) / 1000000 AS r_xz,
+      |  floor(ryz * 1000000 + 0.5) / 1000000 AS r_yz,
+      |  floor((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+      |    * 1000000 + 0.5) / 1000000 AS r_xy_given_z
+      |FROM r""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_quantity").cast("long").as("x"),
+        Det.cents(col("l_extendedprice")).cast("long").as("y"),
+        Det.cents(col("l_discount")).cast("long").as("z"))
+    val m = li.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("x").cast("decimal(38,0)").as("sx"),
+      sum("y").cast("decimal(38,0)").as("sy"),
+      sum("z").cast("decimal(38,0)").as("sz"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("y")) * col("y")).as("syy"),
+      sum(dec(col("z")) * col("z")).as("szz"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("x")) * col("z")).as("sxz"),
+      sum(dec(col("y")) * col("z")).as("syz"))
+    val rxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    val rxz = (col("n") * col("sxz") - col("sx") * col("sz")).cast("double") /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        * (col("n") * col("szz") - col("sz") * col("sz")).cast("double"))
+    val ryz = (col("n") * col("syz") - col("sy") * col("sz")).cast("double") /
+      sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        * (col("n") * col("szz") - col("sz") * col("sz")).cast("double"))
+    m.select(col("n").cast("long").as("n"),
+      (floor(rxy * 1000000 + lit(0.5)) / 1000000).as("r_xy"),
+      (floor(rxz * 1000000 + lit(0.5)) / 1000000).as("r_xz"),
+      (floor(ryz * 1000000 + lit(0.5)) / 1000000).as("r_yz"),
+      (floor((rxy - rxz * ryz)
+        / sqrt((lit(1) - rxz * rxz) * (lit(1) - ryz * ryz))
+        * 1000000 + lit(0.5)) / 1000000).as("r_xy_given_z"))
+  }
+
+  // Grubbs outlier statistic over the daily-revenue series: G =
+  // max|x − mean| / sd, with the deviation ranked on the EXACT integer
+  // |n·x − S| (so the argmax day is integer-deterministic, day as
+  // tiebreak) and G evaluated by the algebraic identity
+  // G = max|n·x − S| / √(n·Σx² − S²) — everything inside the one sqrt
+  // and one division is an exact 128-bit integer. Scale: corpus → daily
+  // aggregate (calendar-bounded) → single-row reduce. Audit row:
+  // formula_audit.audit_grubbs.
+  q("stats_grubbs",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM d
+      |), dev AS (
+      |  SELECT day, x, abs(CAST(n AS HUGEINT) * x - sx) AS adev
+      |  FROM d, m
+      |  ORDER BY adev DESC, day LIMIT 1
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_days, dev.day AS outlier_day,
+      |  CAST(dev.x AS BIGINT) AS outlier_cents,
+      |  floor(CAST(adev AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |    * 1000000 + 0.5) / 1000000 AS grubbs_g
+      |FROM dev, m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).cast("long").as("x"))
+    val m = d.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("x").cast("decimal(38,0)").as("sx"),
+      sum(dec(col("x")) * col("x")).as("sxx"))
+    val dev = d.crossJoin(broadcast(m))
+      .select(col("day"), col("x"), col("n"), col("sx"), col("sxx"),
+        abs(col("n") * col("x") - col("sx")).as("adev"))
+      .orderBy(col("adev").desc, col("day")).limit(1)
+    dev.select(col("n").cast("long").as("n_days"),
+      col("day").as("outlier_day"), col("x").cast("long").as("outlier_cents"),
+      (floor(col("adev").cast("double")
+        / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        * 1000000 + lit(0.5)) / 1000000).as("grubbs_g"))
+  }
+
+  /** Unrolled-CTE oracle for ml_logreg_newton (the BPE/k-means promote
+    * device): `iters` Newton steps become `iters` CTE pairs. All Newton
+    * state is HUGEINT-exact between the two quantization seams — the
+    * sigmoid is fixed at 1e-4 (p4) per DISTINCT cents value (P17: the
+    * exp() argument set is the ≤10⁴-value histogram domain per step, so
+    * the libm seam carries the same bounded-argument rationale as
+    * fn_geo_haversine), and the coefficients are re-quantized at 1e-9
+    * after each step, so both engines enter every iteration with
+    * IDENTICAL state. Gradient/Hessian scale bookkeeping (x = v/1e4,
+    * p = p4/1e4): g0 = G0/1e4, g1 = G1/1e8, h00 = H00/1e8,
+    * h01 = H01/1e12, h11 = H11/1e16 ⇒ db0 = (H11·G0 − H01·G1)·1e4/D,
+    * db1 = (H00·G1 − H01·G0)·1e8/D with D = H00·H11 − H01² — every
+    * integer stays under ~9e30 ≪ int128. */
+  private def logregOracleSql(iters: Int): String = {
+    val head =
+      """WITH hist AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1
+        |),
+        |b0_ AS (SELECT 0.0 AS b0, 0.0 AS b1)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT CAST(SUM(n1 * (10000 - p4) - n0 * p4) AS HUGEINT) AS g0,
+         |    CAST(SUM(v * (n1 * (10000 - p4) - n0 * p4)) AS HUGEINT) AS g1,
+         |    SUM(CAST((n1 + n0) AS HUGEINT) * (p4 * (10000 - p4))) AS h00,
+         |    SUM(CAST(v * (n1 + n0) AS HUGEINT) * (p4 * (10000 - p4))) AS h01,
+         |    SUM(CAST(v AS HUGEINT) * v * (n1 + n0) * (p4 * (10000 - p4)))
+         |      AS h11
+         |  FROM (
+         |    SELECT v, n1, n0,
+         |      CAST(floor(10000.0 / (1.0 + exp(-(b0 + b1 * (v / 10000.0))))
+         |        + 0.5) AS BIGINT) AS p4
+         |    FROM hist, b${k - 1}_
+         |  )
+         |),
+         |b${k}_ AS (
+         |  SELECT
+         |    floor((b0 + CAST(h11 * g0 - h01 * g1 AS DOUBLE)
+         |      / CAST(h00 * h11 - h01 * h01 AS DOUBLE) * 10000.0)
+         |      * 1000000000 + 0.5) / 1000000000 AS b0,
+         |    floor((b1 + CAST(h00 * g1 - h01 * g0 AS DOUBLE)
+         |      / CAST(h00 * h11 - h01 * h01 AS DOUBLE) * 100000000.0)
+         |      * 1000000000 + 0.5) / 1000000000 AS b1
+         |  FROM s$k, b${k - 1}_
+         |)""".stripMargin
+    }
+    val tail =
+      s"""t AS (
+         |  SELECT CAST(SUM(n1 + n0) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN b0 + b1 * (v / 10000.0) > 0 THEN n1 ELSE n0
+         |      END) AS BIGINT) AS correct
+         |  FROM hist, b${iters}_
+         |)
+         |SELECT n,
+         |  floor(b0 * 1000000 + 0.5) / 1000000 AS b0,
+         |  floor(b1 * 1000000 + 0.5) / 1000000 AS b1,
+         |  floor(CAST(correct AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+         |    AS train_acc
+         |FROM t, b${iters}_""".stripMargin
+    (Seq(head) ++ steps :+ tail).mkString(",\n")
+  }
+
+  // Logistic regression (purchase-vs-view on the cent value) by Newton's
+  // method — the first NON-linear model in the inventory, built on the
+  // histogram-not-corpus shape every iterative op here uses: ONE corpus
+  // aggregate collapses events to the ≤10⁴-row (cents, n1, n0) frame,
+  // and all 3 Newton steps run over that domain-bounded frame — at
+  // 100 TB the iterations are corpus-free (the same reduction that makes
+  // BPE vocab-bounded). The graded plan collects the histogram through
+  // ops.BoundedCollect (aggregate-bounded — the events_markov_steady
+  // driver-solve class) and replays the identical fixed-point Newton
+  // arithmetic in exact BigInt; the oracle unrolls the 3 steps as CTE
+  // pairs (see logregOracleSql for the determinism contract and scale
+  // bookkeeping). Audit row: formula_audit.audit_logreg (re-fits with
+  // float Newton and checks agreement to the quantization budget).
+  q("ml_logreg_newton", logregOracleSql(3)) { (s, dir) =>
+    val histDf = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(Det.cents(col("value")).cast("long").as("v"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("long").as("n0"))
+    val hist = graft.ops.BoundedCollect.rows(histDf, "logreg cents histogram")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def quant9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    var b0 = 0.0
+    var b1 = 0.0
+    for (_ <- 1 to 3) {
+      var g0, g1, h00, h01, h11 = BigInt(0)
+      for ((v, n1, n0) <- hist) {
+        val z = b0 + b1 * (v / 10000.0)
+        val p4 = math.floor(10000.0 / (1.0 + math.exp(-z)) + 0.5).toLong
+        val w8 = p4 * (10000L - p4)
+        val gc = n1 * (10000L - p4) - n0 * p4
+        g0 += gc
+        g1 += v * gc
+        h00 += BigInt(n1 + n0) * w8
+        h01 += BigInt(v * (n1 + n0)) * w8
+        h11 += BigInt(v) * v * (n1 + n0) * w8
+      }
+      val det = (h00 * h11 - h01 * h01).toDouble
+      b0 = quant9(b0 + (h11 * g0 - h01 * g1).toDouble / det * 10000.0)
+      b1 = quant9(b1 + (h00 * g1 - h01 * g0).toDouble / det * 100000000.0)
+    }
+    val n = hist.map { case (_, n1, n0) => n1 + n0 }.sum
+    val correct = hist.map { case (v, n1, n0) =>
+      if (b0 + b1 * (v / 10000.0) > 0) n1 else n0
+    }.sum
+    val q6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    import s.implicits._
+    Seq((n, q6(b0), q6(b1), q6(correct.toDouble / n)))
+      .toDF("n", "b0", "b1", "train_acc")
+  }
 }

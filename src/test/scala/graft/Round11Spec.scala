@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-11 model-eval / stats operators:
+  * confusion-matrix conservation, partial-correlation bounds, the Grubbs
+  * argmax identity, and logistic-fit internal consistency.
+  */
+class Round11Spec extends SparkSpec {
+
+  test("ml_pr_f1: confusion matrix conserves the row count; f1 is the harmonic mean") {
+    val rows = SparkEntry.queries("ml_pr_f1")(spark, sf).collect()
+    assert(rows.length == 4)
+    val total = engine.Tables(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "view")).count()
+    rows.foreach { r =>
+      val tp = r.getAs[Long]("tp"); val fp = r.getAs[Long]("fp")
+      val fn = r.getAs[Long]("fn"); val tn = r.getAs[Long]("tn")
+      assert(tp + fp + fn + tn == total)
+      val p = r.getAs[Double]("prec"); val rc = r.getAs[Double]("rec")
+      val f1 = r.getAs[Double]("f1")
+      if (p + rc > 0)
+        assert(math.abs(f1 - 2 * p * rc / (p + rc)) < 1e-3,
+          s"f1 $f1 vs harmonic ${2 * p * rc / (p + rc)}")
+      // higher threshold can only shrink the predicted-positive set
+    }
+    val tpByThr = rows.sortBy(_.getAs[Long]("thr_cents")).map(r =>
+      r.getAs[Long]("tp") + r.getAs[Long]("fp"))
+    assert(tpByThr.sliding(2).forall(w => w(0) >= w(1)),
+      "predicted-positive count must be non-increasing in the threshold")
+  }
+
+  test("stats_partial_corr: every correlation in [-1, 1], n matches lineitem") {
+    val r = SparkEntry.queries("stats_partial_corr")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n") == engine.Tables(spark, sf, "lineitem").count())
+    for (c <- Seq("r_xy", "r_xz", "r_yz", "r_xy_given_z")) {
+      val v = r.getAs[Double](c)
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c = $v out of [-1,1]")
+    }
+  }
+
+  test("stats_grubbs: G is the max studentized deviation and is attained at the named day") {
+    val r = SparkEntry.queries("stats_grubbs")(spark, sf).collect()(0)
+    val days = engine.Tables(spark, sf, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(engine.Det.cents(col("value")).cast("long")).as("x"))
+      .collect().map(rr => rr.getAs[java.sql.Date]("day") -> rr.getAs[Long]("x"))
+    assert(r.getAs[Long]("n_days") == days.length)
+    val n = days.length.toDouble
+    val mean = days.map(_._2).sum / n
+    val sd = math.sqrt(days.map(d => (d._2 - mean) * (d._2 - mean)).sum / n)
+    val maxDev = days.map(d => math.abs(d._2 - mean)).max
+    assert(math.abs(r.getAs[Double]("grubbs_g") - maxDev / sd) < 1e-4)
+    assert(math.abs(r.getAs[Long]("outlier_cents") - mean).toDouble >= maxDev - 1e-6)
+  }
+
+  test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
+    val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
+    val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")
+    val n = r.getAs[Long]("n")
+    val ev = engine.Tables(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(engine.Det.cents(col("value")).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .collect()
+    assert(n == ev.length)
+    val correct = ev.count { rr =>
+      val pred = b0 + b1 * (rr.getLong(0) / 10000.0) > 0
+      pred == (rr.getLong(1) == 1L)
+    }
+    // b is 1e-6-rounded for output, so boundary rows may flip: allow a
+    // handful of rows of slack around the recomputed accuracy
+    assert(math.abs(r.getAs[Double]("train_acc") - correct.toDouble / n) < 0.01,
+      s"train_acc ${r.getAs[Double]("train_acc")} vs recomputed ${correct.toDouble / n}")
+  }
+}

@@ -3162,7 +3162,144 @@ def audit_array_higher_order():
     report("fn_array_higher_order", mis, len(got) * 5)
 
 
+def audit_pr_f1():
+    """Confusion matrix + precision/recall/F1/accuracy recomputed from raw
+    events at each threshold."""
+    mis = []
+    r_ = rows(f"SELECT value, event_type FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view')")
+    data = [(math.floor(v * 100 + 0.5), 1 if et == "purchase" else 0)
+            for v, et in r_]
+    got = dump("ml_pr_f1")
+    cols = dump_cols("ml_pr_f1")
+    for row in got:
+        d = dict(zip(cols, row))
+        t = d["thr_cents"]
+        tp = sum(1 for v, y in data if v >= t and y == 1)
+        fp = sum(1 for v, y in data if v >= t and y == 0)
+        fn = sum(1 for v, y in data if v < t and y == 1)
+        tn = sum(1 for v, y in data if v < t and y == 0)
+        for c, w in [("tp", tp), ("fp", fp), ("fn", fn), ("tn", tn)]:
+            if d[c] != w:
+                mis.append((t, c, d[c], w))
+        checks = [
+            ("prec", tp / (tp + fp) if tp + fp else 0.0),
+            ("rec", tp / (tp + fn) if tp + fn else 0.0),
+            ("f1", 2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else 0.0),
+            ("acc", (tp + tn) / len(data)),
+        ]
+        for c, w in checks:
+            if not close(d[c], w, 1e-5):
+                mis.append((t, c, d[c], w))
+    report("ml_pr_f1", mis, len(got) * 8)
+
+
+def audit_partial_corr():
+    """Pairwise and partial correlations recomputed with exact Fraction
+    moments and the textbook first-order partial-correlation recursion."""
+    mis = []
+    r_ = rows(f"SELECT CAST(l_quantity AS BIGINT), l_extendedprice, "
+              f"l_discount FROM '{SF}/lineitem.parquet'")
+    xs = [(q, math.floor(p * 100 + 0.5), math.floor(dd * 100 + 0.5))
+          for q, p, dd in r_]
+    n = len(xs)
+
+    def corr(i, j):
+        si = sum(t[i] for t in xs)
+        sj = sum(t[j] for t in xs)
+        sii = sum(t[i] * t[i] for t in xs)
+        sjj = sum(t[j] * t[j] for t in xs)
+        sij = sum(t[i] * t[j] for t in xs)
+        return (n * sij - si * sj) / math.sqrt(
+            (n * sii - si * si) * (n * sjj - sj * sj))
+
+    rxy, rxz, ryz = corr(0, 1), corr(0, 2), corr(1, 2)
+    rpart = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    (got,) = dump("stats_partial_corr")
+    d = dict(zip(dump_cols("stats_partial_corr"), got))
+    for c, w in [("n", n), ("r_xy", rxy), ("r_xz", rxz), ("r_yz", ryz),
+                 ("r_xy_given_z", rpart)]:
+        ok = d[c] == w if c == "n" else close(d[c], w, 1e-5)
+        if not ok:
+            mis.append((c, d[c], w))
+    report("stats_partial_corr", mis, 5)
+
+
+def audit_grubbs():
+    """Grubbs G = max|x − mean|/sd over daily revenue, population sd,
+    recomputed from raw events."""
+    mis = []
+    r_ = rows(f"SELECT CAST(date_trunc('day', ts) AS DATE), "
+              f"CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1")
+    days = dict(r_)
+    n = len(days)
+    mean = sum(days.values()) / n
+    sd = math.sqrt(sum((x - mean) ** 2 for x in days.values()) / n)
+    day, x = max(days.items(), key=lambda kv: (abs(kv[1] - mean), kv[0]))
+    # integer-argmax tiebreak replay: rank on |n·x − S| with day ASC
+    s = sum(days.values())
+    day = min((d for d, v in days.items()
+               if abs(n * v - s) == max(abs(n * v - s) for v in days.values())))
+    x = days[day]
+    (got,) = dump("stats_grubbs")
+    d = dict(zip(dump_cols("stats_grubbs"), got))
+    if d["n_days"] != n:
+        mis.append(("n_days", d["n_days"], n))
+    if str(d["outlier_day"]) != str(day):
+        mis.append(("outlier_day", d["outlier_day"], day))
+    if d["outlier_cents"] != x:
+        mis.append(("outlier_cents", d["outlier_cents"], x))
+    if not close(d["grubbs_g"], abs(x - mean) / sd, 1e-5):
+        mis.append(("grubbs_g", d["grubbs_g"], abs(x - mean) / sd))
+    report("stats_grubbs", mis, 4)
+
+
+def audit_logreg():
+    """Independent plain-float Newton refit (NO fixed-point quantization,
+    straight textbook IRLS over the raw rows) — agreement within the
+    quantization budget proves the fixed-point pipeline computes the same
+    logistic fit, not just the same bits twice."""
+    mis = []
+    r_ = rows(f"SELECT value, event_type FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view')")
+    data = [(math.floor(v * 100 + 0.5) / 10000.0,
+             1 if et == "purchase" else 0) for v, et in r_]
+    b0 = b1 = 0.0
+    for _ in range(3):
+        g0 = g1 = h00 = h01 = h11 = 0.0
+        for x, y in data:
+            p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x)))
+            w = p * (1 - p)
+            g0 += y - p
+            g1 += x * (y - p)
+            h00 += w
+            h01 += w * x
+            h11 += w * x * x
+        det = h00 * h11 - h01 * h01
+        b0 += (h11 * g0 - h01 * g1) / det
+        b1 += (h00 * g1 - h01 * g0) / det
+    acc = sum((1 if (b0 + b1 * x > 0) == (y == 1) else 0)
+              for x, y in data) / len(data)
+    (got,) = dump("ml_logreg_newton")
+    d = dict(zip(dump_cols("ml_logreg_newton"), got))
+    if d["n"] != len(data):
+        mis.append(("n", d["n"], len(data)))
+    # p4 sigmoid quantization (1e-4) perturbs each step's gradient by
+    # ~0.5e-4 per row; 3 steps compound — budget 5e-3 absolute on the
+    # coefficients (they are O(1e-2) here) and 1e-3 on accuracy
+    for c, w, tol in [("b0", b0, 5e-3), ("b1", b1, 5e-3),
+                      ("train_acc", acc, 1e-3)]:
+        if abs(d[c] - w) > tol:
+            mis.append((c, d[c], w))
+    report("ml_logreg_newton", mis, 4)
+
+
 AUDITS = {
+    "ml_logreg_newton": audit_logreg,
+    "ml_pr_f1": audit_pr_f1,
+    "stats_partial_corr": audit_partial_corr,
+    "stats_grubbs": audit_grubbs,
     "ml_feature_vector": audit_feature_vector,
     "fn_array_higher_order": audit_array_higher_order,
     "events_ab_sequential_sprt": audit_sprt,
