@@ -4286,6 +4286,255 @@ object StatsOps extends QueryPack {
     (Seq(head) ++ steps :+ tail).mkString(",\n")
   }
 
+  // Cook's distance per day on the daily-revenue-vs-time OLS — the
+  // influence diagnostic that answers which single day is DRIVING the
+  // fitted trend (a spike day can own the slope; residual size alone
+  // can't see it because high-leverage points pull the line toward
+  // themselves). Corpus → calendar-bounded daily aggregate; one broadcast
+  // moment frame; per-day leverage via the all-integer identity
+  // h_i = 1/n + (n·x_i − Sx)² / (n·(n·Sxx − Sx²)), residuals and RSS via
+  // the moment identity RSS = Syy − b0·Sy − b1·Sxy, and
+  // D_i = e²·h / (2·s²·(1−h)²) as one fixed double tree, quantized.
+  // Audit row: formula_audit.audit_cooks.
+  q("ml_cooks_distance",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100 AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+      |    CAST(SUM(y) AS HUGEINT) AS sy, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM d
+      |), b AS (
+      |  SELECT n, sx, sy, sxx, sxy, syy,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |      AS b1
+      |  FROM m
+      |), f AS (
+      |  SELECT n, sx, sxx, b1,
+      |    (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+      |      AS b0,
+      |    (CAST(syy AS DOUBLE)
+      |      - (CAST(sy AS DOUBLE) - b1 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+      |        * CAST(sy AS DOUBLE)
+      |      - b1 * CAST(sxy AS DOUBLE)) / (CAST(n AS DOUBLE) - 2) AS s2
+      |  FROM b
+      |)
+      |SELECT day, CAST(d.x AS BIGINT) AS day_idx, d.y AS revenue_dollars,
+      |  floor((CAST(d.y AS DOUBLE) - b0 - b1 * d.x) * 10000 + 0.5) / 10000
+      |    AS residual,
+      |  floor((1.0 / CAST(n AS DOUBLE)
+      |    + CAST((n * d.x - sx) * (n * d.x - sx) AS DOUBLE)
+      |      / CAST(n * (n * sxx - sx * sx) AS DOUBLE)) * 1000000 + 0.5)
+      |    / 1000000 AS leverage,
+      |  floor(
+      |    (CAST(d.y AS DOUBLE) - b0 - b1 * d.x)
+      |      * (CAST(d.y AS DOUBLE) - b0 - b1 * d.x)
+      |      * (1.0 / CAST(n AS DOUBLE)
+      |        + CAST((n * d.x - sx) * (n * d.x - sx) AS DOUBLE)
+      |          / CAST(n * (n * sxx - sx * sx) AS DOUBLE))
+      |      / (2 * s2
+      |        * (1 - (1.0 / CAST(n AS DOUBLE)
+      |          + CAST((n * d.x - sx) * (n * d.x - sx) AS DOUBLE)
+      |            / CAST(n * (n * sxx - sx * sx) AS DOUBLE)))
+      |        * (1 - (1.0 / CAST(n AS DOUBLE)
+      |          + CAST((n * d.x - sx) * (n * d.x - sx) AS DOUBLE)
+      |            / CAST(n * (n * sxx - sx * sx) AS DOUBLE))))
+      |    * 1000000 + 0.5) / 1000000 AS cooks_d
+      |FROM d, f ORDER BY day""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")).cast("long").as("x"))
+      .agg(expr("sum(cast(floor(value * 100 + 0.5) as bigint)) div 100")
+        .cast("long").as("y"))
+    val m = d.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("x").cast("decimal(38,0)").as("sx"),
+      sum("y").cast("decimal(38,0)").as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val b1 = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val b0 = (col("sy").cast("double") - b1 * col("sx").cast("double")) /
+      col("n").cast("double")
+    val s2 = (col("syy").cast("double") - b0 * col("sy").cast("double")
+      - b1 * col("sxy").cast("double")) / (col("n").cast("double") - 2)
+    val e = col("y").cast("double") - b0 - b1 * col("x")
+    val h = lit(1.0) / col("n").cast("double") +
+      ((col("n") * col("x") - col("sx")) * (col("n") * col("x") - col("sx")))
+        .cast("double") /
+      (col("n") * (col("n") * col("sxx") - col("sx") * col("sx"))).cast("double")
+    d.crossJoin(broadcast(m))
+      .select(col("day"), col("x").cast("long").as("day_idx"),
+        col("y").as("revenue_dollars"),
+        (floor(e * 10000 + lit(0.5)) / 10000).as("residual"),
+        (floor(h * 1000000 + lit(0.5)) / 1000000).as("leverage"),
+        (floor(e * e * h / (lit(2) * s2 * (lit(1) - h) * (lit(1) - h))
+          * 1000000 + lit(0.5)) / 1000000).as("cooks_d"))
+      .orderBy("day")
+  }
+
+  /** Unrolled-CTE oracle for ml_gmm_em: moment-derived deterministic init
+    * (μ = mean ∓ sd, shared variance, w = 0.5) then `iters` E+M steps as
+    * CTE layers. Responsibilities are quantized at 1e-6 per DISTINCT
+    * cents value (P17 — the exp() argument set is the histogram domain ×
+    * 2 components per step) and parameters re-quantized at 1e-9 after
+    * each M step, so both engines enter every round with identical
+    * state; the weighted sums between the seams are HUGEINT-exact
+    * (c·r6·v² ≤ 6e19 ≪ int128). An underflow tie (both scaled
+    * likelihoods 0.0) falls back to responsibility 0.5 in both engines.
+    * Each M step is TWO CTE layers because the new variance references
+    * the already-quantized new mean. */
+  private def gmmOracleSql(iters: Int): String = {
+    val head =
+      """WITH hist AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1
+        |),
+        |mom AS (
+        |  SELECT CAST(SUM(c) AS HUGEINT) AS n, CAST(SUM(c * v) AS HUGEINT) AS s,
+        |    SUM(CAST(c AS HUGEINT) * v * v) AS s2
+        |  FROM hist
+        |),
+        |g0a AS (
+        |  SELECT CAST(n AS BIGINT) AS n,
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean,
+        |    sqrt(CAST(n * s2 - s * s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 100000000.0) AS sd
+        |  FROM mom
+        |),
+        |g0 AS (
+        |  SELECT n, 0.5 AS w1,
+        |    floor((mean - sd) * 1000000000 + 0.5) / 1000000000 AS mu1,
+        |    floor((mean + sd) * 1000000000 + 0.5) / 1000000000 AS mu2,
+        |    greatest(floor(sd * sd * 1000000000 + 0.5) / 1000000000,
+        |             0.00000001) AS v1,
+        |    greatest(floor(sd * sd * 1000000000 + 0.5) / 1000000000,
+        |             0.00000001) AS v2
+        |  FROM g0a
+        |)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""e$k AS (
+         |  SELECT SUM(c * r6) AS rr1, SUM(c * (1000000 - r6)) AS rr2,
+         |    SUM(CAST(c * r6 AS HUGEINT) * v) AS m1,
+         |    SUM(CAST(c * (1000000 - r6) AS HUGEINT) * v) AS m2,
+         |    SUM(CAST(c * r6 AS HUGEINT) * v * v) AS q1,
+         |    SUM(CAST(c * (1000000 - r6) AS HUGEINT) * v * v) AS q2,
+         |    CAST(SUM(c) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT v, c, CAST(floor(
+         |      (CASE WHEN l1 + l2 > 0 THEN l1 / (l1 + l2) ELSE 0.5 END)
+         |      * 1000000 + 0.5) AS BIGINT) AS r6
+         |    FROM (
+         |      SELECT v, c,
+         |        w1 * exp(-((v / 10000.0 - mu1) * (v / 10000.0 - mu1))
+         |          / (2 * v1)) / sqrt(v1) AS l1,
+         |        (1 - w1) * exp(-((v / 10000.0 - mu2) * (v / 10000.0 - mu2))
+         |          / (2 * v2)) / sqrt(v2) AS l2
+         |      FROM hist, g${k - 1}
+         |    )
+         |  )
+         |),
+         |g${k}a AS (
+         |  SELECT n,
+         |    floor(CAST(rr1 AS DOUBLE) / 1000000.0 / n * 1000000000 + 0.5)
+         |      / 1000000000 AS w1,
+         |    floor(CAST(m1 AS DOUBLE) / CAST(rr1 AS DOUBLE) / 10000.0
+         |      * 1000000000 + 0.5) / 1000000000 AS mu1,
+         |    floor(CAST(m2 AS DOUBLE) / CAST(rr2 AS DOUBLE) / 10000.0
+         |      * 1000000000 + 0.5) / 1000000000 AS mu2,
+         |    rr1, rr2, q1, q2
+         |  FROM e$k
+         |),
+         |g$k AS (
+         |  SELECT n, w1, mu1, mu2,
+         |    greatest(floor((CAST(q1 AS DOUBLE) / CAST(rr1 AS DOUBLE)
+         |      / 100000000.0 - mu1 * mu1) * 1000000000 + 0.5) / 1000000000,
+         |      0.00000001) AS v1,
+         |    greatest(floor((CAST(q2 AS DOUBLE) / CAST(rr2 AS DOUBLE)
+         |      / 100000000.0 - mu2 * mu2) * 1000000000 + 0.5) / 1000000000,
+         |      0.00000001) AS v2
+         |  FROM g${k}a
+         |)""".stripMargin
+    }
+    val tail =
+      s"""SELECT CAST(n AS BIGINT) AS n,
+         |  floor(w1 * 1000000 + 0.5) / 1000000 AS w1,
+         |  floor(mu1 * 1000000 + 0.5) / 1000000 AS mu1,
+         |  floor(v1 * 1000000 + 0.5) / 1000000 AS var1,
+         |  floor(mu2 * 1000000 + 0.5) / 1000000 AS mu2,
+         |  floor(v2 * 1000000 + 0.5) / 1000000 AS var2
+         |FROM g$iters""".stripMargin
+    (Seq(head) ++ steps).mkString(",\n") + "\n" + tail
+  }
+
+  // Two-component 1-D Gaussian mixture by EM — the first DENSITY model in
+  // the inventory (value-distribution decomposition: is spend one
+  // population or two?). Same histogram-not-corpus shape as
+  // ml_logreg_newton: one aggregate collapses events to the ≤10⁴-row
+  // cents histogram, and all EM rounds run over that domain-bounded
+  // frame — corpus-free iterations at 100 TB. Deterministic init from
+  // exact moments (μ = mean ∓ sd, shared variance, w = ½); the graded
+  // plan collects the histogram through ops.BoundedCollect and replays
+  // the identical fixed-point EM in exact BigInt; the oracle unrolls the
+  // 3 rounds (see gmmOracleSql for the quantization seams). Audit row:
+  // formula_audit.audit_gmm (plain-float EM refit within the
+  // quantization budget).
+  q("ml_gmm_em", gmmOracleSql(3)) { (s, dir) =>
+    val histDf = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(Det.cents(col("value")).cast("long").as("v"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val hist = graft.ops.BoundedCollect.rows(histDf, "gmm cents histogram")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def quant9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    val n = hist.map(_._2).sum
+    val sN = BigInt(n)
+    val sS = hist.map { case (v, c) => BigInt(c * v) }.sum
+    val sS2 = hist.map { case (v, c) => BigInt(c) * v * v }.sum
+    val mean = sS.toDouble / sN.toDouble / 10000.0
+    val sd = math.sqrt((sN * sS2 - sS * sS).toDouble
+      / (sN.toDouble * sN.toDouble) / 1e8)
+    var w1 = 0.5
+    var mu1 = quant9(mean - sd)
+    var mu2 = quant9(mean + sd)
+    var v1 = math.max(quant9(sd * sd), 1e-8)
+    var v2 = math.max(quant9(sd * sd), 1e-8)
+    for (_ <- 1 to 3) {
+      var rr1, rr2, m1, m2, q1, q2 = BigInt(0)
+      for ((v, c) <- hist) {
+        val x = v / 10000.0
+        val l1 = w1 * math.exp(-((x - mu1) * (x - mu1)) / (2 * v1)) / math.sqrt(v1)
+        val l2 = (1 - w1) * math.exp(-((x - mu2) * (x - mu2)) / (2 * v2)) / math.sqrt(v2)
+        val r6 = math.floor(
+          (if (l1 + l2 > 0) l1 / (l1 + l2) else 0.5) * 1e6 + 0.5).toLong
+        rr1 += c * r6
+        rr2 += c * (1000000L - r6)
+        m1 += BigInt(c * r6) * v
+        m2 += BigInt(c * (1000000L - r6)) * v
+        q1 += BigInt(c * r6) * v * v
+        q2 += BigInt(c * (1000000L - r6)) * v * v
+      }
+      w1 = quant9(rr1.toDouble / 1e6 / n)
+      mu1 = quant9(m1.toDouble / rr1.toDouble / 10000.0)
+      mu2 = quant9(m2.toDouble / rr2.toDouble / 10000.0)
+      v1 = math.max(quant9(q1.toDouble / rr1.toDouble / 1e8 - mu1 * mu1), 1e-8)
+      v2 = math.max(quant9(q2.toDouble / rr2.toDouble / 1e8 - mu2 * mu2), 1e-8)
+    }
+    val q6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    import s.implicits._
+    Seq((n, q6(w1), q6(mu1), q6(v1), q6(mu2), q6(v2)))
+      .toDF("n", "w1", "mu1", "var1", "mu2", "var2")
+  }
+
   // Logistic regression (purchase-vs-view on the cent value) by Newton's
   // method — the first NON-linear model in the inventory, built on the
   // histogram-not-corpus shape every iterative op here uses: ONE corpus

@@ -3073,4 +3073,114 @@ object TimeSeriesOps extends QueryPack {
           * 1000000 + lit(0.5)) / 1000000).as("next_gain"))
       .orderBy("user_id", "day")
   }
+
+  // Augmented Dickey-Fuller unit-root test (lag 1, intercept, no trend)
+  // on the daily-revenue series: regress dx_t on (x_{t-1}, dx_{t-1}),
+  // t-statistic of the x_{t-1} coefficient gamma. The corpus collapses
+  // to the calendar-bounded daily frame in one aggregate (dollars, not
+  // cents, so every centered second moment and the 2x2 Cramer
+  // determinant stay far inside int128); lag/diff ride ONE ordered
+  // window over that bounded frame; the 2-regressor OLS solves by the
+  // demeaned Cramer ratios over exact 128-bit moments, and the residual
+  // variance comes from the RSS identity
+  // RSS = Sum y^2 - b0*Sum y - b1*Sum uy - b2*Sum wy - one fixed double
+  // tree, quantized at 1e-6. Var(gamma) = sigma^2 * m * Sww / det (the
+  // centered-moment form). Audit row: formula_audit.audit_adf.
+  q("ts_adf",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100 AS BIGINT)
+      |      AS x
+      |  FROM events GROUP BY 1
+      |), l AS (
+      |  SELECT day, x,
+      |    lag(x, 1) OVER (ORDER BY day) AS x1,
+      |    lag(x, 2) OVER (ORDER BY day) AS x2
+      |  FROM d
+      |), o AS (
+      |  SELECT x - x1 AS y, x1 AS u, x1 - x2 AS w
+      |  FROM l WHERE x2 IS NOT NULL
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+      |    CAST(SUM(y) AS HUGEINT) AS sy, CAST(SUM(u) AS HUGEINT) AS su,
+      |    CAST(SUM(w) AS HUGEINT) AS sw,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy, SUM(CAST(u AS HUGEINT) * u) AS suu,
+      |    SUM(CAST(w AS HUGEINT) * w) AS sww, SUM(CAST(u AS HUGEINT) * y) AS suy,
+      |    SUM(CAST(w AS HUGEINT) * y) AS swy, SUM(CAST(u AS HUGEINT) * w) AS suw
+      |  FROM o
+      |), c AS (
+      |  SELECT m, sy, su, sw, syy, suy, swy,
+      |    m * suu - su * su AS cuu, m * sww - sw * sw AS cww,
+      |    m * suw - su * sw AS cuw, m * suy - su * sy AS cuy,
+      |    m * swy - sw * sy AS cwy
+      |  FROM m
+      |), b AS (
+      |  SELECT CAST(m AS BIGINT) AS mm, syy, sy, suy, swy, cww,
+      |    CAST(cuu * cww - cuw * cuw AS DOUBLE) AS det,
+      |    CAST(cuy * cww - cuw * cwy AS DOUBLE) AS n1,
+      |    CAST(cuu * cwy - cuw * cuy AS DOUBLE) AS n2
+      |  FROM c
+      |), f AS (
+      |  SELECT mm, cww, det,
+      |    n1 / det AS g, n2 / det AS phi,
+      |    (CAST(sy AS DOUBLE) - n1 / det * CAST(su_d AS DOUBLE)
+      |      - n2 / det * CAST(sw_d AS DOUBLE)) / mm AS b0,
+      |    CAST(syy AS DOUBLE) AS syyd, CAST(sy AS DOUBLE) AS syd,
+      |    CAST(suy AS DOUBLE) AS suyd, CAST(swy AS DOUBLE) AS swyd
+      |  FROM b, (SELECT su AS su_d, sw AS sw_d FROM m)
+      |), t AS (
+      |  SELECT mm, g, phi,
+      |    (syyd - b0 * syd - g * suyd - phi * swyd) / (mm - 3) AS s2,
+      |    CAST(cww AS DOUBLE) / det AS invuu
+      |  FROM f
+      |)
+      |SELECT CAST(mm AS BIGINT) AS n_obs,
+      |  floor(g * 1000000 + 0.5) / 1000000 AS gamma,
+      |  floor(phi * 1000000 + 0.5) / 1000000 AS phi,
+      |  floor(g / sqrt(s2 * mm * invuu) * 1000000 + 0.5) / 1000000
+      |    AS adf_t
+      |FROM t""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(expr("sum(cast(floor(value * 100 + 0.5) as bigint)) div 100")
+        .cast("long").as("x"))
+    val wD = Window.orderBy("day")
+    val l = d.select(col("day"), col("x"),
+      lag(col("x"), 1).over(wD).as("x1"), lag(col("x"), 2).over(wD).as("x2"))
+    val o = l.filter(col("x2").isNotNull)
+      .select((col("x") - col("x1")).as("y"), col("x1").as("u"),
+        (col("x1") - col("x2")).as("w"))
+    val m = o.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+      sum("y").cast("decimal(38,0)").as("sy"),
+      sum("u").cast("decimal(38,0)").as("su"),
+      sum("w").cast("decimal(38,0)").as("sw"),
+      sum(dec(col("y")) * col("y")).as("syy"),
+      sum(dec(col("u")) * col("u")).as("suu"),
+      sum(dec(col("w")) * col("w")).as("sww"),
+      sum(dec(col("u")) * col("y")).as("suy"),
+      sum(dec(col("w")) * col("y")).as("swy"),
+      sum(dec(col("u")) * col("w")).as("suw"))
+    val cuu = col("m") * col("suu") - col("su") * col("su")
+    val cww = col("m") * col("sww") - col("sw") * col("sw")
+    val cuw = col("m") * col("suw") - col("su") * col("sw")
+    val cuy = col("m") * col("suy") - col("su") * col("sy")
+    val cwy = col("m") * col("swy") - col("sw") * col("sy")
+    val det = (cuu * cww - cuw * cuw).cast("double")
+    val n1 = (cuy * cww - cuw * cwy).cast("double")
+    val n2 = (cuu * cwy - cuw * cuy).cast("double")
+    val g = n1 / det
+    val phi = n2 / det
+    val b0 = (col("sy").cast("double") - g * col("su").cast("double")
+      - phi * col("sw").cast("double")) / col("m").cast("double")
+    val s2 = (col("syy").cast("double") - b0 * col("sy").cast("double")
+      - g * col("suy").cast("double") - phi * col("swy").cast("double")) /
+      (col("m").cast("double") - 3)
+    val invuu = cww.cast("double") / det
+    m.select(col("m").cast("long").as("n_obs"),
+      (floor(g * 1000000 + lit(0.5)) / 1000000).as("gamma"),
+      (floor(phi * 1000000 + lit(0.5)) / 1000000).as("phi"),
+      (floor(g / sqrt(s2 * col("m").cast("double") * invuu) * 1000000
+        + lit(0.5)) / 1000000).as("adf_t"))
+  }
 }

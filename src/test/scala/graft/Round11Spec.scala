@@ -54,6 +54,40 @@ class Round11Spec extends SparkSpec {
     assert(math.abs(r.getAs[Long]("outlier_cents") - mean).toDouble >= maxDev - 1e-6)
   }
 
+  test("ts_adf: gamma in (-2, 0] for a stationary-ish daily series; t has gamma's sign") {
+    val r = SparkEntry.queries("ts_adf")(spark, sf).collect()(0)
+    val g = r.getAs[Double]("gamma")
+    assert(g > -2.0 && g <= 0.5, s"gamma $g outside the plausible AR band")
+    assert(r.getAs[Double]("adf_t") * g >= 0, "t-stat must carry gamma's sign")
+    assert(r.getAs[Long]("n_obs") > 10)
+  }
+
+  test("ml_gmm_em: weights in (0,1), components ordered by init, variances positive") {
+    val r = SparkEntry.queries("ml_gmm_em")(spark, sf).collect()(0)
+    val w1 = r.getAs[Double]("w1")
+    assert(w1 > 0 && w1 < 1)
+    assert(r.getAs[Double]("var1") > 0 && r.getAs[Double]("var2") > 0)
+    assert(r.getAs[Double]("mu1") < r.getAs[Double]("mu2"),
+      "mean-minus-sd-initialized component must stay the lower one here")
+    // mixture mean must reproduce the data mean within the quantization
+    val ev = engine.Tables(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(engine.Det.cents(col("value")).cast("long").as("v"))
+    val mean = ev.agg(avg(col("v") / 10000.0)).collect()(0).getDouble(0)
+    val mixMean = w1 * r.getAs[Double]("mu1") + (1 - w1) * r.getAs[Double]("mu2")
+    assert(math.abs(mixMean - mean) < 1e-2, s"mixture mean $mixMean vs data $mean")
+  }
+
+  test("ml_cooks_distance: leverage sums to p=2, residuals sum to ~0, D nonnegative") {
+    val rows = SparkEntry.queries("ml_cooks_distance")(spark, sf).collect()
+    assert(rows.length > 10)
+    val hSum = rows.map(_.getAs[Double]("leverage")).sum
+    assert(math.abs(hSum - 2.0) < 1e-3, s"trace of hat matrix $hSum != 2")
+    val eSum = rows.map(_.getAs[Double]("residual")).sum
+    assert(math.abs(eSum) < 1.0, s"residual sum $eSum not ~0")
+    assert(rows.forall(_.getAs[Double]("cooks_d") >= 0))
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

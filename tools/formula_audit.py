@@ -3295,7 +3295,126 @@ def audit_logreg():
     report("ml_logreg_newton", mis, 4)
 
 
+def audit_adf():
+    """ADF(1) re-fit with a plain-float least-squares solve of
+    dx_t = b0 + g*x_{t-1} + phi*dx_{t-1} via the normal equations, and
+    the textbook t-statistic for g."""
+    mis = []
+    r_ = rows(f"SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+              f"CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100 "
+              f"AS BIGINT) AS x FROM '{SF}/events.parquet' "
+              f"GROUP BY 1 ORDER BY day")
+    xs = [x for _, x in r_]
+    obs = [(xs[t] - xs[t - 1], xs[t - 1], xs[t - 1] - xs[t - 2])
+           for t in range(2, len(xs))]
+    m = len(obs)
+    ym = sum(o[0] for o in obs) / m
+    um = sum(o[1] for o in obs) / m
+    wm = sum(o[2] for o in obs) / m
+    cuu = sum((u - um) ** 2 for _, u, _ in obs)
+    cww = sum((w - wm) ** 2 for _, _, w in obs)
+    cuw = sum((u - um) * (w - wm) for _, u, w in obs)
+    cuy = sum((u - um) * (y - ym) for y, u, _ in obs)
+    cwy = sum((w - wm) * (y - ym) for y, _, w in obs)
+    det = cuu * cww - cuw * cuw
+    g = (cuy * cww - cuw * cwy) / det
+    phi = (cuu * cwy - cuw * cuy) / det
+    b0 = ym - g * um - phi * wm
+    rss = sum((y - b0 - g * u - phi * w) ** 2 for y, u, w in obs)
+    s2 = rss / (m - 3)
+    se_g = math.sqrt(s2 * cww / det)
+    (got,) = dump("ts_adf")
+    d = dict(zip(dump_cols("ts_adf"), got))
+    if d["n_obs"] != m:
+        mis.append(("n_obs", d["n_obs"], m))
+    for c, w in [("gamma", g), ("phi", phi), ("adf_t", g / se_g)]:
+        if not close(d[c], w, 1e-5):
+            mis.append((c, d[c], w))
+    report("ts_adf", mis, 4)
+
+
+def audit_gmm():
+    """Plain-float 2-component EM refit (same moment init, NO fixed-point
+    quantization) — agreement within the quantization budget proves the
+    fixed-point EM computes the same mixture, not just the same bits."""
+    mis = []
+    r_ = rows(f"SELECT floor(value * 100 + 0.5) AS v, COUNT(*) AS c "
+              f"FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view') GROUP BY 1")
+    hist = [(v / 10000.0, c) for v, c in r_]
+    n = sum(c for _, c in hist)
+    mean = sum(c * x for x, c in hist) / n
+    var = sum(c * (x - mean) ** 2 for x, c in hist) / n
+    sd = math.sqrt(var)
+    w1, mu1, mu2, v1, v2 = 0.5, mean - sd, mean + sd, var, var
+    for _ in range(3):
+        rr1 = rr2 = m1 = m2 = q1 = q2 = 0.0
+        for x, c in hist:
+            l1 = w1 * math.exp(-((x - mu1) ** 2) / (2 * v1)) / math.sqrt(v1)
+            l2 = (1 - w1) * math.exp(-((x - mu2) ** 2) / (2 * v2)) / math.sqrt(v2)
+            r = l1 / (l1 + l2) if l1 + l2 > 0 else 0.5
+            rr1 += c * r
+            rr2 += c * (1 - r)
+            m1 += c * r * x
+            m2 += c * (1 - r) * x
+            q1 += c * r * x * x
+            q2 += c * (1 - r) * x * x
+        w1 = rr1 / n
+        mu1, mu2 = m1 / rr1, m2 / rr2
+        v1 = max(q1 / rr1 - mu1 * mu1, 1e-8)
+        v2 = max(q2 / rr2 - mu2 * mu2, 1e-8)
+    (got,) = dump("ml_gmm_em")
+    d = dict(zip(dump_cols("ml_gmm_em"), got))
+    if d["n"] != n:
+        mis.append(("n", d["n"], n))
+    # 1e-6 responsibility quantization compounds over 3 rounds — 1e-3
+    # absolute budget on every parameter (they are O(0.1-1))
+    for c, w in [("w1", w1), ("mu1", mu1), ("var1", v1),
+                 ("mu2", mu2), ("var2", v2)]:
+        if abs(d[c] - w) > 1e-3:
+            mis.append((c, d[c], w))
+    report("ml_gmm_em", mis, 6)
+
+
+def audit_cooks():
+    """Cook's distance recomputed from the hat-matrix definition (plain
+    float OLS, leverage from (x−x̄)²/Sxx) for every day."""
+    mis = []
+    r_ = rows(f"SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+              f"CAST(date_diff('day', DATE '2024-01-01', "
+              f"CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x, "
+              f"CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100 "
+              f"AS BIGINT) AS y FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    pts = [(x, y) for _, x, y in r_]
+    n = len(pts)
+    xm = sum(x for x, _ in pts) / n
+    ym = sum(y for _, y in pts) / n
+    sxx = sum((x - xm) ** 2 for x, _ in pts)
+    b1 = sum((x - xm) * (y - ym) for x, y in pts) / sxx
+    b0 = ym - b1 * xm
+    rss = sum((y - b0 - b1 * x) ** 2 for x, y in pts)
+    s2 = rss / (n - 2)
+    want = {}
+    for x, y in pts:
+        e = y - b0 - b1 * x
+        h = 1 / n + (x - xm) ** 2 / sxx
+        want[x] = (e, h, e * e * h / (2 * s2 * (1 - h) ** 2))
+    got = dump("ml_cooks_distance")
+    cols = dump_cols("ml_cooks_distance")
+    for row in got:
+        d = dict(zip(cols, row))
+        e, h, cd = want[d["day_idx"]]
+        for c, w, tol in [("residual", e, 1e-2), ("leverage", h, 1e-5),
+                          ("cooks_d", cd, 1e-4)]:
+            if not close(d[c], w, tol):
+                mis.append((d["day_idx"], c, d[c], w))
+    report("ml_cooks_distance", mis, len(got) * 3)
+
+
 AUDITS = {
+    "ml_cooks_distance": audit_cooks,
+    "ml_gmm_em": audit_gmm,
+    "ts_adf": audit_adf,
     "ml_logreg_newton": audit_logreg,
     "ml_pr_f1": audit_pr_f1,
     "stats_partial_corr": audit_partial_corr,
