@@ -4286,6 +4286,146 @@ object StatsOps extends QueryPack {
     (Seq(head) ++ steps :+ tail).mkString(",\n")
   }
 
+  // Isotonic (monotone) calibration of the bucket conversion curve — the
+  // PAV fit, computed NOT by the sequential pool-adjacent-violators loop
+  // but by its closed-form minimax identity
+  //   fit_i = max_{j ≤ i} min_{k ≥ i} wavg(j, k)
+  // (Barlow et al. 1972), which is pure relational algebra: cumulative
+  // sums over the ≤16-bucket frame, one bucket³ triple join (bounded by
+  // the CATALOG bucket count, never the corpus), min-then-max aggregates.
+  // Every wavg is one division of exact integers, so both engines
+  // produce bit-identical doubles and the max/min pick identically.
+  // Complements ml_calibration_ece: that measures miscalibration, this
+  // REPAIRS it (the standard post-hoc calibrator a model gate applies).
+  // Audit row: formula_audit.audit_isotonic (independent sequential PAV
+  // implementation — a genuinely different algorithm, same fit).
+  q("ml_isotonic_calibration",
+    """WITH ev AS (
+      |  SELECT LEAST(GREATEST(CAST(floor(value * 100 + 0.5) AS BIGINT), 0)
+      |      // 2500, 15) AS b,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |), bk AS (
+      |  SELECT b, CAST(SUM(y) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM ev GROUP BY b
+      |), cu AS (
+      |  SELECT b, n1, nt,
+      |    CAST(SUM(n1) OVER (ORDER BY b) AS BIGINT) AS c1,
+      |    CAST(SUM(nt) OVER (ORDER BY b) AS BIGINT) AS ct
+      |  FROM bk
+      |), pr AS (
+      |  SELECT j.b AS j, k.b AS k,
+      |    CAST(k.c1 - j.c1 + j.n1 AS DOUBLE) / (k.ct - j.ct + j.nt) AS avgjk
+      |  FROM cu j JOIN cu k ON j.b <= k.b
+      |), mn AS (
+      |  SELECT i.b AS i, pr.j, MIN(pr.avgjk) AS m
+      |  FROM cu i JOIN pr ON pr.j <= i.b AND i.b <= pr.k
+      |  GROUP BY i.b, pr.j
+      |), fit AS (
+      |  SELECT i, MAX(m) AS iso FROM mn GROUP BY i
+      |)
+      |SELECT bk.b AS bucket, bk.nt, bk.n1,
+      |  floor(CAST(bk.n1 AS DOUBLE) / bk.nt * 1000000 + 0.5) / 1000000
+      |    AS raw_rate,
+      |  floor(iso * 1000000 + 0.5) / 1000000 AS iso_rate
+      |FROM bk JOIN fit ON fit.i = bk.b
+      |ORDER BY bucket""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(least(expr(
+        "greatest(cast(floor(value * 100 + 0.5) as bigint), cast(0 as bigint)) div 2500"),
+        lit(15L)).as("b"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val bk = ev.groupBy("b").agg(sum("y").cast("long").as("n1"),
+      count(lit(1)).cast("long").as("nt"))
+    val wb = Window.orderBy("b")
+    val cu = bk.select(col("b"), col("n1"), col("nt"),
+      sum("n1").over(wb).cast("long").as("c1"),
+      sum("nt").over(wb).cast("long").as("ct"))
+    val j = cu.select(col("b").as("j"), col("n1").as("jn1"),
+      col("nt").as("jnt"), col("c1").as("jc1"), col("ct").as("jct"))
+    val k = cu.select(col("b").as("k"), col("c1").as("kc1"), col("ct").as("kct"))
+    val pr = j.join(k, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("kc1") - col("jc1") + col("jn1")).cast("double")
+          / (col("kct") - col("jct") + col("jnt"))).as("avgjk"))
+    val mn = cu.select(col("b").as("i"))
+      .join(pr, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("avgjk").as("m"))
+    val fit = mn.groupBy("i").agg(max("m").as("iso"))
+    bk.join(fit, col("i") === col("b"))
+      .select(col("b").as("bucket"), col("nt"), col("n1"),
+        (floor(col("n1").cast("double") / col("nt") * 1000000 + lit(0.5))
+          / 1000000).as("raw_rate"),
+        (floor(col("iso") * 1000000 + lit(0.5)) / 1000000).as("iso_rate"))
+      .orderBy("bucket")
+  }
+
+  // Negative-binomial fit of the per-user event-count distribution by the
+  // method of moments — the overdispersed count model a Poisson
+  // assumption fails on (events_overdispersion DETECTS the
+  // overdispersion; this fits the model that accommodates it):
+  // p = mean/var, r = mean²/(var − mean), both from exact integer
+  // user-count moments per event type. Types whose sample variance does
+  // not exceed the mean (no overdispersion) emit r = 0, p = 1 — the
+  // degenerate-Poisson convention, encoded identically in both engines.
+  // Scale: two hash aggregates (user × type counts, then type moments).
+  // Audit row: formula_audit.audit_negbin.
+  q("stats_negbin_fit",
+    """WITH uc AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(c) AS HUGEINT) AS s, SUM(CAST(c AS HUGEINT) * c) AS s2
+      |  FROM uc GROUP BY event_type
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_users,
+      |  floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5)
+      |    / 1000000 AS mean_count,
+      |  floor(CAST(n * s2 - s * s AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1000000 + 0.5)
+      |    / 1000000 AS var_count,
+      |  CASE WHEN CAST(n * s2 - s * s AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |      <= CAST(s AS DOUBLE) / CAST(n AS DOUBLE) THEN 0.0 ELSE
+      |    floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n * s2 - s * s AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5)
+      |      / 1000000
+      |  END AS nb_r,
+      |  CASE WHEN CAST(n * s2 - s * s AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |      <= CAST(s AS DOUBLE) / CAST(n AS DOUBLE) THEN 1.0 ELSE
+      |    floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n * s2 - s * s AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1000000 + 0.5)
+      |      / 1000000
+      |  END AS nb_p
+      |FROM m ORDER BY event_type""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val uc = Tables(s, dir, "events")
+      .groupBy("event_type", "user_id").agg(count(lit(1)).cast("long").as("c"))
+    val m = uc.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("c").cast("decimal(38,0)").as("s"),
+        sum(dec(col("c")) * col("c")).as("s2"))
+    val mean = col("s").cast("double") / col("n").cast("double")
+    val vr = (col("n") * col("s2") - col("s") * col("s")).cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    m.select(col("event_type"), col("n").cast("long").as("n_users"),
+        (floor(mean * 1000000 + lit(0.5)) / 1000000).as("mean_count"),
+        (floor(vr * 1000000 + lit(0.5)) / 1000000).as("var_count"),
+        when(vr <= mean, lit(0.0)).otherwise(
+          floor(mean * mean / (vr - mean) * 1000000 + lit(0.5)) / 1000000)
+          .as("nb_r"),
+        when(vr <= mean, lit(1.0)).otherwise(
+          floor(mean / vr * 1000000 + lit(0.5)) / 1000000).as("nb_p"))
+      .orderBy("event_type")
+  }
+
   // Cook's distance per day on the daily-revenue-vs-time OLS — the
   // influence diagnostic that answers which single day is DRIVING the
   // fitted trend (a spike day can own the slope; residual size alone

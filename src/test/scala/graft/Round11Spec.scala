@@ -88,6 +88,36 @@ class Round11Spec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("cooks_d") >= 0))
   }
 
+  test("ml_isotonic_calibration: fit is monotone, bounded by [0,1], conserves weighted mass") {
+    val rows = SparkEntry.queries("ml_isotonic_calibration")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val iso = rows.map(_.getAs[Double]("iso_rate"))
+    assert(iso.sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-9),
+      "isotonic fit must be non-decreasing")
+    assert(iso.forall(v => v >= 0 && v <= 1))
+    // PAV preserves the weighted mean: sum nt*iso == sum n1
+    val mass = rows.map(r => r.getAs[Long]("nt") * r.getAs[Double]("iso_rate")).sum
+    val pos = rows.map(_.getAs[Long]("n1")).sum
+    assert(math.abs(mass - pos) < 1.0, s"weighted fit mass $mass vs positives $pos")
+  }
+
+  test("stats_negbin_fit: moment identities — p = mean/var, r*(1-p)/p = mean when overdispersed") {
+    val rows = SparkEntry.queries("stats_negbin_fit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_count"); val vr = r.getAs[Double]("var_count")
+      val nbR = r.getAs[Double]("nb_r"); val nbP = r.getAs[Double]("nb_p")
+      if (vr > mean) {
+        assert(math.abs(nbP - mean / vr) < 1e-4)
+        // NB mean identity: r(1-p)/p = mean
+        assert(math.abs(nbR * (1 - nbP) / nbP - mean) < 0.05,
+          s"NB mean identity broken: ${nbR * (1 - nbP) / nbP} vs $mean")
+      } else {
+        assert(nbR == 0.0 && nbP == 1.0, "degenerate-Poisson convention")
+      }
+    }
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

@@ -3411,7 +3411,78 @@ def audit_cooks():
     report("ml_cooks_distance", mis, len(got) * 3)
 
 
+def audit_isotonic():
+    """Isotonic fit recomputed with the SEQUENTIAL pool-adjacent-violators
+    algorithm — a genuinely different algorithm from the query's minimax
+    triple-join identity; agreement proves the identity was applied
+    correctly."""
+    mis = []
+    r_ = rows(f"SELECT LEAST(GREATEST(CAST(floor(value * 100 + 0.5) "
+              f"AS BIGINT), 0) // 2500, 15) AS b, "
+              f"CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+              f"END) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS nt "
+              f"FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view') "
+              f"GROUP BY 1 ORDER BY b")
+    # sequential PAV: pools of (sum1, sumn); merge while out of order
+    pools = []  # [b_list, s1, sn]
+    for b, n1, nt in r_:
+        pools.append(([b], n1, nt))
+        while len(pools) > 1 and \
+                pools[-2][1] * pools[-1][2] >= pools[-1][1] * pools[-2][2]:
+            bl2, s12, sn2 = pools.pop()
+            bl1, s11, sn1 = pools.pop()
+            pools.append((bl1 + bl2, s11 + s12, sn1 + sn2))
+    fit = {}
+    for bl, s1, sn in pools:
+        for b in bl:
+            fit[b] = s1 / sn
+    got = dump("ml_isotonic_calibration")
+    cols = dump_cols("ml_isotonic_calibration")
+    prev = -1.0
+    for row in got:
+        d = dict(zip(cols, row))
+        if not close(d["iso_rate"], fit[d["bucket"]], 1e-5):
+            mis.append((d["bucket"], d["iso_rate"], fit[d["bucket"]]))
+        if d["iso_rate"] < prev - 1e-9:
+            mis.append((d["bucket"], "monotonicity violated", d["iso_rate"]))
+        prev = d["iso_rate"]
+        if not close(d["raw_rate"], d["n1"] / d["nt"], 1e-5):
+            mis.append((d["bucket"], "raw", d["raw_rate"], d["n1"] / d["nt"]))
+    report("ml_isotonic_calibration", mis, len(got) * 3)
+
+
+def audit_negbin():
+    """Method-of-moments NB fit recomputed from per-user counts."""
+    mis = []
+    r_ = rows(f"SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    per = {}
+    for et, _, c in r_:
+        per.setdefault(et, []).append(c)
+    got = dump("stats_negbin_fit")
+    cols = dump_cols("stats_negbin_fit")
+    for row in got:
+        d = dict(zip(cols, row))
+        cs = per[d["event_type"]]
+        n = len(cs)
+        mean = sum(cs) / n
+        var = sum((c - mean) ** 2 for c in cs) / n
+        if var > mean:
+            r_nb, p_nb = mean * mean / (var - mean), mean / var
+        else:
+            r_nb, p_nb = 0.0, 1.0
+        for c, w in [("n_users", n), ("mean_count", mean),
+                     ("var_count", var), ("nb_r", r_nb), ("nb_p", p_nb)]:
+            ok = d[c] == w if c == "n_users" else close(d[c], w, 1e-4)
+            if not ok:
+                mis.append((d["event_type"], c, d[c], w))
+    report("stats_negbin_fit", mis, len(got) * 5)
+
+
 AUDITS = {
+    "ml_isotonic_calibration": audit_isotonic,
+    "stats_negbin_fit": audit_negbin,
     "ml_cooks_distance": audit_cooks,
     "ml_gmm_em": audit_gmm,
     "ts_adf": audit_adf,
