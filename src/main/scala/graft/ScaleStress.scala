@@ -380,6 +380,27 @@ object ScaleStress {
       srcSimPairs(sd1))
     time("source-trigram similarity 10x planted-hot-trigram (50k docs, 20 sources)")(
       srcSimPairs(sd10))
+
+    // histogram-bounded iterative fits (r9): ml_logreg_newton / ml_gmm_em
+    // iterate over the DISTINCT-cents histogram, so 10× the corpus with
+    // the SAME value domain must cost ~the one extra corpus→histogram
+    // aggregate and nothing per round. Replicate events 10× with shifted
+    // user ids (values untouched → identical histogram width) into a temp
+    // fixture dir and run the graded queries against it.
+    val stressDir = "/tmp/graft_stress_sf"
+    val evFull = engine.Tables(spark, dir, "events")
+    (0 until 10).map(i =>
+        evFull.withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$stressDir/events.parquet")
+    time("logreg newton 3 rounds 1x (600k events)")(
+      SparkEntry.queries("ml_logreg_newton")(spark, dir).collect()(0).getLong(0))
+    time("logreg newton 3 rounds 10x (6M events, same cents domain)")(
+      SparkEntry.queries("ml_logreg_newton")(spark, stressDir).collect()(0).getLong(0))
+    time("gmm em 3 rounds 1x (600k events)")(
+      SparkEntry.queries("ml_gmm_em")(spark, dir).collect()(0).getLong(0))
+    time("gmm em 3 rounds 10x (6M events, same cents domain)")(
+      SparkEntry.queries("ml_gmm_em")(spark, stressDir).collect()(0).getLong(0))
     spark.stop()
   }
 }

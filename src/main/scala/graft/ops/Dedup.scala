@@ -184,9 +184,10 @@ object Dedup {
     * md5 is bit-identical in every engine, so the WHOLE pipeline —
     * signatures, band buckets, candidates, verified pairs — is
     * SQL-expressible and DuckDB-oracled (r8; it was xxhash64-seeded and
-    * golden-only before). h1 = first 60 md5 bits, h2 = 28 bits from the
-    * second half: disjoint digest bits, so the derived family keeps the
-    * pairwise independence LSH banding needs. */
+    * golden-only before). h1 = first 60 md5 bits, h2 = odd-forced from
+    * 28 bits of the second half (2·bits + 1, so h2 can never be 0 and
+    * collapse the family onto h1): disjoint digest bits, so the derived
+    * family keeps the pairwise independence LSH banding needs. */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    k: Int, numHashes: Int, bands: Int, tau: Double): DataFrame =
   // same memo seam as jaccardPairs: llm_dedup_minhash and llm_dedup_eval
@@ -200,7 +201,11 @@ object Dedup {
     // signature[i] = min over shingles of (h1 + i*h2) — Kirsch-Mitzenmacher
     // double hashing: 2 digest slices per shingle instead of numHashes, the
     // derived family keeps the min-wise independence LSH banding needs.
-    // h1 < 2^60 and h2 < 2^28 bound h1 + i*h2 below 2^63 for i ≤ 2^34, so
+    // h2 = 2·(28 digest bits) + 1 is forced ODD (r8 advice): h2 = 0 had
+    // probability 2^-28 per shingle and would collapse all derived hashes
+    // to h1, quietly weakening the family's pairwise independence; the
+    // oracle twin applies the identical *2+1 (intentional r9 re-baseline).
+    // h1 < 2^60 and h2 < 2^29 bound h1 + i*h2 below 2^63 for i ≤ 2^33, so
     // the sum never overflows (ANSI mode throws on wrap, and a wrapped min
     // would not be a valid permutation surrogate anyway).
     require(numHashes <= (1 << 26), "derived-hash family bound")
@@ -210,7 +215,7 @@ object Dedup {
     val sig = sh.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"),
         conv(substring(dig, 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(dig, 17, 7), 16, 10).cast("long").as("h2"))
+        (conv(substring(dig, 17, 7), 16, 10).cast("long") * 2 + 1).as("h2"))
       .groupBy("id")
       .agg(minHashes.head, minHashes.tail: _*)
     // band j hashes rows [j*r, (j+1)*r) — the bucket is an md5 slice of the

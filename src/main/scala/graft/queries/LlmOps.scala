@@ -252,7 +252,7 @@ object LlmOps extends QueryPack {
     """hh AS (
       |  SELECT doc_id,
       |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h1,
-      |    CAST(('0x' || substr(md5(sg), 17, 7)) AS BIGINT) AS h2
+      |    CAST(('0x' || substr(md5(sg), 17, 7)) AS BIGINT) * 2 + 1 AS h2
       |  FROM e
       |), sig AS (
       |  SELECT doc_id, i, MIN(h1 + i * h2) AS hv
