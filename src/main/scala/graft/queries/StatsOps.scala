@@ -4174,6 +4174,154 @@ object StatsOps extends QueryPack {
         * 1000000 + lit(0.5)) / 1000000).as("r_xy_given_z"))
   }
 
+  // Cumulative gains / lift table by score decile — the campaign-targeting
+  // readout (top-scored decile captures what share of purchasers?) that
+  // complements ml_pr_f1's fixed thresholds and ml_roc_auc's integral.
+  // Deciles are VALUE-RANKED off the cents histogram, never a corpus
+  // ntile: decile(v) = ⌊(#rows with higher v)·10/n⌋, so every row of
+  // equal score lands in one decile (deterministic under ties — an ANSI
+  // ntile would split a tie run by arbitrary physical order) and the
+  // assignment is one window over the ≤10⁴-row histogram, not a
+  // single-task corpus sort. Capture and lift are one-division doubles
+  // over exact integer counts. Audit row: formula_audit.audit_lift.
+  q("ml_lift_gains",
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |), h AS (
+      |  SELECT v, CAST(SUM(y) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM ev GROUP BY v
+      |), t AS (
+      |  SELECT CAST(SUM(n1) AS BIGINT) AS tot1, CAST(SUM(nt) AS BIGINT) AS totn
+      |  FROM h
+      |), c AS (
+      |  SELECT v, n1, nt,
+      |    CAST(COALESCE(SUM(nt) OVER (ORDER BY v DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cumhi
+      |  FROM h
+      |), d AS (
+      |  SELECT CAST(cumhi * 10 // totn AS BIGINT) AS decile,
+      |    CAST(SUM(nt) AS BIGINT) AS n_rows, CAST(SUM(n1) AS BIGINT) AS n_pos
+      |  FROM c, t GROUP BY 1
+      |), g AS (
+      |  SELECT decile, n_rows, n_pos,
+      |    CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      |  FROM d
+      |)
+      |SELECT decile, n_rows, n_pos,
+      |  floor(CAST(cum_pos AS DOUBLE) / tot1 * 1000000 + 0.5) / 1000000
+      |    AS capture,
+      |  floor(CAST(n_pos AS DOUBLE) / n_rows
+      |    / (CAST(tot1 AS DOUBLE) / totn) * 1000000 + 0.5) / 1000000 AS lift
+      |FROM g, t ORDER BY decile""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(Det.cents(col("value")).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val h = ev.groupBy("v").agg(sum("y").cast("long").as("n1"),
+      count(lit(1)).cast("long").as("nt"))
+    val t = h.agg(sum("n1").cast("long").as("tot1"),
+      sum("nt").cast("long").as("totn"))
+    val wHi = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = h.select(col("v"), col("n1"), col("nt"),
+      coalesce(sum("nt").over(wHi), lit(0L)).cast("long").as("cumhi"))
+    val d = c.crossJoin(broadcast(t))
+      .groupBy(expr("cumhi * 10 div totn").cast("long").as("decile"))
+      .agg(sum("nt").cast("long").as("n_rows"), sum("n1").cast("long").as("n_pos"))
+    val g = d.select(col("decile"), col("n_rows"), col("n_pos"),
+      sum("n_pos").over(Window.orderBy("decile")).cast("long").as("cum_pos"))
+    g.crossJoin(broadcast(t))
+      .select(col("decile"), col("n_rows"), col("n_pos"),
+        (floor(col("cum_pos").cast("double") / col("tot1") * 1000000
+          + lit(0.5)) / 1000000).as("capture"),
+        (floor(col("n_pos").cast("double") / col("n_rows")
+          / (col("tot1").cast("double") / col("totn")) * 1000000 + lit(0.5))
+          / 1000000).as("lift"))
+      .orderBy("decile")
+  }
+
+  // Generalized ESD (iterated Grubbs, 3 rounds unrolled) over the daily
+  // revenue series — the multi-outlier extension stats_grubbs can't do
+  // (a second outlier masks the first in a single Grubbs pass). Each
+  // round recomputes the exact integer moments over the REMAINING days
+  // and ranks on |n·x − S| (integer-deterministic, day tiebreak); the
+  // removal chain is three CTE blocks over the calendar-bounded daily
+  // frame — same unroll device as the BPE/Newton oracles. Emits (round,
+  // day, value, esd_r) for the 3 candidate outliers in removal order.
+  // Audit row: formula_audit.audit_esd.
+  q("events_anomaly_esd",
+    """WITH d0 AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1
+      |), m1 AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx FROM d0
+      |), o1 AS (
+      |  SELECT day, x, abs(CAST(n AS HUGEINT) * x - sx) AS adev, n, sx, sxx
+      |  FROM d0, m1 ORDER BY adev DESC, day LIMIT 1
+      |), d1 AS (SELECT day, x FROM d0 WHERE day <> (SELECT day FROM o1)
+      |), m2 AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx FROM d1
+      |), o2 AS (
+      |  SELECT day, x, abs(CAST(n AS HUGEINT) * x - sx) AS adev, n, sx, sxx
+      |  FROM d1, m2 ORDER BY adev DESC, day LIMIT 1
+      |), d2 AS (SELECT day, x FROM d1 WHERE day <> (SELECT day FROM o2)
+      |), m3 AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx FROM d2
+      |), o3 AS (
+      |  SELECT day, x, abs(CAST(n AS HUGEINT) * x - sx) AS adev, n, sx, sxx
+      |  FROM d2, m3 ORDER BY adev DESC, day LIMIT 1
+      |)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS INT) AS round, day, CAST(x AS BIGINT) AS day_cents,
+      |    floor(CAST(adev AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000 + 0.5)
+      |      / 1000000 AS esd_r
+      |  FROM o1
+      |  UNION ALL SELECT 2, day, CAST(x AS BIGINT),
+      |    floor(CAST(adev AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000 + 0.5)
+      |      / 1000000 FROM o2
+      |  UNION ALL SELECT 3, day, CAST(x AS BIGINT),
+      |    floor(CAST(adev AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000 + 0.5)
+      |      / 1000000 FROM o3
+      |) ORDER BY round""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d0 = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).cast("long").as("x"))
+      .localCheckpoint()
+    def pick(d: org.apache.spark.sql.DataFrame) = {
+      val m = d.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum(dec(col("x")) * col("x")).as("sxx"))
+      d.crossJoin(broadcast(m))
+        .select(col("day"), col("x"), col("n"), col("sx"), col("sxx"),
+          abs(col("n") * col("x") - col("sx")).as("adev"))
+        .orderBy(col("adev").desc, col("day")).limit(1)
+    }
+    def row(o: org.apache.spark.sql.DataFrame, r: Int) =
+      o.select(lit(r).cast("int").as("round"), col("day"),
+        col("x").cast("long").as("day_cents"),
+        (floor(col("adev").cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * 1000000 + lit(0.5)) / 1000000).as("esd_r"))
+    val o1 = pick(d0).localCheckpoint()
+    val d1 = d0.join(o1.select(col("day")), Seq("day"), "left_anti")
+    val o2 = pick(d1).localCheckpoint()
+    val d2 = d1.join(o2.select(col("day")), Seq("day"), "left_anti")
+    val o3 = pick(d2).localCheckpoint()
+    row(o1, 1).unionByName(row(o2, 2)).unionByName(row(o3, 3))
+      .orderBy("round")
+  }
+
   // Grubbs outlier statistic over the daily-revenue series: G =
   // max|x − mean| / sd, with the deviation ranked on the EXACT integer
   // |n·x − S| (so the argmax day is integer-deterministic, day as

@@ -118,6 +118,36 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("ml_lift_gains: capture monotone to 1.0, rows conserve, mean lift = 1") {
+    val rows = SparkEntry.queries("ml_lift_gains")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val caps = rows.map(_.getAs[Double]("capture"))
+    assert(caps.sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-9))
+    assert(math.abs(caps.last - 1.0) < 1e-6, s"final capture ${caps.last}")
+    val total = engine.Tables(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "view")).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    // row-weighted mean lift is exactly 1 (sum n_pos / expectation)
+    val wLift = rows.map(r => r.getAs[Long]("n_pos")).sum.toDouble /
+      (rows.map(_.getAs[Long]("n_rows")).sum.toDouble *
+        (rows.map(_.getAs[Long]("n_pos")).sum.toDouble / total))
+    assert(math.abs(wLift - 1.0) < 1e-9)
+  }
+
+  test("events_anomaly_esd: 3 distinct days in removal order, each round's R > 0") {
+    val rows = SparkEntry.queries("events_anomaly_esd")(spark, sf).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[java.sql.Date]("day")).distinct.length == 3)
+    assert(rows.forall(_.getAs[Double]("esd_r") > 0))
+    // round 1 must agree with stats_grubbs (same statistic, full set)
+    val g = SparkEntry.queries("stats_grubbs")(spark, sf).collect()(0)
+    val r1 = rows.find(_.getAs[Int]("round") == 1).get
+    assert(r1.getAs[java.sql.Date]("day").toString ==
+      g.getAs[java.sql.Date]("outlier_day").toString)
+    assert(math.abs(r1.getAs[Double]("esd_r") - g.getAs[Double]("grubbs_g")) < 1e-9)
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

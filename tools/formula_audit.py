@@ -3480,7 +3480,78 @@ def audit_negbin():
     report("stats_negbin_fit", mis, len(got) * 5)
 
 
+def audit_lift():
+    """Gains/lift recomputed from raw rows: sort by score desc, value-ranked
+    decile = floor(rows_with_higher_score * 10 / n), capture and lift."""
+    mis = []
+    r_ = rows(f"SELECT floor(value * 100 + 0.5) AS v, "
+              f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+              f"FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view')")
+    from collections import Counter
+    nt = Counter()
+    n1 = Counter()
+    for v, y in r_:
+        nt[v] += 1
+        n1[v] += y
+    n = sum(nt.values())
+    tot1 = sum(n1.values())
+    per = {}
+    cumhi = 0
+    for v in sorted(nt, reverse=True):
+        d = cumhi * 10 // n
+        a, b = per.get(d, (0, 0))
+        per[d] = (a + nt[v], b + n1[v])
+        cumhi += nt[v]
+    got = dump("ml_lift_gains")
+    cols = dump_cols("ml_lift_gains")
+    cum = 0
+    for row in sorted(got, key=lambda r: r[cols.index("decile")]):
+        d = dict(zip(cols, row))
+        wr, wp = per[d["decile"]]
+        cum += wp
+        if (d["n_rows"], d["n_pos"]) != (wr, wp):
+            mis.append((d["decile"], "counts", (d["n_rows"], d["n_pos"]),
+                        (wr, wp)))
+        if not close(d["capture"], cum / tot1, 1e-5):
+            mis.append((d["decile"], "capture", d["capture"], cum / tot1))
+        if not close(d["lift"], (wp / wr) / (tot1 / n), 1e-4):
+            mis.append((d["decile"], "lift", d["lift"], (wp / wr) / (tot1 / n)))
+    report("ml_lift_gains", mis, len(got) * 4)
+
+
+def audit_esd():
+    """Generalized ESD replayed sequentially in float: remove the max
+    studentized deviation 3 times, recomputing mean/sd each round."""
+    mis = []
+    r_ = rows(f"SELECT CAST(date_trunc('day', ts) AS DATE), "
+              f"CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1")
+    days = dict(r_)
+    got = sorted(dump("events_anomaly_esd"))
+    cols = dump_cols("events_anomaly_esd")
+    for row in got:
+        d = dict(zip(cols, row))
+        n = len(days)
+        mean = sum(days.values()) / n
+        sd = math.sqrt(sum((x - mean) ** 2 for x in days.values()) / n)
+        day = min(dd for dd, x in days.items()
+                  if abs(x - mean) == max(abs(v - mean)
+                                          for v in days.values()))
+        if str(d["day"]) != str(day):
+            mis.append((d["round"], "day", d["day"], day))
+        if d["day_cents"] != days[day]:
+            mis.append((d["round"], "cents", d["day_cents"], days[day]))
+        if not close(d["esd_r"], abs(days[day] - mean) / sd, 1e-5):
+            mis.append((d["round"], "r", d["esd_r"],
+                        abs(days[day] - mean) / sd))
+        del days[day]
+    report("events_anomaly_esd", mis, len(got) * 3)
+
+
 AUDITS = {
+    "ml_lift_gains": audit_lift,
+    "events_anomaly_esd": audit_esd,
     "ml_isotonic_calibration": audit_isotonic,
     "stats_negbin_fit": audit_negbin,
     "ml_cooks_distance": audit_cooks,
