@@ -3338,6 +3338,152 @@ object StatsOps extends QueryPack {
         (floor(col("wg") * 1000000 + lit(0.5)) / 1000000).as("gini_split"))
   }
 
+  /** One tree-node CTE block for ml_tree_depth2: candidate splits over
+    * BOTH features (value cents, hour) from the node's 2-D histogram
+    * `src`, cumulative class counts per feature marginal, the stump's
+    * exact weighted-gini double tree, and the argmin pick ranked on the
+    * 1e-8 fixed-point image with (feature, threshold) tiebreak. */
+  private def treeNodeCtes(tag: String, src: String): String =
+    s"""c$tag AS (
+       |  SELECT feat, thr,
+       |    SUM(h1) OVER (PARTITION BY feat ORDER BY thr) AS l1,
+       |    SUM(h0) OVER (PARTITION BY feat ORDER BY thr) AS l0
+       |  FROM (
+       |    SELECT 'v' AS feat, v AS thr, SUM(n1) AS h1, SUM(n0) AS h0
+       |    FROM $src GROUP BY v
+       |    UNION ALL
+       |    SELECT 'hr', hr, SUM(n1), SUM(n0) FROM $src GROUP BY hr
+       |  )
+       |), t$tag AS (
+       |  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n0) AS BIGINT) AS t0
+       |  FROM $src
+       |), g$tag AS (
+       |  SELECT feat, thr, l1, l0, t1 - l1 AS r1, t0 - l0 AS r0, t1, t0,
+       |    ((l1 + l0) - (CAST(l1 AS DOUBLE) * l1 + CAST(l0 AS DOUBLE) * l0)
+       |       / (l1 + l0)
+       |     + (t1 - l1 + t0 - l0)
+       |     - (CAST(t1 - l1 AS DOUBLE) * (t1 - l1)
+       |        + CAST(t0 - l0 AS DOUBLE) * (t0 - l0))
+       |       / (t1 - l1 + t0 - l0))
+       |    / (t1 + t0) AS wg
+       |  FROM c$tag, t$tag
+       |  WHERE l1 + l0 > 0 AND (t1 - l1) + (t0 - l0) > 0
+       |), p$tag AS (
+       |  SELECT feat, thr, t1, t0, wg, row_number() OVER (
+       |    ORDER BY CAST(floor(wg * 100000000 + 0.5) AS BIGINT), feat, thr)
+       |    AS rn
+       |  FROM g$tag
+       |)""".stripMargin
+
+  // Depth-2 decision tree over TWO features (value cents, hour of day) —
+  // real recursive tree induction, not a single stump: the root picks the
+  // gini-optimal (feature, threshold) pair, then each child re-runs the
+  // identical search on its conditioned sub-histogram. Everything runs on
+  // the (v, hr) 2-D histogram (domain-bounded: ≤10⁴ × 24 — the corpus is
+  // touched once), the child predicates come from a BROADCAST join with
+  // the 1-row root choice (no driver round-trip), and each node's argmin
+  // is the stump's integer-deterministic fixed-point rank with (feature,
+  // threshold) tiebreak — so the whole induction is one DAG both engines
+  // evaluate identically. Audit row: formula_audit.audit_tree2 (an
+  // independent greedy induction over raw rows).
+  q("ml_tree_depth2",
+    s"""WITH ev AS (
+       |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+       |    CAST(hour(ts) AS BIGINT) AS hr,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events WHERE event_type IN ('purchase', 'view')
+       |), h2 AS (
+       |  SELECT v, hr, CAST(SUM(y) AS BIGINT) AS n1,
+       |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0
+       |  FROM ev GROUP BY v, hr
+       |),
+       |${treeNodeCtes("root", "h2")},
+       |r AS (SELECT feat, thr FROM proot WHERE rn = 1),
+       |h2l AS (
+       |  SELECT h2.* FROM h2, r
+       |  WHERE (r.feat = 'v' AND h2.v <= r.thr)
+       |     OR (r.feat = 'hr' AND h2.hr <= r.thr)
+       |),
+       |h2r AS (
+       |  SELECT h2.* FROM h2, r
+       |  WHERE NOT ((r.feat = 'v' AND h2.v <= r.thr)
+       |          OR (r.feat = 'hr' AND h2.hr <= r.thr))
+       |),
+       |${treeNodeCtes("l", "h2l")},
+       |${treeNodeCtes("rr", "h2r")}
+       |SELECT * FROM (
+       |  SELECT 'root' AS node, feat, CAST(thr AS BIGINT) AS threshold,
+       |    CAST(t1 + t0 AS BIGINT) AS n, t1 AS n_pos,
+       |    floor(wg * 1000000 + 0.5) / 1000000 AS gini_split
+       |  FROM proot WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'left', feat, CAST(thr AS BIGINT), CAST(t1 + t0 AS BIGINT),
+       |    t1, floor(wg * 1000000 + 0.5) / 1000000
+       |  FROM pl WHERE rn = 1
+       |  UNION ALL
+       |  SELECT 'right', feat, CAST(thr AS BIGINT), CAST(t1 + t0 AS BIGINT),
+       |    t1, floor(wg * 1000000 + 0.5) / 1000000
+       |  FROM prr WHERE rn = 1
+       |) ORDER BY node""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(Det.cents(col("value")).cast("long").as("v"),
+        hour(col("ts")).cast("long").as("hr"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val h2 = ev.groupBy("v", "hr")
+      .agg(sum("y").cast("long").as("n1"),
+        (count(lit(1)) - sum("y")).cast("long").as("n0"))
+      .localCheckpoint()
+    // one node's best (feature, threshold): the stump machinery over the
+    // union of both feature marginals, ranked on the 1e-8 wg image
+    def bestSplit(node: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      def cand(feat: String) = {
+        val hist = node.groupBy(col(feat).as("thr"))
+          .agg(sum("n1").as("h1"), sum("n0").as("h0"))
+        val w = Window.partitionBy(lit(feat))
+          .orderBy("thr").rowsBetween(Window.unboundedPreceding, 0)
+        hist.select(lit(feat).as("feat"), col("thr"),
+          sum("h1").over(w).as("l1"), sum("h0").over(w).as("l0"))
+      }
+      val cands = cand("v").unionByName(cand("hr"))
+      val t = node.agg(sum("n1").cast("long").as("t1"),
+        sum("n0").cast("long").as("t0"))
+      val r1 = col("t1") - col("l1")
+      val r0 = col("t0") - col("l0")
+      val wg = ((col("l1") + col("l0"))
+        - (col("l1").cast("double") * col("l1")
+          + col("l0").cast("double") * col("l0")) / (col("l1") + col("l0"))
+        + (r1 + r0)
+        - (r1.cast("double") * r1 + r0.cast("double") * r0) / (r1 + r0)) /
+        (col("t1") + col("t0"))
+      cands.crossJoin(broadcast(t))
+        .filter(col("l1") + col("l0") > 0 && r1 + r0 > 0)
+        .select(col("feat"), col("thr"), col("t1"), col("t0"), wg.as("wg"))
+        .withColumn("rn", row_number().over(Window.orderBy(
+          floor(col("wg") * 100000000 + lit(0.5)).cast("long"),
+          col("feat"), col("thr"))))
+        .filter(col("rn") === 1)
+    }
+    val root = bestSplit(h2).localCheckpoint()
+    val rSel = root.select(col("feat").as("rfeat"), col("thr").as("rthr"))
+    val leftPred = (col("rfeat") === "v" && col("v") <= col("rthr")) ||
+      (col("rfeat") === "hr" && col("hr") <= col("rthr"))
+    val h2l = h2.crossJoin(broadcast(rSel)).filter(leftPred)
+      .drop("rfeat", "rthr")
+    val h2r = h2.crossJoin(broadcast(rSel)).filter(!leftPred)
+      .drop("rfeat", "rthr")
+    def out(p: org.apache.spark.sql.DataFrame, name: String) =
+      p.select(lit(name).as("node"), col("feat"),
+        col("thr").cast("long").as("threshold"),
+        (col("t1") + col("t0")).cast("long").as("n"),
+        col("t1").as("n_pos"),
+        (floor(col("wg") * 1000000 + lit(0.5)) / 1000000).as("gini_split"))
+    out(root, "root")
+      .unionByName(out(bestSplit(h2l), "left"))
+      .unionByName(out(bestSplit(h2r), "right"))
+      .orderBy("node")
+  }
+
   // Cohen's d (pooled-SD standardized mean difference) of each event
   // type's value against the 'view' baseline, with Hedges' g small-sample
   // correction — the effect-size readout next to events_ab_welch's

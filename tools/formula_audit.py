@@ -3549,7 +3549,63 @@ def audit_esd():
     report("events_anomaly_esd", mis, len(got) * 3)
 
 
+def audit_tree2():
+    """Independent greedy depth-2 induction over raw rows: brute-force
+    every (feature, threshold) candidate with plain-float weighted gini,
+    tiebreak (gini, feature name, threshold), recurse once."""
+    mis = []
+    r_ = rows(f"SELECT CAST(floor(value * 100 + 0.5) AS BIGINT), "
+              f"CAST(hour(ts) AS BIGINT), "
+              f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+              f"FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view')")
+    data = [(v, h, y) for v, h, y in r_]
+
+    def gini_term(a, b):
+        n = a + b
+        return n - (a * a + b * b) / n
+
+    def best(rows_):
+        t1 = sum(y for _, _, y in rows_)
+        t0 = len(rows_) - t1
+        cands = []
+        for fi, fname in [(0, "v"), (1, "hr")]:
+            for thr in sorted({r[fi] for r in rows_}):
+                l1 = sum(y for r in rows_ for y in [r[2]] if r[fi] <= thr)
+                ln = sum(1 for r in rows_ if r[fi] <= thr)
+                l0 = ln - l1
+                r1, r0 = t1 - l1, t0 - l0
+                if ln == 0 or r1 + r0 == 0:
+                    continue
+                wg = (gini_term(l1, l0) + gini_term(r1, r0)) / (t1 + t0)
+                cands.append((math.floor(wg * 1e8 + 0.5), fname, thr, wg))
+        cands.sort()
+        _, f, thr, wg = cands[0]
+        return f, thr, wg, t1, t0
+
+    got = {r[0]: r for r in dump("ml_tree_depth2")}
+    cols = dump_cols("ml_tree_depth2")
+
+    def check(name, rows_):
+        f, thr, wg, t1, t0 = best(rows_)
+        d = dict(zip(cols, got[name]))
+        if (d["feat"], d["threshold"]) != (f, thr):
+            mis.append((name, "split", (d["feat"], d["threshold"]), (f, thr)))
+        if d["n"] != t1 + t0 or d["n_pos"] != t1:
+            mis.append((name, "counts", (d["n"], d["n_pos"]), (t1 + t0, t1)))
+        if not close(d["gini_split"], wg, 1e-5):
+            mis.append((name, "gini", d["gini_split"], wg))
+        return f, thr
+
+    f, thr = check("root", data)
+    fi = 0 if f == "v" else 1
+    check("left", [r for r in data if r[fi] <= thr])
+    check("right", [r for r in data if r[fi] > thr])
+    report("ml_tree_depth2", mis, 9)
+
+
 AUDITS = {
+    "ml_tree_depth2": audit_tree2,
     "ml_lift_gains": audit_lift,
     "events_anomaly_esd": audit_esd,
     "ml_isotonic_calibration": audit_isotonic,
