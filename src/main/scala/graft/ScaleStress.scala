@@ -401,6 +401,10 @@ object ScaleStress {
       SparkEntry.queries("ml_gmm_em")(spark, dir).collect()(0).getLong(0))
     time("gmm em 3 rounds 10x (6M events, same cents domain)")(
       SparkEntry.queries("ml_gmm_em")(spark, stressDir).collect()(0).getLong(0))
+    time("tree depth2 (3-node induction) 1x (600k events)")(
+      SparkEntry.queries("ml_tree_depth2")(spark, dir).count())
+    time("tree depth2 (3-node induction) 10x (6M events, same domains)")(
+      SparkEntry.queries("ml_tree_depth2")(spark, stressDir).count())
     spark.stop()
   }
 }

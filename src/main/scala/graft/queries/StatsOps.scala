@@ -3456,13 +3456,16 @@ object StatsOps extends QueryPack {
         + (r1 + r0)
         - (r1.cast("double") * r1 + r0.cast("double") * r0) / (r1 + r0)) /
         (col("t1") + col("t0"))
+      // argmin via orderBy+limit(1) — plans as TakeOrderedAndProject
+      // (per-partition heap + driver merge), not a single-task rank
+      // window; same (wg8, feat, thr) total order as the oracle's
+      // row_number (both pick the identical unique minimum)
       cands.crossJoin(broadcast(t))
         .filter(col("l1") + col("l0") > 0 && r1 + r0 > 0)
-        .select(col("feat"), col("thr"), col("t1"), col("t0"), wg.as("wg"))
-        .withColumn("rn", row_number().over(Window.orderBy(
-          floor(col("wg") * 100000000 + lit(0.5)).cast("long"),
-          col("feat"), col("thr"))))
-        .filter(col("rn") === 1)
+        .select(col("feat"), col("thr"), col("t1"), col("t0"), wg.as("wg"),
+          floor(wg * 100000000 + lit(0.5)).cast("long").as("wg8"))
+        .orderBy(col("wg8"), col("feat"), col("thr"))
+        .limit(1)
     }
     val root = bestSplit(h2).localCheckpoint()
     val rSel = root.select(col("feat").as("rfeat"), col("thr").as("rthr"))
