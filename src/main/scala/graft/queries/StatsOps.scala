@@ -3338,6 +3338,127 @@ object StatsOps extends QueryPack {
         (floor(col("wg") * 1000000 + lit(0.5)) / 1000000).as("gini_split"))
   }
 
+  /** Unrolled-CTE oracle for ml_cox_ph (the logreg/BPE promote device):
+    * `iters` Newton steps on the Breslow partial likelihood become CTE
+    * pairs. With a BINARY covariate the risk-set exponential sums have
+    * the closed form r0 + r1·e^β, so each step needs exactly ONE exp()
+    * call (P17 trivially) and the score/information terms are one fixed
+    * double tree per event day, quantized to 1e-12 integers and summed
+    * exactly (the per-day frame is calendar-bounded, but integer sums
+    * make the reduction order-independent anyway); β re-quantizes at
+    * 1e-9 per step. */
+  private def coxOracleSql(iters: Int): String = {
+    val head =
+      """WITH lastd AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+        |    max(date_diff('day', DATE '2024-01-01',
+        |      CAST(date_trunc('day', ts) AS DATE))) AS t
+        |  FROM events GROUP BY user_id
+        |), ob AS (SELECT max(t) AS max_day FROM lastd),
+        |pv AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nl1
+        |  FROM lastd GROUP BY t
+        |), rc AS (
+        |  SELECT t, nl0, nl1,
+        |    CAST(SUM(nl0) OVER (ORDER BY t DESC) AS BIGINT) AS r0,
+        |    CAST(SUM(nl1) OVER (ORDER BY t DESC) AS BIGINT) AS r1
+        |  FROM pv
+        |), base AS (
+        |  SELECT t, nl0 AS d0, nl1 AS d1, r0, r1 FROM rc, ob
+        |  WHERE t < max_day
+        |),
+        |b0_ AS (SELECT 0.0 AS b)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT CAST(SUM(u12) AS HUGEINT) AS u, CAST(SUM(i12) AS HUGEINT)
+         |      AS i
+         |  FROM (
+         |    SELECT
+         |      CAST(floor((d1 - (d0 + d1) * (r1 * eb) / (r0 + r1 * eb))
+         |        * 1000000000000 + 0.5) AS BIGINT) AS u12,
+         |      CAST(floor((d0 + d1) * (r0 * (r1 * eb))
+         |        / ((r0 + r1 * eb) * (r0 + r1 * eb))
+         |        * 1000000000000 + 0.5) AS BIGINT) AS i12
+         |    FROM (SELECT base.*, exp(b) AS eb FROM base, b${k - 1}_)
+         |  )
+         |),
+         |b${k}_ AS (
+         |  SELECT floor((b + CAST(u AS DOUBLE) / CAST(i AS DOUBLE))
+         |    * 1000000000 + 0.5) / 1000000000 AS b
+         |  FROM s$k, b${k - 1}_
+         |)""".stripMargin
+    }
+    val tail =
+      s"""t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(CASE WHEN t < max_day AND arm = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS events_arm0,
+         |    CAST(SUM(CASE WHEN t < max_day AND arm = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS events_arm1
+         |  FROM lastd, ob
+         |)
+         |SELECT n_users, events_arm0, events_arm1,
+         |  floor(b * 1000000 + 0.5) / 1000000 AS beta,
+         |  floor(exp(b) * 1000000 + 0.5) / 1000000 AS hazard_ratio
+         |FROM t, b${iters}_""".stripMargin
+    (Seq(head) ++ steps :+ tail).mkString(",\n")
+  }
+
+  // Cox proportional-hazards fit of the churn survival time against the
+  // user_id-parity arm (Breslow ties) — the survival MODEL next to
+  // events_survival_km's nonparametric curve: the hazard-ratio readout an
+  // experimentation platform wants from time-to-churn data ("arm 1 churns
+  // e^β times faster"). With a binary covariate every risk-set
+  // exponential sum collapses to r0 + r1·e^β, so three Newton steps on
+  // the partial likelihood run over the CALENDAR-BOUNDED per-day frame —
+  // the corpus is touched once (last-activity aggregate), the same
+  // histogram-not-corpus shape as ml_logreg_newton. Graded plan collects
+  // the per-day frame via ops.BoundedCollect and replays the identical
+  // fixed-point Newton; oracle unrolled per coxOracleSql. Audit row:
+  // formula_audit.audit_cox (plain-float Newton refit).
+  q("ml_cox_ph", coxOracleSql(3)) { (s, dir) =>
+    val lastd = Tables(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).cast("long").as("arm"))
+      .agg(max(datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date"))).cast("long").as("t"))
+    val pv = lastd.groupBy("t")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("nl0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("nl1"))
+    val rows = graft.ops.BoundedCollect.rows(pv, "cox per-day frame")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val maxDay = rows.map(_._1).max
+    // reverse-cumulative risk counts, then the event-day base frame
+    var cr0 = 0L
+    var cr1 = 0L
+    val base = rows.reverse.map { case (t, nl0, nl1) =>
+      cr0 += nl0; cr1 += nl1; (t, nl0, nl1, cr0, cr1)
+    }.reverse.filter(_._1 < maxDay)
+    def quant9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    var b = 0.0
+    for (_ <- 1 to 3) {
+      val eb = math.exp(b)
+      var u = BigInt(0)
+      var i = BigInt(0)
+      for ((_, d0, d1, r0, r1) <- base) {
+        u += math.floor((d1 - (d0 + d1) * (r1 * eb) / (r0 + r1 * eb))
+          * 1e12 + 0.5).toLong
+        i += math.floor((d0 + d1) * (r0 * (r1 * eb))
+          / ((r0 + r1 * eb) * (r0 + r1 * eb)) * 1e12 + 0.5).toLong
+      }
+      b = quant9(b + u.toDouble / i.toDouble)
+    }
+    val nUsers = rows.map(r => r._2 + r._3).sum
+    val ev0 = base.map(_._2).sum
+    val ev1 = base.map(_._3).sum
+    val q6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+    import s.implicits._
+    Seq((nUsers, ev0, ev1, q6(b), q6(math.exp(b))))
+      .toDF("n_users", "events_arm0", "events_arm1", "beta", "hazard_ratio")
+  }
+
   /** One tree-node CTE block for ml_tree_depth2: candidate splits over
     * BOTH features (value cents, hour) from the node's 2-D histogram
     * `src`, cumulative class counts per feature marginal, the stump's

@@ -164,6 +164,19 @@ class Round11Spec extends SparkSpec {
     assert(rows.values.forall(_.getAs[Double]("gini_split") <= 0.5 + 1e-9))
   }
 
+  test("ml_cox_ph: users/events conserve vs the KM frame; hr = exp(beta)") {
+    val r = SparkEntry.queries("ml_cox_ph")(spark, sf).collect()(0)
+    val users = engine.Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_users") == users)
+    // events must equal the KM curve's total churned count
+    val km = SparkEntry.queries("events_survival_km")(spark, sf).collect()
+    val churned = km.map(_.getAs[Long]("n_churned")).sum
+    assert(r.getAs[Long]("events_arm0") + r.getAs[Long]("events_arm1") == churned)
+    assert(math.abs(r.getAs[Double]("hazard_ratio")
+      - math.exp(r.getAs[Double]("beta"))) < 1e-4)
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

@@ -3604,7 +3604,47 @@ def audit_tree2():
     report("ml_tree_depth2", mis, 9)
 
 
+def audit_cox():
+    """Plain-float Cox/Breslow Newton refit (no fixed-point seams) from
+    the raw last-activity frame — agreement within the quantization
+    budget proves the fixed-point pipeline fits the same hazard model."""
+    mis = []
+    r_ = rows(f"SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm, "
+              f"max(date_diff('day', DATE '2024-01-01', "
+              f"CAST(date_trunc('day', ts) AS DATE))) AS t "
+              f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    users = [(arm, t) for _, arm, t in r_]
+    max_day = max(t for _, t in users)
+    days = sorted({t for _, t in users if t < max_day})
+    b = 0.0
+    for _ in range(3):
+        eb = math.exp(b)
+        u = i = 0.0
+        for t in days:
+            d0 = sum(1 for a, tt in users if tt == t and a == 0)
+            d1 = sum(1 for a, tt in users if tt == t and a == 1)
+            r0 = sum(1 for a, tt in users if tt >= t and a == 0)
+            r1 = sum(1 for a, tt in users if tt >= t and a == 1)
+            den = r0 + r1 * eb
+            u += d1 - (d0 + d1) * (r1 * eb) / den
+            i += (d0 + d1) * (r0 * r1 * eb) / (den * den)
+        b += u / i
+    (got,) = dump("ml_cox_ph")
+    d = dict(zip(dump_cols("ml_cox_ph"), got))
+    n_ev = sum(1 for _, t in users if t < max_day)
+    if d["n_users"] != len(users):
+        mis.append(("n_users", d["n_users"], len(users)))
+    if d["events_arm0"] + d["events_arm1"] != n_ev:
+        mis.append(("events", d["events_arm0"] + d["events_arm1"], n_ev))
+    if abs(d["beta"] - b) > 1e-4:
+        mis.append(("beta", d["beta"], b))
+    if abs(d["hazard_ratio"] - math.exp(b)) > 1e-4:
+        mis.append(("hr", d["hazard_ratio"], math.exp(b)))
+    report("ml_cox_ph", mis, 4)
+
+
 AUDITS = {
+    "ml_cox_ph": audit_cox,
     "ml_tree_depth2": audit_tree2,
     "ml_lift_gains": audit_lift,
     "events_anomaly_esd": audit_esd,
