@@ -3406,6 +3406,88 @@ object StatsOps extends QueryPack {
     (Seq(head) ++ steps :+ tail).mkString(",\n")
   }
 
+  // Log-rank test between the two survival arms — completes the survival
+  // trio (events_survival_km curve → THIS test → ml_cox_ph model): is the
+  // churn-time difference between arms significant at all, before asking
+  // for its hazard ratio. Per event day, observed-vs-expected arm-1
+  // events under the shared-hazard null (E1 = d·r1/r, hypergeometric
+  // variance V = d·(r1/r)·(r0/r)·(r−d)/(r−1)); χ² = (ΣO1 − ΣE1)²/ΣV.
+  // The per-day E and V terms are quantized to 1e-12 integers and summed
+  // exactly (order-independent reduction); the frame is calendar-bounded.
+  // No iterations — pure single-pass SQL on both engines. Audit row:
+  // formula_audit.audit_logrank.
+  q("events_logrank_test",
+    """WITH lastd AS (
+      |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+      |    max(date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE))) AS t
+      |  FROM events GROUP BY user_id
+      |), ob AS (SELECT max(t) AS max_day FROM lastd),
+      |pv AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nl0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nl1
+      |  FROM lastd GROUP BY t
+      |), rc AS (
+      |  SELECT t, nl0, nl1,
+      |    CAST(SUM(nl0) OVER (ORDER BY t DESC) AS BIGINT) AS r0,
+      |    CAST(SUM(nl1) OVER (ORDER BY t DESC) AS BIGINT) AS r1
+      |  FROM pv
+      |), base AS (
+      |  SELECT t, nl0 AS d0, nl1 AS d1, r0, r1, r0 + r1 AS r,
+      |    nl0 + nl1 AS d
+      |  FROM rc, ob WHERE t < max_day
+      |), terms AS (
+      |  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+      |    CAST(SUM(CAST(floor(CAST(d AS DOUBLE) * r1 / r
+      |      * 1000000000000 + 0.5) AS BIGINT)) AS HUGEINT) AS e12,
+      |    CAST(SUM(CAST(floor(CAST(d AS DOUBLE) * r1 / r * (CAST(r0 AS
+      |      DOUBLE) / r) * (r - d) / greatest(r - 1, 1)
+      |      * 1000000000000 + 0.5) AS BIGINT)) AS HUGEINT) AS v12
+      |  FROM base
+      |)
+      |SELECT o1 AS events_arm1,
+      |  floor(CAST(e12 AS DOUBLE) / 1000000 + 0.5) / 1000000 AS expected_arm1,
+      |  floor((o1 - CAST(e12 AS DOUBLE) / 1000000000000)
+      |    * (o1 - CAST(e12 AS DOUBLE) / 1000000000000)
+      |    / (CAST(v12 AS DOUBLE) / 1000000000000) * 1000000 + 0.5)
+      |    / 1000000 AS logrank_chi2
+      |FROM terms""") { (s, dir) =>
+    val lastd = Tables(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).cast("long").as("arm"))
+      .agg(max(datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date"))).cast("long").as("t"))
+    val pv = lastd.groupBy("t")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("nl0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("nl1"))
+    val ob = lastd.agg(max("t").as("max_day"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rc = pv.select(col("t"), col("nl0"), col("nl1"),
+      sum("nl0").over(wDesc).cast("long").as("r0"),
+      sum("nl1").over(wDesc).cast("long").as("r1"))
+    val base = rc.crossJoin(broadcast(ob)).filter(col("t") < col("max_day"))
+      .select(col("nl0").as("d0"), col("nl1").as("d1"),
+        col("r0"), col("r1"), (col("r0") + col("r1")).as("r"),
+        (col("nl0") + col("nl1")).as("d"))
+    val e12t = floor(col("d").cast("double") * col("r1") / col("r")
+      * 1000000000000L + lit(0.5)).cast("long")
+    val v12t = floor(col("d").cast("double") * col("r1") / col("r")
+      * (col("r0").cast("double") / col("r")) * (col("r") - col("d"))
+      / greatest(col("r") - 1, lit(1L))
+      * 1000000000000L + lit(0.5)).cast("long")
+    val terms = base.agg(sum("d1").cast("long").as("o1"),
+      sum(e12t).cast("decimal(38,0)").as("e12"),
+      sum(v12t).cast("decimal(38,0)").as("v12"))
+    terms.select(col("o1").as("events_arm1"),
+      (floor(col("e12").cast("double") / 1000000 + lit(0.5)) / 1000000)
+        .as("expected_arm1"),
+      (floor((col("o1") - col("e12").cast("double") / 1000000000000L)
+        * (col("o1") - col("e12").cast("double") / 1000000000000L)
+        / (col("v12").cast("double") / 1000000000000L) * 1000000 + lit(0.5))
+        / 1000000).as("logrank_chi2"))
+  }
+
   // Cox proportional-hazards fit of the churn survival time against the
   // user_id-parity arm (Breslow ties) — the survival MODEL next to
   // events_survival_km's nonparametric curve: the hazard-ratio readout an

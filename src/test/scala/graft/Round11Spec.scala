@@ -177,6 +177,17 @@ class Round11Spec extends SparkSpec {
       - math.exp(r.getAs[Double]("beta"))) < 1e-4)
   }
 
+  test("events_logrank_test: O1+O0 conserve vs Cox events; chi2 nonnegative") {
+    val lr = SparkEntry.queries("events_logrank_test")(spark, sf).collect()(0)
+    val cox = SparkEntry.queries("ml_cox_ph")(spark, sf).collect()(0)
+    assert(lr.getAs[Long]("events_arm1") == cox.getAs[Long]("events_arm1"))
+    assert(lr.getAs[Double]("logrank_chi2") >= 0)
+    // expected events stay within the total event count
+    val tot = cox.getAs[Long]("events_arm0") + cox.getAs[Long]("events_arm1")
+    assert(lr.getAs[Double]("expected_arm1") > 0
+      && lr.getAs[Double]("expected_arm1") < tot)
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

@@ -3643,7 +3643,40 @@ def audit_cox():
     report("ml_cox_ph", mis, 4)
 
 
+def audit_logrank():
+    """Log-rank recomputed from the textbook O/E/V definition in plain
+    floats over raw user survival rows."""
+    mis = []
+    r_ = rows(f"SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm, "
+              f"max(date_diff('day', DATE '2024-01-01', "
+              f"CAST(date_trunc('day', ts) AS DATE))) AS t "
+              f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    users = [(arm, t) for _, arm, t in r_]
+    max_day = max(t for _, t in users)
+    o1 = e1 = v = 0.0
+    for t in sorted({t for _, t in users if t < max_day}):
+        d0 = sum(1 for a, tt in users if tt == t and a == 0)
+        d1 = sum(1 for a, tt in users if tt == t and a == 1)
+        r0 = sum(1 for a, tt in users if tt >= t and a == 0)
+        r1 = sum(1 for a, tt in users if tt >= t and a == 1)
+        d, r = d0 + d1, r0 + r1
+        o1 += d1
+        e1 += d * r1 / r
+        v += d * r1 / r * (r0 / r) * (r - d) / max(r - 1, 1)
+    chi2 = (o1 - e1) ** 2 / v
+    (got,) = dump("events_logrank_test")
+    d_ = dict(zip(dump_cols("events_logrank_test"), got))
+    if d_["events_arm1"] != o1:
+        mis.append(("o1", d_["events_arm1"], o1))
+    if not close(d_["expected_arm1"], e1, 1e-5):
+        mis.append(("e1", d_["expected_arm1"], e1))
+    if not close(d_["logrank_chi2"], chi2, 1e-4):
+        mis.append(("chi2", d_["logrank_chi2"], chi2))
+    report("events_logrank_test", mis, 3)
+
+
 AUDITS = {
+    "events_logrank_test": audit_logrank,
     "ml_cox_ph": audit_cox,
     "ml_tree_depth2": audit_tree2,
     "ml_lift_gains": audit_lift,
