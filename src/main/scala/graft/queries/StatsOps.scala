@@ -3406,6 +3406,63 @@ object StatsOps extends QueryPack {
     (Seq(head) ++ steps :+ tail).mkString(",\n")
   }
 
+  // Poisson incidence-rate ratio between the user-parity arms — the
+  // count-data analogue of the conversion A/B readouts: events per user
+  // in each arm, rate ratio, and the Wald z on the log scale with the
+  // Poisson SE √(1/C0 + 1/C1). With a binary covariate the Poisson GLM
+  // MLE IS this closed form (log link saturates), so no iterations. The
+  // two ln() calls take ONE argument each (P17 trivially) and every
+  // other number is exact-integer or a one-division double, quantized.
+  // Audit row: formula_audit.audit_rate_ratio.
+  q("stats_rate_ratio",
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), a AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS c
+      |  FROM u GROUP BY arm
+      |), w AS (
+      |  SELECT
+      |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+      |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+      |    MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+      |    MAX(CASE WHEN arm = 1 THEN c END) AS c1
+      |  FROM a
+      |)
+      |SELECT n0, n1, c0, c1,
+      |  floor(CAST(c0 AS DOUBLE) / n0 * 1000000 + 0.5) / 1000000 AS rate0,
+      |  floor(CAST(c1 AS DOUBLE) / n1 * 1000000 + 0.5) / 1000000 AS rate1,
+      |  floor(CAST(c1 AS DOUBLE) / n1 / (CAST(c0 AS DOUBLE) / n0)
+      |    * 1000000 + 0.5) / 1000000 AS rate_ratio,
+      |  floor(ln(CAST(c1 AS DOUBLE) / n1 / (CAST(c0 AS DOUBLE) / n0))
+      |    * 1000000 + 0.5) / 1000000 AS log_rr,
+      |  floor(ln(CAST(c1 AS DOUBLE) / n1 / (CAST(c0 AS DOUBLE) / n0))
+      |    / sqrt(1.0 / c0 + 1.0 / c1) * 1000000 + 0.5) / 1000000 AS wald_z
+      |FROM w""") { (s, dir) =>
+    val u = Tables(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).cast("long").as("arm"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val a = u.groupBy("arm").agg(count(lit(1)).cast("long").as("n"),
+      sum("c").cast("long").as("c"))
+    val w = a.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 0, col("c"))).as("c0"),
+      max(when(col("arm") === 1, col("c"))).as("c1"))
+    val rr = col("c1").cast("double") / col("n1") /
+      (col("c0").cast("double") / col("n0"))
+    w.select(col("n0"), col("n1"), col("c0"), col("c1"),
+      (floor(col("c0").cast("double") / col("n0") * 1000000 + lit(0.5))
+        / 1000000).as("rate0"),
+      (floor(col("c1").cast("double") / col("n1") * 1000000 + lit(0.5))
+        / 1000000).as("rate1"),
+      (floor(rr * 1000000 + lit(0.5)) / 1000000).as("rate_ratio"),
+      (floor(log(rr) * 1000000 + lit(0.5)) / 1000000).as("log_rr"),
+      (floor(log(rr) / sqrt(lit(1.0) / col("c0") + lit(1.0) / col("c1"))
+        * 1000000 + lit(0.5)) / 1000000).as("wald_z"))
+  }
+
   // Log-rank test between the two survival arms — completes the survival
   // trio (events_survival_km curve → THIS test → ml_cox_ph model): is the
   // churn-time difference between arms significant at all, before asking

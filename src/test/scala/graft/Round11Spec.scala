@@ -188,6 +188,16 @@ class Round11Spec extends SparkSpec {
       && lr.getAs[Double]("expected_arm1") < tot)
   }
 
+  test("stats_rate_ratio: counts conserve, rr = rate1/rate0, log identity") {
+    val r = SparkEntry.queries("stats_rate_ratio")(spark, sf).collect()(0)
+    val total = engine.Tables(spark, sf, "events").count()
+    assert(r.getAs[Long]("c0") + r.getAs[Long]("c1") == total)
+    val rr = r.getAs[Double]("rate1") / r.getAs[Double]("rate0")
+    assert(math.abs(r.getAs[Double]("rate_ratio") - rr) < 1e-4)
+    assert(math.abs(math.exp(r.getAs[Double]("log_rr"))
+      - r.getAs[Double]("rate_ratio")) < 1e-4)
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

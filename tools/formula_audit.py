@@ -3675,7 +3675,33 @@ def audit_logrank():
     report("events_logrank_test", mis, 3)
 
 
+def audit_rate_ratio():
+    """Incidence-rate ratio and Wald z recomputed from raw counts."""
+    mis = []
+    r_ = rows(f"SELECT CAST(user_id % 2 AS BIGINT) AS arm, user_id, "
+              f"COUNT(*) FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    n = {0: 0, 1: 0}
+    c = {0: 0, 1: 0}
+    for arm, _, cnt in r_:
+        n[arm] += 1
+        c[arm] += cnt
+    rr = (c[1] / n[1]) / (c[0] / n[0])
+    z = math.log(rr) / math.sqrt(1 / c[0] + 1 / c[1])
+    (got,) = dump("stats_rate_ratio")
+    d = dict(zip(dump_cols("stats_rate_ratio"), got))
+    for k, w in [("n0", n[0]), ("n1", n[1]), ("c0", c[0]), ("c1", c[1])]:
+        if d[k] != w:
+            mis.append((k, d[k], w))
+    for k, w in [("rate0", c[0] / n[0]), ("rate1", c[1] / n[1]),
+                 ("rate_ratio", rr), ("log_rr", math.log(rr)),
+                 ("wald_z", z)]:
+        if not close(d[k], w, 1e-5):
+            mis.append((k, d[k], w))
+    report("stats_rate_ratio", mis, 9)
+
+
 AUDITS = {
+    "stats_rate_ratio": audit_rate_ratio,
     "events_logrank_test": audit_logrank,
     "ml_cox_ph": audit_cox,
     "ml_tree_depth2": audit_tree2,
