@@ -1955,4 +1955,47 @@ object QualityOps extends QueryPack {
           + lit(0.5)).cast("double") / 10000).as("heldout_nll"))
       .orderBy("source")
   }
+
+  // Type-token-ratio growth curve — lexical diversity by document-length
+  // bucket: TTR falls predictably with length (Heaps' law), so a per-doc
+  // TTR is only comparable WITHIN a length band, and a band whose TTR
+  // sits below its neighbors flags templated/repetitive text the way
+  // text_repetition does at the shingle level. Per-doc TTR is quantized
+  // to a 1e-6 integer BEFORE the bucket average, so the reduction is an
+  // exact integer sum (order-independent) and the average divides once.
+  // One tokenize pass, one bucket aggregate. Audit row:
+  // formula_audit.audit_ttr.
+  q("text_ttr_curve",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+      |), t AS (
+      |  SELECT doc_id, len(tk) AS n_tok,
+      |    len(list_distinct(tk)) AS n_types,
+      |    len(tk) // 50 AS bucket,
+      |    CAST(floor(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+      |      * 1000000 + 0.5) AS BIGINT) AS ttr6
+      |  FROM d WHERE len(tk) > 0
+      |)
+      |SELECT CAST(bucket AS BIGINT) AS len_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  floor(CAST(SUM(ttr6) AS DOUBLE) / COUNT(*) + 0.5) / 1000000
+      |    AS avg_ttr
+      |FROM t GROUP BY bucket ORDER BY len_bucket""") { (s, dir) =>
+    import graft.engine.Tables.fan
+    val d = fan(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .filter(size(col("tk")) > 0)
+    val t = d.select(size(col("tk")).cast("long").as("n_tok"),
+      size(array_distinct(col("tk"))).cast("long").as("n_types"),
+      expr("size(tk) div 50").cast("long").as("bucket"),
+      floor(size(array_distinct(col("tk"))).cast("double") / size(col("tk"))
+        * 1000000 + lit(0.5)).cast("long").as("ttr6"))
+    t.groupBy(col("bucket").as("len_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        (floor(sum("ttr6").cast("double") / count(lit(1)) + lit(0.5))
+          / 1000000).as("avg_ttr"))
+      .orderBy("len_bucket")
+  }
 }

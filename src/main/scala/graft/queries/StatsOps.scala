@@ -3406,6 +3406,139 @@ object StatsOps extends QueryPack {
     (Seq(head) ++ steps :+ tail).mkString(",\n")
   }
 
+  // Wilson score interval for each arm's purchase-conversion rate — the
+  // CI every A/B dashboard should print instead of the Wald interval
+  // (Wald collapses at extreme p̂ and small n; Wilson stays inside
+  // [0,1]). z is the literal 1.96; everything else is one fixed double
+  // tree over exact integer (converters, users) counts per arm,
+  // quantized at 1e-6. Two hash aggregates, 2-row output. Audit row:
+  // formula_audit.audit_wilson.
+  q("stats_wilson_ci",
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conv
+      |  FROM events GROUP BY 1, 2
+      |), a AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT)
+      |    AS x
+      |  FROM u GROUP BY arm
+      |)
+      |SELECT arm, n, x,
+      |  floor(CAST(x AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS phat,
+      |  floor(((CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+      |    - 1.96 * sqrt(CAST(x AS DOUBLE) / n * (1 - CAST(x AS DOUBLE) / n)
+      |        / n + 1.96 * 1.96 / (4.0 * n * n)))
+      |    / (1 + 1.96 * 1.96 / n)) * 1000000 + 0.5) / 1000000 AS wilson_lo,
+      |  floor(((CAST(x AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+      |    + 1.96 * sqrt(CAST(x AS DOUBLE) / n * (1 - CAST(x AS DOUBLE) / n)
+      |        / n + 1.96 * 1.96 / (4.0 * n * n)))
+      |    / (1 + 1.96 * 1.96 / n)) * 1000000 + 0.5) / 1000000 AS wilson_hi
+      |FROM a ORDER BY arm""") { (s, dir) =>
+    val u = Tables(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).cast("long").as("arm"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .cast("long").as("conv"))
+    val a = u.groupBy("arm").agg(count(lit(1)).cast("long").as("n"),
+      sum("conv").cast("long").as("x"))
+    val p = col("x").cast("double") / col("n")
+    val z2 = lit(1.96) * lit(1.96)
+    val half = lit(1.96) * sqrt(p * (lit(1) - p) / col("n")
+      + z2 / (lit(4.0) * col("n") * col("n")))
+    val den = lit(1) + z2 / col("n")
+    a.select(col("arm"), col("n"), col("x"),
+        (floor(p * 1000000 + lit(0.5)) / 1000000).as("phat"),
+        (floor((p + z2 / (lit(2) * col("n")) - half) / den * 1000000
+          + lit(0.5)) / 1000000).as("wilson_lo"),
+        (floor((p + z2 / (lit(2) * col("n")) + half) / den * 1000000
+          + lit(0.5)) / 1000000).as("wilson_hi"))
+      .orderBy("arm")
+  }
+
+  // Diurnal harmonic fit — amplitude and phase of the 24-hour activity
+  // cycle by OLS of hourly event counts on (sin, cos) of the hour angle:
+  // the compact seasonality readout next to ts_dow_seasonality's
+  // categorical means. The regressors are sin/cos QUANTIZED to 1e-6
+  // integers per distinct hour (24 single-argument libm calls — P17), so
+  // every moment is an exact 128-bit integer and the demeaned 2×2 Cramer
+  // solve is one fixed double tree; amplitude/phase via one sqrt and one
+  // atan2 (single call, quantized). Audit row:
+  // formula_audit.audit_diurnal.
+  q("ts_diurnal_harmonic",
+    """WITH h AS (
+      |  SELECT CAST(hour(ts) AS BIGINT) AS hr, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1
+      |), r AS (
+      |  SELECT hr, c,
+      |    CAST(floor(sin(2 * pi() * hr / 24) * 1000000 + 0.5) AS BIGINT) AS s6,
+      |    CAST(floor(cos(2 * pi() * hr / 24) * 1000000 + 0.5) AS BIGINT) AS k6
+      |  FROM h
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m, CAST(SUM(c) AS HUGEINT) AS sy,
+      |    CAST(SUM(s6) AS HUGEINT) AS su, CAST(SUM(k6) AS HUGEINT) AS sw,
+      |    SUM(CAST(s6 AS HUGEINT) * s6) AS suu,
+      |    SUM(CAST(k6 AS HUGEINT) * k6) AS sww,
+      |    SUM(CAST(s6 AS HUGEINT) * k6) AS suw,
+      |    SUM(CAST(s6 AS HUGEINT) * c) AS suy,
+      |    SUM(CAST(k6 AS HUGEINT) * c) AS swy
+      |  FROM r
+      |), b AS (
+      |  SELECT CAST(m AS BIGINT) AS mm, sy,
+      |    CAST((m * suy - su * sy) * (m * sww - sw * sw)
+      |       - (m * suw - su * sw) * (m * swy - sw * sy) AS DOUBLE)
+      |    / CAST((m * suu - su * su) * (m * sww - sw * sw)
+      |       - (m * suw - su * sw) * (m * suw - su * sw) AS DOUBLE)
+      |      * 1000000 AS b1,
+      |    CAST((m * suu - su * su) * (m * swy - sw * sy)
+      |       - (m * suw - su * sw) * (m * suy - su * sy) AS DOUBLE)
+      |    / CAST((m * suu - su * su) * (m * sww - sw * sw)
+      |       - (m * suw - su * sw) * (m * suw - su * sw) AS DOUBLE)
+      |      * 1000000 AS b2
+      |  FROM m
+      |)
+      |SELECT mm AS n_hours,
+      |  floor(CAST(sy AS DOUBLE) / mm * 1000000 + 0.5) / 1000000 AS mean_count,
+      |  floor(b1 * 1000000 + 0.5) / 1000000 AS beta_sin,
+      |  floor(b2 * 1000000 + 0.5) / 1000000 AS beta_cos,
+      |  floor(sqrt(b1 * b1 + b2 * b2) * 1000000 + 0.5) / 1000000 AS amplitude,
+      |  floor(atan2(b2, b1) * 1000000 + 0.5) / 1000000 AS phase
+      |FROM b""") { (s, dir) =>
+    val h = Tables(s, dir, "events")
+      .groupBy(hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val r = h.select(col("hr"), col("c"),
+      floor(sin(lit(2) * lit(math.Pi) * col("hr") / 24) * 1000000 + lit(0.5))
+        .cast("long").as("s6"),
+      floor(cos(lit(2) * lit(math.Pi) * col("hr") / 24) * 1000000 + lit(0.5))
+        .cast("long").as("k6"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = r.agg(count(lit(1)).cast("decimal(38,0)").as("m"),
+      sum("c").cast("decimal(38,0)").as("sy"),
+      sum("s6").cast("decimal(38,0)").as("su"),
+      sum("k6").cast("decimal(38,0)").as("sw"),
+      sum(dec(col("s6")) * col("s6")).as("suu"),
+      sum(dec(col("k6")) * col("k6")).as("sww"),
+      sum(dec(col("s6")) * col("k6")).as("suw"),
+      sum(dec(col("s6")) * col("c")).as("suy"),
+      sum(dec(col("k6")) * col("c")).as("swy"))
+    val cuu = col("m") * col("suu") - col("su") * col("su")
+    val cww = col("m") * col("sww") - col("sw") * col("sw")
+    val cuw = col("m") * col("suw") - col("su") * col("sw")
+    val cuy = col("m") * col("suy") - col("su") * col("sy")
+    val cwy = col("m") * col("swy") - col("sw") * col("sy")
+    val det = (cuu * cww - cuw * cuw).cast("double")
+    val b1 = (cuy * cww - cuw * cwy).cast("double") / det * 1000000
+    val b2 = (cuu * cwy - cuw * cuy).cast("double") / det * 1000000
+    m.select(col("m").cast("long").as("n_hours"),
+      (floor(col("sy").cast("double") / col("m") * 1000000 + lit(0.5))
+        / 1000000).as("mean_count"),
+      (floor(b1 * 1000000 + lit(0.5)) / 1000000).as("beta_sin"),
+      (floor(b2 * 1000000 + lit(0.5)) / 1000000).as("beta_cos"),
+      (floor(sqrt(b1 * b1 + b2 * b2) * 1000000 + lit(0.5)) / 1000000)
+        .as("amplitude"),
+      (floor(atan2(b2, b1) * 1000000 + lit(0.5)) / 1000000).as("phase"))
+  }
+
   // Poisson incidence-rate ratio between the user-parity arms — the
   // count-data analogue of the conversion A/B readouts: events per user
   // in each arm, rate ratio, and the Wald z on the log scale with the

@@ -198,6 +198,35 @@ class Round11Spec extends SparkSpec {
       - r.getAs[Double]("rate_ratio")) < 1e-4)
   }
 
+  test("stats_wilson_ci: interval brackets phat and stays inside [0,1]") {
+    val rows = SparkEntry.queries("stats_wilson_ci")(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("phat")
+      val lo = r.getAs[Double]("wilson_lo"); val hi = r.getAs[Double]("wilson_hi")
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9, s"$lo !<= $p !<= $hi")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9)
+    }
+  }
+
+  test("ts_diurnal_harmonic: amplitude = hypot(betas), phase in (-pi, pi]") {
+    val r = SparkEntry.queries("ts_diurnal_harmonic")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_hours") == 24)
+    val b1 = r.getAs[Double]("beta_sin"); val b2 = r.getAs[Double]("beta_cos")
+    assert(math.abs(r.getAs[Double]("amplitude") - math.hypot(b1, b2)) < 1e-3)
+    val ph = r.getAs[Double]("phase")
+    assert(ph > -math.Pi - 1e-9 && ph <= math.Pi + 1e-9)
+  }
+
+  test("text_ttr_curve: buckets conserve docs; TTR within (0,1]") {
+    val rows = SparkEntry.queries("text_ttr_curve")(spark, sf).collect()
+    val docs = engine.Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    assert(rows.forall { r =>
+      val t = r.getAs[Double]("avg_ttr"); t > 0 && t <= 1.0 + 1e-9
+    })
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

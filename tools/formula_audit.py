@@ -3700,7 +3700,99 @@ def audit_rate_ratio():
     report("stats_rate_ratio", mis, 9)
 
 
+def audit_wilson():
+    """Wilson score interval recomputed from the textbook closed form."""
+    mis = []
+    r_ = rows(f"SELECT CAST(user_id % 2 AS BIGINT) AS arm, user_id, "
+              f"max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    n = {0: 0, 1: 0}
+    x = {0: 0, 1: 0}
+    for arm, _, conv in r_:
+        n[arm] += 1
+        x[arm] += conv
+    got = dump("stats_wilson_ci")
+    cols = dump_cols("stats_wilson_ci")
+    z = 1.96
+    for row in got:
+        d = dict(zip(cols, row))
+        a = d["arm"]
+        p = x[a] / n[a]
+        den = 1 + z * z / n[a]
+        ctr = p + z * z / (2 * n[a])
+        half = z * math.sqrt(p * (1 - p) / n[a] + z * z / (4 * n[a] ** 2))
+        for c, w in [("n", n[a]), ("x", x[a])]:
+            if d[c] != w:
+                mis.append((a, c, d[c], w))
+        for c, w in [("phat", p), ("wilson_lo", (ctr - half) / den),
+                     ("wilson_hi", (ctr + half) / den)]:
+            if not close(d[c], w, 1e-5):
+                mis.append((a, c, d[c], w))
+    report("stats_wilson_ci", mis, len(got) * 5)
+
+
+def audit_diurnal():
+    """Harmonic OLS refit in plain floats (unquantized sin/cos) — the
+    1e-6 regressor quantization must not move the fit past 1e-4."""
+    mis = []
+    r_ = rows(f"SELECT CAST(hour(ts) AS BIGINT), CAST(COUNT(*) AS BIGINT) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1")
+    pts = [(math.sin(2 * math.pi * h / 24), math.cos(2 * math.pi * h / 24), c)
+           for h, c in r_]
+    m = len(pts)
+    um = sum(u for u, _, _ in pts) / m
+    wm = sum(w for _, w, _ in pts) / m
+    ym = sum(y for _, _, y in pts) / m
+    cuu = sum((u - um) ** 2 for u, _, _ in pts)
+    cww = sum((w - wm) ** 2 for _, w, _ in pts)
+    cuw = sum((u - um) * (w - wm) for u, w, _ in pts)
+    cuy = sum((u - um) * (y - ym) for u, _, y in pts)
+    cwy = sum((w - wm) * (y - ym) for _, w, y in pts)
+    det = cuu * cww - cuw * cuw
+    b1 = (cuy * cww - cuw * cwy) / det
+    b2 = (cuu * cwy - cuw * cuy) / det
+    (got,) = dump("ts_diurnal_harmonic")
+    d = dict(zip(dump_cols("ts_diurnal_harmonic"), got))
+    for c, w, tol in [("n_hours", m, 0), ("mean_count", ym, 1e-5),
+                      ("beta_sin", b1, 1e-3), ("beta_cos", b2, 1e-3),
+                      ("amplitude", math.hypot(b1, b2), 1e-3),
+                      ("phase", math.atan2(b2, b1), 1e-3)]:
+        ok = d[c] == w if tol == 0 else abs(d[c] - w) <= tol
+        if not ok:
+            mis.append((c, d[c], w))
+    report("ts_diurnal_harmonic", mis, 6)
+
+
+def audit_ttr():
+    """Type-token-ratio curve recomputed from raw documents."""
+    mis = []
+    r_ = rows(f"SELECT doc_id, string_split(lower(text), ' ') "
+              f"FROM '{SF}/documents.parquet'")
+    per = {}
+    for _, tk in r_:
+        if not tk:
+            continue
+        b = len(tk) // 50
+        t6 = math.floor(len(set(tk)) / len(tk) * 1e6 + 0.5)
+        nd, nt, s6 = per.get(b, (0, 0, 0))
+        per[b] = (nd + 1, nt + len(tk), s6 + t6)
+    got = dump("text_ttr_curve")
+    cols = dump_cols("text_ttr_curve")
+    for row in got:
+        d = dict(zip(cols, row))
+        nd, nt, s6 = per[d["len_bucket"]]
+        if (d["n_docs"], d["n_tokens"]) != (nd, nt):
+            mis.append((d["len_bucket"], "counts",
+                        (d["n_docs"], d["n_tokens"]), (nd, nt)))
+        if not close(d["avg_ttr"], s6 / nd / 1e6, 1e-5):
+            mis.append((d["len_bucket"], "ttr", d["avg_ttr"], s6 / nd / 1e6))
+    report("text_ttr_curve", mis, len(got) * 3)
+
+
 AUDITS = {
+    "stats_wilson_ci": audit_wilson,
+    "ts_diurnal_harmonic": audit_diurnal,
+    "text_ttr_curve": audit_ttr,
     "stats_rate_ratio": audit_rate_ratio,
     "events_logrank_test": audit_logrank,
     "ml_cox_ph": audit_cox,
