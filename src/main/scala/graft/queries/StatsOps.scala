@@ -3406,6 +3406,199 @@ object StatsOps extends QueryPack {
     (Seq(head) ++ steps :+ tail).mkString(",\n")
   }
 
+  // Cochran-Mantel-Haenszel test of the arm × purchase association
+  // STRATIFIED by day-of-week — the confound-adjusted 2×2 readout
+  // events_chi2_independence can't give (a dow imbalance between arms
+  // would fake or mask a marginal association; CMH pools the per-stratum
+  // evidence instead). Per stratum: observed arm-1 purchases a_k,
+  // hypergeometric expectation E_k = n1k·m1k/T_k and variance
+  // V_k = n1k·n0k·m1k·m0k/(T_k²(T_k−1)); χ² = (Σa − ΣE)²/ΣV, plus the
+  // Mantel-Haenszel pooled odds ratio Σ(a·d/T)/Σ(b·c/T). E/V/OR terms
+  // quantize to 1e-12 (OR terms 1e-6) integers per stratum, so every
+  // reduction is exact; the stratum frame is the 7-row dow catalog.
+  // Audit row: formula_audit.audit_cmh.
+  q("events_cmh_test",
+    """WITH ev AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+      |    CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS BIGINT)
+      |      AS dow
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |), k AS (
+      |  SELECT dow,
+      |    CAST(SUM(CASE WHEN arm = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN arm = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN arm = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN arm = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM ev GROUP BY dow
+      |), t AS (
+      |  SELECT dow, a, b, c, d, a + b AS n1, c + d AS n0, a + c AS m1,
+      |    b + d AS m0, a + b + c + d AS tt
+      |  FROM k
+      |), s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+      |    CAST(SUM(a) AS BIGINT) AS sum_a,
+      |    CAST(SUM(CAST(floor(CAST(n1 AS DOUBLE) * m1 / tt
+      |      * 1000000000000 + 0.5) AS BIGINT)) AS HUGEINT) AS e12,
+      |    CAST(SUM(CAST(floor(CAST(n1 AS DOUBLE) * n0 * m1 / tt * m0
+      |      / (CAST(tt AS DOUBLE) * (tt - 1))
+      |      * 1000000000000 + 0.5) AS BIGINT)) AS HUGEINT) AS v12,
+      |    CAST(SUM(CAST(floor(CAST(a AS DOUBLE) * d / tt * 1000000 + 0.5)
+      |      AS BIGINT)) AS HUGEINT) AS ad6,
+      |    CAST(SUM(CAST(floor(CAST(b AS DOUBLE) * c / tt * 1000000 + 0.5)
+      |      AS BIGINT)) AS HUGEINT) AS bc6
+      |  FROM t
+      |)
+      |SELECT n_strata, sum_a,
+      |  floor(CAST(e12 AS DOUBLE) / 1000000 + 0.5) / 1000000 AS expected_a,
+      |  floor((sum_a - CAST(e12 AS DOUBLE) / 1000000000000)
+      |    * (sum_a - CAST(e12 AS DOUBLE) / 1000000000000)
+      |    / (CAST(v12 AS DOUBLE) / 1000000000000) * 1000000 + 0.5)
+      |    / 1000000 AS cmh_chi2,
+      |  floor(CAST(ad6 AS DOUBLE) / CAST(bc6 AS DOUBLE) * 1000000 + 0.5)
+      |    / 1000000 AS or_mh
+      |FROM s""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select((col("user_id") % 2).cast("long").as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+        (((datediff(to_date(date_trunc("day", col("ts"))),
+          lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("long").as("dow"))
+    val k = ev.groupBy("dow").agg(
+      sum(when(col("arm") === 1 && col("y") === 1, 1L).otherwise(0L))
+        .cast("long").as("a"),
+      sum(when(col("arm") === 1 && col("y") === 0, 1L).otherwise(0L))
+        .cast("long").as("b"),
+      sum(when(col("arm") === 0 && col("y") === 1, 1L).otherwise(0L))
+        .cast("long").as("c"),
+      sum(when(col("arm") === 0 && col("y") === 0, 1L).otherwise(0L))
+        .cast("long").as("d"))
+    val t = k.select(col("a"), col("b"), col("c"), col("d"),
+      (col("a") + col("b")).as("n1"), (col("c") + col("d")).as("n0"),
+      (col("a") + col("c")).as("m1"), (col("b") + col("d")).as("m0"),
+      (col("a") + col("b") + col("c") + col("d")).as("tt"))
+    val e12 = floor(col("n1").cast("double") * col("m1") / col("tt")
+      * 1000000000000L + lit(0.5)).cast("long")
+    val v12 = floor(col("n1").cast("double") * col("n0") * col("m1")
+      / col("tt") * col("m0")
+      / (col("tt").cast("double") * (col("tt") - 1))
+      * 1000000000000L + lit(0.5)).cast("long")
+    val ad6 = floor(col("a").cast("double") * col("d") / col("tt")
+      * 1000000 + lit(0.5)).cast("long")
+    val bc6 = floor(col("b").cast("double") * col("c") / col("tt")
+      * 1000000 + lit(0.5)).cast("long")
+    val sAgg = t.agg(count(lit(1)).cast("long").as("n_strata"),
+      sum("a").cast("long").as("sum_a"),
+      sum(e12).cast("decimal(38,0)").as("e12"),
+      sum(v12).cast("decimal(38,0)").as("v12"),
+      sum(ad6).cast("decimal(38,0)").as("ad6"),
+      sum(bc6).cast("decimal(38,0)").as("bc6"))
+    sAgg.select(col("n_strata"), col("sum_a"),
+      (floor(col("e12").cast("double") / 1000000 + lit(0.5)) / 1000000)
+        .as("expected_a"),
+      (floor((col("sum_a") - col("e12").cast("double") / 1000000000000L)
+        * (col("sum_a") - col("e12").cast("double") / 1000000000000L)
+        / (col("v12").cast("double") / 1000000000000L) * 1000000 + lit(0.5))
+        / 1000000).as("cmh_chi2"),
+      (floor(col("ad6").cast("double") / col("bc6").cast("double")
+        * 1000000 + lit(0.5)) / 1000000).as("or_mh"))
+  }
+
+  // Breusch-Pagan heteroscedasticity test on the daily-revenue trend OLS
+  // (the ml_cooks_distance regression): if residual VARIANCE grows with
+  // the regressor, the OLS standard errors everywhere else are suspect.
+  // LM = n·R² of the auxiliary regression of squared residuals on the
+  // day index. The squared residual is quantized to a 1e-2 integer per
+  // day (magnitude ~1e12 — far inside int64), so the auxiliary moments
+  // are exact 128-bit integers and R² is one fixed double tree. The
+  // corpus collapses to the calendar-bounded daily frame in one pass.
+  // Audit row: formula_audit.audit_bp.
+  q("stats_breusch_pagan",
+    """WITH d AS (
+      |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+      |    CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100 AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+      |    CAST(SUM(y) AS HUGEINT) AS sy, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM d
+      |), b AS (
+      |  SELECT n, sx, sxx,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |      AS b1,
+      |    (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / CAST(n AS DOUBLE) AS b0
+      |  FROM m
+      |), e AS (
+      |  SELECT d.x,
+      |    CAST(floor((CAST(d.y AS DOUBLE) - b0 - b1 * d.x)
+      |      * (CAST(d.y AS DOUBLE) - b0 - b1 * d.x) * 100 + 0.5) AS BIGINT)
+      |      AS e2
+      |  FROM d, b
+      |), a AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(x) AS HUGEINT) AS sx,
+      |    CAST(SUM(e2) AS HUGEINT) AS se, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * e2) AS sxe,
+      |    SUM(CAST(e2 AS HUGEINT) * e2) AS see
+      |  FROM e
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  floor(CAST((n * sxe - sx * se) AS DOUBLE)
+      |    * CAST((n * sxe - sx * se) AS DOUBLE)
+      |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |       * CAST(n * see - se * se AS DOUBLE)) * 1000000 + 0.5) / 1000000
+      |    AS r2_aux,
+      |  floor(CAST(n AS DOUBLE)
+      |    * (CAST((n * sxe - sx * se) AS DOUBLE)
+      |       * CAST((n * sxe - sx * se) AS DOUBLE)
+      |       / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |          * CAST(n * see - se * se AS DOUBLE))) * 1000000 + 0.5)
+      |    / 1000000 AS bp_lm
+      |FROM a""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = Tables(s, dir, "events")
+      .groupBy(datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date")).cast("long").as("x"))
+      .agg(expr("sum(cast(floor(value * 100 + 0.5) as bigint)) div 100")
+        .cast("long").as("y"))
+      .localCheckpoint()
+    val m = d.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("x").cast("decimal(38,0)").as("sx"),
+      sum("y").cast("decimal(38,0)").as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"))
+    val b1 = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val b0 = (col("sy").cast("double")
+      - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        * col("sx").cast("double")) / col("n").cast("double")
+    val bFrame = m.select(b1.as("b1"), b0.as("b0"))
+    val resid = col("y").cast("double") - col("b0") - col("b1") * col("x")
+    val e = d.crossJoin(broadcast(bFrame))
+      .select(col("x"),
+        floor(resid * resid * 100 + lit(0.5)).cast("long").as("e2"))
+    val a = e.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("x").cast("decimal(38,0)").as("sx"),
+      sum("e2").cast("decimal(38,0)").as("se"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("e2")).as("sxe"),
+      sum(dec(col("e2")) * col("e2")).as("see"))
+    val cxe = (col("n") * col("sxe") - col("sx") * col("se")).cast("double")
+    val r2 = cxe * cxe /
+      ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        * (col("n") * col("see") - col("se") * col("se")).cast("double"))
+    a.select(col("n").cast("long").as("n_days"),
+      (floor(r2 * 1000000 + lit(0.5)) / 1000000).as("r2_aux"),
+      (floor(col("n").cast("double") * r2 * 1000000 + lit(0.5)) / 1000000)
+        .as("bp_lm"))
+  }
+
   // Wilson score interval for each arm's purchase-conversion rate — the
   // CI every A/B dashboard should print instead of the Wald interval
   // (Wald collapses at extreme p̂ and small n; Wilson stays inside

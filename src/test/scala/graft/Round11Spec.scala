@@ -227,6 +227,24 @@ class Round11Spec extends SparkSpec {
     })
   }
 
+  test("events_cmh_test: observed purchases conserve, chi2 and OR positive") {
+    val r = SparkEntry.queries("events_cmh_test")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_strata") == 7)
+    val arm1Purch = engine.Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") % 2 === 1)
+      .count()
+    assert(r.getAs[Long]("sum_a") == arm1Purch)
+    assert(r.getAs[Double]("cmh_chi2") >= 0)
+    assert(r.getAs[Double]("or_mh") > 0)
+  }
+
+  test("stats_breusch_pagan: R2 in [0,1], LM = n*R2") {
+    val r = SparkEntry.queries("stats_breusch_pagan")(spark, sf).collect()(0)
+    val r2 = r.getAs[Double]("r2_aux")
+    assert(r2 >= 0 && r2 <= 1)
+    assert(math.abs(r.getAs[Double]("bp_lm") - r.getAs[Long]("n_days") * r2) < 1e-3)
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

@@ -3789,7 +3789,78 @@ def audit_ttr():
     report("text_ttr_curve", mis, len(got) * 3)
 
 
+def audit_cmh():
+    """CMH chi-square and MH odds ratio recomputed from the textbook
+    per-stratum O/E/V and pooled-odds definitions."""
+    mis = []
+    r_ = rows(f"SELECT CAST(((date_diff('day', DATE '2024-01-01', "
+              f"CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS BIGINT) "
+              f"AS dow, CAST(user_id % 2 AS BIGINT) AS arm, "
+              f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y, "
+              f"COUNT(*) FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view') GROUP BY 1, 2, 3")
+    cells = {}
+    for dow, arm, y, c in r_:
+        cells[(dow, arm, y)] = c
+    strata = sorted({k[0] for k in cells})
+    sa = e = v = orn = ord_ = 0.0
+    for k in strata:
+        a = cells.get((k, 1, 1), 0)
+        b = cells.get((k, 1, 0), 0)
+        c = cells.get((k, 0, 1), 0)
+        d = cells.get((k, 0, 0), 0)
+        t = a + b + c + d
+        sa += a
+        e += (a + b) * (a + c) / t
+        v += (a + b) * (c + d) * (a + c) * (b + d) / (t * t * (t - 1))
+        orn += a * d / t
+        ord_ += b * c / t
+    chi2 = (sa - e) ** 2 / v
+    (got,) = dump("events_cmh_test")
+    dd = dict(zip(dump_cols("events_cmh_test"), got))
+    if dd["n_strata"] != len(strata) or dd["sum_a"] != sa:
+        mis.append(("counts", (dd["n_strata"], dd["sum_a"]),
+                    (len(strata), sa)))
+    for c_, w in [("expected_a", e), ("cmh_chi2", chi2),
+                  ("or_mh", orn / ord_)]:
+        if not close(dd[c_], w, 1e-4):
+            mis.append((c_, dd[c_], w))
+    report("events_cmh_test", mis, 5)
+
+
+def audit_bp():
+    """Breusch-Pagan LM recomputed with plain-float OLS + auxiliary R²."""
+    mis = []
+    r_ = rows(f"SELECT CAST(date_diff('day', DATE '2024-01-01', "
+              f"CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x, "
+              f"CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) // 100 "
+              f"AS BIGINT) AS y FROM '{SF}/events.parquet' GROUP BY 1")
+    pts = list(r_)
+    n = len(pts)
+    xm = sum(x for x, _ in pts) / n
+    ym = sum(y for _, y in pts) / n
+    sxx = sum((x - xm) ** 2 for x, _ in pts)
+    b1 = sum((x - xm) * (y - ym) for x, y in pts) / sxx
+    b0 = ym - b1 * xm
+    e2 = [(x, (y - b0 - b1 * x) ** 2) for x, y in pts]
+    em = sum(e for _, e in e2) / n
+    see = sum((e - em) ** 2 for _, e in e2)
+    sxe = sum((x - xm) * (e - em) for x, e in e2)
+    r2 = sxe * sxe / (sxx * see)
+    (got,) = dump("stats_breusch_pagan")
+    d = dict(zip(dump_cols("stats_breusch_pagan"), got))
+    if d["n_days"] != n:
+        mis.append(("n_days", d["n_days"], n))
+    if not close(d["r2_aux"], r2, 1e-4):
+        mis.append(("r2_aux", d["r2_aux"], r2))
+    if not close(d["bp_lm"], n * r2, 1e-3):
+        mis.append(("bp_lm", d["bp_lm"], n * r2))
+    report("stats_breusch_pagan", mis, 3)
+
+
 AUDITS = {
+    "events_cmh_test": audit_cmh,
+    "stats_breusch_pagan": audit_bp,
     "stats_wilson_ci": audit_wilson,
     "ts_diurnal_harmonic": audit_diurnal,
     "text_ttr_curve": audit_ttr,
