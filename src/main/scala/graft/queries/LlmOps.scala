@@ -1711,6 +1711,78 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Greedy token-budget fill — allocate a fixed training-token budget
+  // (here: half the corpus) across sources in QUALITY order: each source,
+  // visited best-quality-first, takes min(its tokens, remaining budget) —
+  // the water-filling pass a mixture designer runs before fine-grained
+  // weights (llm_domain_mix) are tuned, answering "which sources fit at
+  // all, and who eats the boundary". Per-source quality is the mean
+  // 1e-4-quantized heuristic score (integer sum / one division, ranked
+  // by its integer image with source tiebreak), tokens are whitespace
+  // counts; the greedy recurrence is a plain prefix sum over the
+  // quality-ordered 20-row source catalog — pure windows, exact
+  // integers end-to-end. One corpus pass; catalog-bounded everything
+  // after.
+  q("llm_budget_fill",
+    s"""WITH d AS (
+      |  SELECT source, len(string_split(text, ' ')) AS toks,
+      |    CAST(floor(round(
+      |      least(CAST(length(text) AS DOUBLE) / 200, 1.0) * 0.3
+      |      + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |               / length(text)) * 0.3
+      |      + (CAST(len(list_intersect(string_split(lower(text), ' '),
+      |           [$oracleStopList])) AS DOUBLE) / len(string_split(text, ' '))) * 0.4,
+      |    4) * 10000 + 0.5) AS BIGINT) AS q4
+      |  FROM documents
+      |), src AS (
+      |  SELECT source, CAST(SUM(toks) AS BIGINT) AS tokens,
+      |    CAST(SUM(q4) AS BIGINT) AS q4sum, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM d GROUP BY source
+      |), tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS t FROM src),
+      |o AS (
+      |  SELECT source, tokens, n_docs,
+      |    floor(CAST(q4sum AS DOUBLE) / n_docs + 0.5) / 10000 AS quality,
+      |    CAST(floor(CAST(q4sum AS DOUBLE) / n_docs + 0.5) AS BIGINT) AS qr,
+      |    COALESCE(SUM(tokens) OVER (
+      |      ORDER BY CAST(floor(CAST(q4sum AS DOUBLE) / n_docs + 0.5) AS BIGINT)
+      |        DESC, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM src
+      |)
+      |SELECT source, n_docs, tokens,
+      |  quality,
+      |  CAST(cum_before AS BIGINT) AS cum_before,
+      |  CAST(greatest(least(tokens, t // 2 - cum_before), 0) AS BIGINT)
+      |    AS taken
+      |FROM o, tot ORDER BY qr DESC, source""") { (s, dir) =>
+    import graft.engine.Tables.fan
+    import graft.ops.TextOps
+    val d = fan(Tables(s, dir, "documents"))
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        floor(TextOps.qualityScore(col("text"),
+          size(TextOps.tokens(col("text")))) * 10000 + lit(0.5))
+          .cast("long").as("q4"))
+    val src = d.groupBy("source").agg(sum("toks").cast("long").as("tokens"),
+      sum("q4").cast("long").as("q4sum"),
+      count(lit(1)).cast("long").as("n_docs"))
+    val tot = src.agg(sum("tokens").cast("long").as("t"))
+    val qr = floor(col("q4sum").cast("double") / col("n_docs") + lit(0.5))
+      .cast("long")
+    val wOrd = Window.orderBy(qr.desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val o = src.select(col("source"), col("tokens"), col("n_docs"),
+      (qr.cast("double") / 10000).as("quality"), qr.as("qr"),
+      coalesce(sum("tokens").over(wOrd), lit(0L)).cast("long").as("cum_before"))
+    o.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"), col("quality"),
+        col("cum_before"),
+        greatest(least(col("tokens"),
+          expr("t div 2") - col("cum_before")), lit(0L)).cast("long")
+          .as("taken"))
+      .orderBy(col("qr").desc, col("source"))
+  }
+
   // Cross-source duplication profile — which SOURCE PAIRS share near-dup
   // documents, and how similar: the mixing diagnostic that tells a corpus
   // builder "dump B is 30% re-crawl of dump A" before weights are chosen.

@@ -245,6 +245,20 @@ class Round11Spec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("bp_lm") - r.getAs[Long]("n_days") * r2) < 1e-3)
   }
 
+  test("llm_budget_fill: takes exactly half the corpus, never exceeds a source") {
+    val rows = SparkEntry.queries("llm_budget_fill")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    assert(rows.map(_.getAs[Long]("taken")).sum == total / 2)
+    assert(rows.forall(r => r.getAs[Long]("taken") <= r.getAs[Long]("tokens")))
+    assert(rows.forall(r => r.getAs[Long]("taken") >= 0))
+    // partially-filled sources form a suffix of the quality order: once a
+    // source is cut short, every later source takes 0
+    val takens = rows.map(r => (r.getAs[Long]("taken"), r.getAs[Long]("tokens")))
+    val firstPartial = takens.indexWhere { case (t, tok) => t < tok }
+    if (firstPartial >= 0)
+      assert(takens.drop(firstPartial + 1).forall(_._1 == 0))
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

@@ -3858,7 +3858,31 @@ def audit_bp():
     report("stats_breusch_pagan", mis, 3)
 
 
+def audit_budget_fill():
+    """Greedy water-filling replayed sequentially over the dumped source
+    frame: the taken column must equal the explicit loop, and the total
+    taken must equal exactly half the corpus tokens (floor division)."""
+    mis = []
+    got = dump("llm_budget_fill")
+    cols = dump_cols("llm_budget_fill")
+    rows_ = [dict(zip(cols, r)) for r in got]
+    # replay in the emitted (quality desc, source) order
+    order = sorted(rows_, key=lambda d: (-d["quality"], d["source"]))
+    budget = sum(d["tokens"] for d in rows_) // 2
+    rem = budget
+    for d in order:
+        want = max(min(d["tokens"], rem), 0)
+        if d["taken"] != want:
+            mis.append((d["source"], "taken", d["taken"], want))
+        rem -= min(d["tokens"], max(rem, 0)) if rem > 0 else 0
+    total_taken = sum(d["taken"] for d in rows_)
+    if total_taken != min(budget, sum(d["tokens"] for d in rows_)):
+        mis.append(("total", total_taken, budget))
+    report("llm_budget_fill", mis, len(got) + 1)
+
+
 AUDITS = {
+    "llm_budget_fill": audit_budget_fill,
     "events_cmh_test": audit_cmh,
     "stats_breusch_pagan": audit_bp,
     "stats_wilson_ci": audit_wilson,
