@@ -3406,6 +3406,138 @@ object StatsOps extends QueryPack {
     (Seq(head) ++ steps :+ tail).mkString(",\n")
   }
 
+  // Area under the precision-recall curve (average precision) for the
+  // purchase-vs-view value classifier — the imbalanced-data counterpart
+  // to ml_roc_auc's integral and the scalar summary of ml_lift_gains'
+  // table: AP = Σ_t ΔR_t·P_t over DESCENDING distinct score thresholds
+  // (step-wise interpolation, the standard AP definition). Everything
+  // runs on the cents histogram: cumulative TP/FP from one ordered
+  // window, each threshold's ΔR·P term quantized to a 1e-12 integer so
+  // the reduction is exact and order-independent. Ties share one
+  // threshold (both engines identically). Audit row:
+  // formula_audit.audit_auc_pr.
+  q("ml_auc_pr",
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |), h AS (
+      |  SELECT v, CAST(SUM(y) AS BIGINT) AS n1, CAST(COUNT(*) - SUM(y)
+      |    AS BIGINT) AS n0
+      |  FROM ev GROUP BY v
+      |), t AS (
+      |  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n0) AS BIGINT) AS t0
+      |  FROM h
+      |), c AS (
+      |  SELECT v, n1,
+      |    CAST(SUM(n1) OVER (ORDER BY v DESC) AS BIGINT) AS tp,
+      |    CAST(SUM(n0) OVER (ORDER BY v DESC) AS BIGINT) AS fp
+      |  FROM h
+      |), terms AS (
+      |  SELECT CAST(SUM(CAST(floor(CAST(n1 AS DOUBLE) / t1
+      |    * (CAST(tp AS DOUBLE) / (tp + fp))
+      |    * 1000000000000 + 0.5) AS BIGINT)) AS HUGEINT) AS ap12
+      |  FROM c, t WHERE n1 > 0
+      |)
+      |SELECT t1 AS n_pos, t0 AS n_neg,
+      |  floor(CAST(t1 AS DOUBLE) / (t1 + t0) * 1000000 + 0.5) / 1000000
+      |    AS baseline_prec,
+      |  floor(CAST(ap12 AS DOUBLE) / 1000000 + 0.5) / 1000000 AS auc_pr
+      |FROM terms, t""") { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(Det.cents(col("value")).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val h = ev.groupBy("v").agg(sum("y").cast("long").as("n1"),
+      (count(lit(1)) - sum("y")).cast("long").as("n0"))
+    val t = h.agg(sum("n1").cast("long").as("t1"),
+      sum("n0").cast("long").as("t0"))
+    val wDesc = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = h.select(col("v"), col("n1"),
+      sum("n1").over(wDesc).cast("long").as("tp"),
+      sum("n0").over(wDesc).cast("long").as("fp"))
+    val term = floor(col("n1").cast("double") / col("t1")
+      * (col("tp").cast("double") / (col("tp") + col("fp")))
+      * 1000000000000L + lit(0.5)).cast("long")
+    val terms = c.crossJoin(broadcast(t)).filter(col("n1") > 0)
+      .agg(sum(term).cast("decimal(38,0)").as("ap12"))
+    terms.crossJoin(broadcast(t))
+      .select(col("t1").as("n_pos"), col("t0").as("n_neg"),
+        (floor(col("t1").cast("double") / (col("t1") + col("t0")) * 1000000
+          + lit(0.5)) / 1000000).as("baseline_prec"),
+        (floor(col("ap12").cast("double") / 1000000 + lit(0.5)) / 1000000)
+          .as("auc_pr"))
+  }
+
+  // Cronbach's alpha over the five per-user event-type counts treated as
+  // test items — the internal-consistency reliability coefficient
+  // (α = k/(k−1)·(1 − Σ item variances / variance of the item SUM)):
+  // do the activity dimensions move together per user? All five item
+  // variances and the total variance come from one pass of exact 128-bit
+  // moments over the pivoted per-user count matrix; α is one fixed
+  // double tree, quantized. Population (n) variances in both engines.
+  // Audit row: formula_audit.audit_cronbach.
+  q("stats_cronbach_alpha",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS i1,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS i2,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS i3,
+      |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS i4,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS i5
+      |  FROM events GROUP BY user_id
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(i1) AS HUGEINT) AS s1, SUM(CAST(i1 AS HUGEINT) * i1) AS q1,
+      |    CAST(SUM(i2) AS HUGEINT) AS s2, SUM(CAST(i2 AS HUGEINT) * i2) AS q2,
+      |    CAST(SUM(i3) AS HUGEINT) AS s3, SUM(CAST(i3 AS HUGEINT) * i3) AS q3,
+      |    CAST(SUM(i4) AS HUGEINT) AS s4, SUM(CAST(i4 AS HUGEINT) * i4) AS q4,
+      |    CAST(SUM(i5) AS HUGEINT) AS s5, SUM(CAST(i5 AS HUGEINT) * i5) AS q5,
+      |    CAST(SUM(i1 + i2 + i3 + i4 + i5) AS HUGEINT) AS st,
+      |    SUM(CAST(i1 + i2 + i3 + i4 + i5 AS HUGEINT)
+      |      * (i1 + i2 + i3 + i4 + i5)) AS qt
+      |  FROM u
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_users,
+      |  floor((CAST(n * q1 - s1 * s1 AS DOUBLE) + CAST(n * q2 - s2 * s2 AS DOUBLE)
+      |    + CAST(n * q3 - s3 * s3 AS DOUBLE) + CAST(n * q4 - s4 * s4 AS DOUBLE)
+      |    + CAST(n * q5 - s5 * s5 AS DOUBLE))
+      |    / CAST(n * qt - st * st AS DOUBLE) * 1000000 + 0.5) / 1000000
+      |    AS item_var_share,
+      |  floor(5.0 / 4.0 * (1 -
+      |    (CAST(n * q1 - s1 * s1 AS DOUBLE) + CAST(n * q2 - s2 * s2 AS DOUBLE)
+      |     + CAST(n * q3 - s3 * s3 AS DOUBLE) + CAST(n * q4 - s4 * s4 AS DOUBLE)
+      |     + CAST(n * q5 - s5 * s5 AS DOUBLE))
+      |    / CAST(n * qt - st * st AS DOUBLE)) * 1000000 + 0.5) / 1000000
+      |    AS cronbach_alpha
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    def item(et: String) =
+      sum(when(col("event_type") === et, 1L).otherwise(0L)).cast("long")
+    val u = Tables(s, dir, "events").groupBy("user_id")
+      .agg(item("view").as("i1"), item("click").as("i2"),
+        item("purchase").as("i3"), item("signup").as("i4"),
+        item("error").as("i5"))
+      .withColumn("it",
+        col("i1") + col("i2") + col("i3") + col("i4") + col("i5"))
+    val m = u.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum("i1").cast("decimal(38,0)").as("s1"), sum(dec(col("i1")) * col("i1")).as("q1"),
+      sum("i2").cast("decimal(38,0)").as("s2"), sum(dec(col("i2")) * col("i2")).as("q2"),
+      sum("i3").cast("decimal(38,0)").as("s3"), sum(dec(col("i3")) * col("i3")).as("q3"),
+      sum("i4").cast("decimal(38,0)").as("s4"), sum(dec(col("i4")) * col("i4")).as("q4"),
+      sum("i5").cast("decimal(38,0)").as("s5"), sum(dec(col("i5")) * col("i5")).as("q5"),
+      sum("it").cast("decimal(38,0)").as("st"), sum(dec(col("it")) * col("it")).as("qt"))
+    def cv(q: String, sS: String) =
+      (col("n") * col(q) - col(sS) * col(sS)).cast("double")
+    val share = (cv("q1", "s1") + cv("q2", "s2") + cv("q3", "s3")
+      + cv("q4", "s4") + cv("q5", "s5")) / cv("qt", "st")
+    m.select(col("n").cast("long").as("n_users"),
+      (floor(share * 1000000 + lit(0.5)) / 1000000).as("item_var_share"),
+      (floor(lit(5.0) / lit(4.0) * (lit(1) - share) * 1000000 + lit(0.5))
+        / 1000000).as("cronbach_alpha"))
+  }
+
   // Cochran-Mantel-Haenszel test of the arm × purchase association
   // STRATIFIED by day-of-week — the confound-adjusted 2×2 readout
   // events_chi2_independence can't give (a dow imbalance between arms

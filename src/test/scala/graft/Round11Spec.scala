@@ -259,6 +259,28 @@ class Round11Spec extends SparkSpec {
       assert(takens.drop(firstPartial + 1).forall(_._1 == 0))
   }
 
+  test("ml_auc_pr: AP within [baseline-ish, 1], counts match pr_f1's totals") {
+    val r = SparkEntry.queries("ml_auc_pr")(spark, sf).collect()(0)
+    val ap = r.getAs[Double]("auc_pr")
+    assert(ap > 0 && ap <= 1.0 + 1e-9)
+    // a no-signal score can dip slightly below baseline; a broken sweep
+    // lands near 0 or above 1
+    assert(math.abs(ap - r.getAs[Double]("baseline_prec")) < 0.25)
+    val f1 = SparkEntry.queries("ml_pr_f1")(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") ==
+      f1.getAs[Long]("tp") + f1.getAs[Long]("fp") + f1.getAs[Long]("fn")
+        + f1.getAs[Long]("tn"))
+  }
+
+  test("stats_cronbach_alpha: alpha <= 1 and consistent with the variance share") {
+    val r = SparkEntry.queries("stats_cronbach_alpha")(spark, sf).collect()(0)
+    val a = r.getAs[Double]("cronbach_alpha")
+    val share = r.getAs[Double]("item_var_share")
+    assert(a <= 1.0 + 1e-9)
+    assert(math.abs(a - 5.0 / 4.0 * (1 - share)) < 1e-4)
+    assert(share > 0)
+  }
+
   test("ml_logreg_newton: boundary consistency — train_acc matches the emitted coefficients") {
     val r = SparkEntry.queries("ml_logreg_newton")(spark, sf).collect()(0)
     val b0 = r.getAs[Double]("b0"); val b1 = r.getAs[Double]("b1")

@@ -3881,7 +3881,75 @@ def audit_budget_fill():
     report("llm_budget_fill", mis, len(got) + 1)
 
 
+def audit_auc_pr():
+    """Average precision recomputed from a plain sorted sweep over raw
+    rows (ties grouped at one threshold, step-wise AP)."""
+    mis = []
+    r_ = rows(f"SELECT floor(value * 100 + 0.5) AS v, "
+              f"CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
+              f"FROM '{SF}/events.parquet' "
+              f"WHERE event_type IN ('purchase', 'view')")
+    from collections import Counter
+    n1 = Counter()
+    n0 = Counter()
+    for v, y in r_:
+        (n1 if y else n0)[v] += 1
+    t1 = sum(n1.values())
+    t0 = sum(n0.values())
+    tp = fp = 0
+    ap = 0.0
+    for v in sorted(set(n1) | set(n0), reverse=True):
+        tp += n1[v]
+        fp += n0[v]
+        if n1[v] > 0:
+            ap += n1[v] / t1 * (tp / (tp + fp))
+    (got,) = dump("ml_auc_pr")
+    d = dict(zip(dump_cols("ml_auc_pr"), got))
+    if (d["n_pos"], d["n_neg"]) != (t1, t0):
+        mis.append(("counts", (d["n_pos"], d["n_neg"]), (t1, t0)))
+    if not close(d["baseline_prec"], t1 / (t1 + t0), 1e-5):
+        mis.append(("baseline", d["baseline_prec"], t1 / (t1 + t0)))
+    if not close(d["auc_pr"], ap, 1e-5):
+        mis.append(("auc_pr", d["auc_pr"], ap))
+    report("ml_auc_pr", mis, 4)
+
+
+def audit_cronbach():
+    """Cronbach's alpha recomputed from per-user item vectors with plain
+    population variances."""
+    mis = []
+    r_ = rows(f"SELECT user_id, event_type, COUNT(*) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    items = ["view", "click", "purchase", "signup", "error"]
+    per = {}
+    for uid, et, c in r_:
+        per.setdefault(uid, dict.fromkeys(items, 0))
+        if et in per[uid]:
+            per[uid][et] = c
+    mat = [[d[i] for i in items] for d in per.values()]
+    n = len(mat)
+
+    def var(xs):
+        mu = sum(xs) / n
+        return sum((x - mu) ** 2 for x in xs) / n
+
+    item_vars = sum(var([row[j] for row in mat]) for j in range(5))
+    tot_var = var([sum(row) for row in mat])
+    alpha = 5 / 4 * (1 - item_vars / tot_var)
+    (got,) = dump("stats_cronbach_alpha")
+    d = dict(zip(dump_cols("stats_cronbach_alpha"), got))
+    if d["n_users"] != n:
+        mis.append(("n_users", d["n_users"], n))
+    if not close(d["item_var_share"], item_vars / tot_var, 1e-5):
+        mis.append(("share", d["item_var_share"], item_vars / tot_var))
+    if not close(d["cronbach_alpha"], alpha, 1e-4):
+        mis.append(("alpha", d["cronbach_alpha"], alpha))
+    report("stats_cronbach_alpha", mis, 3)
+
+
 AUDITS = {
+    "ml_auc_pr": audit_auc_pr,
+    "stats_cronbach_alpha": audit_cronbach,
     "llm_budget_fill": audit_budget_fill,
     "events_cmh_test": audit_cmh,
     "stats_breusch_pagan": audit_bp,
