@@ -3518,4 +3518,53 @@ object LlmOps extends QueryPack {
           + lit(0.5)) / 1000000).as("neg_frac"))
       .orderBy("source")
   }
+
+  // Yule's characteristic K and Simpson's D per source — the
+  // frequency-of-frequency vocabulary-richness readouts that complement
+  // text_hapax_ratio's TTR (K is length-invariant where TTR is not, so
+  // it's the right cross-source comparison when sources have different
+  // document sizes). K = 10⁴·(Σ c² − N)/N², D = (Σ c² − N)/(N(N−1)),
+  // both from the per-(source, token) count frame: one shuffle to the
+  // token-count aggregate, one to the per-source rollup — the corpus
+  // text never moves twice. Σc² promotes to 128-bit before the square
+  // (a 100 TB source's top token count can pass 2^31.5). Exact integer
+  // moments; two final double trees, quantized 1e-6/1e-9.
+  // Audit row: formula_audit.audit_yule_k.
+  q("text_yule_k",
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM t GROUP BY source, token
+      |)
+      |SELECT source,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab,
+      |  CAST(floor((CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE)
+      |      - CAST(SUM(cnt) AS DOUBLE))
+      |    / CAST(SUM(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) * 10000
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS yule_k,
+      |  CAST(floor((CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS DOUBLE)
+      |      - CAST(SUM(cnt) AS DOUBLE))
+      |    / CAST(SUM(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) - 1)
+      |    * 1000000000 + 0.5) AS DOUBLE) / 1000000000 AS simpson_d
+      |FROM c GROUP BY source ORDER BY source""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val c = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val m2 = sum(dec(col("cnt")) * col("cnt")).cast("double")
+    val n = sum("cnt").cast("double")
+    c.groupBy("source")
+      .agg(sum("cnt").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        (floor((m2 - n) / n / n * 10000 * 1000000 + lit(0.5))
+          .cast("double") / 1000000).as("yule_k"),
+        (floor((m2 - n) / n / (n - 1) * 1000000000L + lit(0.5))
+          .cast("double") / 1000000000L).as("simpson_d"))
+      .orderBy("source")
+  }
 }

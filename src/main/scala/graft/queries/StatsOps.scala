@@ -5742,4 +5742,209 @@ object StatsOps extends QueryPack {
     Seq((n, q6(b0), q6(b1), q6(correct.toDouble / n)))
       .toDF("n", "b0", "b1", "train_acc")
   }
+
+  // Bartlett's test of variance homogeneity of event value across the
+  // five event types — the parametric gate before pooling variances in
+  // events_ab_welch-style analyses (Levene/Brown-Forsythe are the robust
+  // siblings; Bartlett is the sensitive-but-powerful classic).
+  // T = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with
+  // C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)).
+  // Cross-engine ln discipline: each group variance is quantized to a
+  // 1e-6 integer (s2fix) from EXACT 128-bit moments (nᵢ·qᵢ − sᵢ²), so
+  // every ln argument is an integer (Det.lnFix contract) — and the
+  // ln(10⁶) scale constants cancel exactly between the pooled and
+  // per-group terms because Σ(nᵢ−1) = N−k. The 1/(nᵢ−1) correction
+  // terms quantize to 1e-12 integers per group (k=5 rows), so the sum
+  // is exact; T and C meet only in the final one-row double tree. The
+  // corpus collapses to the k-row group frame in one pass.
+  // Audit row: formula_audit.audit_bartlett.
+  q("stats_bartlett",
+    """WITH g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s,
+      |    SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)
+      |        * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS q
+      |  FROM events GROUP BY event_type
+      |), f AS (
+      |  SELECT n,
+      |    CAST(floor(CAST(n * q - s * s AS DOUBLE) / n / (n - 1) * 1000000
+      |      + 0.5) AS BIGINT) AS s2fix,
+      |    CAST(floor(1.0 / (n - 1) * 1000000000000 + 0.5) AS BIGINT) AS invfix
+      |  FROM g
+      |), a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nt,
+      |    SUM(CAST(n - 1 AS HUGEINT) * s2fix) AS pooled,
+      |    SUM(CAST(n - 1 AS HUGEINT)
+      |      * CAST(floor(ln(CAST(s2fix AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT))
+      |      AS slns,
+      |    CAST(SUM(invfix) AS BIGINT) AS sinv
+      |  FROM f
+      |)
+      |SELECT nt AS n_total, k AS k_groups,
+      |  CAST(floor((1.0 + (CAST(sinv AS DOUBLE) / 1000000000000
+      |      - 1.0 / (nt - k)) / (3.0 * (k - 1))) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS corr_c,
+      |  CAST(floor(CAST(CAST(nt - k AS HUGEINT)
+      |        * (CAST(floor(ln(CAST(pooled AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+      |           - CAST(floor(ln(CAST(nt - k AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT))
+      |        - slns AS DOUBLE) / 1000000000
+      |    / (1.0 + (CAST(sinv AS DOUBLE) / 1000000000000 - 1.0 / (nt - k))
+      |       / (3.0 * (k - 1))) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS chi2_bartlett
+      |FROM a""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val v = Det.cents(col("value")).cast("long")
+    val g = Tables(s, dir, "events").groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(v).cast("decimal(38,0)").as("s"),
+        sum(dec(v) * v).as("q"))
+    val f = g.select(col("n"),
+      floor((dec(col("n")) * col("q") - col("s") * col("s")).cast("double")
+        / col("n") / (col("n") - 1) * 1000000 + lit(0.5)).cast("long")
+        .as("s2fix"),
+      floor(lit(1.0) / (col("n") - 1) * 1000000000000L + lit(0.5))
+        .cast("long").as("invfix"))
+    val a = f.agg(count(lit(1)).cast("long").as("k"),
+      sum("n").cast("long").as("nt"),
+      sum(dec(col("n") - 1) * col("s2fix")).as("pooled"),
+      sum(dec(col("n") - 1) * Det.lnFix(col("s2fix"), 9)).as("slns"),
+      sum("invfix").cast("long").as("sinv"))
+    val corrC = lit(1.0) + (col("sinv").cast("double") / 1000000000000L
+      - lit(1.0) / (col("nt") - col("k"))) / (lit(3.0) * (col("k") - 1))
+    val t9 = (dec(col("nt") - col("k"))
+      * (Det.lnFix(col("pooled"), 9) - Det.lnFix(col("nt") - col("k"), 9))
+      - col("slns")).cast("double") / 1000000000L
+    a.select(col("nt").as("n_total"), col("k").as("k_groups"),
+      (floor(corrC * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("corr_c"),
+      (floor(t9 / corrC * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("chi2_bartlett"))
+  }
+
+  // Theil's uncertainty coefficient U(event_type | dow) — the asymmetric
+  // "how much does knowing the day-of-week tell you about the event mix"
+  // association readout that Cramér's V (symmetric, χ²-based) can't
+  // split by direction. U(X|Y) = I(X;Y)/H(X) from the 5×7 joint count
+  // table. All entropy sums use the integer-argument lnFix device
+  // (counts only), so every reduction is an exact 128-bit integer sum:
+  // N·10⁸·H(X) = N·lnFix(N) − Σₓ nₓ·lnFix(nₓ), and
+  // N·10⁸·I = Σ n_xy·lnFix(n_xy) + N·lnFix(N) − Σ nₓ·lnFix(nₓ)
+  //   − Σ n_y·lnFix(n_y); the ratios meet in one final double tree.
+  // Audit row: formula_audit.audit_theil_u.
+  q("stats_theil_u",
+    """WITH ev AS (
+      |  SELECT event_type AS x,
+      |    CAST(((date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7 AS BIGINT)
+      |      AS y
+      |  FROM events
+      |), j AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY x, y),
+      |ax AS (
+      |  SELECT SUM(CAST(cx AS HUGEINT)
+      |    * CAST(floor(ln(CAST(cx AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)) AS sx
+      |  FROM (SELECT x, SUM(c) AS cx FROM j GROUP BY x)
+      |), ay AS (
+      |  SELECT SUM(CAST(cy AS HUGEINT)
+      |    * CAST(floor(ln(CAST(cy AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)) AS sy
+      |  FROM (SELECT y, SUM(c) AS cy FROM j GROUP BY y)
+      |), aj AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    SUM(CAST(c AS HUGEINT)
+      |      * CAST(floor(ln(CAST(c AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)) AS sxy
+      |  FROM j
+      |), m AS (
+      |  SELECT n, sxy, sx, sy,
+      |    CAST(n AS HUGEINT)
+      |      * CAST(floor(ln(CAST(n AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)
+      |      AS nlnn
+      |  FROM aj, ax, ay
+      |)
+      |SELECT n AS n_events,
+      |  CAST(floor(CAST(sxy + nlnn - sx - sy AS DOUBLE) / 100000000 / n
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS mi_nats,
+      |  CAST(floor(CAST(sxy + nlnn - sx - sy AS DOUBLE)
+      |    / CAST(nlnn - sx AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS u_x_given_y,
+      |  CAST(floor(CAST(sxy + nlnn - sx - sy AS DOUBLE)
+      |    / CAST(nlnn - sy AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS u_y_given_x
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events").select(col("event_type").as("x"),
+      (((datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date")) % 7) + 7) % 7).cast("long").as("y"))
+    val j = ev.groupBy("x", "y").agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
+    val ax = j.groupBy("x").agg(sum("c").as("cx"))
+      .agg(sum(dec(col("cx")) * Det.lnFix(col("cx"), 8)).as("sx"))
+    val ay = j.groupBy("y").agg(sum("c").as("cy"))
+      .agg(sum(dec(col("cy")) * Det.lnFix(col("cy"), 8)).as("sy"))
+    val aj = j.agg(sum("c").cast("long").as("n"),
+      sum(dec(col("c")) * Det.lnFix(col("c"), 8)).as("sxy"))
+    val m = aj.crossJoin(broadcast(ax)).crossJoin(broadcast(ay))
+      .withColumn("nlnn", dec(col("n")) * Det.lnFix(col("n"), 8))
+    val mi = (col("sxy") + col("nlnn") - col("sx") - col("sy")).cast("double")
+    m.select(col("n").as("n_events"),
+      (floor(mi / 100000000L / col("n") * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("mi_nats"),
+      (floor(mi / (col("nlnn") - col("sx")).cast("double") * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("u_x_given_y"),
+      (floor(mi / (col("nlnn") - col("sy")).cast("double") * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
+  }
+
+  // Cohen's kappa between two heuristic document-quality raters — the
+  // chance-corrected agreement readout a curation pipeline needs before
+  // trusting a cheap filter as a proxy for an expensive one. Rater A
+  // flags docs longer than 500 chars; rater B flags docs with more than
+  // 80 whitespace tokens. κ = (p_o − p_e)/(1 − p_e) from the exact 2×2
+  // integer table (expected agreement from the margin products, 128-bit
+  // before the multiply); one final double tree, quantized 1e-6.
+  // Audit row: formula_audit.audit_cohen_kappa.
+  q("ml_cohen_kappa",
+    """WITH r AS (
+      |  SELECT CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN len(string_split(text, ' ')) > 80 THEN 1 ELSE 0 END AS rb
+      |  FROM documents
+      |), t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ra * rb) AS BIGINT) AS n11,
+      |    CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+      |    CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+      |    CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+      |  FROM r
+      |)
+      |SELECT n AS n_docs, n11, n10, n01, n00,
+      |  CAST(floor(CAST(n11 + n00 AS DOUBLE) / n * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS p_obs,
+      |  CAST(floor(CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE)
+      |    / n / n * 1000000 + 0.5) AS DOUBLE) / 1000000 AS p_exp,
+      |  CAST(floor((CAST(n11 + n00 AS DOUBLE) / n
+      |      - CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |        + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE) / n / n)
+      |    / (1.0 - CAST(CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      |        + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS DOUBLE) / n / n)
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS kappa
+      |FROM t""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val r = Tables(s, dir, "documents").select(
+      when(col("n_chars") > 500, 1L).otherwise(0L).as("ra"),
+      when(size(split(col("text"), " ")) > 80, 1L).otherwise(0L).as("rb"))
+    val t = r.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("ra") * col("rb")).cast("long").as("n11"),
+      sum(col("ra") * (lit(1) - col("rb"))).cast("long").as("n10"),
+      sum((lit(1) - col("ra")) * col("rb")).cast("long").as("n01"),
+      sum((lit(1) - col("ra")) * (lit(1) - col("rb"))).cast("long").as("n00"))
+    val pObs = (col("n11") + col("n00")).cast("double") / col("n")
+    val pExp = (dec(col("n11") + col("n10")) * (col("n11") + col("n01"))
+      + dec(col("n01") + col("n00")) * (col("n10") + col("n00")))
+      .cast("double") / col("n") / col("n")
+    t.select(col("n").as("n_docs"), col("n11"), col("n10"), col("n01"),
+      col("n00"),
+      (floor(pObs * 1000000 + lit(0.5)).cast("double") / 1000000).as("p_obs"),
+      (floor(pExp * 1000000 + lit(0.5)).cast("double") / 1000000).as("p_exp"),
+      (floor((pObs - pExp) / (lit(1.0) - pExp) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("kappa"))
+  }
 }

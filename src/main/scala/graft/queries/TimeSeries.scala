@@ -3183,4 +3183,152 @@ object TimeSeriesOps extends QueryPack {
       (floor(g / sqrt(s2 * col("m").cast("double") * invuu) * 1000000
         + lit(0.5)) / 1000000).as("adf_t"))
   }
+
+  // KPSS level-stationarity test on the daily-revenue series — the
+  // complement of ts_adf_test (ADF's null is a unit root; KPSS's null is
+  // stationarity, so the pair gives the standard four-quadrant verdict).
+  // η = n⁻²·Σₜ Sₜ² / λ̂ where Sₜ are partial sums of the demeaned series
+  // and λ̂ is the Bartlett-window long-run variance with L=4 lags.
+  // Exactness device: demeaning is scaled through n (ẽₜ = n·xₜ − Σx,
+  // exact integers), so partial sums and all lag products are exact
+  // 128-bit integers; Bartlett weights wₗ = 1−l/5 are cleared to
+  // integers by multiplying numerator and denominator by 5:
+  // η = 5·ΣS̃² / (n·(5γ̃₀ + 2·Σ(5−l)·γ̃ₗ)). One double division at the
+  // end, quantized 1e-6 (5% critical value for level KPSS: 0.463).
+  // The corpus collapses to the calendar-bounded daily frame in one
+  // pass; the window runs over that Aggregate-bounded frame only.
+  // Audit row: formula_audit.audit_kpss.
+  q("ts_kpss",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1
+      |), st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx FROM daily),
+      |d AS (SELECT day, n * x - sx AS e, n FROM daily, st),
+      |c AS (
+      |  SELECT n, e,
+      |    SUM(e) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS s,
+      |    lag(e, 1) OVER (ORDER BY day) AS e1,
+      |    lag(e, 2) OVER (ORDER BY day) AS e2,
+      |    lag(e, 3) OVER (ORDER BY day) AS e3,
+      |    lag(e, 4) OVER (ORDER BY day) AS e4
+      |  FROM d
+      |), m AS (
+      |  SELECT n, SUM(CAST(s AS HUGEINT) * s) AS ss,
+      |    SUM(CAST(e AS HUGEINT) * e) AS g0,
+      |    SUM(CAST(e AS HUGEINT) * e1) AS g1, SUM(CAST(e AS HUGEINT) * e2) AS g2,
+      |    SUM(CAST(e AS HUGEINT) * e3) AS g3, SUM(CAST(e AS HUGEINT) * e4) AS g4
+      |  FROM c GROUP BY n
+      |)
+      |SELECT n AS n_days,
+      |  CAST(floor(5.0 * CAST(ss AS DOUBLE)
+      |    / (CAST(n AS DOUBLE)
+      |       * CAST(5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + g4) AS DOUBLE))
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS kpss_stat
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val st = daily.agg(count(lit(1)).cast("long").as("n"), sum("x").as("sx"))
+    val d = daily.crossJoin(broadcast(st))
+      .select(col("day"), (col("n") * col("x") - col("sx")).as("e"), col("n"))
+    val wo = Window.orderBy("day")
+    val c = d.select(col("n"), col("e"),
+      sum("e").over(wo.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("s"),
+      lag(col("e"), 1).over(wo).as("e1"), lag(col("e"), 2).over(wo).as("e2"),
+      lag(col("e"), 3).over(wo).as("e3"), lag(col("e"), 4).over(wo).as("e4"))
+    val m = c.groupBy("n").agg(sum(dec(col("s")) * col("s")).as("ss"),
+      sum(dec(col("e")) * col("e")).as("g0"),
+      sum(dec(col("e")) * col("e1")).as("g1"),
+      sum(dec(col("e")) * col("e2")).as("g2"),
+      sum(dec(col("e")) * col("e3")).as("g3"),
+      sum(dec(col("e")) * col("e4")).as("g4"))
+    val lam = (lit(5) * col("g0")
+      + lit(2) * (lit(4) * col("g1") + lit(3) * col("g2")
+        + lit(2) * col("g3") + col("g4"))).cast("double")
+    m.select(col("n").as("n_days"),
+      (floor(lit(5.0) * col("ss").cast("double")
+        / (col("n").cast("double") * lam) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("kpss_stat"))
+  }
+
+  // Permutation entropy (Bandt-Pompe, embedding dimension 3) of the
+  // daily-revenue series — the ordinal-pattern complexity measure:
+  // white noise → all 6 patterns equally likely (PE ≈ 1), a monotone
+  // trend → one pattern dominates (PE → 0). Each day maps to the rank
+  // pattern of (xₜ, xₜ₊₁, xₜ₊₂); ties rank by time order (stable), so
+  // the pattern is a pure CASE chain over the three ≤ comparisons —
+  // only 6 of the 8 boolean combinations are consistent. Entropy uses
+  // the integer-argument lnFix device over the ≤6 pattern counts;
+  // normalization divides by the fixed 1e-8-quantized ln 6. The window
+  // runs over the Aggregate-bounded daily frame only.
+  // Audit row: formula_audit.audit_perm_entropy.
+  q("ts_permutation_entropy",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1
+      |), tri AS (
+      |  SELECT x AS a,
+      |    lead(x, 1) OVER (ORDER BY day) AS b,
+      |    lead(x, 2) OVER (ORDER BY day) AS c
+      |  FROM daily
+      |), pat AS (
+      |  SELECT CASE
+      |      WHEN a <= b AND b <= c THEN 0
+      |      WHEN a <= b AND NOT b <= c AND a <= c THEN 1
+      |      WHEN a <= b THEN 2
+      |      WHEN NOT a <= b AND b <= c AND a <= c THEN 3
+      |      WHEN b <= c THEN 4
+      |      ELSE 5 END AS p
+      |  FROM tri WHERE c IS NOT NULL
+      |), pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM pat GROUP BY p),
+      |m AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_patterns,
+      |    SUM(CAST(c AS HUGEINT)
+      |      * CAST(floor(ln(CAST(c AS DOUBLE)) * 100000000 + 0.5) AS BIGINT))
+      |      AS slnc
+      |  FROM pc
+      |)
+      |SELECT n AS n_triples, n_patterns,
+      |  CAST(floor((CAST(floor(ln(CAST(n AS DOUBLE)) * 100000000 + 0.5) AS DOUBLE)
+      |      / 100000000
+      |      - CAST(slnc AS DOUBLE) / 100000000 / n) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS h_perm,
+      |  CAST(floor((CAST(floor(ln(CAST(n AS DOUBLE)) * 100000000 + 0.5) AS DOUBLE)
+      |      / 100000000
+      |      - CAST(slnc AS DOUBLE) / 100000000 / n) / 1.79175947 * 1000000
+      |    + 0.5) AS DOUBLE) / 1000000 AS pe_norm
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val wo = Window.orderBy("day")
+    val tri = daily.select(col("x").as("a"),
+      lead(col("x"), 1).over(wo).as("b"), lead(col("x"), 2).over(wo).as("c"))
+    val pat = tri.filter(col("c").isNotNull).select(
+      when(col("a") <= col("b") && col("b") <= col("c"), 0)
+        .when(col("a") <= col("b") && !(col("b") <= col("c"))
+          && col("a") <= col("c"), 1)
+        .when(col("a") <= col("b"), 2)
+        .when(!(col("a") <= col("b")) && col("b") <= col("c")
+          && col("a") <= col("c"), 3)
+        .when(col("b") <= col("c"), 4)
+        .otherwise(5).as("p"))
+    val pc = pat.groupBy("p").agg(count(lit(1)).cast("long").as("c"))
+    val m = pc.agg(sum("c").cast("long").as("n"),
+      count(lit(1)).cast("long").as("n_patterns"),
+      sum(dec(col("c")) * Det.lnFix(col("c"), 8)).as("slnc"))
+    val h = (Det.lnFix(col("n"), 8).cast("double") / 100000000L
+      - col("slnc").cast("double") / 100000000L / col("n"))
+    m.select(col("n").as("n_triples"), col("n_patterns"),
+      (floor(h * 1000000 + lit(0.5)).cast("double") / 1000000).as("h_perm"),
+      (floor(h / lit(1.79175947) * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("pe_norm"))
+  }
 }

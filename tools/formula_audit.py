@@ -3947,7 +3947,194 @@ def audit_cronbach():
     report("stats_cronbach_alpha", mis, 3)
 
 
+def audit_bartlett():
+    """Bartlett's variance-homogeneity test recomputed with plain sample
+    variances and math.log."""
+    mis = []
+    r_ = rows(f"SELECT event_type, floor(value * 100 + 0.5) "
+              f"FROM '{SF}/events.parquet'")
+    groups = {}
+    for et, v in r_:
+        groups.setdefault(et, []).append(v)
+    k = len(groups)
+    nt = sum(len(g) for g in groups.values())
+    s2 = {}
+    for et, g in groups.items():
+        mu = sum(g) / len(g)
+        s2[et] = sum((x - mu) ** 2 for x in g) / (len(g) - 1)
+    sp2 = sum((len(g) - 1) * s2[et] for et, g in groups.items()) / (nt - k)
+    t = (nt - k) * math.log(sp2) - sum(
+        (len(g) - 1) * math.log(s2[et]) for et, g in groups.items())
+    c = 1 + (sum(1 / (len(g) - 1) for g in groups.values())
+             - 1 / (nt - k)) / (3 * (k - 1))
+    (got,) = dump("stats_bartlett")
+    d = dict(zip(dump_cols("stats_bartlett"), got))
+    if (d["n_total"], d["k_groups"]) != (nt, k):
+        mis.append(("counts", (d["n_total"], d["k_groups"]), (nt, k)))
+    if not close(d["corr_c"], c, 1e-6):
+        mis.append(("corr_c", d["corr_c"], c))
+    if not close(d["chi2_bartlett"], t / c, 1e-4):
+        mis.append(("chi2", d["chi2_bartlett"], t / c))
+    report("stats_bartlett", mis, 4)
+
+
+def audit_theil_u():
+    """Theil's U recomputed from plain joint/marginal entropies."""
+    mis = []
+    r_ = rows(
+        "SELECT event_type, ((date_diff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) % 7) + 7) % 7, COUNT(*) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    n = sum(c for _, _, c in r_)
+
+    def ent(counts):
+        return -sum(c / n * math.log(c / n) for c in counts if c > 0)
+
+    from collections import Counter
+    cx = Counter()
+    cy = Counter()
+    for x, y, c in r_:
+        cx[x] += c
+        cy[y] += c
+    hx = ent(cx.values())
+    hy = ent(cy.values())
+    hxy = ent([c for _, _, c in r_])
+    mi = hx + hy - hxy
+    (got,) = dump("stats_theil_u")
+    d = dict(zip(dump_cols("stats_theil_u"), got))
+    if d["n_events"] != n:
+        mis.append(("n", d["n_events"], n))
+    if not close(d["mi_nats"], mi, 1e-4):
+        mis.append(("mi", d["mi_nats"], mi))
+    if not close(d["u_x_given_y"], mi / hx, 1e-4):
+        mis.append(("u_xy", d["u_x_given_y"], mi / hx))
+    if not close(d["u_y_given_x"], mi / hy, 1e-4):
+        mis.append(("u_yx", d["u_y_given_x"], mi / hy))
+    report("stats_theil_u", mis, 4)
+
+
+def audit_cohen_kappa():
+    """Cohen's kappa recomputed from the raw 2x2 agreement table."""
+    mis = []
+    r_ = rows(f"SELECT n_chars > 500, "
+              f"len(string_split(text, ' ')) > 80 "
+              f"FROM '{SF}/documents.parquet'")
+    n11 = sum(1 for a, b in r_ if a and b)
+    n10 = sum(1 for a, b in r_ if a and not b)
+    n01 = sum(1 for a, b in r_ if not a and b)
+    n00 = sum(1 for a, b in r_ if not a and not b)
+    n = len(r_)
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n / n
+    kappa = (po - pe) / (1 - pe)
+    (got,) = dump("ml_cohen_kappa")
+    d = dict(zip(dump_cols("ml_cohen_kappa"), got))
+    if (d["n11"], d["n10"], d["n01"], d["n00"]) != (n11, n10, n01, n00):
+        mis.append(("cells", (d["n11"], d["n10"], d["n01"], d["n00"]),
+                    (n11, n10, n01, n00)))
+    if not close(d["p_obs"], po, 1e-5):
+        mis.append(("p_obs", d["p_obs"], po))
+    if not close(d["p_exp"], pe, 1e-5):
+        mis.append(("p_exp", d["p_exp"], pe))
+    if not close(d["kappa"], kappa, 1e-4):
+        mis.append(("kappa", d["kappa"], kappa))
+    report("ml_cohen_kappa", mis, 4)
+
+
+def audit_kpss():
+    """KPSS eta recomputed from plain partial sums and Bartlett-weighted
+    long-run variance (L=4), floats throughout."""
+    mis = []
+    r_ = rows("SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+              "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    xs = [x for _, x in r_]
+    n = len(xs)
+    mu = sum(xs) / n
+    e = [x - mu for x in xs]
+    s = []
+    acc = 0.0
+    for v in e:
+        acc += v
+        s.append(acc)
+    num = sum(v * v for v in s) / n / n
+    lrv = sum(v * v for v in e) / n
+    for lag in range(1, 5):
+        w = 1 - lag / 5
+        lrv += 2 * w * sum(e[t] * e[t - lag] for t in range(lag, n)) / n
+    eta = num / lrv
+    (got,) = dump("ts_kpss")
+    d = dict(zip(dump_cols("ts_kpss"), got))
+    if d["n_days"] != n:
+        mis.append(("n_days", d["n_days"], n))
+    if not close(d["kpss_stat"], eta, 1e-4):
+        mis.append(("eta", d["kpss_stat"], eta))
+    report("ts_kpss", mis, 2)
+
+
+def audit_perm_entropy():
+    """Permutation entropy (m=3) recomputed with argsort rank patterns
+    (stable ties) and plain Shannon entropy."""
+    mis = []
+    r_ = rows("SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+              "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    xs = [x for _, x in r_]
+    from collections import Counter
+    pats = Counter()
+    for i in range(len(xs) - 2):
+        w = xs[i:i + 3]
+        # stable argsort: order of indices when sorted by (value, index)
+        order = tuple(sorted(range(3), key=lambda j: (w[j], j)))
+        pats[order] += 1
+    n = sum(pats.values())
+    h = -sum(c / n * math.log(c / n) for c in pats.values())
+    (got,) = dump("ts_permutation_entropy")
+    d = dict(zip(dump_cols("ts_permutation_entropy"), got))
+    if d["n_triples"] != n:
+        mis.append(("n_triples", d["n_triples"], n))
+    if d["n_patterns"] != len(pats):
+        mis.append(("n_patterns", d["n_patterns"], len(pats)))
+    if not close(d["h_perm"], h, 1e-4):
+        mis.append(("h", d["h_perm"], h))
+    if not close(d["pe_norm"], h / math.log(6), 1e-4):
+        mis.append(("pe_norm", d["pe_norm"], h / math.log(6)))
+    report("ts_permutation_entropy", mis, 4)
+
+
+def audit_yule_k():
+    """Yule's K and Simpson's D recomputed from plain token counts."""
+    mis = []
+    r_ = rows("SELECT source, unnest(string_split(lower(text), ' ')) AS t "
+              f"FROM '{SF}/documents.parquet'")
+    from collections import Counter
+    per = {}
+    for src, t in r_:
+        per.setdefault(src, Counter())[t] += 1
+    got = {r[0]: r for r in dump("text_yule_k")}
+    cols = dump_cols("text_yule_k")
+    for src, cnt in sorted(per.items()):
+        n = sum(cnt.values())
+        m2 = sum(c * c for c in cnt.values())
+        k = 1e4 * (m2 - n) / n / n
+        sd = (m2 - n) / n / (n - 1)
+        d = dict(zip(cols, got[src]))
+        if d["n_tokens"] != n or d["vocab"] != len(cnt):
+            mis.append((src, (d["n_tokens"], d["vocab"]), (n, len(cnt))))
+        if not close(d["yule_k"], k, 1e-4):
+            mis.append((src + ":k", d["yule_k"], k))
+        if not close(d["simpson_d"], sd, 1e-4):
+            mis.append((src + ":d", d["simpson_d"], sd))
+    report("text_yule_k", mis, 3 * len(per))
+
+
 AUDITS = {
+    "stats_bartlett": audit_bartlett,
+    "stats_theil_u": audit_theil_u,
+    "ml_cohen_kappa": audit_cohen_kappa,
+    "ts_kpss": audit_kpss,
+    "ts_permutation_entropy": audit_perm_entropy,
+    "text_yule_k": audit_yule_k,
     "ml_auc_pr": audit_auc_pr,
     "stats_cronbach_alpha": audit_cronbach,
     "llm_budget_fill": audit_budget_fill,
