@@ -3519,6 +3519,159 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // Bradley-Terry strength fit over sources from pairwise document
+  // "contests" — the canonical preference-data model (RLHF reward
+  // pipelines fit exactly this over pairwise completions; here the
+  // deterministic contest is: within a language, a doc beats another
+  // doc from a DIFFERENT source when its n_chars is strictly larger;
+  // ties are dropped). Scale design: pairwise win counts come from
+  // per-(lang, length) HISTOGRAMS via the Mann-Whitney cumulative
+  // device — w(i,j) = Σ_v c_i(v)·C_j(<v) — so the corpus is never
+  // self-joined; the join frame is |grid|·|sources| rows
+  // (value-domain-bounded, corpus-independent). The MM iteration
+  // p_i ← W_i / Σ_j n_ij/(p_i+p_j) runs 3 unrolled rounds on the
+  // |sources|²-row pair frame; per-round terms quantize to 1e-12
+  // integers before every reduction (exact sums), and the oracle
+  // unrolls the SAME 3 rounds as generated CTE blocks (the
+  // emb_kmeans/graph_pagerank device). Zero-win sources stay in the
+  // table with strength 0 (left joins + coalesce in both engines).
+  q("llm_bradley_terry", {
+    val iters = (1 to 3).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""t${k}t AS (
+         |  SELECT n.i,
+         |    CAST(floor(CAST(n.nij AS DOUBLE) / (ri.p + rj.p)
+         |      * 1000000000000 + 0.5) AS HUGEINT) AS tf
+         |  FROM pairs n JOIN $prev ri ON n.i = ri.source
+         |    JOIN $prev rj ON n.j = rj.source
+         |), t${k}d AS (SELECT i, SUM(tf) AS den FROM t${k}t GROUP BY i),
+         |t${k}p AS (
+         |  SELECT s.source,
+         |    COALESCE(CAST(floor(CAST(w.wi AS DOUBLE) * 1000000000000
+         |      / CAST(d.den AS DOUBLE) * 1000000000000 + 0.5) AS HUGEINT),
+         |      0) AS pfx
+         |  FROM srcs s LEFT JOIN t${k}d d ON s.source = d.i
+         |    LEFT JOIN wi w ON s.source = w.i
+         |), r$k AS (
+         |  SELECT source, CAST(pfx AS DOUBLE)
+         |    / (SELECT CAST(SUM(pfx) AS DOUBLE) FROM t${k}p) AS p
+         |  FROM t${k}p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT lang, CAST(n_chars AS BIGINT) AS v, source,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2, 3
+       |), grid AS (SELECT DISTINCT lang, v FROM h),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |f AS (
+       |  SELECT g.lang, g.v, s.source, COALESCE(h.c, 0) AS c
+       |  FROM grid g CROSS JOIN srcs s
+       |  LEFT JOIN h ON h.lang = g.lang AND h.v = g.v AND h.source = s.source
+       |), cum AS (
+       |  SELECT lang, v, source, c,
+       |    COALESCE(SUM(c) OVER (PARTITION BY lang, source ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM f
+       |), w AS (
+       |  SELECT a.source AS i, b.source AS j,
+       |    SUM(CAST(a.c AS HUGEINT) * b.cb) AS wij
+       |  FROM (SELECT * FROM cum WHERE c > 0) a
+       |  JOIN cum b ON a.lang = b.lang AND a.v = b.v AND a.source <> b.source
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT COALESCE(w1.i, w2.j) AS i, COALESCE(w1.j, w2.i) AS j,
+       |    COALESCE(w1.wij, 0) + COALESCE(w2.wij, 0) AS nij
+       |  FROM w w1 FULL JOIN w w2 ON w1.i = w2.j AND w1.j = w2.i
+       |), wi AS (SELECT i, SUM(wij) AS wi FROM w GROUP BY i),
+       |games AS (SELECT i, SUM(nij) AS games FROM pairs GROUP BY i),
+       |r0 AS (
+       |  SELECT source,
+       |    CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM srcs) AS p
+       |  FROM srcs),
+       |$iters
+       |SELECT s.source,
+       |  CAST(COALESCE(g.games, 0) AS BIGINT) AS games,
+       |  CAST(COALESCE(w.wi, 0) AS BIGINT) AS wins,
+       |  CAST(floor(r3.p * 1000000 + 0.5) AS DOUBLE) / 1000000 AS strength
+       |FROM srcs s LEFT JOIN games g ON s.source = g.i
+       |  LEFT JOIN wi w ON s.source = w.i
+       |  JOIN r3 ON s.source = r3.source
+       |ORDER BY strength DESC, s.source""".stripMargin
+  }) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val docs = Tables(s, dir, "documents")
+      .select(col("lang"), col("n_chars").cast("long").as("v"), col("source"))
+    val h = docs.groupBy("lang", "v", "source")
+      .agg(count(lit(1)).cast("long").as("c")).localCheckpoint()
+    val grid = h.select("lang", "v").distinct()
+    val srcs = docs.select("source").distinct().localCheckpoint()
+    val f = grid.crossJoin(srcs)
+      .join(h, Seq("lang", "v", "source"), "left")
+      .select(col("lang"), col("v"), col("source"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val cum = f.withColumn("cb",
+      coalesce(sum("c").over(Window.partitionBy("lang", "source")
+        .orderBy("v").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val w = cum.filter(col("c") > 0)
+      .select(col("lang"), col("v"), col("source").as("i"), col("c"))
+      .join(cum.select(col("lang"), col("v"), col("source").as("j"),
+        col("cb")), Seq("lang", "v"))
+      .filter(col("i") =!= col("j"))
+      .groupBy("i", "j").agg(sum(dec(col("c")) * col("cb")).as("wij"))
+      .localCheckpoint()
+    val wsw = w.select(col("j").as("si"), col("i").as("sj"),
+      col("wij").as("wji"))
+    val pairs = w.join(wsw,
+        col("i") === col("si") && col("j") === col("sj"), "full")
+      .select(coalesce(col("i"), col("sj")).as("i"),
+        coalesce(col("j"), col("si")).as("j"),
+        (coalesce(col("wij"), lit(0).cast("decimal(38,0)"))
+          + coalesce(col("wji"), lit(0).cast("decimal(38,0)"))).as("nij"))
+      .localCheckpoint()
+    val wiF = w.groupBy("i").agg(sum("wij").as("wi"))
+    val games = pairs.groupBy("i").agg(sum("nij").as("games"))
+    val ns = srcs.count()
+    var r = srcs.select(col("source"), (lit(1.0) / lit(ns.toDouble)).as("p"))
+    for (_ <- 1 to 3) {
+      val term = pairs
+        .join(r.select(col("source").as("i"), col("p").as("pi")), Seq("i"))
+        .join(r.select(col("source").as("j"), col("p").as("pj")), Seq("j"))
+        .select(col("i"),
+          floor(col("nij").cast("double") / (col("pi") + col("pj"))
+            * 1000000000000L + lit(0.5)).cast("decimal(38,0)").as("tf"))
+      val den = term.groupBy("i").agg(sum("tf").as("den"))
+      val pf = srcs
+        .join(den.select(col("i").as("di"), col("den")),
+          col("source") === col("di"), "left")
+        .join(wiF.select(col("i").as("wii"), col("wi")),
+          col("source") === col("wii"), "left")
+        .select(col("source"),
+          coalesce(floor(col("wi").cast("double") * 1000000000000L
+            / col("den").cast("double") * 1000000000000L + lit(0.5))
+            .cast("decimal(38,0)"), lit(0).cast("decimal(38,0)")).as("pfx"))
+      val tot = pf.agg(sum("pfx").as("tot"))
+      r = pf.crossJoin(broadcast(tot))
+        .select(col("source"),
+          (col("pfx").cast("double") / col("tot").cast("double")).as("p"))
+        .localCheckpoint()
+    }
+    srcs
+      .join(games.select(col("i").as("gi"), col("games")),
+        col("source") === col("gi"), "left")
+      .join(wiF.select(col("i").as("wii"), col("wi")),
+        col("source") === col("wii"), "left")
+      .join(r.select(col("source").as("rs"), col("p")),
+        col("source") === col("rs"))
+      .select(col("source"),
+        coalesce(col("games"), lit(0).cast("decimal(38,0)")).cast("long")
+          .as("games"),
+        coalesce(col("wi"), lit(0).cast("decimal(38,0)")).cast("long")
+          .as("wins"),
+        (floor(col("p") * 1000000 + lit(0.5)).cast("double") / 1000000)
+          .as("strength"))
+      .orderBy(col("strength").desc, col("source"))
+  }
+
   // Yule's characteristic K and Simpson's D per source — the
   // frequency-of-frequency vocabulary-richness readouts that complement
   // text_hapax_ratio's TTR (K is length-invariant where TTR is not, so

@@ -5743,6 +5743,120 @@ object StatsOps extends QueryPack {
       .toDF("n", "b0", "b1", "train_acc")
   }
 
+  // Ridge regression (L2-penalized OLS) of daily purchase revenue on
+  // daily clicks and distinct users — the regularized twin of
+  // ml_linreg_ols for when the two activity features are collinear
+  // (daily clicks and daily actives move together, so the OLS solve
+  // sits near-singular and the coefficients blow up in opposite
+  // directions; the ridge path is what a feature pipeline actually
+  // ships). Normal equations (X'X + λ·diag(1,1,0))β = X'y — the
+  // intercept is NOT penalized, hence the 0 in the diagonal — solved
+  // by the same Cramer cofactor expansion over exact 128-bit integer
+  // moments, with λ = 1000 fixed and documented. shrink_ratio compares
+  // the penalized coefficient norm against the λ=0 (OLS) solve from
+  // the SAME moments: < 1 by construction when the penalty bites.
+  // Audit row: formula_audit.audit_ridge.
+  q("ml_ridge_regression",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x1,
+      |    COUNT(DISTINCT user_id) AS x2,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+      |  FROM events GROUP BY 1
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) + 1000.0 AS u,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) + 1000.0 AS v,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y
+      |  FROM daily
+      |), d AS (
+      |  SELECT *,
+      |    u * (v * n - s2 * s2) - s12 * (s12 * n - s2 * s1)
+      |      + s1 * (s12 * s2 - v * s1) AS det,
+      |    s1y * (v * n - s2 * s2) - s12 * (s2y * n - s2 * sy)
+      |      + s1 * (s2y * s2 - v * sy) AS deta,
+      |    u * (s2y * n - sy * s2) - s1y * (s12 * n - s2 * s1)
+      |      + s1 * (s12 * sy - s2y * s1) AS detb,
+      |    u * (v * sy - s2 * s2y) - s12 * (s12 * sy - s2y * s1)
+      |      + s1y * (s12 * s2 - v * s1) AS detc,
+      |    s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1)
+      |      + s1 * (s12 * s2 - s22 * s1) AS det0,
+      |    s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy)
+      |      + s1 * (s2y * s2 - s22 * sy) AS deta0,
+      |    s11 * (s2y * n - sy * s2) - s1y * (s12 * n - s2 * s1)
+      |      + s1 * (s12 * sy - s2y * s1) AS detb0
+      |  FROM m
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_days, CAST(1000.0 AS DOUBLE) AS lambda,
+      |  CAST(floor(deta / det * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_clicks,
+      |  CAST(floor(detb / det * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_users,
+      |  CAST(floor(detc / det * 100 + 0.5) AS DOUBLE) / 100 AS intercept,
+      |  CAST(floor(sqrt(((deta / det) * (deta / det) + (detb / det) * (detb / det))
+      |      / ((deta0 / det0) * (deta0 / det0) + (detb0 / det0) * (detb0 / det0)))
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS shrink_ratio
+      |FROM d""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x1"),
+        countDistinct(col("user_id")).as("x2"),
+        sum(when(col("event_type") === "purchase",
+          Det.cents(col("value")).cast("long")).otherwise(0L)).as("y"))
+    val m = daily.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(dec(col("x1"))).cast("double").as("s1"),
+      sum(dec(col("x2"))).cast("double").as("s2"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      (sum(dec(col("x1")) * col("x1")).cast("double") + lit(1000.0)).as("u"),
+      sum(dec(col("x1")) * col("x1")).cast("double").as("s11"),
+      sum(dec(col("x1")) * col("x2")).cast("double").as("s12"),
+      (sum(dec(col("x2")) * col("x2")).cast("double") + lit(1000.0)).as("v"),
+      sum(dec(col("x2")) * col("x2")).cast("double").as("s22"),
+      sum(dec(col("x1")) * col("y")).cast("double").as("s1y"),
+      sum(dec(col("x2")) * col("y")).cast("double").as("s2y"))
+    def cramer(a11: String, a22: String) = Seq(
+      (col(a11) * (col(a22) * col("n") - col("s2") * col("s2"))
+        - col("s12") * (col("s12") * col("n") - col("s2") * col("s1"))
+        + col("s1") * (col("s12") * col("s2") - col(a22) * col("s1"))),
+      (col("s1y") * (col(a22) * col("n") - col("s2") * col("s2"))
+        - col("s12") * (col("s2y") * col("n") - col("s2") * col("sy"))
+        + col("s1") * (col("s2y") * col("s2") - col(a22) * col("sy"))),
+      (col(a11) * (col("s2y") * col("n") - col("sy") * col("s2"))
+        - col("s1y") * (col("s12") * col("n") - col("s2") * col("s1"))
+        + col("s1") * (col("s12") * col("sy") - col("s2y") * col("s1"))))
+    val Seq(det, deta, detb) = cramer("u", "v")
+    val detc = (col("u") * (col("v") * col("sy") - col("s2") * col("s2y"))
+      - col("s12") * (col("s12") * col("sy") - col("s2y") * col("s1"))
+      + col("s1y") * (col("s12") * col("s2") - col("v") * col("s1")))
+    val Seq(det0, deta0, detb0) = cramer("s11", "s22")
+    val d = m.withColumn("det", det).withColumn("deta", deta)
+      .withColumn("detb", detb).withColumn("detc", detc)
+      .withColumn("det0", det0).withColumn("deta0", deta0)
+      .withColumn("detb0", detb0)
+    val ar = col("deta") / col("det")
+    val br = col("detb") / col("det")
+    val ao = col("deta0") / col("det0")
+    val bo = col("detb0") / col("det0")
+    d.select(col("n").cast("long").as("n_days"), lit(1000.0).as("lambda"),
+      (floor(ar * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("coef_clicks"),
+      (floor(br * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("coef_users"),
+      (floor(col("detc") / col("det") * 100 + lit(0.5)).cast("double") / 100)
+        .as("intercept"),
+      (floor(sqrt((ar * ar + br * br) / (ao * ao + bo * bo)) * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("shrink_ratio"))
+  }
+
   // Bartlett's test of variance homogeneity of event value across the
   // five event types — the parametric gate before pooling variances in
   // events_ab_welch-style analyses (Levene/Brown-Forsythe are the robust
@@ -5819,6 +5933,135 @@ object StatsOps extends QueryPack {
         .as("corr_c"),
       (floor(t9 / corrC * 1000000 + lit(0.5)).cast("double") / 1000000)
         .as("chi2_bartlett"))
+  }
+
+  // Fisher's exact test on the 2×2 (lang = 'en') × (n_chars > 500)
+  // document table — the small-margin exact sibling of
+  // events_chi2_independence (χ² is asymptotic; exact p-values are what
+  // a curation pipeline needs on small strata like a rare language or a
+  // pilot source). Cross-engine exactness device: ln k! is a CUMSUM of
+  // integer-argument lnFix values over m = 0..N (one windowed pass over
+  // a generated frame, exact BIGINT), so every hypergeometric
+  // log-probability is an exact integer at 1e-9 scale; per-support-point
+  // p(k) = exp(lnp) quantizes to a 1e-12 integer per row (identical IEEE
+  // exp tree — same boundary-probability argument as Det.lnFix), and the
+  // two-sided rule "sum p(k) over k with p(k) ≤ p(observed)" compares
+  // QUANTIZED integers, so set membership is deterministic in both
+  // engines. Scale note: exact Fisher is for bounded tables by nature —
+  // at corpus-scale margins the χ² twin takes over; the lnfact frame is
+  // O(N) through one cumsum and the support collapses to the ±12σ
+  // window where p(k) survives 1e-12 quantization (everything outside
+  // floors to 0 and cannot change any output cell).
+  // Audit row: formula_audit.audit_fisher.
+  q("stats_fisher_exact",
+    """WITH r AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS rb
+      |  FROM documents
+      |), t AS (
+      |  SELECT CAST(SUM(ra * rb) AS BIGINT) AS a,
+      |    CAST(SUM(ra * (1 - rb)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - ra) * rb) AS BIGINT) AS c,
+      |    CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS d
+      |  FROM r
+      |), mg AS (
+      |  SELECT *, a + b AS r1, c + d AS r0, a + c AS c1, b + d AS c0,
+      |    a + b + c + d AS nn
+      |  FROM t
+      |), lf AS (
+      |  SELECT m, SUM(CASE WHEN m = 0 THEN 0
+      |      ELSE CAST(floor(ln(CAST(m AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+      |    END) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS lf
+      |  FROM (SELECT unnest(generate_series(0, (SELECT nn FROM mg))) AS m)
+      |), cst AS (
+      |  SELECT mg.*, l1.lf + l2.lf + l3.lf + l4.lf - l5.lf AS constc
+      |  FROM mg JOIN lf l1 ON l1.m = mg.r1 JOIN lf l2 ON l2.m = mg.r0
+      |    JOIN lf l3 ON l3.m = mg.c1 JOIN lf l4 ON l4.m = mg.c0
+      |    JOIN lf l5 ON l5.m = mg.nn
+      |), sgrid AS (
+      |  SELECT cst.*,
+      |    unnest(generate_series(greatest(0, c1 - r0), least(r1, c1))) AS k
+      |  FROM cst
+      |), sup AS (
+      |  SELECT s.*,
+      |    CAST(floor(exp(CAST(constc - lk.lf - l6.lf - l7.lf - l8.lf AS DOUBLE)
+      |      / 1000000000) * 1000000000000 + 0.5) AS BIGINT) AS pfix
+      |  FROM sgrid s JOIN lf lk ON lk.m = s.k
+      |    JOIN lf l6 ON l6.m = s.r1 - s.k
+      |    JOIN lf l7 ON l7.m = s.c1 - s.k
+      |    JOIN lf l8 ON l8.m = s.r0 - s.c1 + s.k
+      |), pobs AS (SELECT pfix AS pobsfix FROM sup WHERE k = a)
+      |SELECT nn AS n_docs, a, b, c, d,
+      |  CAST(pobsfix AS DOUBLE) / 1000000000000 AS p_obs,
+      |  CAST(SUM(CASE WHEN pfix <= pobsfix THEN pfix ELSE 0 END) AS DOUBLE)
+      |    / 1000000000000 AS p_two_sided,
+      |  CAST(SUM(CASE WHEN k >= a THEN pfix ELSE 0 END) AS DOUBLE)
+      |    / 1000000000000 AS p_greater,
+      |  CASE WHEN b * c = 0 THEN NULL
+      |    ELSE CAST(floor(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+      |      * 1000000 + 0.5) AS DOUBLE) / 1000000 END AS odds_ratio
+      |FROM sup, pobs
+      |GROUP BY nn, a, b, c, d, pobsfix""") { (s, dir) =>
+    val docs = Tables(s, dir, "documents").select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("ra"),
+      when(col("n_chars") > 500, 1L).otherwise(0L).as("rb"))
+    val t = docs.agg(
+      sum(col("ra") * col("rb")).cast("long").as("a"),
+      sum(col("ra") * (lit(1) - col("rb"))).cast("long").as("b"),
+      sum((lit(1) - col("ra")) * col("rb")).cast("long").as("c"),
+      sum((lit(1) - col("ra")) * (lit(1) - col("rb"))).cast("long").as("d"))
+    val mg = t.select(col("a"), col("b"), col("c"), col("d"),
+      (col("a") + col("b")).as("r1"), (col("c") + col("d")).as("r0"),
+      (col("a") + col("c")).as("c1"), (col("b") + col("d")).as("c0"),
+      (col("a") + col("b") + col("c") + col("d")).as("nn"))
+      .localCheckpoint()
+    val lf = mg.select(explode(sequence(lit(0L), col("nn"))).as("m"))
+      .select(col("m"),
+        sum(when(col("m") === 0, 0L).otherwise(Det.lnFix(col("m"), 9)))
+          .over(Window.orderBy("m").rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("lf"))
+      .localCheckpoint()
+    def lfAt(key: org.apache.spark.sql.Column, alias: String) =
+      broadcast(lf.select(col("m").as(s"${alias}_m"), col("lf").as(alias)))
+    val cst = mg
+      .join(lfAt(col("r1"), "lf1"), col("r1") === col("lf1_m"))
+      .join(lfAt(col("r0"), "lf2"), col("r0") === col("lf2_m"))
+      .join(lfAt(col("c1"), "lf3"), col("c1") === col("lf3_m"))
+      .join(lfAt(col("c0"), "lf4"), col("c0") === col("lf4_m"))
+      .join(lfAt(col("nn"), "lf5"), col("nn") === col("lf5_m"))
+      .withColumn("constc", col("lf1") + col("lf2") + col("lf3")
+        + col("lf4") - col("lf5"))
+    val sgrid = cst.withColumn("k",
+      explode(sequence(greatest(lit(0L), col("c1") - col("r0")),
+        least(col("r1"), col("c1")))))
+    val sup = sgrid
+      .join(lfAt(col("k"), "lfk"), col("k") === col("lfk_m"))
+      .join(lfAt(lit(0L), "lf6"), col("r1") - col("k") === col("lf6_m"))
+      .join(lfAt(lit(0L), "lf7"), col("c1") - col("k") === col("lf7_m"))
+      .join(lfAt(lit(0L), "lf8"),
+        col("r0") - col("c1") + col("k") === col("lf8_m"))
+      .withColumn("pfix",
+        floor(exp((col("constc") - col("lfk") - col("lf6") - col("lf7")
+          - col("lf8")).cast("double") / 1000000000L)
+          * 1000000000000L + lit(0.5)).cast("long"))
+    val pobs = sup.filter(col("k") === col("a"))
+      .select(col("pfix").as("pobsfix"))
+    sup.crossJoin(broadcast(pobs))
+      .groupBy("nn", "a", "b", "c", "d", "pobsfix")
+      .agg(
+        sum(when(col("pfix") <= col("pobsfix"), col("pfix")).otherwise(0L))
+          .as("ptwo"),
+        sum(when(col("k") >= col("a"), col("pfix")).otherwise(0L))
+          .as("pgt"))
+      .select(col("nn").as("n_docs"), col("a"), col("b"), col("c"), col("d"),
+        (col("pobsfix").cast("double") / 1000000000000L).as("p_obs"),
+        (col("ptwo").cast("double") / 1000000000000L).as("p_two_sided"),
+        (col("pgt").cast("double") / 1000000000000L).as("p_greater"),
+        when(col("b") * col("c") === 0, lit(null).cast("double"))
+          .otherwise(floor(col("a").cast("double") * col("d")
+            / (col("b").cast("double") * col("c")) * 1000000 + lit(0.5))
+            .cast("double") / 1000000).as("odds_ratio"))
   }
 
   // Theil's uncertainty coefficient U(event_type | dow) — the asymmetric

@@ -3255,6 +3255,93 @@ object TimeSeriesOps extends QueryPack {
         .cast("double") / 1000000).as("kpss_stat"))
   }
 
+  // Haar wavelet energy decomposition (3 levels) of the daily-revenue
+  // series — which timescale carries the variation: day-to-day noise
+  // (level 1), ~4-day swings (level 2), or week-scale structure
+  // (level 3)? Unnormalized integer Haar: at each level, consecutive
+  // pairs of the previous approximation fold into sum (next
+  // approximation) and difference (detail); orthonormal energy at
+  // level l is Σ d² / 2^l because the unnormalized coefficients carry
+  // √2 per level. Every sum/difference is an exact integer (cents), so
+  // the only doubles are the three final energy readouts. Pair indexing
+  // needs no re-sort after level 1: the pair id (i div 2) is itself the
+  // dense order-preserving index of the next level. Incomplete trailing
+  // pairs are dropped per level (documented; n need not be a power of
+  // 2). The windows run over the Aggregate-bounded daily frame only.
+  // Audit row: formula_audit.audit_haar.
+  q("ts_haar_energy",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1
+      |), l0 AS (
+      |  SELECT row_number() OVER (ORDER BY day) - 1 AS i, x FROM daily
+      |), l1 AS (
+      |  SELECT i // 2 AS i,
+      |    SUM(CASE WHEN i % 2 = 0 THEN x ELSE 0 END)
+      |      - SUM(CASE WHEN i % 2 = 1 THEN x ELSE 0 END) AS d,
+      |    SUM(x) AS a
+      |  FROM l0 GROUP BY i // 2 HAVING COUNT(*) = 2
+      |), l2 AS (
+      |  SELECT i // 2 AS i,
+      |    SUM(CASE WHEN i % 2 = 0 THEN a ELSE 0 END)
+      |      - SUM(CASE WHEN i % 2 = 1 THEN a ELSE 0 END) AS d,
+      |    SUM(a) AS a
+      |  FROM l1 GROUP BY i // 2 HAVING COUNT(*) = 2
+      |), l3 AS (
+      |  SELECT i // 2 AS i,
+      |    SUM(CASE WHEN i % 2 = 0 THEN a ELSE 0 END)
+      |      - SUM(CASE WHEN i % 2 = 1 THEN a ELSE 0 END) AS d,
+      |    SUM(a) AS a
+      |  FROM l2 GROUP BY i // 2 HAVING COUNT(*) = 2
+      |), e AS (
+      |  SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    SUM(CAST(d AS HUGEINT) * d) * 4 AS e2s
+      |  FROM l1
+      |  UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT),
+      |    SUM(CAST(d AS HUGEINT) * d) * 2 FROM l2
+      |  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT),
+      |    SUM(CAST(d AS HUGEINT) * d) * 1 FROM l3
+      |), t AS (SELECT SUM(e2s) AS te FROM e)
+      |SELECT level, n_pairs,
+      |  CAST(floor(CAST(e2s AS DOUBLE) / 8 + 0.5) AS DOUBLE) / 10000
+      |    AS energy_usd2,
+      |  CAST(floor(CAST(e2s AS DOUBLE) / CAST(te AS DOUBLE) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS share
+      |FROM e, t ORDER BY level""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val l0 = daily.select(
+      (row_number().over(Window.orderBy("day")) - 1).cast("long").as("i"),
+      col("x"))
+    def fold(prev: org.apache.spark.sql.DataFrame) =
+      prev.select(expr("i div 2").as("p"), (col("i") % 2).as("pos"), col("x"))
+        .groupBy("p").agg(
+          (sum(when(col("pos") === 0, col("x")).otherwise(0L))
+            - sum(when(col("pos") === 1, col("x")).otherwise(0L))).as("d"),
+          sum("x").as("a"), count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 2)
+        .select(col("p").as("i"), col("d"), col("a").as("x"))
+    val l1 = fold(l0)
+    val l2 = fold(l1)
+    val l3 = fold(l2)
+    def energy(lvl: Int, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n_pairs"),
+        (sum(dec(col("d")) * col("d")) * lit(1L << (3 - lvl))).as("e2s"))
+        .select(lit(lvl).as("level"), col("n_pairs"), col("e2s"))
+    val e = energy(1, l1).unionByName(energy(2, l2)).unionByName(energy(3, l3))
+      .localCheckpoint()
+    val t = e.agg(sum("e2s").as("te"))
+    e.crossJoin(broadcast(t)).select(col("level"), col("n_pairs"),
+      (floor(col("e2s").cast("double") / 8 + lit(0.5)).cast("double")
+        / 10000).as("energy_usd2"),
+      (floor(col("e2s").cast("double") / col("te").cast("double") * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("share"))
+      .orderBy("level")
+  }
+
   // Permutation entropy (Bandt-Pompe, embedding dimension 3) of the
   // daily-revenue series — the ordinal-pattern complexity measure:
   // white noise → all 6 patterns equally likely (PE ≈ 1), a monotone

@@ -4128,7 +4128,178 @@ def audit_yule_k():
     report("text_yule_k", mis, 3 * len(per))
 
 
+def audit_ridge():
+    """Ridge regression recomputed with a plain-float 3x3 Gaussian solve
+    of (X'X + lambda*diag(1,1,0)) beta = X'y, lambda=1000."""
+    mis = []
+    r_ = rows(
+        "SELECT SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END), "
+        "COUNT(DISTINCT user_id), "
+        "SUM(CASE WHEN event_type='purchase' "
+        "THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END) "
+        f"FROM '{SF}/events.parquet' "
+        "GROUP BY CAST(date_trunc('day', ts) AS DATE)")
+
+    def solve3(mat, vec):
+        m = [row[:] + [v] for row, v in zip(mat, vec)]
+        for col_ in range(3):
+            piv = max(range(col_, 3), key=lambda r: abs(m[r][col_]))
+            m[col_], m[piv] = m[piv], m[col_]
+            for r2 in range(3):
+                if r2 != col_:
+                    f = m[r2][col_] / m[col_][col_]
+                    m[r2] = [a - f * b for a, b in zip(m[r2], m[col_])]
+        return [m[i][3] / m[i][i] for i in range(3)]
+
+    n = len(r_)
+    s1 = sum(x1 for x1, _, _ in r_)
+    s2 = sum(x2 for _, x2, _ in r_)
+    sy = sum(y for _, _, y in r_)
+    s11 = sum(x1 * x1 for x1, _, _ in r_)
+    s12 = sum(x1 * x2 for x1, x2, _ in r_)
+    s22 = sum(x2 * x2 for _, x2, _ in r_)
+    s1y = sum(x1 * y for x1, _, y in r_)
+    s2y = sum(x2 * y for _, x2, y in r_)
+    lam = 1000.0
+    ar, br, cr = solve3([[s11 + lam, s12, s1], [s12, s22 + lam, s2],
+                         [s1, s2, n]], [s1y, s2y, sy])
+    ao, bo, _ = solve3([[s11, s12, s1], [s12, s22, s2], [s1, s2, n]],
+                       [s1y, s2y, sy])
+    shrink = math.sqrt((ar * ar + br * br) / (ao * ao + bo * bo))
+    (got,) = dump("ml_ridge_regression")
+    d = dict(zip(dump_cols("ml_ridge_regression"), got))
+    if d["n_days"] != n:
+        mis.append(("n_days", d["n_days"], n))
+    if not close(d["coef_clicks"], ar, 1e-4):
+        mis.append(("coef_clicks", d["coef_clicks"], ar))
+    if not close(d["coef_users"], br, 1e-4):
+        mis.append(("coef_users", d["coef_users"], br))
+    if not close(d["intercept"], cr, 1e-3):
+        mis.append(("intercept", d["intercept"], cr))
+    if not close(d["shrink_ratio"], shrink, 1e-4):
+        mis.append(("shrink", d["shrink_ratio"], shrink))
+    report("ml_ridge_regression", mis, 5)
+
+
+def audit_haar():
+    """Haar energies recomputed by plain recursive pairwise folding."""
+    mis = []
+    r_ = rows("SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+              "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    xs = [x for _, x in r_]
+    want = []
+    cur = xs
+    for lvl in (1, 2, 3):
+        nxt = []
+        es = 0
+        for p in range(len(cur) // 2):
+            a, b = cur[2 * p], cur[2 * p + 1]
+            es += (a - b) ** 2
+            nxt.append(a + b)
+        want.append((lvl, len(cur) // 2, es / 2 ** lvl))
+        cur = nxt
+    te = sum(e for _, _, e in want)
+    got = {r[0]: r for r in dump("ts_haar_energy")}
+    cols = dump_cols("ts_haar_energy")
+    for lvl, np_, e in want:
+        d = dict(zip(cols, got[lvl]))
+        if d["n_pairs"] != np_:
+            mis.append((f"l{lvl}:n_pairs", d["n_pairs"], np_))
+        if not close(d["energy_usd2"], e / 1e4, 1e-4):
+            mis.append((f"l{lvl}:energy", d["energy_usd2"], e / 1e4))
+        if not close(d["share"], e / te, 1e-5):
+            mis.append((f"l{lvl}:share", d["share"], e / te))
+    report("ts_haar_energy", mis, 9)
+
+
+def audit_fisher():
+    """Fisher's exact test recomputed with math.lgamma hypergeometric
+    probabilities and the textbook two-sided rule."""
+    mis = []
+    r_ = rows(f"SELECT lang = 'en', n_chars > 500 "
+              f"FROM '{SF}/documents.parquet'")
+    a = sum(1 for x, y in r_ if x and y)
+    b = sum(1 for x, y in r_ if x and not y)
+    c = sum(1 for x, y in r_ if not x and y)
+    d0 = sum(1 for x, y in r_ if not x and not y)
+    r1, r0, c1, c0 = a + b, c + d0, a + c, b + d0
+    n = len(r_)
+
+    def lnp(k):
+        lg = math.lgamma
+        return (lg(r1 + 1) + lg(r0 + 1) + lg(c1 + 1) + lg(c0 + 1)
+                - lg(n + 1) - lg(k + 1) - lg(r1 - k + 1) - lg(c1 - k + 1)
+                - lg(r0 - c1 + k + 1))
+
+    lo, hi = max(0, c1 - r0), min(r1, c1)
+    ps = {k: math.exp(lnp(k)) for k in range(lo, hi + 1)}
+    p_obs = ps[a]
+    p_two = sum(p for p in ps.values() if p <= p_obs * (1 + 1e-9))
+    p_gt = sum(p for k, p in ps.items() if k >= a)
+    (got,) = dump("stats_fisher_exact")
+    d = dict(zip(dump_cols("stats_fisher_exact"), got))
+    if (d["a"], d["b"], d["c"], d["d"]) != (a, b, c, d0):
+        mis.append(("cells", (d["a"], d["b"], d["c"], d["d"]),
+                    (a, b, c, d0)))
+    if not close(d["p_obs"], p_obs, 1e-4):
+        mis.append(("p_obs", d["p_obs"], p_obs))
+    if not close(d["p_two_sided"], p_two, 1e-4):
+        mis.append(("p_two", d["p_two_sided"], p_two))
+    if not close(d["p_greater"], p_gt, 1e-4):
+        mis.append(("p_gt", d["p_greater"], p_gt))
+    orr = a * d0 / (b * c) if b * c else None
+    if orr is not None and not close(d["odds_ratio"], orr, 1e-4):
+        mis.append(("or", d["odds_ratio"], orr))
+    report("stats_fisher_exact", mis, 5)
+
+
+def audit_bradley_terry():
+    """Bradley-Terry strengths recomputed with brute-force pairwise win
+    counting over doc pairs and plain-float MM iterations."""
+    mis = []
+    r_ = rows(f"SELECT lang, source, n_chars "
+              f"FROM '{SF}/documents.parquet'")
+    from collections import defaultdict
+    by_lang = defaultdict(list)
+    for lang, src, v in r_:
+        by_lang[lang].append((src, v))
+    wins = defaultdict(int)
+    for docs_ in by_lang.values():
+        for si, vi in docs_:
+            for sj, vj in docs_:
+                if si != sj and vi > vj:
+                    wins[(si, sj)] += 1
+    srcs = sorted({src for _, src, _ in r_})
+    nij = {(i, j): wins.get((i, j), 0) + wins.get((j, i), 0)
+           for i in srcs for j in srcs if i != j}
+    wi = {i: sum(w for (a_, _), w in wins.items() if a_ == i) for i in srcs}
+    p = {i: 1 / len(srcs) for i in srcs}
+    for _ in range(3):
+        newp = {}
+        for i in srcs:
+            den = sum(nij[(i, j)] / (p[i] + p[j])
+                      for j in srcs if j != i and nij[(i, j)] > 0)
+            newp[i] = wi[i] / den if den else 0.0
+        tot = sum(newp.values())
+        p = {i: v / tot for i, v in newp.items()}
+    got = {r[0]: r for r in dump("llm_bradley_terry")}
+    cols = dump_cols("llm_bradley_terry")
+    for i in srcs:
+        d = dict(zip(cols, got[i]))
+        games = sum(nij[(i, j)] for j in srcs if j != i)
+        if d["games"] != games or d["wins"] != wi[i]:
+            mis.append((i, (d["games"], d["wins"]), (games, wi[i])))
+        if not close(d["strength"], p[i], 1e-4):
+            mis.append((i + ":strength", d["strength"], p[i]))
+    report("llm_bradley_terry", mis, 2 * len(srcs))
+
+
 AUDITS = {
+    "ml_ridge_regression": audit_ridge,
+    "ts_haar_energy": audit_haar,
+    "stats_fisher_exact": audit_fisher,
+    "llm_bradley_terry": audit_bradley_terry,
     "stats_bartlett": audit_bartlett,
     "stats_theil_u": audit_theil_u,
     "ml_cohen_kappa": audit_cohen_kappa,
