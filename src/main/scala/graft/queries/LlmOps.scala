@@ -3519,6 +3519,137 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // Burstiness and Fano factor of per-document token counts per source —
+  // the dispersion readouts that separate "uniform boilerplate" (B → −1,
+  // F → 0) from "wildly mixed lengths" (B → 1, F ≫ 1) where a plain mean
+  // length cannot. B = (σ−μ)/(σ+μ), F = σ²/μ over the per-doc token
+  // counts (population σ, documented); exact integer count moments per
+  // source (128-bit before the square), σ via one sqrt in the final
+  // double tree, quantized 1e-6. One pass to per-doc counts (the text
+  // never shuffles — counts do), one rollup per source.
+  // Audit row: formula_audit.audit_burstiness.
+  q("text_burstiness",
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS m
+      |  FROM documents
+      |), a AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(m) AS HUGEINT) AS s, SUM(CAST(m AS HUGEINT) * m) AS q
+      |  FROM d GROUP BY source
+      |)
+      |SELECT source, n,
+      |  CAST(floor(CAST(s AS DOUBLE) / n * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS mean_tokens,
+      |  CAST(floor((sqrt(CAST(n * q - s * s AS DOUBLE)) / n
+      |      - CAST(s AS DOUBLE) / n)
+      |    / (sqrt(CAST(n * q - s * s AS DOUBLE)) / n + CAST(s AS DOUBLE) / n)
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS burstiness,
+      |  CAST(floor(CAST(n * q - s * s AS DOUBLE) / CAST(n AS DOUBLE) / n
+      |    / (CAST(s AS DOUBLE) / n) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS fano
+      |FROM a ORDER BY source""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = Tables(s, dir, "documents").select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("m"))
+    val a = d.groupBy("source").agg(count(lit(1)).cast("long").as("n"),
+      sum("m").cast("decimal(38,0)").as("s"),
+      sum(dec(col("m")) * col("m")).as("q"))
+    val varNum = (dec(col("n")) * col("q") - col("s") * col("s"))
+      .cast("double")
+    val sd = sqrt(varNum) / col("n")
+    val mu = col("s").cast("double") / col("n")
+    a.select(col("source"), col("n"),
+      (floor(mu * 10000 + lit(0.5)).cast("double") / 10000).as("mean_tokens"),
+      (floor((sd - mu) / (sd + mu) * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("burstiness"),
+      (floor(varNum / col("n").cast("double") / col("n") / mu * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("fano"))
+      .orderBy("source")
+  }
+
+  // Reciprocal-rank fusion of two retrieval rankings (cosine and raw
+  // inner product) per probe — the standard zero-tuning way to combine
+  // heterogeneous retrievers (BM25+dense in production; here the two
+  // deterministic scorers the fixture supports, which genuinely disagree
+  // because candidate norms vary). RRF(d) = Σ_r 1/(60+rank_r(d)); both
+  // ranks are dense row_numbers with vec_id tiebreaks over 4-dp-rounded
+  // scores (the sim_cosine_topk adjudicated device: the oracle replays
+  // Spark's left-fold summation order via list_reduce with a 0.0 seed),
+  // the fused score quantizes to a 1e-9 integer before the final rank.
+  // All windows are partitioned by probe — no global sort at any scale.
+  q("sim_rank_fusion",
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      |  FROM embeddings WHERE vec_id < 5
+      |), c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+      |), sc AS (
+      |  SELECT probe_id, vec_id,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pe, ce),
+      |        z -> z[1] * z[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pe, x -> x*x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x*x)), (a, b) -> a + b))),
+      |    4) AS cos,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pe, ce),
+      |        z -> z[1] * z[2])), (a, b) -> a + b), 4) AS dot
+      |  FROM p CROSS JOIN c WHERE probe_id <> vec_id
+      |), rk AS (
+      |  SELECT probe_id, vec_id,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+      |      AS ra,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, vec_id)
+      |      AS rb
+      |  FROM sc
+      |), fused AS (
+      |  SELECT probe_id, vec_id, ra, rb,
+      |    CAST(floor((CAST(1 AS DOUBLE) / (60 + ra)
+      |      + CAST(1 AS DOUBLE) / (60 + rb)) * 1000000000 + 0.5) AS BIGINT)
+      |      AS rrf9
+      |  FROM rk
+      |)
+      |SELECT probe_id, vec_id, CAST(ra AS BIGINT) AS rank_cos,
+      |  CAST(rb AS BIGINT) AS rank_dot,
+      |  CAST(rrf9 AS DOUBLE) / 1000000000 AS rrf, CAST(rn AS BIGINT) AS rn
+      |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY rrf9 DESC, vec_id) AS rn FROM fused)
+      |WHERE rn <= 10
+      |ORDER BY probe_id, rn""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val p = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("pe"))
+    val c = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("ce"))
+    def fold(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (a, b) => a + b)
+    val dotRaw = fold(zip_with(col("pe"), col("ce"), (x, y) => x * y))
+    val sc = p.crossJoin(c).filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dotRaw / (sqrt(fold(transform(col("pe"), x => x * x)))
+          * sqrt(fold(transform(col("ce"), x => x * x)))), 4).as("cos"),
+        round(dotRaw, 4).as("dot"))
+    val rk = sc.select(col("probe_id"), col("vec_id"),
+      row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))).as("ra"),
+      row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("dot").desc, col("vec_id"))).as("rb"))
+    val fused = rk.withColumn("rrf9",
+      floor((lit(1.0) / (col("ra") + 60) + lit(1.0) / (col("rb") + 60))
+        * 1000000000L + lit(0.5)).cast("long"))
+    fused.withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("rrf9").desc, col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("probe_id"), col("vec_id"),
+        col("ra").cast("long").as("rank_cos"),
+        col("rb").cast("long").as("rank_dot"),
+        (col("rrf9").cast("double") / 1000000000L).as("rrf"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("probe_id", "rn")
+  }
+
   // Bradley-Terry strength fit over sources from pairwise document
   // "contests" — the canonical preference-data model (RLHF reward
   // pipelines fit exactly this over pairwise completions; here the

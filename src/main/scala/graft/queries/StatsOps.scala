@@ -6136,6 +6136,58 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  // Gamma distribution fit (method of moments) of purchase values — the
+  // standard positive-skew model for transaction amounts; the (shape,
+  // scale) pair feeds anomaly thresholds and synthetic-data generators
+  // downstream. k̂ = μ²/σ², θ̂ = σ²/μ with POPULATION variance
+  // (documented), all from one pass of exact integer cent moments:
+  // σ²·n² = n·Σv² − (Σv)² is an exact 128-bit integer, so shape and
+  // scale are single double trees over integers, quantized 1e-6.
+  // Audit row: formula_audit.audit_gamma_fit.
+  q("stats_gamma_fit",
+    """WITH v AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'
+      |    AND floor(value * 100 + 0.5) > 0
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v) AS HUGEINT) AS s,
+      |    SUM(CAST(v AS HUGEINT) * v) AS q
+      |  FROM v
+      |)
+      |SELECT n,
+      |  CAST(floor(CAST(s AS DOUBLE) / n / 100 * 10000 + 0.5) AS DOUBLE)
+      |    / 10000 AS mean_usd,
+      |  CAST(floor(CAST(n * q - s * s AS DOUBLE) / CAST(n AS DOUBLE)
+      |    / CAST(n AS DOUBLE) / 10000 * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS var_usd2,
+      |  CAST(floor(CAST(s AS DOUBLE) * s / CAST(n * q - s * s AS DOUBLE)
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS shape,
+      |  CAST(floor(CAST(n * q - s * s AS DOUBLE) / CAST(n AS DOUBLE)
+      |    / CAST(s AS DOUBLE) / 100 * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS scale_usd
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val v = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(Det.cents(col("value")).cast("long").as("v"))
+      .filter(col("v") > 0)
+    val m = v.agg(count(lit(1)).cast("long").as("n"),
+      sum("v").cast("decimal(38,0)").as("s"),
+      sum(dec(col("v")) * col("v")).as("q"))
+    val varNum = (dec(col("n")) * col("q") - col("s") * col("s"))
+      .cast("double")
+    m.select(col("n"),
+      (floor(col("s").cast("double") / col("n") / 100 * 10000 + lit(0.5))
+        .cast("double") / 10000).as("mean_usd"),
+      (floor(varNum / col("n").cast("double") / col("n").cast("double")
+        / 10000 * 10000 + lit(0.5)).cast("double") / 10000).as("var_usd2"),
+      (floor(col("s").cast("double") * col("s") / varNum * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("shape"),
+      (floor(varNum / col("n").cast("double") / col("s").cast("double")
+        / 100 * 1000000 + lit(0.5)).cast("double") / 1000000).as("scale_usd"))
+  }
+
   // Cohen's kappa between two heuristic document-quality raters — the
   // chance-corrected agreement readout a curation pipeline needs before
   // trusting a cheap filter as a proxy for an expensive one. Rater A

@@ -3255,6 +3255,129 @@ object TimeSeriesOps extends QueryPack {
         .cast("double") / 1000000).as("kpss_stat"))
   }
 
+  // Croston's method for intermittent demand plus the Syntetos-Boylan
+  // classification — the standard forecaster when most periods have ZERO
+  // demand (spare parts, rare expensive purchases) and plain EWMA
+  // undershoots between spikes. Demand series: hourly revenue from
+  // purchases over 90 (sparse by construction); the spine is the
+  // distinct event-hour grid. Croston keeps two EWMAs (α=0.2): demand
+  // size z over nonzero periods and inter-demand interval p; forecast =
+  // z/p per period. The fold runs over the collected nonzero-demand
+  // array (calendar-bounded, the ts_ewma device) with the identical
+  // per-step IEEE tree replayed by the oracle's recursive CTE — no
+  // per-step quantization needed because both engines fold the same
+  // exact integer inputs in the same order. ADI and CV² (exact integer
+  // moments) give the SBC quadrant: smooth / intermittent / erratic /
+  // lumpy at the textbook 1.32 / 0.49 cutoffs.
+  // Audit row: formula_audit.audit_croston.
+  q("ts_croston",
+    """WITH RECURSIVE spine AS (
+      |  SELECT date_trunc('hour', ts) AS h FROM events GROUP BY 1
+      |), dem AS (
+      |  SELECT date_trunc('hour', ts) AS h,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS q
+      |  FROM events WHERE event_type = 'purchase' AND value > 90 GROUP BY 1
+      |), g AS (
+      |  SELECT row_number() OVER (ORDER BY s.h) AS rn, COALESCE(d.q, 0) AS q
+      |  FROM spine s LEFT JOIN dem d ON s.h = d.h
+      |), nz AS (
+      |  SELECT row_number() OVER (ORDER BY rn) AS rn2, rn, q
+      |  FROM g WHERE q > 0
+      |), r AS (
+      |  SELECT rn2, rn, CAST(q AS DOUBLE) AS z, CAST(rn AS DOUBLE) AS p,
+      |    rn AS prev
+      |  FROM nz WHERE rn2 = 1
+      |  UNION ALL
+      |  SELECT nz.rn2, nz.rn,
+      |    CAST(0.2 AS DOUBLE) * nz.q + CAST(0.8 AS DOUBLE) * r.z,
+      |    CAST(0.2 AS DOUBLE) * (nz.rn - r.prev) + CAST(0.8 AS DOUBLE) * r.p,
+      |    nz.rn
+      |  FROM nz JOIN r ON nz.rn2 = r.rn2 + 1
+      |), last AS (
+      |  SELECT z, p FROM r ORDER BY rn2 DESC LIMIT 1
+      |), st AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_periods,
+      |    CAST(COUNT(*) AS BIGINT) AS n_demand,
+      |    CAST(SUM(q) AS HUGEINT) AS s, SUM(CAST(q AS HUGEINT) * q) AS qq
+      |  FROM nz
+      |)
+      |SELECT n_periods, n_demand,
+      |  CAST(floor(CAST(n_periods AS DOUBLE) / n_demand * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS adi,
+      |  CAST(floor(CAST(n_demand * qq - s * s AS DOUBLE)
+      |    / CAST(s AS DOUBLE) / CAST(s AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS cv2,
+      |  CAST(floor(z / p / 100 * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS croston_forecast_usd,
+      |  CASE
+      |    WHEN CAST(n_periods AS DOUBLE) / n_demand < 1.32
+      |      AND CAST(n_demand * qq - s * s AS DOUBLE)
+      |        / CAST(s AS DOUBLE) / CAST(s AS DOUBLE) < 0.49 THEN 'smooth'
+      |    WHEN CAST(n_demand * qq - s * s AS DOUBLE)
+      |        / CAST(s AS DOUBLE) / CAST(s AS DOUBLE) < 0.49
+      |      THEN 'intermittent'
+      |    WHEN CAST(n_periods AS DOUBLE) / n_demand < 1.32 THEN 'erratic'
+      |    ELSE 'lumpy' END AS sbc_class
+      |FROM st, last""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+    val spine = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c")).select("h")
+    val dem = ev.filter(col("event_type") === "purchase" && col("value") > 90)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("q"))
+    val g = spine.join(dem, Seq("h"), "left")
+      .select(row_number().over(Window.orderBy("h")).cast("long").as("rn"),
+        coalesce(col("q"), lit(0L)).as("q"))
+    val nz = g.filter(col("q") > 0)
+      .select(row_number().over(Window.orderBy("rn")).cast("long").as("rn2"),
+        col("rn"), col("q"))
+      .localCheckpoint()
+    val folded = nz
+      .agg(array_sort(collect_list(struct(col("rn2"), col("rn"), col("q"))))
+        .as("xs"))
+      .select(expr(
+        "aggregate(xs, named_struct('z', CAST(-1 AS DOUBLE), " +
+          "'p', CAST(0 AS DOUBLE), 'prev', CAST(0 AS DOUBLE)), " +
+          "(acc, e) -> CASE WHEN acc.z < 0 THEN named_struct(" +
+          "'z', CAST(e.q AS DOUBLE), 'p', CAST(e.rn AS DOUBLE), " +
+          "'prev', CAST(e.rn AS DOUBLE)) " +
+          "ELSE named_struct(" +
+          "'z', CAST(0.2 AS DOUBLE) * e.q + CAST(0.8 AS DOUBLE) * acc.z, " +
+          "'p', CAST(0.2 AS DOUBLE) * (e.rn - acc.prev) " +
+          "+ CAST(0.8 AS DOUBLE) * acc.p, " +
+          "'prev', CAST(e.rn AS DOUBLE)) END).z AS z"),
+        expr(
+          "aggregate(xs, named_struct('z', CAST(-1 AS DOUBLE), " +
+            "'p', CAST(0 AS DOUBLE), 'prev', CAST(0 AS DOUBLE)), " +
+            "(acc, e) -> CASE WHEN acc.z < 0 THEN named_struct(" +
+            "'z', CAST(e.q AS DOUBLE), 'p', CAST(e.rn AS DOUBLE), " +
+            "'prev', CAST(e.rn AS DOUBLE)) " +
+            "ELSE named_struct(" +
+            "'z', CAST(0.2 AS DOUBLE) * e.q + CAST(0.8 AS DOUBLE) * acc.z, " +
+            "'p', CAST(0.2 AS DOUBLE) * (e.rn - acc.prev) " +
+            "+ CAST(0.8 AS DOUBLE) * acc.p, " +
+            "'prev', CAST(e.rn AS DOUBLE)) END).p AS p"))
+    val nTot = g.agg(count(lit(1)).cast("long").as("n_periods"))
+    val st = nz.agg(count(lit(1)).cast("long").as("n_demand"),
+      sum("q").cast("decimal(38,0)").as("s"),
+      sum(dec(col("q")) * col("q")).as("qq"))
+      .crossJoin(broadcast(nTot))
+    val cv2 = (dec(col("n_demand")) * col("qq") - col("s") * col("s"))
+      .cast("double") / col("s").cast("double") / col("s").cast("double")
+    val adi = col("n_periods").cast("double") / col("n_demand")
+    st.crossJoin(broadcast(folded)).select(
+      col("n_periods"), col("n_demand"),
+      (floor(adi * 10000 + lit(0.5)).cast("double") / 10000).as("adi"),
+      (floor(cv2 * 1000000 + lit(0.5)).cast("double") / 1000000).as("cv2"),
+      (floor(col("z") / col("p") / 100 * 10000 + lit(0.5)).cast("double")
+        / 10000).as("croston_forecast_usd"),
+      when(adi < 1.32 && cv2 < 0.49, "smooth")
+        .when(cv2 < 0.49, "intermittent")
+        .when(adi < 1.32, "erratic")
+        .otherwise("lumpy").as("sbc_class"))
+  }
+
   // Haar wavelet energy decomposition (3 levels) of the daily-revenue
   // series — which timescale carries the variation: day-to-day noise
   // (level 1), ~4-day swings (level 2), or week-scale structure

@@ -4295,7 +4295,144 @@ def audit_bradley_terry():
     report("llm_bradley_terry", mis, 2 * len(srcs))
 
 
+def audit_gamma_fit():
+    """Gamma method-of-moments recomputed with plain population moments."""
+    mis = []
+    r_ = rows(f"SELECT floor(value * 100 + 0.5) FROM '{SF}/events.parquet' "
+              "WHERE event_type = 'purchase' AND floor(value * 100 + 0.5) > 0")
+    vs = [v for (v,) in r_]
+    n = len(vs)
+    mu = sum(vs) / n
+    var = sum((v - mu) ** 2 for v in vs) / n
+    (got,) = dump("stats_gamma_fit")
+    d = dict(zip(dump_cols("stats_gamma_fit"), got))
+    if d["n"] != n:
+        mis.append(("n", d["n"], n))
+    if not close(d["mean_usd"], mu / 100, 1e-4):
+        mis.append(("mean", d["mean_usd"], mu / 100))
+    if not close(d["var_usd2"], var / 1e4, 1e-4):
+        mis.append(("var", d["var_usd2"], var / 1e4))
+    if not close(d["shape"], mu * mu / var, 1e-4):
+        mis.append(("shape", d["shape"], mu * mu / var))
+    if not close(d["scale_usd"], var / mu / 100, 1e-4):
+        mis.append(("scale", d["scale_usd"], var / mu / 100))
+    report("stats_gamma_fit", mis, 5)
+
+
+def audit_burstiness():
+    """Burstiness and Fano factor recomputed from plain token counts."""
+    mis = []
+    r_ = rows(f"SELECT source, len(string_split(text, ' ')) "
+              f"FROM '{SF}/documents.parquet'")
+    from collections import defaultdict
+    per = defaultdict(list)
+    for src, m in r_:
+        per[src].append(m)
+    got = {r[0]: r for r in dump("text_burstiness")}
+    cols = dump_cols("text_burstiness")
+    for src, ms in sorted(per.items()):
+        n = len(ms)
+        mu = sum(ms) / n
+        var = sum((m - mu) ** 2 for m in ms) / n
+        sd = math.sqrt(var)
+        d = dict(zip(cols, got[src]))
+        if not close(d["mean_tokens"], mu, 1e-3):
+            mis.append((src + ":mean", d["mean_tokens"], mu))
+        if not close(d["burstiness"], (sd - mu) / (sd + mu), 1e-4):
+            mis.append((src + ":b", d["burstiness"], (sd - mu) / (sd + mu)))
+        if not close(d["fano"], var / mu, 1e-3):
+            mis.append((src + ":f", d["fano"], var / mu))
+    report("text_burstiness", mis, 3 * len(per))
+
+
+def audit_croston():
+    """Croston z/p EWMAs and the SBC quadrant replayed sequentially in
+    plain Python floats."""
+    mis = []
+    spine = rows(f"SELECT date_trunc('hour', ts) FROM '{SF}/events.parquet' "
+                 "GROUP BY 1 ORDER BY 1")
+    dem = dict(rows(
+        "SELECT date_trunc('hour', ts), "
+        "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+        f"FROM '{SF}/events.parquet' "
+        "WHERE event_type = 'purchase' AND value > 90 GROUP BY 1"))
+    qs = [dem.get(h, 0) for (h,) in spine]
+    nz = [(i + 1, q) for i, q in enumerate(qs) if q > 0]
+    z = p = prev = None
+    for rn, q in nz:
+        if z is None:
+            z, p, prev = float(q), float(rn), rn
+        else:
+            z = 0.2 * q + 0.8 * z
+            p = 0.2 * (rn - prev) + 0.8 * p
+            prev = rn
+    n_periods, n_demand = len(qs), len(nz)
+    mu = sum(q for _, q in nz) / n_demand
+    var = sum((q - mu) ** 2 for _, q in nz) / n_demand
+    adi = n_periods / n_demand
+    cv2 = var / mu / mu
+    sbc = ("smooth" if adi < 1.32 and cv2 < 0.49 else
+           "intermittent" if cv2 < 0.49 else
+           "erratic" if adi < 1.32 else "lumpy")
+    (got,) = dump("ts_croston")
+    d = dict(zip(dump_cols("ts_croston"), got))
+    if (d["n_periods"], d["n_demand"]) != (n_periods, n_demand):
+        mis.append(("counts", (d["n_periods"], d["n_demand"]),
+                    (n_periods, n_demand)))
+    if not close(d["adi"], adi, 1e-4):
+        mis.append(("adi", d["adi"], adi))
+    if not close(d["cv2"], cv2, 1e-4):
+        mis.append(("cv2", d["cv2"], cv2))
+    if not close(d["croston_forecast_usd"], z / p / 100, 1e-4):
+        mis.append(("forecast", d["croston_forecast_usd"], z / p / 100))
+    if d["sbc_class"] != sbc:
+        mis.append(("sbc", d["sbc_class"], sbc))
+    report("ts_croston", mis, 5)
+
+
+def audit_rank_fusion():
+    """RRF fusion recomputed with brute-force float scoring and sorts."""
+    mis = []
+    r_ = rows(f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+              f"FROM '{SF}/embeddings.parquet'")
+    vecs = dict(r_)
+    out = {}
+    for pid in [v for v in vecs if v < 5]:
+        pe = vecs[pid]
+        scored = []
+        for vid, ce in vecs.items():
+            if vid == pid:
+                continue
+            dot = round(sum(x * y for x, y in zip(pe, ce)), 4)
+            cos = round(sum(x * y for x, y in zip(pe, ce))
+                        / (math.sqrt(sum(x * x for x in pe))
+                           * math.sqrt(sum(x * x for x in ce))), 4)
+            scored.append((vid, cos, dot))
+        ra = {v: i + 1 for i, (v, _, _) in enumerate(
+            sorted(scored, key=lambda t: (-t[1], t[0])))}
+        rb = {v: i + 1 for i, (v, _, _) in enumerate(
+            sorted(scored, key=lambda t: (-t[2], t[0])))}
+        rrf = {v: 1 / (60 + ra[v]) + 1 / (60 + rb[v]) for v, _, _ in scored}
+        top = sorted(rrf, key=lambda v: (-rrf[v], v))[:10]
+        out[pid] = [(v, ra[v], rb[v], rrf[v]) for v in top]
+    cols = dump_cols("sim_rank_fusion")
+    for row in dump("sim_rank_fusion"):
+        d = dict(zip(cols, row))
+        v, ra_, rb_, rrf_ = out[d["probe_id"]][d["rn"] - 1]
+        if (d["vec_id"], d["rank_cos"], d["rank_dot"]) != (v, ra_, rb_):
+            mis.append((f"{d['probe_id']}#{d['rn']}",
+                        (d["vec_id"], d["rank_cos"], d["rank_dot"]),
+                        (v, ra_, rb_)))
+        if not close(d["rrf"], rrf_, 1e-6):
+            mis.append((f"{d['probe_id']}#{d['rn']}:rrf", d["rrf"], rrf_))
+    report("sim_rank_fusion", mis, 100)
+
+
 AUDITS = {
+    "stats_gamma_fit": audit_gamma_fit,
+    "text_burstiness": audit_burstiness,
+    "ts_croston": audit_croston,
+    "sim_rank_fusion": audit_rank_fusion,
     "ml_ridge_regression": audit_ridge,
     "ts_haar_energy": audit_haar,
     "stats_fisher_exact": audit_fisher,
