@@ -6136,6 +6136,222 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  // Anderson-Darling normality test of the daily-revenue series — the
+  // tail-weighted member of the normality battery next to
+  // stats_jarque_bera (moment-based): A-D powers up exactly where JB is
+  // blind (tail departures with near-normal skew/kurtosis).
+  // A² = −n − (1/n)·Σᵢ (2i−1)·[ln Φ(zᵢ) + ln(1−Φ(z_{n+1−i}))], folded
+  // into ONE pass by pairing each rank i with its mirror weight:
+  // per-row term = (2i−1)·lnΦ(z) + (2(n−i)+1)·ln(1−Φ(z)). Φ is the
+  // Abramowitz-Stegun 26.2.17 rational polynomial (|ε|<7.5e-8) written
+  // as the identical IEEE tree in both engines; each row's term
+  // quantizes to a 1e-9 integer before the exact sum (ln-of-double
+  // boundary risk per row ~1e-7 — the documented Det.lnFix trade, here
+  // over a calendar-bounded row count). Modified statistic
+  // A*² = A²·(1 + 0.75/n + 2.25/n²); 5% critical value 0.752.
+  // Audit row: formula_audit.audit_anderson_darling.
+  q("stats_anderson_darling", {
+    val phi = (z: String) =>
+      s"""(CASE WHEN $z >= 0 THEN
+         |  1 - 0.3989422804014327 * exp(-($z) * ($z) / 2)
+         |    * ((((1.330274429 / (1 + 0.2316419 * ($z)) - 1.821255978)
+         |      / (1 + 0.2316419 * ($z)) + 1.781477937)
+         |      / (1 + 0.2316419 * ($z)) - 0.356563782)
+         |      / (1 + 0.2316419 * ($z)) + 0.319381530)
+         |      / (1 + 0.2316419 * ($z))
+         |ELSE 0.3989422804014327 * exp(-($z) * ($z) / 2)
+         |    * ((((1.330274429 / (1 - 0.2316419 * ($z)) - 1.821255978)
+         |      / (1 - 0.2316419 * ($z)) + 1.781477937)
+         |      / (1 - 0.2316419 * ($z)) - 0.356563782)
+         |      / (1 - 0.2316419 * ($z)) + 0.319381530)
+         |      / (1 - 0.2316419 * ($z)) END)""".stripMargin
+        .replace("\n", " ").replaceAll(" +", " ")
+    s"""WITH daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+       |  FROM events GROUP BY 1
+       |), m AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS HUGEINT) AS s, SUM(CAST(x AS HUGEINT) * x) AS q
+       |  FROM daily
+       |), z AS (
+       |  SELECT n,
+       |    row_number() OVER (ORDER BY x, day) AS i,
+       |    (x - CAST(s AS DOUBLE) / n)
+       |      / sqrt(CAST(n * q - s * s AS DOUBLE) / n / (n - 1)) AS zv
+       |  FROM daily, m
+       |), t AS (
+       |  SELECT n, CAST(floor(
+       |    ((2 * i - 1) * ln(${phi("zv")})
+       |     + (2 * (n - i) + 1) * ln(1 - ${phi("zv")})) * 1000000000 + 0.5)
+       |    AS BIGINT) AS term
+       |  FROM z
+       |)
+       |SELECT n AS n_days,
+       |  CAST(floor((-CAST(n AS DOUBLE)
+       |      - CAST(SUM(term) AS DOUBLE) / 1000000000 / n) * 1000000 + 0.5)
+       |    AS DOUBLE) / 1000000 AS a2,
+       |  CAST(floor((-CAST(n AS DOUBLE)
+       |      - CAST(SUM(term) AS DOUBLE) / 1000000000 / n)
+       |    * (1 + 0.75 / n + 2.25 / (CAST(n AS DOUBLE) * n)) * 1000000 + 0.5)
+       |    AS DOUBLE) / 1000000 AS a2_star
+       |FROM t GROUP BY n""".stripMargin
+  }) { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val m = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum("x").cast("decimal(38,0)").as("s"),
+      sum(dec(col("x")) * col("x")).as("q"))
+    def phiOf(z: org.apache.spark.sql.Column) = {
+      // left-associated exactly as the oracle spells it:
+      // ((0.3989…· exp)·E) / t, E = ((((b5/t − b4)/t + b3)/t − b2)/t + b1)
+      def half(t: org.apache.spark.sql.Column, zz: org.apache.spark.sql.Column) =
+        lit(0.3989422804014327) * exp(-zz * zz / 2) *
+          ((((lit(1.330274429) / t - 1.821255978) / t + 1.781477937) / t
+            - 0.356563782) / t + 0.319381530) / t
+      when(z >= 0, lit(1) - half(lit(1) + lit(0.2316419) * z, z))
+        .otherwise(half(lit(1) - lit(0.2316419) * z, z))
+    }
+    val zf = daily.crossJoin(broadcast(m)).select(col("n"),
+      row_number().over(Window.orderBy("x", "day")).as("i"),
+      ((col("x") - col("s").cast("double") / col("n"))
+        / sqrt((dec(col("n")) * col("q") - col("s") * col("s")).cast("double")
+          / col("n") / (col("n") - 1))).as("zv"))
+    val t = zf.select(col("n"),
+      floor(((lit(2) * col("i") - 1) * log(phiOf(col("zv")))
+        + (lit(2) * (col("n") - col("i")) + 1)
+          * log(lit(1) - phiOf(col("zv")))) * 1000000000L + lit(0.5))
+        .cast("long").as("term"))
+    val a2 = (-col("n").cast("double")
+      - sum("term").cast("double") / 1000000000L / col("n"))
+    t.groupBy("n").agg(
+      (floor(a2 * 1000000 + lit(0.5)).cast("double") / 1000000).as("a2"),
+      (floor(a2 * (lit(1) + lit(0.75) / col("n")
+        + lit(2.25) / (col("n").cast("double") * col("n"))) * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("a2_star"))
+      .select(col("n").as("n_days"), col("a2"), col("a2_star"))
+  }
+
+  // Bass diffusion fit of daily signup adoption — the classic
+  // innovation/imitation growth model (n_t = p·m + (q−p)·N_{t−1} −
+  // (q/m)·N²_{t−1}): a growth team reads p (external pull), q (viral
+  // push), m (market size), and the implied peak time from three OLS
+  // coefficients. The discrete-Bass regression of daily signups on
+  // cumulative signups and its square reuses the Cramer cofactor solve
+  // over exact 128-bit integer moments (N ≤ total signups keeps N⁴
+  // inside 128 bits far past 10⁹ users); m is the negative root of
+  // c·m² + b·m + a = 0, p = a/m, q = −c·m, t* = ln(q/p)/(p+q). When the
+  // fitted c is non-negative (no saturation signal in the window) the
+  // model is invalid and the derived outputs are NULL by the same
+  // deterministic guard in both engines.
+  // Audit row: formula_audit.audit_bass.
+  q("events_bass_diffusion",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1
+      |), c AS (
+      |  SELECT day, nt,
+      |    COALESCE(SUM(nt) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM d
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(cum AS HUGEINT)) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(cum AS HUGEINT) * cum) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(nt AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(cum AS HUGEINT) * cum * cum) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(cum AS HUGEINT) * cum * cum * cum) AS DOUBLE) AS s4,
+      |    CAST(SUM(CAST(cum AS HUGEINT) * nt) AS DOUBLE) AS s1y,
+      |    CAST(SUM(CAST(cum AS HUGEINT) * cum * nt) AS DOUBLE) AS s2y
+      |  FROM c
+      |), f AS (
+      |  SELECT
+      |    (s2 * (s4 * n - s2 * s2) - s3 * (s3 * n - s2 * s1)
+      |      + s1 * (s3 * s2 - s4 * s1)) AS det,
+      |    (s1y * (s4 * n - s2 * s2) - s3 * (s2y * n - s2 * sy)
+      |      + s1 * (s2y * s2 - s4 * sy)) AS detb,
+      |    (s2 * (s2y * n - sy * s2) - s1y * (s3 * n - s2 * s1)
+      |      + s1 * (s3 * sy - s2y * s1)) AS detc,
+      |    (s2 * (s4 * sy - s2 * s2y) - s3 * (s3 * sy - s2y * s1)
+      |      + s1y * (s3 * s2 - s4 * s1)) AS deta
+      |  FROM m
+      |), coefs AS (
+      |  SELECT deta / det AS a, detb / det AS b, detc / det AS cc FROM f
+      |), root AS (
+      |  SELECT a, b, cc,
+      |    CASE WHEN cc < 0 AND b * b - 4 * a * cc >= 0
+      |      THEN (-b - sqrt(b * b - 4 * a * cc)) / (2 * cc) END AS mm
+      |  FROM coefs
+      |)
+      |SELECT
+      |  CAST(floor(a * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_a,
+      |  CAST(floor(b * 1000000 + 0.5) AS DOUBLE) / 1000000 AS coef_b,
+      |  CAST(floor(cc * 1000000000 + 0.5) AS DOUBLE) / 1000000000 AS coef_c,
+      |  CAST(floor(mm * 100 + 0.5) AS DOUBLE) / 100 AS market_m,
+      |  CAST(floor(a / mm * 1000000 + 0.5) AS DOUBLE) / 1000000 AS p_innov,
+      |  CAST(floor(-cc * mm * 1000000 + 0.5) AS DOUBLE) / 1000000 AS q_imit,
+      |  CAST(floor(ln((-cc * mm) / (a / mm)) / (a / mm + (-cc * mm))
+      |    * 10000 + 0.5) AS DOUBLE) / 10000 AS peak_t
+      |FROM root""") { (s, dir) =>
+    val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = Tables(s, dir, "events")
+      .filter(col("event_type") === "signup")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).cast("long").as("nt"))
+    val c = d.select(col("day"), col("nt"),
+      coalesce(sum("nt").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cum"))
+    val m = c.agg(count(lit(1)).cast("double").as("n"),
+      sum(dec38(col("cum"))).cast("double").as("s1"),
+      sum(dec38(col("cum")) * col("cum")).cast("double").as("s2"),
+      sum(dec38(col("nt"))).cast("double").as("sy"),
+      sum(dec38(col("cum")) * col("cum") * col("cum")).cast("double").as("s3"),
+      sum(dec38(col("cum")) * col("cum") * col("cum") * col("cum"))
+        .cast("double").as("s4"),
+      sum(dec38(col("cum")) * col("nt")).cast("double").as("s1y"),
+      sum(dec38(col("cum")) * col("cum") * col("nt")).cast("double").as("s2y"))
+    val f = m.select(
+      (col("s2") * (col("s4") * col("n") - col("s2") * col("s2"))
+        - col("s3") * (col("s3") * col("n") - col("s2") * col("s1"))
+        + col("s1") * (col("s3") * col("s2") - col("s4") * col("s1")))
+        .as("det"),
+      (col("s1y") * (col("s4") * col("n") - col("s2") * col("s2"))
+        - col("s3") * (col("s2y") * col("n") - col("s2") * col("sy"))
+        + col("s1") * (col("s2y") * col("s2") - col("s4") * col("sy")))
+        .as("detb"),
+      (col("s2") * (col("s2y") * col("n") - col("sy") * col("s2"))
+        - col("s1y") * (col("s3") * col("n") - col("s2") * col("s1"))
+        + col("s1") * (col("s3") * col("sy") - col("s2y") * col("s1")))
+        .as("detc"),
+      (col("s2") * (col("s4") * col("sy") - col("s2") * col("s2y"))
+        - col("s3") * (col("s3") * col("sy") - col("s2y") * col("s1"))
+        + col("s1y") * (col("s3") * col("s2") - col("s4") * col("s1")))
+        .as("deta"))
+    val coefs = f.select((col("deta") / col("det")).as("a"),
+      (col("detb") / col("det")).as("b"), (col("detc") / col("det")).as("cc"))
+    val root = coefs.withColumn("mm",
+      when(col("cc") < 0 && col("b") * col("b") - lit(4) * col("a") * col("cc") >= 0,
+        (-col("b") - sqrt(col("b") * col("b") - lit(4) * col("a") * col("cc")))
+          / (lit(2) * col("cc"))))
+    val p = col("a") / col("mm")
+    val q6 = -col("cc") * col("mm")
+    root.select(
+      (floor(col("a") * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("coef_a"),
+      (floor(col("b") * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("coef_b"),
+      (floor(col("cc") * 1000000000L + lit(0.5)).cast("double") / 1000000000L)
+        .as("coef_c"),
+      (floor(col("mm") * 100 + lit(0.5)).cast("double") / 100).as("market_m"),
+      (floor(p * 1000000 + lit(0.5)).cast("double") / 1000000).as("p_innov"),
+      (floor(q6 * 1000000 + lit(0.5)).cast("double") / 1000000).as("q_imit"),
+      (floor(log(q6 / p) / (p + q6) * 10000 + lit(0.5)).cast("double")
+        / 10000).as("peak_t"))
+  }
+
   // Gamma distribution fit (method of moments) of purchase values — the
   // standard positive-skew model for transaction amounts; the (shape,
   // scale) pair feeds anomaly thresholds and synthetic-data generators

@@ -3255,6 +3255,104 @@ object TimeSeriesOps extends QueryPack {
         .cast("double") / 1000000).as("kpss_stat"))
   }
 
+  // Sample entropy (m=2, r=0.2σ) of the hourly-revenue series — the
+  // template-matching complexity measure that completes the trio with
+  // ts_permutation_entropy (ordinal) and events_entropy_rate (symbolic):
+  // SampEn = −ln(A/B) where B counts pairs of length-2 templates within
+  // Chebyshev tolerance r and A the same for length-3. The tolerance
+  // r = ⌊0.2·σ̂⌋ floors to an integer CENTS radius from exact moments, so
+  // every match predicate compares integers and A/B are exact counts;
+  // SampEn is a difference of integer-argument lnFix values. Pair
+  // counting is the textbook O(n²) template cross over the
+  // calendar-bounded hourly frame (720 rows/month at ANY corpus size —
+  // the corpus collapses to the spine in one aggregation pass; a
+  // continuous deployment would bucket templates by ⌊x/r⌋ to prune,
+  // which changes nothing here). Pairs use i<j (both counts halve,
+  // the ratio is unchanged — documented convention).
+  // Audit row: formula_audit.audit_sampen.
+  q("ts_sample_entropy",
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS h,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1
+      |), idx AS (
+      |  SELECT row_number() OVER (ORDER BY h) AS i, x FROM hourly
+      |), mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS s, SUM(CAST(x AS HUGEINT) * x) AS q
+      |  FROM idx
+      |), tol AS (
+      |  SELECT n, CAST(floor(0.2 * sqrt(CAST(n * q - s * s AS DOUBLE)
+      |    / n / (n - 1))) AS BIGINT) AS r
+      |  FROM mo
+      |), t AS (
+      |  SELECT i, x,
+      |    lead(x, 1) OVER (ORDER BY i) AS x1,
+      |    lead(x, 2) OVER (ORDER BY i) AS x2
+      |  FROM idx
+      |), b2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS b
+      |  FROM (SELECT * FROM t WHERE x1 IS NOT NULL) a
+      |  JOIN (SELECT * FROM t WHERE x1 IS NOT NULL) c ON a.i < c.i
+      |  CROSS JOIN tol
+      |  WHERE abs(a.x - c.x) <= r AND abs(a.x1 - c.x1) <= r
+      |), a3 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS a
+      |  FROM (SELECT * FROM t WHERE x2 IS NOT NULL) a
+      |  JOIN (SELECT * FROM t WHERE x2 IS NOT NULL) c ON a.i < c.i
+      |  CROSS JOIN tol
+      |  WHERE abs(a.x - c.x) <= r AND abs(a.x1 - c.x1) <= r
+      |    AND abs(a.x2 - c.x2) <= r
+      |)
+      |SELECT n AS n_periods, r AS r_cents, b AS b_count, a AS a_count,
+      |  CASE WHEN a = 0 OR b = 0 THEN NULL
+      |    ELSE CAST(floor(CAST(
+      |      CAST(floor(ln(CAST(b AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+      |      - CAST(floor(ln(CAST(a AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+      |      AS DOUBLE) / 1000000000 * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    END AS sampen
+      |FROM tol, b2, a3""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val hourly = Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val idx = hourly.select(
+      row_number().over(Window.orderBy("h")).cast("long").as("i"), col("x"))
+      .localCheckpoint()
+    val mo = idx.agg(count(lit(1)).cast("long").as("n"),
+      sum("x").cast("decimal(38,0)").as("s"),
+      sum(dec(col("x")) * col("x")).as("q"))
+    val tol = mo.select(col("n"),
+      floor(lit(0.2) * sqrt((dec(col("n")) * col("q") - col("s") * col("s"))
+        .cast("double") / col("n") / (col("n") - 1))).cast("long").as("r"))
+    val wo = Window.orderBy("i")
+    val t = idx.select(col("i"), col("x"),
+      lead(col("x"), 1).over(wo).as("x1"), lead(col("x"), 2).over(wo).as("x2"))
+      .localCheckpoint()
+    def side(cols: Seq[String], nn: String) = t
+      .filter(col(cols.last).isNotNull)
+      .select(col("i").as(s"${nn}_i") +: cols.map(c => col(c).as(s"${nn}_$c")): _*)
+    def pairCount(mDim: Int) = {
+      val cs = Seq("x", "x1", "x2").take(mDim)
+      val a = side(cs, "a")
+      val c = side(cs, "c")
+      val cond = cs.map(cn => abs(col(s"a_$cn") - col(s"c_$cn")) <= col("r"))
+        .reduce(_ && _)
+      a.join(c, col("a_i") < col("c_i")).crossJoin(broadcast(tol))
+        .filter(cond)
+        .agg(count(lit(1)).cast("long").as(if (mDim == 2) "b" else "a"))
+    }
+    val b2 = pairCount(2)
+    val a3 = pairCount(3)
+    broadcast(tol).crossJoin(broadcast(b2)).crossJoin(broadcast(a3))
+      .select(col("n").as("n_periods"), col("r").as("r_cents"),
+        col("b").as("b_count"), col("a").as("a_count"),
+        when(col("a") === 0 || col("b") === 0, lit(null).cast("double"))
+          .otherwise(floor((Det.lnFix(col("b"), 9) - Det.lnFix(col("a"), 9))
+            .cast("double") / 1000000000L * 1000000 + lit(0.5))
+            .cast("double") / 1000000).as("sampen"))
+  }
+
   // Croston's method for intermittent demand plus the Syntetos-Boylan
   // classification — the standard forecaster when most periods have ZERO
   // demand (spare parts, rare expensive purchases) and plain EWMA

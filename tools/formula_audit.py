@@ -4428,7 +4428,125 @@ def audit_rank_fusion():
     report("sim_rank_fusion", mis, 100)
 
 
+def audit_anderson_darling():
+    """A-D statistic recomputed with math.erf's exact normal CDF — also
+    validates the query's Abramowitz-Stegun polynomial end to end."""
+    mis = []
+    r_ = rows("SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+              "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    xs = sorted(x for _, x in r_)
+    n = len(xs)
+    mu = sum(xs) / n
+    sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / (n - 1))
+
+    def cdf(z):
+        return 0.5 * (1 + math.erf(z / math.sqrt(2)))
+
+    a2 = -n - sum(
+        (2 * (i + 1) - 1) * (math.log(cdf((xs[i] - mu) / sd))
+                             + math.log(1 - cdf((xs[n - 1 - i] - mu) / sd)))
+        for i in range(n)) / n
+    a2s = a2 * (1 + 0.75 / n + 2.25 / n / n)
+    (got,) = dump("stats_anderson_darling")
+    d = dict(zip(dump_cols("stats_anderson_darling"), got))
+    if d["n_days"] != n:
+        mis.append(("n", d["n_days"], n))
+    if not close(d["a2"], a2, 1e-3):
+        mis.append(("a2", d["a2"], a2))
+    if not close(d["a2_star"], a2s, 1e-3):
+        mis.append(("a2_star", d["a2_star"], a2s))
+    report("stats_anderson_darling", mis, 3)
+
+
+def audit_bass():
+    """Bass p/q/m recomputed with a float 3x3 solve and the quadratic
+    root formula."""
+    mis = []
+    r_ = rows("SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) "
+              f"FROM '{SF}/events.parquet' WHERE event_type = 'signup' "
+              "GROUP BY 1 ORDER BY 1")
+    ns = [c for _, c in r_]
+    cum = [sum(ns[:i]) for i in range(len(ns))]
+    n = len(ns)
+    s1 = sum(cum)
+    s2 = sum(c * c for c in cum)
+    s3 = sum(c ** 3 for c in cum)
+    s4 = sum(c ** 4 for c in cum)
+    sy = sum(ns)
+    s1y = sum(c * y for c, y in zip(cum, ns))
+    s2y = sum(c * c * y for c, y in zip(cum, ns))
+    # solve [[s2,s3,s1],[s3,s4,s2],[s1,s2,n]] [b,c,a]' = [s1y,s2y,sy]'
+    mat = [[s2, s3, s1], [s3, s4, s2], [s1, s2, n]]
+    vec = [s1y, s2y, sy]
+    m_ = [row[:] + [v] for row, v in zip(mat, vec)]
+    for col_ in range(3):
+        piv = max(range(col_, 3), key=lambda r2: abs(m_[r2][col_]))
+        m_[col_], m_[piv] = m_[piv], m_[col_]
+        for r2 in range(3):
+            if r2 != col_:
+                f = m_[r2][col_] / m_[col_][col_]
+                m_[r2] = [u - f * w for u, w in zip(m_[r2], m_[col_])]
+    b, cc, a = [m_[i][3] / m_[i][i] for i in range(3)]
+    (got,) = dump("events_bass_diffusion")
+    d = dict(zip(dump_cols("events_bass_diffusion"), got))
+    if not close(d["coef_a"], a, 1e-3):
+        mis.append(("a", d["coef_a"], a))
+    if not close(d["coef_b"], b, 1e-3):
+        mis.append(("b", d["coef_b"], b))
+    if not close(d["coef_c"], cc, 1e-3):
+        mis.append(("c", d["coef_c"], cc))
+    if cc < 0 and b * b - 4 * a * cc >= 0:
+        mm = (-b - math.sqrt(b * b - 4 * a * cc)) / (2 * cc)
+        p, q = a / mm, -cc * mm
+        if not close(d["market_m"], mm, 1e-3):
+            mis.append(("m", d["market_m"], mm))
+        if not close(d["p_innov"], p, 1e-3):
+            mis.append(("p", d["p_innov"], p))
+        if not close(d["q_imit"], q, 1e-3):
+            mis.append(("q", d["q_imit"], q))
+        if not close(d["peak_t"], math.log(q / p) / (p + q), 1e-3):
+            mis.append(("peak", d["peak_t"], math.log(q / p) / (p + q)))
+    elif d["market_m"] is not None:
+        mis.append(("m_guard", d["market_m"], None))
+    report("events_bass_diffusion", mis, 7)
+
+
+def audit_sampen():
+    """Sample entropy recomputed by brute-force template matching."""
+    mis = []
+    r_ = rows("SELECT date_trunc('hour', ts) AS h, "
+              "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1")
+    xs = [x for _, x in r_]
+    n = len(xs)
+    mu = sum(xs) / n
+    r_tol = math.floor(0.2 * math.sqrt(
+        sum((x - mu) ** 2 for x in xs) / (n - 1)))
+
+    def count(m):
+        tpl = [xs[i:i + m] for i in range(n - m + 1)]
+        return sum(
+            1 for i in range(len(tpl)) for j in range(i + 1, len(tpl))
+            if max(abs(u - v) for u, v in zip(tpl[i], tpl[j])) <= r_tol)
+
+    b, a = count(2), count(3)
+    (got,) = dump("ts_sample_entropy")
+    d = dict(zip(dump_cols("ts_sample_entropy"), got))
+    if (d["n_periods"], d["r_cents"]) != (n, r_tol):
+        mis.append(("n/r", (d["n_periods"], d["r_cents"]), (n, r_tol)))
+    if (d["b_count"], d["a_count"]) != (b, a):
+        mis.append(("counts", (d["b_count"], d["a_count"]), (b, a)))
+    want = -math.log(a / b) if a and b else None
+    if want is not None and not close(d["sampen"], want, 1e-4):
+        mis.append(("sampen", d["sampen"], want))
+    report("ts_sample_entropy", mis, 4)
+
+
 AUDITS = {
+    "stats_anderson_darling": audit_anderson_darling,
+    "events_bass_diffusion": audit_bass,
+    "ts_sample_entropy": audit_sampen,
     "stats_gamma_fit": audit_gamma_fit,
     "text_burstiness": audit_burstiness,
     "ts_croston": audit_croston,
