@@ -732,4 +732,48 @@ object Scalars extends QueryPack {
       .orderBy(col("dl"), col("name1"), col("name2"))
       .limit(25)
   }
+
+  // Extended math scalar battery — cbrt / log2 / log10 / signum /
+  // radians / degrees / fractional power / factorial over part
+  // attributes, rounding out §2.8's numeric coverage. Every
+  // transcendental output is floor-quantized (1e-6) because Java's and
+  // libm's last-ulp can differ on identical inputs (the Det.lnFix
+  // boundary argument — ~75 distinct arguments per function here, so a
+  // quantization-boundary hit is astronomically unlikely and would
+  // surface as a visible oracle mismatch, not silent corruption).
+  // factorial stays exact: integer argument ≤ 9 → exact BIGINT in both.
+  q("fn_math_extra",
+    """SELECT p_partkey,
+      |  CAST(floor(cbrt(p_retailprice) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS cbrt_price,
+      |  CAST(floor(log2(CAST(p_size AS DOUBLE)) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS log2_size,
+      |  CAST(floor(log10(p_retailprice) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS log10_price,
+      |  CAST(sign(p_size - 25) AS BIGINT) AS sign_size,
+      |  CAST(floor(radians(CAST(p_size AS DOUBLE)) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS radians_size,
+      |  CAST(floor(degrees(p_retailprice / 1000) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS degrees_kprice,
+      |  CAST(floor(pow(CAST(p_size AS DOUBLE), 1.5) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS size_pow15,
+      |  CAST(factorial(p_size % 10) AS BIGINT) AS fact_size
+      |FROM part ORDER BY p_partkey LIMIT 75""") { (s, dir) =>
+    Tables(s, dir, "part").select(col("p_partkey"),
+      (floor(cbrt(col("p_retailprice")) * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("cbrt_price"),
+      (floor(log2(col("p_size").cast("double")) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("log2_size"),
+      (floor(log10(col("p_retailprice")) * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("log10_price"),
+      signum(col("p_size") - 25).cast("long").as("sign_size"),
+      (floor(radians(col("p_size").cast("double")) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("radians_size"),
+      (floor(degrees(col("p_retailprice") / 1000) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("degrees_kprice"),
+      (floor(pow(col("p_size").cast("double"), 1.5) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("size_pow15"),
+      factorial(col("p_size") % 10).cast("long").as("fact_size"))
+      .orderBy("p_partkey").limit(75)
+  }
 }

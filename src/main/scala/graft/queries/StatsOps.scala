@@ -6136,6 +6136,81 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  // TOST equivalence test (two one-sided tests) of purchase value
+  // between the two arms — the readout events_ab_welch cannot give: a
+  // non-significant difference is NOT evidence of equivalence; TOST is.
+  // With margin δ = $0.50, the arms are equivalent at α=0.05 iff
+  // t_lower = (Δ+δ)/se > z₀.₉₅ AND t_upper = (Δ−δ)/se < −z₀.₉₅
+  // (z-approximation 1.6449 — the Welch df is in the thousands here,
+  // documented). Means and Welch se come from exact integer cent
+  // moments (128-bit variance numerators); the verdict branches on the
+  // identical doubles in both engines.
+  // Audit row: formula_audit.audit_tost.
+  q("stats_tost_equivalence",
+    """WITH ev AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'
+      |), g AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v) AS HUGEINT) AS s, SUM(CAST(v AS HUGEINT) * v) AS q
+      |  FROM ev GROUP BY arm
+      |), m AS (
+      |  SELECT
+      |    MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+      |    MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+      |    MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END) AS mu1,
+      |    MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END) AS mu0,
+      |    MAX(CASE WHEN arm = 1 THEN CAST(n * q - s * s AS DOUBLE)
+      |      / n / (n - 1) / n END) AS se1,
+      |    MAX(CASE WHEN arm = 0 THEN CAST(n * q - s * s AS DOUBLE)
+      |      / n / (n - 1) / n END) AS se0
+      |  FROM g
+      |)
+      |SELECT n1, n0,
+      |  CAST(floor((mu1 - mu0) / 100 * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS diff_usd,
+      |  CAST(floor(sqrt(se1 + se0) / 100 * 10000 + 0.5) AS DOUBLE) / 10000
+      |    AS se_usd,
+      |  CAST(floor((mu1 - mu0 + 50) / sqrt(se1 + se0) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS t_lower,
+      |  CAST(floor((mu1 - mu0 - 50) / sqrt(se1 + se0) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS t_upper,
+      |  (mu1 - mu0 + 50) / sqrt(se1 + se0) > 1.6449
+      |    AND (mu1 - mu0 - 50) / sqrt(se1 + se0) < -1.6449 AS equivalent
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("long").as("arm"),
+        Det.cents(col("value")).cast("long").as("v"))
+    val g = ev.groupBy("arm").agg(count(lit(1)).cast("long").as("n"),
+      sum("v").cast("decimal(38,0)").as("s"),
+      sum(dec(col("v")) * col("v")).as("q"))
+    def pick(arm: Int, e: org.apache.spark.sql.Column) =
+      max(when(col("arm") === arm, e))
+    val seTerm = (dec(col("n")) * col("q") - col("s") * col("s"))
+      .cast("double") / col("n") / (col("n") - 1) / col("n")
+    val m = g.agg(
+      pick(1, col("n")).as("n1"), pick(0, col("n")).as("n0"),
+      pick(1, col("s").cast("double") / col("n")).as("mu1"),
+      pick(0, col("s").cast("double") / col("n")).as("mu0"),
+      pick(1, seTerm).as("se1"), pick(0, seTerm).as("se0"))
+    val se = sqrt(col("se1") + col("se0"))
+    val dmu = col("mu1") - col("mu0")
+    m.select(col("n1"), col("n0"),
+      (floor(dmu / 100 * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("diff_usd"),
+      (floor(se / 100 * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("se_usd"),
+      (floor((dmu + 50) / se * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("t_lower"),
+      (floor((dmu - 50) / se * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("t_upper"),
+      ((dmu + 50) / se > 1.6449 && (dmu - 50) / se < -1.6449)
+        .as("equivalent"))
+  }
+
   // Anderson-Darling normality test of the daily-revenue series — the
   // tail-weighted member of the normality battery next to
   // stats_jarque_bera (moment-based): A-D powers up exactly where JB is

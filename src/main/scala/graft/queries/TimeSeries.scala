@@ -3255,6 +3255,100 @@ object TimeSeriesOps extends QueryPack {
         .cast("double") / 1000000).as("kpss_stat"))
   }
 
+  // Forecast-accuracy metric battery for the seasonal-naive(7) daily
+  // forecast per event type — MAE/RMSE alone (ts_backtest_snaive) hide
+  // scale effects; MAPE/sMAPE/MASE are what a forecasting pipeline
+  // actually compares models on. All error sums are exact integers:
+  // |e| in cents, e² promoted to 128-bit, per-day percentage errors
+  // quantized to 1e-8 integers before the mean (over x>0 days for
+  // MAPE, x+f>0 for sMAPE — documented conventions), and MASE clears
+  // its double division entirely: MASE = Σ|e|·n_d / (n_eval·Σd) with d
+  // the lag-1 naive in-sample errors, so numerator and denominator are
+  // exact 128-bit integer products. Windows are event_type-partitioned.
+  // Audit row: formula_audit.audit_forecast_metrics.
+  q("ts_forecast_metrics",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT event_type, x,
+      |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7,
+      |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1
+      |  FROM daily
+      |), e AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(x7) AS BIGINT) AS n_eval,
+      |    CAST(SUM(abs(x - x7)) AS HUGEINT) AS sae,
+      |    SUM(CAST(x - x7 AS HUGEINT) * (x - x7)) AS sse,
+      |    CAST(SUM(CASE WHEN x7 IS NOT NULL AND x > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pos,
+      |    CAST(SUM(CASE WHEN x7 IS NOT NULL AND x > 0 THEN
+      |      CAST(floor(CAST(abs(x - x7) AS DOUBLE) / x * 100000000 + 0.5)
+      |        AS BIGINT) ELSE 0 END) AS HUGEINT) AS sape,
+      |    CAST(SUM(CASE WHEN x7 IS NOT NULL AND x + x7 > 0 THEN
+      |      CAST(floor(2 * CAST(abs(x - x7) AS DOUBLE) / (x + x7)
+      |        * 100000000 + 0.5) AS BIGINT) ELSE 0 END) AS HUGEINT)
+      |      AS ssmape,
+      |    CAST(SUM(CASE WHEN x7 IS NOT NULL AND x + x7 > 0 THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_sm,
+      |    CAST(COUNT(x1) AS BIGINT) AS n_d,
+      |    CAST(SUM(abs(x - x1)) AS HUGEINT) AS sd
+      |  FROM lagged GROUP BY event_type
+      |)
+      |SELECT event_type, n_eval,
+      |  CAST(floor(CAST(sae AS DOUBLE) / n_eval / 100 * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS mae_usd,
+      |  CAST(floor(sqrt(CAST(sse AS DOUBLE) / n_eval) / 100 * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS rmse_usd,
+      |  CAST(floor(CAST(sape AS DOUBLE) / 100000000 / n_pos * 1000000
+      |    + 0.5) AS DOUBLE) / 1000000 AS mape,
+      |  CAST(floor(CAST(ssmape AS DOUBLE) / 100000000 / n_sm * 1000000
+      |    + 0.5) AS DOUBLE) / 1000000 AS smape,
+      |  CAST(floor(CAST(sae * n_d AS DOUBLE) / CAST(n_eval * sd AS DOUBLE)
+      |    * 1000000 + 0.5) AS DOUBLE) / 1000000 AS mase
+      |FROM e ORDER BY event_type""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val daily = Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val wo = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily.select(col("event_type"), col("x"),
+      lag(col("x"), 7).over(wo).as("x7"), lag(col("x"), 1).over(wo).as("x1"))
+    val ae = abs(col("x") - col("x7"))
+    val e = lagged.groupBy("event_type").agg(
+      count(col("x7")).cast("long").as("n_eval"),
+      sum(ae).cast("decimal(38,0)").as("sae"),
+      sum(dec(col("x") - col("x7")) * (col("x") - col("x7"))).as("sse"),
+      sum(when(col("x7").isNotNull && col("x") > 0, 1L).otherwise(0L))
+        .cast("long").as("n_pos"),
+      sum(when(col("x7").isNotNull && col("x") > 0,
+        floor(ae.cast("double") / col("x") * 100000000L + lit(0.5))
+          .cast("long")).otherwise(0L)).cast("decimal(38,0)").as("sape"),
+      sum(when(col("x7").isNotNull && col("x") + col("x7") > 0,
+        floor(lit(2) * ae.cast("double") / (col("x") + col("x7"))
+          * 100000000L + lit(0.5)).cast("long")).otherwise(0L))
+        .cast("decimal(38,0)").as("ssmape"),
+      sum(when(col("x7").isNotNull && col("x") + col("x7") > 0, 1L)
+        .otherwise(0L)).cast("long").as("n_sm"),
+      count(col("x1")).cast("long").as("n_d"),
+      sum(abs(col("x") - col("x1"))).cast("decimal(38,0)").as("sd"))
+    e.select(col("event_type"), col("n_eval"),
+      (floor(col("sae").cast("double") / col("n_eval") / 100 * 10000
+        + lit(0.5)).cast("double") / 10000).as("mae_usd"),
+      (floor(sqrt(col("sse").cast("double") / col("n_eval")) / 100 * 10000
+        + lit(0.5)).cast("double") / 10000).as("rmse_usd"),
+      (floor(col("sape").cast("double") / 100000000L / col("n_pos")
+        * 1000000 + lit(0.5)).cast("double") / 1000000).as("mape"),
+      (floor(col("ssmape").cast("double") / 100000000L / col("n_sm")
+        * 1000000 + lit(0.5)).cast("double") / 1000000).as("smape"),
+      (floor((col("sae") * col("n_d")).cast("double")
+        / (dec(col("n_eval")) * col("sd")).cast("double") * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("mase"))
+      .orderBy("event_type")
+  }
+
   // Sample entropy (m=2, r=0.2σ) of the hourly-revenue series — the
   // template-matching complexity measure that completes the trio with
   // ts_permutation_entropy (ordinal) and events_entropy_rate (symbolic):

@@ -4543,7 +4543,70 @@ def audit_sampen():
     report("ts_sample_entropy", mis, 4)
 
 
+def audit_tost():
+    """TOST equivalence recomputed with plain Welch machinery."""
+    mis = []
+    r_ = rows("SELECT user_id % 2, floor(value * 100 + 0.5) "
+              f"FROM '{SF}/events.parquet' WHERE event_type = 'purchase'")
+    g = {0: [], 1: []}
+    for arm, v in r_:
+        g[arm].append(v)
+    mu = {a: sum(vs) / len(vs) for a, vs in g.items()}
+    var = {a: sum((v - mu[a]) ** 2 for v in vs) / (len(vs) - 1)
+           for a, vs in g.items()}
+    se = math.sqrt(var[1] / len(g[1]) + var[0] / len(g[0]))
+    dmu = mu[1] - mu[0]
+    tl, tu = (dmu + 50) / se, (dmu - 50) / se
+    (got,) = dump("stats_tost_equivalence")
+    d = dict(zip(dump_cols("stats_tost_equivalence"), got))
+    if (d["n1"], d["n0"]) != (len(g[1]), len(g[0])):
+        mis.append(("n", (d["n1"], d["n0"]), (len(g[1]), len(g[0]))))
+    if not close(d["diff_usd"], dmu / 100, 1e-3):
+        mis.append(("diff", d["diff_usd"], dmu / 100))
+    if not close(d["t_lower"], tl, 1e-3):
+        mis.append(("t_lower", d["t_lower"], tl))
+    if not close(d["t_upper"], tu, 1e-3):
+        mis.append(("t_upper", d["t_upper"], tu))
+    if d["equivalent"] != (tl > 1.6449 and tu < -1.6449):
+        mis.append(("verdict", d["equivalent"], tl > 1.6449 > -tu))
+    report("stats_tost_equivalence", mis, 5)
+
+
+def audit_forecast_metrics():
+    """snaive-7 forecast metrics recomputed with plain float loops."""
+    mis = []
+    r_ = rows("SELECT event_type, CAST(date_trunc('day', ts) AS DATE), "
+              "SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+              f"FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2")
+    from collections import defaultdict
+    per = defaultdict(list)
+    for et, _, x in r_:
+        per[et].append(x)
+    got = {r[0]: r for r in dump("ts_forecast_metrics")}
+    cols = dump_cols("ts_forecast_metrics")
+    for et, xs in sorted(per.items()):
+        ev = [(xs[i], xs[i - 7]) for i in range(7, len(xs))]
+        nd = [(xs[i], xs[i - 1]) for i in range(1, len(xs))]
+        mae = sum(abs(x - f) for x, f in ev) / len(ev)
+        rmse = math.sqrt(sum((x - f) ** 2 for x, f in ev) / len(ev))
+        mape_t = [abs(x - f) / x for x, f in ev if x > 0]
+        smape_t = [2 * abs(x - f) / (x + f) for x, f in ev if x + f > 0]
+        mase = mae / (sum(abs(x - p) for x, p in nd) / len(nd))
+        d = dict(zip(cols, got[et]))
+        if d["n_eval"] != len(ev):
+            mis.append((et + ":n", d["n_eval"], len(ev)))
+        for k, w in (("mae_usd", mae / 100), ("rmse_usd", rmse / 100),
+                     ("mape", sum(mape_t) / len(mape_t)),
+                     ("smape", sum(smape_t) / len(smape_t)),
+                     ("mase", mase)):
+            if not close(d[k], w, 1e-3):
+                mis.append((f"{et}:{k}", d[k], w))
+    report("ts_forecast_metrics", mis, 6 * len(per))
+
+
 AUDITS = {
+    "stats_tost_equivalence": audit_tost,
+    "ts_forecast_metrics": audit_forecast_metrics,
     "stats_anderson_darling": audit_anderson_darling,
     "events_bass_diffusion": audit_bass,
     "ts_sample_entropy": audit_sampen,
