@@ -6136,6 +6136,183 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  /** Unrolled-CTE oracle for ml_adaboost_stumps: each boosting round is
+    * one CTE block (cumsum → ORDER BY/LIMIT-1 argmin stump → integer α →
+    * reweighted cells). Weights are 1e6-scaled integers per example; α
+    * is an integer at 1e-9 via the lnFix device on the (GREATEST-guarded)
+    * weight sums; the reweight multiplies integer weights by exp(±α) and
+    * floors back to integers (one distinct exp argument per round — the
+    * P17 bounded-argument libm seam); the final vote H = Σ α₉·h(v) is an
+    * exact integer comparison, no doubles anywhere in the verdict. */
+  private def adaboostOracleSql(rounds: Int): String = {
+    val head =
+      """WITH hist AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1
+        |),
+        |w0 AS (SELECT v, n1 * 1000000 AS wp, n0 * 1000000 AS wn FROM hist)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""tot$k AS (
+         |  SELECT CAST(SUM(wp) AS BIGINT) AS wpt, CAST(SUM(wn) AS BIGINT) AS wnt,
+         |    CAST(SUM(wp + wn) AS BIGINT) AS wt
+         |  FROM w$p
+         |), cum$k AS (
+         |  SELECT v, wp, wn,
+         |    COALESCE(SUM(wp) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND 1 PRECEDING), 0) AS cpl,
+         |    COALESCE(SUM(wn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND 1 PRECEDING), 0) AS cnl
+         |  FROM w$p
+         |), best$k AS (
+         |  SELECT err, dir, theta, wt,
+         |    (CAST(floor(ln(CAST(GREATEST(wt - err, 1) AS DOUBLE))
+         |       * 1000000000 + 0.5) AS BIGINT)
+         |     - CAST(floor(ln(CAST(GREATEST(err, 1) AS DOUBLE))
+         |       * 1000000000 + 0.5) AS BIGINT)) // 2 AS al9
+         |  FROM (
+         |    SELECT CAST(cpl + wnt - cnl AS BIGINT) AS err, 0 AS dir,
+         |      v AS theta, wt FROM cum$k, tot$k
+         |    UNION ALL
+         |    SELECT CAST(wpt - cpl + cnl AS BIGINT), 1, v, wt
+         |    FROM cum$k, tot$k
+         |  ) ORDER BY err, dir, theta LIMIT 1
+         |), w$k AS (
+         |  SELECT w.v,
+         |    CAST(floor(w.wp * exp(CASE WHEN (b.dir = 0 AND w.v >= b.theta)
+         |        OR (b.dir = 1 AND w.v < b.theta)
+         |      THEN -CAST(b.al9 AS DOUBLE) / 1000000000
+         |      ELSE CAST(b.al9 AS DOUBLE) / 1000000000 END) + 0.5) AS BIGINT)
+         |      AS wp,
+         |    CAST(floor(w.wn * exp(CASE WHEN (b.dir = 0 AND w.v >= b.theta)
+         |        OR (b.dir = 1 AND w.v < b.theta)
+         |      THEN CAST(b.al9 AS DOUBLE) / 1000000000
+         |      ELSE -CAST(b.al9 AS DOUBLE) / 1000000000 END) + 0.5) AS BIGINT)
+         |      AS wn
+         |  FROM w$p w, best$k b
+         |)""".stripMargin
+    }
+    val votes = (1 to rounds).map { k =>
+      s"""CASE WHEN (b$k.dir = 0 AND hist.v >= b$k.theta)
+         |  OR (b$k.dir = 1 AND hist.v < b$k.theta)
+         |  THEN b$k.al9 ELSE -b$k.al9 END""".stripMargin
+        .replace("\n", " ")
+    }.mkString(" + ")
+    val bestRefs = (1 to rounds).map(k => s"best$k b$k").mkString(", ")
+    val roundCols = (1 to rounds).map { k =>
+      s"""  CAST(b$k.theta AS BIGINT) AS r${k}_theta_cents,
+         |  CASE WHEN b$k.dir = 0 THEN 'ge' ELSE 'lt' END AS r${k}_dir,
+         |  CAST(floor(CAST(b$k.err AS DOUBLE) / b$k.wt * 1000000 + 0.5)
+         |    AS DOUBLE) / 1000000 AS r${k}_eps,
+         |  CAST(floor(CAST(b$k.al9 AS DOUBLE) / 1000000000 * 1000000 + 0.5)
+         |    AS DOUBLE) / 1000000 AS r${k}_alpha,""".stripMargin
+    }.mkString("\n")
+    val tail =
+      s"""t AS (
+         |  SELECT CAST(SUM(n1 + n0) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN $votes > 0 THEN n1 ELSE n0 END) AS BIGINT)
+         |      AS correct
+         |  FROM hist, $bestRefs
+         |)
+         |SELECT n,
+         |$roundCols
+         |  CAST(floor(CAST(correct AS DOUBLE) / n * 1000000 + 0.5) AS DOUBLE)
+         |    / 1000000 AS train_acc
+         |FROM t, $bestRefs""".stripMargin
+    (Seq(head) ++ steps :+ tail).mkString(",\n")
+  }
+
+  // AdaBoost with decision stumps (2 rounds) on the purchase-vs-view
+  // value histogram — the canonical ensemble method next to
+  // ml_decision_stump (one weak learner) and ml_tree_depth2 (one deep
+  // learner): boosting REWEIGHTS what the previous stump got wrong.
+  // Exactness devices: stumps are value-threshold rules, so per-example
+  // weights depend only on the (value, label) CELL — boosting over the
+  // domain-bounded histogram is exact, never per-row. Weights are
+  // 1e6-scaled integers; each round's stump is an ORDER BY (err, dir, θ)
+  // LIMIT 1 argmin over integer cumsum errors; α₉ is an integer from
+  // the lnFix device on GREATEST-guarded weight sums; the reweight is
+  // the round's ONE exp() call floored back to integer cells (P17);
+  // and the final vote Σ ±α₉ is an integer comparison — the train
+  // accuracy has no float path at all.
+  // Audit row: formula_audit.audit_adaboost.
+  q("ml_adaboost_stumps", adaboostOracleSql(2)) { (s, dir) =>
+    val hist = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(Det.cents(col("value")).cast("long").as("v"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .cast("long").as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("long").as("n0"))
+      .localCheckpoint()
+    val w0 = hist.select(col("v"), (col("n1") * 1000000L).as("wp"),
+      (col("n0") * 1000000L).as("wn"))
+    def boostRound(w: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val tot = w.agg(sum("wp").cast("long").as("wpt"),
+        sum("wn").cast("long").as("wnt"),
+        sum(col("wp") + col("wn")).cast("long").as("wt"))
+      val wPrev = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = w.select(col("v"), col("wp"), col("wn"),
+        coalesce(sum("wp").over(wPrev), lit(0L)).as("cpl"),
+        coalesce(sum("wn").over(wPrev), lit(0L)).as("cnl"))
+        .crossJoin(broadcast(tot))
+      val cand = cum.select(
+        (col("cpl") + col("wnt") - col("cnl")).cast("long").as("err"),
+        lit(0).as("dir"), col("v").as("theta"), col("wt"))
+        .unionByName(cum.select(
+          (col("wpt") - col("cpl") + col("cnl")).cast("long").as("err"),
+          lit(1).as("dir"), col("v").as("theta"), col("wt")))
+      val best = cand.orderBy("err", "dir", "theta").limit(1)
+        .withColumn("al9", expr(
+          "(CAST(floor(ln(CAST(GREATEST(wt - err, 1) AS DOUBLE)) " +
+            "* 1000000000 + 0.5) AS BIGINT) " +
+            "- CAST(floor(ln(CAST(GREATEST(err, 1) AS DOUBLE)) " +
+            "* 1000000000 + 0.5) AS BIGINT)) div 2"))
+        .localCheckpoint()
+      val predPos = (col("dir") === 0 && col("v") >= col("theta")) ||
+        (col("dir") === 1 && col("v") < col("theta"))
+      val alpha = col("al9").cast("double") / 1000000000L
+      val nextW = w.crossJoin(broadcast(best)).select(col("v"),
+        floor(col("wp") * exp(when(predPos, -alpha).otherwise(alpha))
+          + lit(0.5)).cast("long").as("wp"),
+        floor(col("wn") * exp(when(predPos, alpha).otherwise(-alpha))
+          + lit(0.5)).cast("long").as("wn"))
+      (best, nextW)
+    }
+    val (b1, w1) = boostRound(w0)
+    val (b2, _) = boostRound(w1)
+    def vote(b: String) =
+      when((col(s"${b}_dir") === 0 && col("v") >= col(s"${b}_theta")) ||
+        (col(s"${b}_dir") === 1 && col("v") < col(s"${b}_theta")),
+        col(s"${b}_al9")).otherwise(-col(s"${b}_al9"))
+    def tagged(b: org.apache.spark.sql.DataFrame, nn: String) = broadcast(
+      b.select(col("err").as(s"${nn}_err"), col("dir").as(s"${nn}_dir"),
+        col("theta").as(s"${nn}_theta"), col("wt").as(s"${nn}_wt"),
+        col("al9").as(s"${nn}_al9")))
+    val t = hist.crossJoin(tagged(b1, "b1")).crossJoin(tagged(b2, "b2"))
+      .agg(sum(col("n1") + col("n0")).cast("long").as("n"),
+        sum(when(vote("b1") + vote("b2") > 0, col("n1")).otherwise(col("n0")))
+          .cast("long").as("correct"))
+    def roundCols(nn: String, idx: Int) = Seq(
+      col(s"${nn}_theta").cast("long").as(s"r${idx}_theta_cents"),
+      when(col(s"${nn}_dir") === 0, "ge").otherwise("lt").as(s"r${idx}_dir"),
+      (floor(col(s"${nn}_err").cast("double") / col(s"${nn}_wt") * 1000000
+        + lit(0.5)).cast("double") / 1000000).as(s"r${idx}_eps"),
+      (floor(col(s"${nn}_al9").cast("double") / 1000000000L * 1000000
+        + lit(0.5)).cast("double") / 1000000).as(s"r${idx}_alpha"))
+    t.crossJoin(tagged(b1, "b1")).crossJoin(tagged(b2, "b2"))
+      .select(col("n") +: (roundCols("b1", 1) ++ roundCols("b2", 2)
+        :+ ((floor(col("correct").cast("double") / col("n") * 1000000
+          + lit(0.5)).cast("double") / 1000000).as("train_acc"))): _*)
+  }
+
   // TOST equivalence test (two one-sided tests) of purchase value
   // between the two arms — the readout events_ab_welch cannot give: a
   // non-significant difference is NOT evidence of equivalence; TOST is.

@@ -4604,7 +4604,61 @@ def audit_forecast_metrics():
     report("ts_forecast_metrics", mis, 6 * len(per))
 
 
+def audit_adaboost():
+    """AdaBoost recomputed per-example with float weights and a
+    brute-force stump search — a genuinely different implementation of
+    the same 2-round boost."""
+    mis = []
+    r_ = rows("SELECT floor(value * 100 + 0.5), "
+              "CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END "
+              f"FROM '{SF}/events.parquet' "
+              "WHERE event_type IN ('purchase', 'view')")
+    xs = [(int(v), y) for v, y in r_]
+    n = len(xs)
+    w = [1.0] * n
+    thetas = sorted({v for v, _ in xs})
+    picked = []
+    for _ in range(2):
+        wt = sum(w)
+        best = None
+        for th in thetas:
+            for dr in (0, 1):
+                err = sum(
+                    wi for wi, (v, y) in zip(w, xs)
+                    if (1 if ((dr == 0) == (v >= th)) else -1) != y)
+                key = (err, dr, th)
+                if best is None or key < best:
+                    best = key
+        err, dr, th = best
+        alpha = 0.5 * math.log(max(wt - err, 1e-12) / max(err, 1e-12))
+        picked.append((th, dr, err / wt, alpha))
+        w = [wi * math.exp(-alpha * y
+                           * (1 if ((dr == 0) == (v >= th)) else -1))
+             for wi, (v, y) in zip(w, xs)]
+    correct = sum(
+        1 for v, y in xs
+        if (1 if sum(a * (1 if ((dr == 0) == (v >= th)) else -1)
+                     for th, dr, _, a in picked) > 0 else -1) == y)
+    (got,) = dump("ml_adaboost_stumps")
+    d = dict(zip(dump_cols("ml_adaboost_stumps"), got))
+    if d["n"] != n:
+        mis.append(("n", d["n"], n))
+    for i, (th, dr, eps, alpha) in enumerate(picked, start=1):
+        if d[f"r{i}_theta_cents"] != th:
+            mis.append((f"r{i}_theta", d[f"r{i}_theta_cents"], th))
+        if d[f"r{i}_dir"] != ("ge" if dr == 0 else "lt"):
+            mis.append((f"r{i}_dir", d[f"r{i}_dir"], dr))
+        if not close(d[f"r{i}_eps"], eps, 1e-4):
+            mis.append((f"r{i}_eps", d[f"r{i}_eps"], eps))
+        if not close(d[f"r{i}_alpha"], alpha, 1e-4):
+            mis.append((f"r{i}_alpha", d[f"r{i}_alpha"], alpha))
+    if not close(d["train_acc"], correct / n, 1e-4):
+        mis.append(("train_acc", d["train_acc"], correct / n))
+    report("ml_adaboost_stumps", mis, 10)
+
+
 AUDITS = {
+    "ml_adaboost_stumps": audit_adaboost,
     "stats_tost_equivalence": audit_tost,
     "ts_forecast_metrics": audit_forecast_metrics,
     "stats_anderson_darling": audit_anderson_darling,
