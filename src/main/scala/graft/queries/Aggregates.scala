@@ -938,4 +938,52 @@ object Aggregates extends QueryPack {
           .cast("long").as("bucket"))
       .orderBy("pct")
   }
+
+  // Pythagorean mean battery over purchase values — arithmetic,
+  // geometric, and harmonic means in one pass (the AM ≥ GM ≥ HM chain a
+  // pricing analysis reads together; harmonic is THE mean for rates).
+  // Exactness: the geometric mean is exp of the mean of integer-argument
+  // lnFix values (exact 128-bit sum, one bounded-argument exp); the
+  // harmonic mean needs no floats at all until the output — Σ 10¹²//v is
+  // an exact integer floor-division sum in both engines.
+  q("agg_geo_harmonic_mean",
+    """WITH v AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'
+      |    AND floor(value * 100 + 0.5) > 0
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v) AS HUGEINT) AS s,
+      |    SUM(CAST(CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000000 + 0.5)
+      |      AS BIGINT) AS HUGEINT)) AS slnv,
+      |    CAST(SUM(1000000000000 // v) AS HUGEINT) AS hinv
+      |  FROM v
+      |)
+      |SELECT n,
+      |  CAST(floor(CAST(s AS DOUBLE) / n / 100 * 10000 + 0.5) AS DOUBLE)
+      |    / 10000 AS arith_usd,
+      |  CAST(floor(exp(CAST(slnv AS DOUBLE) / n / 1000000000) / 100 * 10000
+      |    + 0.5) AS DOUBLE) / 10000 AS geo_usd,
+      |  CAST(floor(CAST(n AS DOUBLE) * 1000000000000 / CAST(hinv AS DOUBLE)
+      |    / 100 * 10000 + 0.5) AS DOUBLE) / 10000 AS harmonic_usd
+      |FROM m""") { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val v = graft.engine.Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(graft.engine.Det.cents(col("value")).cast("long").as("v"))
+      .filter(col("v") > 0)
+    val m = v.agg(count(lit(1)).cast("long").as("n"),
+      sum("v").cast("decimal(38,0)").as("s"),
+      sum(graft.engine.Det.lnFix(col("v"), 9).cast("decimal(38,0)"))
+        .as("slnv"),
+      sum(expr("1000000000000 div v")).cast("decimal(38,0)").as("hinv"))
+    m.select(col("n"),
+      (floor(col("s").cast("double") / col("n") / 100 * 10000 + lit(0.5))
+        .cast("double") / 10000).as("arith_usd"),
+      (floor(exp(col("slnv").cast("double") / col("n") / 1000000000L) / 100
+        * 10000 + lit(0.5)).cast("double") / 10000).as("geo_usd"),
+      (floor(col("n").cast("double") * 1000000000000L
+        / col("hinv").cast("double") / 100 * 10000 + lit(0.5))
+        .cast("double") / 10000).as("harmonic_usd"))
+  }
 }

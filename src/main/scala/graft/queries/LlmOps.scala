@@ -3568,6 +3568,45 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // Prompt-prefix cache economics: how much of the corpus shares its
+  // first 8 tokens — the readout that sizes a serving-side prefix cache
+  // (identical prompt heads hit the KV cache; a corpus dominated by a
+  // few templates caches brilliantly, a long-tail corpus doesn't).
+  // One groupBy on the 8-token prefix: hit rate = 1 − |prefixes|/|docs|
+  // (every doc after the first in its group is a cache hit), plus the
+  // concentration of the top group and the share of singleton prefixes.
+  // The prefix is a bounded projection (first 8 tokens), so the group
+  // key is small regardless of document length; the full text never
+  // shuffles.
+  q("llm_prefix_cache",
+    """WITH p AS (
+      |  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8),
+      |    ' ') AS prefix
+      |  FROM documents
+      |), g AS (
+      |  SELECT prefix, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY prefix
+      |)
+      |SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+      |  CAST(MAX(c) AS BIGINT) AS max_group,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS singletons,
+      |  CAST(floor((1 - CAST(COUNT(*) AS DOUBLE) / SUM(c)) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS cache_hit_rate
+      |FROM g""") { (s, dir) =>
+    val p = Tables(s, dir, "documents")
+      .select(concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+        .as("prefix"))
+    val g = p.groupBy("prefix").agg(count(lit(1)).cast("long").as("c"))
+    g.agg(sum("c").cast("long").as("n_docs"),
+      count(lit(1)).cast("long").as("n_prefixes"),
+      max("c").cast("long").as("max_group"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long")
+        .as("singletons"),
+      (floor((lit(1) - count(lit(1)).cast("double") / sum("c")) * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("cache_hit_rate"))
+  }
+
   // Reciprocal-rank fusion of two retrieval rankings (cosine and raw
   // inner product) per probe — the standard zero-tuning way to combine
   // heterogeneous retrievers (BM25+dense in production; here the two

@@ -6136,6 +6136,66 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  // Bhattacharyya coefficient / distance and Hellinger distance between
+  // the purchase and click value distributions ($5 buckets) — the
+  // geometry-of-distributions readouts next to dq_drift_psi (bin-ratio
+  // based) and dq_drift_jsd (entropy based): Hellinger is a true metric,
+  // so it composes into downstream thresholds cleanly. Per-bucket
+  // √(c₁·c₀) quantizes to a 1e-6 integer (sqrt of an exact 128-bit
+  // product), the sum is exact, and BC normalizes by one √(N₁·N₀);
+  // D_B = −ln(BC) is one bounded-argument log. Buckets come from
+  // integer floor-division of cents — no float binning.
+  // Audit row: formula_audit.audit_bhattacharyya.
+  q("stats_bhattacharyya",
+    """WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 AS b,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events WHERE event_type IN ('purchase', 'click')
+      |), h AS (
+      |  SELECT b, CAST(SUM(y) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+      |  FROM ev GROUP BY b
+      |), m AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0,
+      |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(SUM(CAST(floor(sqrt(CAST(CAST(c1 AS HUGEINT) * c0 AS DOUBLE))
+      |      * 1000000 + 0.5) AS BIGINT)) AS HUGEINT) AS sbc
+      |  FROM h
+      |)
+      |SELECT n1, n0, n_buckets,
+      |  CAST(floor(CAST(sbc AS DOUBLE) / 1000000
+      |    / sqrt(CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE)) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS bc_coef,
+      |  CAST(floor(-ln(CAST(sbc AS DOUBLE) / 1000000
+      |    / sqrt(CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE))) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS bhattacharyya_d,
+      |  CAST(floor(sqrt(1 - CAST(sbc AS DOUBLE) / 1000000
+      |    / sqrt(CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE))) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS hellinger
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 500")
+        .as("b"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val h = ev.groupBy("b").agg(sum("y").cast("long").as("c1"),
+      (count(lit(1)) - sum("y")).cast("long").as("c0"))
+    val m = h.agg(sum("c1").cast("long").as("n1"),
+      sum("c0").cast("long").as("n0"),
+      count(lit(1)).cast("long").as("n_buckets"),
+      sum(floor(sqrt((dec(col("c1")) * col("c0")).cast("double")) * 1000000
+        + lit(0.5)).cast("long")).cast("decimal(38,0)").as("sbc"))
+    val bc = col("sbc").cast("double") / 1000000L /
+      sqrt((dec(col("n1")) * col("n0")).cast("double"))
+    m.select(col("n1"), col("n0"), col("n_buckets"),
+      (floor(bc * 1000000 + lit(0.5)).cast("double") / 1000000).as("bc_coef"),
+      (floor(-log(bc) * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("bhattacharyya_d"),
+      (floor(sqrt(lit(1) - bc) * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("hellinger"))
+  }
+
   /** Unrolled-CTE oracle for ml_adaboost_stumps: each boosting round is
     * one CTE block (cumsum → ORDER BY/LIMIT-1 argmin stump → integer α →
     * reweighted cells). Weights are 1e6-scaled integers per example; α

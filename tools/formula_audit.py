@@ -4657,7 +4657,63 @@ def audit_adaboost():
     report("ml_adaboost_stumps", mis, 10)
 
 
+def audit_bhattacharyya():
+    """BC / Bhattacharyya / Hellinger recomputed from plain bucket
+    probabilities."""
+    mis = []
+    r_ = rows("SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 500, "
+              "event_type, COUNT(*) "
+              f"FROM '{SF}/events.parquet' "
+              "WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2")
+    from collections import Counter
+    c1, c0 = Counter(), Counter()
+    for b, et, c in r_:
+        (c1 if et == "purchase" else c0)[b] += c
+    n1, n0 = sum(c1.values()), sum(c0.values())
+    bc = sum(math.sqrt(c1[b] / n1 * (c0[b] / n0))
+             for b in set(c1) | set(c0))
+    (got,) = dump("stats_bhattacharyya")
+    d = dict(zip(dump_cols("stats_bhattacharyya"), got))
+    if (d["n1"], d["n0"]) != (n1, n0):
+        mis.append(("n", (d["n1"], d["n0"]), (n1, n0)))
+    if not close(d["bc_coef"], bc, 1e-4):
+        mis.append(("bc", d["bc_coef"], bc))
+    if not close(d["bhattacharyya_d"], -math.log(bc), 1e-4):
+        mis.append(("db", d["bhattacharyya_d"], -math.log(bc)))
+    if not close(d["hellinger"], math.sqrt(1 - bc), 1e-4):
+        mis.append(("h", d["hellinger"], math.sqrt(1 - bc)))
+    report("stats_bhattacharyya", mis, 4)
+
+
+def audit_geo_harmonic():
+    """Pythagorean means recomputed with plain float loops."""
+    mis = []
+    r_ = rows(f"SELECT floor(value * 100 + 0.5) FROM '{SF}/events.parquet' "
+              "WHERE event_type = 'purchase' AND floor(value * 100 + 0.5) > 0")
+    vs = [v for (v,) in r_]
+    n = len(vs)
+    arith = sum(vs) / n / 100
+    geo = math.exp(sum(math.log(v) for v in vs) / n) / 100
+    harm = n / sum(1 / v for v in vs) / 100
+    (got,) = dump("agg_geo_harmonic_mean")
+    d = dict(zip(dump_cols("agg_geo_harmonic_mean"), got))
+    if d["n"] != n:
+        mis.append(("n", d["n"], n))
+    if not close(d["arith_usd"], arith, 1e-4):
+        mis.append(("arith", d["arith_usd"], arith))
+    if not close(d["geo_usd"], geo, 1e-4):
+        mis.append(("geo", d["geo_usd"], geo))
+    if not close(d["harmonic_usd"], harm, 1e-4):
+        mis.append(("harm", d["harmonic_usd"], harm))
+    if not (d["arith_usd"] >= d["geo_usd"] >= d["harmonic_usd"]):
+        mis.append(("am-gm-hm order", (d["arith_usd"], d["geo_usd"],
+                                       d["harmonic_usd"]), "AM>=GM>=HM"))
+    report("agg_geo_harmonic_mean", mis, 5)
+
+
 AUDITS = {
+    "stats_bhattacharyya": audit_bhattacharyya,
+    "agg_geo_harmonic_mean": audit_geo_harmonic,
     "ml_adaboost_stumps": audit_adaboost,
     "stats_tost_equivalence": audit_tost,
     "ts_forecast_metrics": audit_forecast_metrics,
