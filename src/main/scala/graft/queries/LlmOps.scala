@@ -3568,6 +3568,166 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // NDCG@10 per probe over the label-relevance ranking — the graded
+  // retrieval metric sim_retrieval_eval's precision/recall cannot give
+  // (position matters: a relevant hit at rank 1 is worth more than at
+  // rank 10). Candidates rank by the adjudicated rounded-cosine device;
+  // relevance is binary label match. The 1/log₂(rank+1) gain weights
+  // quantize to 1e-9 integers (ten distinct integer-argument log₂ calls),
+  // so DCG and the ideal DCG are exact integer sums and NDCG is one
+  // division. IDCG generates its own weight sequence per probe with the
+  // IDENTICAL quantized spelling. Windows are probe-partitioned.
+  q("sim_ndcg",
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe,
+      |    label AS plabel
+      |  FROM embeddings WHERE vec_id < 10
+      |), c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce, label AS clabel
+      |  FROM embeddings
+      |), sc AS (
+      |  SELECT probe_id, vec_id,
+      |    CASE WHEN clabel = plabel THEN 1 ELSE 0 END AS rel,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pe, ce),
+      |        z -> z[1] * z[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pe, x -> x*x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(ce, x -> x*x)), (a, b) -> a + b))),
+      |    4) AS cos
+      |  FROM p CROSS JOIN c WHERE probe_id <> vec_id
+      |), rk AS (
+      |  SELECT probe_id, rel,
+      |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id)
+      |      AS rn
+      |  FROM sc
+      |), agg AS (
+      |  SELECT probe_id,
+      |    CAST(SUM(rel) AS BIGINT) AS n_rel,
+      |    CAST(SUM(CASE WHEN rn <= 10 THEN rel
+      |      * CAST(floor(1000000000 / log2(CAST(rn + 1 AS DOUBLE)) + 0.5)
+      |        AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg9
+      |  FROM rk GROUP BY probe_id
+      |), ideal AS (
+      |  SELECT probe_id, n_rel, dcg9,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, LEAST(n_rel, 10)),
+      |        i -> CAST(floor(1000000000 / log2(CAST(i + 1 AS DOUBLE)) + 0.5)
+      |          AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS idcg9
+      |  FROM agg
+      |)
+      |SELECT probe_id, n_rel,
+      |  CAST(dcg9 AS DOUBLE) / 1000000000 AS dcg10,
+      |  CASE WHEN n_rel = 0 THEN NULL
+      |    ELSE CAST(floor(CAST(dcg9 AS DOUBLE) / idcg9 * 1000000 + 0.5)
+      |      AS DOUBLE) / 1000000 END AS ndcg10
+      |FROM ideal ORDER BY probe_id""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val p = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("pe"),
+        col("label").as("plabel"))
+    val c = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("ce"),
+      col("label").as("clabel"))
+    def fold(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (a, b) => a + b)
+    val sc = p.crossJoin(c).filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        when(col("clabel") === col("plabel"), 1L).otherwise(0L).as("rel"),
+        round(fold(zip_with(col("pe"), col("ce"), (x, y) => x * y))
+          / (sqrt(fold(transform(col("pe"), x => x * x)))
+            * sqrt(fold(transform(col("ce"), x => x * x)))), 4).as("cos"))
+    val rk = sc.select(col("probe_id"), col("rel"),
+      row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("vec_id"))).as("rn"))
+    def w9(i: org.apache.spark.sql.Column) =
+      floor(lit(1000000000L) / log2((i + 1).cast("double")) + lit(0.5))
+        .cast("long")
+    val agg9 = rk.groupBy("probe_id").agg(
+      sum("rel").cast("long").as("n_rel"),
+      sum(when(col("rn") <= 10, col("rel") * w9(col("rn"))).otherwise(0L))
+        .cast("long").as("dcg9"))
+    val ideal = agg9.withColumn("idcg9",
+      aggregate(transform(sequence(lit(1L), least(col("n_rel"), lit(10L))),
+        i => w9(i)), lit(0L), (a, b) => a + b))
+    ideal.select(col("probe_id"), col("n_rel"),
+      (col("dcg9").cast("double") / 1000000000L).as("dcg10"),
+      when(col("n_rel") === 0, lit(null).cast("double"))
+        .otherwise(floor(col("dcg9").cast("double") / col("idcg9") * 1000000
+          + lit(0.5)).cast("double") / 1000000).as("ndcg10"))
+      .orderBy("probe_id")
+  }
+
+  // Heaps' law fit of vocabulary growth — V(N) = K·N^β across sources
+  // (each source contributes one (token count, vocab size) point): the
+  // sub-linearity exponent β tells a tokenizer/dedup pipeline how fast
+  // NEW vocabulary arrives as the corpus grows, which sizes vocab
+  // tables and predicts hash-table pressure at 100 TB. Log-log OLS with
+  // INTEGER-argument lnFix coordinates (token and vocab counts), so all
+  // regression moments are exact 128-bit integers; β, K = exp(intercept)
+  // and R² are final double trees (one bounded-argument exp).
+  // Audit row: formula_audit.audit_heaps.
+  q("text_heaps_law",
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents
+      |), pt AS (
+      |  SELECT source,
+      |    CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000000 + 0.5)
+      |      AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(COUNT(DISTINCT token) AS DOUBLE)) * 1000000000
+      |      + 0.5) AS BIGINT) AS y
+      |  FROM t GROUP BY source
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM pt
+      |)
+      |SELECT n AS n_points,
+      |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS beta,
+      |  CAST(floor(exp((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / n / 1000000000) * 10000 + 0.5) AS DOUBLE) / 10000 AS k_coef,
+      |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    * CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE)
+      |    / CAST(n * syy - sy * sy AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS r2
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val pt = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("source")
+      .agg(Det.lnFix(count(lit(1)), 9).as("x"),
+        Det.lnFix(countDistinct(col("token")), 9).as("y"))
+    val m = pt.agg(count(lit(1)).cast("long").as("n"),
+      sum("x").cast("decimal(38,0)").as("sx"),
+      sum("y").cast("decimal(38,0)").as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val num = (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val deny = (dec(col("n")) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    m.select(col("n").as("n_points"),
+      (floor(num / den * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("beta"),
+      (floor(exp((col("sy").cast("double") - num / den
+        * col("sx").cast("double")) / col("n") / 1000000000L) * 10000
+        + lit(0.5)).cast("double") / 10000).as("k_coef"),
+      (floor(num * num / den / deny * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("r2"))
+  }
+
   // Prompt-prefix cache economics: how much of the corpus shares its
   // first 8 tokens — the readout that sizes a serving-side prefix cache
   // (identical prompt heads hit the KV cache; a corpus dominated by a

@@ -6136,6 +6136,56 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  // Capture-recapture (Lincoln-Petersen + Chapman) estimate of the total
+  // user population from two overlapping "samples" — clickers and
+  // purchasers: N̂ = n₁·n₂/m from the marked-overlap m, the classic
+  // ecology estimator that data teams reuse to size populations only
+  // partially observed by any one event stream. The fixture lets us
+  // grade the estimator against the TRUE user count (coverage_ratio).
+  // One pass to per-user flags, exact integer counts, 128-bit products
+  // before the division; Chapman's (n₁+1)(n₂+1)/(m+1) − 1 corrects the
+  // small-overlap bias.
+  // Audit row: formula_audit.audit_capture_recapture.
+  q("stats_capture_recapture",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s1,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s2
+      |  FROM events GROUP BY user_id
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS actual_users,
+      |    CAST(SUM(s1) AS BIGINT) AS n1, CAST(SUM(s2) AS BIGINT) AS n2,
+      |    CAST(SUM(s1 * s2) AS BIGINT) AS overlap
+      |  FROM u
+      |)
+      |SELECT n1, n2, overlap, actual_users,
+      |  CAST(floor(CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) / overlap * 100
+      |    + 0.5) AS DOUBLE) / 100 AS lp_estimate,
+      |  CAST(floor((CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) AS DOUBLE)
+      |    / (overlap + 1) - 1) * 100 + 0.5) AS DOUBLE) / 100
+      |    AS chapman_estimate,
+      |  CAST(floor((CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) AS DOUBLE)
+      |    / (overlap + 1) - 1) / actual_users * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS coverage_ratio
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val u = Tables(s, dir, "events").groupBy("user_id").agg(
+      max(when(col("event_type") === "click", 1L).otherwise(0L)).as("s1"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s2"))
+    val m = u.agg(count(lit(1)).cast("long").as("actual_users"),
+      sum("s1").cast("long").as("n1"), sum("s2").cast("long").as("n2"),
+      sum(col("s1") * col("s2")).cast("long").as("overlap"))
+    val chap = ((dec(col("n1") + 1) * (col("n2") + 1)).cast("double")
+      / (col("overlap") + 1) - 1)
+    m.select(col("n1"), col("n2"), col("overlap"), col("actual_users"),
+      (floor((dec(col("n1")) * col("n2")).cast("double") / col("overlap")
+        * 100 + lit(0.5)).cast("double") / 100).as("lp_estimate"),
+      (floor(chap * 100 + lit(0.5)).cast("double") / 100)
+        .as("chapman_estimate"),
+      (floor(chap / col("actual_users") * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("coverage_ratio"))
+  }
+
   // Bhattacharyya coefficient / distance and Hellinger distance between
   // the purchase and click value distributions ($5 buckets) — the
   // geometry-of-distributions readouts next to dq_drift_psi (bin-ratio

@@ -4711,7 +4711,102 @@ def audit_geo_harmonic():
     report("agg_geo_harmonic_mean", mis, 5)
 
 
+def audit_ndcg():
+    """NDCG@10 recomputed with brute-force float ranking."""
+    mis = []
+    r_ = rows(f"SELECT vec_id, CAST(embedding AS DOUBLE[]), label "
+              f"FROM '{SF}/embeddings.parquet'")
+    vecs = {v: (e, l) for v, e, l in r_}
+    got = {r[0]: r for r in dump("sim_ndcg")}
+    cols = dump_cols("sim_ndcg")
+    for pid in sorted(v for v in vecs if v < 10):
+        pe, pl = vecs[pid]
+        scored = []
+        for vid, (ce, cl) in vecs.items():
+            if vid == pid:
+                continue
+            cos = round(sum(x * y for x, y in zip(pe, ce))
+                        / (math.sqrt(sum(x * x for x in pe))
+                           * math.sqrt(sum(x * x for x in ce))), 4)
+            scored.append((vid, cos, 1 if cl == pl else 0))
+        ranked = sorted(scored, key=lambda t: (-t[1], t[0]))
+        n_rel = sum(rel for _, _, rel in scored)
+        dcg = sum(rel / math.log2(i + 2)
+                  for i, (_, _, rel) in enumerate(ranked[:10]))
+        idcg = sum(1 / math.log2(i + 2) for i in range(min(n_rel, 10)))
+        d = dict(zip(cols, got[pid]))
+        if d["n_rel"] != n_rel:
+            mis.append((f"{pid}:n_rel", d["n_rel"], n_rel))
+        if not close(d["dcg10"], dcg, 1e-4):
+            mis.append((f"{pid}:dcg", d["dcg10"], dcg))
+        want = dcg / idcg if n_rel else None
+        if want is not None and not close(d["ndcg10"], want, 1e-4):
+            mis.append((f"{pid}:ndcg", d["ndcg10"], want))
+    report("sim_ndcg", mis, 30)
+
+
+def audit_heaps():
+    """Heaps' law log-log OLS recomputed with plain floats."""
+    mis = []
+    r_ = rows("SELECT source, COUNT(*), COUNT(DISTINCT token) FROM ("
+              "SELECT source, unnest(string_split(lower(text), ' ')) AS token "
+              f"FROM '{SF}/documents.parquet') GROUP BY source")
+    pts = [(math.log(n), math.log(v)) for _, n, v in r_]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k = math.exp((sy - beta * sx) / n)
+    r2 = (n * sxy - sx * sy) ** 2 / (n * sxx - sx * sx) / (n * syy - sy * sy)
+    (got,) = dump("text_heaps_law")
+    d = dict(zip(dump_cols("text_heaps_law"), got))
+    if d["n_points"] != n:
+        mis.append(("n", d["n_points"], n))
+    if not close(d["beta"], beta, 1e-4):
+        mis.append(("beta", d["beta"], beta))
+    if not close(d["k_coef"], k, 1e-3):
+        mis.append(("k", d["k_coef"], k))
+    if not close(d["r2"], r2, 1e-4):
+        mis.append(("r2", d["r2"], r2))
+    report("text_heaps_law", mis, 4)
+
+
+def audit_capture_recapture():
+    """Lincoln-Petersen / Chapman recomputed from raw user sets."""
+    mis = []
+    clickers = {u for (u,) in rows(
+        f"SELECT DISTINCT user_id FROM '{SF}/events.parquet' "
+        "WHERE event_type = 'click'")}
+    buyers = {u for (u,) in rows(
+        f"SELECT DISTINCT user_id FROM '{SF}/events.parquet' "
+        "WHERE event_type = 'purchase'")}
+    (total,) = rows(f"SELECT COUNT(DISTINCT user_id) "
+                    f"FROM '{SF}/events.parquet'")[0]
+    n1, n2, m = len(clickers), len(buyers), len(clickers & buyers)
+    lp = n1 * n2 / m
+    chap = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    (got,) = dump("stats_capture_recapture")
+    d = dict(zip(dump_cols("stats_capture_recapture"), got))
+    if (d["n1"], d["n2"], d["overlap"], d["actual_users"]) != \
+            (n1, n2, m, total):
+        mis.append(("counts", (d["n1"], d["n2"], d["overlap"],
+                               d["actual_users"]), (n1, n2, m, total)))
+    if not close(d["lp_estimate"], lp, 1e-4):
+        mis.append(("lp", d["lp_estimate"], lp))
+    if not close(d["chapman_estimate"], chap, 1e-4):
+        mis.append(("chapman", d["chapman_estimate"], chap))
+    if not close(d["coverage_ratio"], chap / total, 1e-4):
+        mis.append(("coverage", d["coverage_ratio"], chap / total))
+    report("stats_capture_recapture", mis, 4)
+
+
 AUDITS = {
+    "sim_ndcg": audit_ndcg,
+    "text_heaps_law": audit_heaps,
+    "stats_capture_recapture": audit_capture_recapture,
     "stats_bhattacharyya": audit_bhattacharyya,
     "agg_geo_harmonic_mean": audit_geo_harmonic,
     "ml_adaboost_stumps": audit_adaboost,
