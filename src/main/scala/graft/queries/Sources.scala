@@ -48,6 +48,49 @@ object Sources extends QueryPack {
       .orderBy("n_nationkey")
   }
 
+  // Nested JSON-lines round-trip — the conversation/training-record
+  // shape every LLM pipeline ingests: one line per order carrying a
+  // header struct and an array of item structs. Built by a bounded
+  // collect_list per order (≤7 lines each), written as JSONL, read back
+  // with an EXPLICIT nested schema (no inference pass over 100 TB), and
+  // flattened via dot paths + explode. The oracle is the equivalent
+  // flat join — nested encode→decode→flatten must be lossless.
+  q("scan_jsonl_nested",
+    """SELECT l.l_orderkey AS order_key, o.o_custkey AS cust_key,
+      |  o.o_orderstatus AS status, l.l_linenumber AS line_no,
+      |  l.l_quantity AS qty
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey < 400
+      |ORDER BY order_key, line_no, qty""") { (s, dir) =>
+    val out = "/tmp/graft_io/jsonl_nested_orders"
+    val nested = Tables(s, dir, "orders").filter(col("o_orderkey") < 400)
+      .join(Tables(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber").as("line_no"),
+        col("l_quantity").as("qty")))).as("items"))
+      .select(col("o_orderkey").as("order_key"),
+        struct(col("o_custkey").as("cust_key"),
+          col("o_orderstatus").as("status")).as("hdr"),
+        col("items"))
+    nested.write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("order_key", LongType),
+      StructField("hdr", StructType(Seq(
+        StructField("cust_key", LongType),
+        StructField("status", StringType)))),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("line_no", IntegerType),
+        StructField("qty", DoubleType)))))))
+    s.read.schema(schema).json(out)
+      .select(col("order_key"), col("hdr.cust_key").as("cust_key"),
+        col("hdr.status").as("status"), explode(col("items")).as("it"))
+      .select(col("order_key"), col("cust_key"), col("status"),
+        col("it.line_no").as("line_no"), col("it.qty").as("qty"))
+      .orderBy("order_key", "line_no", "qty")
+  }
+
   // ORC round-trip: binary-typed columnar format, lossless → the original
   // table is the oracle (unlike CSV, where text round-trips are weaker)
   q("scan_orc",

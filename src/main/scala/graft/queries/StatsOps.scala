@@ -6136,6 +6136,80 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  // Mood's median test between the two arms on purchase value — the
+  // rank-free two-sample location test that stays valid under wildly
+  // unequal variances where the t-test family wobbles. The pooled
+  // median is the exact LOWER median from the value histogram (first
+  // cent value whose doubled cumulative count reaches n — an integer
+  // rule, no interpolation, identical in both engines); ties at the
+  // median are excluded (documented); χ² comes from the exact 2×2
+  // above/below table with 128-bit margin products.
+  // Audit row: formula_audit.audit_mood_median.
+  q("stats_mood_median",
+    """WITH ev AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'
+      |), hist AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY v
+      |), med AS (
+      |  SELECT MIN(v) AS m FROM (
+      |    SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS cum, (SELECT SUM(c) FROM hist) AS n
+      |    FROM hist) WHERE cum * 2 >= n
+      |), t AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 1 AND v > m THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN arm = 1 AND v < m THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN arm = 0 AND v > m THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN arm = 0 AND v < m THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    MAX(m) AS m
+      |  FROM ev, med
+      |)
+      |SELECT CAST(m AS DOUBLE) / 100 AS median_usd, a AS n1_above,
+      |  b AS n1_below, c AS n0_above, d AS n0_below,
+      |  CAST(floor(CAST(a + b + c + d AS DOUBLE)
+      |    * (CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE)
+      |       * CAST(CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c AS DOUBLE))
+      |    / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+      |      AS DOUBLE) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS chi2
+      |FROM t""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("long").as("arm"),
+        Det.cents(col("value")).cast("long").as("v"))
+      .localCheckpoint()
+    val hist = ev.groupBy("v").agg(count(lit(1)).cast("long").as("c"))
+    val n = hist.agg(sum("c").as("n"))
+    val med = hist.crossJoin(broadcast(n))
+      .select(col("v"), col("n"),
+        sum("c").over(Window.orderBy("v").rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .filter(col("cum") * 2 >= col("n"))
+      .agg(min("v").as("m"))
+    val t = ev.crossJoin(broadcast(med)).agg(
+      sum(when(col("arm") === 1 && col("v") > col("m"), 1L).otherwise(0L))
+        .cast("long").as("a"),
+      sum(when(col("arm") === 1 && col("v") < col("m"), 1L).otherwise(0L))
+        .cast("long").as("b"),
+      sum(when(col("arm") === 0 && col("v") > col("m"), 1L).otherwise(0L))
+        .cast("long").as("c"),
+      sum(when(col("arm") === 0 && col("v") < col("m"), 1L).otherwise(0L))
+        .cast("long").as("d"),
+      max("m").as("m"))
+    val diff = (dec(col("a")) * col("d") - dec(col("b")) * col("c"))
+      .cast("double")
+    t.select((col("m").cast("double") / 100).as("median_usd"),
+      col("a").as("n1_above"), col("b").as("n1_below"),
+      col("c").as("n0_above"), col("d").as("n0_below"),
+      (floor((col("a") + col("b") + col("c") + col("d")).cast("double")
+        * (diff * diff)
+        / (dec(col("a") + col("b")) * (col("c") + col("d"))
+          * (col("a") + col("c")) * (col("b") + col("d"))).cast("double")
+        * 1000000 + lit(0.5)).cast("double") / 1000000).as("chi2"))
+  }
+
   // Capture-recapture (Lincoln-Petersen + Chapman) estimate of the total
   // user population from two overlapping "samples" — clickers and
   // purchasers: N̂ = n₁·n₂/m from the marked-overlap m, the classic

@@ -3255,6 +3255,64 @@ object TimeSeriesOps extends QueryPack {
         .cast("double") / 1000000).as("kpss_stat"))
   }
 
+  // Up/down streak profile of the daily-revenue series via the classic
+  // gaps-and-islands device: a day is "up" when revenue strictly beat
+  // the previous day (flat counts as down — documented); consecutive
+  // same-direction days share an island id rn − rn_within_direction, a
+  // pure window subtraction with no self-join. Longest streak, streak
+  // count, and mean length per direction — the trader's-eye complement
+  // to ts_runs_test's global randomness verdict. Both windows run over
+  // the Aggregate-bounded daily frame.
+  q("ts_streaks",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS x
+      |  FROM events GROUP BY 1
+      |), d AS (
+      |  SELECT day, CASE WHEN x > lag(x) OVER (ORDER BY day) THEN 'up'
+      |    ELSE 'down' END AS dir
+      |  FROM daily
+      |  QUALIFY lag(x) OVER (ORDER BY day) IS NOT NULL
+      |), isl AS (
+      |  SELECT dir,
+      |    row_number() OVER (ORDER BY day)
+      |      - row_number() OVER (PARTITION BY dir ORDER BY day) AS grp
+      |  FROM d
+      |), st AS (
+      |  SELECT dir, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM isl GROUP BY dir, grp
+      |)
+      |SELECT dir, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest,
+      |  CAST(SUM(len) AS BIGINT) AS n_days,
+      |  CAST(floor(CAST(SUM(len) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+      |    AS DOUBLE) / 10000 AS mean_len
+      |FROM st GROUP BY dir ORDER BY dir""") { (s, dir) =>
+    val daily = Tables(s, dir, "events")
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(Det.cents(col("value")).cast("long")).as("x"))
+    val wo = Window.orderBy("day")
+    val d = daily.select(col("day"), col("x"), lag(col("x"), 1).over(wo)
+        .as("px"))
+      .filter(col("px").isNotNull)
+      .select(col("day"),
+        when(col("x") > col("px"), "up").otherwise("down").as("dirn"))
+    val isl = d.select(col("dirn"),
+      (row_number().over(Window.orderBy("day"))
+        - row_number().over(Window.partitionBy("dirn").orderBy("day")))
+        .as("grp"))
+    val st = isl.groupBy("dirn", "grp")
+      .agg(count(lit(1)).cast("long").as("len"))
+    st.groupBy("dirn").agg(count(lit(1)).cast("long").as("n_streaks"),
+      max("len").cast("long").as("longest"),
+      sum("len").cast("long").as("n_days"),
+      (floor(sum("len").cast("double") / count(lit(1)) * 10000 + lit(0.5))
+        .cast("double") / 10000).as("mean_len"))
+      .select(col("dirn").as("dir"), col("n_streaks"), col("longest"),
+        col("n_days"), col("mean_len"))
+      .orderBy("dir")
+  }
+
   // Forecast-accuracy metric battery for the seasonal-naive(7) daily
   // forecast per event type — MAE/RMSE alone (ts_backtest_snaive) hide
   // scale effects; MAPE/sMAPE/MASE are what a forecasting pipeline

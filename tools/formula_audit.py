@@ -4803,7 +4803,37 @@ def audit_capture_recapture():
     report("stats_capture_recapture", mis, 4)
 
 
+def audit_mood_median():
+    """Mood's median test recomputed with sorted-list median and a plain
+    2x2 chi-square."""
+    mis = []
+    r_ = rows("SELECT user_id % 2, floor(value * 100 + 0.5) "
+              f"FROM '{SF}/events.parquet' WHERE event_type = 'purchase'")
+    vs = sorted(v for _, v in r_)
+    n = len(vs)
+    med = vs[(n - 1) // 2]  # lower median == first v with 2*cum >= n
+    a = sum(1 for arm, v in r_ if arm == 1 and v > med)
+    b = sum(1 for arm, v in r_ if arm == 1 and v < med)
+    c = sum(1 for arm, v in r_ if arm == 0 and v > med)
+    d0 = sum(1 for arm, v in r_ if arm == 0 and v < med)
+    nt = a + b + c + d0
+    chi2 = (nt * (a * d0 - b * c) ** 2
+            / ((a + b) * (c + d0) * (a + c) * (b + d0)))
+    (got,) = dump("stats_mood_median")
+    d = dict(zip(dump_cols("stats_mood_median"), got))
+    if (d["n1_above"], d["n1_below"], d["n0_above"], d["n0_below"]) != \
+            (a, b, c, d0):
+        mis.append(("cells", (d["n1_above"], d["n1_below"], d["n0_above"],
+                              d["n0_below"]), (a, b, c, d0)))
+    if not close(d["median_usd"], med / 100, 1e-6):
+        mis.append(("median", d["median_usd"], med / 100))
+    if not close(d["chi2"], chi2, 1e-4):
+        mis.append(("chi2", d["chi2"], chi2))
+    report("stats_mood_median", mis, 3)
+
+
 AUDITS = {
+    "stats_mood_median": audit_mood_median,
     "sim_ndcg": audit_ndcg,
     "text_heaps_law": audit_heaps,
     "stats_capture_recapture": audit_capture_recapture,
