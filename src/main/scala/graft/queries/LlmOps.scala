@@ -3568,6 +3568,49 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // Safety keyword screen per source — the cheap moderation pre-filter
+  // every corpus build runs before expensive classifier passes: three
+  // keyword categories (violence-adjacent, contact-info cues, spam
+  // cues) matched case-insensitively as whole words, reported as
+  // per-source flag rates plus an any-category gate rate. Pure
+  // regexp_like projections (codegen, RE2-safe patterns — word
+  // boundaries and alternation only), one aggregation pass; the text
+  // never shuffles. Rates are exact count ratios.
+  q("llm_safety_screen",
+    """WITH f AS (
+      |  SELECT source,
+      |    CASE WHEN regexp_matches(lower(text),
+      |      '\\b(attack|destroy|weapon|fight)\\b') THEN 1 ELSE 0 END AS violent,
+      |    CASE WHEN regexp_matches(lower(text),
+      |      '\\b(call|email|phone|contact)\\b') THEN 1 ELSE 0 END AS contact,
+      |    CASE WHEN regexp_matches(lower(text),
+      |      '\\b(free|win|click|offer)\\b') THEN 1 ELSE 0 END AS spam
+      |  FROM documents
+      |)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(violent) AS BIGINT) AS n_violent,
+      |  CAST(SUM(contact) AS BIGINT) AS n_contact,
+      |  CAST(SUM(spam) AS BIGINT) AS n_spam,
+      |  CAST(floor(CAST(SUM(CASE WHEN violent + contact + spam > 0 THEN 1
+      |      ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS flag_rate
+      |FROM f GROUP BY source ORDER BY source""") { (s, dir) =>
+    def cat(pat: String) =
+      when(lower(col("text")).rlike(pat), 1L).otherwise(0L)
+    val f = Tables(s, dir, "documents").select(col("source"),
+      cat("\\b(attack|destroy|weapon|fight)\\b").as("violent"),
+      cat("\\b(call|email|phone|contact)\\b").as("contact"),
+      cat("\\b(free|win|click|offer)\\b").as("spam"))
+    f.groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("violent").cast("long").as("n_violent"),
+      sum("contact").cast("long").as("n_contact"),
+      sum("spam").cast("long").as("n_spam"),
+      (floor(sum(when(col("violent") + col("contact") + col("spam") > 0, 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("flag_rate"))
+      .orderBy("source")
+  }
+
   // NDCG@10 per probe over the label-relevance ranking — the graded
   // retrieval metric sim_retrieval_eval's precision/recall cannot give
   // (position matters: a relevant hit at rank 1 is worth more than at

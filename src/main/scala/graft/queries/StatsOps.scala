@@ -6136,6 +6136,74 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  // Price elasticity of demand from the order book — the log-log OLS
+  // slope of quantity on unit price over lineitem (β < 0 means demand
+  // falls as price rises; |β| > 1 is elastic). Unit price quantizes to
+  // integer cents per row, so both lnFix coordinates have integer
+  // arguments and every regression moment is an exact 128-bit integer;
+  // β, the intercept, and R² are final double trees. The corpus
+  // collapses to one aggregation pass — no per-row output.
+  // Audit row: formula_audit.audit_elasticity.
+  q("stats_price_elasticity",
+    """WITH li AS (
+      |  SELECT
+      |    CAST(floor(ln(CAST(CAST(floor(l_extendedprice / l_quantity * 100
+      |      + 0.5) AS BIGINT) AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(CAST(floor(l_quantity + 0.5) AS BIGINT)
+      |      AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+      |), m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM li
+      |)
+      |SELECT n AS n_lines,
+      |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS elasticity,
+      |  CAST(floor((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / n / 1000000000 * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS intercept_ln,
+      |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    * CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE)
+      |    / CAST(n * syy - sy * sy AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS r2
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val li = Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(
+        Det.lnFix(floor(col("l_extendedprice") / col("l_quantity") * 100
+          + lit(0.5)).cast("long"), 9).as("x"),
+        Det.lnFix(floor(col("l_quantity") + lit(0.5)).cast("long"), 9)
+          .as("y"))
+    val m = li.agg(count(lit(1)).cast("long").as("n"),
+      sum("x").cast("decimal(38,0)").as("sx"),
+      sum("y").cast("decimal(38,0)").as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("y")) * col("y")).as("syy"))
+    val num = (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val deny = (dec(col("n")) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    m.select(col("n").as("n_lines"),
+      (floor(num / den * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("elasticity"),
+      (floor((col("sy").cast("double") - num / den
+        * col("sx").cast("double")) / col("n") / 1000000000L * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("intercept_ln"),
+      (floor(num * num / den / deny * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("r2"))
+  }
+
   // Mood's median test between the two arms on purchase value — the
   // rank-free two-sample location test that stays valid under wildly
   // unequal variances where the t-test family wobbles. The pooled

@@ -4832,7 +4832,38 @@ def audit_mood_median():
     report("stats_mood_median", mis, 3)
 
 
+def audit_elasticity():
+    """Price elasticity recomputed with plain-float log-log OLS."""
+    mis = []
+    r_ = rows("SELECT floor(l_extendedprice / l_quantity * 100 + 0.5), "
+              "floor(l_quantity + 0.5) "
+              f"FROM '{SF}/lineitem.parquet' "
+              "WHERE l_quantity > 0 AND l_extendedprice > 0")
+    pts = [(math.log(p), math.log(q)) for p, q in r_]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icpt = (sy - beta * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / (n * sxx - sx * sx) / (n * syy - sy * sy)
+    (got,) = dump("stats_price_elasticity")
+    d = dict(zip(dump_cols("stats_price_elasticity"), got))
+    if d["n_lines"] != n:
+        mis.append(("n", d["n_lines"], n))
+    if not close(d["elasticity"], beta, 1e-4):
+        mis.append(("beta", d["elasticity"], beta))
+    if not close(d["intercept_ln"], icpt, 1e-3):
+        mis.append(("intercept", d["intercept_ln"], icpt))
+    if not close(d["r2"], r2, 1e-4):
+        mis.append(("r2", d["r2"], r2))
+    report("stats_price_elasticity", mis, 4)
+
+
 AUDITS = {
+    "stats_price_elasticity": audit_elasticity,
     "stats_mood_median": audit_mood_median,
     "sim_ndcg": audit_ndcg,
     "text_heaps_law": audit_heaps,
