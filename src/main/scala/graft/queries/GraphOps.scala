@@ -939,4 +939,52 @@ object GraphOps extends QueryPack {
           / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
           * 1000000 + lit(0.5)).cast("double") / 1000000).as("degree_slope"))
   }
+
+  // Rich-club coefficient at k=8 — do the highest-degree trade hubs
+  // preferentially trade with EACH OTHER? φ(k) = 2·E_k / (k·(k−1)) over
+  // the undirected edges whose both endpoints sit in the top-k degree
+  // set (degree-desc, nationkey tiebreak — deterministic membership).
+  // φ ≈ 1 means the hubs form a near-clique (the "rich club"); compare
+  // against graph_assortativity's global correlation. All counting is
+  // exact integers over the collapsed ≤25-node edge list; the top-k set
+  // is a broadcast semi-join, never a shuffle of the edge frame.
+  q("graph_rich_club",
+    s"""WITH $oracleEdges,
+       |und AS (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |  FROM edges
+       |), sym AS (
+       |  SELECT a AS id FROM und UNION ALL SELECT b FROM und
+       |), deg AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+       |  FROM sym GROUP BY id
+       |), topk AS (
+       |  SELECT id FROM deg ORDER BY degree DESC, id LIMIT 8
+       |)
+       |SELECT CAST(8 AS BIGINT) AS k,
+       |  CAST(COUNT(*) AS BIGINT) AS n_edges_within,
+       |  CAST(floor(2.0 * COUNT(*) / (8 * 7) * 1000000 + 0.5) AS DOUBLE)
+       |    / 1000000 AS phi
+       |FROM und
+       |WHERE a IN (SELECT id FROM topk) AND b IN (SELECT id FROM topk)""") {
+    (s, dir) =>
+    val e = tradeEdges(s, dir)
+    val und = e.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).cast("long").as("degree"))
+    val topk = deg.orderBy(col("degree").desc, col("id")).limit(8)
+      .select(col("id"))
+    und
+      .join(broadcast(topk.select(col("id").as("ta"))),
+        col("a") === col("ta"), "left_semi")
+      .join(broadcast(topk.select(col("id").as("tb"))),
+        col("b") === col("tb"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("n_edges_within"))
+      .select(lit(8L).as("k"), col("n_edges_within"),
+        (floor(lit(2.0) * col("n_edges_within") / (8 * 7) * 1000000
+          + lit(0.5)).cast("double") / 1000000).as("phi"))
+  }
 }

@@ -733,6 +733,43 @@ object Scalars extends QueryPack {
       .limit(25)
   }
 
+  // URL component extraction — scheme/host/port/path/query/fragment via
+  // RE2-safe regexp groups over the synthesized URL fixture (the
+  // llm_url_dedup device). Every component is present in every fixture
+  // URL by construction, so the engines' empty-match conventions never
+  // diverge. Pure codegen'd projections; §2.8's string-parsing row.
+  q("fn_url_parts",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || source || '.Example.COM:443/d/'
+      |      || CAST(doc_id % 7 AS VARCHAR) || '?utm_campaign=c'
+      |      || CAST(doc_id % 3 AS VARCHAR) || '&id='
+      |      || CAST(doc_id % 50 AS VARCHAR) || '&ref=feed#top' AS url
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |  lower(regexp_extract(url, '://([^/:?#]+)', 1)) AS host,
+      |  CAST(regexp_extract(url, ':([0-9]+)/', 1) AS BIGINT) AS port,
+      |  regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+      |  regexp_extract(url, '#(.*)$', 1) AS fragment
+      |FROM u ORDER BY doc_id LIMIT 50""") { (s, dir) =>
+    val u = Tables(s, dir, "documents").select(col("doc_id"),
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/d/"),
+        (col("doc_id") % 7).cast("string"), lit("?utm_campaign=c"),
+        (col("doc_id") % 3).cast("string"), lit("&id="),
+        (col("doc_id") % 50).cast("string"), lit("&ref=feed#top")).as("url"))
+    u.select(col("doc_id"),
+      lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)).as("scheme"),
+      lower(regexp_extract(col("url"), "://([^/:?#]+)", 1)).as("host"),
+      regexp_extract(col("url"), ":([0-9]+)/", 1).cast("long").as("port"),
+      regexp_extract(col("url"), "://[^/]+(/[^?#]*)", 1).as("path"),
+      regexp_extract(col("url"), "\\?([^#]*)", 1).as("query"),
+      regexp_extract(col("url"), "#(.*)$", 1).as("fragment"))
+      .orderBy("doc_id").limit(50)
+  }
+
   // Extended math scalar battery — cbrt / log2 / log10 / signum /
   // radians / degrees / fractional power / factorial over part
   // attributes, rounding out §2.8's numeric coverage. Every
