@@ -750,6 +750,51 @@ object QualityOps extends QueryPack {
   // difference into an off-by-one digit. Expected Benford mass and the
   // χ² contribution are per-row closed-form doubles over the 9 digit
   // rows. One partial-aggregated shuffle on a 9-value key.
+  // Class-balance report over the embedding labels — the first check
+  // before any classifier/retrieval eval: per-class counts, the
+  // imbalance ratio max/min, and the effective number of classes
+  // exp(H) (Shannon-entropy based — 10 balanced classes → 10.0, one
+  // dominant class → toward 1.0). Entropy uses the integer-argument
+  // lnFix device over class counts, so the sum is exact and exp runs
+  // once on a bounded argument.
+  q("dq_class_balance",
+    """WITH c AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM embeddings GROUP BY label
+      |), m AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nt,
+      |    CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |    CAST(MAX(n) AS BIGINT) AS max_n, CAST(MIN(n) AS BIGINT) AS min_n,
+      |    SUM(CAST(n AS HUGEINT)
+      |      * CAST(floor(ln(CAST(n AS DOUBLE)) * 100000000 + 0.5) AS BIGINT))
+      |      AS slnn
+      |  FROM c
+      |)
+      |SELECT nt AS n_vectors, n_classes, max_n, min_n,
+      |  CAST(floor(CAST(max_n AS DOUBLE) / min_n * 10000 + 0.5) AS DOUBLE)
+      |    / 10000 AS imbalance_ratio,
+      |  CAST(floor(exp(CAST(floor(ln(CAST(nt AS DOUBLE)) * 100000000 + 0.5)
+      |      AS DOUBLE) / 100000000
+      |    - CAST(slnn AS DOUBLE) / 100000000 / nt) * 10000 + 0.5) AS DOUBLE)
+      |    / 10000 AS effective_classes
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val c = Tables(s, dir, "embeddings").groupBy("label")
+      .agg(count(lit(1)).cast("long").as("n"))
+    val m = c.agg(sum("n").cast("long").as("nt"),
+      count(lit(1)).cast("long").as("n_classes"),
+      max("n").cast("long").as("max_n"), min("n").cast("long").as("min_n"),
+      sum(dec(col("n")) * Det.lnFix(col("n"), 8)).as("slnn"))
+    val h = (Det.lnFix(col("nt"), 8).cast("double") / 100000000L
+      - col("slnn").cast("double") / 100000000L / col("nt"))
+    m.select(col("nt").as("n_vectors"), col("n_classes"), col("max_n"),
+      col("min_n"),
+      (floor(col("max_n").cast("double") / col("min_n") * 10000 + lit(0.5))
+        .cast("double") / 10000).as("imbalance_ratio"),
+      (floor(exp(h) * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("effective_classes"))
+  }
+
   q("dq_benford",
     """WITH c AS (
       |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

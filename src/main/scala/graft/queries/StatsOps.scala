@@ -6136,6 +6136,86 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  // Mix-shift decomposition of the average event value between the
+  // first and second half of the observation window — the "why did the
+  // metric move" readout: Δ = Σ(w₂−w₁)·m₁ (mix effect: traffic moved
+  // between event types) + Σw₂·(m₂−m₁) (rate effect: types themselves
+  // changed), the Oaxaca/Blinder-style split every metrics review asks
+  // for. Periods split at the median day (integer day-count rule).
+  // Weights and means come from exact integer cent moments; each
+  // segment row is one fixed double tree quantized at 1e-6.
+  // Audit row: formula_audit.audit_mix_shift.
+  q("events_mix_shift",
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CASE WHEN date_diff('day', DATE '2024-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) < 15 THEN 1 ELSE 2 END
+      |      AS period,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, period, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v) AS HUGEINT) AS s
+      |  FROM ev GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT period, CAST(SUM(n) AS BIGINT) AS nt FROM g GROUP BY period
+      |), f AS (
+      |  SELECT g.event_type,
+      |    MAX(CASE WHEN g.period = 1
+      |      THEN CAST(g.n AS DOUBLE) / t.nt END) AS w1,
+      |    MAX(CASE WHEN g.period = 2
+      |      THEN CAST(g.n AS DOUBLE) / t.nt END) AS w2,
+      |    MAX(CASE WHEN g.period = 1
+      |      THEN CAST(g.s AS DOUBLE) / g.n / 100 END) AS m1,
+      |    MAX(CASE WHEN g.period = 2
+      |      THEN CAST(g.s AS DOUBLE) / g.n / 100 END) AS m2
+      |  FROM g JOIN tot t ON g.period = t.period
+      |  GROUP BY g.event_type
+      |)
+      |SELECT event_type,
+      |  CAST(floor(w1 * 1000000 + 0.5) AS DOUBLE) / 1000000 AS w1,
+      |  CAST(floor(w2 * 1000000 + 0.5) AS DOUBLE) / 1000000 AS w2,
+      |  CAST(floor(m1 * 10000 + 0.5) AS DOUBLE) / 10000 AS m1_usd,
+      |  CAST(floor(m2 * 10000 + 0.5) AS DOUBLE) / 10000 AS m2_usd,
+      |  CAST(floor((w2 - w1) * m1 * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS mix_effect_usd,
+      |  CAST(floor(w2 * (m2 - m1) * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS rate_effect_usd
+      |FROM f ORDER BY event_type""") { (s, dir) =>
+    val ev = Tables(s, dir, "events").select(col("event_type"),
+      when(datediff(to_date(date_trunc("day", col("ts"))),
+        lit("2024-01-01").cast("date")) < 15, 1).otherwise(2).as("period"),
+      Det.cents(col("value")).cast("long").as("v"))
+    val g = ev.groupBy("event_type", "period")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum("v").cast("decimal(38,0)").as("s"))
+    val tot = g.groupBy("period").agg(sum("n").cast("long").as("nt"))
+    val j = g.join(broadcast(tot), Seq("period"))
+    val f = j.groupBy("event_type").agg(
+      max(when(col("period") === 1,
+        col("n").cast("double") / col("nt"))).as("w1"),
+      max(when(col("period") === 2,
+        col("n").cast("double") / col("nt"))).as("w2"),
+      max(when(col("period") === 1,
+        col("s").cast("double") / col("n") / 100)).as("m1"),
+      max(when(col("period") === 2,
+        col("s").cast("double") / col("n") / 100)).as("m2"))
+    f.select(col("event_type"),
+      (floor(col("w1") * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("w1"),
+      (floor(col("w2") * 1000000 + lit(0.5)).cast("double") / 1000000)
+        .as("w2"),
+      (floor(col("m1") * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("m1_usd"),
+      (floor(col("m2") * 10000 + lit(0.5)).cast("double") / 10000)
+        .as("m2_usd"),
+      (floor((col("w2") - col("w1")) * col("m1") * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("mix_effect_usd"),
+      (floor(col("w2") * (col("m2") - col("m1")) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("rate_effect_usd"))
+      .orderBy("event_type")
+  }
+
   // Price elasticity of demand from the order book — the log-log OLS
   // slope of quantity on unit price over lineitem (β < 0 means demand
   // falls as price rises; |β| > 1 is elastic). Unit price quantizes to

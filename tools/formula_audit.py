@@ -4862,7 +4862,48 @@ def audit_elasticity():
     report("stats_price_elasticity", mis, 4)
 
 
+def audit_mix_shift():
+    """Mix/rate decomposition recomputed with plain floats, and the
+    identity check sum(mix)+sum(rate) == overall delta."""
+    mis = []
+    r_ = rows(
+        "SELECT event_type, CASE WHEN date_diff('day', DATE '2024-01-01', "
+        "CAST(date_trunc('day', ts) AS DATE)) < 15 THEN 1 ELSE 2 END, "
+        "COUNT(*), SUM(floor(value * 100 + 0.5)) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2")
+    from collections import defaultdict
+    g = defaultdict(dict)
+    nt = defaultdict(int)
+    for et, p, n, s_ in r_:
+        g[et][p] = (n, s_)
+        nt[p] += n
+    got = {r[0]: r for r in dump("events_mix_shift")}
+    cols = dump_cols("events_mix_shift")
+    tot_mix = tot_rate = 0.0
+    for et in sorted(g):
+        (n1, s1), (n2, s2) = g[et][1], g[et][2]
+        w1, w2 = n1 / nt[1], n2 / nt[2]
+        m1, m2 = s1 / n1 / 100, s2 / n2 / 100
+        d = dict(zip(cols, got[et]))
+        for k, want in (("w1", w1), ("w2", w2), ("m1_usd", m1),
+                        ("m2_usd", m2), ("mix_effect_usd", (w2 - w1) * m1),
+                        ("rate_effect_usd", w2 * (m2 - m1))):
+            if not close(d[k], want, 1e-3):
+                mis.append((f"{et}:{k}", d[k], want))
+        tot_mix += (w2 - w1) * m1
+        tot_rate += w2 * (m2 - m1)
+    overall = (sum(s for _, p, _, s in
+                   [(None, p, n, s) for et in g for p, (n, s) in
+                    g[et].items()] if p == 2) / nt[2]
+               - sum(s for et in g for p, (n, s) in g[et].items()
+                     if p == 1) / nt[1]) / 100
+    if not close(tot_mix + tot_rate, overall, 1e-6):
+        mis.append(("identity", tot_mix + tot_rate, overall))
+    report("events_mix_shift", mis, 6 * len(g) + 1)
+
+
 AUDITS = {
+    "events_mix_shift": audit_mix_shift,
     "stats_price_elasticity": audit_elasticity,
     "stats_mood_median": audit_mood_median,
     "sim_ndcg": audit_ndcg,
