@@ -3255,6 +3255,102 @@ object TimeSeriesOps extends QueryPack {
         .cast("double") / 1000000).as("kpss_stat"))
   }
 
+  // Session-count sensitivity sweep: how many sessions would the corpus
+  // split into at 5/15/30/60-minute inactivity thresholds — the tuning
+  // readout BEFORE committing a sessionize gap (events_sessionize runs
+  // ONE threshold; picking it blind is the classic mistake). One pass:
+  // per-user ordered gaps via a partitioned lag, then each threshold is
+  // a conditional count over the same gap column — four answers for the
+  // price of one shuffle. Sessions = users + gap-exceedances (each
+  // exceedance opens one new session); exact integer counting.
+  q("events_session_sweep",
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id)) AS gap_us
+      |  FROM events
+      |), u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |         FROM events)
+      |SELECT threshold_min,
+      |  CAST(n_users + exceed AS BIGINT) AS n_sessions,
+      |  CAST(floor(CAST(n_users + exceed AS DOUBLE) / n_users * 10000
+      |    + 0.5) AS DOUBLE) / 10000 AS sessions_per_user
+      |FROM (
+      |  SELECT 5 AS threshold_min,
+      |    CAST(SUM(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS exceed FROM g
+      |  UNION ALL SELECT 15,
+      |    CAST(SUM(CASE WHEN gap_us > 900000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) FROM g
+      |  UNION ALL SELECT 30,
+      |    CAST(SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) FROM g
+      |  UNION ALL SELECT 60,
+      |    CAST(SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) FROM g
+      |), u ORDER BY threshold_min""") { (s, dir) =>
+    val g = Tables(s, dir, "events").select(col("user_id"),
+      (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1)
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))))
+        .as("gap_us"))
+      .localCheckpoint()
+    val u = Tables(s, dir, "events")
+      .agg(countDistinct("user_id").cast("long").as("n_users"))
+    def row(mins: Int) = g.agg(
+      sum(when(col("gap_us") > mins * 60L * 1000000L, 1L).otherwise(0L))
+        .cast("long").as("exceed"))
+      .select(lit(mins).as("threshold_min"), col("exceed"))
+    val sweep = row(5).unionByName(row(15)).unionByName(row(30))
+      .unionByName(row(60))
+    sweep.crossJoin(broadcast(u))
+      .select(col("threshold_min"),
+        (col("n_users") + col("exceed")).cast("long").as("n_sessions"),
+        (floor((col("n_users") + col("exceed")).cast("double")
+          / col("n_users") * 10000 + lit(0.5)).cast("double") / 10000)
+          .as("sessions_per_user"))
+      .orderBy("threshold_min")
+  }
+
+  // Cumulative distinct-user growth curve by day — computed by the
+  // first-appearance device, NOT a running COUNT(DISTINCT) window (that
+  // would re-scan every prefix): each user contributes one row at their
+  // first-ever day (one aggregate), and the cumulative user count is a
+  // plain cumsum over the calendar-bounded per-day new-user counts.
+  // Also reports the day's share of the final total — the adoption
+  // S-curve a growth team plots first.
+  q("events_cumulative_users",
+    """WITH fu AS (
+      |  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d
+      |  FROM events GROUP BY user_id
+      |), nd AS (
+      |  SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM fu GROUP BY d
+      |), c AS (
+      |  SELECT d, new_users,
+      |    SUM(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cum,
+      |    (SELECT SUM(new_users) FROM nd) AS total
+      |  FROM nd
+      |)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+      |  CAST(cum AS BIGINT) AS cum_users,
+      |  CAST(floor(CAST(cum AS DOUBLE) / total * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS frac_of_total
+      |FROM c ORDER BY day""") { (s, dir) =>
+    val fu = Tables(s, dir, "events").groupBy("user_id")
+      .agg(min(to_date(date_trunc("day", col("ts")))).as("d"))
+    val nd = fu.groupBy("d").agg(count(lit(1)).cast("long").as("new_users"))
+    val tot = nd.agg(sum("new_users").as("total"))
+    nd.crossJoin(broadcast(tot))
+      .select(col("d"), col("new_users"), col("total"),
+        sum("new_users").over(Window.orderBy("d").rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum").cast("long").as("cum_users"),
+        (floor(col("cum").cast("double") / col("total") * 1000000
+          + lit(0.5)).cast("double") / 1000000).as("frac_of_total"))
+      .orderBy("day")
+  }
+
   // Up/down streak profile of the daily-revenue series via the classic
   // gaps-and-islands device: a day is "up" when revenue strictly beat
   // the previous day (flat counts as down — documented); consecutive
