@@ -3568,6 +3568,99 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // Retrieval fidelity of int8 symmetric quantization — recall@10 of
+  // the quantized cosine ranking against the exact ranking per probe:
+  // the go/no-go number before shipping a quantized index
+  // (emb_quantize/emb_binary_quantize report reconstruction error; this
+  // measures what actually matters, rank preservation). Per-vector
+  // scale 127/max|x| cancels inside cosine, so the quantized scores are
+  // ratios of EXACT integer dot products (no dequantization float
+  // path); both rankings use the adjudicated rounded-score + vec_id
+  // tiebreak device, and recall is an exact overlap count of two
+  // 10-element sets. Windows are probe-partitioned.
+  q("emb_quantize_recall",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x * (127.0 / greatest(
+      |        list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+      |          y -> abs(y)), 'max'), 0.000000000001)) + 0.5) AS BIGINT))
+      |      AS q
+      |  FROM embeddings
+      |), p AS (SELECT vec_id AS probe_id, v AS pv, q AS pq FROM e
+      |         WHERE vec_id < 10),
+      |sc AS (
+      |  SELECT probe_id, vec_id,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pv, v),
+      |        z -> z[1] * z[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pv, x -> x*x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a, b) -> a + b))),
+      |    4) AS cos_exact,
+      |    round(
+      |      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(list_zip(pq, q), z -> z[1] * z[2])),
+      |        (a, b) -> a + b) AS DOUBLE)
+      |      / (sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(pq, x -> x * x)), (a, b) -> a + b) AS DOUBLE))
+      |       * sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(q, x -> x * x)), (a, b) -> a + b) AS DOUBLE))),
+      |    4) AS cos_q
+      |  FROM p CROSS JOIN e WHERE probe_id <> vec_id
+      |), rk AS (
+      |  SELECT probe_id, vec_id,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY cos_exact DESC, vec_id) AS re,
+      |    row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY cos_q DESC, vec_id) AS rq
+      |  FROM sc
+      |)
+      |SELECT probe_id,
+      |  CAST(SUM(CASE WHEN re <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_overlap,
+      |  CAST(floor(CAST(SUM(CASE WHEN re <= 10 AND rq <= 10 THEN 1 ELSE 0
+      |    END) AS DOUBLE) / 10 * 1000000 + 0.5) AS DOUBLE) / 1000000
+      |    AS recall_at_10
+      |FROM rk GROUP BY probe_id ORDER BY probe_id""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    def fold(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (a, b) => a + b)
+    def foldL(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0L), (a, b) => a + b)
+    val vcol = col("embedding").cast("array<double>")
+    val scale = lit(127.0) / greatest(
+      array_max(transform(vcol, y => abs(y))), lit(0.000000000001))
+    val e = emb.select(col("vec_id"), vcol.as("v"),
+      transform(vcol, x => floor(x * scale + lit(0.5)).cast("long")).as("q"))
+      .localCheckpoint()
+    val p = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("q").as("pq"))
+    val sc = p.crossJoin(e).filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(fold(zip_with(col("pv"), col("v"), (x, y) => x * y))
+          / (sqrt(fold(transform(col("pv"), x => x * x)))
+            * sqrt(fold(transform(col("v"), x => x * x)))), 4)
+          .as("cos_exact"),
+        round(foldL(zip_with(col("pq"), col("q"), (x, y) => x * y))
+          .cast("double")
+          / (sqrt(foldL(transform(col("pq"), x => x * x)).cast("double"))
+            * sqrt(foldL(transform(col("q"), x => x * x)).cast("double"))),
+          4).as("cos_q"))
+    val rk = sc.select(col("probe_id"), col("vec_id"),
+      row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cos_exact").desc, col("vec_id"))).as("re"),
+      row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cos_q").desc, col("vec_id"))).as("rq"))
+    rk.groupBy("probe_id").agg(
+      sum(when(col("re") <= 10 && col("rq") <= 10, 1L).otherwise(0L))
+        .cast("long").as("n_overlap"))
+      .select(col("probe_id"), col("n_overlap"),
+        (floor(col("n_overlap").cast("double") / 10 * 1000000 + lit(0.5))
+          .cast("double") / 1000000).as("recall_at_10"))
+      .orderBy("probe_id")
+  }
+
   // Safety keyword screen per source — the cheap moderation pre-filter
   // every corpus build runs before expensive classifier passes: three
   // keyword categories (violence-adjacent, contact-info cues, spam

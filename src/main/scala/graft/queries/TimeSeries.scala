@@ -3255,6 +3255,106 @@ object TimeSeriesOps extends QueryPack {
         .cast("double") / 1000000).as("kpss_stat"))
   }
 
+  // Weibull fit of per-user inter-purchase times by median-rank
+  // regression — the reliability-engineering view of purchase cadence:
+  // shape k < 1 means bursty ("failures" cluster early), k ≈ 1 memoryless
+  // (exponential), k > 1 aging. Linearization ln(−ln(1−F)) = k·ln t −
+  // k·ln λ over the SECOND-granularity gap histogram (the Mann-Whitney
+  // device: per-user partitioned lags → integer-second histogram →
+  // cumulative mid-ranks, so no corpus-scale global sort exists in the
+  // plan). x = lnFix of integer seconds; y quantizes the rank transform
+  // at 1e-8 per distinct gap value; weighted OLS moments are exact
+  // 128-bit integers.
+  // Audit row: formula_audit.audit_weibull.
+  q("events_weibull_fit",
+    """WITH g AS (
+      |  SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id))) // 1000000 AS t
+      |  FROM events WHERE event_type = 'purchase'
+      |), h AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM g
+      |  WHERE t IS NOT NULL AND t > 0 GROUP BY t
+      |), r AS (
+      |  SELECT t, c,
+      |    COALESCE(SUM(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS cb,
+      |    (SELECT SUM(c) FROM h) AS n
+      |  FROM h
+      |), xy AS (
+      |  SELECT c,
+      |    CAST(floor(ln(CAST(t AS DOUBLE)) * 1000000000 + 0.5) AS BIGINT)
+      |      AS x,
+      |    CAST(floor(ln(-ln(1 - (CAST(cb AS DOUBLE) + (c + 1) / 2.0 - 0.3)
+      |      / (CAST(n AS DOUBLE) + 0.4))) * 100000000 + 0.5) AS BIGINT)
+      |      AS y
+      |  FROM r
+      |), m AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS w,
+      |    SUM(CAST(c AS HUGEINT) * x) AS sx, SUM(CAST(c AS HUGEINT) * y) AS sy,
+      |    SUM(CAST(c AS HUGEINT) * x * x) AS sxx,
+      |    SUM(CAST(c AS HUGEINT) * x * y) AS sxy,
+      |    SUM(CAST(c AS HUGEINT) * y * y) AS syy
+      |  FROM xy
+      |)
+      |SELECT w AS n_gaps,
+      |  CAST(floor(CAST(w * sxy - sx * sy AS DOUBLE)
+      |    / CAST(w * sxx - sx * sx AS DOUBLE) * 10 * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS shape_k,
+      |  CAST(floor(exp(-((CAST(sy AS DOUBLE) / 100000000
+      |      - CAST(w * sxy - sx * sy AS DOUBLE)
+      |        / CAST(w * sxx - sx * sx AS DOUBLE) * 10
+      |        * (CAST(sx AS DOUBLE) / 1000000000)) / w)
+      |    / (CAST(w * sxy - sx * sy AS DOUBLE)
+      |       / CAST(w * sxx - sx * sx AS DOUBLE) * 10)) * 10 + 0.5)
+      |    AS DOUBLE) / 10 AS scale_sec,
+      |  CAST(floor(CAST(w * sxy - sx * sy AS DOUBLE)
+      |    * CAST(w * sxy - sx * sy AS DOUBLE)
+      |    / CAST(w * sxx - sx * sx AS DOUBLE)
+      |    / CAST(w * syy - sy * sy AS DOUBLE) * 1000000 + 0.5) AS DOUBLE)
+      |    / 1000000 AS r2
+      |FROM m""") { (s, dir) =>
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val g = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(expr("(unix_micros(ts) - unix_micros(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id))) div 1000000")
+        .as("t"))
+    val h = g.filter(col("t").isNotNull && col("t") > 0)
+      .groupBy("t").agg(count(lit(1)).cast("long").as("c"))
+    val n = h.agg(sum("c").as("n"))
+    val r = h.crossJoin(broadcast(n)).select(col("t"), col("c"), col("n"),
+      coalesce(sum("c").over(Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cb"))
+    val xy = r.select(col("c"),
+      Det.lnFix(col("t"), 9).as("x"),
+      floor(log(-log(lit(1) - (col("cb").cast("double")
+        + (col("c") + 1) / lit(2.0) - 0.3)
+        / (col("n").cast("double") + 0.4))) * 100000000L + lit(0.5))
+        .cast("long").as("y"))
+    val m = xy.agg(sum("c").cast("long").as("w"),
+      sum(dec(col("c")) * col("x")).as("sx"),
+      sum(dec(col("c")) * col("y")).as("sy"),
+      sum(dec(col("c")) * col("x") * col("x")).as("sxx"),
+      sum(dec(col("c")) * col("x") * col("y")).as("sxy"),
+      sum(dec(col("c")) * col("y") * col("y")).as("syy"))
+    val num = (dec(col("w")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (dec(col("w")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val deny = (dec(col("w")) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    // x is at 1e-9 scale and y at 1e-8, so the raw slope carries a
+    // factor 10 — the * 10 restores the unit slope, same as the oracle
+    val k = num / den * 10
+    m.select(col("w").as("n_gaps"),
+      (floor(k * 1000000 + lit(0.5)).cast("double") / 1000000).as("shape_k"),
+      (floor(exp(-((col("sy").cast("double") / 100000000L
+        - k * (col("sx").cast("double") / 1000000000L)) / col("w")) / k)
+        * 10 + lit(0.5)).cast("double") / 10).as("scale_sec"),
+      (floor(num * num / den / deny * 1000000 + lit(0.5)).cast("double")
+        / 1000000).as("r2"))
+  }
+
   // Session-count sensitivity sweep: how many sessions would the corpus
   // split into at 5/15/30/60-minute inactivity thresholds — the tuning
   // readout BEFORE committing a sessionize gap (events_sessionize runs

@@ -4902,7 +4902,47 @@ def audit_mix_shift():
     report("events_mix_shift", mis, 6 * len(g) + 1)
 
 
+def audit_weibull():
+    """Weibull median-rank regression recomputed with plain floats over
+    the same second-granularity gap histogram mid-ranks."""
+    mis = []
+    r_ = rows(
+        "SELECT t, COUNT(*) FROM ("
+        "SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id))) // 1000000 AS t "
+        f"FROM '{SF}/events.parquet' WHERE event_type = 'purchase') "
+        "WHERE t IS NOT NULL AND t > 0 GROUP BY t ORDER BY t")
+    n = sum(c for _, c in r_)
+    cb = 0
+    pts = []
+    for t, c in r_:
+        f = (cb + (c + 1) / 2.0 - 0.3) / (n + 0.4)
+        pts.append((c, math.log(t), math.log(-math.log(1 - f))))
+        cb += c
+    w = sum(c for c, _, _ in pts)
+    sx = sum(c * x for c, x, _ in pts)
+    sy = sum(c * y for c, _, y in pts)
+    sxx = sum(c * x * x for c, x, _ in pts)
+    sxy = sum(c * x * y for c, x, y in pts)
+    syy = sum(c * y * y for c, _, y in pts)
+    k = (w * sxy - sx * sy) / (w * sxx - sx * sx)
+    lam = math.exp(-((sy - k * sx) / w) / k)
+    r2 = (w * sxy - sx * sy) ** 2 / (w * sxx - sx * sx) / (w * syy - sy * sy)
+    (got,) = dump("events_weibull_fit")
+    d = dict(zip(dump_cols("events_weibull_fit"), got))
+    if d["n_gaps"] != n:
+        mis.append(("n", d["n_gaps"], n))
+    if not close(d["shape_k"], k, 1e-3):
+        mis.append(("k", d["shape_k"], k))
+    if not close(d["scale_sec"], lam, 1e-3):
+        mis.append(("lambda", d["scale_sec"], lam))
+    if not close(d["r2"], r2, 1e-3):
+        mis.append(("r2", d["r2"], r2))
+    report("events_weibull_fit", mis, 4)
+
+
 AUDITS = {
+    "events_weibull_fit": audit_weibull,
     "events_mix_shift": audit_mix_shift,
     "stats_price_elasticity": audit_elasticity,
     "stats_mood_median": audit_mood_median,
