@@ -3568,6 +3568,55 @@ object LlmOps extends QueryPack {
       .orderBy("source")
   }
 
+  // Script-mix profile per source — the character-class composition
+  // (latin / digit / CJK / whitespace / other) that catches
+  // wrong-script contamination and OCR junk before language ID even
+  // runs (a "French" source that is 30% CJK bytes is a pipeline bug,
+  // not French). Counts come from length-after-regexp_replace deltas —
+  // pure codegen string ops, one aggregation pass, exact integer
+  // character counts.
+  q("text_script_mix",
+    """WITH f AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS total,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+      |      AS latin,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      |      AS digit,
+      |    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+      |      AS BIGINT) AS cjk,
+      |    CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT)
+      |      AS space
+      |  FROM documents
+      |)
+      |SELECT source, CAST(SUM(total) AS BIGINT) AS n_chars,
+      |  CAST(floor(CAST(SUM(latin) AS DOUBLE) / SUM(total) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS latin_frac,
+      |  CAST(floor(CAST(SUM(digit) AS DOUBLE) / SUM(total) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS digit_frac,
+      |  CAST(floor(CAST(SUM(cjk) AS DOUBLE) / SUM(total) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS cjk_frac,
+      |  CAST(floor(CAST(SUM(total - latin - digit - cjk - space) AS DOUBLE)
+      |    / SUM(total) * 1000000 + 0.5) AS DOUBLE) / 1000000 AS other_frac
+      |FROM f GROUP BY source ORDER BY source""") { (s, dir) =>
+    def keep(pat: String) =
+      length(regexp_replace(col("text"), pat, "")).cast("long")
+    val f = Tables(s, dir, "documents").select(col("source"),
+      length(col("text")).cast("long").as("total"),
+      keep("[^A-Za-z]").as("latin"), keep("[^0-9]").as("digit"),
+      keep("[^一-鿿]").as("cjk"), keep("[^ ]").as("space"))
+    f.groupBy("source").agg(sum("total").cast("long").as("n_chars"),
+      (floor(sum("latin").cast("double") / sum("total") * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("latin_frac"),
+      (floor(sum("digit").cast("double") / sum("total") * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("digit_frac"),
+      (floor(sum("cjk").cast("double") / sum("total") * 1000000
+        + lit(0.5)).cast("double") / 1000000).as("cjk_frac"),
+      (floor(sum(col("total") - col("latin") - col("digit") - col("cjk")
+        - col("space")).cast("double") / sum("total") * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("other_frac"))
+      .orderBy("source")
+  }
+
   // Retrieval fidelity of int8 symmetric quantization — recall@10 of
   // the quantized cosine ranking against the exact ranking per probe:
   // the go/no-go number before shipping a quantized index
