@@ -6136,6 +6136,50 @@ object StatsOps extends QueryPack {
         + lit(0.5)).cast("double") / 1000000).as("u_y_given_x"))
   }
 
+  // Paired sign test: on how many days did purchase revenue beat click
+  // revenue — the assumption-free paired-location test that completes
+  // the nonparametric battery (wilcoxon-signed uses magnitudes; the
+  // sign test survives even ordinal-only data). Exact integer day
+  // counts (ties dropped, documented); the normal-approximation
+  // z = (2k − n)/√n is one double tree.
+  // Audit row: formula_audit.audit_sign_test.
+  q("stats_sign_test",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS p,
+      |    SUM(CASE WHEN event_type = 'click'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS c
+      |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(CASE WHEN p > c THEN 1 ELSE 0 END) AS BIGINT) AS k,
+      |    CAST(SUM(CASE WHEN p <> c THEN 1 ELSE 0 END) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM d
+      |)
+      |SELECT n_days, n AS n_untied, k AS n_purchase_wins,
+      |  CAST(floor((2.0 * k - n) / sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+      |    AS DOUBLE) / 1000000 AS sign_z
+      |FROM t""") { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+        Det.cents(col("value")).cast("long")).otherwise(0L)).as("p"),
+        sum(when(col("event_type") === "click",
+          Det.cents(col("value")).cast("long")).otherwise(0L)).as("c"))
+    val t = d.agg(
+      sum(when(col("p") > col("c"), 1L).otherwise(0L)).cast("long").as("k"),
+      sum(when(col("p") =!= col("c"), 1L).otherwise(0L)).cast("long")
+        .as("n"),
+      count(lit(1)).cast("long").as("n_days"))
+    t.select(col("n_days"), col("n").as("n_untied"),
+      col("k").as("n_purchase_wins"),
+      (floor((lit(2.0) * col("k") - col("n"))
+        / sqrt(col("n").cast("double")) * 1000000 + lit(0.5))
+        .cast("double") / 1000000).as("sign_z"))
+  }
+
   // Mix-shift decomposition of the average event value between the
   // first and second half of the observation window — the "why did the
   // metric move" readout: Δ = Σ(w₂−w₁)·m₁ (mix effect: traffic moved

@@ -3255,6 +3255,71 @@ object TimeSeriesOps extends QueryPack {
         .cast("double") / 1000000).as("kpss_stat"))
   }
 
+  // Attribution-window sensitivity: what fraction of purchases has a
+  // SAME-USER click within 1h / 6h / 24h before it — the number that
+  // decides the attribution window before events_attribution commits to
+  // one. One pass: the last-click timestamp rides forward through each
+  // user's ordered stream via last(..., ignoreNulls) over an
+  // unbounded-preceding frame (a partitioned window, no self-join and
+  // no per-threshold rescan); each purchase then answers all three
+  // thresholds from its one click-gap. Exact microsecond gaps and
+  // integer counts in both engines.
+  q("events_conversion_window_sweep",
+    """WITH st AS (
+      |  SELECT user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_click_us
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), p AS (
+      |  SELECT epoch_us(ts) - last_click_us AS gap_us
+      |  FROM st WHERE event_type = 'purchase'
+      |), t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |    CAST(SUM(CASE WHEN gap_us <= 3600000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS w1h,
+      |    CAST(SUM(CASE WHEN gap_us <= 21600000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS w6h,
+      |    CAST(SUM(CASE WHEN gap_us <= 86400000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS w24h
+      |  FROM p
+      |)
+      |SELECT window_h, attributed,
+      |  CAST(floor(CAST(attributed AS DOUBLE) / n_purchases * 1000000
+      |    + 0.5) AS DOUBLE) / 1000000 AS conversion_rate
+      |FROM (
+      |  SELECT n_purchases, 1 AS window_h, w1h AS attributed FROM t
+      |  UNION ALL SELECT n_purchases, 6, w6h FROM t
+      |  UNION ALL SELECT n_purchases, 24, w24h FROM t
+      |) ORDER BY window_h""") { (s, dir) =>
+    val st = Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        max(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .over(Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+          .as("last_click_us"))
+    val p = st.filter(col("event_type") === "purchase")
+      .select((unix_micros(col("ts")) - col("last_click_us")).as("gap_us"))
+    val t = p.agg(count(lit(1)).cast("long").as("n_purchases"),
+      sum(when(col("gap_us") <= 3600000000L, 1L).otherwise(0L)).cast("long")
+        .as("w1h"),
+      sum(when(col("gap_us") <= 21600000000L, 1L).otherwise(0L))
+        .cast("long").as("w6h"),
+      sum(when(col("gap_us") <= 86400000000L, 1L).otherwise(0L))
+        .cast("long").as("w24h"))
+      .localCheckpoint()
+    def row(h: Int, c: String) = t.select(col("n_purchases"),
+      lit(h).as("window_h"), col(c).as("attributed"))
+    row(1, "w1h").unionByName(row(6, "w6h")).unionByName(row(24, "w24h"))
+      .select(col("window_h"), col("attributed"),
+        (floor(col("attributed").cast("double") / col("n_purchases")
+          * 1000000 + lit(0.5)).cast("double") / 1000000)
+          .as("conversion_rate"))
+      .orderBy("window_h")
+  }
+
   // Weibull fit of per-user inter-purchase times by median-rank
   // regression — the reliability-engineering view of purchase cadence:
   // shape k < 1 means bursty ("failures" cluster early), k ≈ 1 memoryless

@@ -4941,7 +4941,62 @@ def audit_weibull():
     report("events_weibull_fit", mis, 4)
 
 
+def audit_sign_test():
+    """Paired sign test recomputed from plain daily sums."""
+    mis = []
+    r_ = rows(
+        "SELECT SUM(CASE WHEN event_type='purchase' "
+        "THEN floor(value*100+0.5) ELSE 0 END), "
+        "SUM(CASE WHEN event_type='click' "
+        "THEN floor(value*100+0.5) ELSE 0 END) "
+        f"FROM '{SF}/events.parquet' "
+        "WHERE event_type IN ('purchase','click') "
+        "GROUP BY CAST(date_trunc('day', ts) AS DATE)")
+    k = sum(1 for p, c in r_ if p > c)
+    n = sum(1 for p, c in r_ if p != c)
+    (got,) = dump("stats_sign_test")
+    d = dict(zip(dump_cols("stats_sign_test"), got))
+    if (d["n_days"], d["n_untied"], d["n_purchase_wins"]) != \
+            (len(r_), n, k):
+        mis.append(("counts", (d["n_days"], d["n_untied"],
+                               d["n_purchase_wins"]), (len(r_), n, k)))
+    if not close(d["sign_z"], (2 * k - n) / math.sqrt(n), 1e-4):
+        mis.append(("z", d["sign_z"], (2 * k - n) / math.sqrt(n)))
+    report("stats_sign_test", mis, 2)
+
+
+def audit_conversion_sweep():
+    """Attribution-window sweep replayed sequentially per user."""
+    mis = []
+    r_ = rows("SELECT user_id, epoch_us(ts), event_type, event_id "
+              f"FROM '{SF}/events.parquet' "
+              "WHERE event_type IN ('click','purchase') "
+              "ORDER BY user_id, 2, event_id")
+    last = {}
+    gaps = []
+    for uid, us, et, _ in r_:
+        if et == "purchase":
+            gaps.append(us - last[uid] if uid in last else None)
+        else:
+            last[uid] = us
+    counts = {h: sum(1 for g in gaps
+                     if g is not None and g <= h * 3600000000)
+              for h in (1, 6, 24)}
+    got = {r[0]: r for r in dump("events_conversion_window_sweep")}
+    cols = dump_cols("events_conversion_window_sweep")
+    for h in (1, 6, 24):
+        d = dict(zip(cols, got[h]))
+        if d["attributed"] != counts[h]:
+            mis.append((f"{h}h", d["attributed"], counts[h]))
+        if not close(d["conversion_rate"], counts[h] / len(gaps), 1e-5):
+            mis.append((f"{h}h:rate", d["conversion_rate"],
+                        counts[h] / len(gaps)))
+    report("events_conversion_window_sweep", mis, 6)
+
+
 AUDITS = {
+    "stats_sign_test": audit_sign_test,
+    "events_conversion_window_sweep": audit_conversion_sweep,
     "events_weibull_fit": audit_weibull,
     "events_mix_shift": audit_mix_shift,
     "stats_price_elasticity": audit_elasticity,
