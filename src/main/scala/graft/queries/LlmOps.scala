@@ -4145,8 +4145,11 @@ object LlmOps extends QueryPack {
       .localCheckpoint()
     val wiF = w.groupBy("i").agg(sum("wij").as("wi"))
     val games = pairs.groupBy("i").agg(sum("nij").as("games"))
-    val ns = srcs.count()
-    var r = srcs.select(col("source"), (lit(1.0) / lit(ns.toDouble)).as("p"))
+    // 1/|S| as a broadcast column, not a driver action — one less job
+    // (the oracle's r0 divides by the same COUNT(*) subquery)
+    val nsF = srcs.agg(count(lit(1)).cast("long").as("ns"))
+    var r = srcs.crossJoin(broadcast(nsF))
+      .select(col("source"), (lit(1.0) / col("ns")).as("p"))
     for (_ <- 1 to 3) {
       val term = pairs
         .join(r.select(col("source").as("i"), col("p").as("pi")), Seq("i"))
@@ -4165,10 +4168,12 @@ object LlmOps extends QueryPack {
             / col("den").cast("double") * 1000000000000L + lit(0.5))
             .cast("decimal(38,0)"), lit(0).cast("decimal(38,0)")).as("pfx"))
       val tot = pf.agg(sum("pfx").as("tot"))
+      // no per-iteration checkpoint: everything above `pairs` is already
+      // checkpointed, so the re-derived lineage per round is three tiny
+      // joins — cheaper than an eager job per iteration
       r = pf.crossJoin(broadcast(tot))
         .select(col("source"),
           (col("pfx").cast("double") / col("tot").cast("double")).as("p"))
-        .localCheckpoint()
     }
     srcs
       .join(games.select(col("i").as("gi"), col("games")),
