@@ -3,7 +3,7 @@ package graft.builder
 import graft.engine.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The ETL-builder surface: a declarative Source → Transform* → Sink step
+/** The pipeline-builder surface: a declarative Source → Transform* → Sink step
   * list, interpretable from config (steps are plain data with SQL-expression
   * strings). Running a pipeline just folds the steps into one DataFrame
   * lineage — the DAG *is* the Catalyst logical plan, so every builder
@@ -176,7 +176,7 @@ object Pipeline {
 
   def source(table: String): Pipeline = Pipeline(table)
 
-  /** Parse a pipeline from a JSON config document — the ETL-builder entry
+  /** Parse a pipeline from a JSON config document — the pipeline-builder entry
     * point: pipelines are data, authored/stored/diffed as config and only
     * interpreted into a Catalyst plan at run time. Shape:
     *

@@ -133,7 +133,7 @@ object Extensibility extends QueryPack {
 
   // LLM-pipeline ops as config steps: near-dedup (shingle-blocked, keep-
   // lowest-id) and PII scrub driven from the same JSON surface as the
-  // relational steps — the ETL-builder story for corpus builds. Synthetic
+  // relational steps — the pipeline-builder story for corpus builds. Synthetic
   // PII is prepended so the scrub is observable in the checked output.
   q("pipeline_config_llm",
     """WITH t AS (
@@ -238,7 +238,7 @@ object Extensibility extends QueryPack {
         |  ] }""".stripMargin).run(s, dir)
   }
 
-  // the ETL-builder surface end-to-end: config-style steps → Catalyst plan
+  // the pipeline-builder surface end-to-end: config-style steps → Catalyst plan
   q("pipeline_e2e",
     s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
       |  ${oMoney("o_totalprice")} AS total
