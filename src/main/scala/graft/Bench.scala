@@ -27,8 +27,10 @@ object Bench {
     // dev-only subset filter: SPARK_GRAFT_ONLY=q1,q2 (unset = full protocol)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def runPass(): Map[String, Double] = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    def runPass(subset: Option[Set[String]] = None): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && subset.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
         val t0 = System.nanoTime()
         // a failed query must not masquerade as a fast one: it goes to the
@@ -46,7 +48,16 @@ object Bench {
     // visible instead of silently folded into the min.
     val run1 = runPass()
     val run2 = runPass()
-    val results = run1.map { case (k, v) => k -> math.min(v, run2.getOrElse(k, v)) }
+    val min2 = run1.map { case (k, v) => k -> math.min(v, run2.getOrElse(k, v)) }
+    // The slowest 15 get a THIRD pass (r9 ask #7): min-of-2 left a 2.6×
+    // co-tenant artifact on multimodal_phash ambiguous against a real
+    // regression for a whole round — the slow tail is exactly where one
+    // noisy sample distorts the headline max/p90, and 15 extra runs cost
+    // seconds, not minutes.
+    val slow15 = min2.toSeq.sortBy { case (k, v) => (-v, k) }.take(15)
+      .map(_._1).toSet
+    val run3 = runPass(Some(slow15))
+    val results = min2.map { case (k, v) => k -> math.min(v, run3.getOrElse(k, v)) }
     def js(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -57,7 +68,7 @@ object Bench {
     // full detail goes to BENCH_FULL.json on disk, and the ONE stdout JSON
     // line stays compact — summary stats + the slowest queries — so it fits
     // whole inside the archived tail and parses.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_run1":${js(run1)},"passes":2,"failed":$fs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"queries_run1":${js(run1)},"passes":2,"passes_slowest15":3,"failed":$fs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         full.getBytes("UTF-8"))
@@ -76,7 +87,9 @@ object Bench {
     val slow = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(15)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val sfTag = "sf[0-9.]+".r.findFirstIn(sfDir).getOrElse(sfDir)
-    val summary = s"""{"schema":"bench-v3","metric":"total","value":${r3(total)},"unit":"sec","slowest":$slow,"n_queries":${results.size},"median":${r3(pct(0.5))},"p90":${r3(pct(0.9))},"max":${r3(pct(1.0))},"passes":2,"failed":$fs,"sf":"$sfTag","full":"BENCH_FULL.json"}"""
+    // "passes_slowest15" is ADDITIVE to the bench-v3 shape (old parsers
+    // ignore unknown keys; "passes" keeps meaning "full passes")
+    val summary = s"""{"schema":"bench-v3","metric":"total","value":${r3(total)},"unit":"sec","slowest":$slow,"n_queries":${results.size},"median":${r3(pct(0.5))},"p90":${r3(pct(0.9))},"max":${r3(pct(1.0))},"passes":2,"passes_slowest15":3,"failed":$fs,"sf":"$sfTag","full":"BENCH_FULL.json"}"""
     // the stdout line transits sbt, which prefixes it "[info] " and feeds
     // archive truncation (every BENCH_r*.json through r7: parsed=null or
     // mangled tail) — the bare-file copy is the self-defending record the

@@ -266,6 +266,41 @@ object ScaleStress {
     time("pca power x3 rounds 10x (20k vecs)")(
       ops.Linalg.pcaTop(e10, "vec_id", "embedding", 3)._1.count())
 
+    // round-10 (r9 ask #5): IVF-PQ at 10× vector count — the billion-
+    // vector layout's scaling claim is that per-probe work is bounded by
+    // candidates × m integer joins, and candidates ≈ corpus·nProbe/cells
+    // stays FLAT as the corpus grows because the cell count (stride-
+    // sampled centroids) grows with the corpus: 2k vecs / 80 cells and
+    // 20k / 800 cells both give ~nProbe·25 candidates per probe. The 10×
+    // line therefore pays the linear encode/assign scans but NOT 10× the
+    // scoring. recall@50 vs the exact scan is asserted at both scales —
+    // a scale-up that silently craters recall must fail this run, not
+    // just slow it.
+    def ivfpqRecall(probes: DataFrame, corpus: DataFrame): Double = {
+      def topkSet(df: DataFrame): Set[(Long, Long)] =
+        df.select(col("probe_id").cast("long"), col("vec_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = topkSet(ops.Sim.cosineTopK(probes, corpus, k = 50))
+      val pq = topkSet(ops.Sim.ivfPqTopK(probes, corpus, k = 50))
+      (pq & brute).size.toDouble / brute.size
+    }
+    val pr1 = e1.filter(col("vec_id") < 10)
+    val pr10 = e10.filter(col("vec_id") < 10)
+    time("ivfpq topk k=50 1x (2k vecs, 80 cells)")(
+      ops.Sim.ivfPqTopK(pr1, e1, 50).count())
+    time("ivfpq topk k=50 10x (20k vecs, 800 cells)")(
+      ops.Sim.ivfPqTopK(pr10, e10, 50).count())
+    time("ivfpq recall@50 vs exact 1x") {
+      val r = ivfpqRecall(pr1, e1)
+      require(r >= 0.5, f"ivfpq recall@50 cratered at 1x: $r%.2f")
+      f"$r%.2f"
+    }
+    time("ivfpq recall@50 vs exact 10x") {
+      val r = ivfpqRecall(pr10, e10)
+      require(r >= 0.5, f"ivfpq recall@50 cratered at 10x: $r%.2f")
+      f"$r%.2f"
+    }
+
     // round-6 resampling family: the ×100 digest-bit expand must scale
     // LINEARLY in rows (the expand collapses map-side; only B×moment
     // integers shuffle). 10× events → 10× wall is the pass criterion.

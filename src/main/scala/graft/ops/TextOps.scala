@@ -17,6 +17,44 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Session memo of the per-document lowercased term-count frame
+    * (doc_id, term, tf) — ONE tokenize+aggregate serves every TF/DF
+    * consumer over the same corpus (text_tfidf, text_keyphrases,
+    * text_pmi_cooccur): tf is the frame itself, df/distinct-(doc, term)
+    * are one cheap aggregate/projection away, so the corpus text is
+    * re-tokenized once per session instead of once per query. Same
+    * contract as LlmOps' span memo: entries are localCheckpointed frames
+    * keyed by (session, dir), PlanMemo-bounded, fixtures immutable within
+    * a session. */
+  private val docTermMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  def docTermCounts(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    PlanMemo.memoized(docTermMemo, 16, (s, dir)) {
+      graft.engine.Tables.fan(graft.engine.Tables(s, dir, "documents"))
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+    }
+
+  /** Per-SOURCE term counts (source, term, c) — the rollup of
+    * [[docTermCounts]] through the (doc_id, source) dimension, memoized in
+    * its own right because several per-source lexical statistics
+    * (text_source_kl, text_yule_k) start exactly here. Building it from
+    * the doc-level memo means the corpus text is tokenized at most once
+    * per session for the whole TF/DF family. */
+  private val srcTermMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  def srcTermCounts(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    PlanMemo.memoized(srcTermMemo, 16, (s, dir)) {
+      docTermCounts(s, dir)
+        .join(graft.engine.Tables(s, dir, "documents")
+          .select("doc_id", "source"), "doc_id")
+        .groupBy("source", "term").agg(sum("tf").as("c"))
+        .localCheckpoint()
+    }
+
   /** Canonical URL for dedup keys: strip the fragment, lowercase the
     * scheme/host/path, drop the default-port `:443` and a leading `www.`,
     * remove tracking query params (`utm_*`, `ref`), and SORT the surviving

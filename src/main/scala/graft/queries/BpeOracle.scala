@@ -65,15 +65,24 @@ private[queries] object BpeOracle {
   }
 
   /** One merge-application CTE: rows of `from` with `m`'s (l, r) merged
-    * into the sym list via the double-space string device. */
+    * into the sym list via the double-space string device. LEFT JOIN, not
+    * a cross join: if the vocabulary fully merges before `rounds`
+    * iterations, the argmax CTE is EMPTY, and a cross join would empty
+    * every downstream block (0 output rows) while Bpe.trainMerges
+    * early-returns the shorter merge table and applyMerges still emits
+    * full per-doc counts. With the pass-through guard an empty merge row
+    * leaves sym unchanged — mirroring the Spark early-return exactly.
+    * Unreachable at rounds=8 on the graded corpora; load-bearing for
+    * tiny fixtures or a higher rounds setting. */
   private def mergeCte(name: String, from: String, m: String,
                        carry: String): String =
     s"""$name AS (
-       |  SELECT $carry, string_split(trim(replace(
+       |  SELECT $carry, CASE WHEN mm.l IS NULL THEN sym ELSE
+       |    string_split(trim(replace(
        |    ' ' || array_to_string(sym, '  ') || ' ',
-       |    ' ' || l || '  ' || r || ' ',
-       |    ' ' || l || r || ' ')), '  ') AS sym
-       |  FROM $from, $m
+       |    ' ' || mm.l || '  ' || mm.r || ' ',
+       |    ' ' || mm.l || mm.r || ' ')), '  ') END AS sym
+       |  FROM $from LEFT JOIN $m mm ON TRUE
        |)""".stripMargin
 
   /** Oracle for llm_bpe_train: the (round, pair, freq) merge table. */

@@ -319,9 +319,9 @@ object QualityOps extends QueryPack {
       |) WHERE rk <= 3
       |ORDER BY doc_id, rk""") { (s, dir) =>
     val docs = Tables(s, dir, "documents")
-    val tok = fan(docs).select(col("doc_id"),
-      explode(TextOps.tokens(lower(col("text")))).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // session-memoized term counts (TextOps.docTermCounts) — tokenized once,
+    // shared with text_tfidf / text_pmi_cooccur
+    val tf = TextOps.docTermCounts(s, dir)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))

@@ -201,11 +201,26 @@ object Sources extends QueryPack {
     s.read.parquet(out).orderBy("p_partkey")
   }
 
-  // row-level error quarantine: PERMISSIVE CSV parse captures malformed
+  // Row-level error quarantine: PERMISSIVE CSV parse captures malformed
   // rows in _corrupt_record instead of failing the job — at 100 TB one bad
-  // row must quarantine, not kill the stage. Bad rows are injected
-  // deterministically; engine-specific capture format → rows-only + golden.
-  qNo("scan_csv_corrupt") { (s, dir) =>
+  // row must quarantine, not kill the stage. DuckDB-oracled (r9 ask #4):
+  // the oracle reads the SAME file back as raw lines (field-splitting
+  // disabled via an out-of-alphabet delimiter) and recomputes the
+  // PERMISSIVE contract itself — parse what parses, NULL what doesn't,
+  // quarantine on wrong arity or an unparseable cell — so the check pins
+  // Spark's partial-result semantics, not just row counts.
+  q("scan_csv_corrupt",
+    """WITH raw AS (
+      |  SELECT line FROM read_csv('/tmp/graft_io/csv_corrupt/data.csv',
+      |    header=false, columns={'line': 'VARCHAR'}, delim=chr(1), quote='')
+      |), p AS (
+      |  SELECT string_split(line, ',') AS f FROM raw WHERE line <> 'id,val'
+      |)
+      |SELECT CAST(f[1] AS BIGINT) AS id,
+      |  try_cast(f[2] AS BIGINT) AS val,
+      |  (len(f) <> 2 OR try_cast(f[2] AS BIGINT) IS NULL) AS quarantined
+      |FROM p
+      |ORDER BY id NULLS LAST, quarantined""") { (s, dir) =>
     val out = "/tmp/graft_io/csv_corrupt/data.csv"
     val rows = Seq("id,val", "1,10", "2,not_a_number", "3,30", "4,4,4,4")
     val p = java.nio.file.Paths.get(out)

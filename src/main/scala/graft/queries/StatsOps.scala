@@ -1260,26 +1260,36 @@ object StatsOps extends QueryPack {
       |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val d0 = Tables(s, dir, "documents").select(col("doc_id"), col("lang"),
-      lower(col("text")).as("t"),
       (substring(md5(col("doc_id").cast("string")), 1, 1) <= "7").as("is_train"))
-    val tok = d0.select(col("doc_id"), col("lang"), col("is_train"),
-      explode(split(col("t"), " ")).as("token"))
+    // per-doc token counts come from the session-shared TextOps
+    // .docTermCounts memo (same lowercased whitespace tokenization) joined
+    // with the narrow (doc_id, lang, is_train) dimension — the corpus text
+    // is not re-tokenized here, and both the train aggregate and the test
+    // frame read the one memoized frame
+    val tok = graft.ops.TextOps.docTermCounts(s, dir)
+      .join(d0, "doc_id")
+      .select(col("doc_id"), col("lang"), col("is_train"),
+        col("term").as("token"), col("tf"))
     val tt = tok.filter(col("is_train"))
-      .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      .groupBy("lang", "token").agg(sum("tf").as("c"))
     val lt = tt.groupBy("lang").agg(sum("c").cast("long").as("t_l"))
     val ld = d0.filter(col("is_train")).groupBy("lang").agg(count(lit(1)).as("d_l"))
     val vv = tt.agg(countDistinct(col("token")).as("v"))
     val te = tok.filter(!col("is_train"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("cdt"))
+      .select(col("doc_id"), col("token"), col("tf").as("cdt"))
     val tn = te.groupBy("doc_id").agg(sum("cdt").cast("long").as("n_d"))
     val td = d0.filter(!col("is_train")).select(col("doc_id"), col("lang").as("actual"))
+    // mt's doc_id is RENAMED before the join: td and mt now both descend
+    // from the same memoized frame, so a td("doc_id") === mt("doc_id")
+    // condition degenerates to a trivially-true same-attribute predicate
     val mt = te.join(tt.withColumnRenamed("lang", "plang"), "token")
       .groupBy(col("doc_id"), col("plang"))
       .agg(sum(dec(col("cdt")) * Det.lnFix(col("c") + 1, 8).cast("long")).as("s_match"))
+      .withColumnRenamed("doc_id", "mdoc")
     val langs = broadcast(lt.join(ld, "lang").crossJoin(vv))
     val base = td.join(tn, "doc_id").crossJoin(langs)
-      .join(mt, td("doc_id") === mt("doc_id") && col("lang") === col("plang"), "left")
-      .select(td("doc_id"), col("actual"), col("lang"),
+      .join(mt, col("doc_id") === col("mdoc") && col("lang") === col("plang"), "left")
+      .select(col("doc_id"), col("actual"), col("lang"),
         (coalesce(col("s_match"), lit(0).cast("decimal(38,0)"))
           - dec(col("n_d")) * Det.lnFix(col("t_l") + col("v"), 8).cast("long")
           + Det.lnFix(col("d_l"), 8).cast("long")).as("score"))
