@@ -44,26 +44,10 @@ object DevTime {
     }
     val docs = engine.Tables(spark, dir, "documents")
     time("warm scan")(docs.count())
-    time("pmi cold")(SparkEntry.queries("text_pmi_cooccur")(spark, dir).count())
-    time("pmi warm")(SparkEntry.queries("text_pmi_cooccur")(spark, dir).count())
-    val dtok = ops.TextOps.docTermCounts(spark, dir)
-    time("dtok count")(dtok.count())
-    val dfreq = dtok.groupBy("term").agg(count(lit(1)).cast("long").as("c"))
-    time("top30")(dfreq.orderBy(col("c").desc, col("term")).limit(30).collect().length)
-    val top = dfreq.orderBy(col("c").desc, col("term")).limit(30)
-    val dt = dtok.join(broadcast(top.select(col("term"))), Seq("term"), "semi")
-    time("dt count")(dt.count())
-    val pair = dt.groupBy("doc_id")
-      .agg(array_sort(collect_list(col("term"))).as("arr"))
-      .select(explode(expr(
-        "flatten(transform(arr, (x, i) -> " +
-          "transform(slice(arr, i + 2, size(arr)), y -> struct(x AS ta, y AS tb))))"))
-        .as("p"))
-      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
-      .agg(count(lit(1)).cast("long").as("cab"))
-    time("pair count")(pair.count())
-    time("nd")(engine.Tables(spark, dir, "documents")
-      .agg(countDistinct("doc_id")).collect().length)
+    for (q <- Seq("sim_ann_ivfpq", "ml_tree_depth2", "graph_katz")) {
+      time(s"$q cold")(SparkEntry.queries(q)(spark, dir).count())
+      time(s"$q warm")(SparkEntry.queries(q)(spark, dir).count())
+    }
     spark.stop()
   }
 }

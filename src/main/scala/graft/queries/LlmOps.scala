@@ -593,14 +593,111 @@ object LlmOps extends QueryPack {
   }
 
   // IVF-style ANN with deterministic sampled centroids → rows-only
-  qNo("sim_ann_ivf") { (s, dir) =>
+  /** DuckDB spelling of the sequential-fold dot product — the exact
+    * association graft_dot implements (0.0-seeded left fold), so doubles
+    * derived from it are bit-identical across engines. */
+  private def oDot(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      "z -> z[1] * z[2])), (x, y) -> x + y)"
+
+  /** Oracle CTE for Sim's coarse-quantizer cell assignment: each vector of
+    * `src` gets its `n` nearest centroids from `ct` (squared-euclid argmin
+    * up to the per-row |e|² constant, centroid-id tiebreak). */
+  private def oCells(src: String, n: Int, name: String) =
+    s"""$name AS (
+       |  SELECT vec_id, e, cell FROM (
+       |    SELECT s.vec_id, s.e, ct.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |        ${oDot("ct.cent", "ct.cent")}
+       |        - 2.0 * ${oDot("s.e", "ct.cent")} ASC, ct.cent_id) AS crn
+       |    FROM $src s CROSS JOIN ct
+       |  ) WHERE crn <= $n
+       |)""".stripMargin
+
+  // IVF is deterministic end to end (stride-sampled centroids, squared-
+  // euclid argmin cells with centroid-id tiebreak, sequential-fold dots —
+  // graft_dot was BUILT to associate like DuckDB's list_reduce), so the
+  // whole inverted-file pipeline is DuckDB-oracled cell-exact (r10: pool
+  // shrink past the r9 ask): the oracle replays centroid sampling, both
+  // cell assignments, the cell join, and the rounded-cosine top-k. Every
+  // double compared or ranked is the identical IEEE fold in both engines.
+  q("sim_ann_ivf",
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), p AS (SELECT * FROM c WHERE vec_id < 10),
+       |ct AS (SELECT vec_id AS cent_id, e AS cent FROM c WHERE vec_id % 25 = 0),
+       |${oCells("c", 1, "cc")},
+       |${oCells("p", 8, "pc")},
+       |sc AS (
+       |  SELECT pc.vec_id AS probe_id, cc.vec_id,
+       |    round(${oDot("pc.e", "cc.e")}
+       |      / (sqrt(${oDot("pc.e", "pc.e")}) * sqrt(${oDot("cc.e", "cc.e")})),
+       |      4) AS sim
+       |  FROM pc JOIN cc ON pc.cell = cc.cell AND pc.vec_id <> cc.vec_id
+       |)
+       |SELECT probe_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sc
+       |) WHERE rn <= 5
+       |ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
     Sim.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .orderBy("probe_id", "rn")
   }
 
-  // LSH bucket assignment depends on engine-seeded hyperplanes → rows-only
-  qNo("sim_ann_lsh") { (s, dir) =>
+  // Band-OR hyperplane LSH, DuckDB-oracled cell-exact (r10): the "engine-
+  // seeded hyperplanes" that kept this golden-only through r9 are a ±1
+  // sign matrix — so the ORACLE STRING inlines the signs, generated at
+  // registration time from the SAME LshBands.hyperplanes call the Spark
+  // expression uses (no copy to drift). The oracle replays the signature
+  // (per-plane sequential fold of ±e[d] — multiplying by ±1.0 is exact,
+  // so the fold is bit-identical to graft_lsh_bands' acc loop), packs the
+  // 6 sign bits per band, joins on (band, bucket), and re-ranks with the
+  // rounded precomputed-norm cosine. Probes are a corpus subset, so one
+  // signature CTE serves both join sides.
+  q("sim_ann_lsh", {
+    val signs = graft.functions.LshBands.hyperplanes(24 * 6, 64)
+      .map(_.map(v => if (v > 0) '1' else '0').mkString).mkString
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |),
+       |pl AS (SELECT CAST(unnest(range(0, 144)) AS INT) AS r),
+       |sig AS (
+       |  SELECT vec_id, r // 6 AS band,
+       |    SUM(CASE WHEN acc > 0 THEN 1 << (r % 6) ELSE 0 END) AS bucket
+       |  FROM (
+       |    SELECT c.vec_id, pl.r,
+       |      list_reduce(list_prepend(0.0,
+       |        list_transform(range(1, len(c.e) + 1),
+       |          i -> c.e[i] * (CASE WHEN substr('$signs', pl.r * 64 + i, 1)
+       |                         = '1' THEN 1.0 ELSE -1.0 END))),
+       |        (x, y) -> x + y) AS acc
+       |    FROM c CROSS JOIN pl
+       |  ) GROUP BY vec_id, band
+       |),
+       |cand AS (
+       |  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
+       |  FROM (SELECT * FROM sig WHERE vec_id < 10) pb
+       |  JOIN sig cb ON pb.band = cb.band AND pb.bucket = cb.bucket
+       |             AND pb.vec_id <> cb.vec_id
+       |),
+       |sc AS (
+       |  SELECT cand.probe_id, cand.vec_id,
+       |    round(${oDot("pp.e", "cx.e")}
+       |      / (sqrt(${oDot("pp.e", "pp.e")}) * sqrt(${oDot("cx.e", "cx.e")})),
+       |      4) AS sim
+       |  FROM cand
+       |  JOIN c pp ON pp.vec_id = cand.probe_id
+       |  JOIN c cx ON cx.vec_id = cand.vec_id
+       |)
+       |SELECT probe_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sc
+       |) WHERE rn <= 5
+       |ORDER BY probe_id, rn""".stripMargin
+  }) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
     Sim.annTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .orderBy("probe_id", "rn")
@@ -608,9 +705,92 @@ object LlmOps extends QueryPack {
 
   // IVF coarse pruning + product-quantized ADC scoring — the memory-bounded
   // billion-vector layout (8 code bytes per vector in the scoring joins).
-  // Quantized scores are engine-specific → rows-only + golden hash; recall
-  // floor vs the exact path pinned in SimBlockedSpec.
-  qNo("sim_ann_ivfpq") { (s, dir) =>
+  // DuckDB-oracled cell-exact (r10): every stage is deterministic — seed
+  // codebooks are the 16 lowest-id vectors sliced into 8 subspaces,
+  // corpus codes are (dist, code)-lexicographic argmins over bit-identical
+  // sequential-fold dots, ADC partials are 1e-6 fixed-point integers
+  // (order-free BIGINT sums), and the shortlist/re-rank windows rank on
+  // those integers / the rounded exact cosine with vec_id tiebreaks. The
+  // oracle replays the full pipeline; recall floor vs the exact path
+  // stays pinned in SimBlockedSpec.
+  q("sim_ann_ivfpq",
+    s"""WITH c AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), p AS (SELECT * FROM c WHERE vec_id < 10),
+       |ct AS (SELECT vec_id AS cent_id, e AS cent FROM c WHERE vec_id % 25 = 0),
+       |dims AS (SELECT CAST(len(e) // 8 AS INT) AS sub FROM c LIMIT 1),
+       |seeds AS (
+       |  SELECT vec_id, e,
+       |    CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code
+       |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)
+       |),
+       |sq AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS subq),
+       |cb AS (
+       |  SELECT s.code, q.subq,
+       |    s.e[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS cv
+       |  FROM seeds s CROSS JOIN sq q CROSS JOIN dims d
+       |),
+       |cslice AS (
+       |  SELECT c.vec_id, q.subq,
+       |    c.e[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS ev
+       |  FROM c CROSS JOIN sq q CROSS JOIN dims d
+       |),
+       |codes AS (
+       |  SELECT vec_id, subq, code FROM (
+       |    SELECT cs.vec_id, cs.subq, cb.code,
+       |      row_number() OVER (PARTITION BY cs.vec_id, cs.subq ORDER BY
+       |        ${oDot("cb.cv", "cb.cv")}
+       |        - 2.0 * ${oDot("cs.ev", "cb.cv")} ASC, cb.code) AS crn
+       |    FROM cslice cs JOIN cb ON cs.subq = cb.subq
+       |  ) WHERE crn = 1
+       |),
+       |pslice AS (
+       |  SELECT p.vec_id AS probe_id, q.subq,
+       |    p.e[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS pv
+       |  FROM p CROSS JOIN sq q CROSS JOIN dims d
+       |),
+       |lut AS (
+       |  SELECT ps.probe_id, ps.subq, cb.code,
+       |    CAST(floor(${oDot("ps.pv", "cb.cv")} * 1000000 + 0.5) AS BIGINT)
+       |      AS partial
+       |  FROM pslice ps JOIN cb ON ps.subq = cb.subq
+       |),
+       |${oCells("c", 1, "cc")},
+       |${oCells("p", 8, "pc")},
+       |cand AS (
+       |  SELECT DISTINCT pc.vec_id AS probe_id, cc.vec_id
+       |  FROM pc JOIN cc ON pc.cell = cc.cell AND pc.vec_id <> cc.vec_id
+       |),
+       |adc AS (
+       |  SELECT cand.probe_id, cand.vec_id, SUM(l.partial) AS sfix
+       |  FROM cand
+       |  JOIN codes k ON cand.vec_id = k.vec_id
+       |  JOIN lut l ON l.probe_id = cand.probe_id
+       |            AND l.subq = k.subq AND l.code = k.code
+       |  GROUP BY 1, 2
+       |),
+       |short AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY sfix DESC, vec_id) AS arn
+       |    FROM adc
+       |  ) WHERE arn <= 50
+       |),
+       |sc AS (
+       |  SELECT sh.probe_id, sh.vec_id,
+       |    round(${oDot("pp.e", "cx.e")}
+       |      / (sqrt(${oDot("pp.e", "pp.e")}) * sqrt(${oDot("cx.e", "cx.e")})),
+       |      4) AS sim
+       |  FROM short sh
+       |  JOIN p pp ON pp.vec_id = sh.probe_id
+       |  JOIN c cx ON cx.vec_id = sh.vec_id
+       |)
+       |SELECT probe_id, vec_id, sim, CAST(rn AS INT) AS rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY sim DESC, vec_id) AS rn
+       |  FROM sc
+       |) WHERE rn <= 5
+       |ORDER BY probe_id, rn""".stripMargin) { (s, dir) =>
     val emb = Tables(s, dir, "embeddings")
     Sim.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .orderBy("probe_id", "rn")

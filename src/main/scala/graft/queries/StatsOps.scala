@@ -4108,11 +4108,13 @@ object StatsOps extends QueryPack {
   // gini-optimal (feature, threshold) pair, then each child re-runs the
   // identical search on its conditioned sub-histogram. Everything runs on
   // the (v, hr) 2-D histogram (domain-bounded: ≤10⁴ × 24 — the corpus is
-  // touched once), the child predicates come from a BROADCAST join with
-  // the 1-row root choice (no driver round-trip), and each node's argmin
-  // is the stump's integer-deterministic fixed-point rank with (feature,
-  // threshold) tiebreak — so the whole induction is one DAG both engines
-  // evaluate identically. Audit row: formula_audit.audit_tree2 (an
+  // touched once); each node's LIMIT-1 argmin is collected through
+  // BoundedCollect and conditions the children as literal predicates —
+  // the classic distributed-histogram / driver-recursion split every
+  // scalable tree learner (PLANET, XGBoost's approx mode) uses. Each
+  // argmin is the stump's integer-deterministic fixed-point rank with
+  // (feature, threshold) tiebreak, so both engines pick the identical
+  // unique minimum. Audit row: formula_audit.audit_tree2 (an
   // independent greedy induction over raw rows).
   q("ml_tree_depth2",
     s"""WITH ev AS (
@@ -4195,23 +4197,33 @@ object StatsOps extends QueryPack {
         .orderBy(col("wg8"), col("feat"), col("thr"))
         .limit(1)
     }
-    val root = bestSplit(h2).localCheckpoint()
-    val rSel = root.select(col("feat").as("rfeat"), col("thr").as("rthr"))
-    val leftPred = (col("rfeat") === "v" && col("v") <= col("rthr")) ||
-      (col("rfeat") === "hr" && col("hr") <= col("rthr"))
-    val h2l = h2.crossJoin(broadcast(rSel)).filter(leftPred)
-      .drop("rfeat", "rthr")
-    val h2r = h2.crossJoin(broadcast(rSel)).filter(!leftPred)
-      .drop("rfeat", "rthr")
-    def out(p: org.apache.spark.sql.DataFrame, name: String) =
-      p.select(lit(name).as("node"), col("feat"),
-        col("thr").cast("long").as("threshold"),
-        (col("t1") + col("t0")).cast("long").as("n"),
-        col("t1").as("n_pos"),
-        (floor(col("wg") * 1000000 + lit(0.5)) / 1000000).as("gini_split"))
-    out(root, "root")
-      .unionByName(out(bestSplit(h2l), "left"))
-      .unionByName(out(bestSplit(h2r), "right"))
+    // The three argmin rows are LIMIT-1-bounded, so the recursion runs as
+    // a driver program (the BoundedCollect pattern the Bradley-Terry fit
+    // uses): collect the root choice, condition each child's histogram
+    // with a LITERAL predicate, collect the child argmins. The r9 shape —
+    // children conditioned via crossJoin(broadcast(1-row choice)) — was
+    // plan-pure but paid a lazily-nested broadcast-job chain per node;
+    // per-node work on the checkpointed histogram is unchanged and the
+    // output is built from the identical cells (floor/divide replayed on
+    // the identical doubles).
+    import org.apache.spark.sql.Row
+    def pick(node: org.apache.spark.sql.DataFrame, ctx: String): Row =
+      graft.ops.BoundedCollect.rows(bestSplit(node),
+        s"ml_tree_depth2 $ctx argmin (LIMIT 1)").head
+    val root = pick(h2, "root")
+    val leftPred =
+      if (root.getAs[String]("feat") == "v")
+        col("v") <= root.getAs[Long]("thr")
+      else col("hr") <= root.getAs[Long]("thr")
+    val left = pick(h2.filter(leftPred), "left")
+    val right = pick(h2.filter(!leftPred), "right")
+    def out(name: String, r: Row) =
+      (name, r.getAs[String]("feat"), r.getAs[Long]("thr"),
+        r.getAs[Long]("t1") + r.getAs[Long]("t0"), r.getAs[Long]("t1"),
+        math.floor(r.getAs[Double]("wg") * 1000000 + 0.5) / 1000000)
+    import s.implicits._
+    Seq(out("root", root), out("left", left), out("right", right))
+      .toDF("node", "feat", "threshold", "n", "n_pos", "gini_split")
       .orderBy("node")
   }
 
