@@ -160,11 +160,27 @@ object Sources extends QueryPack {
   // binaryFile source: whole files as opaque binary blobs + metadata — the
   // ingestion shape for multimodal assets (images/audio) at 100 TB, where
   // the blob rides an opaque binary column and only metadata is relational.
-  // File lengths/hashes are environment data → rows-only + golden hash.
-  qNo("scan_binary") { (s, dir) =>
-    s.read.format("binaryFile").load(s"$dir/*.parquet")
+  // DuckDB-oracled cell-exact (r10 pool shrink): the fixture files are
+  // staged at a fixed path (the scan_csv_corrupt round-trip device — the
+  // static oracle string can't see the sf dir) and read back by DuckDB's
+  // read_blob; the content digest is md5 over the UPPERCASE hex encoding
+  // because both engines spell that identically (DuckDB 1.x md5 only
+  // binds VARCHAR), replacing the r9 xxhash64 (JVM-seeded → was golden).
+  q("scan_binary",
+    """SELECT regexp_extract(filename, '([^/]+)\.parquet$', 1) AS table_name,
+      |  CAST(size AS BIGINT) AS length, md5(hex(content)) AS content_md5
+      |FROM read_blob('/tmp/graft_io/binary_scan/*.parquet')
+      |ORDER BY table_name""") { (s, dir) =>
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get("/tmp/graft_io/binary_scan")
+    Files.createDirectories(stage)
+    Files.list(stage).forEach(p => Files.delete(p))
+    Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => Files.copy(p, stage.resolve(p.getFileName),
+        StandardCopyOption.REPLACE_EXISTING))
+    s.read.format("binaryFile").load(s"$stage/*.parquet")
       .select(regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("table_name"),
-        col("length"), xxhash64(col("content")).as("content_hash"))
+        col("length"), md5(hex(col("content"))).as("content_md5"))
       .orderBy("table_name")
   }
 
