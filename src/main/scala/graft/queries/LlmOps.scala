@@ -585,8 +585,17 @@ object LlmOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
-  // MLlib MinHashLSH scale path (seeded, deterministic) → rows-only
-  qNo("llm_dedup_minhash_ml") { (s, dir) =>
+  // MLlib MinHashLSH scale path — DuckDB-oracled cell-exact (r10 pool
+  // shrink): the "MLlib seeds" that kept this golden-only through r9 are
+  // two deterministic draws replayed by MurmurOracle — HashingTF's
+  // seed-42 murmur3 term indexing (spelled as DuckDB integer algebra)
+  // and MinHashLSH's scala.util.Random(42) coefficients (replicated at
+  // registration and inlined; MurmurSpec pins both against MLlib's own
+  // public API, so an MLlib upgrade that changes either draw fails the
+  // build before it can silently diverge from this oracle).
+  q("llm_dedup_minhash_ml",
+    MurmurOracle.minhashMlSql(oShingles, seed = 42, numHashTables = 8,
+      numFeatures = 1 << 18, tau = 0.3)) { (s, dir) =>
     Dedup.minhashPairsML(Tables(s, dir, "documents"), "text", "doc_id",
         k = 3, numHashTables = 8, tau = 0.3)
       .orderBy("id_a", "id_b")
@@ -1366,14 +1375,93 @@ object LlmOps extends QueryPack {
       .orderBy("id", "win")
   }
 
+  /** DuckDB replay of Multimodal.pHash64 over the synthesized images —
+    * possible because PNG is LOSSLESS: the pixels ImageIO hands back are
+    * exactly the seeded-LCG stream encodePng wrote, so the "JVM decode"
+    * is, on these fixtures, a pure integer function of doc_id. The oracle
+    * walks the per-image LCG with a recursive CTE (one level per pixel,
+    * 64-bit wrap via a 32-bit limb split — DuckDB BIGINT overflow throws
+    * and HUGEINT would overflow at 64×64 bits), rebuilds the 8×8
+    * luminance-mean grid with the same integer divisions, packs the sign
+    * bits into two 32-bit halves (bit 63 must land in a signed BIGINT the
+    * way Spark's Long does), and replays the band join + Hamming verify
+    * (DuckDB xor/bit_count are two's-complement 64-bit like Spark's).
+    * The decode being REAL on the Spark side is still proven by
+    * MultimodalSpec + multimodal_resolution_report; this oracle pins that
+    * the real decode agrees with the synthesis formula end-to-end. */
+  private val phashOracleSql =
+    """WITH RECURSIVE im AS (
+      |  SELECT doc_id AS id, CAST(8 + doc_id % 56 AS BIGINT) AS w,
+      |    CAST(8 + doc_id % 40 AS BIGINT) AS h,
+      |    CAST(doc_id * 2654435761 AS HUGEINT) % 18446744073709551616 AS s0
+      |  FROM documents WHERE doc_id % 3 = 0
+      |),
+      |px AS (
+      |  SELECT id, w, h, CAST(0 AS BIGINT) AS n, s0 AS s FROM im
+      |  UNION ALL
+      |  SELECT id, w, h, n + 1,
+      |    ((s % 4294967296) * 6364136223846793005
+      |     + (((s // 4294967296) * 6364136223846793005) % 4294967296)
+      |       * 4294967296
+      |     + 1442695040888963407) % 18446744073709551616
+      |  FROM px WHERE n < w * h
+      |),
+      |lums AS (
+      |  SELECT id, w, h, n - 1 AS p,
+      |    CAST((s // 1099511627776) % 256 + (s // 4294967296) % 256
+      |         + (s // 16777216) % 256 AS BIGINT) AS lum
+      |  FROM px WHERE n >= 1
+      |),
+      |cells AS (
+      |  SELECT id,
+      |    CAST(least(7, ((p // w) * 8) // h) * 8
+      |         + least(7, ((p % w) * 8) // w) AS BIGINT) AS cell, lum
+      |  FROM lums
+      |),
+      |cm AS (SELECT id, cell, SUM(lum) // COUNT(*) AS mean
+      |       FROM cells GROUP BY id, cell),
+      |gm AS (SELECT id, SUM(mean) // 64 AS g FROM cm GROUP BY id),
+      |phl AS (
+      |  SELECT cm.id,
+      |    SUM(CASE WHEN mean > g AND cell < 32
+      |        THEN (CAST(1 AS BIGINT) << CAST(cell AS INT)) ELSE 0 END) AS hl,
+      |    SUM(CASE WHEN mean > g AND cell >= 32
+      |        THEN (CAST(1 AS BIGINT) << CAST(cell - 32 AS INT)) ELSE 0 END)
+      |      AS hh
+      |  FROM cm JOIN gm ON cm.id = gm.id GROUP BY cm.id
+      |),
+      |ph AS (
+      |  SELECT id, CAST(CASE WHEN uh >= 9223372036854775808
+      |    THEN uh - 18446744073709551616 ELSE uh END AS BIGINT) AS phash,
+      |    uh
+      |  FROM (SELECT id, CAST(hh AS HUGEINT) * 4294967296 + hl AS uh FROM phl)
+      |),
+      |bands AS (
+      |  SELECT id, phash, CAST(b AS BIGINT) AS band,
+      |    CAST((uh // (CASE CAST(b AS INT) WHEN 0 THEN 1 WHEN 1 THEN 65536
+      |      WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536
+      |      AS BIGINT) AS key
+      |  FROM ph CROSS JOIN range(0, 4) r(b)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS ida, a.phash AS pa, b.id AS idb, b.phash AS pb
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+      |)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ph) AS n_images,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand
+      |   WHERE bit_count(xor(pa, pb)) <= 6) AS n_near_dups""".stripMargin
+
   // Image near-dup via banded perceptual hash: 64-bit average-hash per
   // decoded image (Multimodal.pHash64 — integer luminance grid), blocked
   // into 4 16-bit bands (the simhash trick: any pair within Hamming
   // distance 6 of a 64-bit hash must agree exactly on ≥1 of 4 bands), so
   // candidates come from band-bucket joins — never an all-pairs scan —
-  // and only candidates pay the bit_count verify. Golden-hashed (the
-  // decode runs in the JVM; no SQL oracle can reproduce ImageIO).
-  qNo("multimodal_phash") { (s, dir) =>
+  // and only candidates pay the bit_count verify. DuckDB-oracled since
+  // r10 (see phashOracleSql — PNG losslessness makes the decode a pure
+  // integer function of doc_id on these fixtures).
+  q("multimodal_phash", phashOracleSql) { (s, dir) =>
     val media = Multimodal.mediaFromDocuments(s, Tables(s, dir, "documents"),
       kinds = Seq("image"))
     // persist the decode product: phashFrame (PNG encode + ImageIO decode,
