@@ -99,6 +99,160 @@ object MurmurOracle {
        |)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // XXH64 (Spark's xxhash64, seed 42) + CRC32 replay — promotes
+  // fn_hash_native past "JVM-seeded, no cross-engine twin": both are
+  // pure integer recurrences over the UTF-8 bytes. 64-bit wraparound has
+  // no direct DuckDB spelling (BIGINT overflow throws; HUGEINT overflows
+  // at 64x64-bit products), so state lives UNSIGNED in HUGEINT and every
+  // product routes through a 32-bit limb split; xor drops to BIGINT
+  // two's complement (== unsigned xor mod 2^64) and comes back.
+  // ---------------------------------------------------------------------
+
+  private val M64 = "18446744073709551616"
+  private val XP1 = "11400714785074694791" // 0x9E3779B185EBCA87
+  private val XP2 = "14029467366897019727" // 0xC2B2AE3D27D4EB4F
+  private val XP3 = "1609587929392839161"  // 0x165667B19E3779F9
+  private val XP4 = "9650029242287828579"  // 0x85EBCA77C2B2AE63
+  private val XP5 = "2870177450012600261"  // 0x27D4EB2F165667C5
+
+  /** (a*b) mod 2^64: lo*lo + ((lo*hi + hi*lo) mod 2^32)<<32 — every term
+    * stays under 2^96, inside HUGEINT. */
+  private def mul64(a: String, b: String) =
+    s"((($a) % 4294967296) * (($b) % 4294967296)" +
+      s" + (((($a) % 4294967296) * (($b) // 4294967296)" +
+      s" + (($a) // 4294967296) * (($b) % 4294967296)) % 4294967296)" +
+      s" * 4294967296) % $M64"
+  private def add64(a: String, b: String) = s"((($a) + ($b)) % $M64)"
+  private def rotl64(x: String, r: Int) = {
+    val lo = BigInt(1) << (64 - r)
+    s"(((($x) % $lo) * ${BigInt(1) << r}) + (($x) // $lo))"
+  }
+  private def xor64(a: String, b: String) = {
+    def sgn(v: String) = s"CAST(CASE WHEN ($v) >= 9223372036854775808 " +
+      s"THEN ($v) - $M64 ELSE ($v) END AS BIGINT)"
+    val x = s"xor(${sgn(a)}, ${sgn(b)})"
+    s"(CASE WHEN ($x) < 0 THEN CAST(($x) AS HUGEINT) + $M64 " +
+      s"ELSE CAST(($x) AS HUGEINT) END)"
+  }
+  /** XXH64's round: rotl31(acc + input*P2) * P1. */
+  private def xRound(acc: String, inp: String) =
+    mul64(rotl64(add64(acc, mul64(inp, XP2)), 31), XP1)
+  private def xRound0(inp: String) =
+    mul64(rotl64(mul64(inp, XP2), 31), XP1)
+
+  private def byteAt(i: String) =
+    s"(strpos('0123456789ABCDEF', substr(hx, 2*($i)+1, 1)) - 1) * 16" +
+      s" + (strpos('0123456789ABCDEF', substr(hx, 2*($i)+2, 1)) - 1)"
+  /** Little-endian word of `nb` bytes at 0-based byte offset `off`. */
+  private def wordLE(off: String, nb: Int) =
+    (0 until nb).map(k =>
+      s"CAST(bs[($off)+${k + 1}] AS HUGEINT) * ${BigInt(1) << (8 * k)}")
+      .mkString("(", " + ", ")")
+
+  /** java.util.zip.CRC32's IEEE-802.3 reflected table, computed here the
+    * same way the JDK builds it (not hand-copied). */
+  private def crcTable: IndexedSeq[Long] = (0 until 256).map { nn =>
+    var c = nn.toLong
+    var k = 0
+    while (k < 8) {
+      c = if ((c & 1) == 1) (c >>> 1) ^ 0xEDB88320L else c >>> 1
+      k += 1
+    }
+    c
+  }
+
+  /** Full fn_hash_native oracle: (doc_id, h_xx64, h_crc32) per document,
+    * exactly Spark's xxhash64(text) / crc32(text). Lane accumulators are
+    * INDEPENDENT folds (lane j only ever consumes stripe word j), so the
+    * 4-lane state needs no struct; the <=3-word / <=3-byte tails are
+    * folds too; the merge + avalanche are staged single-column CTEs
+    * because each step reads its own output twice. */
+  def fnHashSql: String = {
+    val tbl = crcTable.mkString("[", ", ", "]")
+    def lane(init: String, woff: String) =
+      s"""list_reduce(list_prepend(CAST($init AS HUGEINT) % $M64,
+         |      list_transform(range(0, n // 32), t -> ${wordLE(woff, 8)})),
+         |      (h, wv) -> ${xRound("h", "wv")})""".stripMargin
+    def merge(prev: String, v: String) =
+      s"CASE WHEN n >= 32 THEN ${add64(mul64(xor64(prev, xRound0(v)), XP1), XP4)} ELSE $prev END"
+    s"""WITH b0 AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS n
+       |  FROM documents
+       |),
+       |bl AS (
+       |  SELECT doc_id, n,
+       |    list_transform(range(0, n), i -> ${byteAt("CAST(i AS INT)")}) AS bs
+       |  FROM b0
+       |),
+       |lanes AS (
+       |  SELECT doc_id, n, bs,
+       |    ${lane(s"(42 + $XP1) % $M64 + $XP2", "32*CAST(t AS INT)")} AS v1,
+       |    ${lane(s"42 + $XP2", "32*CAST(t AS INT)+8")} AS v2,
+       |    ${lane("42", "32*CAST(t AS INT)+16")} AS v3,
+       |    ${lane(s"$M64 + 42 - $XP1", "32*CAST(t AS INT)+24")} AS v4
+       |  FROM bl
+       |),
+       |m0 AS (
+       |  SELECT doc_id, n, bs, v1, v2, v3, v4,
+       |    CASE WHEN n >= 32 THEN
+       |      (${rotl64("v1", 1)} + ${rotl64("v2", 7)} + ${rotl64("v3", 12)}
+       |       + ${rotl64("v4", 18)}) % $M64
+       |    ELSE CAST(42 + $XP5 AS HUGEINT) END AS h
+       |  FROM lanes
+       |),
+       |m1 AS (SELECT doc_id, n, bs, v2, v3, v4, ${merge("h", "v1")} AS h FROM m0),
+       |m2 AS (SELECT doc_id, n, bs, v3, v4, ${merge("h", "v2")} AS h FROM m1),
+       |m3 AS (SELECT doc_id, n, bs, v4, ${merge("h", "v3")} AS h FROM m2),
+       |m4 AS (SELECT doc_id, n, bs,
+       |  ${add64(merge("h", "v4"), "n")} AS h FROM m3),
+       |t8 AS (
+       |  SELECT doc_id, n, bs,
+       |    list_reduce(list_prepend(h,
+       |      list_transform(range(0, (n % 32) // 8), t ->
+       |        ${wordLE("32*(n // 32) + 8*CAST(t AS INT)", 8)})),
+       |      (h, wv) -> ${add64(mul64(rotl64(xor64("h", xRound0("wv")), 27), XP1), XP4)}) AS h
+       |  FROM m4
+       |),
+       |t4 AS (
+       |  SELECT doc_id, n, bs,
+       |    CASE WHEN n % 8 >= 4 THEN
+       |      ${add64(mul64(rotl64(xor64("h", mul64(wordLE("(n // 8) * 8", 4), XP1)), 23), XP2), XP3)}
+       |    ELSE h END AS h
+       |  FROM t8
+       |),
+       |tb AS (
+       |  SELECT doc_id, n,
+       |    list_reduce(list_prepend(h,
+       |      list_transform(range((n // 4) * 4, n), i ->
+       |        CAST(bs[CAST(i AS INT)+1] AS HUGEINT))),
+       |      (h, bv) -> ${mul64(rotl64(xor64("h", mul64("bv", XP5)), 11), XP1)}) AS h
+       |  FROM t4
+       |),
+       |a1 AS (SELECT doc_id, n, ${xor64("h", "h // 8589934592")} AS h FROM tb),
+       |a2 AS (SELECT doc_id, n, ${mul64("h", XP2)} AS h FROM a1),
+       |a3 AS (SELECT doc_id, n, ${xor64("h", "h // 536870912")} AS h FROM a2),
+       |a4 AS (SELECT doc_id, n, ${mul64("h", XP3)} AS h FROM a3),
+       |a5 AS (SELECT doc_id, n, ${xor64("h", "h // 4294967296")} AS h FROM a4),
+       |xx AS (
+       |  SELECT doc_id, CAST(CASE WHEN h >= 9223372036854775808
+       |    THEN h - $M64 ELSE h END AS BIGINT) AS h_xx64
+       |  FROM a5
+       |),
+       |tblv AS (SELECT $tbl AS tbl),
+       |crc AS (
+       |  SELECT doc_id,
+       |    CAST(xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), bs),
+       |      (c, b) -> xor(c // 256, tbl[xor(c % 256, b) + 1])),
+       |      4294967295) AS BIGINT) AS h_crc32
+       |  FROM bl CROSS JOIN tblv
+       |)
+       |SELECT xx.doc_id, h_xx64, h_crc32
+       |FROM xx JOIN crc ON xx.doc_id = crc.doc_id
+       |ORDER BY xx.doc_id""".stripMargin
+  }
+
   /** Full oracle for minhashPairsML: shingle CTEs are supplied by the
     * caller (must define `e(doc_id, sg)`); emits (id_a, id_b, jaccard). */
   def minhashMlSql(shingleCtes: String, seed: Long, numHashTables: Int,

@@ -202,8 +202,12 @@ object Scalars extends QueryPack {
       .orderBy("o_orderkey")
   }
 
-  // xxhash64/crc32 have no cross-engine twins — declared separately, no oracle
-  qNo("fn_hash_native") { (s, dir) =>
+  // xxhash64/crc32 — DuckDB-oracled cell-exact since r10: both are pure
+  // integer recurrences over the UTF-8 bytes (XXH64 seed-42 lanes/merge/
+  // avalanche, the JDK's reflected IEEE-802.3 CRC), replayed by
+  // MurmurOracle.fnHashSql as HUGEINT limb arithmetic. The r9 "no
+  // cross-engine twin" claim was about built-ins, not computability.
+  q("fn_hash_native", MurmurOracle.fnHashSql) { (s, dir) =>
     Tables(s, dir, "documents")
       .select(col("doc_id"), xxhash64(col("text")).as("h_xx64"), crc32(col("text")).as("h_crc32"))
       .orderBy("doc_id")
