@@ -188,27 +188,31 @@ object Dedup {
     * 28 bits of the second half (2·bits + 1, so h2 can never be 0 and
     * collapse the family onto h1): disjoint digest bits, so the derived
     * family keeps the pairwise independence LSH banding needs. */
-  def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   k: Int, numHashes: Int, bands: Int, tau: Double): DataFrame =
-  // same memo seam as jaccardPairs: llm_dedup_minhash and llm_dedup_eval
-  // share (corpus, params) in one session
+  /** (id, band, bucket) LSH band assignment — the candidate-generation
+    * stage of [[minhashPairs]], exposed on its own because the STREAMING
+    * ingest dedup (streaming.NearDedup via stream_near_dedup) keys its
+    * state store on exactly these buckets. signature[i] = min over
+    * shingles of (h1 + i·h2) — Kirsch-Mitzenmacher double hashing: 2 md5
+    * digest slices per shingle instead of numHashes draws; the derived
+    * family keeps the min-wise independence LSH banding needs.
+    * h2 = 2·(28 digest bits) + 1 is forced ODD (r8 advice): h2 = 0 had
+    * probability 2^-28 per shingle and would collapse all derived hashes
+    * to h1, quietly weakening the family's pairwise independence; the
+    * oracle twin applies the identical *2+1 (intentional r9 re-baseline).
+    * h1 < 2^60 and h2 < 2^29 bound h1 + i*h2 below 2^63 for i ≤ 2^33, so
+    * the sum never overflows (ANSI mode throws on wrap, and a wrapped min
+    * would not be a valid permutation surrogate anyway). Band j hashes
+    * signature rows [j·r, (j+1)·r); the bucket is an md5 slice of the
+    * comma-joined values — an 8-byte join/state key, never the string. */
+  def minhashBands(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int, numHashes: Int, bands: Int): DataFrame =
   PlanMemo.memoized(pairMemo, 16,
       (docs.sparkSession, docs.queryExecution.logical.semanticHash(),
-        s"mh|$textCol|$idCol|$k|$numHashes|$bands|$tau")) {
+        s"mhb|$textCol|$idCol|$k|$numHashes|$bands")) {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes <= (1 << 26), "derived-hash family bound")
     val rows = numHashes / bands
     val sh = pin(shingleSets(docs, textCol, idCol, k))
-    // signature[i] = min over shingles of (h1 + i*h2) — Kirsch-Mitzenmacher
-    // double hashing: 2 digest slices per shingle instead of numHashes, the
-    // derived family keeps the min-wise independence LSH banding needs.
-    // h2 = 2·(28 digest bits) + 1 is forced ODD (r8 advice): h2 = 0 had
-    // probability 2^-28 per shingle and would collapse all derived hashes
-    // to h1, quietly weakening the family's pairwise independence; the
-    // oracle twin applies the identical *2+1 (intentional r9 re-baseline).
-    // h1 < 2^60 and h2 < 2^29 bound h1 + i*h2 below 2^63 for i ≤ 2^33, so
-    // the sum never overflows (ANSI mode throws on wrap, and a wrapped min
-    // would not be a valid permutation surrogate anyway).
-    require(numHashes <= (1 << 26), "derived-hash family bound")
     val minHashes = (0 until numHashes).map(i =>
       min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     val dig = md5(col("s").cast("binary"))
@@ -218,11 +222,7 @@ object Dedup {
         (conv(substring(dig, 17, 7), 16, 10).cast("long") * 2 + 1).as("h2"))
       .groupBy("id")
       .agg(minHashes.head, minHashes.tail: _*)
-    // band j hashes rows [j*r, (j+1)*r) — the bucket is an md5 slice of the
-    // comma-joined signature values, portable for the same reason as the
-    // row hashes (an 8-byte join key still, never the value string itself
-    // past this projection)
-    val banded = sig.select(col("id"),
+    sig.select(col("id"),
       explode(array((0 until bands).map(j =>
         struct(lit(j).as("band"),
           conv(substring(md5(concat_ws(",",
@@ -230,6 +230,17 @@ object Dedup {
             .cast("binary")), 1, 15), 16, 10).cast("long")
             .as("bucket"))): _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int, numHashes: Int, bands: Int, tau: Double): DataFrame =
+  // same memo seam as jaccardPairs: llm_dedup_minhash and llm_dedup_eval
+  // share (corpus, params) in one session
+  PlanMemo.memoized(pairMemo, 16,
+      (docs.sparkSession, docs.queryExecution.logical.semanticHash(),
+        s"mh|$textCol|$idCol|$k|$numHashes|$bands|$tau")) {
+    val sh = pin(shingleSets(docs, textCol, idCol, k))
+    val banded = minhashBands(docs, textCol, idCol, k, numHashes, bands)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")

@@ -225,7 +225,9 @@ object LlmOps extends QueryPack {
     * candidates) and `mh` (the tau=0.3 pair set); [[oSimhash]] = the md5
     * simhash chain ending in `shd` (candidate Hamming distances) and
     * `simp` (the Hamming≤3 pair set). */
-  private val oShingles =
+  // private[queries]: the shingle + band CTEs are shared with the
+  // Streaming pack's stream_near_dedup oracle (same corpus, same banding)
+  private[queries] val oShingles =
     """t AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3
@@ -248,7 +250,7 @@ object LlmOps extends QueryPack {
       |         JOIN n nb ON i.id_b = nb.doc_id
       |), near AS (SELECT id_a, id_b FROM nearj WHERE jaccard >= 0.3)""".stripMargin
 
-  private val oMinhash =
+  private[queries] val oMinhashBands =
     """hh AS (
       |  SELECT doc_id,
       |    CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) AS h1,
@@ -264,7 +266,11 @@ object LlmOps extends QueryPack {
       |      string_agg(CAST(hv AS VARCHAR), ',' ORDER BY i)), 1, 15))
       |      AS BIGINT) AS bucket
       |  FROM sig GROUP BY doc_id, i // 4
-      |), cand AS (
+      |)""".stripMargin
+
+  private val oMinhash =
+    s"$oMinhashBands, cand AS (" +
+    """
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM band a JOIN band b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id

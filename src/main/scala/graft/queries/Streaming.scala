@@ -897,4 +897,46 @@ object Streaming extends QueryPack {
         (col("pfix").cast("double") / lit(1000000000000L)).as("steady_prob"))
       .orderBy("event_type")
   }
+
+  // Ingest-side near-dup detection: MinHash band buckets into a keyed
+  // state store, each bucket remembering its smallest doc_id (the
+  // "anchor"); a doc is flagged when ANY of its 8 bands lands in a bucket
+  // anchored by a smaller id — the drop/flag-at-ingest decision a
+  // streaming corpus pipeline makes BEFORE offline verification (the
+  // batch family's llm_dedup_minhash holds the verified-pair contract).
+  // flatMapGroupsWithState (NearDedup.bucketHits) runs the same operator
+  // in batch (graded here: anchor = bucket min, a pure corpus function)
+  // and in streaming (state across micro-batches; in-order parity pinned
+  // by StreamingSpec). Scale: state is one long per non-empty bucket,
+  // shuffle key is the 8-byte (band, bucket) — never all-pairs. The
+  // oracle reuses llm_dedup_minhash's shingle/signature/band CTEs and
+  // replays anchor = min over the doc's buckets of the bucket min.
+  q("stream_near_dedup",
+    s"""WITH ${LlmOps.oShingles},
+       |${LlmOps.oMinhashBands},
+       |bm AS (
+       |  SELECT band, bucket, MIN(doc_id) AS m
+       |  FROM band GROUP BY band, bucket
+       |),
+       |an AS (
+       |  SELECT b.doc_id, MIN(bm.m) AS anchor
+       |  FROM band b JOIN bm ON b.band = bm.band AND b.bucket = bm.bucket
+       |  GROUP BY b.doc_id
+       |)
+       |SELECT doc_id, anchor,
+       |  CAST(CASE WHEN anchor < doc_id THEN 1 ELSE 0 END AS INT) AS is_dup
+       |FROM an ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val rows = graft.ops.Dedup.minhashBands(Tables(s, dir, "documents"),
+        "text", "doc_id", k = 3, numHashes = 32, bands = 8)
+      .select(col("id").as("doc_id"), col("band").cast("int").as("band"),
+        col("bucket"))
+      .as[graft.streaming.NearDedup.BandRow]
+    graft.streaming.NearDedup.bucketHits(rows)
+      .groupBy("doc_id")
+      .agg(min(col("anchor")).as("anchor"))
+      .select(col("doc_id"), col("anchor"),
+        (col("anchor") < col("doc_id")).cast("int").as("is_dup"))
+      .orderBy("doc_id")
+  }
 }
