@@ -88,6 +88,25 @@ object ScaleStress {
       ops.Dedup.substringSpans(d10).count())
     time("minhash pairs 1x")(ops.Dedup.minhashPairs(d1, "text", "doc_id", 3, 32, 8, 0.3).count())
     time("minhash pairs 10x")(ops.Dedup.minhashPairs(d10, "text", "doc_id", 3, 32, 8, 0.3).count())
+    // ingest-side near-dedup (stream_near_dedup's batch path): work =
+    // banding (the minhash signature pass) + ONE shuffle on the 8-byte
+    // (band, bucket) key into flatMapGroupsWithState; state is one long
+    // per non-empty bucket, so the printed bucket count IS the state-store
+    // size a streaming deployment carries
+    def nearDedupFlags(d: DataFrame) = {
+      import spark.implicits._
+      val rows = ops.Dedup.minhashBands(d, "text", "doc_id", 3, 32, 8)
+        .select(col("id").as("doc_id"), col("band").cast("int").as("band"),
+          col("bucket")).as[streaming.NearDedup.BandRow]
+      streaming.NearDedup.bucketHits(rows)
+        .groupBy("doc_id").agg(min(col("anchor")).as("anchor"))
+        .filter(col("anchor") < col("doc_id")).count()
+    }
+    time("stream near-dedup flags 1x (5k docs)")(nearDedupFlags(d1))
+    time("stream near-dedup flags 10x (50k docs)")(nearDedupFlags(d10))
+    time("stream near-dedup state buckets 10x")(
+      ops.Dedup.minhashBands(d10, "text", "doc_id", 3, 32, 8)
+        .select("band", "bucket").distinct().count())
     time("simhash pairs 10x")(ops.Dedup.simhashPairs(d10, "text", "doc_id", 3).count())
     time("ann lsh topk 10x (20k corpus)")(
       ops.Sim.annTopK(e10.filter(col("vec_id") < 10), e10, 5).count())
