@@ -274,6 +274,18 @@ class PlanShapeSpec extends SparkSpec {
         s"${offenders.mkString(", ")}")
   }
 
+  test("stream_near_dedup: exactly one state op keyed on (band, bucket), " +
+    "no join anywhere in the ingest path") {
+    val p = plan("stream_near_dedup")
+    // batch planner lowers flatMapGroupsWithState to MapGroupsExec (one
+    // group invocation — the graded semantics); streaming mode's
+    // FlatMapGroupsWithStateExec parity is pinned in StreamingSpec
+    assert(p.linesIterator.count(_.contains("MapGroups")) == 1, p)
+    // the dedup decision is bucket-local: no join may appear (a join would
+    // mean the plan regressed to pair generation — the batch family's job)
+    assert(!p.contains("Join"), s"ingest near-dedup plans a join:\n$p")
+  }
+
   test("llm_substring_dedup: anchor-blocked joins only — no cartesian, hashed anchors") {
     // the graded query localCheckpoints its memoized span frame (plan
     // truncation by design), so pin the ops-level plan it wraps
