@@ -171,13 +171,19 @@ object Sources extends QueryPack {
       |  CAST(size AS BIGINT) AS length, md5(hex(content)) AS content_md5
       |FROM read_blob('/tmp/graft_io/binary_scan/*.parquet')
       |ORDER BY table_name""") { (s, dir) =>
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    // Files.list streams hold a directory fd until closed — leak-free via
+    // try/finally (this runs once per query build, but bench loops it)
+    def listDir[T](d: Path)(f: java.util.stream.Stream[Path] => T): T = {
+      val st = Files.list(d)
+      try f(st) finally st.close()
+    }
     val stage = Paths.get("/tmp/graft_io/binary_scan")
     Files.createDirectories(stage)
-    Files.list(stage).forEach(p => Files.delete(p))
-    Files.list(Paths.get(dir)).filter(_.toString.endsWith(".parquet"))
+    listDir(stage)(_.forEach(p => Files.delete(p)))
+    listDir(Paths.get(dir))(_.filter(_.toString.endsWith(".parquet"))
       .forEach(p => Files.copy(p, stage.resolve(p.getFileName),
-        StandardCopyOption.REPLACE_EXISTING))
+        StandardCopyOption.REPLACE_EXISTING)))
     s.read.format("binaryFile").load(s"$stage/*.parquet")
       .select(regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("table_name"),
         col("length"), md5(hex(col("content"))).as("content_md5"))
