@@ -160,34 +160,42 @@ object Sources extends QueryPack {
   // binaryFile source: whole files as opaque binary blobs + metadata — the
   // ingestion shape for multimodal assets (images/audio) at 100 TB, where
   // the blob rides an opaque binary column and only metadata is relational.
-  // DuckDB-oracled cell-exact (r10 pool shrink): the fixture files are
-  // staged at a fixed path (the scan_csv_corrupt round-trip device — the
-  // static oracle string can't see the sf dir) and read back by DuckDB's
-  // read_blob; the content digest is md5 over the UPPERCASE hex encoding
-  // because both engines spell that identically (DuckDB 1.x md5 only
-  // binds VARCHAR), replacing the r9 xxhash64 (JVM-seeded → was golden).
+  // DuckDB-oracled cell-exact (r10 pool shrink): blobs are staged at a
+  // fixed path (the static oracle string can't see the sf dir) and read
+  // back by DuckDB's read_blob; the digest is md5 over the UPPERCASE hex
+  // encoding because both engines spell that identically (DuckDB 1.x md5
+  // only binds VARCHAR), replacing the r9 xxhash64 (JVM-seeded → golden).
+  // The staged content is a deterministic LCG byte stream, NOT a copy of
+  // the sf-dependent fixtures (the r10 review caught that: a second build
+  // for a different sf dir, or a concurrent JVM, would silently change
+  // what an earlier lazy DataFrame reads). Constant content makes the
+  // staging IDEMPOTENT — any concurrent writer writes identical bytes —
+  // and each file lands via temp + ATOMIC_MOVE so readers never observe a
+  // partial blob.
   q("scan_binary",
-    """SELECT regexp_extract(filename, '([^/]+)\.parquet$', 1) AS table_name,
+    """SELECT regexp_extract(filename, '([^/]+)\.bin$', 1) AS blob_name,
       |  CAST(size AS BIGINT) AS length, md5(hex(content)) AS content_md5
-      |FROM read_blob('/tmp/graft_io/binary_scan/*.parquet')
-      |ORDER BY table_name""") { (s, dir) =>
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-    // Files.list streams hold a directory fd until closed — leak-free via
-    // try/finally (this runs once per query build, but bench loops it)
-    def listDir[T](d: Path)(f: java.util.stream.Stream[Path] => T): T = {
-      val st = Files.list(d)
-      try f(st) finally st.close()
-    }
+      |FROM read_blob('/tmp/graft_io/binary_scan/*.bin')
+      |ORDER BY blob_name""") { (s, dir) =>
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val stage = Paths.get("/tmp/graft_io/binary_scan")
     Files.createDirectories(stage)
-    listDir(stage)(_.forEach(p => Files.delete(p)))
-    listDir(Paths.get(dir))(_.filter(_.toString.endsWith(".parquet"))
-      .forEach(p => Files.copy(p, stage.resolve(p.getFileName),
-        StandardCopyOption.REPLACE_EXISTING)))
-    s.read.format("binaryFile").load(s"$stage/*.parquet")
-      .select(regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("table_name"),
+    for (i <- 0 until 12) {
+      val bytes = new Array[Byte](512 + 137 * i)
+      var st = 0x9E3779B97F4A7C15L * (i + 1)
+      for (j <- bytes.indices) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        bytes(j) = (st >>> 56).toByte
+      }
+      val tmp = Files.createTempFile(stage, ".blob", ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, stage.resolve(f"blob_$i%02d.bin"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    s.read.format("binaryFile").load(s"$stage/*.bin")
+      .select(regexp_extract(col("path"), "([^/]+)\\.bin$", 1).as("blob_name"),
         col("length"), md5(hex(col("content"))).as("content_md5"))
-      .orderBy("table_name")
+      .orderBy("blob_name")
   }
 
   // CSV round-trip under hostile content: fields carrying the delimiter,

