@@ -1656,6 +1656,66 @@ object LlmOps extends QueryPack {
       .limit(20)
   }
 
+  // Interpolated Kneser-Ney bigram probabilities for the corpus's top-20
+  // bigrams — the canonical LM smoothing next to text_lm_bigram's add-one:
+  // P_KN(w|v) = (c(vw) − D)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+  // with the textbook discount D = 0.75, which is EXACT in binary — so,
+  // unlike the ln-based perplexity scores, the whole formula is a plain
+  // IEEE tree both engines evaluate bit-identically (each ratio is one
+  // double division of exact integers; max(c−D, 0) is omitted because
+  // every counted bigram has c ≥ 1 > D). Scale shape: ONE corpus
+  // aggregate collapses occurrences to the bigram-TYPE frame; every KN
+  // statistic (context totals c(v·), continuation counts N1+, the type
+  // total) is an aggregate of that frame, never of the corpus; top-20 is
+  // a TakeOrdered and the final joins broadcast the 20-row side.
+  q("text_lm_kneser_ney",
+    """WITH bc AS (
+      |  SELECT bg, COUNT(*) AS c_vw FROM (
+      |    SELECT unnest(list_transform(range(1, len(tk)),
+      |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+      |    FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents)
+      |    WHERE len(tk) >= 2
+      |  ) GROUP BY bg
+      |), bs AS (
+      |  SELECT split_part(bg, ' ', 1) AS v, split_part(bg, ' ', 2) AS w,
+      |    c_vw FROM bc
+      |), ctx AS (
+      |  SELECT v, SUM(c_vw) AS c_v, COUNT(*) AS n1_v FROM bs GROUP BY v
+      |), cont AS (SELECT w, COUNT(*) AS n1_w FROM bs GROUP BY w),
+      |tot AS (SELECT COUNT(*) AS n_types FROM bc),
+      |top AS (
+      |  SELECT v, w, c_vw FROM bs ORDER BY c_vw DESC, v, w LIMIT 20
+      |)
+      |SELECT t.v, t.w, CAST(t.c_vw AS BIGINT) AS n_vw,
+      |  round(CAST(t.c_vw AS DOUBLE) / c_v, 6) AS p_mle,
+      |  round((CAST(t.c_vw AS DOUBLE) - 0.75) / c_v
+      |    + 0.75 * n1_v / c_v * (CAST(n1_w AS DOUBLE) / n_types), 6) AS p_kn
+      |FROM top t JOIN ctx ON t.v = ctx.v JOIN cont ON t.w = cont.w
+      |CROSS JOIN tot
+      |ORDER BY n_vw DESC, t.v, t.w""") { (s, dir) =>
+    val bc = graft.engine.Tables.fan(Tables(s, dir, "documents"))
+      .select(TextOps.tokens(lower(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(TextOps.shingles(col("tk"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_vw"))
+    val bs = bc.select(substring_index(col("bg"), " ", 1).as("v"),
+      substring_index(col("bg"), " ", -1).as("w"), col("c_vw"))
+    val ctx = bs.groupBy("v")
+      .agg(sum("c_vw").as("c_v"), count(lit(1)).as("n1_v"))
+    val cont = bs.groupBy("w").agg(count(lit(1)).as("n1_w"))
+    val tot = bc.agg(count(lit(1)).as("n_types"))
+    val top = bs.select("v", "w", "c_vw")
+      .orderBy(col("c_vw").desc, col("v"), col("w")).limit(20)
+    broadcast(top).join(ctx, "v").join(cont, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("w"), col("c_vw").cast("long").as("n_vw"),
+        round(col("c_vw").cast("double") / col("c_v"), 6).as("p_mle"),
+        round((col("c_vw").cast("double") - lit(0.75)) / col("c_v")
+          + lit(0.75) * col("n1_v") / col("c_v")
+            * (col("n1_w").cast("double") / col("n_types")), 6).as("p_kn"))
+      .orderBy(col("n_vw").desc, col("v"), col("w"))
+  }
+
   // two-stage vector analytics: per-label centroids (fixed-point dimension
   // means, broadcastable — 5 labels × 64 dims) → each vector's Euclidean
   // distance to its own centroid → top-5 outliers per label. The embedding

@@ -4994,7 +4994,44 @@ def audit_conversion_sweep():
     report("events_conversion_window_sweep", mis, 6)
 
 
+def audit_kneser_ney():
+    """Interpolated Kneser-Ney bigram probabilities recomputed from raw
+    docs with a Counter walk (discount 0.75, textbook interpolation)."""
+    from collections import Counter
+    bc = Counter()
+    for (t,) in rows(f"SELECT lower(text) FROM '{SF}/documents.parquet'"):
+        tk = t.split(' ')
+        for i in range(len(tk) - 1):
+            bc[(tk[i], tk[i + 1])] += 1
+    c_v, n1_v, n1_w = Counter(), Counter(), Counter()
+    for (v, w), c in bc.items():
+        c_v[v] += c
+        n1_v[v] += 1
+        n1_w[w] += 1
+    n_types = len(bc)
+    mis = []
+    out = dump("text_lm_kneser_ney")
+    for v, w, n_vw, p_mle, p_kn in out:
+        c = bc[(v, w)]
+        mle = c / c_v[v]
+        kn = (c - 0.75) / c_v[v] + 0.75 * n1_v[v] / c_v[v] * (n1_w[w] / n_types)
+        if n_vw != c:
+            mis.append((v, w, "count", n_vw, c))
+        if not close(p_mle, mle, 1e-5):
+            mis.append((v, w, "mle", p_mle, mle))
+        if not close(p_kn, kn, 1e-5):
+            mis.append((v, w, "kn", p_kn, kn))
+    # the top-20 selection itself: highest counts win (full tiebreak)
+    top = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = [(v, w) for (v, w), _ in top]
+    got = [(v, w) for v, w, *_ in out]
+    if got != want:
+        mis.append(("top20-order", got[:3], want[:3]))
+    report("text_lm_kneser_ney", mis, len(out) * 3 + 1)
+
+
 AUDITS = {
+    "text_lm_kneser_ney": audit_kneser_ney,
     "stats_sign_test": audit_sign_test,
     "events_conversion_window_sweep": audit_conversion_sweep,
     "events_weibull_fit": audit_weibull,
