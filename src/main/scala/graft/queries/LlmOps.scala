@@ -1143,6 +1143,117 @@ object LlmOps extends QueryPack {
       .orderBy("lang", "doc_id")
   }
 
+  // Best-fit-decreasing packing efficiency — the QUALITY benchmark next
+  // to llm_pack_sequences' streaming next-fit: per source, pack docs
+  // (token counts) into 128-token windows by BFD and report bins against
+  // the ceil(total/C) lower bound. BFD is inherently sequential, but its
+  // state is a RESIDUAL MULTISET — a pure function of the per-source
+  // length histogram — so the Spark side collects that domain-bounded
+  // histogram (≤ |sources|×|distinct lengths| rows, BoundedCollect — the
+  // Bradley-Terry / tree_depth2 driver-recursion precedent) and packs in
+  // Scala with a TreeMap, while the oracle replays the identical
+  // decisions with a per-source recursive CTE (one level per doc,
+  // tightest-residual choice as list_min over a filtered list). Ties are
+  // value-ties between interchangeable bins, so both replays agree
+  // exactly. util = one double division of exact integers, rounded once.
+  q("llm_pack_bfd",
+    """WITH RECURSIVE d AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS ln
+      |  FROM documents
+      |),
+      |it AS (
+      |  SELECT source, ln,
+      |    row_number() OVER (PARTITION BY source ORDER BY ln DESC, doc_id)
+      |      AS seq,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_items
+      |  FROM d
+      |),
+      |pack AS (
+      |  SELECT source, CAST(0 AS BIGINT) AS step,
+      |    CAST([] AS BIGINT[]) AS res, n_items
+      |  FROM (SELECT DISTINCT source, n_items FROM it)
+      |  UNION ALL
+      |  SELECT p.source, p.step + 1,
+      |    CASE WHEN fit.r IS NULL THEN list_append(p.res, 128 - i.ln)
+      |         ELSE list_append(
+      |           p.res[1:list_position(p.res, fit.r)-1]
+      |             || p.res[list_position(p.res, fit.r)+1:],
+      |           fit.r - i.ln) END,
+      |    p.n_items
+      |  FROM pack p
+      |  JOIN it i ON i.source = p.source AND i.seq = p.step + 1,
+      |  LATERAL (SELECT list_min(list_filter(p.res, x -> x >= i.ln)) AS r)
+      |    fit
+      |  WHERE p.step < p.n_items
+      |),
+      |tot AS (
+      |  SELECT source, COUNT(*) AS n_docs, SUM(ln) AS total_tokens FROM d
+      |  GROUP BY source
+      |)
+      |SELECT t.source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(total_tokens AS BIGINT) AS total_tokens,
+      |  CAST(len(f.res) AS BIGINT) AS bins,
+      |  CAST((total_tokens + 127) // 128 AS BIGINT) AS lower_bound,
+      |  floor(CAST(total_tokens AS DOUBLE) / (len(f.res) * 128)
+      |    * 1000000 + 0.5) / 1000000 AS util
+      |FROM tot t
+      |JOIN (SELECT source, res FROM pack WHERE step = n_items) f
+      |  ON t.source = f.source
+      |ORDER BY t.source""") { (s, dir) =>
+    val C = 128L
+    val hist = Tables(s, dir, "documents")
+      .select(col("source"), size(TextOps.tokens(col("text"))).as("ln"))
+      .groupBy("source", "ln").agg(count(lit(1)).as("cnt"))
+    val rows = graft.ops.BoundedCollect.rows(hist,
+      "llm_pack_bfd per-source length histogram (|sources| x |lengths|, " +
+        "domain-bounded)")
+    val out = rows.groupBy(_.getAs[String]("source")).toSeq.map {
+      case (src, hs) =>
+        val classes = hs.map(r =>
+          (r.getAs[Int]("ln").toLong, r.getAs[Long]("cnt")))
+          .sortBy(-_._1)
+        // scala TreeMap, NOT java.util.TreeMap[Long, Long]: ceilingKey's
+        // null would silently unbox to 0L under scala.Long type params.
+        // Placements are BATCHED per (bin, class): once a bin is the
+        // tightest fit for length ln, it STAYS tightest while its residual
+        // is >= ln (fit was the minimum >= ln and fit−ln is smaller than
+        // every other candidate), so it absorbs exactly floor(fit/ln)
+        // consecutive identical items in one step — driver work is
+        // O(absorption batches), not O(documents), and each batch is one
+        // TreeMap op. Identical end state to item-by-item BFD.
+        val res = scala.collection.mutable.TreeMap.empty[Long, Long]
+        def put(r: Long, n: Long): Unit =
+          res.update(r, res.getOrElse(r, 0L) + n)
+        var bins = 0L
+        var total = 0L
+        var nDocs = 0L
+        for ((ln, cnt) <- classes) {
+          total += ln * cnt; nDocs += cnt
+          var k = cnt
+          while (k > 0) {
+            res.minAfter(ln) match { // smallest residual >= ln
+              case Some((fit, c)) =>
+                val t = math.min(fit / ln, k) // one bin absorbs fit/ln items
+                if (c == 1L) res.remove(fit) else res.update(fit, c - 1)
+                put(fit - t * ln, 1)
+                k -= t
+              case None =>
+                val t = math.min(math.max(C / ln, 1L), k) // fresh bin
+                bins += 1
+                put(C - t * ln, 1)
+                k -= t
+            }
+          }
+        }
+        (src, nDocs, total, bins, (total + C - 1) / C,
+          math.floor(total.toDouble / (bins * C) * 1000000 + 0.5) / 1000000)
+    }
+    import s.implicits._
+    out.sortBy(_._1)
+      .toDF("source", "n_docs", "total_tokens", "bins", "lower_bound", "util")
+      .orderBy("source")
+  }
+
   // Cross-snapshot dedup — the "dedup the new crawl against the existing
   // corpus" pass (every incremental pretraining refresh runs this before
   // ingesting a snapshot). Reference corpus = src0..src9, new crawl =

@@ -4994,6 +4994,37 @@ def audit_conversion_sweep():
     report("events_conversion_window_sweep", mis, 6)
 
 
+def audit_pack_bfd():
+    """Best-fit-decreasing packing replayed item-by-item in Python (the
+    Spark side batches placements per (bin, class); the oracle recurses
+    per item in SQL; this is a third, list-based replay)."""
+    C = 128
+    per = {}
+    for s, t in rows("SELECT source, text "
+                     f"FROM '{SF}/documents.parquet'"):
+        per.setdefault(s, []).append(len(t.split(' ')))
+    mis = []
+    out = dump("llm_pack_bfd")
+    for source, n_docs, total_tokens, bins, lower_bound, util in out:
+        lens = per[source]
+        res = []
+        for ln in sorted(lens, reverse=True):
+            fits = [r for r in res if r >= ln]
+            if fits:
+                r = min(fits)
+                res.remove(r)
+                res.append(r - ln)
+            else:
+                res.append(C - ln)
+        t = sum(lens)
+        want = (len(lens), t, len(res), -(-t // C),
+                math.floor(t / (len(res) * C) * 1e6 + 0.5) / 1e6)
+        got = (n_docs, total_tokens, bins, lower_bound, util)
+        if got[:4] != want[:4] or not close(util, want[4], 1e-6):
+            mis.append((source, got, want))
+    report("llm_pack_bfd", mis, len(out) * 5)
+
+
 def audit_kneser_ney():
     """Interpolated Kneser-Ney bigram probabilities recomputed from raw
     docs with a Counter walk (discount 0.75, textbook interpolation)."""
@@ -5031,6 +5062,7 @@ def audit_kneser_ney():
 
 
 AUDITS = {
+    "llm_pack_bfd": audit_pack_bfd,
     "text_lm_kneser_ney": audit_kneser_ney,
     "stats_sign_test": audit_sign_test,
     "events_conversion_window_sweep": audit_conversion_sweep,
