@@ -436,16 +436,20 @@ object Sim {
     * Approximation is two-layer (cell miss + quantized score); the exact
     * brute-force path is the recall oracle — SimBlockedSpec pins the floor.
     */
-  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
-                stride: Int = 25, nProbe: Int = 8,
-                m: Int = 8, nCentroids: Int = 16): DataFrame = {
+  /** PQ encode products shared by [[ivfPqTopK]] (scoring) and
+    * [[pqDistortion]] (quality diagnostics): the per-subspace codebook
+    * (nCentroids lowest-id corpus vectors, sliced — TakeOrdered, no
+    * global sort; code = rank among the seeds), the per-(vector,
+    * subspace) argmin codes (min on a (dist, code) struct is a
+    * lexicographic argmin with deterministic code tiebreak, no window
+    * needed), and the persisted double-cast corpus frame. */
+  def pqEncode(corpus: DataFrame, m: Int, nCentroids: Int)
+      : (DataFrame, DataFrame, DataFrame, Int) = {
     ensureRegistered(corpus)
     val d = inferDim(corpus)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val sub = d / m
     val subIdx = explode(sequence(lit(0), lit(m - 1)))
-    // per-subspace codebook from the nCentroids lowest-id corpus vectors
-    // (TakeOrdered — no global sort); code = rank among the seeds
     val seeds = corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .orderBy("vec_id").limit(nCentroids)
@@ -454,9 +458,6 @@ object Sim {
       .withColumn("subq", subIdx)
       .select(col("code"), col("subq"),
         slice(col("e"), col("subq") * sub + 1, lit(sub)).as("cv"))
-    // corpus encoding: argmin sub-centroid per (vector, subspace) — min on
-    // a (dist, code) struct is a lexicographic argmin with deterministic
-    // code tiebreak, no window needed
     val c = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = c
@@ -469,10 +470,47 @@ object Sim {
       .groupBy("vec_id", "subq")
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col("vec_id"), col("subq"), col("best.code").as("code"))
+    (codebook, codes, c, sub)
+  }
+
+  /** Per-subspace PQ reconstruction error — the quality diagnostic next
+    * to [[ivfPqTopK]]: for every (vector, subspace), the squared L2
+    * distance between the sub-vector and its assigned sub-centroid,
+    * aggregated to a per-subspace mean. Determinism: the per-row squared
+    * error is one sequential-fold dot over the diff (graft_dot's
+    * association), quantized to a 1e-6 integer BEFORE the sum, so the
+    * per-subspace BIGINT total is aggregation-order-free; the mean
+    * divides once at the end. Work: one encode pass (shared with the
+    * ANN query through the session cache) + one re-join of codes to the
+    * broadcast codebook — never more than O(corpus × m) rows. */
+  def pqDistortion(corpus: DataFrame, m: Int = 8,
+                   nCentroids: Int = 16): DataFrame = {
+    val (codebook, codes, c, sub) = pqEncode(corpus, m, nCentroids)
+    val diff = zip_with(col("ev"), col("cv"), (a, b) => a - b)
+    c.withColumn("subq", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vec_id"), col("subq"),
+        slice(col("ce"), col("subq") * sub + 1, lit(sub)).as("ev"))
+      .join(codes, Seq("vec_id", "subq"))
+      .join(broadcast(codebook), Seq("subq", "code"))
+      .select(col("subq"),
+        floor(dot(diff, diff) * 1000000 + lit(0.5)).cast("long").as("sqfix"))
+      .groupBy("subq")
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum("sqfix").as("sq"))
+      .select(col("subq").cast("int").as("subq"), col("n_vecs"),
+        (floor(col("sq").cast("double") / col("n_vecs") + lit(0.5))
+          / 1000000).as("mse"))
+      .orderBy("subq")
+  }
+
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                stride: Int = 25, nProbe: Int = 8,
+                m: Int = 8, nCentroids: Int = 16): DataFrame = {
+    val (codebook, codes, c, sub) = pqEncode(corpus, m, nCentroids)
     // probe ADC look-up table: fixed-point subspace dot products
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pe"))
     val lut = p
-      .withColumn("subq", subIdx)
+      .withColumn("subq", explode(sequence(lit(0), lit(m - 1))))
       .select(col("probe_id"), col("subq"),
         slice(col("pe"), col("subq") * sub + 1, lit(sub)).as("pv"))
       .join(broadcast(codebook), "subq")

@@ -728,11 +728,14 @@ object LlmOps extends QueryPack {
   // those integers / the rounded exact cosine with vec_id tiebreaks. The
   // oracle replays the full pipeline; recall floor vs the exact path
   // stays pinned in SimBlockedSpec.
-  q("sim_ann_ivfpq",
-    s"""WITH c AS (
+  /** Shared PQ-encode CTE prefix (corpus cast, seed codebooks, corpus
+    * slices, argmin codes) — spliced into both the sim_ann_ivfpq oracle
+    * and emb_pq_distortion's (which grades the SAME encode's
+    * reconstruction quality). */
+  private val oPqEncode =
+    s"""c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |), p AS (SELECT * FROM c WHERE vec_id < 10),
-       |ct AS (SELECT vec_id AS cent_id, e AS cent FROM c WHERE vec_id % 25 = 0),
+       |),
        |dims AS (SELECT CAST(len(e) // 8 AS INT) AS sub FROM c LIMIT 1),
        |seeds AS (
        |  SELECT vec_id, e,
@@ -758,7 +761,12 @@ object LlmOps extends QueryPack {
        |        - 2.0 * ${oDot("cs.ev", "cb.cv")} ASC, cb.code) AS crn
        |    FROM cslice cs JOIN cb ON cs.subq = cb.subq
        |  ) WHERE crn = 1
-       |),
+       |)""".stripMargin
+
+  q("sim_ann_ivfpq",
+    s"""WITH $oPqEncode,
+       |p AS (SELECT * FROM c WHERE vec_id < 10),
+       |ct AS (SELECT vec_id AS cent_id, e AS cent FROM c WHERE vec_id % 25 = 0),
        |pslice AS (
        |  SELECT p.vec_id AS probe_id, q.subq,
        |    p.e[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS pv
@@ -809,6 +817,34 @@ object LlmOps extends QueryPack {
     val emb = Tables(s, dir, "embeddings")
     Sim.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
       .orderBy("probe_id", "rn")
+  }
+
+  // Per-subspace PQ reconstruction error — the quality diagnostic for the
+  // sim_ann_ivfpq layout (how much signal each subspace's 16-entry
+  // codebook destroys — the number you watch when choosing m/nCentroids).
+  // Shares the encode CTE prefix with the ANN oracle and the session
+  // cache with the ANN query (Sim.pqEncode). Determinism: the per-row
+  // squared error is a sequential-fold dot over the element diffs,
+  // quantized to a 1e-6 integer BEFORE the per-subspace sum (order-free
+  // BIGINT), mean divides once at the end.
+  q("emb_pq_distortion",
+    s"""WITH $oPqEncode,
+       |err AS (
+       |  SELECT cs.subq,
+       |    CAST(floor(
+       |      list_reduce(list_prepend(0.0,
+       |        list_transform(list_zip(cs.ev, cb.cv),
+       |          z -> (z[1] - z[2]) * (z[1] - z[2]))),
+       |        (x, y) -> x + y) * 1000000 + 0.5) AS BIGINT) AS sqfix
+       |  FROM cslice cs
+       |  JOIN codes k ON cs.vec_id = k.vec_id AND cs.subq = k.subq
+       |  JOIN cb ON cb.subq = k.subq AND cb.code = k.code
+       |)
+       |SELECT CAST(subq AS INT) AS subq, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  floor(CAST(SUM(sqfix) AS DOUBLE) / COUNT(*) + 0.5) / 1000000 AS mse
+       |FROM err GROUP BY subq
+       |ORDER BY subq""".stripMargin) { (s, dir) =>
+    Sim.pqDistortion(Tables(s, dir, "embeddings")).orderBy("subq")
   }
 
   q("text_stats",
