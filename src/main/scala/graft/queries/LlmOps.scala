@@ -1840,11 +1840,15 @@ object LlmOps extends QueryPack {
       |FROM top t JOIN ctx ON t.v = ctx.v JOIN cont ON t.w = cont.w
       |CROSS JOIN tot
       |ORDER BY n_vw DESC, t.v, t.w""") { (s, dir) =>
+    // persist: FOUR consumers (ctx/cont/tot/top) read this aggregate under
+    // different keys — unpersisted, the corpus tokenize + bigram groupBy
+    // re-runs per branch (the r9 multimodal re-decode class)
     val bc = graft.engine.Tables.fan(Tables(s, dir, "documents"))
       .select(TextOps.tokens(lower(col("text"))).as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(explode(TextOps.shingles(col("tk"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_vw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bs = bc.select(substring_index(col("bg"), " ", 1).as("v"),
       substring_index(col("bg"), " ", -1).as("w"), col("c_vw"))
     val ctx = bs.groupBy("v")
