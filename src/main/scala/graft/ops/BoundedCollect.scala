@@ -22,18 +22,18 @@ import org.apache.spark.sql.execution.columnar.InMemoryRelation
   * the guard's job is catching the obvious regression (a collect whose
   * plan lost its aggregate/limit entirely), not adversarial plans.
   *
-  * Two further known gaps in the same spirit (r9 advice — documented, not
-  * closed, because closing them needs semantic knowledge the plan doesn't
-  * carry): (1) ANY Aggregate counts as a bound, including one grouped on a
-  * corpus-cardinality key (doc_id, user_id) whose output scales with the
-  * corpus — the walker cannot distinguish catalog keys from corpus keys;
-  * (2) a bare LocalLimit without its GlobalLimit partner bounds each
-  * PARTITION at k, so the collected total is k × partitions, which grows
-  * with the cluster, not the data. Every current call site collects a
-  * scalar/handful-row aggregate or a GlobalLimit-ed frame; treat the
-  * error message's "provably bounded" as "bounded modulo these gaps" when
-  * adding a new site, and keep the written boundedness argument at the
-  * call site for the cases the walker can't see. */
+  * The two r9-advice gaps are CLOSED as of r11: (1) an Aggregate whose
+  * grouping keys reference a corpus-cardinality column (the static
+  * [[corpusKeys]] denylist: doc_id, vec_id, event_id, user_id,
+  * l_orderkey — the row-identity columns of the driver's unbounded
+  * tables) no longer counts as a bound, because its output scales with
+  * the corpus, not a catalog; (2) a bare LocalLimit no longer counts —
+  * it bounds each PARTITION at k, so the collected total is
+  * k × partitions, which grows with the cluster. Only GlobalLimit (and
+  * its TakeOrdered physical form) bounds the driver-side total. The
+  * denylist is name-based and best-effort (an alias can launder a corpus
+  * key past it), so keep the written boundedness argument at each call
+  * site for the cases the walker can't see. */
 object BoundedCollect {
 
   /** `df.collect()`, but only if the optimized plan is provably bounded
@@ -48,11 +48,19 @@ object BoundedCollect {
     df.collect()
   }
 
+  /** Row-identity columns of the driver tables whose cardinality IS the
+    * corpus (TESTDATA.md): a group-by on any of these produces one row
+    * per document/vector/event/user/order, so it bounds nothing. */
+  private val corpusKeys =
+    Set("doc_id", "vec_id", "event_id", "user_id", "l_orderkey")
+
   private def boundedPhys(p: SparkPlan): Boolean = p.exists {
-    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      !a.groupingExpressions.exists(_.references.exists(r =>
+        corpusKeys(r.name.toLowerCase)))
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case _: org.apache.spark.sql.execution.CollectLimitExec => true
     case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case _: org.apache.spark.sql.execution.RangeExec => true
     case a: AdaptiveSparkPlanExec => boundedPhys(a.inputPlan)
@@ -62,9 +70,10 @@ object BoundedCollect {
   }
 
   private[graft] def bounded(p: LogicalPlan): Boolean = p.exists {
-    case _: Aggregate => true
+    case a: Aggregate =>
+      !a.groupingExpressions.exists(_.references.exists(r =>
+        corpusKeys(r.name.toLowerCase)))
     case _: GlobalLimit => true
-    case _: LocalLimit => true
     case _: LocalRelation => true
     case _: OneRowRelation => true
     case _: Range => true

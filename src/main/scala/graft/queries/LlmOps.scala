@@ -1237,16 +1237,36 @@ object LlmOps extends QueryPack {
       |  ON t.source = f.source
       |ORDER BY t.source""") { (s, dir) =>
     val C = 128L
-    val hist = Tables(s, dir, "documents")
+    val lens = Tables(s, dir, "documents")
       .select(col("source"), size(TextOps.tokens(col("text"))).as("ln"))
+    // A doc with ln >= C never fits an existing bin (every residual is
+    // < C), so it opens exactly one fresh bin whose residual (<= 0) can
+    // never be a best-fit for any later item — only its COUNT affects
+    // packing, and BFD's descending order processes these largest items
+    // first anyway. The driver-side histogram therefore only needs exact
+    // lengths BELOW C, bounding the collect at |sources| x C — a catalog
+    // domain no matter how long the longest document grows (r10 ADVICE:
+    // the previous |sources| x |distinct lengths| collect scaled with the
+    // corpus's max doc length). Totals/counts ride a 1-row-per-source
+    // aggregate.
+    val hist = lens.filter(col("ln") < C)
       .groupBy("source", "ln").agg(count(lit(1)).as("cnt"))
+    val agg = lens.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("ln").cast("long")).as("total_tokens"),
+      sum(when(col("ln") >= C, 1L).otherwise(0L)).as("big_cnt"))
     val rows = graft.ops.BoundedCollect.rows(hist,
-      "llm_pack_bfd per-source length histogram (|sources| x |lengths|, " +
-        "domain-bounded)")
-    val out = rows.groupBy(_.getAs[String]("source")).toSeq.map {
-      case (src, hs) =>
-        val classes = hs.map(r =>
-          (r.getAs[Int]("ln").toLong, r.getAs[Long]("cnt")))
+      "llm_pack_bfd small-length histogram (|sources| x C, catalog-bounded)")
+    val aggRows = graft.ops.BoundedCollect.rows(agg,
+      "llm_pack_bfd per-source totals (|sources| rows)")
+    val smallBySrc = rows.groupBy(_.getAs[String]("source"))
+    val out = aggRows.toSeq.map { ar =>
+        val src = ar.getAs[String]("source")
+        val nDocs = ar.getAs[Long]("n_docs")
+        val total = ar.getAs[Long]("total_tokens")
+        val bigCnt = ar.getAs[Long]("big_cnt")
+        val classes = smallBySrc.getOrElse(src, Array.empty[org.apache.spark.sql.Row])
+          .map(r => (r.getAs[Int]("ln").toLong, r.getAs[Long]("cnt")))
           .sortBy(-_._1)
         // scala TreeMap, NOT java.util.TreeMap[Long, Long]: ceilingKey's
         // null would silently unbox to 0L under scala.Long type params.
@@ -1260,11 +1280,8 @@ object LlmOps extends QueryPack {
         val res = scala.collection.mutable.TreeMap.empty[Long, Long]
         def put(r: Long, n: Long): Unit =
           res.update(r, res.getOrElse(r, 0L) + n)
-        var bins = 0L
-        var total = 0L
-        var nDocs = 0L
+        var bins = bigCnt // one fresh inert bin per >=C doc (see above)
         for ((ln, cnt) <- classes) {
-          total += ln * cnt; nDocs += cnt
           var k = cnt
           while (k > 0) {
             res.minAfter(ln) match { // smallest residual >= ln
@@ -2834,8 +2851,17 @@ object LlmOps extends QueryPack {
     // and code order ≡ term order keeps the ca < cb pair orientation
     // identical to the oracle's a.t < b.t. 30 rows broadcast; the corpus
     // side still never self-joins.
+    // sort by UTF-8 bytes, not JVM String order: String.compareTo is
+    // UTF-16 code-unit order, which ranks supplementary-plane characters
+    // below U+E000..U+FFFF; Spark and DuckDB both order strings by code
+    // point (= unsigned UTF-8 byte order), so a surrogate-bearing token
+    // would flip the ca<cb pair orientation vs the oracle's a.t < b.t
+    // (r10 ADVICE)
     val topTerms = graft.ops.BoundedCollect.rows(top.select("t"),
-      "text_pmi_cooccur top-30 token codes").map(_.getString(0)).sorted
+      "text_pmi_cooccur top-30 token codes").map(_.getString(0))
+      .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
     import s.implicits._
     val codes = broadcast(topTerms.zipWithIndex.toSeq.toDF("t", "tc"))
     val dt = dtok.join(codes, Seq("t"))

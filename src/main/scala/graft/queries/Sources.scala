@@ -255,7 +255,14 @@ object Sources extends QueryPack {
     val rows = Seq("id,val", "1,10", "2,not_a_number", "3,30", "4,4,4,4")
     val p = java.nio.file.Paths.get(out)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, String.join("\n", rows: _*).getBytes)
+    // same idempotent staging as scan_binary (r10 ADVICE): constant
+    // content + temp + ATOMIC_MOVE, so a concurrent JVM or a standalone
+    // DuckDB oracle replay never observes a truncated file
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, ".csv", ".tmp")
+    java.nio.file.Files.write(tmp, String.join("\n", rows: _*).getBytes)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("val", LongType),
       StructField("_corrupt_record", StringType)))
