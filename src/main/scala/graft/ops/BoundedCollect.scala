@@ -1,6 +1,10 @@
 package graft.ops
 
+import scala.annotation.tailrec
+
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, ExprId}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -16,24 +20,30 @@ import org.apache.spark.sql.execution.columnar.InMemoryRelation
   * PlanShapeSpec uses to ban unpartitioned corpus windows, applied to the
   * collect's optimized plan at call time.
   *
-  * The walker is an `exists` over the subtree, so an Aggregate on one join
-  * branch vacuously passes an unbounded other branch — acceptable for the
-  * same reason as the window ban: no current collect has that shape, and
-  * the guard's job is catching the obvious regression (a collect whose
-  * plan lost its aggregate/limit entirely), not adversarial plans.
+  * Shape of the check (r12): the walker first strips row-preserving /
+  * row-reducing nodes (Project/Filter/Sort/Window/…) off the ROOT and
+  * lets the topmost output-determining node decide — a corpus-keyed
+  * Aggregate there is an outright DENY (its output is corpus-cardinality
+  * no matter what bounds sit below it; the pre-r12 `exists` walker let an
+  * unrelated inner bound vacuously pass it). Only when the top node is a
+  * compound shape (join, union, generate) does it fall back to the
+  * `exists` subtree scan, which still vacuously accepts an unbounded
+  * branch next to a bounded one — NARROWED, not closed; acceptable
+  * because no current collect has that shape and every call site keeps
+  * its written boundedness argument.
   *
-  * The two r9-advice gaps are CLOSED as of r11: (1) an Aggregate whose
-  * grouping keys reference a corpus-cardinality column (the static
-  * [[corpusKeys]] denylist: doc_id, vec_id, event_id, user_id,
-  * l_orderkey — the row-identity columns of the driver's unbounded
-  * tables) no longer counts as a bound, because its output scales with
-  * the corpus, not a catalog; (2) a bare LocalLimit no longer counts —
-  * it bounds each PARTITION at k, so the collected total is
-  * k × partitions, which grows with the cluster. Only GlobalLimit (and
-  * its TakeOrdered physical form) bounds the driver-side total. The
-  * denylist is name-based and best-effort (an alias can launder a corpus
-  * key past it), so keep the written boundedness argument at each call
-  * site for the cases the walker can't see. */
+  * The corpus-key rule (r10 gap 1, hardened r12): an Aggregate whose
+  * grouping key IS a corpus-identity column does not bound. The check
+  * resolves each bare grouping attribute through the plan's alias lineage
+  * to its ORIGIN leaf column, so a rename cannot launder `doc_id` past it
+  * (`withColumnRenamed("doc_id","k").groupBy("k")` is denied). DERIVED
+  * grouping expressions (`doc_id % 2`) are accepted — their cardinality
+  * is the expression's range, which the walker cannot know; a
+  * corpus-cardinality derivation (`doc_id + 0`) would slip past, which is
+  * exactly what the per-site written argument still covers. r10 gap 2
+  * stays closed: a bare LocalLimit bounds each PARTITION at k (total
+  * k × partitions, grows with the cluster), so only GlobalLimit (and its
+  * TakeOrdered physical form) counts. */
 object BoundedCollect {
 
   /** `df.collect()`, but only if the optimized plan is provably bounded
@@ -54,35 +64,95 @@ object BoundedCollect {
   private val corpusKeys =
     Set("doc_id", "vec_id", "event_id", "user_id", "l_orderkey")
 
+  /** Resolve a grouping expression to the name of its origin leaf column:
+    * strip a top Alias, then follow the plan's Alias chain (collected from
+    * every node's expressions) while each hop lands on another bare
+    * attribute; a non-attribute hop means the grouping value is DERIVED →
+    * None. An attribute with no alias entry is either a leaf column or
+    * generated (window/stream/generate output) — fall back to its own
+    * name, which keeps the pre-r12 name-based behavior as the floor. */
+  private def originName[P <: QueryPlan[P]](expr: Expression, plan: P): Option[String] = {
+    val aliases = scala.collection.mutable.Map.empty[ExprId, Expression]
+    plan.foreach(node => node.expressions.foreach(_.foreach {
+      case al: Alias => aliases(al.exprId) = al.child
+      case _ =>
+    }))
+    @tailrec def walk(e: Expression): Option[String] = e match {
+      case al: Alias => walk(al.child)
+      case ar: AttributeReference =>
+        aliases.get(ar.exprId) match {
+          case Some(next: AttributeReference) if next.exprId != ar.exprId => walk(next)
+          case Some(_: Attribute) | None => Some(ar.name)
+          case Some(al: Alias) => walk(al)
+          case Some(_) => None // derived under the alias
+        }
+      case _ => None // derived expression — cardinality unknowable here
+    }
+    walk(expr)
+  }
+
+  /** True when a grouping key list pins output cardinality to the corpus:
+    * some bare grouping attribute's origin column is a corpus key. */
+  private def corpusKeyed[P <: QueryPlan[P]](groupingExprs: Seq[Expression], plan: P): Boolean =
+    groupingExprs.exists(g =>
+      originName(g, plan).exists(n => corpusKeys(n.toLowerCase)))
+
   private def boundedPhys(p: SparkPlan): Boolean = p.exists {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
-      !a.groupingExpressions.exists(_.references.exists(r =>
-        corpusKeys(r.name.toLowerCase)))
+      !corpusKeyed[SparkPlan](a.groupingExpressions, a)
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
     case _: org.apache.spark.sql.execution.CollectLimitExec => true
     case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case _: org.apache.spark.sql.execution.RangeExec => true
+    // rn<=k over an UNPARTITIONED window — the physical twin of the
+    // logical WindowGroupLimit case below (a cached mmrDiversify pool
+    // collects through this exec, not the logical node)
+    case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        if w.partitionSpec.isEmpty => true
     case a: AdaptiveSparkPlanExec => boundedPhys(a.inputPlan)
     case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
       boundedPhys(s.relation.cachedPlan)
     case _ => false
   }
 
-  private[graft] def bounded(p: LogicalPlan): Boolean = p.exists {
-    case a: Aggregate =>
-      !a.groupingExpressions.exists(_.references.exists(r =>
-        corpusKeys(r.name.toLowerCase)))
+  /** Strip nodes that cannot GROW the row count off the root, so the
+    * topmost output-determining node gets to decide. */
+  @tailrec private def topDetermining(p: LogicalPlan): LogicalPlan = p match {
+    case n @ (_: Project | _: Filter | _: Sort | _: Window |
+              _: SubqueryAlias | _: RepartitionOperation | _: Distinct |
+              _: Deduplicate) => topDetermining(n.children.head)
+    // a PARTITIONED group limit is k×keys — not itself a bound, but it
+    // never grows rows, so the child decides
+    case wgl: WindowGroupLimit if wgl.partitionSpec.nonEmpty =>
+      topDetermining(wgl.child)
+    case other => other
+  }
+
+  private[graft] def bounded(p: LogicalPlan): Boolean = topDetermining(p) match {
+    // the top aggregate decides OUTRIGHT: corpus-keyed grouping means
+    // corpus-cardinality output regardless of any bound below it
+    case a: Aggregate => !corpusKeyed[LogicalPlan](a.groupingExpressions, a)
     case _: GlobalLimit => true
     case _: LocalRelation => true
     case _: OneRowRelation => true
     case _: Range => true
     // rn <= k filters over an UNPARTITIONED row_number window optimize to
     // WindowGroupLimit (global bound = k) — the mmrDiversify candidate
-    // pool shape; a partitioned group limit is k×keys, NOT corpus-bounded,
-    // so only the empty-partition form counts
+    // pool shape (the partitioned form is stripped above)
     case wgl: WindowGroupLimit if wgl.partitionSpec.isEmpty => true
     case imr: InMemoryRelation => boundedPhys(imr.cachedPlan)
-    case _ => false
+    // compound shapes (joins, unions, generates): subtree scan — a bound
+    // on one branch still vacuously passes the others (see scaladoc)
+    case other => other.exists {
+      case a: Aggregate => !corpusKeyed[LogicalPlan](a.groupingExpressions, a)
+      case _: GlobalLimit => true
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case _: Range => true
+      case wgl: WindowGroupLimit if wgl.partitionSpec.isEmpty => true
+      case imr: InMemoryRelation => boundedPhys(imr.cachedPlan)
+      case _ => false
+    }
   }
 }

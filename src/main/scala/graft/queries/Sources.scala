@@ -188,9 +188,11 @@ object Sources extends QueryPack {
         bytes(j) = (st >>> 56).toByte
       }
       val tmp = Files.createTempFile(stage, ".blob", ".tmp")
-      Files.write(tmp, bytes)
-      Files.move(tmp, stage.resolve(f"blob_$i%02d.bin"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      try {
+        Files.write(tmp, bytes)
+        Files.move(tmp, stage.resolve(f"blob_$i%02d.bin"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      } finally Files.deleteIfExists(tmp) // no-op after a successful move
     }
     s.read.format("binaryFile").load(s"$stage/*.bin")
       .select(regexp_extract(col("path"), "([^/]+)\\.bin$", 1).as("blob_name"),
@@ -259,10 +261,12 @@ object Sources extends QueryPack {
     // content + temp + ATOMIC_MOVE, so a concurrent JVM or a standalone
     // DuckDB oracle replay never observes a truncated file
     val tmp = java.nio.file.Files.createTempFile(p.getParent, ".csv", ".tmp")
-    java.nio.file.Files.write(tmp, String.join("\n", rows: _*).getBytes)
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      java.nio.file.Files.write(tmp, String.join("\n", rows: _*).getBytes)
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally java.nio.file.Files.deleteIfExists(tmp) // no-op after the move
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("val", LongType),
       StructField("_corrupt_record", StringType)))

@@ -66,6 +66,57 @@ class BoundedCollectSpec extends SparkSpec {
       "GlobalLimit(LocalLimit(...)) must bound")
   }
 
+  test("alias laundering is denied, derived groupings are allowed (r12)") {
+    val ev = engine.Tables(spark, sf, "events")
+    // renaming the corpus key must NOT launder it past the denylist — the
+    // walker resolves the grouping attribute through the plan's alias
+    // lineage to its origin leaf column (r11 verdict ask #7)
+    intercept[IllegalArgumentException] {
+      ops.BoundedCollect.rows(
+        ev.withColumnRenamed("event_id", "k").groupBy("k")
+          .agg(count(lit(1))), "spec: laundered rename")
+    }
+    val docs = engine.Tables(spark, sf, "documents")
+    intercept[IllegalArgumentException] {
+      ops.BoundedCollect.rows(
+        docs.selectExpr("doc_id AS k", "text").groupBy("k")
+          .agg(count(lit(1))), "spec: laundered selectExpr")
+    }
+    // a DERIVED grouping expression is accepted even when it references a
+    // corpus key: user_id % 2 has 2 output rows (r11 ADVICE — the pre-r12
+    // reference-based rule false-positived here)
+    assert(ops.BoundedCollect.rows(
+      ev.groupBy(col("user_id") % 2).agg(count(lit(1))),
+      "spec: derived grouping").length <= 2)
+    // ...and a corpus-keyed aggregate at the TOP is denied even when an
+    // unrelated bound node sits elsewhere in the tree (the r11 ADVICE
+    // vacuous-exists gap): join a per-event frame against a bounded
+    // 1-row aggregate, then group by the corpus key
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    intercept[IllegalArgumentException] {
+      ops.BoundedCollect.rows(
+        ev.crossJoin(total).groupBy("event_id")
+          .agg(count(lit(1)), first("n_total")),
+        "spec: corpus-key agg over inner bound")
+    }
+  }
+
+  test("a cached rn<=k unpartitioned-window frame is accepted (r12)") {
+    // boundedPhys must mirror the logical WindowGroupLimit case: once the
+    // frame is persisted, the guard sees InMemoryRelation and walks the
+    // PHYSICAL cached plan, where the bound is WindowGroupLimitExec
+    val ev = engine.Tables(spark, sf, "events")
+    val pool = ev.select(col("event_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("event_id")))
+      .filter(col("rn") <= 5)
+      .persist()
+    try {
+      pool.count() // materialize so the cached physical plan exists
+      assert(ops.BoundedCollect.rows(pool, "spec: cached wgl").length == 5)
+    } finally pool.unpersist()
+  }
+
   test("every guarded operator still collects (the live sites stay bounded)") {
     // one query per guarded site family: HITS edge list, MMR pool,
     // markov transition counts, BPE argmax + merge table, PCA moments

@@ -17,7 +17,11 @@ from exact integer cents (graft.engine.Det.money).
 Dev tooling only — the engine itself is pure Scala/Spark.
 """
 import json
+import os
 import sys
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
 
 import duckdb
 
@@ -157,51 +161,65 @@ def main():
         report[name] = {"rows_match": rows_match, "schema_match": schema_match,
                         "hash_match": hash_match, "spark_rows": spark_rows,
                         "oracle_rows": oracle_rows, "err": err}
-    con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    t_start = time.monotonic()
+
+    # Per-THREAD DuckDB connections (r11 verdict ask #4: the sequential
+    # replay hit ~13.5 min at 552 queries and crowds the gate): each query
+    # is independent, DuckDB releases the GIL while executing, so a thread
+    # pool gets near-linear speedup. Each worker connection caps its own
+    # DuckDB parallelism so workers × threads ≈ the box, not workers × 32.
+    tls = threading.local()
+
+    def get_con():
+        if not hasattr(tls, "con"):
+            c = duckdb.connect()
+            c.execute("SET TimeZone='UTC'")
+            c.execute("SET threads=4")
+            for t in TABLES:
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                          f"read_parquet('{sfdir}/{t}.parquet')")
+            tls.con = c
+        return tls.con
+
+    con = get_con()  # main-thread connection for the sequential tail below
     with open(f"{outdir}/oracle_sql.json") as f:
         oracle = json.load(f)
     names = sorted(n for n in oracle if not only or n in only)
     ok, fails = [], []
-    for name in names:
+
+    def check_one(name):
+        """Returns (ok?, fail_why, record_kwargs) for one oracle query."""
+        c = get_con()
         sql = oracle[name]
         try:
             gcols, got = fetch(
-                con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+                c, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
         except Exception as e:
-            fails.append((name, f"spark output unreadable: {e}"))
-            record(name, err=f"spark output unreadable: {e}")
-            continue
+            return (False, f"spark output unreadable: {e}",
+                    dict(err=f"spark output unreadable: {e}"))
         try:
-            wcols, want = fetch(con, sql)
+            wcols, want = fetch(c, sql)
         except Exception as e:
-            fails.append((name, f"oracle error: {e}"))
-            record(name, spark_rows=len(got), err=f"oracle error: {e}")
-            continue
+            return (False, f"oracle error: {e}",
+                    dict(spark_rows=len(got), err=f"oracle error: {e}"))
         bad = decimal_cols(
-            con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-        bad += [c for c in decimal_cols(con, sql) if c not in bad]
+            c, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+        bad += [x for x in decimal_cols(c, sql) if x not in bad]
         if bad:
-            fails.append((name, f"DECIMAL/HUGEINT output banned (driver "
-                                f"canonicalization diverges): {bad}"))
-            record(name, spark_rows=len(got), oracle_rows=len(want),
-                   err=f"decimal/hugeint output: {bad}")
-            continue
+            return (False, f"DECIMAL/HUGEINT output banned (driver "
+                           f"canonicalization diverges): {bad}",
+                    dict(spark_rows=len(got), oracle_rows=len(want),
+                         err=f"decimal/hugeint output: {bad}"))
         if gcols != wcols:
-            fails.append((name, f"schema: spark={gcols} oracle={wcols}"))
-            record(name, rows_match=len(got) == len(want), schema_match=False,
-                   hash_match=False, spark_rows=len(got),
-                   oracle_rows=len(want))
-            continue
+            return (False, f"schema: spark={gcols} oracle={wcols}",
+                    dict(rows_match=len(got) == len(want), schema_match=False,
+                         hash_match=False, spark_rows=len(got),
+                         oracle_rows=len(want)))
         if len(got) != len(want):
-            fails.append((name, f"rowcount: spark={len(got)} oracle={len(want)}"))
-            record(name, rows_match=False, schema_match=True,
-                   hash_match=False, spark_rows=len(got),
-                   oracle_rows=len(want))
-            continue
+            return (False, f"rowcount: spark={len(got)} oracle={len(want)}",
+                    dict(rows_match=False, schema_match=True,
+                         hash_match=False, spark_rows=len(got),
+                         oracle_rows=len(want)))
         if got != want:
             detail = ""
             ndiff = 0
@@ -212,13 +230,21 @@ def main():
                         if not detail:
                             detail = (f" first diff row {i} col {gcols[j]}: "
                                       f"spark={gv!r} oracle={wv!r}")
-            fails.append((name, f"{ndiff} cells differ;{detail}"))
-            record(name, rows_match=True, schema_match=True, hash_match=False,
-                   spark_rows=len(got), oracle_rows=len(want))
-            continue
-        ok.append(name)
-        record(name, rows_match=True, schema_match=True, hash_match=True,
-               spark_rows=len(got), oracle_rows=len(want))
+            return (False, f"{ndiff} cells differ;{detail}",
+                    dict(rows_match=True, schema_match=True, hash_match=False,
+                         spark_rows=len(got), oracle_rows=len(want)))
+        return (True, None, dict(rows_match=True, schema_match=True,
+                                 hash_match=True, spark_rows=len(got),
+                                 oracle_rows=len(want)))
+
+    workers = min(8, os.cpu_count() or 4)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for name, (passed, why, rec) in zip(names, pool.map(check_one, names)):
+            record(name, **rec)
+            if passed:
+                ok.append(name)
+            else:
+                fails.append((name, why))
     # sketch queries: exact-twin compare within the sketch's error budget
     tol_names = [n for n in sorted(TOLERANCE) if not only or n in only]
     for name in tol_names:
@@ -239,11 +265,11 @@ def main():
     for name, why in fails:
         print(f"FAIL {name}: {why}")
     print(f"\n{len(ok)}/{len(names) + len(tol_names)} queries match "
-          f"({len(tol_names)} approx-tolerance)")
+          f"({len(tol_names)} approx-tolerance) "
+          f"in {time.monotonic() - t_start:.0f} s with {workers} workers")
     if json_out:
         # declared no-oracle queries: every Verify dump dir without an
         # oracle entry, recorded the way the driver records them
-        import os
         for d in sorted(os.listdir(outdir)):
             if d in oracle or d in report or d == "oracle_sql.json":
                 continue
