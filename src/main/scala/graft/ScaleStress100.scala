@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× stress for the two design-scale claims the r11 verdict flagged
+  * (ask #5): ingest near-dedup STATE growth at 500k docs, and IVF-PQ
+  * candidate FLATNESS at 200k vectors. Separate from ScaleStress so the
+  * routine 10× sweep stays fast; run idle:
+  *   sbt "runMain graft.ScaleStress100"
+  * Results land in SCALE.md. */
+object ScaleStress100 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    // same dev-only subset filter as ScaleStress
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").toSet)
+    def time[T](tag: String)(f: => T): Unit = {
+      if (only.exists(o => !o.exists(tag.contains))) return
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress100] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r)")
+    }
+    val docs = engine.Tables(spark, dir, "documents").select("doc_id", "text")
+    val emb = engine.Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+
+    def docsX(n: Int): DataFrame = (0 until n).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(i.toString))), " ").as("text"))
+    }.reduce(_ unionByName _)
+
+    def embX(n: Int): DataFrame = (0 until n).map { i =>
+      emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(i * 0.01f)).as("embedding"))
+    }.reduce(_ unionByName _)
+
+    // ---- 1. ingest near-dedup state at 500k docs ------------------------
+    // The unbounded deployment's state is ONE long per distinct (band,
+    // bucket) ever touched — measure it at 100× (500k docs). The TTL
+    // deployment's steady state is the buckets touched within ONE TTL
+    // window — measure a 50k-doc window (the 10× corpus) as the window
+    // proxy. The ratio is what the TTL buys on an infinite stream.
+    val d100 = docsX(100).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("corpus 100x materialize (500k docs)")(d100.count())
+    val bands100 = ops.Dedup.minhashBands(d100, "text", "doc_id", 3, 32, 8)
+    time("near-dedup state UNBOUNDED 100x: distinct buckets, 500k docs")(
+      bands100.select("band", "bucket").distinct().count())
+    val d10w = docsX(10)
+    time("near-dedup state TTL-window proxy: distinct buckets, one 50k-doc window")(
+      ops.Dedup.minhashBands(d10w, "text", "doc_id", 3, 32, 8)
+        .select("band", "bucket").distinct().count())
+    // live multi-micro-batch run with the REAL operator (10 batches of
+    // 5k docs), TTL off vs on — lastProgress.numRowsTotal IS the state
+    // store size. TTL 1 s + 1.4 s idle between batches: with TTL on, the
+    // store must hold ~one batch's buckets at the end, not the union.
+    def streamStateRows(ttlMs: Long): Long = {
+      implicit val sqlCtx = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.NearDedup.BandRow]
+      val name = s"neardedup_stress_$ttlMs"
+      val q = graft.streaming.NearDedup.bucketHits(in.toDS(), ttlMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+        .start()
+      try {
+        val batches = ops.Dedup
+          .minhashBands(docs, "text", "doc_id", 3, 32, 8)
+          .select(col("id").as("doc_id"), col("band").cast("int").as("band"),
+            col("bucket")).as[graft.streaming.NearDedup.BandRow]
+          .collect()
+        val per = batches.length / 10 + 1
+        var fed = 0L
+        batches.grouped(per).foreach { chunk =>
+          in.addData(chunk.toSeq: _*)
+          fed += chunk.length
+          val deadline = System.currentTimeMillis + 60000
+          while (spark.table(name).count() < fed
+                 && System.currentTimeMillis < deadline) Thread.sleep(100)
+          if (ttlMs > 0) Thread.sleep(1400) // idle past the TTL window
+        }
+        // one more sweep interval so the final batch's timeouts can fire
+        if (ttlMs > 0) Thread.sleep(1600)
+        Option(q.lastProgress).flatMap(_.stateOperators.headOption)
+          .map(_.numRowsTotal).getOrElse(-1L)
+      } finally q.stop()
+    }
+    time("near-dedup STREAM state rows after 10 batches, TTL off")(
+      streamStateRows(0L))
+    time("near-dedup STREAM state rows after 10 batches, TTL 1s")(
+      streamStateRows(1000L))
+    d100.unpersist()
+
+    // ---- 2. IVF-PQ candidate flatness at 200k vectors -------------------
+    // cells = corpus/25 grows with the corpus, so candidates/probe stays
+    // ≈ nProbe·25 at EVERY scale — the claim that makes the layout a
+    // 100 TB design. Measured at 1× / 10× / 100× (2k / 20k / 200k
+    // vectors, 80 / 800 / 8000 cells).
+    for ((xf, tag) <- Seq(1 -> "1x (2k vecs)", 10 -> "10x (20k vecs)",
+                          100 -> "100x (200k vecs)")) {
+      val e = embX(xf).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val probes = e.filter(col("vec_id") < 10)
+      time(s"ivfpq candidates/probe nProbe=48 $tag")(
+        f"${ops.Sim.ivfCandidatesPerProbe(probes, e, nProbe = 48)}%.0f")
+      time(s"ivfpq topk k=10 nProbe=48 $tag")(
+        ops.Sim.ivfPqTopK(probes, e, 10, nProbe = 48).count())
+      e.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -521,9 +521,12 @@ object Sim {
           + dot(col("cv"), col("cv")), 6).cast("long").as("xfix"))
     val centN2 = cents.select(col("cent_id").as("cell"),
       graft.engine.Det.fix(dot(col("cent"), col("cent")), 6).cast("long").as("cn2"))
+    // cellCode is O(cells · m · nCentroids) and cells grow with the
+    // corpus (8 M rows at 200 k vectors) — size-gated broadcast, never
+    // unconditional (an unconditional hint OOMed the 100× stress)
     val nrm2 = codes
       .join(resid.select(col("vec_id"), col("cell")), "vec_id")
-      .join(broadcast(cellCode), Seq("cell", "subq", "code"))
+      .join(maybeBroadcast(cellCode), Seq("cell", "subq", "code"))
       .groupBy("vec_id", "cell")
       .agg(sum(col("xfix")).as("xs"))
       .join(broadcast(centN2), "cell")
@@ -563,6 +566,26 @@ object Sim {
         (floor(col("sq").cast("double") / col("n_vecs") + lit(0.5))
           / 1000000).as("mse"))
       .orderBy("subq")
+  }
+
+  /** ADC candidate volume per probe — the quantity the IVF flatness claim
+    * is about (≈ nProbe · stride at ANY corpus size, because the cell
+    * count grows with the corpus). Exposed for ScaleStress100's measured
+    * 100× row; the same cell join ivfPqTopK scores. */
+  private[graft] def ivfCandidatesPerProbe(probes: DataFrame, corpus: DataFrame,
+                                           stride: Int = 25, nProbe: Int = 8): Double = {
+    ensureRegistered(corpus)
+    val cents = strideCentroids(corpus, stride)
+    val corpusCells = nearestCellsOf(cents)(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("ce")), "ce", 1, "cell")
+      .select(col("vid").as("vec_id"), col("cell"))
+    val probeCells = nearestCellsOf(cents)(
+      probes.select(col("vec_id"), asDouble(col("embedding")).as("pe")), "pe", nProbe, "cell")
+      .select(col("vid").as("probe_id"), col("cell"))
+    val nProbes = probes.count()
+    val cand = probeCells.join(corpusCells, "cell")
+      .filter(col("probe_id") =!= col("vec_id")).count()
+    cand.toDouble / nProbes
   }
 
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
