@@ -10,18 +10,25 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *
   * Scale note: ValueState is one small record per user in the state store;
   * state is partitioned by the group key, so capacity scales with
-  * executors × store size, and TTLConfig (not used here) bounds unbounded
-  * key growth in production.
+  * executors × store size. `ttlMs > 0` (r12) bounds unbounded key growth
+  * with the API's NATIVE TTLConfig — the store itself expires idle values
+  * on read/maintenance, no sweep batches (the fMGWS ops' ttlMs needs
+  * ProcessingTimeTimeout sweeps; this is the designed-in successor). Same
+  * session-funnel consequence as [[Funnel]]: a signup idle > TTL is
+  * forgotten (missed conversion), a converted user idle > TTL restarts.
+  * ttlMs = 0 keeps lifetime state — the graded batch path, unchanged.
   */
 object TwsFunnel {
   import Funnel.{Conversion, Ev, FunnelState}
 
-  class Processor extends StatefulProcessor[Long, Ev, Conversion] {
+  class Processor(ttlMs: Long = 0L) extends StatefulProcessor[Long, Ev, Conversion] {
     @transient private var state: ValueState[FunnelState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[FunnelState](
-        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+        "funnel", Encoders.product[FunnelState],
+        if (ttlMs > 0L) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
                                  timers: TimerValues): Iterator[Conversion] = {
@@ -44,14 +51,16 @@ object TwsFunnel {
     }
   }
 
-  def conversions(events: Dataset[Ev]): Dataset[Conversion] = {
+  def conversions(events: Dataset[Ev], ttlMs: Long = 0L): Dataset[Conversion] = {
     implicit val keyEnc = Encoders.scalaLong
     implicit val outEnc = Encoders.product[Conversion]
     // transformWithState requires a column-family-capable state store
     events.sparkSession.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state TTL requires the processing-time TimeMode
+    val timeMode = if (ttlMs > 0L) TimeMode.ProcessingTime() else TimeMode.None()
     events.groupByKey(_.user_id)
-      .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Processor(ttlMs), timeMode, OutputMode.Append())
   }
 }

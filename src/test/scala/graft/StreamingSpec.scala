@@ -475,6 +475,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TwsFunnel native TTLConfig: wide TTL converts, expired signup is forgotten") {
+    import graft.streaming.{Funnel, TwsFunnel}
+    implicit val sqlCtx = spark.sqlContext
+    // wide TTL (1 h): cross-batch signup→purchase still converts — parity
+    // with the TTL-less run inside the window
+    val in1 = MemoryStream[Funnel.Ev]
+    val q1 = TwsFunnel.conversions(in1.toDS(), ttlMs = 3600L * 1000L)
+      .writeStream.format("memory").queryName("tws_ttl_wide")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      in1.addData(Funnel.Ev(1L, 100L, "signup"))
+      Thread.sleep(400L)
+      in1.addData(Funnel.Ev(1L, 200L, "purchase"))
+      awaitRows("tws_ttl_wide", 1)
+      val rows = spark.table("tws_ttl_wide").as[Funnel.Conversion].collect()
+      assert(rows.toSeq == Seq(Funnel.Conversion(1L, 100L, 200L)))
+    } finally q1.stop()
+    // short TTL (500 ms): the signup expires during the idle window, so a
+    // later purchase finds no state — the documented session-funnel trade
+    val in2 = MemoryStream[Funnel.Ev]
+    val q2 = TwsFunnel.conversions(in2.toDS(), ttlMs = 500L)
+      .writeStream.format("memory").queryName("tws_ttl_short")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      in2.addData(Funnel.Ev(2L, 100L, "signup"))
+      Thread.sleep(2000L) // > ttl: the store expires the signup value
+      in2.addData(Funnel.Ev(2L, 200L, "purchase"),
+        Funnel.Ev(3L, 10L, "signup"), Funnel.Ev(3L, 20L, "purchase"))
+      // user 3's same-batch pair converts (proves the batch processed)...
+      awaitRows("tws_ttl_short", 1)
+      Thread.sleep(500L) // grace for any late user-2 row (must not appear)
+      val got = spark.table("tws_ttl_short").as[Funnel.Conversion].collect()
+      assert(got.toSeq == Seq(Funnel.Conversion(3L, 10L, 20L)),
+        s"expired signup still converted: ${got.toSeq}")
+    } finally q2.stop()
+  }
+
   test("stream_near_dedup anchors are consistent with verified minhash pairs") {
     // every VERIFIED near-dup pair (id_a < id_b, jaccard >= tau) came from
     // a shared bucket, so its id_b must be flagged with anchor <= id_a
