@@ -502,6 +502,14 @@ object Sim {
       .groupBy("vec_id", "subq")
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(col("vec_id"), col("subq"), col("best.code").as("code"))
+      // persisted: the argmin join above is the encode's hottest stage
+      // (corpus·m·nCentroids rows) and `codes` has TWO consumers in one
+      // ANN run (the stored-norm build below + the ADC join) plus the
+      // distortion diagnostic — without this the stage re-runs per
+      // consumer. corpus·m rows of 3 ints, spills if it must; identical
+      // canonical plan across calls, so the session CacheManager shares
+      // one copy between sim_ann_ivfpq and emb_pq_distortion.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stored quantized norm — |x_q|² for x_q = cent + r_q, expanded as
     // |cent|² + Σ_m (2·dot(cent_m, cv_m) + |cv_m|²): the per-(cell, subq,
     // code) cross term is a tiny broadcastable table (cells × m ×
@@ -618,11 +626,15 @@ object Sim {
       .join(broadcast(pq.cents.select(col("cent_id").as("cell"), col("cent"))), "cell")
       .select(col("probe_id"), col("cell"),
         graft.engine.Det.fix(dot(col("pe"), col("cent")), 6).cast("long").as("bfix"))
+    // no distinct: a corpus vector lives in EXACTLY one cell (nearest-1
+    // assignment) and a probe's nProbe cells are distinct, so the cell
+    // join already yields at most one row per (probe, vector) — the
+    // pre-r12 distinct() was a full extra shuffle of the widest
+    // intermediate for nothing
     val cand = probeCells.select(col("probe_id"), col("cell"))
       .join(corpusCells, "cell")
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"), col("cell"))
-      .distinct()
     // ADC scoring: m integer partials per candidate, integer sum — CHEAP
     // (8 code bytes per vector in the join), so it ranks the whole cell's
     // candidates; only the top `rerank` shortlist per probe ever touches a
