@@ -63,6 +63,67 @@ object Linalg {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Product-quantization sub-codebook TRAINING: per-subspace Lloyd
+    * k-means over the m sub-vector spaces at once — the "swap the stride
+    * seeds for k-means sub-codebooks at scale" seam Sim.pqEncode
+    * documents, graded as its own convergence diagnostic. Same
+    * determinism devices as [[kmeansAssign]] (Σ floor((e−m)²·10⁸) BIGINT
+    * distances with code tiebreak; 6-dp integer-mean centroid updates so
+    * every round's inputs are bit-identical cross-engine; seeds = the k
+    * lowest ids' sub-slices, no RNG) applied with (subq, code) in place
+    * of cid. A code emptied by a round simply drops out of the next
+    * round's codebook (inner join) — identically in the unrolled oracle.
+    *
+    * Returns one row per (iter, subq): occupied-code count and the mean
+    * quantization distortion (1e-8-exact BIGINT sum ÷ n), the curve that
+    * shows each subspace's codebook actually converging. Scale: each
+    * round is one broadcast join of the m·k·(d/m)-row codebook + an
+    * id-partitioned argmin window + a (subq, code, dim) mean shuffle —
+    * the corpus is never joined against anything bigger than O(k·d). */
+  def pqTrainKmeans(emb: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int, iters: Int): DataFrame =
+    memoized(emb, s"pqtrain|$idCol|$vecCol|$m|$k|$iters") {
+      computePqTrain(emb, idCol, vecCol, m, k, iters)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def computePqTrain(emb: DataFrame, idCol: String, vecCol: String,
+                             m: Int, k: Int, iters: Int): DataFrame = {
+    val dim = Sim.inferDim(emb.withColumnRenamed(vecCol, "embedding"))
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // (vec_id, subq 0-based, dim 1-based within the FULL vector, e):
+    // reuses the memoized full-vector explode; the sub-slice is a derived
+    // column, not a second explode
+    val d = dims(emb, idCol, vecCol)
+      .withColumn("subq", ((col("dim") - 1) / sub).cast("int"))
+    val seeds = emb.select(col(idCol).as("sid")).orderBy("sid").limit(k)
+      .withColumn("code", row_number().over(Window.orderBy("sid")))
+    var cent = d.join(broadcast(seeds), d("vec_id") === seeds("sid"))
+      .select(col("subq"), col("code"), col("dim"), col("e").as("mm"))
+    val wv = Window.partitionBy("vec_id", "subq").orderBy("d2", "code")
+    val rounds = (1 to iters).map { it =>
+      val a = d.join(broadcast(cent), Seq("subq", "dim"))
+        .select(col("vec_id"), col("subq"), col("code"),
+          floor((col("e") - col("mm")) * (col("e") - col("mm")) * 100000000L
+            + lit(0.5)).as("dd"))
+        .groupBy("vec_id", "subq", "code").agg(sum("dd").as("d2"))
+      val picked = a.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("subq"), col("code"), col("d2"))
+      cent = picked.join(d, Seq("vec_id", "subq"))
+        .groupBy("subq", "code", "dim")
+        .agg((floor(sum(graft.engine.Det.fix(col("e"), 6)).cast("double")
+          / count(lit(1)) + lit(0.5)) / 1000000).as("mm"))
+      picked.groupBy("subq")
+        .agg(countDistinct(col("code")).cast("long").as("n_codes"),
+          count(lit(1)).as("n"), sum("d2").as("sd2"))
+        .select(lit(it).cast("int").as("iter"), col("subq"), col("n_codes"),
+          (col("sd2").cast("double") / 100000000L / col("n")).as("mse"))
+    }
+    rounds.reduce(_.unionAll(_))
+  }
+
   private def computeKmeans(emb: DataFrame, idCol: String, vecCol: String,
                             k: Int, iters: Int): DataFrame = {
     val d = dims(emb, idCol, vecCol)

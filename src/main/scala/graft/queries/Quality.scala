@@ -978,6 +978,71 @@ object QualityOps extends QueryPack {
       .orderBy("cid")
   }
 
+  // PQ sub-codebook TRAINING (Lloyd, per-subspace): the trained-codebook
+  // upgrade seam Sim.pqEncode documents for its stride seeds, graded as a
+  // per-(iter, subspace) convergence curve — occupied codes + mean
+  // quantization distortion. Same integer-exact devices as emb_kmeans
+  // (BIGINT 1e-8 distances, 6-dp integer-mean centroid updates, lowest-id
+  // seeds), applied with (subq, code) keys; the oracle unrolls both
+  // rounds. m=8 subspaces × k=16 codes over the 64-dim fixtures.
+  q("emb_pq_train_kmeans",
+    """WITH dims AS (
+      |  SELECT vec_id, dim, ((dim - 1) // 8) AS subq, e FROM (
+      |    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |      unnest(CAST(embedding AS DOUBLE[])) AS e
+      |    FROM embeddings)
+      |), seeds AS (
+      |  SELECT vec_id AS sid, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code
+      |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+      |), c0 AS (
+      |  SELECT d.subq, s.code, d.dim, d.e AS mm
+      |  FROM dims d JOIN seeds s ON d.vec_id = s.sid
+      |), a1 AS (
+      |  SELECT d.vec_id, d.subq, c.code,
+      |    SUM(CAST(floor((d.e - c.mm) * (d.e - c.mm) * 100000000 + 0.5) AS BIGINT)) AS d2
+      |  FROM dims d JOIN c0 c ON d.subq = c.subq AND d.dim = c.dim
+      |  GROUP BY 1, 2, 3
+      |), p1 AS (
+      |  SELECT vec_id, subq, code, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, subq
+      |                                 ORDER BY d2, code) AS rn
+      |    FROM a1) WHERE rn = 1
+      |), c1 AS (
+      |  SELECT p.subq, p.code, d.dim,
+      |    floor(CAST(SUM(CAST(floor(d.e * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |          / COUNT(*) + 0.5) / 1000000 AS mm
+      |  FROM p1 p JOIN dims d ON p.vec_id = d.vec_id AND p.subq = d.subq
+      |  GROUP BY 1, 2, 3
+      |), a2 AS (
+      |  SELECT d.vec_id, d.subq, c.code,
+      |    SUM(CAST(floor((d.e - c.mm) * (d.e - c.mm) * 100000000 + 0.5) AS BIGINT)) AS d2
+      |  FROM dims d JOIN c1 c ON d.subq = c.subq AND d.dim = c.dim
+      |  GROUP BY 1, 2, 3
+      |), p2 AS (
+      |  SELECT vec_id, subq, code, d2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, subq
+      |                                 ORDER BY d2, code) AS rn
+      |    FROM a2) WHERE rn = 1
+      |), r AS (
+      |  SELECT 1 AS iter, subq, COUNT(DISTINCT code) AS n_codes,
+      |    CAST(SUM(d2) AS DOUBLE) / 100000000 / COUNT(*) AS mse
+      |  FROM p1 GROUP BY subq
+      |  UNION ALL
+      |  SELECT 2 AS iter, subq, COUNT(DISTINCT code) AS n_codes,
+      |    CAST(SUM(d2) AS DOUBLE) / 100000000 / COUNT(*) AS mse
+      |  FROM p2 GROUP BY subq
+      |)
+      |SELECT CAST(iter AS INT) AS iter, CAST(subq AS INT) AS subq,
+      |  n_codes, mse
+      |FROM r ORDER BY iter, subq""") { (s, dir) =>
+    graft.ops.Linalg
+      .pqTrainKmeans(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      .select(col("iter"), col("subq").cast("int").as("subq"),
+        col("n_codes"), col("mse"))
+      .orderBy("iter", "subq")
+  }
+
   // Topic-proxy cluster profile: k-means clusters of the embedding space
   // joined back to the documents they index (vec_id ≡ doc_id in the
   // fixtures — the standard "embedding row per document" layout), with

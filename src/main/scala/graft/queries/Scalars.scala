@@ -817,4 +817,55 @@ object Scalars extends QueryPack {
       factorial(col("p_size") % 10).cast("long").as("fact_size"))
       .orderBy("p_partkey").limit(75)
   }
+
+  // Spark 4 VARIANT surface: semi-structured values parsed ONCE into the
+  // binary variant encoding, then path-extracted with per-path result
+  // types — the open-schema column pattern (event payloads, scraped
+  // metadata) that at 100 TB replaces N schema-evolution migrations with
+  // one variant column. The JSON under test is built in-engine from
+  // typed columns (ignoreNullFields=false so a SQL NULL becomes a JSON
+  // null, exercising is_variant_null vs absent-path-NULL), so the oracle
+  // recomputes every expected value directly from the same typed columns
+  // — the graded claim is that parse → binary variant → typed
+  // path-extraction is lossless and null-correct. try_variant_get with a
+  // deliberately wrong target type ('click' AS BIGINT) must yield NULL,
+  // not an error.
+  q("fn_variant_nested",
+    """SELECT event_id,
+      |  event_type AS vt_tag,
+      |  value AS vt_val,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS vt_k,
+      |  user_id % 5 AS vt_arr1,
+      |  CASE WHEN user_id % 3 = 0 THEN NULL ELSE user_id END AS vt_opt,
+      |  (user_id % 3 = 0) AS vt_opt_isnull,
+      |  CAST(NULL AS BIGINT) AS vt_try_bad,
+      |  (event_id % 7 = 0) AS vt_missing_null
+      |FROM events WHERE event_id < 500 ORDER BY event_id""") { (s, dir) =>
+    val e = Tables(s, dir, "events").filter(col("event_id") < 500)
+    val doc = to_json(struct(
+      col("event_type").as("tag"),
+      col("value").as("val"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      array(col("user_id") % 10, col("user_id") % 5).as("arr"),
+      when(col("user_id") % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("opt")),
+      Map("ignoreNullFields" -> "false"))
+    val v = parse_json(doc)
+    e.select(col("event_id"), v.as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.tag", "string").as("vt_tag"),
+        variant_get(col("v"), "$.val", "double").as("vt_val"),
+        variant_get(col("v"), "$.k", "long").as("vt_k"),
+        variant_get(col("v"), "$.arr[1]", "long").as("vt_arr1"),
+        variant_get(col("v"), "$.opt", "long").as("vt_opt"),
+        is_variant_null(variant_get(col("v"), "$.opt", "variant"))
+          .as("vt_opt_isnull"),
+        try_variant_get(col("v"), "$.tag", "long").as("vt_try_bad"),
+        // an ABSENT path is SQL NULL (not JSON null): missing ≠ null is
+        // the variant-vs-lax-JSON distinction worth pinning
+        when(col("event_id") % 7 === 0,
+          variant_get(col("v"), "$.absent", "long").isNull)
+          .otherwise(lit(false)).as("vt_missing_null"))
+      .orderBy("event_id")
+  }
 }

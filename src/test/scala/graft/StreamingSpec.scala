@@ -533,4 +533,38 @@ class StreamingSpec extends SparkSpec {
       assert(anchor <= d && (dup == 1) == (anchor < d))
     }
   }
+
+  test("dropDuplicatesWithinWatermark: in-window dup dropped, state expires " +
+    "past the watermark and the key re-emits") {
+    // the semantics the batch-graded stream_dedup_within_wm key set cannot
+    // show: a duplicate arriving within (first ts + delay) is DROPPED even
+    // across micro-batches; once the watermark passes expiry the key's
+    // state is gone and a later duplicate is a fresh emission — bounded
+    // state traded for exactly-once-per-window, not forever
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val dd = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = dd.writeStream.format("memory").queryName("ddwm_test")
+      .outputMode("append").start()
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    def emitted(): Long = spark.table("ddwm_test").count()
+    try {
+      in.addData((ts(1), 7L)); q.processAllAvailable()
+      assert(emitted() == 1L)
+      // same key, 2 min later, different batch — within the window: dropped
+      in.addData((ts(3), 7L)); q.processAllAvailable()
+      assert(emitted() == 1L, "in-window duplicate leaked")
+      // advance the watermark far past expiry (1 + 10 < 60 - 10)
+      in.addData((ts(60), 8L)); q.processAllAvailable()
+      // the key's state is expired → this is a FRESH first occurrence
+      in.addData((ts(61), 7L)); q.processAllAvailable()
+      val ks = spark.table("ddwm_test").select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks.count(_ == 7L) == 2L,
+        s"expired key must re-emit (got $ks)")
+      assert(emitted() == 3L)
+    } finally q.stop()
+  }
 }

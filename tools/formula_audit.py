@@ -5061,7 +5061,59 @@ def audit_kneser_ney():
     report("text_lm_kneser_ney", mis, len(out) * 3 + 1)
 
 
+def audit_pq_train_kmeans():
+    """Per-subspace PQ codebook training replayed in pure Python from the
+    raw embeddings — the same quantized-Lloyd scheme as the kmeans
+    audits (1e-8 BIGINT distances, 6-dp integer-mean updates, lowest-id
+    seeds) applied independently per (subq) with m=8, k=16, 2 rounds."""
+    import math
+    mis = []
+    r_ = rows(f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+              f"FROM '{SF}/embeddings.parquet' ORDER BY vec_id")
+    vecs = dict(r_)
+    ids = sorted(vecs)
+    d = len(vecs[ids[0]])
+    m, k = 8, 16
+    sub = d // m
+
+    def slc(v, sq):
+        return vecs[v][sq * sub:(sq + 1) * sub]
+
+    def d2(x, c):
+        return sum(math.floor((e - mm) * (e - mm) * 1e8 + 0.5)
+                   for e, mm in zip(x, c))
+
+    expect = []
+    for sq in range(m):
+        cents = {code + 1: slc(ids[code], sq) for code in range(k)}
+        for it in (1, 2):
+            assign = {v: min(cents, key=lambda c: (d2(slc(v, sq), cents[c]), c))
+                      for v in ids}
+            n_codes = len(set(assign.values()))
+            tot = sum(d2(slc(v, sq), cents[assign[v]]) for v in ids)
+            expect.append((it, sq, n_codes, tot / 1e8 / len(ids)))
+            new = {}
+            for c in set(assign.values()):
+                members = [v for v in ids if assign[v] == c]
+                new[c] = [math.floor(sum(math.floor(slc(v, sq)[j] * 1e6 + 0.5)
+                                         for v in members) / len(members) + 0.5)
+                          / 1e6 for j in range(sub)]
+            cents = new
+    expect.sort()
+    got = dump("emb_pq_train_kmeans")
+    got = sorted((int(it), int(sq), int(nc), mse) for it, sq, nc, mse in got)
+    if len(got) != len(expect):
+        mis.append(("n_rows", len(got), len(expect)))
+    for g, e in zip(got, expect):
+        if g[:3] != e[:3]:
+            mis.append((g[:3], e[:3]))
+        if not close(g[3], e[3], 1e-9):
+            mis.append((g[:2], "mse", g[3], e[3]))
+    report("emb_pq_train_kmeans", mis, len(expect) * 2)
+
+
 AUDITS = {
+    "emb_pq_train_kmeans": audit_pq_train_kmeans,
     "llm_pack_bfd": audit_pack_bfd,
     "text_lm_kneser_ney": audit_kneser_ney,
     "stats_sign_test": audit_sign_test,
