@@ -2972,6 +2972,55 @@ object LlmOps extends QueryPack {
       .orderBy("step")
   }
 
+  // GRPO-style group-relative advantage: per prompt-group (user_id as
+  // the group key, value as the scalar reward), every sample's advantage
+  // is (reward − group mean) / group sample-std — the normalization a
+  // group-relative policy-gradient data-prep stage runs over rollouts
+  // before training. Degenerate groups (n < 2 or zero variance) get
+  // advantage 0 by convention, not NULL/NaN. Exactness: rewards fix to
+  // 1e-6 BIGINTs; group moments accumulate as DECIMAL(38,0) (Σv6² ≈ 2e19
+  // per group — past int64, P16); the closed-form double tree is
+  // identical in the oracle and the output quantizes at 1e-6. One
+  // group-key shuffle + one broadcast join of the group-moment frame.
+  q("llm_grpo_advantage",
+    """WITH r AS (
+      |  SELECT user_id AS group_id, event_id AS sample_id,
+      |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+      |  FROM events
+      |), st AS (
+      |  SELECT group_id, COUNT(*) AS n, SUM(v6) AS s, SUM(v6 * v6) AS s2
+      |  FROM r GROUP BY group_id
+      |)
+      |SELECT r.group_id, r.sample_id,
+      |  CAST(v6 AS DOUBLE) / 1000000 AS reward,
+      |  CAST(n AS BIGINT) AS n_group,
+      |  CASE WHEN n < 2 OR CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n <= 0
+      |       THEN CAST(0 AS DOUBLE)
+      |       ELSE floor((CAST(v6 AS DOUBLE) - CAST(s AS DOUBLE) / n)
+      |            / sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+      |                   / (n - 1)) * 1000000 + 0.5) / 1000000 END AS advantage
+      |FROM r JOIN st ON r.group_id = st.group_id
+      |ORDER BY 1, 2""") { (s, dir) =>
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = Tables(s, dir, "events")
+      .select(col("user_id").as("group_id"), col("event_id").as("sample_id"),
+        Det.fix(col("value"), 6).cast("long").as("v6"))
+    val st = r.groupBy("group_id")
+      .agg(count(lit(1)).as("n"), sum(col("v6").cast(dec38)).as("s"),
+        sum((col("v6") * col("v6")).cast(dec38)).as("s2"))
+    val varNum = (col("s2").cast("double")
+      - col("s").cast("double") * col("s").cast("double") / col("n"))
+    val adv = (col("v6").cast("double") - col("s").cast("double") / col("n")) /
+      sqrt(varNum / (col("n") - 1))
+    r.join(broadcast(st), "group_id")
+      .select(col("group_id"), col("sample_id"),
+        (col("v6").cast("double") / 1000000).as("reward"),
+        col("n").cast("long").as("n_group"),
+        when(col("n") < 2 || varNum <= 0, lit(0.0).cast("double"))
+          .otherwise(floor(adv * 1000000 + lit(0.5)) / 1000000).as("advantage"))
+      .orderBy("group_id", "sample_id")
+  }
+
   // DPO/RLHF preference-pair assembly: documents bucketed into pseudo-
   // prompt groups of 10 by id; within each group the highest-scoring doc
   // (word count, id tiebreak) becomes `chosen` and the lowest `rejected`,
