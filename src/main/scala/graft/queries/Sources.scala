@@ -17,6 +17,27 @@ object Sources extends QueryPack {
     Tables(s, dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
   }
 
+  // Hidden file-metadata columns (_metadata.row_index / file_path): the
+  // row-level provenance a 100 TB pipeline wants WITHOUT materializing a
+  // lineage column — exact (file, row) addressing for sample tracing,
+  // resumable scans, and blame-the-shard debugging. The fixture file is
+  // physically ordered by doc_id (verified; the oracle would loudly
+  // mismatch if a fixture generation ever broke it), so row_index has an
+  // exact rank oracle and a derived 1000-row shard id shows the
+  // row-group-style bucketing a resumable reader keys on.
+  q("scan_metadata_cols",
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_idx,
+      |  (row_number() OVER (ORDER BY doc_id) - 1) // 1000 AS shard,
+      |  'documents.parquet' AS file_name
+      |FROM documents ORDER BY doc_id""") { (s, dir) =>
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("_metadata.row_index").as("row_idx"),
+        floor(col("_metadata.row_index") / 1000).cast("long").as("shard"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("file_name"))
+      .orderBy("doc_id")
+  }
+
   // CSV round-trip: the kept columns (int key + delimiter-free strings)
   // are text-lossless, so the ORIGINAL parquet table is the oracle — the
   // same pattern scan_orc uses (upgraded from rows-only in r4)

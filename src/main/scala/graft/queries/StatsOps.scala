@@ -6719,6 +6719,175 @@ object StatsOps extends QueryPack {
           + lit(0.5)).cast("double") / 1000000).as("train_acc"))): _*)
   }
 
+  // Gradient-boosted regression stumps (squared loss, 2 rounds) — the
+  // third ensemble next to ml_decision_stump (one learner) and
+  // ml_adaboost_stumps (reweighting): boosting here fits each stump to
+  // the RESIDUALS of the model so far, which for squared loss IS
+  // gradient boosting. Exactness devices: target = integer cents,
+  // feature = hour-of-day, so the whole chain runs on the 24-row hour
+  // histogram — a leaf update is constant per side, hence the residual
+  // MOMENTS update in closed integer form (s' = s − n·c, s2' = s2 −
+  // 2·c·s + n·c²) with no per-row recompute, ever. Split argmin ranks
+  // the two-sided SSE by its 1e-2 fixed image with the hour tiebreak;
+  // leaves are floor-of-double integer-cent means (the kmeans device);
+  // each round's RSS is an exact BIGINT Σs2. At 100 TB: ONE pass over
+  // events builds the histogram; both boosting rounds are arithmetic on
+  // 24 broadcast rows.
+  // Audit row: formula_audit.audit_gbt_stumps.
+  q("ml_gbt_stumps",
+    """WITH ev AS (
+      |  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      |  FROM events
+      |), hist AS (
+      |  SELECT h, CAST(COUNT(*) AS BIGINT) AS nh, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(y * y) AS BIGINT) AS sy2
+      |  FROM ev GROUP BY h
+      |), base AS (
+      |  SELECT CAST(SUM(nh) AS BIGINT) AS n,
+      |    CAST(floor(CAST(SUM(sy) AS DOUBLE) / CAST(SUM(nh) AS BIGINT) + 0.5)
+      |      AS BIGINT) AS m0
+      |  FROM hist
+      |), h0 AS (
+      |  SELECT h, nh, sy - nh * m0 AS s,
+      |    sy2 - 2 * m0 * sy + nh * m0 * m0 AS s2
+      |  FROM hist, base
+      |), cum1 AS (
+      |  SELECT h, CAST(SUM(nh) OVER w AS BIGINT) AS nl,
+      |    CAST(SUM(s) OVER w AS BIGINT) AS sl,
+      |    CAST(SUM(s2) OVER w AS BIGINT) AS s2l,
+      |    CAST(SUM(nh) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(s) OVER () AS BIGINT) AS st,
+      |    CAST(SUM(s2) OVER () AS BIGINT) AS s2t
+      |  FROM h0 WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND CURRENT ROW)
+      |), best1 AS (
+      |  SELECT h AS theta,
+      |    CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS lc,
+      |    CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl) + 0.5) AS BIGINT) AS rc
+      |  FROM cum1 WHERE nt - nl > 0
+      |  ORDER BY CAST(floor(((CAST(s2l AS DOUBLE)
+      |      - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl)
+      |    + (CAST(s2t - s2l AS DOUBLE)
+      |      - CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE) / (nt - nl)))
+      |    * 100 + 0.5) AS BIGINT), h
+      |  LIMIT 1
+      |), h1 AS (
+      |  SELECT h, nh,
+      |    s - nh * (CASE WHEN h <= theta THEN lc ELSE rc END) AS s,
+      |    s2 - 2 * (CASE WHEN h <= theta THEN lc ELSE rc END) * s
+      |      + nh * (CASE WHEN h <= theta THEN lc ELSE rc END)
+      |           * (CASE WHEN h <= theta THEN lc ELSE rc END) AS s2
+      |  FROM h0, best1
+      |), cum2 AS (
+      |  SELECT h, CAST(SUM(nh) OVER w AS BIGINT) AS nl,
+      |    CAST(SUM(s) OVER w AS BIGINT) AS sl,
+      |    CAST(SUM(s2) OVER w AS BIGINT) AS s2l,
+      |    CAST(SUM(nh) OVER () AS BIGINT) AS nt,
+      |    CAST(SUM(s) OVER () AS BIGINT) AS st,
+      |    CAST(SUM(s2) OVER () AS BIGINT) AS s2t
+      |  FROM h1 WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND CURRENT ROW)
+      |), best2 AS (
+      |  SELECT h AS theta,
+      |    CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS lc,
+      |    CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl) + 0.5) AS BIGINT) AS rc
+      |  FROM cum2 WHERE nt - nl > 0
+      |  ORDER BY CAST(floor(((CAST(s2l AS DOUBLE)
+      |      - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl)
+      |    + (CAST(s2t - s2l AS DOUBLE)
+      |      - CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE) / (nt - nl)))
+      |    * 100 + 0.5) AS BIGINT), h
+      |  LIMIT 1
+      |), h2 AS (
+      |  SELECT h, nh,
+      |    s - nh * (CASE WHEN h <= theta THEN lc ELSE rc END) AS s,
+      |    s2 - 2 * (CASE WHEN h <= theta THEN lc ELSE rc END) * s
+      |      + nh * (CASE WHEN h <= theta THEN lc ELSE rc END)
+      |           * (CASE WHEN h <= theta THEN lc ELSE rc END) AS s2
+      |  FROM h1, best2
+      |), rss AS (
+      |  SELECT (SELECT CAST(SUM(s2) AS BIGINT) FROM h0) AS rss0,
+      |    (SELECT CAST(SUM(s2) AS BIGINT) FROM h1) AS rss1,
+      |    (SELECT CAST(SUM(s2) AS BIGINT) FROM h2) AS rss2
+      |)
+      |SELECT n, CAST(m0 AS DOUBLE) / 100 AS f0_usd,
+      |  CAST(rss0 AS DOUBLE) / 10000 AS rss0_usd2,
+      |  (SELECT CAST(theta AS BIGINT) FROM best1) AS r1_theta_hour,
+      |  (SELECT CAST(lc AS DOUBLE) / 100 FROM best1) AS r1_left_usd,
+      |  (SELECT CAST(rc AS DOUBLE) / 100 FROM best1) AS r1_right_usd,
+      |  CAST(rss1 AS DOUBLE) / 10000 AS rss1_usd2,
+      |  (SELECT CAST(theta AS BIGINT) FROM best2) AS r2_theta_hour,
+      |  (SELECT CAST(lc AS DOUBLE) / 100 FROM best2) AS r2_left_usd,
+      |  (SELECT CAST(rc AS DOUBLE) / 100 FROM best2) AS r2_right_usd,
+      |  CAST(rss2 AS DOUBLE) / 10000 AS rss2_usd2
+      |FROM base, rss""") { (s, dir) =>
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables(s, dir, "events").select(
+      hour(col("ts")).cast("long").as("h"),
+      Det.cents(col("value")).cast("long").as("y"))
+    val hist = ev.groupBy("h").agg(count(lit(1)).cast("long").as("nh"),
+      sum("y").as("sy"), sum(col("y") * col("y")).as("sy2"))
+      .localCheckpoint()
+    val base = hist.agg(sum("nh").cast("long").as("n"),
+      floor(sum("sy").cast("double") / sum("nh").cast("long") + lit(0.5))
+        .cast("long").as("m0"))
+    val h0 = hist.crossJoin(broadcast(base)).select(col("h"), col("nh"),
+      (col("sy") - col("nh") * col("m0")).as("s"),
+      (col("sy2") - lit(2L) * col("m0") * col("sy")
+        + col("nh") * col("m0") * col("m0")).as("s2"))
+      .localCheckpoint()
+    def boostRound(hPrev: DataFrame): (DataFrame, DataFrame) = {
+      val wc = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+      val tot = hPrev.agg(sum("nh").cast("long").as("nt"),
+        sum("s").cast("long").as("st"), sum("s2").cast("long").as("s2t"))
+      val cum = hPrev
+        .select(col("h"), sum("nh").over(wc).cast("long").as("nl"),
+          sum("s").over(wc).cast("long").as("sl"),
+          sum("s2").over(wc).cast("long").as("s2l"))
+        .crossJoin(broadcast(tot))
+      val sse = ((col("s2l").cast("double")
+        - col("sl").cast("double") * col("sl").cast("double") / col("nl"))
+        + ((col("s2t") - col("s2l")).cast("double")
+          - (col("st") - col("sl")).cast("double")
+            * (col("st") - col("sl")).cast("double")
+            / (col("nt") - col("nl"))))
+      val best = cum.filter(col("nt") - col("nl") > 0)
+        .select(col("h").as("theta"),
+          floor(col("sl").cast("double") / col("nl") + lit(0.5))
+            .cast("long").as("lc"),
+          floor((col("st") - col("sl")).cast("double")
+            / (col("nt") - col("nl")) + lit(0.5)).cast("long").as("rc"),
+          floor(sse * 100 + lit(0.5)).cast("long").as("rank"))
+        .orderBy("rank", "theta").limit(1)
+        .select("theta", "lc", "rc")
+        .localCheckpoint()
+      val c = when(col("h") <= col("theta"), col("lc")).otherwise(col("rc"))
+      val next = hPrev.crossJoin(broadcast(best)).select(col("h"), col("nh"),
+        (col("s") - col("nh") * c).as("s"),
+        (col("s2") - lit(2L) * c * col("s") + col("nh") * c * c).as("s2"))
+        .localCheckpoint()
+      (best, next)
+    }
+    val (b1, h1) = boostRound(h0)
+    val (b2, h2) = boostRound(h1)
+    def rssOf(hk: DataFrame, nm: String) =
+      broadcast(hk.agg(sum("s2").cast("long").as(nm)))
+    def leafCols(b: DataFrame, idx: Int) = broadcast(b.select(
+      col("theta").cast("long").as(s"r${idx}_theta_hour"),
+      (col("lc").cast("double") / 100).as(s"r${idx}_left_usd"),
+      (col("rc").cast("double") / 100).as(s"r${idx}_right_usd")))
+    base.crossJoin(rssOf(h0, "rss0")).crossJoin(rssOf(h1, "rss1"))
+      .crossJoin(rssOf(h2, "rss2"))
+      .crossJoin(leafCols(b1, 1)).crossJoin(leafCols(b2, 2))
+      .select(col("n"), (col("m0").cast("double") / 100).as("f0_usd"),
+        (col("rss0").cast("double") / 10000).as("rss0_usd2"),
+        col("r1_theta_hour"), col("r1_left_usd"), col("r1_right_usd"),
+        (col("rss1").cast("double") / 10000).as("rss1_usd2"),
+        col("r2_theta_hour"), col("r2_left_usd"), col("r2_right_usd"),
+        (col("rss2").cast("double") / 10000).as("rss2_usd2"))
+  }
+
   // TOST equivalence test (two one-sided tests) of purchase value
   // between the two arms — the readout events_ab_welch cannot give: a
   // non-significant difference is NOT evidence of equivalence; TOST is.

@@ -5112,8 +5112,48 @@ def audit_pq_train_kmeans():
     report("emb_pq_train_kmeans", mis, len(expect) * 2)
 
 
+def audit_gbt_stumps():
+    """Gradient-boosted regression stumps replayed per-ROW in Python (the
+    engine runs on the hour histogram with closed-form moment updates;
+    this replay keeps an explicit residual per event — agreement shows
+    the histogram algebra equals the naive definition)."""
+    import math
+    mis = []
+    ev = rows(f"SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT), "
+              f"CAST(floor(value * 100 + 0.5) AS BIGINT) "
+              f"FROM '{SF}/events.parquet'")
+    n = len(ev)
+    m0 = math.floor(sum(y for _, y in ev) / n + 0.5)
+    resid = [(h, y - m0) for h, y in ev]
+    out = [n, m0 / 100, sum(r * r for _, r in resid) / 10000]
+    for _ in (1, 2):
+        hours = sorted(set(h for h, _ in resid))
+        best = None
+        for th in hours:
+            l = [r for h, r in resid if h <= th]
+            r_ = [r for h, r in resid if h > th]
+            if not r_:
+                continue
+            ssel = sum(x * x for x in l) - sum(l) * sum(l) / len(l)
+            sser = sum(x * x for x in r_) - sum(r_) * sum(r_) / len(r_)
+            key = (math.floor((ssel + sser) * 100 + 0.5), th)
+            if best is None or key < best[0]:
+                lc = math.floor(sum(l) / len(l) + 0.5)
+                rc = math.floor(sum(r_) / len(r_) + 0.5)
+                best = (key, th, lc, rc)
+        _, th, lc, rc = best
+        resid = [(h, r - (lc if h <= th else rc)) for h, r in resid]
+        out += [th, lc / 100, rc / 100, sum(r * r for _, r in resid) / 10000]
+    got = list(dump("ml_gbt_stumps")[0])
+    for i, (g, e) in enumerate(zip(got, out)):
+        if not close(float(g), float(e), 1e-9):
+            mis.append((i, g, e))
+    report("ml_gbt_stumps", mis, len(out))
+
+
 AUDITS = {
     "emb_pq_train_kmeans": audit_pq_train_kmeans,
+    "ml_gbt_stumps": audit_gbt_stumps,
     "llm_pack_bfd": audit_pack_bfd,
     "text_lm_kneser_ney": audit_kneser_ney,
     "stats_sign_test": audit_sign_test,
