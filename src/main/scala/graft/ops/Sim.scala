@@ -463,7 +463,7 @@ object Sim {
                      sub: Int)
 
   def pqEncode(corpus: DataFrame, m: Int, nCentroids: Int,
-               stride: Int = 25): PqModel = {
+               stride: Int = 25, trainIters: Int = 0): PqModel = {
     ensureRegistered(corpus)
     val d = inferDim(corpus)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
@@ -483,10 +483,49 @@ object Sim {
     val seeds = resid
       .orderBy("vec_id").limit(nCentroids)
       .withColumn("code", row_number().over(Window.orderBy("vec_id")))
-    val codebook = seeds
+    val codebook0 = seeds
       .withColumn("subq", subIdx)
       .select(col("code"), col("subq"),
         slice(col("re"), col("subq") * sub + 1, lit(sub)).as("cv"))
+    // optional Lloyd refinement of the seed sub-codebooks on the residual
+    // sub-vectors (trainIters > 0): the quantized-integer-mean scheme of
+    // Linalg.pqTrainKmeans applied in place, so downstream (codes / ADC /
+    // stored norms) is codebook-agnostic. Graded queries keep
+    // trainIters = 0 (bit-stable outputs); the trained path is pinned by
+    // SimBlockedSpec (distortion non-increasing, recall floor held) and
+    // measured in SCALE.md. Each round: one broadcast join of the
+    // m·k·sub-row codebook + a per-(vec, subq) argmin + a (subq, code,
+    // dim) mean shuffle — corpus-scale-safe by the same argument as the
+    // encode itself. A code emptied by a round drops out (inner join).
+    val codebook = if (trainIters <= 0) codebook0 else {
+      val rsub = resid.withColumn("subq", subIdx)
+        .select(col("vec_id"), col("subq"),
+          slice(col("re"), col("subq") * sub + 1, lit(sub)).as("ev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var cb = codebook0
+      for (_ <- 1 to trainIters) {
+        val cbN2i = cb.select(col("code"), col("subq"), col("cv"),
+          dot(col("cv"), col("cv")).as("cv_n2"))
+        val assign = rsub.join(broadcast(cbN2i), "subq")
+          .select(col("vec_id"), col("subq"), col("code"),
+            (col("cv_n2") - lit(2.0) * dot(col("ev"), col("cv"))).as("dist"))
+          .groupBy("vec_id", "subq")
+          .agg(min(struct(col("dist"), col("code"))).as("best"))
+          .select(col("vec_id"), col("subq"), col("best.code").as("code"))
+        cb = assign.join(rsub, Seq("vec_id", "subq"))
+          .select(col("subq"), col("code"),
+            posexplode(col("ev")).as(Seq("dim", "e")))
+          .groupBy("subq", "code", "dim")
+          .agg((floor(sum(graft.engine.Det.fix(col("e"), 6)).cast("double")
+            / count(lit(1)) + lit(0.5)) / 1000000).as("cm"))
+          .groupBy("subq", "code")
+          .agg(transform(
+            sort_array(collect_list(struct(col("dim"), col("cm")))),
+            x => x.getField("cm")).as("cv"))
+          .localCheckpoint()
+      }
+      cb
+    }
     // |cv|² hoisted per CODEBOOK ENTRY (m·nCentroids rows) before the
     // argmin join — the identical fold, evaluated 1k× instead of
     // corpus·m·nCentroids× (the encode join is the op's hot stage)
@@ -554,8 +593,8 @@ object Sim {
     * ANN query through the session cache) + one re-join of codes to the
     * broadcast codebook — never more than O(corpus × m) rows. */
   def pqDistortion(corpus: DataFrame, m: Int = 8,
-                   nCentroids: Int = 128): DataFrame = {
-    val pq = pqEncode(corpus, m, nCentroids)
+                   nCentroids: Int = 128, trainIters: Int = 0): DataFrame = {
+    val pq = pqEncode(corpus, m, nCentroids, trainIters = trainIters)
     val (codebook, codes, sub) = (pq.codebook, pq.codes, pq.sub)
     val diff = zip_with(col("ev"), col("cv"), (a, b) => a - b)
     // error is measured on the RESIDUAL (what the codebook actually
@@ -598,8 +637,9 @@ object Sim {
 
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
                 stride: Int = 25, nProbe: Int = 8,
-                m: Int = 8, nCentroids: Int = 128): DataFrame = {
-    val pq = pqEncode(corpus, m, nCentroids, stride)
+                m: Int = 8, nCentroids: Int = 128,
+                trainIters: Int = 0): DataFrame = {
+    val pq = pqEncode(corpus, m, nCentroids, stride, trainIters)
     val (codebook, codes, c, sub) = (pq.codebook, pq.codes, pq.c, pq.sub)
     // probe ADC look-up table: fixed-point subspace dot products against
     // the RESIDUAL codebook — dot(p, x) = dot(p, cent) + dot(p, r), and

@@ -2972,6 +2972,68 @@ object LlmOps extends QueryPack {
       .orderBy("step")
   }
 
+  // Content-defined chunking (FastCDC/Gear-style, fixed 4-char window):
+  // chunk boundaries fall where a rolling window hash ≡ 0 (mod 16), so
+  // an insertion early in a document only reshuffles the chunks it
+  // touches — the property fixed-size chunking (llm_dedup_chunk) lacks
+  // and the reason dedup-at-scale systems chunk this way. The window
+  // hash is a polynomial over the last 4 codepoints via 3 lag()s (no
+  // per-row state, pure window algebra — identical in the oracle);
+  // chunk id is a running boundary count. Per-doc readout: chunk count,
+  // mean/max chunk length. 100 TB shape: chars explode ~500× but stay
+  // partitioned by doc_id; both windows run inside the per-doc
+  // partition, then one per-doc aggregate.
+  q("text_cdc_chunks",
+    """WITH ch AS (
+      |  SELECT doc_id, pos,
+      |    CAST(ascii(substring(text, CAST(pos AS INT), 1)) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+      |        FROM documents)
+      |), h AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos >= 4 AND
+      |      (c + 31 * lag(c, 1) OVER w + 961 * lag(c, 2) OVER w
+      |         + 29791 * lag(c, 3) OVER w) % 16 = 0
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), ck AS (
+      |  SELECT doc_id, pos,
+      |    1 + COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM h
+      |), cl AS (
+      |  SELECT doc_id, chunk, COUNT(*) AS len FROM ck GROUP BY doc_id, chunk
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  floor(CAST(SUM(len) AS DOUBLE) / COUNT(*) * 10000 + 0.5) / 10000
+      |    AS avg_len,
+      |  CAST(MAX(len) AS BIGINT) AS max_len
+      |FROM cl GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val ch = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        ascii(col("text").substr(col("pos").cast("int"), lit(1)))
+          .cast("long").as("c"))
+    val h = ch.select(col("doc_id"), col("pos"),
+      when(col("pos") >= 4 &&
+        (col("c") + lit(31L) * lag("c", 1).over(wp)
+          + lit(961L) * lag("c", 2).over(wp)
+          + lit(29791L) * lag("c", 3).over(wp)) % 16 === 0, 1L)
+        .otherwise(0L).as("b"))
+    val ck = h.select(col("doc_id"), col("pos"),
+      (lit(1L) + coalesce(sum("b").over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))).as("chunk"))
+    val cl = ck.groupBy("doc_id", "chunk").agg(count(lit(1)).as("len"))
+    cl.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        (floor(sum("len").cast("double") / count(lit(1)) * 10000 + lit(0.5))
+          / 10000).as("avg_len"),
+        max("len").cast("long").as("max_len"))
+      .orderBy("doc_id")
+  }
+
   // GRPO-style group-relative advantage: per prompt-group (user_id as
   // the group key, value as the scalar reward), every sample's advantage
   // is (reward − group mean) / group sample-std — the normalization a

@@ -818,6 +818,34 @@ object Scalars extends QueryPack {
       .orderBy("p_partkey").limit(75)
   }
 
+  // Spark 4 collation-aware semantics: a UTF8_LCASE-collated key makes
+  // grouping (and =, ORDER BY) case-insensitive WITHOUT rewriting every
+  // expression through lower() — the engine-level answer to mixed-case
+  // categorical columns. The fixture derives a mixed-case segment
+  // (half the rows lowercased), groups on the collated key, and reports
+  // how many binary-distinct case variants each collated group merged —
+  // the cell that proves collation (not prior normalization) did the
+  // merging. Output keys are cast back to the default collation so the
+  // dumped parquet schema stays a plain string.
+  q("fn_collation_lcase",
+    """SELECT lower(seg) AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_variants
+      |FROM (
+      |  SELECT CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+      |              ELSE lower(c_mktsegment) END AS seg
+      |  FROM customer)
+      |GROUP BY lower(seg) ORDER BY seg""") { (s, dir) =>
+    val seg = when(col("c_custkey") % 2 === 0, col("c_mktsegment"))
+      .otherwise(lower(col("c_mktsegment")))
+    Tables(s, dir, "customer").select(seg.as("seg"))
+      .groupBy(collate(col("seg"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        countDistinct(col("seg")).cast("long").as("n_case_variants"))
+      .select(lower(col("k")).cast("string").as("seg"), col("n"),
+        col("n_case_variants"))
+      .orderBy("seg")
+  }
+
   // Spark 4 VARIANT surface: semi-structured values parsed ONCE into the
   // binary variant encoding, then path-extracted with per-path result
   // types — the open-schema column pattern (event payloads, scraped

@@ -183,4 +183,40 @@ class SimBlockedSpec extends SparkSpec {
     // path's 0.74 ceiling (r11 plain-x encode: 0.66). Floor at 0.65.
     assert(recall >= 0.65, f"IVF-PQ recall@5 $recall%.2f < 0.65")
   }
+
+  test("trained PQ sub-codebooks: distortion non-increasing per subspace, " +
+    "recall floor held") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = engine.Tables(spark, dir, "embeddings")
+    // k = 16 so the seed codebook is coarse enough for training to have
+    // headroom (at k = 128 over 2 000 residuals the seeds are already
+    // near-saturating). Lloyd from the seed start can only lower the
+    // min-distance distortion; the 6-dp mean quantization perturbs at
+    // ~1e-6, hence the epsilon.
+    def mse(trainIters: Int): Map[Int, Double] =
+      ops.Sim.pqDistortion(emb, m = 8, nCentroids = 16, trainIters = trainIters)
+        .collect().map(r => r.getInt(0) -> r.getAs[Double]("mse")).toMap
+    val seed = mse(0)
+    val trained = mse(2)
+    assert(seed.keySet == trained.keySet)
+    seed.foreach { case (sq, s) =>
+      assert(trained(sq) <= s + 1e-4,
+        f"subspace $sq: trained mse ${trained(sq)}%.6f > seed $s%.6f")
+    }
+    val lift = seed.values.sum / trained.values.sum
+    info(f"total distortion seed/trained = $lift%.3f (>1 is a win)")
+    assert(lift >= 1.0 - 1e-6)
+
+    // the trained encode feeds the SAME ADC/stored-norm scoring — recall
+    // must hold the untrained floor
+    val probes = emb.filter(col("vec_id") < 10)
+    def topkSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topkSet(ops.Sim.cosineTopK(probes, emb, k = 5))
+    val pqT = topkSet(ops.Sim.ivfPqTopK(probes, emb, k = 5, trainIters = 2))
+    val recallT = (pqT & brute).size.toDouble / brute.size
+    info(f"recall@5 with trained codebooks: $recallT%.2f")
+    assert(recallT >= 0.65, f"trained-codebook recall@5 $recallT%.2f < 0.65")
+  }
 }
