@@ -3034,6 +3034,87 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Chunk-level dedup over the CDC chunks — the reason CDC exists: two
+  // docs sharing a passage produce IDENTICAL chunks for the shared span
+  // regardless of where it sits, so duplicated-content detection is an
+  // exact md5 group-by at chunk grain (no similarity math). Chunk text
+  // is reconstructed as substr(text, min pos, len) — one row per chunk,
+  // never a per-char string agg. Per-doc readout: chunks, chunks whose
+  // content recurs in ANOTHER doc, and the duplicated character
+  // fraction — the signal a dedup-apply stage thresholds on. Scale: the
+  // char explode stays doc-partitioned; chunk identity is one hash
+  // shuffle at chunk grain (~1/16 of chars).
+  q("llm_dedup_cdc_chunks",
+    """WITH ch AS (
+      |  SELECT doc_id, pos,
+      |    CAST(ascii(substring(text, CAST(pos AS INT), 1)) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+      |        FROM documents)
+      |), h AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos >= 4 AND
+      |      (c + 31 * lag(c, 1) OVER w + 961 * lag(c, 2) OVER w
+      |         + 29791 * lag(c, 3) OVER w) % 16 = 0
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), ck AS (
+      |  SELECT doc_id, pos,
+      |    1 + COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM h
+      |), sp AS (
+      |  SELECT doc_id, chunk, CAST(MIN(pos) AS BIGINT) AS st,
+      |    CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM ck GROUP BY doc_id, chunk
+      |), cs AS (
+      |  SELECT sp.doc_id, sp.chunk, sp.len,
+      |    md5(substring(d.text, CAST(sp.st AS INT), CAST(sp.len AS INT))) AS sig
+      |  FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+      |), rep AS (
+      |  SELECT sig, COUNT(DISTINCT doc_id) AS n_docs FROM cs GROUP BY sig
+      |)
+      |SELECT cs.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN rep.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared_chunks,
+      |  floor(CAST(SUM(CASE WHEN rep.n_docs > 1 THEN cs.len ELSE 0 END)
+      |      AS DOUBLE) / SUM(cs.len) * 10000 + 0.5) / 10000 AS dup_char_frac
+      |FROM cs JOIN rep ON cs.sig = rep.sig
+      |GROUP BY cs.doc_id ORDER BY cs.doc_id""") { (s, dir) =>
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val docs = Tables(s, dir, "documents")
+    val ch = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        ascii(col("text").substr(col("pos").cast("int"), lit(1)))
+          .cast("long").as("c"))
+    val h = ch.select(col("doc_id"), col("pos"),
+      when(col("pos") >= 4 &&
+        (col("c") + lit(31L) * lag("c", 1).over(wp)
+          + lit(961L) * lag("c", 2).over(wp)
+          + lit(29791L) * lag("c", 3).over(wp)) % 16 === 0, 1L)
+        .otherwise(0L).as("b"))
+    val ck = h.select(col("doc_id"), col("pos"),
+      (lit(1L) + coalesce(sum("b").over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))).as("chunk"))
+    val sp = ck.groupBy("doc_id", "chunk")
+      .agg(min("pos").cast("long").as("st"), count(lit(1)).cast("long").as("len"))
+    val cs = sp.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("chunk"), col("len"),
+        md5(col("text").substr(col("st").cast("int"), col("len").cast("int")))
+          .as("sig"))
+    val rep = cs.groupBy("sig").agg(countDistinct("doc_id").as("n_docs"))
+    cs.join(rep, "sig")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_shared_chunks"),
+        (floor(sum(when(col("n_docs") > 1, col("len")).otherwise(0L))
+          .cast("double") / sum("len") * 10000 + lit(0.5)) / 10000)
+          .as("dup_char_frac"))
+      .orderBy("doc_id")
+  }
+
   // GRPO-style group-relative advantage: per prompt-group (user_id as
   // the group key, value as the scalar reward), every sample's advantage
   // is (reward − group mean) / group sample-std — the normalization a

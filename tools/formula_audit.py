@@ -5151,9 +5151,95 @@ def audit_gbt_stumps():
     report("ml_gbt_stumps", mis, len(out))
 
 
+def audit_grpo_advantage():
+    """(reward - group mean) / group sample std recomputed per-row in
+    Python with statistics.stdev — no shared fixed-point scheme with the
+    engine beyond the 1e-6 reward grid."""
+    import math
+    import statistics
+    mis = []
+    ev = rows(f"SELECT user_id, event_id, "
+              f"CAST(floor(value * 1000000 + 0.5) AS BIGINT) "
+              f"FROM '{SF}/events.parquet'")
+    groups = {}
+    for g, i, v in ev:
+        groups.setdefault(g, []).append(v)
+    got = dump("llm_grpo_advantage")
+    vmap = {(g, i): v for g, i, v in ev}
+    n_checked = 0
+    for g, i, reward, n_group, adv in got:
+        vs = groups[g]
+        if len(vs) != n_group:
+            mis.append((g, "n", n_group, len(vs)))
+        if len(vs) < 2 or statistics.stdev(vs) == 0:
+            exp = 0.0
+        else:
+            exp = (vmap[(g, i)] - statistics.mean(vs)) / statistics.stdev(vs)
+            exp = math.floor(exp * 1e6 + 0.5) / 1e6
+        if not close(adv, exp, 1e-6):
+            mis.append((g, i, adv, exp))
+        n_checked += 1
+    report("llm_grpo_advantage", mis, n_checked)
+
+
+def audit_cdc_chunks():
+    """CDC chunk boundaries replayed with an explicit per-char rolling
+    loop in Python (the engine computes the same hash with window lags);
+    checks chunk count / mean / max per doc AND the chunk-level dedup
+    readout's shared-chunk accounting via real chunk substrings."""
+    import hashlib
+    import math
+    mis = []
+    docs = rows(f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+                f"ORDER BY doc_id")
+    stats = {}
+    sig_docs = {}
+    chunks_of = {}
+    for doc_id, text in docs:
+        cps = [ord(c) for c in text]
+        lens, cur = [], 0
+        for i in range(len(cps)):
+            cur += 1
+            if i >= 3 and (cps[i] + 31 * cps[i - 1] + 961 * cps[i - 2]
+                           + 29791 * cps[i - 3]) % 16 == 0:
+                lens.append(cur)
+                cur = 0
+        if cur > 0:
+            lens.append(cur)
+        # NOTE boundary at pos ENDS a chunk at pos (chunk id increments
+        # AFTER the boundary row) — mirror: boundary char belongs to the
+        # chunk it closes
+        stats[doc_id] = (len(lens), sum(lens) / len(lens), max(lens))
+        st = 0
+        cl = []
+        for ln in lens:
+            piece = text[st:st + ln]
+            sig = hashlib.md5(piece.encode("utf-8")).hexdigest()
+            cl.append((sig, ln))
+            sig_docs.setdefault(sig, set()).add(doc_id)
+            st += ln
+        chunks_of[doc_id] = cl
+    for doc_id, n_chunks, avg_len, max_len in dump("text_cdc_chunks"):
+        en, ea, em = stats[doc_id]
+        if n_chunks != en or max_len != em or \
+                not close(avg_len, math.floor(ea * 1e4 + 0.5) / 1e4, 1e-9):
+            mis.append((doc_id, (n_chunks, avg_len, max_len), (en, ea, em)))
+    for doc_id, n_chunks, n_shared, frac in dump("llm_dedup_cdc_chunks"):
+        cl = chunks_of[doc_id]
+        es = sum(1 for sig, _ in cl if len(sig_docs[sig]) > 1)
+        ef = sum(ln for sig, ln in cl if len(sig_docs[sig]) > 1) \
+            / sum(ln for _, ln in cl)
+        if n_chunks != len(cl) or n_shared != es or \
+                not close(frac, math.floor(ef * 1e4 + 0.5) / 1e4, 1e-9):
+            mis.append((doc_id, (n_chunks, n_shared, frac), (len(cl), es, ef)))
+    report("text_cdc_chunks+llm_dedup_cdc_chunks", mis, 2 * len(docs))
+
+
 AUDITS = {
     "emb_pq_train_kmeans": audit_pq_train_kmeans,
     "ml_gbt_stumps": audit_gbt_stumps,
+    "llm_grpo_advantage": audit_grpo_advantage,
+    "text_cdc_chunks": audit_cdc_chunks,
     "llm_pack_bfd": audit_pack_bfd,
     "text_lm_kneser_ney": audit_kneser_ney,
     "stats_sign_test": audit_sign_test,
