@@ -3010,12 +3010,14 @@ object LlmOps extends QueryPack {
       |  CAST(MAX(len) AS BIGINT) AS max_len
       |FROM cl GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
     val wp = Window.partitionBy("doc_id").orderBy("pos")
+    // split-once char explode: substr(text, pos, 1) per exploded row is
+    // O(len) UTF-8 scanning per CHAR (quadratic per doc); splitting to a
+    // char array once per doc keeps the explode linear
     val ch = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        ascii(col("text").substr(col("pos").cast("int"), lit(1)))
-          .cast("long").as("c"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos0", "cc")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        ascii(col("cc")).cast("long").as("c"))
     val h = ch.select(col("doc_id"), col("pos"),
       when(col("pos") >= 4 &&
         (col("c") + lit(31L) * lag("c", 1).over(wp)
@@ -3082,12 +3084,12 @@ object LlmOps extends QueryPack {
       |GROUP BY cs.doc_id ORDER BY cs.doc_id""") { (s, dir) =>
     val wp = Window.partitionBy("doc_id").orderBy("pos")
     val docs = Tables(s, dir, "documents")
+    // split-once char explode — see text_cdc_chunks
     val ch = docs
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        ascii(col("text").substr(col("pos").cast("int"), lit(1)))
-          .cast("long").as("c"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("pos0", "cc")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        ascii(col("cc")).cast("long").as("c"))
     val h = ch.select(col("doc_id"), col("pos"),
       when(col("pos") >= 4 &&
         (col("c") + lit(31L) * lag("c", 1).over(wp)
@@ -3103,8 +3105,13 @@ object LlmOps extends QueryPack {
       .select(col("doc_id"), col("chunk"), col("len"),
         md5(col("text").substr(col("st").cast("int"), col("len").cast("int")))
           .as("sig"))
-    val rep = cs.groupBy("sig").agg(countDistinct("doc_id").as("n_docs"))
-    cs.join(rep, "sig")
+    // sharing count as a WINDOW over sig, not a groupBy + self-join:
+    // cs has two consumers in the join form, which recomputes the whole
+    // explode/window chain — the window keeps cs single-pass (one extra
+    // sig shuffle, chunk-grain rows only)
+    val withRep = cs.withColumn("n_docs",
+      size(collect_set(col("doc_id")).over(Window.partitionBy("sig"))))
+    withRep
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).cast("long")
