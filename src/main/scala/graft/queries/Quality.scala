@@ -978,6 +978,84 @@ object QualityOps extends QueryPack {
       .orderBy("cid")
   }
 
+  // Johnson–Lindenstrauss random projection (64 → 16 dims) with
+  // hash-derived ±1 signs — the cheap dimensionality reduction next to
+  // the PCA pair: no training pass, the "matrix" is a closed-form sign
+  // function s(d,j) = ±1 from integer arithmetic (replayed exactly in
+  // the oracle — no RNG state to ship). The graded readout is the JL
+  // property itself: the distribution of projected/original pairwise
+  // distance ratios (×1/√k) over the 1 770 sample pairs, bucketed at
+  // 0.1. Exactness: components fix to 1e-6 BIGINTs so projections and
+  // both squared distances are exact integer algebra; the ratio is one
+  // closed-form double. At 100 TB the projection is a per-row map (no
+  // shuffle); the distortion check stays sample-sized by construction.
+  q("emb_random_projection",
+    """WITH dims AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+      |    CAST(floor(unnest(CAST(embedding AS DOUBLE[])) * 1000000 + 0.5)
+      |      AS BIGINT) AS x6
+      |  FROM embeddings WHERE vec_id < 60
+      |), proj AS (
+      |  SELECT vec_id, d,
+      |    CAST(SUM(CASE WHEN (d * 2654435761 + j * 40503) % 2 = 0
+      |                  THEN x6 ELSE -x6 END) AS BIGINT) AS y6
+      |  FROM dims CROSS JOIN (SELECT unnest(range(0, 16)) AS d)
+      |  GROUP BY vec_id, d
+      |), po AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    CAST(SUM((a.x6 - b.x6) * (a.x6 - b.x6)) AS BIGINT) AS do2
+      |  FROM dims a JOIN dims b ON a.j = b.j AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |), pp AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    CAST(SUM((a.y6 - b.y6) * (a.y6 - b.y6)) AS BIGINT) AS dp2
+      |  FROM proj a JOIN proj b ON a.d = b.d AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT po.ia, po.ib,
+      |    sqrt(CAST(dp2 AS DOUBLE) / 16 / CAST(do2 AS DOUBLE)) AS ratio
+      |  FROM po JOIN pp ON po.ia = pp.ia AND po.ib = pp.ib
+      |  WHERE do2 > 0
+      |)
+      |SELECT CAST(floor(ratio * 10) AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  floor(MIN(ratio) * 10000 + 0.5) / 10000 AS min_ratio,
+      |  floor(MAX(ratio) * 10000 + 0.5) / 10000 AS max_ratio
+      |FROM r GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    val dims = graft.ops.Linalg
+      .dims(Tables(s, dir, "embeddings").filter(col("vec_id") < 60),
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("dim").as("j"),
+        floor(col("e") * 1000000 + lit(0.5)).cast("long").as("x6"))
+    val sign = when((col("d") * lit(2654435761L) + col("j") * lit(40503L))
+      % 2 === 0, col("x6")).otherwise(-col("x6"))
+    val proj = dims
+      .crossJoin(broadcast(
+        s.range(0, 16).select(col("id").cast("long").as("d"))))
+      .groupBy("vec_id", "d").agg(sum(sign).cast("long").as("y6"))
+    def pairDist(df: org.apache.spark.sql.DataFrame,
+                 key: String, v: String, out: String) = {
+      val a = df.select(col("vec_id").as("ia"), col(key).as("k"),
+        col(v).as("va"))
+      val b = df.select(col("vec_id").as("ib"), col(key).as("k"),
+        col(v).as("vb"))
+      a.join(b, Seq("k")).filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib")
+        .agg(sum((col("va") - col("vb")) * (col("va") - col("vb")))
+          .cast("long").as(out))
+    }
+    val po = pairDist(dims, "j", "x6", "do2")
+    val pp = pairDist(proj, "d", "y6", "dp2")
+    val r = po.join(pp, Seq("ia", "ib")).filter(col("do2") > 0)
+      .select(sqrt(col("dp2").cast("double") / 16
+        / col("do2").cast("double")).as("ratio"))
+    r.groupBy(floor(col("ratio") * 10).cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        (floor(min("ratio") * 10000 + lit(0.5)) / 10000).as("min_ratio"),
+        (floor(max("ratio") * 10000 + lit(0.5)) / 10000).as("max_ratio"))
+      .orderBy("bucket")
+  }
+
   // PQ sub-codebook TRAINING (Lloyd, per-subspace): the trained-codebook
   // upgrade seam Sim.pqEncode documents for its stride seeds, graded as a
   // per-(iter, subspace) convergence curve — occupied codes + mean
