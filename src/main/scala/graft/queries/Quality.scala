@@ -997,7 +997,7 @@ object QualityOps extends QueryPack {
       |  FROM embeddings WHERE vec_id < 60
       |), proj AS (
       |  SELECT vec_id, d,
-      |    CAST(SUM(CASE WHEN (d * 2654435761 + j * 40503) % 2 = 0
+      |    CAST(SUM(CASE WHEN ((d * 2654435761 + j * 40503) // 65536) % 2 = 0
       |                  THEN x6 ELSE -x6 END) AS BIGINT) AS y6
       |  FROM dims CROSS JOIN (SELECT unnest(range(0, 16)) AS d)
       |  GROUP BY vec_id, d
@@ -1027,8 +1027,12 @@ object QualityOps extends QueryPack {
         "vec_id", "embedding")
       .select(col("vec_id"), col("dim").as("j"),
         floor(col("e") * 1000000 + lit(0.5)).cast("long").as("x6"))
-    val sign = when((col("d") * lit(2654435761L) + col("j") * lit(40503L))
-      % 2 === 0, col("x6")).otherwise(-col("x6"))
+    // sign = a HIGH bit of the mixed product: taking the low bit of
+    // (odd*d + odd*j) degenerates to parity(d + j) — a stripe pattern,
+    // not a random matrix (caught by the JL-concentration spec)
+    val sign = when(floor((col("d") * lit(2654435761L)
+      + col("j") * lit(40503L)) / 65536) % 2 === 0, col("x6"))
+      .otherwise(-col("x6"))
     val proj = dims
       .crossJoin(broadcast(
         s.range(0, 16).select(col("id").cast("long").as("d"))))
