@@ -6719,6 +6719,58 @@ object StatsOps extends QueryPack {
           + lit(0.5)).cast("double") / 1000000).as("train_acc"))): _*)
   }
 
+  // Hashing-trick featurizer (feature hashing): vocabulary-free token →
+  // bucket mapping via a 12-bit slice of md5, folded to 1024 buckets —
+  // the fixed-width featurizer that needs NO vocabulary broadcast or
+  // fit pass, which at 100 TB is the difference between a map-only
+  // stage and a two-pass dictionary build. Graded readout is the
+  // collision profile (load → bucket count histogram + occupancy +
+  // distinct-token count), the quantity that sizes the bucket budget.
+  // Hex digits decode via ascii() arithmetic — same tree in both
+  // engines; md5 is identical by definition.
+  q("ml_feature_hashing",
+    """WITH tok AS (
+      |  SELECT DISTINCT lower(unnest(string_split(text, ' '))) AS t
+      |  FROM documents
+      |), hx AS (
+      |  SELECT t, md5(t) AS m FROM tok WHERE t <> ''
+      |), bk AS (
+      |  SELECT t,
+      |    ((ascii(substring(m, 1, 1))
+      |        - CASE WHEN ascii(substring(m, 1, 1)) >= 97 THEN 87 ELSE 48 END)
+      |      * 256
+      |     + (ascii(substring(m, 2, 1))
+      |        - CASE WHEN ascii(substring(m, 2, 1)) >= 97 THEN 87 ELSE 48 END)
+      |      * 16
+      |     + (ascii(substring(m, 3, 1))
+      |        - CASE WHEN ascii(substring(m, 3, 1)) >= 97 THEN 87 ELSE 48 END))
+      |    % 1024 AS bucket
+      |  FROM hx
+      |), load AS (
+      |  SELECT bucket, COUNT(*) AS n_tokens FROM bk GROUP BY bucket
+      |)
+      |SELECT CAST(n_tokens AS BIGINT) AS bucket_load,
+      |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_at_load
+      |FROM load GROUP BY n_tokens ORDER BY bucket_load""") { (s, dir) =>
+    def hexAt(i: Int) = {
+      val a = ascii(substring(col("m"), i, 1))
+      a - when(a >= 97, 87).otherwise(48)
+    }
+    val tok = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t0"))
+      .select(lower(col("t0")).as("t")).distinct()
+      .filter(col("t") =!= "")
+    val bk = tok.select(col("t"), md5(col("t")).as("m"))
+      .select(col("t"),
+        ((hexAt(1) * 256 + hexAt(2) * 16 + hexAt(3)) % 1024).as("bucket"))
+    bk.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+      .groupBy(col("n_tokens").cast("long").as("bucket_load"))
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        sum("n_tokens").cast("long").as("tokens_at_load"))
+      .orderBy("bucket_load")
+  }
+
   // Gradient-boosted regression stumps (squared loss, 2 rounds) — the
   // third ensemble next to ml_decision_stump (one learner) and
   // ml_adaboost_stumps (reweighting): boosting here fits each stump to
