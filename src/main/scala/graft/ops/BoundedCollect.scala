@@ -20,17 +20,18 @@ import org.apache.spark.sql.execution.columnar.InMemoryRelation
   * PlanShapeSpec uses to ban unpartitioned corpus windows, applied to the
   * collect's optimized plan at call time.
   *
-  * Shape of the check (r12): the walker first strips row-preserving /
+  * Shape of the check (r12): the walker strips row-preserving /
   * row-reducing nodes (Project/Filter/Sort/Window/…) off the ROOT and
   * lets the topmost output-determining node decide — a corpus-keyed
   * Aggregate there is an outright DENY (its output is corpus-cardinality
   * no matter what bounds sit below it; the pre-r12 `exists` walker let an
-  * unrelated inner bound vacuously pass it). Only when the top node is a
-  * compound shape (join, union, generate) does it fall back to the
-  * `exists` subtree scan, which still vacuously accepts an unbounded
-  * branch next to a bounded one — NARROWED, not closed; acceptable
-  * because no current collect has that shape and every call site keeps
-  * its written boundedness argument.
+  * unrelated inner bound vacuously pass it). Compound shapes recurse
+  * PER BRANCH: a join/union is bounded only when every row-contributing
+  * branch is bounded (semi/anti by the left alone), so a bound on one
+  * branch can no longer vacuously pass an unbounded sibling — the r10
+  * exists-walker gap is CLOSED, not just narrowed. Generate (explode)
+  * is never accepted: its multiplier is data-sized and can smuggle a
+  * collected corpus back out of a bounded frame.
   *
   * The corpus-key rule (r10 gap 1, hardened r12): an Aggregate whose
   * grouping key IS a corpus-identity column does not bound. The check
@@ -142,17 +143,27 @@ object BoundedCollect {
     // pool shape (the partitioned form is stripped above)
     case wgl: WindowGroupLimit if wgl.partitionSpec.isEmpty => true
     case imr: InMemoryRelation => boundedPhys(imr.cachedPlan)
-    // compound shapes (joins, unions, generates): subtree scan — a bound
-    // on one branch still vacuously passes the others (see scaladoc)
-    case other => other.exists {
-      case a: Aggregate => !corpusKeyed[LogicalPlan](a.groupingExpressions, a)
-      case _: GlobalLimit => true
-      case _: LocalRelation => true
-      case _: OneRowRelation => true
-      case _: Range => true
-      case wgl: WindowGroupLimit if wgl.partitionSpec.isEmpty => true
-      case imr: InMemoryRelation => boundedPhys(imr.cachedPlan)
-      case _ => false
+    // compound shapes recurse per branch (r12, closing the r10 exists-
+    // walker gap for good): a join/union is bounded only when EVERY
+    // row-contributing branch is itself bounded — a bound on one branch
+    // can no longer vacuously pass an unbounded sibling. Semi/anti/
+    // existence joins bound by their left side alone (output ⊆ left).
+    // Note a bounded×corpus INNER join is correctly DENIED even when the
+    // join key would cap output at corpus size — corpus-sized IS the
+    // thing this guard exists to reject.
+    case j: Join => j.joinType match {
+      case org.apache.spark.sql.catalyst.plans.LeftSemi |
+           org.apache.spark.sql.catalyst.plans.LeftAnti |
+           _: org.apache.spark.sql.catalyst.plans.ExistenceJoin =>
+        bounded(j.left)
+      case _ => bounded(j.left) && bounded(j.right)
     }
+    case u: Union => u.children.forall(bounded)
+    // Expand multiplies rows by a FIXED projection count (grouping sets)
+    case e: Expand => bounded(e.child)
+    // anything else (Generate — an explode's multiplier is data-sized and
+    // can smuggle a collected corpus back out — scans, unknown nodes):
+    // not provably bounded
+    case _ => false
   }
 }

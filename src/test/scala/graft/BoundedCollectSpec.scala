@@ -117,6 +117,46 @@ class BoundedCollectSpec extends SparkSpec {
     } finally pool.unpersist()
   }
 
+  test("compound shapes recurse per branch: bounded x corpus join denied, " +
+    "bounded x bounded accepted (r12 gap closed)") {
+    val ev = engine.Tables(spark, sf, "events")
+    val boundedAgg = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // a bound on ONE branch no longer vacuously passes an unbounded
+    // sibling: inner join of the 5-row agg against the raw corpus scan
+    // is corpus-sized output — DENY
+    intercept[IllegalArgumentException] {
+      ops.BoundedCollect.rows(
+        ev.select("event_id", "event_type").join(boundedAgg, "event_type"),
+        "spec: bounded x corpus inner join")
+    }
+    // union with an unbounded branch: DENY
+    intercept[IllegalArgumentException] {
+      ops.BoundedCollect.rows(
+        boundedAgg.select(col("n"))
+          .unionByName(ev.select(col("event_id").as("n"))),
+        "spec: bounded union corpus")
+    }
+    // bounded x bounded join and bounded union: ACCEPT
+    val two = boundedAgg.select(col("event_type"), col("n"))
+      .join(ev.groupBy("event_type").agg(avg("value").as("v")), "event_type")
+    assert(ops.BoundedCollect.rows(two, "spec: bounded x bounded").nonEmpty)
+    assert(ops.BoundedCollect.rows(
+      boundedAgg.select("n").unionByName(boundedAgg.select("n")),
+      "spec: bounded union bounded").nonEmpty)
+    // semi-join bounds by its LEFT side alone
+    assert(ops.BoundedCollect.rows(
+      boundedAgg.join(ev.select(col("event_type")), Seq("event_type"),
+        "left_semi"),
+      "spec: semi join bounded left").nonEmpty)
+    // explode can smuggle a corpus back out of a 1-row frame: DENY
+    intercept[IllegalArgumentException] {
+      ops.BoundedCollect.rows(
+        ev.agg(collect_list("event_id").as("ids"))
+          .select(explode(col("ids")).as("event_id")),
+        "spec: explode of collected corpus")
+    }
+  }
+
   test("every guarded operator still collects (the live sites stay bounded)") {
     // one query per guarded site family: HITS edge list, MMR pool,
     // markov transition counts, BPE argmax + merge table, PCA moments
