@@ -474,6 +474,44 @@ object ScaleStress {
       SparkEntry.queries("ml_tree_depth2")(spark, dir).count())
     time("tree depth2 (3-node induction) 10x (6M events, same domains)")(
       SparkEntry.queries("ml_tree_depth2")(spark, stressDir).count())
+
+    // streaming dedup state (r12): dropDuplicates holds EVERY key ever;
+    // dropDuplicatesWithinWatermark expires keys once the watermark
+    // passes first-seen + delay. 10 batches × 10k fresh keys, event time
+    // advancing 1 h per batch, delay 10 min → the bounded store ends at
+    // ~one batch of keys, the unbounded one at the union.
+    def dedupStateRows(within: Boolean): Long = {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val base = in.toDF().toDF("ts", "k").withWatermark("ts", "10 minutes")
+      val dd = if (within) base.dropDuplicatesWithinWatermark("k")
+               else base.dropDuplicates("k")
+      val name = s"dedup_stress_$within"
+      val q = dd.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds")).start()
+      try {
+        var fed = 0L
+        for (b <- 0 until 10) {
+          val t = new java.sql.Timestamp(b * 3600L * 1000L)
+          in.addData((0 until 10000).map(i =>
+            (t, b * 10000L + i)): _*)
+          fed += 10000
+          val deadline = System.currentTimeMillis + 60000
+          while (spark.table(name).count() < fed
+                 && System.currentTimeMillis < deadline) Thread.sleep(100)
+        }
+        Option(q.lastProgress).flatMap(_.stateOperators.headOption)
+          .map(_.numRowsTotal).getOrElse(-1L)
+      } finally q.stop()
+    }
+    time("stream dedup state rows, 10x10k keys, dropDuplicates (unbounded)")(
+      dedupStateRows(within = false))
+    time("stream dedup state rows, 10x10k keys, withinWatermark 10min")(
+      dedupStateRows(within = true))
     spark.stop()
   }
 }

@@ -6719,8 +6719,8 @@ object StatsOps extends QueryPack {
           + lit(0.5)).cast("double") / 1000000).as("train_acc"))): _*)
   }
 
-  // Hashing-trick featurizer (feature hashing): vocabulary-free token →
-  // bucket mapping via a 12-bit slice of md5, folded to 1024 buckets —
+  // Hashing-trick featurizer (feature hashing): vocabulary-free feature →
+  // bucket mapping via a 12-bit slice of md5, folded to 256 buckets —
   // the fixed-width featurizer that needs NO vocabulary broadcast or
   // fit pass, which at 100 TB is the difference between a map-only
   // stage and a two-pass dictionary build. Graded readout is the
@@ -6729,9 +6729,12 @@ object StatsOps extends QueryPack {
   // Hex digits decode via ascii() arithmetic — same tree in both
   // engines; md5 is identical by definition.
   q("ml_feature_hashing",
-    """WITH tok AS (
-      |  SELECT DISTINCT lower(unnest(string_split(text, ' '))) AS t
-      |  FROM documents
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |), tok AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(w)),
+      |    i -> w[i] || ' ' || w[i + 1])) AS t
+      |  FROM tk WHERE len(w) >= 2
       |), hx AS (
       |  SELECT t, md5(t) AS m FROM tok WHERE t <> ''
       |), bk AS (
@@ -6744,7 +6747,7 @@ object StatsOps extends QueryPack {
       |      * 16
       |     + (ascii(substring(m, 3, 1))
       |        - CASE WHEN ascii(substring(m, 3, 1)) >= 97 THEN 87 ELSE 48 END))
-      |    % 1024 AS bucket
+      |    % 256 AS bucket
       |  FROM hx
       |), load AS (
       |  SELECT bucket, COUNT(*) AS n_tokens FROM bk GROUP BY bucket
@@ -6757,13 +6760,20 @@ object StatsOps extends QueryPack {
       val a = ascii(substring(col("m"), i, 1))
       a - when(a >= 97, 87).otherwise(48)
     }
+    // features = distinct token BIGRAMS (the fixture unigram vocabulary
+    // is ~31 words — bigrams give the collision profile something to
+    // profile), hashed into 256 buckets
     val tok = Tables(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("t0"))
-      .select(lower(col("t0")).as("t")).distinct()
+      .select(split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+        .as("t"))
+      .distinct()
       .filter(col("t") =!= "")
     val bk = tok.select(col("t"), md5(col("t")).as("m"))
       .select(col("t"),
-        ((hexAt(1) * 256 + hexAt(2) * 16 + hexAt(3)) % 1024).as("bucket"))
+        ((hexAt(1) * 256 + hexAt(2) * 16 + hexAt(3)) % 256).as("bucket"))
     bk.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
       .groupBy(col("n_tokens").cast("long").as("bucket_load"))
       .agg(count(lit(1)).cast("long").as("n_buckets"),

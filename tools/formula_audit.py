@@ -5235,11 +5235,80 @@ def audit_cdc_chunks():
     report("text_cdc_chunks+llm_dedup_cdc_chunks", mis, 2 * len(docs))
 
 
+def audit_random_projection():
+    """JL sign projection + pair-distance ratio buckets replayed in plain
+    Python (numpy-free; explicit sign matrix from the integer mixer)."""
+    import math
+    mis = []
+    r_ = rows(f"SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+              f"FROM '{SF}/embeddings.parquet' WHERE vec_id < 60 "
+              f"ORDER BY vec_id")
+    vecs = {v: [math.floor(x * 1e6 + 0.5) for x in e] for v, e in r_}
+    ids = sorted(vecs)
+    dj = len(vecs[ids[0]])
+    sign = {(d, j): (1 if ((d * 2654435761 + j * 40503) // 65536) % 2 == 0
+                     else -1)
+            for d in range(16) for j in range(1, dj + 1)}
+    proj = {v: [sum(sign[(d, j + 1)] * x for j, x in enumerate(vecs[v]))
+                for d in range(16)] for v in ids}
+    buckets = {}
+    for a_i in range(len(ids)):
+        for b_i in range(a_i + 1, len(ids)):
+            a, b = ids[a_i], ids[b_i]
+            do2 = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+            if do2 == 0:
+                continue
+            dp2 = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            ratio = math.sqrt(dp2 / 16 / do2)
+            bk = math.floor(ratio * 10)
+            n, mn, mx = buckets.get(bk, (0, 9e9, -9e9))
+            buckets[bk] = (n + 1, min(mn, ratio), max(mx, ratio))
+    got = dump("emb_random_projection")
+    if len(got) != len(buckets):
+        mis.append(("n_buckets", len(got), len(buckets)))
+    for bk, n, mn, mx in got:
+        en, emn, emx = buckets.get(bk, (0, 0, 0))
+        if n != en:
+            mis.append((bk, "n", n, en))
+        if not close(mn, math.floor(emn * 1e4 + 0.5) / 1e4, 1e-9) or \
+           not close(mx, math.floor(emx * 1e4 + 0.5) / 1e4, 1e-9):
+            mis.append((bk, "minmax", (mn, mx), (emn, emx)))
+    report("emb_random_projection", mis, 3 * len(got))
+
+
+def audit_feature_hashing():
+    """Hashing-trick bucket loads replayed with hashlib.md5 — fully
+    independent of both engines' md5/substring/ascii trees."""
+    import hashlib
+    mis = []
+    docs = rows(f"SELECT text FROM '{SF}/documents.parquet'")
+    toks = set()
+    for (t,) in docs:
+        w = t.lower().split(" ")
+        toks.update(f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1))
+    load = {}
+    for t in toks:
+        b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:3], 16) % 256
+        load[b] = load.get(b, 0) + 1
+    hist = {}
+    for _, n in load.items():
+        hist[n] = hist.get(n, 0) + 1
+    got = dump("ml_feature_hashing")
+    if len(got) != len(hist):
+        mis.append(("n_rows", len(got), len(hist)))
+    for bl, nb, tl in got:
+        if hist.get(bl) != nb or bl * hist.get(bl, 0) != tl:
+            mis.append((bl, (nb, tl), (hist.get(bl), bl * hist.get(bl, 0))))
+    report("ml_feature_hashing", mis, 2 * len(got))
+
+
 AUDITS = {
     "emb_pq_train_kmeans": audit_pq_train_kmeans,
     "ml_gbt_stumps": audit_gbt_stumps,
     "llm_grpo_advantage": audit_grpo_advantage,
     "text_cdc_chunks": audit_cdc_chunks,
+    "emb_random_projection": audit_random_projection,
+    "ml_feature_hashing": audit_feature_hashing,
     "llm_pack_bfd": audit_pack_bfd,
     "text_lm_kneser_ney": audit_kneser_ney,
     "stats_sign_test": audit_sign_test,
