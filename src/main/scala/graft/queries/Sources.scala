@@ -55,6 +55,27 @@ object Sources extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // Multi-char CSV delimiter (Spark 3.4+/univocity): "||"-separated
+  // export/ingest — the interchange format legacy pipelines actually
+  // emit when field text may contain commas. Round-trip through a "||"
+  // write + schema'd read; the kept columns are text-lossless so the
+  // original table is the oracle (the scan_csv pattern).
+  q("scan_csv_multichar_delim",
+    """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+      |ORDER BY s_suppkey""") { (s, dir) =>
+    val out = "/tmp/graft_io/csv_pipe_supplier"
+    Tables(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .write.mode("overwrite").option("header", "true")
+      .option("delimiter", "||").csv(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType)))
+    s.read.schema(schema).option("header", "true")
+      .option("delimiter", "||").csv(out)
+      .orderBy("s_suppkey")
+  }
+
   // JSON round-trip: int/string columns are lossless → original table is
   // the oracle (upgraded from rows-only in r4)
   q("scan_json",
