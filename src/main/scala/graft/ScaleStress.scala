@@ -480,7 +480,7 @@ object ScaleStress {
     // passes first-seen + delay. 10 batches × 10k fresh keys, event time
     // advancing 1 h per batch, delay 10 min → the bounded store ends at
     // ~one batch of keys, the unbounded one at the union.
-    def dedupStateRows(within: Boolean): Long = {
+    def dedupStateRows(within: Boolean): String = {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       val in = org.apache.spark.sql.execution.streaming.runtime
@@ -489,23 +489,24 @@ object ScaleStress {
       val dd = if (within) base.dropDuplicatesWithinWatermark("k")
                else base.dropDuplicates("k")
       val name = s"dedup_stress_$within"
+      // default trigger (no ProcessingTime): with a timed trigger,
+      // MemoryStream + processAllAvailable consistently lags one batch
       val q = dd.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger
-          .ProcessingTime("100 milliseconds")).start()
+        .outputMode("append").start()
       try {
-        var fed = 0L
-        for (b <- 0 until 10) {
+        for (b <- 1 to 10) {
+          // start at 1 h: rows AT the initial epoch-0 watermark are
+          // late-dropped before the operator ever sees them
           val t = new java.sql.Timestamp(b * 3600L * 1000L)
           in.addData((0 until 10000).map(i =>
             (t, b * 10000L + i)): _*)
-          fed += 10000
-          val deadline = System.currentTimeMillis + 60000
-          while (spark.table(name).count() < fed
-                 && System.currentTimeMillis < deadline) Thread.sleep(100)
+          q.processAllAvailable()
         }
-        Option(q.lastProgress).flatMap(_.stateOperators.headOption)
+        val emitted = spark.table(name).count()
+        val state = Option(q.lastProgress)
+          .flatMap(_.stateOperators.headOption)
           .map(_.numRowsTotal).getOrElse(-1L)
+        s"state=$state emitted=$emitted"
       } finally q.stop()
     }
     time("stream dedup state rows, 10x10k keys, dropDuplicates (unbounded)")(

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for training-data pipelines.
@@ -245,5 +246,42 @@ object TextOps {
       .select(col("tok"), col("c").cast("long").as("c"),
         (floor(col("c").cast("double") / col("n").cast("double")
           * 1000000 + lit(0.5)) / 1000000).as("share"))
+  }
+
+  /** Content-defined chunking (FastCDC/Gear-style, fixed 4-codepoint
+    * window): one row per (doc, chunk) with 1-based start, length, and
+    * the chunk content's md5 — shared by text_cdc_chunks (length
+    * profile) and llm_dedup_cdc_chunks (chunk-grain dedup), and the seam
+    * CdcSpec's insertion-stability pin drives. Boundary rule: position p
+    * ENDS a chunk when p ≥ 4 and (c_p + 31·c_{p−1} + 961·c_{p−2} +
+    * 29791·c_{p−3}) ≡ 0 (mod 16) — a pure window polynomial over
+    * codepoints, no per-row state, identical in the DuckDB oracles.
+    * Scale: the char explode is split-once per doc (linear, not the
+    * quadratic substr(pos) form) and stays doc-partitioned; chunk
+    * hashing is one substr + md5 per CHUNK (~1/16 of chars). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val ch = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "")).as(Seq("pos0", "cc")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        ascii(col("cc")).cast("long").as("c"))
+    val h = ch.select(col("doc_id"), col("pos"),
+      when(col("pos") >= 4 &&
+        (col("c") + lit(31L) * lag("c", 1).over(wp)
+          + lit(961L) * lag("c", 2).over(wp)
+          + lit(29791L) * lag("c", 3).over(wp)) % 16 === 0, 1L)
+        .otherwise(0L).as("b"))
+    val ck = h.select(col("doc_id"), col("pos"),
+      (lit(1L) + coalesce(sum("b").over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))).as("chunk"))
+    val sp = ck.groupBy("doc_id", "chunk")
+      .agg(min("pos").cast("long").as("st"),
+        count(lit(1)).cast("long").as("len"))
+    sp.join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        "doc_id")
+      .select(col("doc_id"), col("chunk"), col("st"), col("len"),
+        md5(col("__t").substr(col("st").cast("int"), col("len").cast("int")))
+          .as("sig"))
   }
 }

@@ -3009,26 +3009,8 @@ object LlmOps extends QueryPack {
       |    AS avg_len,
       |  CAST(MAX(len) AS BIGINT) AS max_len
       |FROM cl GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-    val wp = Window.partitionBy("doc_id").orderBy("pos")
-    // split-once char explode: substr(text, pos, 1) per exploded row is
-    // O(len) UTF-8 scanning per CHAR (quadratic per doc); splitting to a
-    // char array once per doc keeps the explode linear
-    val ch = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "")).as(Seq("pos0", "cc")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        ascii(col("cc")).cast("long").as("c"))
-    val h = ch.select(col("doc_id"), col("pos"),
-      when(col("pos") >= 4 &&
-        (col("c") + lit(31L) * lag("c", 1).over(wp)
-          + lit(961L) * lag("c", 2).over(wp)
-          + lit(29791L) * lag("c", 3).over(wp)) % 16 === 0, 1L)
-        .otherwise(0L).as("b"))
-    val ck = h.select(col("doc_id"), col("pos"),
-      (lit(1L) + coalesce(sum("b").over(
-        wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))).as("chunk"))
-    val cl = ck.groupBy("doc_id", "chunk").agg(count(lit(1)).as("len"))
-    cl.groupBy("doc_id")
+    TextOps.cdcChunks(Tables(s, dir, "documents"), "doc_id", "text")
+      .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         (floor(sum("len").cast("double") / count(lit(1)) * 10000 + lit(0.5))
           / 10000).as("avg_len"),
@@ -3082,29 +3064,7 @@ object LlmOps extends QueryPack {
       |      AS DOUBLE) / SUM(cs.len) * 10000 + 0.5) / 10000 AS dup_char_frac
       |FROM cs JOIN rep ON cs.sig = rep.sig
       |GROUP BY cs.doc_id ORDER BY cs.doc_id""") { (s, dir) =>
-    val wp = Window.partitionBy("doc_id").orderBy("pos")
-    val docs = Tables(s, dir, "documents")
-    // split-once char explode — see text_cdc_chunks
-    val ch = docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "")).as(Seq("pos0", "cc")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        ascii(col("cc")).cast("long").as("c"))
-    val h = ch.select(col("doc_id"), col("pos"),
-      when(col("pos") >= 4 &&
-        (col("c") + lit(31L) * lag("c", 1).over(wp)
-          + lit(961L) * lag("c", 2).over(wp)
-          + lit(29791L) * lag("c", 3).over(wp)) % 16 === 0, 1L)
-        .otherwise(0L).as("b"))
-    val ck = h.select(col("doc_id"), col("pos"),
-      (lit(1L) + coalesce(sum("b").over(
-        wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))).as("chunk"))
-    val sp = ck.groupBy("doc_id", "chunk")
-      .agg(min("pos").cast("long").as("st"), count(lit(1)).cast("long").as("len"))
-    val cs = sp.join(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select(col("doc_id"), col("chunk"), col("len"),
-        md5(col("text").substr(col("st").cast("int"), col("len").cast("int")))
-          .as("sig"))
+    val cs = TextOps.cdcChunks(Tables(s, dir, "documents"), "doc_id", "text")
     // sharing count as a WINDOW over sig, not a groupBy + self-join:
     // cs has two consumers in the join form, which recomputes the whole
     // explode/window chain — the window keeps cs single-pass (one extra
