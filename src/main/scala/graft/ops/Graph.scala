@@ -118,6 +118,58 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport mass restricted
+    * to a SEED set — the "relevance to these nodes" ranking behind
+    * related-item and local-community queries. Same integer fixed point
+    * (1e6-scaled ranks, exact-rational floors): seeds start at 1e6 and
+    * receive the 0.15 teleport each round; non-seeds start at 0 and live
+    * off propagated mass alone. Identical BSP shape and costs. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int): DataFrame = {
+    val fwd = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = fwd.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = fwd.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    val nEdges = withDeg.count()
+    val para = spark.sparkContext.defaultParallelism.toLong
+    val loopParts = math.max(math.max(1L, para / 4),
+      math.min(para, nEdges / 1000000L + 1L))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      val nodes = fwd.select(col("src").as("id"))
+        .union(fwd.select(col("dst").as("id")))
+        .distinct()
+        .join(broadcast(seeds.select(col("id"), lit(1L).as("seed"))),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("seed"), lit(0L)).as("seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var ranks = nodes
+        .select(col("id"), (col("seed") * 1000000L).as("r"))
+        .localCheckpoint()
+      for (_ <- 0 until iters) {
+        val contribs = withDeg
+          .join(ranks, withDeg("src") === ranks("id"))
+          .select(col("dst"),
+            floor(col("r").cast("double") / col("outdeg")).cast("long").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        ranks = nodes
+          .join(contribs, nodes("id") === contribs("dst"), "left")
+          .select(col("id"),
+            floor(col("seed").cast("double") * 150000.0
+              + lit(0.85) * coalesce(col("s"), lit(0L)).cast("double")
+              + lit(0.5)).cast("long").as("r"))
+          .localCheckpoint()
+      }
+      ranks
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
   /** Fixed-round min-label propagation (connected components) over an
     * undirected edge list: comp₀(v) = v, compₖ(v) = min(compₖ₋₁(v),
     * min over neighbors compₖ₋₁(u)). Converges once k reaches the graph

@@ -92,6 +92,47 @@ object GraphOps extends QueryPack {
       .orderBy(col("pr").desc, col("n_name"))
   }
 
+  // Personalized PageRank — teleport restricted to the region-0 nations:
+  // "how relevant is each nation to ASIA-0's trade neighborhood". Same
+  // unrolled integer-BSP oracle as graph_pagerank with a seed-gated
+  // teleport term and seed-only init; non-seed mass comes strictly from
+  // propagation, so seed locality is visible in the ranking.
+  private def pprRound(k: Int): String =
+    s"""p$k AS (
+       |  SELECT n.id,
+       |    CAST(floor(CAST(n.seed AS DOUBLE) * 150000
+       |      + CAST(0.85 AS DOUBLE) * CAST(COALESCE(m.s, 0) AS DOUBLE) + 0.5)
+       |      AS BIGINT) AS r
+       |  FROM snodes n LEFT JOIN (
+       |    SELECT e.dst, SUM(CAST(floor(CAST(r.r AS DOUBLE) / d.d) AS BIGINT)) AS s
+       |    FROM edges e JOIN p${k - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+       |    GROUP BY e.dst) m ON n.id = m.dst
+       |)""".stripMargin
+
+  q("graph_ppr",
+    s"""WITH $oracleEdges,
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |snodes AS (
+       |  SELECT nodes.id,
+       |    CASE WHEN nn.n_regionkey = 0 THEN 1 ELSE 0 END AS seed
+       |  FROM nodes JOIN nation nn ON nodes.id = nn.n_nationkey
+       |),
+       |p0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS r FROM snodes),
+       |${(1 to prIters).map(pprRound).mkString(",\n")}
+       |SELECT nn.n_name, CAST(nn.n_regionkey = 0 AS BOOLEAN) AS is_seed,
+       |  CAST(r.r AS DOUBLE) / 1000000 AS ppr
+       |FROM p$prIters r JOIN nation nn ON r.id = nn.n_nationkey
+       |ORDER BY ppr DESC, n_name""") { (s, dir) =>
+    val seeds = Tables(s, dir, "nation").filter(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("id"))
+    Graph.personalizedPageRank(tradeEdges(s, dir), seeds, prIters)
+      .join(Tables(s, dir, "nation"), col("id") === col("n_nationkey"))
+      .select(col("n_name"), (col("n_regionkey") === 0).as("is_seed"),
+        (col("r").cast("double") / 1000000).as("ppr"))
+      .orderBy(col("ppr").desc, col("n_name"))
+  }
+
   q("graph_triangle_count",
     s"""WITH $oracleEdges,
        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges)

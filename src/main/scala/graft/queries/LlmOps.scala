@@ -3082,6 +3082,67 @@ object LlmOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // The CDC dedup APPLY stage: keep each chunk's globally-FIRST instance
+  // (rank over its content signature, (doc_id, chunk) order) and drop
+  // every later recurrence — within or across documents. Per-doc
+  // readout: kept chunks/chars and the retention fraction, i.e. the doc
+  // the training pipeline would actually feed after passage-level
+  // dedup. One extra rank window on the sig shuffle the report query
+  // already pays; chunk-grain rows only.
+  q("llm_dedup_cdc_apply",
+    """WITH ch AS (
+      |  SELECT doc_id, pos,
+      |    CAST(ascii(substring(text, CAST(pos AS INT), 1)) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+      |        FROM documents)
+      |), h AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos >= 4 AND
+      |      (c + 31 * lag(c, 1) OVER w + 961 * lag(c, 2) OVER w
+      |         + 29791 * lag(c, 3) OVER w) % 16 = 0
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), ck AS (
+      |  SELECT doc_id, pos,
+      |    1 + COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM h
+      |), sp AS (
+      |  SELECT doc_id, chunk, CAST(MIN(pos) AS BIGINT) AS st,
+      |    CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM ck GROUP BY doc_id, chunk
+      |), cs AS (
+      |  SELECT sp.doc_id, sp.chunk, sp.len,
+      |    md5(substring(d.text, CAST(sp.st AS INT), CAST(sp.len AS INT))) AS sig
+      |  FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+      |), rk AS (
+      |  SELECT doc_id, chunk, len,
+      |    row_number() OVER (PARTITION BY sig ORDER BY doc_id, chunk) AS rn
+      |  FROM cs
+      |)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS kept_chunks,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN len ELSE 0 END) AS BIGINT)
+      |    AS kept_chars,
+      |  floor(CAST(SUM(CASE WHEN rn = 1 THEN len ELSE 0 END) AS DOUBLE)
+      |      / SUM(len) * 10000 + 0.5) / 10000 AS kept_frac
+      |FROM rk GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
+    val cs = TextOps.cdcChunks(Tables(s, dir, "documents"), "doc_id", "text")
+    val rk = cs.withColumn("rn", row_number().over(
+      Window.partitionBy("sig").orderBy("doc_id", "chunk")))
+    rk.groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long")
+          .as("kept_chunks"),
+        sum(when(col("rn") === 1, col("len")).otherwise(0L)).cast("long")
+          .as("kept_chars"),
+        (floor(sum(when(col("rn") === 1, col("len")).otherwise(0L))
+          .cast("double") / sum("len") * 10000 + lit(0.5)) / 10000)
+          .as("kept_frac"))
+      .orderBy("doc_id")
+  }
+
   // GRPO-style group-relative advantage: per prompt-group (user_id as
   // the group key, value as the scalar reward), every sample's advantage
   // is (reward − group mean) / group sample-std — the normalization a
