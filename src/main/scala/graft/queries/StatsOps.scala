@@ -6719,6 +6719,92 @@ object StatsOps extends QueryPack {
           + lit(0.5)).cast("double") / 1000000).as("train_acc"))): _*)
   }
 
+  // Benjamini–Hochberg FDR correction — the multiple-testing control a
+  // metrics pipeline needs the moment it runs one test per segment: 20
+  // chi²-independence tests (event_type × 6-hour bin; user-parity ×
+  // 3 fixed value buckets, dof = 2 so p = exp(−χ²/2) is CLOSED FORM —
+  // no incomplete-gamma), then reject the k smallest p-values where
+  // k = max{i : p(i) ≤ (i/m)·α}, α = 0.05. Exactness: cell χ² terms
+  // quantize to 1e-9 BIGINTs before the sum (order-free); p quantizes to
+  // p9; the BH boundary compares integer p9 against the exact-decimal
+  // threshold i·2 500 000 (0.05/20·1e9), so the accept/reject frontier
+  // is an integer comparison in both engines.
+  // Audit row: formula_audit.audit_bh_fdr.
+  q("stats_bh_fdr",
+    """WITH ev AS (
+      |  SELECT event_type, (EXTRACT(hour FROM ts) // 6) AS hbin,
+      |    user_id % 2 AS arm,
+      |    CASE WHEN value < 20 THEN 0 WHEN value < 55 THEN 1 ELSE 2 END AS vb
+      |  FROM events
+      |), cells AS (
+      |  SELECT event_type, hbin, arm, vb, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM ev GROUP BY 1, 2, 3, 4
+      |), mg AS (
+      |  SELECT event_type, hbin, arm, vb, o,
+      |    CAST(SUM(o) OVER (PARTITION BY event_type, hbin, arm) AS BIGINT) AS rt,
+      |    CAST(SUM(o) OVER (PARTITION BY event_type, hbin, vb) AS BIGINT) AS ct,
+      |    CAST(SUM(o) OVER (PARTITION BY event_type, hbin) AS BIGINT) AS n
+      |  FROM cells
+      |), chi AS (
+      |  SELECT event_type, hbin,
+      |    CAST(SUM(CAST(floor(
+      |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+      |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+      |      / (CAST(rt AS DOUBLE) * ct / n) * 1000000000 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS chi9
+      |  FROM mg GROUP BY 1, 2
+      |), p AS (
+      |  SELECT event_type, hbin, chi9,
+      |    CAST(floor(exp(-(CAST(chi9 AS DOUBLE) / 1000000000) / 2)
+      |      * 1000000000 + 0.5) AS BIGINT) AS p9
+      |  FROM chi
+      |), rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY p9, event_type, hbin) AS rnk
+      |  FROM p
+      |), kstar AS (
+      |  SELECT COALESCE(MAX(CASE WHEN p9 <= rnk * 2500000 THEN rnk END), 0)
+      |    AS k FROM rk
+      |)
+      |SELECT event_type, CAST(hbin AS INT) AS hbin,
+      |  floor(CAST(chi9 AS DOUBLE) / 1000000000 * 1000000 + 0.5) / 1000000
+      |    AS chi2,
+      |  CAST(p9 AS DOUBLE) / 1000000000 AS p_value,
+      |  CAST(rnk AS BIGINT) AS p_rank,
+      |  (rnk <= k) AS rejected
+      |FROM rk, kstar ORDER BY p_rank""") { (s, dir) =>
+    val ev = Tables(s, dir, "events").select(col("event_type"),
+      floor(hour(col("ts")) / 6).cast("long").as("hbin"),
+      (col("user_id") % 2).as("arm"),
+      when(col("value") < 20, 0).when(col("value") < 55, 1).otherwise(2)
+        .as("vb"))
+    val cells = ev.groupBy("event_type", "hbin", "arm", "vb")
+      .agg(count(lit(1)).cast("long").as("o"))
+    def wOver(ks: String*) = Window.partitionBy(ks.map(col): _*)
+    val mg = cells.select(col("event_type"), col("hbin"), col("o"),
+      sum("o").over(wOver("event_type", "hbin", "arm")).cast("long").as("rt"),
+      sum("o").over(wOver("event_type", "hbin", "vb")).cast("long").as("ct"),
+      sum("o").over(wOver("event_type", "hbin")).cast("long").as("n"))
+    val e = col("rt").cast("double") * col("ct") / col("n")
+    val chi = mg.groupBy("event_type", "hbin")
+      .agg(sum(floor((col("o").cast("double") - e) * (col("o").cast("double") - e)
+        / e * 1000000000L + lit(0.5)).cast("long")).cast("long").as("chi9"))
+    val p = chi.select(col("event_type"), col("hbin"), col("chi9"),
+      floor(exp(-(col("chi9").cast("double") / 1000000000L) / 2)
+        * 1000000000L + lit(0.5)).cast("long").as("p9"))
+    val rk = p.withColumn("rnk",
+      row_number().over(Window.orderBy("p9", "event_type", "hbin")))
+    val kstar = rk.agg(coalesce(max(when(col("p9") <= col("rnk") * 2500000L,
+      col("rnk"))), lit(0)).as("k"))
+    rk.crossJoin(broadcast(kstar))
+      .select(col("event_type"), col("hbin").cast("int").as("hbin"),
+        (floor(col("chi9").cast("double") / 1000000000L * 1000000 + lit(0.5))
+          / 1000000).as("chi2"),
+        (col("p9").cast("double") / 1000000000L).as("p_value"),
+        col("rnk").cast("long").as("p_rank"),
+        (col("rnk") <= col("k")).as("rejected"))
+      .orderBy("p_rank")
+  }
+
   // Hashing-trick featurizer (feature hashing): vocabulary-free feature →
   // bucket mapping via a 12-bit slice of md5, folded to 256 buckets —
   // the fixed-width featurizer that needs NO vocabulary broadcast or

@@ -5302,7 +5302,55 @@ def audit_feature_hashing():
     report("ml_feature_hashing", mis, 2 * len(got))
 
 
+def audit_bh_fdr():
+    """Chi-square (dof=2, closed-form p=exp(-x/2)) + Benjamini-Hochberg
+    step-up replayed from raw events in Python; float chi2 (no shared
+    fixed point) compared at 5e-3 tolerance, BH frontier re-derived."""
+    import math
+    mis = []
+    ev = rows(f"SELECT event_type, EXTRACT(hour FROM ts) // 6, "
+              f"user_id % 2, "
+              f"CASE WHEN value < 20 THEN 0 WHEN value < 55 THEN 1 "
+              f"ELSE 2 END FROM '{SF}/events.parquet'")
+    cells = {}
+    for t, hb, arm, vb in ev:
+        cells[(t, hb, arm, vb)] = cells.get((t, hb, arm, vb), 0) + 1
+    groups = sorted(set((t, hb) for t, hb, _, _ in cells))
+    ps = []
+    for (t, hb) in groups:
+        sub = {(a, v): n for (tt, hh, a, v), n in cells.items()
+               if tt == t and hh == hb}
+        n = sum(sub.values())
+        chi = 0.0
+        for a in (0, 1):
+            for v in (0, 1, 2):
+                rt = sum(sub.get((a, vv), 0) for vv in (0, 1, 2))
+                ct = sum(sub.get((aa, v), 0) for aa in (0, 1))
+                e = rt * ct / n
+                o = sub.get((a, v), 0)
+                if e > 0:
+                    chi += (o - e) ** 2 / e
+        ps.append((math.exp(-chi / 2), chi, t, hb))
+    ps.sort(key=lambda x: (x[0], x[2], x[3]))
+    m = len(ps)
+    k = max([i + 1 for i in range(m) if ps[i][0] <= (i + 1) / m * 0.05],
+            default=0)
+    exp_by_key = {(t, hb): (i + 1, p, chi, (i + 1) <= k)
+                  for i, (p, chi, t, hb) in enumerate(ps)}
+    got = dump("stats_bh_fdr")
+    if len(got) != m:
+        mis.append(("n_tests", len(got), m))
+    for t, hb, chi2, pv, rnk, rej in got:
+        ernk, ep, echi, erej = exp_by_key[(t, hb)]
+        if rnk != ernk or rej != erej:
+            mis.append((t, hb, (rnk, rej), (ernk, erej)))
+        if not close(chi2, echi) or not close(pv, ep):
+            mis.append((t, hb, (chi2, pv), (echi, ep)))
+    report("stats_bh_fdr", mis, 2 * m)
+
+
 AUDITS = {
+    "stats_bh_fdr": audit_bh_fdr,
     "emb_pq_train_kmeans": audit_pq_train_kmeans,
     "ml_gbt_stumps": audit_gbt_stumps,
     "llm_grpo_advantage": audit_grpo_advantage,
