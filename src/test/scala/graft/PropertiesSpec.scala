@@ -172,4 +172,41 @@ class PropertiesSpec extends SparkSpec {
       assert(blockL == naiveL, s"round $i: lag diverged")
     }
   }
+
+  test("cdcChunks partitions ANY unicode text exactly (codepoint " +
+    "semantics hold through split/substr/length, incl. supplementary)") {
+    // split(text, "") / length() / substr() must agree on what a
+    // "character" is or chunk reconstruction breaks on real-world text;
+    // Spark's UTF8String is codepoint-consistent — pinned here with BMP
+    // CJK, combining marks, and supplementary-plane emoji in the mix
+    val seed = Seed(42L)
+    val alphabet = "ab XY9光景тестé́😀🎉𝄞"
+    val gen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        alphabet.codePoints().toArray.toIndexedSeq.map(
+          cp => new String(Character.toChars(cp)))))
+        .map(_.mkString))
+    val texts = Iterator.iterate((gen.pureApply(Gen.Parameters.default, seed),
+        seed.next)) { case (_, s0) =>
+      (gen.pureApply(Gen.Parameters.default, s0), s0.next)
+    }.take(60).map(_._1).toSeq
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val chunks = ops.TextOps.cdcChunks(df, "doc_id", "text")
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    val lens = df.select($"doc_id", length($"text").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    lens.foreach { case (d, n) =>
+      val cs = chunks.getOrElse(d, Array.empty).sortBy(_.getAs[Long]("chunk"))
+      assert(cs.map(_.getAs[Long]("len")).sum == n.toLong,
+        s"doc $d: chunk lengths do not reconstruct length($n)")
+      // chunks tile the text: starts are cumulative lengths
+      var expectSt = 1L
+      cs.foreach { c =>
+        assert(c.getAs[Long]("st") == expectSt,
+          s"doc $d chunk ${c.getAs[Long]("chunk")}: gap or overlap")
+        expectSt += c.getAs[Long]("len")
+      }
+    }
+  }
 }
