@@ -72,12 +72,17 @@ object BoundedCollect {
     * None. An attribute with no alias entry is either a leaf column or
     * generated (window/stream/generate output) — fall back to its own
     * name, which keeps the pre-r12 name-based behavior as the floor. */
-  private def originName[P <: QueryPlan[P]](expr: Expression, plan: P): Option[String] = {
+  private def aliasesOf[P <: QueryPlan[P]](plan: P): collection.Map[ExprId, Expression] = {
     val aliases = scala.collection.mutable.Map.empty[ExprId, Expression]
     plan.foreach(node => node.expressions.foreach(_.foreach {
       case al: Alias => aliases(al.exprId) = al.child
       case _ =>
     }))
+    aliases
+  }
+
+  private def originName(expr: Expression,
+                         aliases: collection.Map[ExprId, Expression]): Option[String] = {
     @tailrec def walk(e: Expression): Option[String] = e match {
       case al: Alias => walk(al.child)
       case ar: AttributeReference =>
@@ -93,12 +98,23 @@ object BoundedCollect {
   }
 
   /** True when a grouping key list pins output cardinality to the corpus:
-    * some bare grouping attribute's origin column is a corpus key. */
-  private def corpusKeyed[P <: QueryPlan[P]](groupingExprs: Seq[Expression], plan: P): Boolean =
+    * some bare grouping attribute's origin column is a corpus key. The
+    * alias map is built ONCE per plan and shared across the grouping
+    * expressions (it was rebuilt per expression before r12's review). */
+  private def corpusKeyed[P <: QueryPlan[P]](groupingExprs: Seq[Expression], plan: P): Boolean = {
+    lazy val aliases = aliasesOf(plan)
     groupingExprs.exists(g =>
-      originName(g, plan).exists(n => corpusKeys(n.toLowerCase)))
+      originName(g, aliases).exists(n => corpusKeys(n.toLowerCase)))
+  }
 
-  private def boundedPhys(p: SparkPlan): Boolean = p.exists {
+  /** Physical mirror of [[bounded]]'s shape (r12 review: the pre-r12
+    * `exists` form let a persisted compound plan launder an unbounded
+    * branch past a bounded sibling — `.persist()` must not flip the
+    * guard's verdict). Walks DOWN the plan: bounding execs decide,
+    * joins/unions recurse per branch, GenerateExec is never accepted,
+    * any other unary exec (project/filter/sort/exchange/codegen
+    * wrappers) defers to its child, leaves deny. */
+  private def boundedPhys(p: SparkPlan): Boolean = p match {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       !corpusKeyed[SparkPlan](a.groupingExpressions, a)
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true
@@ -107,13 +123,30 @@ object BoundedCollect {
     case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case _: org.apache.spark.sql.execution.RangeExec => true
     // rn<=k over an UNPARTITIONED window — the physical twin of the
-    // logical WindowGroupLimit case below (a cached mmrDiversify pool
-    // collects through this exec, not the logical node)
-    case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-        if w.partitionSpec.isEmpty => true
+    // logical WindowGroupLimit case (a cached mmrDiversify pool collects
+    // through this exec, not the logical node); the partitioned form is
+    // k×keys — no growth, the child decides
+    case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+      if (w.partitionSpec.isEmpty) true else boundedPhys(w.child)
     case a: AdaptiveSparkPlanExec => boundedPhys(a.inputPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      boundedPhys(q.plan)
     case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
       boundedPhys(s.relation.cachedPlan)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti |
+             _: org.apache.spark.sql.catalyst.plans.ExistenceJoin =>
+          boundedPhys(j.left)
+        case _ => boundedPhys(j.left) && boundedPhys(j.right)
+      }
+    case u: org.apache.spark.sql.execution.UnionExec =>
+      u.children.forall(boundedPhys)
+    case e: org.apache.spark.sql.execution.ExpandExec => boundedPhys(e.child)
+    // an explode's multiplier is data-sized — same deny as logical Generate
+    case _: org.apache.spark.sql.execution.GenerateExec => false
+    case other if other.children.size == 1 => boundedPhys(other.children.head)
     case _ => false
   }
 

@@ -20,20 +20,6 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Fixed-iteration PageRank in integer micro-units.
-    *
-    * Cross-engine determinism (SURVEY §5.4 P2): ranks are BIGINT millionths.
-    * Per-edge contribution `floor(rank / outdeg)` and the per-round update
-    * `floor(0.15e6 + 0.85·Σ + 0.5)` are per-row IEEE double ops on integer
-    * inputs — bit-identical in Spark and DuckDB — and the only aggregation
-    * is an integer SUM, which no ordering can perturb. The result is an
-    * exactly-reproducible rank vector (documented micro-unit quantization;
-    * the usual float PageRank differs run-to-run at the ulp level anyway).
-    *
-    * Dangling vertices (no out-edges) keep the teleport mass only — the
-    * simple variant; redistribution is one extra broadcast scalar per round
-    * if ever needed. Returns (id, r) with r in micro-units.
-    */
   /** Katz centrality, truncated at `rounds` path lengths with dyadic
     * attenuation β = 1/2: katz(v) = Σ_{r=1..rounds} β^r · paths_r(v)
     * (directed paths of length r ending at v). Path counts are exact
@@ -68,7 +54,43 @@ object Graph {
       .select(col("id"), coalesce(col("k"), lit(0L)).as("katz"))
   }
 
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  /** Fixed-iteration PageRank in integer micro-units.
+    *
+    * Cross-engine determinism (SURVEY §5.4 P2): ranks are BIGINT millionths.
+    * Per-edge contribution `floor(rank / outdeg)` and the per-round update
+    * `floor(0.15e6 + 0.85·Σ + 0.5)` are per-row IEEE double ops on integer
+    * inputs — bit-identical in Spark and DuckDB — and the only aggregation
+    * is an integer SUM, which no ordering can perturb. The result is an
+    * exactly-reproducible rank vector (documented micro-unit quantization;
+    * the usual float PageRank differs run-to-run at the ulp level anyway).
+    *
+    * Dangling vertices (no out-edges) keep the teleport mass only — the
+    * simple variant; redistribution is one extra broadcast scalar per round
+    * if ever needed. Returns (id, r) with r in micro-units.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame =
+    prLoop(edges, None, iters)
+
+  /** Personalized PageRank: [[pageRank]] with the teleport mass restricted
+    * to a SEED set — the "relevance to these nodes" ranking behind
+    * related-item and local-community queries. Same integer fixed point
+    * (1e6-scaled ranks, exact-rational floors): seeds start at 1e6 and
+    * receive the 0.15 teleport each round; non-seeds start at 0 and live
+    * off propagated mass alone. Identical BSP shape and costs. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int): DataFrame =
+    prLoop(edges, Some(seeds), iters)
+
+  /** The shared BSP loop behind [[pageRank]] (seedsOpt = None: every node
+    * seeds — uniform teleport, uniform init) and [[personalizedPageRank]]
+    * (seed-gated teleport and init). Kept as ONE implementation so the
+    * loop's scale devices — edge-frame persist, loop-sized shuffle
+    * partitions, localCheckpoint lineage cuts, exact-rational floors —
+    * cannot drift between the two rankings. Note the global variant does
+    * NOT join a seed frame at all: broadcasting an all-nodes "seed set"
+    * would broadcast the node table, corpus-sized on a real graph. */
+  private def prLoop(edges: DataFrame, seedsOpt: Option[DataFrame],
+                     iters: Int): DataFrame = {
     val fwd = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -92,61 +114,18 @@ object Graph {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
-      val nodes = fwd.select(col("src").as("id"))
-        .union(fwd.select(col("dst").as("id")))
-        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-      var ranks = nodes.select(col("id"), lit(1000000L).as("r")).localCheckpoint()
-      for (_ <- 0 until iters) {
-        val contribs = withDeg
-          .join(ranks, withDeg("src") === ranks("id"))
-          .select(col("dst"),
-            // exact-rational floor survives the double division: |r| < 2^53
-            // and the true quotient is ≥ 1/outdeg away from any integer it
-            // doesn't equal, far beyond one ulp at these magnitudes
-            floor(col("r").cast("double") / col("outdeg")).cast("long").as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("s"))
-        ranks = nodes
-          .join(contribs, nodes("id") === contribs("dst"), "left")
-          .select(col("id"),
-            floor(lit(150000.0) + lit(0.85) * coalesce(col("s"), lit(0L)).cast("double")
-              + lit(0.5)).cast("long").as("r"))
-          .localCheckpoint()
-      }
-      ranks
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    }
-  }
-
-  /** Personalized PageRank: [[pageRank]] with the teleport mass restricted
-    * to a SEED set — the "relevance to these nodes" ranking behind
-    * related-item and local-community queries. Same integer fixed point
-    * (1e6-scaled ranks, exact-rational floors): seeds start at 1e6 and
-    * receive the 0.15 teleport each round; non-seeds start at 0 and live
-    * off propagated mass alone. Identical BSP shape and costs. */
-  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-                           iters: Int): DataFrame = {
-    val fwd = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    val deg = fwd.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = fwd.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val spark = edges.sparkSession
-    val nEdges = withDeg.count()
-    val para = spark.sparkContext.defaultParallelism.toLong
-    val loopParts = math.max(math.max(1L, para / 4),
-      math.min(para, nEdges / 1000000L + 1L))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
-      val nodes = fwd.select(col("src").as("id"))
+      val bare = fwd.select(col("src").as("id"))
         .union(fwd.select(col("dst").as("id")))
         .distinct()
-        .join(broadcast(seeds.select(col("id"), lit(1L).as("seed"))),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("seed"), lit(0L)).as("seed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nodes = seedsOpt match {
+        case Some(seeds) => bare
+          .join(broadcast(seeds.select(col("id"), lit(1L).as("seed"))),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("seed"), lit(0L)).as("seed"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        case None => bare.select(col("id"), lit(1L).as("seed"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
       var ranks = nodes
         .select(col("id"), (col("seed") * 1000000L).as("r"))
         .localCheckpoint()
@@ -154,6 +133,9 @@ object Graph {
         val contribs = withDeg
           .join(ranks, withDeg("src") === ranks("id"))
           .select(col("dst"),
+            // exact-rational floor survives the double division: |r| < 2^53
+            // and the true quotient is ≥ 1/outdeg away from any integer it
+            // doesn't equal, far beyond one ulp at these magnitudes
             floor(col("r").cast("double") / col("outdeg")).cast("long").as("c"))
           .groupBy("dst").agg(sum(col("c")).as("s"))
         ranks = nodes
@@ -169,6 +151,7 @@ object Graph {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
+
 
   /** Fixed-round min-label propagation (connected components) over an
     * undirected edge list: comp₀(v) = v, compₖ(v) = min(compₖ₋₁(v),

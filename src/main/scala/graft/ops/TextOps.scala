@@ -262,6 +262,11 @@ object TextOps {
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val wp = Window.partitionBy("doc_id").orderBy("pos")
     val ch = docs
+      // an EMPTY document has no chunks: split("", "") returns [""] (the
+      // Java no-match convention), which would fabricate a phantom 1-char
+      // chunk of md5("") where the oracle's range(1, length+1) correctly
+      // yields nothing
+      .filter(length(col(textCol)) > 0)
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "")).as(Seq("pos0", "cc")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),

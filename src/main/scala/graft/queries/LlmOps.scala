@@ -2972,18 +2972,12 @@ object LlmOps extends QueryPack {
       .orderBy("step")
   }
 
-  // Content-defined chunking (FastCDC/Gear-style, fixed 4-char window):
-  // chunk boundaries fall where a rolling window hash ≡ 0 (mod 16), so
-  // an insertion early in a document only reshuffles the chunks it
-  // touches — the property fixed-size chunking (llm_dedup_chunk) lacks
-  // and the reason dedup-at-scale systems chunk this way. The window
-  // hash is a polynomial over the last 4 codepoints via 3 lag()s (no
-  // per-row state, pure window algebra — identical in the oracle);
-  // chunk id is a running boundary count. Per-doc readout: chunk count,
-  // mean/max chunk length. 100 TB shape: chars explode ~500× but stay
-  // partitioned by doc_id; both windows run inside the per-doc
-  // partition, then one per-doc aggregate.
-  q("text_cdc_chunks",
+  // Shared DuckDB oracle prefix for the CDC trio (text_cdc_chunks /
+  // llm_dedup_cdc_chunks / llm_dedup_cdc_apply): the char explode,
+  // rolling-hash boundary, and chunk-id stages — ONE string so the
+  // boundary polynomial CdcSpec pins cannot drift between the three
+  // oracles (the oPqEncode pattern).
+  private val oCdcChunks =
     """WITH ch AS (
       |  SELECT doc_id, pos,
       |    CAST(ascii(substring(text, CAST(pos AS INT), 1)) AS BIGINT) AS c
@@ -3001,7 +2995,34 @@ object LlmOps extends QueryPack {
       |    1 + COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
       |  FROM h
-      |), cl AS (
+      |)""".stripMargin
+
+  // ... plus the chunk-span + md5-signature stages shared by the two
+  // dedup readouts.
+  private val oCdcSigs =
+    """, sp AS (
+      |  SELECT doc_id, chunk, CAST(MIN(pos) AS BIGINT) AS st,
+      |    CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM ck GROUP BY doc_id, chunk
+      |), cs AS (
+      |  SELECT sp.doc_id, sp.chunk, sp.len,
+      |    md5(substring(d.text, CAST(sp.st AS INT), CAST(sp.len AS INT))) AS sig
+      |  FROM sp JOIN documents d ON sp.doc_id = d.doc_id
+      |)""".stripMargin
+
+  // Content-defined chunking (FastCDC/Gear-style, fixed 4-char window):
+  // chunk boundaries fall where a rolling window hash ≡ 0 (mod 16), so
+  // an insertion early in a document only reshuffles the chunks it
+  // touches — the property fixed-size chunking (llm_dedup_chunk) lacks
+  // and the reason dedup-at-scale systems chunk this way. The window
+  // hash is a polynomial over the last 4 codepoints via 3 lag()s (no
+  // per-row state, pure window algebra — identical in the oracle);
+  // chunk id is a running boundary count. Per-doc readout: chunk count,
+  // mean/max chunk length. 100 TB shape: chars explode ~500× but stay
+  // partitioned by doc_id; both windows run inside the per-doc
+  // partition, then one per-doc aggregate.
+  q("text_cdc_chunks",
+    s"""$oCdcChunks, cl AS (
       |  SELECT doc_id, chunk, COUNT(*) AS len FROM ck GROUP BY doc_id, chunk
       |)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
@@ -3029,32 +3050,7 @@ object LlmOps extends QueryPack {
   // char explode stays doc-partitioned; chunk identity is one hash
   // shuffle at chunk grain (~1/16 of chars).
   q("llm_dedup_cdc_chunks",
-    """WITH ch AS (
-      |  SELECT doc_id, pos,
-      |    CAST(ascii(substring(text, CAST(pos AS INT), 1)) AS BIGINT) AS c
-      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
-      |        FROM documents)
-      |), h AS (
-      |  SELECT doc_id, pos,
-      |    CASE WHEN pos >= 4 AND
-      |      (c + 31 * lag(c, 1) OVER w + 961 * lag(c, 2) OVER w
-      |         + 29791 * lag(c, 3) OVER w) % 16 = 0
-      |      THEN 1 ELSE 0 END AS b
-      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-      |), ck AS (
-      |  SELECT doc_id, pos,
-      |    1 + COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
-      |  FROM h
-      |), sp AS (
-      |  SELECT doc_id, chunk, CAST(MIN(pos) AS BIGINT) AS st,
-      |    CAST(COUNT(*) AS BIGINT) AS len
-      |  FROM ck GROUP BY doc_id, chunk
-      |), cs AS (
-      |  SELECT sp.doc_id, sp.chunk, sp.len,
-      |    md5(substring(d.text, CAST(sp.st AS INT), CAST(sp.len AS INT))) AS sig
-      |  FROM sp JOIN documents d ON sp.doc_id = d.doc_id
-      |), rep AS (
+    s"""$oCdcChunks$oCdcSigs, rep AS (
       |  SELECT sig, COUNT(DISTINCT doc_id) AS n_docs FROM cs GROUP BY sig
       |)
       |SELECT cs.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
@@ -3090,32 +3086,7 @@ object LlmOps extends QueryPack {
   // dedup. One extra rank window on the sig shuffle the report query
   // already pays; chunk-grain rows only.
   q("llm_dedup_cdc_apply",
-    """WITH ch AS (
-      |  SELECT doc_id, pos,
-      |    CAST(ascii(substring(text, CAST(pos AS INT), 1)) AS BIGINT) AS c
-      |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
-      |        FROM documents)
-      |), h AS (
-      |  SELECT doc_id, pos,
-      |    CASE WHEN pos >= 4 AND
-      |      (c + 31 * lag(c, 1) OVER w + 961 * lag(c, 2) OVER w
-      |         + 29791 * lag(c, 3) OVER w) % 16 = 0
-      |      THEN 1 ELSE 0 END AS b
-      |  FROM ch WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-      |), ck AS (
-      |  SELECT doc_id, pos,
-      |    1 + COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
-      |  FROM h
-      |), sp AS (
-      |  SELECT doc_id, chunk, CAST(MIN(pos) AS BIGINT) AS st,
-      |    CAST(COUNT(*) AS BIGINT) AS len
-      |  FROM ck GROUP BY doc_id, chunk
-      |), cs AS (
-      |  SELECT sp.doc_id, sp.chunk, sp.len,
-      |    md5(substring(d.text, CAST(sp.st AS INT), CAST(sp.len AS INT))) AS sig
-      |  FROM sp JOIN documents d ON sp.doc_id = d.doc_id
-      |), rk AS (
+    s"""$oCdcChunks$oCdcSigs, rk AS (
       |  SELECT doc_id, chunk, len,
       |    row_number() OVER (PARTITION BY sig ORDER BY doc_id, chunk) AS rn
       |  FROM cs

@@ -6720,25 +6720,38 @@ object StatsOps extends QueryPack {
   }
 
   // Benjamini–Hochberg FDR correction — the multiple-testing control a
-  // metrics pipeline needs the moment it runs one test per segment: 20
-  // chi²-independence tests (event_type × 6-hour bin; user-parity ×
-  // 3 fixed value buckets, dof = 2 so p = exp(−χ²/2) is CLOSED FORM —
-  // no incomplete-gamma), then reject the k smallest p-values where
-  // k = max{i : p(i) ≤ (i/m)·α}, α = 0.05. Exactness: cell χ² terms
-  // quantize to 1e-9 BIGINTs before the sum (order-free); p quantizes to
-  // p9; the BH boundary compares integer p9 against the exact-decimal
-  // threshold i·2 500 000 (0.05/20·1e9), so the accept/reject frontier
-  // is an integer comparison in both engines.
+  // metrics pipeline needs the moment it runs one test per segment: one
+  // chi²-independence test per (event_type × 6-hour bin) over the DENSE
+  // user-parity × 3-value-bucket grid (a zero-count cell still
+  // contributes its expected mass; dof = 2 so p = exp(−χ²/2) is CLOSED
+  // FORM — no incomplete-gamma), then reject the k smallest p-values
+  // where k = max{i : p(i) ≤ (i/m)·α}, α = 0.05 and m IS the test count
+  // (never hardcoded — segments can vanish at small SF). Exactness:
+  // cell χ² terms quantize to 1e-9 BIGINTs before the sum (order-free);
+  // p quantizes to p9; the BH boundary cross-multiplies integers
+  // (p9·m ≤ i·α·1e9), so the accept/reject frontier is an integer
+  // comparison in both engines.
   // Audit row: formula_audit.audit_bh_fdr.
   q("stats_bh_fdr",
     """WITH ev AS (
       |  SELECT event_type, (EXTRACT(hour FROM ts) // 6) AS hbin,
       |    user_id % 2 AS arm,
-      |    CASE WHEN value < 20 THEN 0 WHEN value < 55 THEN 1 ELSE 2 END AS vb
+      |    CAST(CASE WHEN value < 20 THEN 0 WHEN value < 55 THEN 1 ELSE 2 END
+      |      AS BIGINT) AS vb
       |  FROM events
+      |), grid AS (
+      |  SELECT g.event_type, g.hbin, a.arm, v.vb
+      |  FROM (SELECT DISTINCT event_type, hbin FROM ev) g
+      |  CROSS JOIN (SELECT unnest(range(0, 2)) AS arm) a
+      |  CROSS JOIN (SELECT unnest(range(0, 3)) AS vb) v
       |), cells AS (
-      |  SELECT event_type, hbin, arm, vb, CAST(COUNT(*) AS BIGINT) AS o
-      |  FROM ev GROUP BY 1, 2, 3, 4
+      |  SELECT gr.event_type, gr.hbin, gr.arm, gr.vb,
+      |    CAST(COALESCE(c.o, 0) AS BIGINT) AS o
+      |  FROM grid gr LEFT JOIN (
+      |    SELECT event_type, hbin, arm, vb, COUNT(*) AS o
+      |    FROM ev GROUP BY 1, 2, 3, 4) c
+      |  ON gr.event_type = c.event_type AND gr.hbin = c.hbin
+      |    AND gr.arm = c.arm AND gr.vb = c.vb
       |), mg AS (
       |  SELECT event_type, hbin, arm, vb, o,
       |    CAST(SUM(o) OVER (PARTITION BY event_type, hbin, arm) AS BIGINT) AS rt,
@@ -6747,11 +6760,11 @@ object StatsOps extends QueryPack {
       |  FROM cells
       |), chi AS (
       |  SELECT event_type, hbin,
-      |    CAST(SUM(CAST(floor(
+      |    CAST(SUM(CASE WHEN rt > 0 AND ct > 0 THEN CAST(floor(
       |      (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
       |      * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
-      |      / (CAST(rt AS DOUBLE) * ct / n) * 1000000000 + 0.5) AS BIGINT))
-      |      AS BIGINT) AS chi9
+      |      / (CAST(rt AS DOUBLE) * ct / n) * 1000000000 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS chi9
       |  FROM mg GROUP BY 1, 2
       |), p AS (
       |  SELECT event_type, hbin, chi9,
@@ -6759,11 +6772,12 @@ object StatsOps extends QueryPack {
       |      * 1000000000 + 0.5) AS BIGINT) AS p9
       |  FROM chi
       |), rk AS (
-      |  SELECT *, row_number() OVER (ORDER BY p9, event_type, hbin) AS rnk
+      |  SELECT *, row_number() OVER (ORDER BY p9, event_type, hbin) AS rnk,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS m
       |  FROM p
       |), kstar AS (
-      |  SELECT COALESCE(MAX(CASE WHEN p9 <= rnk * 2500000 THEN rnk END), 0)
-      |    AS k FROM rk
+      |  SELECT COALESCE(MAX(CASE WHEN p9 * m <= rnk * 50000000 THEN rnk END),
+      |    0) AS k FROM rk
       |)
       |SELECT event_type, CAST(hbin AS INT) AS hbin,
       |  floor(CAST(chi9 AS DOUBLE) / 1000000000 * 1000000 + 0.5) / 1000000
@@ -6775,10 +6789,20 @@ object StatsOps extends QueryPack {
     val ev = Tables(s, dir, "events").select(col("event_type"),
       floor(hour(col("ts")) / 6).cast("long").as("hbin"),
       (col("user_id") % 2).as("arm"),
-      when(col("value") < 20, 0).when(col("value") < 55, 1).otherwise(2)
+      when(col("value") < 20, 0L).when(col("value") < 55, 1L).otherwise(2L)
         .as("vb"))
-    val cells = ev.groupBy("event_type", "hbin", "arm", "vb")
-      .agg(count(lit(1)).cast("long").as("o"))
+    // dense 2×3 cell grid per test group: a zero-count cell still
+    // contributes its expected mass e to χ² ((0−e)²/e = e) — summing only
+    // OBSERVED cells understates the statistic on sparse segments
+    val grid = ev.select("event_type", "hbin").distinct()
+      .crossJoin(broadcast(s.range(0, 2).select(col("id").as("arm"))))
+      .crossJoin(broadcast(s.range(0, 3).select(col("id").as("vb"))))
+    val cells = grid.join(
+        ev.groupBy("event_type", "hbin", "arm", "vb")
+          .agg(count(lit(1)).as("oc")),
+        Seq("event_type", "hbin", "arm", "vb"), "left")
+      .select(col("event_type"), col("hbin"), col("arm"), col("vb"),
+        coalesce(col("oc"), lit(0L)).cast("long").as("o"))
     def wOver(ks: String*) = Window.partitionBy(ks.map(col): _*)
     val mg = cells.select(col("event_type"), col("hbin"), col("o"),
       sum("o").over(wOver("event_type", "hbin", "arm")).cast("long").as("rt"),
@@ -6786,14 +6810,21 @@ object StatsOps extends QueryPack {
       sum("o").over(wOver("event_type", "hbin")).cast("long").as("n"))
     val e = col("rt").cast("double") * col("ct") / col("n")
     val chi = mg.groupBy("event_type", "hbin")
-      .agg(sum(floor((col("o").cast("double") - e) * (col("o").cast("double") - e)
-        / e * 1000000000L + lit(0.5)).cast("long")).cast("long").as("chi9"))
+      .agg(sum(when(col("rt") > 0 && col("ct") > 0,
+        floor((col("o").cast("double") - e) * (col("o").cast("double") - e)
+          / e * 1000000000L + lit(0.5)).cast("long")).otherwise(0L))
+        .cast("long").as("chi9"))
     val p = chi.select(col("event_type"), col("hbin"), col("chi9"),
       floor(exp(-(col("chi9").cast("double") / 1000000000L) / 2)
         * 1000000000L + lit(0.5)).cast("long").as("p9"))
     val rk = p.withColumn("rnk",
-      row_number().over(Window.orderBy("p9", "event_type", "hbin")))
-    val kstar = rk.agg(coalesce(max(when(col("p9") <= col("rnk") * 2500000L,
+        row_number().over(Window.orderBy("p9", "event_type", "hbin")))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy()).cast("long"))
+    // m is DERIVED from the test count (cross-multiplied, exact
+    // integers): p(i) ≤ (i/m)·α ⇔ p9·m ≤ i·α·1e9, α = 0.05
+    val kstar = rk.agg(coalesce(max(when(
+      col("p9") * col("m") <= col("rnk") * 50000000L,
       col("rnk"))), lit(0)).as("k"))
     rk.crossJoin(broadcast(kstar))
       .select(col("event_type"), col("hbin").cast("int").as("hbin"),
@@ -6806,7 +6837,9 @@ object StatsOps extends QueryPack {
   }
 
   // Hashing-trick featurizer (feature hashing): vocabulary-free feature →
-  // bucket mapping via a 12-bit slice of md5, folded to 256 buckets —
+  // bucket mapping via an 8-bit slice of md5 (2 hex digits = the classic
+  // hash & mask low-bits form; a positional base-16 fold modulo a power
+  // of two would silently kill every digit above the low two) —
   // the fixed-width featurizer that needs NO vocabulary broadcast or
   // fit pass, which at 100 TB is the difference between a map-only
   // stage and a two-pass dictionary build. Graded readout is the
@@ -6825,15 +6858,12 @@ object StatsOps extends QueryPack {
       |  SELECT t, md5(t) AS m FROM tok WHERE t <> ''
       |), bk AS (
       |  SELECT t,
-      |    ((ascii(substring(m, 1, 1))
+      |    (ascii(substring(m, 1, 1))
       |        - CASE WHEN ascii(substring(m, 1, 1)) >= 97 THEN 87 ELSE 48 END)
-      |      * 256
+      |      * 16
       |     + (ascii(substring(m, 2, 1))
       |        - CASE WHEN ascii(substring(m, 2, 1)) >= 97 THEN 87 ELSE 48 END)
-      |      * 16
-      |     + (ascii(substring(m, 3, 1))
-      |        - CASE WHEN ascii(substring(m, 3, 1)) >= 97 THEN 87 ELSE 48 END))
-      |    % 256 AS bucket
+      |    AS bucket
       |  FROM hx
       |), load AS (
       |  SELECT bucket, COUNT(*) AS n_tokens FROM bk GROUP BY bucket
@@ -6858,8 +6888,7 @@ object StatsOps extends QueryPack {
       .distinct()
       .filter(col("t") =!= "")
     val bk = tok.select(col("t"), md5(col("t")).as("m"))
-      .select(col("t"),
-        ((hexAt(1) * 256 + hexAt(2) * 16 + hexAt(3)) % 256).as("bucket"))
+      .select(col("t"), (hexAt(1) * 16 + hexAt(2)).as("bucket"))
     bk.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
       .groupBy(col("n_tokens").cast("long").as("bucket_load"))
       .agg(count(lit(1)).cast("long").as("n_buckets"),

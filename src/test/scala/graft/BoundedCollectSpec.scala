@@ -157,6 +157,27 @@ class BoundedCollectSpec extends SparkSpec {
     }
   }
 
+  test(".persist() must not flip the verdict: a cached bounded x corpus " +
+    "join is still denied (physical walker mirrors the logical one)") {
+    val ev = engine.Tables(spark, sf, "events")
+    val boundedAgg = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val cached = ev.select("event_id", "event_type")
+      .join(boundedAgg, "event_type").persist()
+    try {
+      cached.count() // materialize → the guard sees InMemoryRelation
+      intercept[IllegalArgumentException] {
+        ops.BoundedCollect.rows(cached, "spec: cached bounded x corpus join")
+      }
+      // and a cached genuinely-bounded frame still passes
+      val okCached = boundedAgg.persist()
+      try {
+        okCached.count()
+        assert(ops.BoundedCollect.rows(okCached,
+          "spec: cached bounded agg").nonEmpty)
+      } finally okCached.unpersist()
+    } finally cached.unpersist()
+  }
+
   test("every guarded operator still collects (the live sites stay bounded)") {
     // one query per guarded site family: HITS edge list, MMR pool,
     // markov transition counts, BPE argmax + merge table, PCA moments

@@ -181,7 +181,7 @@ class PropertiesSpec extends SparkSpec {
     // CJK, combining marks, and supplementary-plane emoji in the mix
     val seed = Seed(42L)
     val alphabet = "ab XY9光景тестé́😀🎉𝄞"
-    val gen = Gen.chooseNum(1, 60).flatMap(n =>
+    val gen = Gen.chooseNum(0, 60).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(
         alphabet.codePoints().toArray.toIndexedSeq.map(
           cp => new String(Character.toChars(cp)))))
@@ -198,6 +198,8 @@ class PropertiesSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     lens.foreach { case (d, n) =>
       val cs = chunks.getOrElse(d, Array.empty).sortBy(_.getAs[Long]("chunk"))
+      // an empty doc has NO chunks (not a phantom md5("") chunk)
+      if (n == 0) assert(cs.isEmpty, s"doc $d: empty text grew chunks")
       assert(cs.map(_.getAs[Long]("len")).sum == n.toLong,
         s"doc $d: chunk lengths do not reconstruct length($n)")
       // chunks tile the text: starts are cumulative lengths

@@ -5288,7 +5288,7 @@ def audit_feature_hashing():
         toks.update(f"{w[i]} {w[i + 1]}" for i in range(len(w) - 1))
     load = {}
     for t in toks:
-        b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:3], 16) % 256
+        b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:2], 16)
         load[b] = load.get(b, 0) + 1
     hist = {}
     for _, n in load.items():
