@@ -144,6 +144,69 @@ class Round12NewOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_codes") <= 16L))
   }
 
+  test("stats_bh_fdr: BH rejections are a prefix of the p-value ranking " +
+    "and m is derived from the live test count") {
+    val rows = SparkEntry.queries("stats_bh_fdr")(spark, sf).collect()
+    val m = rows.length
+    assert(m > 0)
+    // ranks are a permutation of 1..m
+    assert(rows.map(_.getAs[Long]("p_rank")).sorted.toSeq ==
+      (1L to m.toLong).toSeq)
+    // rejected set = ranks 1..k for some k (BH is a step-up PREFIX rule)
+    val rejRanks = rows.filter(_.getAs[Boolean]("rejected"))
+      .map(_.getAs[Long]("p_rank")).sorted.toSeq
+    assert(rejRanks == (1L to rejRanks.length.toLong).toSeq,
+      s"rejections not a rank prefix: $rejRanks")
+    // every rejected p satisfies its own BH bound; the first accepted
+    // rank's p exceeds ALL bounds at or above it (step-up definition)
+    val byRank = rows.map(r => r.getAs[Long]("p_rank") ->
+      r.getAs[Double]("p_value")).toMap
+    rejRanks.lastOption.foreach { k =>
+      assert(byRank(k) <= k.toDouble / m * 0.05 + 1e-12)
+    }
+  }
+
+  test("llm_dedup_cdc_apply: retention accounting bounded and consistent " +
+    "with the dedup report") {
+    val apply = SparkEntry.queries("llm_dedup_cdc_apply")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("kept_chunks"),
+          r.getAs[Double]("kept_frac"))).toMap
+    val report = SparkEntry.queries("llm_dedup_cdc_chunks")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared_chunks"))).toMap
+    assert(apply.keySet == report.keySet)
+    apply.foreach { case (d, (n, kept, frac)) =>
+      // kept == 0 is legitimate: an exact-duplicate document loses every
+      // chunk to earlier first instances (doc 487 at sf0.001 does)
+      assert(kept >= 0 && kept <= n, s"doc $d kept $kept of $n")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert((kept == 0) == (frac == 0.0), s"doc $d kept/frac disagree")
+      val (rn, shared) = report(d)
+      assert(rn == n)
+      // chunks can only be LOST to sharing: no cross-doc-shared chunks →
+      // nothing dropped; everything dropped → every chunk is shared
+      if (shared == 0) assert(kept == n, s"doc $d dropped but shares none")
+      if (kept == 0) assert(shared == n, s"doc $d lost unshared chunks")
+    }
+  }
+
+  test("graph_ppr: teleport locality — seed nations carry more rank mass " +
+    "than non-seeds, and non-seed rank is pure propagation") {
+    val rows = SparkEntry.queries("graph_ppr")(spark, sf).collect()
+    val (seeds, rest) = rows.partition(_.getAs[Boolean]("is_seed"))
+    assert(seeds.nonEmpty && rest.nonEmpty)
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val ms = mean(seeds.map(_.getAs[Double]("ppr")))
+    val mr = mean(rest.map(_.getAs[Double]("ppr")))
+    assert(ms > mr,
+      f"seed mean ppr $ms%.4f not above non-seed mean $mr%.4f")
+    // every rank is non-negative; the global top-1 is a seed on the
+    // trade graph (teleport mass re-enters only there)
+    assert(rows.forall(_.getAs[Double]("ppr") >= 0.0))
+    assert(rows.maxBy(_.getAs[Double]("ppr")).getAs[Boolean]("is_seed"))
+  }
+
   test("stream_dedup_within_wm: graded key set equals batch DISTINCT " +
     "on the single-batch fixture") {
     val streamed = SparkEntry.queries("stream_dedup_within_wm")(spark, sf)
