@@ -59,4 +59,29 @@ class DocsParitySpec extends AnyFunSuite {
       s"SURVEY.md §2 is missing ${missing.size} keys (re-run graft.GenDocs): " +
         missing.toSeq.sorted.mkString(", "))
   }
+
+  test("the committed rehearsal artifact covers exactly the live inventory") {
+    // The round's self-defense artifact (VERDICT r11 ask #1: the driver's
+    // own CORRECTNESS json shipped empty in 4 of 5 rounds, and a round
+    // without a committed rehearsal has NO correctness evidence). A key
+    // set drift here means queries were added or removed after the last
+    // full gate — re-run the closing sequence, not just GenDocs.
+    val files = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("REHEARSAL_r\\d+\\.json"))
+    assert(files.nonEmpty, "no REHEARSAL_r*.json artifact at repo root")
+    val latest = files.maxBy(f =>
+      f.getName.stripPrefix("REHEARSAL_r").stripSuffix(".json").toInt)
+    val text = java.nio.file.Files.readString(latest.toPath)
+    // keys are the top-level JSON field names: "name": { ... }
+    val artifactKeys = "\"([A-Za-z0-9_]+)\":\\s*\\{".r
+      .findAllMatchIn(text).map(_.group(1)).toSet
+    val missing = keys.diff(artifactKeys)
+    val stale = artifactKeys.diff(keys)
+    assert(missing.isEmpty,
+      s"${latest.getName} is missing ${missing.size} live queries (re-run " +
+        s"the closing gate): ${missing.toSeq.sorted.take(10).mkString(", ")}")
+    assert(stale.isEmpty,
+      s"${latest.getName} lists ${stale.size} keys the registry no longer " +
+        s"has: ${stale.toSeq.sorted.take(10).mkString(", ")}")
+  }
 }
