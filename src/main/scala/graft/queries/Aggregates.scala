@@ -328,6 +328,41 @@ object Aggregates extends QueryPack {
   // unlike count(distinct) the partials are tiny fixed-size blobs that
   // merge associatively: the 100 TB distinct-rollup layout (store bitmaps,
   // re-aggregate without rescanning). Oracle: plain COUNT(DISTINCT).
+  // The NATIVE bitmap-aggregate surface (Spark 3.5+ bitmap_construct_agg /
+  // bitmap_count / bitmap_or_agg over bitmap_bit_position buckets) next
+  // to agg_bitmap_distinct's hand-rolled twin: per-bucket bitmaps OR-merge
+  // associatively, so exact distinct counts roll up from shards without
+  // re-scanning — the mergeable-summary layout a 100 TB rollup stores.
+  // Graded readout: per-status distinct customers via the bitmap chain +
+  // a re-merged global distinct from the SAME per-status bitmaps; the
+  // oracle states the semantics directly as COUNT(DISTINCT).
+  q("agg_bitmap_native",
+    """SELECT o_orderstatus,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT)
+      |    AS n_cust_total
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""") { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+    // bucketed bitmap per (status, bucket): values map to
+    // (bitmap_bucket_number, bitmap_bit_position); counts sum per status;
+    // the GLOBAL count re-merges the per-status bitmaps with
+    // bitmap_or_agg — no second scan of orders
+    val perBucket = o.select(col("o_orderstatus"),
+        expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+        expr("bitmap_bit_position(o_custkey)").as("pos"))
+      .groupBy("o_orderstatus", "bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    val perStatus = perBucket.groupBy("o_orderstatus")
+      .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_cust"))
+    val global = perBucket.groupBy("bkt")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_cust_total"))
+    perStatus.crossJoin(broadcast(global))
+      .select(col("o_orderstatus"), col("n_cust"), col("n_cust_total"))
+      .orderBy("o_orderstatus")
+  }
+
   q("agg_bitmap_distinct",
     """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events

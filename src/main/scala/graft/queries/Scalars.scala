@@ -818,6 +818,42 @@ object Scalars extends QueryPack {
       .orderBy("p_partkey").limit(75)
   }
 
+  // Luhn checksum validation (Spark 4 luhn_check) — the mod-10 digit
+  // check behind card/IMEI/account-number detection in PII scrubbing and
+  // DQ gates. Candidates are derived 12-digit account strings (zero-pad
+  // of a key transform, so both valid and invalid checksums occur); the
+  // oracle replays Luhn from first principles at the digit level:
+  // right-to-left, double every second digit, subtract 9 above 9, valid
+  // iff the sum ≡ 0 (mod 10). One scalar call per row in the engine vs
+  // an explode in the oracle — the point is the ENGINE surface.
+  q("fn_luhn_check",
+    """WITH cand AS (
+      |  SELECT c_custkey,
+      |    lpad(CAST(c_custkey * 7919 % 100000000000 AS VARCHAR), 12, '0')
+      |      AS acct
+      |  FROM customer
+      |), d AS (
+      |  SELECT c_custkey, acct, pos,
+      |    CAST(substring(acct, CAST(13 - pos AS INT), 1) AS BIGINT) AS dig
+      |  FROM (SELECT c_custkey, acct, unnest(range(1, 13)) AS pos FROM cand)
+      |), s AS (
+      |  SELECT c_custkey, acct,
+      |    SUM(CASE WHEN pos % 2 = 0 THEN
+      |          CASE WHEN dig * 2 > 9 THEN dig * 2 - 9 ELSE dig * 2 END
+      |        ELSE dig END) AS total
+      |  FROM d GROUP BY c_custkey, acct
+      |)
+      |SELECT c_custkey, acct, (total % 10 = 0) AS luhn_ok
+      |FROM s ORDER BY c_custkey""") { (s, dir) =>
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        lpad((col("c_custkey") * 7919 % 100000000000L).cast("string"),
+          12, "0").as("acct"))
+      .select(col("c_custkey"), col("acct"),
+        expr("luhn_check(acct)").as("luhn_ok"))
+      .orderBy("c_custkey")
+  }
+
   // Spark 4 collation-aware semantics: a UTF8_LCASE-collated key makes
   // grouping (and =, ORDER BY) case-insensitive WITHOUT rewriting every
   // expression through lower() — the engine-level answer to mixed-case
