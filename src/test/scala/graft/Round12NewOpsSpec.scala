@@ -207,6 +207,42 @@ class Round12NewOpsSpec extends SparkSpec {
     assert(rows.maxBy(_.getAs[Double]("ppr")).getAs[Boolean]("is_seed"))
   }
 
+  test("luhn_check agrees with known checksum vectors") {
+    import spark.implicits._
+    // classic test numbers: valid Visa/Mastercard/Amex vectors, then the
+    // same with one digit perturbed (any single-digit error must flip it)
+    val cases = Seq(
+      ("4532015112830366", true), ("5425233430109903", true),
+      ("374245455400126", true), ("79927398713", true),
+      ("4532015112830367", false), ("5425233430109904", false),
+      ("374245455400127", false), ("79927398710", false))
+    val got = cases.map(_._1).toDF("acct")
+      .select(col("acct"), expr("luhn_check(acct)").as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (acct, want) =>
+      assert(got(acct) == want, s"luhn_check($acct) = ${got(acct)}")
+    }
+  }
+
+  test("bitmap aggregates merge associatively: shard-split OR equals the " +
+    "single-pass count") {
+    val o = engine.Tables(spark, sf, "orders")
+    def bitmaps(df: org.apache.spark.sql.DataFrame) = df
+      .select(expr("bitmap_bucket_number(o_custkey)").as("bkt"),
+        expr("bitmap_bit_position(o_custkey)").as("pos"))
+      .groupBy("bkt").agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    val whole = bitmaps(o)
+      .agg(sum(expr("bitmap_count(bm)"))).head.getLong(0)
+    // split into 3 arbitrary shards, build per-shard bitmaps, OR-merge
+    val shards = (0 until 3).map(i => bitmaps(o.filter(col("o_orderkey") % 3 === i)))
+    val merged = shards.reduce(_ unionByName _)
+      .groupBy("bkt").agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .agg(sum(expr("bitmap_count(bm)"))).head.getLong(0)
+    val exact = o.select(countDistinct("o_custkey")).head.getLong(0)
+    assert(whole == exact && merged == exact,
+      s"bitmap counts $whole / merged $merged != exact $exact")
+  }
+
   test("stream_dedup_within_wm: graded key set equals batch DISTINCT " +
     "on the single-batch fixture") {
     val streamed = SparkEntry.queries("stream_dedup_within_wm")(spark, sf)
