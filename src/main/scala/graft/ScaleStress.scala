@@ -86,6 +86,37 @@ object ScaleStress {
       ops.Dedup.substringSpans(spanBoiler, dfCap = Int.MaxValue).count())
     time("substring spans 10x (50k docs)")(
       ops.Dedup.substringSpans(d10).count())
+    // CDC chunk-grain sharing count under a planted ubiquitous chunk
+    // (r12 verdict #2): every doc opens with the same 16-char sequence
+    // ("LICENSE-HEADER-X" — Gear boundaries fall INSIDE it at pos 12 and
+    // 14, so its first two chunks are byte-identical across the whole
+    // corpus: exactly the license-stub shape chunk-grain dedup exists to
+    // find). The r12 form (collect_set(doc_id) over a sig window) would
+    // route every doc into the hot sig's ONE window task and materialize
+    // the full doc-id set in that task's buffer; the r13 chunk-grain
+    // countDistinct joined back is partial-aggregating — the hot key
+    // contributes one partial per input partition and no set ever
+    // materializes. Printed: the hot sig's doc count (must equal the
+    // corpus — the plant reached every doc) + wall time at 1× and 10×.
+    def cdcHotSig(d: DataFrame): String = {
+      val total = d.select(countDistinct("doc_id")).head.getLong(0)
+      val hot = ops.TextOps.cdcChunks(d, "doc_id", "text")
+        .groupBy("sig").agg(countDistinct(col("doc_id")).as("n_docs"))
+        .agg(max("n_docs")).head.getLong(0)
+      require(hot == total, s"plant missed docs: hot=$hot total=$total")
+      s"hot sig n_docs=$hot of $total docs"
+    }
+    val cdcBoiler = d1.select(col("doc_id"),
+      concat(lit("LICENSE-HEADER-X"), col("text")).as("text")).cache()
+    cdcBoiler.count()
+    time("cdc sharing count 1x planted-ubiquitous-chunk (hot sig d=5000)")(
+      cdcHotSig(cdcBoiler))
+    val cdcBoiler10 = d10.select(col("doc_id"),
+      concat(lit("LICENSE-HEADER-X"), col("text")).as("text")).cache()
+    cdcBoiler10.count()
+    time("cdc sharing count 10x planted-ubiquitous-chunk (hot sig d=50000)")(
+      cdcHotSig(cdcBoiler10))
+    cdcBoiler.unpersist(); cdcBoiler10.unpersist()
     time("minhash pairs 1x")(ops.Dedup.minhashPairs(d1, "text", "doc_id", 3, 32, 8, 0.3).count())
     time("minhash pairs 10x")(ops.Dedup.minhashPairs(d10, "text", "doc_id", 3, 32, 8, 0.3).count())
     // ingest-side near-dedup (stream_near_dedup's batch path): work =

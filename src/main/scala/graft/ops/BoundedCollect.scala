@@ -146,6 +146,21 @@ object BoundedCollect {
     case e: org.apache.spark.sql.execution.ExpandExec => boundedPhys(e.child)
     // an explode's multiplier is data-sized — same deny as logical Generate
     case _: org.apache.spark.sql.execution.GenerateExec => false
+    // object/python pipeline execs (r12 advice): the logical walker's
+    // deny-by-default rejects every object node, so the physical mirror
+    // must not accept them through the unary catch-all. The 1:1 bridges
+    // (serialize/deserialize, per-ELEMENT map) defer to the child; any
+    // other ObjectProducer (mapPartitions, flatMapGroups, …) and every
+    // python eval (pandas UDF map/flatMap) has a data-sized output
+    // multiplier — deny outright, keeping the physical walker at least
+    // as strict as the logical one.
+    case b @ (_: org.apache.spark.sql.execution.SerializeFromObjectExec |
+              _: org.apache.spark.sql.execution.DeserializeToObjectExec |
+              _: org.apache.spark.sql.execution.MapElementsExec) =>
+      boundedPhys(b.children.head)
+    case o if o.isInstanceOf[org.apache.spark.sql.execution.ObjectProducerExec] ||
+        o.getClass.getName.startsWith("org.apache.spark.sql.execution.python.") =>
+      false
     case other if other.children.size == 1 => boundedPhys(other.children.head)
     case _ => false
   }

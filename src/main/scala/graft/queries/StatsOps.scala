@@ -6849,7 +6849,9 @@ object StatsOps extends QueryPack {
   // engines; md5 is identical by definition.
   q("ml_feature_hashing",
     """WITH tk AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      |  FROM documents
       |), tok AS (
       |  SELECT DISTINCT unnest(list_transform(range(1, len(w)),
       |    i -> w[i] || ' ' || w[i + 1])) AS t
@@ -6878,9 +6880,15 @@ object StatsOps extends QueryPack {
     }
     // features = distinct token BIGRAMS (the fixture unigram vocabulary
     // is ~31 words — bigrams give the collision profile something to
-    // profile), hashed into 256 buckets
+    // profile), hashed into 256 buckets. Empty words are dropped BEFORE
+    // bigram construction on both sides (r12 advice): Spark's split()
+    // (Java regex) drops trailing empty tokens while DuckDB's
+    // string_split keeps them, so a doc ending in a space would
+    // otherwise create oracle-only bigrams — the explicit filter makes
+    // parity hold by construction instead of by fixture luck.
     val tok = Tables(s, dir, "documents")
-      .select(split(lower(col("text")), " ").as("w"))
+      .select(filter(split(lower(col("text")), " "),
+        x => x =!= "").as("w"))
       .filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))

@@ -178,6 +178,35 @@ class BoundedCollectSpec extends SparkSpec {
     } finally cached.unpersist()
   }
 
+  test("object-pipeline execs don't pass the physical walker (r12 advice): " +
+    "a cached bounded frame piped through mapPartitions is denied") {
+    // mapPartitions' output multiplier is data-sized — a bound ABOVE it in
+    // the cached plan (the limit) must not launder it past the guard, even
+    // though the logical walker never sees the object nodes (they hide
+    // inside InMemoryRelation's cachedPlan). Before the r13 hardening the
+    // unary catch-all deferred to the child and accepted this shape.
+    import spark.implicits._
+    val ev = engine.Tables(spark, sf, "events")
+    val grown = ev.limit(3).select(col("event_id"))
+      .as[Long].mapPartitions(it => it.flatMap(x => Iterator(x, x))).toDF()
+      .persist()
+    try {
+      grown.count()
+      intercept[IllegalArgumentException] {
+        ops.BoundedCollect.rows(grown, "spec: cached limit->mapPartitions")
+      }
+      // the 1:1 typed map bridge (MapElementsExec) still defers to its
+      // child: bounded below stays bounded
+      val ok = ev.limit(3).select(col("event_id"))
+        .as[Long].map(_ + 1L).toDF().persist()
+      try {
+        ok.count()
+        assert(ops.BoundedCollect.rows(ok,
+          "spec: cached limit->mapElements").length == 3)
+      } finally ok.unpersist()
+    } finally grown.unpersist()
+  }
+
   test("every guarded operator still collects (the live sites stay bounded)") {
     // one query per guarded site family: HITS edge list, MMR pool,
     // markov transition counts, BPE argmax + merge table, PCA moments
