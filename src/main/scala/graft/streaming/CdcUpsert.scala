@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Keyed CDC upsert (last-writer-wins by EVENT TIME) as a state machine:
   * every op is an upsert or a delete of the key's profile row, and the
@@ -23,7 +23,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * than TTL after its key's last activity finds no winner to compare
   * against and is applied as if first (a STALE op could re-win). Size
   * the TTL at the maximum expected event lateness; ttlMs = 0 (the graded
-  * batch path) keeps exact global LWW and unbounded state. */
+  * batch path) keeps exact global LWW and unbounded state.
+  * `eventTtlMs > 0` (r13) is the same horizon on the EVENT-TIME clock:
+  * eviction when the watermark passes the key's last op time + horizon
+  * ([[StateTtl]]) — the deployable form, because replay/backfill then
+  * reproduce the live run's evictions (wall-clock TTLs fire differently
+  * at replay speed). Stronger still (StreamingSpec-pinned): with
+  * EventTimeTimeout the engine DROPS rows behind the watermark before
+  * the state fn sees them, so the one horizon governs eviction AND
+  * lateness — a stale op can never be applied as if first against an
+  * evicted key, closing the re-win hazard the processing-time TTL
+  * carries (where the two clocks diverge). LWW is exact within the
+  * horizon and stale ops outside it are discarded, which is the
+  * changelog contract a MERGE consumer actually wants. */
 object CdcUpsert {
 
   case class Op(user_id: Long, ts_us: Long, event_id: Long, cents: Long,
@@ -31,14 +43,16 @@ object CdcUpsert {
   case class Winner(ts_us: Long, event_id: Long, cents: Long, del: Boolean)
   case class Upsert(user_id: Long, ts_us: Long, cents: Long, deleted: Int)
 
-  private[graft] def upsertFn(ttlMs: Long)(
+  private[graft] def upsertFn(ttlMs: Long, eventTtlMs: Long = 0L)(
       user: Long, it: Iterator[Op],
       state: GroupState[Winner]): Iterator[Upsert] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
       var cur = state.getOption
+      var maxTsUs = Long.MinValue
       // max by (ts, event_id) — order-free, no sort needed
       it.foreach { o =>
+        if (o.ts_us > maxTsUs) maxTsUs = o.ts_us
         if (cur.forall(s => o.ts_us > s.ts_us
             || (o.ts_us == s.ts_us && o.event_id > s.event_id)))
           cur = Some(Winner(o.ts_us, o.event_id, o.cents, o.del))
@@ -46,22 +60,22 @@ object CdcUpsert {
       cur match {
         case Some(w) =>
           state.update(w)
-          if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+          StateTtl.arm(state, ttlMs, eventTtlMs, math.max(maxTsUs, w.ts_us))
           Iterator(Upsert(user, w.ts_us, w.cents, if (w.del) 1 else 0))
         case None => Iterator.empty
       }
     }
   }
 
-  def upserts(ops: Dataset[Op], ttlMs: Long = 0L): Dataset[Upsert] = {
+  def upserts(ops: Dataset[Op], ttlMs: Long = 0L,
+              eventTtlMs: Long = 0L): Dataset[Upsert] = {
     implicit val inEnc = Encoders.product[Op]
     implicit val stEnc = Encoders.product[Winner]
     implicit val outEnc = Encoders.product[Upsert]
     implicit val keyEnc = Encoders.scalaLong
-    val timeout = if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
-                  else GroupStateTimeout.NoTimeout
     ops.groupByKey(_.user_id)
       .flatMapGroupsWithState[Winner, Upsert](
-        OutputMode.Append, timeout)(upsertFn(ttlMs))
+        OutputMode.Append, StateTtl.conf(ttlMs, eventTtlMs))(
+        upsertFn(ttlMs, eventTtlMs))
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Custom per-user state machine: signup → first purchase at-or-after it
   * (SURVEY §2.10 stream_stateful_funnel).
@@ -19,7 +19,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * conversion), and a converted user inactive >TTL restarts the funnel
   * (a later signup+purchase pair emits again — "exactly once" holds only
   * within the TTL horizon). ttlMs = 0 (the graded batch path) keeps
-  * lifetime state — outputs unchanged. */
+  * lifetime state — outputs unchanged. `eventTtlMs > 0` (r13) keys the
+  * same session-funnel semantics to the WATERMARK ([[StateTtl]]): the
+  * conversion window is then a property of the data (signup-to-purchase
+  * gap ≤ horizon), identical on live run and backfill. */
 object Funnel {
 
   case class Ev(user_id: Long, ts_us: Long, event_type: String)
@@ -30,7 +33,7 @@ object Funnel {
   case class FunnelState(signupUs: Option[Long], emitted: Boolean)
   case class Conversion(user_id: Long, signup_us: Long, purchase_us: Long)
 
-  private[graft] def funnelFn(ttlMs: Long)(
+  private[graft] def funnelFn(ttlMs: Long, eventTtlMs: Long = 0L)(
       user: Long, it: Iterator[Ev],
       state: GroupState[FunnelState]): Iterator[Conversion] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -39,7 +42,8 @@ object Funnel {
       val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
       // signup sorts before purchase at EQUAL ts so a same-instant
       // signup→purchase pair converts (oracle uses ts >= signup_ts)
-      it.toSeq.sortBy(e => (e.ts_us, eventPriority(e.event_type))).foreach { e =>
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, eventPriority(e.event_type)))
+      sorted.foreach { e =>
         if (!st.emitted) {
           e.event_type match {
             case "signup" if st.signupUs.isEmpty =>
@@ -52,7 +56,8 @@ object Funnel {
         }
       }
       state.update(st)
-      if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+      StateTtl.arm(state, ttlMs, eventTtlMs,
+        if (sorted.nonEmpty) sorted.last.ts_us else 0L)
       out.iterator
     }
   }
@@ -60,15 +65,15 @@ object Funnel {
   /** Emits one Conversion per user: earliest signup, then earliest
     * purchase at-or-after it. Events within a group are sorted by
     * (ts, arrival) before folding, so batch results are deterministic. */
-  def conversions(events: Dataset[Ev], ttlMs: Long = 0L): Dataset[Conversion] = {
+  def conversions(events: Dataset[Ev], ttlMs: Long = 0L,
+                  eventTtlMs: Long = 0L): Dataset[Conversion] = {
     implicit val evEnc = Encoders.product[Ev]
     implicit val stEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[Conversion]
     implicit val keyEnc = Encoders.scalaLong
-    val timeout = if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
-                  else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, Conversion](
-        OutputMode.Append, timeout)(funnelFn(ttlMs))
+        OutputMode.Append, StateTtl.conf(ttlMs, eventTtlMs))(
+        funnelFn(ttlMs, eventTtlMs))
   }
 }

@@ -29,10 +29,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * last activity is NOT flagged (it becomes the bucket's new anchor);
   * no wrong flag is possible because any surviving anchor is still a
   * real earlier document. ttlMs = 0 (the graded batch path) keeps state
-  * forever — outputs unchanged from pre-TTL rounds. */
+  * forever — outputs unchanged from pre-TTL rounds.
+  *
+  * [[bucketHitsEventTtl]] (r13) is the same eviction on the EVENT-TIME
+  * clock ([[StateTtl]]): buckets die when the watermark passes their
+  * last activity + horizon, so replay/backfill reproduce the live run's
+  * state bound exactly (a wall-clock TTL fires differently at replay
+  * speed). It takes [[TsBandRow]] — band rows stamped with the
+  * document's ingest event time, the column the stream's watermark is
+  * declared on. Same one-sided-recall consequence, with "idle" measured
+  * in data time. */
 object NearDedup {
 
   case class BandRow(doc_id: Long, band: Int, bucket: Long)
+  case class TsBandRow(doc_id: Long, band: Int, bucket: Long, ts_us: Long)
   case class Anchor(min_id: Long)
   case class Hit(doc_id: Long, band: Int, anchor: Long)
 
@@ -52,6 +62,41 @@ object NearDedup {
       if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
       docs.iterator.map(d => Hit(d, key._1, anchor))
     }
+  }
+
+  /** [[hitsFn]] on event-time-stamped rows: same anchor fold, timeout
+    * armed at (bucket's max event time + horizon) instead of a
+    * wall-clock duration. */
+  private[graft] def hitsTsFn(eventTtlMs: Long)(
+      key: (Int, Long), it: Iterator[TsBandRow],
+      state: GroupState[Anchor]): Iterator[Hit] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val rows = it.toArray
+      val anchor = math.min(
+        state.getOption.map(_.min_id).getOrElse(Long.MaxValue),
+        rows.iterator.map(_.doc_id).min)
+      state.update(Anchor(anchor))
+      StateTtl.arm(state, 0L, eventTtlMs, rows.iterator.map(_.ts_us).max)
+      rows.iterator.map(r => Hit(r.doc_id, key._1, anchor))
+    }
+  }
+
+  /** Event-time-TTL'd [[bucketHits]]: callers declare the watermark on
+    * the ingest timestamp upstream (`withWatermark`), and bucket state
+    * is evicted when that watermark passes the bucket's last activity
+    * plus `eventTtlMs`. */
+  def bucketHitsEventTtl(rows: Dataset[TsBandRow],
+                         eventTtlMs: Long): Dataset[Hit] = {
+    require(eventTtlMs > 0L, "eventTtlMs must be positive")
+    implicit val inEnc = Encoders.product[TsBandRow]
+    implicit val stEnc = Encoders.product[Anchor]
+    implicit val outEnc = Encoders.product[Hit]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    rows.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[Anchor, Hit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        hitsTsFn(eventTtlMs))
   }
 
   /** Per (band, bucket): emit every doc with the bucket's anchor

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, OutputMode}
 
 /** Per-user token-bucket rate limiter (cap 5 tokens, refill 1 per 100 s,
   * cost 1 per event) as a keyed state machine — the streaming twin of the
@@ -25,7 +25,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * unbounded run whenever processing time tracks event time (the
   * steady-state of a live limiter). Shorter TTLs under-limit only
   * (admit where the unbounded run would deny) — never over-deny.
-  * ttlMs = 0 (the graded batch path) keeps state forever. */
+  * ttlMs = 0 (the graded batch path) keeps state forever.
+  * `eventTtlMs > 0` (r13): the same eviction on the EVENT-TIME clock
+  * ([[StateTtl]]) — and here the lossless bound becomes UNCONDITIONAL:
+  * any horizon ≥ Cap·RefillUs/1000 ms is exactly lossless by the
+  * refill arithmetic itself (an evicted bucket would have refilled to
+  * the cap by the time of the event that would next read it), with no
+  * "processing time tracks event time" caveat, because the horizon is
+  * measured on the same clock the refill is. */
 object RateLimit {
 
   case class Ev(user_id: Long, ts_us: Long, event_id: Long)
@@ -36,7 +43,7 @@ object RateLimit {
   val Cap = 5L
   val RefillUs = 100000000L // one token per 100 s
 
-  private[graft] def decideFn(ttlMs: Long)(
+  private[graft] def decideFn(ttlMs: Long, eventTtlMs: Long = 0L)(
       user: Long, it: Iterator[Ev],
       state: GroupState[Bucket]): Iterator[Decision] = {
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -58,21 +65,21 @@ object RateLimit {
       }
       st.foreach { b =>
         state.update(b)
-        if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+        StateTtl.arm(state, ttlMs, eventTtlMs, b.last_us)
       }
       out.iterator
     }
   }
 
-  def decide(evs: Dataset[Ev], ttlMs: Long = 0L): Dataset[Decision] = {
+  def decide(evs: Dataset[Ev], ttlMs: Long = 0L,
+             eventTtlMs: Long = 0L): Dataset[Decision] = {
     implicit val inEnc = Encoders.product[Ev]
     implicit val stEnc = Encoders.product[Bucket]
     implicit val outEnc = Encoders.product[Decision]
     implicit val keyEnc = Encoders.scalaLong
-    val timeout = if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
-                  else GroupStateTimeout.NoTimeout
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState[Bucket, Decision](
-        OutputMode.Append, timeout)(decideFn(ttlMs))
+        OutputMode.Append, StateTtl.conf(ttlMs, eventTtlMs))(
+        decideFn(ttlMs, eventTtlMs))
   }
 }

@@ -475,6 +475,137 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time TTL: all five fns arm the timeout at max event time + " +
+    "horizon, clamped past the watermark (r13)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming._
+    def st[S](wmMs: Long): TestGroupState[S] = TestGroupState.create[S](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(wmMs), false)
+    val h = 60000L // horizon
+    // max event time 7 s → timeout at 7 000 + 60 000 = 67 000 ms
+    val s1 = st[CdcUpsert.Winner](5000L)
+    CdcUpsert.upsertFn(0L, h)(1L,
+      Iterator(CdcUpsert.Op(1L, 7000000L, 1L, 100L, del = false)), s1)
+    assert(s1.getTimeoutTimestampMs.get() == 67000L)
+    val s2 = st[Crossings.PrevState](5000L)
+    Crossings.crossFn(100L, 0L, h)(1L,
+      Iterator(Crossings.Sample(1L, 7000000L, 1L, 50L)), s2)
+    assert(s2.getTimeoutTimestampMs.get() == 67000L)
+    val s3 = st[Funnel.FunnelState](5000L)
+    Funnel.funnelFn(0L, h)(1L,
+      Iterator(Funnel.Ev(1L, 7000000L, "signup")), s3)
+    assert(s3.getTimeoutTimestampMs.get() == 67000L)
+    val s4 = st[RateLimit.Bucket](5000L)
+    RateLimit.decideFn(0L, h)(1L,
+      Iterator(RateLimit.Ev(1L, 7000000L, 1L)), s4)
+    assert(s4.getTimeoutTimestampMs.get() == 67000L)
+    val s5 = st[NearDedup.Anchor](5000L)
+    NearDedup.hitsTsFn(h)((0, 1L),
+      Iterator(NearDedup.TsBandRow(42L, 0, 1L, 7000000L)), s5)
+    assert(s5.getTimeoutTimestampMs.get() == 67000L)
+    // a key whose whole horizon is already behind the watermark cannot
+    // arm in the past (Spark rejects that) — it clamps to wm + 1 and is
+    // swept at the next timeout batch
+    val s6 = st[CdcUpsert.Winner](500000L)
+    CdcUpsert.upsertFn(0L, h)(1L,
+      Iterator(CdcUpsert.Op(1L, 7000000L, 1L, 100L, del = false)), s6)
+    assert(s6.getTimeoutTimestampMs.get() == 500001L)
+    // and the timed-out path still evicts
+    val s7 = TestGroupState.create[NearDedup.Anchor](
+      Optional.of(NearDedup.Anchor(7L)), GroupStateTimeout.EventTimeTimeout,
+      1000L, Optional.of(999999L), true)
+    assert(NearDedup.hitsTsFn(h)((0, 1L), Iterator.empty, s7).isEmpty)
+    assert(s7.isRemoved)
+  }
+
+  test("event-time TTL end-to-end: eviction keyed to the watermark, no " +
+    "wall clock anywhere (r13)") {
+    // the whole point of the event-time clock: this test has NO sleeps
+    // and NO deadline polls — the data alone decides what is evicted,
+    // exactly as it would on a backfill replay.
+    import graft.streaming.NearDedup
+    import graft.streaming.NearDedup.{TsBandRow, Hit}
+    implicit val sqlCtx = spark.sqlContext
+    def us(sec: Long) = sec * 1000000L
+    val in = MemoryStream[TsBandRow]
+    val src = in.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[TsBandRow]
+    val q = NearDedup.bucketHitsEventTtl(src, eventTtlMs = 100000L) // 100 s
+      .writeStream.format("memory").queryName("neardedup_ev_ttl")
+      .outputMode("append").start()
+    try {
+      // t=10 s: bucket (0,100) anchored at doc 1
+      in.addData(TsBandRow(1L, 0, 100L, us(10)))
+      q.processAllAvailable()
+      // t=20 s (within horizon): doc 5 is flagged against anchor 1
+      in.addData(TsBandRow(5L, 0, 100L, us(20)))
+      q.processAllAvailable()
+      // t=1000 s in an unrelated bucket: watermark sails past the
+      // bucket's 20 s + 100 s deadline → (0,100) evicted by the sweep
+      in.addData(TsBandRow(999L, 0, 777L, us(1000)))
+      q.processAllAvailable()
+      // t=1010 s: the bucket is fresh — doc 200 anchors itself (the
+      // documented one-sided recall trade, now on the data clock)
+      in.addData(TsBandRow(200L, 0, 100L, us(1010)))
+      q.processAllAvailable()
+      val anchors = spark.table("neardedup_ev_ttl").as[Hit].collect()
+        .groupBy(_.doc_id).view.mapValues(_.map(_.anchor).min).toMap
+      assert(anchors == Map(1L -> 1L, 5L -> 1L, 999L -> 999L, 200L -> 200L),
+        s"got $anchors")
+    } finally q.stop()
+  }
+
+  test("event-time TTL parity: within the horizon the CDC upsert equals " +
+    "the unbounded run; a stale op past it is DROPPED, never re-wins (r13)") {
+    import graft.streaming.CdcUpsert
+    import graft.streaming.CdcUpsert.{Op, Upsert}
+    implicit val sqlCtx = spark.sqlContext
+    def us(sec: Long) = sec * 1000000L
+    def run(name: String, horizonMs: Long)(batches: Seq[Op]*): Map[Long, Upsert] = {
+      val in = MemoryStream[Op]
+      val src = in.toDS()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+        .as[Op]
+      val q = CdcUpsert.upserts(src, eventTtlMs = horizonMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        // LAST emission per key = the key's current winner
+        spark.table(name).as[Upsert].collect().zipWithIndex
+          .groupBy(_._1.user_id).view
+          .mapValues(v => v.maxBy(_._2)._1).toMap
+      } finally q.stop()
+    }
+    val b1 = Seq(Op(1L, us(10), 100L, 500L, del = false))
+    val b2 = Seq(Op(1L, us(20), 101L, 700L, del = false))
+    // stale op: event time BEFORE the current winner's
+    val b3 = Seq(Op(1L, us(15), 102L, 999L, del = false))
+    // wm driver rows on an unrelated key, far in the future
+    val far = Seq(Op(9L, us(5000), 900L, 1L, del = false))
+    // WIDE horizon (1e9 s): the stale op loses — exact LWW, parity with
+    // the unbounded run. (wm is still ≤ 15 s when b3 arrives, so the op
+    // reaches the fn and loses on the (ts, event_id) max.)
+    val wide = run("cdc_ev_wide", 1000000000L)(b1, b2, b3)
+    assert(wide(1L).cents == 700L, s"stale op re-won under wide horizon: $wide")
+    // NARROW horizon (100 s): the wm jump evicts key 1's state — and the
+    // SAME watermark drops the stale op before the fn ever sees it
+    // (EventTimeTimeout's late-data filter). This is the event-time
+    // clock's structural advantage over the processing-time TTL, where
+    // eviction and lateness run on DIFFERENT clocks and a stale op can
+    // re-win against an evicted key: here one horizon governs both, so
+    // LWW-within-horizon is exact — a late op can never be applied as
+    // first. Key 1's winner must remain the pre-eviction emission.
+    val narrow = run("cdc_ev_narrow", 100000L)(b1, b2, far, b3)
+    assert(narrow(1L).cents == 700L,
+      s"late op was not dropped after eviction: $narrow")
+  }
+
   test("TwsFunnel native TTLConfig: wide TTL converts, expired signup is forgotten") {
     import graft.streaming.{Funnel, TwsFunnel}
     implicit val sqlCtx = spark.sqlContext
