@@ -678,6 +678,52 @@ object Streaming extends QueryPack {
       .orderBy("user_id", "click_us", "purchase_us")
   }
 
+  // The SAME interval join built explicitly on transformWithState
+  // (TwsIntervalJoin): two ListState buffers + a watermark-keyed pruning
+  // timer — the multi-state/timer composition the State API v2 exists
+  // for, graded through a REAL readStream drained with AvailableNow and
+  // checked against the identical DuckDB interval-join oracle as the
+  // engine-native twin above. Keep both: the native join is the
+  // production default; the tws form is the template for join variants
+  // the engine lacks (e.g. emit-once-per-left, custom tie-breaks,
+  // per-side TTL policies). Scale: state is O(rows within one window
+  // horizon) per key — the same bound the native join keeps, here
+  // enforced by the pruning timer (StreamingSpec pins eviction and
+  // one-batch == multi-batch pair parity). The RocksDB provider conf the
+  // API requires is snapshot/restored around the drain so later queries
+  // in the session keep the default store.
+  q("stream_interval_join_tws",
+    """SELECT c.user_id,
+      |  CAST(c.event_id AS BIGINT) AS click_id,
+      |  CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+      |  CAST(p.event_id AS BIGINT) AS purchase_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY 1, 2, 4""") { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.TwsIntervalJoin
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    try {
+      Streams.drainToMemory(s, s"graft_tws_ij_${math.abs(dir.hashCode)}", {
+        val ev = Streams.eventsStream(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withWatermark("ts", "0 seconds")
+          .select(col("ts"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_id"),
+            when(col("event_type") === "click", 0).otherwise(1).as("side"))
+          .as[TwsIntervalJoin.Tagged]
+        TwsIntervalJoin.pairs(ev, windowUs = 600000000L).toDF()
+      }).orderBy("user_id", "click_id", "purchase_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   // real readStream → parquet sink with checkpoint, then re-read: the
   // Alert edge detection — emit only UP-CROSSINGS of a threshold (prev
   // value at-or-below, current above), the debounce every alerting

@@ -606,6 +606,78 @@ class StreamingSpec extends SparkSpec {
       s"late op was not dropped after eviction: $narrow")
   }
 
+  test("tws interval join: multi-batch emissions equal the one-batch join, " +
+    "each pair exactly once (r13)") {
+    import graft.streaming.TwsIntervalJoin
+    import graft.streaming.TwsIntervalJoin.{Pair, Tagged}
+    implicit val sqlCtx = spark.sqlContext
+    def us(sec: Long) = sec * 1000000L
+    // window 60 s. u1: click@10 pairs with purchases @20 and @65 (not
+    // @80); u2: click@30 never pairs (purchase @95 misses 30+60).
+    // Batches split so event time is non-decreasing across them (rows
+    // behind the watermark are dropped at the door by design).
+    val b1 = Seq(Tagged(1L, us(10), 1L, 0), Tagged(1L, us(20), 2L, 1))
+    val b2 = Seq(Tagged(2L, us(30), 5L, 0), Tagged(1L, us(65), 3L, 1))
+    val b3 = Seq(Tagged(1L, us(80), 4L, 1), Tagged(2L, us(95), 6L, 1))
+    val expected = Set(
+      Pair(1L, 1L, us(10), 2L, us(20)), Pair(1L, 1L, us(10), 3L, us(65)))
+    def run(name: String)(batches: Seq[Tagged]*): Set[Pair] = {
+      val in = MemoryStream[Tagged]
+      val src = in.toDS()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+        .as[Tagged]
+      val q = TwsIntervalJoin.pairs(src, us(60))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[Pair].collect().toSet
+      } finally q.stop()
+    }
+    val one = run("tws_ij_one")(b1 ++ b2 ++ b3)
+    val multi = run("tws_ij_multi")(b1, b2, b3)
+    assert(one == expected, s"one-batch: $one")
+    assert(multi == expected, s"multi-batch: $multi")
+  }
+
+  test("tws interval join: the pruning timer bounds buffers to the live " +
+    "window horizon (r13)") {
+    import graft.streaming.TwsIntervalJoin
+    import graft.streaming.TwsIntervalJoin.{Pair, Tagged}
+    implicit val sqlCtx = spark.sqlContext
+    def us(sec: Long) = sec * 1000000L
+    val in = MemoryStream[Tagged]
+    val src = in.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .as[Tagged]
+    val q = TwsIntervalJoin.pairs(src, us(60))
+      .writeStream.format("memory").queryName("tws_ij_prune")
+      .outputMode("append").start()
+    try {
+      in.addData(Tagged(1L, us(10), 1L, 0), Tagged(1L, us(20), 2L, 1))
+      q.processAllAvailable()
+      // watermark jump to 1000 s: the batch-1 timer (81 s) fires; the
+      // click@10 (dead past 70 s) and purchase@20 (dead past its own ts)
+      // are pruned; only the fresh @1000 row may remain buffered
+      in.addData(Tagged(1L, us(1000), 9L, 1))
+      q.processAllAvailable()
+      in.addData(Tagged(2L, us(2000), 10L, 0)) // push wm again → sweep runs
+      q.processAllAvailable()
+      assert(spark.table("tws_ij_prune").as[Pair].collect().toSet ==
+        Set(Pair(1L, 1L, us(10), 2L, us(20))))
+      val deadline = System.currentTimeMillis + 15000L
+      def stateRows: Long = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        .getOrElse(Long.MaxValue)
+      while (stateRows > 2L && System.currentTimeMillis < deadline)
+        Thread.sleep(200L)
+      // unpruned this would be ≥ 4 buffered rows (2 dead + 2 live)
+      assert(stateRows <= 2L, s"buffers not pruned: $stateRows state rows")
+    } finally q.stop()
+  }
+
   test("TwsFunnel native TTLConfig: wide TTL converts, expired signup is forgotten") {
     import graft.streaming.{Funnel, TwsFunnel}
     implicit val sqlCtx = spark.sqlContext
