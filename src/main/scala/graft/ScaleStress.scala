@@ -572,6 +572,31 @@ object ScaleStress {
       dedupStateRows(within = false))
     time("stream dedup state rows, 10x10k keys, withinWatermark 10min")(
       dedupStateRows(within = true))
+
+    // r13: state-store provider swap cost. The default HDFSBacked store
+    // keeps state as in-heap maps snapshotted per batch — fine at 100k
+    // keys, memory/GC-bound at production state sizes; RocksDB keeps it
+    // off-heap on local disk with incremental checkpointing, which is
+    // what a 100 TB deployment pins (and what transformWithState
+    // requires). Same 10×10k-key dedup workload, both providers —
+    // identical emissions/state semantics, measured wall delta is the
+    // swap's local cost.
+    def dedupUnderProvider(provider: String): String = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      if (provider.nonEmpty) spark.conf.set(key, provider)
+      else spark.conf.unset(key)
+      try dedupStateRows(within = false)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    time("stream dedup 10x10k keys, default HDFSBacked state store")(
+      dedupUnderProvider(""))
+    time("stream dedup 10x10k keys, RocksDB state store")(
+      dedupUnderProvider("org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider"))
     spark.stop()
   }
 }

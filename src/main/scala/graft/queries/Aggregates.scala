@@ -322,6 +322,35 @@ object Aggregates extends QueryPack {
       .orderBy("c_nationkey")
   }
 
+  // VARIANT as a GROUPING KEY (r13): Spark 4.1's VARIANT is not
+  // orderable, so `groupBy($"v")` fails analysis outright
+  // (GROUP_EXPRESSION_TYPE_IS_NOT_ORDERABLE — pinned in
+  // Round13Spec so the round notices when that changes). The
+  // engine-correct pattern a user needs TODAY is canonicalize-then-
+  // group: to_json(variant) is a true canonical form — object keys are
+  // emitted SORTED and numbers normalized ('{"b":1,"a":2.50}' and
+  // '{"a":2.5,"b":1}' render identically), so semantically-equal
+  // variants land in one group regardless of source formatting. The
+  // shuffle key is the canonical string (bounded by the variant's own
+  // size); the oracle reconstructs the same canonical rendering from
+  // the JSON source. Complements fn_variant_nested (variant as an
+  // EXTRACTION source) with variant as the GROUP identity.
+  q("agg_variant_group",
+    """SELECT '{"k":' || CAST(CAST(props->>'$.k' AS BIGINT) AS VARCHAR) || '}'
+      |    AS vkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+      |    AS sum_value
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(parse_json(col("props")).as("v"), cents(col("value")).as("c"))
+      .groupBy(to_json(col("v")).as("vkey"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        money(sum("c")).as("sum_value"))
+      .orderBy("vkey")
+  }
+
   // exact COUNT DISTINCT via mergeable bitmaps: stage 1 builds one bitmap
   // per (group, id-bucket) — a partial any executor can compute locally —
   // stage 2 sums per-bucket cardinalities. Unlike HLL this is EXACT, and
