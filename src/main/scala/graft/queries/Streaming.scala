@@ -213,6 +213,35 @@ object Streaming extends QueryPack {
     }.orderBy("c_mktsegment", "event_type")
   }
 
+  // MapState per-user type counters (TwsCounts): the remaining State API
+  // v2 primitive — one map entry per (user, event_type), updated
+  // point-wise (an O(1) store get per touched type, not a rewrite of the
+  // user's whole profile blob — why MapState exists instead of
+  // ValueState[Map]). Graded through a real AvailableNow drain: the
+  // one-batch emission IS the exact (user, type) group-by; multi-batch
+  // last-emission parity is StreamingSpec's pin. RocksDB conf
+  // snapshot/restored as in stream_interval_join_tws.
+  q("stream_tws_mapstate_counts",
+    """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""") { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.TwsCounts
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    try {
+      Streams.drainToMemory(s, s"graft_tws_counts_${math.abs(dir.hashCode)}", {
+        val ev = Streams.eventsStream(s, dir)
+          .select(col("user_id"), col("event_type"))
+          .as[TwsCounts.Ev]
+        TwsCounts.counts(ev).toDF()
+      }).orderBy("user_id", "event_type")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   // cohort retention: users cohorted by first-activity week, retention =
   // distinct active users per (cohort, weeks-since) cell — the canonical
   // product-analytics triangle, built from two aggregates and one join

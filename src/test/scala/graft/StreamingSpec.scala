@@ -678,6 +678,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tws MapState counters: last emission per (user, type) equals the " +
+    "batch group-by across any batch split (r13)") {
+    import graft.streaming.TwsCounts
+    import graft.streaming.TwsCounts.{Ev, TypeCount}
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(Ev(1L, "click"), Ev(1L, "view"), Ev(1L, "click"),
+      Ev(2L, "view"), Ev(1L, "click"), Ev(2L, "view"))
+    val expected = Map((1L, "click") -> 3L, (1L, "view") -> 1L,
+      (2L, "view") -> 2L)
+    def run(name: String)(batches: Seq[Ev]*): Map[(Long, String), Long] = {
+      val in = MemoryStream[Ev]
+      val q = TwsCounts.counts(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[TypeCount].collect().zipWithIndex
+          .groupBy(r => (r._1.user_id, r._1.event_type)).view
+          .mapValues(v => v.maxBy(_._2)._1.n).toMap
+      } finally q.stop()
+    }
+    assert(run("tws_counts_one")(rows) == expected)
+    assert(run("tws_counts_multi")(rows.take(2), rows.slice(2, 4),
+      rows.drop(4)) == expected)
+  }
+
   test("TwsFunnel native TTLConfig: wide TTL converts, expired signup is forgotten") {
     import graft.streaming.{Funnel, TwsFunnel}
     implicit val sqlCtx = spark.sqlContext
