@@ -322,6 +322,26 @@ object Aggregates extends QueryPack {
       .orderBy("c_nationkey")
   }
 
+  // approx_top_k (Spark 4.1): the frequent-items sketch — heavy hitters
+  // without an exact group-by, constant-size and mergeable, the 100 TB
+  // answer to "top values of a high-cardinality column" (the exact
+  // group-by is the graded twin everywhere else; this grades the sketch
+  // surface itself). On this fixture the sketch IS exact — 5 distinct
+  // types against a 10 000-item tracker can never evict a counter, and
+  // the per-type counts are well separated — so the oracle states exact
+  // top-3 frequencies with no tolerance band. The struct array explodes
+  // to (item, cnt) rows; rank order is (cnt DESC, item) on both sides.
+  q("agg_approx_topk",
+    """SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY event_type
+      |ORDER BY cnt DESC, item LIMIT 3""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
   // VARIANT as a GROUPING KEY (r13): Spark 4.1's VARIANT is not
   // orderable, so `groupBy($"v")` fails analysis outright
   // (GROUP_EXPRESSION_TYPE_IS_NOT_ORDERABLE — pinned in
