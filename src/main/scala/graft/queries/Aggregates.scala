@@ -342,6 +342,79 @@ object Aggregates extends QueryPack {
       .orderBy(col("cnt").desc, col("item"))
   }
 
+  // The approx_top_k MERGEABLE workflow (accumulate → combine →
+  // estimate): per-shard sketch states built independently, OR-merged
+  // without rescanning — the heavy-hitters analogue of the HLL-union
+  // rollup (agg_hll_union) and the bitmap re-merge (agg_bitmap_native).
+  // Shards here are user_id%4 slices standing in for partitions/days;
+  // at 100 TB the accumulate states are what a rollup table stores.
+  // Exact on this fixture for the same reason as agg_approx_topk.
+  q("agg_approx_topk_union",
+    """SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY event_type
+      |ORDER BY cnt DESC, item LIMIT 3""") { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("user_id") % 4)
+      .agg(expr("approx_top_k_accumulate(event_type)").as("st"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(st), 3)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
+  // Theta sketches (Spark 4.1): the distinct-count sketch family whose
+  // edge over HLL is SET ALGEBRA — union AND intersection AND difference
+  // of audiences from stored sketches, no rescan. Graded readouts: per-
+  // type audience sizes, the re-merged any-type union, click∩purchase,
+  // and click∖purchase. Exactness: a theta sketch stays in exact mode
+  // (theta = 1, every hash retained) until it exceeds its nominal 2^12
+  // entries — the fixture's user universe (150 at sf0.01, ~2k at sf0.1)
+  // never does, so every estimate is the exact integer the oracle
+  // states. At production cardinalities the same plan degrades to the
+  // sketch's published error, which is the point: audience overlap at
+  // 100 TB from kilobyte summaries.
+  q("agg_theta_setops",
+    """SELECT event_type AS audience,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT 'any', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+      |UNION ALL
+      |SELECT 'click_and_purchase', CAST((
+      |  SELECT COUNT(*) FROM (
+      |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |    INTERSECT
+      |    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |) AS BIGINT)
+      |UNION ALL
+      |SELECT 'click_not_purchase', CAST((
+      |  SELECT COUNT(*) FROM (
+      |    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      |    EXCEPT
+      |    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |) AS BIGINT)
+      |ORDER BY audience""") { (s, dir) =>
+    val sk = Tables(s, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("theta_sketch_agg(user_id)").as("s"))
+      // 5 catalog-bounded rows, four consumers — cache the sketch build
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def est(e: String) = expr(s"CAST(theta_sketch_estimate($e) AS BIGINT)")
+    val per = sk.select(col("event_type").as("audience"),
+      est("s").as("n_users"))
+    val any = sk.agg(expr("theta_union_agg(s)").as("u"))
+      .select(lit("any").as("audience"), est("u").as("n_users"))
+    val a = sk.filter(col("event_type") === "click").select(col("s").as("a"))
+    val b = sk.filter(col("event_type") === "purchase").select(col("s").as("b"))
+    val ab = a.crossJoin(b)
+    val both = ab.select(lit("click_and_purchase").as("audience"),
+      est("theta_intersection(a, b)").as("n_users"))
+    val only = ab.select(lit("click_not_purchase").as("audience"),
+      est("theta_difference(a, b)").as("n_users"))
+    per.unionByName(any).unionByName(both).unionByName(only)
+      .orderBy("audience")
+  }
+
   // VARIANT as a GROUPING KEY (r13): Spark 4.1's VARIANT is not
   // orderable, so `groupBy($"v")` fails analysis outright
   // (GROUP_EXPRESSION_TYPE_IS_NOT_ORDERABLE — pinned in
