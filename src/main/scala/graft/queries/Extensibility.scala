@@ -22,6 +22,47 @@ object Extensibility extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  // SQL-DEFINED scalar UDF (Spark 4.1 CREATE FUNCTION … RETURN expr):
+  // unlike the opaque JVM closure above, the body is a SQL expression
+  // Catalyst INLINES into the plan — codegen, pushdown, and constant
+  // folding all apply, so at 100 TB this is a zero-cost abstraction
+  // where a Scala UDF is a per-row virtual call with serialization at
+  // the codegen boundary (ExtensibilitySpec pins the inlining: no
+  // ScalaUDF node in the optimized plan). Integer-cents tax math — the
+  // same Det discipline as everywhere else.
+  q("udf_sql_scalar",
+    """SELECT o_orderkey,
+      |  CAST(floor(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 1.07
+      |    + 0.5) AS BIGINT) AS taxed_cents
+      |FROM orders ORDER BY o_orderkey""") { (s, dir) =>
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_taxed_cents(p DOUBLE)
+      |RETURNS BIGINT
+      |RETURN CAST(floor(CAST(floor(p * 100 + 0.5) AS BIGINT) * 1.07 + 0.5)
+      |  AS BIGINT)""".stripMargin)
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderkey, graft_taxed_cents(o_totalprice) AS taxed_cents
+      |FROM orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  // SQL-defined TABLE function (RETURNS TABLE … RETURN SELECT) applied
+  // per row via LATERAL — the declarative UDTF: the body is a plan
+  // fragment the optimizer fuses into the lateral join, not a row
+  // callback. Each order fans out into (o_orderkey % 3 + 1) tier rows;
+  // DuckDB's generate_series lateral states the same thing.
+  q("udf_sql_table",
+    """SELECT o_orderkey,
+      |  CAST(unnest(range(1, o_orderkey % 3 + 2)) AS BIGINT) AS tier
+      |FROM orders
+      |ORDER BY o_orderkey, tier""") { (s, dir) =>
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tiers(n BIGINT)
+      |RETURNS TABLE(i BIGINT)
+      |RETURN SELECT explode(sequence(1L, n))""".stripMargin)
+    Tables(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""SELECT o.o_orderkey, g.i AS tier
+      |FROM orders o, LATERAL graft_tiers(o.o_orderkey % 3 + 1) AS g(i)
+      |ORDER BY o_orderkey, tier""".stripMargin)
+  }
+
   q("udtf_generator",
     """SELECT o_orderkey, key, val FROM (
       |  SELECT o_orderkey, 'priority' AS key, o_orderpriority AS val FROM orders

@@ -48,6 +48,29 @@ class ExtensibilitySpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("SQL-defined UDF inlines into the plan: no ScalaUDF node, and the " +
+    "body folds under optimization (r13)") {
+    // the scale claim behind udf_sql_scalar: CREATE FUNCTION ... RETURN
+    // expr is a zero-cost abstraction — Catalyst sees the body, so it
+    // codegens and constant-folds like any expression, where a JVM UDF
+    // is an opaque per-row call
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_spec_tax(p DOUBLE)
+      |RETURNS BIGINT
+      |RETURN CAST(floor(p * 107 + 0.5) AS BIGINT)""".stripMargin)
+    val df = spark.sql(
+      "SELECT graft_spec_tax(o_totalprice) AS t FROM " +
+        s"parquet.`$sf/orders.parquet`")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("ScalaUDF"),
+      s"SQL UDF did not inline:\n$optimized")
+    assert(optimized.contains("FLOOR") || optimized.toLowerCase.contains("floor"),
+      s"inlined body missing from plan:\n$optimized")
+    // constant arguments fold to a literal — impossible for a JVM UDF
+    val folded = spark.sql("SELECT graft_spec_tax(10.0) AS t")
+      .queryExecution.optimizedPlan.toString
+    assert(folded.contains("1070"), s"constant call did not fold:\n$folded")
+  }
+
   test("pipeline builder: step list equals hand-written DataFrame result") {
     val viaBuilder = Pipeline.source("nation")
       .filter("n_regionkey = 0")
