@@ -5349,7 +5349,142 @@ def audit_bh_fdr():
     report("stats_bh_fdr", mis, 2 * m)
 
 
+def audit_theta_setops():
+    """Audience set algebra replayed with literal Python sets — blind to
+    both engines' sketch/distinct machinery."""
+    mis = []
+    per = {}
+    for t, u in rows(f"SELECT event_type, user_id FROM '{SF}/events.parquet'"):
+        per.setdefault(t, set()).add(u)
+    exp = {t: len(s) for t, s in per.items()}
+    exp["any"] = len(set().union(*per.values()))
+    exp["click_and_purchase"] = len(per.get("click", set())
+                                    & per.get("purchase", set()))
+    exp["click_not_purchase"] = len(per.get("click", set())
+                                    - per.get("purchase", set()))
+    got = dict(dump("agg_theta_setops"))
+    if set(got) != set(exp):
+        mis.append(("keys", sorted(got), sorted(exp)))
+    for k, v in exp.items():
+        if got.get(k) != v:
+            mis.append((k, got.get(k), v))
+    report("agg_theta_setops", mis, len(exp))
+
+
+def audit_approx_topk():
+    """Heavy hitters replayed with collections.Counter (covers both the
+    direct and the accumulate/combine forms — same expected rows)."""
+    from collections import Counter
+    c = Counter(t for (t,) in rows(
+        f"SELECT event_type FROM '{SF}/events.parquet'"))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    mis = []
+    for name in ("agg_approx_topk", "agg_approx_topk_union"):
+        got = dump(name)
+        if [tuple(r) for r in got] != exp:
+            mis.append((name, got, exp))
+    report("agg_approx_topk+union", mis, 6)
+
+
+def audit_variant_group():
+    """Canonical variant key replayed with Python json: sorted keys,
+    compact separators — independent of Spark's variant renderer."""
+    import json
+    agg = {}
+    for p, v in rows(f"SELECT props, value FROM '{SF}/events.parquet'"):
+        key = json.dumps(json.loads(p), separators=(",", ":"), sort_keys=True)
+        n, cents = agg.get(key, (0, 0))
+        agg[key] = (n + 1, cents + math.floor(v * 100 + 0.5))
+    mis = []
+    got = dump("agg_variant_group")
+    if len(got) != len(agg):
+        mis.append(("n_groups", len(got), len(agg)))
+    for k, n, sv in got:
+        en, ec = agg.get(k, (None, None))
+        if n != en or not close(sv, ec / 100.0 if ec is not None else None):
+            mis.append((k, (n, sv), (en, ec)))
+    report("agg_variant_group", mis, 2 * len(agg))
+
+
+def audit_scripting_while():
+    """The WHILE fold is Σ monthly cents = Σ all cents (months 1–12 are
+    exhaustive) — replayed as one literal pass."""
+    cents = sum(math.floor(p * 100 + 0.5) for (p,) in rows(
+        f"SELECT o_totalprice FROM '{SF}/orders.parquet'"))
+    got = dump("sql_scripting_while")
+    mis = []
+    if len(got) != 1 or got[0][0] != 12 or not close(got[0][1], cents / 100.0):
+        mis.append((got, (12, cents / 100.0)))
+    report("sql_scripting_while", mis, 2)
+
+
+def audit_tws_interval_join():
+    """The interval join replayed as a literal nested loop per user."""
+    evs = rows("SELECT user_id, event_type, event_id, epoch_us(ts) "
+               f"FROM '{SF}/events.parquet' "
+               "WHERE event_type IN ('click', 'purchase')")
+    by_user = {}
+    for u, t, e, ts in evs:
+        by_user.setdefault(u, []).append((t, e, ts))
+    exp = set()
+    for u, es in by_user.items():
+        for t1, e1, ts1 in es:
+            if t1 != "click":
+                continue
+            for t2, e2, ts2 in es:
+                if t2 == "purchase" and ts1 < ts2 <= ts1 + 600000000:
+                    exp.add((u, e1, ts1, e2, ts2))
+    got = {tuple(r) for r in dump("stream_interval_join_tws")}
+    mis = [] if got == exp else [("pairs", len(got), len(exp),
+                                  sorted(got ^ exp)[:3])]
+    report("stream_interval_join_tws", mis, len(exp))
+
+
+def audit_tws_mapstate_counts():
+    from collections import Counter
+    c = Counter((u, t) for u, t in rows(
+        f"SELECT user_id, event_type FROM '{SF}/events.parquet'"))
+    got = {(u, t): n for u, t, n in dump("stream_tws_mapstate_counts")}
+    mis = [] if got == dict(c) else [("cells", len(got), len(c))]
+    report("stream_tws_mapstate_counts", mis, len(c))
+
+
+def audit_state_store_scan():
+    exp = sorted({u for (u,) in rows(
+        f"SELECT user_id FROM '{SF}/events.parquet'")})
+    got = [r[0] for r in dump("scan_state_store")]
+    mis = [] if got == exp else [("keys", len(got), len(exp))]
+    report("scan_state_store", mis, len(exp))
+
+
+def audit_sql_udfs():
+    """SQL UDF bodies replayed literally: the floor-chain tax and the
+    per-order tier fan-out."""
+    mis = []
+    taxed = {k: math.floor(math.floor(p * 100 + 0.5) * 1.07 + 0.5)
+             for k, p in rows(
+                 f"SELECT o_orderkey, o_totalprice FROM '{SF}/orders.parquet'")}
+    for k, t in dump("udf_sql_scalar"):
+        if taxed.get(k) != t:
+            mis.append((k, t, taxed.get(k)))
+    exp_tiers = [(k, i) for (k,) in rows(
+        f"SELECT o_orderkey FROM '{SF}/orders.parquet' ORDER BY 1")
+        for i in range(1, k % 3 + 2)]
+    got_tiers = [tuple(r) for r in dump("udf_sql_table")]
+    if got_tiers != exp_tiers:
+        mis.append(("tiers", len(got_tiers), len(exp_tiers)))
+    report("udf_sql_scalar+table", mis, len(taxed) + len(exp_tiers))
+
+
 AUDITS = {
+    "agg_theta_setops": audit_theta_setops,
+    "agg_approx_topk": audit_approx_topk,
+    "agg_variant_group": audit_variant_group,
+    "sql_scripting_while": audit_scripting_while,
+    "stream_interval_join_tws": audit_tws_interval_join,
+    "stream_tws_mapstate_counts": audit_tws_mapstate_counts,
+    "scan_state_store": audit_state_store_scan,
+    "udf_sql_scalar": audit_sql_udfs,
     "stats_bh_fdr": audit_bh_fdr,
     "emb_pq_train_kmeans": audit_pq_train_kmeans,
     "ml_gbt_stumps": audit_gbt_stumps,
