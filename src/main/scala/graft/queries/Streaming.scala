@@ -250,6 +250,55 @@ object Streaming extends QueryPack {
     }
   }
 
+  // Batch-seeded streaming state (TwsSeeded): per-user lifetime spend =
+  // a SEED computed from orders history (one batch aggregate per
+  // custkey) + streamed event increments on top — the migration pattern
+  // for moving a pipeline onto streaming without replaying history, and
+  // scan_state_store's inverse (state IN as a table). The one-batch
+  // drain emits exactly seed + event cents per active user; users with
+  // history but no streamed events emit nothing (their state sits
+  // seeded, awaiting traffic) — the oracle joins accordingly.
+  q("stream_tws_initial_state",
+    """WITH s AS (
+      |  SELECT o_custkey AS user_id,
+      |    SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS seed
+      |  FROM orders GROUP BY 1
+      |), ev AS (
+      |  SELECT user_id,
+      |    SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS inc
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT ev.user_id,
+      |  CAST(ev.inc + COALESCE(s.seed, 0) AS BIGINT) AS lifetime_cents
+      |FROM ev LEFT JOIN s ON ev.user_id = s.user_id
+      |ORDER BY ev.user_id""") { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.TwsSeeded
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    val pKey = "spark.sql.shuffle.partitions"
+    val prevP = s.conf.get(pKey)
+    s.conf.set(pKey, "8")
+    try {
+      val seeds = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(sum(cents(col("o_totalprice"))).cast("long").as("cents"))
+        .as[TwsSeeded.Seed]
+      Streams.drainToMemory(s, s"graft_tws_seed_${math.abs(dir.hashCode)}", {
+        val ev = Streams.eventsStream(s, dir)
+          .select(col("user_id"), cents(col("value")).cast("long").as("cents"))
+          .as[TwsSeeded.Ev]
+        TwsSeeded.totals(ev, seeds).toDF()
+      }).orderBy("user_id")
+    } finally {
+      s.conf.set(pKey, prevP)
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   // cohort retention: users cohorted by first-activity week, retention =
   // distinct active users per (cohort, weeks-since) cell — the canonical
   // product-analytics triangle, built from two aggregates and one join

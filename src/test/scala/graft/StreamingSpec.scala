@@ -704,6 +704,31 @@ class StreamingSpec extends SparkSpec {
       rows.drop(4)) == expected)
   }
 
+  test("tws initial state: seeds fold under streamed increments, unseeded " +
+    "keys start at zero, idle seeds stay silent (r13)") {
+    import graft.streaming.TwsSeeded
+    import graft.streaming.TwsSeeded.{Ev, Seed, Total}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val seeds = Seq(Seed(1L, 100L), Seed(2L, 200L), Seed(9L, 900L)).toDS()
+    val in = MemoryStream[Ev]
+    val q = TwsSeeded.totals(in.toDS(), seeds)
+      .writeStream.format("memory").queryName("tws_seeded")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1L, 5L), Ev(3L, 7L)) // 1 seeded, 3 not
+      q.processAllAvailable()
+      in.addData(Ev(1L, 2L), Ev(2L, 4L)) // seed 2 first touched in batch 2
+      q.processAllAvailable()
+      val last = spark.table("tws_seeded").as[Total].collect().zipWithIndex
+        .groupBy(_._1.user_id).view.mapValues(_.maxBy(_._2)._1.lifetime_cents)
+        .toMap
+      assert(last == Map(1L -> 107L, 2L -> 204L, 3L -> 7L), s"got $last")
+      // user 9 is seeded but never streamed — no emission, state waits
+      assert(!last.contains(9L))
+    } finally q.stop()
+  }
+
   test("TwsFunnel native TTLConfig: wide TTL converts, expired signup is forgotten") {
     import graft.streaming.{Funnel, TwsFunnel}
     implicit val sqlCtx = spark.sqlContext

@@ -5457,6 +5457,23 @@ def audit_state_store_scan():
     report("scan_state_store", mis, len(exp))
 
 
+def audit_tws_initial_state():
+    """Seed + increment fold replayed literally: orders history cents per
+    custkey, plus event cents, emitted only for streamed users."""
+    seed = {}
+    for u, p in rows(f"SELECT o_custkey, o_totalprice FROM '{SF}/orders.parquet'"):
+        seed[u] = seed.get(u, 0) + math.floor(p * 100 + 0.5)
+    inc = {}
+    for u, v in rows(f"SELECT user_id, value FROM '{SF}/events.parquet'"):
+        inc[u] = inc.get(u, 0) + math.floor(v * 100 + 0.5)
+    exp = {u: n + seed.get(u, 0) for u, n in inc.items()}
+    got = dict(dump("stream_tws_initial_state"))
+    mis = [] if got == exp else [
+        ("cells", len(got), len(exp),
+         sorted(set(got.items()) ^ set(exp.items()))[:3])]
+    report("stream_tws_initial_state", mis, len(exp))
+
+
 def audit_sql_udfs():
     """SQL UDF bodies replayed literally: the floor-chain tax and the
     per-order tier fan-out."""
@@ -5484,6 +5501,7 @@ AUDITS = {
     "stream_interval_join_tws": audit_tws_interval_join,
     "stream_tws_mapstate_counts": audit_tws_mapstate_counts,
     "scan_state_store": audit_state_store_scan,
+    "stream_tws_initial_state": audit_tws_initial_state,
     "udf_sql_scalar": audit_sql_udfs,
     "stats_bh_fdr": audit_bh_fdr,
     "emb_pq_train_kmeans": audit_pq_train_kmeans,
