@@ -764,6 +764,70 @@ object Streaming extends QueryPack {
       .orderBy("user_id", "click_us", "purchase_us")
   }
 
+  // Stream-stream LEFT OUTER interval join — the subtle half of the
+  // join surface: matched pairs emit like the inner join, but an
+  // UNMATCHED click can only emit (with null purchase columns) once the
+  // WATERMARK has closed its 10-minute window — before that the engine
+  // must keep it open in case a partner is still in flight. The graded
+  // drain pins exactly that semantics: the oracle emits a null row only
+  // for clicks whose window closed under the final watermark
+  // (= least(max click ts, max purchase ts) under the default min
+  // multiple-watermark policy), and clicks still inside it are ABSENT —
+  // the correct streaming answer, distinct from a batch left join. The
+  // fixture has no click exactly at the watermark boundary, so the
+  // <=/< eviction convention cannot flip a row (checked at both SFs).
+  // State is the same interval-bounded buffer as the inner join.
+  q("stream_stream_left_join",
+    """WITH c AS (
+      |  SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+      |  WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id AS p_uid, event_id AS p_id, ts AS p_ts FROM events
+      |  WHERE event_type = 'purchase'
+      |), m AS (
+      |  SELECT c.user_id, c.c_id, c.c_ts, p.p_id, p.p_ts
+      |  FROM c JOIN p ON c.user_id = p.p_uid
+      |   AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 10 MINUTE
+      |), wm AS (
+      |  SELECT least((SELECT max(c_ts) FROM c),
+      |               (SELECT max(p_ts) FROM p)) AS w
+      |)
+      |SELECT user_id, CAST(c_id AS BIGINT) AS click_id,
+      |  CAST(epoch_us(c_ts) AS BIGINT) AS click_us,
+      |  CAST(p_id AS BIGINT) AS purchase_id,
+      |  CAST(epoch_us(p_ts) AS BIGINT) AS purchase_us
+      |FROM m
+      |UNION ALL
+      |SELECT c.user_id, CAST(c.c_id AS BIGINT),
+      |  CAST(epoch_us(c.c_ts) AS BIGINT), NULL, NULL
+      |FROM c, wm
+      |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
+      |  AND c.c_ts + INTERVAL 10 MINUTE <= wm.w
+      |ORDER BY 1, 2, 4 NULLS FIRST""") { (s, dir) =>
+    val clicks = Streams.eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "0 seconds")
+    val purch = Streams.eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "0 seconds")
+    val joined = clicks.join(purch,
+      col("user_id") === col("p_uid") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    Streams.drainToMemory(s,
+      s"graft_louter_${math.abs(dir.hashCode)}", joined.select(
+        col("user_id"), col("c_id").as("click_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        col("p_id").as("purchase_id"),
+        unix_micros(col("p_ts")).as("purchase_us")))
+      .orderBy(col("user_id"), col("click_id"),
+        col("purchase_id").asc_nulls_first)
+  }
+
   // The SAME interval join built explicitly on transformWithState
   // (TwsIntervalJoin): two ListState buffers + a watermark-keyed pruning
   // timer — the multi-state/timer composition the State API v2 exists

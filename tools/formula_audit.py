@@ -5457,6 +5457,32 @@ def audit_state_store_scan():
     report("scan_state_store", mis, len(exp))
 
 
+def audit_stream_left_join():
+    """The streaming left-outer flush rule replayed literally: matched
+    pairs, plus null rows ONLY for clicks whose 10-minute window closed
+    under the final min-watermark."""
+    evs = rows("SELECT user_id, event_type, event_id, epoch_us(ts) "
+               f"FROM '{SF}/events.parquet' "
+               "WHERE event_type IN ('click', 'purchase')")
+    clicks = [(u, e, ts) for u, t, e, ts in evs if t == "click"]
+    purch = [(u, e, ts) for u, t, e, ts in evs if t == "purchase"]
+    wm = min(max(ts for _, _, ts in clicks), max(ts for _, _, ts in purch))
+    exp = set()
+    matched = set()
+    for u, ce, cts in clicks:
+        for pu, pe, pts in purch:
+            if u == pu and cts < pts <= cts + 600000000:
+                exp.add((u, ce, cts, pe, pts))
+                matched.add(ce)
+    for u, ce, cts in clicks:
+        if ce not in matched and cts + 600000000 <= wm:
+            exp.add((u, ce, cts, None, None))
+    got = {tuple(r) for r in dump("stream_stream_left_join")}
+    mis = [] if got == exp else [("rows", len(got), len(exp),
+                                  sorted(got ^ exp, key=str)[:3])]
+    report("stream_stream_left_join", mis, len(exp))
+
+
 def audit_tws_initial_state():
     """Seed + increment fold replayed literally: orders history cents per
     custkey, plus event cents, emitted only for streamed users."""
@@ -5502,6 +5528,7 @@ AUDITS = {
     "stream_tws_mapstate_counts": audit_tws_mapstate_counts,
     "scan_state_store": audit_state_store_scan,
     "stream_tws_initial_state": audit_tws_initial_state,
+    "stream_stream_left_join": audit_stream_left_join,
     "udf_sql_scalar": audit_sql_udfs,
     "stats_bh_fdr": audit_bh_fdr,
     "emb_pq_train_kmeans": audit_pq_train_kmeans,
