@@ -394,19 +394,30 @@ object Aggregates extends QueryPack {
       |    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
       |) AS BIGINT)
       |ORDER BY audience""") { (s, dir) =>
-    val sk = Tables(s, dir, "events")
-      .groupBy("event_type")
+    // ONE pass over events builds every sketch (r13 review): the
+    // per-type frame, plus click/purchase sketches as conditional global
+    // aggregates — always exactly one row even if a type is absent from
+    // the input (theta_sketch_agg over all-NULL = the empty sketch,
+    // estimate 0, matching the oracle's unconditional scalar rows; the
+    // prior filter+crossJoin form silently DROPPED the set-op rows on an
+    // empty side). localCheckpoint materializes the 6 sketch rows once
+    // for their four consumers without pinning a CacheManager entry for
+    // the session (the prior persist leaked one per (session, dir)).
+    val ev = Tables(s, dir, "events")
+    val sk = ev.groupBy("event_type")
       .agg(expr("theta_sketch_agg(user_id)").as("s"))
-      // 5 catalog-bounded rows, four consumers — cache the sketch build
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    val ab = ev.agg(
+      expr("theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)")
+        .as("a"),
+      expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)")
+        .as("b"))
+      .localCheckpoint()
     def est(e: String) = expr(s"CAST(theta_sketch_estimate($e) AS BIGINT)")
     val per = sk.select(col("event_type").as("audience"),
       est("s").as("n_users"))
     val any = sk.agg(expr("theta_union_agg(s)").as("u"))
       .select(lit("any").as("audience"), est("u").as("n_users"))
-    val a = sk.filter(col("event_type") === "click").select(col("s").as("a"))
-    val b = sk.filter(col("event_type") === "purchase").select(col("s").as("b"))
-    val ab = a.crossJoin(b)
     val both = ab.select(lit("click_and_purchase").as("audience"),
       est("theta_intersection(a, b)").as("n_users"))
     val only = ab.select(lit("click_not_purchase").as("audience"),

