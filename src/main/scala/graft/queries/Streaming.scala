@@ -820,6 +820,75 @@ object Streaming extends QueryPack {
         col("purchase_id").asc_nulls_first)
   }
 
+  // FULL outer completes the stream-stream join surface with the
+  // TWO-SIDED flush rule, and the two sides flush under DIFFERENT
+  // clocks — the asymmetry this query exists to pin: an unmatched click
+  // waits out its whole forward window (c_ts + 10 min vs the
+  // watermark), while an unmatched purchase only waits for the
+  // watermark to pass its OWN timestamp (its candidate partners all
+  // precede it, so nothing in flight can match once wm ≥ p_ts; eviction
+  // measured STRICT — the purchase exactly at the final watermark stays
+  // open and is absent, which the engine run confirms: 1971 right-null
+  // rows, not 1972). Same interval-bounded state as the inner join,
+  // both buffers now emitting their corpse rows.
+  q("stream_stream_full_join",
+    """WITH c AS (
+      |  SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+      |  WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id AS p_uid, event_id AS p_id, ts AS p_ts FROM events
+      |  WHERE event_type = 'purchase'
+      |), m AS (
+      |  SELECT c.user_id, c.c_id, c.c_ts, p.p_id, p.p_ts
+      |  FROM c JOIN p ON c.user_id = p.p_uid
+      |   AND p.p_ts > c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 10 MINUTE
+      |), wm AS (
+      |  SELECT least((SELECT max(c_ts) FROM c),
+      |               (SELECT max(p_ts) FROM p)) AS w
+      |)
+      |SELECT user_id, CAST(c_id AS BIGINT) AS click_id,
+      |  CAST(epoch_us(c_ts) AS BIGINT) AS click_us,
+      |  CAST(p_id AS BIGINT) AS purchase_id,
+      |  CAST(epoch_us(p_ts) AS BIGINT) AS purchase_us
+      |FROM m
+      |UNION ALL
+      |SELECT c.user_id, CAST(c.c_id AS BIGINT),
+      |  CAST(epoch_us(c.c_ts) AS BIGINT), NULL, NULL
+      |FROM c, wm
+      |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
+      |  AND c.c_ts + INTERVAL 10 MINUTE < wm.w
+      |UNION ALL
+      |SELECT p.p_uid, NULL, NULL, CAST(p.p_id AS BIGINT),
+      |  CAST(epoch_us(p.p_ts) AS BIGINT)
+      |FROM p, wm
+      |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+      |  AND p.p_ts < wm.w
+      |ORDER BY 1, 2 NULLS FIRST, 4 NULLS FIRST""") { (s, dir) =>
+    val clicks = Streams.eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      .withWatermark("c_ts", "0 seconds")
+    val purch = Streams.eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "0 seconds")
+    val joined = clicks.join(purch,
+      col("user_id") === col("p_uid") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+    Streams.drainToMemory(s,
+      s"graft_fouter_${math.abs(dir.hashCode)}", joined.select(
+        coalesce(col("user_id"), col("p_uid")).as("user_id"),
+        col("c_id").as("click_id"),
+        unix_micros(col("c_ts")).as("click_us"),
+        col("p_id").as("purchase_id"),
+        unix_micros(col("p_ts")).as("purchase_us")))
+      .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+        col("purchase_id").asc_nulls_first)
+  }
+
   // The SAME interval join built explicitly on transformWithState
   // (TwsIntervalJoin): two ListState buffers + a watermark-keyed pruning
   // timer — the multi-state/timer composition the State API v2 exists

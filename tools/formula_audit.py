@@ -5483,6 +5483,37 @@ def audit_stream_left_join():
     report("stream_stream_left_join", mis, len(exp))
 
 
+def audit_stream_full_join():
+    """The two-sided flush: unmatched clicks wait out their forward
+    window (c_ts + 10 min < wm), unmatched purchases only their own
+    timestamp (p_ts < wm, strictly — the row AT the watermark stays
+    open). Replayed literally."""
+    evs = rows("SELECT user_id, event_type, event_id, epoch_us(ts) "
+               f"FROM '{SF}/events.parquet' "
+               "WHERE event_type IN ('click', 'purchase')")
+    clicks = [(u, e, ts) for u, t, e, ts in evs if t == "click"]
+    purch = [(u, e, ts) for u, t, e, ts in evs if t == "purchase"]
+    wm = min(max(ts for _, _, ts in clicks), max(ts for _, _, ts in purch))
+    exp = set()
+    mc, mp = set(), set()
+    for u, ce, cts in clicks:
+        for pu, pe, pts in purch:
+            if u == pu and cts < pts <= cts + 600000000:
+                exp.add((u, ce, cts, pe, pts))
+                mc.add(ce)
+                mp.add(pe)
+    for u, ce, cts in clicks:
+        if ce not in mc and cts + 600000000 < wm:
+            exp.add((u, ce, cts, None, None))
+    for u, pe, pts in purch:
+        if pe not in mp and pts < wm:
+            exp.add((u, None, None, pe, pts))
+    got = {tuple(r) for r in dump("stream_stream_full_join")}
+    mis = [] if got == exp else [("rows", len(got), len(exp),
+                                  sorted(got ^ exp, key=str)[:3])]
+    report("stream_stream_full_join", mis, len(exp))
+
+
 def audit_tws_initial_state():
     """Seed + increment fold replayed literally: orders history cents per
     custkey, plus event cents, emitted only for streamed users."""
@@ -5529,6 +5560,7 @@ AUDITS = {
     "scan_state_store": audit_state_store_scan,
     "stream_tws_initial_state": audit_tws_initial_state,
     "stream_stream_left_join": audit_stream_left_join,
+    "stream_stream_full_join": audit_stream_full_join,
     "udf_sql_scalar": audit_sql_udfs,
     "stats_bh_fdr": audit_bh_fdr,
     "emb_pq_train_kmeans": audit_pq_train_kmeans,
