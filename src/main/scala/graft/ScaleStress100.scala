@@ -98,6 +98,25 @@ object ScaleStress100 {
       streamStateRows(0L))
     time("near-dedup STREAM state rows after 10 batches, TTL 1s")(
       streamStateRows(1000L))
+
+    // ---- 1b. CDC sharing count under a corpus-wide hot sig at 100× -----
+    // (r13: the restructured llm_dedup_cdc_chunks plan.) Every one of the
+    // 500k docs opens with the same 16-char license stub whose Gear
+    // boundaries fall INSIDE it, so one sig is carried by the ENTIRE
+    // corpus — the worst hot key the operator can meet. The chunk-grain
+    // countDistinct is partial-aggregating (one partial per input
+    // partition, never a materialized doc-id set), so the row must
+    // complete and report hot = corpus; r12's collect_set-window form
+    // would route all 500k docs into ONE window task here.
+    val cdc100 = d100.select(col("doc_id"),
+      concat(lit("LICENSE-HEADER-X"), col("text")).as("text"))
+    time("cdc sharing count 100x planted-ubiquitous-chunk (hot sig d=500k)") {
+      val hot = ops.TextOps.cdcChunks(cdc100, "doc_id", "text")
+        .groupBy("sig").agg(countDistinct(col("doc_id")).as("n_docs"))
+        .agg(max("n_docs")).head.getLong(0)
+      require(hot == 500000L, s"plant missed docs at 100x: $hot")
+      s"hot sig n_docs=$hot"
+    }
     d100.unpersist()
 
     // ---- 2. IVF-PQ candidate flatness at 200k vectors -------------------
