@@ -136,6 +136,40 @@ object ScaleStress100 {
         ops.Sim.ivfPqTopK(probes, e, 10, nProbe = 48).count())
       e.unpersist()
     }
+
+    // ---- 3. two-level coarse assignment at 100× (r13) -------------------
+    // The linear-scan caveat's closer: the flat encode argmins every
+    // vector against all 8 000 cells (200k × 8k); the hierarchy routes
+    // through |cells|/30 supers then argmins only the ~4×30 cells in the
+    // probed supers — ~16× less per-vector work. Approximation cost is
+    // MEASURED as end recall (a mis-assigned vector's residual is still
+    // small — its landed cell is a near-tie), floor `require`d in-run.
+    {
+      val e = embX(100).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      val probes = e.filter(col("vec_id") < 10)
+      time("ivfpq 100x FLAT encode+query (200k x 8000-cell argmin)")(
+        ops.Sim.ivfPqTopK(probes, e, 10, nProbe = 48).count())
+      time("ivfpq 100x HIER encode+query (superFactor=30, probeSuper=4)")(
+        ops.Sim.ivfPqTopK(probes, e, 10, nProbe = 48,
+          hierFactor = 30).count())
+      time("ivfpq 100x recall@10: flat vs hier assignment") {
+        def topkSet(df: DataFrame): Set[(Long, Long)] =
+          df.select(col("probe_id").cast("long"), col("vec_id").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val brute = topkSet(ops.Sim.cosineTopK(probes, e, k = 10))
+        val flat = topkSet(ops.Sim.ivfPqTopK(probes, e, 10, nProbe = 48))
+        val hier = topkSet(ops.Sim.ivfPqTopK(probes, e, 10, nProbe = 48,
+          hierFactor = 30))
+        val rF = (flat & brute).size.toDouble / brute.size
+        val rH = (hier & brute).size.toDouble / brute.size
+        require(rH >= rF - 0.10,
+          f"hier assignment cost too much recall: $rH%.2f vs flat $rF%.2f")
+        f"flat=$rF%.2f hier=$rH%.2f"
+      }
+      e.unpersist()
+    }
     spark.stop()
   }
 }

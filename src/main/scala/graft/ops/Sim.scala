@@ -428,6 +428,62 @@ object Sim {
     * graded path, bit-stable by construction. Deterministic end to end:
     * seeds are id-selected, argmin tiebreaks on cent_id, means are
     * 1e-6-fixed integer sums. */
+  /** Two-level coarse assignment (r13, closing SCALE.md's "the one-off
+    * coarse-assignment scan is linear" caveat): the flat argmin scans
+    * corpus × |cells|; the hierarchy first routes each vector to its
+    * `probeSuper` nearest SUPER-centroids (every `superFactor`-th
+    * centroid — |cells|/superFactor of them), then argmins only over the
+    * cells belonging to those supers. Per-vector work drops from |cells|
+    * to |cells|/superFactor + probeSuper · (avg cells/super) — at
+    * superFactor ≈ √|cells| that is O(√|cells|), the standard two-level
+    * IVF trick. The cell→super map is a one-off |cells| × |supers| join
+    * (catalog-sized). APPROXIMATE: a vector whose true nearest cell
+    * lives in an unprobed super lands in a near-tie neighbor instead —
+    * residuals stay small (the landed cell is still close), so the
+    * downstream recall cost is measured, not assumed (ScaleStress100).
+    * Same (vid, e, out) contract as [[nearestCellsOf]] at n = 1. */
+  private[graft] def nearestCellsHier(cents: DataFrame)(
+      df: DataFrame, embCol: String, out: String,
+      superFactor: Int, probeSuper: Int): DataFrame = {
+    val ranked = cents.withColumn("rk",
+      row_number().over(Window.orderBy("cent_id")))
+    val supers = ranked.filter((col("rk") - 1) % superFactor === 0)
+      .select(col("cent_id").as("sup_id"), col("cent").as("sup"))
+    val supN2 = supers.select(col("sup_id"), col("sup"),
+      dot(col("sup"), col("sup")).as("sn2"))
+    // one-off cell → nearest-super map (|cells| × |supers|, catalog-sized)
+    val cellSup = cents.crossJoin(broadcast(supN2))
+      .select(col("cent_id"), col("cent"), col("sup_id"),
+        (col("sn2") - lit(2.0) * dot(col("cent"), col("sup"))).as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cent_id").orderBy(col("d").asc, col("sup_id"))))
+      .filter(col("rn") === 1)
+      .select(col("sup_id"), col("cent_id"),  col("cent"),
+        dot(col("cent"), col("cent")).as("cn2"))
+    // memory discipline (the first cut OOMed the 100× point): the
+    // corpus×supers frame is windowed WITHOUT the embedding payload —
+    // distances only, ~24 bytes/row instead of the ~1 KB array — and `e`
+    // re-joins by vid afterward; the second level argmins with a
+    // partial-aggregating min-on-struct (one partial per partition, no
+    // sort window at all)
+    val v = df.select(col("vec_id").as("vid"), col(embCol).as("e"))
+    val vSup = v.crossJoin(broadcast(supN2))
+      .select(col("vid"), col("sup_id"),
+        (col("sn2") - lit(2.0) * dot(col("e"), col("sup"))).as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vid").orderBy(col("d").asc, col("sup_id"))))
+      .filter(col("rn") <= probeSuper)
+      .select(col("vid"), col("sup_id"))
+    val best = vSup.join(v, "vid")
+      .join(maybeBroadcast(cellSup), "sup_id")
+      .select(col("vid"), col("cent_id"),
+        (col("cn2") - lit(2.0) * dot(col("e"), col("cent"))).as("d"))
+      .groupBy("vid")
+      .agg(min(struct(col("d"), col("cent_id"))).as("best"))
+      .select(col("vid"), col("best.cent_id").as(out))
+    best.join(v, "vid").select(col("vid"), col("e"), col(out))
+  }
+
   private[graft] def coarseCentroids(corpus: DataFrame, stride: Int,
                                      iters: Int): DataFrame = {
     val seeds = strideCentroids(corpus, stride)
@@ -516,7 +572,8 @@ object Sim {
 
   def pqEncode(corpus: DataFrame, m: Int, nCentroids: Int,
                stride: Int = 25, trainIters: Int = 0,
-               coarseIters: Int = 0): PqModel = {
+               coarseIters: Int = 0, hierFactor: Int = 0,
+               hierProbe: Int = 4): PqModel = {
     ensureRegistered(corpus)
     val d = inferDim(corpus)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
@@ -526,9 +583,16 @@ object Sim {
     val c = fan(corpus).select(col("vec_id"), asDouble(col("embedding")).as("ce"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // coarse cell per corpus vector + residual against its centroid —
-    // elementwise subtraction is the same IEEE op in both engines
-    val resid = nearestCellsOf(cents)(
-        c.select(col("vec_id"), col("ce")), "ce", 1, "cell")
+    // elementwise subtraction is the same IEEE op in both engines.
+    // hierFactor > 0 swaps the linear corpus×cells argmin for the
+    // two-level scheme (graded paths stay 0, bit-stable)
+    val assigned =
+      if (hierFactor > 0)
+        nearestCellsHier(cents)(c.select(col("vec_id"), col("ce")), "ce",
+          "cell", hierFactor, hierProbe)
+      else nearestCellsOf(cents)(c.select(col("vec_id"), col("ce")), "ce",
+        1, "cell")
+    val resid = assigned
       .join(broadcast(cents.select(col("cent_id").as("cell"), col("cent"))), "cell")
       .select(col("vid").as("vec_id"), col("cell"),
         zip_with(col("e"), col("cent"), (a, b) => a - b).as("re"))
@@ -695,8 +759,10 @@ object Sim {
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, k: Int,
                 stride: Int = 25, nProbe: Int = 8,
                 m: Int = 8, nCentroids: Int = 128,
-                trainIters: Int = 0, coarseIters: Int = 0): DataFrame = {
-    val pq = pqEncode(corpus, m, nCentroids, stride, trainIters, coarseIters)
+                trainIters: Int = 0, coarseIters: Int = 0,
+                hierFactor: Int = 0, hierProbe: Int = 4): DataFrame = {
+    val pq = pqEncode(corpus, m, nCentroids, stride, trainIters, coarseIters,
+      hierFactor, hierProbe)
     val (codebook, codes, c, sub) = (pq.codebook, pq.codes, pq.c, pq.sub)
     // probe ADC look-up table: fixed-point subspace dot products against
     // the RESIDUAL codebook — dot(p, x) = dot(p, cent) + dot(p, r), and

@@ -255,4 +255,28 @@ class SimBlockedSpec extends SparkSpec {
     assert(rTrained >= rSeed,
       f"training dropped recall: $rTrained%.2f vs seed $rSeed%.2f")
   }
+
+  test("hierarchical coarse assignment holds the end recall floor (r13)") {
+    // the two-level argmin (route via supers, argmin only the probed
+    // supers' cells) is approximate — a vector whose true cell sits in
+    // an unprobed super lands in a near-tie neighbor. The honest gauge
+    // is END recall through the full IVF-PQ stack, not assignment
+    // agreement: mis-assignments with small residual deltas are
+    // harmless by construction.
+    val dir = "/root/testdata/sf0.01"
+    val emb = engine.Tables(spark, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    def topkSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topkSet(ops.Sim.cosineTopK(probes, emb, k = 5))
+    val flat = topkSet(ops.Sim.ivfPqTopK(probes, emb, k = 5))
+    val hier = topkSet(ops.Sim.ivfPqTopK(probes, emb, k = 5, hierFactor = 8))
+    val rFlat = (flat & brute).size.toDouble / brute.size
+    val rHier = (hier & brute).size.toDouble / brute.size
+    info(f"recall@5: flat=$rFlat%.2f hier=$rHier%.2f (80 cells, 10 supers)")
+    assert(rHier >= rFlat - 0.10,
+      f"hier assignment cost too much recall: $rHier%.2f vs $rFlat%.2f")
+    assert(rHier >= 0.60, f"hier recall@5 $rHier%.2f < 0.60")
+  }
 }
