@@ -290,6 +290,80 @@ object TextOps {
           .as("sig"))
   }
 
+  /** One EM step of a unigram-LM (SentencePiece-style) tokenizer — the
+    * other half of subword tokenization next to Bpe: BPE builds its
+    * vocabulary bottom-up by merging; the unigram model starts from ALL
+    * candidate substrings, scores them as log-probabilities, and
+    * re-estimates by segmenting the corpus with Viterbi under the
+    * current scores. This runs exactly one E (Viterbi per distinct word,
+    * best segmentation under 1e-6-FIXED integer log-scores — the DP is
+    * BIGINT arithmetic, so no float accumulation can reorder two paths;
+    * ties break on the segmentation string itself) + M (recount pieces
+    * from the chosen segmentations, corpus-frequency-weighted) and
+    * reports the top pieces by re-estimated count.
+    *
+    * Scale shape: everything after the one corpus tokenize/group-by runs
+    * on VOCAB-bounded frames (distinct words × ≤ maxLen positions ×
+    * ≤ maxPiece lengths) — the corpus pays one word-count aggregate, the
+    * DP pays |vocab| rows per unrolled position with each round
+    * localCheckpointed (the 4-way candidate fan-in would otherwise make
+    * the lineage exponential in maxLen). Words longer than `maxLen`
+    * (none in the fixtures, max 8) would drop out of the report —
+    * production raises maxLen, which only adds unrolled rounds. */
+  def unigramLmStep(docs: DataFrame, textCol: String, maxLen: Int = 8,
+                    maxPiece: Int = 4, topK: Int = 20): DataFrame = {
+    val w = docs.filter(length(col(textCol)) > 0)
+      .select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wf"))
+      .localCheckpoint()
+    val pc = w.select(col("wf"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           |  i -> transform(sequence(1, least($maxPiece, length(word) - i + 1)),
+           |    l -> substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("wf").cast("long").as("c"))
+    val tot = pc.agg(sum("c").cast("double").as("tt"))
+    val ps = pc.crossJoin(broadcast(tot))
+      .select(col("piece"), col("c"),
+        floor(log(col("c").cast("double") / col("tt")) * 1000000 + lit(0.5))
+          .cast("long").as("s6"))
+      .localCheckpoint()
+    var bs = Vector(
+      w.select(col("word"), col("wf"), lit(0L).as("s6"), lit("").as("seg"))
+        .localCheckpoint())
+    for (i <- 1 to maxLen) {
+      val cands = (1 to math.min(maxPiece, i)).map { l =>
+        bs(i - l).filter(length(col("word")) >= i)
+          .select(col("word"), col("wf"), col("s6"), col("seg"),
+            substring(col("word"), i - l + 1, l).as("pp"))
+      }.reduce(_ unionByName _)
+      val bi = cands
+        .join(broadcast(ps.select(col("piece").as("pp"), col("s6").as("ps6"))),
+          "pp")
+        .select(col("word"), col("wf"), (col("s6") + col("ps6")).as("s6"),
+          concat(col("seg"), lit("/"), col("pp")).as("seg"))
+        .groupBy("word")
+        .agg(max(struct(col("s6"), col("seg"), col("wf"))).as("b"))
+        .select(col("word"), col("b.wf").as("wf"), col("b.s6").as("s6"),
+          col("b.seg").as("seg"))
+        .localCheckpoint()
+      bs = bs :+ bi
+    }
+    val sg = (1 to maxLen)
+      .map(i => bs(i).filter(length(col("word")) === i))
+      .reduce(_ unionByName _)
+    val em = sg
+      .select(col("wf"), explode(split(expr("substring(seg, 2)"), "/"))
+        .as("piece"))
+      .groupBy("piece").agg(sum("wf").cast("long").as("c1"))
+    ps.join(em, Seq("piece"), "left")
+      .select(col("piece"), col("c").as("init_count"),
+        coalesce(col("c1"), lit(0L)).cast("long").as("em_count"),
+        (col("s6").cast("double") / 1000000).as("logp"))
+      .orderBy(col("em_count").desc, col("piece"))
+      .limit(topK)
+  }
+
   private val cdcMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, Int, String), DataFrame]
 

@@ -704,6 +704,21 @@ object QualityOps extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Unigram-LM tokenizer step (SentencePiece-style) — the OTHER half of
+  // subword tokenization next to the BPE pair above: BPE grows its vocab
+  // bottom-up by merging; the unigram model starts from all candidate
+  // substrings (len ≤ 4), scores them as 1e-6-fixed integer
+  // log-probabilities, Viterbi-segments every distinct word under those
+  // scores (exact BIGINT path costs, segmentation-string tiebreak), and
+  // re-counts pieces from the chosen segmentations — one full E+M step,
+  // reported as the top-20 pieces by re-estimated count. The oracle is
+  // the same DP unrolled into one CTE block per character position
+  // (UnigramOracle, the BpeOracle device). Corpus pays one word-count
+  // aggregate; the DP runs on the 31-word vocab frame.
+  q("llm_unigram_lm_step", UnigramOracle.sql(8, 4, 20)) { (s, dir) =>
+    TextOps.unigramLmStep(Tables(s, dir, "documents"), "text")
+  }
+
   // Linear-classifier quality gate — the fastText/DCLM-style model gate as
   // an operator: a fixed-weight linear score over the same three features
   // the heuristic quality score uses, squashed by a HARD sigmoid

@@ -5531,6 +5531,49 @@ def audit_tws_initial_state():
     report("stream_tws_initial_state", mis, len(exp))
 
 
+def audit_unigram_lm():
+    """The unigram-LM EM step replayed from the textbook definition:
+    substring counts → fixed-point log-scores → per-word Viterbi (exact
+    integer path costs, segmentation-string tiebreak) → recount."""
+    from collections import Counter
+    wf = Counter()
+    for (t,) in rows(f"SELECT lower(text) FROM '{SF}/documents.parquet'"):
+        for word in t.split(" "):
+            if word:
+                wf[word] += 1
+    pc = Counter()
+    for word, n in wf.items():
+        for i in range(len(word)):
+            for l in range(1, min(4, len(word) - i) + 1):
+                pc[word[i:i + l]] += n
+    tt = float(sum(pc.values()))
+    s6 = {p: math.floor(math.log(c / tt) * 1000000 + 0.5)
+          for p, c in pc.items()}
+    em = Counter()
+    for word, n in wf.items():
+        best = {0: (0, "")}
+        for i in range(1, len(word) + 1):
+            cands = []
+            for l in range(1, min(4, i) + 1):
+                piece = word[i - l:i]
+                s_prev, seg_prev = best[i - l]
+                cands.append((s_prev + s6[piece], seg_prev + "/" + piece))
+            best[i] = max(cands)  # (score, seg) lexicographic = the DP rule
+        for piece in best[len(word)][1][1:].split("/"):
+            em[piece] += n
+    exp = sorted(((p, pc[p], em.get(p, 0), s6[p] / 1e6) for p in pc),
+                 key=lambda r: (-r[2], r[0]))[:20]
+    got = [tuple(r) for r in dump("llm_unigram_lm_step")]
+    mis = []
+    if len(got) != len(exp):
+        mis.append(("n", len(got), len(exp)))
+    for g, e in zip(got, exp):
+        if g[0] != e[0] or g[1] != e[1] or g[2] != e[2] \
+                or not close(g[3], e[3], tol=1e-5):
+            mis.append((g, e))
+    report("llm_unigram_lm_step", mis, 4 * len(exp))
+
+
 def audit_sql_udfs():
     """SQL UDF bodies replayed literally: the floor-chain tax and the
     per-order tier fan-out."""
@@ -5561,6 +5604,7 @@ AUDITS = {
     "stream_tws_initial_state": audit_tws_initial_state,
     "stream_stream_left_join": audit_stream_left_join,
     "stream_stream_full_join": audit_stream_full_join,
+    "llm_unigram_lm_step": audit_unigram_lm,
     "udf_sql_scalar": audit_sql_udfs,
     "stats_bh_fdr": audit_bh_fdr,
     "emb_pq_train_kmeans": audit_pq_train_kmeans,
