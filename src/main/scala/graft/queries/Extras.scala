@@ -810,4 +810,42 @@ object Extras extends QueryPack {
         col("doc_id"), col("n_chars"))
       .orderBy("rank")
   }
+
+  // Dataset.observe(): named aggregate metrics that ride the SAME action
+  // as accumulator-backed observers — the pipeline-health device (rows
+  // in, money totaled, date span, per-status counts) that at 100 TB
+  // replaces a second full .count()/.agg() scan with zero extra reads.
+  // Here the observed action is a noop-sink write (the metrics consumer
+  // pattern: write the data, harvest the stats from the same pass); the
+  // graded single-row frame is built from the harvested metric map, and
+  // the oracle recomputes the identical aggregates declaratively. Money
+  // through exact integer cents (Det.cents) as everywhere.
+  q("etl_observe_metrics",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100 AS total_usd,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_finished,
+      |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS d_min,
+      |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS d_max
+      |FROM orders""") { (s, dir) =>
+    val obs = org.apache.spark.sql.Observation()
+    Tables(s, dir, "orders")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(graft.engine.Det.cents(col("o_totalprice")).cast("long"))
+          .as("cents"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("n_finished"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("d_min"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("d_max"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("cents").asInstanceOf[Long].toDouble / 100,
+        m("n_finished").asInstanceOf[Long],
+        m("d_min").asInstanceOf[String], m("d_max").asInstanceOf[String]))
+      .toDF("n_rows", "total_usd", "n_finished", "d_min", "d_max")
+  }
 }

@@ -1075,6 +1075,73 @@ object QualityOps extends QueryPack {
       .orderBy("bucket")
   }
 
+  // Matryoshka (MRL) truncation eval: recall@10 of first-16-dims cosine
+  // search against the full-64-dim ground truth, per probe — the
+  // measurement that decides "search at d/4, rerank at d" for
+  // nested-representation embeddings. Both rankings reuse the
+  // sim_cosine_topk device (left-fold dot replayed by the oracle's
+  // list_reduce, 4-dp-fixed sims, id tiebreak), the truncated side over
+  // slice(embedding, 1, 16). Scale: truncation is a per-row map (and on
+  // a d-major layout, a narrower read); the eval is probe-bounded —
+  // corpus size only enters through the two top-k scans, which share
+  // cosineTopK's LSH/IVF upgrade seam.
+  q("emb_matryoshka_recall",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), pr AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 20),
+      |sf AS (
+      |  SELECT probe_id, vec_id,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pv, v),
+      |        z -> z[1] * z[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pv, x -> x*x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x*x)), (a, b) -> a + b))),
+      |    4) AS sim
+      |  FROM pr CROSS JOIN e WHERE probe_id <> vec_id
+      |), tf AS (
+      |  SELECT probe_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                                 ORDER BY sim DESC, vec_id) AS rn FROM sf)
+      |  WHERE rn <= 10
+      |), st AS (
+      |  SELECT probe_id, vec_id,
+      |    round(
+      |      list_reduce(list_prepend(0.0, list_transform(list_zip(pv[1:16], v[1:16]),
+      |        z -> z[1] * z[2])), (a, b) -> a + b)
+      |      / (sqrt(list_reduce(list_prepend(0.0, list_transform(pv[1:16], x -> x*x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(0.0, list_transform(v[1:16], x -> x*x)), (a, b) -> a + b))),
+      |    4) AS sim
+      |  FROM pr CROSS JOIN e WHERE probe_id <> vec_id
+      |), tt AS (
+      |  SELECT probe_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                                 ORDER BY sim DESC, vec_id) AS rn FROM st)
+      |  WHERE rn <= 10
+      |), ov AS (
+      |  SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tf JOIN tt USING (probe_id, vec_id) GROUP BY probe_id
+      |)
+      |SELECT pr.probe_id, COALESCE(ov.n, 0) AS n_overlap,
+      |  CAST(COALESCE(ov.n, 0) AS DOUBLE) / 10 AS recall_at_10
+      |FROM pr LEFT JOIN ov USING (probe_id)
+      |ORDER BY probe_id""") { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings")
+    val embT = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val full = Sim.cosineTopK(emb.filter(col("vec_id") < 20), emb, k = 10)
+      .select("probe_id", "vec_id")
+    val trunc = Sim.cosineTopK(embT.filter(col("vec_id") < 20), embT, k = 10)
+      .select("probe_id", "vec_id")
+    val ov = full.join(trunc, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).cast("long").as("n"))
+    emb.filter(col("vec_id") < 20).select(col("vec_id").as("probe_id"))
+      .join(ov, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n"), lit(0L)).cast("double") / 10).as("recall_at_10"))
+      .orderBy("probe_id")
+  }
+
   // PQ sub-codebook TRAINING (Lloyd, per-subspace): the trained-codebook
   // upgrade seam Sim.pqEncode documents for its stride seeds, graded as a
   // per-(iter, subspace) convergence curve — occupied codes + mean

@@ -932,4 +932,101 @@ object Scalars extends QueryPack {
           .otherwise(lit(false)).as("vt_missing_null"))
       .orderBy("event_id")
   }
+
+  // ANSI interval arithmetic (YEAR TO MONTH / DAY TO SECOND), including
+  // interval × integer scaling — the typed replacement for ad-hoc
+  // "add N*86400 seconds" epoch math. Cross-engine notes: both engines
+  // clamp month-adds to the last day of the target month (1995-08-31 +
+  // 1-6 → 1997-02-28, probed on both); DuckDB spells YM literals as
+  // INTERVAL 18 MONTH and scaling as to_months/to_hours. All outputs
+  // render as strings — interval-typed columns have engine-specific
+  // display forms, dates/timestamps don't. Per-row map, no shuffle.
+  q("fn_interval_arith",
+    """SELECT o_orderkey,
+      |  strftime(CAST(o_orderdate + INTERVAL 18 MONTH AS DATE), '%Y-%m-%d') AS plus_ym,
+      |  strftime(CAST(o_orderdate AS TIMESTAMP)
+      |    + INTERVAL '2 days 3 hours 4 minutes 5 seconds', '%Y-%m-%d %H:%M:%S') AS plus_dt,
+      |  strftime(CAST(o_orderdate + to_months(CAST(o_orderkey % 4 AS INT)) AS DATE),
+      |    '%Y-%m-%d') AS scaled_ym,
+      |  strftime(CAST(o_orderdate AS TIMESTAMP)
+      |    + to_hours(CAST(o_orderkey % 5 AS INT)), '%Y-%m-%d %H:%M:%S') AS scaled_dt
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate")
+          + expr("INTERVAL '1-6' YEAR TO MONTH"), "yyyy-MM-dd").as("plus_ym"),
+        date_format(col("o_orderdate").cast("timestamp")
+          + expr("INTERVAL '2 03:04:05' DAY TO SECOND"),
+          "yyyy-MM-dd HH:mm:ss").as("plus_dt"),
+        date_format(col("o_orderdate")
+          + expr("make_ym_interval(0, CAST(o_orderkey % 4 AS INT))"),
+          "yyyy-MM-dd").as("scaled_ym"),
+        date_format(col("o_orderdate").cast("timestamp")
+          + expr("INTERVAL '1' HOUR * (o_orderkey % 5)"),
+          "yyyy-MM-dd HH:mm:ss").as("scaled_dt"))
+      .orderBy("o_orderkey")
+  }
+
+  // TIMESTAMP_NTZ (wall-clock, no zone) + convert_timezone — the Spark 4
+  // type that makes "the event happened at 09:00 local" storable without
+  // a session-timezone landmine. Zone choices are DST-free (Asia/Tokyo
+  // fixed +9, Asia/Kolkata fixed +5:30) so the oracle replays the
+  // conversions as constant-offset interval adds — the graded claim is
+  // Spark's NTZ construction/conversion/rendering, not tzdb history.
+  // Per-row map; the NTZ column prunes to the one parquet read.
+  q("fn_timestamp_ntz",
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    make_timestamp(CAST(year(o_orderdate) AS INT),
+      |      CAST(month(o_orderdate) AS INT), CAST(day(o_orderdate) AS INT),
+      |      CAST(o_orderkey % 24 AS INT), 30, 0) AS ntz
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  strftime(ntz, '%Y-%m-%d %H:%M:%S') AS ntz_str,
+      |  strftime(ntz + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M:%S') AS tokyo,
+      |  strftime(ntz - INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS from_ist
+      |FROM t ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("""make_timestamp_ntz(year(o_orderdate), month(o_orderdate),
+          day(o_orderdate), CAST(o_orderkey % 24 AS INT), 30, 0)""").as("ntz"))
+      .select(col("o_orderkey"),
+        col("ntz").cast("string").as("ntz_str"),
+        date_format(expr("convert_timezone('UTC', 'Asia/Tokyo', ntz)"),
+          "yyyy-MM-dd HH:mm:ss").as("tokyo"),
+        date_format(expr("convert_timezone('Asia/Kolkata', 'UTC', ntz)"),
+          "yyyy-MM-dd HH:mm:ss").as("from_ist"))
+      .orderBy("o_orderkey")
+  }
+
+  // to_char / to_number — warehouse-style format-string rendering and
+  // its inverse, graded as an exact round-trip. Cross-engine notes:
+  // Spark's to_char space-pads to the template width (probed: '
+  // 1,234.50' for '999,999.99'), so the oracle lpads; DuckDB's fmt
+  // format() refuses thousands separators on floats, so the oracle
+  // renders from the exact integer cents (grouped quotient + zero-padded
+  // remainder) — which is also why the round-trip is exact: both sides
+  // format the same integer, not a binary double. Per-row map.
+  q("fn_number_format",
+    """WITH c AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderkey,
+      |  lpad(format('{:,}', cents // 100) || '.'
+      |       || lpad(CAST(cents % 100 AS VARCHAR), 2, '0'), 12, ' ') AS usd,
+      |  lpad(CAST(o_orderkey AS VARCHAR), 7, '0') AS okey_padded,
+      |  CAST(cents AS DOUBLE) / 100 AS round_trip
+      |FROM c ORDER BY o_orderkey""") { (s, dir) =>
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), Det.cents(col("o_totalprice")).as("cents"))
+      .select(col("o_orderkey"),
+        expr("to_char(CAST(cents AS DOUBLE) / 100, '9,999,999.99')").as("usd"),
+        expr("to_char(o_orderkey, '0000000')").as("okey_padded"),
+        col("cents").as("cents"))
+      .select(col("o_orderkey"), col("usd"), col("okey_padded"),
+        expr("CAST(to_number(usd, '9,999,999.99') AS DOUBLE)").as("round_trip"))
+      .orderBy("o_orderkey")
+  }
 }

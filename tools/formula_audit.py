@@ -5593,7 +5593,153 @@ def audit_sql_udfs():
     report("udf_sql_scalar+table", mis, len(taxed) + len(exp_tiers))
 
 
+def _add_months(d, n):
+    """Calendar month-add with end-of-month clamping (the ANSI rule both
+    engines follow)."""
+    import calendar
+    import datetime
+    y, m = d.year + (d.month - 1 + n) // 12, (d.month - 1 + n) % 12 + 1
+    return datetime.date(y, m, min(d.day, calendar.monthrange(y, m)[1]))
+
+
+def audit_interval_arith():
+    """ANSI interval arithmetic replayed with Python's calendar: month
+    adds clamp to month-end; day-time adds are exact timedeltas."""
+    import datetime
+    mis, n = [], 0
+    got = {r[0]: r[1:] for r in dump("fn_interval_arith")}
+    for k, d in rows(f"SELECT o_orderkey, o_orderdate FROM '{SF}/orders.parquet'"):
+        ts = datetime.datetime(d.year, d.month, d.day)
+        exp = (_add_months(d, 18).strftime("%Y-%m-%d"),
+               (ts + datetime.timedelta(days=2, hours=3, minutes=4,
+                                        seconds=5)).strftime("%Y-%m-%d %H:%M:%S"),
+               _add_months(d, k % 4).strftime("%Y-%m-%d"),
+               (ts + datetime.timedelta(hours=k % 5)).strftime("%Y-%m-%d %H:%M:%S"))
+        n += 4
+        if got.get(k) != exp:
+            mis.append((k, got.get(k), exp))
+    report("fn_interval_arith", mis, n)
+
+
+def audit_timestamp_ntz():
+    """NTZ construction + fixed-offset zone conversions replayed as
+    timedeltas (Tokyo +9:00, Kolkata +5:30 — both DST-free)."""
+    import datetime
+    mis, n = [], 0
+    got = {r[0]: r[1:] for r in dump("fn_timestamp_ntz")}
+    for k, d in rows(f"SELECT o_orderkey, o_orderdate FROM '{SF}/orders.parquet'"):
+        ntz = datetime.datetime(d.year, d.month, d.day, k % 24, 30, 0)
+        f = "%Y-%m-%d %H:%M:%S"
+        exp = (ntz.strftime(f),
+               (ntz + datetime.timedelta(hours=9)).strftime(f),
+               (ntz - datetime.timedelta(hours=5, minutes=30)).strftime(f))
+        n += 3
+        if got.get(k) != exp:
+            mis.append((k, got.get(k), exp))
+    report("fn_timestamp_ntz", mis, n)
+
+
+def audit_number_format():
+    """to_char/to_number round-trip replayed with Python string formatting
+    from the exact integer cents."""
+    mis, n = [], 0
+    got = {r[0]: r[1:] for r in dump("fn_number_format")}
+    for (k, p) in rows(
+            f"SELECT o_orderkey, o_totalprice FROM '{SF}/orders.parquet'"):
+        cents = math.floor(p * 100 + 0.5)
+        usd = f"{cents // 100:,}.{cents % 100:02d}".rjust(12)
+        exp = (usd, f"{k:07d}", cents / 100.0)
+        n += 3
+        g = got.get(k)
+        if g is None or g[0] != exp[0] or g[1] != exp[1] \
+                or not close(g[2], exp[2], tol=1e-9):
+            mis.append((k, g, exp))
+    report("fn_number_format", mis, n)
+
+
+def audit_sql_identifier():
+    """IDENTIFIER() indirection must equal the direct group-count."""
+    from collections import Counter
+    c = Counter(st for (st,) in rows(
+        f"SELECT o_orderstatus FROM '{SF}/orders.parquet'"))
+    got = dict(dump("sql_identifier"))
+    mis = [] if got == dict(c) else [("groups", got, dict(c))]
+    report("sql_identifier", mis, len(c))
+
+
+def audit_observe_metrics():
+    """The observed metric map must equal the plain aggregates."""
+    n_rows = cents = n_f = 0
+    d_min = d_max = None
+    for st, p, d in rows("SELECT o_orderstatus, o_totalprice, o_orderdate "
+                         f"FROM '{SF}/orders.parquet'"):
+        n_rows += 1
+        cents += math.floor(p * 100 + 0.5)
+        n_f += 1 if st == "F" else 0
+        d_min = d if d_min is None or d < d_min else d_min
+        d_max = d if d_max is None or d > d_max else d_max
+    got = dump("etl_observe_metrics")[0]
+    exp = (n_rows, cents / 100.0, n_f,
+           d_min.strftime("%Y-%m-%d"), d_max.strftime("%Y-%m-%d"))
+    mis = []
+    if got[0] != exp[0] or not close(got[1], exp[1]) or got[2] != exp[2] \
+            or got[3] != exp[3] or got[4] != exp[4]:
+        mis.append((got, exp))
+    report("etl_observe_metrics", mis, 5)
+
+
+def audit_matryoshka():
+    """MRL recall@10 replayed literally: left-fold float dots (Spark's
+    summation order), shortest-repr HALF_UP 4-dp rounding (Spark's
+    round()), id tiebreak, set overlap."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r4(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                                rounding=ROUND_HALF_UP))
+
+    emb = {v: list(map(float, e)) for v, e in rows(
+        f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM '{SF}/embeddings.parquet'")}
+
+    def top10(dim):
+        out = {}
+        for p in (v for v in emb if v < 20):
+            pv = emb[p][:dim]
+            scored = []
+            for c, cv in emb.items():
+                if c == p:
+                    continue
+                dot = 0.0
+                for a, b in zip(pv, cv[:dim]):
+                    dot += a * b
+                np_ = math.sqrt(sum_lf(x * x for x in pv))
+                nc = math.sqrt(sum_lf(x * x for x in cv[:dim]))
+                scored.append((-r4(dot / (np_ * nc)), c))
+            out[p] = {c for _, c in sorted(scored)[:10]}
+        return out
+
+    def sum_lf(it):
+        s = 0.0
+        for x in it:
+            s += x
+        return s
+
+    tf, tt = top10(64), top10(16)
+    exp = {p: len(tf[p] & tt[p]) for p in tf}
+    mis = []
+    for p, n, rec in dump("emb_matryoshka_recall"):
+        if exp.get(p) != n or not close(rec, n / 10.0, tol=1e-9):
+            mis.append((p, (n, rec), exp.get(p)))
+    report("emb_matryoshka_recall", mis, 2 * len(exp))
+
+
 AUDITS = {
+    "fn_interval_arith": audit_interval_arith,
+    "fn_timestamp_ntz": audit_timestamp_ntz,
+    "fn_number_format": audit_number_format,
+    "sql_identifier": audit_sql_identifier,
+    "etl_observe_metrics": audit_observe_metrics,
+    "emb_matryoshka_recall": audit_matryoshka,
     "agg_theta_setops": audit_theta_setops,
     "agg_approx_topk": audit_approx_topk,
     "agg_variant_group": audit_variant_group,
