@@ -428,6 +428,32 @@ object Sim {
     * graded path, bit-stable by construction. Deterministic end to end:
     * seeds are id-selected, argmin tiebreaks on cent_id, means are
     * 1e-6-fixed integer sums. */
+  private[graft] def coarseCentroids(corpus: DataFrame, stride: Int,
+                                     iters: Int): DataFrame = {
+    val seeds = strideCentroids(corpus, stride)
+    if (iters <= 0) seeds
+    else {
+      val c = fan(corpus)
+        .select(col("vec_id"), asDouble(col("embedding")).as("ce"))
+      var cents = seeds
+      for (_ <- 1 to iters) {
+        val assign = nearestCellsOf(cents)(c, "ce", 1, "cell")
+        cents = assign
+          .select(col("cell"), posexplode(col("e")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim")
+          .agg((floor(sum(graft.engine.Det.fix(col("x"), 6)).cast("double")
+            / count(lit(1)) + lit(0.5)) / 1000000).as("cm"))
+          .groupBy("cell")
+          .agg(transform(
+            sort_array(collect_list(struct(col("dim"), col("cm")))),
+            x => x.getField("cm")).as("cent"))
+          .select(col("cell").as("cent_id"), col("cent"))
+          .localCheckpoint()
+      }
+      cents
+    }
+  }
+
   /** Two-level coarse assignment (r13, closing SCALE.md's "the one-off
     * coarse-assignment scan is linear" caveat): the flat argmin scans
     * corpus × |cells|; the hierarchy first routes each vector to its
@@ -482,32 +508,6 @@ object Sim {
       .agg(min(struct(col("d"), col("cent_id"))).as("best"))
       .select(col("vid"), col("best.cent_id").as(out))
     best.join(v, "vid").select(col("vid"), col("e"), col(out))
-  }
-
-  private[graft] def coarseCentroids(corpus: DataFrame, stride: Int,
-                                     iters: Int): DataFrame = {
-    val seeds = strideCentroids(corpus, stride)
-    if (iters <= 0) seeds
-    else {
-      val c = fan(corpus)
-        .select(col("vec_id"), asDouble(col("embedding")).as("ce"))
-      var cents = seeds
-      for (_ <- 1 to iters) {
-        val assign = nearestCellsOf(cents)(c, "ce", 1, "cell")
-        cents = assign
-          .select(col("cell"), posexplode(col("e")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim")
-          .agg((floor(sum(graft.engine.Det.fix(col("x"), 6)).cast("double")
-            / count(lit(1)) + lit(0.5)) / 1000000).as("cm"))
-          .groupBy("cell")
-          .agg(transform(
-            sort_array(collect_list(struct(col("dim"), col("cm")))),
-            x => x.getField("cm")).as("cent"))
-          .select(col("cell").as("cent_id"), col("cent"))
-          .localCheckpoint()
-      }
-      cents
-    }
   }
 
   def ivfTopK(probes: DataFrame, corpus: DataFrame, k: Int,

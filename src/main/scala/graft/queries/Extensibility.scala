@@ -108,6 +108,40 @@ object Extensibility extends QueryPack {
       .orderBy(col("doc_id"), col("tok").asc_nulls_first)
   }
 
+  // variant_explode (Spark 4 TVF): one variant OBJECT → (pos, key, value)
+  // rows via LATERAL — the schema-on-read flatten for open payload
+  // columns (pair to fn_variant_nested's path extraction: that grades
+  // known paths, this grades enumerating UNKNOWN ones). Field order is
+  // the variant encoding's sorted-key order (probed: amt/et/grp
+  // regardless of construction order), so pos is deterministic; values
+  // render through to_json's canonical form (bare integers, quoted
+  // strings). The variant is built from typed columns (exact cents, so
+  // no double-rendering hazard) and the oracle re-derives every row from
+  // those same columns. Scale: explode fans out |fields| rows per event
+  // — same per-row cost class as posexplode, no shuffle added.
+  q("udtf_variant_explode",
+    """WITH t AS (
+      |  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS amt,
+      |    event_type AS et, user_id % 5 AS grp
+      |  FROM events WHERE event_id < 300)
+      |SELECT event_id, pos, key, val FROM (
+      |  SELECT event_id, CAST(0 AS INT) AS pos, 'amt' AS key,
+      |    CAST(amt AS VARCHAR) AS val FROM t
+      |  UNION ALL SELECT event_id, CAST(1 AS INT), 'et', '"' || et || '"' FROM t
+      |  UNION ALL SELECT event_id, CAST(2 AS INT), 'grp', CAST(grp AS VARCHAR) FROM t)
+      |ORDER BY event_id, pos""") { (s, dir) =>
+    Tables(s, dir, "events").filter(col("event_id") < 300)
+      .select(col("event_id"), parse_json(to_json(struct(
+        Det.cents(col("value")).cast("long").as("amt"),
+        col("event_type").as("et"),
+        (col("user_id") % 5).as("grp")))).as("v"))
+      .createOrReplaceTempView("graft_ve_events")
+    s.sql(
+      """SELECT event_id, CAST(pos AS INT) AS pos, key, to_json(value) AS val
+        |FROM graft_ve_events, LATERAL variant_explode(v)
+        |ORDER BY event_id, pos""".stripMargin)
+  }
+
   // native codegen Expression — called through SQL once registered
   q("expr_custom_dot",
     """WITH v AS (

@@ -1002,8 +1002,9 @@ object Scalars extends QueryPack {
 
   // to_char / to_number — warehouse-style format-string rendering and
   // its inverse, graded as an exact round-trip. Cross-engine notes:
-  // Spark's to_char space-pads to the template width (probed: '
-  // 1,234.50' for '999,999.99'), so the oracle lpads; DuckDB's fmt
+  // Spark's to_char space-pads to the template width (probed:
+  // '  1,234.50' — 10 chars — for the 10-char '999,999.99'), so the
+  // oracle lpads to the template width; DuckDB's fmt
   // format() refuses thousands separators on floats, so the oracle
   // renders from the exact integer cents (grouped quotient + zero-padded
   // remainder) — which is also why the round-trip is exact: both sides

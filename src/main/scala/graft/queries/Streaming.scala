@@ -810,12 +810,18 @@ object Streaming extends QueryPack {
         col("p_ts") > col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
       "left_outer")
-    Streams.drainToMemory(s,
-      s"graft_louter_${math.abs(dir.hashCode)}", joined.select(
-        col("user_id"), col("c_id").as("click_id"),
-        unix_micros(col("c_ts")).as("click_us"),
-        col("p_id").as("purchase_id"),
-        unix_micros(col("p_ts")).as("purchase_us")))
+    // state layout sized to key cardinality, not the session's 32: a
+    // stream-stream join opens FOUR state stores per partition, so the
+    // r13 bench saw 32×4 store inits dominate (7.9 s → ~2 s at 8);
+    // output is layout-independent
+    Streams.withTwsConf(s, partitions = 4) {
+      Streams.drainToMemory(s,
+        s"graft_louter_${math.abs(dir.hashCode)}", joined.select(
+          col("user_id"), col("c_id").as("click_id"),
+          unix_micros(col("c_ts")).as("click_us"),
+          col("p_id").as("purchase_id"),
+          unix_micros(col("p_ts")).as("purchase_us")))
+    }
       .orderBy(col("user_id"), col("click_id"),
         col("purchase_id").asc_nulls_first)
   }
@@ -878,13 +884,17 @@ object Streaming extends QueryPack {
         col("p_ts") > col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
       "full_outer")
-    Streams.drainToMemory(s,
-      s"graft_fouter_${math.abs(dir.hashCode)}", joined.select(
-        coalesce(col("user_id"), col("p_uid")).as("user_id"),
-        col("c_id").as("click_id"),
-        unix_micros(col("c_ts")).as("click_us"),
-        col("p_id").as("purchase_id"),
-        unix_micros(col("p_ts")).as("purchase_us")))
+    // 8-partition state layout, as in the left join above (4 stores per
+    // partition; the session's 32 made store-init the whole runtime)
+    Streams.withTwsConf(s, partitions = 4) {
+      Streams.drainToMemory(s,
+        s"graft_fouter_${math.abs(dir.hashCode)}", joined.select(
+          coalesce(col("user_id"), col("p_uid")).as("user_id"),
+          col("c_id").as("click_id"),
+          unix_micros(col("c_ts")).as("click_us"),
+          col("p_id").as("purchase_id"),
+          unix_micros(col("p_ts")).as("purchase_us")))
+    }
       .orderBy(col("user_id"), col("click_id").asc_nulls_first,
         col("purchase_id").asc_nulls_first)
   }

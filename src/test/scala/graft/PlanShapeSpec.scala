@@ -300,4 +300,36 @@ class PlanShapeSpec extends SparkSpec {
     // must not survive into any exchange
     assert(p.contains("xxhash64"), s"anchor hashing missing:\n$p")
   }
+
+  test("the r13 scalar-surface queries stay pure projection — no join, " +
+    "no aggregate, no window") {
+    // the SCALE.md claim for fn_interval_arith / fn_timestamp_ntz /
+    // fn_number_format: per-row maps whose only exchange is the final
+    // presentation sort
+    for (name <- Seq("fn_interval_arith", "fn_timestamp_ntz",
+        "fn_number_format")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name plans a join:\n$p")
+      assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+        s"$name plans an aggregate:\n$p")
+      assert(!p.contains("Window"), s"$name plans a window:\n$p")
+    }
+  }
+
+  test("udtf_variant_explode is a generator over one scan — no join") {
+    val p = plan("udtf_variant_explode")
+    assert(p.contains("Generate"), s"no Generate node:\n$p")
+    assert(!p.contains("HashJoin") && !p.contains("SortMergeJoin")
+      && !p.contains("CartesianProduct"),
+      s"variant explode picked up a join:\n$p")
+  }
+
+  test("emb_matryoshka_recall scores via broadcast nested-loop, never a " +
+    "shuffled cartesian") {
+    val p = plan("emb_matryoshka_recall")
+    assert(!p.contains("CartesianProduct"),
+      s"matryoshka pairwise scan shuffles a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the cosineTopK broadcast fan-out:\n$p")
+  }
 }

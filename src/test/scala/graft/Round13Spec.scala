@@ -111,4 +111,17 @@ class Round13Spec extends SparkSpec {
     assert(obs.get("n") == direct.getLong(0))
     assert(obs.get("cents") == direct.getLong(1))
   }
+
+  test("variant_explode emits fields in sorted-key order regardless of " +
+    "construction order") {
+    // the udtf_variant_explode determinism claim: pos is a property of
+    // the variant ENCODING (sorted keys), not of the JSON author
+    val r = spark.sql(
+      """SELECT pos, key FROM VALUES (1) t(x),
+        |LATERAL variant_explode(parse_json('{"zz": 1, "aa": 2, "mm": 3}'))
+        |ORDER BY pos""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(r == Seq((0, "aa"), (1, "mm"), (2, "zz")),
+      s"field order not sorted-key: $r")
+  }
 }

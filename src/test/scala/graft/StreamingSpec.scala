@@ -821,4 +821,30 @@ class StreamingSpec extends SparkSpec {
       assert(emitted() == 3L)
     } finally q.stop()
   }
+
+  test("observe() metrics ride the streaming micro-batches: per-batch " +
+    "observedMetrics fold to the stream total") {
+    // the streaming face of etl_observe_metrics: the same zero-extra-scan
+    // accumulator aggregates, harvested per micro-batch from
+    // StreamingQueryProgress instead of Observation.get (which is
+    // batch-only); the fold across batches must equal the totals
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("k", "v")
+      .observe("graft_stream_obs", count(lit(1)).as("n"),
+        sum(graft.engine.Det.cents(col("v")).cast("long")).as("cents"))
+      .writeStream.format("memory").queryName("obs_test")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 1.10), (2L, 2.20)); q.processAllAvailable()
+      in.addData((3L, 3.30)); q.processAllAvailable()
+      val folded = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_stream_obs")))
+        .map(r => (r.getAs[Long]("n"), r.getAs[Long]("cents")))
+      assert(folded.map(_._1).sum == 3L,
+        s"observed row counts wrong: $folded")
+      assert(folded.map(_._2).sum == 660L,
+        s"observed cents wrong: $folded")
+    } finally q.stop()
+  }
 }

@@ -5551,6 +5551,8 @@ def audit_unigram_lm():
           for p, c in pc.items()}
     em = Counter()
     for word, n in wf.items():
+        if len(word) > 8:  # the graded sides' maxLen: longer words drop
+            continue       # out of the EM recount (not out of pc)
         best = {0: (0, "")}
         for i in range(1, len(word) + 1):
             cands = []
@@ -5688,6 +5690,22 @@ def audit_observe_metrics():
     report("etl_observe_metrics", mis, 5)
 
 
+def audit_variant_explode():
+    """variant_explode replayed literally: sorted-key field order, pos
+    0-based, canonical JSON value rendering."""
+    exp = []
+    for e, v, t, u in sorted(rows(
+            "SELECT event_id, value, event_type, user_id "
+            f"FROM '{SF}/events.parquet' WHERE event_id < 300")):
+        exp.append((e, 0, "amt", str(math.floor(v * 100 + 0.5))))
+        exp.append((e, 1, "et", f'"{t}"'))
+        exp.append((e, 2, "grp", str(u % 5)))
+    got = [tuple(r) for r in dump("udtf_variant_explode")]
+    mis = [] if got == exp else [("rows", len(got), len(exp),
+                                  got[:2], exp[:2])]
+    report("udtf_variant_explode", mis, 4 * len(exp))
+
+
 def audit_matryoshka():
     """MRL recall@10 replayed literally: left-fold float dots (Spark's
     summation order), shortest-repr HALF_UP 4-dp rounding (Spark's
@@ -5740,6 +5758,7 @@ AUDITS = {
     "sql_identifier": audit_sql_identifier,
     "etl_observe_metrics": audit_observe_metrics,
     "emb_matryoshka_recall": audit_matryoshka,
+    "udtf_variant_explode": audit_variant_explode,
     "agg_theta_setops": audit_theta_setops,
     "agg_approx_topk": audit_approx_topk,
     "agg_variant_group": audit_variant_group,
