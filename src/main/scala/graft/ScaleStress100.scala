@@ -177,6 +177,47 @@ object ScaleStress100 {
       }
       e.unpersist()
     }
+
+    // ---- 4. graph BSP loops at 100× (r13 phase 2) -----------------------
+    // The iterative-BSP family (PageRank's integer fixed point, min-label
+    // CC) runs on catalog-sized fixtures in the graded queries; this
+    // measures the loop's SHUFFLE shape at 1M nodes / 5M edges with a
+    // cubed-hash degree skew (hot destinations ~ the web's in-degree
+    // tail). The claims under test: per-round cost is one edges⋈ranks
+    // shuffle + one integer-SUM aggregate whose partials absorb the hot
+    // keys map-side (no single-task concentration), and localCheckpoint
+    // keeps the 5-round lineage flat. Deterministic: endpoints are
+    // xxhash64-derived, no RNG.
+    {
+      def edgesAt(nodes: Long, m: Long): DataFrame =
+        spark.range(m).select(
+          pmod(xxhash64(col("id"), lit("s")), lit(nodes)).as("src"),
+          // u³ concentrates mass near node 0 → power-law-ish in-degree
+          floor(pow(pmod(xxhash64(col("id"), lit("d")), lit(1000000L))
+            .cast("double") / 1e6, 3.0) * nodes).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst"))
+      for ((nodes, m, tag) <- Seq(
+          (100000L, 500000L, "10x (100k nodes, 500k edges)"),
+          (1000000L, 5000000L, "100x (1M nodes, 5M edges)"))) {
+        val ed = edgesAt(nodes, m).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ed.count()
+        time(s"pagerank 5 iters $tag") {
+          val pr = ops.Graph.pageRank(ed, iters = 5)
+          // total rank mass stays ≈ n × 1e6 micro-units (teleport fixed
+          // point) — a broken loop drifts off by orders of magnitude
+          val mass = pr.agg(sum("r")).head.getLong(0)
+          require(math.abs(mass.toDouble / (nodes * 1e6) - 1.0) < 0.35,
+            s"rank mass drifted: $mass for $nodes nodes")
+          s"nodes=${pr.count()} mass=$mass"
+        }
+        time(s"connected components $tag") {
+          val cc = ops.Dedup.connectedComponents(ed, "src", "dst")
+          cc.agg(countDistinct("cluster")).head.getLong(0)
+        }
+        ed.unpersist()
+      }
+    }
     spark.stop()
   }
 }

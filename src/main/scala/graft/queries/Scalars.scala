@@ -1030,4 +1030,36 @@ object Scalars extends QueryPack {
         expr("CAST(to_number(usd, '9,999,999.99') AS DOUBLE)").as("round_trip"))
       .orderBy("o_orderkey")
   }
+
+  // char vs byte vs bit length under multibyte UTF-8 — the distinction a
+  // byte-budgeted system (shard caps, wire limits, tokenizer byte
+  // fallback) must get right where char-counting silently overshoots.
+  // The fixture text is pure ASCII (measured: octet_length == length on
+  // every doc), so a deterministic CJK suffix ('汉' = 3 UTF-8 bytes,
+  // doc_id % 4 copies) forces the units apart; both engines then measure
+  // the same strings with their own UTF-8 machinery. left() stays
+  // char-addressed on both sides. Per-row map, no shuffle.
+  q("fn_length_units",
+    """WITH t AS (
+      |  SELECT doc_id, text || repeat('汉', CAST(doc_id % 4 AS INT)) AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(s) AS INT) AS n_chars,
+      |  CAST(octet_length(encode(s)) AS INT) AS n_bytes,
+      |  CAST(octet_length(encode(s)) * 8 AS INT) AS n_bits,
+      |  left(s, 3) AS first3,
+      |  right(s, 2) AS last2
+      |FROM t ORDER BY doc_id""") { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          expr("repeat('汉', CAST(doc_id % 4 AS INT))")).as("s"))
+      .select(col("doc_id"),
+        length(col("s")).as("n_chars"),
+        octet_length(col("s")).as("n_bytes"),
+        bit_length(col("s")).as("n_bits"),
+        expr("left(s, 3)").as("first3"),
+        expr("right(s, 2)").as("last2"))
+      .orderBy("doc_id")
+  }
 }

@@ -460,4 +460,32 @@ object Sources extends QueryPack {
         col("payload.c").as("cents"))
       .orderBy("o_orderkey")
   }
+
+  // recursiveFileLookup + pathGlobFilter: the two reader options a data
+  // lake with mixed-depth, mixed-format directories forces. The fixture
+  // writes parquet at DIFFERENT depths under Hive-style dirs (which
+  // breaks default partition discovery with "conflicting directory
+  // structures") plus a same-tree JSON decoy (which a naive parquet scan
+  // would choke on); recursiveFileLookup flattens the tree, the glob
+  // keeps only *.parquet. At 100 TB this is listing-only work — the
+  // scan itself is the ordinary pruned parquet read.
+  q("scan_glob_options",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE o_orderstatus IN ('F', 'O')
+      |ORDER BY o_orderkey""") { (s, dir) =>
+    val out = "/tmp/graft_io/glob_orders"
+    val o = Tables(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.filter(col("o_orderstatus") === "F")
+      .write.mode("overwrite").parquet(s"$out/status=F/deep/inner")
+    o.filter(col("o_orderstatus") === "O")
+      .write.mode("overwrite").parquet(s"$out/status=O/inner")
+    // decoy: a non-parquet file in the same tree must be glob-excluded
+    o.filter(col("o_orderstatus") === "P")
+      .write.mode("overwrite").json(s"$out/status=P/inner")
+    s.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(out)
+      .orderBy("o_orderkey")
+  }
 }

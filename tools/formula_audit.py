@@ -5706,6 +5706,30 @@ def audit_variant_explode():
     report("udtf_variant_explode", mis, 4 * len(exp))
 
 
+def audit_length_units():
+    """Char/byte/bit lengths replayed with Python's own UTF-8 machinery."""
+    mis, n = [], 0
+    got = {r[0]: r[1:] for r in dump("fn_length_units")}
+    for d, t in rows(f"SELECT doc_id, text FROM '{SF}/documents.parquet'"):
+        s = t + "汉" * (d % 4)
+        b = len(s.encode("utf-8"))
+        exp = (len(s), b, b * 8, s[:3], s[-2:])
+        n += 5
+        if got.get(d) != exp:
+            mis.append((d, got.get(d), exp))
+    report("fn_length_units", mis, n)
+
+
+def audit_glob_options():
+    """The recursive glob-filtered read must equal the F+O order rows."""
+    exp = sorted((k, st) for k, st in rows(
+        f"SELECT o_orderkey, o_orderstatus FROM '{SF}/orders.parquet'")
+        if st in ("F", "O"))
+    got = sorted((r[0], r[1]) for r in dump("scan_glob_options"))
+    mis = [] if got == exp else [("rows", len(got), len(exp))]
+    report("scan_glob_options", mis, len(exp))
+
+
 def audit_matryoshka():
     """MRL recall@10 replayed literally: left-fold float dots (Spark's
     summation order), shortest-repr HALF_UP 4-dp rounding (Spark's
@@ -5759,6 +5783,8 @@ AUDITS = {
     "etl_observe_metrics": audit_observe_metrics,
     "emb_matryoshka_recall": audit_matryoshka,
     "udtf_variant_explode": audit_variant_explode,
+    "fn_length_units": audit_length_units,
+    "scan_glob_options": audit_glob_options,
     "agg_theta_setops": audit_theta_setops,
     "agg_approx_topk": audit_approx_topk,
     "agg_variant_group": audit_variant_group,
