@@ -168,6 +168,14 @@ object ScaleStress100 {
         hier.size
       }
       time("ivfpq 100x recall@10: flat vs hier assignment") {
+        // the recall row REUSES the sets the two timed blocks built; a
+        // SPARK_GRAFT_STRESS_ONLY filter that selects only this tag must
+        // fail loudly, not report a vacuous 0.00/0.00 (r13 review) —
+        // recomputing here instead was measured to OOM the driver heap
+        // (three 100× pipelines in one filtered session)
+        require(flat.nonEmpty && hier.nonEmpty,
+          "recall@10 needs the FLAT/HIER encode blocks in the same run — " +
+            "widen SPARK_GRAFT_STRESS_ONLY to include 'ivfpq'")
         val brute = topkSet(ops.Sim.cosineTopK(probes, e, k = 10))
         val rF = (flat & brute).size.toDouble / brute.size
         val rH = (hier & brute).size.toDouble / brute.size

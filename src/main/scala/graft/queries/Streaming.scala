@@ -812,8 +812,8 @@ object Streaming extends QueryPack {
       "left_outer")
     // state layout sized to key cardinality, not the session's 32: a
     // stream-stream join opens FOUR state stores per partition, so the
-    // r13 bench saw 32×4 store inits dominate (7.9 s → ~2 s at 8);
-    // output is layout-independent
+    // r13 bench saw 32×4 store inits dominate (7.9 s → 2.2–2.8 s at 4
+    // partitions, measured); output is layout-independent
     Streams.withTwsConf(s, partitions = 4) {
       Streams.drainToMemory(s,
         s"graft_louter_${math.abs(dir.hashCode)}", joined.select(
@@ -884,7 +884,7 @@ object Streaming extends QueryPack {
         col("p_ts") > col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
       "full_outer")
-    // 8-partition state layout, as in the left join above (4 stores per
+    // 4-partition state layout, as in the left join above (4 stores per
     // partition; the session's 32 made store-init the whole runtime)
     Streams.withTwsConf(s, partitions = 4) {
       Streams.drainToMemory(s,

@@ -5730,6 +5730,24 @@ def audit_glob_options():
     report("scan_glob_options", mis, len(exp))
 
 
+def audit_lateral_alias():
+    """The alias chain cents -> total_usd -> avg_usd replayed literally."""
+    agg = {}
+    for st, p in rows(
+            f"SELECT o_orderstatus, o_totalprice FROM '{SF}/orders.parquet'"):
+        c, n = agg.get(st, (0, 0))
+        agg[st] = (c + math.floor(p * 100 + 0.5), n + 1)
+    mis = []
+    for st, cents, usd, n, avg in dump("sql_lateral_alias"):
+        ec, en = agg[st]
+        eu = ec / 100.0
+        ea = round(eu / en, 4)
+        if cents != ec or n != en or not close(usd, eu, 1e-9) \
+                or not close(avg, ea, 1e-6):
+            mis.append((st, (cents, usd, n, avg), (ec, eu, en, ea)))
+    report("sql_lateral_alias", mis, 4 * len(agg))
+
+
 def audit_matryoshka():
     """MRL recall@10 replayed literally: left-fold float dots (Spark's
     summation order), shortest-repr HALF_UP 4-dp rounding (Spark's
@@ -5785,6 +5803,7 @@ AUDITS = {
     "udtf_variant_explode": audit_variant_explode,
     "fn_length_units": audit_length_units,
     "scan_glob_options": audit_glob_options,
+    "sql_lateral_alias": audit_lateral_alias,
     "agg_theta_setops": audit_theta_setops,
     "agg_approx_topk": audit_approx_topk,
     "agg_variant_group": audit_variant_group,
