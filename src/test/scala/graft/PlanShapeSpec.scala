@@ -324,6 +324,26 @@ class PlanShapeSpec extends SparkSpec {
       s"variant explode picked up a join:\n$p")
   }
 
+  test("sql_lateral_alias resolves to ONE aggregate level — the alias " +
+    "chain adds no subquery") {
+    val p = plan("sql_lateral_alias")
+    // partial + final of a single hash aggregate; a failed lateral-alias
+    // resolution would nest a second aggregate or a project-over-project
+    // subquery boundary
+    assert(p.linesIterator.count(_.contains("HashAggregate(")) == 2,
+      s"alias chain changed the aggregate shape:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("scan_glob_options reads only parquet — the JSON decoy never " +
+    "reaches the scan") {
+    val p = plan("scan_glob_options")
+    assert(p.contains("FileScan parquet") || p.contains("BatchScan"),
+      s"expected a parquet scan:\n$p")
+    assert(!p.toLowerCase.contains("scan json"),
+      s"json decoy leaked into the plan:\n$p")
+  }
+
   test("emb_matryoshka_recall scores via broadcast nested-loop, never a " +
     "shuffled cartesian") {
     val p = plan("emb_matryoshka_recall")
