@@ -473,7 +473,11 @@ object Sources extends QueryPack {
     """SELECT o_orderkey, o_orderstatus FROM orders
       |WHERE o_orderstatus IN ('F', 'O')
       |ORDER BY o_orderkey""") { (s, dir) =>
-    val out = "/tmp/graft_io/glob_orders"
+    // staging keyed by dataset dir (r13 advice): two harness processes
+    // at different scale factors must not interleave their non-atomic
+    // three-write fixture under one shared path — this query's graded
+    // output comes from the staged files, unlike the sibling sinks
+    val out = s"/tmp/graft_io/glob_orders_${math.abs(dir.hashCode)}"
     val o = Tables(s, dir, "orders").select("o_orderkey", "o_orderstatus")
     o.filter(col("o_orderstatus") === "F")
       .write.mode("overwrite").parquet(s"$out/status=F/deep/inner")

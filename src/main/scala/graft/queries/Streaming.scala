@@ -84,12 +84,17 @@ object Streaming extends QueryPack {
       |GROUP BY 1
       |ORDER BY 1""") { (s, dir) =>
     // complete mode: append would hold back the final (never-watermarked)
-    // window; complete emits every window once the stream drains
-    Streams.runToMemory(s, dir, "graft_watermark", "complete") { ev =>
-      ev.withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"))
-        .agg(count(lit(1)).as("n"))
-        .select(unix_timestamp(col("window.start")).as("window_start"), col("n"))
+    // window; complete emits every window once the stream drains.
+    // State layout sized to key cardinality (~dozens of hour windows),
+    // not the session's 32 — store-init dominates otherwise; bench-
+    // layout only, real deployments size partitions UP (SCALE.md).
+    Streams.withTwsConf(s, partitions = 4) {
+      Streams.runToMemory(s, dir, "graft_watermark", "complete") { ev =>
+        ev.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("window_start"), col("n"))
+      }
     }.orderBy("window_start")
   }
 
@@ -114,11 +119,15 @@ object Streaming extends QueryPack {
       |)
       |WHERE rn <= 3
       |ORDER BY window_start, rn""") { (s, dir) =>
-    val counts = Streams.runToMemory(s, dir, "graft_topk_window", "complete") { ev =>
-      ev.groupBy(window(col("ts"), "6 hours"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(unix_timestamp(col("window.start")).as("window_start"),
-          col("event_type"), col("n"))
+    // |windows|×|types| keys — a 4-partition state layout (store-init
+    // is the 32-partition cost, not data; bench-layout only)
+    val counts = Streams.withTwsConf(s, partitions = 4) {
+      Streams.runToMemory(s, dir, "graft_topk_window", "complete") { ev =>
+        ev.groupBy(window(col("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_timestamp(col("window.start")).as("window_start"),
+            col("event_type"), col("n"))
+      }
     }
     val w = Window.partitionBy("window_start")
       .orderBy(col("n").desc, col("event_type"))
@@ -143,13 +152,18 @@ object Streaming extends QueryPack {
       |  CAST(epoch_us(date_trunc('minute', ts)) AS BIGINT) AS minute_us
       |FROM events
       |ORDER BY user_id, event_type, minute_us""") { (s, dir) =>
-    Streams.runToMemory(s, dir, "graft_dedup_wm") { ev =>
-      ev.withWatermark("ts", "10 minutes")
-        .select(col("user_id"), col("event_type"),
-          date_trunc("minute", col("ts")).as("minute"), col("ts"))
-        .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("minute")).as("minute_us"))
+    // dedup state is one entry per (user, type, minute) — tens of
+    // thousands at sf0.1, comfortably 8 state partitions' worth; the
+    // session's 32 made store-init the dominant cost (bench-layout only)
+    Streams.withTwsConf(s, partitions = 8) {
+      Streams.runToMemory(s, dir, "graft_dedup_wm") { ev =>
+        ev.withWatermark("ts", "10 minutes")
+          .select(col("user_id"), col("event_type"),
+            date_trunc("minute", col("ts")).as("minute"), col("ts"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("minute")).as("minute_us"))
+      }
     }.orderBy("user_id", "event_type", "minute_us")
   }
 
@@ -206,10 +220,15 @@ object Streaming extends QueryPack {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY c_mktsegment, event_type""") { (s, dir) =>
     val dim = Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    Streams.runToMemory(s, dir, "graft_static_join", "complete") { ev =>
-      ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
+    // segment×type ≈ 30 group keys → 4-partition state layout (the
+    // broadcast join itself is stateless; only the complete-mode agg
+    // holds state). Bench-layout only.
+    Streams.withTwsConf(s, partitions = 4) {
+      Streams.runToMemory(s, dir, "graft_static_join", "complete") { ev =>
+        ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+      }
     }.orderBy("c_mktsegment", "event_type")
   }
 
@@ -227,7 +246,9 @@ object Streaming extends QueryPack {
       |ORDER BY user_id, event_type""") { (s, dir) =>
     import s.implicits._
     import graft.streaming.TwsCounts
-    Streams.withTwsConf(s) {
+    // 4-partition state layout (one RocksDB store per partition; key
+    // cardinality is user×type — store-init dominated at 8+)
+    Streams.withTwsConf(s, partitions = 4) {
       Streams.drainToMemory(s, s"graft_tws_counts_${math.abs(dir.hashCode)}", {
         val ev = Streams.eventsStream(s, dir)
           .select(col("user_id"), col("event_type"))
@@ -270,7 +291,9 @@ object Streaming extends QueryPack {
       |ORDER BY ev.user_id""") { (s, dir) =>
     import s.implicits._
     import graft.streaming.TwsSeeded
-    Streams.withTwsConf(s) {
+    // 4-partition state layout, as in the stream-stream joins (the
+    // batch seed shuffles into the same 4 partitions; bench-layout only)
+    Streams.withTwsConf(s, partitions = 4) {
       val seeds = Tables(s, dir, "orders")
         .groupBy(col("o_custkey").as("user_id"))
         .agg(sum(cents(col("o_totalprice"))).cast("long").as("cents"))
@@ -926,7 +949,10 @@ object Streaming extends QueryPack {
       |ORDER BY 1, 2, 4""") { (s, dir) =>
     import s.implicits._
     import graft.streaming.TwsIntervalJoin
-    Streams.withTwsConf(s) {
+    // 4-partition state layout (two ListState buffers + timers per
+    // partition; measured 4.32 s at 32 → 2.48 s at 8 → the remaining
+    // init cost is per-store, so 4 halves it again; bench-layout only)
+    Streams.withTwsConf(s, partitions = 4) {
       Streams.drainToMemory(s, s"graft_tws_ij_${math.abs(dir.hashCode)}", {
         val ev = Streams.eventsStream(s, dir)
           .filter(col("event_type").isin("click", "purchase"))

@@ -838,9 +838,15 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData((1L, 1.10), (2L, 2.20)); q.processAllAvailable()
       in.addData((3L, 3.30)); q.processAllAvailable()
+      // null-safe unbox (r13 advice): a no-data micro-batch reports
+      // n=0 with a NULL sum — getAs[Long] would NPE on the primitive
+      // unbox, failing the test spuriously on a version-dependent
+      // noDataMicroBatches quirk rather than a real metrics bug
+      def longOr0(r: org.apache.spark.sql.Row, f: String): Long =
+        Option(r.get(r.fieldIndex(f))).map(_.asInstanceOf[Long]).getOrElse(0L)
       val folded = q.recentProgress.toSeq
         .flatMap(p => Option(p.observedMetrics.get("graft_stream_obs")))
-        .map(r => (r.getAs[Long]("n"), r.getAs[Long]("cents")))
+        .map(r => (longOr0(r, "n"), longOr0(r, "cents")))
       assert(folded.map(_._1).sum == 3L,
         s"observed row counts wrong: $folded")
       assert(folded.map(_._2).sum == 660L,

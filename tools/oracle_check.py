@@ -174,7 +174,7 @@ def main():
         if not hasattr(tls, "con"):
             c = duckdb.connect()
             c.execute("SET TimeZone='UTC'")
-            c.execute("SET threads=4")
+            c.execute("SET threads=2")
             for t in TABLES:
                 c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                           f"read_parquet('{sfdir}/{t}.parquet')")
@@ -237,7 +237,11 @@ def main():
                                  hash_match=True, spark_rows=len(got),
                                  oracle_rows=len(want)))
 
-    workers = min(8, os.cpu_count() or 4)
+    # r13 verdict #3: 8 workers measured 789 s on a loaded box at 594
+    # checks — the replay is embarrassingly parallel, so run
+    # min(16, cpus/2) workers with threads=2 per DuckDB connection
+    # (workers × threads ≈ the box, as before: 16×2 = 8×4)
+    workers = min(16, max(4, (os.cpu_count() or 8) // 2))
     with ThreadPoolExecutor(max_workers=workers) as pool:
         for name, (passed, why, rec) in zip(names, pool.map(check_one, names)):
             record(name, **rec)
