@@ -162,9 +162,15 @@ object ScaleStress100 {
         flat = topkSet(ops.Sim.ivfPqTopK(probes, e, 10, nProbe = 48))
         flat.size
       }
-      time("ivfpq 100x HIER encode+query (superFactor=30, probeSuper=4)") {
+      time("ivfpq 100x HIER encode+query (superFactor=30, probeSuper=6, trained supers)") {
+        // r14 frontier (measured at 100x, deterministic fixture): stride
+        // supers plateau at 0.66/0.69/0.69 recall for probeSuper 4/6/8
+        // and cellDup=2 moves nothing — the loss is super PLACEMENT, not
+        // boundary ownership. Two Lloyd iterations of the super layer on
+        // the cells (catalog-sized: |cells| x |supers|) + probeSuper=6
+        // reach 0.70 vs flat 0.71 at equal assignment cost.
         hier = topkSet(ops.Sim.ivfPqTopK(probes, e, 10, nProbe = 48,
-          hierFactor = 30))
+          hierFactor = 30, hierProbe = 6, hierSuperIters = 2))
         hier.size
       }
       // r13 tag was "flat vs hier assignment" while timing only the
@@ -183,7 +189,12 @@ object ScaleStress100 {
         val brute = topkSet(ops.Sim.cosineTopK(probes, e, k = 10))
         val rF = (flat & brute).size.toDouble / brute.size
         val rH = (hier & brute).size.toDouble / brute.size
-        require(rH >= rF - 0.10,
+        // r14 floors (up from rF - 0.10): trained supers measured 0.70
+        // absolute vs flat 0.71 — hold both the absolute line and the
+        // flat-relative gap
+        require(rH >= 0.70,
+          f"hier recall@10 under the r14 floor at 100x: $rH%.2f")
+        require(rH >= rF - 0.05,
           f"hier assignment cost too much recall: $rH%.2f vs flat $rF%.2f")
         f"flat=$rF%.2f hier=$rH%.2f"
       }

@@ -470,11 +470,40 @@ object Sim {
     * Same (vid, e, out) contract as [[nearestCellsOf]] at n = 1. */
   private[graft] def nearestCellsHier(cents: DataFrame)(
       df: DataFrame, embCol: String, out: String,
-      superFactor: Int, probeSuper: Int): DataFrame = {
+      superFactor: Int, probeSuper: Int, cellDup: Int = 1,
+      superIters: Int = 0): DataFrame = {
     val ranked = cents.withColumn("rk",
       row_number().over(Window.orderBy("cent_id")))
-    val supers = ranked.filter((col("rk") - 1) % superFactor === 0)
+    val seeds = ranked.filter((col("rk") - 1) % superFactor === 0)
       .select(col("cent_id").as("sup_id"), col("cent").as("sup"))
+    // superIters > 0 Lloyd-refines the super layer ON THE CELLS (r14):
+    // stride supers are arbitrary cells, so routing quality is whatever
+    // sampling luck gave; refined supers are integer-mean centroids of
+    // their member cells — the same fixed-point scheme as
+    // [[coarseCentroids]], catalog-sized here (|cells| × |supers|)
+    val supers = if (superIters <= 0) seeds else {
+      var sc = seeds
+      for (_ <- 1 to superIters) {
+        val sn = sc.select(col("sup_id"), col("sup"),
+          dot(col("sup"), col("sup")).as("n2"))
+        sc = cents.crossJoin(broadcast(sn))
+          .select(col("cent_id"), col("cent"), col("sup_id"),
+            (col("n2") - lit(2.0) * dot(col("cent"), col("sup"))).as("d"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cent_id").orderBy(col("d").asc, col("sup_id"))))
+          .filter(col("rn") === 1)
+          .select(col("sup_id"), posexplode(col("cent")).as(Seq("dim", "x")))
+          .groupBy("sup_id", "dim")
+          .agg((floor(sum(graft.engine.Det.fix(col("x"), 6)).cast("double")
+            / count(lit(1)) + lit(0.5)) / 1000000).as("cm"))
+          .groupBy("sup_id")
+          .agg(transform(
+            sort_array(collect_list(struct(col("dim"), col("cm")))),
+            x => x.getField("cm")).as("sup"))
+          .localCheckpoint()
+      }
+      sc
+    }
     val supN2 = supers.select(col("sup_id"), col("sup"),
       dot(col("sup"), col("sup")).as("sn2"))
     // one-off cell → nearest-super map (|cells| × |supers|, catalog-sized)
@@ -483,7 +512,13 @@ object Sim {
         (col("sn2") - lit(2.0) * dot(col("cent"), col("sup"))).as("d"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("cent_id").orderBy(col("d").asc, col("sup_id"))))
-      .filter(col("rn") === 1)
+      // cellDup > 1 lists each cell under its cellDup nearest supers
+      // (r14): a BOUNDARY cell owned by exactly one super is invisible
+      // to vectors probing only its neighbor super — the residual
+      // recall loss probeSuper sweeps cannot recover (measured flat at
+      // 0.69 for probe 6 and 8 at 100x). Duplication multiplies the
+      // second-level candidate rows by ~cellDup, not the corpus scan.
+      .filter(col("rn") <= cellDup)
       .select(col("sup_id"), col("cent_id"),  col("cent"),
         dot(col("cent"), col("cent")).as("cn2"))
     // memory discipline (the first cut OOMed the 100× point): the
@@ -573,7 +608,8 @@ object Sim {
   def pqEncode(corpus: DataFrame, m: Int, nCentroids: Int,
                stride: Int = 25, trainIters: Int = 0,
                coarseIters: Int = 0, hierFactor: Int = 0,
-               hierProbe: Int = 4): PqModel = {
+               hierProbe: Int = 4, hierDup: Int = 1,
+               hierSuperIters: Int = 0): PqModel = {
     ensureRegistered(corpus)
     val d = inferDim(corpus)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
@@ -589,7 +625,7 @@ object Sim {
     val assigned =
       if (hierFactor > 0)
         nearestCellsHier(cents)(c.select(col("vec_id"), col("ce")), "ce",
-          "cell", hierFactor, hierProbe)
+          "cell", hierFactor, hierProbe, hierDup, hierSuperIters)
       else nearestCellsOf(cents)(c.select(col("vec_id"), col("ce")), "ce",
         1, "cell")
     val resid = assigned
@@ -760,9 +796,10 @@ object Sim {
                 stride: Int = 25, nProbe: Int = 8,
                 m: Int = 8, nCentroids: Int = 128,
                 trainIters: Int = 0, coarseIters: Int = 0,
-                hierFactor: Int = 0, hierProbe: Int = 4): DataFrame = {
+                hierFactor: Int = 0, hierProbe: Int = 4,
+                hierDup: Int = 1, hierSuperIters: Int = 0): DataFrame = {
     val pq = pqEncode(corpus, m, nCentroids, stride, trainIters, coarseIters,
-      hierFactor, hierProbe)
+      hierFactor, hierProbe, hierDup, hierSuperIters)
     val (codebook, codes, c, sub) = (pq.codebook, pq.codes, pq.c, pq.sub)
     // probe ADC look-up table: fixed-point subspace dot products against
     // the RESIDUAL codebook — dot(p, x) = dot(p, cent) + dot(p, r), and

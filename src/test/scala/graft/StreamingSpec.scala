@@ -822,6 +822,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink: a replayed batchId is skipped and " +
+    "multi-batch merges equal the one-batch merge (r14)") {
+    import graft.streaming.UpsertSink
+    val b1 = Seq((1L, 100L), (2L, 50L), (1L, 10L)).toDF("user_id", "c")
+    val b2 = Seq((1L, 25L), (3L, 7L)).toDF("user_id", "c")
+    def table(name: String, merges: (org.apache.spark.sql.DataFrame, Long)*)
+        : Set[(Long, Long, Long)] = {
+      val tbl = s"/tmp/graft_io/upsert_spec_$name"
+      UpsertSink.reset(tbl)
+      merges.foreach { case (df, id) => UpsertSink.merge(df, tbl, id) }
+      UpsertSink.read(spark, tbl)
+        .select("user_id", "n_events", "cents").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val expected = Set((1L, 3L, 135L), (2L, 1L, 50L), (3L, 1L, 7L))
+    assert(table("one", (b1.unionByName(b2), 0L)) == expected)
+    assert(table("multi", (b1, 0L), (b2, 1L)) == expected)
+    // at-least-once retry: the same batchId re-delivered must be a no-op
+    val tbl = "/tmp/graft_io/upsert_spec_retry"
+    UpsertSink.reset(tbl)
+    assert(UpsertSink.merge(b1, tbl, 0L))
+    assert(UpsertSink.merge(b2, tbl, 1L))
+    assert(!UpsertSink.merge(b2, tbl, 1L), "replayed batch was applied")
+    val got = UpsertSink.read(spark, tbl)
+      .select("user_id", "n_events", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"retry double-counted: $got")
+  }
+
   test("observe() metrics ride the streaming micro-batches: per-batch " +
     "observedMetrics fold to the stream total") {
     // the streaming face of etl_observe_metrics: the same zero-extra-scan
