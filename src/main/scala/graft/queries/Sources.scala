@@ -461,6 +461,57 @@ object Sources extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  // Variant SHREDDING (Spark 4.1): with writeShredding on, the parquet
+  // writer decomposes each variant value into typed subcolumns per the
+  // inferred shredding schema (typed_value groups next to the opaque
+  // binary), so typed paths read columnar data instead of re-parsing
+  // binary variant per row — the layout that makes semi-structured
+  // columns first-class at 100 TB (column pruning + stats on the typed
+  // leaves). The graded path writes a shredded fixture from the events
+  // JSON, reads it back under allowReadingShredded, and aggregates
+  // typed variant_get extracts; VariantShreddingSpec pins the physical
+  // footer (a typed_value group exists — i.e. the file is genuinely
+  // shredded, this query is not grading a plain binary roundtrip).
+  // Oracle replays the same extraction from the raw JSON.
+  q("scan_variant_shredded",
+    """SELECT event_type AS tag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k
+      |FROM events GROUP BY event_type ORDER BY tag""") { (s, dir) =>
+    val out = s"/tmp/graft_io/variant_shred_${math.abs(dir.hashCode)}"
+    val e = Tables(s, dir, "events")
+    def withConfs[T](kvs: (String, String)*)(body: => T): T = {
+      val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+      kvs.foreach { case (k, v) => s.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    withConfs("spark.sql.variant.writeShredding.enabled" -> "true",
+      "spark.sql.variant.inferShreddingSchema" -> "true") {
+      e.select(col("event_id"),
+          parse_json(to_json(struct(col("event_type").as("tag"),
+            col("value").as("val"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))))
+            .as("v"))
+        .write.mode("overwrite").parquet(out)
+    }
+    withConfs("spark.sql.variant.allowReadingShredded" -> "true") {
+      s.read.parquet(out)
+        .select(variant_get(col("v"), "$.tag", "string").as("tag"),
+          variant_get(col("v"), "$.val", "double").as("val"),
+          variant_get(col("v"), "$.k", "long").as("k"))
+        .groupBy("tag")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(graft.engine.Det.cents(col("val"))).cast("long").as("cents"),
+          sum(col("k")).cast("long").as("sum_k"))
+        .orderBy("tag")
+    }
+  }
+
   // recursiveFileLookup + pathGlobFilter: the two reader options a data
   // lake with mixed-depth, mixed-format directories forces. The fixture
   // writes parquet at DIFFERENT depths under Hive-style dirs (which

@@ -5793,6 +5793,63 @@ def audit_matryoshka():
     report("emb_matryoshka_recall", mis, 2 * len(exp))
 
 
+def audit_foreachbatch_upsert():
+    """The upsert table's merged (n_events, cents) per user replayed as a
+    plain per-user fold over the raw events — independent of both the
+    sink's merge protocol and the oracle's SQL tree."""
+    import math
+    agg = {}
+    for u, v in rows(f"SELECT user_id, value FROM '{SF}/events.parquet'"):
+        n, c = agg.get(u, (0, 0))
+        agg[u] = (n + 1, c + math.floor(v * 100 + 0.5))
+    mis = []
+    got = {r[0]: (r[1], r[2]) for r in dump("stream_foreachbatch_upsert")}
+    if set(got) != set(agg):
+        mis.append(("keys", len(got), len(agg)))
+    for u, e in agg.items():
+        if got.get(u) != e:
+            mis.append((u, got.get(u), e))
+    report("stream_foreachbatch_upsert", mis, 2 * len(agg))
+
+
+def audit_state_rescale():
+    """The 4->8-partition state migration's stitched counts must equal a
+    plain per-user count over ALL events (no key lost or double-counted
+    across the re-layout)."""
+    agg = {}
+    for (u,) in rows(f"SELECT user_id FROM '{SF}/events.parquet'"):
+        agg[u] = agg.get(u, 0) + 1
+    got = {r[0]: r[1] for r in dump("stream_state_rescale")}
+    mis = []
+    if set(got) != set(agg):
+        mis.append(("keys", len(got), len(agg)))
+    for u, e in agg.items():
+        if got.get(u) != e:
+            mis.append((u, got.get(u), e))
+    report("stream_state_rescale", mis, len(agg))
+
+
+def audit_variant_shredded():
+    """The shredded-roundtrip aggregate replayed from the raw JSON props
+    with Python's own json machinery."""
+    import math, json
+    agg = {}
+    for t, v, pr in rows(
+            f"SELECT event_type, value, props FROM '{SF}/events.parquet'"):
+        n, c, k = agg.get(t, (0, 0, 0))
+        agg[t] = (n + 1, c + math.floor(v * 100 + 0.5),
+                  k + int(json.loads(pr)["k"]))
+    got = {r[0]: (r[1], r[2], r[3]) for r in dump("scan_variant_shredded")}
+    mis = []
+    if set(got) != set(agg):
+        mis.append(("keys", sorted(got), sorted(agg)))
+    for t, e in agg.items():
+        if got.get(t) != e:
+            mis.append((t, got.get(t), e))
+    report("scan_variant_shredded", mis, 3 * len(agg))
+
+
+
 AUDITS = {
     "fn_interval_arith": audit_interval_arith,
     "fn_timestamp_ntz": audit_timestamp_ntz,
@@ -5984,6 +6041,9 @@ AUDITS = {
     "ml_calibration_ece": audit_ece,
     "ml_kfold_cv": audit_kfold_cv,
     "emb_silhouette": audit_silhouette,
+    "stream_foreachbatch_upsert": audit_foreachbatch_upsert,
+    "stream_state_rescale": audit_state_rescale,
+    "scan_variant_shredded": audit_variant_shredded,
 }
 
 for name, fn in AUDITS.items():
