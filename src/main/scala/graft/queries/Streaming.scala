@@ -291,9 +291,11 @@ object Streaming extends QueryPack {
       |ORDER BY ev.user_id""") { (s, dir) =>
     import s.implicits._
     import graft.streaming.TwsSeeded
-    // 4-partition state layout, as in the stream-stream joins (the
-    // batch seed shuffles into the same 4 partitions; bench-layout only)
-    Streams.withTwsConf(s, partitions = 4) {
+    // stays at the 8-partition default: unlike the pure-drain siblings,
+    // this query shuffles the FULL orders seed aggregate through the
+    // state layout, so halving partitions halves seed parallelism —
+    // measured 1.83 s at 8 vs 2.29 s at 4 (r14)
+    Streams.withTwsConf(s) {
       val seeds = Tables(s, dir, "orders")
         .groupBy(col("o_custkey").as("user_id"))
         .agg(sum(cents(col("o_totalprice"))).cast("long").as("cents"))
