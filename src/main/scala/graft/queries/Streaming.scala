@@ -1149,8 +1149,10 @@ object Streaming extends QueryPack {
     // halves split by event_id parity — a deterministic "history" vs
     // "post-migration traffic" cut that exercises users on both sides
     val ev = Tables(s, dir, "events").select(col("user_id"), col("event_id"))
-    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$base/h1")
-    ev.filter(col("event_id") % 2 =!= 0).write.parquet(s"$base/h2")
+    // coalesced staging: 32 shards × 2 halves of a ≤600 k-row fixture is
+    // pure small-file overhead for the two drains that read them back
+    ev.filter(col("event_id") % 2 === 0).coalesce(4).write.parquet(s"$base/h1")
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(4).write.parquet(s"$base/h2")
     val halfSchema = StructType(Seq(StructField("user_id", LongType),
       StructField("event_id", LongType)))
     // phase 1: count state at 4 partitions, checkpoint retained

