@@ -247,7 +247,7 @@ object ScaleStress100 {
     // additions are graded on catalog-sized fixtures; these rows drive
     // the REAL operators through multi-batch MemoryStream runs at 100×
     // the sf0.1 events key cardinality (1 500 users → 150 000) with a
-    // skewed per-key row count (key 0 carries ~20% of the volume) and
+    // skewed per-key row count (key 0 carries ~14% of the volume) and
     // `require` the state bound in-run via lastProgress.numRowsTotal:
     // - TwsCounts (MapState): state rows == distinct (user, type) pairs
     //   — row VOLUME (the hot key) must never grow state.
@@ -276,11 +276,14 @@ object ScaleStress100 {
         r
       }
 
-      // (a) MapState counters: 6×keys rows in 4 batches; key 0 hot.
-      time(s"tws MapState 100x keys ($keys users, hot key 20%): state == distinct pairs") {
+      // (a) MapState counters: 6×keys rows in 4 batches; key 0 hot (~14%).
+      time(s"tws MapState 100x keys ($keys users, hot key ~14%): state == distinct pairs") {
         val types = Array("click", "view", "purchase", "signup", "refund")
         val evs = (0 until keys * 6).map { i =>
-          val u = if (i % 5 == 0) 0L else (i % keys).toLong
+          // hot-key predicate COPRIME to keys (r14 review: i % 5 with
+          // keys % 5 == 0 aliased away every user ≡ 0 mod 5 — 20% of
+          // the keyspace silently received zero events)
+          val u = if (i % 7 == 0) 0L else (i % keys).toLong
           graft.streaming.TwsCounts.Ev(u, types((i / 3) % 5))
         }
         val expected = evs.map(e => (e.user_id, e.event_type)).toSet.size.toLong

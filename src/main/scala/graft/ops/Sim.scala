@@ -428,6 +428,26 @@ object Sim {
     * graded path, bit-stable by construction. Deterministic end to end:
     * seeds are id-selected, argmin tiebreaks on cent_id, means are
     * 1e-6-fixed integer sums. */
+  /** Deterministic integer-mean centroids of `assigned` (`key`, `vec`)
+    * groups — the shared Lloyd update step for the coarse layer
+    * ([[coarseCentroids]]) and the super layer ([[nearestCellsHier]]):
+    * per-dim fixed-point (1e-6) sums, HALF_UP integer mean, dims
+    * reassembled in order, lineage cut per call (r14 review: the two
+    * sites had copy-pasted this pipeline — a rounding-scheme change
+    * must hit both or the layers silently diverge). */
+  private def meanCentroids(assigned: DataFrame, key: String,
+                            vec: String): DataFrame =
+    assigned
+      .select(col(key), posexplode(col(vec)).as(Seq("dim", "x")))
+      .groupBy(key, "dim")
+      .agg((floor(sum(graft.engine.Det.fix(col("x"), 6)).cast("double")
+        / count(lit(1)) + lit(0.5)) / 1000000).as("cm"))
+      .groupBy(key)
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("cm")))),
+        x => x.getField("cm")).as("cent"))
+      .localCheckpoint()
+
   private[graft] def coarseCentroids(corpus: DataFrame, stride: Int,
                                      iters: Int): DataFrame = {
     val seeds = strideCentroids(corpus, stride)
@@ -438,17 +458,8 @@ object Sim {
       var cents = seeds
       for (_ <- 1 to iters) {
         val assign = nearestCellsOf(cents)(c, "ce", 1, "cell")
-        cents = assign
-          .select(col("cell"), posexplode(col("e")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim")
-          .agg((floor(sum(graft.engine.Det.fix(col("x"), 6)).cast("double")
-            / count(lit(1)) + lit(0.5)) / 1000000).as("cm"))
-          .groupBy("cell")
-          .agg(transform(
-            sort_array(collect_list(struct(col("dim"), col("cm")))),
-            x => x.getField("cm")).as("cent"))
+        cents = meanCentroids(assign, "cell", "e")
           .select(col("cell").as("cent_id"), col("cent"))
-          .localCheckpoint()
       }
       cents
     }
@@ -486,21 +497,14 @@ object Sim {
       for (_ <- 1 to superIters) {
         val sn = sc.select(col("sup_id"), col("sup"),
           dot(col("sup"), col("sup")).as("n2"))
-        sc = cents.crossJoin(broadcast(sn))
+        val assign = cents.crossJoin(broadcast(sn))
           .select(col("cent_id"), col("cent"), col("sup_id"),
             (col("n2") - lit(2.0) * dot(col("cent"), col("sup"))).as("d"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("cent_id").orderBy(col("d").asc, col("sup_id"))))
           .filter(col("rn") === 1)
-          .select(col("sup_id"), posexplode(col("cent")).as(Seq("dim", "x")))
-          .groupBy("sup_id", "dim")
-          .agg((floor(sum(graft.engine.Det.fix(col("x"), 6)).cast("double")
-            / count(lit(1)) + lit(0.5)) / 1000000).as("cm"))
-          .groupBy("sup_id")
-          .agg(transform(
-            sort_array(collect_list(struct(col("dim"), col("cm")))),
-            x => x.getField("cm")).as("sup"))
-          .localCheckpoint()
+        sc = meanCentroids(assign, "sup_id", "cent")
+          .select(col("sup_id"), col("cent").as("sup"))
       }
       sc
     }

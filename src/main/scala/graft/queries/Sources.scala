@@ -482,15 +482,8 @@ object Sources extends QueryPack {
       |FROM events GROUP BY event_type ORDER BY tag""") { (s, dir) =>
     val out = s"/tmp/graft_io/variant_shred_${math.abs(dir.hashCode)}"
     val e = Tables(s, dir, "events")
-    def withConfs[T](kvs: (String, String)*)(body: => T): T = {
-      val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
-      kvs.foreach { case (k, v) => s.conf.set(k, v) }
-      try body finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
-      }
-    }
-    withConfs("spark.sql.variant.writeShredding.enabled" -> "true",
+    graft.engine.Confs.withConfs(s)(
+      "spark.sql.variant.writeShredding.enabled" -> "true",
       "spark.sql.variant.inferShreddingSchema" -> "true") {
       e.select(col("event_id"),
           parse_json(to_json(struct(col("event_type").as("tag"),
@@ -499,8 +492,14 @@ object Sources extends QueryPack {
             .as("v"))
         .write.mode("overwrite").parquet(out)
     }
-    withConfs("spark.sql.variant.allowReadingShredded" -> "true") {
-      s.read.parquet(out)
+    graft.engine.Confs.withConfs(s)(
+      "spark.sql.variant.allowReadingShredded" -> "true") {
+      // materialize INSIDE the conf window (r14 review): the returned
+      // frame executes at harness-collect time, after the restore —
+      // today allowReadingShredded defaults true so the lazy form
+      // happened to work, but a session or version where it doesn't
+      // would silently scan under the wrong conf
+      val agg = s.read.parquet(out)
         .select(variant_get(col("v"), "$.tag", "string").as("tag"),
           variant_get(col("v"), "$.val", "double").as("val"),
           variant_get(col("v"), "$.k", "long").as("k"))
@@ -509,6 +508,9 @@ object Sources extends QueryPack {
           sum(graft.engine.Det.cents(col("val"))).cast("long").as("cents"),
           sum(col("k")).cast("long").as("sum_k"))
         .orderBy("tag")
+        .cache()
+      agg.count()
+      agg
     }
   }
 

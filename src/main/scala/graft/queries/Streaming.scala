@@ -1167,10 +1167,15 @@ object Streaming extends QueryPack {
       q1.awaitTermination()
     }
     // phase 2: state OUT as a table, IN as initial state at 8 partitions
+    // cached: the seeds frame is consumed twice — as phase-2 initial
+    // state and again for the stitched readout — and a second
+    // statestore scan would contradict the one-scan migration story
+    // (r14 review); catalog-sized, so the cache is cheap
     val seeds = s.read.format("statestore").load(s"$base/chk1")
       .select(col("key.user_id").as("user_id"),
         col("value.count").as("cents"))
       .as[TwsSeeded.Seed]
+      .cache()
     val out = Streams.withTwsConf(s, partitions = 8) {
       Streams.drainToMemory(s, s"graft_rescale2_$tag", {
         val ev2 = s.readStream.schema(halfSchema).parquet(s"$base/h2")

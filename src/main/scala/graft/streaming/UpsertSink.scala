@@ -10,21 +10,29 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * user-hit" ask #7): when the sink is a plain file table with no
   * transaction log, exactly-once comes from the WRITER protocol, not
   * the storage. Each micro-batch MERGEs its per-key partial aggregate
-  * into the table and commits the batchId alongside; a REPLAYED batch
-  * (streaming retry after a sink failure — Spark's foreachBatch
-  * contract is at-least-once delivery of each batchId) finds its id
-  * already committed and skips, so replay never double-counts.
+  * into the table and commits by advancing the version pointer; a
+  * REPLAYED batch (streaming retry after a sink failure — Spark's
+  * foreachBatch contract is at-least-once delivery of each batchId)
+  * finds the pointer already at-or-past its id and skips, so replay
+  * never double-counts.
   *
-  * Layout: `table/v=<batchId>/` immutable version dirs, `_commits/<id>`
-  * markers, and a `_latest` pointer file swapped by atomic rename —
-  * readers resolve the pointer and see exactly one committed version,
-  * never a half-written merge (the new version dir is fully written
-  * BEFORE the pointer moves; a crash between the two leaves the old
-  * version live and the batch uncommitted → the replay redoes it).
-  * This is the mechanical core of what a transactional table format's
-  * commit protocol provides; at 100 TB the merge is one keyed shuffle
-  * join of table × batch (both hash-partitioned on the key), version
-  * dirs are pruned by retention, and the pointer swap stays O(1).
+  * Layout: `table/v=<batchId>/` immutable version dirs and a `_latest`
+  * pointer file swapped by atomic rename. The POINTER SWAP IS the
+  * commit record — idempotence is `currentVersion >= batchId` (batchIds
+  * are delivered in order), so there is no window where a batch is
+  * marked committed but not yet visible: a crash after the version dir
+  * is written but before the swap leaves the old version live and the
+  * replay re-merges and re-swaps (overwriting the orphan dir), and a
+  * crash mid-swap is impossible by ATOMIC_MOVE. (r14 review: an earlier
+  * separate `_commits/<id>` marker written BEFORE the swap had exactly
+  * that lost-batch window — marker present, pointer stale → replay
+  * skipped a batch that never became visible.) Readers resolve the
+  * pointer and see exactly one committed version, never a half-written
+  * merge. This is the mechanical core of what a transactional table
+  * format's commit protocol provides; at 100 TB the merge is one keyed
+  * shuffle join of table × batch (both hash-partitioned on the key),
+  * version dirs are pruned by retention, and the pointer swap stays
+  * O(1).
   */
 object UpsertSink {
 
@@ -34,8 +42,7 @@ object UpsertSink {
     * as already-committed. */
   def merge(batch: DataFrame, table: String, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    val commit = new File(s"$table/_commits/$batchId")
-    if (commit.exists()) return false
+    if (currentVersion(table).exists(_ >= batchId)) return false
     val agg = batch.groupBy("user_id")
       .agg(count(lit(1)).cast("long").as("n_events"),
         sum(col("c")).cast("long").as("cents"))
@@ -49,8 +56,6 @@ object UpsertSink {
       case None => agg
     }
     next.write.mode("overwrite").parquet(s"$table/v=$batchId")
-    Files.createDirectories(Paths.get(s"$table/_commits"))
-    Files.writeString(commit.toPath, batchId.toString)
     val tmp = Paths.get(s"$table/_latest.tmp.$batchId")
     Files.writeString(tmp, batchId.toString)
     Files.move(tmp, Paths.get(s"$table/_latest"),

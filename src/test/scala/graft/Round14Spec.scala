@@ -58,13 +58,10 @@ class Round14Spec extends SparkSpec {
     val out = "/tmp/graft_io/variant_shred_spec"
     import scala.reflect.io.Directory
     new Directory(new java.io.File(out)).deleteRecursively()
-    val keys = Seq("spark.sql.variant.writeShredding.enabled",
-      "spark.sql.variant.inferShreddingSchema",
-      "spark.sql.variant.allowReadingShredded")
-    val prev = keys.map(k => k -> spark.conf.getOption(k))
-    try {
-      spark.conf.set(keys(0), "true")
-      spark.conf.set(keys(1), "true")
+    graft.engine.Confs.withConfs(spark)(
+      "spark.sql.variant.writeShredding.enabled" -> "true",
+      "spark.sql.variant.inferShreddingSchema" -> "true",
+      "spark.sql.variant.allowReadingShredded" -> "true") {
       spark.range(100).select(col("id"),
           parse_json(concat(lit("{\"k\": "), col("id").cast("string"),
             lit(", \"tag\": \"t\"}"))).as("v"))
@@ -81,15 +78,11 @@ class Round14Spec extends SparkSpec {
       assert(schema.contains("typed_value"),
         s"no typed_value group in the physical schema — file is not " +
           s"shredded:\n$schema")
-      spark.conf.set(keys(2), "true")
       val got = spark.read.parquet(out)
         .select(col("id"), variant_get(col("v"), "$.k", "long").as("k"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert((0 until 100).forall(i => got(i.toLong) == i.toLong),
         "typed read-back of the shredded column diverged")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 }

@@ -849,6 +849,17 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "n_events", "cents").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected, s"retry double-counted: $got")
+    // crash window (r14 review): version dir written but the pointer
+    // swap never happened — the replay must RE-APPLY, not skip (the
+    // pointer, not a side marker, is the commit record)
+    val p = java.nio.file.Paths.get(s"$tbl/_latest")
+    java.nio.file.Files.writeString(p, "0") // roll back: batch 1 "uncommitted"
+    assert(UpsertSink.merge(b2, tbl, 1L),
+      "replay after a pre-swap crash was skipped - batch lost")
+    val got2 = UpsertSink.read(spark, tbl)
+      .select("user_id", "n_events", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == expected, s"crash replay diverged: $got2")
   }
 
   test("observe() metrics ride the streaming micro-batches: per-batch " +
