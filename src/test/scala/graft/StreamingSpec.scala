@@ -843,19 +843,32 @@ class StreamingSpec extends SparkSpec {
     val tbl = "/tmp/graft_io/upsert_spec_retry"
     UpsertSink.reset(tbl)
     assert(UpsertSink.merge(b1, tbl, 0L))
+    val manifestAfterB0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tbl/_manifest"))
     assert(UpsertSink.merge(b2, tbl, 1L))
     assert(!UpsertSink.merge(b2, tbl, 1L), "replayed batch was applied")
     val got = UpsertSink.read(spark, tbl)
       .select("user_id", "n_events", "cents").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected, s"retry double-counted: $got")
-    // crash window (r14 review): version dir written but the pointer
-    // swap never happened — the replay must RE-APPLY, not skip (the
-    // pointer, not a side marker, is the commit record)
-    val p = java.nio.file.Paths.get(s"$tbl/_latest")
-    java.nio.file.Files.writeString(p, "0") // roll back: batch 1 "uncommitted"
+    // crash window (r14 review, r15 manifest layout): bucket version
+    // dirs written but the manifest swap never happened — the replay
+    // must RE-APPLY, not skip (the manifest, not a side marker, is the
+    // commit record). Simulated by rolling the manifest back to its
+    // batch-0 content: retention keeps each bucket's previous version
+    // dir, so the rolled-back manifest still resolves, exactly the
+    // reader-protection the retain-2 contract promises.
+    val p = java.nio.file.Paths.get(s"$tbl/_manifest")
+    assert(!UpsertSink.merge(b2, tbl, 1L)) // still committed: no-op
+    val m1 = UpsertSink.readManifest(tbl).get
+    // restore the exact batch-0 manifest: what a crash between the
+    // bucket-dir moves and the swap leaves on disk (batch-1 orphan
+    // v-dirs present, manifest still at batch 0)
+    java.nio.file.Files.writeString(p, manifestAfterB0)
     assert(UpsertSink.merge(b2, tbl, 1L),
       "replay after a pre-swap crash was skipped - batch lost")
+    assert(UpsertSink.readManifest(tbl).get == m1,
+      "crash replay converged to a different manifest")
     val got2 = UpsertSink.read(spark, tbl)
       .select("user_id", "n_events", "cents").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
