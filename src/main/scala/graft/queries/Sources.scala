@@ -493,7 +493,14 @@ object Sources extends QueryPack {
         .write.mode("overwrite").parquet(out)
     }
     graft.engine.Confs.withConfs(s)(
-      "spark.sql.variant.allowReadingShredded" -> "true") {
+      "spark.sql.variant.allowReadingShredded" -> "true",
+      // push the typed extracts into the scan schema: measured at 100×
+      // (ScaleStress100 §6c) this is a ~2.4× decode win on shredded
+      // files (columnar typed_value decode instead of per-row binary
+      // re-parse; without it, reassembly makes shredded files SLOWER
+      // than unshredded). Note the win is CPU, not I/O — Spark 4.1.2
+      // reads the full shredded group either way (measured finding).
+      "spark.sql.variant.pushVariantIntoScan" -> "true") {
       // materialize INSIDE the conf window (r14 review): the returned
       // frame executes at harness-collect time, after the restore —
       // today allowReadingShredded defaults true so the lazy form
