@@ -330,4 +330,50 @@ object Extensibility extends QueryPack {
       .sort("c_mktsegment")
       .run(s, dir)
   }
+
+  // Spark 4.1 DECLARATIVE PIPELINES (r15, closing the r14 verdict's
+  // probe ask #3): the engine in spark-pipelines_2.13-4.1.2.jar runs
+  // WITHOUT a Connect server (plans/Declarative.scala documents the
+  // probe). This key grades a two-dataset pipeline end-to-end through
+  // the REAL SDP runtime — `CREATE MATERIALIZED VIEW` SQL registration
+  // → DataflowGraph dependency resolution (the second MV reads the
+  // first BY NAME, so topological ordering is exercised, not just two
+  // independent CTAS) → triggered execution materializing both into
+  // the session catalog — then reads the terminal MV back from the
+  // catalog as the graded frame. Staging is keyed by dataset dir and
+  // dropped up front so every run is a clean full refresh. Scale: each
+  // refresh is an ordinary Catalyst batch write (one filter scan, one
+  // broadcast-able join + agg); the graph layer adds only driver-side
+  // ordering, O(|datasets|).
+  q("pipeline_declarative_sdp",
+    s"""SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(${oCents("o_totalprice")}) AS BIGINT) AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""") { (s, dir) =>
+    val tag = math.abs(dir.hashCode).toString
+    val db = s"graft_sdp_$tag"
+    s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"/tmp/graft_io/sdp_$tag")).deleteRecursively()
+    graft.plans.Declarative.runSqlPipeline(s, db,
+      s"file:///tmp/graft_io/sdp_$tag",
+      s"""CREATE MATERIALIZED VIEW sdp_orders_f AS
+         |SELECT o_orderkey, o_custkey,
+         |  ${oCents("o_totalprice")} AS cents
+         |FROM parquet.`$dir/orders.parquet`
+         |WHERE o_orderstatus = 'F';
+         |
+         |CREATE MATERIALIZED VIEW sdp_mkt_rev AS
+         |SELECT c.c_mktsegment AS seg,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(f.cents) AS BIGINT) AS cents
+         |FROM sdp_orders_f f
+         |JOIN parquet.`$dir/customer.parquet` c
+         |  ON f.o_custkey = c.c_custkey
+         |GROUP BY c.c_mktsegment;
+         |""".stripMargin)
+    s.table(s"$db.sdp_mkt_rev").orderBy("seg")
+  }
 }

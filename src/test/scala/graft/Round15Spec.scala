@@ -87,4 +87,38 @@ class Round15Spec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$tbl/_staging")), "staging dir leaked")
   }
+
+  test("declarative pipelines: dependency-ordered execution — the " +
+    "downstream MV starts only after its upstream COMPLETED (r15)") {
+    // the SDP engine must run the graph topologically, not as two
+    // independent CTAS: pin it from the pipeline event log the graded
+    // key's runner returns (plans/Declarative.scala)
+    spark.sql("DROP DATABASE IF EXISTS graft_sdp_spec CASCADE")
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File("/tmp/graft_io/sdp_spec")).deleteRecursively()
+    val events = graft.plans.Declarative.runSqlPipeline(spark,
+      "graft_sdp_spec", "file:///tmp/graft_io/sdp_spec",
+      s"""CREATE MATERIALIZED VIEW spec_base AS
+         |SELECT id, id % 7 AS g FROM RANGE(1000);
+         |
+         |CREATE MATERIALIZED VIEW spec_agg AS
+         |SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS s
+         |FROM spec_base GROUP BY g;
+         |""".stripMargin)
+    def idx(frag: String): Int = {
+      val i = events.indexWhere(m => m.contains(frag))
+      assert(i >= 0, s"no event matching '$frag' in:\n${events.mkString("\n")}")
+      i
+    }
+    assert(idx("spec_base is RUNNING") < idx("spec_base has COMPLETED"))
+    assert(idx("spec_base has COMPLETED") < idx("spec_agg is RUNNING"),
+      "downstream MV ran before its upstream completed")
+    assert(events.exists(_.contains("Run is COMPLETED")), events.mkString("\n"))
+    // and the materialized results are correct catalog tables
+    val got = spark.table("graft_sdp_spec.spec_agg").orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exp = (0L until 1000L).groupBy(_ % 7).toSeq.sortBy(_._1)
+      .map { case (g, ids) => (g, ids.size.toLong, ids.sum) }
+    assert(got.toSeq == exp, s"materialized agg wrong: ${got.toSeq}")
+  }
 }
