@@ -30,6 +30,24 @@ import org.apache.spark.sql.pipelines.logging.PipelineEvent
   */
 object Declarative {
 
+  /** Drop `db` from the catalog AND delete its warehouse directory. The
+    * session catalog is in-memory per JVM but managed-table LOCATIONS
+    * persist on disk, so a `DROP DATABASE IF EXISTS` in a fresh JVM is a
+    * no-op that leaves the old dirs behind and the next pipeline run
+    * dies with LOCATION_ALREADY_EXISTS (measured — the exact
+    * staleness class the keyed staging dirs elsewhere exist to avoid).
+    * Callers run this before every pipeline so each run is a clean
+    * full refresh. */
+  def resetDatabase(spark: SparkSession, db: String): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+    val whPath = if (wh.getScheme == null) wh.getPath
+      else java.nio.file.Paths.get(wh).toString
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$whPath/$db.db")).deleteRecursively()
+    ()
+  }
+
   /** Register the pipeline SQL, resolve the dataflow graph, and run it
     * to completion against `db` in the session catalog. Returns the
     * pipeline event-log messages (QUEUED/PLANNING/RUNNING/COMPLETED per
@@ -43,7 +61,8 @@ object Declarative {
       .processSqlFile(sqlText, s"$db.sql", spark)
     val events = scala.collection.mutable.ArrayBuffer.empty[String]
     val ctx = new PipelineUpdateContextImpl(reg.toDataflowGraph,
-      (e: PipelineEvent) => events.synchronized { events += e.message; () },
+      (e: PipelineEvent) =>
+        events.synchronized { events += e.messageWithError; () },
       AllTables, AllTables, storageRoot)
     ctx.pipelineExecution.runPipeline()
     events.synchronized(events.toSeq)

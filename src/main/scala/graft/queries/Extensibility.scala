@@ -354,7 +354,7 @@ object Extensibility extends QueryPack {
       |ORDER BY seg""") { (s, dir) =>
     val tag = math.abs(dir.hashCode).toString
     val db = s"graft_sdp_$tag"
-    s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    graft.plans.Declarative.resetDatabase(s, db)
     import scala.reflect.io.Directory
     new Directory(new java.io.File(s"/tmp/graft_io/sdp_$tag")).deleteRecursively()
     graft.plans.Declarative.runSqlPipeline(s, db,

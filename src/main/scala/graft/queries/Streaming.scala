@@ -1194,6 +1194,70 @@ object Streaming extends QueryPack {
       .orderBy("user_id")
   }
 
+  // CHECKPOINT RESUME under a conf delta — the upgrade walk that pairs
+  // with stream_state_rescale (r15, verdict ask #6): rescale showed how
+  // to MIGRATE state when the layout must change; this key pins what
+  // happens when an operator RESUMES a checkpoint while the session
+  // confs have drifted — the checkpoint wins. Phase 1 runs a streaming
+  // dropDuplicates at 4 shuffle partitions into a parquet sink and
+  // stops; phase 2 appends the other half of the source files and
+  // RESUMES the same checkpoint under a drifted session (8
+  // partitions): Spark replays the frozen confs from the checkpoint's
+  // offset metadata, so the state layout stays 4 partitions (require'd
+  // in-run from the state dir fan-out) and dedup state carries across
+  // the restart — a user first seen in phase 1 must NOT re-emit in
+  // phase 2. The parquet sink's _spark_metadata commit log makes the
+  // two-phase output exactly-once. Readout = one row per distinct
+  // user. NOT every conf is frozen-and-replayed, though: the
+  // state-store CHECKPOINT FORMAT is a hard wall — resuming a v1
+  // checkpoint under checkpointFormatVersion=2 fails fast with
+  // INVALID_LOG_VERSION (measured; Round15Spec pins it), so a format
+  // upgrade is a MIGRATION (stream_state_rescale's export→seed walk),
+  // never a restart flag. At scale this is the routine
+  // restart-after-deploy: conf drift between submissions must never
+  // corrupt or re-shuffle live state.
+  q("stream_checkpoint_resume",
+    """SELECT DISTINCT user_id FROM events ORDER BY user_id""") { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val tag = math.abs(dir.hashCode).toString
+    val base = s"/tmp/graft_io/chkresume_$tag"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
+    val ev = Tables(s, dir, "events").select(col("user_id"), col("event_id"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(4)
+      .write.parquet(s"$base/src")
+    val srcSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType)))
+    def drain(): Unit = {
+      val q = s.readStream.schema(srcSchema).parquet(s"$base/src")
+        .dropDuplicates("user_id").select("user_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    graft.engine.Confs.withConfs(s)(
+      "spark.sql.shuffle.partitions" -> "4") {
+      drain()
+    }
+    // second half lands in the SAME source dir after the stop
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(4)
+      .write.mode("append").parquet(s"$base/src")
+    graft.engine.Confs.withConfs(s)(
+      "spark.sql.shuffle.partitions" -> "8") {
+      drain()
+    }
+    // the checkpoint's layout won over the drifted session conf
+    val stateParts = Option(new java.io.File(s"$base/chk/state/0").listFiles)
+      .map(_.count(f => f.isDirectory && f.getName.forall(_.isDigit)))
+      .getOrElse(0)
+    require(stateParts == 4,
+      s"resume re-laid state to $stateParts partitions under a conf delta")
+    s.read.parquet(s"$base/out").select("user_id").orderBy("user_id")
+  }
+
   // CDC upsert through the streaming tier — the events stream read as a
   // changelog on per-user profile rows ('error' ops are deletes, all
   // others upserts), resolved last-writer-wins by EVENT time (ts,

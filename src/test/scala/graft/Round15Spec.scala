@@ -88,12 +88,57 @@ class Round15Spec extends SparkSpec {
       java.nio.file.Paths.get(s"$tbl/_staging")), "staging dir leaked")
   }
 
+  test("checkpoint format is a hard wall on resume: a v1 checkpoint " +
+    "under checkpointFormatVersion=2 fails fast, data intact (r15)") {
+    // the measured boundary stream_checkpoint_resume's Scaladoc cites:
+    // shuffle.partitions is frozen-and-replayed on resume, but the
+    // state-store checkpoint FORMAT is not a replayable conf — the v2
+    // reader rejects v1 logs outright (INVALID_LOG_VERSION), so a
+    // format upgrade is a migration, never a restart flag
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft_io/chkresume_spec"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(base)).deleteRecursively()
+    (1L to 50L).map(i => (i % 10, i)).toDF("user_id", "event_id")
+      .coalesce(1).write.parquet(s"$base/src")
+    val srcSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType)))
+    def drain(fmt: String): Unit =
+      graft.engine.Confs.withConfs(spark)(
+        "spark.sql.streaming.stateStore.checkpointFormatVersion" -> fmt) {
+        val q = spark.readStream.schema(srcSchema).parquet(s"$base/src")
+          .dropDuplicates("user_id").select("user_id")
+          .writeStream.format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    drain("1")
+    (51L to 60L).map(i => (i % 12, i)).toDF("user_id", "event_id")
+      .coalesce(1).write.mode("append").parquet(s"$base/src")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain("2")
+    }
+    assert(e.getMessage.contains("INVALID_LOG_VERSION"),
+      s"expected INVALID_LOG_VERSION, got: ${e.getMessage.take(300)}")
+    // the failed resume attempt corrupted nothing: v1 resume completes
+    // the walk and the sink holds exactly the distinct users
+    drain("1")
+    val users = spark.read.parquet(s"$base/out")
+      .select("user_id").distinct().count()
+    assert(users == 12L, s"post-recovery distinct users $users != 12")
+    assert(spark.read.parquet(s"$base/out").count() == 12L,
+      "dedup state lost across the failed-resume window")
+  }
+
   test("declarative pipelines: dependency-ordered execution — the " +
     "downstream MV starts only after its upstream COMPLETED (r15)") {
     // the SDP engine must run the graph topologically, not as two
     // independent CTAS: pin it from the pipeline event log the graded
     // key's runner returns (plans/Declarative.scala)
-    spark.sql("DROP DATABASE IF EXISTS graft_sdp_spec CASCADE")
+    graft.plans.Declarative.resetDatabase(spark, "graft_sdp_spec")
     import scala.reflect.io.Directory
     new Directory(new java.io.File("/tmp/graft_io/sdp_spec")).deleteRecursively()
     val events = graft.plans.Declarative.runSqlPipeline(spark,
