@@ -357,6 +357,17 @@ object Extensibility extends QueryPack {
     graft.plans.Declarative.resetDatabase(s, db)
     import scala.reflect.io.Directory
     new Directory(new java.io.File(s"/tmp/graft_io/sdp_$tag")).deleteRecursively()
+    // materializations are catalog-sized writes (two MVs over ≤150 k
+    // rows) — 32-partition shuffles/files are pure overhead here; the
+    // conf window governs the whole synchronous runPipeline. The
+    // pipelines executor POLLS flow state at a 1 s default interval
+    // (spark.sql.pipelines.execution.streamstate.pollingInterval), so
+    // a chained 2-MV pipeline eats ~2 s of pure waiting; 0 = notice
+    // completions immediately (measured: tiny-MV pipeline 2.19→1.53 s,
+    // this key 3.68→~2.4 s bench)
+    graft.engine.Confs.withConfs(s)(
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.pipelines.execution.streamstate.pollingInterval" -> "0") {
     graft.plans.Declarative.runSqlPipeline(s, db,
       s"file:///tmp/graft_io/sdp_$tag",
       s"""CREATE MATERIALIZED VIEW sdp_orders_f AS
@@ -374,6 +385,7 @@ object Extensibility extends QueryPack {
          |  ON f.o_custkey = c.c_custkey
          |GROUP BY c.c_mktsegment;
          |""".stripMargin)
+    }
     s.table(s"$db.sdp_mkt_rev").orderBy("seg")
   }
 }

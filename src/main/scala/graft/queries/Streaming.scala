@@ -1224,7 +1224,9 @@ object Streaming extends QueryPack {
     import scala.reflect.io.Directory
     new Directory(new java.io.File(base)).deleteRecursively()
     val ev = Tables(s, dir, "events").select(col("user_id"), col("event_id"))
-    ev.filter(col("event_id") % 2 === 0).coalesce(4)
+    // 2 files per half: the drains' cost is listing + state-store init,
+    // not scan parallelism on a ≤600 k-row fixture
+    ev.filter(col("event_id") % 2 === 0).coalesce(2)
       .write.parquet(s"$base/src")
     val srcSchema = StructType(Seq(StructField("user_id", LongType),
       StructField("event_id", LongType)))
@@ -1243,7 +1245,7 @@ object Streaming extends QueryPack {
       drain()
     }
     // second half lands in the SAME source dir after the stop
-    ev.filter(col("event_id") % 2 =!= 0).coalesce(4)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(2)
       .write.mode("append").parquet(s"$base/src")
     graft.engine.Confs.withConfs(s)(
       "spark.sql.shuffle.partitions" -> "8") {

@@ -175,6 +175,11 @@ object UpsertSink {
   def read(spark: SparkSession, table: String): DataFrame = {
     val m = readManifest(table).getOrElse(
       sys.error(s"upsert table $table has no committed version"))
+    // a committed-but-bucketless manifest (only empty batches so far)
+    // must fail the same way as no-manifest, not with the parquet
+    // reader's unrelated cannot-infer-schema error
+    if (m.live.isEmpty)
+      sys.error(s"upsert table $table has no data buckets yet")
     val paths = m.live.toSeq.sorted
       .map { case (b, v) => s"$table/bucket=$b/v=$v" }
     spark.read.parquet(paths: _*)
