@@ -437,7 +437,18 @@ object Dedup {
           .observe(obs, count_if(col("cluster") =!= col("prev")).as("changed"))
           .select(col("id"), col("cluster"))
           .localCheckpoint()
-        converged = obs.get("changed").asInstanceOf[Long] == 0L
+        // Observation completion rides an async listener with no delivery
+        // guarantee (ops/Obs.scala — the etl_observe_metrics bench hang);
+        // bounded wait, then recompute the change count from the two
+        // checkpointed label frames (both cached — one cheap join+agg,
+        // bit-identical to the observed count_if)
+        val changed = graft.ops.Obs.await(obs,
+            scala.concurrent.duration.DurationInt(10).seconds) {
+          Map("changed" -> next
+            .join(labels.select(col("id"), col("cluster").as("__prev")), "id")
+            .filter(col("cluster") =!= col("__prev")).count())
+        }("changed").asInstanceOf[Long]
+        converged = changed == 0L
         if (dbg) System.err.println(
           f"[cc] round $it: ${(System.nanoTime() - t0) / 1e9}%.2f s converged=$converged")
         labels = next

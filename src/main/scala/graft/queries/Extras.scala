@@ -829,18 +829,29 @@ object Extras extends QueryPack {
       |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS d_min,
       |  strftime(MAX(o_orderdate), '%Y-%m-%d') AS d_max
       |FROM orders""") { (s, dir) =>
+    // one expression list serves the observed action AND the bounded-wait
+    // fallback below, so the two paths cannot drift
+    def metricExprs = Seq(
+      count(lit(1)).as("n_rows"),
+      sum(graft.engine.Det.cents(col("o_totalprice")).cast("long"))
+        .as("cents"),
+      sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+        .as("n_finished"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("d_min"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("d_max"))
     val obs = org.apache.spark.sql.Observation()
-    Tables(s, dir, "orders")
-      .observe(obs,
-        count(lit(1)).as("n_rows"),
-        sum(graft.engine.Det.cents(col("o_totalprice")).cast("long"))
-          .as("cents"),
-        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
-          .as("n_finished"),
-        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("d_min"),
-        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("d_max"))
+    val base = Tables(s, dir, "orders")
+    base.observe(obs, metricExprs.head, metricExprs.tail: _*)
       .write.format("noop").mode("overwrite").save()
-    val m = obs.get
+    // Observation completion rides an async listener with no delivery
+    // guarantee (ops/Obs.scala) — bounded wait, then recompute the same
+    // 1-row aggregate synchronously (identical exprs → identical output)
+    val m = graft.ops.Obs.await(obs, scala.concurrent.duration.DurationInt(10).seconds) {
+      val r = graft.ops.BoundedCollect.rows(
+        base.agg(metricExprs.head, metricExprs.tail: _*),
+        "etl_observe_metrics listener-timeout fallback")(0)
+      r.getValuesMap[Any](r.schema.fieldNames.toIndexedSeq)
+    }
     import s.implicits._
     Seq((m("n_rows").asInstanceOf[Long],
         m("cents").asInstanceOf[Long].toDouble / 100,
