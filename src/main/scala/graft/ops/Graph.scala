@@ -12,13 +12,55 @@ import org.apache.spark.storage.StorageLevel
   * lowers to, with no extra dependency and full Catalyst/AQE participation.
   * PageRank is one join + one aggregate per BSP round with the rank state
   * localCheckpointed (same seam as the CC loop: cut the iterative lineage,
-  * re-plan each round at runtime). Triangle enumeration is the classic
+  * re-plan each round at runtime). Checkpoints here are LAZY (r15: no loop
+  * in this file takes a mid-loop driver decision — unlike the CC loop's
+  * observe-based convergence test — so the eager per-round materialization
+  * job bought nothing; the logical plan is cut to a LogicalRDD and the
+  * physical plan is fixed at `.toRdd` either way). The PageRank loop
+  * additionally runs under [[withLoopConfs]] (AQE scoped off + measured
+  * loop sizing: bench-min 1.40 → 0.91 s pagerank, 1.02 → 0.66 s ppr at
+  * sf0.1, byte-identical output); the OTHER loops measured WORSE under
+  * the same window (their per-round shuffle reads a 32/64-partition
+  * cached union, which AQE's runtime coalescing handles better than any
+  * static size — bfs_dist 0.93 → 1.79 s regression, reverted), so they
+  * keep AQE on. Triangle enumeration is the classic
   * two-join canonical-ordering form; at web scale the standard refinement
   * is degree-orientation (orient each edge toward the higher-degree vertex,
   * bounding per-vertex fanout by arboricity) — a pre-ranking step on the
   * same plan shape, not a different algorithm.
   */
 object Graph {
+
+  /** Scoped confs for a fixed-round BSP loop over `sized` (a persisted
+    * frame whose row count ≈ the per-round shuffle volume): shuffle
+    * partitions derived from the MEASURED row count (the scale-adaptive
+    * sizing AQE would otherwise do round by round), and AQE off for the
+    * window (r15 measure: with AQE on, each round's `.toRdd` — forced by
+    * localCheckpoint, lazy or not — runs getFinalPhysicalPlan, which
+    * executes every query stage of the round synchronously: one blocking
+    * job plus a re-optimization pass per shuffle per round, ~0.18 s/round
+    * of pure driver time on the 625-edge nation graph; with AQE off and
+    * LAZY checkpoints the whole loop defers to ONE action's stage DAG).
+    * Results are identical either way — only scheduling changes. Skew on
+    * pathological graphs at cluster scale is the documented trade: flip
+    * AQE back on per session and the loops run exactly as before r15.
+    * Returns body(nRows) so callers can reuse the measured count. */
+  private def withLoopConfs[T](sized: DataFrame)(body: Long => T): T = {
+    val spark = sized.sparkSession
+    val n = sized.count()
+    val para = spark.sparkContext.defaultParallelism.toLong
+    // one partition per ~250k edge rows, 1..parallelism: with AQE scoped
+    // off there is no runtime coalescing, so the static size must not
+    // overshoot — a dimension-bounded graph (hundreds of rows) runs its
+    // rounds in ONE task (measured: the para/4 floor of the CC loop made
+    // each 8-task round stage cost more than the round's compute here),
+    // while a 2M-edge graph still fans to 9+ partitions and a corpus-scale
+    // graph saturates the cluster.
+    val loopParts = math.max(1L, math.min(para, n / 250000L + 1L))
+    graft.engine.Confs.withConfs(spark)(
+      "spark.sql.shuffle.partitions" -> loopParts.toString,
+      "spark.sql.adaptive.enabled" -> "false") { body(n) }
+  }
 
   /** Katz centrality, truncated at `rounds` path lengths with dyadic
     * attenuation β = 1/2: katz(v) = Σ_{r=1..rounds} β^r · paths_r(v)
@@ -106,14 +148,7 @@ object Graph {
     // every shuffle partition every round, and a derived graph is often
     // orders of magnitude smaller than the tables it came from (the nation
     // trade graph is ~600 edges out of a 600k-row star join).
-    val spark = edges.sparkSession
-    val nEdges = withDeg.count()
-    val para = spark.sparkContext.defaultParallelism.toLong
-    val loopParts = math.max(math.max(1L, para / 4),
-      math.min(para, nEdges / 1000000L + 1L))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+    withLoopConfs(withDeg) { _ =>
       val bare = fwd.select(col("src").as("id"))
         .union(fwd.select(col("dst").as("id")))
         .distinct()
@@ -128,7 +163,7 @@ object Graph {
       }
       var ranks = nodes
         .select(col("id"), (col("seed") * 1000000L).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       for (_ <- 0 until iters) {
         val contribs = withDeg
           .join(ranks, withDeg("src") === ranks("id"))
@@ -144,11 +179,9 @@ object Graph {
             floor(col("seed").cast("double") * 150000.0
               + lit(0.85) * coalesce(col("s"), lit(0L)).cast("double")
               + lit(0.5)).cast("long").as("r"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       ranks
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
 
@@ -180,12 +213,12 @@ object Graph {
     // DuckDB to disk), and one fewer join per round here too.
     val symx = sym.union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var comp = nodes.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var comp = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(eager = false)
     for (_ <- 0 until iters) {
       comp = symx.join(comp, symx("dst") === comp("id"))
         .groupBy(symx("src").as("gid")).agg(min("comp").as("comp"))
         .select(col("gid").as("id"), col("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     comp
   }
@@ -209,7 +242,7 @@ object Graph {
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("src").as("id")).distinct()
-    var lab = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var lab = nodes.select(col("id"), col("id").as("label")).localCheckpoint(eager = false)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("v").orderBy(col("cnt").desc, col("label"))
     for (_ <- 0 until iters) {
@@ -219,7 +252,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("v").as("id"), col("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     lab
   }
@@ -248,12 +281,12 @@ object Graph {
     var dist = nodes.crossJoin(broadcast(srcNode))
       .select(col("id"),
         when(col("id") === col("sid"), lit(0L)).otherwise(lit(null).cast("long")).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 0 until iters) {
       dist = symw.join(dist, symw("dst") === dist("id"))
         .groupBy(symw("src").as("gid")).agg(min(col("d") + col("w")).as("d"))
         .select(col("gid").as("id"), col("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     dist
   }
@@ -271,14 +304,14 @@ object Graph {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
     var sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     for (_ <- 0 until rounds) {
       val keep = sym.groupBy(col("src").as("kid")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("kid"))
       sym = sym
         .join(keep, sym("src") === keep("kid"), "left_semi")
         .join(keep.select(col("kid").as("kid2")), sym("dst") === col("kid2"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
@@ -372,11 +405,11 @@ object Graph {
     // mutual-reach MIN below is total (a singleton SCC is {v} itself)
     var reach = de
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     for (_ <- 0 until doublingRounds) {
       val hop = reach.as("a").join(reach.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
-      reach = reach.union(hop).distinct().localCheckpoint()
+      reach = reach.union(hop).distinct().localCheckpoint(eager = false)
     }
     val mutual = reach
       .intersect(reach.select(col("dst").as("src"), col("src").as("dst")))
@@ -406,13 +439,13 @@ object Graph {
       .union(nodes.select(col("id").as("src"), col("id").as("dst"), lit(0L).as("w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = nodes.select(col("id").as("s"), col("id").as("v"), lit(0L).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 0 until iters) {
       dist = symw.join(dist, dist("v") === symw("src"))
         .groupBy(dist("s").as("gs"), symw("dst").as("gv"))
         .agg(min(col("d") + col("w")).as("d"))
         .select(col("gs").as("s"), col("gv").as("v"), col("d"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     dist
   }
