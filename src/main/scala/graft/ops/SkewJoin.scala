@@ -24,7 +24,16 @@ object SkewJoin {
       pmod(xxhash64(saltSource.map(col): _*), lit(buckets.toLong)))
     val r = right.withColumn("__salt",
       explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
-    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
+    // The salted join must BE a shuffle join (r15 measure): on a
+    // bench-sized right side the planner picked BroadcastHashJoin over the
+    // exploded salt — a buckets×|right| single-threaded driver build
+    // (1.2M rows here, most of the query's 1.5 s) guarding a join with no
+    // shuffle left to de-skew. Salting exists precisely for the case
+    // where the right side is NOT broadcastable; the SHUFFLE_MERGE hint
+    // (plan-carried — no conf window needed for a lazily-consumed frame)
+    // makes the operator demonstrate its own mechanism at every scale.
+    l.join(r.hint("shuffle_merge"),
+        l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
       .drop("__salt")
   }
 }

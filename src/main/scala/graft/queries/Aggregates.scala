@@ -1020,17 +1020,24 @@ object Aggregates extends QueryPack {
       .withColumn("n", sum("c").over(wp))
       .withColumn("tv", sum(col("v") * col("c")).over(wp))
     val qs = h.sparkSession.range(1, 11).select(col("id").as("q"))
+    // The decile row's (v, cc, cv) ride INSIDE the threshold pick (r15):
+    // bv = MIN v satisfying the rank condition, and struct comparison is
+    // lexicographic-by-first-field, so min(when(cond, struct(v, cc, cv)))
+    // selects exactly the old join-back's row WITH its cumulative values —
+    // deleting the pick⋈cum join that re-derived the whole histogram +
+    // window pass a second time (7 exchanges → 3, one window pass).
+    // Identical arithmetic on identical picked values → same oracle hash.
     val pick = cum.crossJoin(broadcast(qs))
       .groupBy("st", "q")
-      .agg(max("n").as("n"),
-        min(when(col("cc") * 10 >= col("q") * col("n"), col("v"))).as("bv"))
-    pick.join(cum.select(col("st").as("st2"), col("v"), col("c"), col("cc"),
-        col("cv"), col("n").as("n2"), col("tv")),
-        pick("st") === col("st2") && pick("bv") === col("v"))
-      .select(pick("st").as("o_orderstatus"),
-        (pick("q") * 10).cast("long").as("pct"),
-        (floor((col("cv").cast("double")
-          - (col("cc") - expr("(q * n2 + 9) div 10")).cast("double") * col("v"))
+      .agg(max("n").as("n"), max("tv").as("tv"),
+        min(when(col("cc") * 10 >= col("q") * col("n"),
+          struct(col("v"), col("cc"), col("cv")))).as("b"))
+    pick
+      .select(col("st").as("o_orderstatus"),
+        (col("q") * 10).cast("long").as("pct"),
+        (floor((col("b.cv").cast("double")
+          - (col("b.cc") - expr("(q * n + 9) div 10")).cast("double")
+            * col("b.v"))
           / col("tv").cast("double") * 1000000 + lit(0.5)) / 1000000)
           .as("bottom_share"))
       .orderBy("o_orderstatus", "pct")

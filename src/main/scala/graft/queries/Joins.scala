@@ -361,8 +361,14 @@ object Joins extends QueryPack {
     import s.implicits._
     val factPath = "/tmp/graft_io/dpp_lineitem"
     val dimPath = "/tmp/graft_io/dpp_flagdim"
+    // repartition by the partition column before the write (r15): the
+    // one-split scan otherwise writes all three hive partitions from ONE
+    // task; hash-distributing on l_returnflag writes them in parallel and
+    // yields one file per partition value instead of files×tasks — the
+    // guide §6 layout (fewer, larger files) the DPP read then lists.
     Tables(s, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice", "l_returnflag")
+      .repartition(col("l_returnflag"))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(factPath)
     Seq(("A", "keep"), ("R", "keep"), ("N", "drop")).toDF("flag", "action")
       .write.mode("overwrite").parquet(dimPath)

@@ -2902,14 +2902,20 @@ object LlmOps extends QueryPack {
     // point (= unsigned UTF-8 byte order), so a surrogate-bearing token
     // would flip the ca<cb pair orientation vs the oracle's a.t < b.t
     // (r10 ADVICE)
-    val topTerms = graft.ops.BoundedCollect.rows(top.select("t"),
-      "text_pmi_cooccur top-30 token codes").map(_.getString(0))
+    // collect (t, c) together: the code table then carries each token's
+    // df count, so the tail joins attach name AND count in ONE broadcast
+    // per side instead of two (r15: 4 broadcast exchanges → 2, and the
+    // `top` frame is never re-derived after the collect)
+    val topRows = graft.ops.BoundedCollect.rows(top,
+      "text_pmi_cooccur top-30 token codes")
+      .map(r => (r.getString(0), r.getLong(1)))
       .sortWith((a, b) => java.util.Arrays.compareUnsigned(
-        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
+        a._1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b._1.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0)
     import s.implicits._
-    val codes = broadcast(topTerms.zipWithIndex.toSeq.toDF("t", "tc"))
-    val dt = dtok.join(codes, Seq("t"))
+    val codes = broadcast(topRows.zipWithIndex
+      .map { case ((t, c), i) => (t, i, c) }.toSeq.toDF("t", "tc", "c"))
+    val dt = dtok.join(codes.select("t", "tc"), Seq("t"))
     val nd = Tables(s, dir, "documents")
       .agg(countDistinct("doc_id").cast("long").as("n"))
     val pair = dt.groupBy("doc_id")
@@ -2920,13 +2926,13 @@ object LlmOps extends QueryPack {
         .as("p"))
       .groupBy(col("p.ca").as("ca"), col("p.cb").as("cb"))
       .agg(count(lit(1)).cast("long").as("cab"))
-    val named = pair
-      .join(broadcast(codes.select(col("t").as("ta"), col("tc").as("ca"))), Seq("ca"))
-      .join(broadcast(codes.select(col("t").as("tb"), col("tc").as("cb"))), Seq("cb"))
-      .select(col("ta"), col("tb"), col("cab"))
-    named
-      .join(broadcast(top.select(col("t").as("ta"), col("c").as("ca"))), Seq("ta"))
-      .join(broadcast(top.select(col("t").as("tb"), col("c").as("cb"))), Seq("tb"))
+    pair
+      .join(broadcast(codes.select(col("t").as("ta"), col("tc").as("ca"),
+        col("c").as("cca"))), Seq("ca"))
+      .join(broadcast(codes.select(col("t").as("tb"), col("tc").as("cb"),
+        col("c").as("ccb"))), Seq("cb"))
+      .select(col("ta"), col("tb"), col("cab"),
+        col("cca").as("ca"), col("ccb").as("cb"))
       .crossJoin(broadcast(nd))
       .select(col("ta"), col("tb"), col("cab"),
         ((Det.lnFix(col("n"), 6).cast("long")

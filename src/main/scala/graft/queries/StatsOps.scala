@@ -217,17 +217,25 @@ object StatsOps extends QueryPack {
       .groupBy(col("o_orderstatus").as("st"),
         Det.cents(col("o_totalprice")).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
-    val wcc = Window.partitionBy("st").orderBy("v")
+    val wst = Window.partitionBy("st")
+    val wcc = wst.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val h2 = h.withColumn("cc", sum("c").over(wcc))
-      .withColumn("n", sum("c").over(Window.partitionBy("st")))
+      .withColumn("n", sum("c").over(wst))
     // integer div: Column./ is ALWAYS double division in Spark, unlike
-    // DuckDB's // — the ceil(p·n) thresholds must stay integral
-    val b = h2.groupBy("st").agg(max("n").as("n"),
-      min(when(col("cc") >= expr("(n + 9) div 10"), col("v"))).as("lo"),
-      min(when(col("cc") >= expr("(9 * n + 9) div 10"), col("v"))).as("hi"))
-    h.join(b.withColumnRenamed("st", "bst"), col("st") === col("bst"))
-      .groupBy(col("st").as("o_orderstatus"), col("n"), col("lo"), col("hi"))
+    // DuckDB's // — the ceil(p·n) thresholds must stay integral.
+    // The clamp bounds ride WINDOW aggregates over the SAME st partition
+    // the cumsum already established (r15, guide §2.4: a window keyed like
+    // the preceding window needs no second shuffle) instead of the old
+    // groupBy(st)+join-back — same values on every row, 6 exchanges → 2
+    // in the final plan, and the histogram is never re-derived for the
+    // join's second input. Arithmetic identical → same oracle hash.
+    val h3 = h2
+      .withColumn("lo",
+        min(when(col("cc") >= expr("(n + 9) div 10"), col("v"))).over(wst))
+      .withColumn("hi",
+        min(when(col("cc") >= expr("(9 * n + 9) div 10"), col("v"))).over(wst))
+    h3.groupBy(col("st").as("o_orderstatus"), col("n"), col("lo"), col("hi"))
       .agg((floor(sum(col("c") * least(greatest(col("v"), col("lo")), col("hi")))
           .cast("double") / 100 / max("n") * 10000 + lit(0.5))
         .cast("double") / 10000).as("wmean"))
@@ -1978,7 +1986,13 @@ object StatsOps extends QueryPack {
       |GROUP BY tb.user_id, tb.exact_n, tb.rk
       |ORDER BY tb.rk""") { (s, dir) =>
     import s.implicits._
-    val ev = Tables(s, dir, "events").select("user_id")
+    // fan the skinny key column before the ×4 hash expand (r15): the
+    // events fixture arrives as ONE scan split, so the 8 md5 evaluations
+    // per row ran inside that 1-task stage — serial sketch build. The
+    // row-preserving shuffle moves only user_id and both branches (sketch
+    // and exact top-k) read the same exchange.
+    val ev = graft.engine.Tables.fan(
+      Tables(s, dir, "events").select("user_id"))
     val ii = (1 to 4).toDF("i")
     def bucket(idCol: String) =
       expr(s"((instr('0123456789abcdef', substring(" +
@@ -1988,11 +2002,17 @@ object StatsOps extends QueryPack {
     val cms = ev.crossJoin(broadcast(ii))
       .select(col("i"), bucket("user_id").as("bucket"))
       .groupBy("i", "bucket").agg(count(lit(1)).cast("long").as("c"))
+    // top-5 via TakeOrdered (orderBy.limit), rank assigned on the 5-row
+    // result (r15): the old unpartitioned row_number window moved every
+    // per-user count to one task and fully sorted it; the heap-based
+    // TakeOrderedAndProject is parallel and the 5 surviving rows get the
+    // identical rk under the identical (exact_n desc, user_id) order.
     val topk = ev.groupBy("user_id")
       .agg(count(lit(1)).cast("long").as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(5)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("exact_n").desc, col("user_id"))))
-      .filter(col("rk") <= 5)
     val tb = topk.crossJoin(broadcast(ii))
       .select(col("user_id"), col("exact_n"), col("rk"), col("i"),
         bucket("user_id").as("bucket"))
